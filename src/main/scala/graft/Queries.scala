@@ -1,0 +1,652 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.model._
+import graft.expr.{FilterExpr, IdentityDigest}
+import graft.functions.TransformLib
+import graft.pipeline._
+import graft.fixtures.TpchGraph
+import graft.query._
+import graft.store.GraphStore
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+/** The declared operator battery: one entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-equivalent oracle in [[oracles]].
+  * Column names are aligned between the Spark result and the oracle SQL
+  * (the driver sorts columns by name before hashing).
+  *
+  * Determinism discipline: every query ends in an ORDER BY on a unique key
+  * prefix; every derived integer is cast to bigint on both sides; every
+  * derived double is rounded on both sides.
+  */
+object GraftQueries {
+  import FilterExpr._
+
+  private def t(s: SparkSession, dir: String)(name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------ § queries
+
+  val all: Map[String, Q] = Map(
+
+    // §2.7 aggregation surface: multi-agg pricing summary
+    "q1_agg" -> { (s, d) =>
+      t(s, d)("lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // §2.5 FilterExpr → Column compiler (leaf ops + AND + IN)
+    "q_filter_predicate" -> { (s, d) =>
+      val f = gte("c_acctbal", 5000) && in("c_mktsegment", Seq("BUILDING", "AUTOMOBILE"))
+      t(s, d)("customer").where(FilterExpr.compile(f))
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
+    // §2.5 IF_THEN implication
+    "q_filter_ifthen" -> { (s, d) =>
+      val f = IfThen(FilterExpr.eq("o_orderstatus", "F"), gt("o_totalprice", 150000))
+      t(s, d)("orders").where(FilterExpr.compile(f))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // §2.10 NodeQuery with caps-clamped default limit
+    "q_node_query" -> { (s, d) =>
+      val reader = new GraphReader(TpchGraph.schema, t(s, d), _ => None)
+      reader.node(NodeQuery("customer", Some(FilterExpr.eq("c_mktsegment", "BUILDING")),
+        Seq("c_custkey", "c_name")))
+    },
+
+    // §2.10/§2.7 AggregateQuery COUNT + discriminant
+    "q_aggregate_count_by" -> { (s, d) =>
+      val reader = new GraphReader(TpchGraph.schema, t(s, d), _ => None)
+      reader.aggregate(AggregateQuery("customer", "COUNT", discriminant = Some("c_nationkey")))
+        .orderBy("c_nationkey")
+    },
+
+    // §2.7 SORTED_UNIQUE aggregation
+    "q_agg_sorted_unique" -> { (s, d) =>
+      val reader = new GraphReader(TpchGraph.schema, t(s, d), _ => None)
+      reader.aggregate(AggregateQuery("orders", "SORTED_UNIQUE",
+        aggregatedField = Some("o_orderpriority")))
+        .select(array_join(col("_value"), ",").as("_value"))
+    },
+
+    // §2.6 edge rendering, PAIR casting (zip at same lineage)
+    "q_edge_pair" -> { (s, d) =>
+      val g = PipelineCompiler.compile(TpchGraph.schema, TpchGraph.ordersResource,
+        t(s, d)("orders"))
+      g.edge(EdgeKey("orders", "customer", "placed_by"))
+        .select("src_o_orderkey", "dst_c_custkey").orderBy("src_o_orderkey")
+    },
+
+    // §2.6 PRODUCT casting: root-level obs × descend-level obs
+    "q_edge_product" -> { (s, d) =>
+      val g = nestedOrders(s, d)
+      g.edge(EdgeKey("customer", "part", "bought"))
+        .select("src_c_custkey", "dst_p_partkey")
+        .orderBy("src_c_custkey", "dst_p_partkey")
+    },
+
+    // §2.6 COMBINATIONS casting: unordered pairs of one bucket
+    "q_edge_combinations" -> { (s, d) =>
+      val g = nestedOrders(s, d)
+      g.edge(EdgeKey("part", "part", "co_occurs"))
+        .select("src_p_partkey", "dst_p_partkey")
+        .orderBy("src_p_partkey", "dst_p_partkey")
+    },
+
+    // §2.7 merge_doc_basis: order-sensitive last-wins merge
+    "q_merge_last_wins" -> { (s, d) =>
+      MergeOps.mergeDocBasis(
+        t(s, d)("orders").select("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice"),
+        Seq("o_custkey"), "o_orderkey")
+        .orderBy("o_custkey")
+    },
+
+    // §2.6 existence joins: semi
+    "q_semi_join" -> { (s, d) =>
+      val probe = t(s, d)("orders").select(col("o_custkey").as("c_custkey"))
+      t(s, d)("customer").join(probe, Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+
+    // §2.6 existence joins: anti
+    "q_anti_join" -> { (s, d) =>
+      val probe = t(s, d)("orders").select(col("o_custkey").as("c_custkey"))
+      t(s, d)("customer").join(probe, Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+
+    // §2.1 TableConnector / SelectSpec: base + FK joins + WHERE
+    "q_select_spec" -> { (s, d) =>
+      import graft.sources._
+      SelectSpec(
+        base = t(s, d)("lineitem"), baseAlias = "l",
+        joins = Seq(
+          JoinClause(t(s, d)("orders"), "o", Seq(("l_orderkey", "o_orderkey")), "inner"),
+          JoinClause(t(s, d)("customer"), "c", Seq(("o.o_custkey", "c_custkey")), "inner")),
+        selectFields = Seq("l.l_orderkey", "l.l_linenumber", "o.o_orderdate",
+          "c.c_mktsegment AS segment"),
+        where = Some(gt("o_totalprice", 150000))
+      ).compile.orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // §2.1 ColumnTimeFilter: half-open [after, after+interval)
+    "q_time_filter" -> { (s, d) =>
+      import graft.sources.ColumnTimeFilter
+      val ctf = ColumnTimeFilter("o_orderdate",
+        after = Some(java.sql.Timestamp.from(java.time.Instant.parse("1997-01-01T00:00:00Z"))),
+        interval = Some("90D"))
+      ctf(t(s, d)("orders")).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt")).orderBy("o_orderstatus")
+    },
+
+    // §1.3 hash identity: sha-256 digest via the events→user pipeline
+    "q_hash_identity" -> { (s, d) =>
+      val g = PipelineCompiler.compile(TpchGraph.schema, TpchGraph.eventsResource,
+        TpchGraph.eventsTable(s, d))
+      g.vertex("user").select(col("user_id"), col("_id")).orderBy("user_id")
+    },
+
+    // §1.3 identity funnel: ordered fallback branches
+    "q_funnel_identity" -> { (s, d) =>
+      val branches = Seq(
+        FunnelBranch("by_name", Seq("cname"), Seq("cname")),
+        FunnelBranch("by_key", Seq("ckey"), Seq("ckey")))
+      t(s, d)("customer")
+        .select(when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_name")).as("cname"),
+          col("c_custkey").cast("string").as("ckey"))
+        .withColumn("_id", IdentityDigest.funnelDigest(branches, markBranch = false))
+        .select(col("ckey").cast("long").as("ckey"), col("_id"))
+        .orderBy("ckey")
+    },
+
+    // §2.3 descend any_key over a JSON map + PRODUCT edge join
+    "q_descend_json" -> { (s, d) =>
+      val sch = GraphSchema(
+        vertices = Seq(
+          VertexDef("event", Seq(FieldDef("event_type")), Identity.Natural(Seq("event_id"))),
+          VertexDef("propkv", Nil, Identity.Natural(Seq("k", "v")))),
+        edges = Seq(EdgeDef("event", "propkv", "has_prop")))
+      val res = ResourceDef("r", Seq(
+        TransformStep(strategy = "single", input = Seq("props"), output = Seq("props_map"),
+          inline = Some(cs => from_json(cs.head,
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)))),
+        VertexStep("event", lookupOnly = true),
+        Descend(Some("props_map"), anyKey = true, steps = Seq(
+          VertexStep("propkv", from = Map("k" -> "_key", "v" -> "_value"),
+            extractionScope = "mapped_only", lookupOnly = true))),
+        EdgeStep(source = "event", target = "propkv", relation = "has_prop")
+      ), inferEdges = false)
+      PipelineCompiler.compile(sch, res, TpchGraph.eventsTable(s, d))
+        .edge(EdgeKey("event", "propkv", "has_prop"))
+        .select("src_event_id", "dst_k", "dst_v").orderBy("src_event_id")
+    },
+
+    // §2.3 vertex_router: route rows to types by data value
+    "q_router" -> { (s, d) =>
+      val sch = GraphSchema(vertices = Seq(
+        VertexDef("click_event", Nil, Identity.Natural(Seq("event_id"))),
+        VertexDef("error_event", Nil, Identity.Natural(Seq("event_id")))))
+      val res = ResourceDef("r", Seq(
+        VertexRouterStep(typeField = "event_type",
+          typeMap = Map("click" -> "click_event", "error" -> "error_event"))))
+      val g = PipelineCompiler.compile(sch, res, TpchGraph.eventsTable(s, d))
+      Seq("click_event", "error_event").map { n =>
+        g.vertex(n).agg(count(lit(1)).as("cnt")).withColumn("vtype", lit(n))
+      }.reduce(_.unionByName(_)).select("vtype", "cnt").orderBy("vtype")
+    },
+
+    // §2.4 dress pivot/melt: wide columns → (key, value) rows
+    "q_dress_pivot" -> { (s, d) =>
+      TransformLib.melt(t(s, d)("orders"), Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_orderpriority"), "metric", "val")
+        .orderBy("o_orderkey", "metric")
+    },
+
+    // §2.4 date-parsing transform family
+    "q_transform_dates" -> { (s, d) =>
+      val ds = date_format(col("l_shipdate"), "yyyy-MM-dd")
+      t(s, d)("lineitem")
+        .withColumn("_p", TransformLib.parseDateStandard(ds))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("_p.year").cast("long").as("y"),
+          col("_p.month").cast("long").as("m"),
+          col("_p.day").cast("long").as("dd"),
+          TransformLib.parseDateToEpoch(ds).as("epoch"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // §2.4 standardize (name canonicalization)
+    "q_standardize" -> { (s, d) =>
+      t(s, d)("part")
+        .select(col("p_partkey"), TransformLib.standardize(col("p_name")).as("std"))
+        .orderBy("p_partkey")
+    },
+
+    // §2.4 camel_to_snake on column values
+    "q_camel_to_snake" -> { (s, d) =>
+      t(s, d)("customer")
+        .select(col("c_custkey"),
+          TransformLib.camelToSnake(concat(lit("myVar"), col("c_mktsegment"))).as("snake"))
+        .orderBy("c_custkey")
+    },
+
+    // §2.9 set ops: union of collections
+    "q_union_set" -> { (s, d) =>
+      t(s, d)("region").select(col("r_name").as("name"))
+        .unionByName(t(s, d)("nation").select(col("n_name").as("name")))
+        .orderBy("name")
+    },
+
+    // §2.2 native store round-trip with idempotent upsert (written twice)
+    "q_store_roundtrip" -> { (s, d) =>
+      val root = s"/root/repo/target/graft-store-${d.replaceAll("[^0-9.]", "")}"
+      deleteRecursively(new java.io.File(root))
+      val store = new GraphStore(root, TpchGraph.schema, s)
+      val g = PipelineCompiler.compile(TpchGraph.schema, TpchGraph.customerResource,
+        t(s, d)("customer"))
+      val cust = g.vertex("customer")
+      store.upsertVertices("customer", cust)
+      store.upsertVertices("customer", cust) // idempotency: second write merges
+      store.vertices("customer").groupBy("c_nationkey")
+        .agg(count(lit(1)).as("cnt")).orderBy("c_nationkey")
+    },
+
+    // §2.10 BFS traversal: 2-hop neighborhood, ANY direction
+    "q_traverse_2hop" -> { (s, d) =>
+      val g = ingestCore(s, d)
+      val reader = new GraphReader(TpchGraph.schema, g.vertex, k => g.edges.get(k))
+      val out = reader.neighbors(NeighborQuery("nation", FilterExpr.eq("n_nationkey", 0), hops = 2))
+      out.vertices.toSeq.sortBy(_._1).map { case (n, df) =>
+        df.agg(count(lit(1)).as("cnt")).withColumn("vtype", lit(n))
+      }.reduce(_.unionByName(_)).select("vtype", "cnt").orderBy("vtype")
+    },
+
+    // extension: exact dedup by content hash
+    "q_dedup_exact" -> { (s, d) =>
+      Dedup.exactGroups(t(s, d)("documents"), "doc_id", "text")
+        .orderBy("content_hash")
+    },
+
+    // extension: n-gram Jaccard similarity pairs
+    "q_jaccard_pairs" -> { (s, d) =>
+      Dedup.jaccardPairs(t(s, d)("documents").where(col("doc_id") < 200),
+        "doc_id", "text", n = 3, minSim = 0.2)
+        .withColumnsRenamed(Map("doc_id" -> "id_a"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // extension: token counting + quality features
+    "q_token_stats" -> { (s, d) =>
+      val f = TextAnalysis.qualityFeatures(col("text"))
+      t(s, d)("documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        f.getField("mean_token_len").as("mean_token_len"),
+        f.getField("distinct_token_ratio").as("distinct_token_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // extension: language-ID heuristic (stopword ratios, deterministic argmax)
+    "q_lang_id" -> { (s, d) =>
+      t(s, d)("documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_guess"),
+        TextAnalysis.langScore(col("text"), TextAnalysis.DefaultStopwords("en")).as("en_score"))
+        .orderBy("doc_id")
+    },
+
+    // extension: document fingerprinting
+    "q_fingerprint" -> { (s, d) =>
+      t(s, d)("documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // extension: brute-force cosine top-k (exact ANN baseline)
+    "q_embed_topk" -> { (s, d) =>
+      val emb = t(s, d)("embeddings")
+      Similarity.bruteForceTopK(emb.where(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    },
+
+    // extension: multimodal binary column metadata
+    "q_multimodal_meta" -> { (s, d) =>
+      t(s, d)("documents")
+        .withColumn("blob", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"),
+          length(col("blob")).cast("long").as("n_bytes"),
+          md5(col("text")).as("content_md5"))
+        .orderBy("doc_id")
+    },
+
+    // streaming-equivalent batch semantics: tumbling window aggregation
+    "q_window_tumbling" -> { (s, d) =>
+      TpchGraph.eventsTable(s, d)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("ws")
+    },
+
+    // streaming-equivalent batch semantics: session windows (30-min gap)
+    "q_sessionize" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      TpchGraph.eventsTable(s, d)
+        .withColumn("_prev", lag(col("ts"), 1).over(w))
+        .withColumn("_new", when(col("_prev").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("_prev"))) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+        .groupBy("user_id").agg(sum("_new").as("n_sessions"))
+        .orderBy("user_id")
+    },
+
+    // flagship join-heavy aggregation (bench headline)
+    "q_revenue_by_nation" -> { (s, d) =>
+      val li = t(s, d)("lineitem"); val o = t(s, d)("orders")
+      val c = t(s, d)("customer"); val n = t(s, d)("nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }
+  )
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  /** Shared nested-orders pipeline for PRODUCT/COMBINATIONS edge tests:
+    * orders with their lineitems collected into an array column (sorted by
+    * linenumber → stable explode positions).
+    */
+  private def nestedOrders(s: SparkSession, d: String) = {
+    val o = t(s, d)("orders"); val li = t(s, d)("lineitem")
+    val nested = o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_custkey"))
+      .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_partkey"))))
+        .as("items"))
+    val sch = GraphSchema(
+      vertices = Seq(
+        VertexDef("customer", Nil, Identity.Natural(Seq("c_custkey"))),
+        VertexDef("part", Nil, Identity.Natural(Seq("p_partkey")))),
+      edges = Nil)
+    val res = ResourceDef("r_nested", Seq(
+      VertexStep("customer", from = Map("c_custkey" -> "o_custkey"),
+        extractionScope = "mapped_only", lookupOnly = true),
+      Descend(Some("items"), steps = Seq(
+        VertexStep("part", from = Map("p_partkey" -> "l_partkey"),
+          extractionScope = "mapped_only", lookupOnly = true))),
+      EdgeStep(source = "customer", target = "part", relation = "bought"),
+      EdgeStep(source = "part", target = "part", relation = "co_occurs")
+    ), inferEdges = false)
+    PipelineCompiler.compile(sch, res, nested)
+  }
+
+  /** Core graph ingest (region/nation/customer/supplier/orders) for the
+    * traversal query — lineitem/events excluded to keep the BFS fixture
+    * small.
+    */
+  private def ingestCore(s: SparkSession, d: String) = {
+    val parts = Seq(
+      PipelineCompiler.compile(TpchGraph.schema, TpchGraph.regionResource, t(s, d)("region")),
+      PipelineCompiler.compile(TpchGraph.schema, TpchGraph.nationResource, t(s, d)("nation")),
+      PipelineCompiler.compile(TpchGraph.schema, TpchGraph.customerResource, t(s, d)("customer")),
+      PipelineCompiler.compile(TpchGraph.schema, TpchGraph.supplierResource, t(s, d)("supplier")),
+      PipelineCompiler.compile(TpchGraph.schema, TpchGraph.ordersResource, t(s, d)("orders")))
+    parts.reduceLeft(_.unionWith(_))
+  }
+
+  // ------------------------------------------------------------- § oracles
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+        |round(sum(l_extendedprice),2) AS sum_price, round(avg(l_discount),4) AS avg_disc,
+        |count(*) AS cnt FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q_filter_predicate" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        |WHERE c_acctbal >= 5000 AND c_mktsegment IN ('BUILDING','AUTOMOBILE')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_filter_ifthen" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE (NOT (o_orderstatus = 'F')) OR o_totalprice > 150000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_node_query" ->
+      """SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey LIMIT 100""".stripMargin,
+
+    "q_aggregate_count_by" ->
+      """SELECT c_nationkey, count(*) AS _value FROM customer GROUP BY 1 ORDER BY 1""",
+
+    "q_agg_sorted_unique" ->
+      """SELECT array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
+        |AS _value FROM orders""".stripMargin,
+
+    "q_edge_pair" ->
+      """SELECT o_orderkey AS src_o_orderkey, o_custkey AS dst_c_custkey FROM orders
+        |ORDER BY 1""".stripMargin,
+
+    "q_edge_product" ->
+      """SELECT DISTINCT o_custkey AS src_c_custkey, l_partkey AS dst_p_partkey
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey ORDER BY 1, 2""".stripMargin,
+
+    "q_edge_combinations" ->
+      """WITH pos AS (SELECT l_orderkey, l_partkey, row_number() OVER
+        |  (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS rn
+        |  FROM lineitem)
+        |SELECT DISTINCT a.l_partkey AS src_p_partkey, b.l_partkey AS dst_p_partkey
+        |FROM pos a JOIN pos b ON a.l_orderkey = b.l_orderkey AND a.rn < b.rn
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_merge_last_wins" ->
+      """SELECT o_custkey, arg_max(o_orderstatus, o_orderkey) AS o_orderstatus,
+        |arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_select_spec" ->
+      """SELECT l_orderkey, l_linenumber, o_orderdate, c_mktsegment AS segment
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 150000 ORDER BY 1, 2""".stripMargin,
+
+    "q_time_filter" ->
+      """SELECT o_orderstatus, count(*) AS cnt FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' + INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_hash_identity" ->
+      """SELECT DISTINCT user_id,
+        |sha256('user_id=' || CAST(user_id AS VARCHAR)) AS _id
+        |FROM events ORDER BY user_id""".stripMargin,
+
+    "q_funnel_identity" ->
+      """SELECT c_custkey AS ckey,
+        |CASE WHEN (c_custkey % 7) <> 0 THEN sha256('cname=' || c_name)
+        |     ELSE sha256('ckey=' || CAST(c_custkey AS VARCHAR)) END AS _id
+        |FROM customer ORDER BY ckey""".stripMargin,
+
+    "q_descend_json" ->
+      """SELECT event_id AS src_event_id, 'k' AS dst_k,
+        |regexp_extract(props, '"k": (\d+)', 1) AS dst_v
+        |FROM events ORDER BY src_event_id""".stripMargin,
+
+    "q_router" ->
+      """SELECT 'click_event' AS vtype, count(*) AS cnt FROM events WHERE event_type='click'
+        |UNION ALL
+        |SELECT 'error_event', count(*) FROM events WHERE event_type='error'
+        |ORDER BY vtype""".stripMargin,
+
+    "q_dress_pivot" ->
+      """SELECT o_orderkey, 'o_orderstatus' AS metric, o_orderstatus AS val FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'o_orderpriority', o_orderpriority FROM orders
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_transform_dates" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(year(l_shipdate) AS BIGINT) AS y, CAST(month(l_shipdate) AS BIGINT) AS m,
+        |CAST(day(l_shipdate) AS BIGINT) AS dd,
+        |CAST(epoch(date_trunc('day', l_shipdate)) AS BIGINT) AS epoch
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+
+    "q_standardize" ->
+      """SELECT p_partkey, trim(regexp_replace(lower(
+        |regexp_replace(p_name, '[^\p{L}\p{N}]+', ' ', 'g')), ' +', ' ', 'g')) AS std
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_camel_to_snake" ->
+      """SELECT c_custkey, lower(regexp_replace(regexp_replace(
+        |'myVar' || c_mktsegment, '(.)([A-Z][a-z]+)', '\1_\2', 'g'),
+        |'([a-z0-9])([A-Z])', '\1_\2', 'g')) AS snake
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_union_set" ->
+      """SELECT r_name AS name FROM region UNION ALL SELECT n_name FROM nation
+        |ORDER BY name""".stripMargin,
+
+    "q_store_roundtrip" ->
+      """SELECT c_nationkey, count(*) AS cnt FROM customer GROUP BY 1 ORDER BY 1""",
+
+    "q_traverse_2hop" ->
+      """SELECT 'customer' AS vtype, count(*) AS cnt FROM customer WHERE c_nationkey = 0
+        |UNION ALL SELECT 'nation', count(*) FROM nation
+        |  WHERE n_regionkey = (SELECT n_regionkey FROM nation WHERE n_nationkey = 0)
+        |UNION ALL SELECT 'orders', count(*) FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 0)
+        |UNION ALL SELECT 'region', 1
+        |UNION ALL SELECT 'supplier', count(*) FROM supplier WHERE s_nationkey = 0
+        |ORDER BY vtype""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+        |count(*) AS n_dups, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_jaccard_pairs" ->
+      """WITH sel AS (SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS nt
+        |  FROM documents WHERE doc_id < 200),
+        |tok AS (SELECT doc_id, string_split(nt, ' ') AS t FROM sel),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) u
+        |  WHERE len(t) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ia AS id_a, ib AS id_b,
+        |  round(c::DOUBLE / (sa.sz + sb.sz - c), 4) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+        |WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.2 ORDER BY 1, 2""".stripMargin,
+
+    "q_token_stats" ->
+      """WITH tok AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS t FROM documents)
+        |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  round(list_sum(list_transform(t, x -> CAST(len(x) AS DOUBLE))) /
+        |    greatest(len(t), 1), 4) AS mean_token_len,
+        |  round(CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1), 4)
+        |    AS distinct_token_ratio
+        |FROM tok ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |sc AS (SELECT doc_id,
+        |  round(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE) / greatest(len(t),1), 4) AS s_en,
+        |  round(CAST(len(list_filter(t, x -> x IN ('el','la','de','y','que','en','un','una','es','por'))) AS DOUBLE) / greatest(len(t),1), 4) AS s_es,
+        |  round(CAST(len(list_filter(t, x -> x IN ('le','la','de','et','que','en','un','une','est','pour'))) AS DOUBLE) / greatest(len(t),1), 4) AS s_fr,
+        |  round(CAST(len(list_filter(t, x -> x IN ('der','die','das','und','zu','in','ist','ein','eine','von'))) AS DOUBLE) / greatest(len(t),1), 4) AS s_de
+        |  FROM tok),
+        |st AS (SELECT doc_id, s_en, s_es, s_fr,
+        |  CASE WHEN s_en > s_de THEN s_en ELSE s_de END AS m2,
+        |  CASE WHEN s_en > s_de THEN 'en' ELSE 'de' END AS g2 FROM sc),
+        |st2 AS (SELECT doc_id, s_en, s_fr,
+        |  CASE WHEN s_es > m2 THEN s_es ELSE m2 END AS m3,
+        |  CASE WHEN s_es > m2 THEN 'es' ELSE g2 END AS g3 FROM st)
+        |SELECT doc_id,
+        |  CASE WHEN s_fr > m3 THEN 'fr' ELSE g3 END AS lang_guess, s_en AS en_score
+        |FROM st2 ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_embed_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |scored AS (SELECT query_id, neighbor_id,
+        |  round(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))), 4) AS cos
+        |  FROM q, c WHERE query_id <> neighbor_id)
+        |SELECT query_id, CAST(row_number() OVER w AS BIGINT) AS rank, neighbor_id, cos
+        |FROM scored
+        |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_window_tumbling" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, count(*) AS cnt,
+        |round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |y AS (SELECT user_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM x)
+        |SELECT user_id, CAST(sum(CASE WHEN prev IS NULL OR
+        |  epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_sessions
+        |FROM y GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_revenue_by_nation" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

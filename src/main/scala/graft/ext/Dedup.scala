@@ -1,0 +1,177 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators for training-data pipelines —
+  * extensions beyond the reference surface (BASELINE.json north star).
+  *
+  * All operators are keyed/partitioned DataFrame programs with no driver-side
+  * collect: at 100 TB the shuffles are the per-shingle/per-band groupBys,
+  * which partition uniformly because the keys are hashes.
+  *
+  * Hash choice: `md5` (hex string) rather than `xxhash64` wherever a result
+  * feeds a correctness oracle — DuckDB computes identical md5 strings, so the
+  * whole operator is cross-checkable end-to-end. Hot paths that need speed
+  * and no oracle (SimHash) use `xxhash64`.
+  */
+object Dedup {
+
+  /** Canonical text normalization shared by all text-dedup ops. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Exact dedup by content hash (hash-groupBy): one row per distinct
+    * normalized content, with group size and the kept representative
+    * (smallest id — deterministic).
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(normalize(col(textCol))).as("content_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
+
+  /** Keep one representative per duplicate group. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Word n-gram shingles as a distinct array column (codegen-only: split +
+    * transform over an index sequence, no UDF).
+    */
+  def shingles(textCol: Column, n: Int): Column = {
+    val toks = split(normalize(textCol), " ")
+    val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+      .otherwise(lit(Array.empty[Int]))
+    array_distinct(
+      org.apache.spark.sql.functions.transform(
+        idx, i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** (id, shingle) long form — the explode point all set-similarity ops share. */
+  def explodeShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+    * sim = |A∩B| / (|A|+|B|−|A∩B|). The pair-generating join is keyed on the
+    * shingle — at scale, frequent shingles are the skew risk, so extremely
+    * common shingles (df > maxShingleFreq) are dropped first (standard
+    * LSH-free jaccard trick; they contribute little discrimination).
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minSim: Double,
+      maxShingleFreq: Long = 10000L
+  ): DataFrame = {
+    val sh = explodeShingles(df, idCol, textCol, n)
+    val filtered = {
+      val freq = sh.groupBy("shingle").agg(count(lit(1)).as("_f"))
+        .where(col("_f") <= maxShingleFreq)
+      sh.join(filtered_hint(freq.select("shingle")), Seq("shingle"))
+    }
+    val sizes = filtered.groupBy(idCol).agg(count(lit(1)).as("_sz"))
+    val a = filtered.withColumnsRenamed(Map(idCol -> "id_a"))
+    val b = filtered.withColumnsRenamed(Map(idCol -> "id_b"))
+    val inter = a.join(b, Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map(idCol -> "id_a", "_sz" -> "_sza")), Seq("id_a"))
+      .join(sizes.withColumnsRenamed(Map(idCol -> "id_b", "_sz" -> "_szb")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("_inter").cast("double") / (col("_sza") + col("_szb") - col("_inter")))
+      .where(col("jaccard") >= minSim)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+  private def filtered_hint(df: DataFrame): DataFrame = broadcast(df)
+
+  /** MinHash signature: for seed s, minhash_s(doc) = min over shingles of
+    * md5(s || ':' || shingle). String-min over fixed-length hex is a valid
+    * uniform min-hash and is reproducible in any engine with md5 (the
+    * correctness oracle recomputes it in DuckDB SQL).
+    */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String, n: Int, numHashes: Int
+  ): DataFrame = {
+    val sh = explodeShingles(df, idCol, textCol, n)
+    val seeded = sh.select(col(idCol), explode(sequence(lit(0), lit(numHashes - 1))).as("seed"),
+      col("shingle"))
+      .withColumn("h", md5(concat(col("seed").cast("string"), lit(":"), col("shingle"))))
+    seeded.groupBy(col(idCol), col("seed")).agg(min(col("h")).as("minhash"))
+  }
+
+  /** MinHash-LSH candidate pairs: band the signature (bands × rowsPerBand =
+    * numHashes), hash each band, self-join on (band, bandHash). Pairs agreeing
+    * on ≥1 band are candidates; optionally verified by exact jaccard.
+    * shingle→minhash→band→bucket-join, all shuffle-keyed on hashes.
+    */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int
+  ): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, n, bands * rowsPerBand)
+      .withColumn("band", (col("seed") / lit(rowsPerBand)).cast("int"))
+    val bandSig = sig.groupBy(col(idCol), col("band"))
+      .agg(md5(concat_ws("|", sort_array(collect_list(
+        concat(lpad(col("seed").cast("string"), 2, "0"), lit("="), col("minhash")))))).as("bsig"))
+    val l = bandSig.select(col(idCol).as("id_a"), col("band"), col("bsig"))
+    val r = bandSig.select(col(idCol).as("id_b"), col("band"), col("bsig"))
+    l.join(r, Seq("band", "bsig")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Near-dup pipeline: LSH candidates verified with exact jaccard. */
+  def minhashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, minSim: Double
+  ): DataFrame = {
+    val cand = minhashCandidates(df, idCol, textCol, n, bands, rowsPerBand)
+    val sh = explodeShingles(df, idCol, textCol, n)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("_sz"))
+    val inter = cand
+      .join(sh.withColumnsRenamed(Map(idCol -> "id_a")), Seq("id_a"))
+      .join(sh.withColumnsRenamed(Map(idCol -> "id_b")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map(idCol -> "id_a", "_sz" -> "_sza")), Seq("id_a"))
+      .join(sizes.withColumnsRenamed(Map(idCol -> "id_b", "_sz" -> "_szb")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("_inter").cast("double") / (col("_sza") + col("_szb") - col("_inter")))
+      .where(col("jaccard") >= minSim)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over token hashes (xxhash64; no oracle — verified by
+    * property tests): sum ±1 per bit weighted by token frequency, sign →
+    * bit. Near-dups = pairs within `maxHamming` on a band-join (split the 64
+    * bits into 4 16-bit bands; Hamming ≤ 3 ⟹ at least one band equal).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(split(normalize(col(textCol)), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bits = toks.select(col(idCol),
+      explode(sequence(lit(0), lit(63))).as("bit"), col("h"))
+      .withColumn("v", when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1))
+    bits.groupBy(col(idCol), col("bit")).agg(sum(col("v")).as("s"))
+      .withColumn("bitval", when(col("s") > 0, lit(1L)).otherwise(lit(0L)))
+      .groupBy(col(idCol))
+      .agg(sum(expr("shiftleft(bitval, cast(bit as int))")).as("simhash"))
+  }
+
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+    val sig = simhash(df, idCol, textCol)
+    val banded = sig.select(col(idCol), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bandval", expr("(simhash >> (band * 16)) & 65535"))
+    val l = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("band"), col("bandval"))
+    val r = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("band"), col("bandval"))
+    val popcount = (c: Column) => bit_count(c)
+    l.join(r, Seq("band", "bandval")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        popcount(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding column
+  * (`array<float>`) — training-data-pipeline extension (BASELINE.json).
+  *
+  * Two tiers:
+  *  - brute-force cosine top-k: exact baseline; query-set × corpus keyed
+  *    cross join, fine when the query set is small or the corpus fits a
+  *    partition-wise pass.
+  *  - LSH-bucketed (random hyperplane signs): the 100 TB path. Corpus is
+  *    bucketed once (one narrow shuffle on the bucket key); probes join only
+  *    their bucket. Hyperplanes are derived from a fixed seed so the
+  *    bucketing is deterministic and re-usable across runs.
+  *
+  * All vector math is `zip_with`/`aggregate` higher-order functions — pure
+  * Catalyst expressions, no UDF, stays inside whole-stage codegen.
+  */
+object Similarity {
+
+  /** dot(a, b) via zip_with + aggregate, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(org.apache.spark.sql.functions.transform(a,
+      x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine for each query vector. `queries` and `corpus`
+    * must expose (idCol, vecCol). Self-matches excluded. Ties broken by
+    * corpus id for determinism.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .withColumn("_qn", norm(col("_qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .withColumn("_cn", norm(col("_cv")))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("_rk", row_number().over(w)).where(col("_rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("_rk").as("rank"))
+  }
+
+  /** Deterministic random hyperplanes: `planes(b)(d)` from a seeded RNG.
+    * Materialized as a literal — tiny (bits × dim doubles), shipped with the
+    * plan, no shuffle.
+    */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-LSH bucket id of a vector: one bit per hyperplane. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val pc = lit(p) // array<double> literal
+      when(dot(vec, pc) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduceLeft(_ + _)
+  }
+
+  /** ANN top-k: probe only the query's bucket (optionally ± multiprobe on
+    * neighboring buckets via Hamming-1 flips). Recall < 1 by construction;
+    * the exact verifier is [[bruteForceTopK]].
+    */
+  def annTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      bits: Int = 8, dim: Int = 64, multiprobe: Int = 0, seed: Long = 42L
+  ): DataFrame = {
+    val planes = hyperplanes(bits, dim, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .withColumn("bucket", lshBucket(col("_cv"), planes))
+      .withColumn("_cn", norm(col("_cv")))
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .withColumn("_b0", lshBucket(col("_qv"), planes))
+      .withColumn("_qn", norm(col("_qv")))
+    // multiprobe: also look in buckets that differ by one of the first
+    // `multiprobe` bits
+    val probes: Column =
+      if (multiprobe <= 0) array(col("_b0"))
+      else array((col("_b0") +: (0 until multiprobe).map(i =>
+        col("_b0").bitwiseXOR(lit(1L << i)))): _*)
+    val q = qBase.withColumn("bucket", explode(probes))
+    val scored = q.join(c, Seq("bucket")).where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("_rk", row_number().over(w)).where(col("_rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("_rk").as("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (exact within a restricted set, or
+    * LSH-bucketed at scale): pairs with cosine ≥ minCos.
+    */
+  def cosineNearDups(
+      df: DataFrame, idCol: String, vecCol: String, minCos: Double,
+      useLsh: Boolean = false, bits: Int = 8, dim: Int = 64
+  ): DataFrame = {
+    val base = df.select(col(idCol), col(vecCol).as("_v"))
+      .withColumn("_n", norm(col("_v")))
+    val withBucket =
+      if (useLsh) base.withColumn("bucket", lshBucket(col("_v"), hyperplanes(bits, dim)))
+      else base.withColumn("bucket", lit(0L))
+    val a = withBucket.select(col("bucket"), col(idCol).as("id_a"),
+      col("_v").as("_va"), col("_n").as("_na"))
+    val b = withBucket.select(col("bucket"), col(idCol).as("id_b"),
+      col("_v").as("_vb"), col("_n").as("_nb"))
+    a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 4))
+      .where(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The engine's scalar-function surface — the reference's built-in transform
+  * library (graflo/util/transform.py) re-expressed as
+  * `org.apache.spark.sql.functions` compositions, so every one of them stays
+  * inside whole-stage codegen (no UDFs on the hot path; the reference runs
+  * all of these row-at-a-time in pure Python, cast_pool.py:1-12).
+  *
+  * Registered by name in [[TransformRegistry]] so manifests can reference
+  * them the way graflo manifests name `module`+`foo` callables.
+  */
+object TransformLib {
+
+  /** Name canonicalization (graflo/util/transform.py:41-65): trim, collapse
+    * whitespace, strip non-alphanumerics to spaces, lowercase.
+    */
+  def standardize(c: Column): Column =
+    trim(regexp_replace(lower(regexp_replace(c, "[^\\p{L}\\p{N}]+", " ")), " +", " "))
+
+  /** `parse_date_standard` (:68-82): "Y-M-D" → (year, month, day) struct. */
+  def parseDateStandard(c: Column): Column = {
+    val d = to_date(c)
+    struct(year(d).as("year"), month(d).as("month"), dayofmonth(d).as("day"))
+  }
+
+  /** `parse_date_conf` (:85-99): YYYYMMDD int/string → date. */
+  def parseDateConf(c: Column): Column = to_date(c.cast("string"), "yyyyMMdd")
+
+  /** `parse_date_ibes` (:102-120): YYYYMMDD date + H:MM:SS time → ISO-8601 Z
+    * timestamp string.
+    */
+  def parseDateIbes(date: Column, time: Column): Column =
+    concat(date_format(to_date(date.cast("string"), "yyyyMMdd"), "yyyy-MM-dd"),
+      lit("T"), lpad(time, 8, "0"), lit("Z"))
+
+  /** `parse_date_yahoo` (:123-137): date → ISO string anchored at noon. */
+  def parseDateYahoo(c: Column): Column =
+    concat(date_format(to_date(c), "yyyy-MM-dd"), lit("T12:00:00Z"))
+
+  /** `parse_date_standard_to_epoch` (:157-172). */
+  def parseDateToEpoch(c: Column): Column = unix_timestamp(to_date(c))
+
+  /** `round_str` (:140-154): numeric-ish string → rounded double. */
+  def roundStr(c: Column, scale: Int): Column = round(c.cast("double"), scale)
+
+  /** `try_int` (:281-300): best-effort integral parse, null on failure. */
+  def tryInt(c: Column): Column = c.cast("string").try_cast("bigint")
+
+  /** `split_keep_part` (:449-470). */
+  def splitKeepPart(c: Column, sep: String, idx: Int): Column =
+    split(c, java.util.regex.Pattern.quote(sep)).getItem(idx)
+
+  /** `cast_ibes_analyst` (:175-207): "'LAST      F'" → (last, first-initial);
+    * also handles "LAST/TEAM" team forms.
+    */
+  def castIbesAnalyst(c: Column): Column = {
+    val cleaned = trim(regexp_replace(c, "'", ""))
+    val last    = trim(regexp_extract(cleaned, "^([^/ ]+)", 1))
+    val rest    = trim(regexp_replace(cleaned, "^[^/ ]+[/ ]*", ""))
+    struct(last.as("last_name"), rest.as("first_name"))
+  }
+
+  def removePrefix(c: Column, p: String): Column =
+    when(c.startsWith(p), c.substr(lit(p.length + 1), length(c))).otherwise(c)
+
+  def removeSuffix(c: Column, s: String): Column =
+    when(c.endsWith(s), c.substr(lit(1), length(c) - lit(s.length))).otherwise(c)
+
+  /** `camel_to_snake` (:474-516). */
+  def camelToSnake(c: Column): Column =
+    lower(regexp_replace(regexp_replace(c, "(.)([A-Z][a-z]+)", "$1_$2"),
+      "([a-z0-9])([A-Z])", "$1_$2"))
+
+  /** `snake_to_camel` (:474-516): lowerCamelCase. */
+  def snakeToCamel(c: Column): Column = {
+    val parts = split(c, "_")
+    concat(element_at(parts, 1),
+      array_join(transform(slice(parts, 2, 1000), p => initcap(p)), ""))
+  }
+
+  /** Generic last-resort: identity. */
+  def identityFn(c: Column): Column = c
+
+  /** The `dress` pivot/melt as a standalone DataFrame op (reference
+    * transform.py:95-109): wide columns → `(key, value)` rows, values cast to
+    * string (the reference's dicts are untyped). Used by the pipeline's
+    * dress transforms and directly as an operator.
+    */
+  def melt(
+      df: org.apache.spark.sql.DataFrame,
+      idCols: Seq[String],
+      fields: Seq[String],
+      keyName: String,
+      valName: String
+  ): org.apache.spark.sql.DataFrame = {
+    val pairs = fields.map(f =>
+      struct(lit(f).as(keyName), col(f).cast("string").as(valName)))
+    df.select(idCols.map(col) :+ explode(array(pairs: _*)).as("__kv"): _*)
+      .select(idCols.map(col) ++ Seq(col(s"__kv.$keyName").as(keyName),
+        col(s"__kv.$valName").as(valName)): _*)
+  }
+}
+
+/** Named registry — the Spark analogue of graflo's
+  * `ingestion_model.transforms` (actor/transform.py:147-243): manifests refer
+  * to functions by name; `strategy: each` maps a unary fn over fields,
+  * `strategy: single` calls an n-ary fn once.
+  */
+object TransformRegistry {
+  import TransformLib._
+
+  /** unary Column functions by reference name */
+  val unary: Map[String, Column => Column] = Map(
+    "standardize"                 -> standardize,
+    "parse_date_standard"         -> parseDateStandard,
+    "parse_date_conf"             -> (parseDateConf(_)),
+    "parse_date_yahoo"            -> parseDateYahoo,
+    "parse_date_standard_to_epoch" -> parseDateToEpoch,
+    "try_int"                     -> tryInt,
+    "camel_to_snake"              -> camelToSnake,
+    "snake_to_camel"              -> snakeToCamel,
+    "cast_ibes_analyst"           -> castIbesAnalyst,
+    "identity"                    -> identityFn
+  )
+
+  /** n-ary Column functions by reference name */
+  val nary: Map[String, Seq[Column] => Column] = Map(
+    "parse_date_ibes" -> { cs => parseDateIbes(cs(0), cs(1)) },
+    "concat_ws_pipe"  -> { cs => concat_ws("|", cs: _*) }
+  )
+
+  def applyUnary(name: String, c: Column): Column =
+    unary.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown transform: $name"))(c)
+}

@@ -1,0 +1,61 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import graft.model.EdgeKey
+
+/** The engine's graph container — the Spark analogue of the reference's
+  * `GraphContainer` (graflo/architecture/graph_types/container.py:53-151):
+  * vertex-type → DataFrame, edge-key → DataFrame.
+  *
+  * Where the reference accumulates Python lists per batch, this holds lazy
+  * DataFrames; cross-batch accumulation (container.py:115-151
+  * `from_docs_list`) becomes `unionByName(allowMissingColumns = true)`.
+  *
+  * Edge DataFrames use flattened endpoint columns `src_<idField>` /
+  * `dst_<idField>` plus property columns — one canonical edge schema, which
+  * replaces the reference's per-backend row normalization
+  * (graflo/db/traversal.py:330-384).
+  */
+final case class GraphOutput(
+    vertices: Map[String, DataFrame],
+    edges: Map[EdgeKey, DataFrame]
+) {
+
+  def vertex(name: String): DataFrame =
+    vertices.getOrElse(name, throw new NoSuchElementException(s"no vertex collection: $name"))
+
+  def edge(key: EdgeKey): DataFrame =
+    edges.getOrElse(key, throw new NoSuchElementException(s"no edge collection: $key"))
+
+  /** Union of two containers, per collection (reference container.py:115-151). */
+  def unionWith(other: GraphOutput): GraphOutput = {
+    def merge(a: Map[String, DataFrame], b: Map[String, DataFrame]) =
+      (a.keySet ++ b.keySet).map { k =>
+        k -> ((a.get(k), b.get(k)) match {
+          case (Some(x), Some(y)) => x.unionByName(y, allowMissingColumns = true)
+          case (Some(x), None)    => x
+          case (None, Some(y))    => y
+          case _                  => throw new IllegalStateException
+        })
+      }.toMap
+    def mergeE(a: Map[EdgeKey, DataFrame], b: Map[EdgeKey, DataFrame]) =
+      (a.keySet ++ b.keySet).map { k =>
+        k -> ((a.get(k), b.get(k)) match {
+          case (Some(x), Some(y)) => x.unionByName(y, allowMissingColumns = true)
+          case (Some(x), None)    => x
+          case (None, Some(y))    => y
+          case _                  => throw new IllegalStateException
+        })
+      }.toMap
+    GraphOutput(merge(vertices, other.vertices), mergeE(edges, other.edges))
+  }
+
+  /** Golden-size view (the reference's `*_sizes.yaml` test pattern). */
+  def sizes(): Map[String, Long] =
+    vertices.map { case (k, v) => k -> v.count() } ++
+      edges.map { case (k, e) => k.storeName -> e.count() }
+}
+
+object GraphOutput {
+  val empty: GraphOutput = GraphOutput(Map.empty, Map.empty)
+}

@@ -1,0 +1,183 @@
+package graft.model
+
+import graft.expr.FilterExpr
+
+/** Field types mirroring the reference's schema plane.
+  *
+  * Reference: graflo/architecture/schema/vertex.py:54-98 — INT, UINT, FLOAT,
+  * DOUBLE, BOOL, STRING, DATETIME, UUID, LIST (scalar item only); types are
+  * optional (vertex.py:177-187).
+  */
+sealed trait FieldType { def sparkDdl: String }
+object FieldType {
+  case object IntT      extends FieldType { val sparkDdl = "bigint"    }
+  case object UIntT     extends FieldType { val sparkDdl = "bigint"    }
+  case object FloatT    extends FieldType { val sparkDdl = "double"    }
+  case object DoubleT   extends FieldType { val sparkDdl = "double"    }
+  case object BoolT     extends FieldType { val sparkDdl = "boolean"   }
+  case object StringT   extends FieldType { val sparkDdl = "string"    }
+  case object DatetimeT extends FieldType { val sparkDdl = "timestamp" }
+  case object UuidT     extends FieldType { val sparkDdl = "string"    }
+  final case class ListT(item: FieldType) extends FieldType {
+    def sparkDdl = s"array<${item.sparkDdl}>"
+  }
+
+  /** strict allowlist, reference: graflo/util/casting.py:9-59 */
+  def fromName(s: String): FieldType = s.toLowerCase match {
+    case "int" | "long"     => IntT
+    case "uint"             => UIntT
+    case "float"            => FloatT
+    case "double"           => DoubleT
+    case "bool" | "boolean" => BoolT
+    case "str" | "string"   => StringT
+    case "datetime"         => DatetimeT
+    case "uuid"             => UuidT
+    case other              => throw new IllegalArgumentException(s"unknown field type: $other")
+  }
+}
+
+/** A declared vertex property; type is optional (schema-agnostic mode). */
+final case class FieldDef(name: String, ftype: Option[FieldType] = None)
+
+/** One ordered fallback branch of an identity funnel.
+  * Reference: graflo/architecture/schema/identity_funnel.py:40-120.
+  */
+final case class FunnelBranch(
+    name: String,
+    whenAllPresent: Seq[String],
+    digestFields: Seq[String]
+)
+
+/** The four identity modes per vertex (reference vertex.py:777-790), plus
+  * `assigned` (db_writer.py:257-276).
+  */
+sealed trait Identity
+object Identity {
+  /** Declared natural key; upsert key. */
+  final case class Natural(fields: Seq[String]) extends Identity
+  /** SHA-256 over canonical rendering of the named fields → synthetic `_id`.
+    * Reference: graflo/architecture/schema/identity_digest.py:39-47.
+    */
+  final case class Hash(fields: Seq[String]) extends Identity
+  /** Ordered fallback branches; first branch with all fields present wins.
+    * Reference: identity_digest.py:50-71.
+    */
+  final case class Funnel(branches: Seq[FunnelBranch], markBranch: Boolean = false)
+      extends Identity
+  /** No natural identity; UUID minted at write. Reference db_writer.py:240-256. */
+  case object Blank extends Identity
+  /** Intentional uuid4 PK minted at assemble time. Reference db_writer.py:257-276. */
+  case object Assigned extends Identity
+}
+
+/** Alternate lookup-only field set ("match on ISIN instead of the PK").
+  * Reference: vertex.py:303-349,522-529.
+  */
+final case class SecondaryIdentity(name: String, fields: Seq[String])
+
+/** Ambiguity policy when resolving a secondary identity to primaries.
+  * Reference: graflo/onto.py:176-188.
+  */
+sealed trait AmbiguityPolicy
+object AmbiguityPolicy {
+  case object All   extends AmbiguityPolicy
+  case object First extends AmbiguityPolicy
+  case object Skip  extends AmbiguityPolicy
+  case object Error extends AmbiguityPolicy
+}
+
+/** Vertex type declaration. Reference: graflo/architecture/schema/vertex.py:431-529. */
+final case class VertexDef(
+    name: String,
+    properties: Seq[FieldDef] = Nil,
+    identity: Identity = Identity.Blank,
+    secondary: Seq[SecondaryIdentity] = Nil,
+    filters: Option[FilterExpr] = None,
+    forceTypes: Map[String, FieldType] = Map.empty
+) {
+  /** Identity fields are auto-appended to properties (vertex.py:657-678). */
+  lazy val allProperties: Seq[FieldDef] = {
+    val declared = properties.map(_.name).toSet
+    val idFields = identity match {
+      case Identity.Natural(fs) => fs
+      case Identity.Hash(fs)    => fs
+      case Identity.Funnel(bs, _) =>
+        bs.flatMap(b => b.whenAllPresent ++ b.digestFields).distinct
+      case _ => Nil
+    }
+    properties ++ idFields.filterNot(declared).map(FieldDef(_))
+  }
+
+  /** Columns that form the merge/upsert key on the vertex DataFrame. */
+  def idColumns: Seq[String] = identity match {
+    case Identity.Natural(fs) => fs
+    case _                    => Seq(GraphSchema.SyntheticId)
+  }
+
+  def secondaryByName(n: String): SecondaryIdentity =
+    secondary.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"vertex $name has no secondary identity '$n'"))
+}
+
+/** Edge identity key token: a property name, or the `source`/`target` endpoint
+  * markers (reference edge.py:141-151).
+  */
+final case class EdgeDef(
+    source: String,
+    target: String,
+    relation: String,
+    directed: Boolean = true,
+    properties: Seq[FieldDef] = Nil,
+    /** uniqueness keys; "source"/"target" tokens refer to the endpoints */
+    identities: Seq[String] = Seq("source", "target"),
+    sourceMatch: Option[String] = None, // secondary-identity name on source
+    targetMatch: Option[String] = None,
+    ambiguity: AmbiguityPolicy = AmbiguityPolicy.All
+) {
+  def key: EdgeKey = EdgeKey(source, target, relation)
+}
+
+final case class EdgeKey(source: String, target: String, relation: String) {
+  /** stable path-safe name used by the graph store layout */
+  def storeName: String = s"${source}__${relation}__${target}"
+  override def toString: String = s"($source)-[$relation]->($target)"
+}
+
+/** The logical graph schema: vertex + edge declarations with the reference's
+  * validation/merge hooks (graflo/architecture/schema/core.py:30-47).
+  */
+final case class GraphSchema(vertices: Seq[VertexDef], edges: Seq[EdgeDef] = Nil) {
+  val vertexByName: Map[String, VertexDef] = vertices.map(v => v.name -> v).toMap
+  val edgeByKey: Map[EdgeKey, EdgeDef]     = edges.map(e => e.key -> e).toMap
+
+  require(vertexByName.size == vertices.size, "duplicate vertex names")
+  edges.foreach { e =>
+    require(vertexByName.contains(e.source), s"edge $e references unknown vertex ${e.source}")
+    require(vertexByName.contains(e.target), s"edge $e references unknown vertex ${e.target}")
+  }
+
+  def vertex(n: String): VertexDef =
+    vertexByName.getOrElse(n, throw new IllegalArgumentException(s"unknown vertex: $n"))
+
+  def edgesBetween(src: String, tgt: String): Seq[EdgeDef] =
+    edges.filter(e => e.source == src && e.target == tgt)
+
+  /** Schema-level set difference: drop vertices with no incident edge.
+    * Reference: graflo/architecture/schema/core.py:49-55.
+    */
+  def removeDisconnectedVertices: GraphSchema = {
+    val connected = edges.flatMap(e => Seq(e.source, e.target)).toSet
+    copy(vertices = vertices.filter(v => connected(v.name)))
+  }
+}
+
+object GraphSchema {
+  /** Name of the synthetic identity column minted for hash/funnel/blank/assigned. */
+  val SyntheticId = "_id"
+  /** Lineage column (array<string>) tracking descend path. */
+  val LocCol = "_loc"
+  /** Per-source-row id used for edge assembly joins. */
+  val RowIdCol = "_row_id"
+  /** Intra-document sequence for order-sensitive merge. */
+  val SeqCol = "_seq"
+}

@@ -1,0 +1,447 @@
+package graft.pipeline
+
+import scala.collection.mutable
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType, StringType}
+
+import graft.model._
+import graft.expr.{FilterExpr, IdentityDigest}
+import graft.functions.TransformRegistry
+import graft.graph.GraphOutput
+
+/** Compiles a [[ResourceDef]] (the actor pipeline) against a [[GraphSchema]]
+  * into a pure DataFrame program producing a [[GraphOutput]].
+  *
+  * This replaces the reference's per-document Python interpreter
+  * (graflo/architecture/pipeline/runtime/executor.py:17-35) with one
+  * declarative plan per resource: every document-at-a-time loop becomes a
+  * whole-column transformation, every per-document bucket pairing becomes a
+  * keyed join. Catalyst then owns optimization (pushdown, pruning, join
+  * selection) — none of which the reference has.
+  *
+  * Lineage model (the reference's `LocationIndex`,
+  * graflo/architecture/graph_types/location.py:12-60):
+  *  - `_row_id`   — stable id of the source row (document).
+  *  - `_pos`      — array<long> of explode indices along the descend path.
+  *  - loc (static) — the key path, tracked at compile time (it is the same
+  *    for every row of a frame, so it needs no column).
+  *  - `_seq`     — actor-visit ordinal, the intra-document order used by
+  *    order-sensitive merge (SURVEY §7.3).
+  *
+  * Edge casting (reference edge_render.py:215-228 `_choose_casting`):
+  *  - PAIR         = join on (_row_id, _pos)            (zip of parallel arrays)
+  *  - PRODUCT      = join on (_row_id)                  (within-document cross)
+  *  - COMBINATIONS = self-join on (_row_id), posL < posR (unordered pairs)
+  * Auto selection: same (vertex, role) bucket → COMBINATIONS; same compile-
+  * time loc → PAIR; otherwise PRODUCT.
+  *
+  * Scale note: all joins here are keyed on `_row_id` which is unique and
+  * uniformly distributed (partition-id high bits), so the within-document
+  * pairing joins shuffle-partition evenly at any scale; no driver-side
+  * loops, no collect.
+  */
+object PipelineCompiler {
+  import GraphSchema.{RowIdCol, SyntheticId}
+
+  val PosCol = "_pos"
+  val SeqCol = GraphSchema.SeqCol
+  val TypeCol = "_vtype"
+
+  private val MetaCols = Seq(RowIdCol, PosCol)
+
+  /** One accumulated vertex-observation frame. */
+  final case class VertexObs(
+      vertex: String,
+      role: Option[String],
+      loc: Seq[String],
+      lookupOnly: Boolean,
+      seq: Int,
+      df: DataFrame // columns: meta ++ vertex fields (+ _id for synthetic ids)
+  )
+
+  final case class EdgeIntentRec(step: EdgeStep, loc: Seq[String])
+
+  private final class Ctx(val schema: GraphSchema) {
+    val acc = mutable.ArrayBuffer.empty[VertexObs]
+    val intents = mutable.ArrayBuffer.empty[EdgeIntentRec]
+    /** router role slot → produced (vertexType, obs) (vertex_router.py:34-168) */
+    val roleSlots = mutable.Map.empty[String, mutable.ArrayBuffer[VertexObs]]
+    var seq = 0
+    def nextSeq(): Int = { seq += 1; seq }
+  }
+
+  def compile(schema: GraphSchema, resource: ResourceDef, input: DataFrame): GraphOutput = {
+    var base = input.withColumn(RowIdCol, monotonically_increasing_id())
+      .withColumn(PosCol, array().cast("array<long>"))
+    if (resource.dropTrivialFields) base = stripTrivial(base)
+    // The document id must be IDENTICAL across every obs frame derived from
+    // this base — but monotonically_increasing_id is assigned per evaluation,
+    // and a shuffled input (e.g. an aggregate) has no deterministic row
+    // order, so the assembly self-joins would disagree on ids. Materialize
+    // the stamped base once before branching (one extra pass per batch —
+    // the reference's caster also materializes each batch,
+    // ingestion_parameters.py:129-133).
+    if (!base.isStreaming) {
+      base = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      base.count(): Unit
+    }
+    val ctx = new Ctx(schema)
+    walk(resource.steps, base, Nil, ctx)
+    finish(ctx, resource)
+  }
+
+  /** `strip_trivial_top_level_fields` (runtime/resource.py:32-35): ""→null. */
+  private def stripTrivial(df: DataFrame): DataFrame =
+    df.schema.fields.filter(_.dataType == StringType).foldLeft(df) { (d, f) =>
+      d.withColumn(f.name, when(col(f.name) === "", lit(null)).otherwise(col(f.name)))
+    }
+
+  // ------------------------------------------------------------------ walk
+
+  private def walk(steps: Seq[Step], frame: DataFrame, loc: Seq[String], ctx: Ctx): Unit = {
+    var cur = frame
+    steps.foreach {
+      case d: Descend          => descend(d, cur, loc, ctx) // children use sub-frame; parent frame unchanged
+      case t: TransformStep    => cur = transform(t, cur)
+      case v: VertexStep       => vertexStep(v, cur, loc, ctx)
+      case r: VertexRouterStep => routerStep(r, cur, loc, ctx)
+      case e: EdgeStep         => ctx.intents += EdgeIntentRec(e, loc)
+      case m: MultiEdgeStep    => m.links.foreach(l => ctx.intents += EdgeIntentRec(l, loc))
+      case c: CastStep         =>
+        cur = c.types.foldLeft(cur) { case (d, (f, t)) =>
+          d.withColumn(f, col(f).cast(FieldType.fromName(t).sparkDdl))
+        }
+    }
+  }
+
+  /** DescendActor (actor/descend.py:27-216): explode/re-root, extending
+    * lineage. Arrays fan out via posexplode (index → `_pos`); structs re-root;
+    * maps (`any_key`) fan out over entries with the key joining the frame.
+    */
+  private def descend(d: Descend, frame: DataFrame, loc: Seq[String], ctx: Ctx): Unit = {
+    val meta = MetaCols.map(col)
+    val sub: (DataFrame, Seq[String]) = (d.key, d.anyKey) match {
+      case (Some(k), false) =>
+        frame.schema(k).dataType match {
+          case ArrayType(et, _) =>
+            val exploded = frame.select(meta :+ posexplode(col(k)).as(Seq("__p", "__v")): _*)
+              .withColumn(PosCol, concat(col(PosCol), array(col("__p").cast("long"))))
+              .drop("__p")
+            val rerooted = et match {
+              case _: StructType => exploded.select((MetaCols.map(col) :+ col("__v.*")): _*)
+              case _             => exploded.withColumnRenamed("__v", "_value")
+            }
+            (rerooted, loc :+ k)
+          case _: StructType =>
+            (frame.select(meta :+ col(s"$k.*"): _*), loc :+ k)
+          case _ =>
+            throw new IllegalArgumentException(s"descend key '$k' is neither array nor struct")
+        }
+      case (Some(k), true) =>
+        // any_key over a map column: key becomes data ("_key"), value re-roots
+        frame.schema(k).dataType match {
+          case MapType(_, _, _) =>
+            val e = frame.select(meta :+ posexplode(map_entries(col(k))).as(Seq("__p", "__kv")): _*)
+              .withColumn(PosCol, concat(col(PosCol), array(col("__p").cast("long"))))
+              .select(MetaCols.map(col) ++ Seq(col("__kv.key").as("_key"), col("__kv.value").as("_value")): _*)
+            (e, loc :+ "*")
+          case st: StructType =>
+            // melt the struct's fields into (_key, _value) rows
+            val pairs = st.fields.zipWithIndex.map { case (f, i) =>
+              struct(lit(i.toLong).as("p"), lit(f.name).as("key"),
+                col(s"$k.${f.name}").cast("string").as("value"))
+            }
+            val e = frame.select(meta :+ explode(array(pairs: _*)).as("__kv"): _*)
+              .withColumn(PosCol, concat(col(PosCol), array(col("__kv.p"))))
+              .select(MetaCols.map(col) ++ Seq(col("__kv.key").as("_key"), col("__kv.value").as("_value")): _*)
+            (e, loc :+ "*")
+          case other =>
+            throw new IllegalArgumentException(s"any_key descend needs map/struct, got $other")
+        }
+      case (None, _) =>
+        throw new IllegalArgumentException("bare descend (iterate) requires a key in this engine")
+    }
+    walk(d.steps, sub._1, sub._2, ctx)
+  }
+
+  /** TransformActor (actor/transform.py:27-309). */
+  private def transform(t: TransformStep, frame: DataFrame): DataFrame =
+    t.dress match {
+      case Some((keyName, valName)) =>
+        // dress pivot/melt (transform.py:95-109): each input field becomes a
+        // {key: fieldName, value: fn(field)} row.
+        val fn: Column => Column = t.inline.map(f => (c: Column) => f(Seq(c)))
+          .getOrElse(TransformRegistry.unary(t.fn))
+        val pairs = t.input.zipWithIndex.map { case (f, i) =>
+          struct(lit(i.toLong).as("p"), lit(f).as("k"), fn(col(f)).cast("string").as("v"))
+        }
+        frame.select(MetaCols.map(col) :+ explode(array(pairs: _*)).as("__kv"): _*)
+          .withColumn(PosCol, concat(col(PosCol), array(col("__kv.p"))))
+          .select(MetaCols.map(col) ++ Seq(col("__kv.k").as(keyName), col("__kv.v").as(valName)): _*)
+      case None =>
+        t.strategy match {
+          case "each" =>
+            val fn: Column => Column = t.inline.map(f => (c: Column) => f(Seq(c)))
+              .getOrElse(TransformRegistry.unary(t.fn))
+            val outs = if (t.output.nonEmpty) t.output else t.input
+            require(outs.size == t.input.size, "strategy each: input/output arity mismatch")
+            t.input.zip(outs).foldLeft(frame) { case (d, (i, o)) => d.withColumn(o, fn(col(i))) }
+          case "single" =>
+            val fn: Seq[Column] => Column = t.inline.getOrElse(TransformRegistry.nary.getOrElse(
+              t.fn, (cs: Seq[Column]) => TransformRegistry.unary(t.fn)(cs.head)))
+            val res = fn(t.input.map(col))
+            if (t.output.size <= 1)
+              frame.withColumn(t.output.headOption.getOrElse(t.input.last), res)
+            else { // tuple result → struct fields map positionally to outputs
+              val tmp = frame.withColumn("__t", res)
+              val st = tmp.schema("__t").dataType.asInstanceOf[StructType]
+              t.output.zip(st.fieldNames).foldLeft(tmp) { case (d, (o, f)) =>
+                d.withColumn(o, col(s"__t.$f"))
+              }.drop("__t")
+            }
+          case "all" => // whole-document call: pass struct(*) (transform.py:591-595)
+            val fn = t.inline.getOrElse(
+              throw new IllegalArgumentException("strategy all requires an inline fn"))
+            frame.withColumn(t.output.headOption.getOrElse("_doc"),
+              fn(Seq(struct(frame.columns.filterNot(MetaCols.contains).map(col): _*))))
+          case other => throw new IllegalArgumentException(s"unknown strategy: $other")
+        }
+    }
+
+  /** VertexActor projection (actor/vertex.py:22-237). */
+  private def vertexStep(v: VertexStep, frame: DataFrame, loc: Seq[String], ctx: Ctx): Unit = {
+    val vdef = ctx.schema.vertex(v.vertex)
+    val have = frame.columns.toSet
+    val mapped = v.from.collect { case (vf, sf) if have(sf) => col(sf).as(vf) }.toSeq
+    val passthrough =
+      if (v.extractionScope == "mapped_only") Nil
+      else vdef.allProperties.map(_.name)
+        .filterNot(v.from.keySet)
+        .filter(have)
+        .map(col)
+    var proj = frame.select(MetaCols.map(col) ++ mapped ++ passthrough: _*)
+    if (v.keepFields.nonEmpty) {
+      val keep = (MetaCols ++ v.keepFields).toSet
+      proj = proj.select(proj.columns.filter(keep).map(col): _*)
+    }
+    // declared force_types (vertex.py:818-821) + typed properties
+    vdef.allProperties.foreach { p =>
+      val t = vdef.forceTypes.get(p.name).orElse(p.ftype)
+      if (t.isDefined && proj.columns.contains(p.name))
+        proj = proj.withColumn(p.name, col(p.name).cast(t.get.sparkDdl))
+    }
+    v.filters.orElse(vdef.filters).foreach(f => proj = proj.where(FilterExpr.compile(f)))
+    val obs = VertexObs(v.vertex, v.role, loc, v.lookupOnly, ctx.nextSeq(),
+      mintIdentity(vdef, v.role, proj))
+    ctx.acc += obs
+    v.role.foreach(r => ctx.roleSlots.getOrElseUpdate(r, mutable.ArrayBuffer.empty) += obs)
+  }
+
+  /** VertexRouterActor (actor/vertex_router.py:34-168): fan out by data value.
+    * One filtered projection per target type; Catalyst shares the scan.
+    */
+  private def routerStep(r: VertexRouterStep, frame: DataFrame, loc: Seq[String], ctx: Ctx): Unit = {
+    val targets: Seq[(String, String)] = // (dataValue, vertexType)
+      if (r.typeMap.nonEmpty) r.typeMap.toSeq
+      else ctx.schema.vertices.map(v => v.name -> v.name)
+    targets.foreach { case (value, vtype) =>
+      if (ctx.schema.vertexByName.contains(vtype)) {
+        val sub = frame.where(col(r.typeField) === lit(value))
+        val vs = VertexStep(vtype, from = r.perTypeFrom.getOrElse(vtype, Map.empty),
+          role = r.role)
+        vertexStep(vs, sub, loc, ctx)
+      }
+    }
+  }
+
+  /** Synthetic identity minting. Blank/assigned ids are a deterministic
+    * lineage digest rather than uuid4 (db_writer.py:240-276) — same
+    * uniqueness semantics, but reproducible across the vertex write and the
+    * edge references to it (the reference achieves this by object identity
+    * in a single Python process; a distributed engine needs determinism).
+    */
+  private def mintIdentity(vdef: VertexDef, role: Option[String], df: DataFrame): DataFrame =
+    vdef.identity match {
+      case Identity.Natural(_) => df
+      case Identity.Hash(_) | Identity.Funnel(_, _) =>
+        IdentityDigest.withIdentity(vdef)(df)
+      case Identity.Blank | Identity.Assigned =>
+        df.withColumn(SyntheticId,
+          sha2(concat_ws("",
+            lit(vdef.name), lit(role.getOrElse("")),
+            col(RowIdCol).cast("string"),
+            concat_ws(".", col(PosCol).cast("array<string>"))), 256))
+    }
+
+  // --------------------------------------------------------------- finish
+
+  private def posStr(c: Column): Column =
+    array_join(org.apache.spark.sql.functions.transform(
+      c, p => lpad(p.cast("string"), 9, "0")), ".")
+
+  private def finish(ctx: Ctx, resource: ResourceDef): GraphOutput = {
+    val schema = ctx.schema
+
+    // ---- vertices: union frames, drop unkeyed, order-sensitive merge
+    val vertices: Map[String, DataFrame] =
+      ctx.acc.filterNot(_.lookupOnly).groupBy(_.vertex).map { case (name, obsList) =>
+        val vdef = schema.vertex(name)
+        val ordered = obsList.sortBy(_.seq)
+        val withOrd = ordered.map { o =>
+          o.df.withColumn("_ord",
+            struct(col(RowIdCol).as("r"), posStr(col(PosCol)).as("p"), lit(o.seq).as("s")))
+            .drop(RowIdCol, PosCol)
+        }
+        val unioned = withOrd.reduceLeft(_.unionByName(_, allowMissingColumns = true))
+        val keyed = IdentityDigest.dropUnkeyed(vdef)(unioned)
+        val merged = MergeOps.mergeDocBasis(keyed, vdef.idColumns, "_ord")
+        name -> merged
+      }
+
+    // ---- edges: explicit intents + schema-driven inference
+    val produced: Map[String, Seq[VertexObs]] = ctx.acc.groupBy(_.vertex).view.mapValues(_.toSeq).toMap
+
+    val explicit: Seq[(EdgeKey, DataFrame)] = ctx.intents.toSeq.flatMap(i => renderIntent(ctx, i))
+
+    val coveredKeys = explicit.map(_._1).toSet
+    val inferred: Seq[(EdgeKey, DataFrame)] =
+      if (!resource.inferEdges) Nil
+      else schema.edges.filter { e =>
+        val pairOk =
+          (resource.inferEdgeOnly.isEmpty || resource.inferEdgeOnly.contains((e.source, e.target))) &&
+            !resource.inferEdgeExcept.contains((e.source, e.target))
+        pairOk && !coveredKeys.contains(e.key) &&
+          produced.contains(e.source) && produced.contains(e.target)
+      }.flatMap { e =>
+        renderIntent(ctx, EdgeIntentRec(
+          EdgeStep(source = e.source, target = e.target, relation = e.relation), Nil))
+      }
+
+    val edges = (explicit ++ inferred).groupBy(_._1).map { case (k, dfs) =>
+      val vdefS = schema.vertex(k.source); val vdefT = schema.vertex(k.target)
+      val edef = schema.edgeByKey.getOrElse(k, EdgeDef(k.source, k.target, k.relation))
+      val df = dfs.map(_._2).reduceLeft(_.unionByName(_, allowMissingColumns = true))
+      // edge uniqueness keys (edge.py:141-151): source/target tokens → id cols
+      val dedupCols = edef.identities.flatMap {
+        case "source" => idColsOf(vdefS).map("src_" + _)
+        case "target" => idColsOf(vdefT).map("dst_" + _)
+        case p        => Seq(p)
+      }.filter(df.columns.contains)
+      // drop edges with an entirely-null endpoint (e.g. funnel identity with
+      // no matching branch — mirrors _drop_unkeyed_docs on the edge side)
+      val srcCols = df.columns.filter(_.startsWith("src_"))
+      val dstCols = df.columns.filter(_.startsWith("dst_"))
+      val nonNull = (srcCols.map(col(_).isNotNull).reduceLeft(_ || _)) &&
+        (dstCols.map(col(_).isNotNull).reduceLeft(_ || _))
+      val kept = df.where(nonNull)
+      k -> (if (dedupCols.nonEmpty) kept.dropDuplicates(dedupCols) else kept.dropDuplicates())
+    }
+
+    GraphOutput(vertices, edges)
+  }
+
+  private def idColsOf(v: VertexDef): Seq[String] = v.idColumns
+
+  /** Render one edge intent into zero or more (EdgeKey, DataFrame).
+    * Dynamic intents (roles / relation_field) may produce several keys
+    * (edge.py:326-424); static intents produce one.
+    */
+  private def renderIntent(ctx: Ctx, rec: EdgeIntentRec): Seq[(EdgeKey, DataFrame)] = {
+    val e = rec.step
+    val schema = ctx.schema
+
+    def bucketsFor(name: String, role: Option[String]): Seq[VertexObs] =
+      role match {
+        case Some(r) => ctx.roleSlots.getOrElse(r, Seq.empty).toSeq
+          .filter(o => name.isEmpty || o.vertex == name)
+        case None => ctx.acc.toSeq.filter(_.vertex == name)
+      }
+
+    val srcBuckets = bucketsFor(e.source, e.sourceRole)
+    val dstBuckets = bucketsFor(e.target, e.targetRole)
+
+    val out = mutable.Map.empty[EdgeKey, mutable.ArrayBuffer[DataFrame]]
+
+    for (sb <- srcBuckets; db <- dstBuckets) {
+      val sv = schema.vertex(sb.vertex); val tv = schema.vertex(db.vertex)
+      // endpoint projection: secondary-identity match selectors (edge.py
+      // source_match/target_match) swap the key columns used on that side.
+      val sKeys = e.sourceMatch.map(m => sv.secondaryByName(m).fields).getOrElse(idColsOf(sv))
+      val tKeys = e.targetMatch.map(m => tv.secondaryByName(m).fields).getOrElse(idColsOf(tv))
+
+      val weightsS = e.weightFields.filter(sb.df.columns.contains)
+      val weightsT = e.weightFields.filterNot(weightsS.contains).filter(db.df.columns.contains)
+      val relSrcCols = e.relationField.toSeq.filter(sb.df.columns.contains)
+
+      val left = sb.df.select(
+        (MetaCols.map(col) ++ sKeys.map(c => col(c).as(s"src_$c")) ++
+          (weightsS ++ relSrcCols).map(col)): _*)
+      val right = db.df.select(
+        (MetaCols.map(c => col(c).as(s"__r_$c")) ++ tKeys.map(c => col(c).as(s"dst_$c")) ++
+          weightsT.map(col)): _*)
+
+      val casting = e.casting match {
+        case "auto" =>
+          if (sb.vertex == db.vertex && sb.role == db.role && sb.seq == db.seq) "combinations"
+          else if (sb.loc == db.loc) "pair"
+          else "product"
+        case c => c
+      }
+      val joined = casting match {
+        case "pair" =>
+          left.join(right, col(RowIdCol) === col(s"__r_$RowIdCol") &&
+            posStr(col(PosCol)) === posStr(col(s"__r_$PosCol")))
+        case "product" =>
+          left.join(right, col(RowIdCol) === col(s"__r_$RowIdCol"))
+        case "combinations" =>
+          left.join(right, col(RowIdCol) === col(s"__r_$RowIdCol") &&
+            posStr(col(PosCol)) < posStr(col(s"__r_$PosCol")))
+        case other => throw new IllegalArgumentException(s"unknown casting: $other")
+      }
+
+      // relation: static, or data-driven with renames + static fallback
+      val relCol: Column = e.relationField match {
+        case Some(rf) =>
+          val raw = col(rf)
+          val mappedC = e.relationMap.foldLeft(when(lit(false), lit(""))) {
+            case (w, (k, v)) => w.when(raw === lit(k), lit(v))
+          }.otherwise(if (e.relation.nonEmpty) lit(e.relation) else raw)
+          if (e.relationMap.nonEmpty) mappedC else raw
+        case None => lit(e.relation)
+      }
+
+      val projected = joined
+        .withColumn("_rel", relCol)
+        .drop((MetaCols ++ MetaCols.map("__r_" + _) ++ relSrcCols): _*)
+
+      // group rows into per-(srcType, dstType, relation) collections; strict
+      // edge-type gate: only declared edges pass (edge.py strict_edge_types)
+      val candidateKeys: Seq[EdgeKey] =
+        if (e.relationField.isEmpty) {
+          val rel =
+            if (e.relation.nonEmpty) e.relation
+            else schema.edgesBetween(sb.vertex, db.vertex).headOption
+              .map(_.relation).getOrElse("related")
+          Seq(EdgeKey(sb.vertex, db.vertex, rel))
+        } else schema.edges.filter(d => d.source == sb.vertex && d.target == db.vertex)
+          .map(_.key)
+
+      candidateKeys.foreach { k =>
+        val part =
+          if (e.relationField.isEmpty) projected
+          else projected.where(col("_rel") === lit(k.relation))
+        val finalDf = part.withColumn("_relation", col("_rel")).drop("_rel")
+          .withColumnRenamed("_relation", "relation")
+        val keep = finalDf.columns.filter(c =>
+          c.startsWith("src_") || c.startsWith("dst_") || c == "relation" ||
+            e.weightFields.contains(c))
+        out.getOrElseUpdate(k, mutable.ArrayBuffer.empty) +=
+          finalDf.select(keep.map(col): _*)
+      }
+    }
+    out.toSeq.map { case (k, dfs) =>
+      k -> dfs.reduceLeft(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+}

@@ -1,0 +1,207 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.expr.FilterExpr
+import graft.graph.GraphOutput
+
+/** Query caps lattice (reference graflo/architecture/query/caps.py:23-92):
+  * hard ceilings with `narrowed` semantics (query/models.py:81-121) — an
+  * explicit over-ask raises, defaults clamp.
+  */
+final case class QueryCaps(
+    maxHops: Int = 3,
+    maxRows: Int = 1000,
+    maxElements: Int = 5000,
+    maxEdgeTypes: Int = 20,
+    maxSeeds: Int = 10,
+    defaultLimit: Int = 100,
+    defaultEdgeLimit: Int = 1000 // reference db/traversal.py:36 DEFAULT_EDGE_LIMIT
+) {
+  def narrowLimit(asked: Option[Int]): Int = asked match {
+    case Some(n) if n > maxRows =>
+      throw new IllegalArgumentException(s"limit $n exceeds cap $maxRows")
+    case Some(n) => n
+    case None    => defaultLimit
+  }
+  def narrowHops(asked: Int): Int =
+    if (asked > maxHops) throw new IllegalArgumentException(s"hops $asked exceeds cap $maxHops")
+    else asked
+}
+
+object QueryCaps { val Hard = QueryCaps() }
+
+/** Typed read-queries (reference graflo/architecture/query/models.py:31-283). */
+final case class NodeQuery(
+    vertex: String,
+    filters: Option[FilterExpr] = None,
+    returnFields: Seq[String] = Nil,
+    limit: Option[Int] = None
+)
+
+sealed trait Direction
+object Direction { case object Out extends Direction; case object In extends Direction; case object Any extends Direction }
+
+final case class NeighborQuery(
+    vertex: String,
+    anchorFilter: FilterExpr, // anchor by id or field-map (db/traversal.py:268-287)
+    hops: Int = 1,
+    direction: Direction = Direction.Any,
+    relations: Seq[String] = Nil, // edge-relation allow-list; empty = all
+    filters: Option[FilterExpr] = None,
+    edgeLimit: Option[Int] = None
+)
+
+final case class TraverseQuery(
+    seeds: Seq[(String, FilterExpr)], // (vertexType, anchorFilter)
+    hops: Int = 1,
+    direction: Direction = Direction.Any,
+    relations: Seq[String] = Nil
+)
+
+final case class AggregateQuery(
+    vertex: String,
+    agg: String, // COUNT | MAX | MIN | AVERAGE | SORTED_UNIQUE (graflo/onto.py:120-137)
+    aggregatedField: Option[String] = None,
+    discriminant: Option[String] = None, // group-by (COUNT only, models.py:252-283)
+    filters: Option[FilterExpr] = None
+)
+
+/** Read-side engine over stored/derived graph DataFrames.
+  *
+  * `vertices`/`edgesOf` abstract the physical source (native store, or an
+  * in-memory [[GraphOutput]]) — the analogue of the reference's
+  * backend-neutral `Connection` (graflo/db/conn.py), except every backend
+  * here is a DataFrame so one implementation serves all.
+  */
+final class GraphReader(
+    schema: GraphSchema,
+    vertexDf: String => DataFrame,
+    edgeDf: EdgeKey => Option[DataFrame],
+    caps: QueryCaps = QueryCaps.Hard
+) {
+
+  def node(q: NodeQuery): DataFrame = {
+    var df = vertexDf(q.vertex)
+    q.filters.foreach(f => df = df.where(FilterExpr.compile(f)))
+    if (q.returnFields.nonEmpty) df = df.select(q.returnFields.map(col): _*)
+    val keyCols = schema.vertex(q.vertex).idColumns.filter(df.columns.contains)
+    val ordered = if (keyCols.nonEmpty) df.orderBy(keyCols.map(col): _*) else df
+    ordered.limit(caps.narrowLimit(q.limit))
+  }
+
+  /** Per-collection aggregation (reference Connection.aggregate,
+    * graflo/db/conn.py:612-636): COUNT with optional discriminant; other
+    * aggs need `aggregatedField`.
+    */
+  def aggregate(q: AggregateQuery): DataFrame = {
+    var df = vertexDf(q.vertex)
+    q.filters.foreach(f => df = df.where(FilterExpr.compile(f)))
+    val fn = q.agg.toUpperCase match {
+      case "COUNT"         => count(lit(1))
+      case "MAX"           => max(col(q.aggregatedField.get))
+      case "MIN"           => min(col(q.aggregatedField.get))
+      case "AVERAGE"       => avg(col(q.aggregatedField.get))
+      case "SORTED_UNIQUE" => sort_array(collect_set(col(q.aggregatedField.get)))
+      case other           => throw new IllegalArgumentException(s"unknown aggregation: $other")
+    }
+    q.discriminant match {
+      case Some(d) =>
+        require(q.agg.equalsIgnoreCase("COUNT"),
+          "group_by supported with COUNT only (reference models.py:252-283)")
+        df.groupBy(col(d)).agg(fn.as("_value"))
+      case None => df.agg(fn.as("_value"))
+    }
+  }
+
+  /** k-hop BFS neighborhood (reference bfs_neighbors,
+    * graflo/db/traversal.py:113-243): frontier expansion over the declared
+    * incident edges with direction checks, visited-set anti-joins, edge-limit
+    * truncation, far-endpoint hydration.
+    *
+    * Scale note: each hop is a set of keyed equi-joins frontier⋈edges; the
+    * frontier is usually tiny → Spark broadcasts it; the visited anti-join is
+    * a broadcast anti-join on the id columns. No collect of edge data to the
+    * driver — only the loop *structure* is driver-side (bounded by
+    * caps.maxHops ≤ 3).
+    */
+  def neighbors(q: NeighborQuery): GraphOutput = {
+    val hops = caps.narrowHops(q.hops)
+    val anchor = vertexDf(q.vertex).where(FilterExpr.compile(q.anchorFilter))
+    traverse(Seq(q.vertex -> anchor), hops, q.direction, q.relations,
+      q.edgeLimit.getOrElse(caps.defaultEdgeLimit))
+  }
+
+  /** Multi-seed reachability (reference TraverseQuery, db/conn.py:791-830). */
+  def traverseQuery(q: TraverseQuery): GraphOutput = {
+    require(q.seeds.size <= caps.maxSeeds, s"seeds exceed cap ${caps.maxSeeds}")
+    val seeds = q.seeds.map { case (t, f) => t -> vertexDf(t).where(FilterExpr.compile(f)) }
+    traverse(seeds, caps.narrowHops(q.hops), q.direction, q.relations, caps.defaultEdgeLimit)
+  }
+
+  private def traverse(
+      seeds: Seq[(String, DataFrame)],
+      hops: Int,
+      direction: Direction,
+      relations: Seq[String],
+      edgeLimit: Int
+  ): GraphOutput = {
+    // visited / frontier are Map[vertexType -> DataFrame of id columns]
+    def idCols(t: String) = schema.vertex(t).idColumns
+    var visited: Map[String, DataFrame] =
+      seeds.groupBy(_._1).map { case (t, ds) =>
+        t -> ds.map(_._2.select(idCols(t).map(col): _*)).reduceLeft(_.union(_)).distinct()
+      }
+    var frontier = visited
+    var collectedEdges = Map.empty[EdgeKey, DataFrame]
+
+    val allowedEdges = schema.edges
+      .filter(e => relations.isEmpty || relations.contains(e.relation))
+    require(allowedEdges.size <= caps.maxEdgeTypes, s"edge types exceed cap ${caps.maxEdgeTypes}")
+
+    for (_ <- 1 to hops if frontier.nonEmpty) {
+      var nextFrontier = Map.empty[String, DataFrame]
+      var newEdges = Map.empty[EdgeKey, DataFrame]
+
+      def expand(e: EdgeDef, fromType: String, fromPrefix: String, toType: String, toPrefix: String): Unit =
+        frontier.get(fromType).zip(edgeDf(e.key)).foreach { case (front, edf) =>
+          val keys = idCols(fromType)
+          val joined = edf.join(
+            broadcast(front.withColumnsRenamed(keys.map(k => k -> s"$fromPrefix$k").toMap)),
+            keys.map(k => s"$fromPrefix$k"), "inner"
+          ).limit(edgeLimit)
+          newEdges += e.key -> newEdges.get(e.key).map(_.unionByName(joined, true)).getOrElse(joined)
+          val farIds = joined.select(idCols(toType).map(k => col(s"$toPrefix$k").as(k)): _*).distinct()
+          val unseen = visited.get(toType).map(v => farIds.join(v, idCols(toType), "left_anti")).getOrElse(farIds)
+          nextFrontier += toType -> nextFrontier.get(toType).map(_.union(unseen).distinct()).getOrElse(unseen)
+        }
+
+      allowedEdges.foreach { e =>
+        // OUT follows src→dst; IN follows dst→src; undirected edges are
+        // followed both ways regardless of direction (models.py:142-198)
+        val followOut = direction != Direction.In || !e.directed
+        val followIn  = direction != Direction.Out || !e.directed
+        if (followOut) expand(e, e.source, "src_", e.target, "dst_")
+        if (followIn)  expand(e, e.target, "dst_", e.source, "src_")
+      }
+
+      collectedEdges = (collectedEdges.keySet ++ newEdges.keySet).map { k =>
+        k -> Seq(collectedEdges.get(k), newEdges.get(k)).flatten
+          .reduceLeft(_.unionByName(_, true)).dropDuplicates()
+      }.toMap
+      visited = (visited.keySet ++ nextFrontier.keySet).map { t =>
+        t -> Seq(visited.get(t), nextFrontier.get(t)).flatten.reduceLeft(_.union(_)).distinct()
+      }.toMap
+      frontier = nextFrontier
+    }
+
+    // far-endpoint hydration (traversal.py far-endpoint fetch): project the
+    // visited id sets back onto the full vertex docs via semi-joins
+    val hydrated = visited.map { case (t, ids) =>
+      t -> vertexDf(t).join(ids, idCols(t), "left_semi")
+    }
+    GraphOutput(hydrated, collectedEdges)
+  }
+}

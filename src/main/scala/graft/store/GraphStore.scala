@@ -1,0 +1,231 @@
+package graft.store
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.model._
+import graft.pipeline.MergeOps
+import graft.graph.GraphOutput
+
+/** The engine's native graph store — the reference's chunked-file "graflo
+  * backend" (graflo/architecture/backend/{layout,writer,reader}.py,
+  * graflo/db/graflo_backend/connection.py:38-420) redesigned for Spark:
+  *
+  *  - parquet instead of gzip JSONL chunks (columnar scans, predicate
+  *    pushdown, schema evolution);
+  *  - layout: `<root>/vertices/<name>/v<N>/` and
+  *    `<root>/edges/<src__rel__tgt>/v<N>/` with a `_CURRENT` pointer file —
+  *    writes go to a new version dir then flip the pointer, so readers never
+  *    see partial data (the reference serializes via a single-writer lock
+  *    instead; versioned dirs give the same isolation without locking);
+  *  - `INDEX.json` manifest mirroring the reference's INDEX.json
+  *    (layout.py:23-120).
+  *
+  * Upsert semantics ("Explicit identities", reference README): writing a
+  * batch merges on the vertex identity — existing docs are updated
+  * field-wise (later wins), new docs inserted. Implemented as
+  * read-current ∪ new → merge_doc_basis → write-next-version. At cluster
+  * scale the store directory lives on a distributed FS and each collection
+  * version is written with hash partitioning on the identity columns, so a
+  * re-ingest shuffles only the new batch (the existing side is already
+  * bucketed by the previous write).
+  */
+final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSession) {
+
+  private def vdir(name: String) = s"$root/vertices/$name"
+  private def edir(k: EdgeKey)   = s"$root/edges/${k.storeName}"
+
+  private def currentVersion(dir: String): Option[Int] = {
+    val p = Paths.get(dir, "_CURRENT")
+    if (Files.exists(p)) Try(new String(Files.readAllBytes(p)).trim.toInt).toOption
+    else None
+  }
+
+  private def flip(dir: String, v: Int): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, "_CURRENT"), v.toString.getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Monotonic write generation, used as the merge order between existing
+    * and incoming docs (incoming wins field-wise).
+    */
+  private val GenCol = "_gen"
+
+  def readVertices(name: String): Option[DataFrame] =
+    currentVersion(vdir(name)).map(v => spark.read.parquet(s"${vdir(name)}/v$v"))
+
+  def readEdges(k: EdgeKey): Option[DataFrame] =
+    currentVersion(edir(k)).map(v => spark.read.parquet(s"${edir(k)}/v$v"))
+
+  def vertices(name: String): DataFrame =
+    readVertices(name).getOrElse(
+      throw new NoSuchElementException(s"store has no vertex collection '$name'"))
+
+  def edges(k: EdgeKey): DataFrame =
+    readEdges(k).getOrElse(
+      throw new NoSuchElementException(s"store has no edge collection '$k'"))
+
+  /** Keyed upsert of one vertex collection (reference `upsert_docs_batch`,
+    * graflo/db/conn.py:390-405): merge on identity, incoming fields win.
+    */
+  def upsertVertices(name: String, incoming: DataFrame): Unit = {
+    val vdef = schema.vertex(name)
+    val dir = vdir(name)
+    val cur = currentVersion(dir)
+    val next = cur.getOrElse(-1) + 1
+    val merged = cur match {
+      case None => MergeOps.mergeDocBasis(
+        incoming.withColumn(GenCol, lit(0L)), vdef.idColumns, GenCol)
+      case Some(v) =>
+        val existing = spark.read.parquet(s"$dir/v$v").withColumn(GenCol, lit(0L))
+        val neu = incoming.withColumn(GenCol, lit(1L))
+        MergeOps.mergeDocBasis(
+          existing.unionByName(neu, allowMissingColumns = true), vdef.idColumns, GenCol)
+    }
+    // repartition on the identity so each version is co-partitioned for the
+    // next merge and for endpoint-resolution joins
+    merged.repartition(vdef.idColumns.map(col): _*)
+      .write.mode("overwrite").parquet(s"$dir/v$next")
+    flip(dir, next)
+  }
+
+  /** Edge insert with endpoint uniqueness (reference `insert_edges_batch`,
+    * graflo/db/conn.py:407-443): dedup on the edge identities against what
+    * is already stored.
+    */
+  def insertEdges(k: EdgeKey, incoming: DataFrame): Unit = {
+    val edef = schema.edgeByKey.getOrElse(k, EdgeDef(k.source, k.target, k.relation))
+    val dir = edir(k)
+    val cur = currentVersion(dir)
+    val next = cur.getOrElse(-1) + 1
+    val all = cur match {
+      case None    => incoming
+      case Some(v) => spark.read.parquet(s"$dir/v$v")
+        .unionByName(incoming, allowMissingColumns = true)
+    }
+    val dedupCols = edef.identities.flatMap {
+      case "source" => schema.vertex(k.source).idColumns.map("src_" + _)
+      case "target" => schema.vertex(k.target).idColumns.map("dst_" + _)
+      case p        => Seq(p)
+    }.filter(all.columns.contains)
+    val deduped = if (dedupCols.nonEmpty) all.dropDuplicates(dedupCols) else all.dropDuplicates()
+    deduped.write.mode("overwrite").parquet(s"$dir/v$next")
+    flip(dir, next)
+  }
+
+  /** Write a whole GraphOutput: vertices first (upsert), then edges with
+    * secondary-identity endpoint resolution — the reference's write order
+    * (graflo/hq/db_writer.py:91-134). With DataFrames the "DB state
+    * dependency" is just a join against the post-upsert vertex data.
+    */
+  def write(g: GraphOutput): Unit = {
+    g.vertices.foreach { case (name, df) => upsertVertices(name, df) }
+    g.edges.foreach { case (k, df) =>
+      val edef = schema.edgeByKey.getOrElse(k, EdgeDef(k.source, k.target, k.relation))
+      var e = df
+      edef.sourceMatch.foreach { m =>
+        e = EndpointResolve.resolve(e, vertices(k.source), schema.vertex(k.source), m,
+          "src_", edef.ambiguity)
+      }
+      edef.targetMatch.foreach { m =>
+        e = EndpointResolve.resolve(e, vertices(k.target), schema.vertex(k.target), m,
+          "dst_", edef.ambiguity)
+      }
+      insertEdges(k, e)
+    }
+    writeIndex()
+  }
+
+  /** INDEX.json manifest (reference layout.py:23-120). */
+  def writeIndex(): Unit = {
+    import scala.jdk.CollectionConverters._
+    def list(sub: String): Seq[String] = {
+      val d = Paths.get(s"$root/$sub")
+      if (!Files.exists(d)) Nil
+      else {
+        val s = Files.list(d)
+        try s.iterator().asScala.map(_.getFileName.toString).toList.sorted
+        finally s.close()
+      }
+    }
+    val vs = list("vertices")
+    val es = list("edges")
+    def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
+    Files.createDirectories(Paths.get(root))
+    Files.write(Paths.get(root, "INDEX.json"),
+      s"""{"vertices":${arr(vs)},"edges":${arr(es)}}""".getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Existence joins (reference db/conn.py:530-553,637-657). */
+  def fetchPresent(name: String, probe: DataFrame): DataFrame = {
+    val keys = schema.vertex(name).idColumns
+    vertices(name).join(probe.select(keys.map(col): _*).distinct(), keys, "left_semi")
+  }
+  def keepAbsent(name: String, probe: DataFrame): DataFrame = {
+    val keys = schema.vertex(name).idColumns
+    probe.join(vertices(name), keys, "left_anti")
+  }
+}
+
+/** Secondary-identity endpoint resolution — the reference's
+  * `resolve_vertices` + ambiguity policy (graflo/hq/endpoint_resolve.py:
+  * 73-169, graflo/db/conn.py:555-611, graflo/onto.py:176-188): edges whose
+  * endpoint was declared by an alternate key are joined against the vertex
+  * collection on that key and re-projected onto the primary identity.
+  *
+  * Policies: `all` = plain inner join (multiplicity preserved); `first` =
+  * deterministic pick via row_number over the candidates (the reference's
+  * `_sorted_candidates`, endpoint_resolve.py:63-71); `skip` = drop ambiguous
+  * matches; `error` = fail the job if any key is ambiguous.
+  *
+  * Scale note: the vertex side is keyed and usually much smaller than the
+  * edge side after projection to (secondary, primary) — Spark auto-broadcasts
+  * under the threshold; otherwise it is an equi-shuffle join on the
+  * secondary key.
+  */
+object EndpointResolve {
+  def resolve(
+      edges: DataFrame,
+      vertexDf: DataFrame,
+      vdef: VertexDef,
+      secondaryName: String,
+      prefix: String, // "src_" | "dst_"
+      policy: AmbiguityPolicy
+  ): DataFrame = {
+    val sec = vdef.secondaryByName(secondaryName)
+    val prim = vdef.idColumns
+    val lookupBase = vertexDf
+      .select((sec.fields ++ prim).distinct.map(col): _*)
+      .distinct()
+
+    val lookup = policy match {
+      case AmbiguityPolicy.All => lookupBase
+      case AmbiguityPolicy.First =>
+        val w = Window.partitionBy(sec.fields.map(col): _*)
+          .orderBy(prim.map(col): _*)
+        lookupBase.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+      case AmbiguityPolicy.Skip =>
+        val w = Window.partitionBy(sec.fields.map(col): _*)
+        lookupBase.withColumn("_n", count(lit(1)).over(w)).where(col("_n") === 1).drop("_n")
+      case AmbiguityPolicy.Error =>
+        val dup = lookupBase.groupBy(sec.fields.map(col): _*).count().where(col("count") > 1)
+        if (!dup.isEmpty)
+          throw new IllegalStateException(
+            s"ambiguous secondary identity '$secondaryName' on ${vdef.name}")
+        lookupBase
+    }
+    val renamedLookup = sec.fields.foldLeft(lookup)((d, f) =>
+      d.withColumnRenamed(f, s"$prefix$f"))
+    val joinKeys = sec.fields.map(f => s"$prefix$f")
+    val others = edges.columns.filterNot(joinKeys.contains)
+    edges.join(renamedLookup, joinKeys, "inner")
+      .select((others ++ prim.map(p => s"$p")).map(col): _*)
+      .withColumnsRenamed(prim.map(p => p -> s"$prefix$p").toMap)
+  }
+}
