@@ -108,6 +108,17 @@ object GraftQueries {
         .orderBy("src_p_partkey", "dst_p_partkey")
     },
 
+    // §2.6 edge properties: weights carried from the intent's row
+    "q_edge_weights" -> { (s, d) =>
+      val g = PipelineCompiler.compile(TpchGraph.schema, TpchGraph.lineitemResource,
+        t(s, d)("lineitem"))
+      g.edge(EdgeKey("orders", "part", "contains"))
+        .select("src_o_orderkey", "dst_p_partkey", "l_quantity", "l_extendedprice",
+          "l_discount")
+        .orderBy("src_o_orderkey", "dst_p_partkey", "l_quantity", "l_extendedprice",
+          "l_discount")
+    },
+
     // §2.7 merge_doc_basis: order-sensitive last-wins merge
     "q_merge_last_wins" -> { (s, d) =>
       MergeOps.mergeDocBasis(
@@ -460,6 +471,11 @@ object GraftQueries {
         |SELECT DISTINCT a.l_partkey AS src_p_partkey, b.l_partkey AS dst_p_partkey
         |FROM pos a JOIN pos b ON a.l_orderkey = b.l_orderkey AND a.rn < b.rn
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_edge_weights" ->
+      """SELECT DISTINCT l_orderkey AS src_o_orderkey, l_partkey AS dst_p_partkey,
+        |l_quantity, l_extendedprice, l_discount
+        |FROM lineitem ORDER BY 1, 2, 3, 4, 5""".stripMargin,
 
     "q_merge_last_wins" ->
       """SELECT o_custkey, arg_max(o_orderstatus, o_orderkey) AS o_orderstatus,

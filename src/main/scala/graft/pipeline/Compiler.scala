@@ -60,7 +60,13 @@ object PipelineCompiler {
       df: DataFrame // columns: meta ++ vertex fields (+ _id for synthetic ids)
   )
 
-  final case class EdgeIntentRec(step: EdgeStep, loc: Seq[String])
+  /** `relFrame`: the observation frame at the intent's location projected to
+    * (meta, relationField [, weightFields]) — dynamic relations and weights
+    * are data at the edge actor's position (edge.py:326-424), not on the
+    * endpoint projections.
+    */
+  final case class EdgeIntentRec(step: EdgeStep, loc: Seq[String],
+      relFrame: Option[DataFrame])
 
   private final class Ctx(val schema: GraphSchema) {
     val acc = mutable.ArrayBuffer.empty[VertexObs]
@@ -106,13 +112,22 @@ object PipelineCompiler {
       case t: TransformStep    => cur = transform(t, cur)
       case v: VertexStep       => vertexStep(v, cur, loc, ctx)
       case r: VertexRouterStep => routerStep(r, cur, loc, ctx)
-      case e: EdgeStep         => ctx.intents += EdgeIntentRec(e, loc)
-      case m: MultiEdgeStep    => m.links.foreach(l => ctx.intents += EdgeIntentRec(l, loc))
+      case e: EdgeStep         => ctx.intents += mkIntent(e, cur, loc)
+      case m: MultiEdgeStep    => m.links.foreach(l => ctx.intents += mkIntent(l, cur, loc))
       case c: CastStep         =>
         cur = c.types.foldLeft(cur) { case (d, (f, t)) =>
           d.withColumn(f, col(f).cast(FieldType.fromName(t).sparkDdl))
         }
     }
+  }
+
+  private def mkIntent(e: EdgeStep, frame: DataFrame, loc: Seq[String]): EdgeIntentRec = {
+    val carried = (e.relationField.toSeq ++ e.weightFields)
+      .distinct.filter(frame.columns.contains)
+    val relFrame =
+      if (carried.isEmpty) None
+      else Some(frame.select((MetaCols ++ carried).map(col): _*))
+    EdgeIntentRec(e, loc, relFrame)
   }
 
   /** DescendActor (actor/descend.py:27-216): explode/re-root, extending
@@ -315,7 +330,7 @@ object PipelineCompiler {
           produced.contains(e.source) && produced.contains(e.target)
       }.flatMap { e =>
         renderIntent(ctx, EdgeIntentRec(
-          EdgeStep(source = e.source, target = e.target, relation = e.relation), Nil))
+          EdgeStep(source = e.source, target = e.target, relation = e.relation), Nil, None))
       }
 
     val edges = (explicit ++ inferred).groupBy(_._1).map { case (k, dfs) =>
@@ -370,16 +385,10 @@ object PipelineCompiler {
       val sKeys = e.sourceMatch.map(m => sv.secondaryByName(m).fields).getOrElse(idColsOf(sv))
       val tKeys = e.targetMatch.map(m => tv.secondaryByName(m).fields).getOrElse(idColsOf(tv))
 
-      val weightsS = e.weightFields.filter(sb.df.columns.contains)
-      val weightsT = e.weightFields.filterNot(weightsS.contains).filter(db.df.columns.contains)
-      val relSrcCols = e.relationField.toSeq.filter(sb.df.columns.contains)
-
       val left = sb.df.select(
-        (MetaCols.map(col) ++ sKeys.map(c => col(c).as(s"src_$c")) ++
-          (weightsS ++ relSrcCols).map(col)): _*)
+        (MetaCols.map(col) ++ sKeys.map(c => col(c).as(s"src_$c"))): _*)
       val right = db.df.select(
-        (MetaCols.map(c => col(c).as(s"__r_$c")) ++ tKeys.map(c => col(c).as(s"dst_$c")) ++
-          weightsT.map(col)): _*)
+        (MetaCols.map(c => col(c).as(s"__r_$c")) ++ tKeys.map(c => col(c).as(s"dst_$c"))): _*)
 
       val casting = e.casting match {
         case "auto" =>
@@ -400,6 +409,21 @@ object PipelineCompiler {
         case other => throw new IllegalArgumentException(s"unknown casting: $other")
       }
 
+      // attach relation/weight data carried from the intent's own location
+      // (edge.py:326-424: relation_field and weights are read off the row at
+      // the edge actor's position, not off the endpoint projections)
+      val withCarried = rec.relFrame match {
+        case Some(rf) =>
+          val rfR = MetaCols.foldLeft(rf)((d, c) => d.withColumnRenamed(c, s"__i_$c"))
+          val cond =
+            if (rec.loc == sb.loc)
+              col(RowIdCol) === col(s"__i_$RowIdCol") &&
+                posStr(col(PosCol)) === posStr(col(s"__i_$PosCol"))
+            else col(RowIdCol) === col(s"__i_$RowIdCol")
+          joined.join(rfR, cond)
+        case None => joined
+      }
+
       // relation: static, or data-driven with renames + static fallback
       val relCol: Column = e.relationField match {
         case Some(rf) =>
@@ -411,9 +435,11 @@ object PipelineCompiler {
         case None => lit(e.relation)
       }
 
-      val projected = joined
+      val dropRel = e.relationField.filterNot(e.weightFields.contains).toSeq
+      val projected = withCarried
         .withColumn("_rel", relCol)
-        .drop((MetaCols ++ MetaCols.map("__r_" + _) ++ relSrcCols): _*)
+        .drop((MetaCols ++ MetaCols.map("__r_" + _) ++ MetaCols.map("__i_" + _) ++
+          dropRel): _*)
 
       // group rows into per-(srcType, dstType, relation) collections; strict
       // edge-type gate: only declared edges pass (edge.py strict_edge_types)

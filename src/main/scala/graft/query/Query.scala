@@ -97,6 +97,12 @@ final class GraphReader(
     * aggs need `aggregatedField`.
     */
   def aggregate(q: AggregateQuery): DataFrame = {
+    val aggName = q.agg.toUpperCase
+    if (q.discriminant.isDefined && aggName != "COUNT")
+      throw new IllegalArgumentException(
+        "group_by supported with COUNT only (reference models.py:252-283)")
+    if (aggName != "COUNT" && q.aggregatedField.isEmpty)
+      throw new IllegalArgumentException(s"$aggName requires aggregated_field")
     var df = vertexDf(q.vertex)
     q.filters.foreach(f => df = df.where(FilterExpr.compile(f)))
     val fn = q.agg.toUpperCase match {

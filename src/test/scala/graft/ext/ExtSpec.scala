@@ -1,0 +1,144 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "The quick  brown fox jumps over the lazy dog"), // case/ws variant
+      (3L, "the quick brown fox jumps over the lazy cat"),  // near-dup
+      (4L, "completely different text about spark engines here")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups case/whitespace variants") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(g.count() == 3)
+    assert(g.where(col("n_dups") === 2).select("keep_id").head().getLong(0) == 1L)
+    assert(Dedup.dropExactDuplicates(docs, "doc_id", "text").count() == 3)
+  }
+
+  test("shingles: correct count, distinct, short-text safe") {
+    import spark.implicits._
+    val sh = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "t")
+      .select(col("id"), Dedup.shingles(col("t"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L).isEmpty) // fewer tokens than n
+  }
+
+  test("jaccard pairs find the near-dup with the right similarity") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minSim = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 1-2 are identical after normalization → jaccard 1.0; 1-3 share most shingles
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 > 0.4 && p._3 < 1.0))
+    assert(!pairs.exists(p => p._2 == 4L))
+  }
+
+  test("minhash LSH candidates include identical docs; verified pairs match jaccard") {
+    val nd = Dedup.minhashNearDups(docs, "doc_id", "text",
+      n = 3, bands = 4, rowsPerBand = 4, minSim = 0.9)
+    val got = nd.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.exists(p => p._2 == 4L))
+  }
+
+  test("simhash: identical docs get identical signatures, near-dups small hamming") {
+    val sig = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    val nd = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val vecs = {
+    import spark.implicits._
+    Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),   // close to 1
+      (3L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 1
+      (4L, Array(-1.0f, 0.0f, 0.0f))   // opposite of 1
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("cosine expression: known values") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0f, 0f), Array(0f, 1.0f, 0f))).toDF("a", "b")
+    val c = df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(c) < 1e-9)
+  }
+
+  test("brute-force top-k ranks by cosine with deterministic ties") {
+    val out = Similarity.bruteForceTopK(
+      vecs.where(col("vec_id") === 1), vecs, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 3L, 4L))
+    assert(out.head.getAs[Double]("cos") > 0.99)
+  }
+
+  test("ANN via sign-LSH finds the identical-bucket neighbor") {
+    val out = Similarity.annTopK(
+      vecs.where(col("vec_id") === 1), vecs, "vec_id", "embedding",
+      k = 1, bits = 4, dim = 3)
+    val top = out.collect()
+    assert(top.nonEmpty && top.head.getAs[Long]("neighbor_id") == 2L)
+  }
+
+  test("cosine near-dup pairs above threshold only") {
+    val nd = Similarity.cosineNearDups(vecs, "vec_id", "embedding", minCos = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd == Set((1L, 2L)))
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("token count and quality features") {
+    import spark.implicits._
+    val df = Seq((1L, "hello world hello"), (2L, "")).toDF("id", "t")
+    val out = df.select(col("id"),
+      TextAnalysis.tokenCount(col("t")).as("n"),
+      TextAnalysis.qualityFeatures(col("t")).getField("distinct_token_ratio").as("dr"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 3)
+    assert(math.abs(out(1L)._2 - 0.6667) < 1e-4)
+    assert(out(2L)._1 == 0)
+  }
+
+  test("langId picks the stopword-dominant language deterministically") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat is in the house and it is big"),
+      (2L, "el gato es un animal y la casa es grande"),
+      (3L, "xyzzy plugh")).toDF("id", "t")
+    val out = df.select(col("id"), TextAnalysis.langId(col("t")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "de") // zero scores everywhere → first declared wins
+  }
+
+  test("fingerprints stable under whitespace/case noise; winnow stable under small edit") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Alpha beta  gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon eta")).toDF("id", "t")
+    val fp = df.select(col("id"), TextAnalysis.fingerprint(col("t")).as("f"),
+      TextAnalysis.winnowFingerprint(col("t")).as("w"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(fp(1L)._1 == fp(2L)._1)
+    assert(fp(1L)._1 != fp(3L)._1)
+    // winnow (k smallest shingle hashes) often survives a one-word tail edit
+    assert(fp(1L)._2 == fp(2L)._2)
+  }
+}

@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.model._
+import graft.graph.GraphOutput
+import org.apache.spark.sql.functions._
+
+class CompilerSpec extends SparkSpec {
+
+  private def sch(vs: Seq[VertexDef], es: Seq[EdgeDef] = Nil) = GraphSchema(vs, es)
+
+  test("vertex projection: from-map rename, full vs mapped_only scope, filters") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 5.0), (2L, "b", -1.0)).toDF("pk", "nm", "bal")
+    val schema = sch(Seq(VertexDef("p",
+      Seq(FieldDef("name"), FieldDef("bal")), Identity.Natural(Seq("id")))))
+    val res = ResourceDef("r", Seq(VertexStep("p",
+      from = Map("id" -> "pk", "name" -> "nm"),
+      filters = Some(FilterExpr0.gt("bal", 0)))))
+    val out = PipelineCompiler.compile(schema, res, df)
+    val rows = out.vertex("p").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("id") == 1L && r.getAs[String]("name") == "a"
+      && r.getAs[Double]("bal") == 5.0) // bal passed through (full scope)
+  }
+
+  test("router fans out by data value with type_map renames") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "x"), (4L, "z")).toDF("id", "t")
+    val schema = sch(Seq(
+      VertexDef("vx", Nil, Identity.Natural(Seq("id"))),
+      VertexDef("vy", Nil, Identity.Natural(Seq("id")))))
+    val res = ResourceDef("r", Seq(VertexRouterStep("t",
+      typeMap = Map("x" -> "vx", "y" -> "vy"))))
+    val out = PipelineCompiler.compile(schema, res, df)
+    assert(out.vertex("vx").count() == 2)
+    assert(out.vertex("vy").count() == 1)
+    assert(!out.vertices.contains("vz")) // unmapped value 'z' routed nowhere
+  }
+
+  test("descend into array of structs with PAIR edge back to root (product)") {
+    import spark.implicits._
+    val df = Seq(
+      (10L, Seq(("p1", 1), ("p2", 2))),
+      (20L, Seq(("p3", 3)))
+    ).toDF("oid", "items")
+      .withColumn("items", org.apache.spark.sql.functions.transform(col("items"),
+        x => struct(x.getField("_1").as("sku"), x.getField("_2").as("qty"))))
+    val schema = sch(
+      Seq(VertexDef("order", Nil, Identity.Natural(Seq("oid"))),
+        VertexDef("item", Seq(FieldDef("qty")), Identity.Natural(Seq("sku")))),
+      Seq(EdgeDef("order", "item", "has")))
+    val res = ResourceDef("r", Seq(
+      VertexStep("order"),
+      Descend(Some("items"), steps = Seq(VertexStep("item")))))
+    val out = PipelineCompiler.compile(schema, res, df)
+    assert(out.vertex("item").count() == 3)
+    val edges = out.edge(EdgeKey("order", "item", "has"))
+      .select("src_oid", "dst_sku").as[(Long, String)].collect().toSet
+    assert(edges == Set((10L, "p1"), (10L, "p2"), (20L, "p3")))
+  }
+
+  test("combinations casting pairs a bucket with itself, no self-loops") {
+    import spark.implicits._
+    val df = Seq((1L, Seq("a", "b", "c")), (2L, Seq("x"))).toDF("gid", "members")
+    val schema = sch(Seq(VertexDef("m", Nil, Identity.Natural(Seq("name")))),
+      Seq(EdgeDef("m", "m", "together")))
+    val res = ResourceDef("r", Seq(
+      Descend(Some("members"), steps = Seq(
+        VertexStep("m", from = Map("name" -> "_value"), extractionScope = "mapped_only"))),
+      EdgeStep(source = "m", target = "m", relation = "together")), inferEdges = false)
+    val out = PipelineCompiler.compile(schema, res, df)
+    val pairs = out.edge(EdgeKey("m", "m", "together"))
+      .select("src_name", "dst_name").as[(String, String)].collect().toSet
+    assert(pairs == Set(("a", "b"), ("a", "c"), ("b", "c"))) // gid=2 singleton → none
+  }
+
+  test("dynamic edges: relation from a data field with relation_map and strict types") {
+    import spark.implicits._
+    val df = Seq(("s1", "t1", "likes"), ("s2", "t2", "hates"), ("s3", "t3", "unknown"))
+      .toDF("sid", "tid", "rel")
+    val schema = sch(
+      Seq(VertexDef("a", Nil, Identity.Natural(Seq("aid"))),
+        VertexDef("b", Nil, Identity.Natural(Seq("bid")))),
+      Seq(EdgeDef("a", "b", "LIKES"), EdgeDef("a", "b", "hates")))
+    val res = ResourceDef("r", Seq(
+      VertexStep("a", from = Map("aid" -> "sid"), extractionScope = "mapped_only", lookupOnly = true),
+      VertexStep("b", from = Map("bid" -> "tid"), extractionScope = "mapped_only", lookupOnly = true),
+      EdgeStep(source = "a", target = "b", relationField = Some("rel"),
+        relationMap = Map("likes" -> "LIKES"))), inferEdges = false)
+    val out = PipelineCompiler.compile(schema, res, df)
+    assert(out.edge(EdgeKey("a", "b", "LIKES")).count() == 1)
+    assert(out.edge(EdgeKey("a", "b", "hates")).count() == 1)
+    // 'unknown' passes no declared edge → dropped (strict_edge_types)
+    assert(out.edges.values.map(_.count()).sum == 2)
+  }
+
+  test("edge inference emits declared edges when both endpoints were produced") {
+    import spark.implicits._
+    val df = Seq((1L, 100L)).toDF("cid", "nid")
+    val schema = sch(
+      Seq(VertexDef("c", Nil, Identity.Natural(Seq("cid"))),
+        VertexDef("n", Nil, Identity.Natural(Seq("nid")))),
+      Seq(EdgeDef("c", "n", "in")))
+    val res = ResourceDef("r", Seq(VertexStep("c"), VertexStep("n", lookupOnly = true)))
+    val out = PipelineCompiler.compile(schema, res, df)
+    assert(out.edge(EdgeKey("c", "n", "in")).count() == 1)
+  }
+
+  test("cast step applies strict-allowlist type casts") {
+    import spark.implicits._
+    val df = Seq(("42", "3.5")).toDF("a", "b")
+    val schema = sch(Seq(VertexDef("v", Seq(FieldDef("a"), FieldDef("b")),
+      Identity.Natural(Seq("a")))))
+    val res = ResourceDef("r", Seq(CastStep(Map("a" -> "int", "b" -> "double")),
+      VertexStep("v")))
+    val out = PipelineCompiler.compile(schema, res, df)
+    val f = out.vertex("v").schema
+    assert(f("a").dataType.typeName == "long")
+    assert(f("b").dataType.typeName == "double")
+  }
+
+  test("merge across repeated identities is order-sensitive last-wins") {
+    import spark.implicits._
+    val df = Seq((1L, "first"), (1L, "second")).toDF("k", "v")
+    val schema = sch(Seq(VertexDef("v", Seq(FieldDef("v")), Identity.Natural(Seq("k")))))
+    val res = ResourceDef("r", Seq(VertexStep("v")))
+    val out = PipelineCompiler.compile(schema, res, df)
+    val rows = out.vertex("v").collect()
+    assert(rows.length == 1)
+    // NOTE: both rows are separate documents; the later (larger _row_id) wins
+    assert(rows.head.getAs[String]("v") == "second")
+  }
+}
+
+/** avoid name clash with scalatest's === on eq/gt helpers */
+private object FilterExpr0 {
+  def gt(f: String, v: Any): graft.expr.FilterExpr = graft.expr.FilterExpr.gt(f, v)
+}
