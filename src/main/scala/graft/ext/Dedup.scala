@@ -66,10 +66,12 @@ object Dedup {
       maxShingleFreq: Long = 10000L
   ): DataFrame = {
     val sh = explodeShingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filtered = {
       val freq = sh.groupBy("shingle").agg(count(lit(1)).as("_f"))
         .where(col("_f") <= maxShingleFreq)
       sh.join(filtered_hint(freq.select("shingle")), Seq("shingle"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     val sizes = filtered.groupBy(idCol).agg(count(lit(1)).as("_sz"))
     val a = filtered.withColumnsRenamed(Map(idCol -> "id_a"))
@@ -129,6 +131,7 @@ object Dedup {
   ): DataFrame = {
     val cand = minhashCandidates(df, idCol, textCol, n, bands, rowsPerBand)
     val sh = explodeShingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("_sz"))
     val inter = cand
       .join(sh.withColumnsRenamed(Map(idCol -> "id_a")), Seq("id_a"))

@@ -84,17 +84,37 @@ object PipelineCompiler {
     // The document id must be IDENTICAL across every obs frame derived from
     // this base — but monotonically_increasing_id is assigned per evaluation,
     // and a shuffled input (e.g. an aggregate) has no deterministic row
-    // order, so the assembly self-joins would disagree on ids. Materialize
-    // the stamped base once before branching (one extra pass per batch —
-    // the reference's caster also materializes each batch,
-    // ingestion_parameters.py:129-133).
-    if (!base.isStreaming) {
+    // order, so the assembly self-joins would disagree on ids. A narrow
+    // chain over a file/local scan re-evaluates deterministically (fixed
+    // splits, fixed order) and can skip the materialization; anything with a
+    // shuffle (aggregate/join/repartition/window) is stamped once and
+    // persisted (one extra pass — the reference's caster also materializes
+    // each batch, ingestion_parameters.py:129-133).
+    if (!base.isStreaming && !isOrderStable(input)) {
       base = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       base.count(): Unit
     }
     val ctx = new Ctx(schema)
     walk(resource.steps, base, Nil, ctx)
     finish(ctx, resource)
+  }
+
+  /** True when re-evaluating the plan yields rows in the same order — i.e.
+    * the plan is a narrow chain (project/filter/generate/limit/sort) over
+    * leaf scans, with no shuffle whose partition-internal order is
+    * evaluation-dependent.
+    */
+  private def isOrderStable(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.analyzed.collectFirst {
+      case _: Aggregate => false
+      case _: Join => false
+      case _: Repartition => false
+      case _: RepartitionByExpression => false
+      case _: Window => false
+      case _: Distinct => false
+      case _: Deduplicate => false
+    }.isEmpty
   }
 
   /** `strip_trivial_top_level_fields` (runtime/resource.py:32-35): ""→null. */
@@ -385,10 +405,14 @@ object PipelineCompiler {
       val sKeys = e.sourceMatch.map(m => sv.secondaryByName(m).fields).getOrElse(idColsOf(sv))
       val tKeys = e.targetMatch.map(m => tv.secondaryByName(m).fields).getOrElse(idColsOf(tv))
 
+      // precompute the padded position string once per row (a join-condition
+      // expression would be re-evaluated per comparison in SMJ sorting)
       val left = sb.df.select(
-        (MetaCols.map(col) ++ sKeys.map(c => col(c).as(s"src_$c"))): _*)
+        (MetaCols.map(col) ++ Seq(posStr(col(PosCol)).as("_lps")) ++
+          sKeys.map(c => col(c).as(s"src_$c"))): _*)
       val right = db.df.select(
-        (MetaCols.map(c => col(c).as(s"__r_$c")) ++ tKeys.map(c => col(c).as(s"dst_$c"))): _*)
+        (MetaCols.map(c => col(c).as(s"__r_$c")) ++ Seq(posStr(col(PosCol)).as("_rps")) ++
+          tKeys.map(c => col(c).as(s"dst_$c"))): _*)
 
       val casting = e.casting match {
         case "auto" =>
@@ -397,17 +421,17 @@ object PipelineCompiler {
           else "product"
         case c => c
       }
-      val joined = casting match {
+      val joined = (casting match {
         case "pair" =>
           left.join(right, col(RowIdCol) === col(s"__r_$RowIdCol") &&
-            posStr(col(PosCol)) === posStr(col(s"__r_$PosCol")))
+            col("_lps") === col("_rps"))
         case "product" =>
           left.join(right, col(RowIdCol) === col(s"__r_$RowIdCol"))
         case "combinations" =>
           left.join(right, col(RowIdCol) === col(s"__r_$RowIdCol") &&
-            posStr(col(PosCol)) < posStr(col(s"__r_$PosCol")))
+            col("_lps") < col("_rps"))
         case other => throw new IllegalArgumentException(s"unknown casting: $other")
-      }
+      }).drop("_lps", "_rps")
 
       // attach relation/weight data carried from the intent's own location
       // (edge.py:326-424: relation_field and weights are read off the row at
