@@ -367,6 +367,80 @@ object GraftQueries {
         .orderBy("user_id")
     },
 
+    // §2.6 endpoint resolution: secondary identity → primary (policy all)
+    "q_endpoint_resolve" -> { (s, d) =>
+      import graft.store.EndpointResolve
+      val cust = t(s, d)("customer")
+      val edges = t(s, d)("orders")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey").as("src_o_orderkey"), col("c_name").as("dst_c_name"))
+      EndpointResolve.resolve(edges, cust, TpchGraph.schema.vertex("customer"),
+        "by_name", "dst_", AmbiguityPolicy.All)
+        .select("src_o_orderkey", "dst_c_custkey").orderBy("src_o_orderkey")
+    },
+
+    // §2.6 ambiguity policy `first`: deterministic candidate pick
+    "q_ambiguity_first" -> { (s, d) =>
+      import graft.store.EndpointResolve
+      val cust = t(s, d)("customer")
+      val edges = cust.select(col("c_mktsegment")).distinct()
+        .select(col("c_mktsegment").as("seg"), col("c_mktsegment").as("dst_c_mktsegment"))
+      EndpointResolve.resolve(edges, cust, TpchGraph.schema.vertex("customer"),
+        "by_segment", "dst_", AmbiguityPolicy.First)
+        .select("seg", "dst_c_custkey").orderBy("seg")
+    },
+
+    // extension: MinHash-LSH near-dup detection, verified by exact jaccard
+    "q_minhash_lsh" -> { (s, d) =>
+      Dedup.minhashNearDups(t(s, d)("documents").where(col("doc_id") < 200),
+        "doc_id", "text", n = 3, bands = 4, rowsPerBand = 4, minSim = 0.2)
+        .orderBy("id_a", "id_b")
+    },
+
+    // extension: embedding-cosine near-dup pairs (exact on a bounded set)
+    "q_cosine_neardup" -> { (s, d) =>
+      Similarity.cosineNearDups(t(s, d)("embeddings").where(col("vec_id") < 300),
+        "vec_id", "embedding", minCos = 0.38)
+        .orderBy("id_a", "id_b")
+    },
+
+    // extension: quality scoring composite
+    "q_quality_score" -> { (s, d) =>
+      t(s, d)("documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // §1.3 blank identity: deterministic synthetic ids, one per observation
+    "q_blank_identity" -> { (s, d) =>
+      val sch = GraphSchema(Seq(VertexDef("doc", Seq(FieldDef("doc_id")), Identity.Blank)))
+      val g = PipelineCompiler.compile(sch,
+        ResourceDef("r", Seq(VertexStep("doc"))), t(s, d)("documents"))
+      g.vertex("doc").agg(
+        count_distinct(col("_id")).as("n_ids"),
+        count(lit(1)).as("n_rows"))
+    },
+
+    // §2.12 identity inference: per-column uniqueness ratios
+    "q_identity_infer" -> { (s, d) =>
+      graft.infer.IdentityInference.uniquenessRatios(t(s, d)("customer"))
+        .orderBy("field")
+    },
+
+    // §2.12 cross-resource identity: value-overlap jaccard
+    "q_cross_resource_jaccard" -> { (s, d) =>
+      graft.infer.CrossResourceIdentity.valueJaccard(
+        t(s, d)("customer"), "c_custkey", t(s, d)("orders"), "o_custkey")
+    },
+
+    // streaming-equivalent batch semantics: sliding window
+    "q_window_sliding" -> { (s, d) =>
+      TpchGraph.eventsTable(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").getField("start").as("ws"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("ws")
+    },
+
     // flagship join-heavy aggregation (bench headline)
     "q_revenue_by_nation" -> { (s, d) =>
       val li = t(s, d)("lineitem"); val o = t(s, d)("orders")
@@ -656,6 +730,92 @@ object GraftQueries {
         |  epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT)
         |  AS n_sessions
         |FROM y GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_endpoint_resolve" ->
+      """SELECT o_orderkey AS src_o_orderkey, o_custkey AS dst_c_custkey FROM orders
+        |ORDER BY 1""".stripMargin,
+
+    "q_ambiguity_first" ->
+      """SELECT c_mktsegment AS seg, min(c_custkey) AS dst_c_custkey FROM customer
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_minhash_lsh" ->
+      """WITH sel AS (SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS nt
+        |  FROM documents WHERE doc_id < 200),
+        |tok AS (SELECT doc_id, string_split(nt, ' ') AS t FROM sel),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) u
+        |  WHERE len(t) >= 3),
+        |seeded AS (SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || shingle) AS h
+        |  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) seeds),
+        |mh AS (SELECT doc_id, seed, min(h) AS minhash FROM seeded GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, seed // 4 AS band,
+        |  md5(string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || minhash, '|'
+        |    ORDER BY lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || minhash)) AS bsig
+        |  FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bs a JOIN bs b ON a.band = b.band AND a.bsig = b.bsig
+        |    AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT c.id_a, c.id_b, count(*) AS c FROM cand c
+        |  JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+        |    AND a.shingle = b.shingle
+        |  GROUP BY 1, 2)
+        |SELECT i.id_a, i.id_b,
+        |  round(c::DOUBLE / (sa.sz + sb.sz - c), 4) AS jaccard
+        |FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
+        |WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.2 ORDER BY 1, 2""".stripMargin,
+
+    "q_cosine_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 4)
+        |    AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.38 ORDER BY 1, 2""".stripMargin,
+
+    "q_quality_score" ->
+      """WITH tok AS (SELECT doc_id, text,
+        |  string_split_regex(trim(lower(text)), '\s+') AS t FROM documents)
+        |SELECT doc_id, round(
+        |  (CASE WHEN len(t) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.25 +
+        |  (1.0 - least(CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 4, 1.0)) * 0.25 +
+        |  (1.0 - least(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 4, 1.0)) * 0.25 +
+        |  least(CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1) * 2, 1.0) * 0.25
+        |, 4) AS quality FROM tok ORDER BY doc_id""".stripMargin,
+
+    "q_blank_identity" ->
+      """SELECT count(*) AS n_ids, count(*) AS n_rows FROM documents""",
+
+    "q_identity_infer" ->
+      """SELECT 'c_acctbal' AS field, round(count(DISTINCT c_acctbal)::DOUBLE / count(*), 4) AS ratio FROM customer
+        |UNION ALL SELECT 'c_custkey', round(count(DISTINCT c_custkey)::DOUBLE / count(*), 4) FROM customer
+        |UNION ALL SELECT 'c_mktsegment', round(count(DISTINCT c_mktsegment)::DOUBLE / count(*), 4) FROM customer
+        |UNION ALL SELECT 'c_name', round(count(DISTINCT c_name)::DOUBLE / count(*), 4) FROM customer
+        |UNION ALL SELECT 'c_nationkey', round(count(DISTINCT c_nationkey)::DOUBLE / count(*), 4) FROM customer
+        |ORDER BY field""".stripMargin,
+
+    "q_cross_resource_jaccard" ->
+      """WITH va AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS v FROM customer
+        |  WHERE c_custkey IS NOT NULL),
+        |vb AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v FROM orders
+        |  WHERE o_custkey IS NOT NULL)
+        |SELECT 'c_custkey' AS col_a, 'o_custkey' AS col_b,
+        |  round((SELECT count(*) FROM va WHERE v IN (SELECT v FROM vb))::DOUBLE /
+        |    (SELECT count(*) FROM (SELECT v FROM va UNION SELECT v FROM vb)), 4)
+        |  AS jaccard""".stripMargin,
+
+    "q_window_sliding" ->
+      """WITH x AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |w AS (SELECT make_timestamp(CAST((floor(epoch(ts) / 1800) * 1800 - i * 1800)
+        |    AS BIGINT) * 1000000) AS ws
+        |  FROM x, (SELECT unnest([0, 1]) AS i) offs)
+        |SELECT ws, count(*) AS cnt FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_revenue_by_nation" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

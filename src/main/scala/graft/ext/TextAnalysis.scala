@@ -74,15 +74,24 @@ object TextAnalysis {
   }
 
   /** Scalar quality score in [0,1]: penalize extreme lengths, high punct /
-    * digit ratios, low vocabulary diversity.
+    * digit ratios, low vocabulary diversity. Computed from RAW ratios (no
+    * intermediate rounding): pre-rounded ratios land the final sum exactly
+    * on decimal rounding boundaries, where engines disagree on the last
+    * digit; raw IEEE arithmetic in a fixed order is bit-reproducible in any
+    * engine, so the single final round is stable.
     */
   def qualityScore(c: Column): Column = {
-    val f = qualityFeatures(c)
-    val lenOk = when(f.getField("n_tokens").between(5, 100000), 1.0).otherwise(0.3)
-    val punctOk = lit(1.0) - least(f.getField("punct_ratio") * 4, lit(1.0))
-    val digitOk = lit(1.0) - least(f.getField("digit_ratio") * 4, lit(1.0))
-    val divOk = least(f.getField("distinct_token_ratio") * 2, lit(1.0))
-    round((lenOk * 0.25 + punctOk * 0.25 + digitOk * 0.25 + divOk * 0.25), 4)
+    val n = greatest(length(c), lit(1)).cast("double")
+    val toks = tokens(c)
+    val nToks = greatest(size(toks), lit(1)).cast("double")
+    val punct = length(regexp_replace(c, "[^\\p{Punct}]", "")).cast("double") / n
+    val digit = length(regexp_replace(c, "[^0-9]", "")).cast("double") / n
+    val dr = size(array_distinct(toks)).cast("double") / nToks
+    val lenOk = when(size(toks).between(5, 100000), 1.0).otherwise(0.3)
+    val punctOk = lit(1.0) - least(punct * 4, lit(1.0))
+    val digitOk = lit(1.0) - least(digit * 4, lit(1.0))
+    val divOk = least(dr * 2, lit(1.0))
+    round(lenOk * 0.25 + punctOk * 0.25 + digitOk * 0.25 + divOk * 0.25, 4)
   }
 
   /** Document fingerprint: md5 of normalized text (whole-doc), plus a

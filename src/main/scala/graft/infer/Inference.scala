@@ -1,0 +1,130 @@
+package graft.infer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+
+/** Identity & schema inference — the reference's §2.12 surface re-expressed
+  * as DataFrame aggregations (all of it is sampling + ratio heuristics).
+  */
+object IdentityInference {
+
+  /** Per-column uniqueness ratios from data — the core signal of the
+    * reference's identity inference (graflo/db/identity_inference.py:1-461,
+    * sampler.py:99-407): ratio = distinct/count. One aggregation pass over
+    * all columns (no per-column jobs), melted to (field, ratio) rows.
+    */
+  def uniquenessRatios(df: DataFrame): DataFrame = {
+    val n = greatest(count(lit(1)), lit(1L)).cast("double")
+    val aggs: Seq[Column] = df.columns.toSeq.flatMap { c =>
+      Seq(round(count_distinct(col(c)).cast("double") / n, 4).as(s"__r_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = df.columns.toSeq.map(c =>
+      struct(lit(c).as("field"), col(s"__r_$c").as("ratio")))
+    one.select(explode(array(pairs: _*)).as("kv"))
+      .select(col("kv.field").as("field"), col("kv.ratio").as("ratio"))
+  }
+
+  /** Propose identity fields: all columns whose uniqueness ratio ≥ threshold
+    * (the reference proposes the minimal near-unique set; single-column
+    * candidates cover its common case).
+    */
+  def proposeIdentity(df: DataFrame, threshold: Double = 0.999): Seq[String] =
+    uniquenessRatios(df).where(col("ratio") >= threshold)
+      .orderBy(col("ratio").desc, col("field"))
+      .collect().map(_.getString(0)).toSeq
+}
+
+/** Cross-resource identity alignment (graflo/db/cross_resource_identity.py:
+  * 74-790): align columns across resources by name similarity + value
+  * Jaccard, to propose a shared natural key.
+  */
+object CrossResourceIdentity {
+
+  /** Value-overlap Jaccard between two columns (distinct string-cast
+    * values): |A∩B| / |A∪B| (`value_jaccard`, cross_resource_identity.py:116).
+    */
+  def valueJaccard(a: DataFrame, colA: String, b: DataFrame, colB: String): DataFrame = {
+    val va = a.select(col(colA).cast("string").as("v")).where(col("v").isNotNull).distinct()
+    val vb = b.select(col(colB).cast("string").as("v")).where(col("v").isNotNull).distinct()
+    val inter = va.join(vb, Seq("v"), "left_semi").count()
+    val union = va.union(vb).distinct().count()
+    val j = if (union == 0) 0.0 else inter.toDouble / union
+    val spark = a.sparkSession
+    import spark.implicits._
+    Seq((colA, colB, math.rint(j * 10000) / 10000)).toDF("col_a", "col_b", "jaccard")
+  }
+
+  /** Jaro-free name similarity: normalized longest-common-subsequence over
+    * snake-cased names (the reference uses fuzzy token matching,
+    * inference_utils.py:15-67 — any deterministic similarity serves the
+    * heuristic).
+    */
+  def nameSimilarity(a: String, b: String): Double = {
+    val x = a.toLowerCase.replaceAll("[^a-z0-9]", "")
+    val y = b.toLowerCase.replaceAll("[^a-z0-9]", "")
+    if (x.isEmpty || y.isEmpty) return 0.0
+    val dp = Array.ofDim[Int](x.length + 1, y.length + 1)
+    for (i <- 1 to x.length; j <- 1 to y.length)
+      dp(i)(j) = if (x(i - 1) == y(j - 1)) dp(i - 1)(j - 1) + 1
+        else math.max(dp(i - 1)(j), dp(i)(j - 1))
+    2.0 * dp(x.length)(y.length) / (x.length + y.length)
+  }
+
+  /** Propose aligned key candidates across two resources: column pairs
+    * ranked by name similarity then value Jaccard (the `_search_shared_key`
+    * idea, cross_resource_identity.py:439).
+    */
+  def proposeSharedKey(
+      a: DataFrame, b: DataFrame,
+      minNameSim: Double = 0.5, minJaccard: Double = 0.5
+  ): Seq[(String, String, Double)] = {
+    val pairs = for {
+      ca <- a.columns.toSeq; cb <- b.columns.toSeq
+      ns = nameSimilarity(ca, cb) if ns >= minNameSim
+    } yield (ca, cb, ns)
+    pairs.flatMap { case (ca, cb, _) =>
+      val j = valueJaccard(a, ca, b, cb).collect().head.getDouble(2)
+      if (j >= minJaccard) Some((ca, cb, j)) else None
+    }.sortBy(-_._3)
+  }
+}
+
+/** Relational-3NF schema inference (graflo/db/postgres/schema_inference.py:
+  * 25-400): vertex tables (single PK) vs edge tables (two FKs), driven by
+  * catalog metadata rows rather than a live PG connection — the heuristics
+  * are identical, the catalog source is a DataFrame (JDBC
+  * information_schema, or anything shaped like it).
+  */
+object RelationalInference {
+  /** One row per column: (table, column, isPrimaryKey, fkTargetTable). */
+  final case class CatalogColumn(table: String, column: String,
+      isPk: Boolean, fkTable: Option[String])
+
+  def infer(catalog: Seq[CatalogColumn]): GraphSchema = {
+    val byTable = catalog.groupBy(_.table)
+    val (edgeTables, vertexTables) = byTable.partition { case (_, cols) =>
+      // edge table: exactly two FK columns and no data identity of its own
+      cols.count(_.fkTable.isDefined) == 2 && cols.count(_.isPk) <= 1
+    }
+    val vertices = vertexTables.map { case (t, cols) =>
+      val pk = cols.filter(_.isPk).map(_.column)
+      VertexDef(t,
+        cols.filterNot(_.isPk).map(c => FieldDef(c.column)).toSeq,
+        if (pk.nonEmpty) Identity.Natural(pk.toSeq) else Identity.Hash(cols.map(_.column).toSeq))
+    }.toSeq.sortBy(_.name)
+    val edges = edgeTables.flatMap { case (t, cols) =>
+      val fks = cols.filter(_.fkTable.isDefined).toSeq
+      for {
+        s <- fks.headOption; tg <- fks.lift(1)
+        st <- s.fkTable; tt <- tg.fkTable
+        if vertices.exists(_.name == st) && vertices.exists(_.name == tt)
+      } yield EdgeDef(st, tt, t,
+        properties = cols.filterNot(_.fkTable.isDefined).filterNot(_.isPk)
+          .map(c => FieldDef(c.column)).toSeq)
+    }.toSeq.sortBy(_.relation)
+    GraphSchema(vertices, edges)
+  }
+}

