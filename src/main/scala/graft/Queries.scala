@@ -441,6 +441,39 @@ object GraftQueries {
         .orderBy("ws")
     },
 
+    // §2.4 string transform family: split_keep_part / try_int / remove_prefix
+    "q_transform_strings" -> { (s, d) =>
+      t(s, d)("customer").select(col("c_custkey"),
+        TransformLib.splitKeepPart(col("c_name"), "#", 0).as("part0"),
+        TransformLib.tryInt(TransformLib.splitKeepPart(col("c_name"), "#", 1)).as("num"),
+        TransformLib.removePrefix(col("c_name"), "Customer#").as("stripped"))
+        .orderBy("c_custkey")
+    },
+
+    // extension: winnowing-style document fingerprint (k smallest shingle hashes)
+    "q_winnow_fingerprint" -> { (s, d) =>
+      t(s, d)("documents").select(col("doc_id"),
+        TextAnalysis.winnowFingerprint(col("text"), 3, 4).as("winnow"))
+        .orderBy("doc_id")
+    },
+
+    // extension: SimHash near-dups (xxhash64-based — no SQL oracle, rows-only)
+    "q_simhash_neardup" -> { (s, d) =>
+      Dedup.simhashNearDups(t(s, d)("documents").where(col("doc_id") < 200),
+        "doc_id", "text", maxHamming = 12)
+        .orderBy("id_a", "id_b")
+    },
+
+    // extension: LSH-bucketed ANN top-k (approximate — no oracle, rows-only)
+    "q_ann_topk" -> { (s, d) =>
+      val emb = t(s, d)("embeddings")
+      Similarity.annTopK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding",
+        k = 5, bits = 6, dim = 64, multiprobe = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    },
+
     // flagship join-heavy aggregation (bench headline)
     "q_revenue_by_nation" -> { (s, d) =>
       val li = t(s, d)("lineitem"); val o = t(s, d)("orders")
@@ -816,6 +849,25 @@ object GraftQueries {
         |    AS BIGINT) * 1000000) AS ws
         |  FROM x, (SELECT unnest([0, 1]) AS i) offs)
         |SELECT ws, count(*) AS cnt FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_transform_strings" ->
+      """SELECT c_custkey, split_part(c_name, '#', 1) AS part0,
+        |TRY_CAST(split_part(c_name, '#', 2) AS BIGINT) AS num,
+        |CASE WHEN starts_with(c_name, 'Customer#') THEN substr(c_name, 10)
+        |     ELSE c_name END AS stripped
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_winnow_fingerprint" ->
+      """WITH tok AS (SELECT doc_id,
+        |  string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(t)-2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |  ELSE [] END AS shingles FROM tok)
+        |SELECT doc_id, array_to_string(
+        |  list_sort(list_transform(shingles, x -> md5(x)))[1:4], '|') AS winnow
+        |FROM sh ORDER BY doc_id""".stripMargin,
 
     "q_revenue_by_nation" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -1,0 +1,90 @@
+package graft.rdf
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+
+/** RDF surface (reference graflo/data_source/rdf.py:64-424 +
+  * graflo/hq/rdf_inferencer.py:98-260), Spark-first: no rdflib — N-Triples
+  * parse as a columnar regexp over lines, subject-grouping as a groupBy, and
+  * OWL/RDFS TBox inference as plain filters over the triple DataFrame.
+  */
+object Rdf {
+
+  val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  val OwlClass = "http://www.w3.org/2002/07/owl#Class"
+  val OwlObjectProperty = "http://www.w3.org/2002/07/owl#ObjectProperty"
+  val OwlDatatypeProperty = "http://www.w3.org/2002/07/owl#DatatypeProperty"
+  val RdfsDomain = "http://www.w3.org/2000/01/rdf-schema#domain"
+  val RdfsRange = "http://www.w3.org/2000/01/rdf-schema#range"
+
+  /** Parse N-Triples lines into (s, p, o, isLiteral). Handles IRIs
+    * `<...>` and literals `"..."` (language tags / datatypes stripped —
+    * same normalization the reference applies when grouping into docs).
+    */
+  def parseNTriples(lines: DataFrame): DataFrame = {
+    val line = trim(col(lines.columns.head))
+    lines.select(
+      regexp_extract(line, "^<([^>]+)>", 1).as("s"),
+      regexp_extract(line, "^<[^>]+>\\s+<([^>]+)>", 1).as("p"),
+      regexp_extract(line, "^<[^>]+>\\s+<[^>]+>\\s+(.+?)\\s*\\.\\s*$", 1).as("oraw"))
+      .where(col("s") =!= "" && col("p") =!= "")
+      .withColumn("isLiteral", !col("oraw").startsWith("<"))
+      .withColumn("o",
+        when(col("isLiteral"), regexp_extract(col("oraw"), "^\"(.*)\"", 1))
+          .otherwise(regexp_extract(col("oraw"), "^<([^>]+)>", 1)))
+      .drop("oraw")
+  }
+
+  def readNTriples(spark: SparkSession, path: String): DataFrame =
+    parseNTriples(spark.read.text(path))
+
+  /** Group triples per subject into documents (reference rdf.py: triples
+    * grouped per subject into docs): one row per subject with a
+    * predicate→values map. Local names (fragment after #/ last /) are used
+    * as field names, mirroring the reference's doc keys.
+    */
+  def triplesToDocs(triples: DataFrame): DataFrame = {
+    val local = (c: org.apache.spark.sql.Column) =>
+      element_at(split(c, "[#/]"), -1)
+    triples
+      .groupBy(col("s").as("id"))
+      .agg(map_from_entries(array_distinct(collect_list(
+        struct(local(col("p")).as("k"), col("o").as("v"))))).as("props"))
+  }
+
+  /** OWL/RDFS TBox inference (rdf_inferencer.py:98-260): owl:Class →
+    * vertex, owl:ObjectProperty (+domain/range) → edge (self-loops allowed),
+    * owl:DatatypeProperty (+domain) → field on the domain vertex.
+    */
+  def inferSchema(triples: DataFrame): GraphSchema = {
+    def local(u: String) = u.split("[#/]").last
+    val typed = triples.where(col("p") === RdfType)
+      .select(col("s"), col("o")).collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val classes = typed.filter(_._2 == OwlClass).map(_._1)
+    val objProps = typed.filter(_._2 == OwlObjectProperty).map(_._1).toSet
+    val dataProps = typed.filter(_._2 == OwlDatatypeProperty).map(_._1).toSet
+    val domains = triples.where(col("p") === RdfsDomain)
+      .select("s", "o").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val ranges = triples.where(col("p") === RdfsRange)
+      .select("s", "o").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    val fieldsByClass = dataProps.toSeq.flatMap { dp =>
+      domains.get(dp).map(d => local(d) -> FieldDef(local(dp)))
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+    val vertices = classes.map(local).sorted.map { c =>
+      VertexDef(c, fieldsByClass.getOrElse(c, Nil), Identity.Natural(Seq("id")))
+    }
+    val vnames = vertices.map(_.name).toSet
+    val edges = objProps.toSeq.sorted.flatMap { op =>
+      for {
+        d <- domains.get(op).map(local) if vnames(d)
+        r <- ranges.get(op).map(local) if vnames(r)
+      } yield EdgeDef(d, r, local(op))
+    }
+    GraphSchema(vertices.toSeq, edges)
+  }
+}

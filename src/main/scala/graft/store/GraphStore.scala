@@ -118,12 +118,43 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
     flip(dir, next)
   }
 
+  /** Replace a collection wholesale (schema-migration rewrites,
+    * graft.evolve.Evolution.migrateStore).
+    */
+  def overwriteVertices(name: String, df: DataFrame): Unit = {
+    val dir = vdir(name)
+    val next = currentVersion(dir).getOrElse(-1) + 1
+    df.write.mode("overwrite").parquet(s"$dir/v$next")
+    flip(dir, next)
+  }
+
+  /** Collections currently present (INDEX listing). */
+  def vertexCollections: Seq[String] = listDir("vertices")
+  def edgeCollections: Seq[String] = listDir("edges")
+  private def listDir(sub: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val d = Paths.get(s"$root/$sub")
+    if (!Files.exists(d)) Nil
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala.map(_.getFileName.toString).toList.sorted
+      finally s.close()
+    }
+  }
+
   /** Write a whole GraphOutput: vertices first (upsert), then edges with
     * secondary-identity endpoint resolution — the reference's write order
     * (graflo/hq/db_writer.py:91-134). With DataFrames the "DB state
     * dependency" is just a join against the post-upsert vertex data.
     */
-  def write(g: GraphOutput): Unit = {
+  def write(g: GraphOutput): Unit = write(g, dry = false)
+
+  /** `dry = true` mirrors the reference's dry run
+    * (graflo/hq/ingestion_parameters.py:155): execute the full plan (counts
+    * force evaluation) but mutate nothing.
+    */
+  def write(g: GraphOutput, dry: Boolean): Unit = {
+    if (dry) { g.sizes(): Unit; return }
     g.vertices.foreach { case (name, df) => upsertVertices(name, df) }
     g.edges.foreach { case (k, df) =>
       val edef = schema.edgeByKey.getOrElse(k, EdgeDef(k.source, k.target, k.relation))
@@ -170,6 +201,32 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
   def keepAbsent(name: String, probe: DataFrame): DataFrame = {
     val keys = schema.vertex(name).idColumns
     probe.join(vertices(name), keys, "left_anti")
+  }
+}
+
+/** Graph→graph migration (reference `migrate_graph`,
+  * graflo/hq/graph_engine.py:690-759 + graph introspection,
+  * graflo/db/graph_introspection.py): export every collection from one store
+  * and upsert into another. With DataFrames the "introspection" is just the
+  * INDEX listing; per-collection reads/writes stream through Spark with no
+  * driver materialization.
+  */
+object GraphMigration {
+  def migrate(src: GraphStore, dst: GraphStore): Map[String, Long] = {
+    val vCounts = src.vertexCollections.map { name =>
+      val df = src.vertices(name)
+      dst.upsertVertices(name, df)
+      s"vertices/$name" -> df.count()
+    }
+    val eCounts = src.edgeCollections.flatMap { storeName =>
+      src.schema.edges.find(_.key.storeName == storeName).map { e =>
+        val df = src.edges(e.key)
+        dst.insertEdges(e.key, df)
+        s"edges/$storeName" -> df.count()
+      }
+    }
+    dst.writeIndex()
+    (vCounts ++ eCounts).toMap
   }
 }
 

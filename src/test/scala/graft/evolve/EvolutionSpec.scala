@@ -1,0 +1,99 @@
+package graft.evolve
+
+import graft.SparkSpec
+import graft.model._
+import graft.store.{GraphStore, GraphMigration}
+import java.nio.file.Files
+
+class EvolutionSpec extends SparkSpec {
+  import EvolutionOp._
+
+  private val base = GraphSchema(
+    vertices = Seq(
+      VertexDef("person", Seq(FieldDef("name"), FieldDef("age")),
+        Identity.Natural(Seq("pid"))),
+      VertexDef("city", Seq(FieldDef("cname")), Identity.Natural(Seq("cid")))),
+    edges = Seq(EdgeDef("person", "city", "lives_in")))
+
+  test("vertex ops: add/remove (cascade)/rename rewrite edges") {
+    val s1 = Evolution(base, Seq(RenameVertex("person", "human")))
+    assert(s1.vertexByName.contains("human"))
+    assert(s1.edges.head.source == "human")
+    val s2 = Evolution(base, Seq(RemoveVertex("city")))
+    assert(s2.edges.isEmpty) // cascade
+    val s3 = Evolution(base, Seq(AddVertex(VertexDef("country", Nil, Identity.Blank))))
+    assert(s3.vertices.size == 3)
+  }
+
+  test("property + identity ops") {
+    val s = Evolution(base, Seq(
+      AddProperty("person", FieldDef("email")),
+      RemoveProperty("person", "age"),
+      RenameProperty("person", "name", "full_name"),
+      SetFieldType("person", "full_name", FieldType.StringT),
+      ReplaceIdentity("person", Identity.Hash(Seq("full_name"))),
+      AddSecondaryIdentity("person", SecondaryIdentity("by_email", Seq("email")))))
+    val p = s.vertex("person")
+    assert(p.properties.map(_.name) == Seq("full_name", "email"))
+    assert(p.identity == Identity.Hash(Seq("full_name")))
+    assert(p.secondary.map(_.name) == Seq("by_email"))
+  }
+
+  test("edge ops: rename relation, retarget, inverse") {
+    val k = EdgeKey("person", "city", "lives_in")
+    val s = Evolution(base, Seq(
+      RenameRelation(k, "resides_in"),
+      InverseEdge(EdgeKey("person", "city", "resides_in"), "home_of")))
+    assert(s.edgeByKey.contains(EdgeKey("person", "city", "resides_in")))
+    assert(s.edgeByKey.contains(EdgeKey("city", "person", "home_of")))
+  }
+
+  test("diff autogenerates the op chain between two schemas") {
+    val target = Evolution(base, Seq(
+      AddVertex(VertexDef("country", Nil, Identity.Blank)),
+      AddProperty("person", FieldDef("email")),
+      RemoveProperty("city", "cname"),
+      ReplaceIdentity("person", Identity.Hash(Seq("name")))))
+    val ops = Evolution.diff(base, target)
+    assert(Evolution(base, ops).vertexByName.keySet == target.vertexByName.keySet)
+    assert(Evolution(base, ops).vertex("person").identity == Identity.Hash(Seq("name")))
+  }
+
+  test("migrateStore rewrites data for rename/remove property and re-keys identity") {
+    import spark.implicits._
+    val store = new GraphStore(
+      Files.createTempDirectory("graft-evo").toString, base, spark)
+    store.upsertVertices("person",
+      Seq((1L, "ann", 30L), (2L, "bob", 40L)).toDF("pid", "name", "age"))
+    Evolution.migrateStore(store, Seq(
+      RenameProperty("person", "name", "full_name"),
+      RemoveProperty("person", "age")))
+    val cols = store.vertices("person").columns.toSet
+    assert(cols.contains("full_name") && !cols.contains("age") && !cols.contains("name"))
+  }
+
+  test("graph→graph migration copies all collections") {
+    import spark.implicits._
+    val src = new GraphStore(Files.createTempDirectory("graft-mig-src").toString, base, spark)
+    val dst = new GraphStore(Files.createTempDirectory("graft-mig-dst").toString, base, spark)
+    src.upsertVertices("person", Seq((1L, "ann", 30L)).toDF("pid", "name", "age"))
+    src.upsertVertices("city", Seq((7L, "rome")).toDF("cid", "cname"))
+    src.insertEdges(EdgeKey("person", "city", "lives_in"),
+      Seq((1L, 7L)).toDF("src_pid", "dst_cid"))
+    val counts = GraphMigration.migrate(src, dst)
+    assert(counts == Map("vertices/person" -> 1L, "vertices/city" -> 1L,
+      "edges/person__lives_in__city" -> 1L))
+    assert(dst.vertices("city").count() == 1)
+  }
+
+  test("dry run executes the plan but mutates nothing") {
+    import spark.implicits._
+    val store = new GraphStore(Files.createTempDirectory("graft-dry").toString, base, spark)
+    val g = graft.graph.GraphOutput(
+      Map("person" -> Seq((1L, "ann", 30L)).toDF("pid", "name", "age")), Map.empty)
+    store.write(g, dry = true)
+    assert(store.readVertices("person").isEmpty)
+    store.write(g, dry = false)
+    assert(store.vertices("person").count() == 1)
+  }
+}
