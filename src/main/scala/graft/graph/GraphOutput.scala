@@ -18,7 +18,12 @@ import graft.model.EdgeKey
   */
 final case class GraphOutput(
     vertices: Map[String, DataFrame],
-    edges: Map[EdgeKey, DataFrame]
+    edges: Map[EdgeKey, DataFrame],
+    /** tolerated transform-failure records (lineage, label, input) — the
+      * reference's doc-error sink (graflo/hq/doc_error_sink.py) as a
+      * side-output DataFrame per resource.
+      */
+    errors: Map[String, DataFrame] = Map.empty
 ) {
 
   def vertex(name: String): DataFrame =
@@ -47,7 +52,8 @@ final case class GraphOutput(
           case _                  => throw new IllegalStateException
         })
       }.toMap
-    GraphOutput(merge(vertices, other.vertices), mergeE(edges, other.edges))
+    GraphOutput(merge(vertices, other.vertices), mergeE(edges, other.edges),
+      merge(errors, other.errors))
   }
 
   /** Golden-size view (the reference's `*_sizes.yaml` test pattern). */

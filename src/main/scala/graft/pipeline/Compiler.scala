@@ -73,6 +73,8 @@ object PipelineCompiler {
     val intents = mutable.ArrayBuffer.empty[EdgeIntentRec]
     /** router role slot → produced (vertexType, obs) (vertex_router.py:34-168) */
     val roleSlots = mutable.Map.empty[String, mutable.ArrayBuffer[VertexObs]]
+    /** tolerated transform failures (actor/transform.py:276-294) */
+    val errors = mutable.ArrayBuffer.empty[DataFrame]
     var seq = 0
     def nextSeq(): Int = { seq += 1; seq }
   }
@@ -129,7 +131,7 @@ object PipelineCompiler {
     var cur = frame
     steps.foreach {
       case d: Descend          => descend(d, cur, loc, ctx) // children use sub-frame; parent frame unchanged
-      case t: TransformStep    => cur = transform(t, cur)
+      case t: TransformStep    => cur = transform(t, cur, ctx)
       case v: VertexStep       => vertexStep(v, cur, loc, ctx)
       case r: VertexRouterStep => routerStep(r, cur, loc, ctx)
       case e: EdgeStep         => ctx.intents += mkIntent(e, cur, loc)
@@ -201,7 +203,29 @@ object PipelineCompiler {
   }
 
   /** TransformActor (actor/transform.py:27-309). */
-  private def transform(t: TransformStep, frame: DataFrame): DataFrame =
+  private def transform(t: TransformStep, frame0: DataFrame, ctx: Ctx): DataFrame = {
+    // failure tolerance: compute each output into a probe column first; rows
+    // where the input was present but the result is null are failures —
+    // planned outputs stay null (they already are) and a failure record with
+    // lineage + label + offending input goes to the error side-channel.
+    val frame = if (!t.errorTolerant || t.strategy != "each") frame0 else {
+      val fn: Column => Column = t.inline.map(f => (c: Column) => f(Seq(c)))
+        .getOrElse(TransformRegistry.unary(t.fn))
+      val outs = if (t.output.nonEmpty) t.output else t.input
+      t.input.zip(outs).foreach { case (i, _) =>
+        val probe = fn(col(i))
+        ctx.errors += frame0
+          .where(col(i).isNotNull && probe.isNull)
+          .select(col(RowIdCol), posStr(col(PosCol)).as("_pos_str"),
+            lit(if (t.label.nonEmpty) t.label else t.fn).as("label"),
+            lit(i).as("input_field"), col(i).cast("string").as("input_value"))
+      }
+      frame0
+    }
+    transformApply(t, frame)
+  }
+
+  private def transformApply(t: TransformStep, frame: DataFrame): DataFrame =
     t.dress match {
       case Some((keyName, valName)) =>
         // dress pivot/melt (transform.py:95-109): each input field becomes a
@@ -353,6 +377,21 @@ object PipelineCompiler {
           EdgeStep(source = e.source, target = e.target, relation = e.relation), Nil, None))
       }
 
+    // error side-channel + budget (max_doc_errors, ingestion_parameters.py)
+    val errors: Map[String, DataFrame] =
+      if (ctx.errors.isEmpty) Map.empty
+      else {
+        val all = ctx.errors.reduceLeft(_.unionByName(_, allowMissingColumns = true))
+        resource.maxDocErrors.foreach { budget =>
+          val nDocs = all.select(RowIdCol).distinct().count()
+          if (nDocs > budget)
+            throw new IllegalStateException(
+              s"resource ${resource.name}: $nDocs documents with tolerated errors " +
+                s"exceeds max_doc_errors=$budget")
+        }
+        Map(resource.name -> all)
+      }
+
     val edges = (explicit ++ inferred).groupBy(_._1).map { case (k, dfs) =>
       val vdefS = schema.vertex(k.source); val vdefT = schema.vertex(k.target)
       val edef = schema.edgeByKey.getOrElse(k, EdgeDef(k.source, k.target, k.relation))
@@ -373,7 +412,7 @@ object PipelineCompiler {
       k -> (if (dedupCols.nonEmpty) kept.dropDuplicates(dedupCols) else kept.dropDuplicates())
     }
 
-    GraphOutput(vertices, edges)
+    GraphOutput(vertices, edges, errors)
   }
 
   private def idColsOf(v: VertexDef): Seq[String] = v.idColumns

@@ -41,7 +41,14 @@ final case class TransformStep(
     output: Seq[String] = Nil,
     strategy: String = "each", // each | single
     inline: Option[Seq[Column] => Column] = None,
-    dress: Option[(String, String)] = None // (keyColName, valueColName)
+    dress: Option[(String, String)] = None, // (keyColName, valueColName)
+    /** failure tolerance (reference actor/transform.py:276-294): a failed
+      * per-row transform nulls the planned outputs and emits a failure record
+      * (lineage + label + offending input) on the error side-channel instead
+      * of aborting the batch.
+      */
+    errorTolerant: Boolean = false,
+    label: String = ""
 ) extends Step
 
 /** Project the current observation into a vertex document
@@ -117,5 +124,10 @@ final case class ResourceDef(
     /** edge-inference selectors (contract/ingestion/resource.py:63-88) */
     inferEdges: Boolean = true,
     inferEdgeOnly: Seq[(String, String)] = Nil,
-    inferEdgeExcept: Seq[(String, String)] = Nil
+    inferEdgeExcept: Seq[(String, String)] = Nil,
+    /** error budget: abort when more than this many documents produced
+      * tolerated failures (reference `max_doc_errors`,
+      * ingestion_parameters.py:199-209).
+      */
+    maxDocErrors: Option[Long] = None
 )

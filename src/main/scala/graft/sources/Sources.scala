@@ -130,6 +130,49 @@ final case class SelectSpec(
   }
 }
 
+/** JDBC source — the reference's `SQLDataSource`
+  * (graflo/data_source/sql.py:44-150): parameterized query with server-side
+  * streaming. `spark.read.jdbc` already streams with partitioned reads; the
+  * Decimal→float normalization is a cast pass. Offline container has no DB —
+  * exercised through the same `SelectSpec` path that a live JDBC DataFrame
+  * would flow through.
+  */
+object JdbcSource {
+  def read(
+      spark: SparkSession,
+      url: String,
+      query: String,
+      partitionColumn: Option[String] = None,
+      numPartitions: Int = 8,
+      lowerBound: Long = 0L,
+      upperBound: Long = Long.MaxValue,
+      properties: java.util.Properties = new java.util.Properties()
+  ): DataFrame = {
+    val reader = spark.read.format("jdbc")
+      .option("url", url)
+      .option("query", query)
+    val partitioned = partitionColumn match {
+      case Some(c) => reader
+        .option("partitionColumn", c)
+        .option("numPartitions", numPartitions)
+        .option("lowerBound", lowerBound)
+        .option("upperBound", upperBound)
+      case None => reader
+    }
+    normalizeDecimals(partitioned.load())
+  }
+
+  /** Decimal→double normalization (sql.py Decimal→float). */
+  def normalizeDecimals(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.DecimalType =>
+          d.withColumn(f.name, col(f.name).cast("double"))
+        case _ => d
+      }
+    }
+}
+
 /** In-memory source (reference graflo/data_source/memory.py): rows+columns →
   * DataFrame.
   */
