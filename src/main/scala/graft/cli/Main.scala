@@ -1,0 +1,68 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.fixtures.TpchGraph
+import graft.model.EdgeKey
+import graft.query._
+import graft.store.{GraphStore, GraphMigration}
+import graft.expr.FilterExpr
+
+/** CLI entry points mirroring the reference's console scripts
+  * (pyproject.toml [project.scripts]: ingest, migrate_schema, ...) as one
+  * spark-submit main with subcommands:
+  *
+  *   ingest  <sfDir> <storeDir> [--dry]     full manifest ingest → store
+  *   node    <storeDir> <vertex> [limit]    NodeQuery against the store
+  *   agg     <storeDir> <vertex> <disc>     COUNT-by AggregateQuery
+  *   bfs     <storeDir> <vertex> <key>=<v> <hops>
+  *   migrate <srcStore> <dstStore>          graph→graph migration
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.toList)
+    finally spark.stop()
+  }
+
+  private def run(spark: SparkSession, args: List[String]): Unit = args match {
+    case "ingest" :: sfDir :: storeDir :: rest =>
+      val store = new GraphStore(storeDir, TpchGraph.schema, spark)
+      val g = TpchGraph.ingest(spark, sfDir)
+      store.write(g, dry = rest.contains("--dry"))
+      println(s"""{"ingested": ${g.vertices.size} vertex + ${g.edges.size} edge collections, "dry": ${rest.contains("--dry")}}""")
+    case "node" :: storeDir :: vertex :: rest =>
+      val store = new GraphStore(storeDir, TpchGraph.schema, spark)
+      val reader = new GraphReader(TpchGraph.schema, store.vertices, store.readEdges)
+      reader.node(NodeQuery(vertex, limit = rest.headOption.map(_.toInt))).show(false)
+    case "agg" :: storeDir :: vertex :: disc :: Nil =>
+      val store = new GraphStore(storeDir, TpchGraph.schema, spark)
+      val reader = new GraphReader(TpchGraph.schema, store.vertices, store.readEdges)
+      reader.aggregate(AggregateQuery(vertex, "COUNT", discriminant = Some(disc))).show(false)
+    case "bfs" :: storeDir :: vertex :: anchor :: hops :: Nil =>
+      val store = new GraphStore(storeDir, TpchGraph.schema, spark)
+      val reader = new GraphReader(TpchGraph.schema, store.vertices, store.readEdges)
+      val Array(k, v) = anchor.split("=", 2)
+      val out = reader.neighbors(NeighborQuery(vertex,
+        FilterExpr.eq(k, v.toLongOption.getOrElse(v)), hops = hops.toInt))
+      out.vertices.toSeq.sortBy(_._1).foreach { case (t, df) =>
+        println(s"$t: ${df.count()}")
+      }
+    case "migrate" :: src :: dst :: Nil =>
+      val s = new GraphStore(src, TpchGraph.schema, spark)
+      val d = new GraphStore(dst, TpchGraph.schema, spark)
+      GraphMigration.migrate(s, d).toSeq.sorted.foreach { case (k, n) => println(s"$k: $n") }
+    case other =>
+      System.err.println(s"unknown command: ${other.mkString(" ")}")
+      System.err.println("usage: ingest|node|agg|bfs|migrate ...")
+      sys.exit(2)
+  }
+}

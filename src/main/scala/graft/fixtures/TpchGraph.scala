@@ -85,6 +85,8 @@ object TpchGraph {
     VertexStep("nation", from = Map("n_nationkey" -> "s_nationkey"), lookupOnly = true)
   ))
 
+  val partResource: ResourceDef = ResourceDef("r_part", Seq(VertexStep("part")))
+
   val ordersResource: ResourceDef = ResourceDef("r_orders", Seq(
     VertexStep("orders"),
     VertexStep("customer", from = Map("c_custkey" -> "o_custkey"), lookupOnly = true)
@@ -121,6 +123,7 @@ object TpchGraph {
       PipelineCompiler.compile(schema, nationResource, table(spark, dir, "nation")),
       PipelineCompiler.compile(schema, customerResource, table(spark, dir, "customer")),
       PipelineCompiler.compile(schema, supplierResource, table(spark, dir, "supplier")),
+      PipelineCompiler.compile(schema, partResource, table(spark, dir, "part")),
       PipelineCompiler.compile(schema, ordersResource, table(spark, dir, "orders")),
       PipelineCompiler.compile(schema, lineitemResource, table(spark, dir, "lineitem")),
       PipelineCompiler.compile(schema, eventsResource, eventsTable(spark, dir))

@@ -84,6 +84,57 @@ object TransformLib {
   /** Generic last-resort: identity. */
   def identityFn(c: Column): Column = c
 
+  /** `parse_date_reference` (:210-278): messy human dates — try a ladder of
+    * formats, null when nothing matches (try_to_date keeps ANSI mode safe).
+    */
+  def parseDateReference(c: Column): Column = {
+    val cleaned = trim(regexp_replace(c, "(?i)(\\d)(st|nd|rd|th)", "$1"))
+    coalesce(
+      try_to_date(cleaned, "yyyy-MM-dd"),
+      try_to_date(cleaned, "yyyy/MM/dd"),
+      try_to_date(cleaned, "MM/dd/yyyy"),
+      try_to_date(cleaned, "MMMM d, yyyy"),
+      try_to_date(cleaned, "MMM d, yyyy"),
+      try_to_date(cleaned, "d MMMM yyyy"),
+      try_to_date(cleaned, "yyyyMMdd"))
+  }
+
+  /** `parse_multi_item` (:328-377): bracket/quote list-of-kv strings →
+    * `map<string, array<string>>` (single quotes normalized to JSON).
+    */
+  def parseMultiItem(c: Column): Column =
+    from_json(regexp_replace(c, "'", "\""),
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))
+
+  /** `target: keys` (transform.py:739-761): apply a name function to COLUMN
+    * NAMES with include/exclude selection and collision check.
+    */
+  def renameColumns(
+      df: org.apache.spark.sql.DataFrame,
+      fn: String => String,
+      include: Seq[String] = Nil,
+      exclude: Seq[String] = Nil
+  ): org.apache.spark.sql.DataFrame = {
+    val newNames = df.columns.map { c =>
+      val selected = (include.isEmpty || include.contains(c)) && !exclude.contains(c)
+      if (selected) fn(c) else c
+    }
+    require(newNames.distinct.length == newNames.length,
+      s"column rename collision: ${newNames.mkString(",")}")
+    df.toDF(newNames.toIndexedSeq: _*)
+  }
+
+  /** Pure-Scala name functions for `renameColumns`. */
+  def camelToSnakeName(s: String): String =
+    s.replaceAll("(.)([A-Z][a-z]+)", "$1_$2")
+      .replaceAll("([a-z0-9])([A-Z])", "$1_$2").toLowerCase
+  def snakeToCamelName(s: String): String = {
+    val parts = s.split("_")
+    (parts.head +: parts.tail.map(_.capitalize)).mkString
+  }
+
   /** The `dress` pivot/melt as a standalone DataFrame op (reference
     * transform.py:95-109): wide columns → `(key, value)` rows, values cast to
     * string (the reference's dicts are untyped). Used by the pipeline's
@@ -123,6 +174,8 @@ object TransformRegistry {
     "camel_to_snake"              -> camelToSnake,
     "snake_to_camel"              -> snakeToCamel,
     "cast_ibes_analyst"           -> castIbesAnalyst,
+    "parse_date_reference"        -> parseDateReference,
+    "parse_multi_item"            -> parseMultiItem,
     "identity"                    -> identityFn
   )
 

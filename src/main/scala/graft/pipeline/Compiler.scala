@@ -222,7 +222,18 @@ object PipelineCompiler {
       }
       frame0
     }
-    transformApply(t, frame)
+    if (t.inputGroups.nonEmpty) {
+      // repeated tuple-call over field groups (transform.py:663-678)
+      require(t.outputGroups.length == t.inputGroups.length,
+        "input_groups/output_groups arity mismatch")
+      val flatOuts = t.outputGroups.flatten
+      require(flatOuts.distinct.length == flatOuts.length,
+        "output_groups collision")
+      t.inputGroups.zip(t.outputGroups).foldLeft(frame) { case (d, (ins, outs)) =>
+        transformApply(t.copy(input = ins, output = outs,
+          inputGroups = Nil, outputGroups = Nil), d)
+      }
+    } else transformApply(t, frame)
   }
 
   private def transformApply(t: TransformStep, frame: DataFrame): DataFrame =

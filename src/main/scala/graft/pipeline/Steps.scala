@@ -48,7 +48,12 @@ final case class TransformStep(
       * of aborting the batch.
       */
     errorTolerant: Boolean = false,
-    label: String = ""
+    label: String = "",
+    /** repeated tuple-call over field groups, collision-checked outputs
+      * (reference transform.py:663-678,616-661).
+      */
+    inputGroups: Seq[Seq[String]] = Nil,
+    outputGroups: Seq[Seq[String]] = Nil
 ) extends Step
 
 /** Project the current observation into a vertex document

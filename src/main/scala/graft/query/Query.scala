@@ -204,9 +204,13 @@ final class GraphReader(
     }
 
     // far-endpoint hydration (traversal.py far-endpoint fetch): project the
-    // visited id sets back onto the full vertex docs via semi-joins
+    // visited id sets back onto the full vertex docs via semi-joins; a type
+    // reachable through edges but with no stored collection hydrates to its
+    // bare ids (same degradation as the reference's partial graphs)
     val hydrated = visited.map { case (t, ids) =>
-      t -> vertexDf(t).join(ids, idCols(t), "left_semi")
+      t -> scala.util.Try(vertexDf(t))
+        .map(v => v.join(ids, idCols(t), "left_semi"))
+        .getOrElse(ids)
     }
     GraphOutput(hydrated, collectedEdges)
   }

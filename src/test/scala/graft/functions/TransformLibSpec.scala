@@ -1,0 +1,66 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TransformLibSpec extends SparkSpec {
+
+  test("parse_date_reference handles a ladder of messy formats") {
+    import spark.implicits._
+    val df = Seq("2020-01-05", "01/05/2020", "January 5, 2020", "Jan 5, 2020",
+      "5th January 2020", "garbage").toDF("d")
+    val out = df.select(TransformLib.parseDateReference(col("d")).cast("string").as("p"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(out.take(5).forall(_.contains("2020-01-05")))
+    assert(out.last.isEmpty)
+  }
+
+  test("parse_multi_item parses quoted kv-list strings into a typed map") {
+    import spark.implicits._
+    val df = Seq("""{'a': ['x','y'], 'b': ['z']}""").toDF("s")
+    val m = df.select(TransformLib.parseMultiItem(col("s")).as("m"))
+      .collect().head.getMap[String, scala.collection.Seq[String]](0)
+    assert(m("a").toSeq == Seq("x", "y") && m("b").toSeq == Seq("z"))
+  }
+
+  test("renameColumns applies name fn with include/exclude + collision check") {
+    import spark.implicits._
+    val df = Seq((1, 2, 3)).toDF("myVarOne", "myVarTwo", "keep")
+    val out = TransformLib.renameColumns(df, TransformLib.camelToSnakeName,
+      exclude = Seq("keep"))
+    assert(out.columns.toSeq == Seq("my_var_one", "my_var_two", "keep"))
+    intercept[IllegalArgumentException] {
+      TransformLib.renameColumns(df, _ => "same")
+    }
+    assert(TransformLib.snakeToCamelName("my_var_one") == "myVarOne")
+  }
+
+  test("ibes transforms: date+time to ISO Z, analyst name split") {
+    import spark.implicits._
+    val df = Seq(("20200105", "9:30:00", "'ARFSTROM      J'")).toDF("d", "t", "a")
+    val r = df.select(
+      TransformLib.parseDateIbes(col("d"), col("t")).as("ts"),
+      TransformLib.castIbesAnalyst(col("a")).as("an")).collect().head
+    assert(r.getString(0) == "2020-01-05T09:30:00Z")
+    assert(r.getStruct(1).getAs[String]("last_name") == "ARFSTROM")
+    assert(r.getStruct(1).getAs[String]("first_name") == "J")
+  }
+
+  test("input_groups repeat the call per field group") {
+    import spark.implicits._
+    import graft.model._
+    import graft.pipeline._
+    val df = Seq(("2020-01-05", "2021-02-06", "k")).toDF("d1", "d2", "id")
+    val schema = GraphSchema(Seq(VertexDef("v",
+      Seq(FieldDef("y1"), FieldDef("y2")), Identity.Natural(Seq("id")))))
+    val res = ResourceDef("r", Seq(
+      TransformStep(strategy = "single",
+        inline = Some(cs => year(to_date(cs.head)).cast("long")),
+        inputGroups = Seq(Seq("d1"), Seq("d2")),
+        outputGroups = Seq(Seq("y1"), Seq("y2"))),
+      VertexStep("v")))
+    val out = PipelineCompiler.compile(schema, res, df)
+    val r = out.vertex("v").collect().head
+    assert(r.getAs[Long]("y1") == 2020L && r.getAs[Long]("y2") == 2021L)
+  }
+}
