@@ -280,7 +280,7 @@ object GraftQueries {
 
     // §2.10 BFS traversal: 2-hop neighborhood, ANY direction
     "q_traverse_2hop" -> { (s, d) =>
-      val g = ingestCore(s, d)
+      val g = ingestCore(s, d).cache()
       val reader = new GraphReader(TpchGraph.schema, g.vertex, k => g.edges.get(k))
       val out = reader.neighbors(NeighborQuery("nation", FilterExpr.eq("n_nationkey", 0), hops = 2))
       out.vertices.toSeq.sortBy(_._1).map { case (n, df) =>

@@ -60,6 +60,18 @@ final case class GraphOutput(
   def sizes(): Map[String, Long] =
     vertices.map { case (k, v) => k -> v.count() } ++
       edges.map { case (k, e) => k.storeName -> e.count() }
+
+  /** Persist every collection — for read paths that touch the same derived
+    * DataFrames repeatedly (BFS hops, multi-query readers). Lazy: storage
+    * fills on first action per collection.
+    */
+  def cache(): GraphOutput = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    GraphOutput(
+      vertices.map { case (k, v) => k -> v.persist(lvl) },
+      edges.map { case (k, e) => k -> e.persist(lvl) },
+      errors)
+  }
 }
 
 object GraphOutput {

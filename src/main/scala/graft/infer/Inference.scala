@@ -37,6 +37,27 @@ object IdentityInference {
       .collect().map(_.getString(0)).toSeq
 }
 
+/** Bounded row sampling with cell truncation — the reference's sampler
+  * (graflo/hq/sampler.py:48-407): JSON-able projections of the first N rows
+  * with long cells truncated (drives identity/schema inference and UI
+  * previews).
+  */
+object Sampler {
+  def sample(df: org.apache.spark.sql.DataFrame, n: Int = 100,
+      maxCellChars: Int = 200): Seq[Map[String, String]] = {
+    val cols = df.columns
+    df.limit(n).collect().map { row =>
+      cols.zipWithIndex.map { case (c, i) =>
+        val v = if (row.isNullAt(i)) null else {
+          val s = String.valueOf(row.get(i))
+          if (s.length > maxCellChars) s.take(maxCellChars) + "…" else s
+        }
+        c -> v
+      }.toMap
+    }.toSeq
+  }
+}
+
 /** Cross-resource identity alignment (graflo/db/cross_resource_identity.py:
   * 74-790): align columns across resources by name similarity + value
   * Jaccard, to propose a shared natural key.
