@@ -39,7 +39,9 @@ object Dedup {
     * transform over an index sequence, no UDF).
     */
   def shingles(textCol: Column, n: Int): Column = {
-    val toks = split(normalize(textCol), " ")
+    // empty text: split returns [""], which would mint a bogus "" shingle
+    // and make all empty docs near-dups of each other — drop empty tokens
+    val toks = filter(split(normalize(textCol), " "), t => length(t) > 0)
     val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
       .otherwise(lit(Array.empty[Int]))
     array_distinct(

@@ -1,0 +1,116 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.MergeOps
+import graft.ext.Dedup
+import graft.functions.TransformLib
+
+/** Property tests for the semantics-critical operators (SURVEY §5 plan):
+  * each Spark operator is compared against a direct Scala model on randomized
+  * data (single seeded dataset per property to keep Spark job counts sane).
+  */
+class PropertySpec extends SparkSpec {
+
+  /** sample a generator deterministically n times (offline cache has no
+    * scalatest-scalacheck bridge; plain Gen sampling serves the same end) */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("mergeDocBasis equals the last-non-null-wins model on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { i =>
+      (s"k${rnd.nextInt(20)}", i.toLong,
+        if (rnd.nextBoolean()) Some(s"a$i") else None,
+        if (rnd.nextBoolean()) Some(rnd.nextInt(100)) else None)
+    }
+    val df = rows.toDF("id", "ord", "x", "y")
+    val got = MergeOps.mergeDocBasis(df, Seq("id"), "ord").collect()
+      .map(r => r.getString(0) -> (Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toMap
+    // model: per key, fold in ord order, later present fields overwrite
+    val model = rows.groupBy(_._1).map { case (k, rs) =>
+      val sorted = rs.sortBy(_._2)
+      k -> (sorted.flatMap(_._3).lastOption, sorted.flatMap(_._4).lastOption)
+    }
+    assert(got == model)
+  }
+
+  test("attachKeyless equals forward-fill model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 200).map { i =>
+      (rnd.nextInt(10).toLong, i.toLong,
+        if (rnd.nextInt(3) == 0) Some(s"k${rnd.nextInt(5)}") else None, s"v$i")
+    }
+    val df = rows.toDF("doc", "ord", "key", "v")
+    val got = MergeOps.attachKeyless(df, Seq("key"), "doc", "ord")
+      .collect().map(r => r.getString(3) -> Option(r.getString(2))).toMap
+    val model = rows.groupBy(_._1).flatMap { case (_, rs) =>
+      var last: Option[String] = None
+      rs.sortBy(_._2).map { r =>
+        if (r._3.isDefined) last = r._3
+        r._4 -> last
+      }
+    }
+    assert(got == model)
+  }
+
+  test("shingles equal the sliding-window model for arbitrary token counts") {
+    import spark.implicits._
+    samples(Gen.zip(Gen.chooseNum(0, 8), Gen.chooseNum(1, 4)), 6).foreach { case (nTokens, n) =>
+      val text = (1 to nTokens).map(i => s"w${i % 3}").mkString(" ")
+      val got = Seq(text).toDF("t")
+        .select(Dedup.shingles(col("t"), n).as("s"))
+        .collect().head.getSeq[String](0).toList
+      val toks = text.split(" ").filter(_.nonEmpty).toList
+      val model = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toList.distinct
+      assert(got == model)
+    }
+  }
+
+  test("jaccardPairs equals brute-force set jaccard on random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (0L until 12L).map { i =>
+      i -> (1 to (5 + rnd.nextInt(15))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(df, "doc_id", "text", n = 2, minSim = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def sh(t: String) = t.split(" ").toList.sliding(2).filter(_.size == 2)
+      .map(_.mkString(" ")).toSet
+    val model = (for {
+      (i, ti) <- docs; (j, tj) <- docs if i < j
+      si = sh(ti); sj = sh(tj)
+      inter = (si & sj).size if inter > 0
+      jac = inter.toDouble / (si | sj).size if jac >= 0.1
+    } yield (i, j) -> (math.rint(jac * 10000) / 10000)).toMap
+    assert(got == model)
+  }
+
+  test("hash digest is deterministic and collision-free on distinct tuples") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => (s"n$i", s"c${i % 37}")).distinct
+    val df = rows.toDF("name", "code")
+    val ids = df.select(graft.expr.IdentityDigest.hashDigest(Seq("name", "code")))
+      .collect().map(_.getString(0))
+    assert(ids.distinct.length == rows.size)
+    val ids2 = df.select(graft.expr.IdentityDigest.hashDigest(Seq("name", "code")))
+      .collect().map(_.getString(0))
+    assert(ids.toSeq == ids2.toSeq)
+  }
+
+  test("name functions round-trip: snake→camel→snake is identity on clean names") {
+    samples(Gen.nonEmptyListOf(Gen.oneOf("foo", "bar", "baz", "qux")), 20).foreach { parts =>
+      val snake = parts.mkString("_")
+      val there = TransformLib.snakeToCamelName(snake)
+      val back = TransformLib.camelToSnakeName(there)
+      assert(back == snake)
+    }
+  }
+}
