@@ -41,13 +41,18 @@ object EvolutionOp {
       v.copy(properties = v.properties.filterNot(_.name == field)))
   }
   final case class RenameProperty(vertex: String, from: String, to: String) extends EvolutionOp {
+    private def ren(f: String) = if (f == from) to else f
     def apply(s: GraphSchema) = mapVertex(s, vertex)(v => v.copy(
       properties = v.properties.map(p => if (p.name == from) p.copy(name = to) else p),
       identity = v.identity match {
-        case Identity.Natural(fs) => Identity.Natural(fs.map(f => if (f == from) to else f))
-        case Identity.Hash(fs)    => Identity.Hash(fs.map(f => if (f == from) to else f))
+        case Identity.Natural(fs) => Identity.Natural(fs.map(ren))
+        case Identity.Hash(fs)    => Identity.Hash(fs.map(ren))
+        case Identity.Funnel(bs, mk) => Identity.Funnel(bs.map(b =>
+          b.copy(whenAllPresent = b.whenAllPresent.map(ren),
+            digestFields = b.digestFields.map(ren))), mk)
         case other                => other
-      }))
+      },
+      secondary = v.secondary.map(sec => sec.copy(fields = sec.fields.map(ren)))))
   }
   final case class SetFieldType(vertex: String, field: String, ftype: FieldType) extends EvolutionOp {
     def apply(s: GraphSchema) = mapVertex(s, vertex)(v => v.copy(
@@ -127,21 +132,52 @@ object Evolution {
     */
   def migrateStore(store: GraphStore, ops: Seq[EvolutionOp]): GraphSchema = {
     import EvolutionOp._
+    import org.apache.spark.sql.functions.col
     var schema = store.schema
+
+    /** rewrite the src_/dst_ endpoint columns of every stored edge incident
+      * to `vx` — edges are keyed on the vertex identity, so identity-affecting
+      * vertex rewrites must cascade or every traversal/dedup breaks.
+      */
+    def rewriteIncidentEdges(vx: String)(rewrite: (org.apache.spark.sql.DataFrame, String) => org.apache.spark.sql.DataFrame): Unit =
+      schema.edges.filter(e => e.source == vx || e.target == vx).foreach { e =>
+        store.readEdges(e.key).foreach { df =>
+          var out = df
+          if (e.source == vx) out = rewrite(out, "src_")
+          if (e.target == vx) out = rewrite(out, "dst_")
+          store.overwriteEdges(e.key, out)
+        }
+      }
+
     ops.foreach { op =>
       op match {
         case RenameProperty(vx, from, to) =>
           store.readVertices(vx).foreach { df =>
             store.overwriteVertices(vx, df.withColumnRenamed(from, to))
           }
+          val wasIdField = schema.vertex(vx).idColumns.contains(from)
+          if (wasIdField) rewriteIncidentEdges(vx) { (df, pfx) =>
+            df.withColumnRenamed(s"$pfx$from", s"$pfx$to")
+          }
         case RemoveProperty(vx, f) =>
           store.readVertices(vx).foreach(df => store.overwriteVertices(vx, df.drop(f)))
-        case ReplaceIdentity(vx, newId) =>
+        case ReplaceIdentity(vx, _) =>
+          val oldIdCols = schema.vertex(vx).idColumns
           store.readVertices(vx).foreach { df =>
             val vdefNew = op(schema).vertex(vx)
             val reKeyed = graft.expr.IdentityDigest.withIdentity(vdefNew)(
               df.drop(GraphSchema.SyntheticId))
             store.overwriteVertices(vx, reKeyed)
+            // re-key stored edges via an old-id → new-id mapping join
+            val newIdCols = vdefNew.idColumns
+            val mapping = reKeyed.select((oldIdCols ++ newIdCols).distinct.map(col): _*)
+            rewriteIncidentEdges(vx) { (edf, pfx) =>
+              val m = (oldIdCols ++ newIdCols).distinct.foldLeft(mapping)(
+                (d, c) => d.withColumnRenamed(c, s"$pfx$c"))
+              val keep = edf.columns.filterNot(c => oldIdCols.map(pfx + _).contains(c))
+              edf.join(m, oldIdCols.map(pfx + _), "left")
+                .select((keep ++ newIdCols.map(pfx + _).filterNot(keep.contains)).map(col): _*)
+            }
           }
         case _ => // schema-only
       }

@@ -154,7 +154,8 @@ object Dedup {
     * bits into 4 16-bit bands; Hamming ≤ 3 ⟹ at least one band equal).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol), explode(split(normalize(col(textCol)), " ")).as("tok"))
+    val toks = df.select(col(idCol), explode(
+      filter(split(normalize(col(textCol)), " "), t => length(t) > 0)).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bits = toks.select(col(idCol),
       explode(sequence(lit(0), lit(63))).as("bit"), col("h"))

@@ -127,8 +127,11 @@ object RelationalInference {
   def infer(catalog: Seq[CatalogColumn]): GraphSchema = {
     val byTable = catalog.groupBy(_.table)
     val (edgeTables, vertexTables) = byTable.partition { case (_, cols) =>
-      // edge table: exactly two FK columns and no data identity of its own
-      cols.count(_.fkTable.isDefined) == 2 && cols.count(_.isPk) <= 1
+      // edge table: exactly two FK columns and no identity of its own — every
+      // PK column must itself be one of the FKs (covers both the classic M:N
+      // table with composite PK over its FKs and keyless link tables)
+      cols.count(_.fkTable.isDefined) == 2 &&
+        cols.filter(_.isPk).forall(_.fkTable.isDefined)
     }
     val vertices = vertexTables.map { case (t, cols) =>
       val pk = cols.filter(_.isPk).map(_.column)

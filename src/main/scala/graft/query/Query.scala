@@ -208,9 +208,12 @@ final class GraphReader(
     // reachable through edges but with no stored collection hydrates to its
     // bare ids (same degradation as the reference's partial graphs)
     val hydrated = visited.map { case (t, ids) =>
-      t -> scala.util.Try(vertexDf(t))
-        .map(v => v.join(ids, idCols(t), "left_semi"))
-        .getOrElse(ids)
+      val full =
+        try Some(vertexDf(t))
+        catch { case _: NoSuchElementException => None } // collection absent
+      // any OTHER failure (corrupt data, schema drift) must propagate — a
+      // silent id-only fallback would turn real errors into wrong results
+      t -> full.map(v => v.join(ids, idCols(t), "left_semi")).getOrElse(ids)
     }
     GraphOutput(hydrated, collectedEdges)
   }

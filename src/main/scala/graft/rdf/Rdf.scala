@@ -48,10 +48,14 @@ object Rdf {
   def triplesToDocs(triples: DataFrame): DataFrame = {
     val local = (c: org.apache.spark.sql.Column) =>
       element_at(split(c, "[#/]"), -1)
+    // multi-valued predicates are routine (two rdf:type triples, repeated
+    // properties) — group values per key first, or map_from_entries throws
+    // on the duplicate key (mapKeyDedupPolicy=EXCEPTION)
     triples
-      .groupBy(col("s").as("id"))
-      .agg(map_from_entries(array_distinct(collect_list(
-        struct(local(col("p")).as("k"), col("o").as("v"))))).as("props"))
+      .groupBy(col("s").as("id"), local(col("p")).as("k"))
+      .agg(sort_array(collect_list(col("o"))).as("vs"))
+      .groupBy(col("id"))
+      .agg(map_from_entries(collect_list(struct(col("k"), col("vs")))).as("props"))
   }
 
   /** OWL/RDFS TBox inference (rdf_inferencer.py:98-260): owl:Class →

@@ -81,11 +81,14 @@ object ApiSource {
           if (next.isMissingNode || next.isNull || next.asText.isEmpty) done = true
           else params = Map(spec.cursorParam -> next.asText)
         case "carried" =>
-          if (recs.isEmpty) done = true
-          else params = spec.carriedFields.flatMap { f =>
+          val carried = spec.carriedFields.flatMap { f =>
             val v = root.path(f)
             if (v.isMissingNode || v.isNull) None else Some(f -> v.asText)
           }.toMap
+          // no records OR no continuation fields = end of data; resetting to
+          // empty params would re-fetch page 1 in a loop
+          if (recs.isEmpty || carried.isEmpty) done = true
+          else params = carried
         case other => throw new IllegalArgumentException(s"unknown strategy: $other")
       }
     }

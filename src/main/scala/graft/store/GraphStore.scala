@@ -128,10 +128,18 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
     flip(dir, next)
   }
 
+  /** Replace an edge collection wholesale (schema-migration rewrites). */
+  def overwriteEdges(k: EdgeKey, df: DataFrame): Unit = {
+    val dir = edir(k)
+    val next = currentVersion(dir).getOrElse(-1) + 1
+    df.write.mode("overwrite").parquet(s"$dir/v$next")
+    flip(dir, next)
+  }
+
   /** Collections currently present (INDEX listing). */
   def vertexCollections: Seq[String] = listDir("vertices")
   def edgeCollections: Seq[String] = listDir("edges")
-  private def listDir(sub: String): Seq[String] = {
+  private[store] def listDir(sub: String): Seq[String] = {
     import scala.jdk.CollectionConverters._
     val d = Paths.get(s"$root/$sub")
     if (!Files.exists(d)) Nil
@@ -174,18 +182,8 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
 
   /** INDEX.json manifest (reference layout.py:23-120). */
   def writeIndex(): Unit = {
-    import scala.jdk.CollectionConverters._
-    def list(sub: String): Seq[String] = {
-      val d = Paths.get(s"$root/$sub")
-      if (!Files.exists(d)) Nil
-      else {
-        val s = Files.list(d)
-        try s.iterator().asScala.map(_.getFileName.toString).toList.sorted
-        finally s.close()
-      }
-    }
-    val vs = list("vertices")
-    val es = list("edges")
+    val vs = listDir("vertices")
+    val es = listDir("edges")
     def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
     Files.createDirectories(Paths.get(root))
     Files.write(Paths.get(root, "INDEX.json"),
@@ -213,16 +211,28 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
   */
 object GraphMigration {
   def migrate(src: GraphStore, dst: GraphStore): Map[String, Long] = {
-    val vCounts = src.vertexCollections.map { name =>
-      val df = src.vertices(name)
-      dst.upsertVertices(name, df)
-      s"vertices/$name" -> df.count()
+    // collections on disk but absent from the schema are skipped WITH a
+    // warning on both halves — silently dropping (or crashing on) stale
+    // collections would make migration behavior inconsistent
+    val vCounts = src.vertexCollections.flatMap { name =>
+      if (!src.schema.vertexByName.contains(name)) {
+        System.err.println(s"[graft] migrate: skipping unknown vertex collection '$name'")
+        None
+      } else {
+        val df = src.vertices(name)
+        dst.upsertVertices(name, df)
+        Some(s"vertices/$name" -> df.count())
+      }
     }
     val eCounts = src.edgeCollections.flatMap { storeName =>
-      src.schema.edges.find(_.key.storeName == storeName).map { e =>
-        val df = src.edges(e.key)
-        dst.insertEdges(e.key, df)
-        s"edges/$storeName" -> df.count()
+      src.schema.edges.find(_.key.storeName == storeName) match {
+        case None =>
+          System.err.println(s"[graft] migrate: skipping unknown edge collection '$storeName'")
+          None
+        case Some(e) =>
+          val df = src.edges(e.key)
+          dst.insertEdges(e.key, df)
+          Some(s"edges/$storeName" -> df.count())
       }
     }
     dst.writeIndex()

@@ -91,8 +91,13 @@ object StreamIngest {
   final case class SessionState(start: Long, last: Long, n: Int, sum: Double)
   final case class SessionOut(user_id: Long, startMs: Long, endMs: Long, n: Int, sum: Double)
 
-  /** Custom session state via flatMapGroupsWithState: emit a session when the
-    * gap exceeds `gapMs` (processing-time timeout closes idle sessions).
+  /** Custom session state via flatMapGroupsWithState: a session closes (and
+    * is emitted) when a later event arrives past `gapMs`, or when the
+    * processing-time timeout fires on an idle key — so trailing sessions ARE
+    * eventually emitted in a live stream and their state is cleaned up.
+    * (With AvailableNow/batch triggers processing-time timeouts never fire;
+    * the final open session per key intentionally stays in state awaiting
+    * more data — batch sessionization is `q_sessionize`'s window program.)
     * This is the engine's `mapGroupsWithState` surface — the reference has no
     * stateful operator at all (SURVEY §2.11).
     */
@@ -100,25 +105,32 @@ object StreamIngest {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         case (uid, evs, state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(_.ts.getTime)
-          var cur = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.last <= gapMs =>
-                cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
-              case Some(s) =>
-                out += SessionOut(uid, s.start, s.last, s.n, s.sum)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
+          if (state.hasTimedOut) {
+            // idle key: close and emit the open session, clear state
+            val out = state.getOption.map(s => SessionOut(uid, s.start, s.last, s.n, s.sum))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  out += SessionOut(uid, s.start, s.last, s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
             }
+            cur.foreach { s => state.update(s); state.setTimeoutDuration(gapMs) }
+            out.iterator
           }
-          cur.foreach(state.update)
-          out.iterator
       }
   }
 }

@@ -72,6 +72,34 @@ class EvolutionSpec extends SparkSpec {
     assert(cols.contains("full_name") && !cols.contains("age") && !cols.contains("name"))
   }
 
+  test("RenameProperty rewrites secondary identities and funnel branches too") {
+    import EvolutionOp._
+    val s0 = GraphSchema(Seq(VertexDef("p", Seq(FieldDef("email")),
+      Identity.Funnel(Seq(FunnelBranch("b", Seq("email"), Seq("email")))),
+      secondary = Seq(SecondaryIdentity("by_email", Seq("email"))))))
+    val s1 = Evolution(s0, Seq(RenameProperty("p", "email", "mail")))
+    assert(s1.vertex("p").secondary.head.fields == Seq("mail"))
+    s1.vertex("p").identity match {
+      case Identity.Funnel(bs, _) =>
+        assert(bs.head.whenAllPresent == Seq("mail") && bs.head.digestFields == Seq("mail"))
+      case other => fail(s"unexpected identity $other")
+    }
+  }
+
+  test("migrateStore cascades identity-field renames into stored edges") {
+    import spark.implicits._
+    import EvolutionOp._
+    val store = new GraphStore(
+      Files.createTempDirectory("graft-evo-edge").toString, base, spark)
+    store.upsertVertices("person", Seq((1L, "ann", 30L)).toDF("pid", "name", "age"))
+    store.upsertVertices("city", Seq((7L, "rome")).toDF("cid", "cname"))
+    store.insertEdges(EdgeKey("person", "city", "lives_in"),
+      Seq((1L, 7L)).toDF("src_pid", "dst_cid"))
+    Evolution.migrateStore(store, Seq(RenameProperty("person", "pid", "person_id")))
+    val cols = store.edges(EdgeKey("person", "city", "lives_in")).columns.toSet
+    assert(cols.contains("src_person_id") && !cols.contains("src_pid"))
+  }
+
   test("graph→graph migration copies all collections") {
     import spark.implicits._
     val src = new GraphStore(Files.createTempDirectory("graft-mig-src").toString, base, spark)

@@ -29,12 +29,16 @@ class RdfSpec extends SparkSpec {
     assert(lit.length == 1 && lit.head.getAs[String]("o") == "Alice")
   }
 
-  test("triples group per subject into documents with local-name keys") {
-    val docs = Rdf.triplesToDocs(Rdf.parseNTriples(ntriples))
+  test("triples group per subject into documents; multi-valued predicates collect") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val extra = ntriples.union(
+      Seq("""<http://ex.org/p1> <http://ex.org/livesIn> <http://ex.org/oslo> .""").toDF("line"))
+    val docs = Rdf.triplesToDocs(Rdf.parseNTriples(extra))
     val p1 = docs.where(col("id") === "http://ex.org/p1")
-      .select("props").collect().head.getMap[String, String](0)
-    assert(p1("name") == "Alice")
-    assert(p1("livesIn") == "http://ex.org/rome")
+      .select("props").collect().head.getMap[String, scala.collection.Seq[String]](0)
+    assert(p1("name").toSeq == Seq("Alice"))
+    assert(p1("livesIn").toSeq == Seq("http://ex.org/oslo", "http://ex.org/rome"))
   }
 
   test("OWL TBox inference: Class→vertex, ObjectProperty→edge, DatatypeProperty→field") {
@@ -47,6 +51,18 @@ class RdfSpec extends SparkSpec {
 
 class ApiSourceSpec extends SparkSpec {
   import graft.sources.{ApiSource, PaginationSpec}
+
+  test("carried pagination stops when continuation fields disappear") {
+    var calls = 0
+    val fetch = (params: Map[String, String]) => {
+      calls += 1
+      if (params.isEmpty) """{"items":[{"id":0}],"next_token":"t1"}"""
+      else """{"items":[{"id":1}]}""" // records but NO continuation → end
+    }
+    val recs = ApiSource.fetchAll(fetch,
+      PaginationSpec(strategy = "carried", carriedFields = Seq("next_token")))
+    assert(recs.size == 2 && calls == 2) // no page-1 replay loop
+  }
 
   test("offset pagination exhausts on a short page") {
     // fake API: 5 records total, page size 2
