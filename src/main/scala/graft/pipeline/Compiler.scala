@@ -29,12 +29,15 @@ import graft.graph.GraphOutput
   *  - `_seq`     — actor-visit ordinal, the intra-document order used by
   *    order-sensitive merge (SURVEY §7.3).
   *
-  * Edge casting (reference edge_render.py:215-228 `_choose_casting`):
-  *  - PAIR         = join on (_row_id, _pos)            (zip of parallel arrays)
-  *  - PRODUCT      = join on (_row_id)                  (within-document cross)
-  *  - COMBINATIONS = self-join on (_row_id), posL < posR (unordered pairs)
-  * Auto selection: same (vertex, role) bucket → COMBINATIONS; same compile-
-  * time loc → PAIR; otherwise PRODUCT.
+  * Edge casting (reference edge_render.py:143-228 `_choose_casting` +
+  * location-group congruence): two buckets pair within the deepest explode
+  * level their lineage paths share —
+  *  - same loc                 → PAIR (zip: full `_pos` equality)
+  *  - nested locs              → parent-scoped join (child pairs with ITS
+  *                               parent only, via shared `_pos` prefix)
+  *  - sibling branches         → document-scoped PRODUCT (`_row_id` only)
+  *  - same (vertex,role) bucket→ COMBINATIONS (posL < posR, unordered pairs)
+  * Explicit `casting = pair|product|combinations` overrides the auto rule.
   *
   * Scale note: all joins here are keyed on `_row_id` which is unique and
   * uniformly distributed (partition-id high bits), so the within-document
@@ -43,6 +46,10 @@ import graft.graph.GraphOutput
   */
 object PipelineCompiler {
   import GraphSchema.{RowIdCol, SyntheticId}
+
+  /** lineage path segment: (key, addsPos) — array/map descends append an
+    * explode index to `_pos`, struct descends don't */
+  type Loc = Seq[(String, Boolean)]
 
   val PosCol = "_pos"
   val SeqCol = GraphSchema.SeqCol
@@ -54,7 +61,7 @@ object PipelineCompiler {
   final case class VertexObs(
       vertex: String,
       role: Option[String],
-      loc: Seq[String],
+      loc: Loc,
       lookupOnly: Boolean,
       seq: Int,
       df: DataFrame // columns: meta ++ vertex fields (+ _id for synthetic ids)
@@ -65,7 +72,7 @@ object PipelineCompiler {
     * are data at the edge actor's position (edge.py:326-424), not on the
     * endpoint projections.
     */
-  final case class EdgeIntentRec(step: EdgeStep, loc: Seq[String],
+  final case class EdgeIntentRec(step: EdgeStep, loc: Loc,
       relFrame: Option[DataFrame])
 
   private final class Ctx(val schema: GraphSchema) {
@@ -127,7 +134,7 @@ object PipelineCompiler {
 
   // ------------------------------------------------------------------ walk
 
-  private def walk(steps: Seq[Step], frame: DataFrame, loc: Seq[String], ctx: Ctx): Unit = {
+  private def walk(steps: Seq[Step], frame: DataFrame, loc: Loc, ctx: Ctx): Unit = {
     var cur = frame
     steps.foreach {
       case d: Descend          => descend(d, cur, loc, ctx) // children use sub-frame; parent frame unchanged
@@ -143,7 +150,7 @@ object PipelineCompiler {
     }
   }
 
-  private def mkIntent(e: EdgeStep, frame: DataFrame, loc: Seq[String]): EdgeIntentRec = {
+  private def mkIntent(e: EdgeStep, frame: DataFrame, loc: Loc): EdgeIntentRec = {
     val carried = (e.relationField.toSeq ++ e.weightFields)
       .distinct.filter(frame.columns.contains)
     val relFrame =
@@ -156,9 +163,9 @@ object PipelineCompiler {
     * lineage. Arrays fan out via posexplode (index → `_pos`); structs re-root;
     * maps (`any_key`) fan out over entries with the key joining the frame.
     */
-  private def descend(d: Descend, frame: DataFrame, loc: Seq[String], ctx: Ctx): Unit = {
+  private def descend(d: Descend, frame: DataFrame, loc: Loc, ctx: Ctx): Unit = {
     val meta = MetaCols.map(col)
-    val sub: (DataFrame, Seq[String]) = (d.key, d.anyKey) match {
+    val sub: (DataFrame, Loc) = (d.key, d.anyKey) match {
       case (Some(k), false) =>
         frame.schema(k).dataType match {
           case ArrayType(et, _) =>
@@ -169,9 +176,9 @@ object PipelineCompiler {
               case _: StructType => exploded.select((MetaCols.map(col) :+ col("__v.*")): _*)
               case _             => exploded.withColumnRenamed("__v", "_value")
             }
-            (rerooted, loc :+ k)
+            (rerooted, loc :+ (k -> true))
           case _: StructType =>
-            (frame.select(meta :+ col(s"$k.*"): _*), loc :+ k)
+            (frame.select(meta :+ col(s"$k.*"): _*), loc :+ (k -> false))
           case _ =>
             throw new IllegalArgumentException(s"descend key '$k' is neither array nor struct")
         }
@@ -182,7 +189,7 @@ object PipelineCompiler {
             val e = frame.select(meta :+ posexplode(map_entries(col(k))).as(Seq("__p", "__kv")): _*)
               .withColumn(PosCol, concat(col(PosCol), array(col("__p").cast("long"))))
               .select(MetaCols.map(col) ++ Seq(col("__kv.key").as("_key"), col("__kv.value").as("_value")): _*)
-            (e, loc :+ "*")
+            (e, loc :+ ("*" -> true))
           case st: StructType =>
             // melt the struct's fields into (_key, _value) rows
             val pairs = st.fields.zipWithIndex.map { case (f, i) =>
@@ -192,7 +199,7 @@ object PipelineCompiler {
             val e = frame.select(meta :+ explode(array(pairs: _*)).as("__kv"): _*)
               .withColumn(PosCol, concat(col(PosCol), array(col("__kv.p"))))
               .select(MetaCols.map(col) ++ Seq(col("__kv.key").as("_key"), col("__kv.value").as("_value")): _*)
-            (e, loc :+ "*")
+            (e, loc :+ ("*" -> true))
           case other =>
             throw new IllegalArgumentException(s"any_key descend needs map/struct, got $other")
         }
@@ -280,7 +287,7 @@ object PipelineCompiler {
     }
 
   /** VertexActor projection (actor/vertex.py:22-237). */
-  private def vertexStep(v: VertexStep, frame: DataFrame, loc: Seq[String], ctx: Ctx): Unit = {
+  private def vertexStep(v: VertexStep, frame: DataFrame, loc: Loc, ctx: Ctx): Unit = {
     val vdef = ctx.schema.vertex(v.vertex)
     val have = frame.columns.toSet
     val mapped = v.from.collect { case (vf, sf) if have(sf) => col(sf).as(vf) }.toSeq
@@ -311,7 +318,7 @@ object PipelineCompiler {
   /** VertexRouterActor (actor/vertex_router.py:34-168): fan out by data value.
     * One filtered projection per target type; Catalyst shares the scan.
     */
-  private def routerStep(r: VertexRouterStep, frame: DataFrame, loc: Seq[String], ctx: Ctx): Unit = {
+  private def routerStep(r: VertexRouterStep, frame: DataFrame, loc: Loc, ctx: Ctx): Unit = {
     val targets: Seq[(String, String)] = // (dataValue, vertexType)
       if (r.typeMap.nonEmpty) r.typeMap.toSeq
       else ctx.schema.vertices.map(v => v.name -> v.name)
@@ -349,6 +356,16 @@ object PipelineCompiler {
   private def posStr(c: Column): Column =
     array_join(org.apache.spark.sql.functions.transform(
       c, p => lpad(p.cast("string"), 9, "0")), ".")
+
+  /** number of exploding segments on the common prefix of two lineage paths */
+  private def sharedPosDepth(a: Loc, b: Loc): Int =
+    a.zip(b).takeWhile { case (x, y) => x == y }.count(_._1._2)
+
+  /** first `depth` components of a padded position string (components are
+    * fixed-width, so a string prefix IS the pos-array prefix)
+    */
+  private def posPrefix(ps: Column, depth: Int): Column =
+    if (depth == 0) lit("") else substring(ps, 1, depth * 10 - 1)
 
   private def finish(ctx: Ctx, resource: ResourceDef): GraphOutput = {
     val schema = ctx.schema
@@ -464,14 +481,23 @@ object PipelineCompiler {
         (MetaCols.map(c => col(c).as(s"__r_$c")) ++ Seq(posStr(col(PosCol)).as("_rps")) ++
           tKeys.map(c => col(c).as(s"dst_$c"))): _*)
 
+      // Lineage-prefix congruence (reference edge_render.py:143-228): two
+      // buckets pair within the deepest explode level they SHARE. The shared
+      // depth is the number of exploding segments on the common loc prefix:
+      //   same loc                → full equality  (PAIR / zip)
+      //   one loc inside the other→ parent-scoped  (each child to ITS parent)
+      //   sibling branches        → document-scoped PRODUCT
       val casting = e.casting match {
         case "auto" =>
           if (sb.vertex == db.vertex && sb.role == db.role && sb.seq == db.seq) "combinations"
-          else if (sb.loc == db.loc) "pair"
-          else "product"
+          else "prefix"
         case c => c
       }
       val joined = (casting match {
+        case "prefix" =>
+          val d = sharedPosDepth(sb.loc, db.loc)
+          left.join(right, col(RowIdCol) === col(s"__r_$RowIdCol") &&
+            posPrefix(col("_lps"), d) === posPrefix(col("_rps"), d))
         case "pair" =>
           left.join(right, col(RowIdCol) === col(s"__r_$RowIdCol") &&
             col("_lps") === col("_rps"))
@@ -481,22 +507,19 @@ object PipelineCompiler {
           left.join(right, col(RowIdCol) === col(s"__r_$RowIdCol") &&
             col("_lps") < col("_rps"))
         case other => throw new IllegalArgumentException(s"unknown casting: $other")
-      }).drop("_lps", "_rps")
+      })
 
       // attach relation/weight data carried from the intent's own location
       // (edge.py:326-424: relation_field and weights are read off the row at
       // the edge actor's position, not off the endpoint projections)
-      val withCarried = rec.relFrame match {
+      val withCarried = (rec.relFrame match {
         case Some(rf) =>
           val rfR = MetaCols.foldLeft(rf)((d, c) => d.withColumnRenamed(c, s"__i_$c"))
-          val cond =
-            if (rec.loc == sb.loc)
-              col(RowIdCol) === col(s"__i_$RowIdCol") &&
-                posStr(col(PosCol)) === posStr(col(s"__i_$PosCol"))
-            else col(RowIdCol) === col(s"__i_$RowIdCol")
-          joined.join(rfR, cond)
+          val d = sharedPosDepth(rec.loc, sb.loc)
+          joined.join(rfR, col(RowIdCol) === col(s"__i_$RowIdCol") &&
+            posPrefix(col("_lps"), d) === posPrefix(posStr(col(s"__i_$PosCol")), d))
         case None => joined
-      }
+      }).drop("_lps", "_rps")
 
       // relation: static, or data-driven with renames + static fallback
       val relCol: Column = e.relationField match {
