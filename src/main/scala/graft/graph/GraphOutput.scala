@@ -72,6 +72,13 @@ final case class GraphOutput(
       edges.map { case (k, e) => k -> e.persist(lvl) },
       errors)
   }
+
+  /** Release storage taken by [[cache]] (blocking = false). */
+  def unpersist(): GraphOutput = {
+    vertices.values.foreach(_.unpersist())
+    edges.values.foreach(_.unpersist())
+    this
+  }
 }
 
 object GraphOutput {
