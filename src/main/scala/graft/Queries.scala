@@ -84,6 +84,24 @@ object GraftQueries {
         .select(array_join(col("_value"), ",").as("_value"))
     },
 
+    // §2.7 extension: ROLLUP subtotals (free from Catalyst; the reference
+    // has no grouping sets — SURVEY notes these as in-scope extensions)
+    "q_rollup" -> { (s, d) =>
+      t(s, d)("lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // §2.7 extension: CUBE over two dimensions
+    "q_cube" -> { (s, d) =>
+      t(s, d)("orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
     // §2.6 edge rendering, PAIR casting (zip at same lineage)
     "q_edge_pair" -> { (s, d) =>
       val g = PipelineCompiler.compile(TpchGraph.schema, TpchGraph.ordersResource,
@@ -583,6 +601,17 @@ object GraftQueries {
     "q_agg_sorted_unique" ->
       """SELECT array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
         |AS _value FROM orders""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "q_edge_pair" ->
       """SELECT o_orderkey AS src_o_orderkey, o_custkey AS dst_c_custkey FROM orders

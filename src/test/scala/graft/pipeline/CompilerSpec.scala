@@ -121,6 +121,28 @@ class CompilerSpec extends SparkSpec {
     assert(f("b").dataType.typeName == "double")
   }
 
+  test("any_key descend over a multi-entry map fans out with the key as data") {
+    import spark.implicits._
+    val df = Seq((1L, Map("open" -> "10.5", "close" -> "11.0")),
+      (2L, Map("open" -> "7.0"))).toDF("tick_id", "prices")
+    val schema = sch(
+      Seq(VertexDef("tick", Nil, Identity.Natural(Seq("tick_id"))),
+        VertexDef("quote", Nil, Identity.Natural(Seq("kind", "px")))),
+      Seq(EdgeDef("tick", "quote", "quoted")))
+    val res = ResourceDef("r", Seq(
+      VertexStep("tick", lookupOnly = true),
+      Descend(Some("prices"), anyKey = true, steps = Seq(
+        VertexStep("quote", from = Map("kind" -> "_key", "px" -> "_value"),
+          extractionScope = "mapped_only", lookupOnly = true))),
+      EdgeStep(source = "tick", target = "quote", relation = "quoted")),
+      inferEdges = false)
+    val out = PipelineCompiler.compile(schema, res, df)
+    val edges = out.edge(EdgeKey("tick", "quote", "quoted"))
+      .select("src_tick_id", "dst_kind", "dst_px").as[(Long, String, String)]
+      .collect().toSet
+    assert(edges == Set((1L, "open", "10.5"), (1L, "close", "11.0"), (2L, "open", "7.0")))
+  }
+
   test("merge across repeated identities is order-sensitive last-wins") {
     import spark.implicits._
     val df = Seq((1L, "first"), (1L, "second")).toDF("k", "v")
