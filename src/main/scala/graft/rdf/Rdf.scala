@@ -58,6 +58,27 @@ object Rdf {
       .agg(map_from_entries(collect_list(struct(col("k"), col("vs")))).as("props"))
   }
 
+  /** Manifest → RDF serialization (the reference's manifest↔RDF round-trip,
+    * graflo/rdf/serializer.py + namespace.py): vertices become owl:Class,
+    * edges owl:ObjectProperty with domain/range, typed fields
+    * owl:DatatypeProperty with domain. Inverse of [[inferSchema]] up to
+    * ordering. N-Triples lines, base IRI configurable.
+    */
+  def schemaToNTriples(schema: GraphSchema, base: String = "http://graft.local/"): Seq[String] = {
+    def iri(n: String) = s"<$base$n>"
+    val classes = schema.vertices.map(v =>
+      s"${iri(v.name)} <$RdfType> <$OwlClass> .")
+    val fields = schema.vertices.flatMap(v => v.properties.map { f =>
+      Seq(s"${iri(f.name)} <$RdfType> <$OwlDatatypeProperty> .",
+        s"${iri(f.name)} <$RdfsDomain> ${iri(v.name)} .")
+    }.flatten)
+    val edges = schema.edges.flatMap(e => Seq(
+      s"${iri(e.relation)} <$RdfType> <$OwlObjectProperty> .",
+      s"${iri(e.relation)} <$RdfsDomain> ${iri(e.source)} .",
+      s"${iri(e.relation)} <$RdfsRange> ${iri(e.target)} ."))
+    classes ++ fields ++ edges
+  }
+
   /** OWL/RDFS TBox inference (rdf_inferencer.py:98-260): owl:Class →
     * vertex, owl:ObjectProperty (+domain/range) → edge (self-loops allowed),
     * owl:DatatypeProperty (+domain) → field on the domain vertex.

@@ -41,6 +41,21 @@ class RdfSpec extends SparkSpec {
     assert(p1("livesIn").toSeq == Seq("http://ex.org/oslo", "http://ex.org/rome"))
   }
 
+  test("manifest↔RDF round-trip: serialize then re-infer yields the same schema") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val schema = GraphSchema(
+      vertices = Seq(
+        VertexDef("Person", Seq(FieldDef("name")), Identity.Natural(Seq("id"))),
+        VertexDef("City", Nil, Identity.Natural(Seq("id")))),
+      edges = Seq(EdgeDef("Person", "City", "livesIn")))
+    val lines = Rdf.schemaToNTriples(schema).toDF("line")
+    val back = Rdf.inferSchema(Rdf.parseNTriples(lines))
+    assert(back.vertexByName.keySet == schema.vertexByName.keySet)
+    assert(back.vertex("Person").properties.map(_.name) == Seq("name"))
+    assert(back.edges.map(_.key) == schema.edges.map(_.key))
+  }
+
   test("OWL TBox inference: Class→vertex, ObjectProperty→edge, DatatypeProperty→field") {
     val schema = Rdf.inferSchema(Rdf.parseNTriples(ntriples))
     assert(schema.vertexByName.keySet == Set("Person", "City"))
