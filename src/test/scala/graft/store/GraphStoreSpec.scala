@@ -38,6 +38,20 @@ class GraphStoreSpec extends SparkSpec {
     assert(store.vertices("p").count() == 1)
   }
 
+  test("upsert tolerates schema drift: missing columns keep old values, new columns appear") {
+    import spark.implicits._
+    val store = newStore()
+    store.upsertVertices("p", Seq((1L, "a", 1.0)).toDF("id", "name", "score"))
+    // second batch lacks `score`, adds `email`
+    store.upsertVertices("p", Seq((1L, "a2", "a@x"), (2L, "b", "b@x"))
+      .toDF("id", "name", "email"))
+    val rows = store.vertices("p").collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("name"), Option(r.getAs[Any]("score")), r.getAs[String]("email"))).toMap
+    assert(rows(1L) == (("a2", Some(1.0), "a@x"))) // score survives, name/email updated
+    assert(rows(2L) == (("b", None, "b@x")))
+  }
+
   test("edge insert dedups on identities across writes") {
     import spark.implicits._
     val store = newStore()
