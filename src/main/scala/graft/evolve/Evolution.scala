@@ -165,18 +165,42 @@ object Evolution {
           val oldIdCols = schema.vertex(vx).idColumns
           store.readVertices(vx).foreach { df =>
             val vdefNew = op(schema).vertex(vx)
-            val reKeyed = graft.expr.IdentityDigest.withIdentity(vdefNew)(
-              df.drop(GraphSchema.SyntheticId))
-            store.overwriteVertices(vx, reKeyed)
-            // re-key stored edges via an old-id → new-id mapping join
+            // keep the OLD identity alongside while minting the new one —
+            // dropping it first would make synthetic→anything migrations
+            // lose the old→new mapping (or crash selecting a dropped _id)
+            val oldRenames = oldIdCols.map(c => c -> s"__old_$c").toMap
+            val withOld = oldIdCols.foldLeft(df)((d, c) =>
+              d.withColumnRenamed(c, oldRenames(c)))
+            val reKeyedBoth = graft.expr.IdentityDigest.withIdentity(vdefNew)(withOld)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            reKeyedBoth.count(): Unit // freeze row-ordinal-derived ids
             val newIdCols = vdefNew.idColumns
-            val mapping = reKeyed.select((oldIdCols ++ newIdCols).distinct.map(col): _*)
+            // vertices keep natural old columns (renamed back) but drop a
+            // synthetic old _id that the new identity replaces
+            val vertexOut0 = oldIdCols.foldLeft(reKeyedBoth) { (d, c) =>
+              if (newIdCols.contains(c) || c == GraphSchema.SyntheticId) d
+              else d.withColumnRenamed(oldRenames(c), c)
+            }
+            val vertexOut =
+              if (oldIdCols.contains(GraphSchema.SyntheticId) &&
+                !newIdCols.contains(GraphSchema.SyntheticId))
+                vertexOut0.drop(s"__old_${GraphSchema.SyntheticId}")
+              else vertexOut0
+            store.overwriteVertices(vx,
+              vertexOut.drop(oldIdCols.filter(newIdCols.contains).map(oldRenames): _*))
+            // re-key stored edges via the (old → new) mapping
+            val mapping = reKeyedBoth
+              .select((oldIdCols.map(oldRenames) ++ newIdCols).distinct.map(col): _*)
             rewriteIncidentEdges(vx) { (edf, pfx) =>
-              val m = (oldIdCols ++ newIdCols).distinct.foldLeft(mapping)(
-                (d, c) => d.withColumnRenamed(c, s"$pfx$c"))
-              val keep = edf.columns.filterNot(c => oldIdCols.map(pfx + _).contains(c))
-              edf.join(m, oldIdCols.map(pfx + _), "left")
-                .select((keep ++ newIdCols.map(pfx + _).filterNot(keep.contains)).map(col): _*)
+              val m = mapping.columns.foldLeft(mapping)((d, c) =>
+                d.withColumnRenamed(c,
+                  if (c.startsWith("__old_")) s"$pfx${c.stripPrefix("__old_")}"
+                  else s"__new_$pfx$c"))
+              val joinKeys = oldIdCols.map(pfx + _)
+              val keep = edf.columns.filterNot(joinKeys.contains)
+              edf.join(m, joinKeys, "left")
+                .select((keep.map(col) ++ newIdCols.map(c =>
+                  col(s"__new_$pfx$c").as(s"$pfx$c"))): _*)
             }
           }
         case _ => // schema-only

@@ -100,6 +100,17 @@ object FilterExpr {
     case IfThen(a, b)   => !compile(a) || compile(b)
   }
 
+  /** Field names referenced by a filter tree (used to decide which vertex
+    * frames a traversal filter can apply to).
+    */
+  def fields(e: FilterExpr): Set[String] = e match {
+    case Cmp(f, _, _) => Set(f)
+    case And(es)      => es.flatMap(fields).toSet
+    case Or(es)       => es.flatMap(fields).toSet
+    case Not(x)       => fields(x)
+    case IfThen(a, b) => fields(a) ++ fields(b)
+  }
+
   /** Parse the reference's compact list form `["op", value, field]`
     * (onto.py:238-269) and dict shorthand `{"AND": [...]}` represented as
     * Scala collections (e.g. produced by a JSON parser).

@@ -63,7 +63,14 @@ object IdentityDigest {
     case Identity.Natural(_)     => None
     case Identity.Hash(fs)       => Some(hashDigest(fs))
     case Identity.Funnel(bs, mk) => Some(funnelDigest(bs, mk))
-    case Identity.Blank | Identity.Assigned => Some(expr("uuid()"))
+    case Identity.Blank | Identity.Assigned =>
+      // NOT uuid(): uuid() re-evaluates per action, so a caller that writes
+      // the frame and then joins against it would see two disjoint id sets.
+      // A digest over a stable row ordinal is deterministic per evaluation;
+      // callers deriving multiple outputs from the frame must persist it
+      // first (as Evolution.migrateStore and the pipeline compiler do).
+      Some(sha2(concat_ws("", lit(v.name),
+        monotonically_increasing_id().cast("string")), 256))
   }
 
   /** Append the synthetic `_id` column if the vertex needs one. */

@@ -34,25 +34,14 @@ final case class GraphOutput(
 
   /** Union of two containers, per collection (reference container.py:115-151). */
   def unionWith(other: GraphOutput): GraphOutput = {
-    def merge(a: Map[String, DataFrame], b: Map[String, DataFrame]) =
+    def merge[K](a: Map[K, DataFrame], b: Map[K, DataFrame]): Map[K, DataFrame] =
       (a.keySet ++ b.keySet).map { k =>
         k -> ((a.get(k), b.get(k)) match {
           case (Some(x), Some(y)) => x.unionByName(y, allowMissingColumns = true)
-          case (Some(x), None)    => x
-          case (None, Some(y))    => y
-          case _                  => throw new IllegalStateException
+          case (x, y)             => x.orElse(y).get
         })
       }.toMap
-    def mergeE(a: Map[EdgeKey, DataFrame], b: Map[EdgeKey, DataFrame]) =
-      (a.keySet ++ b.keySet).map { k =>
-        k -> ((a.get(k), b.get(k)) match {
-          case (Some(x), Some(y)) => x.unionByName(y, allowMissingColumns = true)
-          case (Some(x), None)    => x
-          case (None, Some(y))    => y
-          case _                  => throw new IllegalStateException
-        })
-      }.toMap
-    GraphOutput(merge(vertices, other.vertices), mergeE(edges, other.edges),
+    GraphOutput(merge(vertices, other.vertices), merge(edges, other.edges),
       merge(errors, other.errors))
   }
 

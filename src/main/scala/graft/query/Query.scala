@@ -136,15 +136,44 @@ final class GraphReader(
   def neighbors(q: NeighborQuery): GraphOutput = {
     val hops = caps.narrowHops(q.hops)
     val anchor = vertexDf(q.vertex).where(FilterExpr.compile(q.anchorFilter))
-    traverse(Seq(q.vertex -> anchor), hops, q.direction, q.relations,
+    val out = traverse(Seq(q.vertex -> anchor), hops, q.direction, q.relations,
       q.edgeLimit.getOrElse(caps.defaultEdgeLimit))
+    // result filters (models.py:142-198): applied to every hydrated frame
+    // that carries all the referenced fields (a filter naming fields of one
+    // type cannot constrain another type's frame)
+    val filtered = q.filters match {
+      case None => out
+      case Some(f) =>
+        val needed = FilterExpr.fields(f)
+        out.copy(vertices = out.vertices.map { case (t, df) =>
+          t -> (if (t != q.vertex && needed.subsetOf(df.columns.toSet))
+            df.where(FilterExpr.compile(f)) else df)
+        })
+    }
+    enforceElementCap(filtered)
   }
 
   /** Multi-seed reachability (reference TraverseQuery, db/conn.py:791-830). */
   def traverseQuery(q: TraverseQuery): GraphOutput = {
     require(q.seeds.size <= caps.maxSeeds, s"seeds exceed cap ${caps.maxSeeds}")
     val seeds = q.seeds.map { case (t, f) => t -> vertexDf(t).where(FilterExpr.compile(f)) }
-    traverse(seeds, caps.narrowHops(q.hops), q.direction, q.relations, caps.defaultEdgeLimit)
+    enforceElementCap(
+      traverse(seeds, caps.narrowHops(q.hops), q.direction, q.relations,
+        caps.defaultEdgeLimit))
+  }
+
+  /** `max_elements` hard cap (caps.py:23-92): total vertices + edges in the
+    * result. Counting is bounded — per-hop edge limits already cap the
+    * result size near the ceiling.
+    */
+  private def enforceElementCap(g: GraphOutput): GraphOutput = {
+    val cached = g.cache()
+    val total = cached.vertices.values.map(_.count()).sum +
+      cached.edges.values.map(_.count()).sum
+    if (total > caps.maxElements)
+      throw new IllegalStateException(
+        s"traversal result $total elements exceeds cap ${caps.maxElements}")
+    cached
   }
 
   private def traverse(
@@ -174,10 +203,15 @@ final class GraphReader(
       def expand(e: EdgeDef, fromType: String, fromPrefix: String, toType: String, toPrefix: String): Unit =
         frontier.get(fromType).zip(edgeDf(e.key)).foreach { case (front, edf) =>
           val keys = idCols(fromType)
-          val joined = edf.join(
+          // deterministic truncation: order by all columns before the limit —
+          // an unordered limit keeps a plan/partition-dependent subset and
+          // BFS results would vary run to run once a hop saturates the cap
+          val joinedRaw = edf.join(
             broadcast(front.withColumnsRenamed(keys.map(k => k -> s"$fromPrefix$k").toMap)),
-            keys.map(k => s"$fromPrefix$k"), "inner"
-          ).limit(edgeLimit)
+            keys.map(k => s"$fromPrefix$k"), "inner")
+          val joined = joinedRaw
+            .orderBy(joinedRaw.columns.sorted.map(col).toIndexedSeq: _*)
+            .limit(edgeLimit)
           newEdges += e.key -> newEdges.get(e.key).map(_.unionByName(joined, true)).getOrElse(joined)
           val farIds = joined.select(idCols(toType).map(k => col(s"$toPrefix$k").as(k)): _*).distinct()
           val unseen = visited.get(toType).map(v => farIds.join(v, idCols(toType), "left_anti")).getOrElse(farIds)

@@ -45,10 +45,19 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
     else None
   }
 
+  /** Atomic pointer flip: write a temp file, then ATOMIC_MOVE over
+    * `_CURRENT` — a truncate-in-place would let a concurrent reader observe
+    * an empty pointer and misreport the collection as absent. Writers are
+    * single-per-collection by contract (same as the reference's single-writer
+    * lock, backend/writer.py:29-260).
+    */
   private def flip(dir: String, v: Int): Unit = {
     Files.createDirectories(Paths.get(dir))
-    Files.write(Paths.get(dir, "_CURRENT"), v.toString.getBytes,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    val tmp = Paths.get(dir, s"_CURRENT.tmp${System.nanoTime()}")
+    Files.write(tmp, v.toString.getBytes, StandardOpenOption.CREATE)
+    Files.move(tmp, Paths.get(dir, "_CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Monotonic write generation, used as the merge order between existing

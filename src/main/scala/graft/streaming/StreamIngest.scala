@@ -64,8 +64,11 @@ object StreamIngest {
       trigger: Trigger = Trigger.AvailableNow()
   ): StreamingQuery =
     source.writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        if (!batch.isEmpty) store.write(PipelineCompiler.compile(schema, resource, batch))
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // batchId salts blank/assigned synthetic ids: _row_id restarts every
+        // micro-batch, so unsalted ids would collide across batches
+        if (!batch.isEmpty) store.write(
+          PipelineCompiler.compile(schema, resource, batch, idSalt = batchId.toString))
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

@@ -100,6 +100,41 @@ class EvolutionSpec extends SparkSpec {
     assert(cols.contains("src_person_id") && !cols.contains("src_pid"))
   }
 
+  test("ReplaceIdentity natural→hash re-keys vertices AND stored edges consistently") {
+    import spark.implicits._
+    import EvolutionOp._
+    val store = new GraphStore(
+      Files.createTempDirectory("graft-evo-rekey").toString, base, spark)
+    store.upsertVertices("person", Seq((1L, "ann", 30L), (2L, "bob", 40L))
+      .toDF("pid", "name", "age"))
+    store.upsertVertices("city", Seq((7L, "rome")).toDF("cid", "cname"))
+    store.insertEdges(EdgeKey("person", "city", "lives_in"),
+      Seq((1L, 7L), (2L, 7L)).toDF("src_pid", "dst_cid"))
+    Evolution.migrateStore(store, Seq(
+      ReplaceIdentity("person", Identity.Hash(Seq("name")))))
+    val v = store.vertices("person")
+    assert(v.columns.contains("_id") && v.count() == 2)
+    val e = store.edges(EdgeKey("person", "city", "lives_in"))
+    assert(e.columns.toSet.contains("src__id") && !e.columns.contains("src_pid"))
+    // edges reference ids that exist on the rewritten vertices
+    val vids = v.select("_id").collect().map(_.getString(0)).toSet
+    val eids = e.select("src__id").collect().map(_.getString(0)).toSet
+    assert(eids.subsetOf(vids) && eids.size == 2)
+  }
+
+  test("blank synthetic ids differ across batches (salt) but are deterministic within one") {
+    import spark.implicits._
+    import graft.pipeline._
+    val sch = GraphSchema(Seq(VertexDef("n", Seq(FieldDef("v")), Identity.Blank)))
+    val res = ResourceDef("r", Seq(VertexStep("n")))
+    val df = Seq("x", "y").toDF("v")
+    def ids(salt: String) = PipelineCompiler.compile(sch, res, df, idSalt = salt)
+      .vertex("n").select("_id").collect().map(_.getString(0)).toSet
+    val b1 = ids("batch1"); val b1again = ids("batch1"); val b2 = ids("batch2")
+    assert(b1 == b1again)           // deterministic
+    assert((b1 & b2).isEmpty)       // no cross-batch collision
+  }
+
   test("graph→graph migration copies all collections") {
     import spark.implicits._
     val src = new GraphStore(Files.createTempDirectory("graft-mig-src").toString, base, spark)
