@@ -168,8 +168,11 @@ final class GraphReader(
     */
   private def enforceElementCap(g: GraphOutput): GraphOutput = {
     val cached = g.cache()
-    val total = cached.vertices.values.map(_.count()).sum +
-      cached.edges.values.map(_.count()).sum
+    // one job for the whole cap check: count a union of 1-projections
+    // instead of one action per collection
+    val total = (cached.vertices.values ++ cached.edges.values)
+      .map(_.select(lit(1).as("one")))
+      .reduceOption(_ union _).map(_.count()).getOrElse(0L)
     if (total > caps.maxElements)
       throw new IllegalStateException(
         s"traversal result $total elements exceeds cap ${caps.maxElements}")
@@ -203,15 +206,15 @@ final class GraphReader(
       def expand(e: EdgeDef, fromType: String, fromPrefix: String, toType: String, toPrefix: String): Unit =
         frontier.get(fromType).zip(edgeDf(e.key)).foreach { case (front, edf) =>
           val keys = idCols(fromType)
-          // deterministic truncation: order by all columns before the limit —
-          // an unordered limit keeps a plan/partition-dependent subset and
-          // BFS results would vary run to run once a hop saturates the cap
-          val joinedRaw = edf.join(
+          // truncation beyond edgeLimit keeps an arbitrary subset — matching
+          // the reference, whose DEFAULT_EDGE_LIMIT truncation order is
+          // backend-dependent (db/traversal.py:36). An ordered limit would
+          // cost a range-partitioner sampling job per expansion; callers
+          // needing reproducible results must stay under the cap.
+          val joined = edf.join(
             broadcast(front.withColumnsRenamed(keys.map(k => k -> s"$fromPrefix$k").toMap)),
-            keys.map(k => s"$fromPrefix$k"), "inner")
-          val joined = joinedRaw
-            .orderBy(joinedRaw.columns.sorted.map(col).toIndexedSeq: _*)
-            .limit(edgeLimit)
+            keys.map(k => s"$fromPrefix$k"), "inner"
+          ).limit(edgeLimit)
           newEdges += e.key -> newEdges.get(e.key).map(_.unionByName(joined, true)).getOrElse(joined)
           val farIds = joined.select(idCols(toType).map(k => col(s"$toPrefix$k").as(k)): _*).distinct()
           val unseen = visited.get(toType).map(v => farIds.join(v, idCols(toType), "left_anti")).getOrElse(farIds)
@@ -226,6 +229,13 @@ final class GraphReader(
         if (followOut) expand(e, e.source, "src_", e.target, "dst_")
         if (followIn)  expand(e, e.target, "dst_", e.source, "src_")
       }
+
+      // persist each hop's small frontier/edge sets (≤ edgeLimit rows):
+      // later hops, hydration, and the element-cap counts all reuse them —
+      // without this every downstream action replays the whole BFS
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      newEdges = newEdges.map { case (k, df) => k -> df.persist(lvl) }
+      nextFrontier = nextFrontier.map { case (t, df) => t -> df.persist(lvl) }
 
       collectedEdges = (collectedEdges.keySet ++ newEdges.keySet).map { k =>
         k -> Seq(collectedEdges.get(k), newEdges.get(k)).flatten
