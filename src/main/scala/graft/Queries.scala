@@ -355,7 +355,21 @@ object GraftQueries {
         .orderBy("query_id", "rank")
     },
 
+    // extension: IVF ANN — nprobe = nlist probes every cell, so the result
+    // is exactly brute force and shares its oracle; smaller nprobe is the
+    // approximate scale path
+    "q_ivf_topk" -> { (s, d) =>
+      val emb = t(s, d)("embeddings")
+      val (indexed, centroids) = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 4)
+      Similarity.ivfTopK(emb.where(col("vec_id") < 10), indexed, centroids,
+        "vec_id", "embedding", k = 5, nprobe = 4)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    },
+
     // extension: multimodal binary column metadata
+
     "q_multimodal_meta" -> { (s, d) =>
       t(s, d)("documents")
         .withColumn("blob", encode(col("text"), "UTF-8"))
@@ -779,6 +793,24 @@ object GraftQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_embed_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |scored AS (SELECT query_id, neighbor_id,
+        |  round(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))), 4) AS cos
+        |  FROM q, c WHERE query_id <> neighbor_id)
+        |SELECT query_id, CAST(row_number() OVER w AS BIGINT) AS rank, neighbor_id, cos
+        |FROM scored
+        |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_ivf_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
         |  WHERE vec_id < 10),
         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

@@ -101,6 +101,59 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("_rk").as("rank"))
   }
 
+  /** IVF (inverted-file) ANN — the classic coarse-quantizer path: k-means
+    * centroids partition the corpus into cells; a query probes its `nprobe`
+    * nearest cells only. The 100 TB disposition: centroids are trained once
+    * on a sample (driver-small), the corpus is bucketed with one narrow pass
+    * + shuffle on `cell`, and probes fan out to nprobe cells — scan cost is
+    * nprobe/nlist of brute force, with recall controlled by nprobe.
+    */
+  def ivfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, seed: Long = 42L
+  ): (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = corpus.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("_features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("_features")
+      .fit(feat)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val indexed = model.transform(feat)
+      .withColumnRenamed("prediction", "cell").drop("_features")
+    (indexed, centroids)
+  }
+
+  private def nearestCells(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
+    // rank cells by squared distance to the query — tiny (nlist entries),
+    // computed as a sort of literal-struct array, stays in codegen
+    val cells = centroids.zipWithIndex.map { case (c, i) =>
+      val d = aggregate(zip_with(vec, lit(c), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (a, x) => a + x)
+      struct(d.as("d"), lit(i).as("cell"))
+    }
+    slice(sort_array(array(cells: _*)), 1, nprobe).getField("cell")
+  }
+
+  /** IVF top-k: probe the query's `nprobe` nearest cells. */
+  def ivfTopK(
+      queries: DataFrame, indexedCorpus: DataFrame, centroids: Array[Array[Double]],
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 2
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .withColumn("_qn", norm(col("_qv")))
+      .withColumn("cell", explode(nearestCells(col("_qv"), centroids, nprobe)))
+    val c = indexedCorpus.select(col("cell"), col(idCol).as("neighbor_id"),
+      col(vecCol).as("_cv")).withColumn("_cn", norm(col("_cv")))
+    val scored = q.join(c, Seq("cell")).where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("_rk", row_number().over(w)).where(col("_rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("_rk").as("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (exact within a restricted set, or
     * LSH-bucketed at scale): pairs with cosine ≥ minCos.
     */

@@ -93,6 +93,17 @@ class SimilaritySpec extends SparkSpec {
     assert(top.nonEmpty && top.head.getAs[Long]("neighbor_id") == 2L)
   }
 
+  test("IVF index + probe: identical-direction vector found within its cell") {
+    val (indexed, centroids) = Similarity.ivfIndex(vecs, "vec_id", "embedding", nlist = 2)
+    assert(indexed.columns.contains("cell"))
+    assert(centroids.length == 2)
+    val out = Similarity.ivfTopK(
+      vecs.where(col("vec_id") === 1), indexed, centroids,
+      "vec_id", "embedding", k = 1, nprobe = 2)
+    val top = out.collect()
+    assert(top.nonEmpty && top.head.getAs[Long]("neighbor_id") == 2L)
+  }
+
   test("cosine near-dup pairs above threshold only") {
     val nd = Similarity.cosineNearDups(vecs, "vec_id", "embedding", minCos = 0.9)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
