@@ -108,17 +108,21 @@ class CompilerSpec extends SparkSpec {
     assert(out.edge(EdgeKey("c", "n", "in")).count() == 1)
   }
 
-  test("cast step applies strict-allowlist type casts") {
+  test("cast step applies strict-allowlist type casts; uint nulls negatives") {
     import spark.implicits._
-    val df = Seq(("42", "3.5")).toDF("a", "b")
-    val schema = sch(Seq(VertexDef("v", Seq(FieldDef("a"), FieldDef("b")),
-      Identity.Natural(Seq("a")))))
-    val res = ResourceDef("r", Seq(CastStep(Map("a" -> "int", "b" -> "double")),
+    val df = Seq(("42", "3.5", "7"), ("1", "2.0", "-5")).toDF("a", "b", "u")
+    val schema = sch(Seq(VertexDef("v",
+      Seq(FieldDef("a"), FieldDef("b"), FieldDef("u")), Identity.Natural(Seq("a")))))
+    val res = ResourceDef("r", Seq(
+      CastStep(Map("a" -> "int", "b" -> "double", "u" -> "uint")),
       VertexStep("v")))
     val out = PipelineCompiler.compile(schema, res, df)
     val f = out.vertex("v").schema
     assert(f("a").dataType.typeName == "long")
     assert(f("b").dataType.typeName == "double")
+    val us = out.vertex("v").orderBy("a").collect()
+      .map(r => if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    assert(us.toSeq == Seq(None, Some(7L))) // -5 nulled, 7 kept (ordered by a: 1, 42)
   }
 
   test("any_key descend over a multi-entry map fans out with the key as data") {

@@ -21,6 +21,11 @@ class SourcesSpec extends SparkSpec {
     assert(FileSource.read(spark, s"$dir/t.parquet").count() == 2)
     assert(FileSource.read(spark, s"$dir/t.parquet", limit = Some(1)).count() == 1)
     intercept[IllegalArgumentException](FileSource.read(spark, s"$dir/t.xyz"))
+    // multi-line (pretty-printed) json array — JsonChunker's shape
+    Files.write(java.nio.file.Paths.get(dir, "t.json"),
+      """[ {"id": 1, "s": "a"},
+        |  {"id": 2, "s": "b"} ]""".stripMargin.getBytes)
+    assert(FileSource.read(spark, s"$dir/t.json").count() == 2)
   }
 
   test("ColumnTimeFilter: half-open window with pandas-style interval") {
