@@ -165,41 +165,40 @@ object Evolution {
           val oldIdCols = schema.vertex(vx).idColumns
           store.readVertices(vx).foreach { df =>
             val vdefNew = op(schema).vertex(vx)
-            // keep the OLD identity alongside while minting the new one —
-            // dropping it first would make synthetic→anything migrations
-            // lose the old→new mapping (or crash selecting a dropped _id)
-            val oldRenames = oldIdCols.map(c => c -> s"__old_$c").toMap
-            val withOld = oldIdCols.foldLeft(df)((d, c) =>
-              d.withColumnRenamed(c, oldRenames(c)))
+            val newIdCols = vdefNew.idColumns
+            // id columns present in BOTH identities are value-stable: never
+            // rename them (renaming would strip the new identity's own
+            // column). Only old-ONLY id columns move aside while the new
+            // identity is minted.
+            val shared  = oldIdCols.filter(newIdCols.contains)
+            val oldOnly = oldIdCols.filterNot(newIdCols.contains)
+            val newOnly = newIdCols.filterNot(shared.contains)
+            val withOld = oldOnly.foldLeft(df)((d, c) =>
+              d.withColumnRenamed(c, s"__old_$c"))
             val reKeyedBoth = graft.expr.IdentityDigest.withIdentity(vdefNew)(withOld)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             reKeyedBoth.count(): Unit // freeze row-ordinal-derived ids
-            val newIdCols = vdefNew.idColumns
-            // vertices keep natural old columns (renamed back) but drop a
-            // synthetic old _id that the new identity replaces
-            val vertexOut0 = oldIdCols.foldLeft(reKeyedBoth) { (d, c) =>
-              if (newIdCols.contains(c) || c == GraphSchema.SyntheticId) d
-              else d.withColumnRenamed(oldRenames(c), c)
+            // vertices: restore non-synthetic old-only columns as plain
+            // properties; a replaced synthetic _id is dropped
+            val vertexOut = oldOnly.foldLeft(reKeyedBoth) { (d, c) =>
+              if (c == GraphSchema.SyntheticId) d.drop(s"__old_$c")
+              else d.withColumnRenamed(s"__old_$c", c)
             }
-            val vertexOut =
-              if (oldIdCols.contains(GraphSchema.SyntheticId) &&
-                !newIdCols.contains(GraphSchema.SyntheticId))
-                vertexOut0.drop(s"__old_${GraphSchema.SyntheticId}")
-              else vertexOut0
-            store.overwriteVertices(vx,
-              vertexOut.drop(oldIdCols.filter(newIdCols.contains).map(oldRenames): _*))
+            store.overwriteVertices(vx, vertexOut)
             // re-key stored edges via the (old → new) mapping
-            val mapping = reKeyedBoth
-              .select((oldIdCols.map(oldRenames) ++ newIdCols).distinct.map(col): _*)
+            val mapping = reKeyedBoth.select(
+              (oldOnly.map(c => s"__old_$c") ++ shared ++ newOnly).map(col): _*)
             rewriteIncidentEdges(vx) { (edf, pfx) =>
-              val m = mapping.columns.foldLeft(mapping)((d, c) =>
-                d.withColumnRenamed(c,
-                  if (c.startsWith("__old_")) s"$pfx${c.stripPrefix("__old_")}"
-                  else s"__new_$pfx$c"))
+              var m = mapping
+              oldOnly.foreach(c => m = m.withColumnRenamed(s"__old_$c", s"$pfx$c"))
+              shared.foreach(c => m = m.withColumnRenamed(c, s"$pfx$c"))
+              newOnly.foreach(c => m = m.withColumnRenamed(c, s"__new_$pfx$c"))
               val joinKeys = oldIdCols.map(pfx + _)
-              val keep = edf.columns.filterNot(joinKeys.contains)
+              // shared keys stay (they are part of the new identity too);
+              // old-only keys are replaced by the mapped new-only columns
+              val keep = edf.columns.filterNot(oldOnly.map(pfx + _).contains)
               edf.join(m, joinKeys, "left")
-                .select((keep.map(col) ++ newIdCols.map(c =>
+                .select((keep.map(col) ++ newOnly.map(c =>
                   col(s"__new_$pfx$c").as(s"$pfx$c"))): _*)
             }
           }

@@ -23,7 +23,7 @@ import graft.model.{FunnelBranch, Identity, GraphSchema, VertexDef}
   * All of these are plain `Column`s — no UDF, no codegen break.
   */
 object IdentityDigest {
-  private val Sep = "\u0001"
+  val Sep = "\u0001"
 
   /** "present" means non-null and non-empty-string (reference treats "" as
     * missing for funnel branch selection).
@@ -69,7 +69,7 @@ object IdentityDigest {
       // A digest over a stable row ordinal is deterministic per evaluation;
       // callers deriving multiple outputs from the frame must persist it
       // first (as Evolution.migrateStore and the pipeline compiler do).
-      Some(sha2(concat_ws("", lit(v.name),
+      Some(sha2(concat_ws(Sep, lit(v.name),
         monotonically_increasing_id().cast("string")), 256))
   }
 

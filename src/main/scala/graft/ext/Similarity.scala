@@ -108,15 +108,24 @@ object Similarity {
     * + shuffle on `cell`, and probes fan out to nprobe cells — scan cost is
     * nprobe/nlist of brute force, with recall controlled by nprobe.
     */
+  /** L2-normalize a vector column (cosine metric ⇒ spherical k-means: cells
+    * must be direction-based, or a large-magnitude vector with the same
+    * direction lands in a far L2 cell and is missed at nprobe < nlist).
+    */
+  private def normalized(vec: Column): Column = {
+    val n = norm(vec)
+    org.apache.spark.sql.functions.transform(vec,
+      x => when(n > 0, x.cast("double") / n).otherwise(0.0))
+  }
+
   def ivfIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, seed: Long = 42L
   ): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.Vectors
     import org.apache.spark.ml.functions.array_to_vector
     val feat = corpus.select(col(idCol), col(vecCol),
-      array_to_vector(col(vecCol).cast("array<double>")).as("_features"))
+      array_to_vector(normalized(col(vecCol))).as("_features"))
     val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("_features")
       .fit(feat)
     val centroids = model.clusterCenters.map(_.toArray)
@@ -126,10 +135,12 @@ object Similarity {
   }
 
   private def nearestCells(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
-    // rank cells by squared distance to the query — tiny (nlist entries),
-    // computed as a sort of literal-struct array, stays in codegen
+    // rank cells by squared distance of the NORMALIZED query to the
+    // (normalized-space) centroids — tiny (nlist entries), a sort of
+    // literal-struct array, stays in codegen
+    val nv = normalized(vec)
     val cells = centroids.zipWithIndex.map { case (c, i) =>
-      val d = aggregate(zip_with(vec, lit(c), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      val d = aggregate(zip_with(nv, lit(c), (x, y) => (x - y) * (x - y)),
         lit(0.0), (a, x) => a + x)
       struct(d.as("d"), lit(i).as("cell"))
     }

@@ -136,31 +136,30 @@ final class GraphReader(
   def neighbors(q: NeighborQuery): GraphOutput = {
     val hops = caps.narrowHops(q.hops)
     val anchor = vertexDf(q.vertex).where(FilterExpr.compile(q.anchorFilter))
-    val out = traverse(Seq(q.vertex -> anchor), hops, q.direction, q.relations,
-      q.edgeLimit.getOrElse(caps.defaultEdgeLimit))
-    // result filters (models.py:142-198): applied to every hydrated frame
-    // that carries all the referenced fields (a filter naming fields of one
-    // type cannot constrain another type's frame)
-    val filtered = q.filters match {
-      case None => out
-      case Some(f) =>
-        val needed = FilterExpr.fields(f)
-        out.copy(vertices = out.vertices.map { case (t, df) =>
-          t -> (if (t != q.vertex && needed.subsetOf(df.columns.toSet))
-            df.where(FilterExpr.compile(f)) else df)
-        })
-    }
-    enforceElementCap(filtered)
+    // q.filters are EDGE filters, constraining which edges are traversed —
+    // the reference passes them into the per-hop edge fetch
+    // (db/traversal.py:121-204), not onto the result vertices
+    val (out, hopFrames) = traverse(Seq(q.vertex -> anchor), hops, q.direction,
+      q.relations, q.edgeLimit.getOrElse(caps.defaultEdgeLimit), q.filters)
+    finish(out, hopFrames)
   }
 
   /** Multi-seed reachability (reference TraverseQuery, db/conn.py:791-830). */
   def traverseQuery(q: TraverseQuery): GraphOutput = {
     require(q.seeds.size <= caps.maxSeeds, s"seeds exceed cap ${caps.maxSeeds}")
     val seeds = q.seeds.map { case (t, f) => t -> vertexDf(t).where(FilterExpr.compile(f)) }
-    enforceElementCap(
-      traverse(seeds, caps.narrowHops(q.hops), q.direction, q.relations,
-        caps.defaultEdgeLimit))
+    val (out, hopFrames) = traverse(seeds, caps.narrowHops(q.hops), q.direction,
+      q.relations, caps.defaultEdgeLimit)
+    finish(out, hopFrames)
   }
+
+  /** Enforce the element cap (materializing + caching the result), then
+    * release the intermediate hop frames — the result frames are cached, so
+    * downstream actions don't recompute through the released limits.
+    */
+  private def finish(out: GraphOutput, hopFrames: Seq[DataFrame]): GraphOutput =
+    try enforceElementCap(out)
+    finally hopFrames.foreach(_.unpersist()) // also on the cap-exceeded path
 
   /** `max_elements` hard cap (caps.py:23-92): total vertices + edges in the
     * result. Counting is bounded — per-hop edge limits already cap the
@@ -184,8 +183,9 @@ final class GraphReader(
       hops: Int,
       direction: Direction,
       relations: Seq[String],
-      edgeLimit: Int
-  ): GraphOutput = {
+      edgeLimit: Int,
+      edgeFilter: Option[FilterExpr] = None
+  ): (GraphOutput, Seq[DataFrame]) = {
     // visited / frontier are Map[vertexType -> DataFrame of id columns]
     def idCols(t: String) = schema.vertex(t).idColumns
     var visited: Map[String, DataFrame] =
@@ -194,27 +194,39 @@ final class GraphReader(
       }
     var frontier = visited
     var collectedEdges = Map.empty[EdgeKey, DataFrame]
+    val hopFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
     val allowedEdges = schema.edges
       .filter(e => relations.isEmpty || relations.contains(e.relation))
     require(allowedEdges.size <= caps.maxEdgeTypes, s"edge types exceed cap ${caps.maxEdgeTypes}")
 
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     for (_ <- 1 to hops if frontier.nonEmpty) {
       var nextFrontier = Map.empty[String, DataFrame]
       var newEdges = Map.empty[EdgeKey, DataFrame]
 
       def expand(e: EdgeDef, fromType: String, fromPrefix: String, toType: String, toPrefix: String): Unit =
-        frontier.get(fromType).zip(edgeDf(e.key)).foreach { case (front, edf) =>
+        frontier.get(fromType).zip(edgeDf(e.key)).foreach { case (front, edf0) =>
+          // edge filters constrain which edges are traversed, as in the
+          // reference's _fetch_edge_rows (db/traversal.py:121-204); a filter
+          // naming fields this edge type lacks doesn't apply to it
+          val edf = edgeFilter match {
+            case Some(f) if FilterExpr.fields(f).subsetOf(edf0.columns.toSet) =>
+              edf0.where(FilterExpr.compile(f))
+            case _ => edf0
+          }
           val keys = idCols(fromType)
           // truncation beyond edgeLimit keeps an arbitrary subset — matching
           // the reference, whose DEFAULT_EDGE_LIMIT truncation order is
-          // backend-dependent (db/traversal.py:36). An ordered limit would
-          // cost a range-partitioner sampling job per expansion; callers
-          // needing reproducible results must stay under the cap.
+          // backend-dependent (db/traversal.py:36). The limited frame is
+          // persisted ONCE and both the edge set and the frontier derive
+          // from it: two independent materializations of an unordered limit
+          // could pick different subsets (dangling endpoints).
           val joined = edf.join(
             broadcast(front.withColumnsRenamed(keys.map(k => k -> s"$fromPrefix$k").toMap)),
             keys.map(k => s"$fromPrefix$k"), "inner"
-          ).limit(edgeLimit)
+          ).limit(edgeLimit).persist(lvl)
+          hopFrames += joined
           newEdges += e.key -> newEdges.get(e.key).map(_.unionByName(joined, true)).getOrElse(joined)
           val farIds = joined.select(idCols(toType).map(k => col(s"$toPrefix$k").as(k)): _*).distinct()
           val unseen = visited.get(toType).map(v => farIds.join(v, idCols(toType), "left_anti")).getOrElse(farIds)
@@ -230,12 +242,11 @@ final class GraphReader(
         if (followIn)  expand(e, e.target, "dst_", e.source, "src_")
       }
 
-      // persist each hop's small frontier/edge sets (≤ edgeLimit rows):
-      // later hops, hydration, and the element-cap counts all reuse them —
-      // without this every downstream action replays the whole BFS
-      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      newEdges = newEdges.map { case (k, df) => k -> df.persist(lvl) }
-      nextFrontier = nextFrontier.map { case (t, df) => t -> df.persist(lvl) }
+      // persist each hop's small frontier sets (≤ edgeLimit rows): later
+      // hops, hydration, and the element-cap count all reuse them
+      nextFrontier = nextFrontier.map { case (t, df) =>
+        val p = df.persist(lvl); hopFrames += p; t -> p
+      }
 
       collectedEdges = (collectedEdges.keySet ++ newEdges.keySet).map { k =>
         k -> Seq(collectedEdges.get(k), newEdges.get(k)).flatten
@@ -259,6 +270,6 @@ final class GraphReader(
       // silent id-only fallback would turn real errors into wrong results
       t -> full.map(v => v.join(ids, idCols(t), "left_semi")).getOrElse(ids)
     }
-    GraphOutput(hydrated, collectedEdges)
+    (GraphOutput(hydrated, collectedEdges), hopFrames.toSeq)
   }
 }

@@ -122,6 +122,23 @@ class EvolutionSpec extends SparkSpec {
     assert(eids.subsetOf(vids) && eids.size == 2)
   }
 
+  test("ReplaceIdentity with overlapping old/new columns keeps the shared key intact") {
+    import spark.implicits._
+    import EvolutionOp._
+    val store = new GraphStore(
+      Files.createTempDirectory("graft-evo-overlap").toString, base, spark)
+    store.upsertVertices("person", Seq((1L, "ann", 30L)).toDF("pid", "name", "age"))
+    store.insertEdges(EdgeKey("person", "city", "lives_in"),
+      Seq((1L, 7L)).toDF("src_pid", "dst_cid"))
+    // old [pid] → new [pid, name]: pid is shared between identities
+    Evolution.migrateStore(store, Seq(
+      ReplaceIdentity("person", Identity.Natural(Seq("pid", "name")))))
+    val v = store.vertices("person").collect().head
+    assert(v.getAs[Long]("pid") == 1L && v.getAs[String]("name") == "ann")
+    val e = store.edges(EdgeKey("person", "city", "lives_in")).collect().head
+    assert(e.getAs[Long]("src_pid") == 1L && e.getAs[String]("src_name") == "ann")
+  }
+
   test("blank synthetic ids differ across batches (salt) but are deterministic within one") {
     import spark.implicits._
     import graft.pipeline._

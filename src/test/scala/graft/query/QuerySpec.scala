@@ -74,6 +74,20 @@ class QuerySpec extends SparkSpec {
     assert(out.vertices("c").count() == 1) // undirected → followed regardless
   }
 
+  test("NeighborQuery.filters constrain traversed edges (reference edge-filter semantics)") {
+    // edge ab carries no 'w' column in this fixture, bc does not either —
+    // build an edge map where ab has a weight to filter on
+    val sparkS = spark
+    import sparkS.implicits._
+    val esW = es.updated(EdgeKey("a", "b", "ab"),
+      Seq(("a1", "b1", 0.9), ("a1", "b2", 0.1)).toDF("src_id", "dst_id", "w"))
+    val r = new GraphReader(schema, vs(_), esW.get(_))
+    val out = r.neighbors(NeighborQuery("a", FilterExpr.eq("id", "a1"), hops = 1,
+      direction = Direction.Out, filters = Some(FilterExpr.gt("w", 0.5))))
+    assert(out.vertices("b").count() == 1) // only b1 reached through w>0.5
+    assert(out.edges(EdgeKey("a", "b", "ab")).count() == 1)
+  }
+
   test("traverseQuery multi-seed respects seed cap") {
     val seeds = (1 to 11).map(i => "a" -> FilterExpr.eq("id", s"a$i"))
     intercept[IllegalArgumentException](reader.traverseQuery(TraverseQuery(seeds)))
