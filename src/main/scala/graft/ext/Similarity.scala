@@ -126,7 +126,11 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val feat = corpus.select(col(idCol), col(vecCol),
       array_to_vector(normalized(col(vecCol))).as("_features"))
+    // random init + few iterations: k-means|| init alone costs several
+    // Spark jobs, and coarse IVF cells don't need converged centroids —
+    // cell quality only shifts the recall/nprobe tradeoff slightly
     val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("_features")
+      .setInitMode("random").setMaxIter(5)
       .fit(feat)
     val centroids = model.clusterCenters.map(_.toArray)
     val indexed = model.transform(feat)

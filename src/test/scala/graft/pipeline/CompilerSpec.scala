@@ -147,6 +147,55 @@ class CompilerSpec extends SparkSpec {
     assert(edges == Set((1L, "open", "10.5"), (1L, "close", "11.0"), (2L, "open", "7.0")))
   }
 
+  test("edge-inference selectors: only/except restrict inferred pairs") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 100L)).toDF("aid", "bid", "cid")
+    val schema = sch(
+      Seq(VertexDef("a", Nil, Identity.Natural(Seq("aid"))),
+        VertexDef("b", Nil, Identity.Natural(Seq("bid"))),
+        VertexDef("c", Nil, Identity.Natural(Seq("cid")))),
+      Seq(EdgeDef("a", "b", "ab"), EdgeDef("a", "c", "ac")))
+    val steps = Seq(VertexStep("a"), VertexStep("b", lookupOnly = true),
+      VertexStep("c", lookupOnly = true))
+    val only = PipelineCompiler.compile(schema,
+      ResourceDef("r", steps, inferEdgeOnly = Seq(("a", "b"))), df)
+    assert(only.edges.keySet == Set(EdgeKey("a", "b", "ab")))
+    val except = PipelineCompiler.compile(schema,
+      ResourceDef("r", steps, inferEdgeExcept = Seq(("a", "b"))), df)
+    assert(except.edges.keySet == Set(EdgeKey("a", "c", "ac")))
+  }
+
+  test("dropTrivialFields nulls empty strings before extraction") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "x")).toDF("id", "s")
+    val schema = sch(Seq(VertexDef("v", Seq(FieldDef("s")), Identity.Natural(Seq("id")))))
+    val out = PipelineCompiler.compile(schema,
+      ResourceDef("r", Seq(VertexStep("v")), dropTrivialFields = true), df)
+    val m = out.vertex("v").collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(m == Map(1L -> None, 2L -> Some("x")))
+  }
+
+  test("multi-link edge step emits several edges from one flat row") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 100L)).toDF("oid", "bid", "sid")
+    val schema = sch(
+      Seq(VertexDef("order", Nil, Identity.Natural(Seq("oid"))),
+        VertexDef("buyer", Nil, Identity.Natural(Seq("bid"))),
+        VertexDef("seller", Nil, Identity.Natural(Seq("sid")))),
+      Seq(EdgeDef("order", "buyer", "bought_by"), EdgeDef("order", "seller", "sold_by")))
+    val res = ResourceDef("r", Seq(
+      VertexStep("order", lookupOnly = true),
+      VertexStep("buyer", lookupOnly = true),
+      VertexStep("seller", lookupOnly = true),
+      MultiEdgeStep(Seq(
+        EdgeStep(source = "order", target = "buyer", relation = "bought_by"),
+        EdgeStep(source = "order", target = "seller", relation = "sold_by")))),
+      inferEdges = false)
+    val out = PipelineCompiler.compile(schema, res, df)
+    assert(out.edge(EdgeKey("order", "buyer", "bought_by")).count() == 1)
+    assert(out.edge(EdgeKey("order", "seller", "sold_by")).count() == 1)
+  }
+
   test("merge across repeated identities is order-sensitive last-wins") {
     import spark.implicits._
     val df = Seq((1L, "first"), (1L, "second")).toDF("k", "v")
