@@ -584,7 +584,12 @@ object GraftQueries {
       PipelineCompiler.compile(TpchGraph.schema, TpchGraph.customerResource, t(s, d)("customer")),
       PipelineCompiler.compile(TpchGraph.schema, TpchGraph.supplierResource, t(s, d)("supplier")),
       PipelineCompiler.compile(TpchGraph.schema, TpchGraph.ordersResource, t(s, d)("orders")))
-    parts.reduceLeft(_.unionWith(_)).cache()
+    val g = parts.reduceLeft(_.unionWith(_)).cache()
+    // materialize collections one by one: letting the first consumer's
+    // multi-branch job race to populate the caches recomputes the shared
+    // ingest plans concurrently (observed 5× slowdown)
+    g.sizes(): Unit
+    g
   }
 
   // ------------------------------------------------------------- § oracles
