@@ -111,6 +111,29 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class SkewJoinSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("salted join equals plain join on skewed data") {
+    import spark.implicits._
+    // 'hot' key appears 1000 times on the left
+    val left = ((1 to 1000).map(_ => ("hot", 1)) ++ Seq(("cold", 2))).toDF("k", "v")
+    val right = Seq(("hot", "H"), ("cold", "C")).toDF("k", "label")
+    val salted = SkewJoin.saltedJoin(left, right, Seq("k"), saltFactor = 8)
+    val plain = left.join(right, Seq("k"))
+    assert(salted.count() == plain.count())
+    assert(salted.groupBy("k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("hot" -> 1000L, "cold" -> 1L))
+  }
+
+  test("keySkew surfaces the hot keys") {
+    import spark.implicits._
+    val df = ((1 to 50).map(_ => "hot") ++ Seq("a", "b")).toDF("k")
+    val top = SkewJoin.keySkew(df, Seq("k"), topN = 1).collect().head
+    assert(top.getString(0) == "hot" && top.getLong(1) == 50L)
+  }
+}
+
 class TextAnalysisSpec extends SparkSpec {
 
   test("token count and quality features") {
