@@ -102,6 +102,18 @@ object GraftQueries {
           col("o_orderpriority").asc_nulls_first)
     },
 
+    // §2.8 extension: ranked window (the reference has no SQL window
+    // functions — row_number is its ambiguity-ordering idea generalized)
+    "q_window_rank" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d)("orders")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rk")
+    },
+
     // §2.6 edge rendering, PAIR casting (zip at same lineage)
     "q_edge_pair" -> { (s, d) =>
       val g = PipelineCompiler.compile(TpchGraph.schema, TpchGraph.ordersResource,
@@ -631,6 +643,14 @@ object GraftQueries {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, CAST(row_number() OVER w AS BIGINT) AS rk,
+        |o_orderkey, o_totalprice
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |QUALIFY row_number() OVER w <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
 
     "q_edge_pair" ->
       """SELECT o_orderkey AS src_o_orderkey, o_custkey AS dst_c_custkey FROM orders
