@@ -145,6 +145,40 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
     flip(dir, next)
   }
 
+  /** Remove superseded version directories, keeping the current one (+
+    * `keepPrevious` older versions for in-flight readers). Upserts create a
+    * new version per write; without vacuuming a frequently-updated
+    * collection accumulates every historical copy.
+    */
+  def vacuum(keepPrevious: Int = 1): Unit = {
+    def sweep(dir: String): Unit = currentVersion(dir).foreach { cur =>
+      val keep = (cur - keepPrevious to cur).toSet
+      import scala.jdk.CollectionConverters._
+      val d = Paths.get(dir)
+      if (Files.exists(d)) {
+        val s = Files.list(d)
+        val victims = try s.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("v"))
+          .filter(p => p.getFileName.toString.stripPrefix("v").toIntOption
+            .exists(v => !keep.contains(v)))
+          .toList
+        finally s.close()
+        victims.foreach(deleteRecursively)
+      }
+    }
+    vertexCollections.foreach(n => sweep(vdir(n)))
+    schema.edges.map(_.key).foreach(k => sweep(edir(k)))
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.toList.foreach(deleteRecursively) finally s.close()
+    }
+    Files.deleteIfExists(p): Unit
+  }
+
   /** Collections currently present (INDEX listing). */
   def vertexCollections: Seq[String] = listDir("vertices")
   def edgeCollections: Seq[String] = listDir("edges")

@@ -54,6 +54,10 @@ object StreamIngest {
     * The pipeline compiler is reused verbatim — batch within foreachBatch is
     * a plain DataFrame, so descend/transform/vertex/edge semantics are
     * identical to batch ingest.
+    *
+    * Note: micro-batch frames are narrow scans (order-stable), so the
+    * compiler's row-id persist is skipped per batch — no per-batch cache
+    * accumulation.
     */
   def ingestStream(
       schema: GraphSchema,

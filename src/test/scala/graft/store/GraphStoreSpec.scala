@@ -61,6 +61,22 @@ class GraphStoreSpec extends SparkSpec {
     assert(store.edges(EdgeKey("p", "q", "rel")).count() == 2)
   }
 
+  test("vacuum removes superseded versions but keeps current + previous") {
+    import spark.implicits._
+    val store = newStore()
+    (1 to 4).foreach { i =>
+      store.upsertVertices("p", Seq((i.toLong, s"n$i", 0.0)).toDF("id", "name", "score"))
+    }
+    store.vacuum(keepPrevious = 1)
+    val root = java.nio.file.Paths.get(store.root, "vertices", "p")
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(root)
+    val dirs = try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("v")).toList.sorted finally s.close()
+    assert(dirs == List("v2", "v3")) // v0, v1 swept; current v3 + previous v2 kept
+    assert(store.vertices("p").count() == 4) // data intact
+  }
+
   test("fetchPresent/keepAbsent are semi/anti joins") {
     import spark.implicits._
     val store = newStore()
