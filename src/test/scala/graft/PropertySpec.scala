@@ -105,6 +105,67 @@ class PropertySpec extends SparkSpec {
     assert(ids.toSeq == ids2.toSeq)
   }
 
+  test("FilterExpr.compile agrees with a three-valued-logic Scala model on random trees") {
+    import graft.expr.FilterExpr
+    import FilterExpr._
+    val sparkS = spark
+    import sparkS.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows: Seq[(Long, Option[Long], Option[String])] = (0 until 60).map { i =>
+      (i.toLong,
+        if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(10).toLong),
+        if (rnd.nextInt(4) == 0) None else Some(s"s${rnd.nextInt(4)}"))
+    }
+    val df = rows.toDF("id", "x", "s")
+
+    def genLeaf(): FilterExpr = rnd.nextInt(6) match {
+      case 0 => FilterExpr.eq("x", rnd.nextInt(10).toLong)
+      case 1 => gt("x", rnd.nextInt(10).toLong)
+      case 2 => lte("x", rnd.nextInt(10).toLong)
+      case 3 => in("s", Seq(s"s${rnd.nextInt(4)}", s"s${rnd.nextInt(4)}"))
+      case 4 => isNull("s")
+      case 5 => neq("s", s"s${rnd.nextInt(4)}")
+    }
+    def gen(depth: Int): FilterExpr =
+      if (depth == 0) genLeaf()
+      else rnd.nextInt(4) match {
+        case 0 => And(Seq(gen(depth - 1), gen(depth - 1)))
+        case 1 => Or(Seq(gen(depth - 1), gen(depth - 1)))
+        case 2 => Not(gen(depth - 1))
+        case 3 => IfThen(gen(depth - 1), gen(depth - 1))
+      }
+
+    // SQL three-valued logic model: None = unknown
+    def evalM(e: FilterExpr, x: Option[Long], s: Option[String]): Option[Boolean] = e match {
+      case Cmp("x", CmpOp.Eq, v)  => x.map(_ == v.asInstanceOf[Long])
+      case Cmp("x", CmpOp.Gt, v)  => x.map(_ > v.asInstanceOf[Long])
+      case Cmp("x", CmpOp.Lte, v) => x.map(_ <= v.asInstanceOf[Long])
+      case Cmp("s", CmpOp.In, vs) => s.map(sv => vs.asInstanceOf[Seq[Any]].contains(sv))
+      case Cmp("s", CmpOp.IsNull, _)  => Some(s.isEmpty)
+      case Cmp("s", CmpOp.Neq, v) => s.map(_ != v.asInstanceOf[String])
+      case And(es) =>
+        val vs = es.map(evalM(_, x, s))
+        if (vs.contains(Some(false))) Some(false)
+        else if (vs.forall(_.contains(true))) Some(true) else None
+      case Or(es) =>
+        val vs = es.map(evalM(_, x, s))
+        if (vs.contains(Some(true))) Some(true)
+        else if (vs.forall(_.contains(false))) Some(false) else None
+      case Not(a) => evalM(a, x, s).map(!_)
+      case IfThen(a, b) => evalM(Or(Seq(Not(a), b)), x, s)
+      case other => fail(s"unexpected $other")
+    }
+
+    (1 to 25).foreach { _ =>
+      val e = gen(2 + rnd.nextInt(2))
+      val got = df.where(FilterExpr.compile(e)).select("id").collect()
+        .map(_.getLong(0)).toSet
+      val want = rows.filter { case (_, x, s) => evalM(e, x, s).contains(true) }
+        .map(_._1).toSet
+      assert(got == want, s"tree: $e")
+    }
+  }
+
   test("name functions round-trip: snake→camel→snake is identity on clean names") {
     samples(Gen.nonEmptyListOf(Gen.oneOf("foo", "bar", "baz", "qux")), 20).foreach { parts =>
       val snake = parts.mkString("_")
