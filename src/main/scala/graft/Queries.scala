@@ -84,6 +84,16 @@ object GraftQueries {
         .select(array_join(col("_value"), ",").as("_value"))
     },
 
+    // §2.7 MIN/MAX/AVERAGE AggregateQuery with filters
+    "q_aggregate_minmax" -> { (s, d) =>
+      val reader = new GraphReader(TpchGraph.schema, t(s, d), _ => None)
+      def agg(fn: String) = reader.aggregate(AggregateQuery("orders", fn,
+        aggregatedField = Some("o_totalprice"),
+        filters = Some(FilterExpr.eq("o_orderstatus", "F"))))
+        .select(lit(fn).as("agg"), round(col("_value"), 2).as("_value"))
+      agg("MIN").unionByName(agg("MAX")).unionByName(agg("AVERAGE")).orderBy("agg")
+    },
+
     // §2.7 extension: ROLLUP subtotals (free from Catalyst; the reference
     // has no grouping sets — SURVEY notes these as in-scope extensions)
     "q_rollup" -> { (s, d) =>
@@ -632,6 +642,15 @@ object GraftQueries {
     "q_agg_sorted_unique" ->
       """SELECT array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
         |AS _value FROM orders""".stripMargin,
+
+    "q_aggregate_minmax" ->
+      """SELECT 'AVERAGE' AS agg, round(avg(o_totalprice), 2) AS _value FROM orders
+        |  WHERE o_orderstatus = 'F'
+        |UNION ALL SELECT 'MAX', round(max(o_totalprice), 2) FROM orders
+        |  WHERE o_orderstatus = 'F'
+        |UNION ALL SELECT 'MIN', round(min(o_totalprice), 2) FROM orders
+        |  WHERE o_orderstatus = 'F'
+        |ORDER BY agg""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
