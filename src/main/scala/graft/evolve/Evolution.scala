@@ -171,7 +171,22 @@ object Evolution {
             // column). Only old-ONLY id columns move aside while the new
             // identity is minted.
             val shared  = oldIdCols.filter(newIdCols.contains)
+            // Old id columns that the NEW identity digests from (e.g.
+            // Natural(["name"]) → Hash(["name"])) must stay in place while
+            // the new identity is minted — renaming them first would make
+            // IdentityDigest.withIdentity reference a missing column. They
+            // keep their original name (they remain plain data fields), and
+            // act like `shared` for the old→new edge-rekey mapping.
+            val digestSrc: Set[String] = vdefNew.identity match {
+              case Identity.Hash(fs)        => fs.toSet
+              case Identity.Funnel(bs, _)   =>
+                bs.flatMap(b => b.whenAllPresent ++ b.digestFields).toSet
+              case _                        => Set.empty
+            }
+            val keptOld = oldIdCols.filterNot(newIdCols.contains)
+              .filter(digestSrc.contains)
             val oldOnly = oldIdCols.filterNot(newIdCols.contains)
+              .filterNot(digestSrc.contains)
             val newOnly = newIdCols.filterNot(shared.contains)
             val withOld = oldOnly.foldLeft(df)((d, c) =>
               d.withColumnRenamed(c, s"__old_$c"))
@@ -187,16 +202,17 @@ object Evolution {
             store.overwriteVertices(vx, vertexOut)
             // re-key stored edges via the (old → new) mapping
             val mapping = reKeyedBoth.select(
-              (oldOnly.map(c => s"__old_$c") ++ shared ++ newOnly).map(col): _*)
+              (oldOnly.map(c => s"__old_$c") ++ keptOld ++ shared ++ newOnly).map(col): _*)
             rewriteIncidentEdges(vx) { (edf, pfx) =>
               var m = mapping
               oldOnly.foreach(c => m = m.withColumnRenamed(s"__old_$c", s"$pfx$c"))
-              shared.foreach(c => m = m.withColumnRenamed(c, s"$pfx$c"))
+              (keptOld ++ shared).foreach(c => m = m.withColumnRenamed(c, s"$pfx$c"))
               newOnly.foreach(c => m = m.withColumnRenamed(c, s"__new_$pfx$c"))
               val joinKeys = oldIdCols.map(pfx + _)
               // shared keys stay (they are part of the new identity too);
-              // old-only keys are replaced by the mapped new-only columns
-              val keep = edf.columns.filterNot(oldOnly.map(pfx + _).contains)
+              // old-only and kept-old keys are replaced by the mapped
+              // new-only columns (they are no longer identity columns)
+              val keep = edf.columns.filterNot((oldOnly ++ keptOld).map(pfx + _).contains)
               edf.join(m, joinKeys, "left")
                 .select((keep.map(col) ++ newOnly.map(c =>
                   col(s"__new_$pfx$c").as(s"$pfx$c"))): _*)

@@ -151,9 +151,16 @@ final case class GraphSchema(vertices: Seq[VertexDef], edges: Seq[EdgeDef] = Nil
   val edgeByKey: Map[EdgeKey, EdgeDef]     = edges.map(e => e.key -> e).toMap
 
   require(vertexByName.size == vertices.size, "duplicate vertex names")
+  // EdgeKey.storeName encodes (source, relation, target) as
+  // "src__rel__tgt"; a "__" inside any component would make that encoding
+  // ambiguous and mis-key collections read back from disk.
+  vertices.foreach(v => require(!v.name.contains("__"),
+    s"vertex name '${v.name}' must not contain '__' (reserved by the store layout)"))
   edges.foreach { e =>
     require(vertexByName.contains(e.source), s"edge $e references unknown vertex ${e.source}")
     require(vertexByName.contains(e.target), s"edge $e references unknown vertex ${e.target}")
+    require(!e.relation.contains("__"),
+      s"relation '${e.relation}' must not contain '__' (reserved by the store layout)")
   }
 
   def vertex(n: String): VertexDef =

@@ -127,7 +127,8 @@ object PipelineCompiler {
     */
   private def isOrderStable(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
-    df.queryExecution.analyzed.collectFirst {
+    val plan = df.queryExecution.analyzed
+    val shuffling = plan.collectFirst {
       case _: Aggregate => false
       case _: Join => false
       case _: Repartition => false
@@ -135,7 +136,12 @@ object PipelineCompiler {
       case _: Window => false
       case _: Distinct => false
       case _: Deduplicate => false
-    }.isEmpty
+      case _: Sample => false // row SET varies per evaluation, not just order
+    }.nonEmpty
+    // Any non-deterministic expression (rand(), uuid(), shuffle(), …) makes
+    // re-evaluation yield different rows even in a narrow chain.
+    val nonDet = plan.exists(_.expressions.exists(e => !e.deterministic))
+    !shuffling && !nonDet
   }
 
   /** `strip_trivial_top_level_fields` (runtime/resource.py:32-35): ""→null. */

@@ -87,12 +87,18 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
     val dir = vdir(name)
     val cur = currentVersion(dir)
     val next = cur.getOrElse(-1) + 1
+    // Incoming rows get a PER-ROW generation (1 + row ordinal), not a
+    // constant: a batch holding several docs with the same identity must
+    // resolve last-wins in document order (merge_doc_basis semantics) —
+    // with a constant gen the struct-max would mix field values across the
+    // duplicates arbitrarily. The ordinal reflects partition order, i.e.
+    // input order for a narrow-read batch; merge and write evaluate in one
+    // action, so id non-determinism across evaluations can't split state.
+    val neu = incoming.withColumn(GenCol, monotonically_increasing_id() + 1L)
     val merged = cur match {
-      case None => MergeOps.mergeDocBasis(
-        incoming.withColumn(GenCol, lit(0L)), vdef.idColumns, GenCol)
+      case None => MergeOps.mergeDocBasis(neu, vdef.idColumns, GenCol)
       case Some(v) =>
         val existing = spark.read.parquet(s"$dir/v$v").withColumn(GenCol, lit(0L))
-        val neu = incoming.withColumn(GenCol, lit(1L))
         MergeOps.mergeDocBasis(
           existing.unionByName(neu, allowMissingColumns = true), vdef.idColumns, GenCol)
     }
