@@ -511,18 +511,22 @@ object GraftQueries {
         .orderBy("doc_id")
     },
 
-    // extension: SimHash near-dups (xxhash64-based — no SQL oracle, rows-only)
+    // extension: SimHash near-dups — md5-derived 60-bit signatures with
+    // pigeonhole-complete banding (maxHamming+1 bands), full DuckDB oracle
     "q_simhash_neardup" -> { (s, d) =>
-      Dedup.simhashNearDups(t(s, d)("documents").where(col("doc_id") < 200),
+      Dedup.simhashMd5NearDups(t(s, d)("documents").where(col("doc_id") < 200),
         "doc_id", "text", maxHamming = 12)
         .orderBy("id_a", "id_b")
     },
 
-    // extension: LSH-bucketed ANN top-k (approximate — no oracle, rows-only)
+    // extension: LSH-bucketed ANN top-k with md5-derived hyperplanes — the
+    // planes (hence buckets, candidates, and the exact result) replicate in
+    // DuckDB, so the approximate operator has a FULL equality oracle
     "q_ann_topk" -> { (s, d) =>
       val emb = t(s, d)("embeddings")
       Similarity.annTopK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding",
-        k = 5, bits = 6, dim = 64, multiprobe = 2)
+        k = 5, bits = 6, dim = 64, multiprobe = 2,
+        planesOverride = Some(Similarity.md5Hyperplanes(bits = 6, dim = 64)))
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cos"))
         .orderBy("query_id", "rank")
@@ -1010,6 +1014,67 @@ object GraftQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // simhashMd5NearDups bands with maxHamming+1 substrings (pigeonhole-
+    // complete), so its output equals the EXACT all-pairs Hamming ≤ 12 set —
+    // the oracle recomputes the md5-derived signatures and compares all pairs
+    "q_simhash_neardup" ->
+      """WITH sel AS (SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS nt
+        |  FROM documents WHERE doc_id < 200),
+        |tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tk FROM sel),
+        |hx AS (SELECT doc_id, md5(tk) AS h FROM tok WHERE len(tk) > 0),
+        |bits AS (SELECT doc_id, j,
+        |  CASE WHEN ((strpos('0123456789abcdef', substring(h, (j // 4) + 1, 1)) - 1)
+        |       >> (3 - (j % 4))) & 1 = 1 THEN 1 ELSE -1 END AS v
+        |  FROM hx, (SELECT unnest(generate_series(0, 59)) AS j) js),
+        |sig AS (SELECT doc_id,
+        |  string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sg
+        |  FROM (SELECT doc_id, j, sum(v) AS s FROM bits GROUP BY 1, 2) GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_filter(generate_series(1, 60),
+        |    i -> substring(a.sg, i, 1) <> substring(b.sg, i, 1))) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE len(list_filter(generate_series(1, 60),
+        |    i -> substring(a.sg, i, 1) <> substring(b.sg, i, 1))) <= 12
+        |ORDER BY 1, 2""".stripMargin,
+
+    // ANN with md5-derived hyperplanes: the planes (ints < 2^32 from md5 hex,
+    // exact in double), bucket signs, multiprobe set, and 4-dp cosines all
+    // replicate bit-for-bit, so the approximate operator has a FULL oracle
+    "q_ann_topk" ->
+      """WITH pw AS (SELECT j, d,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      p -> (strpos('0123456789abcdef',
+        |              substring(md5('p:' || j || ':' || d), p, 1)) - 1)
+        |           * CAST(power(16, 8 - p) AS BIGINT))) / 2147483648.0 - 1.0 AS w
+        |  FROM (SELECT unnest(generate_series(0, 5)) AS j) jj,
+        |       (SELECT unnest(generate_series(0, 63)) AS d) dd),
+        |pl AS (SELECT j, list(w ORDER BY d) AS p FROM pw GROUP BY j),
+        |cb AS (SELECT e.vec_id, SUM(CASE WHEN
+        |    list_reduce(list_transform(generate_series(1, 64),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i]), (acc, x) -> acc + x) >= 0
+        |    THEN CAST(1 AS BIGINT) << pl.j ELSE 0 END) AS bucket
+        |  FROM embeddings e, pl GROUP BY e.vec_id),
+        |qb AS (SELECT e.vec_id AS query_id, e.embedding AS qv, cb.bucket AS b0
+        |  FROM embeddings e JOIN cb ON cb.vec_id = e.vec_id WHERE e.vec_id < 10),
+        |probes AS (SELECT query_id, qv, unnest([b0, xor(b0, 1), xor(b0, 2)]) AS bucket
+        |  FROM qb),
+        |scored AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+        |  round(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(p.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(p.qv[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))), 4)
+        |    AS cos
+        |  FROM probes p JOIN cb ON cb.bucket = p.bucket
+        |  JOIN embeddings e ON e.vec_id = cb.vec_id
+        |  WHERE p.query_id <> e.vec_id)
+        |SELECT query_id, CAST(row_number() OVER w AS BIGINT) AS rank, neighbor_id, cos
+        |FROM scored
+        |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY query_id, rank""".stripMargin
   )
 }

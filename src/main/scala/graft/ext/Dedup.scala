@@ -148,10 +148,9 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash over token hashes (xxhash64; no oracle — verified by
-    * property tests): sum ±1 per bit weighted by token frequency, sign →
-    * bit. Near-dups = pairs within `maxHamming` on a band-join (split the 64
-    * bits into 4 16-bit bands; Hamming ≤ 3 ⟹ at least one band equal).
+  /** 64-bit SimHash over token hashes (xxhash64 — the fast path when no
+    * oracle is needed): sum ±1 per bit weighted by token frequency, sign →
+    * bit.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol), explode(
@@ -166,17 +165,76 @@ object Dedup {
       .agg(sum(expr("shiftleft(bitval, cast(bit as int))")).as("simhash"))
   }
 
+  /** SimHash near-dups on the 64-bit fast signature. Banding is recall-
+    * correct by pigeonhole: `maxHamming + 1` bands of ⌊64/nb⌋..⌈64/nb⌉ bits,
+    * so any pair within `maxHamming` agrees on at least one full band (the
+    * previous fixed 4×16-bit split silently missed pairs at Hamming 4+).
+    */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+    val nb = math.min(maxHamming + 1, 64)
     val sig = simhash(df, idCol, textCol)
     val banded = sig.select(col(idCol), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("bandval", expr("(simhash >> (band * 16)) & 65535"))
+      explode(sequence(lit(0), lit(nb - 1))).as("band"))
+      // band i covers bits [⌊i·64/nb⌋, ⌊(i+1)·64/nb⌋); widths differ by ≤1
+      .withColumn("_lo", (col("band") * 64 / nb).cast("int"))
+      .withColumn("_hi", ((col("band") + 1) * 64 / nb).cast("int"))
+      .withColumn("bandval",
+        expr("(simhash >> _lo) & (CASE WHEN _hi - _lo >= 64 THEN -1L ELSE shiftleft(1L, _hi - _lo) - 1 END)"))
     val l = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("band"), col("bandval"))
     val r = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("band"), col("bandval"))
-    val popcount = (c: Column) => bit_count(c)
     l.join(r, Seq("band", "bandval")).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        popcount(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash with an md5-derived 60-bit signature rendered as a '0'/'1'
+    * string — bit j comes from hex digit j/4 of md5(token) (MSB-first within
+    * the digit), so a SQL engine with md5 (the DuckDB oracle) reproduces the
+    * signature bit-for-bit; 60 bits = 15 hex digits keeps every intermediate
+    * integral and exact. Same token-frequency ±1 voting as [[simhash]].
+    */
+  val SimhashMd5Bits = 60
+
+  def simhashMd5Signatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(
+      filter(split(normalize(col(textCol)), " "), t => length(t) > 0)).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bits = toks.select(col(idCol),
+      explode(sequence(lit(0), lit(SimhashMd5Bits - 1))).as("j"), col("h"))
+      // hex digit value at position j/4, then bit (3 - j%4) of that digit
+      .withColumn("digit", expr("conv(substring(h, cast(j / 4 as int) + 1, 1), 16, 10)").cast("int"))
+      .withColumn("v", when(expr("(digit >> (3 - (j % 4))) & 1") === 1, 1).otherwise(-1))
+    bits.groupBy(col(idCol), col("j")).agg(sum(col("v")).as("s"))
+      .withColumn("c", when(col("s") > 0, lit("1")).otherwise(lit("0")))
+      .groupBy(col(idCol))
+      .agg(array_join(org.apache.spark.sql.functions.transform(
+        array_sort(collect_list(struct(col("j"), col("c")))), x => x.getField("c")), "")
+        .as("sig"))
+  }
+
+  /** Near-dup pairs on the md5 signature: `maxHamming + 1` substring bands
+    * (pigeonhole-complete), candidates verified with the true Hamming
+    * distance. Fully replicable in the DuckDB oracle.
+    */
+  def simhashMd5NearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val n = SimhashMd5Bits
+    val nb = math.min(maxHamming + 1, n)
+    val sig = simhashMd5Signatures(df, idCol, textCol)
+    val banded = sig.select(col(idCol), col("sig"),
+      explode(sequence(lit(0), lit(nb - 1))).as("band"))
+      .withColumn("_lo", (col("band") * n / nb).cast("int"))
+      .withColumn("_len", ((col("band") + 1) * n / nb).cast("int") - col("_lo"))
+      .withColumn("bandval", col("sig").substr(col("_lo") + 1, col("_len")))
+    val l = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("band"), col("bandval"))
+    val r = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("band"), col("bandval"))
+    val hamming = aggregate(sequence(lit(1), lit(n)), lit(0L), (acc, i) =>
+      acc + when(col("sig_a").substr(i.cast("int"), lit(1)) =!=
+        col("sig_b").substr(i.cast("int"), lit(1)), 1L).otherwise(0L))
+    l.join(r, Seq("band", "bandval")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }

@@ -61,6 +61,22 @@ object Similarity {
     Array.fill(bits, dim)(rnd.nextGaussian())
   }
 
+  /** Engine-portable deterministic hyperplanes: component d of plane j is
+    * uniform in [-1, 1), derived from the first 8 hex digits of
+    * md5("p:j:d") — so any engine with md5 (the DuckDB correctness oracle)
+    * reproduces the planes, signatures, buckets, and therefore the exact
+    * ANN result. The integer stays < 2^32 (exact in a double), and both
+    * sides sum dot products in ascending index order, so the signatures are
+    * bit-identical.
+    */
+  def md5Hyperplanes(bits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(bits, dim) { (j, d) =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      val hex = digest.digest(s"p:$j:$d".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
+    }
+
   /** Sign-LSH bucket id of a vector: one bit per hyperplane. */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
@@ -77,9 +93,10 @@ object Similarity {
   def annTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      bits: Int = 8, dim: Int = 64, multiprobe: Int = 0, seed: Long = 42L
+      bits: Int = 8, dim: Int = 64, multiprobe: Int = 0, seed: Long = 42L,
+      planesOverride: Option[Array[Array[Double]]] = None
   ): DataFrame = {
-    val planes = hyperplanes(bits, dim, seed)
+    val planes = planesOverride.getOrElse(hyperplanes(bits, dim, seed))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
       .withColumn("bucket", lshBucket(col("_cv"), planes))
       .withColumn("_cn", norm(col("_cv")))
@@ -120,7 +137,7 @@ object Similarity {
 
   def ivfIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, seed: Long = 42L
+      nlist: Int, seed: Long = 42L, trainRowsPerCell: Int = 256
   ): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -128,10 +145,15 @@ object Similarity {
       array_to_vector(normalized(col(vecCol))).as("_features"))
     // random init + few iterations: k-means|| init alone costs several
     // Spark jobs, and coarse IVF cells don't need converged centroids —
-    // cell quality only shifts the recall/nprobe tradeoff slightly
+    // cell quality only shifts the recall/nprobe tradeoff slightly.
+    // TRAIN ON A BOUNDED SAMPLE (nlist × trainRowsPerCell rows): a coarse
+    // quantizer fit over the full corpus would be maxIter full passes —
+    // the dominant cost at 100 TB for zero cell-quality gain. limit() is
+    // deterministic (first rows in partition order) and needs no count.
+    val trainCap = math.max(nlist * trainRowsPerCell, nlist * 2)
     val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("_features")
       .setInitMode("random").setMaxIter(5)
-      .fit(feat)
+      .fit(feat.select("_features").limit(trainCap))
     val centroids = model.clusterCenters.map(_.toArray)
     val indexed = model.transform(feat)
       .withColumnRenamed("prediction", "cell").drop("_features")
@@ -171,15 +193,26 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs (exact within a restricted set, or
     * LSH-bucketed at scale): pairs with cosine ≥ minCos.
+    *
+    * `useLsh = None` (the default) picks automatically: inputs above
+    * `autoLshThreshold` rows go through LSH bucketing — the exact path is an
+    * all-pairs self-join in ONE bucket, a scale-killer if applied to a whole
+    * corpus. Pass `Some(false)` only for bounded inputs where exactness is
+    * required by contract.
     */
   def cosineNearDups(
       df: DataFrame, idCol: String, vecCol: String, minCos: Double,
-      useLsh: Boolean = false, bits: Int = 8, dim: Int = 64
+      useLsh: Option[Boolean] = None, bits: Int = 8, dim: Int = 64,
+      autoLshThreshold: Long = 100000L
   ): DataFrame = {
     val base = df.select(col(idCol), col(vecCol).as("_v"))
       .withColumn("_n", norm(col("_v")))
+    val lsh = useLsh.getOrElse {
+      // one narrow count over a 2-column projection decides the path
+      base.select(col(idCol)).limit((autoLshThreshold + 1).toInt).count() > autoLshThreshold
+    }
     val withBucket =
-      if (useLsh) base.withColumn("bucket", lshBucket(col("_v"), hyperplanes(bits, dim)))
+      if (lsh) base.withColumn("bucket", lshBucket(col("_v"), hyperplanes(bits, dim)))
       else base.withColumn("bucket", lit(0L))
     val a = withBucket.select(col("bucket"), col(idCol).as("id_a"),
       col("_v").as("_va"), col("_n").as("_na"))
