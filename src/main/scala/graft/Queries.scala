@@ -532,6 +532,74 @@ object GraftQueries {
         .orderBy("query_id", "rank")
     },
 
+    // §2.3 bare descend: iterate the sole array column (list-root documents)
+    "q_descend_bare" -> { (s, d) =>
+      val o = t(s, d)("orders"); val li = t(s, d)("lineitem")
+      val nested = o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("o_custkey"), col("o_orderkey"))
+        .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_partkey"))))
+          .as("items"))
+      val sch = GraphSchema(
+        vertices = Seq(
+          VertexDef("customer", Nil, Identity.Natural(Seq("c_custkey"))),
+          VertexDef("part", Nil, Identity.Natural(Seq("p_partkey")))),
+        edges = Nil)
+      val res = ResourceDef("r_bare", Seq(
+        VertexStep("customer", from = Map("c_custkey" -> "o_custkey"),
+          extractionScope = "mapped_only", lookupOnly = true),
+        Descend(None, steps = Seq( // items is the frame's only array column
+          VertexStep("part", from = Map("p_partkey" -> "l_partkey"),
+            extractionScope = "mapped_only", lookupOnly = true))),
+        EdgeStep(source = "customer", target = "part", relation = "bought")
+      ), inferEdges = false)
+      PipelineCompiler.compile(sch, res, nested)
+        .edge(EdgeKey("customer", "part", "bought"))
+        .select("src_c_custkey", "dst_p_partkey")
+        .orderBy("src_c_custkey", "dst_p_partkey")
+    },
+
+    // §2.6 extra-weight enrichment from STORED vertices (db_writer.py:355-387)
+    "q_edge_enrich" -> { (s, d) =>
+      val root = s"/root/repo/target/graft-enrich-${d.replaceAll("[^0-9.]", "")}"
+      deleteRecursively(new java.io.File(root))
+      val sch = GraphSchema(
+        vertices = Seq(
+          VertexDef("customer", Seq(FieldDef("c_mktsegment")),
+            Identity.Natural(Seq("c_custkey"))),
+          VertexDef("orders", Nil, Identity.Natural(Seq("o_orderkey")))),
+        edges = Seq(EdgeDef("orders", "customer", "placed_by",
+          extraWeights = Seq(VertexWeightSpec("customer", Seq("c_mktsegment"))))))
+      val store = new GraphStore(root, sch, s)
+      val gCust = PipelineCompiler.compile(sch,
+        ResourceDef("r_c", Seq(VertexStep("customer"))), t(s, d)("customer"))
+      val gOrd = PipelineCompiler.compile(sch,
+        ResourceDef("r_o", Seq(
+          VertexStep("orders"),
+          VertexStep("customer", from = Map("c_custkey" -> "o_custkey"),
+            extractionScope = "mapped_only", lookupOnly = true))),
+        t(s, d)("orders"))
+      store.write(gCust.unionWith(gOrd))
+      store.edges(EdgeKey("orders", "customer", "placed_by"))
+        .select(col("src_o_orderkey"), col("dst_c_custkey"),
+          col("customer@c_mktsegment"))
+        .orderBy("src_o_orderkey")
+    },
+
+    // §2.10 TraverseQuery: multi-seed 1-hop reachability
+    "q_traverse_multiseed" -> { (s, d) =>
+      val g = ingestCore(s, d)
+      val caps = QueryCaps.Hard.copy(defaultEdgeLimit = 1000000,
+        maxElements = 10000000, timeoutSeconds = 600)
+      val reader = new GraphReader(TpchGraph.schema, g.vertex, k => g.edges.get(k), caps)
+      val out = reader.traverseQuery(TraverseQuery(
+        seeds = Seq("nation" -> FilterExpr.eq("n_nationkey", 0),
+          "nation" -> FilterExpr.eq("n_nationkey", 1)),
+        hops = 1))
+      out.vertices.toSeq.sortBy(_._1).map { case (n, df) =>
+        df.agg(count(lit(1)).as("cnt")).withColumn("vtype", lit(n))
+      }.reduce(_.unionByName(_)).select("vtype", "cnt").orderBy("vtype")
+    },
+
     // flagship join-heavy aggregation (bench headline)
     "q_revenue_by_nation" -> { (s, d) =>
       val li = t(s, d)("lineitem"); val o = t(s, d)("orders")
@@ -1007,6 +1075,25 @@ object GraftQueries {
         |SELECT doc_id, array_to_string(
         |  list_sort(list_transform(shingles, x -> md5(x)))[1:4], '|') AS winnow
         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q_descend_bare" ->
+      """SELECT DISTINCT o_custkey AS src_c_custkey, l_partkey AS dst_p_partkey
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey ORDER BY 1, 2""".stripMargin,
+
+    "q_edge_enrich" ->
+      """SELECT o_orderkey AS src_o_orderkey, o_custkey AS dst_c_custkey,
+        |c_mktsegment AS "customer@c_mktsegment"
+        |FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY 1""".stripMargin,
+
+    "q_traverse_multiseed" ->
+      """SELECT 'customer' AS vtype, count(*) AS cnt FROM customer
+        |  WHERE c_nationkey IN (0, 1)
+        |UNION ALL SELECT 'nation', count(*) FROM nation WHERE n_nationkey IN (0, 1)
+        |UNION ALL SELECT 'region', count(DISTINCT n_regionkey) FROM nation
+        |  WHERE n_nationkey IN (0, 1)
+        |UNION ALL SELECT 'supplier', count(*) FROM supplier
+        |  WHERE s_nationkey IN (0, 1)
+        |ORDER BY vtype""".stripMargin,
 
     "q_revenue_by_nation" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

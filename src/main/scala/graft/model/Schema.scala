@@ -119,6 +119,20 @@ final case class VertexDef(
       throw new IllegalArgumentException(s"vertex $name has no secondary identity '$n'"))
 }
 
+/** Extra-weight source (reference `Weight`, graflo/architecture/graph_types/
+  * index_config.py:20-43 + db_writer.py:355-387): merge `fields` of the
+  * STORED `vertex` collection into the edge's weight columns at write time,
+  * matching on the edge's endpoint identity. Composite naming `vertex@field`
+  * unless `keepVertexName = false`.
+  */
+final case class VertexWeightSpec(
+    vertex: String,
+    fields: Seq[String],
+    keepVertexName: Boolean = true,
+    /** "source" | "target"; None = infer from which endpoint type matches */
+    endpoint: Option[String] = None
+)
+
 /** Edge identity key token: a property name, or the `source`/`target` endpoint
   * markers (reference edge.py:141-151).
   */
@@ -132,7 +146,9 @@ final case class EdgeDef(
     identities: Seq[String] = Seq("source", "target"),
     sourceMatch: Option[String] = None, // secondary-identity name on source
     targetMatch: Option[String] = None,
-    ambiguity: AmbiguityPolicy = AmbiguityPolicy.All
+    ambiguity: AmbiguityPolicy = AmbiguityPolicy.All,
+    /** extra-weight enrichment from stored vertex docs (db_writer.py:355-387) */
+    extraWeights: Seq[VertexWeightSpec] = Nil
 ) {
   def key: EdgeKey = EdgeKey(source, target, relation)
 }

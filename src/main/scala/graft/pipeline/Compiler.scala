@@ -229,7 +229,34 @@ object PipelineCompiler {
             throw new IllegalArgumentException(s"any_key descend needs map/struct, got $other")
         }
       case (None, _) =>
-        throw new IllegalArgumentException("bare descend (iterate) requires a key in this engine")
+        // bare descend (descend.py:154-192 `_expand_document` else-branch):
+        // the current document IS a list → iterate its elements. Columnar
+        // reading: the frame's single array-typed data column is the list
+        // (the reference's doc has no sibling fields in this case — any
+        // non-array columns here are dropped, doc replaced wholesale);
+        // a frame with no array column expands to the single item `(None,
+        // doc)` — a pass-through that still extends the lineage with 0.
+        val dataCols = frame.columns.filterNot(MetaCols.contains)
+        val arrayCols = dataCols.filter(c => frame.schema(c).dataType.isInstanceOf[ArrayType])
+        arrayCols match {
+          case Array(k) =>
+            val et = frame.schema(k).dataType.asInstanceOf[ArrayType].elementType
+            val exploded = frame.select(meta :+ posexplode(col(k)).as(Seq("__p", "__v")): _*)
+              .withColumn(PosCol, concat(col(PosCol), array(col("__p").cast("long"))))
+              .drop("__p")
+            val rerooted = et match {
+              case _: StructType => exploded.select((MetaCols.map(col) :+ col("__v.*")): _*)
+              case _             => exploded.withColumnRenamed("__v", "_value")
+            }
+            (rerooted, loc :+ ("[]" -> true))
+          case Array() =>
+            (frame.withColumn(PosCol, concat(col(PosCol), array(lit(0L)))),
+              loc :+ ("[]" -> true))
+          case many =>
+            throw new IllegalArgumentException(
+              s"bare descend is ambiguous: frame has ${many.length} array columns " +
+                s"(${many.mkString(", ")}); name the key explicitly")
+        }
     }
     walk(d.steps, sub._1, sub._2, ctx)
   }
@@ -526,9 +553,13 @@ object PipelineCompiler {
       }
       val joined = (casting match {
         case "prefix" =>
+          // depth 0 = document-scoped: the prefix clause would compile to the
+          // trivially-true '' === '' — omit it (it also spams WARN Column)
           val d = sharedPosDepth(sb.loc, db.loc)
-          left.join(right, col(RowIdCol) === col(s"__r_$RowIdCol") &&
-            posPrefix(col("_lps"), d) === posPrefix(col("_rps"), d))
+          val cond = col(RowIdCol) === col(s"__r_$RowIdCol")
+          left.join(right,
+            if (d == 0) cond
+            else cond && posPrefix(col("_lps"), d) === posPrefix(col("_rps"), d))
         case "pair" =>
           left.join(right, col(RowIdCol) === col(s"__r_$RowIdCol") &&
             col("_lps") === col("_rps"))
@@ -552,8 +583,10 @@ object PipelineCompiler {
           val dS = sharedPosDepth(rec.loc, sb.loc)
           val dT = sharedPosDepth(rec.loc, db.loc)
           val (d, sideCol) = if (dT > dS) (dT, col("_rps")) else (dS, col("_lps"))
-          joined.join(rfR, col(RowIdCol) === col(s"__i_$RowIdCol") &&
-            posPrefix(sideCol, d) === posPrefix(posStr(col(s"__i_$PosCol")), d))
+          val cond = col(RowIdCol) === col(s"__i_$RowIdCol")
+          joined.join(rfR,
+            if (d == 0) cond
+            else cond && posPrefix(sideCol, d) === posPrefix(posStr(col(s"__i_$PosCol")), d))
         case None => joined
       }).drop("_lps", "_rps")
 

@@ -18,7 +18,11 @@ final case class QueryCaps(
     maxEdgeTypes: Int = 20,
     maxSeeds: Int = 10,
     defaultLimit: Int = 100,
-    defaultEdgeLimit: Int = 1000 // reference db/traversal.py:36 DEFAULT_EDGE_LIMIT
+    defaultEdgeLimit: Int = 1000, // reference db/traversal.py:36 DEFAULT_EDGE_LIMIT
+    /** wall-clock budget per read query (reference HARD_CAPS 30 s timeout,
+      * caps.py:30-92); <= 0 disables enforcement
+      */
+    timeoutSeconds: Int = 30
 ) {
   def narrowLimit(asked: Option[Int]): Int = asked match {
     case Some(n) if n > maxRows =>
@@ -32,6 +36,11 @@ final case class QueryCaps(
 }
 
 object QueryCaps { val Hard = QueryCaps() }
+
+/** A read query exceeded `QueryCaps.timeoutSeconds` and its Spark jobs were
+  * cancelled (the reference raises on the DB driver's timeout instead).
+  */
+final class QueryTimeoutException(msg: String) extends RuntimeException(msg)
 
 /** Typed read-queries (reference graflo/architecture/query/models.py:31-283). */
 final case class NodeQuery(
@@ -139,18 +148,47 @@ final class GraphReader(
     // q.filters are EDGE filters, constraining which edges are traversed —
     // the reference passes them into the per-hop edge fetch
     // (db/traversal.py:121-204), not onto the result vertices
-    val (out, hopFrames) = traverse(Seq(q.vertex -> anchor), hops, q.direction,
-      q.relations, q.edgeLimit.getOrElse(caps.defaultEdgeLimit), q.filters)
-    finish(out, hopFrames)
+    withTimeout(anchor.sparkSession) {
+      val (out, hopFrames) = traverse(Seq(q.vertex -> anchor), hops, q.direction,
+        q.relations, q.edgeLimit.getOrElse(caps.defaultEdgeLimit), q.filters)
+      finish(out, hopFrames)
+    }
   }
 
   /** Multi-seed reachability (reference TraverseQuery, db/conn.py:791-830). */
   def traverseQuery(q: TraverseQuery): GraphOutput = {
     require(q.seeds.size <= caps.maxSeeds, s"seeds exceed cap ${caps.maxSeeds}")
     val seeds = q.seeds.map { case (t, f) => t -> vertexDf(t).where(FilterExpr.compile(f)) }
-    val (out, hopFrames) = traverse(seeds, caps.narrowHops(q.hops), q.direction,
-      q.relations, caps.defaultEdgeLimit)
-    finish(out, hopFrames)
+    withTimeout(seeds.head._2.sparkSession) {
+      val (out, hopFrames) = traverse(seeds, caps.narrowHops(q.hops), q.direction,
+        q.relations, caps.defaultEdgeLimit)
+      finish(out, hopFrames)
+    }
+  }
+
+  /** Enforce `caps.timeoutSeconds` around the actions `body` triggers
+    * (reference HARD_CAPS query timeout, caps.py:30-92): the body's Spark
+    * jobs run under a dedicated job group; a daemon timer cancels the group
+    * when the budget elapses, and the interrupted action surfaces as
+    * [[QueryTimeoutException]]. Thread-safe: the group tag is per-call and
+    * `setJobGroup` is thread-local to the submitting thread.
+    */
+  private def withTimeout[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    if (caps.timeoutSeconds <= 0) return body
+    val sc = spark.sparkContext
+    val group = s"graft-query-${java.util.UUID.randomUUID()}"
+    sc.setJobGroup(group, "graft read query (capped)", interruptOnCancel = true)
+    val timer = new java.util.Timer("graft-query-timeout", true)
+    @volatile var fired = false
+    timer.schedule(new java.util.TimerTask {
+      def run(): Unit = { fired = true; sc.cancelJobGroup(group) }
+    }, caps.timeoutSeconds * 1000L)
+    try body
+    catch {
+      case e: Throwable if fired =>
+        throw new QueryTimeoutException(
+          s"query exceeded ${caps.timeoutSeconds}s cap; jobs cancelled (${e.getMessage})")
+    } finally { timer.cancel(); sc.clearJobGroup() }
   }
 
   /** Enforce the element cap (materializing + caching the result), then

@@ -224,10 +224,44 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
         e = EndpointResolve.resolve(e, vertices(k.target), schema.vertex(k.target), m,
           "dst_", edef.ambiguity)
       }
+      if (edef.extraWeights.nonEmpty) e = enrichEdgeWeights(k, e, edef.extraWeights)
       insertEdges(k, e)
     }
     writeIndex()
   }
+
+  /** Extra-weight enrichment (reference `_enrich_extra_weights`,
+    * graflo/hq/db_writer.py:355-387): merge selected fields of the
+    * POST-UPSERT vertex collection into the edge frame, matched on the
+    * edge's endpoint identity columns. The reference fetches the weight docs
+    * from the DB per batch item; here it is one broadcast join per spec —
+    * the lookup side is a two-ish-column projection keyed and deduped on the
+    * vertex identity (the reference likewise takes `weights[0]` per key).
+    */
+  def enrichEdgeWeights(k: EdgeKey, edges: DataFrame,
+      specs: Seq[VertexWeightSpec]): DataFrame =
+    specs.foldLeft(edges) { (e, spec) =>
+      val side = spec.endpoint match {
+        case Some("source") => "src_"
+        case Some("target") => "dst_"
+        case Some(other) =>
+          throw new IllegalArgumentException(s"bad endpoint '$other' (source|target)")
+        case None =>
+          if (spec.vertex == k.source) "src_"
+          else if (spec.vertex == k.target) "dst_"
+          else throw new IllegalArgumentException(
+            s"vertex_weights '${spec.vertex}' matches neither endpoint of $k")
+      }
+      val vdef = schema.vertex(spec.vertex)
+      val ids = vdef.idColumns
+      val lookup = vertices(spec.vertex)
+        .select((ids ++ spec.fields).distinct.map(col): _*)
+        .dropDuplicates(ids) // one weight doc per identity (reference weights[0])
+      val prefixed = ids.foldLeft(lookup)((d, c) => d.withColumnRenamed(c, side + c))
+      val named = spec.fields.filterNot(ids.contains).foldLeft(prefixed)((d, f) =>
+        if (spec.keepVertexName) d.withColumnRenamed(f, s"${spec.vertex}@$f") else d)
+      e.join(broadcast(named), ids.map(side + _), "left")
+    }
 
   /** INDEX.json manifest (reference layout.py:23-120). */
   def writeIndex(): Unit = {

@@ -7,6 +7,7 @@ import pandas as pd
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_sf0.001"
+only = set(sys.argv[3:])  # optional query-name filter for partial Verify dumps
 
 con = duckdb.connect()
 for tbl in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -16,6 +17,8 @@ for tbl in ["region", "nation", "customer", "supplier", "part", "orders",
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = []
 for name, sql in sorted(oracle.items()):
+    if only and name not in only:
+        continue
     try:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
@@ -46,5 +49,6 @@ for name, sql in sorted(oracle.items()):
         print(both.to_string()[:1200])
     else:
         print(f"OK   {name} ({len(s)} rows)")
-print(f"\n{len(oracle)-len(fails)}/{len(oracle)} passed")
+n = len(only) if only else len(oracle)
+print(f"\n{n-len(fails)}/{n} passed")
 sys.exit(1 if fails else 0)
