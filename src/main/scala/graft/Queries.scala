@@ -600,6 +600,60 @@ object GraftQueries {
       }.reduce(_.unionByName(_)).select("vtype", "cnt").orderBy("vtype")
     },
 
+    // §2.14/§2.3 manifest plane: YAML manifest → schema + resources →
+    // compiled ingest (reference contract/manifest.py:17-90; a user declares
+    // the whole pipeline without Scala)
+    "q_manifest_ingest" -> { (s, d) =>
+      val m = graft.manifest.ManifestLoader.fromYamlString(
+        """schema:
+          |    metadata:
+          |        name: tpch-mini
+          |    graph:
+          |        vertex_config:
+          |            vertices:
+          |            -   name: customer
+          |                properties:
+          |                -   c_name
+          |                -   c_mktsegment
+          |                identity:
+          |                -   c_custkey
+          |            -   name: orders
+          |                properties:
+          |                -   o_orderstatus
+          |                identity:
+          |                -   o_orderkey
+          |        edge_config:
+          |            edges:
+          |            -   source: orders
+          |                target: customer
+          |                relation: placed_by
+          |ingestion_model:
+          |    resources:
+          |    -   name: customer
+          |        pipeline:
+          |        -   vertex: customer
+          |    -   name: orders
+          |        pipeline:
+          |        -   vertex: orders
+          |        -   vertex: customer
+          |            from:
+          |                c_custkey: o_custkey
+          |            mapped_only: true
+          |            lookup_only: true
+          |""".stripMargin)
+      val parts = m.resources.map(r =>
+        PipelineCompiler.compile(m.schema, r, t(s, d)(r.name)))
+      val g = parts.reduceLeft(_.unionWith(_))
+      Seq(
+        g.vertex("customer").agg(count(lit(1)).as("cnt"))
+          .withColumn("coll", lit("customer")),
+        g.vertex("orders").agg(count(lit(1)).as("cnt"))
+          .withColumn("coll", lit("orders")),
+        g.edge(EdgeKey("orders", "customer", "placed_by"))
+          .agg(count(lit(1)).as("cnt")).withColumn("coll", lit("placed_by"))
+      ).reduce(_.unionByName(_)).select("coll", "cnt").orderBy("coll")
+    },
+
     // flagship join-heavy aggregation (bench headline)
     "q_revenue_by_nation" -> { (s, d) =>
       val li = t(s, d)("lineitem"); val o = t(s, d)("orders")
@@ -1094,6 +1148,12 @@ object GraftQueries {
         |UNION ALL SELECT 'supplier', count(*) FROM supplier
         |  WHERE s_nationkey IN (0, 1)
         |ORDER BY vtype""".stripMargin,
+
+    "q_manifest_ingest" ->
+      """SELECT 'customer' AS coll, count(*) AS cnt FROM customer
+        |UNION ALL SELECT 'orders', count(*) FROM orders
+        |UNION ALL SELECT 'placed_by', count(DISTINCT o_orderkey) FROM orders
+        |ORDER BY coll""".stripMargin,
 
     "q_revenue_by_nation" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -34,6 +34,20 @@ object Main {
   }
 
   private def run(spark: SparkSession, args: List[String]): Unit = args match {
+    case "ingest-manifest" :: manifestPath :: dataDir :: storeDir :: rest =>
+      // declarative ingest: YAML/JSON manifest → schema + resources; inputs
+      // resolve per-resource from bindings or by name under <dataDir>
+      // (reference: every CLI entry takes a schema path, graflo/cli/ingest.py)
+      val m = graft.manifest.ManifestLoader.load(manifestPath)
+      val store = new GraphStore(storeDir, m.schema, spark)
+      val parts = m.resources.map { res =>
+        val input = resolveInput(spark, m, res.name, dataDir)
+        graft.pipeline.PipelineCompiler.compile(m.schema, res, input)
+      }
+      val g = parts.reduceLeft(_.unionWith(_))
+      store.write(g, dry = rest.contains("--dry"))
+      val sizes = g.sizes().toSeq.sorted.map { case (k, n) => s""""$k": $n""" }
+      println(sizes.mkString("{", ", ", "}"))
     case "ingest" :: sfDir :: storeDir :: rest =>
       val store = new GraphStore(storeDir, TpchGraph.schema, spark)
       val g = TpchGraph.ingest(spark, sfDir)
@@ -62,7 +76,30 @@ object Main {
       GraphMigration.migrate(s, d).toSeq.sorted.foreach { case (k, n) => println(s"$k: $n") }
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("usage: ingest|node|agg|bfs|migrate ...")
+      System.err.println("usage: ingest-manifest|ingest|node|agg|bfs|migrate ...")
       sys.exit(2)
+  }
+
+  /** Resolve a resource's input frame: explicit binding path first (absolute
+    * or relative to dataDir), else `<dataDir>/<resource>.<ext>` autodetect.
+    */
+  def resolveInput(spark: SparkSession,
+      m: graft.manifest.GraphManifest, resource: String,
+      dataDir: String): org.apache.spark.sql.DataFrame = {
+    import graft.sources.FileSource
+    m.bindings.find(_.resource == resource).flatMap(_.path) match {
+      case Some(p) =>
+        val full = if (new java.io.File(p).isAbsolute) p else s"$dataDir/$p"
+        FileSource.read(spark, full,
+          format = m.bindings.find(_.resource == resource).flatMap(_.format))
+      case None =>
+        val exts = Seq("parquet", "csv", "tsv", "jsonl", "json",
+          "csv.gz", "jsonl.gz", "json.gz")
+        exts.map(e => s"$dataDir/$resource.$e")
+          .find(p => new java.io.File(p).exists())
+          .map(p => FileSource.read(spark, p))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no binding and no $dataDir/$resource.{${exts.mkString(",")}} found"))
+    }
   }
 }

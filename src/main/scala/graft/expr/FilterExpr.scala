@@ -36,13 +36,13 @@ object FilterExpr {
     case object IsNotNull extends CmpOp
 
     def fromToken(s: String): CmpOp = s match {
-      case "==" | "="       => Eq
-      case "!=" | "<>"      => Neq
-      case ">"              => Gt
-      case ">="             => Gte
-      case "<"              => Lt
-      case "<="             => Lte
-      case "in" | "IN"      => In
+      case "==" | "=" | "__eq__"  => Eq
+      case "!=" | "<>" | "__ne__" => Neq
+      case ">" | "__gt__"         => Gt
+      case ">=" | "__ge__"        => Gte
+      case "<" | "__lt__"         => Lt
+      case "<=" | "__le__"        => Lte
+      case "in" | "IN" | "__in__" => In
       case "is_null" | "IS_NULL"         => IsNull
       case "is_not_null" | "IS_NOT_NULL" => IsNotNull
       case other => throw new IllegalArgumentException(s"unknown comparison op: $other")
@@ -123,12 +123,15 @@ object FilterExpr {
         case (k @ ("OR" | "or"), v: Seq[_]) :: Nil   => Or(v.map(parse))
         case ("NOT", v) :: Nil                       => Not(parse(v))
         case ("not", v) :: Nil                       => Not(parse(v))
-        case ("IF_THEN", v: Seq[_]) :: Nil if v.size == 2 =>
+        case (k @ ("IF_THEN" | "if_then"), v: Seq[_]) :: Nil if v.size == 2 =>
           IfThen(parse(v.head), parse(v(1)))
         case _ =>
-          // discriminated form {"field":..., "cmp_operator":..., "value":...}
+          // discriminated form {"field":..., "cmp_operator":..., "value":...};
+          // YAML manifests use "foo"/"operator" aliases with dunder tokens
+          // (reference filter/onto.py:106-183)
           val f  = mm("field").toString
-          val op = CmpOp.fromToken(mm.getOrElse("cmp_operator", "==").toString)
+          val op = CmpOp.fromToken(mm.get("cmp_operator").orElse(mm.get("foo"))
+            .orElse(mm.get("operator")).getOrElse("==").toString)
           Cmp(f, op, mm.get("value").orNull)
       }
     case s: Seq[_] if s.size == 3 =>

@@ -1,0 +1,346 @@
+package graft.manifest
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.expr.FilterExpr
+import graft.pipeline._
+
+/** One resource→source binding (reference bindings/connectors.py:85-230:
+  * `FileConnector` et al — matched to resources by name). Only the file kind
+  * is loadable offline; table/api/kafka bindings parse but need live
+  * endpoints.
+  */
+final case class ResourceBinding(
+    resource: String,
+    kind: String = "file", // file | table | api | kafka | sparql
+    path: Option[String] = None,
+    format: Option[String] = None,
+    options: Map[String, String] = Map.empty
+)
+
+/** Parsed manifest: the reference's `GraphManifest`
+  * (graflo/architecture/contract/manifest.py:17-90) — schema + ingestion
+  * resources + bindings, loaded from YAML or JSON.
+  */
+final case class GraphManifest(
+    name: String,
+    schema: GraphSchema,
+    resources: Seq[ResourceDef],
+    bindings: Seq[ResourceBinding]
+) {
+  def resource(n: String): ResourceDef =
+    resources.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"manifest has no resource '$n'"))
+}
+
+/** YAML/JSON manifest loader — the reference's declarative contract plane
+  * (`GraphManifest.from_config`, manifest.py:17-90; step forms in
+  * contract/ingestion/steps/models.py) parsed with Jackson (bundled with
+  * Spark) into the typed Scala manifest plane. A user can now declare a whole
+  * pipeline without compiling Scala, same as the reference's
+  * test/config/schema YAML fixtures.
+  */
+object ManifestLoader {
+
+  private val yaml = new ObjectMapper(new YAMLFactory())
+  private val json = new ObjectMapper()
+
+  def load(path: String): GraphManifest = {
+    val text = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
+    if (path.endsWith(".json")) fromJsonString(text) else fromYamlString(text)
+  }
+
+  def fromYamlString(text: String): GraphManifest = fromTree(yaml.readTree(text))
+  def fromJsonString(text: String): GraphManifest = fromTree(json.readTree(text))
+
+  // ------------------------------------------------------------- tree walk
+
+  private def fromTree(root: JsonNode): GraphManifest = new Parser().parse(root)
+
+  /** One parse = one Parser: edge-step vertex_weights accumulate per load
+    * (they belong on the schema's EdgeDef, where the store write applies
+    * them — the reference resolves step-level extra_weights into the edge
+    * config at finish_init, contract/ingestion/resource.py:93-119).
+    */
+  private final class Parser {
+    private val weightBuf =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Seq[VertexWeightSpec])]
+
+    def parse(root: JsonNode): GraphManifest = {
+      val sNode = root.path("schema")
+      val name = sNode.path("metadata").path("name").asText("manifest")
+      val schema0 = parseSchema(sNode)
+      val resources = root.path("ingestion_model").path("resources") match {
+        case n if n.isArray => n.elements().asScala.map(parseResource).toSeq
+        case _              => Nil
+      }
+      val schema = if (weightBuf.isEmpty) schema0 else schema0.copy(
+        edges = schema0.edges.map { ed =>
+          val extra = weightBuf.collect {
+            case (s, t, rel, vw)
+              if s == ed.source && t == ed.target &&
+                (rel.isEmpty || rel == ed.relation) => vw
+          }.flatten
+          if (extra.isEmpty) ed else ed.copy(extraWeights = ed.extraWeights ++ extra.toSeq)
+        })
+      val bindings = parseBindings(root.path("bindings"))
+      GraphManifest(name, schema, resources, bindings)
+    }
+
+  // ---------------------------------------------------------------- schema
+
+  private def parseSchema(sNode: JsonNode): GraphSchema = {
+    val g = sNode.path("graph")
+    val vertices = g.path("vertex_config").path("vertices") match {
+      case n if n.isArray => n.elements().asScala.map(parseVertex).toSeq
+      case _              => Nil
+    }
+    val edges = g.path("edge_config").path("edges") match {
+      case n if n.isArray => n.elements().asScala.map(parseEdgeDef).toSeq
+      case _              => Nil
+    }
+    GraphSchema(vertices, edges)
+  }
+
+  private def parseVertex(v: JsonNode): VertexDef = {
+    val name = v.path("name").asText()
+    val props = v.path("properties") match {
+      case n if n.isArray => n.elements().asScala.map {
+        case p if p.isTextual => FieldDef(p.asText())
+        case p => FieldDef(p.path("name").asText(),
+          Option(p.get("type")).filterNot(_.isNull)
+            .map(t => FieldType.fromName(t.asText())))
+      }.toSeq
+      case _ => Nil
+    }
+    val idFields = strings(v.path("identity"))
+    val identity =
+      if (v.path("blank").asBoolean(false)) Identity.Blank
+      else if (v.has("identity_hash")) Identity.Hash(strings(v.path("identity_hash")))
+      else if (idFields.nonEmpty) Identity.Natural(idFields)
+      else Identity.Blank
+    val filters = v.path("filters") match {
+      case n if n.isArray && n.size() > 0 =>
+        val fs = n.elements().asScala.map(x => FilterExpr.parse(toScala(x))).toSeq
+        Some(if (fs.size == 1) fs.head else FilterExpr.And(fs))
+      case _ => None
+    }
+    VertexDef(name, props, identity, filters = filters)
+  }
+
+  private def parseEdgeDef(e: JsonNode): EdgeDef = {
+    val source = e.path("source").asText()
+    val target = e.path("target").asText()
+    val relation = e.path("relation").asText("related")
+    val props = strings(e.path("properties")).map(FieldDef(_))
+    // identities may be a flat token list or a list of key-sets (kg.yaml);
+    // the first set is the uniqueness key (reference edge.py:141-151)
+    val ids = e.path("identities") match {
+      case n if n.isArray && n.size() > 0 =>
+        val head = n.get(0)
+        if (head.isArray) head.elements().asScala.map(_.asText()).toSeq
+        else n.elements().asScala.map(_.asText()).toSeq
+      case _ => Seq("source", "target")
+    }
+    EdgeDef(source, target, relation, properties = props, identities = ids)
+  }
+
+  // ------------------------------------------------------------- resources
+
+  private def parseResource(r: JsonNode): ResourceDef = {
+    def pairList(n: JsonNode): Seq[(String, String)] = n match {
+      case x if x.isArray => x.elements().asScala.map(p =>
+        (p.path("source").asText(), p.path("target").asText())).toSeq
+      case _ => Nil
+    }
+    ResourceDef(
+      name = r.path("name").asText(),
+      steps = parseSteps(r.path("pipeline")),
+      dropTrivialFields = r.path("strip_trivial").asBoolean(false),
+      inferEdges = r.path("infer_edges").asBoolean(true),
+      inferEdgeOnly = pairList(r.path("infer_edge_only")),
+      inferEdgeExcept = pairList(r.path("infer_edge_except")),
+      maxDocErrors = Option(r.get("max_doc_errors")).filterNot(_.isNull).map(_.asLong())
+    )
+  }
+
+  private def parseSteps(n: JsonNode): Seq[Step] =
+    if (!n.isArray) Nil else n.elements().asScala.map(parseStep).toSeq
+
+  private def parseStep(s: JsonNode): Step = {
+    if (s.has("vertex")) parseVertexStep(s)
+    else if (s.has("transform")) parseTransform(s.path("transform"))
+    else if (s.has("source") && s.has("target")) parseEdgeStep(s)
+    else if (s.has("links")) MultiEdgeStep(
+      s.path("links").elements().asScala.map(parseEdgeStep).toSeq)
+    else if (s.has("cast")) CastStep(
+      s.path("cast").properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+    else if (s.has("vertex_router") || s.has("type_field")) {
+      val r = if (s.has("vertex_router")) s.path("vertex_router") else s
+      VertexRouterStep(
+        typeField = r.path("type_field").asText(),
+        typeMap = objMap(r.path("type_map")),
+        perTypeFrom = r.path("per_type_from") match {
+          case n if n.isObject => n.properties().asScala.map(e =>
+            e.getKey -> objMap(e.getValue)).toMap
+          case _ => Map.empty
+        })
+    }
+    else if (s.has("pipeline")) Descend(
+      key = Option(s.get("key")).filterNot(_.isNull).map(_.asText()),
+      anyKey = s.path("any_key").asBoolean(false),
+      steps = parseSteps(s.path("pipeline")))
+    else throw new IllegalArgumentException(s"unrecognized pipeline step: $s")
+  }
+
+  private def parseVertexStep(s: JsonNode): VertexStep =
+    VertexStep(
+      vertex = s.path("vertex").asText(),
+      from = objMap(s.path("from")),
+      keepFields = strings(s.path("keep_fields")),
+      extractionScope =
+        if (s.path("mapped_only").asBoolean(false)) "mapped_only"
+        else s.path("extraction_scope").asText("full"),
+      filters = Option(s.get("filters")).filterNot(_.isNull).map { n =>
+        val fs = n.elements().asScala.map(x => FilterExpr.parse(toScala(x))).toSeq
+        if (fs.size == 1) fs.head else FilterExpr.And(fs)
+      },
+      role = text(s, "role"),
+      lookupOnly = s.path("lookup_only").asBoolean(false))
+
+  private def parseEdgeStep(s: JsonNode): EdgeStep = {
+    // `match` selects one location group for BOTH endpoints (kg.yaml)
+    val both = text(s, "match")
+    val step = EdgeStep(
+      source = s.path("source").asText(),
+      target = s.path("target").asText(),
+      relation = s.path("relation").asText(""),
+      sourceRole = text(s, "source_role"),
+      targetRole = text(s, "target_role"),
+      relationField = text(s, "relation_field"),
+      relationMap = objMap(s.path("relation_map")),
+      casting = s.path("casting").asText("auto"),
+      weightFields = strings(s.path("properties")) ++ strings(s.path("weights")),
+      sourceMatch = text(s, "source_match"),
+      targetMatch = text(s, "target_match"),
+      sourceGroup = text(s, "match_source").orElse(both),
+      targetGroup = text(s, "match_target").orElse(both))
+    val vw = s.path("vertex_weights") match {
+      case n if n.isArray => n.elements().asScala.map(w =>
+        VertexWeightSpec(
+          vertex = w.path("name").asText(),
+          fields = strings(w.path("fields")) ++ strings(w.path("properties")),
+          keepVertexName = w.path("keep_vertex_name").asBoolean(true),
+          endpoint = text(w, "endpoint"))).toSeq
+      case _ => Nil
+    }
+    if (vw.nonEmpty) weightBuf += ((step.source, step.target, step.relation, vw))
+    step
+  }
+
+  /** transform step: `rename:` map form or `call:` named-function form
+    * (reference steps/models.py + actor/transform.py:147-243).
+    */
+  private def parseTransform(t: JsonNode): Step = {
+    if (t.has("rename"))
+      return RenameStep(objMap(t.path("rename")))
+    val call = t.path("call")
+    if (!call.isObject)
+      throw new IllegalArgumentException(s"transform needs 'rename' or 'call': $t")
+    val module = call.path("module").asText("")
+    val fn = call.path("foo").asText()
+    val input = strings(call.path("input"))
+    val output = strings(call.path("output"))
+    val dress = call.path("dress") match {
+      case n if n.isObject =>
+        Some((n.path("key").asText("key"), n.path("value").asText("value")))
+      case _ => None
+    }
+    val params: Map[String, JsonNode] = call.path("params") match {
+      case n if n.isObject => n.properties().asScala.map(e => e.getKey -> e.getValue).toMap
+      case _               => Map.empty
+    }
+    // resolve module.foo → engine transform; parameterized fns become inline
+    // columns (the reference imports the Python callable; here the names map
+    // onto the Catalyst-native TransformLib surface)
+    val inline: Option[Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column] =
+      (module, fn) match {
+        case (_, "round_str") =>
+          val nd = params.get("ndigits").map(_.asInt()).getOrElse(0)
+          Some(cs => round(cs.head.cast("double"), nd))
+        case ("builtins", "int") => Some(cs => cs.head.cast("string").try_cast("bigint"))
+        case ("builtins", "float") => Some(cs => cs.head.cast("double"))
+        case ("builtins", "str") => Some(cs => cs.head.cast("string"))
+        case (_, "split_keep_part") =>
+          val sep = params.get("sep").map(_.asText()).getOrElse(" ")
+          val idx = params.get("idx").map(_.asInt()).getOrElse(0)
+          Some(cs => graft.functions.TransformLib.splitKeepPart(cs.head, sep, idx))
+        case (_, "remove_prefix") =>
+          val p = params.get("prefix").map(_.asText()).getOrElse("")
+          Some(cs => graft.functions.TransformLib.removePrefix(cs.head, p))
+        case (_, "remove_suffix") =>
+          val p = params.get("suffix").map(_.asText()).getOrElse("")
+          Some(cs => graft.functions.TransformLib.removeSuffix(cs.head, p))
+        case _ => None // named registry fn (TransformRegistry) resolves at compile
+      }
+    TransformStep(
+      fn = fn,
+      input = input,
+      output = output,
+      strategy = if (input.size > 1 &&
+        graft.functions.TransformRegistry.nary.contains(fn)) "single" else "each",
+      inline = inline,
+      dress = dress,
+      errorTolerant = t.path("error_tolerant").asBoolean(false) ||
+        call.path("error_tolerant").asBoolean(false),
+      label = call.path("label").asText(""))
+  }
+
+  } // end Parser
+
+  // -------------------------------------------------------------- bindings
+
+  private def parseBindings(b: JsonNode): Seq[ResourceBinding] = b match {
+    case n if n.isObject =>
+      n.properties().asScala.map { e =>
+        val res = e.getKey; val v = e.getValue
+        if (v.isTextual) ResourceBinding(res, path = Some(v.asText()))
+        else ResourceBinding(res,
+          kind = v.path("kind").asText("file"),
+          path = text(v, "path").orElse(text(v, "file")),
+          format = text(v, "format"),
+          options = objMap(v.path("options")))
+      }.toSeq
+    case _ => Nil
+  }
+
+  // --------------------------------------------------------------- helpers
+
+  private def text(n: JsonNode, k: String): Option[String] =
+    Option(n.get(k)).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty)
+
+  private def strings(n: JsonNode): Seq[String] =
+    if (!n.isArray) Nil else n.elements().asScala.map(_.asText()).toSeq
+
+  private def objMap(n: JsonNode): Map[String, String] =
+    if (!n.isObject) Map.empty
+    else n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+
+  /** JsonNode → plain Scala structures for FilterExpr.parse. */
+  private def toScala(n: JsonNode): Any = {
+    if (n.isObject)
+      n.properties().asScala.map(e => e.getKey -> toScala(e.getValue)).toMap
+    else if (n.isArray) n.elements().asScala.map(toScala).toSeq
+    else if (n.isTextual) n.asText()
+    else if (n.isIntegralNumber) n.asLong()
+    else if (n.isNumber) n.asDouble()
+    else if (n.isBoolean) n.asBoolean()
+    else null
+  }
+}

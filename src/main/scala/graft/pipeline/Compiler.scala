@@ -82,6 +82,13 @@ object PipelineCompiler {
     val roleSlots = mutable.Map.empty[String, mutable.ArrayBuffer[VertexObs]]
     /** tolerated transform failures (actor/transform.py:276-294) */
     val errors = mutable.ArrayBuffer.empty[DataFrame]
+    /** dressed child frames (transform.py:95-109 + descend.py
+      * `_infer_vertex_descendants_from_transforms`): a dress transform emits
+      * `(key, value)` sub-documents at an extended lineage while the parent
+      * document continues unchanged; vertex steps whose identity columns are
+      * missing from the live frame but present here consume these branches.
+      */
+    val dressBranches = mutable.ArrayBuffer.empty[(DataFrame, Loc)]
     /** salt for blank/assigned synthetic ids: resource name + batch id */
     var idSalt = ""
     var seq = 0
@@ -156,11 +163,15 @@ object PipelineCompiler {
     var cur = frame
     steps.foreach {
       case d: Descend          => descend(d, cur, loc, ctx) // children use sub-frame; parent frame unchanged
+      case t: TransformStep if t.dress.isDefined =>
+        ctx.dressBranches += dressBranch(t, cur, loc) // parent frame unchanged
       case t: TransformStep    => cur = transform(t, cur, ctx)
       case v: VertexStep       => vertexStep(v, cur, loc, ctx)
       case r: VertexRouterStep => routerStep(r, cur, loc, ctx)
       case e: EdgeStep         => ctx.intents += mkIntent(e, cur, loc)
       case m: MultiEdgeStep    => m.links.foreach(l => ctx.intents += mkIntent(l, cur, loc))
+      case r: RenameStep       =>
+        cur = r.renames.foldLeft(cur) { case (d, (a, b)) => d.withColumnRenamed(a, b) }
       case c: CastStep         =>
         cur = c.types.foldLeft(cur) { case (d, (f, t)) =>
           val ft = FieldType.fromName(t)
@@ -295,19 +306,32 @@ object PipelineCompiler {
     } else transformApply(t, frame)
   }
 
+  /** dress pivot/melt (transform.py:95-109): each input field becomes a
+    * `{key: fieldName, value: fn(field)}` CHILD row at an extended lineage —
+    * the parent document is NOT replaced (ticker.yaml dresses Open/Close/
+    * Volume and still projects `vertex: ticker` from the same level).
+    */
+  private def dressBranch(t: TransformStep, frame: DataFrame, loc: Loc): (DataFrame, Loc) = {
+    val (keyName, valName) = t.dress.get
+    val fn: Column => Column = t.inline.map(f => (c: Column) => f(Seq(c)))
+      .getOrElse(TransformRegistry.unary(t.fn))
+    // value keeps the fn's result type (the reference's dressed dict holds
+    // the raw Python value) — a string cast would break numeric filters on
+    // the dressed vertex; branches with different types union-coerce later
+    val pairs = t.input.zipWithIndex.map { case (f, i) =>
+      struct(lit(i.toLong).as("p"), lit(f).as("k"), fn(col(f)).as("v"))
+    }
+    val child = frame.select(MetaCols.map(col) :+ explode(array(pairs: _*)).as("__kv"): _*)
+      .withColumn(PosCol, concat(col(PosCol), array(col("__kv.p"))))
+      .select(MetaCols.map(col) ++
+        Seq(col("__kv.k").as(keyName), col("__kv.v").as(valName)): _*)
+    (child, loc :+ (s"~${t.input.mkString("+")}" -> true))
+  }
+
   private def transformApply(t: TransformStep, frame: DataFrame): DataFrame =
     t.dress match {
-      case Some((keyName, valName)) =>
-        // dress pivot/melt (transform.py:95-109): each input field becomes a
-        // {key: fieldName, value: fn(field)} row.
-        val fn: Column => Column = t.inline.map(f => (c: Column) => f(Seq(c)))
-          .getOrElse(TransformRegistry.unary(t.fn))
-        val pairs = t.input.zipWithIndex.map { case (f, i) =>
-          struct(lit(i.toLong).as("p"), lit(f).as("k"), fn(col(f)).cast("string").as("v"))
-        }
-        frame.select(MetaCols.map(col) :+ explode(array(pairs: _*)).as("__kv"): _*)
-          .withColumn(PosCol, concat(col(PosCol), array(col("__kv.p"))))
-          .select(MetaCols.map(col) ++ Seq(col("__kv.k").as(keyName), col("__kv.v").as(valName)): _*)
+      case Some(_) =>
+        throw new IllegalStateException("dress transforms are handled in walk()")
       case None =>
         t.strategy match {
           case "each" =>
@@ -338,8 +362,32 @@ object PipelineCompiler {
         }
     }
 
-  /** VertexActor projection (actor/vertex.py:22-237). */
+  /** VertexActor projection (actor/vertex.py:22-237). A vertex whose
+    * identity source columns are absent from the live frame but present in
+    * dressed child frames consumes THOSE branches instead — the reference's
+    * `_infer_vertex_descendants_from_transforms` (descend.py:84-119) routing
+    * of transform-produced fields to their consuming vertex actors.
+    */
   private def vertexStep(v: VertexStep, frame: DataFrame, loc: Loc, ctx: Ctx): Unit = {
+    val vdef0 = ctx.schema.vertex(v.vertex)
+    val neededIds: Seq[String] = (vdef0.identity match {
+      case Identity.Natural(fs) => fs
+      case Identity.Hash(fs)    => fs
+      case Identity.Funnel(bs, _) => bs.flatMap(_.whenAllPresent).distinct
+      case _                    => Nil
+    }).map(f => v.from.getOrElse(f, f))
+    if (neededIds.nonEmpty && !neededIds.forall(frame.columns.contains)) {
+      val branches = ctx.dressBranches.toSeq
+        .filter(b => neededIds.forall(b._1.columns.contains))
+      if (branches.nonEmpty) {
+        branches.foreach { case (bf, bloc) => vertexStepOn(v, bf, bloc, ctx) }
+        return
+      }
+    }
+    vertexStepOn(v, frame, loc, ctx)
+  }
+
+  private def vertexStepOn(v: VertexStep, frame: DataFrame, loc: Loc, ctx: Ctx): Unit = {
     val vdef = ctx.schema.vertex(v.vertex)
     val have = frame.columns.toSet
     val mapped = v.from.collect { case (vf, sf) if have(sf) => col(sf).as(vf) }.toSeq
@@ -511,15 +559,24 @@ object PipelineCompiler {
     val e = rec.step
     val schema = ctx.schema
 
-    def bucketsFor(name: String, role: Option[String]): Seq[VertexObs] =
-      role match {
+    def bucketsFor(name: String, role: Option[String],
+        group: Option[String]): Seq[VertexObs] = {
+      val base = role match {
         case Some(r) => ctx.roleSlots.getOrElse(r, Seq.empty).toSeq
           .filter(o => name.isEmpty || o.vertex == name)
         case None => ctx.acc.toSeq.filter(_.vertex == name)
       }
+      // location-group selector: keep observations made under the named
+      // descend key anywhere on their lineage path (manifest match_source/
+      // match_target/match — reference location groups)
+      group match {
+        case Some(g) => base.filter(_.loc.exists(_._1 == g))
+        case None    => base
+      }
+    }
 
-    val srcBuckets = bucketsFor(e.source, e.sourceRole)
-    val dstBuckets = bucketsFor(e.target, e.targetRole)
+    val srcBuckets = bucketsFor(e.source, e.sourceRole, e.sourceGroup)
+    val dstBuckets = bucketsFor(e.target, e.targetRole, e.targetGroup)
 
     val out = mutable.Map.empty[EdgeKey, mutable.ArrayBuffer[DataFrame]]
 

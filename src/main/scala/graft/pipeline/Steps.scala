@@ -107,11 +107,22 @@ final case class EdgeStep(
     casting: String = "auto", // auto | pair | product | combinations
     weightFields: Seq[String] = Nil,
     sourceMatch: Option[String] = None,
-    targetMatch: Option[String] = None
+    targetMatch: Option[String] = None,
+    /** location-group selectors (reference manifest `match_source` /
+      * `match_target` / `match`, kg.yaml pattern): restrict an endpoint's
+      * buckets to observations made under the named descend key.
+      */
+    sourceGroup: Option[String] = None,
+    targetGroup: Option[String] = None
 ) extends Step
 
 /** Several edges from one flat row (reference edge.py:80-104 `links:`). */
 final case class MultiEdgeStep(links: Seq[EdgeStep]) extends Step
+
+/** Rename fields in place (reference manifest `transform: {rename: {a: b}}`,
+  * contract/ingestion/steps/models.py rename form).
+  */
+final case class RenameStep(renames: Map[String, String]) extends Step
 
 /** Top-level per-field type casters (reference util/casting.py:9-59, applied
   * runtime/resource.py:316-319).
