@@ -654,6 +654,263 @@ object GraftQueries {
       ).reduce(_.unionByName(_)).select("coll", "cnt").orderBy("coll")
     },
 
+    // §2.1 FileDataSource: CSV round-trip (write gzip CSV, read via format
+    // dispatch, schema inferred)
+    "q_file_csv" -> { (s, d) =>
+      val dir = s"/root/repo/target/graft-file-${d.replaceAll("[^0-9.]", "")}"
+      deleteRecursively(new java.io.File(s"$dir/nation_csv"))
+      t(s, d)("nation").coalesce(1).write.mode("overwrite")
+        .option("header", true).option("compression", "gzip").csv(s"$dir/nation_csv")
+      graft.sources.FileSource.read(s, s"$dir/nation_csv", format = Some("csv"))
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    },
+
+    // §2.1 FileDataSource: JSONL + .gz extension sniffing
+    "q_file_jsonl" -> { (s, d) =>
+      val dir = s"/root/repo/target/graft-file-${d.replaceAll("[^0-9.]", "")}"
+      deleteRecursively(new java.io.File(s"$dir/region_jsonl"))
+      t(s, d)("region").coalesce(1).write.mode("overwrite")
+        .option("compression", "gzip").json(s"$dir/region_jsonl")
+      // rename the part file to exercise .jsonl.gz extension sniffing
+      val part = new java.io.File(s"$dir/region_jsonl").listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".gz")).get
+      val target = new java.io.File(s"$dir/region.jsonl.gz")
+      target.delete()
+      java.nio.file.Files.copy(part.toPath, target.toPath)
+      graft.sources.FileSource.read(s, target.getPath)
+        .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+        .orderBy("r_regionkey")
+    },
+
+    // §2.1 APIDataSource: offset pagination against an injected fetch that
+    // serves supplier rows as JSON pages (the source is driver-paced by
+    // contract; records land distributed via spark.read.json)
+    "q_api_source" -> { (s, d) =>
+      import graft.sources.{ApiSource, PaginationSpec}
+      val rows: Array[String] = t(s, d)("supplier")
+        .select(col("s_suppkey").cast("long"), col("s_name"))
+        .orderBy("s_suppkey").toJSON.collect()
+      val fetch: Map[String, String] => String = { params =>
+        val off = params.getOrElse("offset", "0").toInt
+        val lim = params.getOrElse("limit", "50").toInt
+        rows.slice(off, off + lim).mkString("""{"records":[""", ",", "]}")
+      }
+      ApiSource.read(s, fetch, PaginationSpec(strategy = "offset", pageSize = 50))
+        .select(col("s_suppkey"), col("s_name")).orderBy("s_suppkey")
+    },
+
+    // §2.1 RdfFileDataSource: N-Triples → per-subject documents
+    "q_rdf_docs" -> { (s, d) =>
+      import graft.rdf.Rdf
+      val lines = t(s, d)("region").select(concat(
+        lit("<http://g/region/"), col("r_regionkey"), lit("> "),
+        lit("<http://g/p/name> \""), col("r_name"), lit("\" .")).as("value"))
+      Rdf.triplesToDocs(Rdf.parseNTriples(lines))
+        .select(col("id"), element_at(element_at(col("props"), "name"), 1).as("name"))
+        .orderBy("id")
+    },
+
+    // §2.1 graflo file backend: chunked gzip-JSONL layout + INDEX.json read
+    "q_graflo_backend" -> { (s, d) =>
+      val root = s"/root/repo/target/graft-backend-${d.replaceAll("[^0-9.]", "")}"
+      deleteRecursively(new java.io.File(root))
+      t(s, d)("nation").coalesce(1).write.mode("overwrite")
+        .option("compression", "gzip").json(s"$root/vertices/nation")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      java.nio.file.Files.write(java.nio.file.Paths.get(root, "INDEX.json"),
+        """{"vertices":["nation"],"edges":[]}""".getBytes)
+      graft.store.GrafloBackendReader.readAll(s, root)
+        .vertex("nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+        .orderBy("n_nationkey")
+    },
+
+    // §2.3 dynamic edges: relation read from a data field with renames and
+    // the strict declared-edge gate (undeclared types drop)
+    "q_edge_dynamic" -> { (s, d) =>
+      val sch = GraphSchema(
+        vertices = Seq(
+          VertexDef("event", Nil, Identity.Natural(Seq("event_id"))),
+          VertexDef("user", Nil, Identity.Natural(Seq("user_id")))),
+        edges = Seq(
+          EdgeDef("event", "user", "clicked"),
+          EdgeDef("event", "user", "errored")))
+      val res = ResourceDef("r", Seq(
+        VertexStep("event", lookupOnly = true),
+        VertexStep("user", from = Map("user_id" -> "user_id"),
+          extractionScope = "mapped_only", lookupOnly = true),
+        EdgeStep(source = "event", target = "user",
+          relationField = Some("event_type"),
+          relationMap = Map("click" -> "clicked", "error" -> "errored"))
+      ), inferEdges = false)
+      val g = PipelineCompiler.compile(sch, res, TpchGraph.eventsTable(s, d))
+      Seq("clicked", "errored").map { rel =>
+        g.edge(EdgeKey("event", "user", rel))
+          .agg(count(lit(1)).as("cnt")).withColumn("relation", lit(rel))
+      }.reduce(_.unionByName(_)).select("relation", "cnt").orderBy("relation")
+    },
+
+    // §2.3 multi-link edges: several edges from one flat row
+    "q_edge_multilink" -> { (s, d) =>
+      val res = ResourceDef("r_li_multi", Seq(
+        VertexStep("orders", from = Map("o_orderkey" -> "l_orderkey"),
+          lookupOnly = true, extractionScope = "mapped_only"),
+        VertexStep("part", from = Map("p_partkey" -> "l_partkey"),
+          lookupOnly = true, extractionScope = "mapped_only"),
+        VertexStep("supplier", from = Map("s_suppkey" -> "l_suppkey"),
+          lookupOnly = true, extractionScope = "mapped_only"),
+        MultiEdgeStep(Seq(
+          EdgeStep(source = "orders", target = "part", relation = "contains"),
+          EdgeStep(source = "part", target = "supplier", relation = "supplied_by")))
+      ), inferEdges = false)
+      val g = PipelineCompiler.compile(TpchGraph.schema, res, t(s, d)("lineitem"))
+      Seq(
+        g.edge(EdgeKey("orders", "part", "contains"))
+          .select("src_o_orderkey", "dst_p_partkey").distinct()
+          .agg(count(lit(1)).as("cnt")).withColumn("relation", lit("contains")),
+        g.edge(EdgeKey("part", "supplier", "supplied_by"))
+          .select("src_p_partkey", "dst_s_suppkey").distinct()
+          .agg(count(lit(1)).as("cnt")).withColumn("relation", lit("supplied_by"))
+      ).reduce(_.unionByName(_)).select("relation", "cnt").orderBy("relation")
+    },
+
+    // §2.3 type casters: strict allowlist with UINT non-negative validation
+    "q_cast_uint" -> { (s, d) =>
+      val sch = GraphSchema(Seq(VertexDef("c", Seq(FieldDef("v")),
+        Identity.Natural(Seq("c_custkey")))))
+      val res = ResourceDef("r", Seq(
+        TransformStep(strategy = "single", input = Seq("c_nationkey"),
+          output = Seq("v"), inline = Some(cs => cs.head - lit(12))),
+        CastStep(Map("v" -> "uint")),
+        VertexStep("c", extractionScope = "mapped_only",
+          from = Map("c_custkey" -> "c_custkey", "v" -> "v"))))
+      PipelineCompiler.compile(sch, res, t(s, d)("customer"))
+        .vertex("c").select(col("c_custkey"), col("v")).orderBy("c_custkey")
+    },
+
+    // §2.4 cast_ibes_analyst: "'LAST  F'" → (last_name, first_name)
+    "q_cast_ibes" -> { (s, d) =>
+      val raw = concat(lit("'"), regexp_replace(col("c_name"), "Customer#", "ANALYST"),
+        lit(" "), substring(col("c_name"), 10, 1), lit("'"))
+      val parsed = TransformLib.castIbesAnalyst(raw)
+      t(s, d)("customer").select(col("c_custkey"),
+        parsed.getField("last_name").as("last_name"),
+        parsed.getField("first_name").as("first_name"))
+        .orderBy("c_custkey")
+    },
+
+    // §2.4 parse_multi_item: quoted kv-list strings → typed map
+    "q_parse_multi" -> { (s, d) =>
+      val raw = concat(lit("{'seg': ['"), col("c_mktsegment"), lit("'], 'k': ['a','b']}"))
+      val m = TransformLib.parseMultiItem(raw)
+      t(s, d)("customer").select(col("c_custkey"),
+        element_at(element_at(m, "seg"), 1).as("seg"),
+        size(element_at(m, "k")).cast("long").as("nk"))
+        .orderBy("c_custkey")
+    },
+
+    // §2.3/§2.4 failure tolerance: failed transforms null outputs and land
+    // on the error side-channel with lineage + label
+    "q_error_channel" -> { (s, d) =>
+      val input = t(s, d)("customer").select(col("c_custkey"),
+        when(col("c_custkey") % 3 === 0, col("c_name"))
+          .otherwise(col("c_custkey").cast("string")).as("num_str"))
+      val sch = GraphSchema(Seq(VertexDef("c", Seq(FieldDef("num")),
+        Identity.Natural(Seq("c_custkey")))))
+      val res = ResourceDef("r_tolerant", Seq(
+        TransformStep(fn = "try_int", input = Seq("num_str"), output = Seq("num"),
+          errorTolerant = true, label = "parse_num"),
+        VertexStep("c")))
+      val g = PipelineCompiler.compile(sch, res, input)
+      g.errors("r_tolerant").groupBy("label")
+        .agg(count(lit(1)).as("cnt")).orderBy("label")
+    },
+
+    // §2.13 evolution: rename-property round-trip through a live store
+    "q_evolution_rename" -> { (s, d) =>
+      import graft.evolve._
+      val root = s"/root/repo/target/graft-evolve-${d.replaceAll("[^0-9.]", "")}"
+      deleteRecursively(new java.io.File(root))
+      val sch = GraphSchema(Seq(VertexDef("customer", Seq(FieldDef("c_name")),
+        Identity.Natural(Seq("c_custkey")))))
+      val store = new GraphStore(root, sch, s)
+      store.upsertVertices("customer",
+        t(s, d)("customer").select("c_custkey", "c_name"))
+      Evolution.migrateStore(store,
+        Seq(EvolutionOp.RenameProperty("customer", "c_name", "customer_name")))
+      store.vertices("customer").select("c_custkey", "customer_name")
+        .orderBy("c_custkey")
+    },
+
+    // §2.1 InMemoryDataSource: literal rows → DataFrame
+    "q_inmemory" -> { (s, d) =>
+      graft.sources.InMemorySource.fromRows(s, Seq("id", "v"),
+        Seq(Seq(1, "a"), Seq(2, "b"), Seq(3, "c")))
+        .orderBy("id")
+    },
+
+    // §2.4 pick_unique_dict: content-hash distinct
+    "q_pick_unique" -> { (s, d) =>
+      MergeOps.pickUnique(
+        t(s, d)("orders").select("o_orderstatus", "o_orderpriority"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+
+    // §2.3 strip_trivial_top_level_fields: ""→null before extraction
+    "q_strip_trivial" -> { (s, d) =>
+      val input = t(s, d)("customer").select(col("c_custkey"),
+        when(col("c_custkey") % 5 === 0, lit("")).otherwise(col("c_mktsegment"))
+          .as("seg"))
+      val sch = GraphSchema(Seq(VertexDef("c", Seq(FieldDef("seg")),
+        Identity.Natural(Seq("c_custkey")))))
+      val res = ResourceDef("r", Seq(VertexStep("c")), dropTrivialFields = true)
+      PipelineCompiler.compile(sch, res, input).vertex("c")
+        .agg(sum(when(col("seg").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(when(col("seg").isNotNull, 1L).otherwise(0L)).as("n_set"))
+    },
+
+    // §2.7 keyless attachment: forward-fill keys onto following keyless rows
+    "q_attach_keyless" -> { (s, d) =>
+      val input = t(s, d)("orders").select(col("o_custkey"), col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0, col("o_orderkey")).as("anchor"))
+      MergeOps.attachKeyless(input, Seq("anchor"), "o_custkey", "o_orderkey")
+        .select("o_custkey", "o_orderkey", "anchor")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // §2.4 fuzzy matching: banded Levenshtein pairs (length-bucket equi-join)
+    "q_fuzzy_match" -> { (s, d) =>
+      graft.infer.CrossResourceIdentity.fuzzyPairs(
+        t(s, d)("nation"), "n_nationkey", "n_name", maxDist = 1)
+        .withColumnsRenamed(Map("id_a" -> "id_a", "id_b" -> "id_b"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // §2.11 streaming ingest: file micro-batches → compiled pipeline →
+    // idempotent store upserts (foreachBatch, AvailableNow)
+    "q_stream_ingest" -> { (s, d) =>
+      import graft.streaming.StreamIngest
+      val root = s"/root/repo/target/graft-stream-${d.replaceAll("[^0-9.]", "")}"
+      deleteRecursively(new java.io.File(root))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the streaming file source wants a DIRECTORY of drop files
+      val inDir = java.nio.file.Paths.get(s"$root/in")
+      java.nio.file.Files.createDirectories(inDir)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
+        inDir.resolve("events.parquet"))
+      val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+      val src = s.readStream.schema(batchSchema).parquet(inDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val store = new GraphStore(s"$root/store", TpchGraph.schema, s)
+      val q = StreamIngest.ingestStream(TpchGraph.schema, TpchGraph.eventsResource,
+        src, store, s"$root/ckpt")
+      q.awaitTermination()
+      store.vertices("user").agg(count(lit(1)).as("n_users"))
+        .crossJoin(store.vertices("event").agg(count(lit(1)).as("n_events")))
+    },
+
     // flagship join-heavy aggregation (bench headline)
     "q_revenue_by_nation" -> { (s, d) =>
       val li = t(s, d)("lineitem"); val o = t(s, d)("orders")
@@ -1148,6 +1405,97 @@ object GraftQueries {
         |UNION ALL SELECT 'supplier', count(*) FROM supplier
         |  WHERE s_nationkey IN (0, 1)
         |ORDER BY vtype""".stripMargin,
+
+    "q_file_csv" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation ORDER BY 1""".stripMargin,
+
+    "q_file_jsonl" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region
+        |ORDER BY 1""".stripMargin,
+
+    "q_api_source" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name FROM supplier
+        |ORDER BY 1""".stripMargin,
+
+    "q_rdf_docs" ->
+      """SELECT 'http://g/region/' || r_regionkey AS id, r_name AS name
+        |FROM region ORDER BY id""".stripMargin,
+
+    "q_graflo_backend" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation
+        |ORDER BY 1""".stripMargin,
+
+    "q_edge_dynamic" ->
+      """SELECT 'clicked' AS relation, count(*) AS cnt FROM events
+        |  WHERE event_type = 'click'
+        |UNION ALL SELECT 'errored', count(*) FROM events WHERE event_type = 'error'
+        |ORDER BY relation""".stripMargin,
+
+    "q_edge_multilink" ->
+      """SELECT 'contains' AS relation,
+        |  (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+        |  AS cnt
+        |UNION ALL SELECT 'supplied_by',
+        |  (SELECT count(*) FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))
+        |ORDER BY relation""".stripMargin,
+
+    "q_cast_uint" ->
+      """SELECT c_custkey, CASE WHEN c_nationkey - 12 >= 0
+        |  THEN CAST(c_nationkey - 12 AS BIGINT) END AS v
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_cast_ibes" ->
+      """WITH raw AS (SELECT c_custkey,
+        |  trim(replace('''' || replace(c_name, 'Customer#', 'ANALYST') || ' '
+        |    || substring(c_name, 10, 1) || '''', '''', '')) AS cleaned
+        |  FROM customer)
+        |SELECT c_custkey, regexp_extract(cleaned, '^([^/ ]+)', 1) AS last_name,
+        |  trim(regexp_replace(cleaned, '^[^/ ]+[/ ]*', '')) AS first_name
+        |FROM raw ORDER BY c_custkey""".stripMargin,
+
+    "q_parse_multi" ->
+      """SELECT c_custkey, c_mktsegment AS seg, CAST(2 AS BIGINT) AS nk
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_error_channel" ->
+      """SELECT 'parse_num' AS label, count(*) AS cnt FROM customer
+        |WHERE c_custkey % 3 = 0""".stripMargin,
+
+    "q_evolution_rename" ->
+      """SELECT c_custkey, c_name AS customer_name FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_inmemory" ->
+      """SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) t(id, v) ORDER BY id""",
+
+    "q_pick_unique" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_strip_trivial" ->
+      """SELECT CAST(sum(CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_null,
+        |CAST(sum(CASE WHEN c_custkey % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_set
+        |FROM customer""".stripMargin,
+
+    "q_attach_keyless" ->
+      """SELECT o_custkey, o_orderkey,
+        |last_value(CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey END IGNORE NULLS)
+        |  OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |        ROWS UNBOUNDED PRECEDING) AS anchor
+        |FROM orders ORDER BY 1, 2""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """SELECT a.n_nationkey AS id_a, b.n_nationkey AS id_b,
+        |CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+        |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+        |WHERE levenshtein(a.n_name, b.n_name) <= 1
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_stream_ingest" ->
+      """SELECT count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events""".stripMargin,
 
     "q_manifest_ingest" ->
       """SELECT 'customer' AS coll, count(*) AS cnt FROM customer

@@ -78,6 +78,37 @@ object CrossResourceIdentity {
     Seq((colA, colB, math.rint(j * 10000) / 10000)).toDF("col_a", "col_b", "jaccard")
   }
 
+  /** Fuzzy string matching over a column (reference
+    * graflo/hq/inference_utils.py:15-67 token-fragment matcher — here the
+    * standard edit-distance form): all id pairs whose strings are within
+    * `maxDist` Levenshtein distance.
+    *
+    * Scale path: candidate generation is BLOCKED on length buckets of width
+    * `maxDist + 1` — `|len(a) - len(b)| <= maxDist` is necessary for
+    * `lev(a,b) <= maxDist`, so each left row equi-joins only the buckets its
+    * length band can reach (≤ 3 buckets). A keyed equi-join, not an
+    * all-pairs nested loop; `levenshtein()` (codegen'd) prunes the rest.
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): DataFrame = {
+    val bsize = maxDist + 1
+    val a = df.select(col(idCol).as("id_a"), col(strCol).as("s_a"),
+      length(col(strCol)).as("l_a"))
+      .withColumn("bucket", explode(sequence(
+        floor((col("l_a") - lit(maxDist)) / lit(bsize)).cast("bigint"),
+        floor((col("l_a") + lit(maxDist)) / lit(bsize)).cast("bigint"))))
+    val b = df.select(col(idCol).as("id_b"), col(strCol).as("s_b"),
+      length(col(strCol)).as("l_b"))
+      .withColumn("bucket", floor(col("l_b") / lit(bsize)).cast("bigint"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b") &&
+        abs(col("l_a") - col("l_b")) <= maxDist)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .where(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Jaro-free name similarity: normalized longest-common-subsequence over
     * snake-cased names (the reference uses fuzzy token matching,
     * inference_utils.py:15-67 — any deterministic similarity serves the
