@@ -712,6 +712,21 @@ object GraftQueries {
         .orderBy("id")
     },
 
+    // §2.1 RdfFileDataSource: Turtle (@prefix expansion, pnames, `a`) →
+    // same docs as the N-Triples path
+    "q_rdf_turtle" -> { (s, d) =>
+      import graft.rdf.Rdf
+      import s.implicits._
+      val header = Seq("@prefix r: <http://g/region/> .",
+        "@prefix p: <http://g/p/> .").toDF("value")
+      val body = t(s, d)("region").select(concat(
+        lit("r:"), col("r_regionkey"),
+        lit(" p:name \""), col("r_name"), lit("\" .")).as("value"))
+      Rdf.triplesToDocs(Rdf.parseTurtle(header.unionByName(body)))
+        .select(col("id"), element_at(element_at(col("props"), "name"), 1).as("name"))
+        .orderBy("id")
+    },
+
     // §2.1 graflo file backend: chunked gzip-JSONL layout + INDEX.json read
     "q_graflo_backend" -> { (s, d) =>
       val root = s"/root/repo/target/graft-backend-${d.replaceAll("[^0-9.]", "")}"
@@ -842,6 +857,23 @@ object GraftQueries {
         Seq(EvolutionOp.RenameProperty("customer", "c_name", "customer_name")))
       store.vertices("customer").select("c_custkey", "customer_name")
         .orderBy("c_custkey")
+    },
+
+    // §2.13 evolution: merge-vertices rewrite on a live store (two split
+    // collections of one logical entity fold into one, re-merged on identity)
+    "q_evolution_merge" -> { (s, d) =>
+      import graft.evolve._
+      val root = s"/root/repo/target/graft-evmerge-${d.replaceAll("[^0-9.]", "")}"
+      deleteRecursively(new java.io.File(root))
+      val sch = GraphSchema(Seq(
+        VertexDef("cust_a", Seq(FieldDef("c_name")), Identity.Natural(Seq("c_custkey"))),
+        VertexDef("cust_b", Seq(FieldDef("c_name")), Identity.Natural(Seq("c_custkey")))))
+      val store = new GraphStore(root, sch, s)
+      val cust = t(s, d)("customer").select("c_custkey", "c_name")
+      store.upsertVertices("cust_a", cust.where(col("c_custkey") % 2 === 0))
+      store.upsertVertices("cust_b", cust.where(col("c_custkey") % 2 === 1))
+      Evolution.migrateStore(store, Seq(EvolutionOp.MergeVertices(Seq("cust_b"), "cust_a")))
+      store.vertices("cust_a").agg(count(lit(1)).as("cnt"))
     },
 
     // §2.1 InMemoryDataSource: literal rows → DataFrame
@@ -1422,6 +1454,10 @@ object GraftQueries {
       """SELECT 'http://g/region/' || r_regionkey AS id, r_name AS name
         |FROM region ORDER BY id""".stripMargin,
 
+    "q_rdf_turtle" ->
+      """SELECT 'http://g/region/' || r_regionkey AS id, r_name AS name
+        |FROM region ORDER BY id""".stripMargin,
+
     "q_graflo_backend" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation
         |ORDER BY 1""".stripMargin,
@@ -1465,6 +1501,9 @@ object GraftQueries {
     "q_evolution_rename" ->
       """SELECT c_custkey, c_name AS customer_name FROM customer
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_evolution_merge" ->
+      """SELECT count(*) AS cnt FROM customer""",
 
     "q_inmemory" ->
       """SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) t(id, v) ORDER BY id""",

@@ -93,6 +93,167 @@ object EvolutionOp {
       case None => s
     }
   }
+
+  /** Merge `sources` into one vertex type (reference `MergeVerticesOp`,
+    * ops.py:61-96): properties union with the duplicate-property merge rules
+    * of vertex.py:352-416 (typed beats untyped; conflicting types raise);
+    * identity comes from `into` when it pre-exists, else from the first
+    * source; incident edges retarget. Self-relations created by the merge
+    * are rejected unless `allowSelfRelations` (they fuse previously distinct
+    * endpoint slots).
+    */
+  final case class MergeVertices(sources: Seq[String], into: String,
+      allowSelfRelations: Boolean = false) extends EvolutionOp {
+    require(sources.nonEmpty && !sources.contains(into),
+      "sources must be non-empty and not include 'into'")
+
+    /** vertex.py:352-416 duplicate-property merge: typed beats untyped,
+      * equal types collapse, conflicting types raise.
+      */
+    private def mergeProps(a: Seq[FieldDef], b: Seq[FieldDef]): Seq[FieldDef] = {
+      val out = scala.collection.mutable.LinkedHashMap.empty[String, FieldDef]
+      (a ++ b).foreach { f =>
+        out.get(f.name) match {
+          case None => out(f.name) = f
+          case Some(prev) => (prev.ftype, f.ftype) match {
+            case (None, Some(_)) => out(f.name) = f
+            case (Some(x), Some(y)) if x != y =>
+              throw new IllegalArgumentException(
+                s"merge_vertices: conflicting types for property '${f.name}': $x vs $y")
+            case _ => // keep prev (typed or same)
+          }
+        }
+      }
+      out.values.toSeq
+    }
+
+    def apply(s: GraphSchema): GraphSchema = {
+      sources.foreach(n => require(s.vertexByName.contains(n),
+        s"merge_vertices: unknown source vertex '$n'"))
+      val srcDefs = sources.map(s.vertexByName)
+      val base = s.vertexByName.get(into)
+        .getOrElse(srcDefs.head.copy(name = into))
+      val merged = srcDefs.foldLeft(base)((acc, sv) =>
+        acc.copy(properties = mergeProps(acc.properties, sv.properties),
+          secondary = (acc.secondary ++ sv.secondary).distinctBy(_.name)))
+      val gone = sources.toSet
+      def ren(n: String) = if (gone(n)) into else n
+      val edges = s.edges.map(e => e.copy(source = ren(e.source), target = ren(e.target)))
+      s.edges.zip(edges).foreach { case (was, now) =>
+        if (!allowSelfRelations && now.source == into && now.target == into &&
+          was.source != was.target)
+          throw new IllegalArgumentException(
+            s"merge_vertices: edge ${was.key} becomes a self-relation on '$into' " +
+              "(set allowSelfRelations to accept)")
+      }
+      s.copy(
+        vertices = s.vertices.filterNot(v => gone(v.name))
+          .map(v => if (v.name == into) merged else v) ++
+          (if (s.vertexByName.contains(into)) Nil else Seq(merged)),
+        edges = edges)
+    }
+  }
+}
+
+/** Migration risk classification (reference graflo/migrate/risk.py:7-60):
+  * additive ops are LOW, lookup-plane changes MEDIUM, destructive field/
+  * collection ops HIGH, identity/rekey changes CRITICAL. A migration is
+  * backward compatible iff every op is LOW.
+  */
+object Risk {
+  sealed trait Level extends Ordered[Level] {
+    private def rank: Int = this match {
+      case Low => 0; case Medium => 1; case High => 2; case Critical => 3
+    }
+    def compare(that: Level): Int = rank.compare(that.rank)
+  }
+  case object Low      extends Level
+  case object Medium   extends Level
+  case object High     extends Level
+  case object Critical extends Level
+
+  import EvolutionOp._
+  def classify(op: EvolutionOp): Level = op match {
+    case _: AddVertex | _: AddProperty | _: AddEdge | _: InverseEdge => Low
+    case _: AddSecondaryIdentity | _: RemoveSecondaryIdentity
+       | _: RenameRelation | _: RenameVertex | _: RenameProperty => Medium
+    case _: RemoveProperty | _: RemoveVertex | _: RemoveEdge
+       | _: SetFieldType | _: RetargetEdge => High
+    case _: ReplaceIdentity | _: MergeVertices => Critical
+  }
+
+  /** Per-op risk report (migrate/diff.py:86-91 `risk_assessment`). */
+  def report(ops: Seq[EvolutionOp]): Seq[(EvolutionOp, Level)] =
+    ops.map(op => op -> classify(op))
+
+  /** migrate/risk.py `is_backward_compatible_operations` */
+  def isBackwardCompatible(ops: Seq[EvolutionOp]): Boolean =
+    ops.forall(classify(_) == Low)
+}
+
+/** Linear revision chain (reference evolution/revision.py:68-260):
+  * content-addressed revision ids, parent links, ordered application, and
+  * downgrade-boundary checks. Persistence is the caller's concern (the store
+  * can serialize the chain next to INDEX.json).
+  */
+final case class Revision(
+    id: String,
+    downRevision: Option[String],
+    ops: Seq[EvolutionOp],
+    label: String = ""
+)
+
+object Revision {
+  /** Deterministic id over the rendered ops + parent (revision.py:53-66). */
+  def idOf(ops: Seq[EvolutionOp], down: Option[String]): String = {
+    val payload = (down.getOrElse("") +: ops.map(_.toString)).mkString("\n")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(payload.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+  }
+
+  def build(ops: Seq[EvolutionOp], down: Option[String], label: String = ""): Revision =
+    Revision(idOf(ops, down), down, ops, label)
+}
+
+final case class RevisionChain(revisions: Seq[Revision]) {
+  /** Root→head link order (revision.py:402-430 `_link_order`); broken or
+    * forked chains raise.
+    */
+  def ordered: Seq[Revision] = {
+    val byDown = revisions.groupBy(_.downRevision)
+    byDown.values.find(_.size > 1).foreach { dup =>
+      throw new IllegalStateException(
+        s"revision chain forks at ${dup.map(_.id).mkString(", ")}")
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Revision]
+    var cur: Option[String] = None
+    while (out.size < revisions.size) {
+      val next = byDown.get(cur).map(_.head).getOrElse(
+        throw new IllegalStateException(
+          s"revision chain broken after ${cur.getOrElse("<root>")}"))
+      out += next
+      cur = Some(next.id)
+    }
+    out.toSeq
+  }
+
+  def head: Option[Revision] = ordered.lastOption
+
+  /** Apply revisions in order up to (and including) `to`; None = head. */
+  def upgrade(schema: GraphSchema, to: Option[String] = None): GraphSchema = {
+    val chain = ordered
+    val upto = to match {
+      case None => chain
+      case Some(id) =>
+        val i = chain.indexWhere(_.id == id)
+        require(i >= 0, s"unknown revision '$id'")
+        chain.take(i + 1)
+    }
+    upto.foldLeft(schema)((s, r) => Evolution(s, r.ops))
+  }
+
+  def withRevision(r: Revision): RevisionChain = RevisionChain(revisions :+ r)
 }
 
 object Evolution {
@@ -122,6 +283,16 @@ object Evolution {
     (toE -- fromE).toSeq.sortBy(_.storeName).foreach(k => ops += AddEdge(to.edgeByKey(k)))
     (fromE -- toE).toSeq.sortBy(_.storeName).foreach(k => ops += RemoveEdge(k))
     ops.toSeq
+  }
+
+  /** Risk-annotated diff (reference migrate/diff.py:49-200 `SchemaDiff` with
+    * per-op risk): the op chain plus its classification and the overall
+    * backward-compatibility verdict.
+    */
+  def diffWithRisk(from: GraphSchema, to: GraphSchema)
+      : (Seq[(EvolutionOp, Risk.Level)], Boolean) = {
+    val ops = diff(from, to)
+    (Risk.report(ops), Risk.isBackwardCompatible(ops))
   }
 
   /** Apply the data rewrites an op chain implies on a live store (the
@@ -161,6 +332,35 @@ object Evolution {
           }
         case RemoveProperty(vx, f) =>
           store.readVertices(vx).foreach(df => store.overwriteVertices(vx, df.drop(f)))
+        case MergeVertices(sources, into, _) =>
+          // union the source collections into the target and re-merge on the
+          // target identity; incident edge collections move to their new key
+          // (the old-named collection stays on disk — migration skips
+          // unknown collections with a warning, same as GraphMigration)
+          val intoDefAfter = op(schema).vertex(into)
+          val frames = (sources :+ into).flatMap(store.readVertices)
+          if (frames.nonEmpty) {
+            val unioned = frames.map(_.withColumn("_gen_m",
+              org.apache.spark.sql.functions.monotonically_increasing_id()))
+              .reduceLeft(_.unionByName(_, allowMissingColumns = true))
+            store.overwriteVertices(into,
+              graft.pipeline.MergeOps.mergeDocBasis(unioned,
+                intoDefAfter.idColumns, "_gen_m"))
+          }
+          val gone = sources.toSet
+          schema.edges.foreach { e =>
+            val newKey = EdgeKey(
+              if (gone(e.source)) into else e.source,
+              if (gone(e.target)) into else e.target, e.relation)
+            if (newKey != e.key) store.readEdges(e.key).foreach { df =>
+              val merged = store.readEdges(newKey) match {
+                case Some(existing) =>
+                  existing.unionByName(df, allowMissingColumns = true)
+                case None => df
+              }
+              store.overwriteEdges(newKey, merged)
+            }
+          }
         case ReplaceIdentity(vx, _) =>
           val oldIdCols = schema.vertex(vx).idColumns
           store.readVertices(vx).foreach { df =>

@@ -124,6 +124,9 @@ object ManifestLoader {
       if (v.path("blank").asBoolean(false)) Identity.Blank
       else if (v.has("identity_hash")) Identity.Hash(strings(v.path("identity_hash")))
       else if (idFields.nonEmpty) Identity.Natural(idFields)
+      // identity_from_all_properties fallback (reference vertex.py:822-828):
+      // no declared identity and not blank → hash over every property
+      else if (props.nonEmpty) Identity.Hash(props.map(_.name))
       else Identity.Blank
     val filters = v.path("filters") match {
       case n if n.isArray && n.size() > 0 =>

@@ -40,6 +40,61 @@ object Rdf {
   def readNTriples(spark: SparkSession, path: String): DataFrame =
     parseNTriples(spark.read.text(path))
 
+  /** Parse line-oriented Turtle (reference rdf.py:64-424 reads .ttl via
+    * rdflib; this is the engine's columnar subset): `@prefix` declarations,
+    * one triple per line, IRIs `<...>`, prefixed names `p:local`, the `a`
+    * keyword (rdf:type), and literals with optional `@lang` / `^^datatype`
+    * suffixes (stripped, as in [[parseNTriples]]).
+    *
+    * The prefix table is collected to the driver (it is a handful of header
+    * lines) and expansion is a columnar map lookup — the triple body never
+    * leaves executors. Multi-line statements (`;` / `,` continuation) are
+    * out of scope; pre-flatten such files.
+    */
+  def parseTurtle(lines: DataFrame): DataFrame = {
+    val raw = lines.select(trim(col(lines.columns.head)).as("line"))
+      .where(col("line") =!= "" && !col("line").startsWith("#"))
+    val prefixRe = "^@prefix\\s+([A-Za-z][\\w-]*)?:\\s*<([^>]+)>"
+    val prefixes: Map[String, String] = raw
+      .where(col("line").startsWith("@prefix"))
+      .select(regexp_extract(col("line"), prefixRe, 1).as("p"),
+        regexp_extract(col("line"), prefixRe, 2).as("iri"))
+      .where(col("iri") =!= "")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val pmap = typedLit(prefixes)
+
+    val term = "(<[^>]+>|\"(?:[^\"\\\\]|\\\\.)*\"(?:@[\\w-]+|\\^\\^\\S+)?|[A-Za-z][\\w.-]*:[\\w.-]*|a)"
+    val stmt = s"^$term\\s+$term\\s+$term\\s*\\.\\s*$$"
+
+    val parsed = raw.where(!col("line").startsWith("@"))
+      .select(
+        regexp_extract(col("line"), stmt, 1).as("ts"),
+        regexp_extract(col("line"), stmt, 2).as("tp"),
+        regexp_extract(col("line"), stmt, 3).as("to"))
+      .where(col("ts") =!= "" && col("tp") =!= "")
+
+    def iriOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val prefix = substring_index(c, ":", 1)
+      val local = c.substr(length(prefix) + lit(2), lit(100000))
+      when(c.startsWith("<"), regexp_extract(c, "^<([^>]+)>", 1))
+        .when(c === "a", lit(RdfType))
+        .otherwise(coalesce(concat(element_at(pmap, prefix), local), c))
+    }
+
+    parsed.select(
+      iriOf(col("ts")).as("s"),
+      iriOf(col("tp")).as("p"),
+      col("to").as("oraw"))
+      .withColumn("isLiteral", col("oraw").startsWith("\""))
+      .withColumn("o",
+        when(col("isLiteral"), regexp_extract(col("oraw"), "^\"((?:[^\"\\\\]|\\\\.)*)\"", 1))
+          .otherwise(iriOf(col("oraw"))))
+      .drop("oraw")
+  }
+
+  def readTurtle(spark: SparkSession, path: String): DataFrame =
+    parseTurtle(spark.read.text(path))
+
   /** Group triples per subject into documents (reference rdf.py: triples
     * grouped per subject into docs): one row per subject with a
     * predicate→values map. Local names (fragment after #/ last /) are used

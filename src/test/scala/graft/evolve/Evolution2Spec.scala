@@ -1,0 +1,122 @@
+package graft.evolve
+
+import graft.SparkSpec
+import graft.model._
+import graft.store.GraphStore
+
+/** Round-2 evolution surface: merge-vertices (schema + store rewrite),
+  * risk-classified diff, revision chain (reference ops.py:61-96,
+  * migrate/risk.py, evolution/revision.py).
+  */
+class Evolution2Spec extends SparkSpec {
+  import EvolutionOp._
+
+  private val base = GraphSchema(
+    vertices = Seq(
+      VertexDef("person", Seq(FieldDef("name")), Identity.Natural(Seq("pid"))),
+      VertexDef("robot", Seq(FieldDef("name"), FieldDef("model")),
+        Identity.Natural(Seq("pid"))),
+      VertexDef("city", Seq(FieldDef("cname")), Identity.Natural(Seq("cid")))),
+    edges = Seq(
+      EdgeDef("person", "city", "lives_in"),
+      EdgeDef("robot", "city", "lives_in")))
+
+  test("merge_vertices: schema merge with typed-beats-untyped property rules") {
+    val s = Evolution(base, Seq(MergeVertices(Seq("robot"), "person")))
+    assert(!s.vertexByName.contains("robot"))
+    val p = s.vertex("person")
+    assert(p.properties.map(_.name).toSet == Set("name", "model"))
+    // both edges retarget onto person; duplicates allowed at schema level
+    assert(s.edges.forall(e => e.source == "person"))
+  }
+
+  test("merge_vertices: typed beats untyped; conflicting types raise") {
+    val a = GraphSchema(Seq(
+      VertexDef("x", Seq(FieldDef("f")), Identity.Natural(Seq("id"))),
+      VertexDef("y", Seq(FieldDef("f", Some(FieldType.IntT))), Identity.Natural(Seq("id")))))
+    val merged = Evolution(a, Seq(MergeVertices(Seq("y"), "x")))
+    assert(merged.vertex("x").properties.find(_.name == "f").get.ftype
+      .contains(FieldType.IntT))
+    val b = GraphSchema(Seq(
+      VertexDef("x", Seq(FieldDef("f", Some(FieldType.StringT))), Identity.Natural(Seq("id"))),
+      VertexDef("y", Seq(FieldDef("f", Some(FieldType.IntT))), Identity.Natural(Seq("id")))))
+    intercept[IllegalArgumentException] {
+      Evolution(b, Seq(MergeVertices(Seq("y"), "x")))
+    }
+  }
+
+  test("merge_vertices: new self-relations are rejected unless allowed") {
+    val s = GraphSchema(
+      Seq(VertexDef("a", Nil, Identity.Natural(Seq("id"))),
+        VertexDef("b", Nil, Identity.Natural(Seq("id")))),
+      Seq(EdgeDef("a", "b", "r")))
+    intercept[IllegalArgumentException] {
+      Evolution(s, Seq(MergeVertices(Seq("b"), "a")))
+    }
+    val ok = Evolution(s, Seq(MergeVertices(Seq("b"), "a", allowSelfRelations = true)))
+    assert(ok.edges.head.source == "a" && ok.edges.head.target == "a")
+  }
+
+  test("migrateStore merges collections and moves incident edge data") {
+    import spark.implicits._
+    val root = "target/evolve2-merge"
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+    }
+    del(new java.io.File(root))
+    val store = new GraphStore(root, base, spark)
+    store.upsertVertices("person", Seq((1L, "ann")).toDF("pid", "name"))
+    store.upsertVertices("robot", Seq((2L, "r2", "mk1")).toDF("pid", "name", "model"))
+    store.upsertVertices("city", Seq((10L, "rome")).toDF("cid", "cname"))
+    store.insertEdges(EdgeKey("person", "city", "lives_in"),
+      Seq((1L, 10L)).toDF("src_pid", "dst_cid"))
+    store.insertEdges(EdgeKey("robot", "city", "lives_in"),
+      Seq((2L, 10L)).toDF("src_pid", "dst_cid"))
+    Evolution.migrateStore(store, Seq(MergeVertices(Seq("robot"), "person")))
+    assert(store.vertices("person").count() == 2)
+    // robot's edge data moved to the person__lives_in__city collection
+    val e = store.edges(EdgeKey("person", "city", "lives_in"))
+    assert(e.select("src_pid").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("diffWithRisk classifies and reports backward compatibility") {
+    val to = Evolution(base, Seq(
+      AddVertex(VertexDef("country", Nil, Identity.Natural(Seq("code")))),
+      AddProperty("person", FieldDef("email"))))
+    val (report, compatible) = Evolution.diffWithRisk(base, to)
+    assert(compatible) // additive only
+    assert(report.forall(_._2 == Risk.Low))
+
+    val destructive = Evolution(base, Seq(RemoveVertex("city")))
+    val (report2, compatible2) = Evolution.diffWithRisk(base, destructive)
+    assert(!compatible2)
+    assert(report2.exists(_._2 == Risk.High))
+
+    val rekey = Evolution(base, Seq(
+      ReplaceIdentity("person", Identity.Hash(Seq("name")))))
+    val (report3, _) = Evolution.diffWithRisk(base, rekey)
+    assert(report3.exists(_._2 == Risk.Critical))
+  }
+
+  test("revision chain: content ids, link order, upgrade to head or marker") {
+    val r1 = Revision.build(Seq(AddVertex(VertexDef("a", Nil,
+      Identity.Natural(Seq("id"))))), None, "init")
+    val r2 = Revision.build(Seq(AddVertex(VertexDef("b", Nil,
+      Identity.Natural(Seq("id"))))), Some(r1.id))
+    val r3 = Revision.build(Seq(AddEdge(EdgeDef("a", "b", "r"))), Some(r2.id))
+    // shuffled input still orders root→head
+    val chain = RevisionChain(Seq(r3, r1, r2))
+    assert(chain.ordered.map(_.id) == Seq(r1.id, r2.id, r3.id))
+    val empty = GraphSchema(Nil, Nil)
+    assert(chain.upgrade(empty).edges.size == 1)
+    assert(chain.upgrade(empty, Some(r2.id)).vertices.size == 2)
+    assert(chain.upgrade(empty, Some(r2.id)).edges.isEmpty)
+    // deterministic ids: same ops + parent → same id
+    assert(Revision.build(r2.ops, Some(r1.id)).id == r2.id)
+    // fork detection
+    val fork = Revision.build(Seq(RemoveVertex("a")), Some(r1.id))
+    intercept[IllegalStateException] {
+      RevisionChain(Seq(r1, r2, fork)).ordered
+    }
+  }
+}
