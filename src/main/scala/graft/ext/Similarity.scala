@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   *    bucketing is deterministic and re-usable across runs.
   *
   * All vector math is `zip_with`/`aggregate` higher-order functions — pure
-  * Catalyst expressions, no UDF, stays inside whole-stage codegen.
+  * Catalyst expressions, no UDF, no serialization boundary. Note HOF lambdas
+  * are evaluated per element (not whole-stage codegen'd): keep lambda bodies
+  * to attribute references and arithmetic — embedding an aggregate subtree
+  * in a lambda multiplies it by the array length (see [[normalizedWith]]).
   */
 object Similarity {
 
@@ -128,43 +131,87 @@ object Similarity {
   /** L2-normalize a vector column (cosine metric ⇒ spherical k-means: cells
     * must be direction-based, or a large-magnitude vector with the same
     * direction lands in a far L2 cell and is missed at nprobe < nlist).
+    *
+    * `n` MUST be a materialized column (an attribute), not the `norm(vec)`
+    * expression tree: higher-order lambdas evaluate their body per element,
+    * so an embedded norm subtree re-runs the full dim-sized aggregate for
+    * EVERY element — O(dim²) interpreted work per row (measured ~4.5 ms/row
+    * at dim 64, turning a 2 k-row bucketing into seconds).
     */
-  private def normalized(vec: Column): Column = {
-    val n = norm(vec)
+  private def normalizedWith(vec: Column, n: Column): Column =
     org.apache.spark.sql.functions.transform(vec,
       x => when(n > 0, x.cast("double") / n).otherwise(0.0))
-  }
 
   def ivfIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, seed: Long = 42L, trainRowsPerCell: Int = 256
   ): (DataFrame, Array[Array[Double]]) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feat = corpus.select(col(idCol), col(vecCol),
-      array_to_vector(normalized(col(vecCol))).as("_features"))
-    // random init + few iterations: k-means|| init alone costs several
-    // Spark jobs, and coarse IVF cells don't need converged centroids —
-    // cell quality only shifts the recall/nprobe tradeoff slightly.
     // TRAIN ON A BOUNDED SAMPLE (nlist × trainRowsPerCell rows): a coarse
     // quantizer fit over the full corpus would be maxIter full passes —
     // the dominant cost at 100 TB for zero cell-quality gain. limit() is
     // deterministic (first rows in partition order) and needs no count.
+    // The sample is driver-small by construction, so Lloyd's iterations run
+    // AS PLAIN SCALA on the driver — a Spark ML KMeans here costs one job
+    // per iteration plus a non-codegen predict UDF for assignment; measured
+    // ~20 s of pure scheduling overhead on a corpus the sample already
+    // covers. Cell assignment is then the same Catalyst expression the
+    // probe side uses (whole-stage codegen, one corpus pass).
     val trainCap = math.max(nlist * trainRowsPerCell, nlist * 2)
-    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("_features")
-      .setInitMode("random").setMaxIter(5)
-      .fit(feat.select("_features").limit(trainCap))
-    val centroids = model.clusterCenters.map(_.toArray)
-    val indexed = model.transform(feat)
-      .withColumnRenamed("prediction", "cell").drop("_features")
+    val prepared = corpus.select(col(idCol), col(vecCol))
+      .withColumn("_vn", norm(col(vecCol)))
+      .withColumn("_nv", normalizedWith(col(vecCol), col("_vn")))
+    val sample: Array[Array[Double]] = prepared
+      .select(col("_nv")).limit(trainCap)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids = localKMeans(sample, nlist, seed, iters = 5)
+    val indexed = prepared
+      .withColumn("cell", nearestCells(col("_nv"), centroids, 1).getItem(0))
+      .drop("_vn", "_nv")
     (indexed, centroids)
   }
 
-  private def nearestCells(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
-    // rank cells by squared distance of the NORMALIZED query to the
-    // (normalized-space) centroids — tiny (nlist entries), a sort of
-    // literal-struct array, stays in codegen
-    val nv = normalized(vec)
+  /** Lloyd's k-means over a driver-small sample (bounded by
+    * `ivfIndex.trainRowsPerCell`). Deterministic: seeded init, stable
+    * argmin tie-break on cell index, empty cells keep their previous
+    * centroid.
+    */
+  private def localKMeans(points: Array[Array[Double]], k: Int, seed: Long,
+      iters: Int): Array[Array[Double]] = {
+    require(points.nonEmpty, "ivf training sample is empty")
+    val dim = points.head.length
+    val rnd = new scala.util.Random(seed)
+    val init = rnd.shuffle(points.indices.toList).take(math.min(k, points.length))
+    var centroids = init.map(i => points(i).clone()).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = p(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else Array.tabulate(dim)(i => sums(c)(i) / counts(c))
+      }
+    }
+    centroids
+  }
+
+  /** Rank cells by squared distance of the PRE-NORMALIZED vector column
+    * `nv` (an attribute — see [[normalizedWith]]) to the normalized-space
+    * centroids: a sort of a tiny literal-struct array, nlist entries.
+    */
+  private[graft] def nearestCells(nv: Column, centroids: Array[Array[Double]],
+      nprobe: Int): Column = {
     val cells = centroids.zipWithIndex.map { case (c, i) =>
       val d = aggregate(zip_with(nv, lit(c), (x, y) => (x - y) * (x - y)),
         lit(0.0), (a, x) => a + x)
@@ -173,6 +220,7 @@ object Similarity {
     slice(sort_array(array(cells: _*)), 1, nprobe).getField("cell")
   }
 
+
   /** IVF top-k: probe the query's `nprobe` nearest cells. */
   def ivfTopK(
       queries: DataFrame, indexedCorpus: DataFrame, centroids: Array[Array[Double]],
@@ -180,7 +228,9 @@ object Similarity {
   ): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
       .withColumn("_qn", norm(col("_qv")))
-      .withColumn("cell", explode(nearestCells(col("_qv"), centroids, nprobe)))
+      .withColumn("_qnv", normalizedWith(col("_qv"), col("_qn")))
+      .withColumn("cell", explode(nearestCells(col("_qnv"), centroids, nprobe)))
+      .drop("_qnv")
     val c = indexedCorpus.select(col("cell"), col(idCol).as("neighbor_id"),
       col(vecCol).as("_cv")).withColumn("_cn", norm(col("_cv")))
     val scored = q.join(c, Seq("cell")).where(col("query_id") =!= col("neighbor_id"))
