@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print formatted physical plans for battery queries, to audit
+  * pushdown (PushedFilters / ReadSchema), join strategies (broadcast vs
+  * shuffle, no accidental nested-loop), and codegen spans before a round's
+  * bench. Usage: `runMain graft.PlanAudit [query ...]` (defaults to the
+  * scan-and-join-heavy set).
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q_filter_predicate", "q_revenue_by_nation", "q_fuzzy_match",
+        "q_skew_join", "q_semi_join", "q_edge_pair")
+    names.foreach { n =>
+      println(s"\n===== $n =====")
+      try GraftQueries.all(n)(spark, sfDir).explain("formatted")
+      catch { case e: Throwable => println(s"(explain failed: ${e.getMessage})") }
+    }
+    spark.stop()
+  }
+}

@@ -876,6 +876,17 @@ object GraftQueries {
       store.vertices("cust_a").agg(count(lit(1)).as("cnt"))
     },
 
+    // extension: skew-salted join — result equals the plain equi-join (the
+    // salt only re-shards the hot keys; the oracle is the unsalted join)
+    "q_skew_join" -> { (s, d) =>
+      graft.ext.SkewJoin.saltedJoin(
+        t(s, d)("orders").select("o_orderkey", "o_custkey"),
+        t(s, d)("customer").select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        Seq("o_custkey"), saltFactor = 8)
+        .select("o_orderkey", "o_custkey", "c_mktsegment")
+        .orderBy("o_orderkey")
+    },
+
     // §2.1 InMemoryDataSource: literal rows → DataFrame
     "q_inmemory" -> { (s, d) =>
       graft.sources.InMemorySource.fromRows(s, Seq("id", "v"),
@@ -1504,6 +1515,11 @@ object GraftQueries {
 
     "q_evolution_merge" ->
       """SELECT count(*) AS cnt FROM customer""",
+
+    "q_skew_join" ->
+      """SELECT o_orderkey, o_custkey, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_inmemory" ->
       """SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) t(id, v) ORDER BY id""",
