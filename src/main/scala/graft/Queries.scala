@@ -401,6 +401,33 @@ object GraftQueries {
         .orderBy("doc_id")
     },
 
+    // extension: NATIVE raster decode (PPM P6, no codec lib) + grid-luma
+    // features via mapPartitions — the real half of the multimodal kernel
+    "q_multimodal_decode" -> { (s, d) =>
+      import s.implicits._
+      import graft.ext.Multimodal
+      val W = 8
+      val packed = t(s, d)("documents").select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val header = s"P6\n$W $W\n255\n".getBytes("US-ASCII")
+            val px = new Array[Byte](W * W * 3)
+            var i = 0
+            while (i < W * W) {
+              val v = ((id * 31 + i) % 256).toByte
+              px(3 * i) = v; px(3 * i + 1) = v; px(3 * i + 2) = v
+              i += 1
+            }
+            (id, header ++ px)
+          }
+        }.toDF("doc_id", "media")
+      Multimodal.extractFeatures(packed, "doc_id", grid = 2)
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("cell", "v")))
+        .select(col("doc_id"), col("cell").cast("long").as("cell"),
+          round(col("v").cast("double"), 4).as("v"))
+        .orderBy("doc_id", "cell")
+    },
+
     // streaming-equivalent batch semantics: tumbling window aggregation
     "q_window_tumbling" -> { (s, d) =>
       TpchGraph.eventsTable(s, d)
@@ -1310,6 +1337,19 @@ object GraftQueries {
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // pixel (x,y) of doc i has all channels = (doc_id*31 + y*8 + x) % 256, so
+    // luma = that value / 255 (coefficients sum to 1); grid-2 cells average
+    // 4×4 pixel blocks — fully replicable in SQL
+    "q_multimodal_decode" ->
+      """WITH px AS (
+        |  SELECT doc_id, i % 8 AS x, i // 8 AS y,
+        |    ((doc_id * 31 + i) % 256) / 255.0 AS l
+        |  FROM documents, (SELECT unnest(generate_series(0, 63)) AS i) ii)
+        |SELECT doc_id, CAST((y // 4) * 2 + (x // 4) AS BIGINT) AS cell,
+        |  round(avg(l), 4) AS v
+        |FROM px GROUP BY doc_id, (y // 4) * 2 + (x // 4)
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_window_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, count(*) AS cnt,

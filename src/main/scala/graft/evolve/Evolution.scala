@@ -94,6 +94,32 @@ object EvolutionOp {
     }
   }
 
+  /** edge-property ops (reference AddEdgePropertiesOp /
+    * RenameEdgePropertiesOp / RemoveEdgePropertiesOp, ops.py:444-480)
+    */
+  final case class AddEdgeProperty(key: EdgeKey, field: FieldDef) extends EvolutionOp {
+    def apply(s: GraphSchema) = s.copy(edges = s.edges.map(e =>
+      if (e.key == key) e.copy(properties = e.properties :+ field) else e))
+  }
+  final case class RenameEdgeProperty(key: EdgeKey, from: String, to: String) extends EvolutionOp {
+    def apply(s: GraphSchema) = s.copy(edges = s.edges.map(e =>
+      if (e.key == key) e.copy(
+        properties = e.properties.map(p => if (p.name == from) p.copy(name = to) else p),
+        identities = e.identities.map(t => if (t == from) to else t))
+      else e))
+  }
+  final case class RemoveEdgeProperty(key: EdgeKey, field: String) extends EvolutionOp {
+    def apply(s: GraphSchema) = s.copy(edges = s.edges.map(e =>
+      if (e.key == key) e.copy(properties = e.properties.filterNot(_.name == field),
+        identities = e.identities.filterNot(_ == field))
+      else e))
+  }
+  /** flip directedness (reference SetEdgeDirectedOp, ops.py:744-763) */
+  final case class SetEdgeDirected(key: EdgeKey, directed: Boolean) extends EvolutionOp {
+    def apply(s: GraphSchema) = s.copy(edges = s.edges.map(e =>
+      if (e.key == key) e.copy(directed = directed) else e))
+  }
+
   /** Merge `sources` into one vertex type (reference `MergeVerticesOp`,
     * ops.py:61-96): properties union with the duplicate-property merge rules
     * of vertex.py:352-416 (typed beats untyped; conflicting types raise);
@@ -174,11 +200,13 @@ object Risk {
 
   import EvolutionOp._
   def classify(op: EvolutionOp): Level = op match {
-    case _: AddVertex | _: AddProperty | _: AddEdge | _: InverseEdge => Low
+    case _: AddVertex | _: AddProperty | _: AddEdge | _: InverseEdge
+       | _: AddEdgeProperty => Low
     case _: AddSecondaryIdentity | _: RemoveSecondaryIdentity
-       | _: RenameRelation | _: RenameVertex | _: RenameProperty => Medium
+       | _: RenameRelation | _: RenameVertex | _: RenameProperty
+       | _: RenameEdgeProperty | _: SetEdgeDirected => Medium
     case _: RemoveProperty | _: RemoveVertex | _: RemoveEdge
-       | _: SetFieldType | _: RetargetEdge => High
+       | _: SetFieldType | _: RetargetEdge | _: RemoveEdgeProperty => High
     case _: ReplaceIdentity | _: MergeVertices => Critical
   }
 
@@ -332,6 +360,11 @@ object Evolution {
           }
         case RemoveProperty(vx, f) =>
           store.readVertices(vx).foreach(df => store.overwriteVertices(vx, df.drop(f)))
+        case RenameEdgeProperty(key, from, to) =>
+          store.readEdges(key).foreach(df =>
+            store.overwriteEdges(key, df.withColumnRenamed(from, to)))
+        case RemoveEdgeProperty(key, f) =>
+          store.readEdges(key).foreach(df => store.overwriteEdges(key, df.drop(f)))
         case MergeVertices(sources, into, _) =>
           // union the source collections into the target and re-merge on the
           // target identity; incident edge collections move to their new key

@@ -8,19 +8,119 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus decode / feature-extract / resize / frame-sample
   * plumbing (training-data-pipeline extension, BASELINE.json north star).
   *
-  * The container has no image/audio codecs, so the DECODE KERNELS ARE STUBS —
-  * `decodeStub` derives a deterministic fake signal from the bytes. The
-  * Spark-side plumbing is real and tested: schema (binary + metadata
+  * Decode tiers:
+  *  - UNCOMPRESSED rasters (PPM P6, BMP 24-bit) are decoded NATIVELY —
+  *    pure byte parsing, no codec library — and featurized as grid-cell
+  *    mean luminance (a real, deterministic image embedding).
+  *  - Compressed codecs (JPEG/PNG/audio/video) need libraries this
+  *    container lacks, so their kernel is `decodeStub` ??? — a
+  *    deterministic fake signal from the bytes. Swapping it for a real
+  *    JNI/codec call changes no plan shape.
+  * The Spark-side plumbing is real and tested: schema (binary + metadata
   * struct), partition-wise batched processing via `mapPartitions` (the Scala
-  * analogue of `mapInPandas` — one buffer reused per partition, batch shape
-  * `(id, bytes) → (id, features)`), and the explode shape for frame
-  * sampling. Swapping `decodeStub` for a real JNI/codec call changes no
-  * plan shape.
+  * analogue of `mapInPandas` — batch shape `(id, bytes) → (id, features)`),
+  * and the explode shape for frame sampling.
   *
   * Scale: per-row independent work inside mapPartitions — embarrassingly
   * parallel; the only shuffle anywhere here is a caller's downstream groupBy.
   */
 object Multimodal {
+
+  /** Decoded raster: row-major RGB, 3 bytes per pixel. */
+  final case class Raster(width: Int, height: Int, rgb: Array[Byte])
+
+  /** PPM binary (P6) decode: `P6 <ws> w <ws> h <ws> maxval <single-ws>` then
+    * raw RGB triplets. Pure byte parsing — no codec dependency.
+    */
+  def decodePpm(bytes: Array[Byte]): Option[Raster] = {
+    if (bytes.length < 10 || bytes(0) != 'P' || bytes(1) != '6') return None
+    var i = 2
+    def skipWs(): Unit = {
+      var in = true
+      while (in && i < bytes.length) {
+        val c = bytes(i)
+        if (c == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') i += 1
+        else in = false
+      }
+    }
+    def int(): Int = {
+      skipWs(); var v = 0
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); i += 1
+      }
+      v
+    }
+    val w = int(); val h = int(); val maxv = int()
+    i += 1 // single whitespace after maxval
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    val need = w * h * 3
+    if (bytes.length - i < need) return None
+    Some(Raster(w, h, java.util.Arrays.copyOfRange(bytes, i, i + need)))
+  }
+
+  /** BMP (BITMAPINFOHEADER, 24 bpp, uncompressed) decode: bottom-up BGR rows
+    * padded to 4 bytes. Pure byte parsing.
+    */
+  def decodeBmp(bytes: Array[Byte]): Option[Raster] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    def i32(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    def i16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    val dataOff = i32(10); val w = i32(18); val h = i32(22)
+    val bpp = i16(28); val compression = i32(30)
+    if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
+    val hh = math.abs(h); val topDown = h < 0
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    if (bytes.length < dataOff + rowBytes * hh) return None
+    val out = new Array[Byte](w * hh * 3)
+    var y = 0
+    while (y < hh) {
+      val srcRow = if (topDown) y else hh - 1 - y
+      var x = 0
+      while (x < w) {
+        val s = dataOff + srcRow * rowBytes + x * 3
+        val d = (y * w + x) * 3
+        out(d) = bytes(s + 2); out(d + 1) = bytes(s + 1); out(d + 2) = bytes(s) // BGR→RGB
+        x += 1
+      }
+      y += 1
+    }
+    Some(Raster(w, hh, out))
+  }
+
+  /** Format sniff + decode for the natively-supported rasters. */
+  def decode(bytes: Array[Byte]): Option[Raster] =
+    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else None
+
+  /** Grid-cell mean-luminance features of a decoded raster (`grid²` floats,
+    * row-major cells; luma = (0.299 R + 0.587 G + 0.114 B) / 255, averaged
+    * per cell) — a real deterministic image embedding for dedup/similarity.
+    */
+  def imageFeatures(r: Raster, grid: Int): Array[Float] = {
+    val sums = new Array[Double](grid * grid)
+    val counts = new Array[Long](grid * grid)
+    var y = 0
+    while (y < r.height) {
+      val cy = math.min(y * grid / r.height, grid - 1)
+      var x = 0
+      while (x < r.width) {
+        val cx = math.min(x * grid / r.width, grid - 1)
+        val p = (y * r.width + x) * 3
+        val luma = (0.299 * (r.rgb(p) & 0xff) + 0.587 * (r.rgb(p + 1) & 0xff) +
+          0.114 * (r.rgb(p + 2) & 0xff)) / 255.0
+        val c = cy * grid + cx
+        sums(c) += luma; counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(grid * grid)(c =>
+      if (counts(c) == 0) 0f else (sums(c) / counts(c)).toFloat)
+  }
 
   val MetaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),
@@ -59,18 +159,28 @@ object Multimodal {
   }
 
   /** Feature extraction over the binary column, batched per partition.
-    * Output: (id, features array<float>). The UDF-free plan ends at a
-    * mapPartitions node — same shape as a `mapInPandas` stage in PySpark.
+    * Output: (id, features array<float>). Natively-decodable rasters
+    * (PPM/BMP) get REAL grid-luma embeddings (`grid²` floats); other
+    * payloads fall back to the deterministic stub (`dim` floats). The plan
+    * ends at a mapPartitions node — same shape as a `mapInPandas` stage in
+    * PySpark.
     */
-  def extractFeatures(df: DataFrame, idCol: String, dim: Int = 16): DataFrame = {
-    val spark = df.sparkSession
+  def extractFeatures(df: DataFrame, idCol: String, dim: Int = 16,
+      grid: Int = 4): DataFrame = {
     val schema = StructType(Seq(
       StructField(idCol, LongType),
       StructField("features", ArrayType(FloatType))))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.select(col(idCol).cast("long"), col("media"))
       .mapPartitions { it =>
-        it.map { r => Row(r.getLong(0), decodeStub(r.getAs[Array[Byte]](1), dim).toSeq) }
+        it.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val feats = decode(bytes) match {
+            case Some(raster) => imageFeatures(raster, grid)
+            case None         => decodeStub(bytes, dim)
+          }
+          Row(r.getLong(0), feats.toSeq)
+        }
       }(enc)
   }
 

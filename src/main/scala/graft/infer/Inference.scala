@@ -155,6 +155,35 @@ object RelationalInference {
   final case class CatalogColumn(table: String, column: String,
       isPk: Boolean, fkTable: Option[String])
 
+  /** Build the catalog from information_schema-shaped DataFrames — the live
+    * JDBC wiring (reference schema_inference.py:25-400 reads the same
+    * views over a Postgres connection):
+    *  - `columns`: (table_name, column_name) — `information_schema.columns`
+    *  - `keyUsage`: (table_name, column_name, constraint_type,
+    *    foreign_table_name?) — the join of `table_constraints` +
+    *    `key_column_usage` + `constraint_column_usage` a PG catalog query
+    *    produces (constraint_type ∈ PRIMARY KEY | FOREIGN KEY).
+    * Catalog metadata is driver-small by nature; `.collect()` here is the
+    * same boundary the reference's catalog query crosses.
+    */
+  def fromInformationSchema(columns: org.apache.spark.sql.DataFrame,
+      keyUsage: org.apache.spark.sql.DataFrame): GraphSchema = {
+    val keys = keyUsage.select(
+      col("table_name"), col("column_name"), col("constraint_type"),
+      col("foreign_table_name")).collect()
+    val pk = keys.filter(_.getAs[String]("constraint_type") == "PRIMARY KEY")
+      .map(r => (r.getAs[String]("table_name"), r.getAs[String]("column_name"))).toSet
+    val fk = keys.filter(_.getAs[String]("constraint_type") == "FOREIGN KEY")
+      .map(r => (r.getAs[String]("table_name"), r.getAs[String]("column_name")) ->
+        r.getAs[String]("foreign_table_name")).toMap
+    val catalog = columns.select(col("table_name"), col("column_name")).collect()
+      .map { r =>
+        val t = r.getAs[String]("table_name"); val c = r.getAs[String]("column_name")
+        CatalogColumn(t, c, pk((t, c)), fk.get((t, c)))
+      }
+    infer(catalog.toSeq)
+  }
+
   def infer(catalog: Seq[CatalogColumn]): GraphSchema = {
     val byTable = catalog.groupBy(_.table)
     val (edgeTables, vertexTables) = byTable.partition { case (_, cols) =>

@@ -98,6 +98,28 @@ class Evolution2Spec extends SparkSpec {
     assert(report3.exists(_._2 == Risk.Critical))
   }
 
+  test("edge-property ops: add/rename/remove with store rewrites; directedness") {
+    import spark.implicits._
+    val root = "target/evolve2-edgeprops"
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+    }
+    del(new java.io.File(root))
+    val key = EdgeKey("person", "city", "lives_in")
+    val s1 = Evolution(base, Seq(
+      AddEdgeProperty(key, FieldDef("since")),
+      SetEdgeDirected(key, directed = false)))
+    val e1 = s1.edges.find(_.key == key).get
+    assert(e1.properties.map(_.name).contains("since") && !e1.directed)
+
+    val store = new GraphStore(root, base, spark)
+    store.insertEdges(key, Seq((1L, 10L, 2020L)).toDF("src_pid", "dst_cid", "since"))
+    Evolution.migrateStore(store, Seq(RenameEdgeProperty(key, "since", "from_year")))
+    assert(store.edges(key).columns.contains("from_year"))
+    Evolution.migrateStore(store, Seq(RemoveEdgeProperty(key, "from_year")))
+    assert(!store.edges(key).columns.contains("from_year"))
+  }
+
   test("revision chain: content ids, link order, upgrade to head or marker") {
     val r1 = Revision.build(Seq(AddVertex(VertexDef("a", Nil,
       Identity.Natural(Seq("id"))))), None, "init")

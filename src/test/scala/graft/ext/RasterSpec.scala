@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native raster decode (no codec library): PPM P6 and 24-bit BMP byte
+  * parsing + grid-luma features.
+  */
+class RasterSpec extends AnyFunSuite {
+
+  private def ppm(w: Int, h: Int, px: Array[Byte]): Array[Byte] =
+    s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
+
+  test("PPM P6 decode: header with comment, exact pixel bytes") {
+    val px = Array.tabulate(2 * 2 * 3)(i => i.toByte)
+    val bytes = "P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII") ++ px
+    val r = Multimodal.decodePpm(bytes).get
+    assert(r.width == 2 && r.height == 2)
+    assert(r.rgb.toSeq == px.toSeq)
+  }
+
+  test("BMP 24-bit decode: bottom-up BGR rows with padding → row-major RGB") {
+    // 2×2 image; rows padded to 8 bytes (2*3=6 → pad 2)
+    val w = 2; val h = 2
+    val rowBytes = 8
+    val data = new Array[Byte](54 + rowBytes * h)
+    data(0) = 'B'; data(1) = 'M'
+    def put32(o: Int, v: Int): Unit = {
+      data(o) = (v & 0xff).toByte; data(o + 1) = ((v >> 8) & 0xff).toByte
+      data(o + 2) = ((v >> 16) & 0xff).toByte; data(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    put32(10, 54); put32(14, 40); put32(18, w); put32(22, h)
+    data(26) = 1; data(28) = 24 // planes, bpp
+    // bottom row first in file: pixels (y=1 in image space)
+    // file row 0 = image bottom row: pixel(0,1)=BGR(1,2,3), pixel(1,1)=BGR(4,5,6)
+    val px = Array[Byte](1, 2, 3, 4, 5, 6, 0, 0, /* top row */ 7, 8, 9, 10, 11, 12, 0, 0)
+    System.arraycopy(px, 0, data, 54, px.length)
+    val r = Multimodal.decodeBmp(data).get
+    assert(r.width == 2 && r.height == 2)
+    // image row 0 (top) = file's last row; BGR→RGB swaps first/third
+    assert(r.rgb.slice(0, 6).toSeq == Seq[Byte](9, 8, 7, 12, 11, 10))
+    assert(r.rgb.slice(6, 12).toSeq == Seq[Byte](3, 2, 1, 6, 5, 4))
+  }
+
+  test("grid-luma features average cells; uniform image is flat") {
+    val px = Array.fill(4 * 4 * 3)(51.toByte) // all channels 51 → luma 0.2
+    val r = Multimodal.decodePpm(ppm(4, 4, px)).get
+    val f = Multimodal.imageFeatures(r, 2)
+    assert(f.length == 4)
+    f.foreach(v => assert(math.abs(v - 0.2f) < 1e-6f))
+  }
+
+  test("decode sniffs magic and rejects garbage") {
+    assert(Multimodal.decode("not an image".getBytes).isEmpty)
+    assert(Multimodal.decode(ppm(1, 1, Array[Byte](0, 0, 0))).isDefined)
+    // truncated PPM rejected
+    assert(Multimodal.decodePpm("P6\n4 4\n255\n..".getBytes).isEmpty)
+  }
+}
