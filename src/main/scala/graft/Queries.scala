@@ -754,15 +754,13 @@ object GraftQueries {
         .orderBy("id")
     },
 
-    // §2.1 graflo file backend: chunked gzip-JSONL layout + INDEX.json read
+    // §2.1/§2.2 graflo file backend: the engine WRITES the reference's
+    // chunked gzip-JSONL layout (+ INDEX.json) and reads it back
     "q_graflo_backend" -> { (s, d) =>
       val root = s"/root/repo/target/graft-backend-${d.replaceAll("[^0-9.]", "")}"
       deleteRecursively(new java.io.File(root))
-      t(s, d)("nation").coalesce(1).write.mode("overwrite")
-        .option("compression", "gzip").json(s"$root/vertices/nation")
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
-      java.nio.file.Files.write(java.nio.file.Paths.get(root, "INDEX.json"),
-        """{"vertices":["nation"],"edges":[]}""".getBytes)
+      graft.store.GrafloBackendWriter.writeAll(
+        graft.graph.GraphOutput(Map("nation" -> t(s, d)("nation")), Map.empty), root)
       graft.store.GrafloBackendReader.readAll(s, root)
         .vertex("nation")
         .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))

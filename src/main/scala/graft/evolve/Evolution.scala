@@ -282,6 +282,25 @@ final case class RevisionChain(revisions: Seq[Revision]) {
   }
 
   def withRevision(r: Revision): RevisionChain = RevisionChain(revisions :+ r)
+
+  /** Downgrade from head back to (and including) `to`: applies the INVERSE
+    * of each later revision in reverse order (reference revision.py:263-340
+    * `downgrade_to`). Raises when a non-invertible op (destructive or
+    * identity-changing) sits on the path — the reference's irreversible-
+    * boundary check.
+    */
+  def downgradeTo(schema: GraphSchema, to: String): GraphSchema = {
+    val chain = ordered
+    val i = chain.indexWhere(_.id == to)
+    require(i >= 0, s"unknown revision '$to'")
+    val toUndo = chain.drop(i + 1).reverse
+    toUndo.foldLeft(schema) { (s, r) =>
+      val inverses = r.ops.reverse.map(op => Evolution.invert(op).getOrElse(
+        throw new IllegalStateException(
+          s"revision ${r.id} contains non-invertible op $op; cannot downgrade past it")))
+      Evolution(s, inverses)
+    }
+  }
 }
 
 object Evolution {
@@ -311,6 +330,28 @@ object Evolution {
     (toE -- fromE).toSeq.sortBy(_.storeName).foreach(k => ops += AddEdge(to.edgeByKey(k)))
     (fromE -- toE).toSeq.sortBy(_.storeName).foreach(k => ops += RemoveEdge(k))
     ops.toSeq
+  }
+
+  /** Structural inverse of an op, when one exists (drives
+    * `RevisionChain.downgradeTo`). Destructive ops (removals, merges,
+    * identity replacement, retargets) are NOT invertible — the removed
+    * definition/data is gone — and return None.
+    */
+  def invert(op: EvolutionOp): Option[EvolutionOp] = {
+    import EvolutionOp._
+    op match {
+      case AddVertex(v)                 => Some(RemoveVertex(v.name))
+      case RenameVertex(a, b)           => Some(RenameVertex(b, a))
+      case AddProperty(vx, f)           => Some(RemoveProperty(vx, f.name))
+      case RenameProperty(vx, a, b)     => Some(RenameProperty(vx, b, a))
+      case AddEdge(e)                   => Some(RemoveEdge(e.key))
+      case RenameRelation(k, to)        => Some(RenameRelation(k.copy(relation = to), k.relation))
+      case AddSecondaryIdentity(vx, s)  => Some(RemoveSecondaryIdentity(vx, s.name))
+      case AddEdgeProperty(k, f)        => Some(RemoveEdgeProperty(k, f.name))
+      case RenameEdgeProperty(k, a, b)  => Some(RenameEdgeProperty(k, b, a))
+      case SetEdgeDirected(k, d)        => Some(SetEdgeDirected(k, !d))
+      case _                            => None
+    }
   }
 
   /** Risk-annotated diff (reference migrate/diff.py:49-200 `SchemaDiff` with

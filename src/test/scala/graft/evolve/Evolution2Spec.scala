@@ -98,6 +98,60 @@ class Evolution2Spec extends SparkSpec {
     assert(report3.exists(_._2 == Risk.Critical))
   }
 
+  test("revision store: save/load round-trip over every op kind; downgrade") {
+    import EvolutionOp._
+    val key = EdgeKey("a", "b", "r")
+    val allOps: Seq[EvolutionOp] = Seq(
+      AddVertex(VertexDef("a", Seq(FieldDef("x", Some(FieldType.IntT))),
+        Identity.Natural(Seq("id")),
+        secondary = Seq(SecondaryIdentity("by_x", Seq("x"))))),
+      AddVertex(VertexDef("b", Nil, Identity.Hash(Seq("h")))),
+      AddVertex(VertexDef("c", Nil,
+        Identity.Funnel(Seq(FunnelBranch("f1", Seq("p"), Seq("p"))), markBranch = true))),
+      RenameVertex("c", "c2"),
+      AddProperty("a", FieldDef("y", Some(FieldType.DoubleT))),
+      RenameProperty("a", "y", "z"),
+      SetFieldType("a", "z", FieldType.StringT),
+      AddSecondaryIdentity("a", SecondaryIdentity("by_z", Seq("z"))),
+      AddEdge(EdgeDef("a", "b", "r", properties = Seq(FieldDef("w")))),
+      AddEdgeProperty(key, FieldDef("w2")),
+      RenameEdgeProperty(key, "w2", "w3"),
+      SetEdgeDirected(key, directed = false),
+      InverseEdge(key, "r_inv"),
+      RemoveEdgeProperty(key, "w3"),
+      RemoveSecondaryIdentity("a", "by_z"),
+      RemoveProperty("a", "z"),
+      ReplaceIdentity("b", Identity.Blank),
+      RenameRelation(key, "r2"),
+      RetargetEdge(EdgeKey("a", "b", "r2"), "a", "c2"),
+      MergeVertices(Seq("b"), "a", allowSelfRelations = true),
+      RemoveVertex("c2"))
+    // codec round-trips every op kind structurally
+    allOps.foreach { op =>
+      assert(RevisionStore.opFromJson(RevisionStore.opToJson(op)) == op, s"round-trip $op")
+    }
+    // chain persistence
+    val root = "target/evolve2-revstore"
+    val r1 = Revision.build(allOps.take(3), None, "init")
+    val r2 = Revision.build(Seq(AddProperty("a", FieldDef("w"))), Some(r1.id))
+    RevisionStore.save(root, RevisionChain(Seq(r2, r1)))
+    val loaded = RevisionStore.load(root)
+    assert(loaded.ordered.map(_.id) == Seq(r1.id, r2.id))
+    assert(loaded.ordered.head.ops == allOps.take(3))
+    // downgrade: undo r2 (invertible) back to r1
+    val empty = GraphSchema(Nil, Nil)
+    val atHead = loaded.upgrade(empty)
+    assert(atHead.vertex("a").properties.exists(_.name == "w"))
+    val back = loaded.downgradeTo(atHead, r1.id)
+    assert(!back.vertex("a").properties.exists(_.name == "w"))
+    // a destructive revision blocks downgrade
+    val r3 = Revision.build(Seq(RemoveVertex("a")), Some(r2.id))
+    val chain3 = loaded.withRevision(r3)
+    intercept[IllegalStateException] {
+      chain3.downgradeTo(chain3.upgrade(empty), r1.id)
+    }
+  }
+
   test("edge-property ops: add/rename/remove with store rewrites; directedness") {
     import spark.implicits._
     val root = "target/evolve2-edgeprops"
