@@ -428,6 +428,23 @@ object GraftQueries {
         .orderBy("doc_id", "cell")
     },
 
+    // extension: as-of (temporal) join — union + keyed forward-fill, no
+    // range join; oracle is DuckDB's native ASOF JOIN
+    "q_asof_join" -> { (s, d) =>
+      val ev = TpchGraph.eventsTable(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val purchases0 = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("event_id").as("purchase_id"))
+      // dedupe equal (user, ts) purchase rows so the as-of pick is unique
+      val wDedup = Window.partitionBy("user_id", "pts").orderBy("purchase_id")
+      val purchases = purchases0.withColumn("_rn", row_number().over(wDedup))
+        .where(col("_rn") === 1).drop("_rn")
+      graft.ext.AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "ts", "pts")
+        .select("user_id", "event_id", "purchase_id")
+        .orderBy("user_id", "event_id")
+    },
+
     // streaming-equivalent batch semantics: tumbling window aggregation
     "q_window_tumbling" -> { (s, d) =>
       TpchGraph.eventsTable(s, d)
@@ -1335,6 +1352,19 @@ object GraftQueries {
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |clicks AS (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'click'),
+        |p0 AS (SELECT user_id, ts AS pts, event_id AS purchase_id,
+        |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        |  FROM ev WHERE event_type = 'purchase'),
+        |p AS (SELECT user_id, pts, purchase_id FROM p0 WHERE rn = 1)
+        |SELECT c.user_id, c.event_id, p.purchase_id
+        |FROM clicks c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.pts
+        |ORDER BY 1, 2""".stripMargin,
 
     // pixel (x,y) of doc i has all channels = (doc_id*31 + y*8 + x) % 256, so
     // luma = that value / 255 (coefficients sum to 1); grid-2 cells average
