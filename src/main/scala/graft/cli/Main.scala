@@ -87,11 +87,22 @@ object Main {
       m: graft.manifest.GraphManifest, resource: String,
       dataDir: String): org.apache.spark.sql.DataFrame = {
     import graft.sources.FileSource
-    m.bindings.find(_.resource == resource).flatMap(_.path) match {
+    val binding = m.bindings.find(_.resource == resource)
+    binding.flatMap(_.path) match {
       case Some(p) =>
         val full = if (new java.io.File(p).isAbsolute) p else s"$dataDir/$p"
-        FileSource.read(spark, full,
-          format = m.bindings.find(_.resource == resource).flatMap(_.format))
+        FileSource.read(spark, full, format = binding.flatMap(_.format))
+      case None if binding.exists(_.regex.isDefined) =>
+        // reference connector form: filename regex under sub_path
+        val b = binding.get
+        val dir = new java.io.File(b.subPath.map(sp => s"$dataDir/$sp").getOrElse(dataDir))
+        val re = b.regex.get.r
+        val matches = Option(dir.listFiles).getOrElse(Array.empty)
+          .filter(f => re.findFirstIn(f.getName).isDefined).sortBy(_.getName)
+        require(matches.nonEmpty,
+          s"no file under $dir matches binding regex '${b.regex.get}' for '$resource'")
+        matches.map(f => FileSource.read(spark, f.getPath, format = b.format))
+          .reduceLeft(_.unionByName(_, allowMissingColumns = true))
       case None =>
         val exts = Seq("parquet", "csv", "tsv", "jsonl", "json",
           "csv.gz", "jsonl.gz", "json.gz")

@@ -21,7 +21,10 @@ final case class ResourceBinding(
     kind: String = "file", // file | table | api | kafka | sparql
     path: Option[String] = None,
     format: Option[String] = None,
-    options: Map[String, String] = Map.empty
+    options: Map[String, String] = Map.empty,
+    /** reference `connectors:` form: bind by filename regex under subPath */
+    regex: Option[String] = None,
+    subPath: Option[String] = None
 )
 
 /** Parsed manifest: the reference's `GraphManifest`
@@ -311,15 +314,31 @@ object ManifestLoader {
 
   private def parseBindings(b: JsonNode): Seq[ResourceBinding] = b match {
     case n if n.isObject =>
-      n.properties().asScala.map { e =>
+      // reference form: bindings.connectors = [{regex, sub_path, resource_name}]
+      val connectors = n.path("connectors") match {
+        case a if a.isArray => a.elements().asScala.map { c =>
+          ResourceBinding(
+            resource = c.path("resource_name").asText(),
+            kind = c.path("kind").asText("file"),
+            regex = text(c, "regex"),
+            subPath = text(c, "sub_path").filterNot(_ == "."),
+            path = text(c, "path").orElse(text(c, "file")),
+            format = text(c, "format"))
+        }.toSeq
+        case _ => Nil
+      }
+      val direct = n.properties().asScala.filter(_.getKey != "connectors").map { e =>
         val res = e.getKey; val v = e.getValue
         if (v.isTextual) ResourceBinding(res, path = Some(v.asText()))
         else ResourceBinding(res,
           kind = v.path("kind").asText("file"),
           path = text(v, "path").orElse(text(v, "file")),
           format = text(v, "format"),
-          options = objMap(v.path("options")))
+          options = objMap(v.path("options")),
+          regex = text(v, "regex"),
+          subPath = text(v, "sub_path"))
       }.toSeq
+      connectors ++ direct
     case _ => Nil
   }
 

@@ -256,6 +256,84 @@ class ManifestSpec extends SparkSpec {
     assert(e.sourceGroup.contains("mentions") && e.targetGroup.contains("entities"))
   }
 
+  test("reference example 1-ingest-csv: regex connectors, two resources, golden sizes") {
+    val dir = new java.io.File("target/manifest-ex1"); dir.mkdirs()
+    java.nio.file.Files.write(new java.io.File(dir, "people.csv").toPath,
+      "id,name,age\n1,John H,27\n2,Mary A,33\n3,Sid M,45\n".getBytes)
+    java.nio.file.Files.write(new java.io.File(dir, "departments.csv").toPath,
+      "person_id,person,department\n1,John H,Sales\n2,Mary A,R&D\n3,Sid M,Support\n".getBytes)
+    val mf = new java.io.File(dir, "manifest.yaml")
+    java.nio.file.Files.write(mf.toPath,
+      """schema:
+        |    metadata:
+        |        name: hr
+        |    graph:
+        |        vertex_config:
+        |            vertices:
+        |            -   name: person
+        |                properties:
+        |                -   id
+        |                -   name
+        |                -   age
+        |                identity:
+        |                -   id
+        |            -   name: department
+        |                properties:
+        |                -   name
+        |                identity:
+        |                -   name
+        |        edge_config:
+        |            edges:
+        |            -   source: person
+        |                target: department
+        |                relation: works_in
+        |ingestion_model:
+        |    resources:
+        |    -   name: people
+        |        pipeline:
+        |        -   vertex: person
+        |    -   name: departments
+        |        pipeline:
+        |        -   vertex: person
+        |            from:
+        |                id: person_id
+        |                name: person
+        |        -   vertex: department
+        |            from:
+        |                name: department
+        |bindings:
+        |    connectors:
+        |    -   regex: "^people.*\\.csv$"
+        |        sub_path: .
+        |        resource_name: people
+        |    -   regex: "^dep.*\\.csv$"
+        |        sub_path: .
+        |        resource_name: departments
+        |""".stripMargin.getBytes)
+    val m = ManifestLoader.load(mf.getPath)
+    assert(m.bindings.exists(b => b.resource == "people" && b.regex.isDefined))
+    val g = m.resources.map { r =>
+      val input = graft.cli.Main.resolveInput(spark, m, r.name, dir.getPath)
+      PipelineCompiler.compile(m.schema, r, input)
+    }.reduceLeft(_.unionWith(_))
+    // golden sizes (reference example's figs) hold AFTER the store upsert
+    // merges the two resources' person observations on identity:
+    // 3 people, 3 departments, 3 works_in edges
+    val storeDir = new java.io.File(dir, "store")
+    def del(x: java.io.File): Unit = {
+      if (x.isDirectory) Option(x.listFiles).foreach(_.foreach(del)); x.delete(): Unit
+    }
+    del(storeDir)
+    val store = new GraphStore(storeDir.getPath, m.schema, spark)
+    store.write(g)
+    assert(store.vertices("person").count() == 3)
+    assert(store.vertices("department").count() == 3)
+    assert(store.edges(EdgeKey("person", "department", "works_in")).count() == 3)
+    // the people resource's ages survived the merge with the departments obs
+    assert(store.vertices("person").where(org.apache.spark.sql.functions.col("age")
+      .isNotNull).count() == 3)
+  }
+
   test("end-to-end: CSV file → manifest ingest → store with golden sizes") {
     val dir = new java.io.File("target/manifest-e2e"); dir.mkdirs()
     val csv = new java.io.File(dir, "people.csv")
