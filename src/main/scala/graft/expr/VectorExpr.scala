@@ -1,0 +1,117 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for the vector dot product — the hot kernel of
+  * every similarity operator. The `zip_with`+`aggregate` higher-order
+  * composition is semantically identical but evaluates its lambdas
+  * interpreted, per element, with boxing; this expression generates a tight
+  * primitive loop inside whole-stage codegen (and a matching interpreted
+  * `nullSafeEval` for non-codegen paths).
+  *
+  * Semantics match the HOF composition exactly — elements cast to double,
+  * ascending-index summation (bit-identical float math), NULL when the
+  * arrays differ in length or any element is null — so swapping it under
+  * [[graft.ext.Similarity.dot]] changes no oracle result.
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(a, _), ArrayType(b, _))
+      if a.isInstanceOf[NumericType] && b.isInstanceOf[NumericType] =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"dot_product expects two numeric arrays, got $l and $r")
+  }
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  private def getAsDouble(a: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType  => a.getFloat(i).toDouble
+    case DoubleType => a.getDouble(i)
+    case IntegerType => a.getInt(i).toDouble
+    case LongType   => a.getLong(i).toDouble
+    case ShortType  => a.getShort(i).toDouble
+    case ByteType   => a.getByte(i).toDouble
+    case other => throw new IllegalStateException(s"unsupported element type $other")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    val (ta, tb) = (elemType(left), elemType(right))
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      sum += getAsDouble(a, i, ta) * getAsDouble(b, i, tb)
+      i += 1
+    }
+    sum
+  }
+
+  private def getter(t: DataType): String = t match {
+    case FloatType   => "getFloat"
+    case DoubleType  => "getDouble"
+    case IntegerType => "getInt"
+    case LongType    => "getLong"
+    case ShortType   => "getShort"
+    case ByteType    => "getByte"
+    case other => throw new IllegalStateException(s"unsupported element type $other")
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val (ga, gb) = (getter(elemType(left)), getter(elemType(right)))
+    val a = ctx.freshName("a"); val b = ctx.freshName("b")
+    val i = ctx.freshName("i"); val n = ctx.freshName("n")
+    val sum = ctx.freshName("sum"); val bad = ctx.freshName("bad")
+    val code =
+      code"""
+        ${leftGen.code}
+        ${rightGen.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${leftGen.isNull} && !${rightGen.isNull}) {
+          org.apache.spark.sql.catalyst.util.ArrayData $a = ${leftGen.value};
+          org.apache.spark.sql.catalyst.util.ArrayData $b = ${rightGen.value};
+          int $n = $a.numElements();
+          if ($n == $b.numElements()) {
+            boolean $bad = false;
+            double $sum = 0.0;
+            for (int $i = 0; $i < $n; $i++) {
+              if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+              $sum += ((double) $a.$ga($i)) * ((double) $b.$gb($i));
+            }
+            if (!$bad) { ${ev.isNull} = false; ${ev.value} = $sum; }
+          }
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpr {
+  import org.apache.spark.sql.GraftColumnBridge
+
+  /** Column API for [[DotProduct]]. */
+  def dotProduct(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProduct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}

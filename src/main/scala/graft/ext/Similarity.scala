@@ -24,14 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) via zip_with + aggregate, computed in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** dot(a, b) in double — a native codegen expression
+    * ([[graft.expr.DotProduct]]): same semantics as the
+    * `aggregate(zip_with(...))` HOF composition (ascending-index summation,
+    * null on length mismatch / null element) but a primitive loop inside
+    * whole-stage codegen instead of per-element interpreted lambdas.
+    */
+  def dot(a: Column, b: Column): Column = graft.expr.VectorExpr.dotProduct(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(org.apache.spark.sql.functions.transform(a,
-      x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
