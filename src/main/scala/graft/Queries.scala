@@ -428,6 +428,23 @@ object GraftQueries {
         .orderBy("doc_id", "cell")
     },
 
+    // extension: bucketized point-in-interval range join — equi-join on
+    // fixed-width buckets + residual BETWEEN, not a nested loop
+    "q_range_join" -> { (s, d) =>
+      val epoch = lit("1970-01-01").cast("date")
+      val iv = t(s, d)("orders").where(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"), epoch).cast("long").as("s_day"))
+        .withColumn("e_day", col("s_day") + col("o_orderkey") % 20)
+      val pts = t(s, d)("lineitem").where(col("l_orderkey") % 97 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate").cast("date"), epoch).cast("long").as("p_day"))
+      graft.ext.RangeJoin.pointInInterval(pts, iv, "p_day", "s_day", "e_day",
+        bucketWidth = 32)
+        .select("o_orderkey", "l_orderkey", "l_linenumber", "p_day")
+        .orderBy("o_orderkey", "l_orderkey", "l_linenumber")
+    },
+
     // extension: as-of (temporal) join — union + keyed forward-fill, no
     // range join; oracle is DuckDB's native ASOF JOIN
     "q_asof_join" -> { (s, d) =>
@@ -632,7 +649,7 @@ object GraftQueries {
     // §2.10 TraverseQuery: multi-seed 1-hop reachability
     "q_traverse_multiseed" -> { (s, d) =>
       val g = ingestCore(s, d)
-      val caps = QueryCaps.Hard.copy(defaultEdgeLimit = 1000000,
+      val caps = QueryCaps.Hard.copy(defaultEdgeLimit = Int.MaxValue,
         maxElements = 10000000, timeoutSeconds = 600)
       val reader = new GraphReader(TpchGraph.schema, g.vertex, k => g.edges.get(k), caps)
       val out = reader.traverseQuery(TraverseQuery(
@@ -1352,6 +1369,18 @@ object GraftQueries {
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH iv AS (SELECT o_orderkey,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s_day
+        |  FROM orders WHERE o_orderkey % 100 = 0),
+        |iv2 AS (SELECT o_orderkey, s_day, s_day + (o_orderkey % 20) AS e_day FROM iv),
+        |pts AS (SELECT l_orderkey, l_linenumber,
+        |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS p_day
+        |  FROM lineitem WHERE l_orderkey % 97 = 0)
+        |SELECT o_orderkey, l_orderkey, l_linenumber, p_day
+        |FROM pts JOIN iv2 ON p_day BETWEEN s_day AND e_day
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "q_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type,

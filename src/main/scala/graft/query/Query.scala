@@ -260,10 +260,14 @@ final class GraphReader(
           // persisted ONCE and both the edge set and the frontier derive
           // from it: two independent materializations of an unordered limit
           // could pick different subsets (dangling endpoints).
-          val joined = edf.join(
+          // GlobalLimit funnels through ONE partition — skip it entirely
+          // when the caller disabled the cap (huge sentinel), so uncapped
+          // traversals keep their parallelism.
+          val expanded = edf.join(
             broadcast(front.withColumnsRenamed(keys.map(k => k -> s"$fromPrefix$k").toMap)),
-            keys.map(k => s"$fromPrefix$k"), "inner"
-          ).limit(edgeLimit).persist(lvl)
+            keys.map(k => s"$fromPrefix$k"), "inner")
+          val joined = (if (edgeLimit >= Int.MaxValue / 2) expanded
+            else expanded.limit(edgeLimit)).persist(lvl)
           hopFrames += joined
           newEdges += e.key -> newEdges.get(e.key).map(_.unionByName(joined, true)).getOrElse(joined)
           val farIds = joined.select(idCols(toType).map(k => col(s"$toPrefix$k").as(k)): _*).distinct()
