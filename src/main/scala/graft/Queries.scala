@@ -986,7 +986,6 @@ object GraftQueries {
     "q_fuzzy_match" -> { (s, d) =>
       graft.infer.CrossResourceIdentity.fuzzyPairs(
         t(s, d)("nation"), "n_nationkey", "n_name", maxDist = 1)
-        .withColumnsRenamed(Map("id_a" -> "id_a", "id_b" -> "id_b"))
         .orderBy("id_a", "id_b")
     },
 

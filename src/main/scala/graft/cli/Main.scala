@@ -87,23 +87,28 @@ object Main {
       m: graft.manifest.GraphManifest, resource: String,
       dataDir: String): org.apache.spark.sql.DataFrame = {
     import graft.sources.FileSource
-    val binding = m.bindings.find(_.resource == resource)
-    binding.flatMap(_.path) match {
-      case Some(p) =>
-        val full = if (new java.io.File(p).isAbsolute) p else s"$dataDir/$p"
-        FileSource.read(spark, full, format = binding.flatMap(_.format))
-      case None if binding.exists(_.regex.isDefined) =>
-        // reference connector form: filename regex under sub_path
-        val b = binding.get
-        val dir = new java.io.File(b.subPath.map(sp => s"$dataDir/$sp").getOrElse(dataDir))
-        val re = b.regex.get.r
-        val matches = Option(dir.listFiles).getOrElse(Array.empty)
-          .filter(f => re.findFirstIn(f.getName).isDefined).sortBy(_.getName)
-        require(matches.nonEmpty,
-          s"no file under $dir matches binding regex '${b.regex.get}' for '$resource'")
-        matches.map(f => FileSource.read(spark, f.getPath, format = b.format))
-          .reduceLeft(_.unionByName(_, allowMissingColumns = true))
-      case None =>
+    // ALL bindings for the resource contribute (a manifest may bind several
+    // connectors to one resource); regex matching is a FULL-name match
+    val bindings = m.bindings.filter(_.resource == resource)
+    val frames = bindings.flatMap { b =>
+      b.path match {
+        case Some(p) =>
+          val full = if (new java.io.File(p).isAbsolute) p else s"$dataDir/$p"
+          Seq(FileSource.read(spark, full, format = b.format))
+        case None => b.regex.toSeq.flatMap { rx =>
+          val dir = new java.io.File(b.subPath.map(sp => s"$dataDir/$sp").getOrElse(dataDir))
+          val matches = Option(dir.listFiles).getOrElse(Array.empty)
+            .filter(_.getName.matches(rx)).sortBy(_.getName)
+          require(matches.nonEmpty,
+            s"no file under $dir matches binding regex '$rx' for '$resource'")
+          matches.map(f => FileSource.read(spark, f.getPath, format = b.format)).toSeq
+        }
+      }
+    }
+    frames match {
+      case fs if fs.nonEmpty =>
+        fs.reduceLeft(_.unionByName(_, allowMissingColumns = true))
+      case _ =>
         val exts = Seq("parquet", "csv", "tsv", "jsonl", "json",
           "csv.gz", "jsonl.gz", "json.gz")
         exts.map(e => s"$dataDir/$resource.$e")

@@ -412,11 +412,19 @@ object Evolution {
           // (the old-named collection stays on disk — migration skips
           // unknown collections with a warning, same as GraphMigration)
           val intoDefAfter = op(schema).vertex(into)
-          val frames = (sources :+ into).flatMap(store.readVertices)
+          val frames = (sources :+ into).flatMap(n =>
+            store.readVertices(n).map(df => n -> df))
           if (frames.nonEmpty) {
-            val unioned = frames.map(_.withColumn("_gen_m",
-              org.apache.spark.sql.functions.monotonically_increasing_id()))
-              .reduceLeft(_.unionByName(_, allowMissingColumns = true))
+            // cross-collection merge order must be COLLECTION order (later
+            // source beats earlier, 'into' wins overall) — a bare
+            // monotonically_increasing_id per frame interleaves partition
+            // ids across frames and picks winners nondeterministically, so
+            // the generation is (frame ordinal, row id) lexicographically
+            val unioned = frames.zipWithIndex.map { case ((_, df), idx) =>
+              df.withColumn("_gen_m", org.apache.spark.sql.functions.struct(
+                org.apache.spark.sql.functions.lit(idx.toLong).as("f"),
+                org.apache.spark.sql.functions.monotonically_increasing_id().as("r")))
+            }.reduceLeft(_.unionByName(_, allowMissingColumns = true))
             store.overwriteVertices(into,
               graft.pipeline.MergeOps.mergeDocBasis(unioned,
                 intoDefAfter.idColumns, "_gen_m"))

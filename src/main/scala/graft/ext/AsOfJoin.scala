@@ -37,6 +37,10 @@ object AsOfJoin {
     val rightPayload = right.columns.filterNot(c => keyCols.contains(c) || c == rightTs)
     require(rightPayload.intersect(left.columns).isEmpty,
       s"right payload columns collide with left: ${rightPayload.intersect(left.columns).mkString(",")}")
+    val reserved = Seq("_ts", "_side", "_rts") ++ rightPayload.map(c => s"__f_$c")
+    val clash = (left.columns ++ right.columns).distinct.intersect(reserved)
+    require(clash.isEmpty,
+      s"inputs must not contain the reserved working columns: ${clash.mkString(",")}")
 
     // _side: right = 0 sorts before left = 1 at equal ts (equal-ts rows match)
     val l = left.withColumn("_ts", col(leftTs)).withColumn("_side", lit(1))

@@ -23,6 +23,16 @@ object RangeJoin {
     * `endCol`, inclusive ends): all pairs with start <= pt <= end, matching
     * on `extraKeys` first when given.
     */
+  /** Exact floor division in LONG arithmetic — a double cast mis-buckets
+    * values above 2^53 (epoch-nanos territory), silently losing matches at
+    * bucket boundaries. `pmod` gives the floor remainder for negatives; the
+    * subtraction makes the numerator an exact multiple, and decimal division
+    * keeps the quotient exact at any long magnitude.
+    */
+  private def floorDiv(c: org.apache.spark.sql.Column, w: Long) =
+    ((c.cast("decimal(38,0)") - pmod(c.cast("decimal(38,0)"), lit(w))) / lit(w))
+      .cast("bigint")
+
   def pointInInterval(
       points: DataFrame,
       intervals: DataFrame,
@@ -33,11 +43,13 @@ object RangeJoin {
       extraKeys: Seq[String] = Nil
   ): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val p = points.withColumn("__bucket",
-      floor(col(ptCol).cast("double") / bucketWidth).cast("bigint"))
-    val iv = intervals.withColumn("__bucket", explode(sequence(
-      floor(col(startCol).cast("double") / bucketWidth).cast("bigint"),
-      floor(col(endCol).cast("double") / bucketWidth).cast("bigint"))))
+    val p = points.withColumn("__bucket", floorDiv(col(ptCol), bucketWidth))
+    val iv = intervals
+      // end < start is an empty interval under BETWEEN — drop it here, or
+      // sequence(hi, lo) would generate a DESCENDING bucket list (fan-out)
+      .where(col(startCol) <= col(endCol))
+      .withColumn("__bucket", explode(sequence(
+        floorDiv(col(startCol), bucketWidth), floorDiv(col(endCol), bucketWidth))))
     p.join(iv, Seq("__bucket") ++ extraKeys)
       .where(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop("__bucket")

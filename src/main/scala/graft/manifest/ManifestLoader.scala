@@ -213,10 +213,11 @@ object ManifestLoader {
       extractionScope =
         if (s.path("mapped_only").asBoolean(false)) "mapped_only"
         else s.path("extraction_scope").asText("full"),
-      filters = Option(s.get("filters")).filterNot(_.isNull).map { n =>
-        val fs = n.elements().asScala.map(x => FilterExpr.parse(toScala(x))).toSeq
-        if (fs.size == 1) fs.head else FilterExpr.And(fs)
-      },
+      filters = Option(s.get("filters"))
+        .filter(n => n.isArray && n.size() > 0).map { n =>
+          val fs = n.elements().asScala.map(x => FilterExpr.parse(toScala(x))).toSeq
+          if (fs.size == 1) fs.head else FilterExpr.And(fs)
+        },
       role = text(s, "role"),
       lookupOnly = s.path("lookup_only").asBoolean(false))
 

@@ -158,6 +158,7 @@ final class GraphReader(
   /** Multi-seed reachability (reference TraverseQuery, db/conn.py:791-830). */
   def traverseQuery(q: TraverseQuery): GraphOutput = {
     require(q.seeds.size <= caps.maxSeeds, s"seeds exceed cap ${caps.maxSeeds}")
+    if (q.seeds.isEmpty) return GraphOutput.empty
     val seeds = q.seeds.map { case (t, f) => t -> vertexDf(t).where(FilterExpr.compile(f)) }
     withTimeout(seeds.head._2.sparkSession) {
       val (out, hopFrames) = traverse(seeds, caps.narrowHops(q.hops), q.direction,

@@ -25,6 +25,10 @@ object SparqlSource {
       pageSize: Int = 1000,
       maxPages: Int = 10000
   ): Seq[String] = {
+    // pagination appends its own solution modifiers — a caller-supplied
+    // LIMIT/OFFSET would produce invalid SPARQL on the first page
+    require(!"(?i)\\b(LIMIT|OFFSET)\\s+\\d+\\s*$".r.findFirstIn(query.trim).isDefined,
+      "query must not end with its own LIMIT/OFFSET; pagination adds them")
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var page = 0
     var done = false

@@ -18,4 +18,14 @@ object SparkSpec {
 
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
+
+  /** Recursive delete of a test scratch dir; returns the path. */
+  def freshDir(path: String): String = {
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(del))
+      f.delete(): Unit
+    }
+    del(new java.io.File(path))
+    path
+  }
 }

@@ -59,11 +59,7 @@ class Evolution2Spec extends SparkSpec {
 
   test("migrateStore merges collections and moves incident edge data") {
     import spark.implicits._
-    val root = "target/evolve2-merge"
-    def del(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
-    }
-    del(new java.io.File(root))
+    val root = freshDir("target/evolve2-merge")
     val store = new GraphStore(root, base, spark)
     store.upsertVertices("person", Seq((1L, "ann")).toDF("pid", "name"))
     store.upsertVertices("robot", Seq((2L, "r2", "mk1")).toDF("pid", "name", "model"))
@@ -154,11 +150,7 @@ class Evolution2Spec extends SparkSpec {
 
   test("edge-property ops: add/rename/remove with store rewrites; directedness") {
     import spark.implicits._
-    val root = "target/evolve2-edgeprops"
-    def del(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
-    }
-    del(new java.io.File(root))
+    val root = freshDir("target/evolve2-edgeprops")
     val key = EdgeKey("person", "city", "lives_in")
     val s1 = Evolution(base, Seq(
       AddEdgeProperty(key, FieldDef("since")),

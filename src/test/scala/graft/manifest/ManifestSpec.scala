@@ -319,12 +319,8 @@ class ManifestSpec extends SparkSpec {
     // golden sizes (reference example's figs) hold AFTER the store upsert
     // merges the two resources' person observations on identity:
     // 3 people, 3 departments, 3 works_in edges
-    val storeDir = new java.io.File(dir, "store")
-    def del(x: java.io.File): Unit = {
-      if (x.isDirectory) Option(x.listFiles).foreach(_.foreach(del)); x.delete(): Unit
-    }
-    del(storeDir)
-    val store = new GraphStore(storeDir.getPath, m.schema, spark)
+    val store = new GraphStore(freshDir(new java.io.File(dir, "store").getPath),
+      m.schema, spark)
     store.write(g)
     assert(store.vertices("person").count() == 3)
     assert(store.vertices("department").count() == 3)
@@ -375,12 +371,8 @@ class ManifestSpec extends SparkSpec {
     val m = ManifestLoader.load(mf.getPath)
     val input = graft.cli.Main.resolveInput(spark, m, "people", dir.getPath)
     val out = PipelineCompiler.compile(m.schema, m.resource("people"), input)
-    val storeDir = new java.io.File(dir, "store")
-    def del(x: java.io.File): Unit = {
-      if (x.isDirectory) Option(x.listFiles).foreach(_.foreach(del)); x.delete(): Unit
-    }
-    del(storeDir)
-    val store = new GraphStore(storeDir.getPath, m.schema, spark)
+    val store = new GraphStore(freshDir(new java.io.File(dir, "store").getPath),
+      m.schema, spark)
     store.write(out)
     assert(store.vertices("person").count() == 3)
     assert(store.vertices("city").count() == 2)

@@ -9,11 +9,7 @@ class BackendWriterSpec extends SparkSpec {
 
   test("writeAll produces the chunked gzip-JSONL layout readAll consumes") {
     import spark.implicits._
-    val root = "target/backend-writer-spec"
-    def del(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
-    }
-    del(new java.io.File(root))
+    val root = freshDir("target/backend-writer-spec")
     val g = GraphOutput(
       vertices = Map("person" -> Seq((1L, "ann"), (2L, "bob")).toDF("pid", "name")),
       edges = Map(EdgeKey("person", "person", "knows") ->

@@ -9,13 +9,7 @@ import graft.pipeline._
   */
 class EnrichSpec extends SparkSpec {
 
-  private def tmpRoot(tag: String) = {
-    val f = new java.io.File(s"target/enrich-spec-$tag")
-    def del(x: java.io.File): Unit = {
-      if (x.isDirectory) Option(x.listFiles).foreach(_.foreach(del)); x.delete(): Unit
-    }
-    del(f); f.getPath
-  }
+  private def tmpRoot(tag: String) = freshDir(s"target/enrich-spec-$tag")
 
   test("write() merges stored vertex fields into edge weights (vertex@field)") {
     import spark.implicits._

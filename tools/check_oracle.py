@@ -15,6 +15,10 @@ for tbl in ["region", "nation", "customer", "supplier", "part", "orders",
     con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+unknown = only - set(oracle)
+if unknown:
+    print(f"FAIL unknown query names (not in oracle_sql.json): {sorted(unknown)}")
+    sys.exit(2)
 fails = []
 for name, sql in sorted(oracle.items()):
     if only and name not in only:
