@@ -512,6 +512,16 @@ object GraftQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // extension: dedup clusters — connected components over MinHash-LSH
+    // near-dup pairs (min id per component = the canonical survivor)
+    "q_dedup_clusters" -> { (s, d) =>
+      val docs = t(s, d)("documents").where(col("doc_id") < 200)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 4, minSim = 0.2)
+      Dedup.connectedComponents(docs, "doc_id", pairs, "id_a", "id_b")
+        .orderBy("doc_id")
+    },
+
     // extension: embedding-cosine near-dup pairs (exact on a bounded set)
     "q_cosine_neardup" -> { (s, d) =>
       Similarity.cosineNearDups(t(s, d)("embeddings").where(col("vec_id") < 300),
@@ -1455,6 +1465,42 @@ object GraftQueries {
         |  round(c::DOUBLE / (sa.sz + sb.sz - c), 4) AS jaccard
         |FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
         |WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.2 ORDER BY 1, 2""".stripMargin,
+
+    // same candidate chain as q_minhash_lsh, then a recursive reachability
+    // closure: component = min reachable doc id
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE sel AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text),'\s+',' ','g')) AS nt
+        |  FROM documents WHERE doc_id < 200),
+        |tok AS (SELECT doc_id, string_split(nt, ' ') AS t FROM sel),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) u
+        |  WHERE len(t) >= 3),
+        |seeded AS (SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || shingle) AS h
+        |  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) seeds),
+        |mh AS (SELECT doc_id, seed, min(h) AS minhash FROM seeded GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, seed // 4 AS band,
+        |  md5(string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || minhash, '|'
+        |    ORDER BY lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || minhash)) AS bsig
+        |  FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bs a JOIN bs b ON a.band = b.band AND a.bsig = b.bsig
+        |    AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT c.id_a, c.id_b, count(*) AS c FROM cand c
+        |  JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+        |    AND a.shingle = b.shingle
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT i.id_a, i.id_b
+        |  FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
+        |  JOIN sz sb ON sb.doc_id = i.id_b
+        |  WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.2),
+        |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |r AS (SELECT doc_id, doc_id AS reach FROM sel
+        |  UNION SELECT r.doc_id, e.b FROM r JOIN e ON r.reach = e.a)
+        |SELECT doc_id, min(reach) AS component FROM r GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q_cosine_neardup" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),

@@ -218,6 +218,57 @@ object Dedup {
     * (pigeonhole-complete), candidates verified with the true Hamming
     * distance. Fully replicable in the DuckDB oracle.
     */
+  /** Connected components over a near-dup pair list — the dedup-cluster
+    * step every pipeline runs AFTER candidate generation (pairs → clusters
+    * → one canonical survivor per cluster). Hash-min label propagation:
+    * every node starts as its own label; each round every node adopts the
+    * minimum label in its neighborhood; converged when a round changes
+    * nothing. Rounds needed ≈ component diameter — near-dup components are
+    * shallow (dozens of docs), so a handful of keyed joins; each round is
+    * one shuffle on the node id, no driver data paths (only the per-round
+    * convergence count).
+    *
+    * Returns (idCol, component) for every node in `nodes`; singletons keep
+    * their own id as the component (= the canonical survivor id, since
+    * labels propagate the MINIMUM id).
+    */
+  def connectedComponents(
+      nodes: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20
+  ): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // undirected: both directions once, reused every round
+    val edges = pairs.select(col(aCol).as("_src"), col(bCol).as("_dst"))
+      .unionByName(pairs.select(col(bCol).as("_src"), col(aCol).as("_dst")))
+      .distinct().persist(lvl)
+    // each round's frame is localCheckpoint'ed (eager): without lineage
+    // truncation the logical plan nests one join deeper per round and
+    // re-analysis blows up long before the data does
+    var labels = nodes.select(col(idCol).as("_id"))
+      .distinct().withColumn("component", col("_id")).localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnsRenamed(Map("_id" -> "_src")), Seq("_src"))
+        .groupBy(col("_dst").as("_id"))
+        .agg(min(col("component")).as("_nmin"))
+      val next = labels.join(neighborMin, Seq("_id"), "left")
+        .select(col("_id"),
+          least(col("component"), coalesce(col("_nmin"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "_prev"), Seq("_id"))
+        .where(col("component") =!= col("_prev")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("_id", idCol)
+  }
+
   def simhashMd5NearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
     val n = SimhashMd5Bits
