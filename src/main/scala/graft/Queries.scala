@@ -321,7 +321,10 @@ object GraftQueries {
     // §2.10 BFS traversal: 2-hop neighborhood, ANY direction
     "q_traverse_2hop" -> { (s, d) =>
       val g = ingestCore(s, d)
-      val reader = new GraphReader(TpchGraph.schema, g.vertex, k => g.edges.get(k))
+      // generous wall budget: the 30 s default cap is semantics under test
+      // in TimeoutSpec; a loaded bench machine must not flake the battery
+      val caps = QueryCaps.Hard.copy(timeoutSeconds = 600)
+      val reader = new GraphReader(TpchGraph.schema, g.vertex, k => g.edges.get(k), caps)
       val out = reader.neighbors(NeighborQuery("nation", FilterExpr.eq("n_nationkey", 0), hops = 2))
       out.vertices.toSeq.sortBy(_._1).map { case (n, df) =>
         df.agg(count(lit(1)).as("cnt")).withColumn("vtype", lit(n))

@@ -164,13 +164,24 @@ object EvolutionOp {
           secondary = (acc.secondary ++ sv.secondary).distinctBy(_.name)))
       val gone = sources.toSet
       def ren(n: String) = if (gone(n)) into else n
-      val edges = s.edges.map(e => e.copy(source = ren(e.source), target = ren(e.target)))
-      s.edges.zip(edges).foreach { case (was, now) =>
+      val edges0 = s.edges.map(e => e.copy(source = ren(e.source), target = ren(e.target)))
+      s.edges.zip(edges0).foreach { case (was, now) =>
         if (!allowSelfRelations && now.source == into && now.target == into &&
           was.source != was.target)
           throw new IllegalArgumentException(
             s"merge_vertices: edge ${was.key} becomes a self-relation on '$into' " +
               "(set allowSelfRelations to accept)")
+      }
+      // distinct edge defs may collapse onto one key after the rename;
+      // identical defs dedupe, CONFLICTING defs raise (edgeByKey would
+      // silently keep one and lose the other's identities/properties)
+      val edges = edges0.groupBy(_.key).toSeq.sortBy(_._1.storeName).map {
+        case (_, defs) =>
+          val distinctDefs = defs.distinct
+          if (distinctDefs.size > 1) throw new IllegalArgumentException(
+            s"merge_vertices: edges ${distinctDefs.map(_.key).head} collapse onto one " +
+              "key with conflicting definitions (identities/properties differ)")
+          distinctDefs.head
       }
       s.copy(
         vertices = s.vertices.filterNot(v => gone(v.name))
@@ -349,7 +360,8 @@ object Evolution {
       case AddSecondaryIdentity(vx, s)  => Some(RemoveSecondaryIdentity(vx, s.name))
       case AddEdgeProperty(k, f)        => Some(RemoveEdgeProperty(k, f.name))
       case RenameEdgeProperty(k, a, b)  => Some(RenameEdgeProperty(k, b, a))
-      case SetEdgeDirected(k, d)        => Some(SetEdgeDirected(k, !d))
+      // SetEdgeDirected does not record the PRIOR value, so a blind flip is
+      // wrong when the op was a no-op — not invertible
       case _                            => None
     }
   }

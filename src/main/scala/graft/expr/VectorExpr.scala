@@ -43,6 +43,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     case LongType   => a.getLong(i).toDouble
     case ShortType  => a.getShort(i).toDouble
     case ByteType   => a.getByte(i).toDouble
+    case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
     case other => throw new IllegalStateException(s"unsupported element type $other")
   }
 
@@ -61,23 +62,26 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     sum
   }
 
-  private def getter(t: DataType): String = t match {
-    case FloatType   => "getFloat"
-    case DoubleType  => "getDouble"
-    case IntegerType => "getInt"
-    case LongType    => "getLong"
-    case ShortType   => "getShort"
-    case ByteType    => "getByte"
+  /** Java source for reading element `i` of array `v` as a double. */
+  private def getterSrc(v: String, i: String, t: DataType): String = t match {
+    case FloatType   => s"((double) $v.getFloat($i))"
+    case DoubleType  => s"$v.getDouble($i)"
+    case IntegerType => s"((double) $v.getInt($i))"
+    case LongType    => s"((double) $v.getLong($i))"
+    case ShortType   => s"((double) $v.getShort($i))"
+    case ByteType    => s"((double) $v.getByte($i))"
+    case d: DecimalType =>
+      s"$v.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
     case other => throw new IllegalStateException(s"unsupported element type $other")
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val leftGen = left.genCode(ctx)
     val rightGen = right.genCode(ctx)
-    val (ga, gb) = (getter(elemType(left)), getter(elemType(right)))
     val a = ctx.freshName("a"); val b = ctx.freshName("b")
     val i = ctx.freshName("i"); val n = ctx.freshName("n")
     val sum = ctx.freshName("sum"); val bad = ctx.freshName("bad")
+    val (ga, gb) = (getterSrc(a, i, elemType(left)), getterSrc(b, i, elemType(right)))
     val code =
       code"""
         ${leftGen.code}
@@ -93,7 +97,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
             double $sum = 0.0;
             for (int $i = 0; $i < $n; $i++) {
               if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
-              $sum += ((double) $a.$ga($i)) * ((double) $b.$gb($i));
+              $sum += $ga * $gb;
             }
             if (!$bad) { ${ev.isNull} = false; ${ev.value} = $sum; }
           }

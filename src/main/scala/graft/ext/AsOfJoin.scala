@@ -45,8 +45,14 @@ object AsOfJoin {
     // _side: right = 0 sorts before left = 1 at equal ts (equal-ts rows match)
     val l = left.withColumn("_ts", col(leftTs)).withColumn("_side", lit(1))
       .withColumn("_rts", lit(null).cast("long"))
-    val r = right.select((keyCols.map(col) :+ col(rightTs).as("_ts")) ++
-      rightPayload.map(col): _*)
+    // equi-join semantics: NULL keys never match — but a window PARTITION BY
+    // groups nulls together, so null-keyed right rows must be dropped here
+    // (null-keyed left rows then sit in their own partition → null payload)
+    val rightNonNullKeys = keyCols.map(col(_).isNotNull)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val r = right.where(rightNonNullKeys)
+      .select((keyCols.map(col) :+ col(rightTs).as("_ts")) ++
+        rightPayload.map(col): _*)
       .withColumn("_side", lit(0))
       .withColumn("_rts", col("_ts").cast("long"))
     val unioned = l.unionByName(r, allowMissingColumns = true)

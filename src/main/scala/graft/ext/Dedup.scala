@@ -266,6 +266,11 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    // silent partial propagation would split clusters (duplicate canonical
+    // survivors) — fail loudly instead; hash-min needs ~diameter rounds
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds — " +
+        "a component's diameter exceeds the budget; raise maxIter")
     labels.withColumnRenamed("_id", idCol)
   }
 

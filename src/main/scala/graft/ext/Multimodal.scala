@@ -26,8 +26,11 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Decoded raster: row-major RGB, 3 bytes per pixel. */
-  final case class Raster(width: Int, height: Int, rgb: Array[Byte])
+  /** Decoded raster: row-major RGB, 3 bytes per pixel; `maxValue` is the
+    * per-channel full-scale value (PPM maxval; 255 for BMP).
+    */
+  final case class Raster(width: Int, height: Int, rgb: Array[Byte],
+      maxValue: Int = 255)
 
   /** PPM binary (P6) decode: `P6 <ws> w <ws> h <ws> maxval <single-ws>` then
     * raw RGB triplets. Pure byte parsing — no codec dependency.
@@ -56,7 +59,7 @@ object Multimodal {
     if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
     val need = w * h * 3
     if (bytes.length - i < need) return None
-    Some(Raster(w, h, java.util.Arrays.copyOfRange(bytes, i, i + need)))
+    Some(Raster(w, h, java.util.Arrays.copyOfRange(bytes, i, i + need), maxv))
   }
 
   /** BMP (BITMAPINFOHEADER, 24 bpp, uncompressed) decode: bottom-up BGR rows
@@ -111,7 +114,7 @@ object Multimodal {
         val cx = math.min(x * grid / r.width, grid - 1)
         val p = (y * r.width + x) * 3
         val luma = (0.299 * (r.rgb(p) & 0xff) + 0.587 * (r.rgb(p + 1) & 0xff) +
-          0.114 * (r.rgb(p + 2) & 0xff)) / 255.0
+          0.114 * (r.rgb(p + 2) & 0xff)) / r.maxValue
         val c = cy * grid + cx
         sums(c) += luma; counts(c) += 1
         x += 1

@@ -317,9 +317,14 @@ object PipelineCompiler {
       .getOrElse(TransformRegistry.unary(t.fn))
     // value keeps the fn's result type (the reference's dressed dict holds
     // the raw Python value) — a string cast would break numeric filters on
-    // the dressed vertex; branches with different types union-coerce later
+    // the dressed vertex. Only a MULTI-input step must unify its pair
+    // structs to one type (array() has no cross-type coercion for e.g.
+    // timestamp+double): those fall back to string, like the reference's
+    // untyped dicts.
+    val valueOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (t.input.size > 1) c => fn(c).cast("string") else fn
     val pairs = t.input.zipWithIndex.map { case (f, i) =>
-      struct(lit(i.toLong).as("p"), lit(f).as("k"), fn(col(f)).as("v"))
+      struct(lit(i.toLong).as("p"), lit(f).as("k"), valueOf(col(f)).as("v"))
     }
     val child = frame.select(MetaCols.map(col) :+ explode(array(pairs: _*)).as("__kv"): _*)
       .withColumn(PosCol, concat(col(PosCol), array(col("__kv.p"))))
@@ -370,11 +375,15 @@ object PipelineCompiler {
     */
   private def vertexStep(v: VertexStep, frame: DataFrame, loc: Loc, ctx: Ctx): Unit = {
     val vdef0 = ctx.schema.vertex(v.vertex)
+    // identity source columns, or — for blank/assigned identities, which
+    // need no columns — the declared property sources (else a dressed
+    // blank-identity vertex would silently mint field-less rows off the
+    // parent frame instead of consuming its dress branch)
     val neededIds: Seq[String] = (vdef0.identity match {
       case Identity.Natural(fs) => fs
       case Identity.Hash(fs)    => fs
       case Identity.Funnel(bs, _) => bs.flatMap(_.whenAllPresent).distinct
-      case _                    => Nil
+      case _                    => vdef0.properties.map(_.name)
     }).map(f => v.from.getOrElse(f, f))
     if (neededIds.nonEmpty && !neededIds.forall(frame.columns.contains)) {
       val branches = ctx.dressBranches.toSeq

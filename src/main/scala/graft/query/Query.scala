@@ -40,7 +40,8 @@ object QueryCaps { val Hard = QueryCaps() }
 /** A read query exceeded `QueryCaps.timeoutSeconds` and its Spark jobs were
   * cancelled (the reference raises on the DB driver's timeout instead).
   */
-final class QueryTimeoutException(msg: String) extends RuntimeException(msg)
+final class QueryTimeoutException(msg: String, cause: Throwable = null)
+  extends RuntimeException(msg, cause)
 
 /** Typed read-queries (reference graflo/architecture/query/models.py:31-283). */
 final case class NodeQuery(
@@ -181,14 +182,25 @@ final class GraphReader(
     sc.setJobGroup(group, "graft read query (capped)", interruptOnCancel = true)
     val timer = new java.util.Timer("graft-query-timeout", true)
     @volatile var fired = false
+    // cancelJobGroup only kills jobs LIVE at fire time; a multi-job query
+    // can be between jobs when the timer fires. Re-firing every second
+    // keeps cancelling whatever the group submits next, and the post-hoc
+    // check below enforces the cap even if a final job slipped through.
     timer.schedule(new java.util.TimerTask {
       def run(): Unit = { fired = true; sc.cancelJobGroup(group) }
-    }, caps.timeoutSeconds * 1000L)
-    try body
-    catch {
+    }, caps.timeoutSeconds * 1000L, 1000L)
+    try {
+      val result = body
+      if (fired) throw new QueryTimeoutException(
+        s"query exceeded ${caps.timeoutSeconds}s cap")
+      result
+    } catch {
+      case t: QueryTimeoutException => throw t
       case e: Throwable if fired =>
+        // ambiguous: the failure may be the cancellation or an unrelated
+        // error surfacing after the deadline — keep the original as cause
         throw new QueryTimeoutException(
-          s"query exceeded ${caps.timeoutSeconds}s cap; jobs cancelled (${e.getMessage})")
+          s"query exceeded ${caps.timeoutSeconds}s cap; jobs cancelled", e)
     } finally { timer.cancel(); sc.clearJobGroup() }
   }
 
