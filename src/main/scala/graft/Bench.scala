@@ -31,20 +31,38 @@ object Bench {
     val tFix0 = System.nanoTime()
     GraftQueries.prewarmFixtures(spark, sfDir)
     val fixturesSec = (System.nanoTime() - tFix0) / 1e9
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b limits the run (local profiling loop)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def qJson(rs: Iterable[(String, Double)]) =
+      rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"fixtures_sec":$fixturesSec,"sf":"$sfDir"}"""
+    // full per-query detail goes to the results file …
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qJson(results)},"fixtures_sec":${fmt(fixturesSec)},"n_queries":${results.size},"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
-    try Files.writeString(Paths.get(outPath), line + "\n")
+    try Files.writeString(Paths.get(outPath), fullLine + "\n")
     catch { case _: Throwable => () }
-    println(line)
+    // … while the stdout line keeps only the slowest queries: the driver
+    // captures a bounded tail of the process output and a full 84-query map
+    // (~2.5 KB) overflows it — round 2's line was truncated and unparseable.
+    val top = results.toSeq.sortBy(-_._2).take(20)
+    val stdoutLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qJson(top)},"fixtures_sec":${fmt(fixturesSec)},"n_queries":${results.size},"full":"$outPath","sf":"$sfDir"}"""
+    // full line first (a full-stdout parser gets every query), compact line
+    // LAST so a bounded tail capture always contains one complete JSON line
+    println(fullLine)
+    println(stdoutLine)
     spark.stop()
   }
 }

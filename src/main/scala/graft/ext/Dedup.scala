@@ -289,9 +289,12 @@ object Dedup {
     val hamming = aggregate(sequence(lit(1), lit(n)), lit(0L), (acc, i) =>
       acc + when(col("sig_a").substr(i.cast("int"), lit(1)) =!=
         col("sig_b").substr(i.cast("int"), lit(1)), 1L).otherwise(0L))
+    // dedup candidate pairs BEFORE the n-term interpreted hamming aggregate:
+    // a pair agreeing on several bands would otherwise pay it per band
     l.join(r, Seq("band", "bandval")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
       .distinct()
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 }

@@ -213,9 +213,15 @@ object Similarity {
     */
   private[graft] def nearestCells(nv: Column, centroids: Array[Array[Double]],
       nprobe: Int): Column = {
+    // ‖nv − c‖² = ‖nv‖² + ‖c‖² − 2·nv·c: the dot products are the native
+    // codegen kernel and ‖c‖² is a Scala constant — the naive
+    // aggregate(zip_with(...)) form runs its lambdas interpreted per
+    // element, nlist × dim times per row (the dominant cost of the whole
+    // IVF path when measured)
+    val nvSq = dot(nv, nv)
     val cells = centroids.zipWithIndex.map { case (c, i) =>
-      val d = aggregate(zip_with(nv, lit(c), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (a, x) => a + x)
+      val cSq = c.map(x => x * x).sum
+      val d = nvSq + lit(cSq) - lit(2.0) * dot(nv, lit(c))
       struct(d.as("d"), lit(i).as("cell"))
     }
     slice(sort_array(array(cells: _*)), 1, nprobe).getField("cell")

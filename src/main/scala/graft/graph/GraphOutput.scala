@@ -50,6 +50,21 @@ final case class GraphOutput(
     vertices.map { case (k, v) => k -> v.count() } ++
       edges.map { case (k, e) => k.storeName -> e.count() }
 
+  /** Materialize every collection in ONE Spark job: a union of 1-row
+    * projections. One count per collection (as [[sizes]] does) serializes a
+    * job per collection; a single union lets the independent collection
+    * plans run their stages concurrently across the executor cores, and
+    * populates every [[cache]]d collection in one pass. Returns the total
+    * element count. Safe only when shared sub-plans are either persisted
+    * already (the compiler eagerly persists order-unstable bases) or cheap
+    * to recompute (parquet scans) — racing branches would otherwise
+    * duplicate heavy shared work.
+    */
+  def materialize(): Long =
+    (vertices.values ++ edges.values)
+      .map(_.select(org.apache.spark.sql.functions.lit(1).as("one")))
+      .reduceOption(_ union _).map(_.count()).getOrElse(0L)
+
   /** Persist every collection — for read paths that touch the same derived
     * DataFrames repeatedly (BFS hops, multi-query readers). Lazy: storage
     * fills on first action per collection.

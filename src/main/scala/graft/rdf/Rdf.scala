@@ -95,6 +95,93 @@ object Rdf {
   def readTurtle(spark: SparkSession, path: String): DataFrame =
     parseTurtle(spark.read.text(path))
 
+  /** Minimal RDF/XML parser (reference rdf.py:42-48 maps `.rdf`/`.xml` →
+    * rdflib's "xml" parser). RDF/XML is not line-splittable, so files are
+    * parsed WHOLE with the JDK's namespace-aware DOM — distributed one file
+    * per task over a `binaryFile` scan: at scale the parallelism unit is the
+    * file, which is how RDF/XML corpora ship (many export files).
+    *
+    * Subset covered: node elements (`rdf:Description` or typed — the type
+    * QName becomes an `rdf:type` triple), `rdf:about` / `rdf:ID` /
+    * `rdf:nodeID` subjects, property elements carrying `rdf:resource` /
+    * `rdf:nodeID` refs, nested node elements, `rdf:parseType="Resource"`,
+    * and text literals (`rdf:datatype` / `xml:lang` stripped — the same
+    * normalization as [[parseNTriples]]). DTDs are refused (untrusted
+    * input; also keeps the parse entity-expansion-safe).
+    */
+  def parseRdfXmlBytes(bytes: Array[Byte], fileTag: String): Seq[(String, String, String, Boolean)] = {
+    val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(true)
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    val doc = dbf.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(bytes))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Boolean)]
+    var blankCounter = 0
+    def freshBlank(): String = { blankCounter += 1; s"_:$fileTag-b$blankCounter" }
+    def attr(e: org.w3c.dom.Element, local: String): Option[String] =
+      Option(e.getAttributeNodeNS(RdfNs, local)).map(_.getValue)
+    def ns(e: org.w3c.dom.Element): String = Option(e.getNamespaceURI).getOrElse("")
+    def childElems(e: org.w3c.dom.Element): Seq[org.w3c.dom.Element] = {
+      val nl = e.getChildNodes
+      (0 until nl.getLength).map(nl.item).collect { case el: org.w3c.dom.Element => el }
+    }
+    def nodeElem(e: org.w3c.dom.Element): String = {
+      val subj = attr(e, "about")
+        .orElse(attr(e, "ID").map("#" + _))
+        .orElse(attr(e, "nodeID").map("_:" + _))
+        .getOrElse(freshBlank())
+      val qn = ns(e) + e.getLocalName
+      if (qn != RdfNs + "Description") out += ((subj, RdfType, qn, false))
+      childElems(e).foreach(p => propElem(subj, p))
+      subj
+    }
+    def propElem(subj: String, p: org.w3c.dom.Element): Unit = {
+      val pred = ns(p) + p.getLocalName
+      (attr(p, "resource"), attr(p, "nodeID"), attr(p, "parseType")) match {
+        case (Some(r), _, _) => out += ((subj, pred, r, false))
+        case (_, Some(b), _) => out += ((subj, pred, "_:" + b, false))
+        case (_, _, Some("Resource")) =>
+          val b = freshBlank()
+          out += ((subj, pred, b, false))
+          childElems(p).foreach(pp => propElem(b, pp))
+        case _ =>
+          val kids = childElems(p)
+          if (kids.nonEmpty) kids.foreach(k => out += ((subj, pred, nodeElem(k), false)))
+          else out += ((subj, pred, p.getTextContent, true))
+      }
+    }
+    val root = doc.getDocumentElement
+    if (ns(root) == RdfNs && root.getLocalName == "RDF")
+      childElems(root).foreach(nodeElem)
+    else { nodeElem(root); () }
+    out.toSeq
+  }
+
+  def readRdfXml(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (p, bytes) =>
+        parseRdfXmlBytes(bytes, p.split("/").last)
+      }).toDF("s", "p", "o", "isLiteral")
+  }
+
+  /** Extension dispatch mirroring the reference's `_EXT_FORMAT`
+    * (rdf.py:42-48): `.nt` → N-Triples, `.ttl`/`.n3` → Turtle (the
+    * line-oriented Turtle subset covers the N3 triple syntax the reference's
+    * fixtures use), `.rdf`/`.xml` → RDF/XML.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
+    ext match {
+      case "nt"          => readNTriples(spark, path)
+      case "ttl" | "n3"  => readTurtle(spark, path)
+      case "rdf" | "xml" => readRdfXml(spark, path)
+      case other => throw new IllegalArgumentException(
+        s"cannot determine RDF format for extension '.$other' (known: nt, ttl, n3, rdf, xml)")
+    }
+  }
+
   /** Group triples per subject into documents (reference rdf.py: triples
     * grouped per subject into docs): one row per subject with a
     * predicate→values map. Local names (fragment after #/ last /) are used
