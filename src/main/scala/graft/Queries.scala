@@ -532,6 +532,19 @@ object GraftQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // extension: PII redaction (emails/URLs/IPs/phones → typed tokens);
+    // deterministic PII is synthesized per doc so the scrub is exercised,
+    // and the oracle replays the same synthesis + RE2-compatible patterns
+    "q_redact_pii" -> { (s, d) =>
+      val dirty = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or http://ex.org/d/"),
+        col("doc_id"), lit(" at 10.0."), col("doc_id") % 256,
+        lit(".7 phone +1 (555) 000-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      t(s, d)("documents")
+        .select(col("doc_id"), TextAnalysis.redactPii(dirty).as("redacted"))
+        .orderBy("doc_id")
+    },
+
     // extension: quality scoring composite
     "q_quality_score" -> { (s, d) =>
       t(s, d)("documents").select(col("doc_id"),
@@ -1560,6 +1573,21 @@ object GraftQueries {
         |    AS cos
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.38 ORDER BY 1, 2""".stripMargin,
+
+    "q_redact_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |   regexp_replace(
+        |    regexp_replace(
+        |     regexp_replace(
+        |       text || ' contact user' || doc_id || '@example.com or http://ex.org/d/'
+        |         || doc_id || ' at 10.0.' || (doc_id % 256) || '.7 phone +1 (555) 000-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |     'https?://[^\s]+', '<URL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |   '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_quality_score" ->
       """WITH tok AS (SELECT doc_id, text,

@@ -254,14 +254,16 @@ object Dedup {
         .join(labels.withColumnsRenamed(Map("_id" -> "_src")), Seq("_src"))
         .groupBy(col("_dst").as("_id"))
         .agg(min(col("component")).as("_nmin"))
+      // carry the previous label INTO the checkpointed frame: the
+      // convergence probe is then a filter over cached data instead of a
+      // join of the last two rounds
       val next = labels.join(neighborMin, Seq("_id"), "left")
-        .select(col("_id"),
+        .select(col("_id"), col("component").as("_prev"),
           least(col("component"), coalesce(col("_nmin"), col("component")))
             .as("component"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "_prev"), Seq("_id"))
-        .where(col("component") =!= col("_prev")).limit(1).count()
-      labels = next
+      val changed = next.where(col("component") =!= col("_prev")).limit(1).count()
+      labels = next.drop("_prev")
       converged = changed == 0
       it += 1
     }

@@ -229,6 +229,24 @@ final class GraphReader(
     cached
   }
 
+  /** Bounded-set localization: BFS frontier / visited id-sets are small by
+    * the caps lattice (maxElements ≤ 5000, per-expand edge limits), and the
+    * reference ships exactly these id lists inside its backend queries
+    * (db/traversal.py id-list interpolation). Collecting a small id-set to a
+    * LocalRelation resets the logical-plan depth each hop — otherwise every
+    * hop's joins re-analyze (and re-broadcast) the whole anchor→hopN lineage,
+    * and the job count grows quadratically with hops. Sets larger than
+    * `LocalizeCap` stay distributed (the scale path: broadcast joins).
+    */
+  private val LocalizeCap = 100000
+
+  private def localize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.limit(LocalizeCap + 1).collect()
+    if (rows.length > LocalizeCap) df
+    else spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   private def traverse(
       seeds: Seq[(String, DataFrame)],
       hops: Int,
@@ -241,7 +259,8 @@ final class GraphReader(
     def idCols(t: String) = schema.vertex(t).idColumns
     var visited: Map[String, DataFrame] =
       seeds.groupBy(_._1).map { case (t, ds) =>
-        t -> ds.map(_._2.select(idCols(t).map(col): _*)).reduceLeft(_.union(_)).distinct()
+        t -> localize(
+          ds.map(_._2.select(idCols(t).map(col): _*)).reduceLeft(_.union(_)).distinct())
       }
     var frontier = visited
     var collectedEdges = Map.empty[EdgeKey, DataFrame]
@@ -297,10 +316,15 @@ final class GraphReader(
         if (followIn)  expand(e, e.target, "dst_", e.source, "src_")
       }
 
-      // persist each hop's small frontier sets (≤ edgeLimit rows): later
-      // hops, hydration, and the element-cap count all reuse them
+      // localize each hop's small frontier set (≤ edgeLimit rows per
+      // expand): later hops, hydration, and the element-cap count reuse it
+      // with a depth-0 plan. A frontier above the cap stays distributed and
+      // is persisted instead (re-evaluation through the limit would
+      // otherwise pick a different subset).
       nextFrontier = nextFrontier.map { case (t, df) =>
-        val p = df.persist(lvl); hopFrames += p; t -> p
+        val loc = localize(df)
+        if (loc eq df) { val p = df.persist(lvl); hopFrames += p; t -> p }
+        else t -> loc
       }
 
       collectedEdges = (collectedEdges.keySet ++ newEdges.keySet).map { k =>
