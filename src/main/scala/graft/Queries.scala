@@ -846,6 +846,32 @@ object GraftQueries {
         .orderBy("n_nationkey")
     },
 
+    // §2.1 SQLDataSource live: embedded-Derby database built from the sf
+    // parquet, read back through the partitioned JDBC path (4 range slices
+    // on the PK — the reference's keyset pagination, sql.py cursor loop)
+    "q_jdbc_source" -> { (s, d) =>
+      val url = derbyDb(s, d)
+      graft.sources.JdbcSource.read(s, url,
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        partitionColumn = Some("n_nationkey"), numPartitions = 4,
+        lowerBound = 0L, upperBound = 32L)
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name").as("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    },
+
+    // §2.12 Postgres-3NF inference over a LIVE JDBC catalog: PK/FK facts
+    // read via DatabaseMetaData (schema_inference.py:25-400), link table
+    // with composite PK over its two FKs becomes an edge
+    "q_infer_3nf" -> { (s, d) =>
+      import s.implicits._
+      val sch = graft.infer.RelationalInference.fromJdbcMetadata(derbyDb(s, d))
+      val vrows = sch.vertices.map(v => ("vertex", v.name, v.idColumns.mkString(",")))
+      val erows = sch.edges.map(e => ("edge", s"${e.source}->${e.target}", e.relation))
+      (vrows ++ erows).toDF("kind", "name", "detail").orderBy("kind", "name")
+    },
+
     // §2.3 dynamic edges: relation read from a data field with renames and
     // the strict declared-edge gate (undeclared types drop)
     "q_edge_dynamic" -> { (s, d) =>
@@ -1071,6 +1097,68 @@ object GraftQueries {
     }
   )
 
+  /** Embedded-Derby database built from the sf-dir parquet (live-JDBC
+    * battery fixture): region + nation with real PK/FK constraints plus an
+    * `adjacency` M:N link table (composite PK over its two FKs — the 3NF
+    * edge-table shape). Built once per (session, dir); returns the JDBC url.
+    * Driver-side inserts are bounded: nation/region are dimension-sized.
+    */
+  private val derbyCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private def derbyDb(s: SparkSession, d: String): String = {
+    val k = (s.sparkContext.applicationId, d)
+    val cached = derbyCache.get(k)
+    if (cached != null) return cached
+    derbyCache.synchronized {
+      val again = derbyCache.get(k)
+      if (again != null) return again
+      System.setProperty("derby.system.home", "/root/repo/target")
+      val dir = s"/root/repo/target/graft-derby-${d.replaceAll("[^0-9.]", "")}"
+      // a half-built db from a prior failed run may still be BOOTED in this
+      // JVM — file deletion alone won't evict it; shut it down first
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:$dir;shutdown=true")
+      catch { case _: java.sql.SQLException => () } // shutdown always throws
+      deleteRecursively(new java.io.File(dir))
+      val url = s"jdbc:derby:$dir"
+      val conn = java.sql.DriverManager.getConnection(url + ";create=true")
+      try {
+        val st = conn.createStatement()
+        st.execute("CREATE TABLE region (r_regionkey INT PRIMARY KEY, r_name VARCHAR(64))")
+        st.execute("CREATE TABLE nation (n_nationkey INT PRIMARY KEY, " +
+          "n_name VARCHAR(64), n_regionkey INT REFERENCES region (r_regionkey))")
+        st.execute("CREATE TABLE adjacency (" +
+          "a_nationkey INT REFERENCES nation (n_nationkey), " +
+          "b_regionkey INT REFERENCES region (r_regionkey), " +
+          "weight DOUBLE, PRIMARY KEY (a_nationkey, b_regionkey))")
+        st.close()
+        val pr = conn.prepareStatement("INSERT INTO region VALUES (?, ?)")
+        t(s, d)("region")
+          .select(col("r_regionkey").cast("int"), col("r_name")).collect().foreach { r =>
+          pr.setInt(1, r.getInt(0)); pr.setString(2, r.getString(1))
+          pr.addBatch()
+        }
+        pr.executeBatch(); pr.close()
+        val rows = t(s, d)("nation")
+          .select(col("n_nationkey").cast("int"), col("n_name"),
+            col("n_regionkey").cast("int")).collect()
+        val pn = conn.prepareStatement("INSERT INTO nation VALUES (?, ?, ?)")
+        rows.foreach { r =>
+          pn.setInt(1, r.getInt(0)); pn.setString(2, r.getString(1))
+          pn.setInt(3, r.getInt(2)); pn.addBatch()
+        }
+        pn.executeBatch(); pn.close()
+        val pa = conn.prepareStatement("INSERT INTO adjacency VALUES (?, ?, ?)")
+        rows.foreach { r =>
+          pa.setInt(1, r.getInt(0)); pa.setInt(2, r.getInt(2))
+          pa.setDouble(3, 1.0 + r.getInt(0).toDouble); pa.addBatch()
+        }
+        pa.executeBatch(); pa.close()
+      } finally conn.close()
+      derbyCache.put(k, url)
+      url
+    }
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
@@ -1204,6 +1292,17 @@ object GraftQueries {
     "q_agg_sorted_unique" ->
       """SELECT array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
         |AS _value FROM orders""".stripMargin,
+
+    "q_jdbc_source" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q_infer_3nf" ->
+      """SELECT * FROM (VALUES
+        |  ('edge', 'nation->region', 'adjacency'),
+        |  ('vertex', 'nation', 'n_nationkey'),
+        |  ('vertex', 'region', 'r_regionkey')) t(kind, name, detail)
+        |ORDER BY kind, name""".stripMargin,
 
     "q_aggregate_minmax" ->
       """SELECT 'AVERAGE' AS agg, round(avg(o_totalprice), 2) AS _value FROM orders

@@ -184,6 +184,56 @@ object RelationalInference {
     infer(catalog.toSeq)
   }
 
+  /** Live JDBC catalog wiring (reference schema_inference.py:25-400 reads
+    * Postgres `information_schema` views over a connection): read the same
+    * catalog facts through the JDBC-standard `DatabaseMetaData` surface —
+    * `getColumns` / `getPrimaryKeys` / `getImportedKeys` — which works
+    * against any compliant driver (Postgres, Derby, …), and hand the
+    * driver-small catalog to [[infer]]. System/catalog schemas are skipped.
+    */
+  def fromJdbcMetadata(url: String,
+      properties: java.util.Properties = new java.util.Properties()): GraphSchema = {
+    val conn = java.sql.DriverManager.getConnection(url, properties)
+    try {
+      val md = conn.getMetaData
+      val tables = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      val trs = md.getTables(null, null, "%", Array("TABLE"))
+      while (trs.next()) {
+        val sch = Option(trs.getString("TABLE_SCHEM")).getOrElse("")
+        val up = sch.toUpperCase
+        if (!up.startsWith("SYS") && up != "INFORMATION_SCHEMA" && up != "PG_CATALOG")
+          tables += ((sch, trs.getString("TABLE_NAME")))
+      }
+      trs.close()
+      val catalog = tables.flatMap { case (sch, tbl) =>
+        val pks = {
+          val r = md.getPrimaryKeys(null, sch, tbl)
+          val b = Set.newBuilder[String]
+          while (r.next()) b += r.getString("COLUMN_NAME")
+          r.close(); b.result()
+        }
+        val fks = {
+          val r = md.getImportedKeys(null, sch, tbl)
+          val b = Map.newBuilder[String, String]
+          while (r.next())
+            b += (r.getString("FKCOLUMN_NAME") -> r.getString("PKTABLE_NAME"))
+          r.close(); b.result()
+        }
+        // getColumns returns rows in ORDINAL_POSITION order — preserved so
+        // the first FK column of a link table is the edge source.
+        val cols = scala.collection.mutable.ArrayBuffer[CatalogColumn]()
+        val r = md.getColumns(null, sch, tbl, "%")
+        while (r.next()) {
+          val c = r.getString("COLUMN_NAME")
+          cols += CatalogColumn(tbl.toLowerCase, c.toLowerCase,
+            pks.contains(c), fks.get(c).map(_.toLowerCase))
+        }
+        r.close(); cols
+      }
+      infer(catalog.toSeq)
+    } finally conn.close()
+  }
+
   def infer(catalog: Seq[CatalogColumn]): GraphSchema = {
     val byTable = catalog.groupBy(_.table)
     val (edgeTables, vertexTables) = byTable.partition { case (_, cols) =>

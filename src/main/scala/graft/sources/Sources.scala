@@ -148,16 +148,21 @@ object JdbcSource {
       upperBound: Long = Long.MaxValue,
       properties: java.util.Properties = new java.util.Properties()
   ): DataFrame = {
+    import scala.jdk.CollectionConverters._
     val reader = spark.read.format("jdbc")
       .option("url", url)
-      .option("query", query)
+      .options(properties.asScala.map { case (k, v) => k.toString -> v.toString }.toMap)
+    // Spark rejects `query` combined with `partitionColumn` — the partitioned
+    // path must go through `dbtable` with the query as a derived table (the
+    // `AS sub` correlation name is required by stricter dialects, e.g. Derby).
     val partitioned = partitionColumn match {
       case Some(c) => reader
+        .option("dbtable", s"($query) AS sub")
         .option("partitionColumn", c)
         .option("numPartitions", numPartitions)
         .option("lowerBound", lowerBound)
         .option("upperBound", upperBound)
-      case None => reader
+      case None => reader.option("query", query)
     }
     normalizeDecimals(partitioned.load())
   }
