@@ -38,11 +38,17 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // SPARK_GRAFT_BENCH_REPEAT=N runs the battery N times and reports the
+    // LAST pass (warm plans/caches) — local profiling only; the driver's
+    // single-pass run keeps the default of 1.
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(1)
+    var results: Map[String, Double] = Map.empty
+    for (_ <- 1 to repeat)
+      results = selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def qJson(rs: Iterable[(String, Double)]) =
       rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")

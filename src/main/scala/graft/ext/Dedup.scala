@@ -238,9 +238,14 @@ object Dedup {
       maxIter: Int = 20
   ): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // undirected: both directions once, reused every round
-    val edges = pairs.select(col(aCol).as("_src"), col(bCol).as("_dst"))
-      .unionByName(pairs.select(col(bCol).as("_src"), col(aCol).as("_dst")))
+    // undirected: both directions, derived from ONE evaluation of `pairs`
+    // (a union of two selects would run the upstream candidate pipeline —
+    // typically a full MinHash/LSH pass — twice on first materialization)
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("_src"), col(bCol).as("_dst")),
+        struct(col(bCol).as("_src"), col(aCol).as("_dst")))).as("_e"))
+      .select(col("_e._src").as("_src"), col("_e._dst").as("_dst"))
       .distinct().persist(lvl)
     // each round's frame is localCheckpoint'ed (eager): without lineage
     // truncation the logical plan nests one join deeper per round and
@@ -254,22 +259,37 @@ object Dedup {
         .join(labels.withColumnsRenamed(Map("_id" -> "_src")), Seq("_src"))
         .groupBy(col("_dst").as("_id"))
         .agg(min(col("component")).as("_nmin"))
+      val propagated = labels.join(neighborMin, Seq("_id"), "left")
+        .select(col("_id"), col("component").as("_prev"),
+          least(col("component"), coalesce(col("_nmin"), col("component")))
+            .as("component"))
+      // pointer jumping: follow the label one more step (label[label[x]]).
+      // Every component value is itself a node id, so the propagated frame
+      // doubles as the mapping; this halves the remaining distance to the
+      // component minimum each round — convergence in O(log diameter)
+      // rounds instead of O(diameter), which matters both at 100 TB (long
+      // chains) and in wall-clock (each round is a fixed-cost Spark job).
+      val mapping = propagated.select(col("_id").as("_m_id"), col("component").as("_m_comp"))
       // carry the previous label INTO the checkpointed frame: the
       // convergence probe is then a filter over cached data instead of a
       // join of the last two rounds
-      val next = labels.join(neighborMin, Seq("_id"), "left")
-        .select(col("_id"), col("component").as("_prev"),
-          least(col("component"), coalesce(col("_nmin"), col("component")))
+      val next = propagated
+        .join(mapping, propagated("component") === mapping("_m_id"), "left")
+        .select(col("_id"), col("_prev"),
+          least(col("component"), coalesce(col("_m_comp"), col("component")))
             .as("component"))
         .localCheckpoint(true)
       val changed = next.where(col("component") =!= col("_prev")).limit(1).count()
       labels = next.drop("_prev")
       converged = changed == 0
       it += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        Console.err.println(s"[cc] round $it changed=$changed ${System.nanoTime() / 1e9}")
     }
     edges.unpersist()
     // silent partial propagation would split clusters (duplicate canonical
-    // survivors) — fail loudly instead; hash-min needs ~diameter rounds
+    // survivors) — fail loudly instead; hash-min + pointer jumping needs
+    // ~log2(diameter) rounds
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxIter rounds — " +
         "a component's diameter exceeds the budget; raise maxIter")

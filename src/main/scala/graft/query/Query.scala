@@ -274,6 +274,7 @@ final class GraphReader(
     for (_ <- 1 to hops if frontier.nonEmpty) {
       var nextFrontier = Map.empty[String, DataFrame]
       var newEdges = Map.empty[EdgeKey, DataFrame]
+      val hopJoined = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
       def expand(e: EdgeDef, fromType: String, fromPrefix: String, toType: String, toPrefix: String): Unit =
         frontier.get(fromType).zip(edgeDf(e.key)).foreach { case (front, edf0) =>
@@ -301,6 +302,7 @@ final class GraphReader(
           val joined = (if (edgeLimit >= Int.MaxValue / 2) expanded
             else expanded.limit(edgeLimit)).persist(lvl)
           hopFrames += joined
+          hopJoined += joined
           newEdges += e.key -> newEdges.get(e.key).map(_.unionByName(joined, true)).getOrElse(joined)
           val farIds = joined.select(idCols(toType).map(k => col(s"$toPrefix$k").as(k)): _*).distinct()
           val unseen = visited.get(toType).map(v => farIds.join(v, idCols(toType), "left_anti")).getOrElse(farIds)
@@ -315,6 +317,14 @@ final class GraphReader(
         if (followOut) expand(e, e.source, "src_", e.target, "dst_")
         if (followIn)  expand(e, e.target, "dst_", e.source, "src_")
       }
+
+      // materialize every branch's persisted frame in ONE job (a union of
+      // 1-projections): the branches run in parallel inside a single job
+      // DAG instead of serially inside the per-type localize collects —
+      // per-hop wall time becomes max(branch) + one job overhead rather
+      // than sum(branch).
+      if (hopJoined.nonEmpty)
+        hopJoined.map(_.select(lit(1).as("one"))).reduce(_.union(_)).count(): Unit
 
       // localize each hop's small frontier set (≤ edgeLimit rows per
       // expand): later hops, hydration, and the element-cap count reuse it
