@@ -11,7 +11,7 @@ import graft.pipeline._
 import graft.fixtures.TpchGraph
 import graft.query._
 import graft.store.GraphStore
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Corpus, Dedup, Similarity, TextAnalysis}
 
 /** The declared operator battery: one entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-equivalent oracle in [[oracles]].
@@ -1094,6 +1094,66 @@ object GraftQueries {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
+    },
+
+    // extension: deterministic train/val/test split by identity hash —
+    // membership is stable under reruns/appends (unlike rand()/randomSplit)
+    "q_hash_split" -> { (s, d) =>
+      Corpus.hashSplit(t(s, d)("documents").select("doc_id"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    },
+
+    // extension: deterministic stratified sampling (per-stratum keep rates)
+    "q_stratified_sample" -> { (s, d) =>
+      Corpus.stratifiedSample(
+        t(s, d)("customer").select("c_custkey", "c_mktsegment"),
+        "c_custkey", "c_mktsegment",
+        Map("BUILDING" -> 0.3, "AUTOMOBILE" -> 0.1), defaultRate = 0.05)
+        .orderBy("c_custkey")
+    },
+
+    // extension: per-group top-k curation (best-quality docs per language)
+    "q_topk_per_group" -> { (s, d) =>
+      val docs = t(s, d)("documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_guess"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      Corpus.topKPerGroup(docs, "lang_guess", "quality", "doc_id", 3)
+        .select(col("lang_guess"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("quality"))
+        .orderBy("lang_guess", "rank")
+    },
+
+    // extension: intra-document repetition ratio (boilerplate/spam signal)
+    "q_repetition" -> { (s, d) =>
+      t(s, d)("documents").select(col("doc_id"),
+        Corpus.repetitionScore(col("text"), 3).as("rep_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // extension: benchmark-contamination check — corpus docs sharing a
+    // 5-gram with a bounded eval suite (docs 400-499)
+    "q_contamination" -> { (s, d) =>
+      val docs = t(s, d)("documents")
+      Corpus.contamination(
+        docs.where(col("doc_id") < 400), "doc_id", "text",
+        docs.where(col("doc_id") >= 400 && col("doc_id") < 500), "doc_id", "text",
+        n = 5)
+        .orderBy("doc_id")
+    },
+
+    // extension: per-cluster canonical survivor (best quality, min-id tie)
+    // over the same near-dup components as q_dedup_clusters
+    "q_cluster_survivors" -> { (s, d) =>
+      val docs = t(s, d)("documents").where(col("doc_id") < 200)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 4, minSim = 0.2)
+      val clusters = Dedup.connectedComponents(docs, "doc_id", pairs, "id_a", "id_b")
+      val scored = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      Corpus.clusterSurvivors(clusters, "doc_id", "component", scored, "quality")
+        .orderBy("component")
     }
   )
 
@@ -1944,6 +2004,135 @@ object GraftQueries {
         |FROM scored
         |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
         |QUALIFY row_number() OVER w <= 5
-        |ORDER BY query_id, rank""".stripMargin
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // thresholds are the first 8 md5 hex chars of the cumulative split
+    // fractions: 0.8 → 0xCCCCCCCC, 0.9 → 0xE6666666 (Corpus.hexThreshold)
+    "q_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccccccc' THEN 'train'
+        |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // per-stratum rates: BUILDING 0.3 → 0x4CCCCCCC, AUTOMOBILE 0.1 →
+    // 0x19999999, default 0.05 → 0x0CCCCCCC
+    "q_stratified_sample" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE md5(CAST(c_custkey AS VARCHAR)) <
+        |  CASE c_mktsegment WHEN 'BUILDING' THEN '4ccccccc'
+        |    WHEN 'AUTOMOBILE' THEN '19999999' ELSE '0ccccccc' END
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_topk_per_group" ->
+      """WITH tok AS (SELECT doc_id, text,
+        |  string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+        |sc AS (SELECT doc_id,
+        |  round(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE) / greatest(len(t),1), 4) AS s_en,
+        |  round(CAST(len(list_filter(t, x -> x IN ('el','la','de','y','que','en','un','una','es','por'))) AS DOUBLE) / greatest(len(t),1), 4) AS s_es,
+        |  round(CAST(len(list_filter(t, x -> x IN ('le','la','de','et','que','en','un','une','est','pour'))) AS DOUBLE) / greatest(len(t),1), 4) AS s_fr,
+        |  round(CAST(len(list_filter(t, x -> x IN ('der','die','das','und','zu','in','ist','ein','eine','von'))) AS DOUBLE) / greatest(len(t),1), 4) AS s_de
+        |  FROM tok),
+        |st AS (SELECT doc_id, s_en, s_es, s_fr,
+        |  CASE WHEN s_en > s_de THEN s_en ELSE s_de END AS m2,
+        |  CASE WHEN s_en > s_de THEN 'en' ELSE 'de' END AS g2 FROM sc),
+        |st2 AS (SELECT doc_id, s_en, s_fr,
+        |  CASE WHEN s_es > m2 THEN s_es ELSE m2 END AS m3,
+        |  CASE WHEN s_es > m2 THEN 'es' ELSE g2 END AS g3 FROM st),
+        |lang AS (SELECT doc_id,
+        |  CASE WHEN s_fr > m3 THEN 'fr' ELSE g3 END AS lang_guess FROM st2),
+        |q AS (SELECT doc_id, round(
+        |  (CASE WHEN len(t) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.25 +
+        |  (1.0 - least(CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 4, 1.0)) * 0.25 +
+        |  (1.0 - least(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 4, 1.0)) * 0.25 +
+        |  least(CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1) * 2, 1.0) * 0.25
+        |, 4) AS quality FROM tok),
+        |j AS (SELECT l.doc_id, l.lang_guess, q.quality
+        |  FROM lang l JOIN q ON l.doc_id = q.doc_id)
+        |SELECT lang_guess, CAST(row_number() OVER w AS BIGINT) AS rank, doc_id, quality
+        |FROM j
+        |WINDOW w AS (PARTITION BY lang_guess ORDER BY quality DESC, doc_id)
+        |QUALIFY row_number() OVER w <= 3
+        |ORDER BY lang_guess, rank""".stripMargin,
+
+    "q_repetition" ->
+      """WITH sel AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text),'\s+',' ','g')) AS nt FROM documents),
+        |tok AS (SELECT doc_id,
+        |  list_filter(string_split(nt, ' '), x -> len(x) > 0) AS t FROM sel),
+        |sh AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) u
+        |  WHERE len(t) >= 3),
+        |agg AS (SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dist
+        |  FROM sh GROUP BY 1)
+        |SELECT s.doc_id,
+        |  CASE WHEN a.total IS NULL THEN 0.0
+        |       ELSE round(1.0 - a.dist::DOUBLE / a.total, 4) END AS rep_ratio
+        |FROM sel s LEFT JOIN agg a ON s.doc_id = a.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+
+    "q_contamination" ->
+      """WITH sel AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text),'\s+',' ','g')) AS nt FROM documents),
+        |tok AS (SELECT doc_id,
+        |  list_filter(string_split(nt, ' '), x -> len(x) > 0) AS t FROM sel),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t)-4)) AS i) u
+        |  WHERE len(t) >= 5),
+        |c AS (SELECT * FROM sh WHERE doc_id < 400),
+        |e AS (SELECT doc_id AS eval_id, g FROM sh
+        |  WHERE doc_id >= 400 AND doc_id < 500)
+        |SELECT c.doc_id, count(DISTINCT c.g) AS n_shared_ngrams,
+        |  count(DISTINCT e.eval_id) AS n_eval_docs
+        |FROM c JOIN e ON c.g = e.g GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // same candidate chain + reachability closure as q_dedup_clusters, then
+    // best-quality-per-component survivor selection
+    "q_cluster_survivors" ->
+      """WITH RECURSIVE sel AS (SELECT doc_id, text,
+        |    trim(regexp_replace(lower(text),'\s+',' ','g')) AS nt
+        |  FROM documents WHERE doc_id < 200),
+        |tok AS (SELECT doc_id, string_split(nt, ' ') AS t FROM sel),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) u
+        |  WHERE len(t) >= 3),
+        |seeded AS (SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || shingle) AS h
+        |  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) seeds),
+        |mh AS (SELECT doc_id, seed, min(h) AS minhash FROM seeded GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, seed // 4 AS band,
+        |  md5(string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || minhash, '|'
+        |    ORDER BY lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || minhash)) AS bsig
+        |  FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bs a JOIN bs b ON a.band = b.band AND a.bsig = b.bsig
+        |    AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT c.id_a, c.id_b, count(*) AS c FROM cand c
+        |  JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+        |    AND a.shingle = b.shingle
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT i.id_a, i.id_b
+        |  FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
+        |  JOIN sz sb ON sb.doc_id = i.id_b
+        |  WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.2),
+        |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |r AS (SELECT doc_id, doc_id AS reach FROM sel
+        |  UNION SELECT r.doc_id, e.b FROM r JOIN e ON r.reach = e.a),
+        |comp AS (SELECT doc_id, min(reach) AS component FROM r GROUP BY doc_id),
+        |qt AS (SELECT doc_id, text,
+        |  string_split_regex(trim(lower(text)), '\s+') AS t2 FROM sel),
+        |q AS (SELECT doc_id, round(
+        |  (CASE WHEN len(t2) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.25 +
+        |  (1.0 - least(CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 4, 1.0)) * 0.25 +
+        |  (1.0 - least(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 4, 1.0)) * 0.25 +
+        |  least(CAST(len(list_distinct(t2)) AS DOUBLE) / greatest(len(t2), 1) * 2, 1.0) * 0.25
+        |, 4) AS quality FROM qt),
+        |j AS (SELECT comp.component, comp.doc_id, q.quality
+        |  FROM comp JOIN q ON comp.doc_id = q.doc_id)
+        |SELECT component, doc_id AS survivor_id, quality FROM j
+        |QUALIFY row_number() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) = 1
+        |ORDER BY component""".stripMargin
   )
 }

@@ -1,0 +1,127 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for large-scale training-data pipelines
+  * (extension surface alongside [[Dedup]]/[[TextAnalysis]]/[[Similarity]]):
+  * deterministic train/val/test splitting, stratified sampling, benchmark
+  * contamination checks, per-group top-k curation, intra-document repetition
+  * scoring, and per-cluster survivor selection.
+  *
+  * Determinism contract: sampling/splitting decisions hash the ROW IDENTITY
+  * (md5 of the id rendered as a string), never `rand()` — so membership is
+  * reproducible across runs, engines, partitionings, and retries, and any
+  * SQL engine with md5 can replicate (the DuckDB oracles do). All operators
+  * are narrow column programs or keyed shuffles — no driver data paths.
+  */
+object Corpus {
+
+  /** Lexicographic md5 threshold for a cumulative fraction `f`: the first 8
+    * hex chars interpreted as a uniform draw in [0, 16^8). String comparison
+    * against the 32-char digest is exact in any engine (an 8-char prefix
+    * sorts before any proper extension of itself, so boundary digests land
+    * in the upper bucket consistently).
+    */
+  private[ext] def hexThreshold(f: Double): String = {
+    val clamped = math.min(math.max(f, 0.0), 1.0)
+    val n = math.min(math.floor(clamped * 4294967296.0).toLong, 4294967295L)
+    f"$n%08x"
+  }
+
+  /** Deterministic split assignment: md5(id) against cumulative weight
+    * thresholds. Weights need not sum to 1 (they are normalized). The last
+    * bucket is the fall-through, so every row is assigned.
+    */
+  def splitColumn(idCol: Column, weights: Seq[(String, Double)]): Column = {
+    require(weights.size >= 2, "need at least two split buckets")
+    require(weights.forall(_._2 > 0), "split weights must be positive")
+    val total = weights.map(_._2).sum
+    val h = md5(idCol.cast("string"))
+    val cum = weights.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
+    val cases = weights.init.map(_._1).zip(cum.init)
+    cases.reverse.foldLeft(lit(weights.last._1)) { case (els, (name, c)) =>
+      when(h < lit(hexThreshold(c)), lit(name)).otherwise(els)
+    }
+  }
+
+  /** Train/val/test (or any n-way) split: adds `split` assigned by identity
+    * hash — stable under reruns, re-partitioning, and incremental appends
+    * (a new row never moves an old row's bucket, unlike rand()/randomSplit).
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+      weights: Seq[(String, Double)]): DataFrame =
+    df.withColumn("split", splitColumn(col(idCol), weights))
+
+  /** Deterministic stratified sampling: per-stratum keep rates, identity-
+    * hashed membership. At 100 TB this is a narrow filter — no shuffle, no
+    * sort, and the same rows survive on every run.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(lit(hexThreshold(defaultRate))) {
+      case (els, (stratum, r)) =>
+        when(col(stratumCol) === stratum, lit(hexThreshold(r))).otherwise(els)
+    }
+    df.where(md5(col(idCol).cast("string")) < thr)
+  }
+
+  /** Top-k rows per group by descending score with a deterministic id
+    * tiebreak — the curation step after quality scoring ("keep the best k
+    * docs per language/domain"). One keyed shuffle (window partition).
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Intra-document repetition ratio: 1 − distinct/total word n-grams.
+    * 0 = no repeated n-gram, →1 = highly repetitive (the boilerplate/spam
+    * signal used by C4/Gopher-style filters — public heuristics). Narrow
+    * per-row column math.
+    */
+  def repetitionScore(textCol: Column, n: Int): Column = {
+    val toks = filter(split(Dedup.normalize(textCol), " "), t => length(t) > 0)
+    val total = size(toks) - (n - 1)
+    val distinctN = size(Dedup.shingles(textCol, n))
+    when(total <= lit(0), lit(0.0))
+      .otherwise(round(lit(1.0) - distinctN.cast("double") / total.cast("double"), 4))
+  }
+
+  /** Benchmark-contamination check: corpus documents sharing at least one
+    * word n-gram with an evaluation set. Returns one row per contaminated
+    * corpus doc with the count of distinct shared n-grams and of distinct
+    * eval docs hit.
+    *
+    * Scale shape: both sides explode to (doc, shingle) and join keyed on the
+    * shingle — the eval side is small (an eval suite), so Spark broadcasts
+    * it; the corpus side never collects. Stop-shingle skew is bounded by the
+    * eval side's size.
+    */
+  def contamination(corpus: DataFrame, idCol: String, textCol: String,
+      evalSet: DataFrame, evalIdCol: String, evalTextCol: String,
+      n: Int): DataFrame = {
+    val c = Dedup.explodeShingles(corpus, idCol, textCol, n)
+    val e = Dedup.explodeShingles(evalSet, evalIdCol, evalTextCol, n)
+      .withColumnRenamed(evalIdCol, "_eval_id")
+    c.join(broadcast(e), Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("shingle")).as("n_shared_ngrams"),
+        count_distinct(col("_eval_id")).as("n_eval_docs"))
+  }
+
+  /** Per-cluster canonical survivor by best score (ties → smallest id):
+    * the step after [[Dedup.connectedComponents]] — keep the best-quality
+    * representative of every near-dup cluster. One keyed join + one window
+    * shuffle on the component id.
+    */
+  def clusterSurvivors(clusters: DataFrame, idCol: String, componentCol: String,
+      scored: DataFrame, scoreCol: String): DataFrame = {
+    val joined = clusters.join(scored.select(col(idCol), col(scoreCol)), Seq(idCol))
+    val w = Window.partitionBy(col(componentCol)).orderBy(col(scoreCol).desc, col(idCol))
+    joined.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col(componentCol), col(idCol).as("survivor_id"), col(scoreCol))
+  }
+}

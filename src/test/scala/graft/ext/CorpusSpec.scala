@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Corpus-curation operators: deterministic splits/samples, contamination,
+  * top-k curation, repetition, cluster survivors.
+  */
+class CorpusSpec extends SparkSpec {
+
+  test("hexThreshold maps fractions to 8-hex lexicographic cut points") {
+    assert(Corpus.hexThreshold(0.0) == "00000000")
+    assert(Corpus.hexThreshold(1.0) == "ffffffff")
+    assert(Corpus.hexThreshold(0.8) == "cccccccc")
+    assert(Corpus.hexThreshold(0.9) == "e6666666")
+  }
+
+  test("hashSplit is deterministic, exhaustive, and ratio-plausible") {
+    import spark.implicits._
+    val df = (0L until 2000L).toDF("id")
+    val split = Corpus.hashSplit(df, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).cache()
+    val counts = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 2000L)
+    assert(counts("train") > 1400 && counts("train") < 1800) // ~1600
+    assert(counts.keySet == Set("train", "val", "test"))
+    // rerun assigns identical buckets (identity-hash, not rand)
+    val again = Corpus.hashSplit(df, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.exceptAll(again).isEmpty && again.exceptAll(split).isEmpty)
+  }
+
+  test("hashSplit membership is append-stable") {
+    import spark.implicits._
+    val small = Corpus.hashSplit((0L until 100L).toDF("id"), "id",
+      Seq("a" -> 0.5, "b" -> 0.5))
+    val big = Corpus.hashSplit((0L until 200L).toDF("id"), "id",
+      Seq("a" -> 0.5, "b" -> 0.5)).where(col("id") < 100)
+    assert(small.exceptAll(big).isEmpty)
+  }
+
+  test("stratifiedSample keeps per-stratum rates deterministically") {
+    import spark.implicits._
+    val df = (0L until 3000L).map(i => (i, if (i % 3 == 0) "hot" else "cold"))
+      .toDF("id", "stratum")
+    val kept = Corpus.stratifiedSample(df, "id", "stratum",
+      Map("hot" -> 0.5), defaultRate = 0.1).cache()
+    val hot = kept.where(col("stratum") === "hot").count()
+    val cold = kept.where(col("stratum") === "cold").count()
+    assert(hot > 350 && hot < 650)   // ~500 of 1000
+    assert(cold > 120 && cold < 280) // ~200 of 2000
+    val again = Corpus.stratifiedSample(df, "id", "stratum",
+      Map("hot" -> 0.5), defaultRate = 0.1)
+    assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
+  }
+
+  test("topKPerGroup ranks by score desc with id tiebreak") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", 1L, 0.9), ("g1", 2L, 0.9), ("g1", 3L, 0.5),
+      ("g2", 4L, 0.1)).toDF("g", "id", "score")
+    val got = Corpus.topKPerGroup(df, "g", "score", "id", 2)
+      .select("g", "rank", "id").as[(String, Int, Long)].collect().toSet
+    assert(got == Set(("g1", 1, 1L), ("g1", 2, 2L), ("g2", 1, 4L)))
+  }
+
+  test("repetitionScore: 0 for all-distinct, high for repeated n-grams") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),          // 4 distinct trigrams of 4 → 0.0
+      (2L, "x y x y x y x y"),      // 6 trigrams, 2 distinct → 1 - 2/6
+      (3L, "one two"),              // fewer tokens than n → 0.0
+      (4L, "")).toDF("id", "text")
+    val got = df.select(col("id"), Corpus.repetitionScore(col("text"), 3).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.0)
+    assert(math.abs(got(2L) - (1.0 - 2.0 / 6.0)) < 1e-3)
+    assert(got(3L) == 0.0)
+    assert(got(4L) == 0.0)
+  }
+
+  test("contamination finds docs sharing n-grams with the eval set") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated content with no overlap here at all"),
+      (3L, "another doc where the quick brown fox jumps again")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "we test the quick brown fox jumps benchmarks"))
+      .toDF("doc_id", "text")
+    val got = Corpus.contamination(corpus, "doc_id", "text", eval, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long)].collect().map(_._1).toSet
+    // "the quick brown fox jumps" is the shared 5-gram
+    assert(got == Set(1L, 3L))
+  }
+
+  test("clusterSurvivors keeps the best-scored doc per component") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("id", "component")
+    val scored = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5)).toDF("id", "score")
+    val got = Corpus.clusterSurvivors(clusters, "id", "component", scored, "score")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 0.9), (3L, 3L, 0.5)))
+  }
+}
