@@ -198,14 +198,26 @@ object Dedup {
   val SimhashMd5Bits = 60
 
   def simhashMd5Signatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // pre-aggregate token occurrences to (id, token-hash, weight) before any
+    // bit explode, then vote per HEX DIGIT (15 rows/token-hash) and only
+    // expand to the 4 bits after a second aggregation — the exploded row
+    // count drops from |occurrences|×60 to |distinct tokens|×15 plus a
+    // bounded ≤ |ids|×15×16 tail. The vote totals are identical (integer
+    // sums reassociated), so the signature — and the DuckDB oracle — is
+    // bit-for-bit unchanged.
     val toks = df.select(col(idCol), explode(
       filter(split(normalize(col(textCol)), " "), t => length(t) > 0)).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val bits = toks.select(col(idCol),
-      explode(sequence(lit(0), lit(SimhashMd5Bits - 1))).as("j"), col("h"))
-      // hex digit value at position j/4, then bit (3 - j%4) of that digit
-      .withColumn("digit", expr("conv(substring(h, cast(j / 4 as int) + 1, 1), 16, 10)").cast("int"))
-      .withColumn("v", when(expr("(digit >> (3 - (j % 4))) & 1") === 1, 1).otherwise(-1))
+      .groupBy(col(idCol), md5(col("tok")).as("h"))
+      .agg(count(lit(1)).as("w"))
+    val digits = toks.select(col(idCol), col("w"),
+      explode(sequence(lit(0), lit(SimhashMd5Bits / 4 - 1))).as("p"), col("h"))
+      .withColumn("digit", expr("conv(substring(h, p + 1, 1), 16, 10)").cast("int"))
+      .groupBy(col(idCol), col("p"), col("digit")).agg(sum(col("w")).as("wsum"))
+    val bits = digits.select(col(idCol), col("p"), col("digit"), col("wsum"),
+      explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("j", col("p") * 4 + col("b"))
+      .withColumn("v", when(expr("(digit >> (3 - b)) & 1") === 1, col("wsum"))
+        .otherwise(-col("wsum")))
     bits.groupBy(col(idCol), col("j")).agg(sum(col("v")).as("s"))
       .withColumn("c", when(col("s") > 0, lit("1")).otherwise(lit("0")))
       .groupBy(col(idCol))
@@ -300,23 +312,25 @@ object Dedup {
       maxHamming: Int): DataFrame = {
     val n = SimhashMd5Bits
     val nb = math.min(maxHamming + 1, n)
+    // parse the '0'/'1' signature into a 60-bit long ONCE per doc: the
+    // per-pair Hamming distance is then codegen'd bit_count(xor) instead of
+    // an n-term interpreted higher-order aggregate over substrings
     val sig = simhashMd5Signatures(df, idCol, textCol)
-    val banded = sig.select(col(idCol), col("sig"),
+      .withColumn("_signum", conv(col("sig"), 2, 10).cast("long"))
+    val banded = sig.select(col(idCol), col("sig"), col("_signum"),
       explode(sequence(lit(0), lit(nb - 1))).as("band"))
       .withColumn("_lo", (col("band") * n / nb).cast("int"))
       .withColumn("_len", ((col("band") + 1) * n / nb).cast("int") - col("_lo"))
       .withColumn("bandval", col("sig").substr(col("_lo") + 1, col("_len")))
-    val l = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("band"), col("bandval"))
-    val r = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("band"), col("bandval"))
-    val hamming = aggregate(sequence(lit(1), lit(n)), lit(0L), (acc, i) =>
-      acc + when(col("sig_a").substr(i.cast("int"), lit(1)) =!=
-        col("sig_b").substr(i.cast("int"), lit(1)), 1L).otherwise(0L))
-    // dedup candidate pairs BEFORE the n-term interpreted hamming aggregate:
-    // a pair agreeing on several bands would otherwise pay it per band
+    val l = banded.select(col(idCol).as("id_a"), col("_signum").as("_sn_a"), col("band"), col("bandval"))
+    val r = banded.select(col(idCol).as("id_b"), col("_signum").as("_sn_b"), col("band"), col("bandval"))
+    // dedup candidate pairs before scoring: a pair agreeing on several
+    // bands would otherwise be scored once per band
     l.join(r, Seq("band", "bandval")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .select(col("id_a"), col("id_b"), col("_sn_a"), col("_sn_b"))
       .distinct()
-      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_sn_a").bitwiseXOR(col("_sn_b"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 }
