@@ -1143,6 +1143,44 @@ object GraftQueries {
         .orderBy("doc_id")
     },
 
+    // §2.6 positional-zip blank-edge fallback (db_writer.py:314-349):
+    // parallel per-order part/supplier arrays zip element-by-element, so
+    // the rendered edges are exactly the per-lineitem (part, supplier)
+    // pairs — which is the oracle
+    "q_edge_zip" -> { (s, d) =>
+      val o = t(s, d)("orders"); val li = t(s, d)("lineitem")
+      // ONE sorted struct array feeds both parallel projections — sorting
+      // two arrays independently would misalign on duplicate linenumbers
+      val nested = o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey")))).as("ls"))
+        .select(col("o_orderkey"),
+          org.apache.spark.sql.functions.transform(col("ls"),
+            x => x.getField("l_partkey")).as("part_ids"),
+          org.apache.spark.sql.functions.transform(col("ls"),
+            x => x.getField("l_suppkey")).as("supp_ids"))
+      val sch = GraphSchema(
+        vertices = Seq(
+          VertexDef("part", Nil, Identity.Natural(Seq("p_partkey"))),
+          VertexDef("supplier", Nil, Identity.Natural(Seq("s_suppkey")))),
+        edges = Seq(EdgeDef("part", "supplier", "zip_supplied")))
+      val res = ResourceDef("r_zip", Seq(
+        Descend(Some("part_ids"), steps = Seq(
+          VertexStep("part", from = Map("p_partkey" -> "_value"),
+            lookupOnly = true, extractionScope = "mapped_only"))),
+        Descend(Some("supp_ids"), steps = Seq(
+          VertexStep("supplier", from = Map("s_suppkey" -> "_value"),
+            lookupOnly = true, extractionScope = "mapped_only"))),
+        EdgeStep(source = "part", target = "supplier", relation = "zip_supplied",
+          casting = "zip")
+      ), inferEdges = false)
+      val g = PipelineCompiler.compile(sch, res, nested)
+      g.edge(EdgeKey("part", "supplier", "zip_supplied"))
+        .select(col("src_p_partkey"), col("dst_s_suppkey"))
+        .orderBy("src_p_partkey", "dst_s_suppkey")
+    },
+
     // extension: per-cluster canonical survivor (best quality, min-id tie)
     // over the same near-dup components as q_dedup_clusters
     "q_cluster_survivors" -> { (s, d) =>
@@ -2086,6 +2124,11 @@ object GraftQueries {
         |SELECT c.doc_id, count(DISTINCT c.g) AS n_shared_ngrams,
         |  count(DISTINCT e.eval_id) AS n_eval_docs
         |FROM c JOIN e ON c.g = e.g GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // zip of per-order parallel arrays == the per-lineitem pairs
+    "q_edge_zip" ->
+      """SELECT DISTINCT l_partkey AS src_p_partkey, l_suppkey AS dst_s_suppkey
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
 
     // same candidate chain + reachability closure as q_dedup_clusters, then
     // best-quality-per-component survivor selection

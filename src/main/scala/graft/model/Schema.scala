@@ -95,9 +95,32 @@ final case class VertexDef(
     filters: Option[FilterExpr] = None,
     forceTypes: Map[String, FieldType] = Map.empty
 ) {
-  /** Identity fields are auto-appended to properties (vertex.py:657-678). */
+  // duplicate-property merge rules (reference vertex.py:352-416): a name
+  // declared twice merges typed-beats-untyped; two DIFFERENT declared types
+  // conflict and raise (enforced schema-wide in GraphSchema's validation)
+  private def mergedDeclared: Seq[FieldDef] = {
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, FieldDef]
+    properties.foreach { p =>
+      seen.get(p.name) match {
+        case None => seen += p.name -> p
+        case Some(prev) => (prev.ftype, p.ftype) match {
+          case (None, Some(_)) => seen += p.name -> p // typed beats untyped
+          case (Some(a), Some(b)) if a != b =>
+            throw new IllegalArgumentException(
+              s"vertex $name: property '${p.name}' declared with conflicting types $a and $b")
+          case _ => () // keep the earlier (typed or equal) declaration
+        }
+      }
+    }
+    seen.values.toSeq
+  }
+
+  /** Identity fields are auto-appended to properties (vertex.py:657-678);
+    * duplicate declarations are merged typed-beats-untyped first.
+    */
   lazy val allProperties: Seq[FieldDef] = {
-    val declared = properties.map(_.name).toSet
+    val merged = mergedDeclared
+    val declared = merged.map(_.name).toSet
     val idFields = identity match {
       case Identity.Natural(fs) => fs
       case Identity.Hash(fs)    => fs
@@ -105,7 +128,7 @@ final case class VertexDef(
         bs.flatMap(b => b.whenAllPresent ++ b.digestFields).distinct
       case _ => Nil
     }
-    properties ++ idFields.filterNot(declared).map(FieldDef(_))
+    merged ++ idFields.filterNot(declared).map(FieldDef(_))
   }
 
   /** Columns that form the merge/upsert key on the vertex DataFrame. */
@@ -172,6 +195,9 @@ final case class GraphSchema(vertices: Seq[VertexDef], edges: Seq[EdgeDef] = Nil
   // ambiguous and mis-key collections read back from disk.
   vertices.foreach(v => require(!v.name.contains("__"),
     s"vertex name '${v.name}' must not contain '__' (reserved by the store layout)"))
+  // surface duplicate-property TYPE conflicts at schema construction
+  // (vertex.py:352-416 raises on merge) rather than first use
+  vertices.foreach(_.allProperties: Unit)
   edges.foreach { e =>
     require(vertexByName.contains(e.source), s"edge $e references unknown vertex ${e.source}")
     require(vertexByName.contains(e.target), s"edge $e references unknown vertex ${e.target}")

@@ -597,12 +597,17 @@ object PipelineCompiler {
       val tKeys = e.targetMatch.map(m => tv.secondaryByName(m).fields).getOrElse(idColsOf(tv))
 
       // precompute the padded position string once per row (a join-condition
-      // expression would be re-evaluated per comparison in SMJ sorting)
+      // expression would be re-evaluated per comparison in SMJ sorting);
+      // _lzi/_rzi is the row's OWN deepest position index (for `zip`)
+      def lastPos(c: Column): Column =
+        coalesce(get(c, size(c) - 1), lit(-1L))
       val left = sb.df.select(
-        (MetaCols.map(col) ++ Seq(posStr(col(PosCol)).as("_lps")) ++
+        (MetaCols.map(col) ++ Seq(posStr(col(PosCol)).as("_lps"),
+          lastPos(col(PosCol)).as("_lzi")) ++
           sKeys.map(c => col(c).as(s"src_$c"))): _*)
       val right = db.df.select(
-        (MetaCols.map(c => col(c).as(s"__r_$c")) ++ Seq(posStr(col(PosCol)).as("_rps")) ++
+        (MetaCols.map(c => col(c).as(s"__r_$c")) ++ Seq(posStr(col(PosCol)).as("_rps"),
+          lastPos(col(PosCol)).as("_rzi")) ++
           tKeys.map(c => col(c).as(s"dst_$c"))): _*)
 
       // Lineage-prefix congruence (reference edge_render.py:143-228): two
@@ -634,6 +639,18 @@ object PipelineCompiler {
         case "combinations" =>
           left.join(right, col(RowIdCol) === col(s"__r_$RowIdCol") &&
             col("_lps") < col("_rps"))
+        case "zip" =>
+          // positional-zip fallback (reference db_writer.py:314-349): pair
+          // the i-th source observation with the i-th target observation —
+          // PARALLEL sibling arrays zip by their own deepest explode index
+          // within the shared lineage scope (prefix congruence), where the
+          // document-scoped default would render a PRODUCT
+          val d = sharedPosDepth(sb.loc, db.loc)
+          val cond = col(RowIdCol) === col(s"__r_$RowIdCol") &&
+            col("_lzi") === col("_rzi")
+          left.join(right,
+            if (d == 0) cond
+            else cond && posPrefix(col("_lps"), d) === posPrefix(col("_rps"), d))
         case other => throw new IllegalArgumentException(s"unknown casting: $other")
       })
 
@@ -654,7 +671,7 @@ object PipelineCompiler {
             if (d == 0) cond
             else cond && posPrefix(sideCol, d) === posPrefix(posStr(col(s"__i_$PosCol")), d))
         case None => joined
-      }).drop("_lps", "_rps")
+      }).drop("_lps", "_rps", "_lzi", "_rzi")
 
       // relation: static, or data-driven with renames + static fallback
       // (fallback applies with or WITHOUT a relation_map: a null relation

@@ -94,7 +94,9 @@ final case class VertexRouterStep(
   * `relationField` reads the relation name from a data column with
   * `relationMap` renames and `relation` as the static fallback.
   * `casting` overrides PAIR/PRODUCT/COMBINATIONS selection (default "auto"
-  * mirrors `_choose_casting`, edge_render.py:215-228).
+  * mirrors `_choose_casting`, edge_render.py:215-228); `zip` is the
+  * positional-zip fallback (db_writer.py:314-349) pairing i-th source with
+  * i-th target across parallel sibling arrays.
   */
 final case class EdgeStep(
     source: String = "",
@@ -104,7 +106,7 @@ final case class EdgeStep(
     targetRole: Option[String] = None,
     relationField: Option[String] = None,
     relationMap: Map[String, String] = Map.empty,
-    casting: String = "auto", // auto | pair | product | combinations
+    casting: String = "auto", // auto | pair | product | combinations | zip
     weightFields: Seq[String] = Nil,
     sourceMatch: Option[String] = None,
     targetMatch: Option[String] = None,
