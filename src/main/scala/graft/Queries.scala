@@ -1143,6 +1143,24 @@ object GraftQueries {
         .orderBy("doc_id")
     },
 
+    // §2.2 bucketed store collections: versions written as bucketed
+    // external tables (bucketBy on the identity) — collection-side joins
+    // scan pre-hashed buckets with no exchange; upsert stays idempotent
+    "q_bucketed_store" -> { (s, d) =>
+      val root = s"/root/repo/target/graft-bucketed-${d.replaceAll("[^0-9.]", "")}"
+      deleteRecursively(new java.io.File(root))
+      val sch = GraphSchema(Seq(
+        VertexDef("customer", Seq(FieldDef("c_name"), FieldDef("c_mktsegment")),
+          Identity.Natural(Seq("c_custkey")))))
+      val store = new GraphStore(root, sch, s, buckets = Some(8))
+      val cust = t(s, d)("customer").select("c_custkey", "c_name", "c_mktsegment")
+      store.upsertVertices("customer", cust)
+      store.upsertVertices("customer", cust) // idempotent second write
+      store.vertices("customer")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+
     // §2.6 positional-zip blank-edge fallback (db_writer.py:314-349):
     // parallel per-order part/supplier arrays zip element-by-element, so
     // the rendered edges are exactly the per-lineitem (part, supplier)
@@ -2124,6 +2142,10 @@ object GraftQueries {
         |SELECT c.doc_id, count(DISTINCT c.g) AS n_shared_ngrams,
         |  count(DISTINCT e.eval_id) AS n_eval_docs
         |FROM c JOIN e ON c.g = e.g GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q_bucketed_store" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // zip of per-order parallel arrays == the per-lineitem pairs
     "q_edge_zip" ->

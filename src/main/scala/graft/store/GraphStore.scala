@@ -34,10 +34,32 @@ import graft.graph.GraphOutput
   * re-ingest shuffles only the new batch (the existing side is already
   * bucketed by the previous write).
   */
-final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSession) {
+final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSession,
+    /** When set, vertex collection versions are written as BUCKETED external
+      * tables (`bucketBy(n, idColumns)` + sorted within buckets): joins
+      * against a collection — endpoint resolution, semi/anti existence
+      * joins, read-query anchors — then scan pre-hashed data and skip the
+      * collection-side shuffle entirely (Catalyst sees the bucket spec as
+      * the scan's outputPartitioning). At 100 TB this is the difference
+      * between shuffling the whole store per ingest batch and shuffling
+      * only the incoming batch. Bucket metadata lives in the session
+      * catalog; a fresh session reading the same root falls back to plain
+      * parquet scans of the identical files (correctness unchanged).
+      */
+    val buckets: Option[Int] = None) {
+
+  def this(root: String, schema: GraphSchema, spark: SparkSession) =
+    this(root, schema, spark, None)
 
   private def vdir(name: String) = s"$root/vertices/$name"
   private def edir(k: EdgeKey)   = s"$root/edges/${k.storeName}"
+
+  /** Catalog-safe unique table name per (store root, collection, version). */
+  private def tableName(collection: String, v: Int): String = {
+    val rootTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"graft_${rootTag}_${collection.replaceAll("[^A-Za-z0-9]", "_")}_v$v"
+  }
 
   private def currentVersion(dir: String): Option[Int] = {
     val p = Paths.get(dir, "_CURRENT")
@@ -66,7 +88,13 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
   private val GenCol = "_gen"
 
   def readVertices(name: String): Option[DataFrame] =
-    currentVersion(vdir(name)).map(v => spark.read.parquet(s"${vdir(name)}/v$v"))
+    currentVersion(vdir(name)).map { v =>
+      // prefer the bucketed catalog table (exchange-free join scans); fall
+      // back to the path when this session didn't write it
+      val tbl = tableName(name, v)
+      if (buckets.isDefined && spark.catalog.tableExists(tbl)) spark.table(tbl)
+      else spark.read.parquet(s"${vdir(name)}/v$v")
+    }
 
   def readEdges(k: EdgeKey): Option[DataFrame] =
     currentVersion(edir(k)).map(v => spark.read.parquet(s"${edir(k)}/v$v"))
@@ -104,8 +132,30 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
     }
     // repartition on the identity so each version is co-partitioned for the
     // next merge and for endpoint-resolution joins
-    merged.repartition(vdef.idColumns.map(col): _*)
-      .write.mode("overwrite").parquet(s"$dir/v$next")
+    buckets match {
+      case Some(n) =>
+        // bucketed external table: hash-bucketed + sorted on the identity,
+        // so downstream joins read pre-partitioned, pre-sorted buckets.
+        // The table path must be absolute/qualified: saveAsTable resolves a
+        // relative path against the warehouse dir, which would diverge from
+        // the parquet fallback reader's cwd-relative resolution.
+        val ids = vdef.idColumns
+        val versionPath =
+          if (dir.contains("://") || dir.startsWith("/")) s"$dir/v$next"
+          else new java.io.File(s"$dir/v$next").getAbsolutePath
+        merged.write.mode("overwrite")
+          .option("path", versionPath)
+          .bucketBy(n, ids.head, ids.tail: _*)
+          .sortBy(ids.head, ids.tail: _*)
+          .format("parquet")
+          .saveAsTable(tableName(name, next))
+        // retire the previous version's catalog entry (external table drop
+        // keeps the files; version dirs remain the durable format)
+        cur.foreach(p => spark.sql(s"DROP TABLE IF EXISTS ${tableName(name, p)}"))
+      case None =>
+        merged.repartition(vdef.idColumns.map(col): _*)
+          .write.mode("overwrite").parquet(s"$dir/v$next")
+    }
     flip(dir, next)
   }
 
