@@ -1083,6 +1083,37 @@ object GraftQueries {
         .crossJoin(store.vertices("event").agg(count(lit(1)).as("n_events")))
     },
 
+    // §2.11 streaming dedup: an at-least-once source (the same events file
+    // dropped twice) passes dropDuplicatesWithinWatermark exactly once per
+    // event id; the sink is plain append, so the dedup operator — not the
+    // store's upsert — is what's proven
+    "q_stream_dedup" -> { (s, d) =>
+      import graft.streaming.StreamIngest
+      val root = s"/root/repo/target/graft-sdedup-${d.replaceAll("[^0-9.]", "")}"
+      deleteRecursively(new java.io.File(root))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val inDir = java.nio.file.Paths.get(s"$root/in")
+      java.nio.file.Files.createDirectories(inDir)
+      // two copies = redelivery; the watermark horizon exceeds the table's
+      // event-time span so no duplicate is ever outside the dedup state
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
+        inDir.resolve("events_a.parquet"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
+        inDir.resolve("events_b.parquet"))
+      val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+      val src = s.readStream.schema(batchSchema).parquet(inDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val deduped = StreamIngest.dedupStream(src, Seq("event_id"), "ts", "365 days")
+      val q = deduped.writeStream.format("parquet")
+        .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$root/out").agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("event_id")).as("n_ids"))
+    },
+
     // flagship join-heavy aggregation (bench headline)
     "q_revenue_by_nation" -> { (s, d) =>
       val li = t(s, d)("lineitem"); val o = t(s, d)("orders")
@@ -2146,6 +2177,11 @@ object GraftQueries {
     "q_bucketed_store" ->
       """SELECT c_mktsegment, count(*) AS n FROM customer
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exactly one surviving row per event id despite double delivery
+    "q_stream_dedup" ->
+      """SELECT count(DISTINCT event_id) AS n_rows,
+        |count(DISTINCT event_id) AS n_ids FROM events""".stripMargin,
 
     // zip of per-order parallel arrays == the per-lineitem pairs
     "q_edge_zip" ->

@@ -78,6 +78,18 @@ object StreamIngest {
       .trigger(trigger)
       .start()
 
+  /** Streaming deduplication for at-least-once sources: one row per id
+    * within the watermark horizon (state for ids older than the watermark
+    * is evicted, which bounds state size — the scale contract). Duplicates
+    * arriving within `watermark` of the original are dropped exactly; pick
+    * the horizon from the source's redelivery window (e.g. a Kafka
+    * retention / replay bound), not from wall-clock hope.
+    */
+  def dedupStream(source: DataFrame, idCols: Seq[String], tsCol: String,
+      watermark: String): DataFrame =
+    source.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** Tumbling event-time window aggregation with a watermark for late data. */
   def tumblingCounts(events: DataFrame, tsCol: String, width: String,
       watermark: String = "10 minutes"): DataFrame =
