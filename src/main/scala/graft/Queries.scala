@@ -11,7 +11,7 @@ import graft.pipeline._
 import graft.fixtures.TpchGraph
 import graft.query._
 import graft.store.GraphStore
-import graft.ext.{Corpus, Dedup, Similarity, TextAnalysis}
+import graft.ext.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** The declared operator battery: one entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-equivalent oracle in [[oracles]].
@@ -1081,6 +1081,20 @@ object GraftQueries {
       q.awaitTermination()
       store.vertices("user").agg(count(lit(1)).as("n_users"))
         .crossJoin(store.vertices("event").agg(count(lit(1)).as("n_events")))
+    },
+
+    // extension: native WAV/PCM audio decode round-trip — synthesized
+    // integer-sawtooth payloads pack to real RIFF bytes, decode through the
+    // chunk parser, and featurize; the closed-form signal gives an exact
+    // SQL oracle for the whole pack→decode→feature path
+    "q_audio_features" -> { (s, d) =>
+      val ids = t(s, d)("documents").select(col("doc_id")).where(col("doc_id") < 100)
+      val packed = Multimodal.synthesizeWav(ids, "doc_id", n = 480, sampleRate = 8000)
+      Multimodal.audioFeatureFrame(packed, "doc_id")
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          round(col("duration_ms"), 2).as("duration_ms"),
+          round(col("rms_raw"), 2).as("rms"))
+        .orderBy("doc_id")
     },
 
     // §2.11 streaming dedup: an at-least-once source (the same events file
@@ -2177,6 +2191,19 @@ object GraftQueries {
     "q_bucketed_store" ->
       """SELECT c_mktsegment, count(*) AS n FROM customer
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // closed-form replay of the synthetic sawtooth: the WAV pack→decode
+    // round-trip must reproduce exactly these integer samples
+    "q_audio_features" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+        |s AS (SELECT doc_id, list_transform(generate_series(0, 479),
+        |  i -> ((i * (doc_id + 3)) % 2000) - 1000) AS v FROM d)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(480 AS BIGINT) AS n_samples,
+        |  round(480.0 * 1000 / 8000, 2) AS duration_ms,
+        |  round(sqrt(list_sum(list_transform(v,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) / 480), 2) AS rms
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // exactly one surviving row per event id despite double delivery
     "q_stream_dedup" ->

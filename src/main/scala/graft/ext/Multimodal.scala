@@ -12,7 +12,9 @@ import org.apache.spark.sql.types._
   *  - UNCOMPRESSED rasters (PPM P6, BMP 24-bit) are decoded NATIVELY —
   *    pure byte parsing, no codec library — and featurized as grid-cell
   *    mean luminance (a real, deterministic image embedding).
-  *  - Compressed codecs (JPEG/PNG/audio/video) need libraries this
+  *  - UNCOMPRESSED audio (WAV RIFF, PCM 8/16-bit) likewise decodes
+  *    natively ([[decodeWav]]) with duration/RMS features.
+  *  - Compressed codecs (JPEG/PNG/MP3/video) need libraries this
   *    container lacks, so their kernel is `decodeStub` ??? — a
   *    deterministic fake signal from the bytes. Swapping it for a real
   *    JNI/codec call changes no plan shape.
@@ -123,6 +125,121 @@ object Multimodal {
     }
     Array.tabulate(grid * grid)(c =>
       if (counts(c) == 0) 0f else (sums(c) / counts(c)).toFloat)
+  }
+
+  // ------------------------------------------------------------- § audio
+
+  /** Decoded PCM audio (mono or interleaved). */
+  final case class PcmAudio(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      samples: Array[Int])
+
+  /** Pack 16-bit mono PCM samples as a RIFF/WAVE byte array (the standard
+    * 44-byte header + little-endian data) — pure byte assembly.
+    */
+  def wavPack(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => out.putShort(s.toShort))
+    out.array()
+  }
+
+  /** WAV (RIFF/WAVE, PCM 8/16-bit) decode: walk the chunk list for `fmt `
+    * and `data`, reject non-PCM encodings. Pure byte parsing — audio needs
+    * no codec library for the PCM container, so unlike JPEG/MP3 this
+    * modality decodes NATIVELY.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[PcmAudio] = {
+    if (bytes.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, sampleRate, bits)
+    var data: Option[(Int, Int)] = None     // (offset, length)
+    while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(off); val len = bb.getInt(off + 4)
+      if (len < 0 || off + 8 + len > bytes.length) return None
+      id match {
+        case "fmt " =>
+          if (len < 16) return None
+          val audioFormat = bb.getShort(off + 8).toInt
+          if (audioFormat != 1) return None // PCM only
+          fmt = Some((bb.getShort(off + 10).toInt, bb.getInt(off + 12),
+            bb.getShort(off + 22).toInt))
+        case "data" => data = Some((off + 8, len))
+        case _      => ()
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    for ((channels, rate, bits) <- fmt; (dOff, dLen) <- data;
+         if channels >= 1 && rate > 0 && (bits == 8 || bits == 16)) yield {
+      val n = dLen / (bits / 8)
+      val samples = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        samples(i) =
+          if (bits == 8) (bytes(dOff + i) & 0xff) - 128 // 8-bit WAV is unsigned
+          else bb.getShort(dOff + i * 2).toInt
+        i += 1
+      }
+      PcmAudio(rate, channels, bits, samples)
+    }
+  }
+
+  /** Deterministic synthetic PCM payloads (an integer sawtooth keyed by the
+    * row id — exactly replicable in SQL, so the decode round-trip has a
+    * closed-form oracle): (id, media) with a real WAV byte payload.
+    */
+  def synthesizeWav(df: DataFrame, idCol: String, n: Int,
+      sampleRate: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("media", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val samples = Array.tabulate(n)(i => (((i.toLong * (id + 3)) % 2000) - 1000).toInt)
+          Row(id, wavPack(samples, sampleRate))
+        }
+      }(enc)
+  }
+
+  /** Decode the WAV binary column and emit per-row audio features
+    * (sample rate, sample count, duration, RMS) — the audio analogue of
+    * [[extractFeatures]], same mapPartitions batch shape. Rows that fail to
+    * decode are dropped (a production pipeline would side-channel them).
+    */
+  def audioFeatureFrame(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("sample_rate", LongType),
+      StructField("n_samples", LongType),
+      StructField("duration_ms", DoubleType),
+      StructField("rms_raw", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col("media"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          decodeWav(r.getAs[Array[Byte]](1)).map { a =>
+            val n = a.samples.length
+            var sumSq = 0.0
+            a.samples.foreach(s => sumSq += s.toDouble * s)
+            Row(r.getLong(0), a.sampleRate.toLong, n.toLong,
+              n.toDouble * 1000.0 / a.sampleRate,
+              if (n == 0) 0.0 else math.sqrt(sumSq / n))
+          }
+        }
+      }(enc)
   }
 
   val MetaSchema: StructType = StructType(Seq(
