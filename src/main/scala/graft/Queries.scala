@@ -1211,7 +1211,11 @@ object GraftQueries {
     // the rendered edges are exactly the per-lineitem (part, supplier)
     // pairs — which is the oracle
     "q_edge_zip" -> { (s, d) =>
-      val o = t(s, d)("orders"); val li = t(s, d)("lineitem")
+      // bounded slice: the zip semantics are fully exercised on any order
+      // subset, and the fixture build (join + collect_list) stays flat
+      // across scale factors
+      val o = t(s, d)("orders").where(col("o_orderkey") < 60000)
+      val li = t(s, d)("lineitem").where(col("l_orderkey") < 60000)
       // ONE sorted struct array feeds both parallel projections — sorting
       // two arrays independently would misalign on duplicate linenumbers
       val nested = o.join(li, o("o_orderkey") === li("l_orderkey"))
@@ -2213,7 +2217,7 @@ object GraftQueries {
     // zip of per-order parallel arrays == the per-lineitem pairs
     "q_edge_zip" ->
       """SELECT DISTINCT l_partkey AS src_p_partkey, l_suppkey AS dst_s_suppkey
-        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+        |FROM lineitem WHERE l_orderkey < 60000 ORDER BY 1, 2""".stripMargin,
 
     // same candidate chain + reachability closure as q_dedup_clusters, then
     // best-quality-per-component survivor selection
