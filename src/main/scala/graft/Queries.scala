@@ -1334,8 +1334,14 @@ object GraftQueries {
     * than once — the memo returns the cached graphs.
     */
   def prewarmFixtures(s: SparkSession, d: String): Unit = {
-    nestedOrders(s, d).materialize(): Unit
-    ingestCore(s, d): Unit // ingestCore materializes itself
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the two fixture pipelines are independent — overlap their jobs
+    val warm = Seq(
+      Future { nestedOrders(s, d).materialize(): Unit },
+      Future { ingestCore(s, d): Unit }) // ingestCore materializes itself
+    warm.foreach(Await.result(_, Duration.Inf))
   }
 
   /** Memoize shared fixture pipelines per (session, dir) so consecutive
@@ -1412,12 +1418,20 @@ object GraftQueries {
     * small.
     */
   private def ingestCore(s: SparkSession, d: String) = memo(s, d, "core") {
-    val parts = Seq(
-      PipelineCompiler.compile(TpchGraph.schema, TpchGraph.regionResource, t(s, d)("region")),
-      PipelineCompiler.compile(TpchGraph.schema, TpchGraph.nationResource, t(s, d)("nation")),
-      PipelineCompiler.compile(TpchGraph.schema, TpchGraph.customerResource, t(s, d)("customer")),
-      PipelineCompiler.compile(TpchGraph.schema, TpchGraph.supplierResource, t(s, d)("supplier")),
-      PipelineCompiler.compile(TpchGraph.schema, TpchGraph.ordersResource, t(s, d)("orders")))
+    // compile the five resources CONCURRENTLY: each compile() eagerly
+    // persists+counts its shuffled base, and those independent Spark jobs
+    // interleave across the cores instead of serializing on the driver
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = Seq(
+      () => PipelineCompiler.compile(TpchGraph.schema, TpchGraph.regionResource, t(s, d)("region")),
+      () => PipelineCompiler.compile(TpchGraph.schema, TpchGraph.nationResource, t(s, d)("nation")),
+      () => PipelineCompiler.compile(TpchGraph.schema, TpchGraph.customerResource, t(s, d)("customer")),
+      () => PipelineCompiler.compile(TpchGraph.schema, TpchGraph.supplierResource, t(s, d)("supplier")),
+      () => PipelineCompiler.compile(TpchGraph.schema, TpchGraph.ordersResource, t(s, d)("orders"))
+    ).map(f => Future(f()))
+    val parts = futures.map(Await.result(_, Duration.Inf))
     val g = parts.reduceLeft(_.unionWith(_)).cache()
     // one union job materializes every collection's cache: the per-resource
     // bases are parquet scans (cheap to recompute if branches race), so the
