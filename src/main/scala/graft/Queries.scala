@@ -1083,6 +1083,20 @@ object GraftQueries {
         .crossJoin(store.vertices("event").agg(count(lit(1)).as("n_events")))
     },
 
+    // extension: corpus length histogram (fixed-width token buckets)
+    "q_token_histogram" -> { (s, d) =>
+      Corpus.tokenHistogram(t(s, d)("documents"), "text", bucketWidth = 20)
+        .orderBy("bucket")
+    },
+
+    // extension: exact token-count quantiles (linear interpolation — the
+    // oracle-able reference point for percentile_approx at scale)
+    "q_token_quantiles" -> { (s, d) =>
+      Corpus.tokenQuantiles(t(s, d)("documents"), "text",
+        Seq(0.5, 0.9, 0.99))
+        .orderBy("q")
+    },
+
     // extension: native WAV/PCM audio decode round-trip — synthesized
     // integer-sawtooth payloads pack to real RIFF bytes, decode through the
     // chunk parser, and featurize; the closed-form signal gives an exact
@@ -2209,6 +2223,25 @@ object GraftQueries {
     "q_bucketed_store" ->
       """SELECT c_mktsegment, count(*) AS n FROM customer
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_token_histogram" ->
+      """WITH tok AS (SELECT CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS n
+        |  FROM documents)
+        |SELECT CAST(floor(n / 20) * 20 AS BIGINT) AS bucket,
+        |  count(*) AS n_docs FROM tok GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_token_quantiles" ->
+      """WITH tok AS (SELECT CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS n
+        |  FROM documents)
+        |SELECT CAST(0.5 AS DOUBLE) AS q,
+        |  round(quantile_cont(n::DOUBLE, 0.5), 4) AS value FROM tok
+        |UNION ALL SELECT CAST(0.9 AS DOUBLE),
+        |  round(quantile_cont(n::DOUBLE, 0.9), 4) FROM tok
+        |UNION ALL SELECT CAST(0.99 AS DOUBLE),
+        |  round(quantile_cont(n::DOUBLE, 0.99), 4) FROM tok
+        |ORDER BY q""".stripMargin,
 
     // closed-form replay of the synthetic sawtooth: the WAV pack→decode
     // round-trip must reproduce exactly these integer samples

@@ -112,6 +112,30 @@ object Corpus {
         count_distinct(col("_eval_id")).as("n_eval_docs"))
   }
 
+  /** Token-count histogram: corpus length distribution in fixed-width
+    * buckets — the standard first look at a training corpus. One keyed
+    * shuffle on the bucket id (cardinality = corpus-max/width, tiny).
+    */
+  def tokenHistogram(df: DataFrame, textCol: String, bucketWidth: Int): DataFrame = {
+    val n = TextAnalysis.tokenCount(col(textCol))
+    df.groupBy((floor(n / bucketWidth) * bucketWidth).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Exact token-count quantiles (linear interpolation — Spark `percentile`
+    * and SQL `quantile_cont` share the definition, so the result is
+    * engine-checkable). Exact percentile holds the value multiset per
+    * group; at 100 TB switch to `percentile_approx` and accept the sketch
+    * bound — this operator is the exact (oracle-able) reference point.
+    */
+  def tokenQuantiles(df: DataFrame, textCol: String, qs: Seq[Double]): DataFrame = {
+    val n = TextAnalysis.tokenCount(col(textCol)).cast("double")
+    df.agg(percentile(n, lit(qs.toArray)).as("p"))
+      .select(posexplode(col("p")).as(Seq("i", "value")))
+      .select(element_at(lit(qs.toArray), col("i").cast("int") + 1).as("q"),
+        round(col("value"), 4).as("value"))
+  }
+
   /** Per-cluster canonical survivor by best score (ties → smallest id):
     * the step after [[Dedup.connectedComponents]] — keep the best-quality
     * representative of every near-dup cluster. One keyed join + one window

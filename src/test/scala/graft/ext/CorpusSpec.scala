@@ -95,6 +95,19 @@ class CorpusSpec extends SparkSpec {
     assert(got == Set(1L, 3L))
   }
 
+  test("tokenHistogram buckets by fixed width; tokenQuantiles interpolates") {
+    import spark.implicits._
+    val df = Seq("a", "a b c", "a b c d e f g h i j k l", "")
+      .toDF("text")
+    val hist = Corpus.tokenHistogram(df, "text", 10)
+      .as[(Long, Long)].collect().toMap
+    assert(hist == Map(0L -> 3L, 10L -> 1L)) // 1,3,0 tokens → bucket 0; 12 → 10
+    val qs = Corpus.tokenQuantiles(df, "text", Seq(0.5))
+      .as[(Double, Double)].collect().toMap
+    // sorted counts: 0,1,3,12 → median = (1+3)/2 = 2.0
+    assert(qs(0.5) == 2.0)
+  }
+
   test("clusterSurvivors keeps the best-scored doc per component") {
     import spark.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("id", "component")
