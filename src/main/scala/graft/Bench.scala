@@ -43,19 +43,28 @@ object Bench {
     // single-pass run keeps the default of 1.
     val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(1)
     var results: Map[String, Double] = Map.empty
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     for (_ <- 1 to repeat)
       results = selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count(): Unit } catch {
+          case e: Throwable =>
+            // a failed query must be VISIBLE in the artifact, not a silent
+            // timing row — correctness lives in Verify, but the bench
+            // shouldn't mask a crash either
+            failed += name
+            Console.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def qJson(rs: Iterable[(String, Double)]) =
       rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // full per-query detail goes to the results file …
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qJson(results)},"fixtures_sec":${fmt(fixturesSec)},"n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qJson(results)},"fixtures_sec":${fmt(fixturesSec)},"n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try Files.writeString(Paths.get(outPath), fullLine + "\n")
     catch { case _: Throwable => () }
@@ -64,7 +73,7 @@ object Bench {
     // (~2.5 KB) overflows it — round 2's line was truncated and unparseable.
     val top = results.toSeq.sortBy(-_._2).take(20)
     val stdoutLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qJson(top)},"fixtures_sec":${fmt(fixturesSec)},"n_queries":${results.size},"full":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qJson(top)},"fixtures_sec":${fmt(fixturesSec)},"n_queries":${results.size},"failed":$failedJson,"full":"$outPath","sf":"$sfDir"}"""
     // full line first (a full-stdout parser gets every query), compact line
     // LAST so a bounded tail capture always contains one complete JSON line
     println(fullLine)

@@ -32,7 +32,9 @@ object Corpus {
 
   /** Deterministic split assignment: md5(id) against cumulative weight
     * thresholds. Weights need not sum to 1 (they are normalized). The last
-    * bucket is the fall-through, so every row is assigned.
+    * bucket is the fall-through, so every row is assigned — including rows
+    * with a NULL id (null comparisons are null → fall-through), which a
+    * caller should treat as a data-quality signal, not a split.
     */
   def splitColumn(idCol: Column, weights: Seq[(String, Double)]): Column = {
     require(weights.size >= 2, "need at least two split buckets")

@@ -242,7 +242,9 @@ object Dedup {
     *
     * Returns (idCol, component) for every node in `nodes`; singletons keep
     * their own id as the component (= the canonical survivor id, since
-    * labels propagate the MINIMUM id).
+    * labels propagate the MINIMUM id). `aCol`/`bCol` must share one type
+    * (the undirected expansion packs both into one struct array — mixed
+    * types fail analysis loudly).
     */
   def connectedComponents(
       nodes: DataFrame, idCol: String,
