@@ -114,6 +114,40 @@ object Corpus {
         count_distinct(col("_eval_id")).as("n_eval_docs"))
   }
 
+  /** Skew-safe two-phase top-k per group: a dominant group (one language
+    * covering most of a corpus) funnels through a single window partition
+    * in [[topKPerGroup]]; here each (group, salt) shard keeps a LOCAL top-k
+    * first, so no partition ever holds more than its shard, and the global
+    * pass ranks only `salts × k` candidates per group. Results are
+    * identical to the direct path (top-k is a per-group max — salting
+    * loses nothing as long as every shard keeps k).
+    */
+  def topKPerGroupSalted(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, k: Int, salts: Int = 32): DataFrame = {
+    val salted = df.withColumn("_salt", pmod(hash(col(idCol)), lit(salts)))
+    val wLocal = Window.partitionBy(col(groupCol), col("_salt"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val local = salted.withColumn("_lr", row_number().over(wLocal))
+      .where(col("_lr") <= k).drop("_lr", "_salt")
+    val wGlobal = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    local.withColumn("rank", row_number().over(wGlobal)).where(col("rank") <= k)
+  }
+
+  /** Approximate token-count quantiles — the 100 TB path: a mergeable
+    * sketch (bounded memory per partition) instead of [[tokenQuantiles]]'s
+    * exact value multiset. `accuracy` trades memory for error ≤ 1/accuracy
+    * rank fraction.
+    */
+  def tokenQuantilesApprox(df: DataFrame, textCol: String, qs: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    val n = TextAnalysis.tokenCount(col(textCol)).cast("double")
+    df.agg(percentile_approx(n, lit(qs.toArray), lit(accuracy)).as("p"))
+      .select(posexplode(col("p")).as(Seq("i", "value")))
+      .select(element_at(lit(qs.toArray), col("i").cast("int") + 1).as("q"),
+        col("value"))
+  }
+
   /** Token-count histogram: corpus length distribution in fixed-width
     * buckets — the standard first look at a training corpus. One keyed
     * shuffle on the bucket id (cardinality = corpus-max/width, tiny).

@@ -95,6 +95,30 @@ class CorpusSpec extends SparkSpec {
     assert(got == Set(1L, 3L))
   }
 
+  test("topKPerGroupSalted equals the direct window path") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (s"g${i % 3}", i, (i * 37 % 101).toDouble))
+      .toDF("g", "id", "score")
+    val direct = Corpus.topKPerGroup(df, "g", "score", "id", 5)
+      .select("g", "rank", "id").as[(String, Int, Long)].collect().toSet
+    val salted = Corpus.topKPerGroupSalted(df, "g", "score", "id", 5, salts = 7)
+      .select("g", "rank", "id").as[(String, Int, Long)].collect().toSet
+    assert(salted == direct)
+  }
+
+  test("tokenQuantilesApprox tracks the exact quantiles") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => s"${"w " * (i % 50)}").toDF("text")
+    val exact = Corpus.tokenQuantiles(df, "text", Seq(0.5, 0.9))
+      .as[(Double, Double)].collect().toMap
+    val approx = Corpus.tokenQuantilesApprox(df, "text", Seq(0.5, 0.9))
+      .as[(Double, Double)].collect().toMap
+    Seq(0.5, 0.9).foreach { q =>
+      assert(math.abs(exact(q) - approx(q)) <= 2.0,
+        s"q=$q exact=${exact(q)} approx=${approx(q)}")
+    }
+  }
+
   test("tokenHistogram buckets by fixed width; tokenQuantiles interpolates") {
     import spark.implicits._
     val df = Seq("a", "a b c", "a b c d e f g h i j k l", "")
