@@ -262,21 +262,32 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
     */
   def write(g: GraphOutput, dry: Boolean): Unit = {
     if (dry) { g.sizes(): Unit; return }
-    g.vertices.foreach { case (name, df) => upsertVertices(name, df) }
-    g.edges.foreach { case (k, df) =>
-      val edef = schema.edgeByKey.getOrElse(k, EdgeDef(k.source, k.target, k.relation))
-      var e = df
-      edef.sourceMatch.foreach { m =>
-        e = EndpointResolve.resolve(e, vertices(k.source), schema.vertex(k.source), m,
-          "src_", edef.ambiguity)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // collections are disjoint directories — their merge+write jobs are
+    // independent and overlap across the cluster; the vertices→edges
+    // BARRIER is semantic (endpoint resolution and weight enrichment read
+    // the post-upsert vertex collections, db_writer.py:91-134)
+    Await.result(Future.traverse(g.vertices.toSeq) { case (name, df) =>
+      Future(upsertVertices(name, df))
+    }, Duration.Inf): Unit
+    Await.result(Future.traverse(g.edges.toSeq) { case (k, df) =>
+      Future {
+        val edef = schema.edgeByKey.getOrElse(k, EdgeDef(k.source, k.target, k.relation))
+        var e = df
+        edef.sourceMatch.foreach { m =>
+          e = EndpointResolve.resolve(e, vertices(k.source), schema.vertex(k.source), m,
+            "src_", edef.ambiguity)
+        }
+        edef.targetMatch.foreach { m =>
+          e = EndpointResolve.resolve(e, vertices(k.target), schema.vertex(k.target), m,
+            "dst_", edef.ambiguity)
+        }
+        if (edef.extraWeights.nonEmpty) e = enrichEdgeWeights(k, e, edef.extraWeights)
+        insertEdges(k, e)
       }
-      edef.targetMatch.foreach { m =>
-        e = EndpointResolve.resolve(e, vertices(k.target), schema.vertex(k.target), m,
-          "dst_", edef.ambiguity)
-      }
-      if (edef.extraWeights.nonEmpty) e = enrichEdgeWeights(k, e, edef.extraWeights)
-      insertEdges(k, e)
-    }
+    }, Duration.Inf): Unit
     writeIndex()
   }
 
