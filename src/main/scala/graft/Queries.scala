@@ -532,6 +532,18 @@ object GraftQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // extension: SemDeDup-style semantic dedup — sign-LSH cells, least-id
+    // representative, members pruned at cos >= tau to their representative;
+    // md5-derived hyperplanes make cells and cosines engine-portable
+    "q_semantic_dedup" -> { (s, d) =>
+      Similarity.semanticDedup(t(s, d)("embeddings"), "vec_id", "embedding",
+        tau = 0.5, bits = 6, dim = 64,
+        planesOverride = Some(Similarity.md5Hyperplanes(bits = 6, dim = 64)))
+        .select(col("cell"), col("id"), col("cos_to_rep"),
+          col("keep").cast("long").as("keep"))
+        .orderBy("cell", "id")
+    },
+
     // extension: PII redaction (emails/URLs/IPs/phones → typed tokens);
     // deterministic PII is synthesized per doc so the scrub is exercised,
     // and the oracle replays the same synthesis + RE2-compatible patterns
@@ -1865,6 +1877,38 @@ object GraftQueries {
         |    AS cos
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.38 ORDER BY 1, 2""".stripMargin,
+
+    "q_semantic_dedup" ->
+      """WITH pw AS (SELECT j, d,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      p -> (strpos('0123456789abcdef',
+        |              substring(md5('p:' || j || ':' || d), p, 1)) - 1)
+        |           * CAST(power(16, 8 - p) AS BIGINT))) / 2147483648.0 - 1.0 AS w
+        |  FROM (SELECT unnest(generate_series(0, 5)) AS j) jj,
+        |       (SELECT unnest(generate_series(0, 63)) AS d) dd),
+        |pl AS (SELECT j, list(w ORDER BY d) AS p FROM pw GROUP BY j),
+        |cb AS (SELECT e.vec_id, SUM(CASE WHEN
+        |    list_reduce(list_transform(generate_series(1, 64),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i]), (acc, x) -> acc + x) >= 0
+        |    THEN CAST(1 AS BIGINT) << pl.j ELSE 0 END) AS cell
+        |  FROM embeddings e, pl GROUP BY e.vec_id),
+        |reps AS (SELECT cell, min(vec_id) AS rep_id FROM cb GROUP BY cell),
+        |s AS (SELECT cb.cell, cb.vec_id AS id, r.rep_id,
+        |  CASE WHEN cb.vec_id = r.rep_id THEN 1.0 ELSE
+        |    round(list_sum(list_transform(generate_series(1, 64),
+        |        i -> CAST(m.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |        i -> CAST(m.embedding[i] AS DOUBLE) * CAST(m.embedding[i] AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, 64),
+        |        i -> CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))))), 4)
+        |  END AS cos_to_rep
+        |  FROM cb JOIN reps r ON cb.cell = r.cell
+        |  JOIN embeddings m ON m.vec_id = cb.vec_id
+        |  JOIN embeddings v ON v.vec_id = r.rep_id)
+        |SELECT CAST(cell AS BIGINT) AS cell, id, cos_to_rep,
+        |  CAST(CASE WHEN id = rep_id OR cos_to_rep < 0.5 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS keep
+        |FROM s ORDER BY cell, id""".stripMargin,
 
     "q_redact_pii" ->
       """SELECT doc_id,

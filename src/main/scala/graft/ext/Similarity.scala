@@ -280,4 +280,40 @@ object Similarity {
       .where(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al., arXiv:2303.09540):
+    * partition the corpus into semantic cells, pick one deterministic
+    * representative per cell (least id), and drop every other member whose
+    * cosine to its cell representative reaches `tau`.
+    *
+    * Cells are sign-LSH buckets, so assignment is a narrow per-row
+    * projection (the hyperplanes ship as plan literals — no training pass,
+    * unlike the paper's k-means). The representative table is one
+    * groupBy-min over the cell key and holds at most 2^bits rows, so both
+    * the rep-vector fetch and the member→rep join broadcast. Total cost at
+    * any corpus size: one narrow scan + one tiny aggregate + two broadcast
+    * joins — O(n), vs O(n²/cells) for pairwise in-cell pruning.
+    */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String, tau: Double,
+      bits: Int = 6, dim: Int = 64,
+      planesOverride: Option[Array[Array[Double]]] = None
+  ): DataFrame = {
+    val planes = planesOverride.getOrElse(hyperplanes(bits, dim))
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("_v"))
+      .withColumn("cell", lshBucket(col("_v"), planes))
+      .withColumn("_n", norm(col("_v")))
+    val reps = base.groupBy(col("cell")).agg(min(col("id")).as("rep_id"))
+    // fetch rep vectors with a broadcast semi-side join (corpus scanned once)
+    val cellReps = base.select(col("id").as("rep_id"), col("_v").as("_rv"),
+        col("_n").as("_rn"))
+      .join(broadcast(reps), Seq("rep_id"))
+    base.join(broadcast(cellReps), Seq("cell"))
+      .withColumn("cos_to_rep",
+        when(col("id") === col("rep_id"), lit(1.0))
+          .otherwise(round(dot(col("_v"), col("_rv")) / (col("_n") * col("_rn")), 4)))
+      .withColumn("keep",
+        col("id") === col("rep_id") || col("cos_to_rep") < lit(tau))
+      .select(col("cell"), col("id"), col("cos_to_rep"), col("keep"))
+  }
 }

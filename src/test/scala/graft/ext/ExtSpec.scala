@@ -109,6 +109,21 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(nd == Set((1L, 2L)))
   }
+
+  test("semantic dedup keeps cell representatives and prunes near members") {
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      tau = 0.9, bits = 4, dim = 3).collect()
+    assert(out.length == 4) // every row classified exactly once
+    val byId = out.map(r => r.getAs[Long]("id") ->
+      (r.getAs[Long]("cell"), r.getAs[Double]("cos_to_rep"), r.getAs[Boolean]("keep"))).toMap
+    // representatives (least id per cell) always survive with cos 1.0
+    val reps = out.groupBy(_.getAs[Long]("cell")).values.map(_.map(_.getAs[Long]("id")).min)
+    reps.foreach { id => assert(byId(id)._2 == 1.0 && byId(id)._3) }
+    // 2 is in 1's cell (cos ~0.994 >= tau) → pruned iff sharing the cell
+    if (byId(2L)._1 == byId(1L)._1) assert(!byId(2L)._3)
+    // an opposite-direction vector never lands in 1's cell and survives
+    assert(byId(4L)._1 != byId(1L)._1 && byId(4L)._3)
+  }
 }
 
 class SkewJoinSpec extends SparkSpec {
