@@ -1176,6 +1176,15 @@ object GraftQueries {
         .orderBy("doc_id")
     },
 
+    // extension: deterministic training-export sharding (reproducible
+    // global shuffle — uniform shard draw + independent in-shard ordering)
+    "q_export_shards" -> { (s, d) =>
+      Corpus.exportShards(t(s, d)("documents").select("doc_id"), "doc_id",
+        nShards = 8)
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy("shard", "pos")
+    },
+
     // extension: deterministic stratified sampling (per-stratum keep rates)
     "q_stratified_sample" -> { (s, d) =>
       Corpus.stratifiedSample(
@@ -2191,6 +2200,21 @@ object GraftQueries {
         |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // shard = first 8 hex of md5('s:'||id) as an integer mod 8; pos = rank
+    // of md5('o:'||id) within the shard
+    "q_export_shards" ->
+      """WITH h AS (SELECT doc_id,
+        |  list_sum(list_transform(generate_series(1, 8),
+        |    p -> (strpos('0123456789abcdef',
+        |            substring(md5('s:' || doc_id), p, 1)) - 1)
+        |         * CAST(power(16, 8 - p) AS BIGINT))) % 8 AS shard,
+        |  md5('o:' || doc_id) AS ord
+        |  FROM documents)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+        |    AS BIGINT) AS pos, doc_id
+        |FROM h ORDER BY shard, pos""".stripMargin,
 
     // per-stratum rates: BUILDING 0.3 → 0x4CCCCCCC, AUTOMOBILE 0.1 →
     // 0x19999999, default 0.05 → 0x0CCCCCCC

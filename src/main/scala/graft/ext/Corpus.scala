@@ -69,6 +69,29 @@ object Corpus {
     df.where(md5(col(idCol).cast("string")) < thr)
   }
 
+  /** Deterministic training-export sharding: a reproducible global shuffle.
+    * Every row gets a `shard` (uniform md5 draw mod `nShards`, independent
+    * of the input key distribution — so shards balance even when ids or
+    * sources are skewed) and a `pos` within its shard (rank of a SECOND,
+    * independent md5 ordering hash), decorrelating neighbors so training
+    * readers see an i.i.d.-looking stream without a random_shuffle pass.
+    *
+    * Scale shape: one hash exchange on `shard` + a per-shard sort — the
+    * same cost as writing the output partitioned; no skew, no driver
+    * state. Assignment is append-stable (a row's shard never changes as
+    * the corpus grows; only in-shard positions shift).
+    */
+  def exportShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val shard = conv(substring(md5(concat(lit("s:"), col(idCol).cast("string"))),
+      1, 8), 16, 10).cast("long") % nShards
+    val w = Window.partitionBy(col("shard")).orderBy(col("_ord"), col(idCol))
+    df.withColumn("shard", shard)
+      .withColumn("_ord", md5(concat(lit("o:"), col(idCol).cast("string"))))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_ord")
+  }
+
   /** Top-k rows per group by descending score with a deterministic id
     * tiebreak — the curation step after quality scoring ("keep the best k
     * docs per language/domain"). One keyed shuffle (window partition).

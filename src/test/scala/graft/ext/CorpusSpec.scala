@@ -55,6 +55,29 @@ class CorpusSpec extends SparkSpec {
     assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
   }
 
+  test("exportShards: exhaustive, balanced-ish, positions contiguous, stable") {
+    import spark.implicits._
+    val docs = (0L until 400L).toDF("id")
+    val out = Corpus.exportShards(docs, "id", nShards = 8)
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pos"), r.getAs[Long]("id")))
+    assert(out.length == 400 && out.map(_._3).distinct.length == 400)
+    val byShard = out.groupBy(_._1)
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+    // uniform hash: no shard dominates (400/8 = 50 expected)
+    assert(byShard.values.map(_.length).max < 100)
+    // positions are 1..n contiguous per shard
+    byShard.values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // in-shard order decorrelates from id order (not simply ascending)
+    assert(byShard.values.exists(rows =>
+      rows.sortBy(_._2).map(_._3).toSeq != rows.map(_._3).sorted.toSeq))
+    // determinism: a rerun yields the identical assignment
+    val again = Corpus.exportShards(docs, "id", nShards = 8)
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pos"), r.getAs[Long]("id")))
+    assert(out.sortBy(_._3).toSeq == again.sortBy(_._3).toSeq)
+  }
+
   test("topKPerGroup ranks by score desc with id tiebreak") {
     import spark.implicits._
     val df = Seq(
