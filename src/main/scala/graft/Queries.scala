@@ -1223,6 +1223,41 @@ object GraftQueries {
         .orderBy("doc_id")
     },
 
+    // extension: Gopher-style quality rule filter (public heuristics,
+    // Rae et al. 2021 §A1.1) — measured features + per-rule verdicts;
+    // `pass` is the conjunction of all eight rules
+    "q_gopher_rules" -> { (s, d) =>
+      t(s, d)("documents")
+        .select(col("doc_id"), TextAnalysis.gopherRules(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_words").as("n_words"),
+          col("g.mean_word_len").as("mean_word_len"),
+          col("g.stopword_hits").as("stopword_hits"),
+          col("g.dup_bigram_frac").as("dup_bigram_frac"),
+          col("g.r_words").as("r_words"), col("g.r_mean_len").as("r_mean_len"),
+          col("g.r_stopwords").as("r_stopwords"),
+          col("g.r_dup_bigram").as("r_dup_bigram"), col("g.pass").as("pass"))
+        .orderBy("doc_id")
+    },
+
+    // extension: distributed sequence packing (concat-then-chunk) — docs
+    // in a deterministic global shuffle order; a two-phase prefix sum
+    // assigns the training sequence + offset where each document starts
+    "q_pack_sequences" -> { (s, d) =>
+      Corpus.packSequences(t(s, d)("documents").select("doc_id", "text"),
+        "doc_id", "text", budget = 256, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("seq_id"), col("seq_offset"))
+        .orderBy("doc_id")
+    },
+
+    // extension: CCNet-style LM filtering — corpus-trained unigram model,
+    // per-doc negative mean log-likelihood (high = rare-token tail)
+    "q_unigram_lm" -> { (s, d) =>
+      Corpus.unigramLmScore(t(s, d)("documents").select("doc_id", "text"),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // §2.2 bucketed store collections: versions written as bucketed
     // external tables (bucketBy on the identity) — collection-side joins
     // scan pre-hashed buckets with no exchange; upsert stays idempotent
@@ -2287,6 +2322,94 @@ object GraftQueries {
         |SELECT c.doc_id, count(DISTINCT c.g) AS n_shared_ngrams,
         |  count(DISTINCT e.eval_id) AS n_eval_docs
         |FROM c JOIN e ON c.g = e.g GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // all eight Gopher rules replicated; line rules (bullet/ellipsis) and
+    // symbol/alpha ratios are computed, not assumed, even where the fixture
+    // makes them trivially true
+    "q_gopher_rules" ->
+      """WITH sel AS (SELECT doc_id, text,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |tok AS (SELECT doc_id, text, nt,
+        |  list_filter(string_split(nt, ' '), x -> len(x) > 0) AS t FROM sel),
+        |big AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) u
+        |  WHERE len(t) >= 2),
+        |bd AS (SELECT doc_id, sum(cnt * len(g)) AS dupchars FROM
+        |  (SELECT doc_id, g, count(*) AS cnt FROM big GROUP BY 1, 2)
+        |  WHERE cnt > 1 GROUP BY 1),
+        |f AS (SELECT tok.doc_id,
+        |  len(t) AS n_words,
+        |  CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+        |    / greatest(len(t), 1) AS mean_len,
+        |  CAST(len(text) - len(replace(text, '#', ''))
+        |     + len(text) - len(replace(text, '…', ''))
+        |     + (len(text) - len(regexp_replace(text, '\.\.\.', '', 'g'))) // 3
+        |    AS DOUBLE) / greatest(len(t), 1) AS symbol_ratio,
+        |  CAST(len(list_filter(string_split(text, chr(10)),
+        |      l -> regexp_matches(l, '^\s*[•‣*-]'))) AS DOUBLE)
+        |    / greatest(len(string_split(text, chr(10))), 1) AS bullet_frac,
+        |  CAST(len(list_filter(string_split(text, chr(10)),
+        |      l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+        |    / greatest(len(string_split(text, chr(10))), 1) AS ellipsis_frac,
+        |  CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        |    / greatest(len(t), 1) AS alpha_frac,
+        |  len(list_filter(['the','be','to','of','and','that','have','with'],
+        |    w -> list_contains(t, w))) AS stop_hits,
+        |  CASE WHEN len(nt) = 0 THEN 0.0 ELSE
+        |    round(least(CAST(coalesce(bd.dupchars, 0) AS DOUBLE) / len(nt), 1.0), 4)
+        |  END AS dup_frac
+        |  FROM tok LEFT JOIN bd ON tok.doc_id = bd.doc_id)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  round(mean_len, 4) AS mean_word_len,
+        |  CAST(stop_hits AS BIGINT) AS stopword_hits,
+        |  dup_frac AS dup_bigram_frac,
+        |  n_words BETWEEN 50 AND 100000 AS r_words,
+        |  mean_len BETWEEN 3.0 AND 10.0 AS r_mean_len,
+        |  stop_hits >= 2 AS r_stopwords,
+        |  dup_frac <= 0.2 AS r_dup_bigram,
+        |  (n_words BETWEEN 50 AND 100000) AND (mean_len BETWEEN 3.0 AND 10.0)
+        |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        |    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+        |    AND stop_hits >= 2 AND dup_frac <= 0.2 AS pass
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // same shard/order draws as q_export_shards; the running token sum is a
+    // single global window here (the oracle side may be quadratic-ish; the
+    // engine side is the two-phase prefix sum)
+    "q_pack_sequences" ->
+      """WITH h AS (SELECT doc_id,
+        |  list_sum(list_transform(generate_series(1, 8),
+        |    p -> (strpos('0123456789abcdef',
+        |            substring(md5('s:' || doc_id), p, 1)) - 1)
+        |         * CAST(power(16, 8 - p) AS BIGINT))) % 8 AS shard,
+        |  md5('o:' || doc_id) AS ord,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (ORDER BY shard, ord, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+        |  FROM h)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(floor(st / 256) AS BIGINT) AS seq_id,
+        |  CAST(st % 256 AS BIGINT) AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_unigram_lm" ->
+      """WITH sel AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |tok AS (SELECT doc_id,
+        |  unnest(list_filter(string_split(nt, ' '), x -> len(x) > 0)) AS w
+        |  FROM sel),
+        |v AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM v)
+        |SELECT t.doc_id,
+        |  round(avg(-ln(CAST(v.cnt AS DOUBLE) / tot.total)), 4) AS lm_score
+        |FROM tok t JOIN v USING (w) CROSS JOIN tot
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     "q_bucketed_store" ->
       """SELECT c_mktsegment, count(*) AS n FROM customer

@@ -195,6 +195,79 @@ object Corpus {
         round(col("value"), 4).as("value"))
   }
 
+  /** Distributed sequence packing for training export (concat-then-chunk,
+    * the standard GPT-style pretraining layout): documents are laid out in
+    * the deterministic pseudo-random global order of [[exportShards]]
+    * (shard = one md5 draw, in-shard order = an independent md5 draw),
+    * token counts accumulate along that order, and each document is
+    * assigned the training sequence (`seq_id`) and intra-sequence offset
+    * (`seq_offset`) where its FIRST token lands for a fixed `budget`
+    * tokens per sequence. Documents may straddle sequence boundaries —
+    * the reader splits on the budget with EOS separators, as pretraining
+    * loaders do.
+    *
+    * Scale shape: the global running sum is a two-phase prefix sum — a
+    * per-shard window cumsum (one hash exchange on `shard`, uniform by
+    * construction) plus shard base offsets derived from the nShards-row
+    * shard-total aggregate, broadcast back. No global single-partition
+    * window, no driver data path beyond nShards longs.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Int, nShards: Int = 64): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(nShards > 0, "nShards must be positive")
+    val shard = conv(substring(md5(concat(lit("s:"), col(idCol).cast("string"))),
+      1, 8), 16, 10).cast("long") % nShards
+    val base = df
+      .withColumn("shard", shard)
+      .withColumn("_ord", md5(concat(lit("o:"), col(idCol).cast("string"))))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_ord"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCum = base.withColumn("_cum_in",
+      coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    // shard totals: nShards rows — the only global state, broadcast back
+    // (single-partition window over nShards rows, by construction tiny)
+    val wb = Window.partitionBy(lit(0)).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = base.groupBy("shard").agg(sum("n_tokens").as("_shard_total"))
+      .withColumn("_base", coalesce(sum(col("_shard_total")).over(wb), lit(0L)))
+      .select(col("shard"), col("_base"))
+    withCum.join(broadcast(bases), Seq("shard"))
+      .withColumn("_start", col("_base") + col("_cum_in"))
+      .withColumn("seq_id", floor(col("_start") / budget).cast("long"))
+      .withColumn("seq_offset", (col("_start") % budget).cast("long"))
+      .drop("_ord", "_cum_in", "_base", "_start")
+  }
+
+  /** CCNet-style unigram language-model scoring: every document's negative
+    * mean log-likelihood under the corpus's OWN unigram distribution.
+    * Low score = built from common corpus tokens (in-domain, fluent-ish);
+    * high score = rare-token-heavy (the tail a perplexity filter trims).
+    * The reference filter uses a pretrained KenLM; with no model shippable
+    * here the corpus itself is the training set — the operator shape
+    * (train counts → score per doc) is identical.
+    *
+    * Scale shape: vocab counts are a map-side-combinable groupBy on the
+    * token; scoring joins exploded tokens back to the vocab keyed on the
+    * token. Token frequencies are Zipfian — hot keys ('the') are exactly
+    * what AQE skew-join splitting handles, and the vocab (distinct tokens,
+    * orders of magnitude smaller than the corpus) broadcasts when under
+    * the threshold. Documents with no tokens are omitted (no likelihood).
+    */
+  def unigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(filter(split(Dedup.normalize(col(textCol)), " "),
+        t => length(t) > 0)).as("_tok"))
+    val vocab = toks.groupBy("_tok").agg(count(lit(1)).as("_cnt"))
+    val total = vocab.agg(sum("_cnt").as("_total"))
+    toks.join(vocab, Seq("_tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(round(avg(-log(col("_cnt").cast("double") / col("_total"))), 4)
+        .as("lm_score"))
+  }
+
   /** Per-cluster canonical survivor by best score (ties → smallest id):
     * the step after [[Dedup.connectedComponents]] — keep the best-quality
     * representative of every near-dup cluster. One keyed join + one window

@@ -124,4 +124,108 @@ object TextAnalysis {
     array_join(slice(sort_array(
       org.apache.spark.sql.functions.transform(
         Dedup.shingles(c, shingleLen), s => md5(s))), 1, k), "|")
+
+  /** Word n-grams as a NON-distinct array (occurrence multiset, unlike
+    * [[Dedup.shingles]]) — repetition metrics need the multiplicities.
+    */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val toks = filter(split(Dedup.normalize(c), " "), t => length(t) > 0)
+    val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+      .otherwise(lit(Array.empty[Int]))
+    org.apache.spark.sql.functions.transform(
+      idx, i => array_join(slice(toks, i + 1, lit(n)), " "))
+  }
+
+  /** Fraction of characters contained in word n-grams that occur MORE THAN
+    * ONCE within the document (the Gopher repetition-rule family's
+    * "fraction of characters in duplicate n-grams" — public heuristic,
+    * Rae et al. 2021 §A1.1). Each occurrence of a duplicated n-gram
+    * contributes its normalized length (internal single spaces included);
+    * the denominator is the normalized text length; overlap can push the
+    * raw sum past 1, so the result is capped at 1.
+    *
+    * Implementation: sort the n-gram multiset, then a single linear
+    * `aggregate` fold accumulates run lengths — equal n-grams are adjacent
+    * after the sort, so a run of length r > 1 adds r·len chars. Per-row
+    * column program (no shuffle); the fold is interpreted (non-codegen)
+    * but linear in the token count.
+    */
+  def dupNgramCharFrac(c: Column, n: Int): Column = {
+    val sorted = array_sort(wordNgrams(c, n))
+    val zero = struct(lit("").as("prev"), lit(0).as("run"), lit(0L).as("acc"))
+    val folded = aggregate(sorted, zero,
+      (st, g) => {
+        val flushed = when(st("run") > 1,
+          st("acc") + st("run").cast("long") * length(st("prev")))
+          .otherwise(st("acc"))
+        struct(
+          g.as("prev"),
+          when(g === st("prev"), st("run") + 1).otherwise(lit(1)).as("run"),
+          when(g === st("prev"), st("acc")).otherwise(flushed).as("acc"))
+      },
+      st => when(st("run") > 1,
+        st("acc") + st("run").cast("long") * length(st("prev")))
+        .otherwise(st("acc")))
+    val totalChars = length(Dedup.normalize(c))
+    when(totalChars <= 0, lit(0.0))
+      .otherwise(round(least(folded.cast("double") / totalChars, lit(1.0)), 4))
+  }
+
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, public
+    * heuristics) as a struct of per-rule verdicts plus the measured
+    * features: word-count bounds, mean-word-length bounds, symbol-to-word
+    * ratio (# / … / "..."), bullet- and ellipsis-line fractions,
+    * alphabetic-word fraction, required-stopword hits, and the duplicate
+    * bigram character fraction ([[dupNgramCharFrac]]). `pass` is the
+    * conjunction. Narrow per-row column math — a pre-training filter runs
+    * it as a plain `where(col("g.pass"))` with full scan pushdown.
+    */
+  def gopherRules(c: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+      minAlphaFrac: Double = 0.8, minStopwords: Int = 2,
+      maxDupBigramFrac: Double = 0.2): Column = {
+    val toks = filter(split(Dedup.normalize(c), " "), t => length(t) > 0)
+    val nw = size(toks)
+    val nwD = greatest(nw, lit(1)).cast("double")
+    val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+      .cast("double") / nwD
+    val nHash = length(c) - length(translate(c, "#", ""))
+    val nUniEll = length(c) - length(translate(c, "…", ""))
+    val nDotEll = (length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = (nHash + nUniEll + nDotEll).cast("double") / nwD
+    val lines = split(c, "\n")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val bulletFrac = size(filter(lines,
+      l => l.rlike("^\\s*[\\u2022\\u2023*-]"))).cast("double") / nLines
+    val ellipsisFrac = size(filter(lines,
+      l => l.rlike("(\\.\\.\\.|\\u2026)\\s*$"))).cast("double") / nLines
+    val alphaFrac = size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / nwD
+    val required = Array("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = size(array_intersect(toks, lit(required)))
+    val dupBigram = dupNgramCharFrac(c, 2)
+    val rWords = nw.between(minWords, maxWords)
+    val rMeanLen = meanLen.between(minMeanLen, maxMeanLen)
+    val rSymbol = symbolRatio <= maxSymbolRatio
+    val rBullet = bulletFrac <= maxBulletFrac
+    val rEllipsis = ellipsisFrac <= maxEllipsisFrac
+    val rAlpha = alphaFrac >= minAlphaFrac
+    val rStop = stopHits >= minStopwords
+    val rDup = dupBigram <= maxDupBigramFrac
+    struct(
+      nw.cast("long").as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(symbolRatio, 4).as("symbol_ratio"),
+      round(alphaFrac, 4).as("alpha_frac"),
+      stopHits.cast("long").as("stopword_hits"),
+      dupBigram.as("dup_bigram_frac"),
+      rWords.as("r_words"), rMeanLen.as("r_mean_len"),
+      rSymbol.as("r_symbol"), rBullet.as("r_bullet"),
+      rEllipsis.as("r_ellipsis"), rAlpha.as("r_alpha"),
+      rStop.as("r_stopwords"), rDup.as("r_dup_bigram"),
+      (rWords && rMeanLen && rSymbol && rBullet && rEllipsis &&
+        rAlpha && rStop && rDup).as("pass"))
+  }
 }
