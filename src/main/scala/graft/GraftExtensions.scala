@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
+
+import graft.expr.DotProduct
+
+/** Spark-native deployment entry point: registers graft's native SQL
+  * functions with a session, making the vector kernels SQL-addressable
+  * (e.g. `SELECT dot_product(embedding, embedding) FROM embeddings`).
+  *
+  * Two paths to the same registry entries:
+  *  - cluster config: `spark.sql.extensions=graft.GraftExtensions` — every
+  *    session built on the cluster (including SQL-only clients) sees the
+  *    functions without touching application code;
+  *  - programmatic: [[GraftExtensions.register]] on a live session
+  *    (notebooks, tests).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** (identifier, info, builder) for every exposed SQL function. The
+    * composites mirror [[graft.ext.Similarity.norm]]/`cosine` exactly —
+    * sqrt/divide/multiply over the same [[DotProduct]] kernel — expressed
+    * as raw Catalyst expressions (a FunctionBuilder must return an
+    * Expression tree; a Column round-trip would leave an unresolvable
+    * ColumnNode inside the plan). The `new Divide`/`new Multiply`
+    * constructors pick the session's ANSI eval mode at resolution time,
+    * like the Column `/` operator does.
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      args => {
+        require(args.size == 2, "dot_product(a, b) takes two arrays")
+        DotProduct(args(0), args(1))
+      }),
+    (FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_norm"),
+      args => {
+        require(args.size == 1, "vec_norm(a) takes one array")
+        Sqrt(DotProduct(args.head, args.head))
+      }),
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[DotProduct].getName, "cosine_sim"),
+      args => {
+        require(args.size == 2, "cosine_sim(a, b) takes two arrays")
+        val (a, b) = (args(0), args(1))
+        new Divide(DotProduct(a, b),
+          new Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
+      }))
+
+  /** Register the functions on an already-running session. */
+  def register(spark: SparkSession): Unit = functions.foreach {
+    case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}
