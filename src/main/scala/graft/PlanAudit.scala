@@ -19,7 +19,8 @@ object PlanAudit {
     val names =
       if (args.nonEmpty) args.toSeq
       else Seq("q_filter_predicate", "q_revenue_by_nation", "q_fuzzy_match",
-        "q_skew_join", "q_semi_join", "q_edge_pair")
+        "q_skew_join", "q_semi_join", "q_edge_pair",
+        "q_gopher_rules", "q_pack_sequences", "q_unigram_lm")
     names.foreach { n =>
       println(s"\n===== $n =====")
       try GraftQueries.all(n)(spark, sfDir).explain("formatted")
