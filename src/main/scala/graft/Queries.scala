@@ -1258,6 +1258,17 @@ object GraftQueries {
         .orderBy("doc_id")
     },
 
+    // extension: epoch-capped data-mixture planning — the largest training
+    // budget where no domain repeats more than maxEpochs; the per-domain
+    // planned tokens/epochs feed the split/sample/pack operators
+    "q_mixture_plan" -> { (s, d) =>
+      Corpus.mixturePlan(t(s, d)("documents").select("lang", "text"),
+        "lang", "text",
+        Map("en" -> 0.5, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.1, "zh" -> 0.1),
+        maxEpochs = 2.0)
+        .orderBy("domain")
+    },
+
     // §2.2 bucketed store collections: versions written as bucketed
     // external tables (bucketBy on the identity) — collection-side joins
     // scan pre-hashed buckets with no exchange; upsert stays idempotent
@@ -2410,6 +2421,29 @@ object GraftQueries {
         |  round(avg(-ln(CAST(v.cnt AS DOUBLE) / tot.total)), 4) AS lm_score
         |FROM tok t JOIN v USING (w) CROSS JOIN tot
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // doubles forced throughout (DuckDB numeric literals default to
+    // DECIMAL, which would round differently from Spark's double math)
+    "q_mixture_plan" ->
+      """WITH a AS (SELECT lang AS domain,
+        |    sum(CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(lower(text)), '\s+')) END)
+        |    AS available_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT domain, available_tokens,
+        |  CAST(CASE domain WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.15
+        |    WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.1 WHEN 'zh' THEN 0.1 END
+        |    AS DOUBLE) AS frac
+        |  FROM a WHERE domain IN ('en', 'de', 'es', 'fr', 'zh')),
+        |b AS (SELECT *,
+        |  min(available_tokens * CAST(2.0 AS DOUBLE) / frac) OVER () AS budget
+        |  FROM w)
+        |SELECT domain, CAST(available_tokens AS BIGINT) AS available_tokens,
+        |  round(frac, 4) AS target_frac,
+        |  CAST(floor(frac * budget) AS BIGINT) AS planned_tokens,
+        |  round(CAST(floor(frac * budget) AS DOUBLE) / available_tokens, 4)
+        |    AS epochs
+        |FROM b ORDER BY domain""".stripMargin,
 
     "q_bucketed_store" ->
       """SELECT c_mktsegment, count(*) AS n FROM customer

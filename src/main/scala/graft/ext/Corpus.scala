@@ -268,6 +268,47 @@ object Corpus {
         .as("lm_score"))
   }
 
+  /** Epoch-capped data-mixture planning (the standard pretraining mixing
+    * computation — public practice in LLM corpus reports): given target
+    * domain fractions and the corpus's available tokens per domain, find
+    * the LARGEST total training budget `T` such that no domain repeats
+    * more than `maxEpochs` times — `T = min over domains of
+    * maxEpochs · available_d / frac_d` — then plan `frac_d · T` tokens per
+    * domain. `epochs < 1` means subsample (feed [[stratifiedSample]] /
+    * [[hashSplit]] rates); `epochs > 1` means repeat. Domains absent from
+    * `targetWeights` are excluded from the plan (weight 0).
+    *
+    * Scale shape: one map-side-combinable groupBy on the domain — the
+    * result is one row per domain, so the min-over-plan window is tiny by
+    * construction. The corpus is scanned once, two columns.
+    */
+  def mixturePlan(df: DataFrame, domainCol: String, textCol: String,
+      targetWeights: Map[String, Double], maxEpochs: Double = 4.0): DataFrame = {
+    require(targetWeights.nonEmpty, "need at least one target domain")
+    require(targetWeights.values.forall(_ > 0), "target weights must be positive")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val wSum = targetWeights.values.sum
+    val fracExpr = targetWeights.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("double")) { case (els, (dom, w)) =>
+        when(col("domain") === dom, lit(w / wSum)).otherwise(els)
+      }
+    val avail = df
+      .groupBy(col(domainCol).as("domain"))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long"))
+        .as("available_tokens"))
+      .withColumn("_frac", fracExpr)
+      .where(col("_frac").isNotNull)
+    val wAll = Window.partitionBy(lit(0)) // one row per planned domain
+    avail
+      .withColumn("_budget", min(col("available_tokens") * maxEpochs / col("_frac")).over(wAll))
+      .withColumn("planned_tokens", floor(col("_frac") * col("_budget")).cast("long"))
+      .withColumn("epochs",
+        round(col("planned_tokens").cast("double") / col("available_tokens"), 4))
+      .select(col("domain"), col("available_tokens"),
+        round(col("_frac"), 4).as("target_frac"),
+        col("planned_tokens"), col("epochs"))
+  }
+
   /** Per-cluster canonical survivor by best score (ties → smallest id):
     * the step after [[Dedup.connectedComponents]] — keep the best-quality
     * representative of every near-dup cluster. One keyed join + one window

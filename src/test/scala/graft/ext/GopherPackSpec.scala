@@ -101,6 +101,32 @@ class GopherPackSpec extends SparkSpec {
     assert(scores(0)._2 == s1.toDouble && scores(1)._2 == s2.toDouble)
   }
 
+  test("mixturePlan: the scarcest domain binds the budget") {
+    import spark.implicits._
+    // domain A: 4 docs × 5 tokens = 20 available; domain B: 1 doc × 5 = 5.
+    // weights 50/50, maxEpochs 2 → budget = min(2·20/0.5, 2·5/0.5) = 20,
+    // so each domain plans 10 tokens: A at 0.5 epochs, B at the 2.0 cap
+    val docs = ((1 to 4).map(i => (s"a$i", "A")) :+ (("b1", "B")))
+      .map { case (id, dom) => (id, dom, "one two three four five") }
+      .toDF("id", "domain", "text")
+    val plan = Corpus.mixturePlan(docs, "domain", "text",
+      Map("A" -> 0.5, "B" -> 0.5), maxEpochs = 2.0)
+      .orderBy("domain")
+      .select("domain", "available_tokens", "planned_tokens", "epochs")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(plan == Seq(("A", 20L, 10L, 0.5), ("B", 5L, 10L, 2.0)))
+  }
+
+  test("mixturePlan drops unplanned domains and normalizes weights") {
+    import spark.implicits._
+    val docs = Seq(("1", "A", "x y"), ("2", "B", "x y"), ("3", "C", "x y"))
+      .toDF("id", "domain", "text")
+    val plan = Corpus.mixturePlan(docs, "domain", "text",
+      Map("A" -> 2.0, "B" -> 2.0), maxEpochs = 1.0)
+    assert(plan.where(col("domain") === "C").count() == 0)
+    assert(plan.select("target_frac").distinct().head().getDouble(0) == 0.5)
+  }
+
   test("unigramLmScore ranks rare-token docs above common-token docs") {
     import spark.implicits._
     val common = (1 to 50).map(_ => "the cat sat")
