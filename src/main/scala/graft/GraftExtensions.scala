@@ -45,16 +45,29 @@ object GraftExtensions {
       new ExpressionInfo(classOf[DotProduct].getName, "vec_norm"),
       args => {
         require(args.size == 1, "vec_norm(a) takes one array")
+        requireDeterministic("vec_norm", args)
         Sqrt(DotProduct(args.head, args.head))
       }),
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[DotProduct].getName, "cosine_sim"),
       args => {
         require(args.size == 2, "cosine_sim(a, b) takes two arrays")
+        requireDeterministic("cosine_sim", args)
         val (a, b) = (args(0), args(1))
         new Divide(DotProduct(a, b),
           new Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
       }))
+
+  /** The composite builders repeat their argument trees (norm evaluates
+    * the arg twice, cosine three times). For a non-deterministic arg
+    * (rand()-built vectors) the copies would evaluate INDEPENDENTLY —
+    * norm of two different vectors, even sqrt of a negative dot — so
+    * reject at build time rather than return incoherent numbers.
+    */
+  private def requireDeterministic(fn: String, args: Seq[Expression]): Unit =
+    args.foreach(a => require(a.deterministic,
+      s"$fn repeats its argument expression and requires deterministic " +
+        s"arguments; got: ${a.sql}"))
 
   /** Register the functions on an already-running session. */
   def register(spark: SparkSession): Unit = functions.foreach {

@@ -25,16 +25,24 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(a, _), ArrayType(b, _))
-      if a.isInstanceOf[NumericType] && b.isInstanceOf[NumericType] =>
-      TypeCheckResult.TypeCheckSuccess
-    case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"dot_product expects two numeric arrays, got $l and $r")
+  override def checkInputDataTypes(): TypeCheckResult = {
+    // NullType appears for SQL literals (dot_product(NULL, v), array()) —
+    // accepted and null-propagated like comparable builtins, not rejected
+    // at analysis
+    def ok(t: DataType): Boolean = t match {
+      case NullType => true
+      case ArrayType(e, _) => e.isInstanceOf[NumericType] || e == NullType
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product expects two numeric arrays, got ${left.dataType} and ${right.dataType}")
   }
 
-  private def elemType(e: Expression): DataType =
-    e.dataType.asInstanceOf[ArrayType].elementType
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(t, _) => t
+    case _ => NullType // NullType child: eval never reaches the getter
+  }
 
   private def getAsDouble(a: ArrayData, i: Int, t: DataType): Double = t match {
     case FloatType  => a.getFloat(i).toDouble
@@ -44,6 +52,9 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     case ShortType  => a.getShort(i).toDouble
     case ByteType   => a.getByte(i).toDouble
     case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
+    // array<null> elements are all null: the isNullAt guard fires first,
+    // so this is only reached for n == 0 (never) — keep a total function
+    case NullType => 0.0
     case other => throw new IllegalStateException(s"unsupported element type $other")
   }
 
@@ -72,10 +83,18 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     case ByteType    => s"((double) $v.getByte($i))"
     case d: DecimalType =>
       s"$v.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
+    case NullType => "0.0" // unreachable at runtime (isNullAt guard)
     case other => throw new IllegalStateException(s"unsupported element type $other")
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    if (left.dataType == NullType || right.dataType == NullType) {
+      // a NULL-literal child is null on every row — don't emit the array
+      // loop (its ArrayData assignment would not compile for NullType)
+      return ev.copy(code = code"""
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;""")
+    }
     val leftGen = left.genCode(ctx)
     val rightGen = right.genCode(ctx)
     val a = ctx.freshName("a"); val b = ctx.freshName("b")

@@ -280,7 +280,14 @@ object Corpus {
     *
     * Scale shape: one map-side-combinable groupBy on the domain — the
     * result is one row per domain, so the min-over-plan window is tiny by
-    * construction. The corpus is scanned once, two columns.
+    * construction (and the validation action below is over those same
+    * few rows, never the corpus). The corpus is scanned once, two columns.
+    *
+    * Every `targetWeights` domain must have tokens in the corpus: a
+    * weighted domain with zero available tokens makes the maxEpochs
+    * contract unsatisfiable for any positive budget (the plan would
+    * silently train on a different mixture than asked), so this raises
+    * instead.
     */
   def mixturePlan(df: DataFrame, domainCol: String, textCol: String,
       targetWeights: Map[String, Double], maxEpochs: Double = 4.0): DataFrame = {
@@ -298,6 +305,11 @@ object Corpus {
         .as("available_tokens"))
       .withColumn("_frac", fracExpr)
       .where(col("_frac").isNotNull)
+    val present = avail.where(col("available_tokens") > 0)
+      .select("domain").collect().map(_.getString(0)).toSet
+    val missing = targetWeights.keySet -- present
+    require(missing.isEmpty,
+      s"target domains with no corpus tokens: ${missing.toSeq.sorted.mkString(", ")}")
     val wAll = Window.partitionBy(lit(0)) // one row per planned domain
     avail
       .withColumn("_budget", min(col("available_tokens") * maxEpochs / col("_frac")).over(wAll))

@@ -35,6 +35,27 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql == viaDf)
   }
 
+  test("SQL NULL and empty-array literals null-propagate / sum to zero") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT dot_product(NULL, array(1.0D, 2.0D)) AS a,
+        |       dot_product(array(), array()) AS b,
+        |       dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS c
+        |""".stripMargin).head()
+    assert(row.isNullAt(0))
+    assert(row.getDouble(1) == 0.0, "empty arrays: an empty sum, not an error")
+    assert(row.isNullAt(2))
+  }
+
+  test("composite functions reject non-deterministic arguments") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT vec_norm(transform(sequence(1, 3), i -> rand()))").collect()
+    }
+    assert(e.getMessage.contains("deterministic"), s"got: ${e.getMessage}")
+  }
+
   test("the SparkSessionExtensions injection path accepts all functions") {
     // a builder-time config (`spark.sql.extensions=graft.GraftExtensions`)
     // drives exactly this call; the shared test session predates it, so

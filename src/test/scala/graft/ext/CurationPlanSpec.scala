@@ -11,14 +11,12 @@ import graft.SparkSpec
   */
 class CurationPlanSpec extends SparkSpec {
 
-  private def docsParquet: String = {
+  private lazy val docsParquet: String = {
     import spark.implicits._
     val path = "target/curation-plan-docs"
-    if (!new java.io.File(path).exists()) {
-      (0L until 200L).map(i => (i, s"the quick doc $i of words", s"src${i % 3}", i))
-        .toDF("doc_id", "text", "source", "n_chars")
-        .write.mode("overwrite").parquet(path)
-    }
+    (0L until 200L).map(i => (i, s"the quick doc $i of words", s"src${i % 3}", i))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(path)
     path
   }
 

@@ -117,6 +117,17 @@ class GopherPackSpec extends SparkSpec {
     assert(plan == Seq(("A", 20L, 10L, 0.5), ("B", 5L, 10L, 2.0)))
   }
 
+  test("mixturePlan raises when a target domain has no corpus tokens") {
+    import spark.implicits._
+    val docs = Seq(("1", "A", "x y"), ("2", "B", "   ")).toDF("id", "domain", "text")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.mixturePlan(docs, "domain", "text",
+        Map("A" -> 0.5, "B" -> 0.25, "code" -> 0.25), maxEpochs = 2.0)
+    }
+    assert(e.getMessage.contains("B") && e.getMessage.contains("code"),
+      s"both the token-less and the absent domain are reported: ${e.getMessage}")
+  }
+
   test("mixturePlan drops unplanned domains and normalizes weights") {
     import spark.implicits._
     val docs = Seq(("1", "A", "x y"), ("2", "B", "x y"), ("3", "C", "x y"))
