@@ -17,6 +17,7 @@ import graft.expr.FilterExpr
   *   agg     <storeDir> <vertex> <disc>     COUNT-by AggregateQuery
   *   bfs     <storeDir> <vertex> <key>=<v> <hops>
   *   migrate <srcStore> <dstStore>          graph→graph migration
+  *   curate  <docsParquet> <outDir>         training-corpus curation run
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -33,7 +34,7 @@ object Main {
     finally spark.stop()
   }
 
-  private def run(spark: SparkSession, args: List[String]): Unit = args match {
+  private[graft] def run(spark: SparkSession, args: List[String]): Unit = args match {
     case "ingest-manifest" :: manifestPath :: dataDir :: storeDir :: rest =>
       // declarative ingest: YAML/JSON manifest → schema + resources; inputs
       // resolve per-resource from bindings or by name under <dataDir>
@@ -74,6 +75,44 @@ object Main {
       val s = new GraphStore(src, TpchGraph.schema, spark)
       val d = new GraphStore(dst, TpchGraph.schema, spark)
       GraphMigration.migrate(s, d).toSeq.sorted.foreach { case (k, n) => println(s"$k: $n") }
+    case "curate" :: docsPath :: outDir :: Nil =>
+      // end-to-end corpus curation (the public pretraining recipe shape),
+      // composed entirely from the ext operators: Gopher quality rules →
+      // exact dedup → MinHash-LSH near-dup clusters → best-quality
+      // survivor per cluster → deterministic train/val/test split →
+      // reproducible export shards. Expects (doc_id, text) columns.
+      import org.apache.spark.sql.functions._
+      import graft.ext.{Corpus, Dedup, TextAnalysis}
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val docs = spark.read.parquet(docsPath)
+      val nInput = docs.count()
+      val passed = docs
+        .where(TextAnalysis.gopherRules(col("text")).getField("pass"))
+        .persist(lvl)
+      val nRules = passed.count()
+      val exact = Dedup.dropExactDuplicates(passed, "doc_id", "text").persist(lvl)
+      val nExact = exact.count()
+      val pairs = Dedup.minhashNearDups(exact, "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 4, minSim = 0.7)
+      val clusters = Dedup.connectedComponents(
+        exact.select("doc_id"), "doc_id", pairs, "id_a", "id_b")
+        .withColumnRenamed("_id", "doc_id")
+      val scored = exact.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("_q"))
+      val survivors = Corpus.clusterSurvivors(
+        clusters, "doc_id", "component", scored, "_q")
+        .select(col("survivor_id").as("doc_id"))
+      val kept = exact.join(survivors, Seq("doc_id"), "left_semi")
+      val split = Corpus.hashSplit(kept, "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      Corpus.exportShards(split, "doc_id", nShards = 8)
+        .write.mode("overwrite").partitionBy("split").parquet(s"$outDir/docs")
+      val out = spark.read.parquet(s"$outDir/docs")
+      val perSplit = out.groupBy("split").count().collect()
+        .map(r => s""""${r.getString(0)}": ${r.getLong(1)}""").sorted.mkString(", ")
+      println(s"""{"input": $nInput, "after_rules": $nRules, """ +
+        s""""after_exact": $nExact, "after_neardup": ${out.count()}, """ +
+        s""""splits": {$perSplit}}""")
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println("usage: ingest-manifest|ingest|node|agg|bfs|migrate ...")
