@@ -174,4 +174,57 @@ class PropertySpec extends SparkSpec {
       assert(back == snake)
     }
   }
+
+  test("dupNgramCharFrac equals the multiset model on random repetitive docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // small vocab forces plenty of duplicate bigrams
+    val docs = (1 to 120).map { i =>
+      (i.toLong, (0 until rnd.nextInt(30)).map(_ => s"t${rnd.nextInt(5)}").mkString(" "))
+    }
+    val got = docs.toDF("id", "text")
+      .select(col("id"), graft.ext.TextAnalysis.dupNgramCharFrac(col("text"), 2).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val model = docs.map { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val bigs = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val norm = toks.mkString(" ")
+      val dupChars = bigs.groupBy(identity).collect {
+        case (g, occ) if occ.size > 1 => occ.size.toLong * g.length
+      }.sum
+      val f =
+        if (norm.isEmpty) 0.0
+        else BigDecimal(math.min(dupChars.toDouble / norm.length, 1.0))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      id -> f
+    }.toMap
+    assert(got == model)
+  }
+
+  test("packSequences equals the global prefix-sum model on random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val docs = (0 until 150).map { i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(9))).map(j => s"w$j").mkString(" "))
+    }
+    val budget = 17
+    val got = graft.ext.Corpus
+      .packSequences(docs.toDF("id", "text"), "id", "text", budget, nShards = 5)
+      .select("id", "seq_id", "seq_offset")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // model: lay docs out by (md5 shard draw, md5 order draw), then chunk
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ordered = docs.sortBy { case (id, _) =>
+      val shard = java.lang.Long.parseLong(md5hex(s"s:$id").take(8), 16) % 5
+      (shard, md5hex(s"o:$id"), id)
+    }
+    var cum = 0L
+    val model = ordered.map { case (id, text) =>
+      val n = text.split("\\s+").count(_.nonEmpty).toLong
+      val start = cum; cum += n
+      id -> (start / budget, start % budget)
+    }.toMap
+    assert(got == model)
+  }
 }
