@@ -39,6 +39,34 @@ class StreamingSpec extends SparkSpec {
     assert(m == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
   }
 
+  test("streaming curation: quality filter + watermark dedup compose in one stream") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sq = spark.sqlContext
+    val sw = "the results of this and that have come up with more to show"
+    def doc(i: Int) = sw + " " + (1 to 45).map(j => s"word${i * 50 + j}").mkString(" ")
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val src = mem.toDF().toDF("doc_id", "text", "ts")
+    // per-row rules apply to a stream exactly as to a batch (narrow column
+    // math); dedup is the stateful watermark operator
+    val curated = StreamIngest.dedupStream(
+      src.where(graft.ext.TextAnalysis.gopherRules(col("text")).getField("pass")),
+      Seq("doc_id"), "ts", "1 hour")
+    val out = Files.createTempDirectory("graft-scur").toString
+    val cp = Files.createTempDirectory("graft-scur-cp").toString
+    val t0 = new Timestamp(1700000000000L)
+    mem.addData(
+      (1L, doc(1), t0), (2L, doc(2), t0),
+      (1L, doc(1), t0),            // redelivery: dropped by dedup
+      (3L, "too short the of", t0)) // fails the word-count rule
+    val q = curated.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L))
+  }
+
   test("tumbling window aggregation with watermark over a stream") {
     val sparkS = spark
     import sparkS.implicits._
