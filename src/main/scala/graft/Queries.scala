@@ -1269,6 +1269,15 @@ object GraftQueries {
         .orderBy("domain")
     },
 
+    // extension: per-label centroid prototypicality (D4/SSL-prototypes
+    // curation signal) — low cosine-to-own-centroid = outlier/label-noise
+    // candidates, high = redundancy near the class mode
+    "q_proto_centroid" -> { (s, d) =>
+      Similarity.prototypicality(t(s, d)("embeddings"),
+        "vec_id", "label", "embedding")
+        .orderBy("vec_id")
+    },
+
     // §2.2 bucketed store collections: versions written as bucketed
     // external tables (bucketBy on the identity) — collection-side joins
     // scan pre-hashed buckets with no exchange; upsert stays idempotent
@@ -2444,6 +2453,24 @@ object GraftQueries {
         |  round(CAST(floor(frac * budget) AS DOUBLE) / available_tokens, 4)
         |    AS epochs
         |FROM b ORDER BY domain""".stripMargin,
+
+    // centroid components rounded to 6 decimals on both sides so the
+    // avg's aggregation order cannot leak into the 4-decimal cosine
+    "q_proto_centroid" ->
+      """WITH e AS (SELECT vec_id, label, i AS dim,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, LATERAL (SELECT
+        |    unnest(generate_series(1, len(embedding))) AS i) u),
+        |c AS (SELECT label, dim, round(avg(v), 6) AS cv
+        |  FROM e GROUP BY 1, 2),
+        |j AS (SELECT e.vec_id, e.label,
+        |    sum(e.v * c.cv) AS dot,
+        |    sqrt(sum(e.v * e.v)) AS nv,
+        |    sqrt(sum(c.cv * c.cv)) AS nc
+        |  FROM e JOIN c ON e.label = c.label AND e.dim = c.dim
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, label, round(dot / (nv * nc), 4) AS proto_cos
+        |FROM j ORDER BY vec_id""".stripMargin,
 
     "q_bucketed_store" ->
       """SELECT c_mktsegment, count(*) AS n FROM customer

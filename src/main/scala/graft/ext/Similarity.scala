@@ -316,4 +316,40 @@ object Similarity {
         col("id") === col("rep_id") || col("cos_to_rep") < lit(tau))
       .select(col("cell"), col("id"), col("cos_to_rep"), col("keep"))
   }
+
+  /** Per-label embedding centroids. Centroid components are averaged in
+    * double and rounded to `centroidScale` decimals so the result is
+    * stable under aggregation order (and replicable by a SQL oracle).
+    *
+    * Scale shape: posexplode to (label, dim, value) then a map-side-
+    * combinable avg keyed on label×dim — cardinality labels·dims, tiny
+    * regardless of corpus size — reassembled into arrays by a second
+    * tiny groupBy.
+    */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String,
+      centroidScale: Int = 6): DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("_dim", "_val")))
+      .groupBy(col("label"), col("_dim"))
+      .agg(avg(col("_val").cast("double")).as("_avg"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("_dim"), col("_avg")))).as("_s"))
+      .select(col("label"),
+        org.apache.spark.sql.functions.transform(col("_s"),
+          s => round(s.getField("_avg"), centroidScale)).as("centroid"))
+
+  /** Prototypicality: each vector's cosine to its OWN label's centroid —
+    * the D4/SSL-prototypes curation signal (public method family): the
+    * low end is outliers/label noise, the high end is redundancy near the
+    * class mode; both are pruning candidates. The centroid table is
+    * labels-many rows and broadcasts; the corpus is scanned once.
+    */
+  def prototypicality(df: DataFrame, idCol: String, labelCol: String,
+      vecCol: String): DataFrame = {
+    val cents = labelCentroids(df, labelCol, vecCol)
+    df.select(col(idCol), col(labelCol).as("label"), col(vecCol).as("_v"))
+      .join(broadcast(cents), Seq("label"))
+      .select(col(idCol), col("label"),
+        round(cosine(col("_v"), col("centroid")), 4).as("proto_cos"))
+  }
 }

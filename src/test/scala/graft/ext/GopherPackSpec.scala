@@ -88,6 +88,20 @@ class GopherPackSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("prototypicality: centroid members score 1.0, outliers lower") {
+    import spark.implicits._
+    val a = Seq(1.0f, 0.0f); val b = Seq(0.0f, 1.0f)
+    val df = Seq(
+      (1L, 0, a), (2L, 0, a),            // label 0: all identical → proto 1.0
+      (3L, 1, a), (4L, 1, b)             // label 1: split → both below 1.0
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.prototypicality(df, "vec_id", "label", "embedding")
+      .orderBy("vec_id").as[(Long, Int, Double)].collect().toSeq
+    assert(got(0)._3 == 1.0 && got(1)._3 == 1.0)
+    // centroid of label 1 is (0.5, 0.5): cos = 0.5/(1 · √0.5) = 0.7071
+    assert(got(2)._3 == 0.7071 && got(3)._3 == 0.7071)
+  }
+
   test("unigramLmScore: hand-computed negative mean log-likelihood") {
     import spark.implicits._
     // counts over corpus: a=2 b=2 c=1, total=5
