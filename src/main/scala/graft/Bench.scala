@@ -44,7 +44,10 @@ object Bench {
     val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(1)
     var results: Map[String, Double] = Map.empty
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    for (_ <- 1 to repeat)
+    for (_ <- 1 to repeat) {
+      // the artifact reports the LAST pass; `failed` must describe that
+      // same pass, not accumulate transient earlier-pass failures
+      failed.clear()
       results = selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(): Unit } catch {
@@ -57,6 +60,7 @@ object Bench {
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
+    }
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def qJson(rs: Iterable[(String, Double)]) =
       rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")

@@ -96,7 +96,6 @@ object Main {
         n = 3, bands = 8, rowsPerBand = 4, minSim = 0.7)
       val clusters = Dedup.connectedComponents(
         exact.select("doc_id"), "doc_id", pairs, "id_a", "id_b")
-        .withColumnRenamed("_id", "doc_id")
       val scored = exact.select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("_q"))
       val survivors = Corpus.clusterSurvivors(
@@ -115,7 +114,7 @@ object Main {
         s""""splits": {$perSplit}}""")
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("usage: ingest-manifest|ingest|node|agg|bfs|migrate ...")
+      System.err.println("usage: ingest-manifest|ingest|node|agg|bfs|migrate|curate ...")
       sys.exit(2)
   }
 

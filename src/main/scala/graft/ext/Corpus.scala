@@ -81,13 +81,24 @@ object Corpus {
     * state. Assignment is append-stable (a row's shard never changes as
     * the corpus grows; only in-shard positions shift).
     */
+  /** The ONE definition of the deterministic global-shuffle layout shared
+    * by [[exportShards]] and [[packSequences]] (their orderings — and the
+    * oracles mirroring them — must never drift apart): `shard` is a
+    * uniform md5 draw mod `nShards`, `_ord` an INDEPENDENT md5 draw
+    * ordering rows within their shard.
+    */
+  private def shardDraw(idCol: String, nShards: Int): Column =
+    conv(substring(md5(concat(lit("s:"), col(idCol).cast("string"))),
+      1, 8), 16, 10).cast("long") % nShards
+
+  private def orderDraw(idCol: String): Column =
+    md5(concat(lit("o:"), col(idCol).cast("string")))
+
   def exportShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")
-    val shard = conv(substring(md5(concat(lit("s:"), col(idCol).cast("string"))),
-      1, 8), 16, 10).cast("long") % nShards
     val w = Window.partitionBy(col("shard")).orderBy(col("_ord"), col(idCol))
-    df.withColumn("shard", shard)
-      .withColumn("_ord", md5(concat(lit("o:"), col(idCol).cast("string"))))
+    df.withColumn("shard", shardDraw(idCol, nShards))
+      .withColumn("_ord", orderDraw(idCol))
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("_ord")
   }
@@ -216,11 +227,9 @@ object Corpus {
       budget: Int, nShards: Int = 64): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(nShards > 0, "nShards must be positive")
-    val shard = conv(substring(md5(concat(lit("s:"), col(idCol).cast("string"))),
-      1, 8), 16, 10).cast("long") % nShards
     val base = df
-      .withColumn("shard", shard)
-      .withColumn("_ord", md5(concat(lit("o:"), col(idCol).cast("string"))))
+      .withColumn("shard", shardDraw(idCol, nShards))
+      .withColumn("_ord", orderDraw(idCol))
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
     val w = Window.partitionBy(col("shard")).orderBy(col("_ord"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -299,17 +308,28 @@ object Corpus {
       .foldLeft(lit(null).cast("double")) { case (els, (dom, w)) =>
         when(col("domain") === dom, lit(w / wSum)).otherwise(els)
       }
-    val avail = df
-      .groupBy(col(domainCol).as("domain"))
+    // ONE corpus scan: the per-domain aggregate (rows = #domains) is
+    // collected for validation AND becomes the source of the returned
+    // plan — re-deriving the frame from the corpus would pay the scan a
+    // second time on the caller's first action
+    val availRows = df
+      .groupBy(col(domainCol).cast("string").as("domain"))
       .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long"))
         .as("available_tokens"))
       .withColumn("_frac", fracExpr)
       .where(col("_frac").isNotNull)
-    val present = avail.where(col("available_tokens") > 0)
-      .select("domain").collect().map(_.getString(0)).toSet
+      .collect()
+    val present = availRows
+      .filter(_.getAs[Long]("available_tokens") > 0).map(_.getString(0)).toSet
     val missing = targetWeights.keySet -- present
     require(missing.isEmpty,
       s"target domains with no corpus tokens: ${missing.toSeq.sorted.mkString(", ")}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val avail = availRows.toSeq
+      .map(r => (r.getString(0), r.getAs[Long]("available_tokens"),
+        r.getAs[Double]("_frac")))
+      .toDF("domain", "available_tokens", "_frac")
     val wAll = Window.partitionBy(lit(0)) // one row per planned domain
     avail
       .withColumn("_budget", min(col("available_tokens") * maxEpochs / col("_frac")).over(wAll))

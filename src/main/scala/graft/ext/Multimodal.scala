@@ -166,7 +166,9 @@ object Multimodal {
     var data: Option[(Int, Int)] = None     // (offset, length)
     while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
       val id = tag(off); val len = bb.getInt(off + 4)
-      if (len < 0 || off + 8 + len > bytes.length) return None
+      // long arithmetic: a crafted len near Int.MaxValue must not wrap the
+      // bounds check and turn into a giant allocation downstream
+      if (len < 0 || off.toLong + 8L + len > bytes.length) return None
       id match {
         case "fmt " =>
           if (len < 16) return None
@@ -231,11 +233,14 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { r =>
           decodeWav(r.getAs[Array[Byte]](1)).map { a =>
+            // samples are channel-INTERLEAVED: frames (and duration) divide
+            // by the channel count; RMS stays over all interleaved values
             val n = a.samples.length
+            val frames = n / a.channels
             var sumSq = 0.0
             a.samples.foreach(s => sumSq += s.toDouble * s)
-            Row(r.getLong(0), a.sampleRate.toLong, n.toLong,
-              n.toDouble * 1000.0 / a.sampleRate,
+            Row(r.getLong(0), a.sampleRate.toLong, frames.toLong,
+              frames.toDouble * 1000.0 / a.sampleRate,
               if (n == 0) 0.0 else math.sqrt(sumSq / n))
           }
         }

@@ -313,7 +313,12 @@ object Similarity {
         when(col("id") === col("rep_id"), lit(1.0))
           .otherwise(round(dot(col("_v"), col("_rv")) / (col("_n") * col("_rn")), 4)))
       .withColumn("keep",
-        col("id") === col("rep_id") || col("cos_to_rep") < lit(tau))
+        // zero-norm vectors make the cosine NULL (0/0); they cannot be a
+        // near-duplicate of anything, so they are kept — without the
+        // coalesce, keep would be NULL and the row would vanish from BOTH
+        // keep and !keep filters
+        col("id") === col("rep_id") ||
+          coalesce(col("cos_to_rep") < lit(tau), lit(true)))
       .select(col("cell"), col("id"), col("cos_to_rep"), col("keep"))
   }
 

@@ -54,11 +54,16 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
   private def vdir(name: String) = s"$root/vertices/$name"
   private def edir(k: EdgeKey)   = s"$root/edges/${k.storeName}"
 
-  /** Catalog-safe unique table name per (store root, collection, version). */
+  /** Catalog-safe unique table name per (store root, collection, version).
+    * The readable sanitized name alone is NOT unique ("user-event" and
+    * "user_event" both sanitize to user_event, and would silently serve
+    * each other's data in bucketed mode), so a digest of the RAW name is
+    * part of the identity.
+    */
   private def tableName(collection: String, v: Int): String = {
-    val rootTag = java.security.MessageDigest.getInstance("MD5")
-      .digest(root.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    s"graft_${rootTag}_${collection.replaceAll("[^A-Za-z0-9]", "_")}_v$v"
+    def tag(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"graft_${tag(root)}_${collection.replaceAll("[^A-Za-z0-9]", "_")}_${tag(collection)}_v$v"
   }
 
   private def currentVersion(dir: String): Option[Int] = {
@@ -268,11 +273,20 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
     // collections are disjoint directories — their merge+write jobs are
     // independent and overlap across the cluster; the vertices→edges
     // BARRIER is semantic (endpoint resolution and weight enrichment read
-    // the post-upsert vertex collections, db_writer.py:91-134)
-    Await.result(Future.traverse(g.vertices.toSeq) { case (name, df) =>
+    // the post-upsert vertex collections, db_writer.py:91-134).
+    // Failures propagate only AFTER every sibling future settles: a
+    // fail-fast await would leave detached writers mutating collections
+    // while the caller already handles (or retries on) the exception.
+    def awaitAll(fs: Seq[Future[Unit]]): Unit = {
+      val settled = Await.result(
+        Future.traverse(fs)(f => f.transform(scala.util.Success(_))),
+        Duration.Inf)
+      settled.collectFirst { case scala.util.Failure(e) => throw e }: Unit
+    }
+    awaitAll(g.vertices.toSeq.map { case (name, df) =>
       Future(upsertVertices(name, df))
-    }, Duration.Inf): Unit
-    Await.result(Future.traverse(g.edges.toSeq) { case (k, df) =>
+    })
+    awaitAll(g.edges.toSeq.map { case (k, df) =>
       Future {
         val edef = schema.edgeByKey.getOrElse(k, EdgeDef(k.source, k.target, k.relation))
         var e = df
@@ -287,7 +301,7 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
         if (edef.extraWeights.nonEmpty) e = enrichEdgeWeights(k, e, edef.extraWeights)
         insertEdges(k, e)
       }
-    }, Duration.Inf): Unit
+    })
     writeIndex()
   }
 
