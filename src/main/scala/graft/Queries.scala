@@ -828,10 +828,14 @@ object GraftQueries {
       import graft.rdf.Rdf
       val dir = new java.io.File(s"/root/repo/target/graft-rdfxml-${d.replaceAll("[^0-9.]", "")}")
       deleteRecursively(dir); dir.mkdirs()
+      // escape text nodes: a value containing & or < must survive the
+      // build→parse round-trip, not crash the parser
+      def esc(v: Any): String = v.toString
+        .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       val body = t(s, d)("region").select(col("r_regionkey"), col("r_name"))
         .collect().sortBy(_.get(0).toString).map { r =>
-          s"""  <rdf:Description rdf:about="http://g/region/${r.get(0)}">
-             |    <p:name>${r.get(1)}</p:name>
+          s"""  <rdf:Description rdf:about="http://g/region/${esc(r.get(0))}">
+             |    <p:name>${esc(r.get(1))}</p:name>
              |  </rdf:Description>""".stripMargin
         }.mkString("\n")
       val xml =
@@ -1368,7 +1372,12 @@ object GraftQueries {
       val again = derbyCache.get(k)
       if (again != null) return again
       System.setProperty("derby.system.home", "/root/repo/target")
-      val dir = s"/root/repo/target/graft-derby-${d.replaceAll("[^0-9.]", "")}"
+      // dir keyed on the FULL sf path (digest), matching the cache key —
+      // digits alone would let '/a/sf0.1' and '/b/sf0.1' evict each
+      // other's live database
+      val dTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val dir = s"/root/repo/target/graft-derby-$dTag"
       // a half-built db from a prior failed run may still be BOOTED in this
       // JVM — file deletion alone won't evict it; shut it down first
       try java.sql.DriverManager.getConnection(s"jdbc:derby:$dir;shutdown=true")
@@ -1984,7 +1993,7 @@ object GraftQueries {
         |         || doc_id || ' at 10.0.' || (doc_id % 256) || '.7 phone +1 (555) 000-'
         |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
-        |     'https?://[^\s]+', '<URL>', 'g'),
+        |     'https?://[^ \t\n\x0B\f\r]+', '<URL>', 'g'),
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
         |   '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,

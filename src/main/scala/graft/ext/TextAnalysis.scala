@@ -55,14 +55,16 @@ object TextAnalysis {
   /** PII redaction (standard pre-training scrub pass): replace emails,
     * IPv4 addresses, phone-like digit runs, and URLs with typed tokens.
     * Patterns restricted to the regex subset Java and RE2 share (no
-    * lookarounds/backrefs), so an engine with RE2 `regexp_replace` (the
-    * DuckDB oracle) reproduces the output byte-for-byte. Order matters:
+    * lookarounds/backrefs — and no `\s`, whose class differs: Java's
+    * includes \x0B, RE2's does not; whitespace is spelled as an explicit
+    * character class instead), so an engine with RE2 `regexp_replace`
+    * (the DuckDB oracle) reproduces the output byte-for-byte. Order matters:
     * URLs before IPv4 (an URL may embed a host IP), emails before phones
     * (digits inside a local-part must not be phone-masked).
     */
   val PiiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+" -> "<EMAIL>",
-    "https?://[^\\s]+" -> "<URL>",
+    "https?://[^ \\t\\n\\x0B\\f\\r]+" -> "<URL>",
     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
     "\\+?[0-9][0-9()\\-. ]{7,}[0-9]" -> "<PHONE>"
   )

@@ -196,16 +196,21 @@ object RelationalInference {
     val conn = java.sql.DriverManager.getConnection(url, properties)
     try {
       val md = conn.getMetaData
-      val tables = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      // TABLE_SCHEM stays an Option: JDBC distinguishes null (schema not
+      // used in selection — MySQL) from "" (tables WITHOUT a schema);
+      // collapsing null to "" would filter every MySQL table out of the
+      // PK/FK lookups below
+      val tables = scala.collection.mutable.ArrayBuffer[(Option[String], String)]()
       val trs = md.getTables(null, null, "%", Array("TABLE"))
       while (trs.next()) {
-        val sch = Option(trs.getString("TABLE_SCHEM")).getOrElse("")
-        val up = sch.toUpperCase
+        val schOpt = Option(trs.getString("TABLE_SCHEM"))
+        val up = schOpt.getOrElse("").toUpperCase
         if (!up.startsWith("SYS") && up != "INFORMATION_SCHEMA" && up != "PG_CATALOG")
-          tables += ((sch, trs.getString("TABLE_NAME")))
+          tables += ((schOpt, trs.getString("TABLE_NAME")))
       }
       trs.close()
-      val catalog = tables.flatMap { case (sch, tbl) =>
+      val catalog = tables.flatMap { case (schOpt, tbl) =>
+        val sch = schOpt.orNull
         val pks = {
           val r = md.getPrimaryKeys(null, sch, tbl)
           val b = Set.newBuilder[String]
@@ -222,11 +227,19 @@ object RelationalInference {
         // getColumns returns rows in ORDINAL_POSITION order — preserved so
         // the first FK column of a link table is the edge source.
         val cols = scala.collection.mutable.ArrayBuffer[CatalogColumn]()
+        // getColumns' schema/table args are SEARCH PATTERNS ('_'/'%' are
+        // wildcards): "user_role" would also match "userXrole". Escaping
+        // is driver-specific, so filter result rows to the exact table
+        // instead (getPrimaryKeys/getImportedKeys above take exact names)
         val r = md.getColumns(null, sch, tbl, "%")
         while (r.next()) {
-          val c = r.getString("COLUMN_NAME")
-          cols += CatalogColumn(tbl.toLowerCase, c.toLowerCase,
-            pks.contains(c), fks.get(c).map(_.toLowerCase))
+          val sameTable = r.getString("TABLE_NAME") == tbl &&
+            Option(r.getString("TABLE_SCHEM")) == schOpt
+          if (sameTable) {
+            val c = r.getString("COLUMN_NAME")
+            cols += CatalogColumn(tbl.toLowerCase, c.toLowerCase,
+              pks.contains(c), fks.get(c).map(_.toLowerCase))
+          }
         }
         r.close(); cols
       }

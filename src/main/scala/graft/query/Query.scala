@@ -218,11 +218,9 @@ final class GraphReader(
     */
   private def enforceElementCap(g: GraphOutput): GraphOutput = {
     val cached = g.cache()
-    // one job for the whole cap check: count a union of 1-projections
-    // instead of one action per collection
-    val total = (cached.vertices.values ++ cached.edges.values)
-      .map(_.select(lit(1).as("one")))
-      .reduceOption(_ union _).map(_.count()).getOrElse(0L)
+    // one job for the whole cap check (GraphOutput.materialize is the one
+    // union-of-1-projections counting idiom)
+    val total = cached.materialize()
     if (total > caps.maxElements)
       throw new IllegalStateException(
         s"traversal result $total elements exceeds cap ${caps.maxElements}")
@@ -332,9 +330,14 @@ final class GraphReader(
       // is persisted instead (re-evaluation through the limit would
       // otherwise pick a different subset).
       nextFrontier = nextFrontier.map { case (t, df) =>
-        val loc = localize(df)
-        if (loc eq df) { val p = df.persist(lvl); hopFrames += p; t -> p }
-        else t -> loc
+        // persist BEFORE probing: an over-cap frontier's probe partitions
+        // land in the cache and its consumers reuse them, instead of the
+        // probe evaluating the un-persisted plan and every consumer
+        // recomputing it from scratch
+        val p = df.persist(lvl)
+        val loc = localize(p)
+        if (loc eq p) { hopFrames += p; t -> p }
+        else { p.unpersist(): Unit; t -> loc }
       }
 
       collectedEdges = (collectedEdges.keySet ++ newEdges.keySet).map { k =>

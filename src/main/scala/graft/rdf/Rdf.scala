@@ -126,9 +126,11 @@ object Rdf {
       (0 until nl.getLength).map(nl.item).collect { case el: org.w3c.dom.Element => el }
     }
     def nodeElem(e: org.w3c.dom.Element): String = {
+      // rdf:nodeID labels are FILE-scoped (rdflib scopes blank ids per
+      // parse): a bare "_:b1" from two files must not merge into one node
       val subj = attr(e, "about")
         .orElse(attr(e, "ID").map("#" + _))
-        .orElse(attr(e, "nodeID").map("_:" + _))
+        .orElse(attr(e, "nodeID").map(b => s"_:$fileTag-$b"))
         .getOrElse(freshBlank())
       val qn = ns(e) + e.getLocalName
       if (qn != RdfNs + "Description") out += ((subj, RdfType, qn, false))
@@ -139,7 +141,7 @@ object Rdf {
       val pred = ns(p) + p.getLocalName
       (attr(p, "resource"), attr(p, "nodeID"), attr(p, "parseType")) match {
         case (Some(r), _, _) => out += ((subj, pred, r, false))
-        case (_, Some(b), _) => out += ((subj, pred, "_:" + b, false))
+        case (_, Some(b), _) => out += ((subj, pred, s"_:$fileTag-$b", false))
         case (_, _, Some("Resource")) =>
           val b = freshBlank()
           out += ((subj, pred, b, false))
@@ -162,7 +164,12 @@ object Rdf {
     spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content")).as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (p, bytes) =>
-        parseRdfXmlBytes(bytes, p.split("/").last)
+        // tag from the FULL path (md5 + basename): two part-files that
+        // share a basename in different directories must not share a
+        // blank-node scope
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(p.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        parseRdfXmlBytes(bytes, s"$digest-${p.split("/").last}")
       }).toDF("s", "p", "o", "isLiteral")
   }
 

@@ -56,8 +56,8 @@ class RdfXmlSpec extends SparkSpec {
     assert(triples.contains(("http://ex.org/p3", "http://ex.org/name", "Carol", true)))
   }
 
-  test("rdf:nodeID reference") {
-    assert(triples.contains(("http://ex.org/p2", "http://ex.org/friend", "_:b9", false)))
+  test("rdf:nodeID reference is file-scoped (blank ids from different files must not merge)") {
+    assert(triples.contains(("http://ex.org/p2", "http://ex.org/friend", "_:t-b9", false)))
   }
 
   test("DTDs are refused (untrusted input)") {
