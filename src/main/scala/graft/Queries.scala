@@ -1353,6 +1353,84 @@ object GraftQueries {
         TextAnalysis.qualityScore(col("text")).as("quality"))
       Corpus.clusterSurvivors(clusters, "doc_id", "component", scored, "quality")
         .orderBy("component")
+    },
+
+    // extension: C4-style exact cross-document span dedup — every 10-word
+    // span keeps only its globally-first occurrence; docs reassemble from
+    // surviving spans (text compared by md5 to keep the result narrow)
+    "q_span_dedup" -> { (s, d) =>
+      Corpus.spanDedup(t(s, d)("documents").select("doc_id", "text"),
+        "doc_id", "text", spanWords = 10)
+        .select(col("doc_id"), col("n_spans"), col("n_kept"),
+          md5(col("dedup_text")).as("text_hash"))
+        .orderBy("doc_id")
+    },
+
+    // extension: BM25 lexical relevance against a fixed query-term set —
+    // contributions summed in sorted-term order (bit-reproducible)
+    "q_bm25" -> { (s, d) =>
+      Corpus.bm25(t(s, d)("documents"), "doc_id", "text",
+        Seq("spark", "vector", "window"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), col("bm25"), col("n_matched_terms"))
+    },
+
+    // extension: deterministic HyperLogLog distinct counts (md5 registers,
+    // exact-integer register sum) vs the exact distinct count — low-card
+    // (users → linear counting) and high-card (event ids → raw estimator)
+    // branches both exercised
+    "q_hll_distinct" -> { (s, d) =>
+      import graft.ext.Sketch
+      val ev = TpchGraph.eventsTable(s, d)
+      val est = Sketch.hllCounts(ev, Seq("event_type"), "user_id")
+        .withColumn("metric", lit("user"))
+        .union(Sketch.hllCounts(ev, Seq("event_type"), "event_id")
+          .withColumn("metric", lit("event")))
+      val exact = ev.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("exact_count"))
+        .withColumn("metric", lit("user"))
+        .union(ev.groupBy("event_type")
+          .agg(count_distinct(col("event_id")).as("exact_count"))
+          .withColumn("metric", lit("event")))
+      est.join(exact, Seq("event_type", "metric"))
+        .select(col("event_type"), col("metric"), col("estimate"),
+          col("exact_count"))
+        .orderBy("event_type", "metric")
+    },
+
+    // extension: count-min sketch point-frequency estimates (4×64 md5
+    // counters — bounded memory for an unbounded key space) vs exact counts
+    "q_cms_counts" -> { (s, d) =>
+      import graft.ext.Sketch
+      val ev = TpchGraph.eventsTable(s, d)
+      val exact = ev.groupBy(col("event_type").as("probe"))
+        .agg(count(lit(1)).as("exact_count"))
+      Sketch.cmsEstimate(ev, "event_type", ev.select("event_type"), "event_type")
+        .join(exact, Seq("probe"))
+        .orderBy("probe")
+    },
+
+    // extension: deterministic weighted sampling without replacement
+    // (Efraimidis-Spirakis A-ES, md5 uniform draws) — 50 docs ∝ length
+    "q_weighted_sample" -> { (s, d) =>
+      Corpus.weightedSample(t(s, d)("documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", k = 50)
+        .select(col("doc_id"), col("n_chars"),
+          round(col("sample_key"), 6).as("sample_key"))
+        .orderBy("doc_id")
+    },
+
+    // extension: per-dimension int8 scalar quantization of embeddings —
+    // full code vector checked via exact integer sum + first four codes
+    "q_int8_quant" -> { (s, d) =>
+      Similarity.quantizeInt8(t(s, d)("embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"),
+          aggregate(col("codes"), lit(0L), (acc, x) => acc + x).as("code_sum"),
+          element_at(col("codes"), 1).as("c0"),
+          element_at(col("codes"), 2).as("c1"),
+          element_at(col("codes"), 3).as("c2"),
+          element_at(col("codes"), 4).as("c3"))
+        .orderBy("vec_id")
     }
   )
 
@@ -2573,6 +2651,157 @@ object GraftQueries {
         |  FROM comp JOIN q ON comp.doc_id = q.doc_id)
         |SELECT component, doc_id AS survivor_id, quality FROM j
         |QUALIFY row_number() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) = 1
-        |ORDER BY component""".stripMargin
+        |ORDER BY component""".stripMargin,
+
+    // 10-word spans, 0-based positions; globally-first occurrence =
+    // row_number over (doc_id, pos) per span
+    "q_span_dedup" ->
+      """WITH sel AS (SELECT doc_id,
+        |  list_filter(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' '),
+        |    x -> len(x) > 0) AS t FROM documents),
+        |sp AS (SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(list_slice(t, (i-1)*10 + 1, i*10), ' ') AS span
+        |  FROM sel, LATERAL (SELECT unnest(generate_series(1,
+        |      CAST(ceil(len(t) / 10.0) AS BIGINT))) AS i) u
+        |  WHERE len(t) > 0),
+        |keep AS (SELECT doc_id, pos, span FROM sp
+        |  QUALIFY row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) = 1),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(span, ' ' ORDER BY pos) AS dtext
+        |  FROM keep GROUP BY 1)
+        |SELECT s.doc_id, CAST(ceil(len(s.t) / 10.0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |  md5(coalesce(a.dtext, '')) AS text_hash
+        |FROM sel s LEFT JOIN agg a ON s.doc_id = a.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+
+    // BM25, terms (spark, vector, window), k1=1.2, b=0.75; contributions
+    // summed in sorted-term order exactly like the Spark side
+    "q_bm25" ->
+      """WITH sel AS (SELECT doc_id,
+        |  list_filter(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' '),
+        |    x -> len(x) > 0) AS t FROM documents),
+        |docs AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, t FROM sel),
+        |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM docs, LATERAL (SELECT unnest(list_filter(t,
+        |    x -> x IN ('spark','vector','window'))) AS term) u
+        |  GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        |  FROM tf GROUP BY 1),
+        |c AS (SELECT tf.doc_id, tf.term,
+        |  ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5)) * tf.tf * 2.2 /
+        |    (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)) AS contrib
+        |  FROM tf JOIN dfreq d USING (term) CROSS JOIN st),
+        |sc AS (SELECT doc_id,
+        |  round(coalesce(sum(CASE WHEN term = 'spark' THEN contrib END), 0)
+        |      + coalesce(sum(CASE WHEN term = 'vector' THEN contrib END), 0)
+        |      + coalesce(sum(CASE WHEN term = 'window' THEN contrib END), 0), 4) AS bm25,
+        |  count(*) AS n_matched_terms
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, bm25, n_matched_terms FROM sc
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // deterministic HLL: m=256 (2 hex chars), rho over the next 12 hex
+    // chars (48 bits), exact-integer register sum scaled by 2^49
+    "q_hll_distinct" ->
+      """WITH src AS (
+        |  SELECT event_type, 'user' AS metric, md5(CAST(user_id AS VARCHAR)) AS h
+        |    FROM events WHERE user_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, 'event', md5(CAST(event_id AS VARCHAR))
+        |    FROM events WHERE event_id IS NOT NULL),
+        |reg AS (SELECT event_type, metric,
+        |    (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substring(h, 2, 1)) - 1 AS bucket,
+        |    max(CASE WHEN length(regexp_extract(substring(h, 3, 12), '^0*')) = 12 THEN 49
+        |      ELSE 4 * length(regexp_extract(substring(h, 3, 12), '^0*'))
+        |        + CASE substring(regexp_replace(substring(h, 3, 12), '^0*', ''), 1, 1)
+        |            WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |            WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+        |            ELSE 0 END + 1 END) AS reg
+        |  FROM src GROUP BY 1, 2, 3),
+        |agg AS (SELECT event_type, metric,
+        |    sum(CAST(1 AS BIGINT) << (49 - reg)) AS s_present,
+        |    count(*) AS present
+        |  FROM reg GROUP BY 1, 2),
+        |est AS (SELECT event_type, metric,
+        |    s_present + (256 - present) * (CAST(1 AS BIGINT) << 49) AS s,
+        |    256 - present AS zeros FROM agg),
+        |fin AS (SELECT event_type, metric,
+        |    CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)
+        |      * 256.0 * 256.0 / (CAST(s AS DOUBLE) / 562949953421312.0) AS raw,
+        |    zeros FROM est),
+        |e2 AS (SELECT event_type, metric,
+        |    CASE WHEN raw <= 640.0 AND zeros > 0
+        |         THEN round(256.0 * ln(256.0 / zeros), 2)
+        |         ELSE round(raw, 2) END AS estimate FROM fin),
+        |ex AS (SELECT event_type, 'user' AS metric,
+        |    count(DISTINCT user_id) AS exact_count FROM events GROUP BY 1
+        |  UNION ALL
+        |  SELECT event_type, 'event', count(DISTINCT event_id) FROM events GROUP BY 1)
+        |SELECT e2.event_type, e2.metric, e2.estimate, ex.exact_count
+        |FROM e2 JOIN ex ON e2.event_type = ex.event_type AND e2.metric = ex.metric
+        |ORDER BY e2.event_type, e2.metric""".stripMargin,
+
+    // count-min sketch: depth 4 × width 64, bucket = first 8 md5 hex of
+    // "depth:key" mod 64; estimate = min over depths
+    "q_cms_counts" ->
+      """WITH keys AS (SELECT CAST(event_type AS VARCHAR) AS k FROM events
+        |  WHERE event_type IS NOT NULL),
+        |rws AS (SELECT depth, k FROM keys,
+        |  LATERAL (SELECT unnest(generate_series(0, 3)) AS depth) u),
+        |cnt AS (SELECT depth,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      p -> (strpos('0123456789abcdef',
+        |              substring(md5(CAST(depth AS VARCHAR) || ':' || k), p, 1)) - 1)
+        |           * CAST(power(16, 8 - p) AS BIGINT))) % 64 AS bucket,
+        |    count(*) AS cnt
+        |  FROM rws GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT CAST(event_type AS VARCHAR) AS probe FROM events
+        |  WHERE event_type IS NOT NULL),
+        |pr AS (SELECT probe, depth,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      p -> (strpos('0123456789abcdef',
+        |              substring(md5(CAST(depth AS VARCHAR) || ':' || probe), p, 1)) - 1)
+        |           * CAST(power(16, 8 - p) AS BIGINT))) % 64 AS bucket
+        |  FROM probes, LATERAL (SELECT unnest(generate_series(0, 3)) AS depth) u),
+        |j AS (SELECT probe, min(coalesce(c.cnt, 0)) AS estimate
+        |  FROM pr LEFT JOIN cnt c USING (depth, bucket) GROUP BY 1),
+        |ex AS (SELECT CAST(event_type AS VARCHAR) AS probe, count(*) AS exact_count
+        |  FROM events GROUP BY 1)
+        |SELECT j.probe, j.estimate, ex.exact_count
+        |FROM j JOIN ex USING (probe) ORDER BY probe""".stripMargin,
+
+    // A-ES weighted sample: u = (first-8-hex(md5(id)) + 1) / 2^32,
+    // key = u^(1/weight), global top-50 by key
+    "q_weighted_sample" ->
+      """WITH k AS (SELECT doc_id, n_chars,
+        |    pow((list_sum(list_transform(generate_series(1, 8),
+        |      p -> (strpos('0123456789abcdef',
+        |              substring(md5(CAST(doc_id AS VARCHAR)), p, 1)) - 1)
+        |           * CAST(power(16, 8 - p) AS BIGINT))) + 1.0) / 4294967296.0,
+        |      1.0 / n_chars) AS key
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, n_chars, round(key, 6) AS sample_key
+        |FROM (SELECT * FROM k ORDER BY key DESC, doc_id LIMIT 50)
+        |ORDER BY doc_id""".stripMargin,
+
+    // per-dimension int8 quantization; 0-based dims to match posexplode
+    "q_int8_quant" ->
+      """WITH lf AS (SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+        |    FROM embeddings, LATERAL (SELECT unnest(generate_series(1,
+        |      len(embedding))) AS i) u),
+        |st AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM lf GROUP BY 1),
+        |codes AS (SELECT vec_id, dim,
+        |    CASE WHEN mx = mn THEN 0
+        |         ELSE CAST(round((v - mn) * 255.0 / (mx - mn)) AS INT) END AS code
+        |  FROM lf JOIN st USING (dim))
+        |SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+        |  CAST(max(CASE WHEN dim = 0 THEN code END) AS INT) AS c0,
+        |  CAST(max(CASE WHEN dim = 1 THEN code END) AS INT) AS c1,
+        |  CAST(max(CASE WHEN dim = 2 THEN code END) AS INT) AS c2,
+        |  CAST(max(CASE WHEN dim = 3 THEN code END) AS INT) AS c3
+        |FROM codes GROUP BY 1 ORDER BY vec_id""".stripMargin
   )
 }

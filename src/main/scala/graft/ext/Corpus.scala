@@ -353,4 +353,113 @@ object Corpus {
     joined.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
       .select(col(componentCol), col(idCol).as("survivor_id"), col(scoreCol))
   }
+
+  /** C4-style exact cross-document span deduplication: chunk every document
+    * into consecutive `spanWords`-word spans, keep only the GLOBALLY FIRST
+    * occurrence of each span (smallest (doc, position) — C4 removed
+    * repeated three-sentence spans the same way; this operates on word
+    * windows since spans, not sentences, are what survive normalization),
+    * and reassemble each document from its surviving spans.
+    *
+    * Returns (idCol, n_spans, n_kept, dedup_text); documents whose every
+    * span appeared earlier elsewhere come back with n_kept = 0 and "".
+    *
+    * Scale shape: one groupBy keyed on the span hash (min is map-side
+    * combinable, so boilerplate spans shared by millions of docs reduce
+    * before the shuffle), one join back on the same hash, and one group per
+    * doc to reassemble. No driver paths; the span table is the only wide
+    * state and it is hash-keyed and uniform.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      spanWords: Int): DataFrame = {
+    require(spanWords >= 1, "spanWords must be positive")
+    val toks = filter(split(Dedup.normalize(col(textCol)), " "), t => length(t) > 0)
+    val nSpans = ceil(size(toks).cast("double") / spanWords).cast("int")
+    val spans = org.apache.spark.sql.functions.transform(
+      sequence(lit(0), nSpans - 1),
+      i => array_join(slice(toks, i * spanWords + 1, lit(spanWords)), " "))
+    val exploded = df
+      .select(col(idCol), posexplode(when(size(toks) > 0, spans)
+        .otherwise(array())).as(Seq("pos", "span")))
+      .withColumn("_h", md5(col("span")))
+    val firsts = exploded.groupBy(col("_h"))
+      .agg(min(struct(col(idCol), col("pos"))).as("_first"))
+    val kept = exploded.join(firsts, Seq("_h"))
+      .where(col(idCol) === col(s"_first.$idCol") && col("pos") === col("_first.pos"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(org.apache.spark.sql.functions.transform(
+          array_sort(collect_list(struct(col("pos"), col("span")))),
+          s => s("span")), " ").as("dedup_text"))
+    df.select(col(idCol), nSpans.cast("long").as("n_spans"))
+      .join(kept, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_kept")).na.fill("", Seq("dedup_text"))
+  }
+
+  /** BM25 relevance scoring (Robertson/Spärck Jones; the standard lexical
+    * retrieval baseline) of every document against a fixed query-term set:
+    * score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Determinism: per-term contributions are summed in SORTED TERM ORDER as
+    * a fixed fold of conditional aggregates (never a floating sum whose
+    * accumulation order depends on partitioning), so scores are reproducible
+    * bit-for-bit across runs and engines.
+    *
+    * Scale shape: tokens are filtered to the query terms AT THE EXPLODE
+    * (isin on a literal set — Catalyst prunes before the shuffle), so the
+    * keyed state is |docs containing a query term| × |terms|, not the
+    * corpus token count. Corpus stats (N, avgdl, per-term df) are a handful
+    * of rows and broadcast.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val terms = queryTerms.map(_.toLowerCase).distinct.sorted
+    val toks = filter(split(Dedup.normalize(col(textCol)), " "), t => length(t) > 0)
+    val docs = df.select(col(idCol), toks.as("_t"))
+      .withColumn("dl", size(col("_t")).cast("double"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col(idCol), col("dl"),
+        explode(filter(col("_t"), t => t.isin(terms: _*))).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count_distinct(col(idCol)).cast("double").as("df"))
+    val contrib = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("_c",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    // fixed-order sum: one conditional aggregate per sorted term, folded
+    // left-to-right — each sum sees at most one non-null row per doc
+    val perTerm = terms.map(t =>
+      coalesce(sum(when(col("term") === t, col("_c"))), lit(0.0)))
+    contrib.groupBy(col(idCol))
+      .agg(round(perTerm.reduceLeft(_ + _), 4).as("bm25"),
+        count(lit(1)).as("n_matched_terms"))
+  }
+
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis A-ES): each row draws u = md5-uniform in (0, 1] and ranks by
+    * key = u^(1/w); the global top-k is an exact weighted sample. One pass,
+    * no per-stratum state, reproducible across runs — the standard way to
+    * subsample a corpus proportionally to a quality weight at 100 TB scale
+    * (a total order exists but only the top-k is materialized; Spark's
+    * orderBy+limit does per-partition top-k then merges, never a full sort).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(1.0)) / lit(4294967296.0)
+    df.where(col(weightCol) > 0)
+      .withColumn("sample_key", pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -349,6 +349,34 @@ object Similarity {
     * class mode; both are pruning candidates. The centroid table is
     * labels-many rows and broadcasts; the corpus is scanned once.
     */
+  /** Per-dimension int8 scalar quantization of an embedding column — the
+    * standard 4× memory/IO compression before ANN indexing at corpus scale
+    * (values are linearly mapped to 0..255 codes per dimension; dequantize
+    * as min + code·(max−min)/255).
+    *
+    * Two passes, both narrow-plus-tiny: pass 1 computes per-dimension
+    * min/max (posexplode → groupBy dim — at most `dim` rows survive, the
+    * partial agg combines map-side); pass 2 broadcast-joins the dim×2 stats
+    * table back and encodes per element. Constant-dimension vectors map to
+    * code 0 (max = min guard). Returns (idCol, codes array<int>).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val longForm = df.select(col(idCol),
+      posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val stats = longForm.groupBy(col("dim"))
+      .agg(min(col("v")).as("d_min"), max(col("v")).as("d_max"))
+    val coded = longForm.join(broadcast(stats), Seq("dim"))
+      .withColumn("code",
+        when(col("d_max") === col("d_min"), lit(0))
+          .otherwise(round((col("v") - col("d_min")) * lit(255.0) /
+            (col("d_max") - col("d_min"))).cast("int")))
+    coded.groupBy(col(idCol))
+      .agg(org.apache.spark.sql.functions.transform(
+        array_sort(collect_list(struct(col("dim"), col("code")))),
+        s => s("code")).as("codes"))
+  }
+
   def prototypicality(df: DataFrame, idCol: String, labelCol: String,
       vecCol: String): DataFrame = {
     val cents = labelCentroids(df, labelCol, vecCol)

@@ -1,0 +1,126 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bounded-memory probabilistic sketches for corpus-scale profiling —
+  * extension surface alongside [[Dedup]]/[[Corpus]] (BASELINE.json north
+  * star: the counters a 100 TB pipeline needs when exact distinct counts or
+  * per-key frequencies no longer fit anywhere).
+  *
+  * Both sketches here are DETERMINISTIC: every hash is md5 of the rendered
+  * value, so the same input always produces the same registers/counters in
+  * any engine with md5 — the DuckDB oracles replicate them bit-for-bit.
+  * Spark's own `approx_count_distinct` (HLL++) cannot be cross-checked that
+  * way; this implementation trades its tuned bias tables for full
+  * oracle-ability while keeping the identical register shape and merge
+  * semantics (max per bucket / sum per counter — both map-side combinable,
+  * so the shuffle carries at most `groups × m` rows regardless of input
+  * size).
+  *
+  * Float-parity note: the HLL register sum is computed in EXACT integer
+  * arithmetic — Σ 2^(−M_j) is scaled by 2^49 so every addend
+  * `shiftleft(1, 49−M)` is an exact BIGINT (ρ ≤ 49 by construction). Double
+  * addition order across partitions can differ between engines; integer
+  * addition order cannot change the sum, so the estimate is reproducible to
+  * the last bit up to one final division.
+  */
+object Sketch {
+
+  /** ρ (rank of first set bit, 1-based) over a 48-bit stream taken from 12
+    * hex chars of an md5 digest: 4·(leading zero hex chars) + zero bits of
+    * the first non-zero nibble + 1; all-zero stream → 49. Pure string/CASE
+    * program — identical in Spark and any SQL engine (no log2 floats).
+    */
+  private def rho(hexBits: Column): Column = {
+    val zeroChars = length(regexp_extract(hexBits, "^0*", 0))
+    val firstNz = substring(regexp_replace(hexBits, "^0*", ""), 1, 1)
+    val nibbleZeros =
+      when(firstNz.isin("8", "9", "a", "b", "c", "d", "e", "f"), 0)
+        .when(firstNz.isin("4", "5", "6", "7"), 1)
+        .when(firstNz.isin("2", "3"), 2)
+        .otherwise(3) // "1"
+    when(zeroChars === 12, lit(49))
+      .otherwise(zeroChars * 4 + nibbleZeros + 1)
+  }
+
+  /** HyperLogLog registers for `valueCol` within each `groupCols` cell:
+    * bucket = first 2 hex chars of md5 (m = 256 registers), register =
+    * max ρ over the next 48 bits. Returns (groupCols…, bucket, reg) — at
+    * most 256 rows per group after the (map-side combinable) max.
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      m: Int = 256): DataFrame = {
+    require(m == 256, "register count is fixed at 256 (2 hex chars) for oracle parity")
+    val h = md5(col(valueCol).cast("string"))
+    df.where(col(valueCol).isNotNull)
+      .withColumn("bucket", conv(substring(h, 1, 2), 16, 10).cast("int"))
+      .withColumn("_rho", rho(substring(h, 3, 12)))
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("_rho")).as("reg"))
+  }
+
+  /** HLL distinct-count estimate per group (standard Flajolet et al. 2007
+    * estimator, linear-counting small-range correction; the 32-bit
+    * large-range correction is irrelevant at 48 hash bits). `estimate` is
+    * reproducible across engines: the register sum is exact integer math
+    * (see object doc), so only the final division/ln touch doubles.
+    */
+  def hllCounts(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val m = 256
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val regs = hllRegisters(df, groupCols, valueCol, m)
+    // S = 2^49 · Σ_j 2^(−M_j): present buckets contribute 2^(49−M), the
+    // (m − present) absent buckets have M = 0 and contribute 2^49 each.
+    val agg = regs.groupBy(groupCols.map(col): _*)
+      .agg(sum(expr("shiftleft(cast(1 as bigint), 49 - reg)")).as("_s_present"),
+        count(lit(1)).as("_present"))
+      .withColumn("_s",
+        col("_s_present") + (lit(m.toLong) - col("_present")) * lit(1L << 49))
+      .withColumn("_zeros", lit(m.toLong) - col("_present"))
+      .withColumn("_raw",
+        lit(alpha * m * m) / (col("_s").cast("double") / lit(math.pow(2.0, 49))))
+    agg.withColumn("estimate",
+        when(col("_raw") <= lit(2.5 * m) && col("_zeros") > 0,
+          round(lit(m.toDouble) * log(lit(m.toDouble) / col("_zeros")), 2))
+          .otherwise(round(col("_raw"), 2)))
+      .drop("_s_present", "_present", "_s", "_zeros", "_raw")
+  }
+
+  /** Count-min sketch counters: `depth` independent md5 hash rows × `width`
+    * buckets. Input explodes to `depth` rows per record, then a counting
+    * groupBy — map-side combine keeps the shuffle at depth×width rows. The
+    * sketch answers point frequency queries for an UNBOUNDED key space in
+    * depth×width integers of memory (overestimates only, by ≤ collisions).
+    */
+  def cmsCounters(df: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 64): DataFrame = {
+    require(depth >= 1 && width >= 1, "depth and width must be positive")
+    val rows = df.where(col(keyCol).isNotNull)
+      .select(explode(lit((0 until depth).toArray)).as("depth"),
+        col(keyCol).cast("string").as("_k"))
+    rows
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("depth").cast("string"), lit(":"), col("_k"))),
+          1, 8), 16, 10).cast("long") % width)
+      .groupBy("depth", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for `probes` against a CMS built over
+    * `df.keyCol`: estimate = min over depth rows of the probed counter.
+    * All-integer — exact cross-engine reproducibility. The depth×width
+    * counter table is broadcast to the probe side (probes may be any size).
+    */
+  def cmsEstimate(df: DataFrame, keyCol: String, probes: DataFrame,
+      probeCol: String, depth: Int = 4, width: Int = 64): DataFrame = {
+    val counters = cmsCounters(df, keyCol, depth, width)
+    val probeRows = probes.select(col(probeCol).cast("string").as("probe")).distinct()
+      .select(col("probe"), explode(lit((0 until depth).toArray)).as("depth"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("depth").cast("string"), lit(":"), col("probe"))),
+          1, 8), 16, 10).cast("long") % width)
+    probeRows.join(broadcast(counters), Seq("depth", "bucket"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy("probe").agg(min(col("cnt")).as("estimate"))
+  }
+}
