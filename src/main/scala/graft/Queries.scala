@@ -1420,6 +1420,25 @@ object GraftQueries {
         .orderBy("doc_id")
     },
 
+    // extension: Z-order layout clustering — interleaved-bit z-values over
+    // (price, quantity) global min/max bins; the write-side ordering that
+    // gives parquet row-group pruning on BOTH filter dimensions at once
+    "q_zorder" -> { (s, d) =>
+      import graft.ext.Layout
+      Layout.zValue(t(s, d)("lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"),
+        Seq("l_extendedprice", "l_quantity"), bits = 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("zvalue"))
+        .orderBy("zvalue", "l_orderkey", "l_linenumber")
+    },
+
+    // extension: BPE merge-candidate statistics — frequency-weighted
+    // adjacent-char pairs over the distinct-word table (one tokenizer
+    // training round's counting kernel)
+    "q_bpe_pairs" -> { (s, d) =>
+      Corpus.bpePairCounts(t(s, d)("documents"), "text", topK = 20)
+    },
+
     // extension: per-dimension int8 scalar quantization of embeddings —
     // full code vector checked via exact integer sum + first four codes
     "q_int8_quant" -> { (s, d) =>
@@ -2786,6 +2805,40 @@ object GraftQueries {
         |SELECT doc_id, n_chars, round(key, 6) AS sample_key
         |FROM (SELECT * FROM k ORDER BY key DESC, doc_id LIMIT 50)
         |ORDER BY doc_id""".stripMargin,
+
+    // z-value: 8-bit global-min/max bins per dimension, bits interleaved
+    // (price = dimension 0 → even positions, quantity = dimension 1 → odd)
+    "q_zorder" ->
+      """WITH st AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mn0,
+        |    max(CAST(l_extendedprice AS DOUBLE)) AS mx0,
+        |    min(CAST(l_quantity AS DOUBLE)) AS mn1,
+        |    max(CAST(l_quantity AS DOUBLE)) AS mx1 FROM lineitem),
+        |b AS (SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN mx0 = mn0 THEN 0 ELSE least(CAST(floor(
+        |      (CAST(l_extendedprice AS DOUBLE) - mn0) / (mx0 - mn0) * 256) AS BIGINT),
+        |      255) END AS b0,
+        |    CASE WHEN mx1 = mn1 THEN 0 ELSE least(CAST(floor(
+        |      (CAST(l_quantity AS DOUBLE) - mn1) / (mx1 - mn1) * 256) AS BIGINT),
+        |      255) END AS b1
+        |  FROM lineitem CROSS JOIN st)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(list_sum(list_transform(generate_series(0, 7),
+        |    i -> (((b0 >> i) & 1) << (2 * i)) + (((b1 >> i) & 1) << (2 * i + 1))))
+        |    AS BIGINT) AS zvalue
+        |FROM b ORDER BY zvalue, l_orderkey, l_linenumber""".stripMargin,
+
+    // frequency-weighted adjacent char pairs over the distinct-word table
+    "q_bpe_pairs" ->
+      """WITH sel AS (SELECT
+        |  list_filter(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' '),
+        |    x -> len(x) > 0) AS t FROM documents),
+        |w AS (SELECT unnest(t) AS word FROM sel),
+        |wf AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+        |p AS (SELECT freq, substring(word, i, 2) AS pair
+        |  FROM wf, LATERAL (SELECT unnest(generate_series(1, length(word) - 1)) AS i) u
+        |  WHERE length(word) >= 2)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY 1
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
 
     // per-dimension int8 quantization; 0-based dims to match posexplode
     "q_int8_quant" ->

@@ -444,6 +444,31 @@ object Corpus {
         count(lit(1)).as("n_matched_terms"))
   }
 
+  /** Adjacent-character pair statistics over the corpus vocabulary — the
+    * counting kernel of one BPE tokenizer-training round (Sennrich et al.
+    * 2016): the most frequent pair is the next merge. Counts are weighted
+    * by word frequency and computed over the DISTINCT-WORD table, the way
+    * real BPE trainers do — at 100 TB the vocabulary (≤ millions of rows)
+    * is orders of magnitude smaller than the corpus, so the expensive
+    * char-pair explode runs on the small side; the corpus itself is
+    * touched once by the word-count groupBy (map-side combinable).
+    * Returns the `topK` (pair, cnt) rows, count-desc then pair-asc.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val toks = filter(split(Dedup.normalize(col(textCol)), " "), t => length(t) > 0)
+    val wordFreq = df.select(explode(toks).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val pairs = wordFreq
+      .where(length(col("word")) >= 2)
+      .select(col("freq"), explode(
+        org.apache.spark.sql.functions.transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+    pairs.groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(topK)
+  }
+
   /** Deterministic weighted sampling without replacement (Efraimidis &
     * Spirakis A-ES): each row draws u = md5-uniform in (0, 1] and ranks by
     * key = u^(1/w); the global top-k is an exact weighted sample. One pass,

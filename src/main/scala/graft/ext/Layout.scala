@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators for scan efficiency at 100 TB: multi-dimensional
+  * clustering (Z-order) so parquet row-group min/max statistics prune
+  * multi-predicate scans — the optimization Delta/Iceberg expose as
+  * `OPTIMIZE ... ZORDER BY`, re-expressed as a plain DataFrame program.
+  *
+  * Why it matters at scale: a single-column sort gives perfect pruning on
+  * that column and none on any other; interleaving the bits of several
+  * columns' ranks gives each file a small bounding box in ALL of them, so a
+  * conjunctive filter (`value BETWEEN … AND ts BETWEEN …`) skips most
+  * row groups on every dimension at once.
+  *
+  * Deterministic + oracle-able: per-column bins come from the GLOBAL
+  * min/max (a tiny broadcast aggregate, not a sampled range exchange), the
+  * bin is closed-form arithmetic, and the interleave is integer bit math —
+  * any SQL engine reproduces the exact z-values.
+  */
+object Layout {
+
+  /** Fixed-width bin of `c` in [0, 2^bits): floor((v−min)/(max−min)·2^bits)
+    * clamped to the top bin (v = max lands at 2^bits). Constant column
+    * (max = min) → bin 0.
+    */
+  private def bin(c: Column, mn: Column, mx: Column, bits: Int): Column = {
+    val buckets = 1 << bits
+    val raw = floor((c.cast("double") - mn) / (mx - mn) * buckets).cast("long")
+    when(mx === mn, lit(0L)).otherwise(least(raw, lit(buckets - 1L)))
+  }
+
+  /** Interleave the low `bits` bits of each bin (dimension 0 owns the
+    * least-significant interleaved position): bit i of dimension d lands at
+    * position i·nDims + d. Pure integer shifts/masks — codegen arithmetic.
+    */
+  private[ext] def interleave(bins: Seq[Column], bits: Int): Column = {
+    val nDims = bins.size
+    val terms = for {
+      i <- 0 until bits
+      (b, d) <- bins.zipWithIndex
+    } yield shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * nDims + d)
+    terms.reduce(_ + _)
+  }
+
+  /** Z-value for `dims` numeric columns at `bits` bits per dimension, using
+    * global per-column min/max carried in a one-row broadcast join (two
+    * narrow passes total; no global sort, no sampling nondeterminism).
+    * Returns the input plus `zvalue`.
+    */
+  def zValue(df: DataFrame, dims: Seq[String], bits: Int = 8): DataFrame = {
+    require(dims.nonEmpty, "need at least one dimension")
+    require(bits * dims.size <= 62, "z-value must fit a signed long")
+    val aggs = dims.flatMap(d => Seq(
+      min(col(d).cast("double")).as(s"_mn_$d"),
+      max(col(d).cast("double")).as(s"_mx_$d")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val joined = df.crossJoin(broadcast(stats))
+    val bins = dims.map(d =>
+      bin(col(d), col(s"_mn_$d"), col(s"_mx_$d"), bits))
+    joined.withColumn("zvalue", interleave(bins, bits))
+      .drop(dims.flatMap(d => Seq(s"_mn_$d", s"_mx_$d")): _*)
+  }
+
+  /** Cluster rows for writing: range-partition + sort by z-value so each
+    * output file covers a compact hyper-box of the dimension space. The
+    * range exchange is the one shuffle; its sampled boundaries affect only
+    * file assignment, never the z-values themselves.
+    */
+  def zorderLayout(df: DataFrame, dims: Seq[String], bits: Int = 8,
+      numFiles: Int = 0): DataFrame = {
+    val z = zValue(df, dims, bits)
+    val parted = if (numFiles > 0) z.repartitionByRange(numFiles, col("zvalue"))
+      else z.repartitionByRange(col("zvalue"))
+    parted.sortWithinPartitions("zvalue")
+  }
+}
