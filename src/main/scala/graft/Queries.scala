@@ -1420,6 +1420,19 @@ object GraftQueries {
         .orderBy("doc_id")
     },
 
+    // extension: deterministic fixed-point PageRank (3 iterations) over
+    // the supplier→part supply graph — integer micro-unit mass, so the
+    // iterated rank is hash-comparable across engines (float PageRank
+    // isn't: contribution sums round by accumulation order)
+    "q_pagerank" -> { (s, d) =>
+      import graft.graph.GraphAlgos
+      val edges = t(s, d)("lineitem")
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+      GraphAlgos.pageRankFixed(edges, "src", "dst", iterations = 3)
+        .orderBy(col("rank").desc, col("node")).limit(100)
+    },
+
     // extension: Z-order layout clustering — interleaved-bit z-values over
     // (price, quantity) global min/max bins; the write-side ordering that
     // gives parquet row-group pruning on BOTH filter dimensions at once
@@ -2805,6 +2818,14 @@ object GraftQueries {
         |SELECT doc_id, n_chars, round(key, 6) AS sample_key
         |FROM (SELECT * FROM k ORDER BY key DESC, doc_id LIMIT 50)
         |ORDER BY doc_id""".stripMargin,
+
+    // fixed-point PageRank: oracle generated by the same module as the
+    // implementation (GraphAlgos.pageRankOracleSql) so they cannot drift
+    "q_pagerank" ->
+      (graft.graph.GraphAlgos.pageRankOracleSql(
+        "SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem",
+        iterations = 3) +
+        "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, node LIMIT 100"),
 
     // z-value: 8-bit global-min/max bins per dimension, bits interleaved
     // (price = dimension 0 → even positions, quantity = dimension 1 → odd)
