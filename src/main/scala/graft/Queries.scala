@@ -1420,6 +1420,37 @@ object GraftQueries {
         .orderBy("doc_id")
     },
 
+    // extension: corpus tokenization against a corpus-trained top-30
+    // vocab (freq-desc, word-asc ids; OOV → 0) — ids checked via exact
+    // sums + the first three positions
+    "q_tokenize" -> { (s, d) =>
+      val docs = t(s, d)("documents")
+      val words = docs.select(explode(filter(
+        split(Dedup.normalize(col("text")), " "), w => length(w) > 0)).as("w"))
+      val vocab = words.groupBy("w").agg(count(lit(1)).as("freq"))
+        .withColumn("tid",
+          row_number().over(Window.orderBy(col("freq").desc, col("w"))).cast("int"))
+        .where(col("tid") <= 30)
+      Corpus.tokenizeWithVocab(docs, "doc_id", "text", vocab, "w", "tid", unkId = 0)
+        .select(col("doc_id"), col("n_tokens"), col("n_unk"),
+          aggregate(col("token_ids"), lit(0L), (a, x) => a + x).as("tid_sum"),
+          element_at(col("token_ids"), 1).as("t0"),
+          element_at(col("token_ids"), 2).as("t1"),
+          element_at(col("token_ids"), 3).as("t2"))
+        .orderBy("doc_id")
+    },
+
+    // extension: snapshot diff (CDC) between two corpus versions — docs
+    // 450+ added, docs <20 removed, every 7th doc drifted
+    "q_snapshot_diff" -> { (s, d) =>
+      val docs = t(s, d)("documents")
+      val old = docs.where(col("doc_id") < 450)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" drift"))).otherwise(col("text")))
+      val cur = docs.where(col("doc_id") >= 20)
+      Corpus.snapshotDiff(old, cur, "doc_id", "text").orderBy("doc_id")
+    },
+
     // extension: deterministic fixed-point PageRank (3 iterations) over
     // the supplier→part supply graph — integer micro-unit mass, so the
     // iterated rank is hash-comparable across engines (float PageRank
@@ -2817,6 +2848,40 @@ object GraftQueries {
         |  FROM documents WHERE n_chars > 0)
         |SELECT doc_id, n_chars, round(key, 6) AS sample_key
         |FROM (SELECT * FROM k ORDER BY key DESC, doc_id LIMIT 50)
+        |ORDER BY doc_id""".stripMargin,
+
+    // top-30 vocab (freq desc, word asc), OOV = 0; 1-based positions
+    "q_tokenize" ->
+      """WITH sel AS (SELECT doc_id,
+        |  list_filter(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' '),
+        |    x -> len(x) > 0) AS t FROM documents),
+        |w AS (SELECT doc_id, i AS pos, t[i] AS w FROM sel,
+        |  LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) u),
+        |vf AS (SELECT w, count(*) AS freq FROM w GROUP BY 1),
+        |vocab AS (SELECT w, CAST(row_number() OVER (ORDER BY freq DESC, w) AS INT) AS tid
+        |  FROM vf QUALIFY row_number() OVER (ORDER BY freq DESC, w) <= 30),
+        |tok AS (SELECT doc_id, pos, coalesce(v.tid, 0) AS tid
+        |  FROM w LEFT JOIN vocab v USING (w))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+        |  CAST(sum(tid) AS BIGINT) AS tid_sum,
+        |  CAST(max(CASE WHEN pos = 1 THEN tid END) AS INT) AS t0,
+        |  CAST(max(CASE WHEN pos = 2 THEN tid END) AS INT) AS t1,
+        |  CAST(max(CASE WHEN pos = 3 THEN tid END) AS INT) AS t2
+        |FROM tok GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // CDC diff by normalized-content md5 over a full outer join
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(trim(regexp_replace(lower(
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' drift' ELSE text END),
+        |    '\s+', ' ', 'g'))) AS h
+        |  FROM documents WHERE doc_id < 450),
+        |c AS (SELECT doc_id, md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS h
+        |  FROM documents WHERE doc_id >= 20)
+        |SELECT coalesce(o.doc_id, c.doc_id) AS doc_id,
+        |  CASE WHEN o.h IS NULL THEN 'added' WHEN c.h IS NULL THEN 'removed'
+        |       WHEN o.h = c.h THEN 'unchanged' ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN c ON o.doc_id = c.doc_id
         |ORDER BY doc_id""".stripMargin,
 
     // fixed-point PageRank: oracle generated by the same module as the

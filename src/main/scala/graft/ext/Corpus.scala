@@ -469,6 +469,52 @@ object Corpus {
       .orderBy(col("cnt").desc, col("pair")).limit(topK)
   }
 
+  /** Apply a trained vocabulary to the corpus: tokens become integer ids
+    * (out-of-vocabulary → `unkId`), one id array per document in token
+    * order — the step between tokenizer training ([[bpePairCounts]] /
+    * [[unigramLmScore]]'s vocab) and [[packSequences]].
+    *
+    * Scale shape: the corpus explodes to (doc, pos, token) once; the vocab
+    * (≤ millions of rows ≪ corpus) broadcasts under threshold, else it is
+    * a keyed join on the token where Zipfian head words are exactly the
+    * AQE skew-split case. Reassembly is one groupBy per doc with an
+    * order-restoring array_sort — no windows, no driver.
+    */
+  def tokenizeWithVocab(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, wordCol: String, tokenIdCol: String,
+      unkId: Int = 0): DataFrame = {
+    val toks = filter(split(Dedup.normalize(col(textCol)), " "), t => length(t) > 0)
+    val long = df.select(col(idCol), posexplode(toks).as(Seq("pos", "_w")))
+    val v = vocab.select(col(wordCol).as("_w"), col(tokenIdCol).cast("int").as("_tid"))
+    long.join(broadcast(v), Seq("_w"), "left")
+      .select(col(idCol), col("pos"), coalesce(col("_tid"), lit(unkId)).as("_tid"))
+      .groupBy(col(idCol))
+      .agg(org.apache.spark.sql.functions.transform(
+        array_sort(collect_list(struct(col("pos"), col("_tid")))),
+        s => s("_tid")).as("token_ids"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("_tid") === unkId, 1L).otherwise(0L)).as("n_unk"))
+  }
+
+  /** Snapshot diff between two corpus versions by content hash: returns one
+    * row per doc id present in either side with status `added` / `removed`
+    * / `changed` / `unchanged` — the CDC primitive for incremental
+    * re-curation (only `added`+`changed` need to re-enter the pipeline).
+    * One full outer join keyed on the id; content comparison is md5, so
+    * whitespace-insensitive via the shared normalizer.
+    */
+  def snapshotDiff(old: DataFrame, cur: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def hashed(df: DataFrame, side: String) = df.select(col(idCol),
+      md5(Dedup.normalize(col(textCol))).as(s"_h_$side"))
+    hashed(old, "old").join(hashed(cur, "cur"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_h_old").isNull, "added")
+          .when(col("_h_cur").isNull, "removed")
+          .when(col("_h_old") === col("_h_cur"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Deterministic weighted sampling without replacement (Efraimidis &
     * Spirakis A-ES): each row draws u = md5-uniform in (0, 1] and ranks by
     * key = u^(1/w); the global top-k is an exact weighted sample. One pass,

@@ -163,4 +163,30 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(got == Set((1L, 2L, 0.9), (3L, 3L, 0.5)))
   }
+
+  test("tokenizeWithVocab preserves token order and maps OOV to unk") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat sat"), (2L, "dog the")).toDF("id", "text")
+    val vocab = Seq(("the", 1), ("cat", 2), ("sat", 3)).toDF("word", "tid")
+    val out = Corpus.tokenizeWithVocab(docs, "id", "text", vocab, "word", "tid",
+      unkId = 0).orderBy("id").collect()
+    assert(out(0).getSeq[Int](1) == Seq(1, 2, 3))
+    assert(out(0).getAs[Long]("n_unk") == 0)
+    assert(out(1).getSeq[Int](1) == Seq(0, 1)) // "dog" is OOV
+    assert(out(1).getAs[Long]("n_unk") == 1)
+    assert(out(1).getAs[Long]("n_tokens") == 2)
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, "same text"), (2L, "will change"), (3L, "going away"))
+      .toDF("id", "text")
+    val cur = Seq((1L, "same  TEXT"), (2L, "has changed"), (4L, "brand new"))
+      .toDF("id", "text")
+    val got = Corpus.snapshotDiff(old, cur, "id", "text")
+      .as[(Long, String)].collect().toMap
+    // whitespace/case differences are invisible through the normalizer
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
 }
