@@ -1427,10 +1427,12 @@ object GraftQueries {
       val docs = t(s, d)("documents")
       val words = docs.select(explode(filter(
         split(Dedup.normalize(col("text")), " "), w => length(w) > 0)).as("w"))
+      // top-30 via distributed TakeOrdered FIRST, so the id-assigning
+      // window ranks 30 rows — never a global single-partition window
       val vocab = words.groupBy("w").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("w")).limit(30)
         .withColumn("tid",
           row_number().over(Window.orderBy(col("freq").desc, col("w"))).cast("int"))
-        .where(col("tid") <= 30)
       Corpus.tokenizeWithVocab(docs, "doc_id", "text", vocab, "w", "tid", unkId = 0)
         .select(col("doc_id"), col("n_tokens"), col("n_unk"),
           aggregate(col("token_ids"), lit(0L), (a, x) => a + x).as("tid_sum"),
@@ -1438,6 +1440,12 @@ object GraftQueries {
           element_at(col("token_ids"), 2).as("t1"),
           element_at(col("token_ids"), 3).as("t2"))
         .orderBy("doc_id")
+    },
+
+    // extension: PMI collocation mining — adjacent-pair pointwise mutual
+    // information from exact corpus counts (min pair count 5, top 20)
+    "q_pmi" -> { (s, d) =>
+      Corpus.pmiCollocations(t(s, d)("documents"), "text", minCount = 5, topK = 20)
     },
 
     // extension: snapshot diff (CDC) between two corpus versions — docs
@@ -2869,6 +2877,27 @@ object GraftQueries {
         |  CAST(max(CASE WHEN pos = 2 THEN tid END) AS INT) AS t1,
         |  CAST(max(CASE WHEN pos = 3 THEN tid END) AS INT) AS t2
         |FROM tok GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // PMI from exact unigram/bigram counts; identical double
+    // parenthesization: ((cab*T)*T) / ((B*ca)*cb)
+    "q_pmi" ->
+      """WITH sel AS (SELECT
+        |  list_filter(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' '),
+        |    x -> len(x) > 0) AS t FROM documents),
+        |uni AS (SELECT unnest(t) AS w FROM sel),
+        |cu AS (SELECT w, count(*) AS cw FROM uni GROUP BY 1),
+        |bi AS (SELECT t[i] AS a, t[i+1] AS b FROM sel,
+        |  LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) u
+        |  WHERE len(t) >= 2),
+        |cb2 AS (SELECT a, b, count(*) AS cab FROM bi GROUP BY 1, 2),
+        |tot AS (SELECT (SELECT CAST(sum(cw) AS BIGINT) FROM cu) AS t_uni,
+        |  (SELECT CAST(sum(cab) AS BIGINT) FROM cb2) AS t_bi)
+        |SELECT a, b, cab,
+        |  round(ln(CAST(cab AS DOUBLE) * t_uni * t_uni /
+        |    (CAST(t_bi AS DOUBLE) * ca.cw * cbb.cw)), 4) AS pmi
+        |FROM cb2 JOIN cu ca ON ca.w = cb2.a JOIN cu cbb ON cbb.w = cb2.b
+        |CROSS JOIN tot WHERE cab >= 5
+        |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin,
 
     // CDC diff by normalized-content md5 over a full outer join
     "q_snapshot_diff" ->

@@ -469,6 +469,52 @@ object Corpus {
       .orderBy(col("cnt").desc, col("pair")).limit(topK)
   }
 
+  /** PMI collocation mining: pointwise mutual information of adjacent word
+    * pairs, ln(p(ab) / (p(a)·p(b))) with p from corpus-wide unigram/bigram
+    * counts — the standard collocation-extraction signal ("new york"
+    * scores high, "of the" low). `minCount` drops rare pairs whose PMI is
+    * an artifact of sparsity.
+    *
+    * Determinism: counts are exact integers; the single ln per surviving
+    * pair computes over an identical-parenthesization double product, so
+    * any engine reproduces the rounded score. Scale shape: unigram and
+    * bigram counting groupBys both partial-aggregate; the unigram table
+    * joins the bigram table twice (left word, right word) — broadcast
+    * under threshold, else keyed joins where Zipfian stopwords are the
+    * AQE skew case. Totals are one-row broadcasts.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Long,
+      topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val toks = filter(split(Dedup.normalize(col(textCol)), " "), t => length(t) > 0)
+    val docs = df.select(toks.as("_t"))
+    val uni = docs.select(explode(col("_t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    // guard single-token docs: sequence(1, 0) DESCENDS in Spark (default
+    // step flips sign), it is not empty — gate on size >= 2 instead
+    val idx = when(size(col("_t")) >= 2, sequence(lit(1), size(col("_t")) - 1))
+      .otherwise(array().cast("array<int>"))
+    val bi = docs
+      .select(explode(org.apache.spark.sql.functions.transform(idx,
+        i => struct(element_at(col("_t"), i).as("a"),
+          element_at(col("_t"), i + 1).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val totals = uni.agg(sum(col("cw")).as("t_uni"))
+      .crossJoin(bi.agg(sum(col("cab")).as("t_bi")))
+    bi.where(col("cab") >= minCount)
+      .join(uni.withColumnRenamed("w", "a").withColumnRenamed("cw", "ca"), Seq("a"))
+      .join(uni.withColumnRenamed("w", "b").withColumnRenamed("cw", "cb"), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("cab"),
+        // all factors go through double BEFORE multiplying: long×long
+        // products overflow differently per engine (Spark wraps, DuckDB
+        // raises); double products round identically everywhere
+        round(log(col("cab").cast("double") * col("t_uni") * col("t_uni") /
+          (col("t_bi").cast("double") * col("ca") * col("cb"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b")).limit(topK)
+  }
+
   /** Apply a trained vocabulary to the corpus: tokens become integer ids
     * (out-of-vocabulary → `unkId`), one id array per document in token
     * order — the step between tokenizer training ([[bpePairCounts]] /

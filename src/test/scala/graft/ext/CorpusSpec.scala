@@ -164,6 +164,23 @@ class CorpusSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 0.9), (3L, 3L, 0.5)))
   }
 
+  test("pmiCollocations scores a glued pair above an independent one") {
+    import spark.implicits._
+    // "san francisco" always adjacent; "the" pairs with everything
+    val docs = (1 to 20).map(i => s"san francisco the w$i the city")
+      .toDF("text")
+    val out = Corpus.pmiCollocations(docs, "text", minCount = 5, topK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out.contains(("san", "francisco")))
+    val sf = out(("san", "francisco"))
+    // glued bigram beats the promiscuous "the city" pairing
+    assert(out.get(("the", "city")).forall(_ < sf))
+    // single-token docs neither crash nor contribute pairs
+    val single = Seq("one", "one", "one two").toDF("text")
+    val ok = Corpus.pmiCollocations(single, "text", minCount = 1, topK = 5).collect()
+    assert(ok.length == 1) // only ("one","two")
+  }
+
   test("tokenizeWithVocab preserves token order and maps OOV to unk") {
     import spark.implicits._
     val docs = Seq((1L, "the cat sat"), (2L, "dog the")).toDF("id", "text")
