@@ -26,14 +26,19 @@ object GraphAlgos {
     * teleport share (scale÷n)·(100−damping)÷100.
     *
     * Scale shape: one distinct + count for the node set, a degree groupBy,
-    * then per iteration one keyed join (edges ⋈ ranks on src — ranks are
-    * n rows, edges keyed by src) and one counting groupBy on dst. Each
+    * then per iteration ONE pass over the edges — the per-source outflow
+    * share (rank·damping÷100÷outdeg) is precomputed as an n-row table
+    * (rank ⋈ degree, both keyed by node) and joined to the edges once;
+    * when n fits the broadcast budget (`broadcastNodeLimit`) that join is
+    * a broadcast, so the big edge frame never re-shuffles across
+    * iterations and the dst aggregation partial-combines map-side. Each
     * iteration's rank frame is persisted so the lineage stays flat (the
     * iterated-join anti-pattern at scale is lineage blowup, not the joins).
     */
   def pageRankFixed(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, dampingPct: Int = 85,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      broadcastNodeLimit: Long = 1000000L): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
     val e = edges.select(col(srcCol).cast("string").as("src"),
@@ -46,13 +51,17 @@ object GraphAlgos {
     val init = scale / n
     val base = (init * (100L - dampingPct)) / 100L
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.withColumn("rank", lit(init))
     for (_ <- 1 to iterations) {
-      val contrib = e.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
-        .select(col("dst").as("node"),
+      // n-row share table first (rank ⋈ degree are both node-keyed), then
+      // ONE join against the big edge frame — broadcast below the limit
+      val share = ranks.withColumnRenamed("node", "src").join(deg, Seq("src"))
+        .select(col("src"),
           expr(s"(rank * $dampingPct div 100) div outdeg").as("m"))
-        .groupBy("node").agg(sum(col("m")).as("m"))
+      val shareSide = if (n <= broadcastNodeLimit) broadcast(share) else share
+      val contrib = e.join(shareSide, Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("m")).as("m"))
       val next = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("m"), lit(0L))).as("rank"))
