@@ -17,7 +17,7 @@ import graft.expr.FilterExpr
   *   agg     <storeDir> <vertex> <disc>     COUNT-by AggregateQuery
   *   bfs     <storeDir> <vertex> <key>=<v> <hops>
   *   migrate <srcStore> <dstStore>          graph→graph migration
-  *   curate  <docsParquet> <outDir>         training-corpus curation run
+  *   curate  <docsParquet> <outDir> [--span-dedup N]   training-corpus curation run
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -75,12 +75,13 @@ object Main {
       val s = new GraphStore(src, TpchGraph.schema, spark)
       val d = new GraphStore(dst, TpchGraph.schema, spark)
       GraphMigration.migrate(s, d).toSeq.sorted.foreach { case (k, n) => println(s"$k: $n") }
-    case "curate" :: docsPath :: outDir :: Nil =>
+    case "curate" :: docsPath :: outDir :: rest =>
       // end-to-end corpus curation (the public pretraining recipe shape),
       // composed entirely from the ext operators: Gopher quality rules →
-      // exact dedup → MinHash-LSH near-dup clusters → best-quality
-      // survivor per cluster → deterministic train/val/test split →
-      // reproducible export shards. Expects (doc_id, text) columns.
+      // exact dedup → [--span-dedup N: C4-style cross-doc span dedup] →
+      // MinHash-LSH near-dup clusters → best-quality survivor per
+      // cluster → deterministic train/val/test split → reproducible
+      // export shards. Expects (doc_id, text) columns.
       import org.apache.spark.sql.functions._
       import graft.ext.{Corpus, Dedup, TextAnalysis}
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -90,8 +91,22 @@ object Main {
         .where(TextAnalysis.gopherRules(col("text")).getField("pass"))
         .persist(lvl)
       val nRules = passed.count()
-      val exact = Dedup.dropExactDuplicates(passed, "doc_id", "text").persist(lvl)
-      val nExact = exact.count()
+      val exactD = Dedup.dropExactDuplicates(passed, "doc_id", "text").persist(lvl)
+      val nExact = exactD.count()
+      val exact = rest match {
+        case "--span-dedup" :: n :: Nil =>
+          // rewrite docs to their globally-first spans; docs whose every
+          // span already appeared elsewhere drop out entirely
+          Corpus.spanDedup(exactD.select(col("doc_id"), col("text")),
+            "doc_id", "text", n.toInt)
+            .where(col("n_kept") > 0)
+            .select(col("doc_id"), col("dedup_text").as("text")).persist(lvl)
+        case Nil => exactD
+        case other =>
+          System.err.println(s"unknown curate options: ${other.mkString(" ")}")
+          sys.exit(2)
+      }
+      val nSpan = exact.count()
       val pairs = Dedup.minhashNearDups(exact, "doc_id", "text",
         n = 3, bands = 8, rowsPerBand = 4, minSim = 0.7)
       val clusters = Dedup.connectedComponents(
@@ -110,7 +125,8 @@ object Main {
       val perSplit = out.groupBy("split").count().collect()
         .map(r => s""""${r.getString(0)}": ${r.getLong(1)}""").sorted.mkString(", ")
       println(s"""{"input": $nInput, "after_rules": $nRules, """ +
-        s""""after_exact": $nExact, "after_neardup": ${out.count()}, """ +
+        s""""after_exact": $nExact, "after_span": $nSpan, """ +
+        s""""after_neardup": ${out.count()}, """ +
         s""""splits": {$perSplit}}""")
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")

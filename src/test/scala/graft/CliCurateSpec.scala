@@ -43,4 +43,27 @@ class CliCurateSpec extends SparkSpec {
       .select("doc_id", "split", "shard").as[(Long, String, Long)].collect().toSet
     assert(first == rerun, "curation output is deterministic across reruns")
   }
+
+  test("curate --span-dedup rewrites docs to globally-first spans") {
+    import spark.implicits._
+    // the boilerplate span doubles as the Gopher required-stopword source
+    val shared = "the boiler1 of boiler2 and boiler3 that boiler4 to boiler5"
+    def tail(i: Int) = (1 to 40).map(j => s"w${i * 100 + j}").mkString(" ")
+    // every doc opens with the same 10-word boilerplate span; only the
+    // lowest id keeps it after span dedup at spanWords = 10
+    val rows = (0 until 20).map(i => (i.toLong, shared + " " + tail(i)))
+    val in = freshDir("target/cli-curate-span-in")
+    rows.toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    val out = freshDir("target/cli-curate-span-out")
+
+    cli.Main.run(spark, List("curate", in, out, "--span-dedup", "10"))
+
+    val docs = spark.read.parquet(s"$out/docs")
+    assert(docs.count() == 20, "span rewrite must not drop distinct docs")
+    val withBoiler = docs.where(col("text").contains("boiler1")).count()
+    assert(withBoiler == 1, s"exactly one doc keeps the boilerplate span, got $withBoiler")
+    // the keeper is the smallest doc id (global first occurrence)
+    assert(docs.where(col("text").contains("boiler1"))
+      .select("doc_id").as[Long].collect().toSeq == Seq(0L))
+  }
 }
