@@ -1416,7 +1416,7 @@ object GraftQueries {
       Corpus.weightedSample(t(s, d)("documents").select("doc_id", "n_chars"),
         "doc_id", "n_chars", k = 50)
         .select(col("doc_id"), col("n_chars"),
-          round(col("sample_key"), 6).as("sample_key"))
+          round(col("sample_key"), 4).as("sample_key"))
         .orderBy("doc_id")
     },
 
@@ -1436,9 +1436,9 @@ object GraftQueries {
       Corpus.tokenizeWithVocab(docs, "doc_id", "text", vocab, "w", "tid", unkId = 0)
         .select(col("doc_id"), col("n_tokens"), col("n_unk"),
           aggregate(col("token_ids"), lit(0L), (a, x) => a + x).as("tid_sum"),
-          element_at(col("token_ids"), 1).as("t0"),
-          element_at(col("token_ids"), 2).as("t1"),
-          element_at(col("token_ids"), 3).as("t2"))
+          try_element_at(col("token_ids"), lit(1)).as("t0"),
+          try_element_at(col("token_ids"), lit(2)).as("t1"),
+          try_element_at(col("token_ids"), lit(3)).as("t2"))
         .orderBy("doc_id")
     },
 
@@ -1497,10 +1497,10 @@ object GraftQueries {
       Similarity.quantizeInt8(t(s, d)("embeddings"), "vec_id", "embedding")
         .select(col("vec_id"),
           aggregate(col("codes"), lit(0L), (acc, x) => acc + x).as("code_sum"),
-          element_at(col("codes"), 1).as("c0"),
-          element_at(col("codes"), 2).as("c1"),
-          element_at(col("codes"), 3).as("c2"),
-          element_at(col("codes"), 4).as("c3"))
+          try_element_at(col("codes"), lit(1)).as("c0"),
+          try_element_at(col("codes"), lit(2)).as("c1"),
+          try_element_at(col("codes"), lit(3)).as("c2"),
+          try_element_at(col("codes"), lit(4)).as("c3"))
         .orderBy("vec_id")
     }
   )
@@ -2725,10 +2725,11 @@ object GraftQueries {
         |ORDER BY component""".stripMargin,
 
     // 10-word spans, 0-based positions; globally-first occurrence =
-    // row_number over (doc_id, pos) per span
+    // row_number over (doc_id, pos) per case-folded span (output keeps
+    // original casing, mirroring spanDedup)
     "q_span_dedup" ->
       """WITH sel AS (SELECT doc_id,
-        |  list_filter(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' '),
+        |  list_filter(string_split(trim(regexp_replace(text,'\s+',' ','g')), ' '),
         |    x -> len(x) > 0) AS t FROM documents),
         |sp AS (SELECT doc_id, i - 1 AS pos,
         |    array_to_string(list_slice(t, (i-1)*10 + 1, i*10), ' ') AS span
@@ -2736,7 +2737,7 @@ object GraftQueries {
         |      CAST(ceil(len(t) / 10.0) AS BIGINT))) AS i) u
         |  WHERE len(t) > 0),
         |keep AS (SELECT doc_id, pos, span FROM sp
-        |  QUALIFY row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) = 1),
+        |  QUALIFY row_number() OVER (PARTITION BY lower(span) ORDER BY doc_id, pos) = 1),
         |agg AS (SELECT doc_id, count(*) AS n_kept,
         |    string_agg(span, ' ' ORDER BY pos) AS dtext
         |  FROM keep GROUP BY 1)
@@ -2854,7 +2855,7 @@ object GraftQueries {
         |           * CAST(power(16, 8 - p) AS BIGINT))) + 1.0) / 4294967296.0,
         |      1.0 / n_chars) AS key
         |  FROM documents WHERE n_chars > 0)
-        |SELECT doc_id, n_chars, round(key, 6) AS sample_key
+        |SELECT doc_id, n_chars, round(key, 4) AS sample_key
         |FROM (SELECT * FROM k ORDER BY key DESC, doc_id LIMIT 50)
         |ORDER BY doc_id""".stripMargin,
 

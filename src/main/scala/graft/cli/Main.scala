@@ -94,7 +94,7 @@ object Main {
       val exactD = Dedup.dropExactDuplicates(passed, "doc_id", "text").persist(lvl)
       val nExact = exactD.count()
       val exact = rest match {
-        case "--span-dedup" :: n :: Nil =>
+        case "--span-dedup" :: n :: Nil if n.toIntOption.exists(_ >= 1) =>
           // rewrite docs to their globally-first spans; docs whose every
           // span already appeared elsewhere drop out entirely
           Corpus.spanDedup(exactD.select(col("doc_id"), col("text")),

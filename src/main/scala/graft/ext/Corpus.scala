@@ -363,6 +363,9 @@ object Corpus {
     *
     * Returns (idCol, n_spans, n_kept, dedup_text); documents whose every
     * span appeared earlier elsewhere come back with n_kept = 0 and "".
+    * Dedup keys are CASE-INSENSITIVE (the shared normalizer), but the
+    * reassembled text keeps the original casing — only inter-token
+    * whitespace is collapsed, an inherent cost of token-wise reassembly.
     *
     * Scale shape: one groupBy keyed on the span hash (min is map-side
     * combinable, so boilerplate spans shared by millions of docs reduce
@@ -373,7 +376,10 @@ object Corpus {
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
       spanWords: Int): DataFrame = {
     require(spanWords >= 1, "spanWords must be positive")
-    val toks = filter(split(Dedup.normalize(col(textCol)), " "), t => length(t) > 0)
+    // case-preserving tokens for OUTPUT; the dedup key lowercases below
+    val toks = filter(
+      split(trim(regexp_replace(col(textCol), "\\s+", " ")), " "),
+      t => length(t) > 0)
     val nSpans = ceil(size(toks).cast("double") / spanWords).cast("int")
     val spans = org.apache.spark.sql.functions.transform(
       sequence(lit(0), nSpans - 1),
@@ -381,7 +387,7 @@ object Corpus {
     val exploded = df
       .select(col(idCol), posexplode(when(size(toks) > 0, spans)
         .otherwise(array())).as(Seq("pos", "span")))
-      .withColumn("_h", md5(col("span")))
+      .withColumn("_h", md5(lower(col("span"))))
     val firsts = exploded.groupBy(col("_h"))
       .agg(min(struct(col(idCol), col("pos"))).as("_first"))
     val kept = exploded.join(firsts, Seq("_h"))
@@ -521,9 +527,11 @@ object Corpus {
     * [[unigramLmScore]]'s vocab) and [[packSequences]].
     *
     * Scale shape: the corpus explodes to (doc, pos, token) once; the vocab
-    * (≤ millions of rows ≪ corpus) broadcasts under threshold, else it is
-    * a keyed join on the token where Zipfian head words are exactly the
-    * AQE skew-split case. Reassembly is one groupBy per doc with an
+    * join is left to Catalyst/AQE (statistics-driven): a vocab under the
+    * broadcast threshold ships to every task, a larger one becomes a keyed
+    * join on the token where Zipfian head words are exactly the AQE
+    * skew-split case — no forced hint, so a huge vocab can never blow the
+    * broadcast budget. Reassembly is one groupBy per doc with an
     * order-restoring array_sort — no windows, no driver.
     */
   def tokenizeWithVocab(df: DataFrame, idCol: String, textCol: String,
@@ -532,7 +540,7 @@ object Corpus {
     val toks = filter(split(Dedup.normalize(col(textCol)), " "), t => length(t) > 0)
     val long = df.select(col(idCol), posexplode(toks).as(Seq("pos", "_w")))
     val v = vocab.select(col(wordCol).as("_w"), col(tokenIdCol).cast("int").as("_tid"))
-    long.join(broadcast(v), Seq("_w"), "left")
+    long.join(v, Seq("_w"), "left")
       .select(col(idCol), col("pos"), coalesce(col("_tid"), lit(unkId)).as("_tid"))
       .groupBy(col(idCol))
       .agg(org.apache.spark.sql.functions.transform(
@@ -568,6 +576,13 @@ object Corpus {
     * subsample a corpus proportionally to a quality weight at 100 TB scale
     * (a total order exists but only the top-k is materialized; Spark's
     * orderBy+limit does per-partition top-k then merges, never a full sort).
+    *
+    * Reproducibility caveat: unlike the exact-integer sketches, the sample
+    * key goes through `pow`, whose last-ulp rounding is not pinned across
+    * math libraries — two engines could in principle disagree on a key
+    * within 1 ulp of a rank boundary. With md5-uniform draws the collision
+    * probability is ~1e-10 per row; callers needing absolute cross-engine
+    * agreement should compare the selected ID SET, not the keys.
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int): DataFrame = {

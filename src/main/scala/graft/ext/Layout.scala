@@ -51,6 +51,7 @@ object Layout {
     */
   def zValue(df: DataFrame, dims: Seq[String], bits: Int = 8): DataFrame = {
     require(dims.nonEmpty, "need at least one dimension")
+    require(bits >= 1, "need at least one bit per dimension")
     require(bits * dims.size <= 62, "z-value must fit a signed long")
     val aggs = dims.flatMap(d => Seq(
       min(col(d).cast("double")).as(s"_mn_$d"),

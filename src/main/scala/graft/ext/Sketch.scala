@@ -93,16 +93,20 @@ object Sketch {
     * sketch answers point frequency queries for an UNBOUNDED key space in
     * depth×width integers of memory (overestimates only, by ≤ collisions).
     */
+  /** The ONE bucket hash shared by counter build and probe — CMS is only
+    * correct if both sides hash bit-identically, so neither may drift.
+    */
+  private def cmsBucket(depth: Column, key: Column, width: Int): Column =
+    conv(substring(md5(concat(depth.cast("string"), lit(":"), key)),
+      1, 8), 16, 10).cast("long") % width
+
   def cmsCounters(df: DataFrame, keyCol: String,
       depth: Int = 4, width: Int = 64): DataFrame = {
     require(depth >= 1 && width >= 1, "depth and width must be positive")
-    val rows = df.where(col(keyCol).isNotNull)
+    df.where(col(keyCol).isNotNull)
       .select(explode(lit((0 until depth).toArray)).as("depth"),
         col(keyCol).cast("string").as("_k"))
-    rows
-      .withColumn("bucket",
-        conv(substring(md5(concat(col("depth").cast("string"), lit(":"), col("_k"))),
-          1, 8), 16, 10).cast("long") % width)
+      .withColumn("bucket", cmsBucket(col("depth"), col("_k"), width))
       .groupBy("depth", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
@@ -114,11 +118,10 @@ object Sketch {
   def cmsEstimate(df: DataFrame, keyCol: String, probes: DataFrame,
       probeCol: String, depth: Int = 4, width: Int = 64): DataFrame = {
     val counters = cmsCounters(df, keyCol, depth, width)
-    val probeRows = probes.select(col(probeCol).cast("string").as("probe")).distinct()
+    val probeRows = probes.where(col(probeCol).isNotNull)
+      .select(col(probeCol).cast("string").as("probe")).distinct()
       .select(col("probe"), explode(lit((0 until depth).toArray)).as("depth"))
-      .withColumn("bucket",
-        conv(substring(md5(concat(col("depth").cast("string"), lit(":"), col("probe"))),
-          1, 8), 16, 10).cast("long") % width)
+      .withColumn("bucket", cmsBucket(col("depth"), col("probe"), width))
     probeRows.join(broadcast(counters), Seq("depth", "bucket"), "left")
       .na.fill(0L, Seq("cnt"))
       .groupBy("probe").agg(min(col("cnt")).as("estimate"))

@@ -73,6 +73,11 @@ object GraphAlgos {
         ranks.unpersist(blocking = false): Unit
       ranks = next
     }
+    // the returned frame is materialized; the building blocks would
+    // otherwise stay cached for the session lifetime on every call
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
     ranks
   }
 

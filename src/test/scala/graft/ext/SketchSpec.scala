@@ -61,6 +61,17 @@ class SketchSpec extends SparkSpec {
     assert(out(2).getAs[String]("dedup_text") == "")
   }
 
+  test("spanDedup dedups case-insensitively but outputs original casing") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello World again today"),
+      (2L, "hello world again today")).toDF("id", "text") // same spans, case-folded
+    val out = Corpus.spanDedup(df, "id", "text", spanWords = 2)
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("dedup_text") == "Hello World again today")
+    assert(out(1).getAs[Long]("n_kept") == 0) // doc 2 is a case-variant dup
+  }
+
   test("bm25 ranks the term-dense doc first and is idempotent") {
     import spark.implicits._
     val df = Seq(
