@@ -1442,6 +1442,14 @@ object GraftQueries {
         .orderBy("doc_id")
     },
 
+    // extension: market-basket pair mining — co-purchased part pairs
+    // within orders (support >= 3), confidence and lift from exact counts
+    "q_itemsets" -> { (s, d) =>
+      import graft.ext.Association
+      Association.pairSupport(t(s, d)("lineitem"),
+        "l_orderkey", "l_partkey", minSupport = 3, topK = 20)
+    },
+
     // extension: PMI collocation mining — adjacent-pair pointwise mutual
     // information from exact corpus counts (min pair count 5, top 20)
     "q_pmi" -> { (s, d) =>
@@ -2878,6 +2886,25 @@ object GraftQueries {
         |  CAST(max(CASE WHEN pos = 2 THEN tid END) AS INT) AS t1,
         |  CAST(max(CASE WHEN pos = 3 THEN tid END) AS INT) AS t2
         |FROM tok GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // basket pair mining: unordered pairs within an order, exact supports;
+    // confidence/lift mirror ((pair*N)/((a)*(b))) parenthesization
+    "q_itemsets" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem WHERE l_partkey IS NOT NULL),
+        |bd AS (SELECT b, i FROM it
+        |  QUALIFY count(*) OVER (PARTITION BY b) <= 1000),
+        |nb AS (SELECT count(DISTINCT b) AS n FROM it),
+        |sup AS (SELECT i, count(*) AS s FROM it GROUP BY 1),
+        |p AS (SELECT x.i AS a, y.i AS b2, count(*) AS pair_sup
+        |  FROM bd x JOIN bd y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2)
+        |SELECT p.a, p.b2 AS b, p.pair_sup, sa.s AS sup_a, sb.s AS sup_b,
+        |  round(CAST(p.pair_sup AS DOUBLE) / sa.s, 4) AS confidence,
+        |  round(CAST(p.pair_sup AS DOUBLE) * nb.n /
+        |    (CAST(sa.s AS DOUBLE) * sb.s), 4) AS lift
+        |FROM p JOIN sup sa ON sa.i = p.a JOIN sup sb ON sb.i = p.b2
+        |CROSS JOIN nb WHERE p.pair_sup >= 3
+        |ORDER BY p.pair_sup DESC, p.a, p.b2 LIMIT 20""".stripMargin,
 
     // PMI from exact unigram/bigram counts; identical double
     // parenthesization: ((cab*T)*T) / ((B*ca)*cb)

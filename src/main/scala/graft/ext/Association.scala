@@ -1,0 +1,54 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Association mining over basket-shaped data (orders × items, sessions ×
+  * pages, documents × entities): pairwise co-occurrence support with
+  * confidence and lift — the first round of Apriori, which in practice is
+  * the round that matters at 100 TB (higher-order itemsets prune from it).
+  *
+  * Scale shape: the pair join is keyed on the BASKET id, so its fan-out is
+  * quadratic only in the per-basket item count — bounded by real basket
+  * sizes, not the corpus; `maxBasketSize` drops degenerate mega-baskets
+  * (the classic skew pathology: one crawler session with 10^6 items) before
+  * they explode. Item/pair supports are counting groupBys (map-side
+  * combinable). Counts are exact integers; confidence/lift mirror one
+  * double parenthesization for cross-engine reproducibility.
+  */
+object Association {
+
+  /** Frequent co-occurring pairs: one row per unordered item pair (a < b)
+    * with pair support, item supports, confidence(a→b) = sup(ab)/sup(a)
+    * and lift = sup(ab)·N / (sup(a)·sup(b)), filtered to
+    * `minSupport` ≤ sup(ab) and ranked by (sup desc, a, b) top-`topK`.
+    */
+  def pairSupport(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, topK: Int, maxBasketSize: Int = 1000): DataFrame = {
+    require(minSupport >= 1, "minSupport must be positive")
+    require(topK >= 1, "topK must be positive")
+    // no manual persist: the self-join's two sides are the same plan
+    // (ReusedExchange) and the support aggregation is one extra pass over
+    // a keyed shuffle — cheaper than holding a cache across the call
+    val items = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .where(col("_i").isNotNull).distinct()
+    val bounded = items
+      .withColumn("_sz", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("_b"))))
+      .where(col("_sz") <= maxBasketSize).drop("_sz")
+    val nBaskets = items.select(col("_b")).distinct().count()
+    val itemSup = items.groupBy(col("_i")).agg(count(lit(1)).as("sup"))
+    val pairs = bounded.as("x").join(bounded.as("y"),
+        col("x._b") === col("y._b") && col("x._i") < col("y._i"))
+      .select(col("x._i").as("a"), col("y._i").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("pair_sup"))
+    val out = pairs.where(col("pair_sup") >= minSupport)
+      .join(itemSup.withColumnRenamed("_i", "a").withColumnRenamed("sup", "sup_a"), Seq("a"))
+      .join(itemSup.withColumnRenamed("_i", "b").withColumnRenamed("sup", "sup_b"), Seq("b"))
+      .select(col("a"), col("b"), col("pair_sup"), col("sup_a"), col("sup_b"),
+        round(col("pair_sup").cast("double") / col("sup_a"), 4).as("confidence"),
+        round(col("pair_sup").cast("double") * nBaskets /
+          (col("sup_a").cast("double") * col("sup_b")), 4).as("lift"))
+    out.orderBy(col("pair_sup").desc, col("a"), col("b")).limit(topK)
+  }
+}
