@@ -1442,6 +1442,23 @@ object GraftQueries {
         .orderBy("doc_id")
     },
 
+    // extension: ordered funnel — users completing signup → view →
+    // purchase in strict time order (greedy earliest-match, exact)
+    "q_funnel" -> { (s, d) =>
+      import graft.ext.Events
+      Events.funnel(TpchGraph.eventsTable(s, d), "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase")).orderBy("step")
+    },
+
+    // extension: cohort retention — weekly first-activity cohorts ×
+    // activity offsets, exact user counts
+    "q_retention" -> { (s, d) =>
+      import graft.ext.Events
+      Events.cohortRetention(TpchGraph.eventsTable(s, d), "user_id", "ts",
+        periodDays = 7, maxOffset = 10)
+        .orderBy("cohort_period", "period_offset")
+    },
+
     // extension: market-basket pair mining — co-purchased part pairs
     // within orders (support >= 3), confidence and lift from exact counts
     "q_itemsets" -> { (s, d) =>
@@ -2886,6 +2903,34 @@ object GraftQueries {
         |  CAST(max(CASE WHEN pos = 2 THEN tid END) AS INT) AS t1,
         |  CAST(max(CASE WHEN pos = 3 THEN tid END) AS INT) AS t2
         |FROM tok GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // funnel: chained conditional mins per user, strict time order
+    "q_funnel" ->
+      """WITH u0 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |u1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN u0 ON u0.user_id = e.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > u0.t GROUP BY 1),
+        |u2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN u1 ON u1.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > u1.t GROUP BY 1)
+        |SELECT 1 AS step, 'signup' AS event_type,
+        |  (SELECT count(*) FROM u0) AS n_users
+        |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM u1)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM u2)
+        |ORDER BY step""".stripMargin,
+
+    // weekly cohorts: floor(epoch/604800); truncation-vs-fraction cannot
+    // flip the floor (no integer fits strictly between x and x+1)
+    "q_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id AS u,
+        |    CAST(floor(epoch(ts) / 604800) AS BIGINT) AS p FROM events),
+        |coh AS (SELECT u, min(p) AS cohort FROM act GROUP BY 1)
+        |SELECT coh.cohort AS cohort_period, act.p - coh.cohort AS period_offset,
+        |  count(*) AS n_users
+        |FROM act JOIN coh ON act.u = coh.u
+        |WHERE act.p - coh.cohort <= 10
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // basket pair mining: unordered pairs within an order, exact supports;
     // confidence/lift mirror ((pair*N)/((a)*(b))) parenthesization

@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over (user, timestamp, event-type) data — the
+  * funnel/cohort layer a product-analytics deployment runs at 100 TB.
+  * Everything here reduces to per-user min-timestamp aggregates and exact
+  * integer counts: keyed shuffles on the user, map-side combinable, no
+  * windows over the raw event stream and no floats anywhere.
+  */
+object Events {
+
+  /** Ordered funnel: for each prefix of `steps`, how many users performed
+    * those events IN ORDER (each step strictly after the previous one).
+    * Returns (step, event_type, n_users) with step 1-based.
+    *
+    * Matching is greedy earliest-occurrence, which is EXACT for
+    * subsequence existence (taking the earliest qualifying occurrence of
+    * step i never forecloses a later step — the standard exchange
+    * argument), so n_users is the true count of users with the ordered
+    * subsequence.
+    *
+    * Scale shape: one pass over the (type-pruned — the isin filter reaches
+    * the scan) event stream per step, each a conditional-min groupBy keyed
+    * on the user joined to the previous step's resolution; per-user state
+    * is ONE timestamp per step, never an occurrence list, so power users
+    * with millions of events cost nothing extra.
+    */
+  def funnel(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val ev = df.select(col(userCol).as("_u"), col(tsCol).as("_ts"),
+      col(typeCol).as("_ty"))
+    // resolve the chain left to right: _t(0) = min ts of step 0;
+    // _t(i) = min ts of step i strictly after _t(i-1), per user
+    val resolutions = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val occ = ev.where(col("_ty") === step)
+        Some(prev match {
+          case None => occ.groupBy("_u").agg(min(col("_ts")).as("_t"))
+          case Some(p) => occ.join(p.withColumnRenamed("_t", "_pt"), Seq("_u"))
+            .where(col("_ts") > col("_pt"))
+            .groupBy("_u").agg(min(col("_ts")).as("_t"))
+        })
+    }.flatten
+    val rows = resolutions.zip(steps).zipWithIndex.map {
+      case ((frame, step), i) =>
+        frame.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("step"), lit(step).as("event_type"),
+            col("n_users"))
+    }
+    rows.reduceLeft(_.unionAll(_))
+  }
+
+  /** Cohort retention: users grouped by their FIRST-activity period
+    * (`periodDays`-day buckets from the epoch), counted as retained in
+    * each later offset if they have any event there. Returns
+    * (cohort_period, period_offset, n_users) — exact integers, two keyed
+    * aggregates (per-user first period, then per (cohort, offset) count).
+    */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String,
+      periodDays: Int, maxOffset: Int): DataFrame = {
+    require(periodDays >= 1 && maxOffset >= 0, "positive period, offset >= 0")
+    val period = floor(unix_timestamp(col(tsCol)) / lit(periodDays * 86400L))
+    val activity = df.select(col(userCol).as("_u"), period.as("_p")).distinct()
+    val cohorts = activity.groupBy("_u").agg(min(col("_p")).as("_cohort"))
+    activity.join(cohorts, Seq("_u"))
+      .select(col("_cohort"), (col("_p") - col("_cohort")).as("_off"))
+      .where(col("_off") <= maxOffset)
+      .groupBy(col("_cohort").as("cohort_period"), col("_off").as("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ext
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Funnel and cohort-retention analytics. */
+class EventsSpec extends SparkSpec {
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("funnel requires strict order and counts prefixes") {
+    import spark.implicits._
+    val rows = Seq(
+      // user 1: full ordered funnel
+      (1L, ts(10), "signup"), (1L, ts(20), "view"), (1L, ts(30), "purchase"),
+      // user 2: purchase BEFORE view — completes only 2 steps
+      (2L, ts(10), "signup"), (2L, ts(15), "purchase"), (2L, ts(20), "view"),
+      // user 3: no signup — counts nowhere
+      (3L, ts(10), "view"), (3L, ts(20), "purchase"),
+      // user 4: signup only
+      (4L, ts(10), "signup"))
+    val out = Events.funnel(rows.toDF("u", "t", "ty"), "u", "t", "ty",
+      Seq("signup", "view", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out == Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
+  }
+
+  test("funnel greedy earliest-match finds a late valid chain") {
+    import spark.implicits._
+    // view happens both before and after signup: the post-signup one counts
+    val rows = Seq(
+      (1L, ts(5), "view"), (1L, ts(10), "signup"), (1L, ts(20), "view"))
+    val out = Events.funnel(rows.toDF("u", "t", "ty"), "u", "t", "ty",
+      Seq("signup", "view"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out == Map(1 -> 1L, 2 -> 1L))
+  }
+
+  test("cohortRetention buckets by first-activity period") {
+    import spark.implicits._
+    val day = 86400L
+    val rows = Seq(
+      (1L, ts(0)), (1L, ts(7 * day)), (1L, ts(14 * day)), // cohort 0: offsets 0,1,2
+      (2L, ts(7 * day)), (2L, ts(21 * day)),              // cohort 1: offsets 0,2
+      (3L, ts(0)))                                        // cohort 0: offset 0 only
+    val out = Events.cohortRetention(rows.toDF("u", "t"), "u", "t",
+      periodDays = 7, maxOffset = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 2L) -> 1L))
+  }
+}
