@@ -1442,6 +1442,23 @@ object GraftQueries {
         .orderBy("doc_id")
     },
 
+    // extension: HLL register MERGE — |clickers ∪ purchasers| from two
+    // independently-built register sets (per-bucket max), the property
+    // that lets sketches aggregate across partitions/days without
+    // re-reading values; oracle computes registers over the unioned rows
+    // (identical by construction)
+    "q_hll_union" -> { (s, d) =>
+      import graft.ext.Sketch
+      val ev = TpchGraph.eventsTable(s, d)
+      val a = Sketch.hllRegisters(ev.where(col("event_type") === "click"),
+        Nil, "user_id")
+      val b = Sketch.hllRegisters(ev.where(col("event_type") === "purchase"),
+        Nil, "user_id")
+      val exact = ev.where(col("event_type").isin("click", "purchase"))
+        .agg(count_distinct(col("user_id")).as("exact_count"))
+      Sketch.hllUnionCounts(a, b).crossJoin(exact)
+    },
+
     // extension: ordered funnel — users completing signup → view →
     // purchase in strict time order (greedy earliest-match, exact)
     "q_funnel" -> { (s, d) =>
@@ -2903,6 +2920,33 @@ object GraftQueries {
         |  CAST(max(CASE WHEN pos = 2 THEN tid END) AS INT) AS t1,
         |  CAST(max(CASE WHEN pos = 3 THEN tid END) AS INT) AS t2
         |FROM tok GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // merged-register HLL union == HLL of the unioned values
+    "q_hll_union" ->
+      """WITH src AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND user_id IS NOT NULL),
+        |reg AS (SELECT
+        |    (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substring(h, 2, 1)) - 1 AS bucket,
+        |    max(CASE WHEN length(regexp_extract(substring(h, 3, 12), '^0*')) = 12 THEN 49
+        |      ELSE 4 * length(regexp_extract(substring(h, 3, 12), '^0*'))
+        |        + CASE substring(regexp_replace(substring(h, 3, 12), '^0*', ''), 1, 1)
+        |            WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |            WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+        |            ELSE 0 END + 1 END) AS reg
+        |  FROM src GROUP BY 1),
+        |agg AS (SELECT sum(CAST(1 AS BIGINT) << (49 - reg)) AS s_present,
+        |    count(*) AS present FROM reg),
+        |est AS (SELECT s_present + (256 - present) * (CAST(1 AS BIGINT) << 49) AS s,
+        |    256 - present AS zeros FROM agg),
+        |fin AS (SELECT CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)
+        |      * 256.0 * 256.0 / (CAST(s AS DOUBLE) / 562949953421312.0) AS raw,
+        |    zeros FROM est),
+        |e2 AS (SELECT CASE WHEN raw <= 640.0 AND zeros > 0
+        |    THEN round(256.0 * ln(256.0 / zeros), 2)
+        |    ELSE round(raw, 2) END AS estimate FROM fin)
+        |SELECT estimate, (SELECT count(DISTINCT user_id) FROM events
+        |  WHERE event_type IN ('click', 'purchase')) AS exact_count FROM e2""".stripMargin,
 
     // funnel: chained conditional mins per user, strict time order
     "q_funnel" ->

@@ -66,13 +66,20 @@ object Sketch {
     * reproducible across engines: the register sum is exact integer math
     * (see object doc), so only the final division/ln touch doubles.
     */
-  def hllCounts(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+  def hllCounts(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, valueCol), groupCols)
+
+  /** Estimate from a register frame (bucket, reg) with optional extra
+    * grouping columns — the estimator core shared by [[hllCounts]] and
+    * register-algebra consumers like [[hllUnionCounts]].
+    */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
     val m = 256
     val alpha = 0.7213 / (1.0 + 1.079 / m)
-    val regs = hllRegisters(df, groupCols, valueCol, m)
-    // S = 2^49 · Σ_j 2^(−M_j): present buckets contribute 2^(49−M), the
-    // (m − present) absent buckets have M = 0 and contribute 2^49 each.
-    val agg = regs.groupBy(groupCols.map(col): _*)
+    val grouped =
+      if (groupCols.isEmpty) regs.groupBy()
+      else regs.groupBy(groupCols.map(col): _*)
+    val agg = grouped
       .agg(sum(expr("shiftleft(cast(1 as bigint), 49 - reg)")).as("_s_present"),
         count(lit(1)).as("_present"))
       .withColumn("_s",
@@ -86,6 +93,18 @@ object Sketch {
           .otherwise(round(col("_raw"), 2)))
       .drop("_s_present", "_present", "_s", "_zeros", "_raw")
   }
+
+  /** |A ∪ B| estimate from two register frames over the SAME value domain:
+    * registers merge by per-bucket max — the mergeability that lets HLL
+    * aggregate across partitions, days, or datacenters without ever
+    * re-reading values. Inputs are (bucket, reg) frames as produced by
+    * [[hllRegisters]] with no group columns.
+    */
+  def hllUnionCounts(a: DataFrame, b: DataFrame): DataFrame =
+    hllEstimate(
+      a.select("bucket", "reg").union(b.select("bucket", "reg"))
+        .groupBy("bucket").agg(max(col("reg")).as("reg")),
+      Nil)
 
   /** Count-min sketch counters: `depth` independent md5 hash rows × `width`
     * buckets. Input explodes to `depth` rows per record, then a counting

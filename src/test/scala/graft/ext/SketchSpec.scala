@@ -30,6 +30,19 @@ class SketchSpec extends SparkSpec {
     assert(e1 == e2) // registers are max-merged: duplicates change nothing
   }
 
+  test("hllUnionCounts: merged registers equal the union's own sketch") {
+    import spark.implicits._
+    val a = (0 until 800).map(i => ("g", s"v$i")).toDF("g", "v")      // 0..799
+    val b = (400 until 1200).map(i => ("g", s"v$i")).toDF("g", "v")   // 400..1199
+    val ra = Sketch.hllRegisters(a, Nil, "v")
+    val rb = Sketch.hllRegisters(b, Nil, "v")
+    val merged = Sketch.hllUnionCounts(ra, rb).collect()(0).getDouble(0)
+    val direct = Sketch.hllCounts(a.union(b), Seq("g"), "v")
+      .collect()(0).getDouble(1)
+    assert(merged == direct) // mergeability is exact, not approximate
+    assert(math.abs(merged - 1200.0) / 1200.0 < 0.2)
+  }
+
   test("cmsEstimate never underestimates and is exact sans collisions") {
     import spark.implicits._
     val df = (Seq.fill(500)("hot") ++ (0 until 100).map(i => s"k$i")).toDF("k")
