@@ -49,13 +49,22 @@ object Sketch {
     * max ρ over the next 48 bits. Returns (groupCols…, bucket, reg) — at
     * most 256 rows per group after the (map-side combinable) max.
     */
-  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      m: Int = 256): DataFrame = {
-    require(m == 256, "register count is fixed at 256 (2 hex chars) for oracle parity")
+  /** The per-row (bucket, _rho) projection shared by the batch register
+    * builder and [[graft.streaming.StreamIngest.hllRegisterStream]] — one
+    * derivation, so a stream-built register always equals the batch
+    * register over the same rows.
+    */
+  private[graft] def hllProject(df: DataFrame, valueCol: String): DataFrame = {
     val h = md5(col(valueCol).cast("string"))
     df.where(col(valueCol).isNotNull)
       .withColumn("bucket", conv(substring(h, 1, 2), 16, 10).cast("int"))
       .withColumn("_rho", rho(substring(h, 3, 12)))
+  }
+
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      m: Int = 256): DataFrame = {
+    require(m == 256, "register count is fixed at 256 (2 hex chars) for oracle parity")
+    hllProject(df, valueCol)
       .groupBy((groupCols.map(col) :+ col("bucket")): _*)
       .agg(max(col("_rho")).as("reg"))
   }

@@ -85,6 +85,24 @@ object StreamIngest {
     * the horizon from the source's redelivery window (e.g. a Kafka
     * retention / replay bound), not from wall-clock hope.
     */
+  /** Streaming distinct-count state: HLL registers maintained incrementally
+    * — `max(reg)` per bucket is exactly the streaming-aggregation shape
+    * (monotone, mergeable, 256 rows of state per group regardless of how
+    * many values flow through), so cardinality over an unbounded stream
+    * costs O(m) memory where exact distinct state would grow without
+    * bound. Run with OutputMode.Complete/Update; estimate a snapshot with
+    * [[graft.ext.Sketch.hllEstimate]].
+    */
+  def hllRegisterStream(source: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // same bucket/rho derivation as the batch side — a register built by
+    // the stream equals the register the batch would build on the same rows
+    graft.ext.Sketch.hllProject(source, valueCol)
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("_rho")).as("reg"))
+  }
+
   def dedupStream(source: DataFrame, idCols: Seq[String], tsCol: String,
       watermark: String): DataFrame =
     source.withWatermark(tsCol, watermark)

@@ -107,6 +107,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length == 1)
     assert(rows.head.getAs[Int]("n") == 2 && rows.head.getAs[Double]("sum") == 3.0)
   }
+
+  test("streaming HLL registers equal the batch sketch over the same rows") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val regs = StreamIngest.hllRegisterStream(mem.toDF().toDF("v"), Nil, "v")
+    val q = regs.writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete").start()
+    mem.addData((0 until 600).map(i => s"u$i"): _*)
+    q.processAllAvailable()
+    mem.addData((300 until 900).map(i => s"u$i"): _*) // overlap re-observes
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hll_regs")
+    val est = graft.ext.Sketch.hllEstimate(streamed, Nil)
+      .collect()(0).getDouble(0)
+    val batch = graft.ext.Sketch.hllCounts(
+      (0 until 900).map(i => s"u$i").toDF("v")
+        .withColumn("g", lit(1)), Seq("g"), "v")
+      .collect()(0).getDouble(1)
+    assert(est == batch, s"stream=$est batch=$batch")
+    // bounded state: at most 256 register rows no matter the stream length
+    assert(streamed.count() <= 256)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
