@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Literal, Multiply, Sqrt}
+import org.apache.spark.sql.types.IntegerType
 
 import graft.expr.DotProduct
 
@@ -56,6 +57,19 @@ object GraftExtensions {
         val (a, b) = (args(0), args(1))
         new Divide(DotProduct(a, b),
           new Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
+      }),
+    (FunctionIdentifier("topk_pairs"),
+      new ExpressionInfo(classOf[graft.expr.BoundedTopK].getName, "topk_pairs"),
+      args => {
+        require(args.size == 3, "topk_pairs(k, score, payload) takes three arguments")
+        val k = args.head match {
+          case Literal(i: Int, IntegerType) => i
+          case other => throw new IllegalArgumentException(
+            s"topk_pairs: k must be an integer literal, got ${other.sql}")
+        }
+        // the analyzer wraps a bare AggregateFunction from the registry in
+        // an AggregateExpression itself
+        graft.expr.BoundedTopK(k, args(1), args(2))
       }))
 
   /** The composite builders repeat their argument trees (norm evaluates

@@ -1209,6 +1209,19 @@ object GraftQueries {
         .orderBy("lang_guess", "rank")
     },
 
+    // extension: the SAME curation step through the native BoundedTopK
+    // aggregate — map-side bounded heaps instead of a full window
+    // shuffle+sort; result identical to the window idiom (same tiebreak)
+    "q_topk_agg" -> { (s, d) =>
+      Corpus.topKPerGroupAgg(
+        t(s, d)("customer").select(col("c_mktsegment"),
+          col("c_acctbal").cast("double").as("acctbal"), col("c_custkey")),
+        "c_mktsegment", "acctbal", "c_custkey", 5)
+        .select(col("c_mktsegment"), col("rank").cast("long").as("rank"),
+          col("c_custkey"), round(col("acctbal"), 2).as("acctbal"))
+        .orderBy("c_mktsegment", "rank")
+    },
+
     // extension: intra-document repetition ratio (boilerplate/spam signal)
     "q_repetition" -> { (s, d) =>
       t(s, d)("documents").select(col("doc_id"),
@@ -2510,6 +2523,16 @@ object GraftQueries {
         |WINDOW w AS (PARTITION BY lang_guess ORDER BY quality DESC, doc_id)
         |QUALIFY row_number() OVER w <= 3
         |ORDER BY lang_guess, rank""".stripMargin,
+
+    "q_topk_agg" ->
+      """WITH r AS (SELECT c_mktsegment, c_custkey,
+        |  CAST(c_acctbal AS DOUBLE) AS acctbal,
+        |  row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY CAST(c_acctbal AS DOUBLE) DESC, c_custkey) AS rank
+        |  FROM customer)
+        |SELECT c_mktsegment, CAST(rank AS BIGINT) AS rank, c_custkey,
+        |  round(acctbal, 2) AS acctbal
+        |FROM r WHERE rank <= 5 ORDER BY c_mktsegment, rank""".stripMargin,
 
     "q_repetition" ->
       """WITH sel AS (SELECT doc_id,

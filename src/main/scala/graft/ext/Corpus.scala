@@ -113,6 +113,26 @@ object Corpus {
     df.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** [[topKPerGroup]] through the native [[graft.expr.BoundedTopK]]
+    * aggregate instead of a window. Same rows, same tiebreak — but the
+    * window plan shuffles and sorts EVERY input row per group, while the
+    * bounded-heap aggregate partial-aggregates map-side: the exchange
+    * carries at most k pairs per (group, input partition). This is the
+    * variant to use at corpus scale; the window variant stays as the
+    * oracle-shaped reference implementation.
+    */
+  def topKPerGroupAgg(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val scoreType = df.schema(scoreCol).dataType
+    df.groupBy(col(groupCol))
+      .agg(graft.expr.BoundedTopK.topKPairs(k, col(scoreCol), col(idCol)).as("_topk"))
+      .select(col(groupCol), posexplode(col("_topk")).as(Seq("_pos", "_pair")))
+      .select(col(groupCol),
+        (col("_pos") + 1).cast("int").as("rank"),
+        col("_pair.payload").as(idCol),
+        col("_pair.score").cast(scoreType).as(scoreCol))
+  }
+
   /** Intra-document repetition ratio: 1 − distinct/total word n-grams.
     * 0 = no repeated n-gram, →1 = highly repetitive (the boilerplate/spam
     * signal used by C4/Gopher-style filters — public heuristics). Narrow
