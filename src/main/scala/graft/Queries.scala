@@ -1222,6 +1222,19 @@ object GraftQueries {
         .orderBy("c_mktsegment", "rank")
     },
 
+    // extension: sparse lexical similarity — TF-IDF cosine top-k via an
+    // inverted index (term-keyed join, df-capped posting lists, integer-
+    // quantized contributions so shuffled sums stay deterministic)
+    "q_tfidf_topk" -> { (s, d) =>
+      val docs = t(s, d)("documents")
+      Corpus.tfidfTopK(docs, "doc_id", "text",
+        docs.where(col("doc_id") % 50 === 0), "doc_id", "text",
+        k = 5, maxDocFreqFrac = 0.8)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("match_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    },
+
     // extension: intra-document repetition ratio (boilerplate/spam signal)
     "q_repetition" -> { (s, d) =>
       t(s, d)("documents").select(col("doc_id"),
@@ -2533,6 +2546,34 @@ object GraftQueries {
         |SELECT c_mktsegment, CAST(rank AS BIGINT) AS rank, c_custkey,
         |  round(acctbal, 2) AS acctbal
         |FROM r WHERE rank <= 5 ORDER BY c_mktsegment, rank""".stripMargin,
+
+    // same quantized-integer arithmetic as the Spark side: q(t) =
+    // round(idf(t)^2 * 1e6) as BIGINT, exact integer dot/norm sums, one
+    // fixed-shape double divide at the end
+    "q_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> len(x) > 0) AS t FROM documents),
+        |cp AS (SELECT doc_id AS did, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM tok) GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |iq AS (SELECT term,
+        |    CAST(round(pow(ln((nd + 1.0) / (df + 1.0)) + 1.0, 2) * 1000000.0) AS BIGINT) AS q
+        |  FROM (SELECT term, CAST(count(*) AS BIGINT) AS df FROM cp GROUP BY 1), n
+        |  WHERE df <= 0.8 * nd),
+        |wd AS (SELECT did, cp.term, tf, q FROM cp JOIN iq USING (term)),
+        |wq AS (SELECT did AS qid, term, tf, q FROM wd WHERE did % 50 = 0),
+        |nd2 AS (SELECT did, sum(tf * tf * q) AS n2d FROM wd GROUP BY 1),
+        |nq2 AS (SELECT qid, sum(tf * tf * q) AS n2q FROM wq GROUP BY 1),
+        |dots AS (SELECT qid, did, sum(wq.tf * wd.tf * wd.q) AS dot
+        |  FROM wq JOIN wd USING (term) WHERE qid <> did GROUP BY 1, 2),
+        |sc AS (SELECT qid, did,
+        |    round(CAST(dot AS DOUBLE) / sqrt(CAST(n2q AS DOUBLE) * CAST(n2d AS DOUBLE)), 4) AS cos
+        |  FROM dots JOIN nq2 USING (qid) JOIN nd2 USING (did)),
+        |r AS (SELECT qid, did, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did) AS rank FROM sc)
+        |SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank, did AS match_id, cos
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_repetition" ->
       """WITH sel AS (SELECT doc_id,

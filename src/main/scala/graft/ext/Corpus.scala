@@ -470,6 +470,78 @@ object Corpus {
         count(lit(1)).as("n_matched_terms"))
   }
 
+  /** Sparse lexical similarity: TF-IDF cosine top-k through an inverted
+    * index — the term-keyed counterpart of the dense-embedding ANN path
+    * (near-dup mining, lexical retrieval, query-document matching without
+    * an embedding model).
+    *
+    * Scale shape: both sides reduce to (doc, term, tf) postings via a
+    * partial-aggregating groupBy; candidate generation is an equi-join ON
+    * THE TERM (the inverted index) — never all-pairs. The document-
+    * frequency cap (`maxDocFreqFrac`) drops stopword terms, which both
+    * removes the Zipfian skew keys from the join AND bounds every posting
+    * list to `maxDocFreqFrac × N` entries. Per-pair scoring is one keyed
+    * groupBy summing LONGs (map-side combinable); top-k per query runs on
+    * the bounded-heap [[graft.expr.BoundedTopK]] aggregate, so the final
+    * exchange carries k pairs per query per partition.
+    *
+    * Determinism: float sums over shuffled groups are order-sensitive, so
+    * every per-term contribution is quantized to an integer first —
+    * `q(t) = round(idf(t)² × 1e6)` as a long — and dot products / squared
+    * norms are EXACT integer sums `Σ tf·tf·q(t)`. The quantization scale
+    * cancels in the cosine ratio; the only float ops are one fixed-shape
+    * divide/sqrt per surviving pair. Any engine reproduces the rounded
+    * score bit-for-bit (the same contract as [[bm25]]'s fixed-order fold,
+    * generalized to unbounded shared-term sets).
+    */
+  def tfidfTopK(corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, maxDocFreqFrac: Double = 0.3,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(maxDocFreqFrac > 0 && maxDocFreqFrac <= 1, "maxDocFreqFrac in (0, 1]")
+    def postings(df: DataFrame, id: String, text: String, outId: String) = {
+      val toks = filter(split(Dedup.normalize(col(text)), " "), t => length(t) > 0)
+      df.select(col(id).as(outId), explode(toks).as("term"))
+        .groupBy(col(outId), col("term"))
+        .agg(count(lit(1)).as("tf")) // long — exact
+    }
+    val cp = postings(corpus, idCol, textCol, "_did")
+    val nDocs = corpus.agg(count(lit(1)).as("_n"))
+    // corpus-wide idf, quantized: q(t) = round(idf² × 1e6) as long.
+    // cp is distinct per (doc, term), so count(*) IS the document frequency.
+    val idfQ = cp.groupBy(col("term")).agg(count(lit(1)).as("_df"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("_df") <= lit(maxDocFreqFrac) * col("_n"))
+      .withColumn("_q", round(
+        pow(log((col("_n") + 1.0) / (col("_df") + 1.0)) + 1.0, 2) * 1e6, 0)
+        .cast("long"))
+      .select(col("term"), col("_q"))
+    val wd = cp.join(idfQ, "term")
+    val wq = postings(queries, qIdCol, qTextCol, "_qid").join(idfQ, "term")
+    val normD = wd.groupBy(col("_did"))
+      .agg(sum(col("tf") * col("tf") * col("_q")).as("_n2d"))
+    val normQ = wq.groupBy(col("_qid"))
+      .agg(sum(col("tf") * col("tf") * col("_q")).as("_n2q"))
+    val dots = wq.select(col("_qid"), col("term"), col("tf").as("_tfq"))
+      .join(wd.select(col("_did"), col("term"), col("tf").as("_tfd"), col("_q")), "term")
+      .where(if (excludeSelf) col("_qid") =!= col("_did") else lit(true))
+      .groupBy(col("_qid"), col("_did"))
+      .agg(sum(col("_tfq") * col("_tfd") * col("_q")).as("_dot"))
+    // long→double conversions are exact inputs to ONE fixed-shape float
+    // expression — deterministic across partitionings (longs would overflow
+    // if multiplied before the cast)
+    val scored = dots.join(normQ, "_qid").join(normD, "_did")
+      .withColumn("cos", round(col("_dot").cast("double") /
+        sqrt(col("_n2q").cast("double") * col("_n2d").cast("double")), 4))
+    // fixed output names: query and corpus id columns may share a name
+    // (self-similarity over one table)
+    topKPerGroupAgg(
+      scored.select(col("_qid"), col("_did"), col("cos")), "_qid", "cos", "_did", k)
+      .select(col("_qid").as("query_id"), col("rank"),
+        col("_did").as("match_id"), col("cos"))
+  }
+
   /** Adjacent-character pair statistics over the corpus vocabulary — the
     * counting kernel of one BPE tokenizer-training round (Sennrich et al.
     * 2016): the most frequent pair is the next merge. Counts are weighted

@@ -194,6 +194,43 @@ class CorpusSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_tokens") == 2)
   }
 
+  test("tfidfTopK ranks by shared rare terms, excludes self, is partition-stable") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana cherry"),   // identical to 1 → cosine 1.0
+      (3L, "apple banana plum"),     // shares 2 of 3 terms
+      (4L, "kiwi mango papaya"),     // disjoint
+      (5L, "apple kiwi kiwi mango") // shares only 'apple' with 1
+    ).toDF("doc_id", "text")
+    val out = Corpus.tfidfTopK(docs, "doc_id", "text",
+      docs.where($"doc_id" === 1), "doc_id", "text", k = 3, maxDocFreqFrac = 1.0)
+      .orderBy("rank")
+      .collect().map(r => (r.getAs[Long]("match_id"), r.getAs[Double]("cos")))
+    assert(out.map(_._1).toSeq == Seq(2L, 3L, 5L)) // no self-match, 4 disjoint
+    assert(out.head._2 == 1.0)  // identical doc scores exactly 1
+    assert(out(1)._2 > out(2)._2)
+    // integer-quantized sums ⇒ identical scores under any partitioning
+    val re = Corpus.tfidfTopK(docs.repartition(7), "doc_id", "text",
+      docs.where($"doc_id" === 1), "doc_id", "text", k = 3, maxDocFreqFrac = 1.0)
+      .orderBy("rank")
+      .collect().map(r => (r.getAs[Long]("match_id"), r.getAs[Double]("cos")))
+    assert(re.toSeq == out.toSeq)
+  }
+
+  test("tfidfTopK df cap drops stopword terms from the index") {
+    import spark.implicits._
+    // 'the' is in every doc; with the cap at 0.5 only the rare terms score
+    val docs = Seq(
+      (1L, "the alpha"), (2L, "the alpha"), (3L, "the beta"), (4L, "the gamma"),
+      (5L, "the delta")).toDF("doc_id", "text")
+    val out = Corpus.tfidfTopK(docs, "doc_id", "text",
+      docs.where($"doc_id" === 1), "doc_id", "text", k = 5, maxDocFreqFrac = 0.5)
+      .collect().map(_.getAs[Long]("match_id"))
+    // only doc 2 shares a sub-cap term ('alpha'); 'the' alone can't match
+    assert(out.toSeq == Seq(2L))
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     import spark.implicits._
     val old = Seq((1L, "same text"), (2L, "will change"), (3L, "going away"))
