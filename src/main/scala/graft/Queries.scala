@@ -1222,6 +1222,14 @@ object GraftQueries {
         .orderBy("c_mktsegment", "rank")
     },
 
+    // extension: fixed-size token-window chunking with overlap (context-
+    // window layout for retrieval/pretraining; narrow, shuffle-free)
+    "q_chunk_docs" -> { (s, d) =>
+      Corpus.chunkDocs(t(s, d)("documents"), "doc_id", "text",
+        chunkTokens = 32, overlapTokens = 8)
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // extension: sparse lexical similarity — TF-IDF cosine top-k via an
     // inverted index (term-keyed join, df-capped posting lists, integer-
     // quantized contributions so shuffled sums stay deterministic)
@@ -2546,6 +2554,19 @@ object GraftQueries {
         |SELECT c_mktsegment, CAST(rank AS BIGINT) AS rank, c_custkey,
         |  round(acctbal, 2) AS acctbal
         |FROM r WHERE rank <= 5 ORDER BY c_mktsegment, rank""".stripMargin,
+
+    // stride 24 = 32 − 8; chunk i starts at token i·24 (1-based list_slice,
+    // inclusive end in DuckDB)
+    "q_chunk_docs" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> len(x) > 0) AS t FROM documents),
+        |st AS (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 24)) AS s
+        |  FROM tok WHERE len(t) > 0)
+        |SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_id,
+        |  CAST(len(list_slice(t, s + 1, least(s + 32, len(t)))) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_slice(t, s + 1, least(s + 32, len(t))), ' ') AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
 
     // same quantized-integer arithmetic as the Spark side: q(t) =
     // round(idf(t)^2 * 1e6) as BIGINT, exact integer dot/norm sums, one

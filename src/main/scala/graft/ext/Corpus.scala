@@ -470,6 +470,36 @@ object Corpus {
         count(lit(1)).as("n_matched_terms"))
   }
 
+  /** Fixed-size token-window chunking with overlap — the context-window
+    * layout step for retrieval corpora and long-document pretraining
+    * (cf. [[packSequences]], which concatenates ACROSS documents; this
+    * splits WITHIN them). Chunk i covers tokens `[i·stride, i·stride +
+    * chunkTokens)` with `stride = chunkTokens − overlapTokens`; the last
+    * chunk may be short; empty documents yield no chunks.
+    *
+    * Scale shape: pure narrow per-row column math (tokenize → generate
+    * starts → slice) — no shuffle at any scale; chunk ids derive from the
+    * start offset, so output is deterministic and append-stable.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlapTokens
+    val toks = filter(split(Dedup.normalize(col(textCol)), " "), t => length(t) > 0)
+    df.select(col(idCol), toks.as("_t"))
+      .where(size(col("_t")) > 0)
+      .select(col(idCol), col("_t"),
+        posexplode(sequence(lit(0), size(col("_t")) - 1, lit(stride)))
+          .as(Seq("chunk_id", "_st")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("_t"), col("_st") + 1, lit(chunkTokens)).as("_c"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("_c")).cast("long").as("n_tokens"),
+        array_join(col("_c"), " ").as("chunk_text"))
+  }
+
   /** Sparse lexical similarity: TF-IDF cosine top-k through an inverted
     * index — the term-keyed counterpart of the dense-embedding ANN path
     * (near-dup mining, lexical retrieval, query-document matching without

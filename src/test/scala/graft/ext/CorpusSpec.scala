@@ -194,6 +194,25 @@ class CorpusSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_tokens") == 2)
   }
 
+  test("chunkDocs: overlapping windows cover every token; empty docs vanish") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "x y"),                 // single short chunk
+      (3L, "   ")                  // empty after normalize
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkDocs(docs, "doc_id", "text", chunkTokens = 4,
+      overlapTokens = 1).orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // stride 3: starts 0,3,6,9
+    assert(out.toSeq == Seq(
+      (1L, 0L, 4L, "a b c d"), (1L, 1L, 4L, "d e f g"),
+      (1L, 2L, 4L, "g h i j"), (1L, 3L, 1L, "j"),
+      (2L, 0L, 2L, "x y")))
+    // overlap: consecutive chunks share exactly `overlap` tokens
+    assert(out(0)._4.split(" ").last == out(1)._4.split(" ").head)
+  }
+
   test("tfidfTopK ranks by shared rare terms, excludes self, is partition-stable") {
     import spark.implicits._
     val docs = Seq(
