@@ -1548,6 +1548,35 @@ object GraftQueries {
         .orderBy(col("rank").desc, col("node")).limit(100)
     },
 
+    // extension: weighted single-source shortest paths — fixed-point
+    // Bellman-Ford rounds over the bidirectional supplier↔part graph
+    "q_sssp" -> { (s, d) =>
+      import graft.graph.GraphAlgos
+      val li = t(s, d)("lineitem")
+      val fwd = li.select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"),
+        col("l_linenumber").cast("long").as("w"))
+      val rev = li.select(concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"),
+        col("l_linenumber").cast("long").as("w"))
+      GraphAlgos.shortestPathsFixed(fwd.unionByName(rev), "src", "dst", "w",
+        source = "s1", maxHops = 3)
+        .orderBy("node")
+    },
+
+    // extension: per-node triangle counts (degree-ordered wedge join) over
+    // the parts-co-ordered graph
+    "q_triangles" -> { (s, d) =>
+      import graft.graph.GraphAlgos
+      val p = t(s, d)("lineitem").where(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val e = p.as("x").join(p.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(concat(lit("p"), col("x.p")).as("src"),
+          concat(lit("p"), col("y.p")).as("dst"))
+      GraphAlgos.triangleCounts(e, "src", "dst").orderBy("node")
+    },
+
     // extension: Z-order layout clustering — interleaved-bit z-values over
     // (price, quantity) global min/max bins; the write-side ordering that
     // gives parquet row-group pruning on BOTH filter dimensions at once
@@ -3122,6 +3151,41 @@ object GraftQueries {
         "SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem",
         iterations = 3) +
         "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, node LIMIT 100"),
+
+    "q_sssp" ->
+      (graft.graph.GraphAlgos.shortestPathsOracleSql(
+        """SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst,
+          |  CAST(l_linenumber AS BIGINT) AS w FROM lineitem
+          |UNION ALL
+          |SELECT 'p' || l_partkey, 's' || l_suppkey,
+          |  CAST(l_linenumber AS BIGINT) FROM lineitem""".stripMargin,
+        source = "s1", maxHops = 3) +
+        "\nSELECT node, dist FROM d3 ORDER BY node"),
+
+    // degree-ordered orientation: und has a<b strictly, so the Spark
+    // tiebreak (da<db OR da=db AND a<b) IS the row comparison below
+    "q_triangles" ->
+      """WITH P AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |E0 AS (SELECT 'p' || a.p AS src, 'p' || b.p AS dst
+        |  FROM P a JOIN P b ON a.ok = b.ok AND a.p < b.p),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM E0 WHERE src <> dst),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        |o AS (SELECT
+        |    CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END AS lo,
+        |    CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END AS hi
+        |  FROM und u JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b),
+        |w AS (SELECT o1.lo, o1.hi AS u, o2.hi AS v
+        |  FROM o o1 JOIN o o2 ON o1.lo = o2.lo AND o1.hi < o2.hi),
+        |tri AS (SELECT w.lo, w.u, w.v FROM w JOIN (
+        |    SELECT lo AS u, hi AS v FROM o
+        |    UNION ALL SELECT hi, lo FROM o) c
+        |  ON c.u = w.u AND c.v = w.v)
+        |SELECT node, CAST(count(*) AS BIGINT) AS triangles
+        |FROM (SELECT unnest([lo, u, v]) AS node FROM tri)
+        |GROUP BY 1 ORDER BY node""".stripMargin,
 
     // z-value: 8-bit global-min/max bins per dimension, bits interleaved
     // (price = dimension 0 → even positions, quantity = dimension 1 → odd)

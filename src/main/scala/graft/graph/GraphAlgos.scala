@@ -81,6 +81,125 @@ object GraphAlgos {
     ranks
   }
 
+  /** Weighted single-source shortest paths, `maxHops` synchronous
+    * Bellmann-Ford relaxation rounds: dist(v) = min(dist(v), min over
+    * edges u→v of dist(u) + w(u,v)). Weights are cast to LONG — integer
+    * min/plus is exact and order-free, so every round is reproducible in
+    * any engine (the same fixed-point contract as [[pageRankFixed]]).
+    * Nodes unreachable within `maxHops` are absent from the result.
+    *
+    * Scale shape: per round ONE keyed join of the current frontier-
+    * inclusive distance table against the edges plus a map-side-combinable
+    * min groupBy; the distance table is node-keyed (≤ n rows), broadcast
+    * under `broadcastNodeLimit`, so the edge frame never re-shuffles.
+    * Each round persists and drops the superseded cache — flat lineage,
+    * O(1) cached frames. Rounds are a hard cap (the reference's traversal
+    * hop caps, query/caps.py) — at diameter convergence extra rounds are
+    * no-ops but still cost a pass; choose maxHops accordingly.
+    */
+  def shortestPathsFixed(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, source: String, maxHops: Int,
+      broadcastNodeLimit: Long = 1000000L): DataFrame = {
+    require(maxHops >= 1, "need at least one hop")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"),
+      col(weightCol).cast("long").as("w"))
+      .groupBy("src", "dst").agg(min("w").as("w")) // parallel edges: keep lightest
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = Seq((source, 0L)).toDF("node", "dist")
+    var distRows = 1L // known: the seed row (the materialization count below
+    var distCached = false //       keeps this exact every later round)
+    for (_ <- 1 to maxHops) {
+      val distSide = if (distRows <= broadcastNodeLimit) broadcast(dist) else dist
+      val relaxed = e.join(distSide.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      distRows = next.count()
+      if (distCached) dist.unpersist(blocking = false): Unit
+      dist = next
+      distCached = true
+    }
+    e.unpersist(blocking = false)
+    dist
+  }
+
+  /** DuckDB-dialect oracle for [[shortestPathsFixed]]: rounds unrolled as
+    * chained CTEs over the same integer arithmetic (kept beside the
+    * implementation so they cannot drift).
+    */
+  def shortestPathsOracleSql(edgesSql: String, source: String,
+      maxHops: Int): String = {
+    val head =
+      s"""WITH E0 AS ($edgesSql),
+         |E AS (SELECT src, dst, min(w) AS w FROM E0 GROUP BY 1, 2),
+         |d0 AS (SELECT '$source' AS node, CAST(0 AS BIGINT) AS dist)""".stripMargin
+    val iters = (1 to maxHops).map { i =>
+      s"""d$i AS (SELECT node, min(dist) AS dist FROM (
+         |  SELECT node, dist FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst, d.dist + e.w FROM d${i - 1} d JOIN E e ON e.src = d.node
+         |) GROUP BY 1)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
+
+  /** Per-node triangle participation counts over an undirected graph given
+    * as a directed edge frame (direction and duplicates are normalized
+    * away; self-loops dropped).
+    *
+    * The join is DEGREE-ORDERED — each undirected edge is oriented from
+    * its lower-(degree, node) endpoint to the higher one, and wedges are
+    * built only from a node's outgoing oriented edges. Every triangle is
+    * then found exactly once, and no node fans out more than O(√m)
+    * oriented edges regardless of raw degree — the standard bound that
+    * keeps the wedge join at O(m^1.5) total instead of Σ deg² (a celebrity
+    * node with degree 10⁶ would otherwise mint 10¹² wedge candidates).
+    * The wedge→closing-edge probe is an equi-join on the oriented edge
+    * set itself.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges.select(
+      least(col(srcCol).cast("string"), col(dstCol).cast("string")).as("a"),
+      greatest(col(srcCol).cast("string"), col(dstCol).cast("string")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("node")).unionAll(und.select(col("b")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient each edge low→high by (deg, node); both endpoints join the
+    // small degree table (node-keyed, broadcast-eligible)
+    val o = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("lo"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("hi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // wedges from a common low endpoint; u < v in oriented order kills the
+    // (u,v)/(v,u) mirror so each triangle closes once
+    val wedges = o.select(col("lo"), col("hi").as("u"))
+      .join(o.select(col("lo"), col("hi").as("v")), Seq("lo"))
+      .where(col("u") < col("v"))
+    // the closing edge {u, v} may be oriented either way — probe both
+    // directions (positional union: keep (u, v) column order in BOTH legs)
+    val tri = wedges.join(
+      o.select(col("lo").as("u"), col("hi").as("v"))
+        .unionAll(o.select(col("hi").as("u"), col("lo").as("v"))),
+      Seq("u", "v"))
+    val out = tri.select(explode(array(col("lo"), col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count(): Unit // materialize before dropping the oriented cache
+    o.unpersist(blocking = false)
+    out
+  }
+
   /** The DuckDB-dialect oracle for [[pageRankFixed]] over an `edges(src,
     * dst)` relation — iterations unrolled as chained CTEs with the same
     * integer `//` arithmetic. Kept next to the implementation so the two

@@ -39,4 +39,45 @@ class GraphAlgosSpec extends SparkSpec {
     // 3-cycle is symmetric: all equal
     assert(r1.values.toSet.size == 1)
   }
+
+  test("shortestPathsFixed relaxes to known distances within the hop cap") {
+    import spark.implicits._
+    //     a →1→ b →1→ c
+    //     a ——————5——→ c      (longer direct edge must lose)
+    //     c →1→ d (reachable only at hop 3)
+    val e = Seq(("a", "b", 1L), ("b", "c", 1L), ("a", "c", 5L), ("c", "d", 1L))
+      .toDF("s", "t", "w")
+    val got = GraphAlgos.shortestPathsFixed(e, "s", "t", "w", "a", maxHops = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+    // hop cap: with 1 round the two-hop path hasn't relaxed yet
+    val one = GraphAlgos.shortestPathsFixed(e, "s", "t", "w", "a", maxHops = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one == Map("a" -> 0L, "b" -> 1L, "c" -> 5L))
+  }
+
+  test("shortestPathsFixed keeps the lightest of parallel edges") {
+    import spark.implicits._
+    val e = Seq(("a", "b", 9L), ("a", "b", 2L)).toDF("s", "t", "w")
+    val got = GraphAlgos.shortestPathsFixed(e, "s", "t", "w", "a", maxHops = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("b") == 2L)
+  }
+
+  test("triangleCounts finds each triangle once, regardless of direction/dupes") {
+    import spark.implicits._
+    // K4 minus one edge = 2 triangles sharing edge b-c; noisy input:
+    // reversed duplicates and a self-loop
+    val e = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("b", "d"),
+      ("a", "c"), ("d", "d")).toDF("s", "t")
+    val got = GraphAlgos.triangleCounts(e, "s", "t")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 1L))
+  }
+
+  test("triangleCounts: triangle-free graph yields no rows") {
+    import spark.implicits._
+    val star = Seq(("hub", "s1"), ("hub", "s2"), ("hub", "s3")).toDF("s", "t")
+    assert(GraphAlgos.triangleCounts(star, "s", "t").count() == 0)
+  }
 }
