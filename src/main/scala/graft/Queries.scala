@@ -1548,6 +1548,31 @@ object GraftQueries {
         .orderBy(col("rank").desc, col("node")).limit(100)
     },
 
+    // extension: image near-dup pairs — native PPM decode → 64-bit dHash →
+    // Hamming-banded self-join (pigeonhole-complete at maxHamming 4);
+    // payloads are deterministic 9×8 grayscale rasters keyed by doc_id so
+    // the oracle recomputes the hash from pixel arithmetic
+    "q_image_neardup" -> { (s, d) =>
+      import s.implicits._
+      val (w, h) = (9, 8)
+      val packed = t(s, d)("documents").select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+            val px = new Array[Byte](w * h * 3)
+            var i = 0
+            while (i < w * h) {
+              val v = ((id * 37 + i.toLong * i * 13 + (id % 7) * i) % 256).toByte
+              px(3 * i) = v; px(3 * i + 1) = v; px(3 * i + 2) = v
+              i += 1
+            }
+            (id, header ++ px)
+          }
+        }.toDF("doc_id", "media")
+      Multimodal.imageNearDups(packed, "doc_id", "media", maxHamming = 4)
+        .orderBy("id_a", "id_b")
+    },
+
     // extension: weighted single-source shortest paths — fixed-point
     // Bellman-Ford rounds over the bidirectional supplier↔part graph
     "q_sssp" -> { (s, d) =>
@@ -3151,6 +3176,27 @@ object GraftQueries {
         "SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem",
         iterations = 3) +
         "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, node LIMIT 100"),
+
+    // 9×8 grayscale → dHash is the per-pixel right-neighbor compare (cell
+    // = pixel); bit 63 lands in the sign bit (DuckDB 1<<63 overflows, so
+    // CASE to long-min); sum CAST to BIGINT (DuckDB sum promotes to
+    // HUGEINT, whose xor/bit_count would run 128-bit)
+    "q_image_neardup" ->
+      """WITH px AS (SELECT doc_id, i,
+        |    (doc_id * 37 + i * i * 13 + (doc_id % 7) * i) % 256 AS v
+        |  FROM documents, (SELECT unnest(generate_series(0, 71)) AS i) ii),
+        |bits AS (SELECT a.doc_id, (a.i // 9) * 8 + (a.i % 9) AS bit
+        |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |  WHERE a.i % 9 < 8 AND a.v > b.v),
+        |h AS (SELECT d.doc_id, CAST(coalesce(sum(
+        |    CASE WHEN bit = 63 THEN -9223372036854775808
+        |         ELSE (1::BIGINT << bit) END), 0) AS BIGINT) AS dhash
+        |  FROM documents d LEFT JOIN bits ON bits.doc_id = d.doc_id GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_sssp" ->
       (graft.graph.GraphAlgos.shortestPathsOracleSql(

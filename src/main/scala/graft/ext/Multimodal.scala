@@ -127,6 +127,113 @@ object Multimodal {
       if (counts(c) == 0) 0f else (sums(c) / counts(c)).toFloat)
   }
 
+  /** 64-bit difference hash (dHash — the public perceptual-hash scheme):
+    * mean-pool luma onto a 9×8 grid, set bit `r·8+c` (LSB-first) when cell
+    * (r,c) is brighter than its right neighbor (r,c+1). Near-duplicate
+    * images (re-encodes, small crops, brightness shifts) land within a few
+    * bits of Hamming distance.
+    *
+    * Integer arithmetic only: luma is `299R + 587G + 114B` (×1000, exact),
+    * and cells of unequal pixel count compare via cross-multiplied sums
+    * (`sumA·nB > sumB·nA`) instead of float means — bit-identical in any
+    * engine, so a SQL oracle can recompute the hash from pixel values.
+    */
+  def dHash(r: Raster): Long = {
+    val rows = 8; val cols = 9
+    val sums = new Array[Long](rows * cols)
+    val counts = new Array[Long](rows * cols)
+    var y = 0
+    while (y < r.height) {
+      val cy = math.min(y * rows / r.height, rows - 1)
+      var x = 0
+      while (x < r.width) {
+        val cx = math.min(x * cols / r.width, cols - 1)
+        val p = (y * r.width + x) * 3
+        val luma = 299L * (r.rgb(p) & 0xff) + 587L * (r.rgb(p + 1) & 0xff) +
+          114L * (r.rgb(p + 2) & 0xff)
+        val c = cy * cols + cx
+        sums(c) += luma; counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var row = 0
+    while (row < rows) {
+      var c = 0
+      while (c < cols - 1) {
+        val a = row * cols + c; val b = a + 1
+        // empty cells (source narrower than the grid) count as luma 0
+        val brighter =
+          if (counts(a) == 0 || counts(b) == 0) counts(b) == 0 && counts(a) != 0 && sums(a) > 0
+          else sums(a) * counts(b) > sums(b) * counts(a)
+        if (brighter) hash |= 1L << (row * 8 + c)
+        c += 1
+      }
+      row += 1
+    }
+    hash
+  }
+
+  /** Per-image dHash over the binary media column (mapPartitions decode,
+    * same batch shape as [[extractFeatures]]). Rows whose payload doesn't
+    * decode are dropped. Output: (id, dhash long).
+    */
+  def imageHashes(df: DataFrame, idCol: String, mediaCol: String = "media"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("dhash", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          decode(r.getAs[Array[Byte]](1)).map(raster => Row(r.getLong(0), dHash(raster)))
+        }
+      }(enc)
+  }
+
+  /** Image near-duplicate pairs: dHash + Hamming-banded self-join. The 64
+    * hash bits split into `maxHamming + 1` contiguous bands; by pigeonhole
+    * a pair within `maxHamming` bits matches on at least one full band, so
+    * the band equi-join generates every qualifying candidate — never an
+    * all-pairs product — and the exact `bit_count(xor) <= maxHamming`
+    * residual filters the rest. Same banding contract as
+    * [[Dedup.simhashMd5NearDups]], over the image modality.
+    *
+    * Scale shape: candidate generation is keyed on (band index, band
+    * value); identical-looking images (the interesting skew) share whole
+    * hashes, which a per-band `maxBandFreq` cap would bound if a corpus
+    * degenerates — left un-capped here because qualifying pairs must be
+    * emitted for correctness.
+    */
+  def imageNearDups(df: DataFrame, idCol: String, mediaCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 64)")
+    val bands = maxHamming + 1
+    val width = 64 / bands // last band absorbs the remainder bits
+    val hashes = imageHashes(df, idCol, mediaCol)
+    // shift amounts are per-band constants, so the band slices unroll into
+    // an array literal of (band, bits) structs and one explode
+    def bandBits(j: Int) =
+      if (j < bands - 1)
+        shiftrightunsigned(col("dhash"), j * width) % lit(1L << width)
+      else shiftrightunsigned(col("dhash"), (bands - 1) * width)
+    val banded = hashes.select(col(idCol), col("dhash"),
+      explode(array((0 until bands).map(j =>
+        struct(lit(j).as("band"), bandBits(j).as("bits"))): _*)).as("_b"))
+      .select(col(idCol), col("dhash"),
+        col("_b.band").as("band"), col("_b.bits").as("bits"))
+    val a = banded.select(col("band"), col("bits"), col(idCol).as("id_a"),
+      col("dhash").as("h_a"))
+    val b = banded.select(col("band"), col("bits"), col(idCol).as("id_b"),
+      col("dhash").as("h_b"))
+    a.join(b, Seq("band", "bits")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   // ------------------------------------------------------------- § audio
 
   /** Decoded PCM audio (mono or interleaved). */
