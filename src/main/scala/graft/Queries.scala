@@ -1548,6 +1548,16 @@ object GraftQueries {
         .orderBy(col("rank").desc, col("node")).limit(100)
     },
 
+    // extension: BPE tokenizer TRAINING (not just one round's pair counts)
+    // — 6 merge rounds over the distinct-word table; result is the learned
+    // merge table
+    "q_bpe_train" -> { (s, d) =>
+      import s.implicits._
+      val merges = Corpus.bpeTrain(t(s, d)("documents"), "text", nMerges = 6)
+      merges.zipWithIndex.map { case ((a, b, c), i) => (i + 1L, a, b, c) }
+        .toDF("rank", "a", "b", "cnt").orderBy("rank")
+    },
+
     // extension: image near-dup pairs — native PPM decode → 64-bit dHash →
     // Hamming-banded self-join (pigeonhole-complete at maxHamming 4);
     // payloads are deterministic 9×8 grayscale rasters keyed by doc_id so
@@ -3176,6 +3186,13 @@ object GraftQueries {
         "SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem",
         iterations = 3) +
         "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, node LIMIT 100"),
+
+    "q_bpe_train" ->
+      (graft.ext.Corpus.bpeOracleSql("SELECT text FROM documents", "text", 6) +
+        "\n" +
+        (1 to 6).map(r => s"SELECT $r AS r, a, b, cnt FROM m$r")
+          .mkString("SELECT CAST(r AS BIGINT) AS rank, a, b, CAST(cnt AS BIGINT) AS cnt FROM (",
+            " UNION ALL ", ") ORDER BY rank")),
 
     // 9×8 grayscale → dHash is the per-pixel right-neighbor compare (cell
     // = pixel); bit 63 lands in the sign bit (DuckDB 1<<63 overflows, so

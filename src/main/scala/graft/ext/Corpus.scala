@@ -597,6 +597,124 @@ object Corpus {
       .orderBy(col("cnt").desc, col("pair")).limit(topK)
   }
 
+  /** One BPE merge round over a symbol array: merge every greedy-leftmost,
+    * non-overlapping adjacent occurrence of (a, b) into the single token
+    * `a+b`. A left fold (`aggregate` HOF) reproduces the reference greedy
+    * scan exactly — including self-pair runs, where "a a a" merges to
+    * "aa a" (leftmost wins) and "a a a a" to "aa aa" — cases a plain
+    * string/regex replace gets wrong because the match consumes the
+    * separator. A token PRODUCED by this round (`a+b`, strictly longer
+    * than `a`) can never equal `a`, so the value compare cannot cascade
+    * within the round.
+    */
+  def bpeMergeOnce(syms: Column, a: String, b: String): Column =
+    aggregate(syms,
+      array().cast("array<string>"),
+      (acc, s) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+
+  /** Distributed BPE tokenizer training (Sennrich et al. 2016, public
+    * algorithm): `nMerges` rounds of (count adjacent symbol pairs weighted
+    * by word frequency) → (merge the most frequent pair everywhere).
+    * Returns the learned merge table (rank, a, b, cnt); ties break on
+    * (a, b) ascending so training is deterministic.
+    *
+    * Scale shape: like [[bpePairCounts]], every round runs on the
+    * DISTINCT-WORD table — at corpus scale the vocabulary (≤ millions of
+    * rows) is orders of magnitude smaller than the corpus, and the corpus
+    * itself is touched exactly once by the word-count groupBy. Per round:
+    * one partial-aggregating pair count, a 1-row argmax collect (the pair
+    * parameterizes the next plan, the same driver-scalar pattern as a
+    * KMeans centroid update), and a narrow per-row fold. The evolving
+    * word table is persisted per round with flat lineage.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): Seq[(String, String, Long)] = {
+    require(nMerges >= 1, "nMerges must be positive")
+    val toks = filter(split(Dedup.normalize(col(textCol)), " "), t => length(t) > 0)
+    var words = df.select(explode(toks).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(filter(split(col("word"), ""), s => length(s) > 0).as("syms"),
+        col("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    words.count(): Unit
+    val merges = scala.collection.mutable.Buffer[(String, String, Long)]()
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      val pairIdx = sequence(lit(1), size(col("syms")) - 1)
+      val best = words.where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(transform(pairIdx, i =>
+          struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((a, b, cnt))
+        val next = words
+          .select(bpeMergeOnce(col("syms"), a, b).as("syms"), col("freq"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count(): Unit
+        words.unpersist(blocking = false)
+        words = next
+        r += 1
+      }
+    }
+    words.unpersist(blocking = false)
+    merges.toSeq
+  }
+
+  /** DuckDB-dialect oracle for [[bpeTrain]]: rounds unrolled as CTE blocks.
+    * The greedy-leftmost merge is expressed as run-parity selection — among
+    * each maximal run of consecutive match positions, the 1st, 3rd, 5th …
+    * merge (identical to the left fold, where only self-pair runs can
+    * overlap). Kept beside the implementation so the two cannot drift.
+    * Emits CTEs `m1..mk` (a, b, cnt per learned merge); the caller selects
+    * from them.
+    */
+  def bpeOracleSql(docsSql: String, textExpr: String, nMerges: Int): String = {
+    val head =
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         |    list_transform(generate_series(1, length(word)), i -> word[i]) AS syms
+         |  FROM (SELECT unnest(list_filter(
+         |      string_split(trim(regexp_replace(lower($textExpr), '\\s+', ' ', 'g')), ' '),
+         |      x -> len(x) > 0)) AS word
+         |    FROM ($docsSql)) GROUP BY 1)""".stripMargin
+    val rounds = (1 to nMerges).map { r =>
+      val w = s"w${r - 1}"
+      s"""p$r AS MATERIALIZED (SELECT syms[i] AS a, syms[i + 1] AS b, sum(freq) AS cnt
+         |  FROM $w, LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) u
+         |  GROUP BY 1, 2),
+         |m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |h$r AS (SELECT word, i, i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+         |  FROM $w CROSS JOIN m$r m,
+         |    LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) u
+         |  WHERE syms[i] = m.a AND syms[i + 1] = m.b),
+         |sel$r AS MATERIALIZED (SELECT word, i FROM (
+         |    SELECT word, i, row_number() OVER (PARTITION BY word, grp ORDER BY i) AS k
+         |    FROM h$r) WHERE k % 2 = 1),
+         |w$r AS MATERIALIZED (SELECT word, any_value(freq) AS freq, list(tok ORDER BY i) AS syms
+         |  FROM (SELECT x.word, x.freq, x.i,
+         |      CASE WHEN s1.i IS NOT NULL THEN x.sym || x.nxt
+         |           WHEN s2.i IS NOT NULL THEN NULL
+         |           ELSE x.sym END AS tok
+         |    FROM (SELECT word, freq, i, syms[i] AS sym,
+         |        CASE WHEN i < len(syms) THEN syms[i + 1] END AS nxt
+         |      FROM $w, LATERAL (SELECT unnest(generate_series(1, len(syms))) AS i) u) x
+         |    LEFT JOIN sel$r s1 ON s1.word = x.word AND s1.i = x.i
+         |    LEFT JOIN sel$r s2 ON s2.word = x.word AND s2.i = x.i - 1)
+         |  WHERE tok IS NOT NULL GROUP BY word)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
   /** PMI collocation mining: pointwise mutual information of adjacent word
     * pairs, ln(p(ab) / (p(a)·p(b))) with p from corpus-wide unigram/bigram
     * counts — the standard collocation-extraction signal ("new york"

@@ -250,6 +250,35 @@ class CorpusSpec extends SparkSpec {
     assert(out.toSeq == Seq(2L))
   }
 
+  test("bpeMergeOnce: greedy leftmost, non-overlapping — self-pair runs included") {
+    import spark.implicits._
+    def mergeOf(syms: Seq[String], a: String, b: String): Seq[String] =
+      Seq(Tuple1(syms)).toDF("syms")
+        .select(Corpus.bpeMergeOnce(col("syms"), a, b).as("m"))
+        .collect().head.getSeq[String](0)
+    assert(mergeOf(Seq("h", "e", "l", "l", "o"), "l", "l") ==
+      Seq("h", "e", "ll", "o"))
+    // run of 3: leftmost pair wins, no cascade within the round
+    assert(mergeOf(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    // run of 4: two non-overlapping merges (regex replace gets this wrong)
+    assert(mergeOf(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    // repeated disjoint occurrences all merge
+    assert(mergeOf(Seq("x", "a", "b", "y", "a", "b"), "a", "b") ==
+      Seq("x", "ab", "y", "ab"))
+    // merged token does not re-pair within the same round
+    assert(mergeOf(Seq("a", "b", "b"), "a", "b") == Seq("ab", "b"))
+  }
+
+  test("bpeTrain learns the expected merges on a known corpus") {
+    import spark.implicits._
+    // 'ab' appears in every word (freq-weighted 5×), 'abc' in three
+    val docs = Seq((1L, "abc abd abc"), (2L, "abe abc")).toDF("id", "text")
+    val merges = Corpus.bpeTrain(docs, "text", nMerges = 2)
+    assert(merges.map(m => (m._1, m._2)) == Seq(("a", "b"), ("ab", "c")))
+    assert(merges.head._3 == 5L) // a+b weighted by word frequency
+    assert(merges(1)._3 == 3L)   // ab+c in the three 'abc' occurrences
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     import spark.implicits._
     val old = Seq((1L, "same text"), (2L, "will change"), (3L, "going away"))
