@@ -1548,6 +1548,26 @@ object GraftQueries {
         .orderBy(col("rank").desc, col("node")).limit(100)
     },
 
+    // §2.11 extension: event-time interval join (click → purchases of the
+    // same user within 30 min) — the batch face of the stream-stream join;
+    // StreamingSpec drives the same operator as two watermarked streams
+    "q_interval_join" -> { (s, d) =>
+      import graft.streaming.StreamIngest
+      val ev = TpchGraph.eventsTable(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      StreamIngest.intervalJoin(clicks, purchases, "user_id",
+        "click_ts", "purchase_ts", windowSec = 1800)
+        .select(col("l.user_id").as("user_id"), col("click_id"), col("purchase_id"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+            .as("lag_us"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    },
+
     // extension: BPE tokenizer TRAINING (not just one round's pair counts)
     // — 6 merge rounds over the distinct-word table; result is the learned
     // merge table
@@ -3186,6 +3206,19 @@ object GraftQueries {
         "SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem",
         iterations = 3) +
         "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, node LIMIT 100"),
+
+    "q_interval_join" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |    event_type FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS cts
+        |  FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS pts
+        |  FROM e WHERE event_type = 'purchase')
+        |SELECT c.user_id, click_id, purchase_id,
+        |  CAST(epoch_us(pts) - epoch_us(cts) AS BIGINT) AS lag_us
+        |FROM c JOIN p ON p.user_id = c.user_id
+        |  AND pts >= cts AND pts <= cts + INTERVAL 1800 SECOND
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "q_bpe_train" ->
       (graft.ext.Corpus.bpeOracleSql("SELECT text FROM documents", "text", 6) +

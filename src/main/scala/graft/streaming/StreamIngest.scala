@@ -128,6 +128,28 @@ object StreamIngest {
   final case class SessionState(start: Long, last: Long, n: Int, sum: Double)
   final case class SessionOut(user_id: Long, startMs: Long, endMs: Long, n: Int, sum: Double)
 
+  /** Event-time interval join: each left row pairs with right rows sharing
+    * `keyCol` whose timestamp falls in `[leftTs, leftTs + windowSec]` —
+    * the attribution/enrichment join (click → purchases within the hour).
+    * One code path serves batch AND stream-stream: on streaming inputs
+    * pass `watermark` so Spark can bound the join state (state retention =
+    * watermark delay + window; without it a stream-stream inner join is
+    * rejected for append mode). The time-range predicate is exactly what
+    * Spark's streaming joiner uses to expire buffered rows — state never
+    * grows beyond the horizon no matter how long the streams run.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, windowSec: Long,
+      watermark: Option[String] = None): DataFrame = {
+    val l = watermark.fold(left)(w => left.withWatermark(leftTs, w)).alias("l")
+    val r = watermark.fold(right)(w => right.withWatermark(rightTs, w)).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") +
+          expr(s"INTERVAL $windowSec SECONDS"))
+  }
+
   /** Custom session state via flatMapGroupsWithState: a session closes (and
     * is emitted) when a later event arrives past `gapMs`, or when the
     * processing-time timeout fires on an idle key — so trailing sessions ARE

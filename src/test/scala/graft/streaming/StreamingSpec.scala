@@ -87,6 +87,45 @@ class StreamingSpec extends SparkSpec {
     assert(rows.last.getAs[Double]("sum_value") == 4.0)
   }
 
+  test("stream-stream interval join matches the batch result, append mode") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sq = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val clicks = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 11L, ts("2024-01-01 12:00:00")))
+    val purchases = Seq(
+      (1L, 20L, ts("2024-01-01 10:10:00")), // within 30 min of click 10
+      (1L, 21L, ts("2024-01-01 11:00:00")), // outside the window
+      (2L, 22L, ts("2024-01-01 12:29:00")), // within
+      (3L, 23L, ts("2024-01-01 12:00:00"))) // no matching click key
+    val memC = MemoryStream[(Long, Long, Timestamp)]
+    val memP = MemoryStream[(Long, Long, Timestamp)]
+    memC.addData(clicks: _*); memP.addData(purchases: _*)
+    val joined = StreamIngest.intervalJoin(
+      memC.toDF().toDF("user_id", "click_id", "click_ts"),
+      memP.toDF().toDF("user_id", "purchase_id", "purchase_ts"),
+      "user_id", "click_ts", "purchase_ts", windowSec = 1800,
+      watermark = Some("10 minutes"))
+      .select($"click_id", $"purchase_id")
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("ssj_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical operator invoked on batch frames
+    val batch = StreamIngest.intervalJoin(
+      clicks.toDF("user_id", "click_id", "click_ts"),
+      purchases.toDF("user_id", "purchase_id", "purchase_ts"),
+      "user_id", "click_ts", "purchase_ts", windowSec = 1800)
+      .select($"click_id", $"purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch)
+    assert(got == Set((10L, 20L), (11L, 22L)))
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     val sparkS = spark
     import sparkS.implicits._
