@@ -1548,6 +1548,17 @@ object GraftQueries {
         .orderBy(col("rank").desc, col("node")).limit(100)
     },
 
+    // extension: BPE ENCODE — replay the learned merges over the corpus
+    // (broadcast merge table, narrow mapPartitions with a word memo)
+    "q_bpe_encode" -> { (s, d) =>
+      val docs = t(s, d)("documents")
+      val merges = Corpus.bpeTrain(docs, "text", nMerges = 6).map(m => (m._1, m._2))
+      Corpus.bpeEncode(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_tokens"),
+          array_join(slice(col("tokens"), 1, 12), " ").as("head_tokens"))
+        .orderBy("doc_id")
+    },
+
     // §2.11 extension: event-time interval join (click → purchases of the
     // same user within 30 min) — the batch face of the stream-stream join;
     // StreamingSpec drives the same operator as two watermarked streams
@@ -3206,6 +3217,29 @@ object GraftQueries {
         "SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem",
         iterations = 3) +
         "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, node LIMIT 100"),
+
+    // reuses the training CTE chain: w6 is each word's final segmentation;
+    // docs re-tokenize with the same normalizer, join on word, flatten in
+    // (word position, symbol position) order
+    "q_bpe_encode" ->
+      (graft.ext.Corpus.bpeOracleSql("SELECT text FROM documents", "text", 6) +
+        """,
+          |docw AS (SELECT doc_id, list_filter(
+          |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+          |    x -> len(x) > 0) AS t FROM documents),
+          |toks AS (SELECT doc_id, i AS wpos, t[i] AS word
+          |  FROM docw, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) u),
+          |flat AS (SELECT doc_id, wpos, j, syms[j] AS tok
+          |  FROM (SELECT toks.doc_id, toks.wpos, w6.syms
+          |    FROM toks JOIN w6 ON w6.word = toks.word) e,
+          |  LATERAL (SELECT unnest(generate_series(1, len(syms))) AS j) v)
+          |SELECT d.doc_id, CAST(coalesce(f.n, 0) AS BIGINT) AS n_tokens,
+          |  coalesce(f.head_tokens, '') AS head_tokens
+          |FROM documents d LEFT JOIN (
+          |  SELECT doc_id, count(*) AS n,
+          |    array_to_string((list(tok ORDER BY wpos, j))[1:12], ' ') AS head_tokens
+          |  FROM flat GROUP BY 1) f ON f.doc_id = d.doc_id
+          |ORDER BY d.doc_id""".stripMargin),
 
     "q_interval_join" ->
       """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,

@@ -670,6 +670,56 @@ object Corpus {
     merges.toSeq
   }
 
+  /** Encode text into BPE symbols by REPLAYING a learned merge table in
+    * rank order — per word, the same greedy-leftmost fold as
+    * [[bpeMergeOnce]], so encoding a training word reproduces the
+    * trainer's final segmentation exactly, and unseen words get the
+    * standard apply semantics (Sennrich et al. 2016). Output:
+    * (id, tokens array, n_tokens).
+    *
+    * Scale shape: the merge table broadcasts (≤ vocab-size rows) and the
+    * encode is a narrow mapPartitions with a per-partition word memo —
+    * Zipfian repetition makes the memo hit rate high, and nothing
+    * shuffles. This is the deployment half of [[bpeTrain]]; the column-
+    * expression fold stays the per-round training kernel.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(merges.toIndexedSeq)
+    def replay(word: String): Seq[String] = {
+      var syms: List[String] = word.split("").filter(_.nonEmpty).toList
+      bc.value.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        syms.foreach { s =>
+          if (out.nonEmpty && out.last == a && s == b)
+            out(out.length - 1) = a + b
+          else out += s
+        }
+        syms = out.toList
+      }
+      syms
+    }
+    val idType = df.schema(idCol).dataType
+    val schema = StructType(Seq(
+      StructField(idCol, idType),
+      StructField("tokens", ArrayType(StringType)),
+      StructField("n_tokens", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val toks = filter(split(Dedup.normalize(col(textCol)), " "), t => length(t) > 0)
+    df.select(col(idCol), toks.as("_w"))
+      .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+        it.map { r =>
+          val words = r.getSeq[String](1)
+          val tokens = words.flatMap(w => memo.getOrElseUpdate(w, replay(w)))
+          Row(r.get(0), tokens, tokens.size.toLong)
+        }
+      }(enc)
+  }
+
   /** DuckDB-dialect oracle for [[bpeTrain]]: rounds unrolled as CTE blocks.
     * The greedy-leftmost merge is expressed as run-parity selection — among
     * each maximal run of consecutive match positions, the 1st, 3rd, 5th …

@@ -279,6 +279,21 @@ class CorpusSpec extends SparkSpec {
     assert(merges(1)._3 == 3L)   // ab+c in the three 'abc' occurrences
   }
 
+  test("bpeEncode replays merges to the trainer's final segmentation") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc abd abc"), (2L, "abe abc")).toDF("id", "text")
+    val merges = Corpus.bpeTrain(docs, "text", nMerges = 2).map(m => (m._1, m._2))
+    val out = Corpus.bpeEncode(docs, "id", "text", merges)
+      .orderBy("id").collect()
+    assert(out(0).getSeq[String](1) == Seq("abc", "ab", "d", "abc"))
+    assert(out(0).getAs[Long]("n_tokens") == 4L)
+    // unseen word at encode time: standard apply semantics (merges that
+    // fire, fire; the rest stays character-level)
+    val unseen = Corpus.bpeEncode(Seq((9L, "abz zz")).toDF("id", "text"),
+      "id", "text", merges).collect().head
+    assert(unseen.getSeq[String](1) == Seq("ab", "z", "z", "z"))
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     import spark.implicits._
     val old = Seq((1L, "same text"), (2L, "will change"), (3L, "going away"))
