@@ -537,14 +537,17 @@ object Corpus {
         .agg(count(lit(1)).as("tf")) // long — exact
     }
     val cp = postings(corpus, idCol, textCol, "_did")
-    val nDocs = corpus.agg(count(lit(1)).as("_n"))
+    // N as a driver scalar (one parquet-metadata-cheap count job, the same
+    // driver-scalar pattern as bpeTrain's argmax): folding it in as a
+    // literal keeps the idf table free of the 1-row crossJoin, which the
+    // plan would otherwise replicate into every one of its four consumers
+    val nDocs = corpus.count()
     // corpus-wide idf, quantized: q(t) = round(idf² × 1e6) as long.
     // cp is distinct per (doc, term), so count(*) IS the document frequency.
     val idfQ = cp.groupBy(col("term")).agg(count(lit(1)).as("_df"))
-      .crossJoin(broadcast(nDocs))
-      .where(col("_df") <= lit(maxDocFreqFrac) * col("_n"))
+      .where(col("_df") <= lit(maxDocFreqFrac * nDocs))
       .withColumn("_q", round(
-        pow(log((col("_n") + 1.0) / (col("_df") + 1.0)) + 1.0, 2) * 1e6, 0)
+        pow(log((lit(nDocs) + 1.0) / (col("_df") + 1.0)) + 1.0, 2) * 1e6, 0)
         .cast("long"))
       .select(col("term"), col("_q"))
     val wd = cp.join(idfQ, "term")
