@@ -1548,6 +1548,16 @@ object GraftQueries {
         .orderBy(col("rank").desc, col("node")).limit(100)
     },
 
+    // extension: stratified weighted sampling (A-ES per language) through
+    // the bounded-heap aggregate
+    "q_weighted_sample_group" -> { (s, d) =>
+      Corpus.weightedSamplePerGroup(t(s, d)("documents"),
+        "lang", "doc_id", "n_chars", k = 5)
+        .select(col("lang"), col("rank").cast("long").as("rank"), col("doc_id"),
+          round(col("sample_key"), 4).as("sample_key"))
+        .orderBy("lang", "rank")
+    },
+
     // extension: BPE ENCODE — replay the learned merges over the corpus
     // (broadcast merge table, narrow mapPartitions with a word memo)
     "q_bpe_encode" -> { (s, d) =>
@@ -3217,6 +3227,21 @@ object GraftQueries {
         "SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem",
         iterations = 3) +
         "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, node LIMIT 100"),
+
+    "q_weighted_sample_group" ->
+      """WITH k AS (SELECT lang, doc_id,
+        |    pow((list_sum(list_transform(generate_series(1, 8),
+        |      p -> (strpos('0123456789abcdef',
+        |              substring(md5(CAST(doc_id AS VARCHAR)), p, 1)) - 1)
+        |           * CAST(power(16, 8 - p) AS BIGINT))) + 1.0) / 4294967296.0,
+        |      1.0 / n_chars) AS key
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT lang, doc_id, key,
+        |    row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rank
+        |  FROM k)
+        |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id,
+        |  round(key, 4) AS sample_key
+        |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
     // reuses the training CTE chain: w6 is each word's final segmentation;
     // docs re-tokenize with the same normalizer, join on word, flatten in

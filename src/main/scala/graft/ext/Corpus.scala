@@ -887,4 +887,22 @@ object Corpus {
       .orderBy(col("sample_key").desc, col(idCol))
       .limit(k)
   }
+
+  /** Per-group weighted sampling without replacement — [[weightedSample]]'s
+    * A-ES draw, stratified: the k best sample keys per group through the
+    * bounded-heap [[graft.expr.BoundedTopK]] aggregate, so the exchange
+    * carries k pairs per (group, input partition) rather than a window's
+    * full per-group sort. The mixture-sampling step after [[mixturePlan]]
+    * ("draw n docs per domain, proportional to quality weight"). Output:
+    * (group, rank, id, sample_key).
+    */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(1.0)) / lit(4294967296.0)
+    val keyed = df.where(col(weightCol) > 0)
+      .withColumn("sample_key", pow(u, lit(1.0) / col(weightCol).cast("double")))
+    topKPerGroupAgg(keyed, groupCol, "sample_key", idCol, k)
+  }
 }

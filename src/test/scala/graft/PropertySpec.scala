@@ -19,6 +19,54 @@ class PropertySpec extends SparkSpec {
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
 
+  test("BoundedTopK equals the sort-take model and the window idiom on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // heavy score ties (small score range) to stress the payload tiebreak
+    val rows = (1 to 400).map { i =>
+      (s"g${rnd.nextInt(8)}", rnd.nextInt(6).toDouble, i.toLong)
+    }
+    val df = rows.toDF("g", "score", "id").repartition(7)
+    for (k <- Seq(1, 3, 17)) {
+      val got = graft.ext.Corpus.topKPerGroupAgg(df, "g", "score", "id", k)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      val model = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        rs.sortBy(r => (-r._2, r._3)).take(k).zipWithIndex
+          .map { case ((_, s, id), i) => (g, i + 1, id, s) }
+      }.sortBy(t => (t._1, t._2))
+      assert(got.toSeq == model, s"k=$k")
+      val win = graft.ext.Corpus.topKPerGroup(df, "g", "score", "id", k)
+        .select(col("g"), col("rank").cast("int"), col("id"), col("score"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      assert(got.toSeq == win.toSeq, s"window parity k=$k")
+    }
+  }
+
+  test("bpeMergeOnce equals the greedy left-scan model on random symbol runs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val alphabet = Seq("a", "b", "ab")
+    val words = (1 to 120).map { _ =>
+      (1 to (1 + rnd.nextInt(9))).map(_ => alphabet(rnd.nextInt(3)))
+    }
+    def model(syms: Seq[String], a: String, b: String): Seq[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      syms.foreach { s =>
+        if (out.nonEmpty && out.last == a && s == b) out(out.length - 1) = a + b
+        else out += s
+      }
+      out.toList
+    }
+    for ((a, b) <- Seq(("a", "a"), ("a", "b"), ("ab", "a"))) {
+      val got = words.map(Tuple1(_)).toDF("syms")
+        .select(graft.ext.Corpus.bpeMergeOnce(col("syms"), a, b).as("m"))
+        .collect().map(_.getSeq[String](0))
+      assert(got.toSeq == words.map(w => model(w, a, b)), s"pair ($a,$b)")
+    }
+  }
+
   test("mergeDocBasis equals the last-non-null-wins model on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -279,6 +279,25 @@ class CorpusSpec extends SparkSpec {
     assert(merges(1)._3 == 3L)   // ab+c in the three 'abc' occurrences
   }
 
+  test("weightedSamplePerGroup: k per stratum, equals the window-ranked model") {
+    import spark.implicits._
+    val rows = (1 to 90).map(i => (s"g${i % 3}", i.toLong, (i % 7 + 1).toLong))
+    val df = rows.toDF("g", "id", "w")
+    val got = Corpus.weightedSamplePerGroup(df, "g", "id", "w", k = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(got.groupBy(_._1).forall(_._2.length == 4))
+    // model: same md5 draw, rank per group
+    def u(id: Long) = (java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(8), 16)
+      + 1.0) / 4294967296.0
+    val model = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      rs.map { case (_, id, w) => (id, math.pow(u(id), 1.0 / w)) }
+        .sortBy { case (id, key) => (-key, id) }.take(4).zipWithIndex
+        .map { case ((id, _), i) => (g, i + 1, id) }
+    }.toSet
+    assert(got.toSet == model)
+  }
+
   test("bpeEncode replays merges to the trainer's final segmentation") {
     import spark.implicits._
     val docs = Seq((1L, "abc abd abc"), (2L, "abe abc")).toDF("id", "text")
