@@ -18,6 +18,7 @@ import graft.expr.FilterExpr
   *   bfs     <storeDir> <vertex> <key>=<v> <hops>
   *   migrate <srcStore> <dstStore>          graph→graph migration
   *   curate  <docsParquet> <outDir> [--span-dedup N]   training-corpus curation run
+  *   tokenize <docsParquet> <outDir> [nMerges]   BPE train + encode + shard
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -128,9 +129,40 @@ object Main {
         s""""after_exact": $nExact, "after_span": $nSpan, """ +
         s""""after_neardup": ${out.count()}, """ +
         s""""splits": {$perSplit}}""")
+    case "tokenize" :: docsPath :: outDir :: rest =>
+      // end-to-end tokenizer pipeline: BPE training on the corpus (merge
+      // rounds over the distinct-word table) → encode by merge replay →
+      // token-count stats → reproducible shards. Expects (doc_id, text).
+      import org.apache.spark.sql.functions._
+      import graft.ext.Corpus
+      val nMerges = rest match {
+        case n :: Nil if n.toIntOption.exists(_ >= 1) => n.toInt
+        case Nil => 32
+        case other =>
+          System.err.println(s"unknown tokenize options: ${other.mkString(" ")}")
+          sys.exit(2)
+      }
+      val docs = spark.read.parquet(docsPath)
+      val merges = Corpus.bpeTrain(docs, "text", nMerges)
+      val spark2 = spark
+      import spark2.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b, c), i) => (i + 1, a, b, c) }
+        .toDF("rank", "a", "b", "cnt")
+        .coalesce(1).write.mode("overwrite").json(s"$outDir/merges")
+      val encoded = Corpus.bpeEncode(docs, "doc_id", "text",
+        merges.map(m => (m._1, m._2)))
+      Corpus.exportShards(encoded, "doc_id", nShards = 8)
+        .write.mode("overwrite").parquet(s"$outDir/tokens")
+      val out = spark.read.parquet(s"$outDir/tokens")
+      val stats = out.agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"),
+        round(avg("n_tokens"), 2).as("avg_tokens")).collect().head
+      println(s"""{"merges": ${merges.size}, "docs": ${stats.getLong(0)}, """ +
+        s""""tokens": ${stats.getLong(1)}, "avg_tokens": ${stats.getDouble(2)}}""")
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("usage: ingest-manifest|ingest|node|agg|bfs|migrate|curate ...")
+      System.err.println(
+        "usage: ingest-manifest|ingest|node|agg|bfs|migrate|curate|tokenize ...")
       sys.exit(2)
   }
 
