@@ -1548,6 +1548,13 @@ object GraftQueries {
         .orderBy(col("rank").desc, col("node")).limit(100)
     },
 
+    // extension: temperature-scaled mixture weights (tau = 0.5 → IEEE-exact
+    // sqrt scaling; integer-quantized normalizer)
+    "q_temperature_mix" -> { (s, d) =>
+      Corpus.temperatureWeights(t(s, d)("documents"), "lang", "text", tau = 0.5)
+        .orderBy("domain")
+    },
+
     // extension: stratified weighted sampling (A-ES per language) through
     // the bounded-heap aggregate
     "q_weighted_sample_group" -> { (s, d) =>
@@ -3227,6 +3234,21 @@ object GraftQueries {
         "SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem",
         iterations = 3) +
         "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, node LIMIT 100"),
+
+    "q_temperature_mix" ->
+      """WITH a AS (SELECT lang AS domain,
+        |    CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(lower(text)), '\s+')) END)
+        |    AS BIGINT) AS available_tokens
+        |  FROM documents GROUP BY 1),
+        |q AS (SELECT domain, available_tokens,
+        |    CAST(round(pow(CAST(available_tokens AS DOUBLE), 0.5) * 1000000.0)
+        |      AS BIGINT) AS qd
+        |  FROM a)
+        |SELECT domain, available_tokens,
+        |  round(CAST(qd AS DOUBLE) / CAST((SELECT sum(qd) FROM q) AS DOUBLE), 6)
+        |    AS weight
+        |FROM q ORDER BY domain""".stripMargin,
 
     "q_weighted_sample_group" ->
       """WITH k AS (SELECT lang, doc_id,

@@ -318,6 +318,39 @@ object Corpus {
     * silently train on a different mixture than asked), so this raises
     * instead.
     */
+  /** Temperature-scaled mixture weights (the T5/mT5 multilingual sampling
+    * recipe, public): weight_d ∝ tokens_d^tau, normalized. tau = 1 keeps
+    * natural proportions; tau → 0 flattens toward uniform, up-sampling
+    * low-resource domains. Feed the result into [[mixturePlan]] /
+    * [[weightedSamplePerGroup]].
+    *
+    * One corpus scan (map-side-combinable token count; result rows =
+    * #domains). Determinism: the scaled size q_d = round(tokens^tau × 1e6)
+    * is an integer, the normalizer is an exact integer sum, and the final
+    * weight is one fixed-shape divide — at tau = 0.5 (the common setting)
+    * `pow` is IEEE-exact sqrt, so any engine reproduces the weights
+    * bit-for-bit; other taus carry the last-ulp pow caveat documented on
+    * [[weightedSample]].
+    */
+  def temperatureWeights(df: DataFrame, domainCol: String, textCol: String,
+      tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, "tau in (0, 1]")
+    val q = round(pow(col("available_tokens").cast("double"), lit(tau)) * 1e6, 0)
+      .cast("long")
+    val scaled = df
+      .groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long"))
+        .as("available_tokens"))
+      .withColumn("_q", q)
+    // the normalizer is a tiny exact-integer sum — computed per row via a
+    // windowless self-aggregate would be another shuffle; the domain table
+    // is ≤ #domains rows, so collect it once (mixturePlan's pattern)
+    val total = scaled.select(sum(col("_q"))).collect().head.getLong(0)
+    scaled.withColumn("weight",
+      round(col("_q").cast("double") / lit(total.toDouble), 6))
+      .select(col("domain"), col("available_tokens"), col("weight"))
+  }
+
   def mixturePlan(df: DataFrame, domainCol: String, textCol: String,
       targetWeights: Map[String, Double], maxEpochs: Double = 4.0): DataFrame = {
     require(targetWeights.nonEmpty, "need at least one target domain")

@@ -279,6 +279,20 @@ class CorpusSpec extends SparkSpec {
     assert(merges(1)._3 == 3L)   // ab+c in the three 'abc' occurrences
   }
 
+  test("temperatureWeights: tau=1 keeps natural proportions, tau<1 flattens") {
+    import spark.implicits._
+    // domain a has 9x the tokens of b
+    val docs = (1 to 9).map(i => ("a", s"t$i one two three")) :+ ("b", "t0 one two three")
+    val df = docs.toDF("dom", "text")
+    val nat = Corpus.temperatureWeights(df, "dom", "text", tau = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(nat("a") - 0.9) < 1e-6 && math.abs(nat("b") - 0.1) < 1e-6)
+    val flat = Corpus.temperatureWeights(df, "dom", "text", tau = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(flat("b") > nat("b") && flat("a") < nat("a")) // low-resource up-sampled
+    assert(math.abs(flat("a") + flat("b") - 1.0) < 1e-5)
+  }
+
   test("weightedSamplePerGroup: k per stratum, equals the window-ranked model") {
     import spark.implicits._
     val rows = (1 to 90).map(i => (s"g${i % 3}", i.toLong, (i % 7 + 1).toLong))
