@@ -345,7 +345,9 @@ object Corpus {
     // the normalizer is a tiny exact-integer sum — computed per row via a
     // windowless self-aggregate would be another shuffle; the domain table
     // is ≤ #domains rows, so collect it once (mixturePlan's pattern)
-    val total = scaled.select(sum(col("_q"))).collect().head.getLong(0)
+    val total = Option(scaled.select(sum(col("_q"))).collect().head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    require(total > 0, "temperatureWeights: corpus has no tokens in any domain")
     scaled.withColumn("weight",
       round(col("_q").cast("double") / lit(total.toDouble), 6))
       .select(col("domain"), col("available_tokens"), col("weight"))
@@ -556,6 +558,11 @@ object Corpus {
     * divide/sqrt per surviving pair. Any engine reproduces the rounded
     * score bit-for-bit (the same contract as [[bm25]]'s fixed-order fold,
     * generalized to unbounded shared-term sets).
+    *
+    * Numeric bound: tf²·q must stay inside a long — q ≤ ~8×10⁸ even at
+    * 10¹² docs, so a single term repeated beyond ~10⁵ times IN ONE
+    * DOCUMENT would overflow the norm sum. Run [[chunkDocs]] (or any
+    * length cap) upstream of pathological documents.
     */
   def tfidfTopK(corpus: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qIdCol: String, qTextCol: String,
