@@ -314,6 +314,83 @@ final case class RevisionChain(revisions: Seq[Revision]) {
   }
 }
 
+/** Store-flavor name sanitization (reference hq/sanitizer.py +
+  * evolution SanitizeOp): rewrite vertex / relation / property names into
+  * the target-safe charset as a LIST of structural rename ops, so the
+  * existing op application, store rewrites, and revision chains apply
+  * unchanged — the same composition the reference uses ("owns no mutation
+  * logic of its own; builds evolution ops").
+  *
+  * Policy (the graft store's own constraints, mirroring the reference's
+  * per-DB-flavor rules): lowercase; any char outside [a-z0-9_] becomes
+  * `_`; runs of `_` collapse (the store layout reserves `__` for edge-key
+  * encoding); leading/trailing `_` strip; a leading digit or emptied name
+  * gets an `n_` prefix; truncate to `maxLen`. Post-sanitization collisions
+  * get deterministic `_2`, `_3`, … suffixes in sorted-original order.
+  */
+object Sanitize {
+
+  private[evolve] def clean(name: String, maxLen: Int): String = {
+    val lowered = name.toLowerCase
+      .map(c => if (c.isLetterOrDigit && c < 128) c else '_')
+      .replaceAll("_+", "_")
+      .stripPrefix("_").stripSuffix("_")
+    val prefixed =
+      if (lowered.isEmpty || lowered.head.isDigit) s"n_$lowered" else lowered
+    prefixed.take(maxLen)
+  }
+
+  /** Deterministic collision-free mapping old→new for one namespace. */
+  private def mapping(names: Seq[String], maxLen: Int): Map[String, String] = {
+    val taken = scala.collection.mutable.Set.empty[String]
+    names.sorted.map { n =>
+      val base = clean(n, maxLen)
+      val out = Iterator.from(1)
+        .map(i => if (i == 1) base else s"${base.take(maxLen - 2)}_$i")
+        .find(c => !taken(c)).get
+      taken += out
+      n -> out
+    }.toMap
+  }
+
+  /** The op list turning `s` into its sanitized form (empty when `s` is
+    * already clean — sanitization is idempotent).
+    */
+  def ops(s: GraphSchema, maxLen: Int = 63): Seq[EvolutionOp] = {
+    import EvolutionOp._
+    val out = scala.collection.mutable.ArrayBuffer.empty[EvolutionOp]
+    val vmap = mapping(s.vertices.map(_.name), maxLen)
+    vmap.toSeq.sortBy(_._1).foreach { case (from, to) =>
+      if (from != to) out += RenameVertex(from, to)
+    }
+    // property renames address vertices by their POST-rename names; only
+    // DECLARED properties rename (identity-derived columns follow their
+    // identity definition, which RenameProperty's apply keeps aligned)
+    s.vertices.sortBy(_.name).foreach { v =>
+      val pmap = mapping(v.properties.map(_.name), maxLen)
+      pmap.toSeq.sortBy(_._1).foreach { case (from, to) =>
+        if (from != to) out += RenameProperty(vmap(v.name), from, to)
+      }
+    }
+    // relation renames: keys live in the post-vertex-rename space; dedupe
+    // per (source, target) endpoint pair so colliding relations suffix
+    s.edges.groupBy(e => (e.source, e.target)).toSeq.sortBy(_._1).foreach {
+      case ((src, tgt), edges) =>
+        val rmap = mapping(edges.map(_.relation), maxLen)
+        edges.sortBy(_.relation).foreach { e =>
+          val to = rmap(e.relation)
+          if (e.relation != to)
+            out += RenameRelation(EdgeKey(vmap(src), vmap(tgt), e.relation), to)
+        }
+    }
+    out.toSeq
+  }
+
+  /** One-liner mirroring `Sanitizer.sanitize_manifest`. */
+  def apply(s: GraphSchema, maxLen: Int = 63): GraphSchema =
+    Evolution(s, ops(s, maxLen))
+}
+
 object Evolution {
 
   def apply(s: GraphSchema, ops: Seq[EvolutionOp]): GraphSchema =
