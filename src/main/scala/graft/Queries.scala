@@ -1548,6 +1548,17 @@ object GraftQueries {
         .orderBy(col("rank").desc, col("node")).limit(100)
     },
 
+    // §2.13: store-flavor name sanitization — the rename table the
+    // evolution-op generator would emit for real (space-laden) names
+    "q_sanitize_names" -> { (s, d) =>
+      import s.implicits._
+      val names = t(s, d)("part").select(col("p_type").as("n"))
+        .union(t(s, d)("part").select(col("p_brand"))).distinct()
+        .as[String].collect().toSeq
+      graft.evolve.Sanitize.table(names)
+        .toDF("original", "sanitized").orderBy("original")
+    },
+
     // extension: temperature-scaled mixture weights (tau = 0.5 → IEEE-exact
     // sqrt scaling; integer-quantized normalizer)
     "q_temperature_mix" -> { (s, d) =>
@@ -3234,6 +3245,24 @@ object GraftQueries {
         "SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem",
         iterations = 3) +
         "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, node LIMIT 100"),
+
+    // replicates Sanitize.clean: lowercase → non-[a-z0-9] → '_' → collapse
+    // runs → strip edge '_' → digit/empty prefix → truncate 63; suffix _rn
+    // on collisions in sorted-original order
+    "q_sanitize_names" ->
+      """WITH n AS (SELECT DISTINCT p_type AS orig FROM part
+        |  UNION SELECT DISTINCT p_brand FROM part),
+        |c AS (SELECT orig, substring(
+        |    CASE WHEN cleaned = '' OR substring(cleaned, 1, 1) BETWEEN '0' AND '9'
+        |         THEN 'n_' || cleaned ELSE cleaned END, 1, 63) AS base
+        |  FROM (SELECT orig, trim(regexp_replace(regexp_replace(lower(orig),
+        |      '[^a-z0-9]', '_', 'g'), '_+', '_', 'g'), '_') AS cleaned FROM n)),
+        |r AS (SELECT orig, base,
+        |    row_number() OVER (PARTITION BY base ORDER BY orig) AS rn FROM c)
+        |SELECT orig AS original,
+        |  CASE WHEN rn = 1 THEN base
+        |       ELSE substring(base, 1, 61) || '_' || rn END AS sanitized
+        |FROM r ORDER BY original""".stripMargin,
 
     "q_temperature_mix" ->
       """WITH a AS (SELECT lang AS domain,

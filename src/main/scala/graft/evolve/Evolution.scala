@@ -353,6 +353,13 @@ object Sanitize {
     }.toMap
   }
 
+  /** The collision-free rename table for an arbitrary name set, sorted by
+    * original — the sanitizer's decision surface exposed for inspection /
+    * oracling (schema names are metadata: driver-small by definition).
+    */
+  def table(names: Seq[String], maxLen: Int = 63): Seq[(String, String)] =
+    mapping(names, maxLen).toSeq.sortBy(_._1)
+
   /** The op list turning `s` into its sanitized form (empty when `s` is
     * already clean — sanitization is idempotent).
     */
