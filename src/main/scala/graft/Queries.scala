@@ -1548,6 +1548,14 @@ object GraftQueries {
         .orderBy(col("rank").desc, col("node")).limit(100)
     },
 
+    // extension: asymmetric shingle containment (|A∩B|/|A| — the quote /
+    // subset-duplicate signal Jaccard misses on length-skewed pairs)
+    "q_containment" -> { (s, d) =>
+      Dedup.containmentPairs(t(s, d)("documents").where(col("doc_id") < 200),
+        "doc_id", "text", n = 3, minContainment = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
     // §2.13: store-flavor name sanitization — the rename table the
     // evolution-op generator would emit for real (space-laden) names
     "q_sanitize_names" -> { (s, d) =>
@@ -1669,6 +1677,21 @@ object GraftQueries {
         .select(concat(lit("p"), col("x.p")).as("src"),
           concat(lit("p"), col("y.p")).as("dst"))
       GraphAlgos.triangleCounts(e, "src", "dst").orderBy("node")
+    },
+
+    // extension: k-core decomposition (iterative peel) over the same
+    // co-ordered-parts graph — the dense-core graph-curation signal
+    "q_kcore" -> { (s, d) =>
+      import graft.graph.GraphAlgos
+      val p = t(s, d)("lineitem").where(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val e = p.as("x").join(p.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(concat(lit("p"), col("x.p")).as("src"),
+          concat(lit("p"), col("y.p")).as("dst"))
+      GraphAlgos.kCore(e, "src", "dst", k = 8, maxRounds = 4)
+        .select(col("node"), col("deg").cast("long").as("deg"))
+        .orderBy("node")
     },
 
     // extension: Z-order layout clustering — interleaved-bit z-values over
@@ -3246,6 +3269,22 @@ object GraftQueries {
         iterations = 3) +
         "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, node LIMIT 100"),
 
+    "q_containment" ->
+      """WITH sel AS (SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS nt
+        |  FROM documents WHERE doc_id < 200),
+        |tok AS (SELECT doc_id, string_split(nt, ' ') AS t FROM sel),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) u
+        |  WHERE len(t) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ia AS id_a, ib AS id_b,
+        |  round(c::DOUBLE / sa.sz, 4) AS containment
+        |FROM inter JOIN sz sa ON sa.doc_id = ia
+        |WHERE c::DOUBLE / sa.sz >= 0.5 ORDER BY 1, 2""".stripMargin,
+
     // replicates Sanitize.clean: lowercase → non-[a-z0-9] → '_' → collapse
     // runs → strip edge '_' → digit/empty prefix → truncate 63; suffix _rn
     // on collisions in sorted-original order
@@ -3392,6 +3431,18 @@ object GraftQueries {
         |SELECT node, CAST(count(*) AS BIGINT) AS triangles
         |FROM (SELECT unnest([lo, u, v]) AS node FROM tri)
         |GROUP BY 1 ORDER BY node""".stripMargin,
+
+    "q_kcore" ->
+      (graft.graph.GraphAlgos.kCoreOracleSql(
+        """SELECT 'p' || a.p AS src, 'p' || b.p AS dst
+          |FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+          |      FROM lineitem WHERE l_orderkey % 10 = 0) a
+          |JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+          |      FROM lineitem WHERE l_orderkey % 10 = 0) b
+          |  ON a.ok = b.ok AND a.p < b.p""".stripMargin,
+        k = 8, rounds = 4) +
+        "\nSELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM e4" +
+        "\nGROUP BY 1 HAVING count(*) >= 8 ORDER BY node"),
 
     // z-value: 8-bit global-min/max bins per dimension, bits interleaved
     // (price = dimension 0 → even positions, quantity = dimension 1 → odd)

@@ -91,6 +91,43 @@ object Dedup {
   }
   private def filtered_hint(df: DataFrame): DataFrame = broadcast(df)
 
+  /** Asymmetric shingle containment: |A∩B| / |A| — unlike [[jaccardPairs]]
+    * this catches a SHORT document wholly quoted inside a long one, where
+    * Jaccard stays low because the union is dominated by the long side
+    * (the quote/subset-dup signal; pairs emit in both directions when both
+    * containments clear the threshold). Same inverted-index shape as the
+    * Jaccard path — shingle-keyed join, stop-shingle frequency cap bounds
+    * skew AND posting lists — and the score is an exact integer ratio
+    * rounded once, so any engine reproduces it.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minContainment: Double,
+      maxShingleFreq: Long = 10000L
+  ): DataFrame = {
+    val sh = explodeShingles(df, idCol, textCol, n)
+    val filtered = {
+      val freq = sh.groupBy("shingle").agg(count(lit(1)).as("_f"))
+        .where(col("_f") <= maxShingleFreq)
+      sh.join(filtered_hint(freq.select("shingle")), Seq("shingle"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val sizes = filtered.groupBy(idCol).agg(count(lit(1)).as("_sz"))
+    val a = filtered.withColumnsRenamed(Map(idCol -> "id_a"))
+    val b = filtered.withColumnsRenamed(Map(idCol -> "id_b"))
+    val inter = a.join(b, Seq("shingle"))
+      .where(col("id_a") =!= col("id_b")) // directed: (a in b) and (b in a) differ
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map(idCol -> "id_a", "_sz" -> "_sza")), Seq("id_a"))
+      .withColumn("containment", col("_inter").cast("double") / col("_sza"))
+      .where(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
+  }
+
   /** MinHash signature: for seed s, minhash_s(doc) = min over shingles of
     * md5(s || ':' || shingle). String-min over fixed-length hex is a valid
     * uniform min-hash and is reproducible in any engine with md5 (the

@@ -200,6 +200,75 @@ object GraphAlgos {
     out
   }
 
+  /** k-core: iteratively peel nodes of undirected degree < k until the
+    * fixpoint (or `maxRounds` — the same bounded-rounds contract as
+    * [[shortestPathsFixed]]; rounds after convergence are no-ops, and the
+    * loop exits early once the survivor count is stable, which cannot
+    * change the result). The standard graph-curation core: spam/bot
+    * subgraphs and weakly-attached noise peel away, the dense core stays.
+    * Returns (node, degree) of the surviving core subgraph.
+    *
+    * Scale shape: per round one map-side-combinable degree count plus two
+    * semi-joins of the edge frame against the (node-keyed, broadcast-
+    * eligible) survivor set; the edge frame shrinks monotonically.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(maxRounds >= 1, "need at least one round")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und0 = edges.select(
+      least(col(srcCol).cast("string"), col(dstCol).cast("string")).as("a"),
+      greatest(col(srcCol).cast("string"), col(dstCol).cast("string")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    var e = und0.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und0.select(col("b").as("u"), col("a").as("v")))
+      .persist(lvl)
+    var eRows = e.count()
+    var round = 0
+    var stable = false
+    while (round < maxRounds && !stable) {
+      val keep = e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select("node")
+      val next = e
+        .join(broadcast(keep).withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(broadcast(keep).withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+        .persist(lvl)
+      val nextRows = next.count()
+      e.unpersist(blocking = false)
+      stable = nextRows == eRows
+      e = next
+      eRows = nextRows
+      round += 1
+    }
+    val out = e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= k)
+      .persist(lvl)
+    out.count(): Unit
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** DuckDB-dialect oracle for [[kCore]]: rounds unrolled (no early exit —
+    * converged rounds are no-ops, so the fixed unroll agrees with the
+    * early-exiting implementation). Emits `e0..e<rounds>`; the caller
+    * selects the final degrees.
+    */
+  def kCoreOracleSql(edgesSql: String, k: Int, rounds: Int): String = {
+    val head =
+      s"""WITH undE AS ($edgesSql),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM undE WHERE src <> dst),
+         |e0 AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      s"""k$r AS (SELECT u AS node FROM e${r - 1} GROUP BY 1 HAVING count(*) >= $k),
+         |e$r AS (SELECT e.u, e.v FROM e${r - 1} e
+         |  JOIN k$r ku ON ku.node = e.u JOIN k$r kv ON kv.node = e.v)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
+
   /** The DuckDB-dialect oracle for [[pageRankFixed]] over an `edges(src,
     * dst)` relation — iterations unrolled as chained CTEs with the same
     * integer `//` arithmetic. Kept next to the implementation so the two

@@ -40,6 +40,29 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 4L))
   }
 
+  test("containment catches a short doc quoted inside a long one") {
+    import spark.implicits._
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val docs2 = Seq(
+      (1L, quote), // 10 tokens → 8 shingles, all inside doc 2
+      (2L, "padding starts here and then " + quote + " and then trailing words continue onward for a while longer"),
+      (3L, "entirely unrelated content about other things altogether now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs2, "doc_id", "text", n = 3,
+      minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // directed: 1⊆2 scores 1.0; the reverse direction is far below gate
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+    assert(!pairs.exists(p => p._1 == 2L))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // jaccard on the same pair is diluted by the long side — the reason
+    // this operator exists
+    val jac = Dedup.jaccardPairs(docs2, "doc_id", "text", n = 3, minSim = 0.0)
+      .where(col("id_a") === 1L && col("id_b") === 2L)
+      .collect().head.getDouble(2)
+    assert(jac < 0.5)
+  }
+
   test("minhash LSH candidates include identical docs; verified pairs match jaccard") {
     val nd = Dedup.minhashNearDups(docs, "doc_id", "text",
       n = 3, bands = 4, rowsPerBand = 4, minSim = 0.9)

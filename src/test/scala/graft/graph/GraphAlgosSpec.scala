@@ -75,6 +75,21 @@ class GraphAlgosSpec extends SparkSpec {
     assert(got == Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 1L))
   }
 
+  test("kCore peels weakly-attached nodes, keeps the dense core") {
+    import spark.implicits._
+    // K4 core (a,b,c,d all degree 3) + a pendant chain e-f hanging off a.
+    // Peeling at k=2: f drops (deg 1), then e drops (deg 1 after f), core
+    // stays — needs TWO rounds, which a single-pass degree filter misses.
+    val e = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d"), ("a", "e"), ("e", "f")).toDF("s", "t")
+    val got = GraphAlgos.kCore(e, "s", "t", k = 2, maxRounds = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("a", "b", "c", "d"))
+    assert(got.values.toSet == Set(3L)) // K4: every core node keeps degree 3
+    // k above the densest core empties the graph
+    assert(GraphAlgos.kCore(e, "s", "t", k = 4, maxRounds = 5).count() == 0)
+  }
+
   test("triangleCounts: triangle-free graph yields no rows") {
     import spark.implicits._
     val star = Seq(("hub", "s1"), ("hub", "s2"), ("hub", "s3")).toDF("s", "t")
