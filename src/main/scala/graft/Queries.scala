@@ -1548,6 +1548,23 @@ object GraftQueries {
         .orderBy(col("rank").desc, col("node")).limit(100)
     },
 
+    // extension: hybrid retrieval — reciprocal-rank fusion of the TF-IDF
+    // lexical ranking with the dense embedding ranking (vec_id ≡ doc_id)
+    "q_hybrid_rrf" -> { (s, d) =>
+      val docs = t(s, d)("documents")
+      val lex = Corpus.tfidfTopK(docs, "doc_id", "text",
+        docs.where(col("doc_id") < 10), "doc_id", "text",
+        k = 20, maxDocFreqFrac = 0.8)
+      val emb = t(s, d)("embeddings")
+      val dense = Similarity.bruteForceTopK(emb.where(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("neighbor_id").as("match_id"), col("rank"))
+      Similarity.rrfFuse(lex, dense, "query_id", "match_id", "rank", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("match_id"), col("rrf"))
+        .orderBy("query_id", "rank")
+    },
+
     // extension: asymmetric shingle containment (|A∩B|/|A| — the quote /
     // subset-duplicate signal Jaccard misses on length-skewed pairs)
     "q_containment" -> { (s, d) =>
@@ -3268,6 +3285,56 @@ object GraftQueries {
         "SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem",
         iterations = 3) +
         "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, node LIMIT 100"),
+
+    // the tfidf chain (queries doc_id<10, k=20) + dense chain (k=20) +
+    // fixed two-term RRF expression; kRrf = 60
+    "q_hybrid_rrf" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> len(x) > 0) AS t FROM documents),
+        |cp AS (SELECT doc_id AS did, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM tok) GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |iq AS (SELECT term,
+        |    CAST(round(pow(ln((nd + 1.0) / (df + 1.0)) + 1.0, 2) * 1000000.0) AS BIGINT) AS q
+        |  FROM (SELECT term, CAST(count(*) AS BIGINT) AS df FROM cp GROUP BY 1), n
+        |  WHERE df <= 0.8 * nd),
+        |wd AS (SELECT did, cp.term, tf, q FROM cp JOIN iq USING (term)),
+        |wq AS (SELECT did AS qid, term, tf, q FROM wd WHERE did < 10),
+        |nd2 AS (SELECT did, sum(tf * tf * q) AS n2d FROM wd GROUP BY 1),
+        |nq2 AS (SELECT qid, sum(tf * tf * q) AS n2q FROM wq GROUP BY 1),
+        |dots AS (SELECT qid, did, sum(wq.tf * wd.tf * wd.q) AS dot
+        |  FROM wq JOIN wd USING (term) WHERE qid <> did GROUP BY 1, 2),
+        |sc AS (SELECT qid, did,
+        |    round(CAST(dot AS DOUBLE) / sqrt(CAST(n2q AS DOUBLE) * CAST(n2d AS DOUBLE)), 4) AS cos
+        |  FROM dots JOIN nq2 USING (qid) JOIN nd2 USING (did)),
+        |lexr AS (SELECT qid AS query_id, did AS match_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did) AS rank
+        |  FROM sc QUALIFY rank <= 20),
+        |eq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |ec AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |escored AS (SELECT query_id, neighbor_id,
+        |  round(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))), 4) AS cos
+        |  FROM eq, ec WHERE query_id <> neighbor_id),
+        |denser AS (SELECT query_id, neighbor_id AS match_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM escored QUALIFY rank <= 20),
+        |f AS (SELECT coalesce(l.query_id, de.query_id) AS query_id,
+        |    coalesce(l.match_id, de.match_id) AS match_id,
+        |    round(coalesce(1.0 / (60 + l.rank), 0) +
+        |          coalesce(1.0 / (60 + de.rank), 0), 6) AS rrf
+        |  FROM lexr l FULL OUTER JOIN denser de
+        |    ON de.query_id = l.query_id AND de.match_id = l.match_id),
+        |r AS (SELECT query_id, match_id, rrf,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, match_id) AS rank
+        |  FROM f)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, match_id, rrf
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_containment" ->
       """WITH sel AS (SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS nt

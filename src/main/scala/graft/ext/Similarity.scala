@@ -56,6 +56,37 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("_rk").as("rank"))
   }
 
+  /** Reciprocal-rank fusion of two per-query rankings — the standard
+    * hybrid-retrieval combiner (Cormack et al. 2009, public):
+    * `rrf(q, d) = Σ_lists 1 / (kRrf + rank_list(q, d))`, summed over the
+    * lists that ranked (q, d) at all. Fuses a lexical list ([[
+    * graft.ext.Corpus.tfidfTopK]]) with a dense one ([[bruteForceTopK]] /
+    * [[annTopK]]) without comparable scores — only ranks matter.
+    *
+    * Determinism: one full-outer join and a FIXED two-term expression per
+    * row (float addition is commutative; no variable-order aggregation),
+    * then the bounded-heap top-k. Scale shape: both inputs are already
+    * k-bounded per query, so the join and fusion touch `queries × 2k`
+    * rows — negligible next to the retrieval stages.
+    */
+  def rrfFuse(lexical: DataFrame, dense: DataFrame, queryCol: String,
+      idCol: String, rankCol: String, k: Int, kRrf: Int = 60): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(kRrf >= 1, "kRrf must be positive")
+    val l = lexical.select(col(queryCol).as("_q"), col(idCol).as("_id"),
+      col(rankCol).cast("long").as("_rl"))
+    val r = dense.select(col(queryCol).as("_q"), col(idCol).as("_id"),
+      col(rankCol).cast("long").as("_rd"))
+    val fused = l.join(r, Seq("_q", "_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(kRrf) + col("_rl")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("_rd")), lit(0.0)), 6))
+    graft.ext.Corpus.topKPerGroupAgg(
+      fused.select(col("_q"), col("_id"), col("rrf")), "_q", "rrf", "_id", k)
+      .select(col("_q").as("query_id"), col("rank"),
+        col("_id").as("match_id"), col("rrf"))
+  }
+
   /** Deterministic random hyperplanes: `planes(b)(d)` from a seeded RNG.
     * Materialized as a literal — tiny (bits × dim doubles), shipped with the
     * plan, no shuffle.

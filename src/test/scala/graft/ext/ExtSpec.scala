@@ -40,6 +40,21 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 4L))
   }
 
+  test("rrfFuse: consensus docs outrank single-list docs; absent side adds 0") {
+    import spark.implicits._
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("q", "id", "rank")
+    val den = Seq((1L, 11L, 1), (1L, 13L, 2)).toDF("q", "id", "rank")
+    val out = Similarity.rrfFuse(lex, den, "q", "id", "rank", k = 4)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // 11 is in both lists (1/62 + 1/61) and must fuse above lex-rank-1 (1/61)
+    assert(out.head._2 == 11L)
+    assert(math.abs(out.head._3 - (1.0 / 62 + 1.0 / 61)) < 1e-6)
+    // 10 (lex rank 1) next: 1/61; then 13 (dense rank 2): 1/62; then 12: 1/63
+    assert(out.map(_._2).toSeq == Seq(11L, 10L, 13L, 12L))
+    assert(out.map(_._1).toSeq == Seq(1, 2, 3, 4))
+  }
+
   test("containment catches a short doc quoted inside a long one") {
     import spark.implicits._
     val quote = "the quick brown fox jumps over the lazy dog tonight"
