@@ -1548,6 +1548,15 @@ object GraftQueries {
         .orderBy(col("rank").desc, col("node")).limit(100)
     },
 
+    // extension: bigram LM scoring (add-k smoothed conditional NLL,
+    // integer micro-nat sums — the perplexity-filter signal unigrams miss)
+    "q_bigram_lm" -> { (s, d) =>
+      Corpus.bigramLmScore(t(s, d)("documents"), "doc_id", "text", addK = 0.5)
+        .select(col("doc_id"), col("n_bigrams").cast("long").as("n_bigrams"),
+          col("lm2_score"))
+        .orderBy("doc_id")
+    },
+
     // extension: hybrid retrieval — reciprocal-rank fusion of the TF-IDF
     // lexical ranking with the dense embedding ranking (vec_id ≡ doc_id)
     "q_hybrid_rrf" -> { (s, d) =>
@@ -3285,6 +3294,24 @@ object GraftQueries {
         "SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem",
         iterations = 3) +
         "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, node LIMIT 100"),
+
+    "q_bigram_lm" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> len(x) > 0) AS t FROM documents),
+        |p AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) u
+        |  WHERE len(t) >= 2),
+        |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM p GROUP BY 1, 2),
+        |ch AS (SELECT w1, CAST(count(*) AS BIGINT) AS ch FROM p GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT tokk) AS BIGINT) AS vs
+        |  FROM (SELECT unnest(t) AS tokk FROM tok)),
+        |q AS (SELECT doc_id,
+        |    CAST(round(-ln((cb + 0.5) / (ch + 0.5 * vs)) * 1000000.0) AS BIGINT) AS qln
+        |  FROM p JOIN cb USING (w1, w2) JOIN ch USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(qln) AS DOUBLE) / 1000000.0 / count(*), 4) AS lm2_score
+        |FROM q GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // the tfidf chain (queries doc_id<10, k=20) + dense chain (k=20) +
     // fixed two-term RRF expression; kRrf = 60

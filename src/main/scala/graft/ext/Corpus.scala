@@ -297,6 +297,51 @@ object Corpus {
         .as("lm_score"))
   }
 
+  /** Bigram LM scoring with add-k smoothing — the conditional upgrade of
+    * [[unigramLmScore]]: negative mean log-likelihood of each document's
+    * adjacent-token pairs under the corpus's own bigram model,
+    * `P(w2|w1) = (c(w1 w2) + a) / (h(w1) + a·V)` with `h(w1)` the history
+    * count (bigrams starting at w1) and `V` the corpus vocabulary size.
+    * Fluent in-domain text scores low; token-salad and boilerplate-stitched
+    * text scores high even when every individual token is common — the
+    * signal unigram models cannot see.
+    *
+    * Determinism: each pair's −ln P is quantized to integer micro-nats
+    * (`round(×1e6)` as long), so the per-document sum is exact and
+    * order-free; the mean is one fixed-shape divide (same contract as
+    * [[tfidfTopK]]'s quantized idf²). Scale shape: bigram and history
+    * counts are map-side-combinable groupBys keyed on the pair/token;
+    * scoring joins each document's pairs back keyed on the bigram —
+    * Zipfian hot pairs are the AQE skew-join case; V is a driver scalar
+    * (one distinct count). Documents with < 2 tokens are omitted.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+      addK: Double = 0.5): DataFrame = {
+    require(addK > 0, "addK must be positive")
+    val toks = filter(split(Dedup.normalize(col(textCol)), " "), t => length(t) > 0)
+    val docs = df.select(col(idCol), toks.as("_t")).where(size(col("_t")) >= 2)
+    val pairs = docs.select(col(idCol), explode(
+      org.apache.spark.sql.functions.transform(
+        sequence(lit(1), size(col("_t")) - 1),
+        i => struct(element_at(col("_t"), i).as("w1"),
+          element_at(col("_t"), i + 1).as("w2")))).as("_p"))
+      .select(col(idCol), col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+    val biCnt = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("_cb"))
+    val hist = pairs.groupBy("w1").agg(count(lit(1)).as("_ch"))
+    val vocabSize = df.select(explode(toks).as("_tok"))
+      .select("_tok").distinct().count()
+    val qln = round(-log((col("_cb") + lit(addK)) /
+      (col("_ch") + lit(addK * vocabSize))) * 1e6, 0).cast("long")
+    pairs
+      .join(biCnt, Seq("w1", "w2"))
+      .join(hist, Seq("w1"))
+      .withColumn("_q", qln)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("_q")).cast("double") / 1e6 / count(lit(1)), 4)
+          .as("lm2_score"))
+  }
+
   /** Epoch-capped data-mixture planning (the standard pretraining mixing
     * computation — public practice in LLM corpus reports): given target
     * domain fractions and the corpus's available tokens per domain, find

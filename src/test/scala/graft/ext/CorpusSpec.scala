@@ -279,6 +279,30 @@ class CorpusSpec extends SparkSpec {
     assert(merges(1)._3 == 3L)   // ab+c in the three 'abc' occurrences
   }
 
+  test("bigramLmScore: token-salad scores above fluent repetition of corpus bigrams") {
+    import spark.implicits._
+    // docs 1-3 establish 'a b' / 'b c' as high-probability bigrams; doc 4
+    // uses the SAME tokens in never-seen orders — unigram stats can't
+    // separate it, the bigram model must
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),
+      (2L, "a b c a b c"),
+      (3L, "a b c"),
+      (4L, "c a c b a c b b a")
+    ).toDF("doc_id", "text")
+    val out = Corpus.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(4L) > out(1L) && out(4L) > out(2L) && out(4L) > out(3L))
+    // short-text gate: single-token docs are omitted
+    val single = Corpus.bigramLmScore(Seq((9L, "lonely")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(single.count() == 0)
+    // partition-stable (integer micro-nat sums)
+    val re = Corpus.bigramLmScore(docs.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(re == out)
+  }
+
   test("temperatureWeights: tau=1 keeps natural proportions, tau<1 flattens") {
     import spark.implicits._
     // domain a has 9x the tokens of b
