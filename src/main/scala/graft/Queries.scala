@@ -1548,6 +1548,25 @@ object GraftQueries {
         .orderBy(col("rank").desc, col("node")).limit(100)
     },
 
+    // extension: cu_seqlens boundary metadata over the packed layout (the
+    // varlen-attention interface shape)
+    "q_pack_boundaries" -> { (s, d) =>
+      Corpus.packBoundaries(
+        Corpus.packSequences(t(s, d)("documents").select("doc_id", "text"),
+          "doc_id", "text", budget = 256, nShards = 8))
+        .select(col("seq_id"), col("n_docs").cast("long").as("n_docs"),
+          col("cu_seqlens"))
+        .orderBy("seq_id")
+    },
+
+    // extension: common session-path mining over the event stream (30-min
+    // gap sessions, first 3 steps, top-20 flows)
+    "q_event_paths" -> { (s, d) =>
+      import graft.ext.Events
+      Events.sessionPaths(TpchGraph.eventsTable(s, d), "user_id", "ts",
+        "event_type", "event_id", gapMinutes = 30, maxSteps = 3, topK = 20)
+    },
+
     // extension: bigram LM scoring (add-k smoothed conditional NLL,
     // integer micro-nat sums — the perplexity-filter signal unigrams miss)
     "q_bigram_lm" -> { (s, d) =>
@@ -3294,6 +3313,43 @@ object GraftQueries {
         "SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem",
         iterations = 3) +
         "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, node LIMIT 100"),
+
+    // the pack layout CTE (same md5 shard/ord draws) + per-seq boundary agg
+    "q_pack_boundaries" ->
+      """WITH h AS (SELECT doc_id,
+        |  list_sum(list_transform(generate_series(1, 8),
+        |    p -> (strpos('0123456789abcdef',
+        |            substring(md5('s:' || doc_id), p, 1)) - 1)
+        |         * CAST(power(16, 8 - p) AS BIGINT))) % 8 AS shard,
+        |  md5('o:' || doc_id) AS ord,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (ORDER BY shard, ord, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+        |  FROM h)
+        |SELECT CAST(floor(st / 256) AS BIGINT) AS seq_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  array_to_string(list(CAST(st % 256 AS BIGINT) ORDER BY st % 256), ',')
+        |    || ',' || CAST(max(st % 256 + n_tokens) AS VARCHAR) AS cu_seqlens
+        |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin,
+
+    "q_event_paths" ->
+      """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    event_type FROM events),
+        |y AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev FROM x),
+        |z AS (SELECT *, sum(CASE WHEN prev IS NULL OR
+        |      epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess FROM y),
+        |s AS (SELECT *, row_number() OVER (PARTITION BY user_id, sess
+        |    ORDER BY ts, event_id) AS step FROM z),
+        |p AS (SELECT user_id, sess, string_agg(event_type, '>' ORDER BY step)
+        |    AS path FROM s WHERE step <= 3 GROUP BY 1, 2)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
 
     "q_bigram_lm" ->
       """WITH tok AS (SELECT doc_id,

@@ -269,6 +269,32 @@ object Corpus {
       .drop("_ord", "_cum_in", "_base", "_start")
   }
 
+  /** Per-sequence boundary metadata for [[packSequences]] output: the
+    * cu_seqlens table — for each packed sequence, the cumulative token
+    * offsets where member documents start, plus the final end — the shape
+    * block-diagonal attention kernels take to reset masks at document
+    * boundaries (the public varlen-attention interface). Offsets are
+    * contiguous within a sequence by construction, so the end of doc i is
+    * the start of doc i+1 and the array is strictly increasing; a doc
+    * overhanging the budget boundary shows as an end past `budget` (its
+    * tail flows into the next chunk — the concat-then-chunk contract).
+    * Emitted as a comma-joined string (stable to compare engine-to-engine).
+    *
+    * Scale shape: one keyed groupBy on seq_id; the per-sequence list is
+    * bounded by budget / min-doc-tokens members.
+    */
+  def packBoundaries(packed: DataFrame): DataFrame =
+    packed.groupBy(col("seq_id")).agg(
+      count(lit(1)).as("n_docs"),
+      array_sort(collect_list(struct(col("seq_offset"), col("n_tokens"))))
+        .as("_docs"),
+      max(col("seq_offset") + col("n_tokens")).as("_end"))
+      .select(col("seq_id"), col("n_docs"),
+        array_join(concat(
+          org.apache.spark.sql.functions.transform(col("_docs"),
+            x => x.getField("seq_offset").cast("string")),
+          array(col("_end").cast("string"))), ",").as("cu_seqlens"))
+
   /** CCNet-style unigram language-model scoring: every document's negative
     * mean log-likelihood under the corpus's OWN unigram distribution.
     * Low score = built from common corpus tokens (in-domain, fluent-ish);

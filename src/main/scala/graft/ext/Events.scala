@@ -11,6 +11,44 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** Common session-path mining: sessionize per user (gap rule), take each
+    * session's first `maxSteps` event types in time order, and count the
+    * distinct paths — the "what do users actually do" flow table. Ordering
+    * ties break on the event id, so paths are deterministic. Returns the
+    * `topK` (path, n_sessions) rows, count-desc then path-asc.
+    *
+    * Scale shape: two windows keyed on the user (lag for the gap rule,
+    * rank within session) and one map-side-combinable count keyed on the
+    * path string. No collect_list over unbounded sessions — events past
+    * `maxSteps` are dropped BEFORE the path assembly.
+    */
+  def sessionPaths(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, gapMinutes: Int, maxSteps: Int,
+      topK: Int): DataFrame = {
+    require(gapMinutes > 0 && maxSteps > 0 && topK > 0, "positive parameters")
+    import org.apache.spark.sql.expressions.Window
+    val wUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val sessioned = df
+      .withColumn("_prev", lag(col(tsCol), 1).over(wUser))
+      .withColumn("_new", when(col("_prev").isNull ||
+        unix_micros(col(tsCol)) - unix_micros(col("_prev")) >
+          gapMinutes * 60L * 1000000L, 1L).otherwise(0L))
+      .withColumn("_sess", sum(col("_new")).over(
+        wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSess = Window.partitionBy(col(userCol), col("_sess"))
+      .orderBy(col(tsCol), col(idCol))
+    val steps = sessioned
+      .withColumn("_step", row_number().over(wSess))
+      .where(col("_step") <= maxSteps)
+    steps
+      .groupBy(col(userCol), col("_sess"))
+      .agg(array_join(org.apache.spark.sql.functions.transform(
+        array_sort(collect_list(struct(col("_step"), col(typeCol).as("t")))),
+        x => x.getField("t")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(topK)
+  }
+
   /** Ordered funnel: for each prefix of `steps`, how many users performed
     * those events IN ORDER (each step strictly after the previous one).
     * Returns (step, event_type, n_users) with step 1-based.

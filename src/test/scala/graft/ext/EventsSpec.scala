@@ -37,6 +37,24 @@ class EventsSpec extends SparkSpec {
     assert(out == Map(1 -> 1L, 2 -> 1L))
   }
 
+  test("sessionPaths: gap splits sessions, steps cap, counts collapse flows") {
+    import spark.implicits._
+    val m = 60L
+    val rows = Seq(
+      // user 1, session A: view > click > buy > extra (4th step dropped)
+      (1L, ts(0), 1L, "view"), (1L, ts(5 * m), 2L, "click"),
+      (1L, ts(10 * m), 3L, "buy"), (1L, ts(15 * m), 4L, "extra"),
+      // user 1, session B (gap > 30 min): view > click > buy again
+      (1L, ts(120 * m), 5L, "view"), (1L, ts(125 * m), 6L, "click"),
+      (1L, ts(130 * m), 7L, "buy"),
+      // user 2: lone view
+      (2L, ts(0), 8L, "view"))
+    val out = Events.sessionPaths(rows.toDF("u", "t", "id", "et"),
+      "u", "t", "et", "id", gapMinutes = 30, maxSteps = 3, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(out.toSeq == Seq("view>click>buy" -> 2L, "view" -> 1L))
+  }
+
   test("cohortRetention buckets by first-activity period") {
     import spark.implicits._
     val day = 86400L
