@@ -1724,6 +1724,23 @@ object GraftQueries {
       GraphAlgos.triangleCounts(e, "src", "dst").orderBy("node")
     },
 
+    // extension: sampled harmonic centrality — ONE multi-source relaxation
+    // pass for all seeds ((seed, node)-keyed state), quantized-integer
+    // contributions
+    "q_harmonic" -> { (s, d) =>
+      import graft.graph.GraphAlgos
+      val li = t(s, d)("lineitem")
+      val fwd = li.select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"), lit(1L).as("w"))
+      val rev = li.select(concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"), lit(1L).as("w"))
+      GraphAlgos.harmonicCentrality(fwd.unionByName(rev), "src", "dst", "w",
+        seeds = Seq("s1", "s2", "s3"), maxHops = 2)
+        .select(col("node"), col("n_seeds").cast("long").as("n_seeds"),
+          col("harmonic"))
+        .orderBy("node")
+    },
+
     // extension: k-core decomposition (iterative peel) over the same
     // co-ordered-parts graph — the dense-core graph-curation signal
     "q_kcore" -> { (s, d) =>
@@ -3581,6 +3598,19 @@ object GraftQueries {
         |SELECT node, CAST(count(*) AS BIGINT) AS triangles
         |FROM (SELECT unnest([lo, u, v]) AS node FROM tri)
         |GROUP BY 1 ORDER BY node""".stripMargin,
+
+    "q_harmonic" ->
+      (graft.graph.GraphAlgos.multiSourceOracleSql(
+        """SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst,
+          |  CAST(1 AS BIGINT) AS w FROM lineitem
+          |UNION ALL
+          |SELECT 'p' || l_partkey, 's' || l_suppkey, CAST(1 AS BIGINT)
+          |FROM lineitem""".stripMargin,
+        "SELECT unnest(['s1', 's2', 's3']) AS seed", maxHops = 2) +
+        """
+          |SELECT node, CAST(count(*) AS BIGINT) AS n_seeds,
+          |  round(CAST(sum(1000000 // dist) AS DOUBLE) / 1000000.0, 4) AS harmonic
+          |FROM d2 WHERE dist > 0 GROUP BY 1 ORDER BY node""".stripMargin),
 
     "q_kcore" ->
       (graft.graph.GraphAlgos.kCoreOracleSql(

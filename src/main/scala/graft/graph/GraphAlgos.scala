@@ -200,6 +200,81 @@ object GraphAlgos {
     out
   }
 
+  /** Multi-source shortest paths: [[shortestPathsFixed]] generalized to a
+    * seed SET in ONE relaxation pass — the distance state is keyed
+    * (seed, node), so each round is still a single edge join + min groupBy
+    * no matter how many seeds run (the per-seed-loop alternative pays
+    * `seeds × rounds` jobs and re-reads the edge frame each time).
+    * Returns (seed, node, dist) for nodes reachable within `maxHops`.
+    */
+  def multiSourceShortestPaths(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, seeds: Seq[String], maxHops: Int,
+      broadcastRowLimit: Long = 1000000L): DataFrame = {
+    require(seeds.nonEmpty, "need at least one seed")
+    require(maxHops >= 1, "need at least one hop")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"),
+      col(weightCol).cast("long").as("w"))
+      .groupBy("src", "dst").agg(min("w").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.distinct.map(s => (s, s, 0L)).toDF("seed", "node", "dist")
+    var distRows = seeds.distinct.size.toLong
+    var cached = false
+    for (_ <- 1 to maxHops) {
+      val side = if (distRows <= broadcastRowLimit) broadcast(dist) else dist
+      val relaxed = e.join(side.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("seed"), col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy("seed", "node").agg(min("dist").as("dist"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      distRows = next.count()
+      if (cached) dist.unpersist(blocking = false): Unit
+      dist = next
+      cached = true
+    }
+    e.unpersist(blocking = false)
+    dist
+  }
+
+  /** Harmonic centrality from a seed sample: `Σ_seeds 1/d(seed, v)` over
+    * positive distances — the standard sampled-centrality estimate (exact
+    * closeness needs all-pairs). Contributions are quantized EXACT
+    * integers (`1e6 div d`), so the sum is order-free and any engine
+    * reproduces the rounded score. One multi-source pass; seeds
+    * contribute nothing to themselves.
+    */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: Seq[String], maxHops: Int): DataFrame =
+    multiSourceShortestPaths(edges, srcCol, dstCol, weightCol, seeds, maxHops)
+      .where(col("dist") > 0)
+      .withColumn("_q", expr("1000000L div dist"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_seeds"),
+        round(sum(col("_q")).cast("double") / 1e6, 4).as("harmonic"))
+
+  /** DuckDB-dialect oracle for [[multiSourceShortestPaths]] — the same
+    * unrolled rounds over (seed, node) state. `seedsSql` must yield a
+    * one-column `seed` relation.
+    */
+  def multiSourceOracleSql(edgesSql: String, seedsSql: String,
+      maxHops: Int): String = {
+    val head =
+      s"""WITH E0 AS ($edgesSql),
+         |E AS (SELECT src, dst, min(w) AS w FROM E0 GROUP BY 1, 2),
+         |d0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist
+         |  FROM (SELECT DISTINCT seed FROM ($seedsSql)))""".stripMargin
+    val iters = (1 to maxHops).map { i =>
+      s"""d$i AS (SELECT seed, node, min(dist) AS dist FROM (
+         |  SELECT seed, node, dist FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT d.seed, e.dst, d.dist + e.w FROM d${i - 1} d JOIN E e ON e.src = d.node
+         |) GROUP BY 1, 2)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
+
   /** k-core: iteratively peel nodes of undirected degree < k until the
     * fixpoint (or `maxRounds` — the same bounded-rounds contract as
     * [[shortestPathsFixed]]; rounds after convergence are no-ops, and the

@@ -75,6 +75,26 @@ class GraphAlgosSpec extends SparkSpec {
     assert(got == Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 1L))
   }
 
+  test("multiSourceShortestPaths equals per-seed runs; harmonic sums 1/d") {
+    import spark.implicits._
+    val e = Seq(("a", "b", 1L), ("b", "c", 1L), ("x", "c", 1L))
+      .toDF("s", "t", "w")
+    val multi = GraphAlgos.multiSourceShortestPaths(e, "s", "t", "w",
+      Seq("a", "x"), maxHops = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (seed <- Seq("a", "x")) {
+      val single = GraphAlgos.shortestPathsFixed(e, "s", "t", "w", seed, 3)
+        .collect().map(r => (seed, r.getString(0)) -> r.getLong(1)).toMap
+      assert(multi.view.filterKeys(_._1 == seed).toMap == single, s"seed $seed")
+    }
+    val h = GraphAlgos.harmonicCentrality(e, "s", "t", "w", Seq("a", "x"), 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // c is reachable from both seeds: 1/2 (via a) + 1/1 (via x)
+    assert(h("c") == (2L, 1.5))
+    assert(h("b") == (1L, 1.0)) // from a only
+    assert(!h.contains("a") && !h.contains("x")) // seeds: d=0 excluded
+  }
+
   test("kCore peels weakly-attached nodes, keeps the dense core") {
     import spark.implicits._
     // K4 core (a,b,c,d all degree 3) + a pendant chain e-f hanging off a.
