@@ -87,6 +87,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows.last.getAs[Double]("sum_value") == 4.0)
   }
 
+  test("BoundedTopK aggregates over a stream: state-store round-trips the heap") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Double, Long)]
+    // two micro-batches: the heap state must serialize between them and
+    // batch 2's better rows must displace batch 1's
+    mem.addData(("en", 0.3, 1L), ("en", 0.9, 2L), ("de", 0.5, 3L))
+    val agg = mem.toDF().toDF("lang", "quality", "id")
+      .groupBy($"lang")
+      .agg(graft.expr.BoundedTopK.topKPairs(2, $"quality", $"id").as("top"))
+    val q = agg.writeStream.format("memory").queryName("topk_stream")
+      .outputMode("update").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    mem.addData(("en", 0.7, 4L), ("en", 0.1, 5L))
+    val q2 = agg.writeStream.format("memory").queryName("topk_stream2")
+      .outputMode("complete").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    val rows = spark.table("topk_stream2").collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(p => p.getLong(1)).toSeq)
+      .toMap
+    // en: best two of {0.3→1, 0.9→2, 0.7→4, 0.1→5} = ids 2, 4
+    assert(rows("en") == Seq(2L, 4L))
+    assert(rows("de") == Seq(3L))
+  }
+
   test("stream-stream interval join matches the batch result, append mode") {
     val sparkS = spark
     import sparkS.implicits._
