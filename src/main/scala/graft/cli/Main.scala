@@ -19,6 +19,7 @@ import graft.expr.FilterExpr
   *   migrate <srcStore> <dstStore>          graph→graph migration
   *   curate  <docsParquet> <outDir> [--span-dedup N]   training-corpus curation run
   *   tokenize <docsParquet> <outDir> [nMerges]   BPE train + encode + shard
+  *   analyze <docsParquet>                  one-pass corpus health report
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -129,6 +130,34 @@ object Main {
         s""""after_exact": $nExact, "after_span": $nSpan, """ +
         s""""after_neardup": ${out.count()}, """ +
         s""""splits": {$perSplit}}""")
+    case "analyze" :: docsPath :: Nil =>
+      // corpus health report: the pre-curation numbers a data engineer
+      // reads before choosing filter thresholds — one JSON object, all
+      // from single-pass aggregates over the ext operators
+      import org.apache.spark.sql.functions._
+      import graft.ext.{Corpus, Dedup, TextAnalysis}
+      val docs = spark.read.parquet(docsPath)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = docs.count()
+      val stats = docs.agg(
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens"),
+        round(avg(TextAnalysis.qualityScore(col("text"))), 4).as("avg_quality"),
+        sum(when(TextAnalysis.gopherRules(col("text")).getField("pass"), 1L)
+          .otherwise(0L)).as("pass_gopher")).collect().head
+      val langs = docs.select(TextAnalysis.langId(col("text")).as("lang"))
+        .groupBy("lang").count().orderBy(col("count").desc, col("lang"))
+        .collect().map(r => s""""${r.getString(0)}": ${r.getLong(1)}""")
+      val exactDupGroups = Dedup.exactGroups(docs, "doc_id", "text")
+        .where(col("n_dups") > 1).count()
+      val q = Corpus.tokenQuantiles(docs, "text", Seq(0.5, 0.9, 0.99))
+        .collect().map(r => s""""p${(r.getDouble(0) * 100).toInt}": ${r.getDouble(1)}""")
+      docs.unpersist(blocking = false)
+      println(s"""{"docs": $n, "tokens": ${stats.getLong(0)}, """ +
+        s""""avg_quality": ${stats.getDouble(1)}, """ +
+        s""""gopher_pass_rate": ${math.round(stats.getLong(2) * 10000.0 / n) / 10000.0}, """ +
+        s""""langs": {${langs.mkString(", ")}}, """ +
+        s""""exact_dup_groups": $exactDupGroups, """ +
+        s""""token_quantiles": {${q.mkString(", ")}}}""")
     case "tokenize" :: docsPath :: outDir :: rest =>
       // end-to-end tokenizer pipeline: BPE training on the corpus (merge
       // rounds over the distinct-word table) → encode by merge replay →
@@ -162,7 +191,7 @@ object Main {
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println(
-        "usage: ingest-manifest|ingest|node|agg|bfs|migrate|curate|tokenize ...")
+        "usage: ingest-manifest|ingest|node|agg|bfs|migrate|curate|tokenize|analyze ...")
       sys.exit(2)
   }
 
