@@ -1576,6 +1576,18 @@ object GraftQueries {
         .orderBy("doc_id")
     },
 
+    // extension: hard-negative mining — per anchor the most-similar
+    // vectors of a DIFFERENT label (the confusable-wrong-answer set
+    // contrastive training wants)
+    "q_hard_negatives" -> { (s, d) =>
+      val emb = t(s, d)("embeddings")
+      Similarity.hardNegatives(emb.where(col("vec_id") < 10), emb,
+        "vec_id", "embedding", "label", k = 5)
+        .select(col("anchor_id"), col("rank").cast("long").as("rank"),
+          col("negative_id"), col("cos"))
+        .orderBy("anchor_id", "rank")
+    },
+
     // extension: hybrid retrieval — reciprocal-rank fusion of the TF-IDF
     // lexical ranking with the dense embedding ranking (vec_id ≡ doc_id)
     "q_hybrid_rrf" -> { (s, d) =>
@@ -3367,6 +3379,26 @@ object GraftQueries {
         |    AS path FROM s WHERE step <= 3 GROUP BY 1, 2)
         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
         |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS negative_id, embedding AS cv, label AS cl
+        |  FROM embeddings),
+        |scored AS (SELECT anchor_id, negative_id,
+        |  round(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))), 4) AS cos
+        |  FROM q, c WHERE ql <> cl)
+        |SELECT anchor_id, CAST(row_number() OVER w AS BIGINT) AS rank,
+        |  negative_id, cos
+        |FROM scored
+        |WINDOW w AS (PARTITION BY anchor_id ORDER BY cos DESC, negative_id)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY anchor_id, rank""".stripMargin,
 
     "q_bigram_lm" ->
       """WITH tok AS (SELECT doc_id,

@@ -56,6 +56,29 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("_rk").as("rank"))
   }
 
+  /** Hard-negative mining for contrastive training (the public dense-
+    * retrieval recipe: train on the most-confusable wrong answers): for
+    * each anchor, the k highest-cosine corpus vectors whose `labelCol`
+    * DIFFERS from the anchor's — semantically closest out-of-class
+    * examples. Same broadcast-anchors × corpus-scan shape as
+    * [[bruteForceTopK]] (swap in the LSH/IVF candidate stage at corpus
+    * scale); the label inequality prunes before scoring so in-class rows
+    * never reach the ranker.
+    */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = anchors.select(col(idCol).as("anchor_id"), col(vecCol).as("_qv"),
+      col(labelCol).as("_ql")).withColumn("_qn", norm(col("_qv")))
+    val c = corpus.select(col(idCol).as("negative_id"), col(vecCol).as("_cv"),
+      col(labelCol).as("_cl")).withColumn("_cn", norm(col("_cv")))
+    val scored = broadcast(q).join(c, col("_ql") =!= col("_cl"))
+      .withColumn("cos",
+        round(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 4))
+    graft.ext.Corpus.topKPerGroupAgg(
+      scored.select(col("anchor_id"), col("negative_id"), col("cos")),
+      "anchor_id", "cos", "negative_id", k)
+  }
+
   /** Reciprocal-rank fusion of two per-query rankings — the standard
     * hybrid-retrieval combiner (Cormack et al. 2009, public):
     * `rrf(q, d) = Σ_lists 1 / (kRrf + rank_list(q, d))`, summed over the

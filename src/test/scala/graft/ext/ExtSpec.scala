@@ -40,6 +40,21 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 4L))
   }
 
+  test("hardNegatives: only other-label vectors, ranked by cosine") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1f, 0f), "a"),
+      (2L, Array(1f, 0.01f), "a"),  // same label: excluded despite cos≈1
+      (3L, Array(0.9f, 0.1f), "b"), // hard negative (closest other-label)
+      (4L, Array(0f, 1f), "b")      // easy negative
+    ).toDF("id", "vec", "label")
+    val out = Similarity.hardNegatives(emb.where($"id" === 1), emb,
+      "id", "vec", "label", k = 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 3L), (2, 4L)))
+  }
+
   test("rrfFuse: consensus docs outrank single-list docs; absent side adds 0") {
     import spark.implicits._
     val lex = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("q", "id", "rank")
