@@ -1576,6 +1576,27 @@ object GraftQueries {
         .orderBy("doc_id")
     },
 
+    // extension: recency-weighted engagement — time-decayed value sums per
+    // user (24 h half-life, micro-unit-quantized contributions)
+    "q_decayed_sum" -> { (s, d) =>
+      import graft.ext.Events
+      Events.decayedSum(TpchGraph.eventsTable(s, d), "user_id", "ts", "value",
+        halfLifeHours = 24.0)
+        .select(col("user_id"), col("n_events").cast("long").as("n_events"),
+          col("decayed_value"))
+        .orderBy("user_id")
+    },
+
+    // extension: per-group robust scaling (exact median/IQR z-scores — the
+    // cross-domain-comparable form of a quality/length metric)
+    "q_robust_scale" -> { (s, d) =>
+      Corpus.robustScale(
+        t(s, d)("documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "n_chars")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("robust_z"))
+        .orderBy("doc_id")
+    },
+
     // extension: hard-negative mining — per anchor the most-similar
     // vectors of a DIFFERENT label (the confusable-wrong-answer set
     // contrastive training wants)
@@ -3379,6 +3400,29 @@ object GraftQueries {
         |    AS path FROM s WHERE step <= 3 GROUP BY 1, 2)
         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
         |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
+    "q_decayed_sum" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |    value FROM events),
+        |m AS (SELECT max(tus) AS tmax FROM e),
+        |q AS (SELECT user_id,
+        |    CAST(round(value * pow(2.0, -(tmax - tus) / 86400000000.0)
+        |      * 1000000.0) AS BIGINT) AS qv
+        |  FROM e CROSS JOIN m)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(CAST(sum(qv) AS DOUBLE) / 1000000.0, 4) AS decayed_value
+        |FROM q GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "q_robust_scale" ->
+      """WITH st AS (SELECT lang,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS q1,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS q3
+        |  FROM documents GROUP BY 1)
+        |SELECT doc_id, d.lang, n_chars,
+        |  round(CASE WHEN q3 - q1 = 0 THEN 0
+        |        ELSE (CAST(n_chars AS DOUBLE) - med) / (q3 - q1) END, 4) AS robust_z
+        |FROM documents d JOIN st ON st.lang = d.lang ORDER BY doc_id""".stripMargin,
 
     "q_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv, label AS ql

@@ -323,6 +323,31 @@ object Corpus {
         .as("lm_score"))
   }
 
+  /** Per-group robust scaling: `(x − median) / IQR` with the group's EXACT
+    * median and interquartile range — the outlier-insensitive normalizer
+    * for quality/length metrics before cross-domain thresholding (a fixed
+    * global cutoff over-prunes verbose domains; robust z-scores compare).
+    * Groups with IQR = 0 (constant metric) scale to 0 rather than NaN.
+    *
+    * Scale shape: one exact-percentile aggregate per group (rows =
+    * #groups) broadcast back onto the corpus; the scan stays narrow.
+    * Exact percentiles keep the oracle bit-faithful; swap
+    * `percentile_approx` in at corpus scale (same plan shape, sketch
+    * merge instead of full sort).
+    */
+  def robustScale(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val stats = df.groupBy(col(groupCol))
+      .agg(percentile(v, lit(Array(0.25, 0.5, 0.75))).as("_p"))
+      .select(col(groupCol), col("_p")(1).as("_med"),
+        (col("_p")(2) - col("_p")(0)).as("_iqr"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn("robust_z", round(
+        when(col("_iqr") === 0.0, 0.0)
+          .otherwise((v - col("_med")) / col("_iqr")), 4))
+      .drop("_med", "_iqr")
+  }
+
   /** Bigram LM scoring with add-k smoothing — the conditional upgrade of
     * [[unigramLmScore]]: negative mean log-likelihood of each document's
     * adjacent-token pairs under the corpus's own bigram model,

@@ -11,6 +11,31 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** Exponentially time-decayed value sum per key:
+    * `Σ value · 2^(−Δt / halfLife)` with Δt measured back from the global
+    * max event time — the recency-weighted engagement/importance score
+    * (recent activity counts fully, old activity geometrically less).
+    * The reference time is a driver scalar so reruns over the same data
+    * reproduce exactly; per-row contributions quantize to integer
+    * micro-units before the keyed sum, so accumulation order cannot move
+    * the result (the [[graft.ext.Corpus.tfidfTopK]] determinism contract).
+    * Scale shape: one max aggregate + one narrow per-row expression + one
+    * map-side-combinable keyed sum.
+    */
+  def decayedSum(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, halfLifeHours: Double): DataFrame = {
+    require(halfLifeHours > 0, "halfLifeHours must be positive")
+    val tMax = df.agg(max(unix_micros(col(tsCol)))).collect().head.getLong(0)
+    val hlUs = halfLifeHours * 3600e6
+    val contrib = round(col(valueCol).cast("double") *
+      pow(lit(2.0), -(lit(tMax) - unix_micros(col(tsCol))) / hlUs) * 1e6, 0)
+      .cast("long")
+    df.withColumn("_q", contrib)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("_q")).cast("double") / 1e6, 4).as("decayed_value"))
+  }
+
   /** Common session-path mining: sessionize per user (gap rule), take each
     * session's first `maxSteps` event types in time order, and count the
     * distinct paths — the "what do users actually do" flow table. Ordering

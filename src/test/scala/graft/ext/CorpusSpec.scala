@@ -279,6 +279,20 @@ class CorpusSpec extends SparkSpec {
     assert(merges(1)._3 == 3L)   // ab+c in the three 'abc' occurrences
   }
 
+  test("robustScale: median-centered, IQR-normalized per group; constant group → 0") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0), ("a", 4L, 40.0),
+      ("a", 5L, 1000.0), // outlier: shifts mean wildly, median/IQR barely
+      ("b", 6L, 7.0), ("b", 7L, 7.0)).toDF("g", "id", "v")
+    val out = Corpus.robustScale(df, "g", "v")
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(out(3L) == 0.0) // the median row of group a
+    assert(out(6L) == 0.0 && out(7L) == 0.0) // IQR 0 → 0, not NaN
+    assert(out(5L) > 10) // outlier lands far out without poisoning the scale
+    assert(out(2L) < 0 && out(4L) > 0)
+  }
+
   test("bigramLmScore: token-salad scores above fluent repetition of corpus bigrams") {
     import spark.implicits._
     // docs 1-3 establish 'a b' / 'b c' as high-probability bigrams; doc 4

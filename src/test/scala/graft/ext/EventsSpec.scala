@@ -37,6 +37,25 @@ class EventsSpec extends SparkSpec {
     assert(out == Map(1 -> 1L, 2 -> 1L))
   }
 
+  test("decayedSum: one half-life halves the contribution; recent counts fully") {
+    import spark.implicits._
+    val h = 3600L
+    val rows = Seq(
+      (1L, ts(24 * h), 10.0), // at tMax: full weight
+      (1L, ts(0), 10.0),      // 24 h earlier at half-life 24 h: weight 1/2
+      (2L, ts(24 * h), 4.0))
+    val out = Events.decayedSum(rows.toDF("u", "t", "v"), "u", "t", "v",
+      halfLifeHours = 24.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == (2L, 15.0))
+    assert(out(2L) == (1L, 4.0))
+    // partition-stable: quantized contributions sum order-free
+    val re = Events.decayedSum(rows.toDF("u", "t", "v").repartition(5),
+      "u", "t", "v", 24.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(re == out)
+  }
+
   test("sessionPaths: gap splits sessions, steps cap, counts collapse flows") {
     import spark.implicits._
     val m = 60L
