@@ -1757,6 +1757,18 @@ object GraftQueries {
       GraphAlgos.triangleCounts(e, "src", "dst").orderBy("node")
     },
 
+    // extension: capped bipartite projection — supplier–supplier
+    // co-occurrence via shared parts, mega-hub-bounded
+    "q_bipartite_project" -> { (s, d) =>
+      import graft.graph.GraphAlgos
+      val e = t(s, d)("lineitem").select(
+        concat(lit("s"), col("l_suppkey")).as("supp"),
+        concat(lit("p"), col("l_partkey")).as("part"))
+      GraphAlgos.bipartiteProject(e, "supp", "part", maxPerRight = 20)
+        .where(col("weight") >= 3)
+        .orderBy("a", "b")
+    },
+
     // extension: sampled harmonic centrality — ONE multi-source relaxation
     // pass for all seeds ((seed, node)-keyed state), quantized-integer
     // contributions
@@ -3674,6 +3686,16 @@ object GraftQueries {
         |SELECT node, CAST(count(*) AS BIGINT) AS triangles
         |FROM (SELECT unnest([lo, u, v]) AS node FROM tri)
         |GROUP BY 1 ORDER BY node""".stripMargin,
+
+    "q_bipartite_project" ->
+      """WITH d AS (SELECT DISTINCT 's' || l_suppkey AS l, 'p' || l_partkey AS r
+        |  FROM lineitem),
+        |capped AS (SELECT l, r FROM (SELECT l, r,
+        |    row_number() OVER (PARTITION BY r ORDER BY l) AS rk FROM d)
+        |  WHERE rk <= 20)
+        |SELECT x.l AS a, y.l AS b, CAST(count(*) AS BIGINT) AS weight
+        |FROM capped x JOIN capped y ON x.r = y.r AND x.l < y.l
+        |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY a, b""".stripMargin,
 
     "q_harmonic" ->
       (graft.graph.GraphAlgos.multiSourceOracleSql(

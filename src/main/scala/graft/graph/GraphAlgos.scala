@@ -200,6 +200,32 @@ object GraphAlgos {
     out
   }
 
+  /** Capped bipartite projection: from a bipartite edge list (left, right),
+    * build the left–left co-occurrence graph — an edge (a, b, w) for every
+    * left pair sharing ≥1 right entity, weighted by the count of shared
+    * entities. The projection is quadratic IN EACH RIGHT ENTITY'S DEGREE,
+    * so a mega-hub (a "the"-like entity shared by millions) would mint a
+    * cartesian blowup; `maxPerRight` caps each right entity to its first
+    * `maxPerRight` left members (rank by left id — deterministic), the
+    * same bounding contract as [[graft.ext.Association.pairSupport]]'s
+    * mega-basket cap. Entities over the cap contribute their first members
+    * only — log/measure them rather than silently paying n².
+    */
+  def bipartiteProject(edges: DataFrame, leftCol: String, rightCol: String,
+      maxPerRight: Int): DataFrame = {
+    require(maxPerRight >= 2, "maxPerRight must be at least 2")
+    import org.apache.spark.sql.expressions.Window
+    val d = edges.select(col(leftCol).cast("string").as("l"),
+      col(rightCol).cast("string").as("r")).distinct()
+    val w = Window.partitionBy(col("r")).orderBy(col("l"))
+    val capped = d.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= maxPerRight).drop("_rk")
+    capped.as("x").join(capped.as("y"),
+      col("x.r") === col("y.r") && col("x.l") < col("y.l"))
+      .groupBy(col("x.l").as("a"), col("y.l").as("b"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
   /** Multi-source shortest paths: [[shortestPathsFixed]] generalized to a
     * seed SET in ONE relaxation pass — the distance state is keyed
     * (seed, node), so each round is still a single edge join + min groupBy

@@ -75,6 +75,22 @@ class GraphAlgosSpec extends SparkSpec {
     assert(got == Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 1L))
   }
 
+  test("bipartiteProject: co-occurrence weights, mega-hub capped deterministically") {
+    import spark.implicits._
+    val e = Seq(
+      ("a", "x"), ("b", "x"),             // a-b share x
+      ("a", "y"), ("b", "y"), ("c", "y"), // a-b, a-c, b-c share y
+      ("a", "x")                          // duplicate edge: no double count
+    ).toDF("l", "r")
+    val got = GraphAlgos.bipartiteProject(e, "l", "r", maxPerRight = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L))
+    // cap: hub 'y' keeps only its first 2 members (a, b) → c pairs vanish
+    val capped = GraphAlgos.bipartiteProject(e, "l", "r", maxPerRight = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(capped == Map(("a", "b") -> 2L))
+  }
+
   test("multiSourceShortestPaths equals per-seed runs; harmonic sums 1/d") {
     import spark.implicits._
     val e = Seq(("a", "b", 1L), ("b", "c", 1L), ("x", "c", 1L))
