@@ -62,16 +62,16 @@ object GraphAlgos {
       val shareSide = if (n <= broadcastNodeLimit) broadcast(share) else share
       val contrib = e.join(shareSide, Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("m")).as("m"))
-      val next = nodes.join(contrib, Seq("node"), "left")
+      // localCheckpoint (eager), not persist: caching keeps the symbolic
+      // plan of every earlier iteration inside the new frame, and a cache
+      // miss (or any post-loop aggregate after unpersist) replays the full
+      // iteration history — measured superlinear on the k-core loop.
+      // Checkpointing materializes AND severs lineage; superseded blocks
+      // are freed by the context cleaner when unreferenced.
+      ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("m"), lit(0L))).as("rank"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count(): Unit
-      // the superseded iteration's cache is dead weight once `next` is
-      // materialized — drop it so k iterations hold O(1) cached frames
-      if (ranks.storageLevel.useMemory || ranks.storageLevel.useDisk)
-        ranks.unpersist(blocking = false): Unit
-      ranks = next
+        .localCheckpoint(true)
     }
     // the returned frame is materialized; the building blocks would
     // otherwise stay cached for the session lifetime on every call
@@ -109,19 +109,16 @@ object GraphAlgos {
       .groupBy("src", "dst").agg(min("w").as("w")) // parallel edges: keep lightest
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var dist = Seq((source, 0L)).toDF("node", "dist")
-    var distRows = 1L // known: the seed row (the materialization count below
-    var distCached = false //       keeps this exact every later round)
-    for (_ <- 1 to maxHops) {
+    var distRows = 1L // known: the seed row (the checkpoint count below
+    for (_ <- 1 to maxHops) { //    keeps this exact every later round)
       val distSide = if (distRows <= broadcastNodeLimit) broadcast(dist) else dist
       val relaxed = e.join(distSide.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      val next = dist.unionByName(relaxed)
+      // localCheckpoint severs the per-round lineage (see pageRankFixed)
+      dist = dist.unionByName(relaxed)
         .groupBy("node").agg(min("dist").as("dist"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      distRows = next.count()
-      if (distCached) dist.unpersist(blocking = false): Unit
-      dist = next
-      distCached = true
+        .localCheckpoint(true)
+      distRows = dist.count()
     }
     e.unpersist(blocking = false)
     dist
@@ -247,18 +244,15 @@ object GraphAlgos {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var dist = seeds.distinct.map(s => (s, s, 0L)).toDF("seed", "node", "dist")
     var distRows = seeds.distinct.size.toLong
-    var cached = false
     for (_ <- 1 to maxHops) {
       val side = if (distRows <= broadcastRowLimit) broadcast(dist) else dist
       val relaxed = e.join(side.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("seed"), col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      val next = dist.unionByName(relaxed)
+      // localCheckpoint severs the per-round lineage (see pageRankFixed)
+      dist = dist.unionByName(relaxed)
         .groupBy("seed", "node").agg(min("dist").as("dist"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      distRows = next.count()
-      if (cached) dist.unpersist(blocking = false): Unit
-      dist = next
-      cached = true
+        .localCheckpoint(true)
+      distRows = dist.count()
     }
     e.unpersist(blocking = false)
     dist
@@ -317,38 +311,41 @@ object GraphAlgos {
       maxRounds: Int): DataFrame = {
     require(k >= 1, "k must be positive")
     require(maxRounds >= 1, "need at least one round")
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val und0 = edges.select(
       least(col(srcCol).cast("string"), col(dstCol).cast("string")).as("a"),
       greatest(col(srcCol).cast("string"), col(dstCol).cast("string")).as("b"))
       .where(col("a") =!= col("b")).distinct()
+    // localCheckpoint (eager) rather than persist: each round's frame is
+    // MATERIALIZED AND ITS LINEAGE SEVERED. With plain caching the round
+    // r+1 plan still embeds rounds 0..r symbolically — any cache miss (or
+    // the final aggregate after unpersist) replays the whole iteration
+    // history, and the broadcast-subquery plans defeat fragment reuse —
+    // measured as superlinear per-round cost on this very loop.
     var e = und0.select(col("a").as("u"), col("b").as("v"))
       .unionAll(und0.select(col("b").as("u"), col("a").as("v")))
-      .persist(lvl)
-    var eRows = e.count()
+      .localCheckpoint(true)
     var round = 0
     var stable = false
     while (round < maxRounds && !stable) {
-      val keep = e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
-        .where(col("deg") >= k).select("node")
-      val next = e
-        .join(broadcast(keep).withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-        .join(broadcast(keep).withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-        .select("u", "v")
-        .persist(lvl)
-      val nextRows = next.count()
-      e.unpersist(blocking = false)
-      stable = nextRows == eRows
-      e = next
-      eRows = nextRows
-      round += 1
+      // peel via the REMOVED set: it is small (and empty at convergence),
+      // so the anti-join broadcast is tiny and the fixpoint check is a
+      // #nodes-row aggregate, not an edge-frame materialization
+      val removed = e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") < k).select("node")
+        .localCheckpoint(true)
+      if (removed.isEmpty) {
+        stable = true
+      } else {
+        e = e
+          .join(broadcast(removed).withColumnRenamed("node", "u"), Seq("u"), "left_anti")
+          .join(broadcast(removed).withColumnRenamed("node", "v"), Seq("v"), "left_anti")
+          .select("u", "v")
+          .localCheckpoint(true)
+        round += 1
+      }
     }
-    val out = e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
       .where(col("deg") >= k)
-      .persist(lvl)
-    out.count(): Unit
-    e.unpersist(blocking = false)
-    out
   }
 
   /** DuckDB-dialect oracle for [[kCore]]: rounds unrolled (no early exit —
