@@ -1277,6 +1277,33 @@ object GraftQueries {
         .orderBy("doc_id")
     },
 
+    // extension: C4-style line-level cleaning (terminal-punctuation +
+    // min-words + javascript line rules, lorem-ipsum/brace doc rules).
+    // The flat fixture text is first laid out as a deterministic multi-
+    // line page (6-word lines; every 3rd line unpunctuated, every 7th
+    // "javascript"-tainted, doc_id-keyed lorem-ipsum/brace footers) so
+    // every rule discriminates; the operator under test is c4LineClean.
+    "q_c4_lines" -> { (s, d) =>
+      val toks = filter(split(col("text"), " "), w => length(w) > 0)
+      val nl = greatest(ceil(size(toks) / lit(6.0)), lit(1L)).cast("int")
+      val lines = transform(sequence(lit(0), nl - 1), i =>
+        concat(
+          array_join(slice(toks, (i * 6 + 1).cast("int"), lit(6)), " "),
+          when(i % 7 === 3, lit(" javascript")).otherwise(lit("")),
+          when(i % 3 =!= 2, lit(".")).otherwise(lit(""))))
+      val page = concat(array_join(lines, "\n"),
+        when(col("doc_id") % 11 === 0,
+          lit("\nlorem ipsum filler line here.")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit("\nvar x = { a: 1 };")).otherwise(lit("")))
+      t(s, d)("documents")
+        .select(col("doc_id"), TextAnalysis.c4LineClean(page).as("c"))
+        .select(col("doc_id"), col("c.n_lines").as("n_lines"),
+          col("c.n_kept").as("n_kept"), col("c.kept").as("kept"),
+          col("c.clean_text").as("clean_text"))
+        .orderBy("doc_id")
+    },
+
     // extension: distributed sequence packing (concat-then-chunk) — docs
     // in a deterministic global shuffle order; a two-phase prefix sum
     // assigns the training sequence + offset where each document starts
@@ -1799,6 +1826,34 @@ object GraftQueries {
       GraphAlgos.kCore(e, "src", "dst", k = 8, maxRounds = 4)
         .select(col("node"), col("deg").cast("long").as("deg"))
         .orderBy("node")
+    },
+
+    // extension: local clustering coefficient — triangle closure ratio
+    // per node over the co-ordered-parts graph (clique-ring curation
+    // signal; exact integer triangle/degree pair, one rounded divide)
+    "q_clustering_coef" -> { (s, d) =>
+      import graft.graph.GraphAlgos
+      val p = t(s, d)("lineitem").where(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val e = p.as("x").join(p.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(concat(lit("p"), col("x.p")).as("src"),
+          concat(lit("p"), col("y.p")).as("dst"))
+      GraphAlgos.clusteringCoefficient(e, "src", "dst").orderBy("node")
+    },
+
+    // extension: deterministic random walks (node2vec/DeepWalk sampling
+    // kernel) — md5-argmin next-hop choice, reproducible across engines
+    "q_random_walks" -> { (s, d) =>
+      import graft.graph.GraphAlgos
+      val li = t(s, d)("lineitem")
+      val fwd = li.select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"))
+      val rev = li.select(concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      GraphAlgos.randomWalks(fwd.unionByName(rev), "src", "dst",
+        seeds = Seq("s1", "s2", "s3"), steps = 4, walksPerSeed = 2)
+        .orderBy("walk_id", "step")
     },
 
     // extension: Z-order layout clustering — interleaved-bit z-values over
@@ -2881,6 +2936,40 @@ object GraftQueries {
         |  count(DISTINCT e.eval_id) AS n_eval_docs
         |FROM c JOIN e ON c.g = e.g GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    // page synthesis mirrors the Spark side exactly (6-word lines, rule-
+    // keyed taints), then: line keep = terminal punctuation AND >= 5
+    // words AND no "javascript"; doc keep = >= 3 surviving lines AND no
+    // "{" AND no "lorem ipsum"
+    "q_c4_lines" ->
+      """WITH base AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> len(w) > 0) AS t
+        |  FROM documents),
+        |pg AS (SELECT doc_id, array_to_string(list_transform(
+        |    generate_series(0, greatest(CAST(ceil(len(t) / 6.0) AS BIGINT), 1) - 1),
+        |    i -> array_to_string(list_slice(t, i * 6 + 1, i * 6 + 6), ' ')
+        |      || CASE WHEN i % 7 = 3 THEN ' javascript' ELSE '' END
+        |      || CASE WHEN i % 3 <> 2 THEN '.' ELSE '' END), chr(10))
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN chr(10) || 'lorem ipsum filler line here.' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0
+        |         THEN chr(10) || 'var x = { a: 1 };' ELSE '' END AS text
+        |  FROM base),
+        |l AS (SELECT doc_id, text,
+        |    list_transform(string_split(text, chr(10)),
+        |      x -> regexp_replace(x, '^\s+|\s+$', '', 'g')) AS ls
+        |  FROM pg),
+        |k AS (SELECT doc_id, text, len(ls) AS n_lines,
+        |  list_filter(ls, x -> regexp_matches(x, '[.!?"]$')
+        |    AND len(list_filter(string_split(
+        |      regexp_replace(x, '\s+', ' ', 'g'), ' '), w -> len(w) > 0)) >= 5
+        |    AND NOT contains(lower(x), 'javascript')) AS kl FROM l)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(len(kl) AS BIGINT) AS n_kept,
+        |  len(kl) >= 3 AND NOT contains(text, '{')
+        |    AND NOT contains(lower(text), 'lorem ipsum') AS kept,
+        |  coalesce(array_to_string(kl, chr(10)), '') AS clean_text
+        |FROM k ORDER BY doc_id""".stripMargin,
+
     // all eight Gopher rules replicated; line rules (bullet/ellipsis) and
     // symbol/alpha ratios are computed, not assumed, even where the fixture
     // makes them trivially true
@@ -3721,6 +3810,46 @@ object GraftQueries {
         k = 8, rounds = 4) +
         "\nSELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM e4" +
         "\nGROUP BY 1 HAVING count(*) >= 8 ORDER BY node"),
+
+    // same degree-ordered triangle CTEs as q_triangles, joined back to
+    // the degree table; 2·tri/(deg·(deg−1)) rounded once, 0 when deg < 2
+    "q_clustering_coef" ->
+      """WITH P AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |E0 AS (SELECT 'p' || a.p AS src, 'p' || b.p AS dst
+        |  FROM P a JOIN P b ON a.ok = b.ok AND a.p < b.p),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM E0 WHERE src <> dst),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        |o AS (SELECT
+        |    CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END AS lo,
+        |    CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END AS hi
+        |  FROM und u JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b),
+        |w AS (SELECT o1.lo, o1.hi AS u, o2.hi AS v
+        |  FROM o o1 JOIN o o2 ON o1.lo = o2.lo AND o1.hi < o2.hi),
+        |tri AS (SELECT w.lo, w.u, w.v FROM w JOIN (
+        |    SELECT lo AS u, hi AS v FROM o
+        |    UNION ALL SELECT hi, lo FROM o) c
+        |  ON c.u = w.u AND c.v = w.v),
+        |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+        |  FROM (SELECT unnest([lo, u, v]) AS node FROM tri) GROUP BY 1)
+        |SELECT deg.node, CAST(deg.deg AS BIGINT) AS deg,
+        |  coalesce(tc.triangles, 0) AS triangles,
+        |  CASE WHEN deg.deg < 2 THEN 0.0
+        |    ELSE round(2.0 * coalesce(tc.triangles, 0)
+        |      / (deg.deg * (deg.deg - 1)), 4) END AS coef
+        |FROM deg LEFT JOIN tc ON tc.node = deg.node
+        |ORDER BY deg.node""".stripMargin,
+
+    "q_random_walks" ->
+      (graft.graph.GraphAlgos.randomWalksOracleSql(
+        """SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+          |FROM lineitem
+          |UNION ALL
+          |SELECT 'p' || l_partkey, 's' || l_suppkey FROM lineitem""".stripMargin,
+        seeds = Seq("s1", "s2", "s3"), steps = 4, walksPerSeed = 2) +
+        "\nSELECT walk_id, step, node FROM walks ORDER BY walk_id, step"),
 
     // z-value: 8-bit global-min/max bins per dimension, bits interleaved
     // (price = dimension 0 → even positions, quantity = dimension 1 → odd)

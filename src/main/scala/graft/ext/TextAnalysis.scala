@@ -173,6 +173,33 @@ object TextAnalysis {
       .otherwise(round(least(folded.cast("double") / totalChars, lit(1.0)), 4))
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, public
+    * heuristics): keep only lines that end in terminal punctuation
+    * (`. ! ? "`), carry at least `minLineWords` words, and don't mention
+    * "javascript"; a document survives (`kept`) when at least
+    * `minKeptLines` lines remain and the raw text contains neither `{`
+    * nor "lorem ipsum". Returns a struct of (n_lines, n_kept, kept,
+    * clean_text) — the cleaned text is the surviving lines re-joined, so
+    * a pipeline can `where($"c.kept")` and project `c.clean_text` with
+    * nothing but narrow per-row array ops (no shuffle, no UDF).
+    */
+  def c4LineClean(c: Column, minLineWords: Int = 5,
+      minKeptLines: Int = 3): Column = {
+    val lines = transform(split(c, "\n"),
+      l => regexp_replace(l, "^\\s+|\\s+$", ""))
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        size(filter(split(l, "\\s+"), w => length(w) > 0)) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    val docKept = size(kept) >= minKeptLines &&
+      !c.contains("{") && !lower(c).contains("lorem ipsum")
+    struct(
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      docKept.as("kept"),
+      array_join(kept, "\n").as("clean_text"))
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, public
     * heuristics) as a struct of per-rule verdicts plus the measured
     * features: word-count bounds, mean-word-length bounds, symbol-to-word

@@ -367,6 +367,104 @@ object GraphAlgos {
     (head +: iters).mkString(",\n")
   }
 
+  /** Local clustering coefficient per node: 2·triangles ÷ (deg·(deg−1))
+    * over the distinct undirected graph — the "how clique-like is this
+    * node's neighborhood" curation signal (spam rings score ~1, organic
+    * hubs score low). Triangles come from [[triangleCounts]] (degree-
+    * ordered, no celebrity blowup); degrees are one partial-agg count;
+    * the final join is node-keyed and broadcast-eligible. The coefficient
+    * is rounded to 4 decimals from an exact integer pair (2·tri,
+    * deg·(deg−1)) so the division is one fixed-shape double op —
+    * cross-engine hash-stable.
+    */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges.select(
+      least(col(srcCol).cast("string"), col(dstCol).cast("string")).as("a"),
+      greatest(col(srcCol).cast("string"), col(dstCol).cast("string")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("node")).unionAll(und.select(col("b")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tri = triangleCounts(edges, srcCol, dstCol)
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") < 2, lit(0.0)).otherwise(
+          round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)), 4)).as("coef"))
+  }
+
+  /** Deterministic random walks (the node2vec/DeepWalk sampling kernel):
+    * `walksPerSeed` walks of `steps` hops from every seed; at each hop a
+    * walk moves to the out-neighbor minimizing md5(walk_id:step:neighbor)
+    * — a hash-derived "random" choice that is reproducible across engines
+    * and reruns (true RNG would make the corpus un-oracle-able and break
+    * append-stability). Walks at a sink node simply end. Returns one row
+    * per (walk_id, step, node) visited, step 0 = the seed.
+    *
+    * Scale shape: the edge frame is read once per hop via a keyed join
+    * against the (walks × 1)-row frontier — broadcast-sized for any sane
+    * walk count — and the argmin is a map-side-combinable min over a
+    * (hash, neighbor) struct, so no hop ever sorts or windows the
+    * candidate set. Frontier lineage is severed per hop (localCheckpoint)
+    * — see [[pageRankFixed]].
+    */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[String], steps: Int, walksPerSeed: Int = 1): DataFrame = {
+    require(steps >= 1, "need at least one step")
+    require(walksPerSeed >= 1, "need at least one walk per seed")
+    require(seeds.nonEmpty, "need at least one seed")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var frontier = seeds.distinct.sorted
+      .flatMap(s => (0 until walksPerSeed).map(w => (s"$s#$w", 0L, s)))
+      .toDF("walk_id", "step", "node")
+    var out = frontier
+    for (st <- 1 to steps) {
+      val cand = e
+        .join(frontier.select(col("walk_id"), col("node").as("src")), Seq("src"))
+        .select(col("walk_id"), struct(
+          md5(concat_ws(":", col("walk_id"), lit(st.toString), col("dst")))
+            .as("h"),
+          col("dst").as("d")).as("hd"))
+      frontier = cand.groupBy("walk_id").agg(min(col("hd")).as("m"))
+        .select(col("walk_id"), lit(st.toLong).as("step"),
+          col("m.d").as("node"))
+        .localCheckpoint(true)
+      out = out.unionByName(frontier)
+    }
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** DuckDB-dialect oracle for [[randomWalks]]: hops unrolled as chained
+    * CTEs, the argmin as a row_number over the same md5 key with the same
+    * neighbor tiebreak. Emits `walks(walk_id, step, node)`.
+    */
+  def randomWalksOracleSql(edgesSql: String, seeds: Seq[String],
+      steps: Int, walksPerSeed: Int = 1): String = {
+    val seedRows = seeds.distinct.sorted
+      .flatMap(s => (0 until walksPerSeed).map(w => s"('$s#$w', '$s')"))
+      .mkString(", ")
+    val head =
+      s"""WITH E0 AS ($edgesSql),
+         |e AS (SELECT DISTINCT src, dst FROM E0 WHERE src <> dst),
+         |s0 AS (SELECT walk_id, CAST(0 AS BIGINT) AS step, node
+         |  FROM (VALUES $seedRows) t(walk_id, node))""".stripMargin
+    val iters = (1 to steps).map { i =>
+      s"""s$i AS (SELECT walk_id, CAST($i AS BIGINT) AS step, dst AS node FROM (
+         |  SELECT f.walk_id, e.dst, row_number() OVER (PARTITION BY f.walk_id
+         |      ORDER BY md5(f.walk_id || ':$i:' || e.dst), e.dst) AS rk
+         |    FROM s${i - 1} f JOIN e ON e.src = f.node) WHERE rk = 1)""".stripMargin
+    }
+    val union = (0 to steps).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    (head +: iters).mkString(",\n") + s",\nwalks AS ($union)"
+  }
+
   /** The DuckDB-dialect oracle for [[pageRankFixed]] over an `edges(src,
     * dst)` relation — iterations unrolled as chained CTEs with the same
     * integer `//` arithmetic. Kept next to the implementation so the two

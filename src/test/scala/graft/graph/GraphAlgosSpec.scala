@@ -131,4 +131,47 @@ class GraphAlgosSpec extends SparkSpec {
     val star = Seq(("hub", "s1"), ("hub", "s2"), ("hub", "s3")).toDF("s", "t")
     assert(GraphAlgos.triangleCounts(star, "s", "t").count() == 0)
   }
+
+  test("clusteringCoefficient: triangle closes fully, pendant scores zero") {
+    import spark.implicits._
+    // triangle a-b-c plus pendant d off a: a has deg 3 with one closed
+    // pair of three → 2·1/(3·2) = 0.3333; b, c fully closed; d deg 1 → 0
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")).toDF("s", "t")
+    val got = GraphAlgos.clusteringCoefficient(e, "s", "t")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got("a") == ((3L, 1L, 0.3333)))
+    assert(got("b") == ((2L, 1L, 1.0)))
+    assert(got("c") == ((2L, 1L, 1.0)))
+    assert(got("d") == ((1L, 0L, 0.0)))
+  }
+
+  test("randomWalks: deterministic, hop-linked, stops at sinks") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+      ("b", "sink")).toDF("s", "t")
+    def run() = GraphAlgos.randomWalks(e, "s", "t",
+      seeds = Seq("a"), steps = 5, walksPerSeed = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(x => (x._1, x._2))
+    val w1 = run()
+    assert(w1.toSeq == run().toSeq, "hash-derived walks must be reproducible")
+    assert(w1.map(_._1).distinct.length == 3)
+    // step 0 is the seed for every walk
+    assert(w1.filter(_._2 == 0L).forall(_._3 == "a"))
+    // every hop follows a real edge
+    val adj = Map("a" -> Set("b", "c"), "b" -> Set("c", "sink"),
+      "c" -> Set("a"), "sink" -> Set.empty[String])
+    w1.groupBy(_._1).values.foreach { steps =>
+      steps.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, from), (_, _, to)) => assert(adj(from).contains(to))
+        case _ =>
+      }
+    }
+    // a walk that reaches the sink has no later rows
+    w1.groupBy(_._1).values.foreach { steps =>
+      val sunk = steps.filter(_._3 == "sink")
+      if (sunk.nonEmpty) assert(steps.map(_._2).max == sunk.map(_._2).min)
+    }
+  }
 }
