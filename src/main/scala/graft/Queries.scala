@@ -1315,6 +1315,16 @@ object GraftQueries {
         .orderBy("doc_id")
     },
 
+    // extension: DSIR-style importance weights — per-doc mean LLR of the
+    // English-subset unigram model vs the whole-corpus model; the
+    // domain-matched data-selection signal (target docs score high)
+    "q_dsir_weights" -> { (s, d) =>
+      Corpus.importanceWeights(
+        t(s, d)("documents").withColumn("is_en", col("lang") === "en"),
+        "doc_id", "text", "is_en")
+        .orderBy("doc_id")
+    },
+
     // extension: CCNet-style LM filtering — corpus-trained unigram model,
     // per-doc negative mean log-likelihood (high = rare-token tail)
     "q_unigram_lm" -> { (s, d) =>
@@ -3043,6 +3053,28 @@ object GraftQueries {
         |  CAST(floor(st / 256) AS BIGINT) AS seq_id,
         |  CAST(st % 256 AS BIGINT) AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // same single-pass conditional counts + micro-nat quantization as the
+    // Spark side; llr summed as exact integers, one divide at the end
+    "q_dsir_weights" ->
+      """WITH sel AS (SELECT doc_id, lang = 'en' AS tgt,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |tok AS (SELECT doc_id, tgt,
+        |  unnest(list_filter(string_split(nt, ' '), x -> len(x) > 0)) AS w
+        |  FROM sel),
+        |c AS (SELECT w, count(*) AS cs,
+        |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cs) AS DOUBLE) AS ns,
+        |    CAST(sum(ct) AS DOUBLE) AS nt, CAST(count(*) AS DOUBLE) AS v FROM c),
+        |q AS (SELECT w, CAST(round(
+        |    (ln((ct + 0.5) / (tot.nt + 0.5 * tot.v))
+        |     - ln((cs + 0.5) / (tot.ns + 0.5 * tot.v))) * 1000000.0, 0)
+        |  AS BIGINT) AS q FROM c CROSS JOIN tot)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(q.q) AS DOUBLE) / 1000000.0 / count(*), 4) AS llr
+        |FROM tok t JOIN q USING (w)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     "q_unigram_lm" ->
       """WITH sel AS (SELECT doc_id,

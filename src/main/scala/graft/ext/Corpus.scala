@@ -323,6 +323,46 @@ object Corpus {
         .as("lm_score"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, public method —
+    * hashed-n-gram variant simplified to unigrams): per-document mean
+    * log-likelihood ratio `ln p_target(w) − ln p_raw(w)` under add-k
+    * smoothed unigram models, where the target model is estimated from
+    * the rows matching `targetCol` and the raw model from the whole
+    * corpus. High `llr` = "looks like the target domain" — the standard
+    * importance-resampling signal for domain-matched pretraining
+    * selection (also readable as a binary Naive-Bayes domain score).
+    *
+    * Determinism: each vocab word's ratio is quantized ONCE to integer
+    * micro-nats, so per-document sums are exact and order-free (same
+    * contract as [[bigramLmScore]]). Scale shape: one conditional-sum
+    * groupBy builds both models' counts in a single pass (vocab-sized
+    * output); the quantized ratio table joins back onto the exploded
+    * tokens keyed on the word — Zipfian hot words are the AQE skew-join
+    * case; totals are a 1-row broadcast. Documents with zero tokens are
+    * omitted (no model evidence either way).
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+      targetCol: String, addK: Double = 0.5): DataFrame = {
+    require(addK > 0, "addK must be positive")
+    val toks = df.select(col(idCol), col(targetCol).cast("boolean").as("_tgt"),
+      explode(filter(split(Dedup.normalize(col(textCol)), " "),
+        t => length(t) > 0)).as("_tok"))
+    val counts = toks.groupBy("_tok").agg(
+      count(lit(1)).as("_cs"),
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"))
+    val totals = counts.agg(sum("_cs").as("_ns"), sum("_ct").as("_nt"),
+      count(lit(1)).as("_v"))
+    val q = counts.crossJoin(broadcast(totals)).select(col("_tok"),
+      round((log((col("_ct") + lit(addK)) / (col("_nt") + lit(addK) * col("_v"))) -
+        log((col("_cs") + lit(addK)) / (col("_ns") + lit(addK) * col("_v"))))
+        * 1e6, 0).cast("long").as("_q"))
+    toks.join(q, Seq("_tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("_q")).cast("double") / 1e6 / count(lit(1)), 4)
+          .as("llr"))
+  }
+
   /** Per-group robust scaling: `(x − median) / IQR` with the group's EXACT
     * median and interquartile range — the outlier-insensitive normalizer
     * for quality/length metrics before cross-domain thresholding (a fixed

@@ -377,4 +377,24 @@ class CorpusSpec extends SparkSpec {
     assert(got == Map(1L -> "unchanged", 2L -> "changed",
       3L -> "removed", 4L -> "added"))
   }
+
+  test("importanceWeights: target-vocab docs score high, off-domain low") {
+    import spark.implicits._
+    // target docs speak "physics"; raw corpus is half "cooking"; a held-
+    // out physics doc (not flagged as target) must still score positive
+    // — that's the whole point of importance resampling
+    val docs = Seq(
+      (1L, "quantum field tensor boson lattice", true),
+      (2L, "tensor lattice quantum gauge spinor", true),
+      (3L, "butter garlic onion simmer saute", false),
+      (4L, "onion butter saute garlic whisk", false),
+      (5L, "quantum tensor lattice spinor gauge", false),
+      (6L, "", false)).toDF("id", "text", "is_sci")
+    val w = Corpus.importanceWeights(docs, "id", "text", "is_sci")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(5) > 0.2, s"held-out in-domain doc should score high: ${w(5)}")
+    assert(w(3) < -0.2 && w(4) < -0.2, "off-domain docs score negative")
+    assert(w(1) > w(3) && w(2) > w(4))
+    assert(!w.contains(6L), "empty doc has no evidence — omitted")
+  }
 }
