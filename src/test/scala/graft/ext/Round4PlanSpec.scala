@@ -75,4 +75,45 @@ class Round4PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("Join") && plan.contains("k#"),
       s"expected keyed join:\n${plan.take(1500)}")
   }
+
+  test("c4LineClean plans no exchange — narrow at any scale") {
+    val plan = docs.select(TextAnalysis.c4LineClean(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"line cleaning must not shuffle:\n${plan.take(1500)}")
+  }
+
+  test("importanceWeights: vocab scoring join is keyed, totals broadcast") {
+    import spark.implicits._
+    val d = docs.withColumn("tgt", col("doc_id") % 2 === 0)
+    val plan = Corpus.importanceWeights(d, "doc_id", "text", "tgt")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"importanceWeights planned a cartesian:\n${plan.take(1500)}")
+    // the ONLY nested-loop allowed is the 1-row totals cross (broadcast,
+    // O(vocab) work); the token-scoring join must be hash-keyed on the word
+    assert(plan.contains("HashJoin [_tok") || plan.contains("SortMergeJoin [_tok"),
+      s"token scoring should join keyed on the word:\n${plan.take(1500)}")
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nlj <= 1, s"only the scalar-totals cross may nested-loop, saw $nlj")
+  }
+
+  test("randomWalks: hop joins are keyed and the argmin partial-aggregates") {
+    import spark.implicits._
+    val e = (0 until 60).map(i => (s"n$i", s"n${(i * 13 + 1) % 60}")).toDF("s", "t")
+    val walks = graft.graph.GraphAlgos.randomWalks(e, "s", "t",
+      seeds = Seq("n0"), steps = 2, walksPerSeed = 2)
+    val plan = walks.queryExecution.executedPlan.toString
+    assertNoProduct(plan, "randomWalks")
+    // per-hop argmin must combine map-side: a partial min over the
+    // (hash, neighbor) struct ahead of the walk_id exchange
+    val hop = e.join(walks.where(col("step") === 0)
+      .select(col("walk_id"), col("node").as("s")), Seq("s"))
+      .groupBy("walk_id")
+      .agg(min(struct(md5(concat_ws(":", col("walk_id"), lit("1"), col("t"))),
+        col("t"))).as("m"))
+    val hopPlan = hop.queryExecution.executedPlan.toString
+    assert(hopPlan.contains("partial_min") || hopPlan.contains("HashAggregate"),
+      s"argmin should partial-aggregate:\n${hopPlan.take(1500)}")
+  }
 }
