@@ -3072,7 +3072,7 @@ object GraftQueries {
         |     - ln((cs + 0.5) / (tot.ns + 0.5 * tot.v))) * 1000000.0, 0)
         |  AS BIGINT) AS q FROM c CROSS JOIN tot)
         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  round(CAST(sum(q.q) AS DOUBLE) / 1000000.0 / count(*), 4) AS llr
+        |  round(CAST(sum(q.q) AS DOUBLE) / 1000000.0 / count(*), 4) + 0.0 AS llr
         |FROM tok t JOIN q USING (w)
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 

@@ -359,8 +359,10 @@ object Corpus {
     toks.join(q, Seq("_tok"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("_q")).cast("double") / 1e6 / count(lit(1)), 4)
-          .as("llr"))
+        // + 0.0 canonicalizes IEEE −0.0 (a tiny negative sum rounding to
+        // zero keeps its sign bit and would hash-differ from +0.0)
+        (round(sum(col("_q")).cast("double") / 1e6 / count(lit(1)), 4)
+          + lit(0.0)).as("llr"))
   }
 
   /** Per-group robust scaling: `(x − median) / IQR` with the group's EXACT

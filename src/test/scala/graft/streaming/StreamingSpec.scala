@@ -166,14 +166,20 @@ class StreamingSpec extends SparkSpec {
       SessionEvent(7L, Timestamp.valueOf("2024-01-01 10:10:00"), 2.0),
       SessionEvent(7L, Timestamp.valueOf("2024-01-01 12:00:00"), 3.0)) // new session
     val out = sessionize(mem.toDS(), gapMs = 30 * 60 * 1000L)
+    // NO AvailableNow here: with event-time state timeouts the
+    // MultiBatchExecutor can keep scheduling eviction batches, so
+    // awaitTermination times out silently and the query LEAKS into later
+    // suites (observed dying there with a planning NPE on the shared
+    // session). processAllAvailable + stop is deterministic.
     val q = out.writeStream.format("memory").queryName("session_test")
-      .outputMode("append").trigger(
-        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
-    // first session (2 events, sum 3.0) closed by the 12:00 event
-    val rows = spark.table("session_test").collect()
-    assert(rows.length == 1)
-    assert(rows.head.getAs[Int]("n") == 2 && rows.head.getAs[Double]("sum") == 3.0)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // first session (2 events, sum 3.0) closed by the 12:00 event
+      val rows = spark.table("session_test").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Int]("n") == 2 && rows.head.getAs[Double]("sum") == 3.0)
+    } finally q.stop()
   }
 
   test("streaming HLL registers equal the batch sketch over the same rows") {
