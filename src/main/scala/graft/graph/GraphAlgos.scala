@@ -367,6 +367,72 @@ object GraphAlgos {
     (head +: iters).mkString(",\n")
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007): every node starts in its own community; each round every node
+    * adopts the most frequent label in its CLOSED neighborhood (the
+    * node's own current label votes once — the self-vote damps the
+    * two-coloring oscillation synchronous LPA is known for), ties broken
+    * by the SMALLEST label — the deterministic variant (classic LPA
+    * breaks ties randomly, which would make the result un-oracle-able
+    * and rerun-unstable). Runs a FIXED `rounds` budget — both engines
+    * compute the identical intermediate state, converged or not.
+    *
+    * Scale shape: per round one edge⋈labels join (labels are node-keyed,
+    * broadcast-eligible) and two partial-agg groupBys — the per-node
+    * argmax is min over a (−count, label) struct, NEVER a window sort.
+    * Round lineage is severed per iteration (see [[pageRankFixed]]).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val und0 = edges.select(
+      least(col(srcCol).cast("string"), col(dstCol).cast("string")).as("a"),
+      greatest(col(srcCol).cast("string"), col(dstCol).cast("string")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val e = und0.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und0.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    var labels = e.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val neigh = e
+        .join(labels.withColumnsRenamed(Map("node" -> "u")), Seq("u"))
+        .select(col("v").as("node"), col("label"))
+        .unionByName(labels) // self-vote
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      labels = neigh.groupBy("node")
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** DuckDB-dialect oracle for [[labelPropagation]]: rounds unrolled, the
+    * frequency argmax as a row_number over (count DESC, label). Emits
+    * `l$rounds(node, label)`.
+    */
+  def labelPropagationOracleSql(edgesSql: String, rounds: Int): String = {
+    val head =
+      s"""WITH E0 AS ($edgesSql),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM E0 WHERE src <> dst),
+         |e AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM e)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      s"""l$r AS (SELECT node, label FROM (
+         |  SELECT node, label, count(*) AS c,
+         |    row_number() OVER (PARTITION BY node
+         |      ORDER BY count(*) DESC, label) AS rk
+         |  FROM (SELECT e.v AS node, l.label
+         |        FROM e JOIN l${r - 1} l ON l.node = e.u
+         |        UNION ALL SELECT node, label FROM l${r - 1})
+         |  GROUP BY node, label) WHERE rk = 1)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
+
   /** Local clustering coefficient per node: 2·triangles ÷ (deg·(deg−1))
     * over the distinct undirected graph — the "how clique-like is this
     * node's neighborhood" curation signal (spam rings score ~1, organic

@@ -132,6 +132,26 @@ class GraphAlgosSpec extends SparkSpec {
     assert(GraphAlgos.triangleCounts(star, "s", "t").count() == 0)
   }
 
+  test("labelPropagation: two cliques bridge into two communities") {
+    import spark.implicits._
+    // two K4s joined by one bridge edge a1-b1: after 3 rounds each clique
+    // agrees on its own minimum label and the bridge does not merge them
+    def k4(p: String) = for {
+      i <- 0 until 4; j <- (i + 1) until 4
+    } yield (s"$p$i", s"$p$j")
+    val e = (k4("a") ++ k4("b") :+ (("a1", "b1"))).toDF("s", "t")
+    val got = GraphAlgos.labelPropagation(e, "s", "t", rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val aLabels = (0 until 4).map(i => got(s"a$i")).toSet
+    val bLabels = (0 until 4).map(i => got(s"b$i")).toSet
+    assert(aLabels == Set("a0"), s"clique A should agree on a0: $aLabels")
+    assert(bLabels == Set("b0"), s"clique B should agree on b0: $bLabels")
+    // deterministic: a rerun is identical
+    val again = GraphAlgos.labelPropagation(e, "s", "t", rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == again)
+  }
+
   test("clusteringCoefficient: triangle closes fully, pendant scores zero") {
     import spark.implicits._
     // triangle a-b-c plus pendant d off a: a has deg 3 with one closed
