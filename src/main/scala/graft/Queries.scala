@@ -1838,6 +1838,19 @@ object GraftQueries {
         .orderBy("node")
     },
 
+    // extension: per-node core numbers (h-index iteration from degrees)
+    // over the co-ordered-parts graph — the graded k-core signal
+    "q_coreness" -> { (s, d) =>
+      import graft.graph.GraphAlgos
+      val p = t(s, d)("lineitem").where(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val e = p.as("x").join(p.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(concat(lit("p"), col("x.p")).as("src"),
+          concat(lit("p"), col("y.p")).as("dst"))
+      GraphAlgos.coreNumbers(e, "src", "dst", rounds = 4).orderBy("node")
+    },
+
     // extension: label-propagation communities — deterministic LPA
     // (min-label ties, fixed rounds) over the co-ordered-parts graph
     "q_label_prop" -> { (s, d) =>
@@ -3856,6 +3869,17 @@ object GraftQueries {
         k = 8, rounds = 4) +
         "\nSELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM e4" +
         "\nGROUP BY 1 HAVING count(*) >= 8 ORDER BY node"),
+
+    "q_coreness" ->
+      (graft.graph.GraphAlgos.coreNumbersOracleSql(
+        """SELECT 'p' || a.p AS src, 'p' || b.p AS dst
+          |FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+          |      FROM lineitem WHERE l_orderkey % 10 = 0) a
+          |JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+          |      FROM lineitem WHERE l_orderkey % 10 = 0) b
+          |  ON a.ok = b.ok AND a.p < b.p""".stripMargin,
+        rounds = 4) +
+        "\nSELECT node, h FROM h4 ORDER BY node"),
 
     "q_label_prop" ->
       (graft.graph.GraphAlgos.labelPropagationOracleSql(

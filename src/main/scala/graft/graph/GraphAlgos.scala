@@ -367,6 +367,69 @@ object GraphAlgos {
     (head +: iters).mkString(",\n")
   }
 
+  /** Per-node core numbers (coreness) via h-index iteration (Lü et al.
+    * 2016, public result: repeatedly replacing each node's value with the
+    * H-index of its neighbors' values, starting from degrees, converges
+    * monotonically DOWN to the core number). The graded refinement of
+    * [[kCore]]: one run scores every node instead of answering a single
+    * k. Runs a FIXED `rounds` budget — the intermediate state is
+    * well-defined and engine-identical even before convergence
+    * (convergence needs rounds ≈ the longest strictly-decreasing
+    * h-chain; small for real graphs).
+    *
+    * Scale shape: per round one node-keyed join (h table ≪ edges,
+    * broadcast-eligible) and ONE ranked pass per neighborhood — the
+    * H-index needs the neighbor values ranked, so this operator does pay
+    * a per-node window sort each round (unlike [[kCore]]'s pure counts);
+    * the tie order inside equal values cannot change max(min(rank, v)),
+    * so the window needs no extra tiebreak. Lineage severed per round.
+    */
+  def coreNumbers(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    import org.apache.spark.sql.expressions.Window
+    val und0 = edges.select(
+      least(col(srcCol).cast("string"), col(dstCol).cast("string")).as("a"),
+      greatest(col(srcCol).cast("string"), col(dstCol).cast("string")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val e = und0.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und0.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    var h = e.groupBy(col("u").as("node")).agg(count(lit(1)).as("h"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nb = e
+        .join(h.withColumnsRenamed(Map("node" -> "u", "h" -> "hu")), Seq("u"))
+        .select(col("v").as("node"), col("hu"))
+      val w = Window.partitionBy("node").orderBy(col("hu").desc)
+      h = nb.withColumn("rn", row_number().over(w))
+        .groupBy("node")
+        .agg(max(least(col("rn").cast("long"), col("hu"))).as("h"))
+        .localCheckpoint(true)
+    }
+    h
+  }
+
+  /** DuckDB-dialect oracle for [[coreNumbers]]: rounds unrolled with the
+    * same ranked H-index formula. Emits `h$rounds(node, h)`.
+    */
+  def coreNumbersOracleSql(edgesSql: String, rounds: Int): String = {
+    val head =
+      s"""WITH E0 AS ($edgesSql),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM E0 WHERE src <> dst),
+         |e AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+         |h0 AS (SELECT u AS node, count(*) AS h FROM e GROUP BY 1)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      s"""h$r AS (SELECT node, max(least(rn, hu)) AS h FROM (
+         |  SELECT e.v AS node, p.h AS hu,
+         |    row_number() OVER (PARTITION BY e.v ORDER BY p.h DESC) AS rn
+         |  FROM e JOIN h${r - 1} p ON p.node = e.u)
+         |  GROUP BY 1)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et al.
     * 2007): every node starts in its own community; each round every node
     * adopts the most frequent label in its CLOSED neighborhood (the

@@ -152,19 +152,24 @@ object StreamIngest {
 
   /** Custom session state via flatMapGroupsWithState: a session closes (and
     * is emitted) when a later event arrives past `gapMs`, or when the
-    * processing-time timeout fires on an idle key — so trailing sessions ARE
-    * eventually emitted in a live stream and their state is cleaned up.
-    * (With AvailableNow/batch triggers processing-time timeouts never fire;
-    * the final open session per key intentionally stays in state awaiting
-    * more data — batch sessionization is `q_sessionize`'s window program.)
-    * This is the engine's `mapGroupsWithState` surface — the reference has no
-    * stateful operator at all (SURVEY §2.11).
+    * EVENT-TIME timeout fires — the watermark passing `last + gapMs` — so
+    * trailing sessions are eventually emitted and their state cleaned up.
+    * Event time, not processing time, deliberately: a wall-clock timeout
+    * would close sessions by ingestion speed (wrong under backfill /
+    * catch-up), AND pending processing-time timeouts keep the micro-batch
+    * engine spinning empty batches at full tilt until they fire — measured
+    * as a busy-looped never-quiescing query on this very operator. The
+    * final open session per key stays in state awaiting more data or a
+    * further watermark advance — batch sessionization is `q_sessionize`'s
+    * window program. This is the engine's `mapGroupsWithState` surface —
+    * the reference has no stateful operator at all (SURVEY §2.11).
     */
   def sessionize(events: Dataset[SessionEvent], gapMs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", s"$gapMs milliseconds")
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (uid, evs, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             // idle key: close and emit the open session, clear state
@@ -187,7 +192,13 @@ object StreamIngest {
                   cur = Some(SessionState(t, t, 1, e.value))
               }
             }
-            cur.foreach { s => state.update(s); state.setTimeoutDuration(gapMs) }
+            cur.foreach { s =>
+              state.update(s)
+              // timeout must sit strictly past the current watermark or
+              // Spark rejects it (late-arriving state after catch-up)
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, s.last + gapMs))
+            }
             out.iterator
           }
       }

@@ -132,6 +132,22 @@ class GraphAlgosSpec extends SparkSpec {
     assert(GraphAlgos.triangleCounts(star, "s", "t").count() == 0)
   }
 
+  test("coreNumbers: K4 scores 3, pendant chain decays to 1") {
+    import spark.implicits._
+    // K4 (a,b,c,d) + chain a-e-f: coreness 3/3/3/3, e=1, f=1 — e starts
+    // at degree 2 and needs a second round to see f's collapse
+    val e = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d"), ("a", "e"), ("e", "f")).toDF("s", "t")
+    val got = GraphAlgos.coreNumbers(e, "s", "t", rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L,
+      "e" -> 1L, "f" -> 1L))
+    // consistency with kCore: the k=3 core is exactly the coreness>=3 set
+    val core3 = GraphAlgos.kCore(e, "s", "t", k = 3, maxRounds = 5)
+      .collect().map(_.getString(0)).toSet
+    assert(core3 == got.filter(_._2 >= 3L).keySet)
+  }
+
   test("labelPropagation: two cliques bridge into two communities") {
     import spark.implicits._
     // two K4s joined by one bridge edge a1-b1: after 3 rounds each clique
