@@ -1912,6 +1912,16 @@ object GraftQueries {
       Corpus.bpePairCounts(t(s, d)("documents"), "text", topK = 20)
     },
 
+    // extension: JL random projection 64 -> 16 dims via the md5
+    // hyperplanes — deterministic index-compression ahead of int8 quant
+    "q_random_proj" -> { (s, d) =>
+      Similarity.randomProject(t(s, d)("embeddings"), "vec_id", "embedding",
+        k = 16, dim = 64)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "v")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("v"))
+        .orderBy("vec_id", "j")
+    },
+
     // extension: per-dimension int8 scalar quantization of embeddings —
     // full code vector checked via exact integer sum + first four codes
     "q_int8_quant" -> { (s, d) =>
@@ -3965,6 +3975,22 @@ object GraftQueries {
         |  WHERE length(word) >= 2)
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY 1
         |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    // identical md5 plane regeneration to q_ann_topk; list_sum ascending
+    // matches the native dot's summation order
+    "q_random_proj" ->
+      """WITH pw AS (SELECT j, d,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      p -> (strpos('0123456789abcdef',
+        |              substring(md5('p:' || j || ':' || d), p, 1)) - 1)
+        |           * CAST(power(16, 8 - p) AS BIGINT))) / 2147483648.0 - 1.0 AS w
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS j) jj,
+        |       (SELECT unnest(generate_series(0, 63)) AS d) dd),
+        |pl AS (SELECT j, list(w ORDER BY d) AS p FROM pw GROUP BY j)
+        |SELECT e.vec_id, CAST(pl.j AS BIGINT) AS j,
+        |  round(list_sum(list_transform(generate_series(1, 64),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i])), 4) + 0.0 AS v
+        |FROM embeddings e, pl ORDER BY vec_id, j""".stripMargin,
 
     // per-dimension int8 quantization; 0-based dims to match posexplode
     "q_int8_quant" ->

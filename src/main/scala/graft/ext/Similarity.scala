@@ -135,6 +135,30 @@ object Similarity {
       java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
     }
 
+  /** Johnson–Lindenstrauss-style random projection: reduce `dim`-d vectors
+    * to `k` dims as `proj_j = dot(vec, plane_j)` over the engine-portable
+    * [[md5Hyperplanes]] (uniform [-1, 1) entries) — the deterministic
+    * dimensionality-reduction path that shrinks an ANN index or distance
+    * matrix 4–8× ahead of [[quantizeInt8]]. Relative distances survive in
+    * expectation (JL lemma, public result); derived pipelines must use the
+    * SAME (k, dim) so the planes regenerate identically.
+    *
+    * Scale shape: the plane matrix is a k×dim literal shipped with the
+    * plan (no shuffle, no fit pass — unlike PCA there is nothing to
+    * train); each output is one [[dot]] (native codegen, ascending-index
+    * sum) so the whole operator is narrow per-row math. Components are
+    * rounded once (+0.0 canonicalizes IEEE −0.0) — cross-engine
+    * hash-stable.
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int): DataFrame = {
+    require(k >= 1 && dim >= 1, "k and dim must be positive")
+    val planes = md5Hyperplanes(k, dim)
+    val v = col(vecCol).cast("array<double>")
+    val proj = array(planes.map(p => round(dot(v, lit(p)), 4) + lit(0.0)): _*)
+    df.select(col(idCol), proj.as("proj"))
+  }
+
   /** Sign-LSH bucket id of a vector: one bit per hyperplane. */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>

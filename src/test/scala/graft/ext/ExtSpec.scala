@@ -55,6 +55,24 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, 3L), (2, 4L)))
   }
 
+  test("randomProject: basis vectors read the plane matrix back exactly") {
+    import spark.implicits._
+    val dim = 8; val k = 4
+    val planes = Similarity.md5Hyperplanes(k, dim)
+    // e_d projects to column d of every plane; a scaled basis scales it
+    val basis = (0 until dim).map(d =>
+      (d.toLong, Array.tabulate(dim)(i => if (i == d) 1f else 0f)))
+    val got = Similarity.randomProject(basis.toDF("id", "vec"), "id", "vec",
+      k, dim).collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for (d <- 0 until dim; j <- 0 until k)
+      assert(math.abs(got(d.toLong)(j) -
+        math.rint(planes(j)(d) * 10000) / 10000) < 1e-12)
+    // deterministic across runs
+    val again = Similarity.randomProject(basis.toDF("id", "vec"), "id", "vec",
+      k, dim).collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got == again)
+  }
+
   test("rrfFuse: consensus docs outrank single-list docs; absent side adds 0") {
     import spark.implicits._
     val lex = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("q", "id", "rank")
