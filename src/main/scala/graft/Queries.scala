@@ -1744,6 +1744,31 @@ object GraftQueries {
     // Hamming-banded self-join (pigeonhole-complete at maxHamming 4);
     // payloads are deterministic 9×8 grayscale rasters keyed by doc_id so
     // the oracle recomputes the hash from pixel arithmetic
+    // extension: real nearest-neighbor raster resize over the native
+    // decode — 9x8 -> 4x3; the exact R-channel sum is the oracle check
+    "q_image_resize" -> { (s, d) =>
+      import s.implicits._
+      val (w, h) = (9, 8)
+      val packed = t(s, d)("documents").select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+            val px = new Array[Byte](w * h * 3)
+            var i = 0
+            while (i < w * h) {
+              val v = ((id * 37 + i.toLong * i * 13 + (id % 7) * i) % 256).toByte
+              px(3 * i) = v; px(3 * i + 1) = v; px(3 * i + 2) = v
+              i += 1
+            }
+            (id, header ++ px)
+          }
+        }.toDF("doc_id", "media")
+      Multimodal.resizeImages(packed, "doc_id", "media", w2 = 4, h2 = 3)
+        .select(col("doc_id"), col("w").cast("long").as("w"),
+          col("h").cast("long").as("h"), col("pix_sum"))
+        .orderBy("doc_id")
+    },
+
     "q_image_neardup" -> { (s, d) =>
       import s.implicits._
       val (w, h) = (9, 8)
@@ -3793,6 +3818,17 @@ object GraftQueries {
     // = pixel); bit 63 lands in the sign bit (DuckDB 1<<63 overflows, so
     // CASE to long-min); sum CAST to BIGINT (DuckDB sum promotes to
     // HUGEINT, whose xor/bit_count would run 128-bit)
+    // destination (x,y) samples source (x*9//4, y*8//3); pixel values
+    // regenerate from the same closed-form formula as the Spark synthesis
+    "q_image_resize" ->
+      """WITH dst AS (SELECT x, y, (y * 8 // 3) * 9 + (x * 9 // 4) AS si
+        |  FROM (SELECT unnest(generate_series(0, 3)) AS x) xx,
+        |       (SELECT unnest(generate_series(0, 2)) AS y) yy)
+        |SELECT doc_id, CAST(4 AS BIGINT) AS w, CAST(3 AS BIGINT) AS h,
+        |  CAST(sum((doc_id * 37 + si * si * 13 + (doc_id % 7) * si) % 256)
+        |    AS BIGINT) AS pix_sum
+        |FROM documents, dst GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_image_neardup" ->
       """WITH px AS (SELECT doc_id, i,
         |    (doc_id * 37 + i * i * 13 + (doc_id % 7) * i) % 256 AS v

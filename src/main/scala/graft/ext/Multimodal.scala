@@ -127,6 +127,58 @@ object Multimodal {
       if (counts(c) == 0) 0f else (sums(c) / counts(c)).toFloat)
   }
 
+  /** Nearest-neighbor raster resize: destination pixel (x, y) samples
+    * source pixel (⌊x·w/w2⌋, ⌊y·h/h2⌋) — integer arithmetic only, so any
+    * engine recomputes the identical output (the resize every thumbnail /
+    * embedding-input pipeline runs before feature extraction; bilinear is
+    * the same plan shape with a 4-tap kernel). Pure per-row CPU work —
+    * runs inside the same mapPartitions batch as the decode.
+    */
+  def resizeRaster(r: Raster, w2: Int, h2: Int): Raster = {
+    require(w2 >= 1 && h2 >= 1, "target dims must be positive")
+    val out = new Array[Byte](w2 * h2 * 3)
+    var y = 0
+    while (y < h2) {
+      val sy = y * r.height / h2
+      var x = 0
+      while (x < w2) {
+        val sx = x * r.width / w2
+        val sp = (sy * r.width + sx) * 3
+        val dp = (y * w2 + x) * 3
+        out(dp) = r.rgb(sp); out(dp + 1) = r.rgb(sp + 1)
+        out(dp + 2) = r.rgb(sp + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Raster(w2, h2, out, r.maxValue)
+  }
+
+  /** Decode + nearest-neighbor resize over a binary media column: one row
+    * per decodable image with the resized dims, the exact integer sum of
+    * the resized R-channel (the oracle-checkable aggregate), and the
+    * re-encoded PPM payload for downstream stages. Narrow mapPartitions —
+    * identical batch shape to [[imageHashes]].
+    */
+  def resizeImages(df: DataFrame, idCol: String, mediaCol: String,
+      w2: Int, h2: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decode(bytes).map { r =>
+            val rs = resizeRaster(r, w2, h2)
+            var sum = 0L
+            var i = 0
+            while (i < w2 * h2) { sum += (rs.rgb(3 * i) & 0xff); i += 1 }
+            val header = s"P6\n$w2 $h2\n${rs.maxValue}\n".getBytes("US-ASCII")
+            (id, rs.width, rs.height, sum, header ++ rs.rgb)
+          }
+        }
+      }.toDF(idCol, "w", "h", "pix_sum", "media")
+  }
+
   /** 64-bit difference hash (dHash — the public perceptual-hash scheme):
     * mean-pool luma onto a 9×8 grid, set bit `r·8+c` (LSB-first) when cell
     * (r,c) is brighter than its right neighbor (r,c+1). Near-duplicate

@@ -55,4 +55,19 @@ class RasterSpec extends AnyFunSuite {
     // truncated PPM rejected
     assert(Multimodal.decodePpm("P6\n4 4\n255\n..".getBytes).isEmpty)
   }
+
+  test("resizeRaster: identity copies, downscale floor-samples, upscale replicates") {
+    // 4×2 raster, pixel (x, y) has R = y*4+x (G = B = 0)
+    val px = Array.tabulate(4 * 2 * 3)(i => if (i % 3 == 0) (i / 3).toByte else 0.toByte)
+    val r = Multimodal.decodePpm(ppm(4, 2, px)).get
+    val same = Multimodal.resizeRaster(r, 4, 2)
+    assert(same.rgb.toSeq == r.rgb.toSeq)
+    // 2×1: (0,0) ← src(0,0)=0, (1,0) ← src(⌊1·4/2⌋=2,0)=2
+    val down = Multimodal.resizeRaster(r, 2, 1)
+    assert(down.rgb.grouped(3).map(_(0)).toSeq == Seq[Byte](0, 2))
+    // 8×2 upscale: each source column repeats twice
+    val up = Multimodal.resizeRaster(r, 8, 2)
+    assert(up.rgb.grouped(3).map(_(0)).toSeq ==
+      Seq[Byte](0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7))
+  }
 }
