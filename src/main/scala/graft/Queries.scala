@@ -1127,6 +1127,17 @@ object GraftQueries {
         .orderBy("doc_id")
     },
 
+    // extension: nearest-neighbor PCM resample over the native WAV decode
+    // — 8 kHz -> 3 kHz; the exact sample sum is the oracle check
+    "q_audio_resample" -> { (s, d) =>
+      val ids = t(s, d)("documents").select(col("doc_id")).where(col("doc_id") < 100)
+      val packed = Multimodal.synthesizeWav(ids, "doc_id", n = 480, sampleRate = 8000)
+      Multimodal.resampleAudio(packed, "doc_id", "media", targetRate = 3000)
+        .select(col("doc_id"), col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples"), col("samp_sum"))
+        .orderBy("doc_id")
+    },
+
     // §2.11 streaming dedup: an at-least-once source (the same events file
     // dropped twice) passes dropDuplicatesWithinWatermark exactly once per
     // event id; the sink is plain append, so the dedup operator — not the
@@ -3227,6 +3238,17 @@ object GraftQueries {
         |  round(480.0 * 1000 / 8000, 2) AS duration_ms,
         |  round(sqrt(list_sum(list_transform(v,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) / 480), 2) AS rms
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // output sample j reads input ⌊j·8000/3000⌋; values regenerate from
+    // the same sawtooth formula as synthesizeWav
+    "q_audio_resample" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+        |s AS (SELECT doc_id, list_transform(generate_series(0, 179),
+        |  j -> (((j * 8000 // 3000) * (doc_id + 3)) % 2000) - 1000) AS v FROM d)
+        |SELECT doc_id, CAST(3000 AS BIGINT) AS sample_rate,
+        |  CAST(180 AS BIGINT) AS n_samples,
+        |  CAST(list_sum(v) AS BIGINT) AS samp_sum
         |FROM s ORDER BY doc_id""".stripMargin,
 
     // exactly one surviving row per event id despite double delivery

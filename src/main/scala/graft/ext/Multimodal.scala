@@ -355,6 +355,47 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor PCM resample: output sample j reads input sample
+    * ⌊j·rate/targetRate⌋ — integer arithmetic only (the audio analogue of
+    * [[resizeRaster]]; a production pipeline would swap in a windowed-sinc
+    * kernel with the same plan shape). Downsampling to a model's expected
+    * rate (e.g. 16 kHz) is the standard pre-feature step.
+    */
+  def resamplePcm(a: PcmAudio, targetRate: Int): PcmAudio = {
+    require(targetRate >= 1, "target rate must be positive")
+    val n2 = (a.samples.length.toLong * targetRate / a.sampleRate).toInt
+    val out = new Array[Int](n2)
+    var j = 0
+    while (j < n2) {
+      out(j) = a.samples((j.toLong * a.sampleRate / targetRate).toInt)
+      j += 1
+    }
+    PcmAudio(targetRate, a.channels, a.bitsPerSample, out)
+  }
+
+  /** Decode + nearest-neighbor resample over a binary WAV column: one row
+    * per decodable payload with the new rate, sample count, exact integer
+    * sample sum (the oracle-checkable aggregate), and the re-packed WAV.
+    * Narrow mapPartitions — same batch shape as [[audioFeatureFrame]].
+    */
+  def resampleAudio(df: DataFrame, idCol: String, mediaCol: String,
+      targetRate: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeWav(bytes).map { a =>
+            val rs = resamplePcm(a, targetRate)
+            var sum = 0L
+            rs.samples.foreach(sum += _)
+            (id, rs.sampleRate, rs.samples.length.toLong, sum,
+              wavPack(rs.samples, rs.sampleRate))
+          }
+        }
+      }.toDF(idCol, "sample_rate", "n_samples", "samp_sum", "media")
+  }
+
   /** Deterministic synthetic PCM payloads (an integer sawtooth keyed by the
     * row id — exactly replicable in SQL, so the decode round-trip has a
     * closed-form oracle): (id, media) with a real WAV byte payload.

@@ -42,6 +42,17 @@ class WavSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav(bad).isEmpty)
   }
 
+  test("resamplePcm: identity copies, downsample floor-picks, upsample repeats") {
+    val a = Multimodal.PcmAudio(8000, 1, 16, Array(10, 20, 30, 40, 50, 60, 70, 80))
+    assert(Multimodal.resamplePcm(a, 8000).samples.toSeq == a.samples.toSeq)
+    // 8000→2000: n2 = 2, sample j reads ⌊j·4⌋ → indices 0, 4
+    val down = Multimodal.resamplePcm(a, 2000)
+    assert(down.sampleRate == 2000 && down.samples.toSeq == Seq(10, 50))
+    // 8000→16000: every source sample appears twice
+    val up = Multimodal.resamplePcm(a, 16000)
+    assert(up.samples.toSeq == a.samples.toSeq.flatMap(s => Seq(s, s)))
+  }
+
   test("8-bit unsigned samples decode centered at zero") {
     // hand-build an 8-bit mono WAV: samples 0,128,255 → -128,0,127
     val data = Array[Byte](0, 128.toByte, 255.toByte)
