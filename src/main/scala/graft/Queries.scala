@@ -1336,6 +1336,38 @@ object GraftQueries {
         .orderBy("doc_id")
     },
 
+    // extension: trained quality/domain classifier — batch perceptron over
+    // md5-hashed unigram counts (integer weights, margins, and updates, so
+    // training replays bit-exact in the oracle), the CCNet/GPT-3 "train a
+    // small linear classifier, score the corpus" selection step. The
+    // labeled corpus is md5-synthesized from doc_id with class-disjoint
+    // vocabularies (va*/vb* + shared sh*) so the task is genuinely
+    // learnable — the real documents table is one shared random vocabulary
+    // with no per-label signal; here training converges to the near-
+    // perfect diagonal within the 5 rounds. Output: confusion matrix.
+    "q_perceptron" -> { (s, d) =>
+      def word(j: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":"), j.cast("string"))), 1, 8), 16, 10).cast("long")
+        // (u - pmod)/10 is an exact floor-div (numerator divisible, result
+        // < 2^53); matches DuckDB's u // 10 on non-negative u
+        val q = ((u - pmod(u, lit(10L))) / lit(10.0)).cast("long")
+        when(pmod(u, lit(10L)) < 3, concat(lit("sh"), pmod(q, lit(10L))))
+          .otherwise(concat(
+            when(pmod(col("doc_id"), lit(2L)) === 1, lit("va"))
+              .otherwise(lit("vb")),
+            pmod(q, lit(20L))))
+      }
+      val docs = t(s, d)("documents").select(col("doc_id"),
+        (pmod(col("doc_id"), lit(2L)) === 1).as("is_pos"),
+        concat_ws(" ", transform(sequence(lit(0), lit(29)), word(_))).as("text"))
+      val (w, _) = Corpus.perceptronTrain(docs, "doc_id", "text", "is_pos",
+        dim = 64, rounds = 5)
+      Corpus.perceptronScore(docs, "doc_id", "text", "is_pos", w, dim = 64)
+        .groupBy("y", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("y", "pred")
+    },
+
     // extension: CCNet-style LM filtering — corpus-trained unigram model,
     // per-doc negative mean log-likelihood (high = rare-token tail)
     "q_unigram_lm" -> { (s, d) =>
@@ -3148,6 +3180,24 @@ object GraftQueries {
         |  round(CAST(sum(q.q) AS DOUBLE) / 1000000.0 / count(*), 4) + 0.0 AS llr
         |FROM tok t JOIN q USING (w)
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // generated unrolled replay of the 5 perceptron training rounds
+    // (integer weights; w_r = w_{r-1} + Σ y·x over y·margin ≤ 0 docs);
+    // tokens regenerate from the same md5 formula as the Spark synthesis
+    "q_perceptron" ->
+      graft.ext.Corpus.perceptronOracleSql(
+        """SELECT d.doc_id AS did,
+          |    CAST(CASE WHEN d.doc_id % 2 = 1 THEN 1 ELSE -1 END AS BIGINT) AS y,
+          |    CASE WHEN u % 10 < 3 THEN 'sh' || ((u // 10) % 10)
+          |         WHEN d.doc_id % 2 = 1 THEN 'va' || ((u // 10) % 20)
+          |         ELSE 'vb' || ((u // 10) % 20) END AS tok
+          |  FROM (SELECT doc_id,
+          |    list_sum(list_transform(generate_series(1, 8),
+          |      p -> (strpos('0123456789abcdef',
+          |              substring(md5(doc_id || ':' || j), p, 1)) - 1)
+          |           * CAST(power(16, 8 - p) AS BIGINT))) AS u
+          |    FROM documents, generate_series(0, 29) AS g(j)) d""".stripMargin,
+        dim = 64, rounds = 5),
 
     "q_unigram_lm" ->
       """WITH sel AS (SELECT doc_id,

@@ -1083,4 +1083,162 @@ object Corpus {
       .withColumn("sample_key", pow(u, lit(1.0) / col(weightCol).cast("double")))
     topKPerGroupAgg(keyed, groupCol, "sample_key", idCol, k)
   }
+
+  // ------------------------------------------------------------ classifier
+
+  /** Hashed-unigram feature table for the perceptron: one row per
+    * (doc, bucket) with the integer token count, bucket = first-8-hex of
+    * md5(token) mod `dim` (the hashing trick), PLUS a bias row per doc at
+    * bucket −1 with count 1 — so the bias is just another feature and one
+    * aggregate updates weights and bias together. Docs whose text
+    * normalizes to zero tokens carry no rows (no evidence, not scored).
+    */
+  private def hashedCounts(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, dim: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("_did"),
+      when(col(labelCol).cast("boolean"), 1L).otherwise(-1L).as("_y"),
+      explode(filter(split(Dedup.normalize(col(textCol)), " "),
+        t => length(t) > 0)).as("_tok"))
+    val counted = toks
+      .withColumn("bucket",
+        conv(substring(md5(col("_tok")), 1, 8), 16, 10).cast("long") % dim)
+      .groupBy("_did", "_y", "bucket").agg(count(lit(1)).as("cnt"))
+    val bias = toks.select("_did", "_y").distinct()
+      .select(col("_did"), col("_y"), lit(-1L).as("bucket"), lit(1L).as("cnt"))
+    counted.unionByName(bias)
+  }
+
+  /** Integer margin per doc under weight map `w` (missing buckets = 0). */
+  private def marginOf(feats: DataFrame, w: Map[Long, Long]): DataFrame = {
+    val wexpr =
+      if (w.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(w), col("bucket")), lit(0L))
+    feats.groupBy("_did", "_y").agg(sum(col("cnt") * wexpr).as("_m"))
+  }
+
+  /** Deterministic batch-perceptron text classifier over hashed unigram
+    * counts — the "train a small linear quality/domain classifier, score
+    * the whole corpus" selection step of CCNet / GPT-3-style pipelines
+    * (Wenzek et al. 2020; Brown et al. 2020), reduced to a distributable
+    * core: features are md5-hashed token buckets, the model is linear
+    * weights + bias, and training is the synchronous batch perceptron —
+    * per round, sum the Rosenblatt update `y·x` over ALL currently
+    * misclassified docs (`y·margin ≤ 0`, so round 1 from zero weights
+    * updates on every doc).
+    *
+    * Every quantity is 64-bit-integer arithmetic — token counts, weights,
+    * margins — so training is bit-exact across engines, partitionings, and
+    * row orders (long sums commute), and [[perceptronOracleSql]] replays it
+    * in DuckDB exactly, unrolled round by round.
+    *
+    * Scale shape: the token explode + count groupBy runs ONCE into a
+    * persisted feature table (≤ dim+1 rows per doc). Each round is a
+    * single job: margins are a map-side-combinable groupBy with the weight
+    * vector folded in as a broadcast literal map (the model is driver-small
+    * like any trained model — the corpus never leaves the cluster), the
+    * misclassified-doc set joins back (AQE broadcasts the small side), and
+    * the collected update is ≤ dim+1 rows.
+    *
+    * Returns (weights with bias at key −1, rounds actually run — fewer
+    * than `rounds` iff the data became linearly separated early; replaying
+    * the remaining rounds is then a no-op, which keeps the fixed-round
+    * oracle exact either way).
+    */
+  def perceptronTrain(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, dim: Int = 32, rounds: Int = 3): (Map[Long, Long], Int) = {
+    require(dim >= 2, "dim must be >= 2")
+    require(rounds >= 1, "rounds must be >= 1")
+    val feats = hashedCounts(df, idCol, textCol, labelCol, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var w = Map.empty[Long, Long]
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val mis = marginOf(feats, w).where(col("_y") * col("_m") <= 0)
+      val upd = feats.join(mis.select("_did"), Seq("_did"))
+        .groupBy("bucket").agg(sum(col("_y") * col("cnt")).as("_g"))
+        .collect()
+      if (upd.isEmpty) converged = true
+      else {
+        upd.foreach { row =>
+          val b = row.getLong(0)
+          w = w.updated(b, w.getOrElse(b, 0L) + row.getLong(1))
+        }
+        r += 1
+      }
+    }
+    feats.unpersist()
+    (w, r)
+  }
+
+  /** Score docs with a trained [[perceptronTrain]] model: (id, y, margin,
+    * pred ∈ {−1, +1}; margin 0 predicts −1, matching training's "≤ 0 is
+    * misclassified for the positive class" convention).
+    */
+  def perceptronScore(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, w: Map[Long, Long], dim: Int): DataFrame =
+    marginOf(hashedCounts(df, idCol, textCol, labelCol, dim), w)
+      .select(col("_did").as(idCol), col("_y").as("y"), col("_m").as("margin"),
+        when(col("_m") > 0, 1L).otherwise(-1L).as("pred"))
+
+  /** The `toks` subquery for [[perceptronOracleSql]] over a real text
+    * table: (did, y ∈ {−1,1}, tok), tokenized the same way as
+    * [[hashedCounts]]. `labelSql` is a boolean SQL expression over the
+    * table's columns.
+    */
+  def perceptronTextToksSql(table: String, idCol: String, textCol: String,
+      labelSql: String): String =
+    s"""SELECT $idCol AS did,
+       |    CAST(CASE WHEN $labelSql THEN 1 ELSE -1 END AS BIGINT) AS y,
+       |    unnest(list_filter(str_split(
+       |      trim(regexp_replace(lower($textCol), '\\s+', ' ', 'g')), ' '),
+       |      t -> len(t) > 0)) AS tok
+       |  FROM $table""".stripMargin
+
+  /** DuckDB replay of [[perceptronTrain]] + confusion matrix: unrolls the
+    * fixed `rounds` as CTE chains (w_r = w_{r-1} + misclassified-sum, the
+    * same generated-oracle pattern as [[bpeOracleSql]] /
+    * `GraphAlgos.kCoreOracleSql`). `toksSql` yields one row per token:
+    * (did, y ∈ {−1,1}, tok) — [[perceptronTextToksSql]] builds it for a
+    * text table. Output: (y, pred, n) ordered.
+    */
+  def perceptronOracleSql(toksSql: String, dim: Int, rounds: Int): String = {
+    val hex8 =
+      """list_sum(list_transform(generate_series(1, 8),
+        |    p -> (strpos('0123456789abcdef', substring(md5(tok), p, 1)) - 1)
+        |         * CAST(power(16, 8 - p) AS BIGINT)))""".stripMargin
+    val base =
+      s"""WITH toks AS (
+         |  $toksSql),
+         |hb AS (SELECT did, y, $hex8 % $dim AS bucket FROM toks),
+         |feats AS (
+         |  SELECT did, y, bucket, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM hb GROUP BY 1, 2, 3
+         |  UNION ALL
+         |  SELECT DISTINCT did, y, CAST(-1 AS BIGINT), CAST(1 AS BIGINT)
+         |  FROM hb),
+         |w1 AS (SELECT bucket, CAST(sum(y * cnt) AS BIGINT) AS w
+         |       FROM feats GROUP BY 1)""".stripMargin
+    val laterRounds = (2 to rounds).map { r =>
+      s"""m${r - 1} AS (SELECT f.did, f.y,
+         |  CAST(sum(f.cnt * coalesce(w.w, 0)) AS BIGINT) AS m
+         |  FROM feats f LEFT JOIN w${r - 1} w USING (bucket) GROUP BY 1, 2),
+         |u$r AS (SELECT f.bucket, CAST(sum(f.y * f.cnt) AS BIGINT) AS g
+         |  FROM feats f
+         |  JOIN (SELECT did FROM m${r - 1} WHERE y * m <= 0) mis USING (did)
+         |  GROUP BY 1),
+         |w$r AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
+         |  coalesce(a.w, 0) + coalesce(b.g, 0) AS w
+         |  FROM w${r - 1} a FULL OUTER JOIN u$r b ON a.bucket = b.bucket)"""
+        .stripMargin
+    }
+    val finalSel =
+      s"""mf AS (SELECT f.did, f.y,
+         |  CAST(sum(f.cnt * coalesce(w.w, 0)) AS BIGINT) AS m
+         |  FROM feats f LEFT JOIN w$rounds w USING (bucket) GROUP BY 1, 2)
+         |SELECT y, CAST(CASE WHEN m > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM mf GROUP BY 1, 2 ORDER BY y, pred""".stripMargin
+    (Seq(base) ++ laterRounds ++ Seq(finalSel)).mkString(",\n")
+  }
 }
