@@ -1480,6 +1480,27 @@ object GraftQueries {
         .orderBy("doc_id")
     },
 
+    // extension: ExactSubstr dedup (Lee et al. 2021) — maximal duplicated
+    // token spans at ARBITRARY offsets via overlapping 8-gram hashing +
+    // per-doc interval merge; boilerplate sentences are injected around
+    // the unique doc bodies (the real-world shape: shared headers/footers
+    // at shifted positions), and the operator cuts every occurrence
+    "q_exact_substr" -> { (s, d) =>
+      val boiler1 =
+        "terms of service apply all rights reserved click here to subscribe now"
+      val boiler2 =
+        "this site uses cookies to improve your overall browsing experience"
+      val docs = t(s, d)("documents").select(col("doc_id"),
+        concat(
+          when(pmod(col("doc_id"), lit(7L)) === 0, lit(boiler2 + " "))
+            .otherwise(lit("")),
+          col("text"),
+          when(pmod(col("doc_id"), lit(5L)) === 0, lit(" " + boiler1))
+            .otherwise(lit(""))).as("text"))
+      Corpus.exactSubstrDedup(docs, "doc_id", "text", minLen = 8)
+        .orderBy("doc_id")
+    },
+
     // extension: BM25 lexical relevance against a fixed query-term set —
     // contributions summed in sorted-term order (bit-reproducible)
     "q_bm25" -> { (s, d) =>
@@ -3381,6 +3402,53 @@ object GraftQueries {
         |  md5(coalesce(a.dtext, '')) AS text_hash
         |FROM sel s LEFT JOIN agg a ON s.doc_id = a.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    // ExactSubstr replay: same boilerplate injection, overlapping 8-gram
+    // md5s, count>1 dup filter, lag-based gaps-and-islands interval merge
+    // (touching intervals coalesce: gap <= 8), covered-position anti-join
+    "q_exact_substr" ->
+      """WITH base AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 7 = 0
+        |    THEN 'this site uses cookies to improve your overall browsing experience '
+        |    ELSE '' END) || text ||
+        |  (CASE WHEN doc_id % 5 = 0
+        |    THEN ' terms of service apply all rights reserved click here to subscribe now'
+        |    ELSE '' END) AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id,
+        |  list_filter(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' '),
+        |    x -> len(x) > 0) AS t FROM base),
+        |tok2 AS (SELECT * FROM tok WHERE len(t) > 0),
+        |grams AS (SELECT doc_id, p,
+        |    md5(array_to_string(t[p + 1:p + 8], ' ')) AS h
+        |  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 8)) AS p
+        |        FROM tok2 WHERE len(t) >= 8)),
+        |dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) > 1),
+        |ds AS (SELECT g.doc_id, g.p FROM grams g JOIN dup USING (h)),
+        |i0 AS (SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+        |      THEN 0 ELSE 1 END AS nw FROM ds),
+        |i1 AS (SELECT doc_id, p, sum(nw) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS UNBOUNDED PRECEDING) AS isl FROM i0),
+        |spans AS (SELECT doc_id, isl, min(p) AS s, max(p) + 8 AS e
+        |  FROM i1 GROUP BY 1, 2),
+        |cov AS (SELECT doc_id, unnest(generate_series(s, e - 1)) AS q FROM spans),
+        |pos AS (SELECT doc_id, q, t[q + 1] AS tok
+        |  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1)) AS q
+        |        FROM tok2)),
+        |kept AS (SELECT p.doc_id, p.q, p.tok FROM pos p
+        |  ANTI JOIN cov c ON p.doc_id = c.doc_id AND p.q = c.q),
+        |clean AS (SELECT doc_id,
+        |    array_to_string(list(tok ORDER BY q), ' ') AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(e - s) AS BIGINT) AS n_dup_tokens FROM spans GROUP BY 1)
+        |SELECT t2.doc_id, CAST(len(t2.t) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(st.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+        |  CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+        |  coalesce(clean.clean_text, '') AS clean_text
+        |FROM tok2 t2 LEFT JOIN st USING (doc_id) LEFT JOIN clean USING (doc_id)
+        |ORDER BY t2.doc_id""".stripMargin,
 
     // BM25, terms (spark, vector, window), k1=1.2, b=0.75; contributions
     // summed in sorted-term order exactly like the Spark side

@@ -1084,6 +1084,79 @@ object Corpus {
     topKPerGroupAgg(keyed, groupCol, "sample_key", idCol, k)
   }
 
+  /** Exact-substring deduplication (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr tool):
+    * find every maximal token span whose content occurs more than once in
+    * the corpus — at ANY offset, across or within documents — and cut all
+    * occurrences (the published semantics). The paper's suffix array is
+    * re-expressed distributively: hash every OVERLAPPING `minLen`-gram
+    * (vs [[spanDedup]]'s fixed non-overlapping windows, which miss
+    * duplicates at shifted offsets); a duplicated substring of length ≥
+    * minLen exists iff each of its minLen-grams is duplicated, so the
+    * per-doc union of duplicated gram intervals [p, p+minLen), merged
+    * where they overlap or touch, is exactly the maximal duplicated span
+    * set.
+    *
+    * Scale shape: the gram table is ≈ one row per corpus token (the same
+    * cost class as any shingle operator), keyed on the gram hash; the
+    * duplicate filter is a map-side-combinable count. Interval merge is a
+    * per-document window (docs are bounded; the corpus never sorts
+    * globally). Span removal explodes covered positions (≤ doc length)
+    * and anti-joins the positioned tokens — all keyed, no driver paths.
+    *
+    * Output: (id, n_tokens, n_dup_tokens, n_spans, clean_text) — docs made
+    * entirely of duplicated text come back with clean_text = "". Tokens
+    * are the shared normalizer's (case-folded, whitespace-collapsed), and
+    * clean_text is their space-joined reassembly.
+    */
+  def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 10): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    val toks = df.select(col(idCol).as("_id"),
+      filter(split(Dedup.normalize(col(textCol)), " "),
+        t => length(t) > 0).as("_t"))
+      .where(size(col("_t")) > 0)
+    val grams = toks.where(size(col("_t")) >= minLen)
+      .select(col("_id"), explode(transform(
+        sequence(lit(0), size(col("_t")) - minLen),
+        p => struct(p.as("p"),
+          md5(concat_ws(" ", slice(col("_t"), p + 1, lit(minLen)))).as("h"))))
+        .as("_g"))
+      .select(col("_id"), col("_g.p").as("_p"), col("_g.h").as("_h"))
+    val dupHashes = grams.groupBy("_h").agg(count(lit(1)).as("_c"))
+      .where(col("_c") > 1)
+    val dupStarts = grams.join(dupHashes.select("_h"), "_h").select("_id", "_p")
+    // gaps-and-islands: a new span starts when the previous duplicated gram
+    // cannot reach this one ([p_prev, p_prev+minLen) ∪ [p, p+minLen) is
+    // contiguous iff p − p_prev ≤ minLen; lag=null on the first row → 1)
+    val w = Window.partitionBy("_id").orderBy("_p")
+    val islands = dupStarts
+      .withColumn("_new",
+        when(col("_p") - lag("_p", 1).over(w) <= minLen, 0).otherwise(1))
+      .withColumn("_isl", sum("_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("_id", "_isl")
+      .agg(min("_p").as("_s"), (max("_p") + minLen).as("_e"))
+    val covered = islands.select(col("_id"),
+      explode(sequence(col("_s"), col("_e") - 1)).as("_q"))
+    val pos = toks.select(col("_id"),
+      posexplode(col("_t")).as(Seq("_q", "_tok")))
+    val clean = pos.join(covered, Seq("_id", "_q"), "left_anti")
+      .groupBy("_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("_q").as("q"), col("_tok").as("tok")))),
+        s => s.getField("tok"))).as("clean_text"))
+    val stats = islands.groupBy("_id").agg(
+      count(lit(1)).as("n_spans"), sum(col("_e") - col("_s")).as("n_dup_tokens"))
+    toks.select(col("_id"), size(col("_t")).cast("long").as("n_tokens"))
+      .join(stats, Seq("_id"), "left")
+      .join(clean, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).cast("long").as("n_dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).cast("long").as("n_spans"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   // ------------------------------------------------------------ classifier
 
   /** Hashed-unigram feature table for the perceptron: one row per
