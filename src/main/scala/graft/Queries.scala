@@ -1883,6 +1883,20 @@ object GraftQueries {
       GraphAlgos.triangleCounts(e, "src", "dst").orderBy("node")
     },
 
+    // extension: Adamic–Adar link prediction over the co-purchase graph —
+    // non-adjacent distance-2 pairs scored by Σ 1/ln(deg) of shared
+    // neighbors (micro-unit-quantized per center → order-free sums)
+    "q_adamic_adar" -> { (s, d) =>
+      import graft.graph.GraphAlgos
+      val p = t(s, d)("lineitem").where(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val e = p.as("x").join(p.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(concat(lit("p"), col("x.p")).as("src"),
+          concat(lit("p"), col("y.p")).as("dst"))
+      GraphAlgos.adamicAdar(e, "src", "dst", maxDegree = 40, topK = 50)
+    },
+
     // extension: capped bipartite projection — supplier–supplier
     // co-occurrence via shared parts, mega-hub-bounded
     "q_bipartite_project" -> { (s, d) =>
@@ -4020,6 +4034,31 @@ object GraftQueries {
         |SELECT node, CAST(count(*) AS BIGINT) AS triangles
         |FROM (SELECT unnest([lo, u, v]) AS node FROM tri)
         |GROUP BY 1 ORDER BY node""".stripMargin,
+
+    // Adamic–Adar: same wedge construction; contribution quantized once
+    // per center degree (round(1e6/ln d) — verified > 1.6e-3 from any
+    // rounding boundary for deg 2..100, so 1-ulp ln differences are safe)
+    "q_adamic_adar" ->
+      """WITH p AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |e0 AS (SELECT 'p' || x.pk AS sa, 'p' || y.pk AS sb
+        |  FROM p x JOIN p y ON x.ok = y.ok AND x.pk < y.pk),
+        |und AS (SELECT DISTINCT least(sa, sb) AS a, greatest(sa, sb) AS b
+        |  FROM e0 WHERE sa <> sb),
+        |adj AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+        |deg AS (SELECT a AS w, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+        |cent AS (SELECT w, CAST(round(1000000.0 / ln(deg)) AS BIGINT) AS q
+        |  FROM deg WHERE deg BETWEEN 2 AND 40),
+        |ws AS (SELECT c.w, adj.b AS n, c.q FROM adj JOIN cent c ON adj.a = c.w),
+        |pr AS (SELECT x.n AS a, y.n AS b, x.q
+        |  FROM ws x JOIN ws y ON x.w = y.w AND x.n < y.n),
+        |sc AS (SELECT pr.a, pr.b, CAST(count(*) AS BIGINT) AS n_common,
+        |    CAST(sum(pr.q) AS BIGINT) AS sq
+        |  FROM pr ANTI JOIN und u ON pr.a = u.a AND pr.b = u.b
+        |  GROUP BY 1, 2)
+        |SELECT a AS node_a, b AS node_b, n_common,
+        |  round(CAST(sq AS DOUBLE) / 1000000.0, 4) AS aa_score
+        |FROM sc ORDER BY sq DESC, a, b LIMIT 50""".stripMargin,
 
     "q_bipartite_project" ->
       """WITH d AS (SELECT DISTINCT 's' || l_suppkey AS l, 'p' || l_partkey AS r

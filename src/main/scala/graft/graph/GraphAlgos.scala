@@ -523,6 +523,52 @@ object GraphAlgos {
             (col("deg") * (col("deg") - 1)), 4)).as("coef"))
   }
 
+  /** Adamic–Adar link prediction: for every NON-adjacent node pair (a, b)
+    * at distance 2, score(a,b) = Σ_{w ∈ N(a)∩N(b)} 1/ln(deg w) — common
+    * neighbors weighted down by how promiscuous they are (Adamic & Adar
+    * 2003), the classic "which edges are missing" signal for graph
+    * completion / related-item mining.
+    *
+    * Determinism: each center's 1/ln(deg) contribution is quantized ONCE
+    * to integer micro-units (one fixed-shape double op per distinct
+    * degree), so per-pair sums are order-free and cross-engine exact —
+    * the same contract as [[harmonicCentrality]]. Output ranks by the
+    * integer sum with a (a, b) tiebreak, so top-k is total-ordered.
+    *
+    * Scale shape: wedges come from one self-join of the adjacency list on
+    * the center node — the quadratic mega-hub blowup is bounded by
+    * `maxDegree` (hubs above it are dropped as centers, the same
+    * deterministic cap as [[bipartiteProject]]; their contribution
+    * 1/ln(deg) is the smallest anyway). The already-adjacent filter is an
+    * anti-join on the undirected edge set. No windows, no driver paths.
+    */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDegree: Int = 100, topK: Int = 100): DataFrame = {
+    require(maxDegree >= 2, "maxDegree must be >= 2")
+    require(topK >= 1, "topK must be positive")
+    val und = edges.select(
+      least(col(srcCol).cast("string"), col(dstCol).cast("string")).as("a"),
+      greatest(col(srcCol).cast("string"), col(dstCol).cast("string")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val adj = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = adj.groupBy(col("a").as("w")).agg(count(lit(1)).as("deg"))
+    // centers with deg ∈ [2, maxDegree]; quantized contribution per center
+    val centers = deg.where(col("deg") >= 2 && col("deg") <= maxDegree)
+      .withColumn("_q", round(lit(1e6) / log(col("deg"))).cast("long"))
+    val wedgeSide = adj.join(centers, adj("a") === centers("w"))
+      .select(col("w"), col("b").as("n"), col("_q"))
+    val pairs = wedgeSide.as("x").join(wedgeSide.as("y"),
+      col("x.w") === col("y.w") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("a"), col("y.n").as("b"), col("x._q").as("_q"))
+    val scored = pairs.join(und, Seq("a", "b"), "left_anti")
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"), sum("_q").as("_sq"))
+    scored.orderBy(col("_sq").desc, col("a"), col("b")).limit(topK)
+      .select(col("a").as("node_a"), col("b").as("node_b"),
+        col("n_common"),
+        round(col("_sq").cast("double") / 1e6, 4).as("aa_score"))
+  }
+
   /** Deterministic random walks (the node2vec/DeepWalk sampling kernel):
     * `walksPerSeed` walks of `steps` hops from every seed; at each hop a
     * walk moves to the out-neighbor minimizing md5(walk_id:step:neighbor)
