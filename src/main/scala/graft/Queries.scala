@@ -393,6 +393,20 @@ object GraftQueries {
         .orderBy("query_id", "rank")
     },
 
+    // extension: product quantization — 64-d float vectors compressed to
+    // 8 byte-codes against an md5-sampled codebook; ADC top-k scans the
+    // codes, never the floats (squared-L2 subspace LUT sums; fixed-shape
+    // IEEE math, no transcendentals → bit-exact oracle replay)
+    "q_pq_topk" -> { (s, d) =>
+      val emb = t(s, d)("embeddings")
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
+        m = 8, ksub = 16, dim = 64)
+      val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      Similarity.pqTopK(emb.where(col("vec_id") < 10), enc, "vec_id",
+        "embedding", cb, k = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // extension: multimodal binary column metadata
 
     "q_multimodal_meta" -> { (s, d) =>
@@ -2473,6 +2487,44 @@ object GraftQueries {
         |SELECT query_id, CAST(row_number() OVER w AS BIGINT) AS rank, neighbor_id, cos
         |FROM scored
         |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // PQ replay: md5-ordered 16-vector codebook, per-subspace argmin
+    // encode (first-min tiebreak on c = Spark's array_position), nested
+    // ascending list_sums for ADC — bit-identical IEEE sequences
+    "q_pq_topk" ->
+      """WITH cb AS (SELECT row_number() OVER
+        |    (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
+        |    embedding
+        |  FROM embeddings
+        |  QUALIFY row_number() OVER
+        |    (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+        |cbl AS (SELECT list(embedding ORDER BY c) AS cbs FROM cb),
+        |dists AS (SELECT e.vec_id, g.s, cb.c,
+        |    list_sum(list_transform(generate_series(1, 8), d ->
+        |      (CAST(e.embedding[g.s*8+d] AS DOUBLE) - CAST(cb.embedding[g.s*8+d] AS DOUBLE))
+        |      * (CAST(e.embedding[g.s*8+d] AS DOUBLE) - CAST(cb.embedding[g.s*8+d] AS DOUBLE))))
+        |      AS dist
+        |  FROM embeddings e, generate_series(0, 7) g(s), cb),
+        |enc0 AS (SELECT vec_id, s, c AS code FROM dists
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) = 1),
+        |enc AS (SELECT vec_id, list(code ORDER BY s) AS codes
+        |  FROM enc0 GROUP BY 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 10),
+        |ad AS (SELECT q.query_id, en.vec_id AS neighbor_id,
+        |    list_sum(list_transform(generate_series(0, 7), s ->
+        |      list_sum(list_transform(generate_series(1, 8), d ->
+        |        (CAST(q.qv[s*8+d] AS DOUBLE) - CAST(cbl.cbs[en.codes[s+1]+1][s*8+d] AS DOUBLE))
+        |        * (CAST(q.qv[s*8+d] AS DOUBLE) - CAST(cbl.cbs[en.codes[s+1]+1][s*8+d] AS DOUBLE))))))
+        |      AS adist
+        |  FROM q, enc en, cbl WHERE q.query_id <> en.vec_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS rank,
+        |  neighbor_id, round(adist, 4) AS adist
+        |FROM ad
+        |WINDOW w AS (PARTITION BY query_id ORDER BY adist, neighbor_id)
         |QUALIFY row_number() OVER w <= 5
         |ORDER BY query_id, rank""".stripMargin,
 

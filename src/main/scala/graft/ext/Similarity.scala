@@ -326,6 +326,104 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("_rk").as("rank"))
   }
 
+  // ---------------------------------------------------------------- PQ
+
+  /** Product-quantization codebook (Jégou et al. 2011, "Product
+    * quantization for nearest neighbor search"): split the `dim`-d space
+    * into `m` subspaces of dim/m dims; each subspace's `ksub` centroids
+    * are the corresponding subvectors of a deterministic training sample —
+    * the `ksub` vectors with smallest md5(id) (engine-portable uniform
+    * draw; a random-sample codebook is the published baseline the k-means
+    * refinement starts from, and k-means float iteration would not be
+    * cross-engine exact). Returns codebook(s)(c)(d) — m × ksub × dim/m
+    * doubles, driver-small like any trained model.
+    */
+  def pqCodebook(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, dim: Int): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val train = df
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(ksub)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(train.length == ksub, s"need >= $ksub training vectors")
+    Array.tabulate(m, ksub)((s, c) => train(c).slice(s * dsub, (s + 1) * dsub))
+  }
+
+  /** PQ-encode every vector: codes(s) = index of the nearest subspace
+    * centroid (squared L2, ascending-index summation, first-minimum
+    * tiebreak — all bit-exact cross-engine: fixed-shape IEEE adds/muls,
+    * no transcendentals). Output (id, codes array<int> of length m) —
+    * dim × 4 bytes compressed to m codes, the 100 TB memory story.
+    *
+    * Scale shape: narrow per-row expression math against the codebook
+    * shipped as plan literals; no shuffle, no fit pass beyond
+    * [[pqCodebook]]'s ksub-row sample collect.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebook: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebook.length
+    val ksub = codebook(0).length
+    val dsub = codebook(0)(0).length
+    val x = col(vecCol).cast("array<double>")
+    def sqd(s: Int, c: Int): Column =
+      (0 until dsub).map { d =>
+        val diff = element_at(x, s * dsub + d + 1) - lit(codebook(s)(c)(d))
+        diff * diff
+      }.reduceLeft(_ + _)
+    val codes = array((0 until m).map { s =>
+      val dists = array((0 until ksub).map(c => sqd(s, c)): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+    df.select(col(idCol), codes.as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: the query
+    * stays full-precision; each corpus vector's distance is approximated
+    * as Σ_s ‖q_s − centroid(codes_s)‖² — a per-subspace lookup-table sum,
+    * never touching the original corpus floats. LUTs are computed on the
+    * driver per query (m × ksub doubles — the same IEEE op sequence as
+    * the oracle) and folded into the plan as literals; ranking is the
+    * bounded-heap top-k (ascending distance, id tiebreak). Queries are a
+    * driver-small set by contract, like [[bruteForceTopK]]'s broadcast
+    * side. Output: (query_id, rank, neighbor_id, adist).
+    */
+  def pqTopK(queries: DataFrame, encoded: DataFrame, idCol: String,
+      vecCol: String, codebook: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val m = codebook.length
+    val ksub = codebook(0).length
+    val dsub = codebook(0)(0).length
+    val qs = queries.select(col(idCol).as("_qid"),
+      col(vecCol).cast("array<double>").as("_qv"))
+      .collect().map(r => (r.get(0), r.getSeq[Double](1).toArray))
+    require(qs.nonEmpty, "empty query set")
+    val perQuery = qs.map { case (qid, qv) =>
+      val lut = Array.tabulate(m, ksub) { (s, c) =>
+        var acc = 0.0
+        var d = 0
+        while (d < dsub) { // ascending-index fold, same shape as the oracle
+          val diff = qv(s * dsub + d) - codebook(s)(c)(d)
+          acc += diff * diff
+          d += 1
+        }
+        acc
+      }
+      val adist = (0 until m).map { s =>
+        element_at(lit(lut(s)), element_at(col("codes"), s + 1) + 1)
+      }.reduceLeft(_ + _)
+      encoded.where(col(idCol) =!= lit(qid))
+        .select(lit(qid).as("query_id"), col(idCol).as("neighbor_id"),
+          adist.as("_adist"))
+    }.reduce(_ unionAll _)
+    graft.ext.Corpus.topKPerGroupAgg(
+      perQuery.select(col("query_id"), col("neighbor_id"),
+        negate(col("_adist")).as("_nad")),
+      "query_id", "_nad", "neighbor_id", k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(-col("_nad"), 4).as("adist"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (exact within a restricted set, or
     * LSH-bucketed at scale): pairs with cosine ≥ minCos.
     *
