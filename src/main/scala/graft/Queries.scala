@@ -1494,6 +1494,16 @@ object GraftQueries {
         .orderBy("doc_id")
     },
 
+    // extension: dictionary phrase tagging — gazetteer counts at any
+    // offset; one corpus pass per distinct phrase LENGTH joined against
+    // the broadcast dictionary (never a scan per phrase)
+    "q_dict_tag" -> { (s, d) =>
+      TextAnalysis.dictionaryTag(t(s, d)("documents"), "doc_id", "text",
+        Seq("table hash", "part filter", "customer join", "spark",
+          "slow key scan"))
+        .orderBy("doc_id", "phrase")
+    },
+
     // extension: ExactSubstr dedup (Lee et al. 2021) — maximal duplicated
     // token spans at ARBITRARY offsets via overlapping 8-gram hashing +
     // per-doc interval merge; boilerplate sentences are injected around
@@ -3468,6 +3478,26 @@ object GraftQueries {
         |  md5(coalesce(a.dtext, '')) AS text_hash
         |FROM sel s LEFT JOIN agg a ON s.doc_id = a.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    // dictionary tagging replay: per-length position n-grams joined to
+    // the phrase VALUES list; first_pos = min 0-based gram start
+    "q_dict_tag" ->
+      """WITH dict AS (SELECT * FROM (VALUES ('table hash', 2),
+        |    ('part filter', 2), ('customer join', 2), ('spark', 1),
+        |    ('slow key scan', 3)) d(phrase, plen)),
+        |tok AS (SELECT doc_id,
+        |  list_filter(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' '),
+        |    x -> len(x) > 0) AS t FROM documents),
+        |tok2 AS (SELECT * FROM tok WHERE len(t) > 0),
+        |grams AS (SELECT doc_id, p,
+        |    array_to_string(t[p + 1:p + plen], ' ') AS g
+        |  FROM (SELECT doc_id, t, plen, unnest(generate_series(0, len(t) - plen)) AS p
+        |        FROM tok2, (SELECT DISTINCT plen FROM dict) L
+        |        WHERE len(t) >= plen))
+        |SELECT g.doc_id, d.phrase, CAST(count(*) AS BIGINT) AS n_matches,
+        |  CAST(min(g.p) AS BIGINT) AS first_pos
+        |FROM grams g JOIN dict d ON g.g = d.phrase
+        |GROUP BY 1, 2 ORDER BY g.doc_id, d.phrase""".stripMargin,
 
     // ExactSubstr replay: same boilerplate injection, overlapping 8-gram
     // md5s, count>1 dup filter, lag-based gaps-and-islands interval merge

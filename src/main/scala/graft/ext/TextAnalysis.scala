@@ -173,6 +173,52 @@ object TextAnalysis {
       .otherwise(round(least(folded.cast("double") / totalChars, lit(1.0)), 4))
   }
 
+  /** Dictionary phrase tagging (gazetteer / taxonomy / term-list
+    * annotation): count every occurrence of each dictionary phrase in each
+    * document — the distributed core of keyword taggers (FlashText-class
+    * tooling, public technique): PII term lists, topic taxonomies,
+    * product-name gazetteers. Multi-word phrases match at ANY token
+    * offset; overlapping occurrences all count.
+    *
+    * Scale shape: the corpus explodes once per DISTINCT phrase LENGTH
+    * (almost always 1–3), emitting position-joined token n-grams that
+    * join against the broadcast phrase table — never a scan per phrase,
+    * so a 10k-entry dictionary costs the same passes as a 10-entry one.
+    * Phrases are normalized with the shared normalizer at plan build.
+    * Output: (id, phrase, n_matches, first_pos) — only matched (doc,
+    * phrase) pairs appear.
+    */
+  def dictionaryTag(df: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "empty phrase dictionary")
+    val normed = phrases.map(_.toLowerCase.trim.replaceAll("\\s+", " "))
+      .filter(_.nonEmpty).distinct
+    val byLen = normed.groupBy(_.split(" ").length)
+    val toks = df.select(col(idCol).as("_id"),
+      filter(split(Dedup.normalize(col(textCol)), " "),
+        t => length(t) > 0).as("_t"))
+      .where(size(col("_t")) > 0)
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.broadcast
+    val grams = byLen.keys.toSeq.sorted.map { len =>
+      toks.where(size(col("_t")) >= len)
+        .select(col("_id"), explode(transform(
+          sequence(lit(0), size(col("_t")) - len),
+          p => struct(p.as("p"),
+            concat_ws(" ", slice(col("_t"), p + 1, lit(len))).as("g")))).as("_e"))
+        .select(col("_id"), col("_e.p").as("_p"), col("_e.g").as("_g"))
+    }.reduce(_ unionAll _)
+    val dict = {
+      import spark.implicits._
+      normed.toDF("phrase")
+    }
+    grams.join(broadcast(dict), grams("_g") === dict("phrase"))
+      .groupBy(col("_id"), col("phrase"))
+      .agg(count(lit(1)).as("n_matches"), min(col("_p")).cast("long").as("first_pos"))
+      .select(col("_id").as(idCol), col("phrase"), col("n_matches"),
+        col("first_pos"))
+  }
+
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, public
     * heuristics): keep only lines that end in terminal punctuation
     * (`. ! ? "`), carry at least `minLineWords` words, and don't mention
