@@ -645,6 +645,31 @@ object GraftQueries {
         .orderBy("query_id", "rank")
     },
 
+    // extension: ANN recall measurement — per-query recall@5 of the LSH
+    // ANN against the exact brute-force top-5 (both deterministic via the
+    // md5 hyperplanes, so the recall NUMBER itself is oracle-checkable).
+    // bits=4 × 5 probes scans ~31% of buckets for ~0.58 mean recall on
+    // these (synthetic, near-isotropic) vectors — the measured tradeoff
+    // is the point: this harness is how a config gets chosen at scale
+    "q_ann_recall" -> { (s, d) =>
+      val emb = t(s, d)("embeddings")
+      val q = emb.where(col("vec_id") < 10)
+      val ann = Similarity.annTopK(q, emb, "vec_id", "embedding", k = 5,
+        bits = 4, dim = 64, multiprobe = 4,
+        planesOverride = Some(Similarity.md5Hyperplanes(bits = 4, dim = 64)))
+        .select(col("query_id"), col("neighbor_id"))
+      val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = bf.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)) / lit(5.0), 4).as("recall"))
+        .orderBy("query_id")
+    },
+
     // §2.3 bare descend: iterate the sole array column (list-root documents)
     "q_descend_bare" -> { (s, d) =>
       val nested = nestedInput(s, d) // shared persisted fixture input
@@ -3000,6 +3025,64 @@ object GraftQueries {
         |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
         |QUALIFY row_number() OVER w <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // recall@5: ANN top-5 (same md5-hyperplane replay as q_ann_topk) ∩
+    // exact brute-force top-5 (q_embed_topk's scan), counted per query
+    "q_ann_recall" ->
+      """WITH pw AS (SELECT j, d,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      p -> (strpos('0123456789abcdef',
+        |              substring(md5('p:' || j || ':' || d), p, 1)) - 1)
+        |           * CAST(power(16, 8 - p) AS BIGINT))) / 2147483648.0 - 1.0 AS w
+        |  FROM (SELECT unnest(generate_series(0, 3)) AS j) jj,
+        |       (SELECT unnest(generate_series(0, 63)) AS d) dd),
+        |pl AS (SELECT j, list(w ORDER BY d) AS p FROM pw GROUP BY j),
+        |cb AS (SELECT e.vec_id, SUM(CASE WHEN
+        |    list_reduce(list_transform(generate_series(1, 64),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i]), (acc, x) -> acc + x) >= 0
+        |    THEN CAST(1 AS BIGINT) << pl.j ELSE 0 END) AS bucket
+        |  FROM embeddings e, pl GROUP BY e.vec_id),
+        |qb AS (SELECT e.vec_id AS query_id, e.embedding AS qv, cb.bucket AS b0
+        |  FROM embeddings e JOIN cb ON cb.vec_id = e.vec_id WHERE e.vec_id < 10),
+        |probes AS (SELECT query_id, qv, unnest([b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8)]) AS bucket
+        |  FROM qb),
+        |ascored AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+        |  round(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(p.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(p.qv[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))), 4)
+        |    AS cos
+        |  FROM probes p JOIN cb ON cb.bucket = p.bucket
+        |  JOIN embeddings e ON e.vec_id = cb.vec_id
+        |  WHERE p.query_id <> e.vec_id),
+        |annr AS (SELECT query_id, neighbor_id FROM ascored
+        |  QUALIFY row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5),
+        |bscored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |  round(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))), 4)
+        |    AS cos
+        |  FROM (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |        WHERE vec_id < 10) q,
+        |       embeddings c WHERE q.query_id <> c.vec_id),
+        |bfr AS (SELECT query_id, neighbor_id FROM bscored
+        |  QUALIFY row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5),
+        |hits AS (SELECT b.query_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM bfr b SEMI JOIN annr a
+        |    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+        |  GROUP BY 1)
+        |SELECT q0.query_id, CAST(coalesce(hits.n, 0) AS BIGINT) AS n_hits,
+        |  round(coalesce(hits.n, 0) / 5.0, 4) AS recall
+        |FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q0
+        |LEFT JOIN hits USING (query_id)
+        |ORDER BY q0.query_id""".stripMargin,
 
     // thresholds are the first 8 md5 hex chars of the cumulative split
     // fractions: 0.8 → 0xCCCCCCCC, 0.9 → 0xE6666666 (Corpus.hexThreshold)
