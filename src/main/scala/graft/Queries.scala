@@ -103,6 +103,20 @@ object GraftQueries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    // §2.7 extension: explicit GROUPING SETS (the general form rollup and
+    // cube compile to) — Spark plans one Expand + one aggregate, not one
+    // scan per set
+    "q_grouping_sets" -> { (s, d) =>
+      t(s, d)("orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+          |  (o_orderstatus, o_orderpriority))
+          |ORDER BY o_orderstatus ASC NULLS FIRST,
+          |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+    },
+
     // §2.7 extension: CUBE over two dimensions
     "q_cube" -> { (s, d) =>
       t(s, d)("orders")
@@ -2332,6 +2346,12 @@ object GraftQueries {
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus),
+        |  (o_orderpriority), (o_orderstatus, o_orderpriority))
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "q_window_rank" ->

@@ -366,16 +366,34 @@ object Similarity {
     val m = codebook.length
     val ksub = codebook(0).length
     val dsub = codebook(0)(0).length
-    val x = col(vecCol).cast("array<double>")
-    def sqd(s: Int, c: Int): Column =
-      (0 until dsub).map { d =>
-        val diff = element_at(x, s * dsub + d + 1) - lit(codebook(s)(c)(d))
-        diff * diff
-      }.reduceLeft(_ + _)
-    val codes = array((0 until m).map { s =>
-      val dists = array((0 until ksub).map(c => sqd(s, c)): _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }: _*)
+    // Codebook ships as ONE nested literal and the argmin runs as
+    // higher-order-function loops: an unrolled m×ksub×dsub expression
+    // tree (~1k terms) costs seconds of codegen compile per plan, which
+    // dominates when this is re-planned per batch. Fold order (ascending
+    // d, leading 0.0) and first-minimum tiebreak are unchanged —
+    // 0.0 + t is IEEE-exact for the non-negative squared terms, so the
+    // oracle replay stays bit-identical. The vector element is indexed
+    // RAW and cast as a scalar (float→double is exact, and it is what
+    // the oracle's CAST(v[i] AS DOUBLE) does): a whole-array cast
+    // inlined into the lambda re-converts all `dim` elements on every
+    // one of the m×ksub×dsub loop steps — measured 70× slower.
+    val cb = typedLit(codebook.map(_.map(_.toSeq).toSeq).toSeq)
+    val x = col(vecCol)
+    // argmin = array_min over (dist, c) structs: struct ordering is
+    // lexicographic, so equal distances tie-break to the smallest c —
+    // the same first-minimum contract as array_position — while
+    // evaluating each distance once (position-of-min scans dists twice).
+    val codes = transform(sequence(lit(0), lit(m - 1)), s => {
+      val dists = transform(sequence(lit(0), lit(ksub - 1)), c =>
+        struct(
+          aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0), (acc, d) => {
+            val diff = element_at(x, (s * lit(dsub) + d + 1).cast("int")).cast("double") -
+              element_at(element_at(element_at(cb, s + 1), c + 1), d + 1)
+            acc + diff * diff
+          }).as("d"),
+          c.cast("int").as("c")))
+      array_min(dists).getField("c")
+    })
     df.select(col(idCol), codes.as("codes"))
   }
 
@@ -398,7 +416,12 @@ object Similarity {
       col(vecCol).cast("array<double>").as("_qv"))
       .collect().map(r => (r.get(0), r.getSeq[Double](1).toArray))
     require(qs.nonEmpty, "empty query set")
-    val perQuery = qs.map { case (qid, qv) =>
+    // ONE corpus scan: each query's ADC distance is m LUT lookups against
+    // the same codes row, exploded from a literal-backed struct array. A
+    // per-query unionAll would re-plan (and re-codegen) the large encode
+    // expression once per query — plan-compile cost scales with queries
+    // even when the corpus is small.
+    val perQuery = array(qs.map { case (qid, qv) =>
       val lut = Array.tabulate(m, ksub) { (s, c) =>
         var acc = 0.0
         var d = 0
@@ -412,12 +435,15 @@ object Similarity {
       val adist = (0 until m).map { s =>
         element_at(lit(lut(s)), element_at(col("codes"), s + 1) + 1)
       }.reduceLeft(_ + _)
-      encoded.where(col(idCol) =!= lit(qid))
-        .select(lit(qid).as("query_id"), col(idCol).as("neighbor_id"),
-          adist.as("_adist"))
-    }.reduce(_ unionAll _)
+      struct(lit(qid).as("query_id"), adist.as("_adist"))
+    }: _*)
+    val scored = encoded
+      .select(col(idCol).as("neighbor_id"), explode(perQuery).as("_q"))
+      .select(col("_q.query_id").as("query_id"), col("neighbor_id"),
+        col("_q._adist").as("_adist"))
+      .where(col("query_id") =!= col("neighbor_id"))
     graft.ext.Corpus.topKPerGroupAgg(
-      perQuery.select(col("query_id"), col("neighbor_id"),
+      scored.select(col("query_id"), col("neighbor_id"),
         negate(col("_adist")).as("_nad")),
       "query_id", "_nad", "neighbor_id", k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
