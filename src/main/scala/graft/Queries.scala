@@ -421,6 +421,18 @@ object GraftQueries {
         .orderBy("query_id", "rank")
     },
 
+    // extension: margin-based bitext mining (LASER/CCMatrix recipe) —
+    // mutual best-margin pairs across a parity split of the embedding
+    // corpus; quantized cosines make every sum order-free-exact
+    "q_bitext_mine" -> { (s, d) =>
+      val emb = t(s, d)("embeddings")
+      Similarity.bitextMine(
+        emb.where(pmod(col("vec_id"), lit(2)) === 0),
+        emb.where(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", k = 4)
+        .orderBy("src_id")
+    },
+
     // extension: multimodal binary column metadata
 
     "q_multimodal_meta" -> { (s, d) =>
@@ -1608,6 +1620,23 @@ object GraftQueries {
         .orderBy("probe")
     },
 
+    // extension: Bloom-filter semi-join pruning — a 4096-bit md5 bitmap
+    // over one nation's customer keys, probed as narrow column math on
+    // the orders scan (no join, no shuffle on the fact side); output
+    // keeps the false positives visible via the exact `member` flag
+    "q_bloom_prune" -> { (s, d) =>
+      import graft.ext.Sketch
+      val build = t(s, d)("customer").where(col("c_nationkey") === 1)
+        .select(col("c_custkey"))
+      val bitmap = Sketch.bloomBuild(build, "c_custkey", mBits = 4096, kHash = 3)
+      t(s, d)("orders").select(col("o_custkey")).distinct()
+        .where(Sketch.bloomMightContain(col("o_custkey"), bitmap, 4096, 3))
+        .join(build.withColumn("member", lit(true)),
+          col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_custkey"), coalesce(col("member"), lit(false)).as("member"))
+        .orderBy("o_custkey")
+    },
+
     // extension: deterministic weighted sampling without replacement
     // (Efraimidis-Spirakis A-ES, md5 uniform draws) — 50 docs ∝ length
     "q_weighted_sample" -> { (s, d) =>
@@ -2600,6 +2629,46 @@ object GraftQueries {
         |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
         |QUALIFY row_number() OVER w <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // bitext mining replay: quantized cosine candidates, per-endpoint
+    // integer top-k sums, fixed-shape margin, mutual best-margin join
+    "q_bitext_mine" ->
+      """WITH a AS (SELECT vec_id AS src_id, embedding AS v FROM embeddings
+        |  WHERE vec_id % 2 = 0),
+        |b AS (SELECT vec_id AS tgt_id, embedding AS v FROM embeddings
+        |  WHERE vec_id % 2 = 1),
+        |p AS (SELECT src_id, tgt_id,
+        |  CAST(round(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))))) * 10000)
+        |    AS BIGINT) AS c
+        |  FROM a, b),
+        |ka AS (SELECT src_id, tgt_id, c FROM p QUALIFY
+        |  row_number() OVER (PARTITION BY src_id ORDER BY c DESC, tgt_id) <= 4),
+        |kb AS (SELECT src_id, tgt_id, c FROM p QUALIFY
+        |  row_number() OVER (PARTITION BY tgt_id ORDER BY c DESC, src_id) <= 4),
+        |sa AS (SELECT src_id, CAST(sum(c) AS BIGINT) AS sa, count(*) AS ka
+        |  FROM ka GROUP BY 1),
+        |sb AS (SELECT tgt_id, CAST(sum(c) AS BIGINT) AS sb, count(*) AS kb
+        |  FROM kb GROUP BY 1),
+        |ma AS (SELECT k.src_id, k.tgt_id,
+        |    CAST(k.c AS DOUBLE) / ((CAST(sa.sa AS DOUBLE) / CAST(sa.ka AS DOUBLE)
+        |      + CAST(sb.sb AS DOUBLE) / CAST(sb.kb AS DOUBLE)) / 2.0) AS margin
+        |  FROM ka k JOIN sa USING (src_id) JOIN sb USING (tgt_id)),
+        |mb AS (SELECT k.src_id, k.tgt_id,
+        |    CAST(k.c AS DOUBLE) / ((CAST(sa.sa AS DOUBLE) / CAST(sa.ka AS DOUBLE)
+        |      + CAST(sb.sb AS DOUBLE) / CAST(sb.kb AS DOUBLE)) / 2.0) AS margin
+        |  FROM kb k JOIN sa USING (src_id) JOIN sb USING (tgt_id)),
+        |ba AS (SELECT src_id, tgt_id, margin FROM ma QUALIFY
+        |  row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) = 1),
+        |bb AS (SELECT src_id, tgt_id FROM mb QUALIFY
+        |  row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) = 1)
+        |SELECT ba.src_id, ba.tgt_id, round(ba.margin, 4) AS margin
+        |FROM ba JOIN bb USING (src_id, tgt_id)
+        |ORDER BY src_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS content_md5
@@ -3746,6 +3815,31 @@ object GraftQueries {
         |  FROM events GROUP BY 1)
         |SELECT j.probe, j.estimate, ex.exact_count
         |FROM j JOIN ex USING (probe) ORDER BY probe""".stripMargin,
+
+    // Bloom replay: the bitmap is modeled as the SET of bit positions —
+    // a probe passes iff each of its 3 salted-md5 positions is present
+    "q_bloom_prune" ->
+      """WITH bkeys AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
+        |  FROM customer WHERE c_nationkey = 1),
+        |bset AS (SELECT DISTINCT
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      p -> (strpos('0123456789abcdef',
+        |              substring(md5(CAST(i AS VARCHAR) || ':' || k), p, 1)) - 1)
+        |           * CAST(power(16, 8 - p) AS BIGINT))) % 4096 AS pos
+        |  FROM bkeys, LATERAL (SELECT unnest(generate_series(0, 2)) AS i) u),
+        |probe AS (SELECT DISTINCT o_custkey FROM orders),
+        |pp AS (SELECT o_custkey, i,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      p -> (strpos('0123456789abcdef',
+        |              substring(md5(CAST(i AS VARCHAR) || ':' ||
+        |                CAST(o_custkey AS VARCHAR)), p, 1)) - 1)
+        |           * CAST(power(16, 8 - p) AS BIGINT))) % 4096 AS pos
+        |  FROM probe, LATERAL (SELECT unnest(generate_series(0, 2)) AS i) u),
+        |hits AS (SELECT o_custkey FROM pp LEFT JOIN bset ON pp.pos = bset.pos
+        |  GROUP BY o_custkey HAVING count(bset.pos) = 3)
+        |SELECT h.o_custkey, (b.k IS NOT NULL) AS member
+        |FROM hits h LEFT JOIN bkeys b ON CAST(h.o_custkey AS VARCHAR) = b.k
+        |ORDER BY h.o_custkey""".stripMargin,
 
     // A-ES weighted sample: u = (first-8-hex(md5(id)) + 1) / 2^32,
     // key = u^(1/weight), global top-50 by key

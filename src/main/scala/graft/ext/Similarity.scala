@@ -110,6 +110,64 @@ object Similarity {
         col("_id").as("match_id"), col("rrf"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    * parallel corpus mining in multilingual sentence embeddings" — the
+    * LASER/CCMatrix recipe): candidate pairs are each side's k nearest
+    * neighbors on the other side by cosine; a pair's margin divides its
+    * cosine by the mean of its two endpoints' average top-k cosines; a
+    * pair is mined when each endpoint is the other's best-margin
+    * candidate (the "max" strategy, mutual).
+    *
+    * Determinism: cosines are quantized to 1e-4 longs BEFORE the
+    * per-endpoint sums, so the sums are exact integers in any partition
+    * order; the margin is then one fixed-shape double expression over
+    * integer sums, and argmaxes tie-break on the candidate id (struct
+    * min — map-side combinable, no window).
+    *
+    * Scale shape: candidate generation here is the exact broadcast
+    * cross-product — bounded-contract like [[bruteForceTopK]] (one side
+    * driver-small). At corpus scale swap in [[annTopK]]-style bucketed
+    * candidates for both directions; everything from the quantized
+    * top-k on is keyed on endpoint ids and partial-aggregates.
+    *
+    * Output: (src_id, tgt_id, margin), one row per mined pair.
+    */
+  def bitextMine(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val a = src.select(col(idCol).as("src_id"), col(vecCol).as("_sv"))
+      .withColumn("_sn", norm(col("_sv")))
+    val b = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("_tv"))
+      .withColumn("_tn", norm(col("_tv")))
+    val pairs = a.crossJoin(broadcast(b))
+      .withColumn("c", round(dot(col("_sv"), col("_tv")) /
+        (col("_sn") * col("_tn")) * 10000).cast("long"))
+      .select("src_id", "tgt_id", "c")
+    val kA = graft.ext.Corpus.topKPerGroupAgg(pairs, "src_id", "c", "tgt_id", k)
+    val kB = graft.ext.Corpus.topKPerGroupAgg(pairs, "tgt_id", "c", "src_id", k)
+    val sA = kA.groupBy("src_id")
+      .agg(sum("c").as("_sa"), count(lit(1)).as("_ka"))
+    val sB = kB.groupBy("tgt_id")
+      .agg(sum("c").as("_sb"), count(lit(1)).as("_kb"))
+    def withMargin(cand: DataFrame): DataFrame = cand
+      .join(sA, Seq("src_id")).join(sB, Seq("tgt_id"))
+      .withColumn("margin",
+        col("c").cast("double") /
+          ((col("_sa").cast("double") / col("_ka").cast("double") +
+            col("_sb").cast("double") / col("_kb").cast("double")) / lit(2.0)))
+    val bestA = withMargin(kA)
+      .groupBy("src_id")
+      .agg(min(struct(negate(col("margin")).as("nm"), col("tgt_id").as("t"))).as("_b"))
+      .select(col("src_id"), col("_b.t").as("tgt_id"),
+        (negate(col("_b.nm")) + lit(0.0)).as("margin")) // +0.0 folds −0.0
+    val bestB = withMargin(kB)
+      .groupBy("tgt_id")
+      .agg(min(struct(negate(col("margin")).as("nm"), col("src_id").as("s"))).as("_b"))
+      .select(col("tgt_id"), col("_b.s").as("src_id"))
+    bestA.join(bestB, Seq("src_id", "tgt_id"))
+      .select(col("src_id"), col("tgt_id"), round(col("margin"), 4).as("margin"))
+  }
+
   /** Deterministic random hyperplanes: `planes(b)(d)` from a seeded RNG.
     * Materialized as a literal — tiny (bits × dim doubles), shipped with the
     * plan, no shuffle.

@@ -154,4 +154,54 @@ object Sketch {
       .na.fill(0L, Seq("cnt"))
       .groupBy("probe").agg(min(col("cnt")).as("estimate"))
   }
+
+  // ---------------------------------------------------------------- Bloom
+
+  /** The ONE bit-position hash shared by Bloom build and probe
+    * (Bloom 1970; k independent hashes via an index salt, the standard
+    * double-hash-free construction). Deterministic md5 → engine-portable.
+    */
+  private def bloomPos(i: Column, key: Column, mBits: Int): Column =
+    conv(substring(md5(concat(i.cast("string"), lit(":"), key)),
+      1, 8), 16, 10).cast("long") % mBits
+
+  /** Build a Bloom filter over `df.keyCol` as a driver-small bitmap
+    * (mBits/64 longs — 8 KB at mBits = 65536). The build is ONE
+    * map-side-combinable aggregate: rows explode to kHash bit positions,
+    * positions group to 64-bit words with `bit_or`, and the exchange
+    * carries at most mBits/64 rows regardless of input size. The returned
+    * bitmap ships to [[bloomMightContain]] as a plan literal — the
+    * 100 TB semi-join-pruning pattern (filter a huge fact scan by a
+    * dimension's key set with NO join and NO shuffle on the fact side;
+    * false positives only, rate (1−e^{−kn/m})^k).
+    */
+  def bloomBuild(df: DataFrame, keyCol: String, mBits: Int = 4096,
+      kHash: Int = 3): Array[Long] = {
+    require(mBits > 0 && mBits % 64 == 0, "mBits must be a positive multiple of 64")
+    require(kHash >= 1, "kHash must be positive")
+    val words = df.where(col(keyCol).isNotNull)
+      .select(explode(lit((0 until kHash).toArray)).as("i"),
+        col(keyCol).cast("string").as("_k"))
+      .withColumn("pos", bloomPos(col("i"), col("_k"), mBits))
+      .select(shiftright(col("pos"), 6).as("word"),
+        call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int")).as("_mask"))
+      .groupBy("word").agg(expr("bit_or(_mask)").as("bits"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    Array.tabulate(mBits / 64)(w => words.getOrElse(w, 0L))
+  }
+
+  /** Membership test against a [[bloomBuild]] bitmap: true iff all kHash
+    * bit positions are set. Narrow column math over a literal array —
+    * pushes inside the probe-side scan stage, no shuffle.
+    */
+  def bloomMightContain(key: Column, bitmap: Array[Long], mBits: Int,
+      kHash: Int): Column = {
+    val wl = lit(bitmap)
+    (0 until kHash).map { i =>
+      val pos = bloomPos(lit(i), key.cast("string"), mBits)
+      val word = element_at(wl, (shiftright(pos, 6) + 1).cast("int"))
+      word.bitwiseAND(
+        call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0L
+    }.reduceLeft(_ && _)
+  }
 }
