@@ -555,6 +555,17 @@ object GraftQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // extension: incremental dedup — a new batch (doc_id % 5 = 0) LSH-
+    // checked AGAINST the already-curated corpus; only cross-side pairs
+    "q_incremental_dedup" -> { (s, d) =>
+      val docs = t(s, d)("documents").where(col("doc_id") < 200)
+      Dedup.crossNearDups(
+        docs.where(col("doc_id") % 5 =!= 0),
+        docs.where(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 3, bands = 4, rowsPerBand = 4, minSim = 0.2)
+        .orderBy("id_old", "id_new")
+    },
+
     // extension: dedup clusters — connected components over MinHash-LSH
     // near-dup pairs (min id per component = the canonical survivor)
     "q_dedup_clusters" -> { (s, d) =>
@@ -1298,6 +1309,17 @@ object GraftQueries {
         .orderBy("c_mktsegment", "rank")
     },
 
+    // extension: per-group quantile curation — keep the top 25% of docs
+    // per language by length (ceil(q·n) per group, id tiebreak)
+    "q_quantile_filter" -> { (s, d) =>
+      Corpus.quantileFilterPerGroup(
+        t(s, d)("documents").select("doc_id", "lang", "n_chars"),
+        "lang", "n_chars", "doc_id", q = 0.25)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("lang", "rank")
+    },
+
     // extension: fixed-size token-window chunking with overlap (context-
     // window layout for retrieval/pretraining; narrow, shuffle-free)
     "q_chunk_docs" -> { (s, d) =>
@@ -1738,6 +1760,20 @@ object GraftQueries {
         .select(concat(lit("s"), col("l_suppkey")).as("src"),
           concat(lit("p"), col("l_partkey")).as("dst"))
       GraphAlgos.pageRankFixed(edges, "src", "dst", iterations = 3)
+        .orderBy(col("rank").desc, col("node")).limit(100)
+    },
+
+    // extension: personalized PageRank — teleport mass pinned to two
+    // supplier seeds; ranks measure proximity to the seed set
+    "q_ppr" -> { (s, d) =>
+      import graft.graph.GraphAlgos
+      val li = t(s, d)("lineitem")
+      val fwd = li.select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"))
+      val rev = li.select(concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      GraphAlgos.personalizedPageRankFixed(fwd.unionByName(rev), "src", "dst",
+        seeds = Seq("s1", "s2"), iterations = 3)
         .orderBy(col("rank").desc, col("node")).limit(100)
     },
 
@@ -2761,6 +2797,35 @@ object GraftQueries {
         |FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
         |WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.2 ORDER BY 1, 2""".stripMargin,
 
+    // the q_minhash_lsh chain with the corpus split into existing
+    // (doc_id % 5 <> 0) and incoming sides; candidates cross sides only
+    "q_incremental_dedup" ->
+      """WITH sel AS (SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS nt
+        |  FROM documents WHERE doc_id < 200),
+        |tok AS (SELECT doc_id, string_split(nt, ' ') AS t FROM sel),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) u
+        |  WHERE len(t) >= 3),
+        |seeded AS (SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || shingle) AS h
+        |  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) seeds),
+        |mh AS (SELECT doc_id, seed, min(h) AS minhash FROM seeded GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, seed // 4 AS band,
+        |  md5(string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || minhash, '|'
+        |    ORDER BY lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || minhash)) AS bsig
+        |  FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_old, b.doc_id AS id_new
+        |  FROM bs a JOIN bs b ON a.band = b.band AND a.bsig = b.bsig
+        |  WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT c.id_old, c.id_new, count(*) AS c FROM cand c
+        |  JOIN sh a ON a.doc_id = c.id_old JOIN sh b ON b.doc_id = c.id_new
+        |    AND a.shingle = b.shingle
+        |  GROUP BY 1, 2)
+        |SELECT i.id_old, i.id_new,
+        |  round(c::DOUBLE / (sa.sz + sb.sz - c), 4) AS jaccard
+        |FROM inter i JOIN sz sa ON sa.doc_id = i.id_old JOIN sz sb ON sb.doc_id = i.id_new
+        |WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.2 ORDER BY 1, 2""".stripMargin,
+
     // same candidate chain as q_minhash_lsh, then a recursive reachability
     // closure: component = min reachable doc id
     "q_dedup_clusters" ->
@@ -3246,6 +3311,14 @@ object GraftQueries {
         |SELECT c_mktsegment, CAST(rank AS BIGINT) AS rank, c_custkey,
         |  round(acctbal, 2) AS acctbal
         |FROM r WHERE rank <= 5 ORDER BY c_mktsegment, rank""".stripMargin,
+
+    "q_quantile_filter" ->
+      """SELECT doc_id, lang, n_chars, CAST(row_number() OVER w AS BIGINT) AS rank
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
+        |QUALIFY row_number() OVER w <=
+        |  ceil(0.25 * count(*) OVER (PARTITION BY lang))
+        |ORDER BY lang, rank""".stripMargin,
 
     // stride 24 = 32 − 8; chunk i starts at token i·24 (1-based list_slice,
     // inclusive end in DuckDB)
@@ -3990,6 +4063,16 @@ object GraftQueries {
       (graft.graph.GraphAlgos.pageRankOracleSql(
         "SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem",
         iterations = 3) +
+        "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, node LIMIT 100"),
+
+    "q_ppr" ->
+      (graft.graph.GraphAlgos.personalizedPageRankOracleSql(
+        """SELECT DISTINCT src, dst FROM (
+          |  SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem
+          |  UNION ALL
+          |  SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM lineitem)"""
+          .stripMargin,
+        seedsSql = "('s1', 's2')", nSeeds = 2, iterations = 3) +
         "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, node LIMIT 100"),
 
     // the pack layout CTE (same md5 shard/ord draws) + per-seq boundary agg

@@ -113,6 +113,27 @@ object Corpus {
     df.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Keep the top `q` FRACTION of rows per group by descending score
+    * (id tiebreak) — "best 25% per language/domain" curation, where the
+    * per-group keep count scales with group size instead of a fixed k.
+    * keep = ceil(q·n) so every non-empty group keeps ≥ 1 row.
+    *
+    * Scale shape: one keyed shuffle; the ranked window and the group
+    * count share the same partitioning (single exchange). For corpora
+    * where a full per-group sort is too hot, pre-thin with an
+    * approx-quantile score threshold and run this on the survivors.
+    */
+  def quantileFilterPerGroup(df: DataFrame, groupCol: String,
+      scoreCol: String, idCol: String, q: Double): DataFrame = {
+    require(q > 0 && q <= 1, "q must be in (0, 1]")
+    val part = Window.partitionBy(col(groupCol))
+    val w = part.orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("rank", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(part))
+      .where(col("rank") <= ceil(lit(q) * col("_n")))
+      .drop("_n")
+  }
+
   /** [[topKPerGroup]] through the native [[graft.expr.BoundedTopK]]
     * aggregate instead of a window. Same rows, same tiebreak — but the
     * window plan shuffles and sorts EVERY input row per group, while the

@@ -148,19 +148,69 @@ object Dedup {
     * on ≥1 band are candidates; optionally verified by exact jaccard.
     * shingle→minhash→band→bucket-join, all shuffle-keyed on hashes.
     */
+  /** Per-(doc, band) LSH signature: the md5 of the band's sorted
+    * seed=minhash rows. Shared by self-join and cross-snapshot candidate
+    * generation — both sides must band bit-identically.
+    */
+  private def bandSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, n, bands * rowsPerBand)
+      .withColumn("band", (col("seed") / lit(rowsPerBand)).cast("int"))
+    sig.groupBy(col(idCol), col("band"))
+      .agg(md5(concat_ws("|", sort_array(collect_list(
+        concat(lpad(col("seed").cast("string"), 2, "0"), lit("="), col("minhash")))))).as("bsig"))
+  }
+
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int
   ): DataFrame = {
-    val sig = minhashSignatures(df, idCol, textCol, n, bands * rowsPerBand)
-      .withColumn("band", (col("seed") / lit(rowsPerBand)).cast("int"))
-    val bandSig = sig.groupBy(col(idCol), col("band"))
-      .agg(md5(concat_ws("|", sort_array(collect_list(
-        concat(lpad(col("seed").cast("string"), 2, "0"), lit("="), col("minhash")))))).as("bsig"))
+    val bandSig = bandSignatures(df, idCol, textCol, n, bands, rowsPerBand)
     val l = bandSig.select(col(idCol).as("id_a"), col("band"), col("bsig"))
     val r = bandSig.select(col(idCol).as("id_b"), col("band"), col("bsig"))
     l.join(r, Seq("band", "bsig")).where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** Incremental (cross-snapshot) near-dup detection: which `incoming`
+    * docs are near-duplicates of the `existing` corpus — the continuous-
+    * ingestion path, where each new crawl batch is deduplicated AGAINST
+    * the already-curated corpus instead of re-running the all-corpus
+    * self-join. Only cross-side pairs are produced.
+    *
+    * Scale shape: the existing side's band signatures are a pure
+    * function of the text (md5 seeds) — at 100 TB they are computed once
+    * and stored with the corpus; each batch then costs
+    * O(batch shingles + band-bucket join against the stored signatures).
+    * The verify stage joins shingles keyed on (id, shingle), like
+    * [[minhashNearDups]].
+    */
+  def crossNearDups(
+      existing: DataFrame, incoming: DataFrame, idCol: String,
+      textCol: String, n: Int, bands: Int, rowsPerBand: Int, minSim: Double
+  ): DataFrame = {
+    val l = bandSignatures(existing, idCol, textCol, n, bands, rowsPerBand)
+      .select(col(idCol).as("id_old"), col("band"), col("bsig"))
+    val r = bandSignatures(incoming, idCol, textCol, n, bands, rowsPerBand)
+      .select(col(idCol).as("id_new"), col("band"), col("bsig"))
+    val cand = l.join(r, Seq("band", "bsig"))
+      .select("id_old", "id_new").distinct()
+    val shO = explodeShingles(existing, idCol, textCol, n)
+      .withColumnsRenamed(Map(idCol -> "id_old"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shN = explodeShingles(incoming, idCol, textCol, n)
+      .withColumnsRenamed(Map(idCol -> "id_new"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val szO = shO.groupBy("id_old").agg(count(lit(1)).as("_sza"))
+    val szN = shN.groupBy("id_new").agg(count(lit(1)).as("_szb"))
+    val inter = cand.join(shO, Seq("id_old"))
+      .join(shN, Seq("id_new", "shingle"))
+      .groupBy("id_old", "id_new").agg(count(lit(1)).as("_inter"))
+    inter.join(szO, Seq("id_old")).join(szN, Seq("id_new"))
+      .withColumn("jaccard",
+        col("_inter").cast("double") / (col("_sza") + col("_szb") - col("_inter")))
+      .where(col("jaccard") >= minSim)
+      .select(col("id_old"), col("id_new"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Near-dup pipeline: LSH candidates verified with exact jaccard. */

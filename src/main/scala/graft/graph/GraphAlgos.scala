@@ -81,6 +81,58 @@ object GraphAlgos {
     ranks
   }
 
+  /** Personalized PageRank (Jeh & Widom 2003, "Scaling personalized web
+    * search"): [[pageRankFixed]]'s fixed-point integer iteration with the
+    * teleport mass restricted to `seeds` — rank(v) = seedBase(v) +
+    * Σ_{u→v} (rank(u)·damping÷100)÷outdeg(u), seedBase = (scale÷|seeds|)
+    * ·(100−damping)÷100 at seeds and 0 elsewhere. The result ranks nodes
+    * by proximity to the seed set — the query-time "related items" /
+    * local-graph-feature primitive.
+    *
+    * Same scale shape and determinism contract as [[pageRankFixed]]
+    * (n-row share table joined once per iteration against the edge
+    * frame, integer micro-units, per-iteration localCheckpoint).
+    */
+  def personalizedPageRankFixed(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: Seq[String], iterations: Int,
+      dampingPct: Int = 85, scale: Long = 1000000000000L,
+      broadcastNodeLimit: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(seeds.nonEmpty, "need at least one seed")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val init = scale / seeds.length
+    val base = (init * (100L - dampingPct)) / 100L
+    val isSeed = col("node").isin(seeds: _*)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes.withColumn("rank",
+      when(isSeed, lit(init)).otherwise(lit(0L)))
+    for (_ <- 1 to iterations) {
+      val share = ranks.withColumnRenamed("node", "src").join(deg, Seq("src"))
+        .select(col("src"),
+          expr(s"(rank * $dampingPct div 100) div outdeg").as("m"))
+      val shareSide = if (n <= broadcastNodeLimit) broadcast(share) else share
+      val contrib = e.join(shareSide, Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("m")).as("m"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (when(isSeed, lit(base)).otherwise(lit(0L)) +
+            coalesce(col("m"), lit(0L))).as("rank"))
+        .localCheckpoint(true)
+    }
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    ranks
+  }
+
   /** Weighted single-source shortest paths, `maxHops` synchronous
     * Bellmann-Ford relaxation rounds: dist(v) = min(dist(v), min over
     * edges u→v of dist(u) + w(u,v)). Weights are cast to LONG — integer
@@ -661,6 +713,36 @@ object GraphAlgos {
          |      sum((r.rank * $dampingPct // 100) // d.outdeg) AS m
          |    FROM E e JOIN r${i - 1} r ON r.node = e.src
          |    JOIN deg d ON d.src = e.src GROUP BY 1) s ON s.node = nd.node)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
+
+  /** DuckDB oracle for [[personalizedPageRankFixed]] — the same unrolled
+    * integer CTE chain with the teleport mass restricted to the seed
+    * list. `seedsSql` is a SQL list literal, e.g. `('s1', 's2')`.
+    */
+  def personalizedPageRankOracleSql(edgesSql: String, seedsSql: String,
+      nSeeds: Int, iterations: Int, dampingPct: Int = 85,
+      scale: Long = 1000000000000L): String = {
+    val init = scale / nSeeds
+    val base = (init * (100L - dampingPct)) / 100L
+    val head =
+      s"""WITH E AS ($edgesSql),
+         |nodes AS (SELECT src AS node FROM E UNION SELECT dst FROM E),
+         |deg AS (SELECT src, count(*) AS outdeg FROM E GROUP BY 1),
+         |r0 AS (SELECT node,
+         |  CASE WHEN node IN $seedsSql THEN $init ELSE 0 END AS rank
+         |  FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s"""r$i AS (SELECT nd.node,
+         |  (CASE WHEN nd.node IN $seedsSql THEN $base ELSE 0 END)
+         |    + coalesce(s.m, 0) AS rank
+         |  FROM nodes nd
+         |  LEFT JOIN (SELECT e.dst AS node,
+         |      sum((r.rank * $dampingPct // 100) // d.outdeg) AS m
+         |    FROM E e JOIN r${i - 1} r ON r.node = e.src
+         |    JOIN deg d ON d.src = e.src GROUP BY 1) s ON s.node = nd.node)"""
+        .stripMargin
     }
     (head +: iters).mkString(",\n")
   }
