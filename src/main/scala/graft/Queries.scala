@@ -555,6 +555,14 @@ object GraftQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // extension: prefix-filtered exact Jaccard pairs (PPJoin prefix
+    // filter) — no LSH false negatives, no all-pairs token join
+    "q_prefix_jaccard" -> { (s, d) =>
+      Dedup.prefixJaccardPairs(t(s, d)("documents").where(col("doc_id") < 200),
+        "doc_id", "text", minSim = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
     // extension: incremental dedup — a new batch (doc_id % 5 = 0) LSH-
     // checked AGAINST the already-curated corpus; only cross-side pairs
     "q_incremental_dedup" -> { (s, d) =>
@@ -2796,6 +2804,31 @@ object GraftQueries {
         |  round(c::DOUBLE / (sa.sz + sb.sz - c), 4) AS jaccard
         |FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
         |WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.2 ORDER BY 1, 2""".stripMargin,
+
+    // PPJoin prefix filter: rarest-first per-doc token order (df, tok),
+    // prefix = sz − ceil(t·sz) + 1 tokens, candidates share a prefix token
+    "q_prefix_jaccard" ->
+      """WITH sel AS (SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS nt
+        |  FROM documents WHERE doc_id < 200),
+        |toks AS (SELECT DISTINCT doc_id,
+        |    unnest(list_filter(string_split(nt, ' '), x -> len(x) > 0)) AS tok
+        |  FROM sel),
+        |dfs AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+        |pre AS (SELECT t.doc_id, t.tok
+        |  FROM toks t JOIN dfs USING (tok) JOIN sz USING (doc_id)
+        |  QUALIFY row_number() OVER (PARTITION BY t.doc_id ORDER BY df, t.tok)
+        |    <= sz - ceil(0.5 * sz) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |inter AS (SELECT c.id_a, c.id_b, count(*) AS c FROM cand c
+        |  JOIN toks a ON a.doc_id = c.id_a
+        |  JOIN toks b ON b.doc_id = c.id_b AND a.tok = b.tok
+        |  GROUP BY 1, 2)
+        |SELECT i.id_a, i.id_b,
+        |  round(c::DOUBLE / (sa.sz + sb.sz - c), 4) AS jaccard
+        |FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
+        |WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.5 ORDER BY 1, 2""".stripMargin,
 
     // the q_minhash_lsh chain with the corpus split into existing
     // (doc_id % 5 <> 0) and incoming sides; candidates cross sides only

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale deduplication operators for training-data pipelines —
@@ -90,6 +91,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
   private def filtered_hint(df: DataFrame): DataFrame = broadcast(df)
+
+  /** Prefix-filtered exact set-similarity self-join (the PPJoin prefix
+    * filter, Xiao et al. 2008, public): all token-set pairs with
+    * Jaccard ≥ minSim, NO false negatives (unlike LSH) and no all-pairs
+    * product (unlike a naive token join). Tokens order globally
+    * rarest-first (df asc, token asc); a doc's PREFIX is its first
+    * |d| − ceil(minSim·|d|) + 1 tokens in that order. Any pair at the
+    * threshold must share a prefix token, so candidates join keyed on
+    * prefix tokens only — a frequent token keys a candidate only for the
+    * few docs where it still falls in the prefix, which is what bounds
+    * the quadratic blowup the plain token join suffers on stopwords.
+    *
+    * Scale shape: the global order needs NO global rank — per-doc
+    * row_number over (df, token) uses only each doc's own tokens (one
+    * keyed window); df is a token-keyed count joined back. Verification
+    * is the same (id, token)-keyed intersection count as
+    * [[jaccardPairs]]. All-integer until the final ratio.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      minSim: Double): DataFrame = {
+    require(minSim > 0 && minSim <= 1, "minSim in (0,1]")
+    val toks = df.select(col(idCol).as("_id"),
+      explode(filter(split(normalize(col(textCol)), " "),
+        t => length(t) > 0)).as("tok"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfs = toks.groupBy("tok").agg(count(lit(1)).as("_df"))
+    val sz = toks.groupBy("_id").agg(count(lit(1)).as("_sz"))
+    val wDoc = Window.partitionBy(col("_id"))
+      .orderBy(col("_df").asc, col("tok").asc)
+    val prefix = toks.join(dfs, Seq("tok")).join(sz, Seq("_id"))
+      .withColumn("_rnk", row_number().over(wDoc))
+      .where(col("_rnk") <= col("_sz") - ceil(lit(minSim) * col("_sz")) + 1)
+      .select(col("_id"), col("tok"))
+    val cand = prefix.withColumnRenamed("_id", "id_a")
+      .join(prefix.withColumnRenamed("_id", "id_b"), Seq("tok"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val inter = cand
+      .join(toks.withColumnsRenamed(Map("_id" -> "id_a")), Seq("id_a"))
+      .join(toks.withColumnsRenamed(Map("_id" -> "id_b")), Seq("id_b", "tok"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"))
+    inter
+      .join(sz.withColumnsRenamed(Map("_id" -> "id_a", "_sz" -> "_sza")), Seq("id_a"))
+      .join(sz.withColumnsRenamed(Map("_id" -> "id_b", "_sz" -> "_szb")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("_inter").cast("double") / (col("_sza") + col("_szb") - col("_inter")))
+      .where(col("jaccard") >= minSim)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
 
   /** Asymmetric shingle containment: |A∩B| / |A| — unlike [[jaccardPairs]]
     * this catches a SHORT document wholly quoted inside a long one, where

@@ -139,10 +139,13 @@ object Similarity {
       .withColumn("_sn", norm(col("_sv")))
     val b = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("_tv"))
       .withColumn("_tn", norm(col("_tv")))
+    // both top-k directions consume the scored candidates — persist so
+    // the cross join + dot products run once, not per direction
     val pairs = a.crossJoin(broadcast(b))
       .withColumn("c", round(dot(col("_sv"), col("_tv")) /
         (col("_sn") * col("_tn")) * 10000).cast("long"))
       .select("src_id", "tgt_id", "c")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kA = graft.ext.Corpus.topKPerGroupAgg(pairs, "src_id", "c", "tgt_id", k)
     val kB = graft.ext.Corpus.topKPerGroupAgg(pairs, "tgt_id", "c", "src_id", k)
     val sA = kA.groupBy("src_id")
