@@ -1160,6 +1160,18 @@ object GraftQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // extension: sorted-neighborhood ER blocking — customers sorted by
+    // name, candidate pairs within a 4-position window, scored with
+    // codegen levenshtein; two-phase global ordinal (no global window)
+    "q_sorted_neighborhood" -> { (s, d) =>
+      graft.infer.CrossResourceIdentity.sortedNeighborhoodPairs(
+        t(s, d)("customer").where(col("c_custkey") <= 2000),
+        "c_custkey", "c_name", window = 4)
+        .withColumn("dist",
+          levenshtein(col("key_a"), col("key_b")).cast("long"))
+        .orderBy("id_a", "id_b")
+    },
+
     // §2.11 streaming ingest: file micro-batches → compiled pipeline →
     // idempotent store upserts (foreachBatch, AvailableNow)
     "q_stream_ingest" -> { (s, d) =>
@@ -3133,6 +3145,15 @@ object GraftQueries {
         |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
         |WHERE levenshtein(a.n_name, b.n_name) <= 1
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_sorted_neighborhood" ->
+      """WITH r AS (SELECT c_custkey AS id, c_name AS key,
+        |    row_number() OVER (ORDER BY c_name, c_custkey) AS rank
+        |  FROM customer WHERE c_custkey <= 2000)
+        |SELECT a.id AS id_a, b.id AS id_b, a.key AS key_a, b.key AS key_b,
+        |  CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+        |FROM r a JOIN r b ON b.rank > a.rank AND b.rank <= a.rank + 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_stream_ingest" ->
       """SELECT count(DISTINCT user_id) AS n_users, count(*) AS n_events

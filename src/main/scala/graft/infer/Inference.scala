@@ -109,6 +109,53 @@ object CrossResourceIdentity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Sorted-neighborhood blocking (Hernández & Stolfo 1995, "The
+    * merge/purge problem for large databases"): sort records by a
+    * blocking key and emit every pair within a sliding window of `w`
+    * positions — the classic entity-resolution candidate generator for
+    * typo-heavy keys, where a sort displaces a corrupted record only
+    * locally (length buckets and token blocks can miss it entirely).
+    *
+    * The global ordinal is TWO-PHASE, never a single-partition window:
+    * range-exchange on (key, id), per-partition row_number, plus
+    * per-partition base offsets from an nParts-row count collect,
+    * broadcast back as a map literal. The partition id is frozen by a
+    * persist before use (spark_partition_id is evaluation-dependent on
+    * an unpersisted plan). Pair generation is an equi-join on the
+    * ordinal — keyed and uniform at any scale.
+    *
+    * Output: (id_a, id_b, key_a, key_b), rank(a) < rank(b) ≤ rank(a)+w−1.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, keyCol: String,
+      window: Int, numPartitions: Int = 0): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    val spark = df.sparkSession
+    val nParts = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.select(col(idCol).as("_id"), col(keyCol).as("_key"))
+      .repartitionByRange(nParts, col("_key"), col("_id"))
+      .sortWithinPartitions("_key", "_id")
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted.groupBy("_pid").agg(count(lit(1)).as("_c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var running = 0L
+    val offsets = scala.collection.mutable.Map.empty[Int, Long]
+    counts.foreach { case (pid, c) => offsets(pid) = running; running += c }
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy(col("_key"), col("_id"))
+    val ranked = sorted.withColumn("rank",
+      row_number().over(wp).cast("long") +
+        element_at(typedLit(offsets.toMap), col("_pid")))
+    val right = ranked.select(col("rank").as("_rr"), col("_id").as("id_b"),
+      col("_key").as("key_b"))
+    ranked.select(col("rank"), col("_id").as("id_a"), col("_key").as("key_a"))
+      .withColumn("_rr", explode(sequence(col("rank") + 1,
+        col("rank") + (window - 1))))
+      .join(right, Seq("_rr"))
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"))
+  }
+
   /** Jaro-free name similarity: normalized longest-common-subsequence over
     * snake-cased names (the reference uses fuzzy token matching,
     * inference_utils.py:15-67 — any deterministic similarity serves the
