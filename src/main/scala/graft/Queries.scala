@@ -30,6 +30,16 @@ object GraftQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  // Fellegi–Sunter comparison fields shared by q_fellegi_sunter and its
+  // oracle — ONE definition so the micro-nat weight constants cannot drift
+  private lazy val fsFields = Seq(
+    graft.infer.CrossResourceIdentity.FsField("name",
+      levenshtein(col("key_a"), col("key_b")) <= 6, m = 0.9, u = 0.3),
+    graft.infer.CrossResourceIdentity.FsField("nation",
+      col("nk_a") === col("nk_b"), m = 0.95, u = 0.04),
+    graft.infer.CrossResourceIdentity.FsField("segment",
+      col("seg_a") === col("seg_b"), m = 0.9, u = 0.2))
+
   // ------------------------------------------------------------ § queries
 
   val all: Map[String, Q] = Map(
@@ -1157,6 +1167,48 @@ object GraftQueries {
     "q_fuzzy_match" -> { (s, d) =>
       graft.infer.CrossResourceIdentity.fuzzyPairs(
         t(s, d)("nation"), "n_nationkey", "n_name", maxDist = 1)
+        .orderBy("id_a", "id_b")
+    },
+
+    // extension: c-TF-IDF — characteristic terms per document source
+    // (each class scored as one pseudo-document; micro-unit quantized)
+    "q_class_tfidf" -> { (s, d) =>
+      Corpus.classTfidf(t(s, d)("documents"), "text", "source", k = 10)
+        .orderBy("class", "rank")
+    },
+
+    // extension: SCD2 change history — per-customer order-status runs
+    // with validity intervals (change points + lead, one keyed shuffle)
+    "q_scd2" -> { (s, d) =>
+      import graft.ext.Events
+      val src = t(s, d)("orders").where(col("o_custkey") <= 200)
+        .select(col("o_custkey"), col("o_orderstatus"),
+          col("o_orderdate").as("_ts"), col("o_orderkey"))
+      Events.scd2History(src, "o_custkey", "_ts", "o_orderstatus", "o_orderkey")
+        .select(col("o_custkey"), col("o_orderstatus"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"))
+        .orderBy("o_custkey", "valid_from", "o_orderstatus")
+    },
+
+    // extension: Fellegi–Sunter linkage scoring over sorted-neighborhood
+    // candidates — per-field log-likelihood weights as driver-computed
+    // integer micro-nat literals (no transcendentals in the plan)
+    "q_fellegi_sunter" -> { (s, d) =>
+      import graft.infer.CrossResourceIdentity
+      val cust = t(s, d)("customer").where(col("c_custkey") <= 2000)
+      val pairs = CrossResourceIdentity.sortedNeighborhoodPairs(
+        cust, "c_custkey", "c_name", window = 4)
+      val attrs = cust.select(col("c_custkey"), col("c_nationkey"),
+        col("c_mktsegment"))
+      val joined = pairs
+        .join(attrs.withColumnsRenamed(Map("c_custkey" -> "id_a",
+          "c_nationkey" -> "nk_a", "c_mktsegment" -> "seg_a")), Seq("id_a"))
+        .join(attrs.withColumnsRenamed(Map("c_custkey" -> "id_b",
+          "c_nationkey" -> "nk_b", "c_mktsegment" -> "seg_b")), Seq("id_b"))
+      CrossResourceIdentity.fellegiSunterScore(joined, fsFields,
+        matchThresholdMicro = 2000000L, possibleThresholdMicro = 0L)
+        .select(col("id_a"), col("id_b"), col("fs_micro"), col("fs_class"))
         .orderBy("id_a", "id_b")
     },
 
@@ -3154,6 +3206,60 @@ object GraftQueries {
         |  CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
         |FROM r a JOIN r b ON b.rank > a.rank AND b.rank <= a.rank + 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_class_tfidf" ->
+      """WITH tok AS (SELECT source AS class,
+        |    unnest(list_filter(string_split(
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT class, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |f AS (SELECT term, count(*) AS f FROM tok GROUP BY 1),
+        |st AS (SELECT count(*) AS total, count(DISTINCT class) AS nc FROM tok),
+        |sc AS (SELECT class, term,
+        |    CAST(round(tf * ln(1.0 + (CAST(total AS DOUBLE) / CAST(nc AS DOUBLE))
+        |      / CAST(f AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS q
+        |  FROM tf JOIN f USING (term) CROSS JOIN st)
+        |SELECT class, CAST(row_number() OVER w AS BIGINT) AS rank,
+        |  term, q AS ctfidf_micro
+        |FROM sc WINDOW w AS (PARTITION BY class ORDER BY q DESC, term)
+        |QUALIFY row_number() OVER w <= 10 ORDER BY class, rank""".stripMargin,
+
+    "q_scd2" ->
+      """WITH src AS (SELECT o_custkey, o_orderstatus, o_orderdate AS ts,
+        |    o_orderkey AS tie
+        |  FROM orders WHERE o_custkey <= 200),
+        |marked AS (SELECT o_custkey, o_orderstatus, ts, tie,
+        |    lag(o_orderstatus) OVER w AS prev, row_number() OVER w AS rn
+        |  FROM src WINDOW w AS (PARTITION BY o_custkey ORDER BY ts, tie)),
+        |ch AS (SELECT o_custkey, o_orderstatus, ts, tie FROM marked
+        |  WHERE rn = 1 OR o_orderstatus IS DISTINCT FROM prev)
+        |SELECT o_custkey, o_orderstatus,
+        |  strftime(ts, '%Y-%m-%d') AS valid_from,
+        |  strftime(lead(ts) OVER w2, '%Y-%m-%d') AS valid_to
+        |FROM ch WINDOW w2 AS (PARTITION BY o_custkey ORDER BY ts, tie)
+        |ORDER BY o_custkey, valid_from, o_orderstatus""".stripMargin,
+
+    "q_fellegi_sunter" -> {
+      val caseSum = graft.infer.CrossResourceIdentity.fellegiSunterOracleCase(
+        fsFields, Map(
+          "name" -> "levenshtein(p.key_a, p.key_b) <= 6",
+          "nation" -> "(ca.c_nationkey = cb.c_nationkey)",
+          "segment" -> "(ca.c_mktsegment = cb.c_mktsegment)"))
+      s"""WITH r AS (SELECT c_custkey AS id, c_name AS key,
+         |    row_number() OVER (ORDER BY c_name, c_custkey) AS rank
+         |  FROM customer WHERE c_custkey <= 2000),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b, a.key AS key_a, b.key AS key_b
+         |  FROM r a JOIN r b ON b.rank > a.rank AND b.rank <= a.rank + 3),
+         |sc AS (SELECT p.id_a, p.id_b, CAST($caseSum AS BIGINT) AS fs_micro
+         |  FROM p JOIN customer ca ON ca.c_custkey = p.id_a
+         |  JOIN customer cb ON cb.c_custkey = p.id_b)
+         |SELECT id_a, id_b, fs_micro,
+         |  CASE WHEN fs_micro >= 2000000 THEN 'match'
+         |       WHEN fs_micro >= 0 THEN 'possible'
+         |       ELSE 'non_match' END AS fs_class
+         |FROM sc ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q_stream_ingest" ->
       """SELECT count(DISTINCT user_id) AS n_users, count(*) AS n_events

@@ -664,6 +664,43 @@ object Corpus {
         count(lit(1)).as("n_matched_terms"))
   }
 
+  /** Class-based TF-IDF (Grootendorst 2022, "BERTopic"'s c-TF-IDF — the
+    * per-cluster characteristic-terms summary): each class is treated as
+    * one concatenated pseudo-document and score(t, c) = tf(t, c) ·
+    * ln(1 + A / f(t)) with tf(t, c) = occurrences of t in class c,
+    * f(t) = corpus-wide occurrences, A = average tokens per class.
+    * Returns the top-k terms per class — "what is this cluster about".
+    *
+    * Determinism: tf, f and A derive from exact integer counts; the
+    * score is ONE fixed-shape double expression per (class, term) row,
+    * quantized to integer micro-units before the bounded-heap top-k
+    * (desc score, asc term tiebreak).
+    *
+    * Scale shape: two counting groupBys (map-side combinable) and a
+    * term-keyed join of the (class, term) table against the term table;
+    * Zipf-hot terms carry one row per class — no posting-list blowup.
+    */
+  def classTfidf(df: DataFrame, textCol: String, classCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val toks = df.select(col(classCol).as("class"),
+      explode(filter(split(Dedup.normalize(col(textCol)), " "),
+        t => length(t) > 0)).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = toks.groupBy("class", "term").agg(count(lit(1)).as("_tf"))
+    val f = toks.groupBy("term").agg(count(lit(1)).as("_f"))
+    val stats = toks.agg(count(lit(1)).as("_total"),
+      count_distinct(col("class")).as("_nc"))
+    val scored = tf.join(f, Seq("term")).crossJoin(broadcast(stats))
+      .withColumn("_q", round(col("_tf") * log(lit(1.0) +
+        (col("_total").cast("double") / col("_nc").cast("double")) /
+          col("_f").cast("double")) * lit(1e6), 0).cast("long"))
+    topKPerGroupAgg(scored.select(col("class"), col("term"), col("_q")),
+      "class", "_q", "term", k)
+      .select(col("class"), col("rank").cast("long").as("rank"),
+        col("term"), col("_q").as("ctfidf_micro"))
+  }
+
   /** Fixed-size token-window chunking with overlap — the context-window
     * layout step for retrieval corpora and long-document pretraining
     * (cf. [[packSequences]], which concatenates ACROSS documents; this

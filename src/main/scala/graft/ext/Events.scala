@@ -11,6 +11,38 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** SCD2 (slowly-changing-dimension type 2) history assembly: collapse a
+    * stream of per-key attribute observations into validity intervals —
+    * one row per (key, value) RUN with `valid_from` = first observation
+    * of the run and `valid_to` = start of the next run (null while
+    * current). The warehouse-standard change-history materialization
+    * (Kimball SCD type 2), built from observations instead of per-load
+    * MERGE bookkeeping.
+    *
+    * Determinism: observations order by (ts, tieCol) within the key, so
+    * same-timestamp conflicts resolve identically everywhere; comparisons
+    * are null-safe (a null value is a run like any other).
+    *
+    * Scale shape: two windows over the SAME (key, ts, tie) partitioning
+    * — one keyed shuffle; change-points filter before the second window,
+    * so the lead() pass sees only runs, not raw observations.
+    */
+  def scd2History(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val changes = df
+      .withColumn("_prev", lag(col(valueCol), 1).over(w))
+      .withColumn("_first", row_number().over(w) === 1)
+      .where(col("_first") || !(col(valueCol) <=> col("_prev")))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    changes
+      .withColumn("valid_to", lead(col(tsCol), 1).over(wc))
+      .select(col(keyCol), col(valueCol), col(tsCol).as("valid_from"),
+        col("valid_to"))
+  }
+
   /** Exponentially time-decayed value sum per key:
     * `Σ value · 2^(−Δt / halfLife)` with Δt measured back from the global
     * max event time — the recency-weighted engagement/importance score

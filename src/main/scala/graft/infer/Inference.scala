@@ -156,6 +156,59 @@ object CrossResourceIdentity {
       .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"))
   }
 
+  /** One Fellegi–Sunter comparison field: `agree` is the boolean
+    * agreement predicate over a candidate-pair row; `m`/`u` are the
+    * match/unmatch agreement probabilities (P(agree | same entity),
+    * P(agree | different entities)).
+    */
+  final case class FsField(name: String, agree: org.apache.spark.sql.Column,
+      m: Double, u: Double) {
+    require(m > 0 && m < 1 && u > 0 && u < 1, s"$name: m,u must be in (0,1)")
+    /** Agreement weight ln(m/u) in integer micro-nats. */
+    def wAgree: Long = math.round(math.log(m / u) * 1e6)
+    /** Disagreement weight ln((1−m)/(1−u)) in micro-nats (negative). */
+    def wDisagree: Long = math.round(math.log((1 - m) / (1 - u)) * 1e6)
+  }
+
+  /** Fellegi–Sunter record-linkage scoring (Fellegi & Sunter 1969, "A
+    * theory for record linkage"): each candidate pair's score is the sum
+    * of per-field log-likelihood-ratio weights — ln(m/u) on agreement,
+    * ln((1−m)/(1−u)) on disagreement — thresholded into
+    * match / possible / non_match. The scoring half of the ER pipeline
+    * whose blocking half is [[sortedNeighborhoodPairs]] / [[fuzzyPairs]].
+    *
+    * Determinism: the logs are computed ON THE DRIVER and shipped as
+    * integer micro-nat literals, so the distributed plan contains no
+    * transcendentals at all — scores are exact integer sums in any
+    * engine ([[fellegiSunterOracleCase]] emits the identical constants
+    * for the SQL oracle). Narrow per-row math over the pair frame.
+    */
+  def fellegiSunterScore(pairs: DataFrame, fields: Seq[FsField],
+      matchThresholdMicro: Long, possibleThresholdMicro: Long): DataFrame = {
+    require(fields.nonEmpty, "need at least one comparison field")
+    val score = fields.map(f =>
+      when(f.agree, lit(f.wAgree)).otherwise(lit(f.wDisagree)))
+      .reduceLeft(_ + _)
+    pairs.withColumn("fs_micro", score)
+      .withColumn("fs_class",
+        when(col("fs_micro") >= matchThresholdMicro, lit("match"))
+          .when(col("fs_micro") >= possibleThresholdMicro, lit("possible"))
+          .otherwise(lit("non_match")))
+  }
+
+  /** The SQL CASE-sum replica of [[fellegiSunterScore]]'s weights for a
+    * DuckDB oracle — generated from the same FsField m/u so the integer
+    * constants can never drift from the implementation. `preds` maps
+    * field name → SQL agreement predicate.
+    */
+  def fellegiSunterOracleCase(fields: Seq[FsField],
+      preds: Map[String, String]): String =
+    fields.map { f =>
+      val p = preds.getOrElse(f.name,
+        throw new IllegalArgumentException(s"no SQL predicate for ${f.name}"))
+      s"(CASE WHEN $p THEN ${f.wAgree} ELSE ${f.wDisagree} END)"
+    }.mkString(" + ")
+
   /** Jaro-free name similarity: normalized longest-common-subsequence over
     * snake-cased names (the reference uses fuzzy token matching,
     * inference_utils.py:15-67 — any deterministic similarity serves the
