@@ -1170,6 +1170,31 @@ object GraftQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // extension: GraphFrames-shaped export — the de-facto public Spark
+    // graph schema (one vertices(id, type) + one edges(src, dst, rel)
+    // frame, global ids minted from per-type identities)
+    "q_graphframes" -> { (s, d) =>
+      import graft.graph.GraphOutput
+      import graft.model.{EdgeDef, EdgeKey, GraphSchema, Identity, VertexDef}
+      val schema = GraphSchema(
+        vertices = Seq(
+          VertexDef("cust", identity = Identity.Natural(Seq("c_custkey"))),
+          VertexDef("nat", identity = Identity.Natural(Seq("n_nationkey")))),
+        edges = Seq(EdgeDef("cust", "nat", "located-in")))
+      val g = GraphOutput(
+        Map("cust" -> t(s, d)("customer").select("c_custkey"),
+          "nat" -> t(s, d)("nation").select("n_nationkey")),
+        Map(EdgeKey("cust", "nat", "located-in") ->
+          t(s, d)("customer").select(col("c_custkey").as("src_c_custkey"),
+            col("c_nationkey").as("dst_n_nationkey"))))
+      val (vs, es) = g.graphFrames(schema)
+      vs.select(lit("v").as("kind"), col("id").as("a"),
+        col("vertex_type").as("b"), lit("").as("c"))
+        .unionByName(es.select(lit("e").as("kind"), col("src").as("a"),
+          col("dst").as("b"), col("relationship").as("c")))
+        .orderBy("kind", "a", "b")
+    },
+
     // extension: c-TF-IDF — characteristic terms per document source
     // (each class scored as one pseudo-document; micro-unit quantized)
     "q_class_tfidf" -> { (s, d) =>
@@ -3206,6 +3231,18 @@ object GraftQueries {
         |  CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
         |FROM r a JOIN r b ON b.rank > a.rank AND b.rank <= a.rank + 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_graphframes" ->
+      """WITH v AS (
+        |  SELECT 'v' AS kind, 'cust/' || c_custkey AS a, 'cust' AS b, '' AS c
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'v', 'nat/' || n_nationkey, 'nat', '' FROM nation),
+        |e AS (SELECT 'e' AS kind, 'cust/' || c_custkey AS a,
+        |    'nat/' || c_nationkey AS b, 'located-in' AS c
+        |  FROM customer)
+        |SELECT kind, a, b, c FROM (SELECT * FROM v UNION ALL SELECT * FROM e)
+        |ORDER BY kind, a, b""".stripMargin,
 
     "q_class_tfidf" ->
       """WITH tok AS (SELECT source AS class,

@@ -17,6 +17,7 @@ import graft.expr.FilterExpr
   *   agg     <storeDir> <vertex> <disc>     COUNT-by AggregateQuery
   *   bfs     <storeDir> <vertex> <key>=<v> <hops>
   *   migrate <srcStore> <dstStore>          graph→graph migration
+  *   export-gf <storeDir> <outDir>          GraphFrames-shaped parquet export
   *   curate  <docsParquet> <outDir> [--span-dedup N]   training-corpus curation run
   *   tokenize <docsParquet> <outDir> [nMerges]   BPE train + encode + shard
   *   analyze <docsParquet>                  one-pass corpus health report
@@ -77,6 +78,23 @@ object Main {
       val s = new GraphStore(src, TpchGraph.schema, spark)
       val d = new GraphStore(dst, TpchGraph.schema, spark)
       GraphMigration.migrate(s, d).toSeq.sorted.foreach { case (k, n) => println(s"$k: $n") }
+    case "export-gf" :: storeDir :: outDir :: Nil =>
+      // GraphFrames-shaped interchange export: one vertices + one edges
+      // parquet in the de-facto public Spark graph schema
+      val store = new GraphStore(storeDir, TpchGraph.schema, spark)
+      val g = graft.graph.GraphOutput(
+        store.vertexCollections.map(n => n -> store.vertices(n)).toMap,
+        store.edgeCollections.flatMap { dir =>
+          dir.split("__", 3) match {
+            case Array(s0, r, t0) =>
+              Some(EdgeKey(s0, t0, r) -> store.edges(EdgeKey(s0, t0, r)))
+            case _ => None
+          }
+        }.toMap)
+      val (vs, es) = g.graphFrames(TpchGraph.schema)
+      vs.write.mode("overwrite").parquet(s"$outDir/vertices")
+      es.write.mode("overwrite").parquet(s"$outDir/edges")
+      println(s"""{"vertices": ${vs.count()}, "edges": ${es.count()}}""")
     case "curate" :: docsPath :: outDir :: rest =>
       // end-to-end corpus curation (the public pretraining recipe shape),
       // composed entirely from the ext operators: Gopher quality rules →

@@ -215,7 +215,10 @@ object Similarity {
       k: Int, dim: Int): DataFrame = {
     require(k >= 1 && dim >= 1, "k and dim must be positive")
     val planes = md5Hyperplanes(k, dim)
-    val v = col(vecCol).cast("array<double>")
+    // raw column, no array<double> cast: DotProduct converts elements
+    // itself (float→double is exact), while a whole-array cast would be
+    // re-evaluated once PER PLANE — k full-array conversions per row
+    val v = col(vecCol)
     val proj = array(planes.map(p => round(dot(v, lit(p)), 4) + lit(0.0)): _*)
     df.select(col(idCol), proj.as("proj"))
   }

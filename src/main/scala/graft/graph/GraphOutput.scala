@@ -50,6 +50,41 @@ final case class GraphOutput(
     vertices.map { case (k, v) => k -> v.count() } ++
       edges.map { case (k, e) => k.storeName -> e.count() }
 
+  /** GraphFrames-shaped flattened view — the de-facto public Spark graph
+    * schema (graphframes.github.io): ONE `vertices(id, vertex_type)`
+    * frame and ONE `edges(src, dst, relationship)` frame, global ids
+    * minted as `<type>/<identity values>`. This is the interchange
+    * surface for GraphX/GraphFrames-style libraries and for engines that
+    * want a homogeneous edge list (the per-type property frames stay the
+    * engine-native representation; heterogeneous properties do not
+    * survive a lossless union, so this view carries identity + typing
+    * only). `schema` supplies each type's identity columns — edge frames
+    * carry them as `src_<field>` / `dst_<field>`.
+    */
+  def graphFrames(schema: graft.model.GraphSchema): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    def gid(tpe: String, cols: Seq[Column]): Column =
+      concat_ws("/", (lit(tpe) +: cols.map(_.cast("string"))): _*)
+    val vs = vertices.map { case (name, df) =>
+      val ids = schema.vertex(name).idColumns.map(df(_))
+      df.select(gid(name, ids).as("id"), lit(name).as("vertex_type"))
+    }.reduceLeft(_ unionByName _)
+    val es =
+      if (edges.isEmpty) {
+        val spark = vertices.head._2.sparkSession
+        spark.emptyDataFrame
+          .select(lit("").as("src"), lit("").as("dst"),
+            lit("").as("relationship")).limit(0)
+      } else edges.map { case (k, df) =>
+        val sIds = schema.vertex(k.source).idColumns.map(f => df(s"src_$f"))
+        val tIds = schema.vertex(k.target).idColumns.map(f => df(s"dst_$f"))
+        df.select(gid(k.source, sIds).as("src"), gid(k.target, tIds).as("dst"),
+          lit(k.relation).as("relationship"))
+      }.reduceLeft(_ unionByName _)
+    (vs, es)
+  }
+
   /** Materialize every collection in ONE Spark job: a union of 1-row
     * projections. One count per collection (as [[sizes]] does) serializes a
     * job per collection; a single union lets the independent collection
