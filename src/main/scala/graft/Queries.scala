@@ -1170,6 +1170,16 @@ object GraftQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // extension: rendezvous (HRW) shard routing — stable under
+    // resharding, narrow argmax over md5 weights, no shuffle
+    "q_rendezvous" -> { (s, d) =>
+      import graft.ext.Layout
+      t(s, d)("customer").select(col("c_custkey"),
+        Layout.rendezvousShard(col("c_custkey"),
+          Seq("shard-a", "shard-b", "shard-c", "shard-d")).as("shard"))
+        .orderBy("c_custkey")
+    },
+
     // extension: GraphFrames-shaped export — the de-facto public Spark
     // graph schema (one vertices(id, type) + one edges(src, dst, rel)
     // frame, global ids minted from per-type identities)
@@ -3231,6 +3241,16 @@ object GraftQueries {
         |  CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
         |FROM r a JOIN r b ON b.rank > a.rank AND b.rank <= a.rank + 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_rendezvous" ->
+      """WITH s AS (SELECT unnest(['shard-a','shard-b','shard-c','shard-d']) AS shard),
+        |w AS (SELECT c_custkey, shard,
+        |    md5(shard || ':' || c_custkey) AS w
+        |  FROM customer, s)
+        |SELECT c_custkey, shard FROM w
+        |QUALIFY row_number() OVER (PARTITION BY c_custkey
+        |  ORDER BY w DESC, shard DESC) = 1
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_graphframes" ->
       """WITH v AS (

@@ -76,4 +76,23 @@ object Layout {
       else z.repartitionByRange(col("zvalue"))
     parted.sortWithinPartitions("zvalue")
   }
+
+  /** Rendezvous (highest-random-weight) shard routing (Thaler & Ravishankar
+    * 1998): each key routes to argmax over shards of md5(shard ":" key) —
+    * deterministic, uniform, and MINIMALLY disruptive under resharding
+    * (adding/removing one shard moves only ~1/n of the keys, where modulo
+    * routing moves almost all of them). The per-key argmax is a struct max
+    * over a literal-generated shard array — narrow column math, no
+    * shuffle; md5 hex strings compare lexicographically, which is the
+    * standard HRW weight order and engine-portable.
+    */
+  def rendezvousShard(key: Column, shards: Seq[String]): Column = {
+    require(shards.nonEmpty, "need at least one shard")
+    require(shards.distinct.size == shards.size, "duplicate shard names")
+    val cands = shards.map { s =>
+      struct(md5(concat(lit(s), lit(":"), key.cast("string"))).as("w"),
+        lit(s).as("shard"))
+    }
+    array_max(array(cands: _*)).getField("shard")
+  }
 }

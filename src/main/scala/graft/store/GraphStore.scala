@@ -240,6 +240,36 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
     Files.deleteIfExists(p): Unit
   }
 
+  /** Versions retained on disk for a vertex collection, ascending — the
+    * time-travel surface over the versioned layout (each upsert writes
+    * `v<N>` and flips `_CURRENT`; [[vacuum]] trims the tail).
+    */
+  def vertexVersions(name: String): Seq[Int] = {
+    import scala.jdk.CollectionConverters._
+    val d = Paths.get(vdir(name))
+    if (!Files.exists(d)) Nil
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .flatMap(_.getFileName.toString.stripPrefix("v").toIntOption)
+        .toList.sorted
+      finally s.close()
+    }
+  }
+
+  /** Time-travel read (Delta-style `VERSION AS OF`): a RETAINED version of
+    * a vertex collection. Versions are immutable once written, so this is
+    * a plain parquet scan; vacuumed versions raise.
+    */
+  def verticesAt(name: String, version: Int): DataFrame = {
+    val dir = s"${vdir(name)}/v$version"
+    if (!Files.exists(Paths.get(dir)))
+      throw new NoSuchElementException(
+        s"vertex collection '$name' has no retained version $version " +
+          s"(retained: ${vertexVersions(name).mkString(",")})")
+    spark.read.parquet(dir)
+  }
+
   /** Collections currently present (INDEX listing). */
   def vertexCollections: Seq[String] = listDir("vertices")
   def edgeCollections: Seq[String] = listDir("edges")
