@@ -328,6 +328,47 @@ object GraftQueries {
         .orderBy("name")
     },
 
+    // §2.9 set-ops completeness: INTERSECT / EXCEPT (distinct semantics)
+    "q_intersect_except" -> { (s, d) =>
+      val lo = t(s, d)("orders").where(col("o_totalprice") < 50000)
+        .select(col("o_custkey").as("ck"))
+      val hi = t(s, d)("orders").where(col("o_totalprice") >= 150000)
+        .select(col("o_custkey").as("ck"))
+      lo.intersect(hi).withColumn("op", lit("both"))
+        .unionByName(lo.except(hi).withColumn("op", lit("low_only")))
+        .orderBy("op", "ck")
+    },
+
+    // §2.7 analytic-window completeness: ntile / percent_rank /
+    // cume_dist / lag / lead over one keyed partition
+    "q_window_suite" -> { (s, d) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      t(s, d)("customer").where(col("c_custkey") <= 200)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 4).as("pct_rank"),
+          round(cume_dist().over(w), 4).as("cume"),
+          lag(col("c_custkey"), 1).over(w).as("prev_key"),
+          lead(col("c_custkey"), 1).over(w).as("next_key"))
+        .orderBy("c_mktsegment", "c_custkey")
+    },
+
+    // §2.4 native SQL PIVOT (the declarative face of dress pivot)
+    "q_pivot_sql" -> { (s, d) =>
+      t(s, d)("orders").createOrReplaceTempView("orders_pv")
+      s.sql(
+        """SELECT * FROM (SELECT o_orderpriority, o_orderstatus FROM orders_pv)
+          |PIVOT (count(*) AS n FOR o_orderstatus IN ('O' AS o, 'F' AS f, 'P' AS p))
+          |ORDER BY o_orderpriority""".stripMargin)
+        // a status absent from some priority pivots to NULL; the oracle's
+        // FILTER count yields 0 — align regardless of data density
+        .select(col("o_orderpriority"),
+          coalesce(col("o"), lit(0L)).cast("long").as("n_o"),
+          coalesce(col("f"), lit(0L)).cast("long").as("n_f"),
+          coalesce(col("p"), lit(0L)).cast("long").as("n_p"))
+    },
+
     // §2.2 native store round-trip with idempotent upsert (written twice)
     "q_store_roundtrip" -> { (s, d) =>
       val root = s"/root/repo/target/graft-store-${d.replaceAll("[^0-9.]", "")}"
@@ -2661,6 +2702,32 @@ object GraftQueries {
     "q_union_set" ->
       """SELECT r_name AS name FROM region UNION ALL SELECT n_name FROM nation
         |ORDER BY name""".stripMargin,
+
+    "q_intersect_except" ->
+      """WITH lo AS (SELECT o_custkey AS ck FROM orders WHERE o_totalprice < 50000),
+        |hi AS (SELECT o_custkey AS ck FROM orders WHERE o_totalprice >= 150000)
+        |SELECT ck, 'both' AS op FROM (SELECT ck FROM lo INTERSECT SELECT ck FROM hi)
+        |UNION ALL
+        |SELECT ck, 'low_only' FROM (SELECT ck FROM lo EXCEPT SELECT ck FROM hi)
+        |ORDER BY op, ck""".stripMargin,
+
+    "q_window_suite" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 4) AS pct_rank,
+        |  round(cume_dist() OVER w, 4) AS cume,
+        |  lag(c_custkey, 1) OVER w AS prev_key,
+        |  lead(c_custkey, 1) OVER w AS next_key
+        |FROM customer WHERE c_custkey <= 200
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    "q_pivot_sql" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+        |  CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+        |  CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     "q_store_roundtrip" ->
       """SELECT c_nationkey, count(*) AS cnt FROM customer GROUP BY 1 ORDER BY 1""",
