@@ -484,6 +484,18 @@ object GraftQueries {
         .orderBy("src_id")
     },
 
+    // extension: IVF-PQ — the canonical billion-scale ANN layout (coarse
+    // inverted cells + PQ'd residuals; probe 2 of 4 cells, ADC over
+    // codes only); md5-sampled model → the oracle replays it exactly
+    "q_ivfpq_topk" -> { (s, d) =>
+      val emb = t(s, d)("embeddings")
+      val (enc, model) = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+        nlist = 4, m = 8, ksub = 16, dim = 64)
+      Similarity.ivfPqTopK(emb.where(col("vec_id") < 10), enc, "vec_id",
+        "embedding", model, k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
+
     // extension: PQ recall harness — ADC top-5 vs exact brute-force
     // top-5 (quantization loss quantified per query, like q_ann_recall).
     // Recall is LOW on this table by construction: the synthetic
@@ -2867,6 +2879,75 @@ object GraftQueries {
         |SELECT query_id, CAST(row_number() OVER w AS BIGINT) AS rank, neighbor_id, cos
         |FROM scored
         |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // IVF-PQ replay: md5 sample → coarse assignment argmin → residual
+    // codebook → residual encode argmin → per-query probed-cell ADC
+    "q_ivfpq_topk" ->
+      """WITH samp AS (SELECT row_number() OVER
+        |    (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
+        |    vec_id, embedding
+        |  FROM embeddings
+        |  QUALIFY row_number() OVER
+        |    (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+        |coarse AS (SELECT c, embedding FROM samp WHERE c < 4),
+        |ad0 AS (SELECT e.vec_id, co.c,
+        |    list_sum(list_transform(generate_series(1, 64), i ->
+        |      (CAST(e.embedding[i] AS DOUBLE) - CAST(co.embedding[i] AS DOUBLE))
+        |      * (CAST(e.embedding[i] AS DOUBLE) - CAST(co.embedding[i] AS DOUBLE))))
+        |      AS d
+        |  FROM embeddings e, coarse co),
+        |cellof AS (SELECT vec_id, c AS cell FROM ad0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1),
+        |cbv AS (SELECT s.c AS code, list_transform(generate_series(1, 64), i ->
+        |      CAST(s.embedding[i] AS DOUBLE) - CAST(cob.embedding[i] AS DOUBLE))
+        |      AS resv
+        |  FROM samp s JOIN cellof ces ON ces.vec_id = s.vec_id
+        |  JOIN coarse cob ON cob.c = ces.cell
+        |  WHERE s.c < 16),
+        |cbl AS (SELECT list(resv ORDER BY code) AS cbs FROM cbv),
+        |encd AS (SELECT e.vec_id, g.s, b.code,
+        |    list_sum(list_transform(generate_series(1, 8), d ->
+        |      ((CAST(e.embedding[g.s*8+d] AS DOUBLE) - CAST(coe.embedding[g.s*8+d] AS DOUBLE))
+        |        - cbl.cbs[b.code+1][g.s*8+d])
+        |      * ((CAST(e.embedding[g.s*8+d] AS DOUBLE) - CAST(coe.embedding[g.s*8+d] AS DOUBLE))
+        |        - cbl.cbs[b.code+1][g.s*8+d]))) AS dist
+        |  FROM embeddings e
+        |  JOIN cellof ce ON ce.vec_id = e.vec_id
+        |  JOIN coarse coe ON coe.c = ce.cell,
+        |  generate_series(0, 7) g(s), cbv b, cbl),
+        |enc0 AS (SELECT vec_id, s, code FROM encd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) = 1),
+        |enc AS (SELECT vec_id, list(code ORDER BY s) AS codes
+        |  FROM enc0 GROUP BY 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 10),
+        |qc AS (SELECT q.query_id, co.c,
+        |    list_sum(list_transform(generate_series(1, 64), i ->
+        |      (CAST(q.qv[i] AS DOUBLE) - CAST(co.embedding[i] AS DOUBLE))
+        |      * (CAST(q.qv[i] AS DOUBLE) - CAST(co.embedding[i] AS DOUBLE)))) AS d
+        |  FROM q, coarse co),
+        |probe AS (SELECT query_id, c AS cell FROM qc
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, c) <= 2),
+        |ad AS (SELECT q.query_id, en.vec_id AS neighbor_id,
+        |    list_sum(list_transform(generate_series(0, 7), s ->
+        |      list_sum(list_transform(generate_series(1, 8), d ->
+        |        (((CAST(q.qv[s*8+d] AS DOUBLE) - CAST(cop.embedding[s*8+d] AS DOUBLE))
+        |          - cbl.cbs[en.codes[s+1]+1][s*8+d])
+        |        * ((CAST(q.qv[s*8+d] AS DOUBLE) - CAST(cop.embedding[s*8+d] AS DOUBLE))
+        |          - cbl.cbs[en.codes[s+1]+1][s*8+d])))))) AS adist
+        |  FROM q
+        |  JOIN probe p ON p.query_id = q.query_id
+        |  JOIN coarse cop ON cop.c = p.cell
+        |  JOIN cellof cn ON cn.cell = p.cell
+        |  JOIN enc en ON en.vec_id = cn.vec_id, cbl
+        |  WHERE q.query_id <> en.vec_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS rank,
+        |  neighbor_id, round(adist, 4) AS adist
+        |FROM ad
+        |WINDOW w AS (PARTITION BY query_id ORDER BY adist, neighbor_id)
         |QUALIFY row_number() OVER w <= 5
         |ORDER BY query_id, rank""".stripMargin,
 

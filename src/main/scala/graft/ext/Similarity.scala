@@ -514,6 +514,162 @@ object Similarity {
         col("neighbor_id"), round(-col("_nad"), 4).as("adist"))
   }
 
+  // ------------------------------------------------------------ IVF-PQ
+
+  /** Driver-small IVF-PQ model: `nlist` coarse centroids plus the
+    * m × ksub × dim/m residual codebook.
+    */
+  final case class IvfPq(coarse: Array[Array[Double]],
+      codebook: Array[Array[Array[Double]]])
+
+  /** IVF-PQ index (Jégou et al. 2011 §V — the canonical billion-scale
+    * ANN layout: coarse inverted lists + product-quantized RESIDUALS).
+    * Each vector is assigned to its nearest coarse centroid ("cell") and
+    * only the residual v − centroid is PQ-encoded — residual energy is
+    * far below vector energy, so the same m bytes carry more precision
+    * than flat PQ; search probes a few cells and ADC-scans their codes,
+    * touching neither the floats nor the other cells.
+    *
+    * Determinism (oracle-replay contract): coarse centroids are the
+    * `nlist` md5-smallest vectors, the residual codebook is built from
+    * the `ksub` md5-smallest vectors' residuals (the same random-sample
+    * baseline as [[pqCodebook]]); every argmin is an ascending-fold
+    * squared-L2 with a first-minimum tiebreak, so any md5-capable engine
+    * reproduces cells, codes and distances bit-for-bit.
+    *
+    * Scale shape: one sample collect (driver-small model), then encode
+    * is narrow per-row HOF math against plan-literal centroids — cell
+    * assignment and codes in two chained projections, no shuffle, no
+    * training pass over the corpus.
+    */
+  def ivfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, m: Int, ksub: Int, dim: Int): (DataFrame, IvfPq) = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(nlist >= 1 && ksub >= 1, "nlist and ksub must be positive")
+    val dsub = dim / m
+    val sampleN = math.max(nlist, ksub)
+    val samp = df
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(sampleN)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(samp.length == sampleN, s"need >= $sampleN training vectors")
+    val coarse = samp.take(nlist)
+    // ascending-fold squared L2 + strict-< first-minimum — the same IEEE
+    // sequence the distributed assignment and the oracle run
+    def assignDriver(v: Array[Double]): Int = {
+      var best = Double.PositiveInfinity
+      var bi = 0
+      var c = 0
+      while (c < nlist) {
+        var acc = 0.0
+        var d = 0
+        while (d < dim) { val diff = v(d) - coarse(c)(d); acc += diff * diff; d += 1 }
+        if (acc < best) { best = acc; bi = c }
+        c += 1
+      }
+      bi
+    }
+    val codebook = Array.tabulate(m, ksub) { (s, c) =>
+      val v = samp(c)
+      val cell = assignDriver(v)
+      Array.tabulate(dsub)(d => v(s * dsub + d) - coarse(cell)(s * dsub + d))
+    }
+    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+    val cbLit = typedLit(codebook.map(_.map(_.toSeq).toSeq).toSeq)
+    val x = col(vecCol)
+    val cellExpr = array_min(transform(sequence(lit(0), lit(nlist - 1)), c =>
+      struct(
+        aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), (acc, d) => {
+          val diff = element_at(x, (d + 1).cast("int")).cast("double") -
+            element_at(element_at(coarseLit, c + 1), d + 1)
+          acc + diff * diff
+        }).as("d"),
+        c.cast("int").as("c")))).getField("c")
+    // cell FIRST, codes in a second projection — inlining the cell argmin
+    // into every codebook-distance lambda would re-evaluate it
+    // m×ksub×dsub times per row
+    val withCell = df.select(col(idCol), x.as("_x"), cellExpr.as("cell"))
+    val codes = transform(sequence(lit(0), lit(m - 1)), s => {
+      val dists = transform(sequence(lit(0), lit(ksub - 1)), c =>
+        struct(
+          aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0), (acc, d) => {
+            val i = (s * lit(dsub) + d + 1).cast("int")
+            val res = element_at(col("_x"), i).cast("double") -
+              element_at(element_at(coarseLit, col("cell") + 1), i)
+            val diff = res - element_at(element_at(element_at(cbLit, s + 1), c + 1), d + 1)
+            acc + diff * diff
+          }).as("d"),
+          c.cast("int").as("c")))
+      array_min(dists).getField("c")
+    })
+    (withCell.select(col(idCol), col("cell"), codes.as("codes")),
+      IvfPq(coarse, codebook))
+  }
+
+  /** IVF-PQ ADC top-k: probe each query's `nprobe` nearest cells and scan
+    * ONLY their codes — per probed cell the query builds a residual LUT
+    * on the driver (m × ksub doubles, the oracle's IEEE sequence) and the
+    * scan is m lookups per row, dispatched on the row's cell. One corpus
+    * scan for all queries ([[pqTopK]]'s explode shape); rows outside
+    * every probed cell contribute null and are filtered. Output:
+    * (query_id, rank, neighbor_id, adist).
+    */
+  def ivfPqTopK(queries: DataFrame, encoded: DataFrame, idCol: String,
+      vecCol: String, index: IvfPq, k: Int, nprobe: Int): DataFrame = {
+    val coarse = index.coarse
+    val codebook = index.codebook
+    val m = codebook.length
+    val ksub = codebook(0).length
+    val dsub = codebook(0)(0).length
+    val dim = m * dsub
+    require(nprobe >= 1 && nprobe <= coarse.length, "nprobe in [1, nlist]")
+    val qs = queries.select(col(idCol).as("_qid"),
+      col(vecCol).cast("array<double>").as("_qv"))
+      .collect().map(r => (r.get(0), r.getSeq[Double](1).toArray))
+    require(qs.nonEmpty, "empty query set")
+    val perQuery = array(qs.map { case (qid, qv) =>
+      val probed = coarse.indices.map { c =>
+        var acc = 0.0
+        var d = 0
+        while (d < dim) { val diff = qv(d) - coarse(c)(d); acc += diff * diff; d += 1 }
+        (acc, c)
+      }.sorted.take(nprobe)
+      val branches = probed.map { case (_, cell) =>
+        val lut = Array.tabulate(m, ksub) { (s, c) =>
+          var acc = 0.0
+          var d = 0
+          while (d < dsub) {
+            val qres = qv(s * dsub + d) - coarse(cell)(s * dsub + d)
+            val diff = qres - codebook(s)(c)(d)
+            acc += diff * diff
+            d += 1
+          }
+          acc
+        }
+        cell -> (0 until m).map { s =>
+          element_at(lit(lut(s)), element_at(col("codes"), s + 1) + 1)
+        }.reduceLeft(_ + _)
+      }
+      val adist = branches.tail
+        .foldLeft(when(col("cell") === branches.head._1, branches.head._2)) {
+          case (acc, (cell, e)) => acc.when(col("cell") === cell, e)
+        } // rows outside every probed cell stay null → filtered below
+      struct(lit(qid).as("query_id"), adist.as("_adist"))
+    }: _*)
+    val scored = encoded
+      .select(col(idCol).as("neighbor_id"), explode(perQuery).as("_q"))
+      .select(col("_q.query_id").as("query_id"), col("neighbor_id"),
+        col("_q._adist").as("_adist"))
+      .where(col("_adist").isNotNull && col("query_id") =!= col("neighbor_id"))
+    graft.ext.Corpus.topKPerGroupAgg(
+      scored.select(col("query_id"), col("neighbor_id"),
+        negate(col("_adist")).as("_nad")),
+      "query_id", "_nad", "neighbor_id", k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(-col("_nad"), 4).as("adist"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (exact within a restricted set, or
     * LSH-bucketed at scale): pairs with cosine ≥ minCos.
     *
