@@ -484,6 +484,25 @@ object GraftQueries {
         .orderBy("src_id")
     },
 
+    // extension: feature-hashing vectorization (hashing trick) — dense
+    // 16-dim token-count vectors with no vocabulary pass
+    "q_feature_hash" -> { (s, d) =>
+      Corpus.featureHash(t(s, d)("documents").where(col("doc_id") < 200),
+        "doc_id", "text", dim = 16)
+        .orderBy("doc_id")
+    },
+
+    // extension: retrieval eval metrics — MRR / P@10 of brute-force
+    // cosine retrieval with same-label relevance over the embeddings
+    "q_retrieval_mrr" -> { (s, d) =>
+      val emb = t(s, d)("embeddings")
+      val topk = Similarity.bruteForceTopK(emb.where(col("vec_id") < 50),
+        emb, "vec_id", "embedding", k = 10)
+      Similarity.retrievalQuality(topk, emb.select("vec_id", "label"),
+        "vec_id", "label", k = 10)
+        .orderBy("query_id")
+    },
+
     // extension: IVF-PQ — the canonical billion-scale ANN layout (coarse
     // inverted cells + PQ'd residuals; probe 2 of 4 cells, ADC over
     // codes only); md5-sampled model → the oracle replays it exactly
@@ -2881,6 +2900,51 @@ object GraftQueries {
         |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
         |QUALIFY row_number() OVER w <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // hashing trick: md5 % 16 buckets, dense list from a bucket grid over
+    // docs that have at least one token (matching the groupBy domain)
+    "q_feature_hash" ->
+      """WITH sel AS (SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS nt
+        |  FROM documents WHERE doc_id < 200),
+        |tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(nt, ' '), x -> len(x) > 0)) AS tok
+        |  FROM sel),
+        |hb AS (SELECT doc_id, list_sum(list_transform(generate_series(1, 8),
+        |    p -> (strpos('0123456789abcdef', substring(md5(tok), p, 1)) - 1)
+        |         * CAST(power(16, 8 - p) AS BIGINT))) % 16 AS bucket
+        |  FROM tok),
+        |cnts AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM hb GROUP BY 1, 2),
+        |grid AS (SELECT d.doc_id, g.b
+        |  FROM (SELECT DISTINCT doc_id FROM tok) d, generate_series(0, 15) g(b))
+        |SELECT grid.doc_id AS doc_id, list(coalesce(c.cnt, 0) ORDER BY grid.b) AS features
+        |FROM grid LEFT JOIN cnts c ON c.doc_id = grid.doc_id AND c.bucket = grid.b
+        |GROUP BY grid.doc_id ORDER BY grid.doc_id""".stripMargin,
+
+    // same-label relevance over the exact cosine top-10: first relevant
+    // rank, reciprocal rank, precision@10
+    "q_retrieval_mrr" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlab
+        |  FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nlab
+        |  FROM embeddings),
+        |scored AS (SELECT query_id, neighbor_id, qlab, nlab,
+        |  round(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))), 4) AS cos
+        |  FROM q, c WHERE query_id <> neighbor_id),
+        |r AS (SELECT query_id, qlab, nlab,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10)
+        |SELECT query_id,
+        |  min(CASE WHEN qlab = nlab THEN rank END) AS first_rel_rank,
+        |  round(coalesce(1.0 / min(CASE WHEN qlab = nlab THEN rank END), 0.0), 4) AS rr,
+        |  round(CAST(sum(CASE WHEN qlab = nlab THEN 1 ELSE 0 END) AS DOUBLE) / 10, 4) AS p_at_k
+        |FROM r GROUP BY 1 ORDER BY query_id""".stripMargin,
 
     // IVF-PQ replay: md5 sample → coarse assignment argmin → residual
     // codebook → residual encode argmin → per-query probed-cell ADC

@@ -1224,6 +1224,36 @@ object Corpus {
     * aggregate updates weights and bias together. Docs whose text
     * normalizes to zero tokens carry no rows (no evidence, not scored).
     */
+  /** Feature-hashing text vectorization (Weinberger et al. 2009, the
+    * "hashing trick"): token counts fold into a FIXED dim via
+    * md5 % dim — the dimension-bounded featurizer behind
+    * [[perceptronTrain]], exposed as a dense count-vector column for
+    * downstream models. No vocabulary pass, no fit: the dimension is
+    * closed over an unbounded token space, which is the 100 TB story
+    * (a vocab-indexed vectorizer needs a corpus-wide dictionary build).
+    *
+    * Scale shape: one (id, bucket) counting groupBy (map-side
+    * combinable); the dense assembly is a per-id map lookup over a
+    * literal index range — exact integers, engine-replicable.
+    */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim >= 1, "dim must be positive")
+    val toks = df.select(col(idCol),
+      explode(filter(split(Dedup.normalize(col(textCol)), " "),
+        t => length(t) > 0)).as("_tok"))
+    toks
+      .withColumn("bucket",
+        conv(substring(md5(col("_tok")), 1, 8), 16, 10).cast("long") % dim)
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("cnt"))))
+        .as("_m"))
+      .select(col(idCol), transform(sequence(lit(0), lit(dim - 1)),
+        b => coalesce(element_at(col("_m"), b.cast("long")), lit(0L)))
+        .as("features"))
+  }
+
   private def hashedCounts(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, dim: Int): DataFrame = {
     val toks = df.select(col(idCol).as("_did"),

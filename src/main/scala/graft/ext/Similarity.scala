@@ -514,6 +514,32 @@ object Similarity {
         col("neighbor_id"), round(-col("_nad"), 4).as("adist"))
   }
 
+  /** Retrieval-quality metrics over a per-query top-k frame
+    * (query_id, rank, neighbor_id — the shape every `*TopK` here emits):
+    * per query, the rank of the first RELEVANT hit (same `labelCol`
+    * value as the query), reciprocal rank, and precision@k — the
+    * standard eval layer for a retrieval index (MRR / P@k). Exact
+    * integer counts and one fixed-shape division — engine-replicable.
+    * Scale shape: two broadcast-eligible label joins keyed on the ids,
+    * one keyed aggregate over queries × k rows.
+    */
+  def retrievalQuality(topk: DataFrame, labels: DataFrame, idCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val ql = labels.select(col(idCol).as("query_id"), col(labelCol).as("_qlab"))
+    val nl = labels.select(col(idCol).as("neighbor_id"), col(labelCol).as("_nlab"))
+    topk.join(ql, Seq("query_id")).join(nl, Seq("neighbor_id"))
+      .groupBy("query_id")
+      .agg(
+        min(when(col("_qlab") === col("_nlab"), col("rank").cast("long")))
+          .as("first_rel_rank"),
+        sum(when(col("_qlab") === col("_nlab"), 1L).otherwise(0L))
+          .as("n_relevant"))
+      .select(col("query_id"), col("first_rel_rank"),
+        round(coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)), 4).as("rr"),
+        round(col("n_relevant").cast("double") / lit(k), 4).as("p_at_k"))
+  }
+
   // ------------------------------------------------------------ IVF-PQ
 
   /** Driver-small IVF-PQ model: `nlist` coarse centroids plus the
