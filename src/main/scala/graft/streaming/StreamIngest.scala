@@ -128,6 +128,10 @@ object StreamIngest {
   final case class SessionState(start: Long, last: Long, n: Int, sum: Double)
   final case class SessionOut(user_id: Long, startMs: Long, endMs: Long, n: Int, sum: Double)
 
+  final case class Scd2Event(key: Long, ts: java.sql.Timestamp, value: String)
+  final case class Scd2State(curValue: String, curFromMs: Long, lastMs: Long)
+  final case class Scd2Out(key: Long, value: String, validFromMs: Long, validToMs: Long)
+
   /** Event-time interval join: each left row pairs with right rows sharing
     * `keyCol` whose timestamp falls in `[leftTs, leftTs + windowSec]` —
     * the attribution/enrichment join (click → purchases within the hour).
@@ -164,6 +168,43 @@ object StreamIngest {
     * window program. This is the engine's `mapGroupsWithState` surface —
     * the reference has no stateful operator at all (SURVEY §2.11).
     */
+  /** Streaming SCD2 (the CDC face of [[graft.ext.Events.scd2History]]):
+    * per key, state holds the OPEN run (current value + its start); a
+    * batch's events process in event-time order, and every value change
+    * emits the CLOSED interval [curFrom, changeTs). Open runs stay in
+    * state — they are the live dimension row and cannot be emitted in
+    * Append mode without later retraction; with per-key ordered delivery
+    * (the Kafka-partition-per-key norm) the emitted closed intervals
+    * equal the batch scd2History's non-null-valid_to rows, asserted in
+    * `StreamingSpec`. State is ONE row per key (the current value), the
+    * inherent SCD2 working set — no timeout/eviction needed.
+    */
+  def scd2Stream(events: Dataset[Scd2Event]): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (k, evs, state: GroupState[Scd2State]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Out]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if s.curValue == e.value =>
+                cur = Some(s.copy(lastMs = t))
+              case Some(s) =>
+                out += Scd2Out(k, s.curValue, s.curFromMs, t)
+                cur = Some(Scd2State(e.value, t, t))
+              case None =>
+                cur = Some(Scd2State(e.value, t, t))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   def sessionize(events: Dataset[SessionEvent], gapMs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.withWatermark("ts", s"$gapMs milliseconds")

@@ -245,4 +245,42 @@ class MultimodalSpec extends SparkSpec {
     assert(f.count() == 4)
     assert(f.columns.contains("frame") && f.columns.contains("frame_idx"))
   }
+
+  test("streaming SCD2 closed intervals equal the batch history's") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sq = spark.sqlContext
+    import StreamIngest.Scd2Event
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val batch1 = Seq(
+      Scd2Event(1L, ts(0), "A"), Scd2Event(1L, ts(5), "A"),
+      Scd2Event(2L, ts(1), "X"))
+    val batch2 = Seq(
+      Scd2Event(1L, ts(10), "B"), // closes 1/A
+      Scd2Event(2L, ts(12), "Y"), // closes 2/X
+      Scd2Event(1L, ts(20), "A")) // closes 1/B
+    val mem = MemoryStream[Scd2Event]
+    val out = StreamIngest.scd2Stream(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("scd2_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("scd2_test")
+        .select("key", "value", "validFromMs", "validToMs")
+        .as[(Long, String, Long, Long)].collect().toSet
+      // batch reference over the same rows: closed rows only
+      val obs = (batch1 ++ batch2)
+        .map(e => (e.key, e.value, e.ts, e.ts.getTime)).toDF("k", "v", "t", "tie")
+      val closed = graft.ext.Events.scd2History(obs, "k", "t", "v", "tie")
+        .where(col("valid_to").isNotNull)
+        .select(col("k"), col("v"),
+          unix_millis(col("valid_from")), unix_millis(col("valid_to")))
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(streamed == closed, s"stream=$streamed batch=$closed")
+      assert(streamed.size == 3)
+    } finally q.stop()
+  }
 }
