@@ -1868,6 +1868,20 @@ object GraftQueries {
         .orderBy("o_custkey")
     },
 
+    // extension: shingle novelty vs a reference-corpus Bloom — fraction
+    // of an incoming doc's 3-gram shingles unseen in the curated corpus
+    "q_shingle_novelty" -> { (s, d) =>
+      import graft.ext.Sketch
+      val docs = t(s, d)("documents").where(col("doc_id") < 200)
+      val ref = Dedup.explodeShingles(
+        docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text", n = 3)
+        .select(col("shingle"))
+      val bitmap = Sketch.bloomBuild(ref, "shingle", mBits = 65536, kHash = 3)
+      Sketch.shingleNovelty(docs.where(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 3, bitmap, 65536, 3)
+        .orderBy("doc_id")
+    },
+
     // extension: deterministic weighted sampling without replacement
     // (Efraimidis-Spirakis A-ES, md5 uniform draws) — 50 docs ∝ length
     "q_weighted_sample" -> { (s, d) =>
@@ -4423,6 +4437,40 @@ object GraftQueries {
         |SELECT h.o_custkey, (b.k IS NOT NULL) AS member
         |FROM hits h LEFT JOIN bkeys b ON CAST(h.o_custkey AS VARCHAR) = b.k
         |ORDER BY h.o_custkey""".stripMargin,
+
+    // novelty: bitmap modeled as the reference shingles' position set; a
+    // probe shingle is "seen" iff all 3 salted positions are present
+    "q_shingle_novelty" ->
+      """WITH sel AS (SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS nt
+        |  FROM documents WHERE doc_id < 200),
+        |tok AS (SELECT doc_id, string_split(nt, ' ') AS t FROM sel),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) u
+        |  WHERE len(t) >= 3),
+        |bset AS (SELECT DISTINCT
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      p -> (strpos('0123456789abcdef',
+        |              substring(md5(CAST(i AS VARCHAR) || ':' || shingle), p, 1)) - 1)
+        |           * CAST(power(16, 8 - p) AS BIGINT))) % 65536 AS pos
+        |  FROM (SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 <> 0) r,
+        |    LATERAL (SELECT unnest(generate_series(0, 2)) AS i) u),
+        |pp AS (SELECT s.doc_id, s.shingle, u.i,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      p -> (strpos('0123456789abcdef',
+        |              substring(md5(CAST(u.i AS VARCHAR) || ':' || s.shingle), p, 1)) - 1)
+        |           * CAST(power(16, 8 - p) AS BIGINT))) % 65536 AS pos
+        |  FROM sh s, LATERAL (SELECT unnest(generate_series(0, 2)) AS i) u
+        |  WHERE s.doc_id % 5 = 0),
+        |seen AS (SELECT doc_id, shingle FROM pp LEFT JOIN bset ON pp.pos = bset.pos
+        |  GROUP BY doc_id, shingle HAVING count(bset.pos) = 3)
+        |SELECT s.doc_id,
+        |  CAST(count(*) FILTER (se.shingle IS NULL) AS BIGINT) AS n_novel,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  round(CAST(count(*) FILTER (se.shingle IS NULL) AS DOUBLE) / count(*), 4)
+        |    AS novelty
+        |FROM (SELECT doc_id, shingle FROM sh WHERE doc_id % 5 = 0) s
+        |LEFT JOIN seen se ON se.doc_id = s.doc_id AND se.shingle = s.shingle
+        |GROUP BY 1 ORDER BY s.doc_id""".stripMargin,
 
     // A-ES weighted sample: u = (first-8-hex(md5(id)) + 1) / 2^32,
     // key = u^(1/weight), global top-50 by key

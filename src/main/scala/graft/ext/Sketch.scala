@@ -204,4 +204,30 @@ object Sketch {
         call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0L
     }.reduceLeft(_ && _)
   }
+
+  /** Shingle-novelty score against a reference-corpus Bloom filter: the
+    * fraction of a document's distinct n-gram shingles NOT (probably)
+    * present in the reference — the "how much genuinely new content does
+    * this batch add" signal for continuous ingestion, dual to
+    * [[graft.ext.Dedup.crossNearDups]] (that finds the copies; this
+    * scores the remainder). Bloom false positives UNDERCOUNT novelty by
+    * the fp rate — deterministic, bounded, and the usual direction to
+    * be wrong in (novel content mistaken for seen, never the reverse).
+    *
+    * Scale shape: the reference ships as the driver-small bitmap; the
+    * probe explodes to (doc, shingle), tests each shingle with narrow
+    * bitmap math, and reduces with ONE map-side-combinable keyed
+    * groupBy. Docs with no shingles are absent from the output.
+    */
+  def shingleNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int, bitmap: Array[Long], mBits: Int, kHash: Int): DataFrame = {
+    val sh = graft.ext.Dedup.explodeShingles(df, idCol, textCol, n)
+    sh.withColumn("_seen",
+      bloomMightContain(col("shingle"), bitmap, mBits, kHash))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("_seen"), 0L).otherwise(1L)).as("n_novel"),
+        count(lit(1)).as("n_shingles"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 4))
+  }
 }
