@@ -27,11 +27,12 @@ object Association {
       minSupport: Long, topK: Int, maxBasketSize: Int = 1000): DataFrame = {
     require(minSupport >= 1, "minSupport must be positive")
     require(topK >= 1, "topK must be positive")
-    // no manual persist: the self-join's two sides are the same plan
-    // (ReusedExchange) and the support aggregation is one extra pass over
-    // a keyed shuffle — cheaper than holding a cache across the call
+    // the distinct basket-item table feeds an EAGER count (nBaskets), the
+    // item-support aggregate, and the bounded self-join — persist it; the
+    // eager count alone would otherwise pay the full distinct again
     val items = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
       .where(col("_i").isNotNull).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bounded = items
       .withColumn("_sz", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("_b"))))

@@ -772,7 +772,12 @@ object Corpus {
         .groupBy(col(outId), col("term"))
         .agg(count(lit(1)).as("tf")) // long — exact
     }
+    // the corpus postings list feeds the idf count, the weighted-postings
+    // join, and (via wd) the norm and dot aggregates — materialize it once,
+    // the "inverted index is built once, scanned many times" shape of a
+    // real sparse-retrieval pass
     val cp = postings(corpus, idCol, textCol, "_did")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // N as a driver scalar (one parquet-metadata-cheap count job, the same
     // driver-scalar pattern as bpeTrain's argmax): folding it in as a
     // literal keeps the idf table free of the 1-row crossJoin, which the
@@ -786,7 +791,10 @@ object Corpus {
         pow(log((lit(nDocs) + 1.0) / (col("_df") + 1.0)) + 1.0, 2) * 1e6, 0)
         .cast("long"))
       .select(col("term"), col("_q"))
+    // weighted postings feed both the norm aggregate and the dot-product
+    // join — one more single-build/multi-scan index frame
     val wd = cp.join(idfQ, "term")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wq = postings(queries, qIdCol, qTextCol, "_qid").join(idfQ, "term")
     val normD = wd.groupBy(col("_did"))
       .agg(sum(col("tf") * col("tf") * col("_q")).as("_n2d"))

@@ -267,8 +267,11 @@ object GraphAlgos {
     val d = edges.select(col(leftCol).cast("string").as("l"),
       col(rightCol).cast("string").as("r")).distinct()
     val w = Window.partitionBy(col("r")).orderBy(col("l"))
+    // both sides of the self-join scan the capped adjacency — materialize
+    // it once instead of re-running the distinct + per-r rank twice
     val capped = d.withColumn("_rk", row_number().over(w))
       .where(col("_rk") <= maxPerRight).drop("_rk")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     capped.as("x").join(capped.as("y"),
       col("x.r") === col("y.r") && col("x.l") < col("y.l"))
       .groupBy(col("x.l").as("a"), col("y.l").as("b"))
@@ -598,17 +601,26 @@ object GraphAlgos {
       maxDegree: Int = 100, topK: Int = 100): DataFrame = {
     require(maxDegree >= 2, "maxDegree must be >= 2")
     require(topK >= 1, "topK must be positive")
+    // und feeds three shuffles (degree count, wedge join, adjacency
+    // anti-join) — materialize the distinct edge set once, the same
+    // "adjacency list is an index you build once" shape a real link-
+    // prediction pass uses at scale
     val und = edges.select(
       least(col(srcCol).cast("string"), col(dstCol).cast("string")).as("a"),
       greatest(col(srcCol).cast("string"), col(dstCol).cast("string")).as("b"))
       .where(col("a") =!= col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val adj = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
     val deg = adj.groupBy(col("a").as("w")).agg(count(lit(1)).as("deg"))
     // centers with deg ∈ [2, maxDegree]; quantized contribution per center
     val centers = deg.where(col("deg") >= 2 && col("deg") <= maxDegree)
       .withColumn("_q", round(lit(1e6) / log(col("deg"))).cast("long"))
+    // both sides of the wedge self-join scan this frame; persisting it
+    // halves the adj⋈centers work (exchange reuse alone can't — the two
+    // aliases carry different projections)
     val wedgeSide = adj.join(centers, adj("a") === centers("w"))
       .select(col("w"), col("b").as("n"), col("_q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = wedgeSide.as("x").join(wedgeSide.as("y"),
       col("x.w") === col("y.w") && col("x.n") < col("y.n"))
       .select(col("x.n").as("a"), col("y.n").as("b"), col("x._q").as("_q"))
