@@ -49,6 +49,13 @@ object Bench {
       // same pass, not accumulate transient earlier-pass failures
       failed.clear()
       results = selected.map { case (name, fn) =>
+        // operators persist their multi-consumer index frames (postings,
+        // adjacency, candidate sets) and cannot unpersist them — the result
+        // is lazy. Left in place, 181 queries' worth of cached blocks pile
+        // up in the block manager and the whole battery degrades (~2 s/query
+        // of eviction + GC drag, measured). Release each query's NEW caches
+        // after timing; the diff keeps the prewarmed shared fixtures alive.
+        val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(): Unit } catch {
           case e: Throwable =>
@@ -58,7 +65,11 @@ object Bench {
             failed += name
             Console.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => cachedBefore(id) }
+          .values.foreach(_.unpersist(blocking = false))
+        name -> dt
       }
     }
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
