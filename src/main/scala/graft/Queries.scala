@@ -2359,6 +2359,18 @@ object GraftQueries {
         .orderBy("zvalue", "l_orderkey", "l_linenumber")
     },
 
+    // extension: size-based compaction planning (Delta/Iceberg OPTIMIZE
+    // bin-packing) — documents stand in for a per-source file listing;
+    // files ≥ the 500-byte target keep bin −1, the rest pack largest-first
+    // by cumulative fill (one keyed window, deterministic)
+    "q_compaction_plan" -> { (s, d) =>
+      import graft.ext.Layout
+      Layout.compactionPlan(
+        t(s, d)("documents").select("source", "doc_id", "n_chars"),
+        Seq("source"), "doc_id", "n_chars", targetBytes = 500L)
+        .orderBy("source", "doc_id")
+    },
+
     // extension: BPE merge-candidate statistics — frequency-weighted
     // adjacent-char pairs over the distinct-word table (one tokenizer
     // training round's counting kernel)
@@ -5097,6 +5109,19 @@ object GraftQueries {
         |    i -> (((b0 >> i) & 1) << (2 * i)) + (((b1 >> i) & 1) << (2 * i + 1))))
         |    AS BIGINT) AS zvalue
         |FROM b ORDER BY zvalue, l_orderkey, l_linenumber""".stripMargin,
+
+    // cumulative-fill bin packing per source; files >= target stay -1
+    "q_compaction_plan" ->
+      """WITH c AS (SELECT source, doc_id, n_chars,
+        |    sum(CASE WHEN n_chars < 500 THEN n_chars ELSE 0 END)
+        |      OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+        |            ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |SELECT source, doc_id, n_chars,
+        |  CASE WHEN n_chars >= 500 THEN CAST(-1 AS BIGINT)
+        |       ELSE greatest(CAST(floor((cum - 1) / 500.0) AS BIGINT), 0)
+        |  END AS bin
+        |FROM c ORDER BY source, doc_id""".stripMargin,
 
     // frequency-weighted adjacent char pairs over the distinct-word table
     "q_bpe_pairs" ->

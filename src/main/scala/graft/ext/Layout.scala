@@ -95,4 +95,43 @@ object Layout {
     }
     array_max(array(cands: _*)).getField("shard")
   }
+
+  /** Size-based compaction planning — the file-maintenance half of
+    * Delta/Iceberg `OPTIMIZE` (bin-packing small files into target-size
+    * rewrites), as a pure DataFrame program over a file listing. A 100 TB
+    * store accumulating incremental upserts degrades into millions of tiny
+    * part files; scan throughput then dies on open/seek overhead, and the
+    * fix is periodic rewrite of each partition's small files into
+    * ~`targetBytes` outputs.
+    *
+    * Files already at/above `targetBytes` keep `bin = −1` (left in place —
+    * rewriting them buys nothing). Smaller files pack per group by
+    * CUMULATIVE FILL: order largest-first (`fileCol` tiebreak), running
+    * byte total as a keyed window sum, and a file joins the bin its last
+    * byte lands in (`floor((cum−1)/target)`) — every bin holds
+    * ~targetBytes with at most one straddling file. Why cumulative fill
+    * and not first-fit-decreasing: FFD's bin state is a sequential
+    * recurrence no window can express; cumulative fill is ONE keyed
+    * shuffle, scales to a billion-file listing, and over-fills a bin by at
+    * most one file. Deterministic given the listing, so any SQL engine
+    * replicates the exact plan.
+    *
+    * Returns the listing plus `bin` (long; −1 = keep as-is).
+    */
+  def compactionPlan(files: DataFrame, groupCols: Seq[String],
+      fileCol: String, sizeCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val size = col(sizeCol).cast("long")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(size.desc, col(fileCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // large files contribute 0 to the running fill; ordering them first
+    // (size desc) keeps the small-file cumsum contiguous in one window
+    val cum = sum(when(size < targetBytes, size).otherwise(lit(0L))).over(w)
+    files.withColumn("bin",
+      when(size >= targetBytes, lit(-1L))
+        .otherwise(greatest(floor((cum - 1L) / targetBytes), lit(0L))
+          .cast("long")))
+  }
 }

@@ -206,6 +206,42 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
     flip(dir, next)
   }
 
+  /** Small-file compaction of one vertex collection (the store-maintenance
+    * counterpart of [[graft.ext.Layout.compactionPlan]]): incremental
+    * upserts leave the live version with however many part files the merge
+    * shuffle produced; after many small batches a collection is thousands
+    * of kilobyte files and every scan pays per-file open/seek cost. Rewrite
+    * the live version into ceil(totalBytes / targetBytes) identity-hashed
+    * files (same co-partitioning contract as upsert) as v<N+1> and flip
+    * `_CURRENT`. No-op (None) when the collection is missing or already at
+    * or below the planned file count. Returns (filesBefore, filesAfter).
+    */
+  def compactVertices(name: String, targetBytes: Long): Option[(Int, Int)] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val vdef = schema.vertex(name)
+    val dir = vdir(name)
+    currentVersion(dir).flatMap { cur =>
+      val live = Paths.get(dir, s"v$cur")
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(live)
+      val sizes = try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(Files.size).toList
+      finally s.close()
+      val nOut = math.max(1,
+        math.ceil(sizes.sum.toDouble / targetBytes).toInt)
+      if (sizes.size <= nOut) None
+      else {
+        val next = cur + 1
+        spark.read.parquet(live.toString)
+          .repartition(nOut, vdef.idColumns.map(col): _*)
+          .write.mode("overwrite").parquet(s"$dir/v$next")
+        flip(dir, next)
+        Some((sizes.size, nOut))
+      }
+    }
+  }
+
   /** Remove superseded version directories, keeping the current one (+
     * `keepPrevious` older versions for in-flight readers). Upserts create a
     * new version per write; without vacuuming a frequently-updated
