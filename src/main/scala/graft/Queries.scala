@@ -1374,8 +1374,8 @@ object GraftQueries {
       java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
         inDir.resolve("events.parquet"))
       val batchSchema = s.read.parquet(s"$d/events.parquet").schema
-      val src = s.readStream.schema(batchSchema).parquet(inDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val src = TpchGraph.normalizeEventTs(
+        s.readStream.schema(batchSchema).parquet(inDir.toString))
       val store = new GraphStore(s"$root/store", TpchGraph.schema, s)
       val q = StreamIngest.ingestStream(TpchGraph.schema, TpchGraph.eventsResource,
         src, store, s"$root/ckpt")
@@ -1441,8 +1441,8 @@ object GraftQueries {
       java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
         inDir.resolve("events_b.parquet"))
       val batchSchema = s.read.parquet(s"$d/events.parquet").schema
-      val src = s.readStream.schema(batchSchema).parquet(inDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val src = TpchGraph.normalizeEventTs(
+        s.readStream.schema(batchSchema).parquet(inDir.toString))
       val deduped = StreamIngest.dedupStream(src, Seq("event_id"), "ts", "365 days")
       val q = deduped.writeStream.format("parquet")
         .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")

@@ -54,15 +54,29 @@ object TpchGraph {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read nanos as long and convert with integer division (double
-    * division would lose precision above 2^53 ns).
+  /** Some testdata generations write events.ts as TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects; others write plain micros. Read
+    * nanos as long and convert with integer division (double division would
+    * lose precision above 2^53 ns); leave a real timestamp column alone.
     */
   def eventsTable(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(table(spark, dir, "events"))
   }
+
+  /** ts: nanos-as-long → micros timestamp; TIMESTAMP_NTZ (plain parquet
+    * micros) → session-tz timestamp, so `unix_micros`/watermarks accept it
+    * (sessions run UTC, so the wall-clock reading matches the oracle's
+    * naive-timestamp epoch); already-TIMESTAMP → unchanged.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   // --- resources (actor pipelines) --------------------------------------
 
