@@ -11,7 +11,7 @@ import graft.pipeline._
 import graft.fixtures.TpchGraph
 import graft.query._
 import graft.store.GraphStore
-import graft.ext.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Corpus, Dedup, Events, Multimodal, Similarity, TextAnalysis}
 
 /** The declared operator battery: one entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-equivalent oracle in [[oracles]].
@@ -2399,6 +2399,88 @@ object GraftQueries {
           try_element_at(col("codes"), lit(3)).as("c2"),
           try_element_at(col("codes"), lit(4)).as("c3"))
         .orderBy("vec_id")
+    },
+
+    // extension: distributed fixed-point Lloyd k-means — integer
+    // micro-unit coordinates, md5-seeded init, plan-literal centroids
+    "q_kmeans" -> { (s, d) =>
+      graft.ext.Clustering.kmeansFixed(t(s, d)("embeddings"), "vec_id",
+        "embedding", k = 5, dim = 12, rounds = 3).orderBy("vec_id")
+    },
+
+    // extension: interval × interval overlap join (bucketed equi-join,
+    // pair emitted only in the max-start bucket — no distinct pass)
+    "q_interval_overlap" -> { (s, d) =>
+      val ev = TpchGraph.eventsTable(s, d)
+      def win(ty: String, pfx: String) = ev
+        .where(col("event_type") === ty && col("user_id") < 30)
+        .groupBy(col("user_id").as(s"${pfx}_user"))
+        .agg(min(unix_micros(col("ts"))).as(s"${pfx}_s"),
+          max(unix_micros(col("ts"))).as(s"${pfx}_e"))
+      graft.ext.RangeJoin.intervalOverlap(
+        win("click", "l"), win("purchase", "r"),
+        "l_s", "l_e", "r_s", "r_e", bucketWidth = 86400L * 1000000L)
+        .select(col("l_user"), col("r_user"),
+          floor((least(col("l_e"), col("r_e")) -
+            greatest(col("l_s"), col("r_s"))) / lit(1000000.0)).as("overlap_s"))
+        .orderBy("l_user", "r_user")
+    },
+
+    // extension: one-pass column profile (row/null/distinct counts,
+    // stringified min/max) — the admit-a-new-table data-quality gate
+    "q_profile" -> { (s, d) =>
+      Corpus.profile(
+        t(s, d)("orders")
+          .withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)")),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "o_totalprice"))
+        .orderBy("column")
+    },
+
+    // extension: regular-grid resample + forward fill (6 h steps over each
+    // user's activity span; last observation per bucket wins)
+    "q_resample_fill" -> { (s, d) =>
+      val ev = TpchGraph.eventsTable(s, d).where(col("user_id") < 20)
+      Events.resampleFill(ev, "user_id", "ts", "value", "event_id",
+        stepSeconds = 21600L)
+        .select(col("user_id"), col("bucket_ts"),
+          round(col("value"), 4).as("value"))
+        .orderBy("user_id", "bucket_ts")
+    },
+
+    // extension: NDCG@k over the brute-force top-k — driver-literal
+    // integer discount table, zero transcendentals in the plan
+    "q_ndcg" -> { (s, d) =>
+      val emb = t(s, d)("embeddings")
+      val topk = Similarity.bruteForceTopK(emb.where(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 10)
+      Similarity.ndcgAtK(topk, emb, "vec_id", "label", k = 10)
+        .orderBy("query_id")
+    },
+
+    // extension: late-interaction MaxSim (ColBERT) — label groups as
+    // token-set documents, micro-unit cosines, max-then-sum exact
+    "q_maxsim" -> { (s, d) =>
+      val emb = t(s, d)("embeddings")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("label")).orderBy(col("vec_id"))
+      val docToks = emb.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") <= 12)
+        .select(col("label").cast("long").as("doc_id"), col("embedding"))
+      val qToks = emb.where(col("vec_id") < 12)
+        .select((col("vec_id") % 3).as("qid"), col("vec_id").as("qtok"),
+          col("embedding"))
+      Similarity.maxSimScores(qToks, docToks, "qid", "qtok", "embedding",
+        "doc_id", "embedding", topK = 5)
+        .orderBy("query_id", "rank")
+    },
+
+    // extension: per-dimension embedding drift monitor between snapshots
+    "q_embed_drift" -> { (s, d) =>
+      val emb = t(s, d)("embeddings")
+      Similarity.embeddingDrift(emb.where(col("label") < 5),
+        emb.where(col("label") >= 5), "embedding", dim = 16)
+        .orderBy("dim")
     }
   )
 
@@ -5167,6 +5249,140 @@ object GraftQueries {
         |  CAST(max(CASE WHEN dim = 1 THEN code END) AS INT) AS c1,
         |  CAST(max(CASE WHEN dim = 2 THEN code END) AS INT) AS c2,
         |  CAST(max(CASE WHEN dim = 3 THEN code END) AS INT) AS c3
-        |FROM codes GROUP BY 1 ORDER BY vec_id""".stripMargin
+        |FROM codes GROUP BY 1 ORDER BY vec_id""".stripMargin,
+
+    // unrolled-CTE replay of the fixed-point Lloyd rounds
+    "q_kmeans" -> graft.ext.Clustering.kmeansOracleSql(
+      "embeddings", "vec_id", "embedding", k = 5, dim = 12, rounds = 3),
+
+    "q_interval_overlap" ->
+      """WITH cw AS (SELECT user_id AS l_user, min(epoch_us(ts)) AS l_s,
+        |    max(epoch_us(ts)) AS l_e
+        |  FROM events WHERE event_type = 'click' AND user_id < 30 GROUP BY 1),
+        |pw AS (SELECT user_id AS r_user, min(epoch_us(ts)) AS r_s,
+        |    max(epoch_us(ts)) AS r_e
+        |  FROM events WHERE event_type = 'purchase' AND user_id < 30 GROUP BY 1)
+        |SELECT l_user, r_user,
+        |  CAST(floor((least(l_e, r_e) - greatest(l_s, r_s)) / 1000000.0) AS BIGINT)
+        |    AS overlap_s
+        |FROM cw JOIN pw ON l_s <= r_e AND r_s <= l_e
+        |ORDER BY l_user, r_user""".stripMargin,
+
+    "q_profile" -> {
+      val perCol = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "o_totalprice").map { c =>
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value FROM o""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+         |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice FROM orders)
+         |$perCol
+         |ORDER BY "column"""".stripMargin
+    },
+
+    "q_resample_fill" ->
+      """WITH obs AS (SELECT user_id AS k, epoch_us(ts) // 21600000000 AS b,
+        |    value, ts, event_id
+        |  FROM events WHERE user_id < 20),
+        |pick AS (SELECT k, b, value FROM (SELECT k, b, value,
+        |      row_number() OVER (PARTITION BY k, b
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM obs)
+        |  WHERE rn = 1),
+        |span AS (SELECT k, min(b) AS b0, max(b) AS b1 FROM pick GROUP BY 1),
+        |grid AS (SELECT k, unnest(generate_series(b0, b1)) AS b FROM span)
+        |SELECT g.k AS user_id, g.b * 21600 AS bucket_ts,
+        |  round(last_value(p.value IGNORE NULLS) OVER (PARTITION BY g.k
+        |    ORDER BY g.b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+        |    AS value
+        |FROM grid g LEFT JOIN pick p ON p.k = g.k AND p.b = g.b
+        |ORDER BY user_id, bucket_ts""".stripMargin,
+
+    // same brute-force base as q_embed_topk at k=10; discount/prefix-sum
+    // literals generated from the SAME driver constants as the Spark plan
+    "q_ndcg" -> {
+      val disc = Similarity.ndcgDiscounts(10).mkString(", ")
+      val cum = Similarity.ndcgCumDiscounts(10).mkString(", ")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |scored AS (SELECT query_id, neighbor_id,
+         |  round(list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) /
+         |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) *
+         |     sqrt(list_sum(list_transform(generate_series(1, 64),
+         |      i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))), 4) AS cos
+         |  FROM q, c WHERE query_id <> neighbor_id),
+         |tk AS (SELECT query_id, neighbor_id,
+         |    CAST(row_number() OVER w AS BIGINT) AS rank
+         |  FROM scored WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC,
+         |    neighbor_id)
+         |  QUALIFY row_number() OVER w <= 10),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |lt AS (SELECT label, CAST(count(*) AS BIGINT) AS nl FROM embeddings
+         |  GROUP BY 1),
+         |d AS (SELECT t.query_id, any_value(ql.label) AS qlab,
+         |    CAST(sum(CASE WHEN ql.label = nb.label
+         |      THEN ([$disc])[CAST(t.rank AS INT)] ELSE 0 END) AS BIGINT) AS dcg
+         |  FROM tk t JOIN lab ql ON ql.vec_id = t.query_id
+         |  JOIN lab nb ON nb.vec_id = t.neighbor_id
+         |  GROUP BY t.query_id)
+         |SELECT d.query_id,
+         |  CASE WHEN least(lt.nl - 1, 10) <= 0 THEN 0.0
+         |    ELSE round(CAST(d.dcg AS DOUBLE) /
+         |      CAST(([$cum])[CAST(least(lt.nl - 1, 10) AS INT)] AS DOUBLE), 4)
+         |  END AS ndcg
+         |FROM d JOIN lt ON lt.label = d.qlab
+         |ORDER BY d.query_id""".stripMargin
+    },
+
+    "q_maxsim" ->
+      """WITH dt AS (SELECT CAST(label AS BIGINT) AS doc_id, embedding AS dv
+        |  FROM (SELECT label, vec_id, embedding,
+        |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        |    FROM embeddings) WHERE rn <= 12),
+        |qt AS (SELECT vec_id % 3 AS qid, vec_id AS qtok, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 12),
+        |pc AS (SELECT qid, qtok, doc_id,
+        |  CAST(round(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(dv[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(dv[i] AS DOUBLE) * CAST(dv[i] AS DOUBLE))))) * 1000000, 0)
+        |    AS BIGINT) AS cos_q
+        |  FROM qt, dt),
+        |best AS (SELECT qid, qtok, doc_id, max(cos_q) AS best
+        |  FROM pc GROUP BY 1, 2, 3),
+        |sc AS (SELECT qid AS query_id, doc_id,
+        |    round(CAST(sum(best) AS DOUBLE) / 1000000, 4) AS maxsim
+        |  FROM best GROUP BY 1, 2)
+        |SELECT query_id, CAST(row_number() OVER w AS BIGINT) AS rank, doc_id,
+        |  maxsim
+        |FROM sc WINDOW w AS (PARTITION BY query_id ORDER BY maxsim DESC, doc_id)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_embed_drift" ->
+      """WITH sides AS (SELECT CASE WHEN label < 5 THEN 'ref' ELSE 'new' END
+        |    AS side, embedding FROM embeddings),
+        |lf AS (SELECT side, i AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
+        |  FROM sides, LATERAL (SELECT unnest(generate_series(1, 16)) AS i) u),
+        |ag AS (SELECT dim,
+        |    CAST(sum(CASE WHEN side = 'ref' THEN q END) AS BIGINT) AS sr,
+        |    CAST(count(CASE WHEN side = 'ref' THEN 1 END) AS BIGINT) AS nr,
+        |    CAST(sum(CASE WHEN side = 'new' THEN q END) AS BIGINT) AS sn,
+        |    CAST(count(CASE WHEN side = 'new' THEN 1 END) AS BIGINT) AS nn
+        |  FROM lf GROUP BY 1)
+        |SELECT CAST(dim AS INTEGER) AS dim,
+        |  round(CAST(sr AS DOUBLE) / nr / 1000000, 4) AS mean_ref,
+        |  round(CAST(sn AS DOUBLE) / nn / 1000000, 4) AS mean_new,
+        |  round(abs(CAST(sr AS DOUBLE) / nr - CAST(sn AS DOUBLE) / nn) / 1000000, 4)
+        |    AS abs_shift
+        |FROM ag ORDER BY dim""".stripMargin
   )
 }

@@ -1410,4 +1410,36 @@ object Corpus {
          |FROM mf GROUP BY 1, 2 ORDER BY y, pred""".stripMargin
     (Seq(base) ++ laterRounds ++ Seq(finalSel)).mkString(",\n")
   }
+
+  /** One-pass column profile — the data-quality summary (row count, null
+    * count, exact distinct count, min/max rendered as strings) a pipeline
+    * runs on every new table before trusting it. Long-format output: one
+    * row per profiled column.
+    *
+    * Scale shape: a SINGLE aggregate job. The exact multi-column DISTINCT
+    * counts make Catalyst plan one Expand (rows × n_cols) feeding one
+    * shuffle — the standard exact-profile cost; swap
+    * `approx_count_distinct` into the same shape when a 100 TB profile can
+    * tolerate ±2% (the Expand disappears and the pass is narrow). Min/max
+    * stringify AFTER aggregation (n_cols values, not n_rows casts).
+    * Callers pre-cast float columns (e.g. to DECIMAL) so the string
+    * rendering is engine-portable.
+    */
+  def profile(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs = count(lit(1)).as("_n_rows") +: cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
+        count_distinct(col(c)).as(s"_dist_$c"),
+        min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      struct(lit(c).as("column"), col("_n_rows").as("n_rows"),
+        col(s"_null_$c").as("n_nulls"), col(s"_dist_$c").as("n_distinct"),
+        col(s"_min_$c").as("min_value"), col(s"_max_$c").as("max_value"))
+    }
+    wide.select(inline(array(entries: _*)))
+  }
 }

@@ -149,6 +149,46 @@ object Events {
     rows.reduceLeft(_.unionAll(_))
   }
 
+  /** Regular-grid resampling with forward fill — turn an irregular
+    * observation stream into one row per (key, step bucket) from each
+    * key's first to last observation, carrying the last seen value across
+    * gaps. The metric/feature-store materialization every time-series
+    * consumer (training windows, dashboards, as-of features) wants, done
+    * without a per-key driver loop.
+    *
+    * Per bucket the LAST observation wins, ties broken on `tieCol`
+    * (deterministic). Buckets are exact integer floors of epoch-micros;
+    * the grid comes from a per-key min/max aggregate exploded with
+    * `sequence` — fan-out = span/step per key, never a global range.
+    *
+    * Scale shape: one map-side-combinable per-(key, bucket) argmax, one
+    * tiny per-key span aggregate, one keyed equi-join, and ONE window over
+    * the (key, bucket) partitioning for the fill — per-key state is the
+    * running last value only.
+    */
+  def resampleFill(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieCol: String, stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, "stepSeconds must be positive")
+    val stepUs = stepSeconds * 1000000L
+    // exact long floor-division (see RangeJoin.floorDiv): double division
+    // would mis-bucket near boundaries above 2^53
+    val bucket = RangeJoin.floorDiv(unix_micros(col(tsCol)), stepUs)
+    val perBucket = df
+      .groupBy(col(keyCol).as("_k"), bucket.as("_b"))
+      .agg(max(struct(col(tsCol), col(tieCol), col(valueCol).as("v")))
+        .getField("v").as("_obs"))
+    val grid = perBucket.groupBy("_k")
+      .agg(min(col("_b")).as("_b0"), max(col("_b")).as("_b1"))
+      .select(col("_k"), explode(sequence(col("_b0"), col("_b1"))).as("_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_k")).orderBy(col("_b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(perBucket, Seq("_k", "_b"), "left")
+      .withColumn("_filled", last(col("_obs"), ignoreNulls = true).over(w))
+      .select(col("_k").as(keyCol), (col("_b") * stepSeconds).as("bucket_ts"),
+        col("_filled").as(valueCol))
+  }
+
   /** Cohort retention: users grouped by their FIRST-activity period
     * (`periodDays`-day buckets from the epoch), counted as retained in
     * each later offset if they have any event there. Returns

@@ -29,7 +29,7 @@ object RangeJoin {
     * subtraction makes the numerator an exact multiple, and decimal division
     * keeps the quotient exact at any long magnitude.
     */
-  private def floorDiv(c: org.apache.spark.sql.Column, w: Long) =
+  private[ext] def floorDiv(c: org.apache.spark.sql.Column, w: Long) =
     ((c.cast("decimal(38,0)") - pmod(c.cast("decimal(38,0)"), lit(w))) / lit(w))
       .cast("bigint")
 
@@ -52,6 +52,41 @@ object RangeJoin {
         floorDiv(col(startCol), bucketWidth), floorDiv(col(endCol), bucketWidth))))
     p.join(iv, Seq("__bucket") ++ extraKeys)
       .where(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop("__bucket")
+  }
+
+  /** Interval × interval overlap join (inclusive ends): all (left, right)
+    * pairs with `lStart <= rEnd AND rStart <= lEnd`, matching `extraKeys`
+    * first when given — the genomics/temporal overlap workhorse that a raw
+    * inequality join turns into a nested loop.
+    *
+    * Same bucketed scale shape as [[pointInInterval]], with the classic
+    * dedup rule for the interval-interval case: both sides explode to
+    * their covered buckets, and a pair is emitted ONLY in the bucket of
+    * `max(lStart, rStart)` — a bucket every overlapping pair covers on
+    * both sides and exactly one per pair, so no distinct pass is needed.
+    * Fan-out per row ≈ intervalWidth / bucketWidth + 1; candidates per
+    * bucket scale with interval density, not table size.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: String, lEnd: String,
+      rStart: String, rEnd: String,
+      bucketWidth: Long,
+      extraKeys: Seq[String] = Nil
+  ): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def explodeBuckets(df: DataFrame, s: String, e: String) = df
+      .where(col(s) <= col(e))
+      .withColumn("__bucket", explode(sequence(
+        floorDiv(col(s), bucketWidth), floorDiv(col(e), bucketWidth))))
+    val l = explodeBuckets(left, lStart, lEnd)
+    val r = explodeBuckets(right, rStart, rEnd)
+    l.join(r, Seq("__bucket") ++ extraKeys)
+      .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__bucket") === greatest(
+          floorDiv(col(lStart), bucketWidth), floorDiv(col(rStart), bucketWidth)))
       .drop("__bucket")
   }
 }

@@ -540,6 +540,124 @@ object Similarity {
         round(col("n_relevant").cast("double") / lit(k), 4).as("p_at_k"))
   }
 
+  /** NDCG@k over a top-k frame (query_id, rank, neighbor_id) with binary
+    * label relevance — the graded companion to [[retrievalQuality]].
+    *
+    * Discounts 1/log2(rank+1) are computed ON THE DRIVER as integer
+    * micro-unit literals (one per rank, plus their prefix sums for the
+    * ideal DCG), so the distributed plan holds zero transcendentals: DCG
+    * is an exact integer sum of table-looked-up contributions, and both
+    * engines reproduce it bit-for-bit (the [[graft.infer.CrossResourceIdentity.fellegiSunterScore]]
+    * constant-table pattern). Ideal DCG = prefix-sum at min(k, corpus rows
+    * sharing the query's label) — the self row counts as relevant, so the
+    * denominator is never zero.
+    *
+    * Scale shape: two broadcast-eligible label joins + one keyed aggregate
+    * over queries × k rows; the per-label total is a tiny count aggregate
+    * broadcast back. `excludeSelf` matches a top-k built with the query
+    * row excluded from the corpus ([[bruteForceTopK]]): the ideal then has
+    * one fewer attainable relevant row.
+    */
+  def ndcgAtK(topk: DataFrame, labels: DataFrame, idCol: String,
+      labelCol: String, k: Int, excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val disc = ndcgDiscounts(k)
+    val cum = ndcgCumDiscounts(k)
+    val ql = labels.select(col(idCol).as("query_id"), col(labelCol).as("_qlab"))
+    val nl = labels.select(col(idCol).as("neighbor_id"), col(labelCol).as("_nlab"))
+    val labTotals = labels.groupBy(col(labelCol).as("_qlab"))
+      .agg(count(lit(1)).as("_nlabel"))
+    val nRelEff = least(col("_nlabel") - lit(if (excludeSelf) 1 else 0), lit(k))
+    topk.join(ql, Seq("query_id")).join(nl, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("_qlab"))
+      .agg(sum(when(col("_qlab") === col("_nlab"),
+        element_at(lit(disc), col("rank").cast("int"))).otherwise(0L))
+        .as("_dcg_q"))
+      .join(labTotals, Seq("_qlab"))
+      .select(col("query_id"),
+        when(nRelEff <= 0, lit(0.0)).otherwise(
+          round(col("_dcg_q").cast("double") /
+            element_at(lit(cum), nRelEff.cast("int")).cast("double"), 4))
+          .as("ndcg"))
+  }
+
+  /** Micro-unit discount table D(r) = round(1e6 / log2(r+1)), r = 1..k. */
+  private[graft] def ndcgDiscounts(k: Int): Array[Long] =
+    Array.tabulate(k)(i =>
+      math.round(1e6 / (math.log(i + 2) / math.log(2))))
+
+  /** Prefix sums of [[ndcgDiscounts]]: ideal DCG at m relevant, m = 1..k. */
+  private[graft] def ndcgCumDiscounts(k: Int): Array[Long] =
+    ndcgDiscounts(k).scanLeft(0L)(_ + _).tail
+
+  /** Late-interaction MaxSim scoring (the ColBERT interaction) between a
+    * driver-small query token-vector set and per-document token-vector
+    * sets: score(q, doc) = Σ over q's tokens of the max cosine against any
+    * of the doc's tokens. Cosines quantize to integer micro-units BEFORE
+    * the max/sum pair, so both aggregates are exact and order-free.
+    *
+    * Scale shape: the query token set is bounded by contract (the
+    * [[bruteForceTopK]] broadcast contract), so the candidate frame is
+    * |docTokens| × nQueryTokens — one corpus scan; the two keyed
+    * aggregates (max per (query, qtoken, doc), sum per (query, doc)) are
+    * map-side combinable. Top-k per query on the bounded-heap pattern
+    * closes the op.
+    */
+  def maxSimScores(queryTokens: DataFrame, docTokens: DataFrame,
+      qidCol: String, qtokCol: String, qvecCol: String,
+      didCol: String, dvecCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val q = queryTokens.select(col(qidCol).as("_qid"), col(qtokCol).as("_qtok"),
+      col(qvecCol).as("_qv"))
+      .withColumn("_qn", norm(col("_qv")))
+    val d = docTokens.select(col(didCol).as("_did"), col(dvecCol).as("_dv"))
+      .withColumn("_dn", norm(col("_dv")))
+    val cosQ = round(dot(col("_qv"), col("_dv")) / (col("_qn") * col("_dn")) * 1e6, 0)
+      .cast("long")
+    val perTok = broadcast(q).crossJoin(d)
+      .withColumn("_cos_q", cosQ)
+      .groupBy("_qid", "_qtok", "_did")
+      .agg(max(col("_cos_q")).as("_best"))
+    val scored = perTok.groupBy(col("_qid").as("query_id"), col("_did").as("doc_id"))
+      .agg(round(sum(col("_best")).cast("double") / 1e6, 4).as("maxsim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("maxsim").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select("query_id", "rank", "doc_id", "maxsim")
+  }
+
+  /** Per-dimension embedding drift between a reference snapshot and a
+    * candidate batch — the distribution-shift monitor a production
+    * embedding pipeline runs before admitting new vectors into an index
+    * (retrain signal / upstream-model-change detector).
+    *
+    * Coordinates quantize to micro-units; per-side per-dim sums are exact
+    * longs (one map-side-combinable aggregate over the posexploded
+    * columns), means divide once in double. Output: one row per dimension
+    * with both means and the absolute shift.
+    */
+  def embeddingDrift(ref: DataFrame, cand: DataFrame, vecCol: String,
+      dim: Int): DataFrame = {
+    require(dim >= 1, "dim must be positive")
+    val tagged = ref.select(lit("ref").as("_side"), col(vecCol).as("_v"))
+      .unionByName(cand.select(lit("new").as("_side"), col(vecCol).as("_v")))
+    tagged
+      .select(col("_side"), posexplode(slice(col("_v"), 1, dim)).as(Seq("_p", "_x")))
+      .withColumn("_q", round(col("_x").cast("double") * 1e6, 0).cast("long"))
+      .groupBy((col("_p") + 1).as("dim"))
+      .agg(
+        sum(when(col("_side") === "ref", col("_q"))).as("_sr"),
+        count(when(col("_side") === "ref", lit(1))).as("_nr"),
+        sum(when(col("_side") === "new", col("_q"))).as("_sn"),
+        count(when(col("_side") === "new", lit(1))).as("_nn"))
+      .select(col("dim").cast("int").as("dim"),
+        round(col("_sr").cast("double") / col("_nr") / 1e6, 4).as("mean_ref"),
+        round(col("_sn").cast("double") / col("_nn") / 1e6, 4).as("mean_new"),
+        round(abs(col("_sr").cast("double") / col("_nr") -
+          col("_sn").cast("double") / col("_nn")) / 1e6, 4).as("abs_shift"))
+  }
+
   // ------------------------------------------------------------ IVF-PQ
 
   /** Driver-small IVF-PQ model: `nlist` coarse centroids plus the

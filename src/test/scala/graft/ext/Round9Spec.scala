@@ -1,0 +1,154 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Semantics + plan-shape checks for this round's operators: fixed-point
+  * k-means, interval-overlap join, column profiling, grid resample with
+  * forward fill, NDCG@k, MaxSim late interaction, embedding drift.
+  */
+class Round9Spec extends AnyFunSuite with SparkSpec {
+
+  private def assertNoProduct(plan: String, clue: String): Unit = {
+    assert(!plan.contains("CartesianProduct"),
+      s"$clue planned a cartesian:\n${plan.take(1500)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"$clue planned a nested loop:\n${plan.take(1500)}")
+  }
+
+  test("kmeansFixed separates two obvious blobs and is deterministic") {
+    import spark.implicits._
+    // blob A around (0, 0), blob B around (10, 10) — any sane k-means
+    // assignment puts each blob in one cluster
+    val vecs = ((0L until 20L).map(i => (i, Array(0.0f + i % 3 * 0.1f, 0.1f * (i % 2)))) ++
+      (20L until 40L).map(i => (i, Array(10.0f + i % 3 * 0.1f, 10.0f + 0.1f * (i % 2)))))
+      .toDF("id", "vec")
+    val out = Clustering.kmeansFixed(vecs, "id", "vec", k = 2, dim = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val aClusters = (0L until 20L).map(out).toSet
+    val bClusters = (20L until 40L).map(out).toSet
+    assert(aClusters.size == 1 && bClusters.size == 1 && aClusters != bClusters)
+    val again = Clustering.kmeansFixed(vecs, "id", "vec", k = 2, dim = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == out)
+  }
+
+  test("kmeansFixed assignment plan has no joins at all (literal centroids)") {
+    import spark.implicits._
+    val vecs = (0L until 30L).map(i => (i, Array(i.toFloat, (i % 5).toFloat)))
+      .toDF("id", "vec")
+    val plan = Clustering.kmeansFixed(vecs, "id", "vec", k = 3, dim = 2, rounds = 1)
+      .queryExecution.executedPlan.toString
+    assertNoProduct(plan, "kmeansFixed")
+    assert(!plan.contains("Join"), // centroids ride the plan, not a join
+      s"kmeansFixed joined for centroids:\n${plan.take(1500)}")
+  }
+
+  test("intervalOverlap matches brute force, each pair exactly once") {
+    import spark.implicits._
+    val left = Seq((1L, 0L, 10L), (2L, 5L, 6L), (3L, 20L, 30L), (4L, 31L, 31L))
+      .toDF("l_id", "l_s", "l_e")
+    val right = Seq((10L, 9L, 25L), (11L, 0L, 4L), (12L, 31L, 40L), (13L, 50L, 60L))
+      .toDF("r_id", "r_s", "r_e")
+    val got = RangeJoin.intervalOverlap(left, right, "l_s", "l_e", "r_s", "r_e",
+      bucketWidth = 7L)
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = for {
+      (li, ls, le) <- Seq((1L, 0L, 10L), (2L, 5L, 6L), (3L, 20L, 30L), (4L, 31L, 31L))
+      (ri, rs, re) <- Seq((10L, 9L, 25L), (11L, 0L, 4L), (12L, 31L, 40L), (13L, 50L, 60L))
+      if ls <= re && rs <= le
+    } yield (li, ri)
+    assert(got.sorted.toSeq == brute.sorted)
+    assert(got.length == got.distinct.length, "pair emitted more than once")
+  }
+
+  test("intervalOverlap plan is a keyed join, no product") {
+    import spark.implicits._
+    val left = (0L until 50L).map(i => (i, i * 3, i * 3 + 10)).toDF("l_id", "l_s", "l_e")
+    val right = (0L until 50L).map(i => (i, i * 4, i * 4 + 8)).toDF("r_id", "r_s", "r_e")
+    val plan = RangeJoin.intervalOverlap(left, right, "l_s", "l_e", "r_s", "r_e", 16L)
+      .queryExecution.executedPlan.toString
+    assertNoProduct(plan, "intervalOverlap")
+  }
+
+  test("profile counts rows, nulls, distincts, min/max per column") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None),
+      (Some(2L), Some("c")), (None, Some("a")))
+      .toDF("num", "str")
+    val rows = Corpus.profile(df, Seq("num", "str"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val num = rows("num")
+    assert(num.getAs[Long]("n_rows") == 4 && num.getAs[Long]("n_nulls") == 1)
+    assert(num.getAs[Long]("n_distinct") == 2)
+    assert(num.getAs[String]("min_value") == "1" && num.getAs[String]("max_value") == "2")
+    val str = rows("str")
+    assert(str.getAs[Long]("n_nulls") == 1 && str.getAs[Long]("n_distinct") == 2)
+    assert(str.getAs[String]("min_value") == "a" && str.getAs[String]("max_value") == "c")
+  }
+
+  test("resampleFill fills gaps forward and spans min..max buckets per key") {
+    import spark.implicits._
+    // key 1: observations in buckets 0 and 3 (step=10s) — buckets 1, 2
+    // carry the bucket-0 value; bucket-3 last observation (ts 35) wins
+    val df = Seq(
+      (1L, 5_000_000L, 100L, 1.0), (1L, 30_000_000L, 101L, 2.0),
+      (1L, 35_000_000L, 102L, 3.0),
+      (2L, 0L, 103L, 9.0))
+      .toDF("k", "us", "id", "v")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Events.resampleFill(df, "k", "ts", "v", "id", stepSeconds = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 0L)) == 1.0 && out((1L, 10L)) == 1.0 && out((1L, 20L)) == 1.0)
+    assert(out((1L, 30L)) == 3.0) // last obs in the bucket, not the first
+    assert(out((2L, 0L)) == 9.0)
+    assert(out.size == 5)
+  }
+
+  test("ndcgAtK: perfect ranking scores 1.0, all-miss scores 0.0") {
+    import spark.implicits._
+    val labels = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"), (5L, "y"))
+      .toDF("id", "lab")
+    // query 1 (label x, 2 other x-rows): both relevant at ranks 1-2 = ideal
+    val perfect = Seq((1L, 1L, 2L), (1L, 2L, 3L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val p = Similarity.ndcgAtK(perfect, labels, "id", "lab", k = 2)
+      .collect().head.getDouble(1)
+    assert(p == 1.0)
+    val miss = Seq((1L, 1L, 4L), (1L, 2L, 5L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val m = Similarity.ndcgAtK(miss, labels, "id", "lab", k = 2)
+      .collect().head.getDouble(1)
+    assert(m == 0.0)
+  }
+
+  test("maxSim: per-query-token best doc token, summed") {
+    import spark.implicits._
+    val q = Seq((0L, 100L, Array(1.0f, 0.0f)), (0L, 101L, Array(0.0f, 1.0f)))
+      .toDF("qid", "qtok", "vec")
+    val docs = Seq(
+      (1L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), // doc 1 matches both
+      (2L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f))) // doc 2 matches one
+      .toDF("did", "vec")
+    val out = Similarity.maxSimScores(q, docs, "qid", "qtok", "vec",
+      "did", "vec", topK = 2)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(out(1L) == 2.0) // cos 1.0 + 1.0
+    assert(out(2L) == 1.0) // cos 1.0 + 0.0
+  }
+
+  test("embeddingDrift reports per-dim means and the absolute shift") {
+    import spark.implicits._
+    val ref = Seq(Tuple1(Array(1.0f, 2.0f)), Tuple1(Array(3.0f, 2.0f))).toDF("v")
+    val cand = Seq(Tuple1(Array(5.0f, 2.0f))).toDF("v")
+    val out = Similarity.embeddingDrift(ref, cand, "v", dim = 2)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(1).getAs[Double]("mean_ref") == 2.0)
+    assert(out(1).getAs[Double]("mean_new") == 5.0)
+    assert(out(1).getAs[Double]("abs_shift") == 3.0)
+    assert(out(2).getAs[Double]("abs_shift") == 0.0)
+  }
+}
