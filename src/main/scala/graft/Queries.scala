@@ -2481,6 +2481,43 @@ object GraftQueries {
       Similarity.embeddingDrift(emb.where(col("label") < 5),
         emb.where(col("label") >= 5), "embedding", dim = 16)
         .orderBy("dim")
+    },
+
+    // extension: CMS join-cardinality estimate vs the true join size —
+    // two independently-built sketches, no second scan of either table
+    "q_join_size_est" -> { (s, d) =>
+      import graft.ext.Sketch
+      val li = t(s, d)("lineitem")
+      val pt = t(s, d)("part")
+      val est = Sketch.cmsJoinSize(li, "l_partkey", pt, "p_partkey")
+      val exact = li.join(pt, col("l_partkey") === col("p_partkey"))
+        .agg(count(lit(1)).as("exact_count"))
+      est.crossJoin(exact)
+    },
+
+    // extension: sparse equi-width histogram (optimizer-stats shape)
+    "q_histogram" -> { (s, d) =>
+      Corpus.histogramEquiWidth(t(s, d)("lineitem"), "l_extendedprice",
+        nBins = 20).orderBy("bin")
+    },
+
+    // extension: earliest-arrival temporal reachability over the
+    // customer→supplier→customer contact network (order placed at
+    // orderdate, goods move at shipdate — paths must respect time)
+    "q_temporal_reach" -> { (s, d) =>
+      val ol = t(s, d)("orders").join(t(s, d)("lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      val e1 = ol.select(
+        concat(lit("c:"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s:"), col("l_suppkey").cast("string")).as("dst"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("t"))
+      val e2 = ol.select(
+        concat(lit("s:"), col("l_suppkey").cast("string")).as("src"),
+        concat(lit("c:"), col("o_custkey").cast("string")).as("dst"),
+        expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000").as("t"))
+      graft.graph.GraphAlgos.temporalReachability(e1.unionByName(e2),
+        "src", "dst", "t", source = "c:1", startTime = 0L, maxHops = 3)
+        .orderBy("node")
     }
   )
 
@@ -5383,6 +5420,71 @@ object GraftQueries {
         |  round(CAST(sn AS DOUBLE) / nn / 1000000, 4) AS mean_new,
         |  round(abs(CAST(sr AS DOUBLE) / nr - CAST(sn AS DOUBLE) / nn) / 1000000, 4)
         |    AS abs_shift
-        |FROM ag ORDER BY dim""".stripMargin
+        |FROM ag ORDER BY dim""".stripMargin,
+
+    // CMS inner-product join-size estimate: same md5 bucket formula as
+    // q_cms_counts, two sketches, min over depths of the counter products
+    "q_join_size_est" ->
+      """WITH ka AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+        |  WHERE l_partkey IS NOT NULL),
+        |ra AS (SELECT depth, k FROM ka,
+        |  LATERAL (SELECT unnest(generate_series(0, 3)) AS depth) u),
+        |ca AS (SELECT depth,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      p -> (strpos('0123456789abcdef',
+        |              substring(md5(CAST(depth AS VARCHAR) || ':' || k), p, 1)) - 1)
+        |           * CAST(power(16, 8 - p) AS BIGINT))) % 64 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS ca
+        |  FROM ra GROUP BY 1, 2),
+        |kb AS (SELECT CAST(p_partkey AS VARCHAR) AS k FROM part
+        |  WHERE p_partkey IS NOT NULL),
+        |rb AS (SELECT depth, k FROM kb,
+        |  LATERAL (SELECT unnest(generate_series(0, 3)) AS depth) u),
+        |cb AS (SELECT depth,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      p -> (strpos('0123456789abcdef',
+        |              substring(md5(CAST(depth AS VARCHAR) || ':' || k), p, 1)) - 1)
+        |           * CAST(power(16, 8 - p) AS BIGINT))) % 64 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cb
+        |  FROM rb GROUP BY 1, 2),
+        |ip AS (SELECT ca.depth, CAST(sum(ca.ca * cb.cb) AS BIGINT) AS ip
+        |  FROM ca JOIN cb ON ca.depth = cb.depth AND ca.bucket = cb.bucket
+        |  GROUP BY 1),
+        |est AS (SELECT min(ip) AS join_size_est FROM ip),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_count
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+        |SELECT est.join_size_est, ex.exact_count FROM est, ex""".stripMargin,
+
+    "q_histogram" ->
+      """WITH st AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS mn,
+        |    CAST(max(l_extendedprice) AS DOUBLE) AS mx
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |b AS (SELECT CAST(CASE WHEN mx = mn THEN 0
+        |    ELSE least(floor((CAST(l_extendedprice AS DOUBLE) - mn) /
+        |      ((mx - mn) / 20)), 19) END AS INTEGER) AS bin, mn, mx
+        |  FROM lineitem, st WHERE l_extendedprice IS NOT NULL)
+        |SELECT bin,
+        |  round(mn + CAST(bin AS DOUBLE) * ((mx - mn) / 20), 4) AS bin_lo,
+        |  round(mn + CAST(bin + 1 AS DOUBLE) * ((mx - mn) / 20), 4) AS bin_hi,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM b GROUP BY bin, mn, mx ORDER BY bin""".stripMargin,
+
+    // unrolled earliest-arrival rounds over the bipartite contact edges
+    "q_temporal_reach" -> {
+      val edgesSql =
+        """SELECT 'c:' || CAST(o.o_custkey AS VARCHAR) AS src,
+          |    's:' || CAST(l.l_suppkey AS VARCHAR) AS dst,
+          |    epoch_us(o.o_orderdate) // 86400000000 AS t
+          |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          |  UNION ALL
+          |  SELECT 's:' || CAST(l.l_suppkey AS VARCHAR),
+          |    'c:' || CAST(o.o_custkey AS VARCHAR),
+          |    epoch_us(l.l_shipdate) // 86400000000
+          |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"""
+          .stripMargin
+      graft.graph.GraphAlgos.temporalReachabilityOracleSql(
+        edgesSql, source = "c:1", startTime = 0L, maxHops = 3) +
+        "\nSELECT node, arrival FROM a3 ORDER BY node"
+    }
   )
 }

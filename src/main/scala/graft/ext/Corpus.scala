@@ -1425,6 +1425,34 @@ object Corpus {
     * Callers pre-cast float columns (e.g. to DECIMAL) so the string
     * rendering is engine-portable.
     */
+  /** Equi-width histogram of a numeric column — the profiling companion to
+    * [[profile]] and the shape a query optimizer's column stats want.
+    * Bin width = (max − min)/nBins from ONE tiny stats aggregate broadcast
+    * back; each row then bins with narrow column math (`least` clamps the
+    * max value into the last bin) and one map-side-combinable count closes
+    * it. Empty bins are absent from the output (sparse form).
+    */
+  def histogramEquiWidth(df: org.apache.spark.sql.DataFrame, valueCol: String,
+      nBins: Int): org.apache.spark.sql.DataFrame = {
+    require(nBins >= 1, "nBins must be positive")
+    val stats = df.where(col(valueCol).isNotNull)
+      .agg(min(col(valueCol)).cast("double").as("_mn"),
+        max(col(valueCol)).cast("double").as("_mx"))
+    val w = (col("_mx") - col("_mn")) / nBins
+    val bin = when(col("_mx") === col("_mn"), 0L)
+      .otherwise(least(floor((col(valueCol).cast("double") - col("_mn")) / w),
+        lit(nBins - 1L)))
+    df.where(col(valueCol).isNotNull).crossJoin(broadcast(stats))
+      .withColumn("bin", bin.cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("cnt"),
+        round(first(col("_mn")) + col("bin").cast("double") * first(w), 4)
+          .as("bin_lo"),
+        round(first(col("_mn")) + (col("bin") + 1).cast("double") * first(w), 4)
+          .as("bin_hi"))
+      .select("bin", "bin_lo", "bin_hi", "cnt")
+  }
+
   def profile(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
     val aggs = count(lit(1)).as("_n_rows") +: cols.flatMap { c =>

@@ -155,6 +155,27 @@ object Sketch {
       .groupBy("probe").agg(min(col("cnt")).as("estimate"))
   }
 
+  /** Equi-join cardinality estimate from count-min inner products
+    * (Cormode & Muthukrishnan 2005 §4.2): |A ⋈ B| ≈ min over depth rows d
+    * of Σ_w cntA[d][w]·cntB[d][w] — an upper bound that is exact when no
+    * two keys collide in a row. The optimizer-stats primitive: size a join
+    * BEFORE running it from two independently-built depth×width sketches
+    * (each one map-side-combinable aggregate, mergeable across partitions
+    * and snapshots), never scanning either table twice.
+    *
+    * All-integer (counter products and sums), so engines agree exactly.
+    * The counter tables are depth×width rows — the join of the two
+    * sketches is driver-trivial at any corpus size.
+    */
+  def cmsJoinSize(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+      depth: Int = 4, width: Int = 64): DataFrame = {
+    val ca = cmsCounters(a, aKey, depth, width).withColumnRenamed("cnt", "ca")
+    val cb = cmsCounters(b, bKey, depth, width).withColumnRenamed("cnt", "cb")
+    ca.join(cb, Seq("depth", "bucket"))
+      .groupBy("depth").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("join_size_est"))
+  }
+
   // ---------------------------------------------------------------- Bloom
 
   /** The ONE bit-position hash shared by Bloom build and probe

@@ -196,6 +196,70 @@ object GraphAlgos {
     (head +: iters).mkString(",\n")
   }
 
+  /** Earliest-arrival temporal reachability (time-respecting paths over a
+    * contact network — Holme & Saramäki 2012): edges carry a timestamp and
+    * a path may only continue on edges at or after the current arrival
+    * time. arr(seed) = startTime; each round relaxes
+    * arr(dst) = min{ t : (src, dst, t) ∈ E, t ≥ arr(src) } — the temporal
+    * analogue of [[shortestPathsFixed]]'s Bellman-Ford rounds, and like it
+    * exact integer min/compare arithmetic end to end.
+    *
+    * Note the asymmetry with static reachability: parallel edges at
+    * different times must ALL be kept (an earlier edge may be unusable, a
+    * later one usable), so the edge frame dedups on (src, dst, t), not
+    * (src, dst).
+    *
+    * Scale shape: per round one keyed join of the edge frame against the
+    * (broadcast-small until it isn't) arrival table + one min groupBy;
+    * `localCheckpoint` severs per-round lineage like the other fixed-point
+    * loops.
+    */
+  def temporalReachability(edges: DataFrame, srcCol: String, dstCol: String,
+      tsCol: String, source: String, startTime: Long, maxHops: Int,
+      broadcastNodeLimit: Long = 1000000L): DataFrame = {
+    require(maxHops >= 1, "need at least one hop")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"),
+      col(tsCol).cast("long").as("t"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var arr = Seq((source, startTime)).toDF("node", "arrival")
+    var arrRows = 1L
+    for (_ <- 1 to maxHops) {
+      val arrSide = if (arrRows <= broadcastNodeLimit) broadcast(arr) else arr
+      val relaxed = e.join(arrSide.withColumnRenamed("node", "src"), Seq("src"))
+        .where(col("t") >= col("arrival"))
+        .select(col("dst").as("node"), col("t").as("arrival"))
+      arr = arr.unionByName(relaxed)
+        .groupBy("node").agg(min("arrival").as("arrival"))
+        .localCheckpoint(true)
+      arrRows = arr.count()
+    }
+    e.unpersist(blocking = false)
+    arr
+  }
+
+  /** DuckDB replay of [[temporalReachability]], rounds unrolled. */
+  def temporalReachabilityOracleSql(edgesSql: String, source: String,
+      startTime: Long, maxHops: Int): String = {
+    val head =
+      s"""WITH E0 AS ($edgesSql),
+         |E AS (SELECT DISTINCT src, dst, t FROM E0),
+         |a0 AS (SELECT '$source' AS node, CAST($startTime AS BIGINT) AS arrival)"""
+        .stripMargin
+    val iters = (1 to maxHops).map { i =>
+      s"""a$i AS (SELECT node, min(arrival) AS arrival FROM (
+         |  SELECT node, arrival FROM a${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst, e.t FROM a${i - 1} d
+         |  JOIN E e ON e.src = d.node AND e.t >= d.arrival
+         |) GROUP BY 1)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
+
   /** Per-node triangle participation counts over an undirected graph given
     * as a directed edge frame (direction and duplicates are normalized
     * away; self-loops dropped).

@@ -151,4 +151,50 @@ class Round9Spec extends AnyFunSuite with SparkSpec {
     assert(out(1).getAs[Double]("abs_shift") == 3.0)
     assert(out(2).getAs[Double]("abs_shift") == 0.0)
   }
+
+  test("cmsJoinSize upper-bounds and approximates the true join size") {
+    import spark.implicits._
+    val a = (0L until 200L).map(i => Tuple1(i % 40)).toDF("k") // each key ×5
+    val b = (0L until 40L).map(Tuple1(_)).toDF("k")            // each key ×1
+    val est = Sketch.cmsJoinSize(a, "k", b, "k", depth = 4, width = 512)
+      .collect().head.getLong(0)
+    assert(est >= 200L, s"CMS inner product must upper-bound the join: $est")
+    assert(est <= 400L, s"width 512 over 40 keys should be near-exact: $est")
+  }
+
+  test("histogramEquiWidth bins cover min..max, counts sum to rows") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => Tuple1(i.toDouble)).toDF("v")
+    val rows = Corpus.histogramEquiWidth(df, "v", nBins = 10)
+      .orderBy("bin").collect()
+    assert(rows.map(_.getAs[Long]("cnt")).sum == 100)
+    assert(rows.head.getAs[Double]("bin_lo") == 0.0)
+    assert(rows.last.getAs[Double]("bin_hi") == 99.0)
+    // the max value clamps into the last bin, not a phantom bin 10
+    assert(rows.map(_.getAs[Int]("bin")).toSeq == (0 until 10))
+  }
+
+  test("temporalReachability respects time: late edges unusable upstream") {
+    import spark.implicits._
+    // a -(t5)-> b -(t3)-> c : c is NOT reachable (3 < arrival-at-b 5);
+    // a -(t1)-> d -(t2)-> e : e reachable at 2
+    val edges = Seq(
+      ("a", "b", 5L), ("b", "c", 3L), ("a", "d", 1L), ("d", "e", 2L))
+      .toDF("src", "dst", "t")
+    val out = graft.graph.GraphAlgos.temporalReachability(
+      edges, "src", "dst", "t", source = "a", startTime = 0L, maxHops = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 0L, "b" -> 5L, "d" -> 1L, "e" -> 2L))
+  }
+
+  test("temporalReachability keeps the later usable parallel edge") {
+    import spark.implicits._
+    // b reached at 4; b->c exists at t2 (unusable) and t9 (usable)
+    val edges = Seq(("a", "b", 4L), ("b", "c", 2L), ("b", "c", 9L))
+      .toDF("src", "dst", "t")
+    val out = graft.graph.GraphAlgos.temporalReachability(
+      edges, "src", "dst", "t", source = "a", startTime = 0L, maxHops = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("c") == 9L)
+  }
 }
