@@ -2518,6 +2518,39 @@ object GraftQueries {
       graft.graph.GraphAlgos.temporalReachability(e1.unionByName(e2),
         "src", "dst", "t", source = "c:1", startTime = 0L, maxHops = 3)
         .orderBy("node")
+    },
+
+    // extension: CDC apply (MERGE of a change feed) — latest change per
+    // key wins; upserts replace change columns wholesale, deletes drop
+    "q_merge_cdc" -> { (s, d) =>
+      val root = s"/root/repo/target/graft-cdc-${d.replaceAll("[^0-9.]", "")}"
+      deleteRecursively(new java.io.File(root))
+      val sch = GraphSchema(vertices = Seq(
+        VertexDef("cust",
+          Seq(FieldDef("c_name"), FieldDef("c_acctbal"), FieldDef("c_nationkey")),
+          Identity.Natural(Seq("c_custkey")))), edges = Nil)
+      val store = new GraphStore(root, sch, s)
+      store.upsertVertices("cust", t(s, d)("customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"))
+      val changes = t(s, d)("orders").select(
+        col("o_custkey").as("c_custkey"),
+        col("o_orderkey").as("_seq"),
+        when(col("o_orderstatus") === "F", lit("delete"))
+          .otherwise(lit("upsert")).as("_op"),
+        col("o_totalprice").as("c_acctbal"))
+      store.applyChanges("cust", changes, "_op", "_seq")
+      store.vertices("cust")
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("c_acctbal"), col("c_nationkey"))
+        .orderBy("c_custkey")
+    },
+
+    // extension: all-integer trailing-window spike detection (hourly
+    // event-type volumes vs 3× the trailing-24h mean)
+    "q_spike_detect" -> { (s, d) =>
+      Events.spikeDetect(TpchGraph.eventsTable(s, d), "event_type", "ts",
+        stepSeconds = 3600L, trail = 24, num = 3L, den = 1L)
+        .orderBy("event_type", "bucket_ts")
     }
   )
 
@@ -5485,6 +5518,41 @@ object GraftQueries {
       graft.graph.GraphAlgos.temporalReachabilityOracleSql(
         edgesSql, source = "c:1", startTime = 0L, maxHops = 3) +
         "\nSELECT node, arrival FROM a3 ORDER BY node"
-    }
+    },
+
+    // CDC replay: latest order per customer is the applied change
+    "q_merge_cdc" ->
+      """WITH ch AS (SELECT o_custkey AS c_custkey, o_orderkey AS seq,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'delete' ELSE 'upsert' END AS op,
+        |    o_totalprice AS new_bal,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC,
+        |      CASE WHEN o_orderstatus = 'F' THEN 'delete' ELSE 'upsert' END DESC)
+        |      AS rn
+        |  FROM orders),
+        |latest AS (SELECT c_custkey, op, new_bal FROM ch WHERE rn = 1)
+        |SELECT c.c_custkey, c.c_name,
+        |  round(CASE WHEN l.c_custkey IS NOT NULL AND l.op = 'upsert'
+        |    THEN l.new_bal ELSE c.c_acctbal END, 2) AS c_acctbal,
+        |  c.c_nationkey
+        |FROM customer c LEFT JOIN latest l USING (c_custkey)
+        |WHERE NOT (l.c_custkey IS NOT NULL AND l.op = 'delete')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_spike_detect" ->
+      """WITH c AS (SELECT event_type AS k, epoch_us(ts) // 3600000000 AS b,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT k, min(b) AS b0, max(b) AS b1 FROM c GROUP BY 1),
+        |grid AS (SELECT k, unnest(generate_series(b0, b1)) AS b FROM span),
+        |g AS (SELECT grid.k, grid.b, coalesce(c.cnt, 0) AS cnt
+        |  FROM grid LEFT JOIN c ON c.k = grid.k AND c.b = grid.b),
+        |wfn AS (SELECT k, b, cnt,
+        |    CAST(coalesce(sum(cnt) OVER (PARTITION BY k ORDER BY b
+        |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS trail_sum,
+        |    row_number() OVER (PARTITION BY k ORDER BY b) AS rn FROM g)
+        |SELECT k AS event_type, b * 3600 AS bucket_ts, cnt, trail_sum,
+        |  (rn > 24 AND cnt * 1 * 24 > 3 * trail_sum) AS spike
+        |FROM wfn ORDER BY event_type, bucket_ts""".stripMargin
   )
 }

@@ -189,6 +189,46 @@ object Events {
         col("_filled").as(valueCol))
   }
 
+  /** Trailing-window spike detection over per-key bucket counts — the
+    * monitoring primitive (traffic anomaly, abuse burst, pipeline-volume
+    * alarm): flag buckets whose event count exceeds `num/den ×` the mean
+    * of the previous `trail` buckets.
+    *
+    * ALL-INTEGER: the comparison is `cnt · den · trail > num · Σ trailing`
+    * — no float mean, so engines agree exactly and zero-activity trails
+    * never divide by zero. Missing buckets count zero: the per-key grid
+    * spans min..max observed buckets (same shape as [[resampleFill]]).
+    * Buckets without a full trailing window are emitted unflagged
+    * (`spike` false) rather than dropped, so the output covers the span.
+    *
+    * Scale shape: one map-side-combinable (key, bucket) count, a tiny
+    * per-key span aggregate exploded with `sequence`, one keyed equi-join
+    * and ONE keyed window for the trailing sum.
+    */
+  def spikeDetect(df: DataFrame, keyCol: String, tsCol: String,
+      stepSeconds: Long, trail: Int, num: Long, den: Long): DataFrame = {
+    require(stepSeconds > 0 && trail >= 1 && num > 0 && den > 0,
+      "positive step, trail, ratio")
+    val stepUs = stepSeconds * 1000000L
+    val bucket = RangeJoin.floorDiv(unix_micros(col(tsCol)), stepUs)
+    val counts = df.groupBy(col(keyCol).as("_k"), bucket.as("_b"))
+      .agg(count(lit(1)).as("_cnt"))
+    val grid = counts.groupBy("_k")
+      .agg(min(col("_b")).as("_b0"), max(col("_b")).as("_b1"))
+      .select(col("_k"), explode(sequence(col("_b0"), col("_b1"))).as("_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_k")).orderBy(col("_b"))
+    val trailSum = sum(col("cnt")).over(w.rowsBetween(-trail, -1))
+    grid.join(counts, Seq("_k", "_b"), "left")
+      .select(col("_k"), col("_b"), coalesce(col("_cnt"), lit(0L)).as("cnt"))
+      .withColumn("trail_sum", coalesce(trailSum, lit(0L)))
+      .withColumn("_full", row_number().over(w) > trail)
+      .select(col("_k").as(keyCol), (col("_b") * stepSeconds).as("bucket_ts"),
+        col("cnt"), col("trail_sum"),
+        (col("_full") &&
+          col("cnt") * den * trail > lit(num) * col("trail_sum")).as("spike"))
+  }
+
   /** Cohort retention: users grouped by their FIRST-activity period
     * (`periodDays`-day buckets from the epoch), counted as retained in
     * each later offset if they have any event there. Returns

@@ -188,6 +188,66 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
     flip(dir, next)
   }
 
+  /** CDC apply — the MERGE-of-a-change-feed shape (Delta Live Tables
+    * `apply_changes`, Debezium log compaction): `changes` carries the
+    * vertex identity columns, any subset of payload columns, an `opCol`
+    * ('upsert' | 'delete') and a `seqCol` ordering changes per key.
+    *
+    * Per identity only the LATEST change applies (row_number over
+    * (seq desc, op desc) — no cross-change field mixing): a final upsert
+    * replaces the stored doc's change columns WHOLESALE (explicit nulls
+    * included — the SQL-standard `UPDATE SET *`, deliberately different
+    * from [[upsertVertices]]'s field-wise last-wins merge); stored columns
+    * absent from the change frame carry over. A final delete removes the
+    * doc. Unmatched upserts insert; unmatched stored docs carry over;
+    * op values other than the two are treated as no-ops.
+    *
+    * Scale shape: one keyed argmax over the change feed + one full-outer
+    * join against the current version — both shuffle on the identity the
+    * store is already partitioned by; the result goes through the
+    * standard version flip (plain-parquet path, like migration rewrites).
+    */
+  def applyChanges(name: String, changes: DataFrame, opCol: String,
+      seqCol: String): Unit = {
+    val vdef = schema.vertex(name)
+    val ids = vdef.idColumns
+    require(ids.forall(changes.columns.contains),
+      s"change feed must carry the identity columns ${ids.mkString(", ")}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(ids.map(col): _*).orderBy(col(seqCol).desc, col(opCol).desc)
+    val latest = changes.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn", seqCol)
+    val payloadC = latest.columns.filterNot(c => ids.contains(c) || c == opCol)
+    val cSide = payloadC.foldLeft(latest)((d, c) => d.withColumnRenamed(c, s"_c_$c"))
+      .withColumnRenamed(opCol, "_c_op")
+      .withColumn("_c_present", lit(1))
+    val out = readVertices(name) match {
+      case None =>
+        cSide.where(col("_c_op") === "upsert")
+          .select(ids.map(col) ++ payloadC.map(c => col(s"_c_$c").as(c)): _*)
+      case Some(target) =>
+        val payloadT = target.columns.filterNot(ids.contains)
+        val tSide = target.withColumn("_t_present", lit(1))
+        val joined = tSide.join(cSide, ids.toSeq, "full_outer")
+        val tPresent = col("_t_present").isNotNull
+        val cUpsert = col("_c_present").isNotNull && col("_c_op") === "upsert"
+        val cDelete = col("_c_present").isNotNull && col("_c_op") === "delete"
+        val cols = (payloadT ++ payloadC.filterNot(payloadT.contains)).map { c =>
+          val hasC = payloadC.contains(c)
+          if (hasC && payloadT.contains(c))
+            when(cUpsert, col(s"_c_$c")).otherwise(col(c)).as(c)
+          else if (hasC) when(cUpsert, col(s"_c_$c")).as(c)
+          else col(c).as(c)
+        }
+        joined
+          // stored rows survive unless deleted; change-only rows insert
+          // only on upsert (a delete/no-op without a match emits nothing)
+          .where((tPresent && !cDelete) || (!tPresent && cUpsert))
+          .select(ids.map(col) ++ cols: _*)
+    }
+    overwriteVertices(name, out)
+  }
+
   /** Replace a collection wholesale (schema-migration rewrites,
     * graft.evolve.Evolution.migrateStore).
     */
