@@ -2551,6 +2551,39 @@ object GraftQueries {
       Events.spikeDetect(TpchGraph.eventsTable(s, d), "event_type", "ts",
         stepSeconds = 3600L, trail = 24, num = 3L, den = 1L)
         .orderBy("event_type", "bucket_ts")
+    },
+
+    // extension: point-in-time dimension lookup — each lineitem gets the
+    // ordering customer's order status AS OF its ship date (backward
+    // as-of against the per-(customer, day) latest-status stream)
+    "q_pit_lookup" -> { (s, d) =>
+      import graft.ext.AsOfJoin
+      val ord = t(s, d)("orders").where(col("o_custkey") <= 50)
+      val chg = ord.groupBy(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("status_ts"))
+        .agg(max(struct(col("o_orderkey"), col("o_orderstatus").as("v")))
+          .getField("v").as("status_at_ship"))
+      val facts = ord.select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, d)("lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_orderkey"), col("l_linenumber"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+      AsOfJoin.asOf(facts, chg, Seq("o_custkey"), "ship_us", "status_ts")
+        .select(col("o_custkey"), col("l_orderkey"), col("l_linenumber"),
+          col("status_at_ship"))
+        .orderBy("o_custkey", "l_orderkey", "l_linenumber")
+    },
+
+    // extension: Simpson diversity of sources within each language
+    "q_simpson" -> { (s, d) =>
+      Corpus.simpsonDiversity(t(s, d)("documents"), "lang", "source")
+        .orderBy("lang")
+    },
+
+    // extension: Gini concentration of character mass across sources
+    // within each language
+    "q_gini" -> { (s, d) =>
+      Corpus.giniIndex(t(s, d)("documents"), "lang", "source", "n_chars")
+        .orderBy("lang")
     }
   )
 
@@ -5553,6 +5586,47 @@ object GraftQueries {
         |    row_number() OVER (PARTITION BY k ORDER BY b) AS rn FROM g)
         |SELECT k AS event_type, b * 3600 AS bucket_ts, cnt, trail_sum,
         |  (rn > 24 AND cnt * 1 * 24 > 3 * trail_sum) AS spike
-        |FROM wfn ORDER BY event_type, bucket_ts""".stripMargin
+        |FROM wfn ORDER BY event_type, bucket_ts""".stripMargin,
+
+    // DuckDB native ASOF JOIN replays the backward as-of lookup
+    "q_pit_lookup" ->
+      """WITH chg AS (SELECT o_custkey, epoch_us(o_orderdate) AS status_ts,
+        |    arg_max(o_orderstatus, o_orderkey) AS status_at_ship
+        |  FROM orders WHERE o_custkey <= 50 GROUP BY 1, 2),
+        |facts AS (SELECT o.o_custkey, l.l_orderkey, l.l_linenumber,
+        |    epoch_us(l.l_shipdate) AS ship_us
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_custkey <= 50)
+        |SELECT f.o_custkey, f.l_orderkey, f.l_linenumber, c.status_at_ship
+        |FROM facts f ASOF LEFT JOIN chg c
+        |  ON f.o_custkey = c.o_custkey AND f.ship_us >= c.status_ts
+        |ORDER BY f.o_custkey, f.l_orderkey, f.l_linenumber""".stripMargin,
+
+    "q_simpson" ->
+      """WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(n) AS BIGINT) AS n_total,
+        |  CASE WHEN sum(n) <= 1 THEN 0.0
+        |    ELSE round(1.0 - CAST(sum(n * (n - 1)) AS DOUBLE) /
+        |      CAST(sum(n) * (sum(n) - 1) AS DOUBLE), 4) END AS simpson
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_gini" ->
+      """WITH mass AS (SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS x
+        |  FROM documents GROUP BY 1, 2),
+        |ranked AS (SELECT lang, x,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY x, source)
+        |      AS BIGINT) AS i
+        |  FROM mass),
+        |ag AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(x) AS BIGINT) AS total, CAST(sum(i * x) AS BIGINT) AS six
+        |  FROM ranked GROUP BY 1)
+        |SELECT lang, n_items, total,
+        |  CASE WHEN total <= 0 OR n_items <= 1 THEN 0.0
+        |    ELSE round((2.0 * CAST(six AS DOUBLE) -
+        |      CAST(n_items + 1 AS DOUBLE) * CAST(total AS DOUBLE)) /
+        |      (CAST(n_items AS DOUBLE) * CAST(total AS DOUBLE)), 4) END AS gini
+        |FROM ag ORDER BY lang""".stripMargin
   )
 }

@@ -1470,4 +1470,53 @@ object Corpus {
     }
     wide.select(inline(array(entries: _*)))
   }
+
+  /** Simpson diversity index per group: 1 − Σ nᵢ(nᵢ−1) / (N(N−1)) — the
+    * probability that two draws WITHOUT replacement from the group are
+    * different items. The corpus-health metric for "is this domain/lang
+    * slice dominated by one source" — and unlike Shannon entropy it is
+    * RATIONAL: exact integer counts, one fixed-shape divide, no
+    * transcendentals anywhere, so engines agree to the last bit.
+    * Two map-side-combinable keyed aggregates.
+    */
+  def simpsonDiversity(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      itemCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = df.groupBy(col(groupCol).as("_grp"), col(itemCol).as("_it"))
+      .agg(count(lit(1)).as("_n"))
+    counts.groupBy("_grp").agg(
+      count(lit(1)).as("n_items"),
+      sum(col("_n")).as("n_total"),
+      sum(col("_n") * (col("_n") - 1)).as("_s"))
+      .select(col("_grp").as(groupCol), col("n_items"), col("n_total"),
+        when(col("n_total") <= 1, lit(0.0)).otherwise(
+          round(lit(1.0) - col("_s").cast("double") /
+            (col("n_total") * (col("n_total") - 1)).cast("double"), 4))
+          .as("simpson"))
+  }
+
+  /** Gini concentration index per group over per-item mass (token/char/
+    * doc counts): 0 = evenly spread, →1 = one item holds everything — the
+    * inequality face of [[simpsonDiversity]], e.g. "how skewed is each
+    * language's corpus across sources". Sorted-rank formula
+    * G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with ranks from ONE keyed
+    * window (ascending mass, item tiebreak — deterministic); every term
+    * is an exact integer until the single final divide.
+    */
+  def giniIndex(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      itemCol: String, valueCol: String): org.apache.spark.sql.DataFrame = {
+    val mass = df.groupBy(col(groupCol).as("_grp"), col(itemCol).as("_it"))
+      .agg(sum(col(valueCol)).cast("long").as("_x"))
+    val w = Window.partitionBy(col("_grp")).orderBy(col("_x"), col("_it"))
+    mass.withColumn("_i", row_number().over(w).cast("long"))
+      .groupBy("_grp").agg(
+        count(lit(1)).as("n_items"),
+        sum(col("_x")).as("total"),
+        sum(col("_i") * col("_x")).as("_six"))
+      .select(col("_grp").as(groupCol), col("n_items"), col("total"),
+        when(col("total") <= 0 || col("n_items") <= 1, lit(0.0)).otherwise(
+          round((lit(2.0) * col("_six").cast("double") -
+            (col("n_items") + 1).cast("double") * col("total").cast("double")) /
+            (col("n_items").cast("double") * col("total").cast("double")), 4))
+          .as("gini"))
+  }
 }

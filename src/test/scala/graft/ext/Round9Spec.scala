@@ -197,4 +197,30 @@ class Round9Spec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out("c") == 9L)
   }
+
+  test("simpsonDiversity: uniform beats concentrated; singleton is 0") {
+    import spark.implicits._
+    val df = (Seq.fill(10)(("u", "a")) ++ Seq.fill(10)(("u", "b")) ++
+      Seq.fill(18)(("c", "a")) ++ Seq.fill(2)(("c", "b")) ++
+      Seq(("s", "only"))).toDF("grp", "item")
+    val out = Corpus.simpsonDiversity(df, "grp", "item")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("u") > out("c"), s"uniform ${out("u")} <= skewed ${out("c")}")
+    assert(out("s") == 0.0)
+    // uniform 2×10: 1 − 2·(10·9)/(20·19) = 1 − 180/380
+    assert(out("u") == BigDecimal(1.0 - 180.0 / 380.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("giniIndex: equal masses near 0, one-item-takes-all near 1") {
+    import spark.implicits._
+    val df = Seq(
+      ("eq", "a", 50L), ("eq", "b", 50L), ("eq", "c", 50L), ("eq", "d", 50L),
+      ("sk", "a", 1L), ("sk", "b", 1L), ("sk", "c", 1L), ("sk", "d", 997L))
+      .toDF("grp", "item", "v")
+    val out = Corpus.giniIndex(df, "grp", "item", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("eq") == 0.0)
+    assert(out("sk") > 0.7, s"skewed gini ${out("sk")}")
+  }
 }
