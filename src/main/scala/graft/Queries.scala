@@ -2584,6 +2584,45 @@ object GraftQueries {
     "q_gini" -> { (s, d) =>
       Corpus.giniIndex(t(s, d)("documents"), "lang", "source", "n_chars")
         .orderBy("lang")
+    },
+
+    // extension: LSH quality harness — MinHash candidate pairs scored
+    // against the exact-Jaccard truth set (precision/recall measured,
+    // not guessed)
+    "q_lsh_quality" -> { (s, d) =>
+      val docs = t(s, d)("documents").where(col("doc_id") < 200)
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minSim = 0.2)
+        .withColumnsRenamed(Map("doc_id" -> "id_a")).select("id_a", "id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hit = cand.join(exact, Seq("id_a", "id_b"), "left_semi")
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_candidates"), col("n_exact"), col("n_hit"),
+          when(col("n_candidates") === 0, lit(0.0)).otherwise(
+            round(col("n_hit").cast("double") / col("n_candidates"), 4))
+            .as("precision"),
+          when(col("n_exact") === 0, lit(0.0)).otherwise(
+            round(col("n_hit").cast("double") / col("n_exact"), 4))
+            .as("recall"))
+    },
+
+    // extension: golden-record survivorship — exact-dup clusters of
+    // documents fused per-field by (n_chars, doc_id) priority
+    "q_golden_record" -> { (s, d) =>
+      val docs = t(s, d)("documents").where(col("doc_id") < 200)
+        .withColumn("_ch", md5(trim(regexp_replace(lower(col("text")),
+          lit("\\s+"), lit(" ")))))
+      val pairs = docs.select(col("doc_id").as("id_a"), col("_ch"))
+        .join(docs.select(col("doc_id").as("id_b"), col("_ch")), Seq("_ch"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      Dedup.goldenRecords(docs, "doc_id", pairs, "id_a", "id_b",
+        "n_chars", Seq("lang", "source", "n_chars"))
+        .orderBy("component")
     }
   )
 
@@ -5627,6 +5666,57 @@ object GraftQueries {
         |    ELSE round((2.0 * CAST(six AS DOUBLE) -
         |      CAST(n_items + 1 AS DOUBLE) * CAST(total AS DOUBLE)) /
         |      (CAST(n_items AS DOUBLE) * CAST(total AS DOUBLE)), 4) END AS gini
-        |FROM ag ORDER BY lang""".stripMargin
+        |FROM ag ORDER BY lang""".stripMargin,
+
+    // LSH candidates (q_minhash_lsh's banding) vs the exact-Jaccard truth
+    // set (q_jaccard_pairs' exhaustive shingle join) — measured quality
+    "q_lsh_quality" ->
+      """WITH sel AS (SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS nt
+        |  FROM documents WHERE doc_id < 200),
+        |tok AS (SELECT doc_id, string_split(nt, ' ') AS t FROM sel),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) u
+        |  WHERE len(t) >= 3),
+        |seeded AS (SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || shingle) AS h
+        |  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) seeds),
+        |mh AS (SELECT doc_id, seed, min(h) AS minhash FROM seeded GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, seed // 4 AS band,
+        |  md5(string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || minhash, '|'
+        |    ORDER BY lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || minhash)) AS bsig
+        |  FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bs a JOIN bs b ON a.band = b.band AND a.bsig = b.bsig
+        |    AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |ex AS (SELECT ia AS id_a, ib AS id_b
+        |  FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+        |  WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.2),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+        |nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM cand WHERE EXISTS (SELECT 1 FROM ex
+        |    WHERE ex.id_a = cand.id_a AND ex.id_b = cand.id_b))
+        |SELECT n_candidates, n_exact, n_hit,
+        |  CASE WHEN n_candidates = 0 THEN 0.0
+        |    ELSE round(CAST(n_hit AS DOUBLE) / n_candidates, 4) END AS precision,
+        |  CASE WHEN n_exact = 0 THEN 0.0
+        |    ELSE round(CAST(n_hit AS DOUBLE) / n_exact, 4) END AS recall
+        |FROM nc, ne, nh""".stripMargin,
+
+    // exact-dup clusters fused per field by (n_chars, doc_id) argmax
+    "q_golden_record" ->
+      """WITH h AS (SELECT doc_id, lang, source, n_chars,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS ch
+        |  FROM documents WHERE doc_id < 200),
+        |comp AS (SELECT doc_id, lang, source, n_chars,
+        |    min(doc_id) OVER (PARTITION BY ch) AS component FROM h)
+        |SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+        |  arg_max(lang, n_chars * 1000000 + doc_id) AS lang,
+        |  arg_max(source, n_chars * 1000000 + doc_id) AS source,
+        |  arg_max(n_chars, n_chars * 1000000 + doc_id) AS n_chars
+        |FROM comp GROUP BY component ORDER BY component""".stripMargin
   )
 }

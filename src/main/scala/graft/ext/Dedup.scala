@@ -473,4 +473,32 @@ object Dedup {
         bit_count(col("_sn_a").bitwiseXOR(col("_sn_b"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Golden-record survivorship (the MDM/entity-resolution endgame,
+    * Christen 2012 ch. 6): match pairs resolve to transitive clusters
+    * ([[connectedComponents]], hash-min labels = each cluster's min id),
+    * then every attribute fuses INDEPENDENTLY by (priority, id) argmax
+    * over non-null values — "most trusted source wins per field", so the
+    * fused row can mix fields from different members (the point of
+    * survivorship, vs [[graft.ext.Corpus.clusterSurvivors]] which keeps
+    * one whole row).
+    *
+    * Exact struct-max argmax (ties break on the member id) — no windows;
+    * one keyed aggregate after the component join.
+    */
+  def goldenRecords(records: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      priorityCol: String, attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "need at least one attribute to fuse")
+    val comps = connectedComponents(records.select(col(idCol)), idCol,
+      pairs, aCol, bCol)
+    val fusions = attrCols.map { c =>
+      max(when(col(c).isNotNull,
+        struct(col(priorityCol).as("p"), col(idCol).as("i"), col(c).as("v"))))
+        .getField("v").as(c)
+    }
+    records.join(comps, Seq(idCol))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"), fusions: _*)
+  }
 }

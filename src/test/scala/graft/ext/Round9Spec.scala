@@ -223,4 +223,24 @@ class Round9Spec extends AnyFunSuite with SparkSpec {
     assert(out("eq") == 0.0)
     assert(out("sk") > 0.7, s"skewed gini ${out("sk")}")
   }
+
+  test("goldenRecords fuses fields independently across a transitive cluster") {
+    import spark.implicits._
+    // cluster {1,2,3} via pairs (1,2), (2,3) — transitive; 4 is alone.
+    // Priorities: 3 is most trusted but has a null city — city comes from
+    // 2 (next priority), name from 3. Per-field fusion, not whole-row.
+    val recs = Seq(
+      (1L, 1L, Some("n1"), Some("c1")),
+      (2L, 5L, Some("n2"), Some("c2")),
+      (3L, 9L, Some("n3"), None),
+      (4L, 2L, Some("n4"), Some("c4")))
+      .toDF("id", "prio", "name", "city")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = Dedup.goldenRecords(recs, "id", pairs, "a", "b", "prio",
+      Seq("name", "city"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getString(3))).toMap
+    assert(out(1L) == ((3L, "n3", "c2"))) // mixed-member golden row
+    assert(out(4L) == ((1L, "n4", "c4")))
+  }
 }
