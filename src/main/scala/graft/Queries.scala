@@ -2623,6 +2623,30 @@ object GraftQueries {
       Dedup.goldenRecords(docs, "doc_id", pairs, "id_a", "id_b",
         "n_chars", Seq("lang", "source", "n_chars"))
         .orderBy("component")
+    },
+
+    // extension: k-anonymity / l-diversity release profile over the
+    // (nation, segment) quasi-identifier with account balance sensitive
+    "q_k_anonymity" -> { (s, d) =>
+      graft.ext.Privacy.kAnonymityProfile(t(s, d)("customer"),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 10)
+    },
+
+    // extension: order-free table checksum (integrity fingerprint)
+    "q_table_checksum" -> { (s, d) =>
+      import graft.ext.Sketch
+      Sketch.tableChecksum(
+        t(s, d)("orders")
+          .withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)")),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "o_totalprice"))
+    },
+
+    // extension: lag-24 autocorrelation of hourly event-type volumes —
+    // the daily-seasonality detector feeding spike baselines
+    "q_autocorr" -> { (s, d) =>
+      Events.lagAutocorr(TpchGraph.eventsTable(s, d), "event_type", "ts",
+        stepSeconds = 3600L, lag = 24).orderBy("event_type")
     }
   )
 
@@ -5717,6 +5741,61 @@ object GraftQueries {
         |  arg_max(lang, n_chars * 1000000 + doc_id) AS lang,
         |  arg_max(source, n_chars * 1000000 + doc_id) AS source,
         |  arg_max(n_chars, n_chars * 1000000 + doc_id) AS n_chars
-        |FROM comp GROUP BY component ORDER BY component""".stripMargin
+        |FROM comp GROUP BY component ORDER BY component""".stripMargin,
+
+    "q_k_anonymity" ->
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS sz,
+        |    CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  min(sz) AS min_class_size,
+        |  CAST(coalesce(sum(CASE WHEN sz < 10 THEN sz END), 0) AS BIGINT)
+        |    AS n_rows_below_k,
+        |  round(CAST(coalesce(sum(CASE WHEN sz < 10 THEN sz END), 0) AS DOUBLE)
+        |    / sum(sz), 4) AS pct_rows_below_k,
+        |  min(l) AS min_l_diversity
+        |FROM cls""".stripMargin,
+
+    // same md5-hex8 integer as the Spark conv(substring(md5, 1, 8)) path
+    "q_table_checksum" ->
+      """WITH o AS (SELECT
+        |    coalesce(CAST(o_orderkey AS VARCHAR), chr(2) || 'NULL') || chr(1) ||
+        |    coalesce(CAST(o_custkey AS VARCHAR), chr(2) || 'NULL') || chr(1) ||
+        |    coalesce(o_orderstatus, chr(2) || 'NULL') || chr(1) ||
+        |    coalesce(o_orderpriority, chr(2) || 'NULL') || chr(1) ||
+        |    coalesce(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |      chr(2) || 'NULL') AS canon
+        |  FROM orders),
+        |h AS (SELECT CAST(list_sum(list_transform(generate_series(1, 8),
+        |    p -> (strpos('0123456789abcdef', substring(md5(canon), p, 1)) - 1)
+        |         * CAST(power(16, 8 - p) AS BIGINT))) AS BIGINT) AS rh
+        |  FROM o)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(rh) AS BIGINT) AS checksum FROM h""".stripMargin,
+
+    "q_autocorr" ->
+      """WITH c AS (SELECT event_type AS k, epoch_us(ts) // 3600000000 AS b,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT k, min(b) AS b0, max(b) AS b1 FROM c GROUP BY 1),
+        |grid AS (SELECT k, unnest(generate_series(b0, b1)) AS b FROM span),
+        |g AS (SELECT grid.k, grid.b, coalesce(c.cnt, 0) AS x
+        |  FROM grid LEFT JOIN c ON c.k = grid.k AND c.b = grid.b),
+        |pairs AS (SELECT a.k, a.x, y.x AS y
+        |  FROM g a JOIN g y ON y.k = a.k AND y.b = a.b + 24),
+        |ag AS (SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM pairs GROUP BY 1)
+        |SELECT k AS event_type, n_pairs,
+        |  CASE WHEN n_pairs * sxx - sx * sx <= 0 OR n_pairs * syy - sy * sy <= 0
+        |    THEN 0.0
+        |    ELSE round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 4) END AS autocorr
+        |FROM ag ORDER BY event_type""".stripMargin
   )
 }

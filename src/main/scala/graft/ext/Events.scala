@@ -229,6 +229,52 @@ object Events {
           col("cnt") * den * trail > lit(num) * col("trail_sum")).as("spike"))
   }
 
+  /** Lag-k autocorrelation of per-key bucket counts — the seasonality
+    * detector (lag 24 on hourly buckets ⇒ daily rhythm) that pairs with
+    * [[spikeDetect]]: a high r at the seasonal lag says "use a seasonal
+    * baseline, not a flat trailing mean".
+    *
+    * Computed as the Pearson correlation over (count[b], count[b+lag])
+    * pairs on the ZERO-FILLED bucket grid (missing buckets are real
+    * zeros; skipping them would silently change the series). Every sum
+    * (n, Σx, Σy, Σx², Σy², Σxy) is an exact integer — counts are ints —
+    * so engines agree bit-for-bit until the single final sqrt/divide.
+    * Constant series (zero variance) report 0.
+    *
+    * Scale shape: one keyed count, the per-key span grid, one keyed
+    * self-join at (key, bucket+lag), one keyed aggregate.
+    */
+  def lagAutocorr(df: DataFrame, keyCol: String, tsCol: String,
+      stepSeconds: Long, lag: Int): DataFrame = {
+    require(stepSeconds > 0 && lag >= 1, "positive step and lag")
+    val stepUs = stepSeconds * 1000000L
+    val bucket = RangeJoin.floorDiv(unix_micros(col(tsCol)), stepUs)
+    val counts = df.groupBy(col(keyCol).as("_k"), bucket.as("_b"))
+      .agg(count(lit(1)).as("_cnt"))
+    val grid = counts.groupBy("_k")
+      .agg(min(col("_b")).as("_b0"), max(col("_b")).as("_b1"))
+      .select(col("_k"), explode(sequence(col("_b0"), col("_b1"))).as("_b"))
+    val filled = grid.join(counts, Seq("_k", "_b"), "left")
+      .select(col("_k"), col("_b"), coalesce(col("_cnt"), lit(0L)).as("_x"))
+    val shifted = filled.select(col("_k"), (col("_b") - lag).as("_b"),
+      col("_x").as("_y"))
+    val pairs = filled.join(shifted, Seq("_k", "_b"))
+    val agg = pairs.groupBy(col("_k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_y") * col("_y")).as("_syy"),
+        sum(col("_x") * col("_y")).as("_sxy"))
+    val num = agg("n_pairs") * col("_sxy") - col("_sx") * col("_sy")
+    val d1 = agg("n_pairs") * col("_sxx") - col("_sx") * col("_sx")
+    val d2 = agg("n_pairs") * col("_syy") - col("_sy") * col("_sy")
+    agg.select(col("_k").as(keyCol), col("n_pairs"),
+      when(d1 <= 0 || d2 <= 0, lit(0.0)).otherwise(
+        round(num.cast("double") /
+          (sqrt(d1.cast("double")) * sqrt(d2.cast("double"))), 4))
+        .as("autocorr"))
+  }
+
   /** Cohort retention: users grouped by their FIRST-activity period
     * (`periodDays`-day buckets from the epoch), counted as retained in
     * each later offset if they have any event there. Returns

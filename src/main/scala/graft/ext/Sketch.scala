@@ -155,6 +155,24 @@ object Sketch {
       .groupBy("probe").agg(min(col("cnt")).as("estimate"))
   }
 
+  /** Order-free table checksum — the data-integrity fingerprint for
+    * snapshot comparison, migration validation and cross-engine equality
+    * checks: each row renders to a canonical string (explicit null
+    * sentinel + chr(1) separators — concat_ws would silently SKIP nulls
+    * and collide ('a', null) with ('a')), hashes to a 32-bit integer via
+    * md5, and the checksum is the exact integer SUM of row hashes plus
+    * the row count. Addition commutes, so partitioning/order/AQE cannot
+    * move the result, and two tables agree iff their row multisets
+    * (projected to `cols`) hash-agree. ONE map-side-combinable aggregate.
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to checksum")
+    val canonical = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002NULL"))): _*)
+    val rowHash = conv(substring(md5(canonical), 1, 8), 16, 10).cast("long")
+    df.agg(count(lit(1)).as("n_rows"), sum(rowHash).as("checksum"))
+  }
+
   /** Equi-join cardinality estimate from count-min inner products
     * (Cormode & Muthukrishnan 2005 §4.2): |A ⋈ B| ≈ min over depth rows d
     * of Σ_w cntA[d][w]·cntB[d][w] — an upper bound that is exact when no

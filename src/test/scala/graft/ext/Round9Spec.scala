@@ -243,4 +243,46 @@ class Round9Spec extends AnyFunSuite with SparkSpec {
     assert(out(1L) == ((3L, "n3", "c2"))) // mixed-member golden row
     assert(out(4L) == ((1L, "n4", "c4")))
   }
+
+  test("kAnonymityProfile reports class sizes, below-k mass, l-diversity") {
+    import spark.implicits._
+    // classes: (a,1)x3 sens {x,y}, (b,1)x1 sens {x} — k=2: 1 row below
+    val df = Seq(
+      ("a", 1, "x"), ("a", 1, "y"), ("a", 1, "x"),
+      ("b", 1, "x"))
+      .toDF("q1", "q2", "sens")
+    val r = graft.ext.Privacy.kAnonymityProfile(df, Seq("q1", "q2"), "sens", k = 2)
+      .collect().head
+    assert(r.getAs[Long]("n_classes") == 2 && r.getAs[Long]("n_rows") == 4)
+    assert(r.getAs[Long]("min_class_size") == 1)
+    assert(r.getAs[Long]("n_rows_below_k") == 1)
+    assert(r.getAs[Double]("pct_rows_below_k") == 0.25)
+    assert(r.getAs[Long]("min_l_diversity") == 1)
+  }
+
+  test("tableChecksum: order-invariant, null-vs-string distinct") {
+    import spark.implicits._
+    val a = Seq((1L, Some("x")), (2L, None)).toDF("id", "v")
+    val b = Seq((2L, None), (1L, Some("x"))).toDF("id", "v") // reordered
+    val c = Seq((1L, Some("x")), (2L, Some("NULL"))).toDF("id", "v")
+    def ck(df: org.apache.spark.sql.DataFrame) =
+      Sketch.tableChecksum(df, Seq("id", "v")).collect().head.getLong(1)
+    assert(ck(a) == ck(b))
+    assert(ck(a) != ck(c)) // a real "NULL" string is not a null
+  }
+
+  test("lagAutocorr: perfect periodicity scores 1, constant scores 0") {
+    import spark.implicits._
+    // period-2 series x = 3,1,3,1,... over 40 buckets (step 10s):
+    // lag-2 pairs are identical -> r = 1.0; lag-1 would be -1.
+    val rows = (0 until 40).flatMap { b =>
+      val n = if (b % 2 == 0) 3 else 1
+      (0 until n).map(i => ("p", b * 10L * 1000000L + i))
+    } ++ (0 until 10).map(b => ("const", b * 10L * 1000000L + 1L))
+    val df = rows.toDF("k", "us").withColumn("ts", timestamp_micros(col("us")))
+    val out = graft.ext.Events.lagAutocorr(df, "k", "ts", stepSeconds = 10L,
+      lag = 2).collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("p") == 1.0)
+    assert(out("const") == 0.0) // zero variance -> guarded 0
+  }
 }
