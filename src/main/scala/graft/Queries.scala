@@ -2647,6 +2647,13 @@ object GraftQueries {
     "q_autocorr" -> { (s, d) =>
       Events.lagAutocorr(TpchGraph.eventsTable(s, d), "event_type", "ts",
         stepSeconds = 3600L, lag = 24).orderBy("event_type")
+    },
+
+    // extension: power-law degree-exponent MLE over customer order
+    // counts — driver-literal micro-nat log table, no in-plan logs
+    "q_powerlaw" -> { (s, d) =>
+      graft.graph.GraphAlgos.powerLawAlpha(t(s, d)("orders"), "o_custkey",
+        xmin = 2, maxDegree = 1024)
     }
   )
 
@@ -5796,6 +5803,10 @@ object GraftQueries {
         |    ELSE round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
         |      (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
         |       sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 4) END AS autocorr
-        |FROM ag ORDER BY event_type""".stripMargin
+        |FROM ag ORDER BY event_type""".stripMargin,
+
+    "q_powerlaw" -> graft.graph.GraphAlgos.powerLawAlphaOracleSql(
+      "SELECT o_custkey, CAST(count(*) AS BIGINT) AS d FROM orders GROUP BY 1",
+      xmin = 2, maxDegree = 1024)
   )
 }

@@ -260,6 +260,64 @@ object GraphAlgos {
     (head +: iters).mkString(",\n")
   }
 
+  /** Power-law exponent MLE over a degree distribution (Clauset, Shalizi
+    * & Newman 2009 eq. 3.1, continuous approximation):
+    * α = 1 + n / Σ ln(dᵢ / (xmin − ½)) over nodes with degree ≥ xmin —
+    * the "is this graph scale-free, and how heavy is the tail" summary
+    * that decides hub-capping / salting strategy before running the
+    * wedge-quadratic algorithms ([[triangleCounts]], [[bipartiteProject]]).
+    *
+    * No logarithms run in the plan: ln(d/(xmin−½)) is looked up from a
+    * DRIVER-COMPUTED micro-nat literal table indexed by degree (the
+    * [[graft.ext.Similarity.ndcgAtK]] constant-table pattern), so the sum
+    * is an exact integer and engines agree bit-for-bit. Degrees clamp to
+    * the table size `maxDegree` on BOTH sides — identical parity, and a
+    * 100 TB graph with hubs past the cap only flattens those hubs'
+    * contributions, it never diverges.
+    *
+    * Scale shape: one keyed degree count + one map-side-combinable sum.
+    */
+  def powerLawAlpha(edges: DataFrame, srcCol: String, xmin: Int = 2,
+      maxDegree: Int = 1024): DataFrame = {
+    require(xmin >= 1, "xmin must be >= 1")
+    require(maxDegree >= xmin, "maxDegree must cover xmin")
+    val logTable = powerLawLogTable(xmin, maxDegree)
+    val degrees = edges.groupBy(col(srcCol)).agg(count(lit(1)).as("_d"))
+      .where(col("_d") >= xmin)
+    degrees
+      .agg(count(lit(1)).as("n_tail"),
+        sum(element_at(lit(logTable),
+          least(col("_d"), lit(maxDegree.toLong)).cast("int"))).as("_sq"))
+      .select(col("n_tail"),
+        when(col("_sq") <= 0, lit(0.0)).otherwise(
+          round(lit(1.0) + col("n_tail").cast("double") * 1e6 /
+            col("_sq").cast("double"), 4)).as("alpha"))
+  }
+
+  /** Micro-nat table ln(d / (xmin − ½)) for d = 1..maxDegree (entries
+    * below xmin are never probed). Shared with the oracle generator.
+    */
+  private[graft] def powerLawLogTable(xmin: Int, maxDegree: Int): Array[Long] =
+    Array.tabulate(maxDegree)(i =>
+      math.round(1e6 * math.log((i + 1).toDouble / (xmin - 0.5))))
+
+  /** DuckDB replay of [[powerLawAlpha]] with the SAME literal table. */
+  def powerLawAlphaOracleSql(degreesSql: String, xmin: Int,
+      maxDegree: Int): String = {
+    val table = powerLawLogTable(xmin, maxDegree).mkString(", ")
+    s"""WITH deg AS ($degreesSql),
+       |tail AS (SELECT d FROM deg WHERE d >= $xmin),
+       |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_tail,
+       |    CAST(sum(([$table])[CAST(least(d, $maxDegree) AS INT)]) AS BIGINT)
+       |      AS sq
+       |  FROM tail)
+       |SELECT n_tail,
+       |  CASE WHEN sq <= 0 THEN 0.0
+       |    ELSE round(1.0 + CAST(n_tail AS DOUBLE) * 1000000 /
+       |      CAST(sq AS DOUBLE), 4) END AS alpha
+       |FROM ag""".stripMargin
+  }
+
   /** Per-node triangle participation counts over an undirected graph given
     * as a directed edge frame (direction and duplicates are normalized
     * away; self-loops dropped).

@@ -132,6 +132,11 @@ object StreamIngest {
   final case class Scd2State(curValue: String, curFromMs: Long, lastMs: Long)
   final case class Scd2Out(key: Long, value: String, validFromMs: Long, validToMs: Long)
 
+  final case class SpikeEvent(k: String, b: Long, cnt: Long)
+  final case class SpikeState(b0: Long, last: Long, ring: Seq[Long])
+  final case class SpikeOut(k: String, bucket_ts: Long, cnt: Long,
+    trail_sum: Long, spike: Boolean)
+
   /** Event-time interval join: each left row pairs with right rows sharing
     * `keyCol` whose timestamp falls in `[leftTs, leftTs + windowSec]` —
     * the attribution/enrichment join (click → purchases within the hour).
@@ -201,6 +206,53 @@ object StreamIngest {
             }
           }
           cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Streaming face of [[graft.ext.Events.spikeDetect]] — the continuous
+    * volume alarm over a PRE-BUCKETED count stream (the output of a
+    * windowed count; bucketing upstream keeps this operator's state at
+    * exactly `trail` longs per key). Per key the state carries the
+    * trailing ring of bucket counts; arriving buckets evaluate the same
+    * all-integer rule (cnt·den·trail > num·Σtrailing), and gaps ZERO-FILL
+    * exactly like the batch grid, so with per-key in-order delivery (the
+    * Kafka-partition-per-key norm, same contract as [[scd2Stream]]) the
+    * emitted rows equal batch spikeDetect's — asserted in StreamingSpec.
+    * Late/duplicate buckets (≤ last seen) are ignored.
+    */
+  def spikeStream(events: Dataset[SpikeEvent], stepSeconds: Long,
+      trail: Int, num: Long, den: Long): Dataset[SpikeOut] = {
+    import events.sparkSession.implicits._
+    require(stepSeconds > 0 && trail >= 1 && num > 0 && den > 0,
+      "positive step, trail, ratio")
+    events.groupByKey(_.k)
+      .flatMapGroupsWithState[SpikeState, SpikeOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (k, evs, state: GroupState[SpikeState]) =>
+          val sorted = evs.toSeq.sortBy(_.b)
+          var st = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[SpikeOut]
+          def push(b: Long, cnt: Long): Unit = {
+            val s = st.get
+            val trailSum = s.ring.sum
+            val full = b - s.b0 >= trail
+            out += SpikeOut(k, b * stepSeconds, cnt, trailSum,
+              full && cnt * den * trail > num * trailSum)
+            st = Some(s.copy(last = b, ring = (s.ring :+ cnt).takeRight(trail)))
+          }
+          sorted.foreach { e =>
+            st match {
+              case None =>
+                st = Some(SpikeState(e.b, e.b - 1, Vector.empty))
+                push(e.b, e.cnt)
+              case Some(s) if e.b > s.last =>
+                ((s.last + 1) until e.b).foreach(gb => push(gb, 0L))
+                push(e.b, e.cnt)
+              case Some(_) => // late or duplicate bucket: ignore
+            }
+          }
+          st.foreach(state.update)
           out.iterator
       }
   }

@@ -283,4 +283,44 @@ class MultimodalSpec extends SparkSpec {
       assert(streamed.size == 3)
     } finally q.stop()
   }
+
+  test("spikeStream equals batch spikeDetect over in-order bucket counts") {
+    import spark.implicits._
+    import graft.streaming.StreamIngest.{SpikeEvent, SpikeOut}
+    implicit val sq = spark.sqlContext
+    // raw events: key x calm 4 buckets then a burst; key y constant
+    val raw = (0 until 4).map(b => ("x", b.toLong, 1L)) ++
+      Seq(("x", 4L, 9L)) ++ // spike bucket
+      Seq(("x", 7L, 1L)) ++ // gap: buckets 5, 6 are zero
+      (0 until 6).map(b => ("y", b.toLong, 2L))
+    val counts = raw.map { case (k, b, c) => SpikeEvent(k, b, c) }
+    val mem = MemoryStream[SpikeEvent]
+    val out = StreamIngest.spikeStream(mem.toDS(), stepSeconds = 10L,
+      trail = 3, num = 2L, den = 1L)
+    val q = out.writeStream.format("memory").queryName("spike_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(counts.filter(_.b <= 2): _*)
+      q.processAllAvailable()
+      mem.addData(counts.filter(_.b > 2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("spike_test")
+        .as[SpikeOut].collect().map(o => (o.k, o.bucket_ts) -> o).toMap
+      // batch reference: one raw event per (k, bucket) unit of count
+      val rawEvents = raw.flatMap { case (k, b, c) =>
+        (0L until c).map(i => (k, b * 10L * 1000000L + i))
+      }.toDF("k", "us").withColumn("ts", timestamp_micros(col("us")))
+      val batch = graft.ext.Events.spikeDetect(rawEvents, "k", "ts",
+        stepSeconds = 10L, trail = 3, num = 2L, den = 1L)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+      assert(streamed.keySet == batch.keySet)
+      batch.foreach { case (key, (cnt, tsum, spike)) =>
+        val o = streamed(key)
+        assert((o.cnt, o.trail_sum, o.spike) == ((cnt, tsum, spike)),
+          s"$key stream=${(o.cnt, o.trail_sum, o.spike)} batch=${(cnt, tsum, spike)}")
+      }
+      assert(streamed(("x", 40L)).spike) // the burst bucket flags
+    } finally q.stop()
+  }
 }
