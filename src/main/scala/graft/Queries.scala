@@ -2654,6 +2654,29 @@ object GraftQueries {
     "q_powerlaw" -> { (s, d) =>
       graft.graph.GraphAlgos.powerLawAlpha(t(s, d)("orders"), "o_custkey",
         xmin = 2, maxDegree = 1024)
+    },
+
+    // extension: conversion-window funnel (greedy first-qualifying
+    // occurrence, the product-analytics contract)
+    "q_funnel_within" -> { (s, d) =>
+      Events.funnelWithin(TpchGraph.eventsTable(s, d), "user_id", "ts",
+        "event_type", Seq("signup", "click", "purchase"), windowHours = 72L)
+        .orderBy("step")
+    },
+
+    // extension: linear multi-touch attribution of purchase value over
+    // view/click touches in a 24 h lookback; '(none)' holds untouched
+    "q_attribution" -> { (s, d) =>
+      Events.linearAttribution(TpchGraph.eventsTable(s, d), "user_id", "ts",
+        "event_type", "value", "event_id", Seq("view", "click"), "purchase",
+        lookbackHours = 24L)
+        .orderBy("channel")
+    },
+
+    // extension: RFM scoring against exact global quintile thresholds
+    "q_rfm" -> { (s, d) =>
+      Events.rfmScores(TpchGraph.eventsTable(s, d), "user_id", "ts", "value")
+        .orderBy("user_id")
     }
   )
 
@@ -5807,6 +5830,81 @@ object GraftQueries {
 
     "q_powerlaw" -> graft.graph.GraphAlgos.powerLawAlphaOracleSql(
       "SELECT o_custkey, CAST(count(*) AS BIGINT) AS d FROM orders GROUP BY 1",
-      xmin = 2, maxDegree = 1024)
+      xmin = 2, maxDegree = 1024),
+
+    // greedy windowed chain, 72 h = 259200000000 us
+    "q_funnel_within" ->
+      """WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS ty
+        |  FROM events),
+        |s1 AS (SELECT u, min(t) AS t FROM ev WHERE ty = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.u, min(e.t) AS t FROM ev e JOIN s1 p ON p.u = e.u
+        |  WHERE e.ty = 'click' AND e.t > p.t AND e.t <= p.t + 259200000000
+        |  GROUP BY 1),
+        |s3 AS (SELECT e.u, min(e.t) AS t FROM ev e JOIN s2 p ON p.u = e.u
+        |  WHERE e.ty = 'purchase' AND e.t > p.t AND e.t <= p.t + 259200000000
+        |  GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INT) AS step, 'signup' AS event_type,
+        |    CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+        |  UNION ALL SELECT CAST(2 AS INT), 'click',
+        |    CAST((SELECT count(*) FROM s2) AS BIGINT)
+        |  UNION ALL SELECT CAST(3 AS INT), 'purchase',
+        |    CAST((SELECT count(*) FROM s3) AS BIGINT))
+        |ORDER BY step""".stripMargin,
+
+    "q_attribution" ->
+      """WITH touches AS (SELECT user_id AS u, epoch_us(ts) AS tts,
+        |    event_type AS channel
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |convs AS (SELECT user_id AS u, epoch_us(ts) AS pts, value,
+        |    event_id AS pid
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.pid, c.value, t.tts, t.channel
+        |  FROM convs c LEFT JOIN touches t
+        |  ON t.u = c.u AND t.tts <= c.pts AND t.tts > c.pts - 86400000000),
+        |pc AS (SELECT pid,
+        |    CAST(sum(CASE WHEN tts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n
+        |  FROM j GROUP BY 1),
+        |sh AS (SELECT
+        |    CASE WHEN j.tts IS NOT NULL THEN j.channel ELSE '(none)' END
+        |      AS channel,
+        |    CAST(round(CASE WHEN pc.n > 0 THEN j.value * 1000000 / pc.n
+        |      ELSE j.value * 1000000 END, 0) AS BIGINT) AS share
+        |  FROM j JOIN pc USING (pid))
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |  round(CAST(sum(share) AS DOUBLE) / 1000000, 4) AS attributed
+        |FROM sh GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    "q_rfm" ->
+      """WITH mx AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+        |pu AS (SELECT user_id,
+        |    CAST(floor((mx.tmax - max(epoch_us(ts))) / 86400000000.0) AS BIGINT)
+        |      AS recency_days,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS mc
+        |  FROM events, mx GROUP BY user_id, mx.tmax),
+        |th AS (SELECT
+        |    quantile_cont(CAST(recency_days AS DOUBLE), [0.2, 0.4, 0.6, 0.8])
+        |      AS tr,
+        |    quantile_cont(CAST(frequency AS DOUBLE), [0.2, 0.4, 0.6, 0.8])
+        |      AS tf,
+        |    quantile_cont(CAST(mc AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS tm
+        |  FROM pu)
+        |SELECT user_id, recency_days, frequency,
+        |  round(CAST(mc AS DOUBLE) / 100, 2) AS monetary,
+        |  CAST(1 + (CAST(recency_days AS DOUBLE) < tr[1])::INT
+        |    + (CAST(recency_days AS DOUBLE) < tr[2])::INT
+        |    + (CAST(recency_days AS DOUBLE) < tr[3])::INT
+        |    + (CAST(recency_days AS DOUBLE) < tr[4])::INT AS INT) AS r_score,
+        |  CAST(1 + (CAST(frequency AS DOUBLE) > tf[1])::INT
+        |    + (CAST(frequency AS DOUBLE) > tf[2])::INT
+        |    + (CAST(frequency AS DOUBLE) > tf[3])::INT
+        |    + (CAST(frequency AS DOUBLE) > tf[4])::INT AS INT) AS f_score,
+        |  CAST(1 + (CAST(mc AS DOUBLE) > tm[1])::INT
+        |    + (CAST(mc AS DOUBLE) > tm[2])::INT
+        |    + (CAST(mc AS DOUBLE) > tm[3])::INT
+        |    + (CAST(mc AS DOUBLE) > tm[4])::INT AS INT) AS m_score
+        |FROM pu, th ORDER BY user_id""".stripMargin
   )
 }

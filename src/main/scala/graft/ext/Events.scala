@@ -275,6 +275,136 @@ object Events {
         .as("autocorr"))
   }
 
+  /** Time-bound funnel — [[funnel]] with a per-step conversion window:
+    * step i must occur strictly after step i−1 AND within `windowHours`
+    * of it (the Amplitude/Mixpanel conversion-window semantics). Matching
+    * is greedy first-qualifying-occurrence — the standard product-
+    * analytics contract (NOT any-subsequence-exists: a later step-i
+    * occurrence that would have kept the chain alive is deliberately not
+    * explored, and the oracle replays the same greedy rule).
+    * Same scale shape as [[funnel]]: one type-pruned pass per step, one
+    * timestamp of state per user per step.
+    */
+  def funnelWithin(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], windowHours: Long): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    require(windowHours > 0, "windowHours must be positive")
+    val winUs = windowHours * 3600L * 1000000L
+    val ev = df.select(col(userCol).as("_u"), unix_micros(col(tsCol)).as("_ts"),
+      col(typeCol).as("_ty"))
+    val resolutions = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val occ = ev.where(col("_ty") === step)
+        Some(prev match {
+          case None => occ.groupBy("_u").agg(min(col("_ts")).as("_t"))
+          case Some(p) => occ.join(p.withColumnRenamed("_t", "_pt"), Seq("_u"))
+            .where(col("_ts") > col("_pt") && col("_ts") <= col("_pt") + winUs)
+            .groupBy("_u").agg(min(col("_ts")).as("_t"))
+        })
+    }.flatten
+    resolutions.zip(steps).zipWithIndex.map { case ((frame, step), i) =>
+      frame.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(step).as("event_type"),
+          col("n_users"))
+    }.reduceLeft(_.unionAll(_))
+  }
+
+  /** Linear (equal-split) multi-touch attribution: each conversion's
+    * value divides equally over the user's touch events inside the
+    * lookback window; conversions with no touches land in the '(none)'
+    * channel whole. Per-touch shares quantize to micro-units
+    * (round(value·1e6 / n)) BEFORE the channel sum — order-free exact
+    * integers, engine-replicable; the ±n·½ micro-unit rounding drift per
+    * conversion is the documented cost of exactness.
+    *
+    * Scale shape: one keyed (user) join of conversions × touches with
+    * the lookback as a residual predicate — per-user pair counts are
+    * bounded by per-user activity, the product-analytics norm; two
+    * map-side-combinable aggregates close it.
+    */
+  def linearAttribution(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, valueCol: String, idCol: String,
+      touchTypes: Seq[String], convType: String,
+      lookbackHours: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(!touchTypes.contains(convType), "conversion type cannot be a touch")
+    require(lookbackHours > 0, "lookbackHours must be positive")
+    val lbUs = lookbackHours * 3600L * 1000000L
+    val touches = df.where(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("_u"), unix_micros(col(tsCol)).as("_tts"),
+        col(typeCol).as("_channel"))
+    val convs = df.where(col(typeCol) === convType)
+      .select(col(userCol).as("_u"), unix_micros(col(tsCol)).as("_pts"),
+        col(valueCol).as("_value"), col(idCol).as("_pid"))
+    // window predicate INSIDE the left join: a conversion whose touches
+    // all fall outside the lookback must still surface (as '(none)'),
+    // which a post-join filter would silently drop
+    val t2 = touches.withColumnRenamed("_u", "_u2")
+    val joined = convs.join(t2,
+      col("_u") === col("_u2") &&
+        col("_tts") <= col("_pts") && col("_tts") > col("_pts") - lbUs,
+      "left")
+    val perConv = joined
+      .groupBy(col("_pid"), col("_value"))
+      .agg(sum(when(col("_tts").isNotNull, 1L).otherwise(0L)).as("_n"))
+    val shares = joined.join(perConv.select("_pid", "_n"), Seq("_pid"))
+      .select(
+        when(col("_tts").isNotNull, col("_channel")).otherwise(lit("(none)"))
+          .as("channel"),
+        when(col("_n") > 0,
+          round(col("_value") * 1e6 / col("_n"), 0).cast("long"))
+          .otherwise(round(col("_value") * 1e6, 0).cast("long")).as("_share"))
+    shares.groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(col("_share")).cast("double") / 1e6, 4).as("attributed"))
+  }
+
+  /** RFM customer scoring (recency / frequency / monetary) with
+    * threshold-based quintiles: per-user last-activity age, event count
+    * and micro-cent-exact value sum, scored 1..5 against EXACT global
+    * quantile thresholds (score = 1 + #thresholds exceeded). Threshold
+    * scoring instead of ntile: a global ntile is a single-partition
+    * window — the thresholds come from one percentile aggregate and the
+    * assignment stays narrow, so the op survives 100× the users (tied
+    * values then share a score, the documented difference from
+    * equal-count buckets). Reference time = global max event time, a
+    * driver scalar like [[decayedSum]]'s.
+    */
+  def rfmScores(df: DataFrame, userCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val tMax = df.agg(max(unix_micros(col(tsCol)))).collect().head.getLong(0)
+    val perUser = df.groupBy(col(userCol))
+      .agg(
+        floor((lit(tMax) - max(unix_micros(col(tsCol)))) / lit(86400e6))
+          .cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(round(col(valueCol) * 100, 0).cast("long")).as("_mc"))
+      .withColumn("monetary", round(col("_mc").cast("double") / 100, 2))
+    val qs = Array(0.2, 0.4, 0.6, 0.8)
+    val th = perUser.agg(
+      percentile(col("recency_days"), lit(qs)).as("_tr"),
+      percentile(col("frequency"), lit(qs)).as("_tf"),
+      percentile(col("_mc"), lit(qs)).as("_tm"))
+    def score(metric: org.apache.spark.sql.Column, tcol: String,
+        invert: Boolean) = {
+      val cmp = (i: Int) =>
+        if (invert) when(metric < element_at(col(tcol), i), 1).otherwise(0)
+        else when(metric > element_at(col(tcol), i), 1).otherwise(0)
+      (lit(1) + cmp(1) + cmp(2) + cmp(3) + cmp(4)).cast("int")
+    }
+    perUser.crossJoin(broadcast(th))
+      .select(col(userCol), col("recency_days"), col("frequency"),
+        col("monetary"),
+        // recent = better: score counts thresholds we are BELOW
+        score(col("recency_days").cast("double"), "_tr", invert = true)
+          .as("r_score"),
+        score(col("frequency").cast("double"), "_tf", invert = false)
+          .as("f_score"),
+        score(col("_mc").cast("double"), "_tm", invert = false)
+          .as("m_score"))
+  }
+
   /** Cohort retention: users grouped by their FIRST-activity period
     * (`periodDays`-day buckets from the epoch), counted as retained in
     * each later offset if they have any event there. Returns

@@ -285,4 +285,56 @@ class Round9Spec extends AnyFunSuite with SparkSpec {
     assert(out("p") == 1.0)
     assert(out("const") == 0.0) // zero variance -> guarded 0
   }
+
+  test("funnelWithin: a step outside the window breaks the chain") {
+    import spark.implicits._
+    def ts(sec: Long) = sec * 1000000L
+    // u1 converts within windows; u2's B is 2h after A (window 1h)
+    val rows = Seq(
+      (1L, ts(0), "A"), (1L, ts(600), "B"), (1L, ts(1200), "C"),
+      (2L, ts(0), "A"), (2L, ts(7200), "B"), (2L, ts(7300), "C"))
+    val df = rows.toDF("u", "us", "ty")
+      .withColumn("t", timestamp_micros(col("us")))
+    val out = graft.ext.Events.funnelWithin(df, "u", "t", "ty",
+      Seq("A", "B", "C"), windowHours = 1L)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out(1) == 2L) // both saw A
+    assert(out(2) == 1L) // only u1's B was inside the hour
+    assert(out(3) == 1L)
+  }
+
+  test("linearAttribution: equal split, lookback bound, (none) bucket") {
+    import spark.implicits._
+    def ts(sec: Long) = sec * 1000000L
+    val rows = Seq(
+      // u1: two touches inside lookback -> 0.5 each of value 10
+      (1L, 1L, ts(100), "view", 0.0), (1L, 2L, ts(200), "click", 0.0),
+      (1L, 3L, ts(300), "buy", 10.0),
+      // u2: touch outside the 1h lookback -> (none) gets all 20
+      (2L, 4L, ts(0), "view", 0.0), (2L, 5L, ts(7200), "buy", 20.0))
+    val df = rows.toDF("u", "id", "us", "ty", "v")
+      .withColumn("t", timestamp_micros(col("us")))
+    val out = graft.ext.Events.linearAttribution(df, "u", "t", "ty", "v", "id",
+      Seq("view", "click"), "buy", lookbackHours = 1L)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("view") == 5.0 && out("click") == 5.0)
+    assert(out("(none)") == 20.0)
+  }
+
+  test("rfmScores: monotone metrics score monotone 1..5") {
+    import spark.implicits._
+    def ts(day: Long) = day * 86400L * 1000000L
+    // 5 users: user i has i events, each value i, last activity day i
+    val rows = (1L to 5L).flatMap(i =>
+      (1L to i).map(j => (i, ts(i) + j, i.toDouble)))
+    val df = rows.toDF("u", "us", "v")
+      .withColumn("t", timestamp_micros(col("us")))
+    val out = graft.ext.Events.rfmScores(df, "u", "t", "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(4), r.getInt(5), r.getInt(6))).toMap
+    // user 5: most recent, most frequent, highest spend -> (5,5,5)
+    assert(out(5L) == ((5, 5, 5)))
+    assert(out(1L)._1 == 1) // oldest activity -> worst recency score
+    assert((1L to 4L).forall(i => out(i)._2 < out(i + 1)._2))
+  }
 }
