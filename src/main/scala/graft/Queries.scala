@@ -2677,6 +2677,22 @@ object GraftQueries {
     "q_rfm" -> { (s, d) =>
       Events.rfmScores(TpchGraph.eventsTable(s, d), "user_id", "ts", "value")
         .orderBy("user_id")
+    },
+
+    // extension: degree assortativity of the customer↔supplier contact
+    // graph — with q_powerlaw, the graph's join-planning character
+    "q_assortativity" -> { (s, d) =>
+      val edges = t(s, d)("orders").join(t(s, d)("lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s:"), col("l_suppkey").cast("string")).as("dst"))
+      graft.graph.GraphAlgos.assortativity(edges, "src", "dst")
+    },
+
+    // extension: Benford first-digit screen over order totals
+    "q_benford" -> { (s, d) =>
+      Corpus.benfordProfile(t(s, d)("orders"), "o_totalprice")
+        .orderBy("digit")
     }
   )
 
@@ -5905,6 +5921,35 @@ object GraftQueries {
         |    + (CAST(mc AS DOUBLE) > tm[2])::INT
         |    + (CAST(mc AS DOUBLE) > tm[3])::INT
         |    + (CAST(mc AS DOUBLE) > tm[4])::INT AS INT) AS m_score
-        |FROM pu, th ORDER BY user_id""".stripMargin
+        |FROM pu, th ORDER BY user_id""".stripMargin,
+
+    // symmetric (both orientations) Pearson over endpoint degrees
+    "q_assortativity" ->
+      """WITH und AS (SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS a,
+        |    's:' || CAST(l.l_suppkey AS VARCHAR) AS b
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  WHERE 'c:' || CAST(o.o_custkey AS VARCHAR) <>
+        |    's:' || CAST(l.l_suppkey AS VARCHAR)),
+        |sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+        |deg AS (SELECT a AS n, CAST(count(*) AS BIGINT) AS d FROM sym
+        |  GROUP BY 1),
+        |paired AS (SELECT da.d AS x, db.d AS y FROM sym
+        |  JOIN deg da ON da.n = sym.a JOIN deg db ON db.n = sym.b),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM paired)
+        |SELECT n_pairs,
+        |  CASE WHEN n_pairs * sxx - sx * sx <= 0 OR n_pairs * syy - sy * sy <= 0
+        |    THEN 0.0
+        |    ELSE round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 4) END
+        |    AS assortativity
+        |FROM ag""".stripMargin,
+
+    "q_benford" -> Corpus.benfordOracleSql(
+      "SELECT o_totalprice AS x FROM orders")
   )
 }

@@ -1519,4 +1519,59 @@ object Corpus {
             (col("n_items").cast("double") * col("total").cast("double")), 4))
           .as("gini"))
   }
+
+  /** Benford first-significant-digit profile — the numeric-data-quality /
+    * fraud screen (Benford 1938; Nigrini 2012): observed first-digit
+    * frequencies of a positive numeric column against the Benford
+    * expectation log10(1 + 1/d). Expected frequencies are DRIVER
+    * literals (micro-units — no logs in the plan); digits extract from a
+    * DECIMAL rendering so both engines see identical strings. Returns one
+    * row per digit 1..9 with observed count/frequency, expectation, and
+    * absolute deviation — Σ|obs−exp| (the MAD screen) is one sum away.
+    * ONE narrow scan + a 9-row aggregate.
+    */
+  def benfordProfile(df: org.apache.spark.sql.DataFrame,
+      valueCol: String): org.apache.spark.sql.DataFrame = {
+    val expected = benfordExpectedMicro
+    val digit = regexp_extract(col(valueCol).cast("decimal(18,2)")
+      .cast("string"), "[1-9]", 0)
+    val counted = df.where(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(digit.as("_d")).where(col("_d") =!= "")
+      .groupBy(col("_d").cast("int").as("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val total = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    counted
+      .withColumn("_tot", sum(col("n_obs")).over(total))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("_tot"), 4).as("p_obs"),
+        round(element_at(lit(expected), col("digit")).cast("double") / 1e6, 4)
+          .as("p_benford"),
+        round(abs(col("n_obs").cast("double") / col("_tot") -
+          element_at(lit(expected), col("digit")).cast("double") / 1e6), 4)
+          .as("abs_diff"))
+  }
+
+  /** Micro-unit Benford expectations log10(1 + 1/d), d = 1..9 — shared
+    * with the oracle generator so the constants cannot drift.
+    */
+  private[graft] def benfordExpectedMicro: Array[Long] =
+    Array.tabulate(9)(i => math.round(1e6 * math.log10(1.0 + 1.0 / (i + 1))))
+
+  /** DuckDB replay of [[benfordProfile]] with the SAME literal table. */
+  def benfordOracleSql(valuesSql: String): String = {
+    val table = benfordExpectedMicro.mkString(", ")
+    s"""WITH v AS ($valuesSql),
+       |d AS (SELECT TRY_CAST(regexp_extract(
+       |    CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR), '[1-9]') AS INT) AS digit
+       |  FROM v WHERE x IS NOT NULL AND x > 0),
+       |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d
+       |  WHERE digit IS NOT NULL GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS t FROM c)
+       |SELECT digit, n_obs,
+       |  round(CAST(n_obs AS DOUBLE) / t, 4) AS p_obs,
+       |  round(CAST(([$table])[digit] AS DOUBLE) / 1000000, 4) AS p_benford,
+       |  round(abs(CAST(n_obs AS DOUBLE) / t -
+       |    CAST(([$table])[digit] AS DOUBLE) / 1000000), 4) AS abs_diff
+       |FROM c, tot ORDER BY digit""".stripMargin
+  }
 }

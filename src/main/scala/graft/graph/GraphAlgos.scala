@@ -294,6 +294,48 @@ object GraphAlgos {
             col("_sq").cast("double"), 4)).as("alpha"))
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the edge list — positive means hubs link to
+    * hubs (social-network shape), negative means hubs link to leaves
+    * (internet/bipartite shape). With [[powerLawAlpha]] it is the
+    * two-number summary of a graph's join-planning character: heavy tail
+    * + negative assortativity = the hub-spoke pattern that needs
+    * salting/hub-caps.
+    *
+    * Undirected normalization: every edge contributes BOTH orientations
+    * (the standard symmetric estimator), so the correlation is over 2m
+    * ordered pairs. All six sums are exact integers (degrees are counts)
+    * until the single final sqrt/divide — the [[graft.ext.Events.lagAutocorr]]
+    * Pearson shape.
+    *
+    * Scale shape: one keyed degree count + two broadcast-eligible degree
+    * joins onto the edge frame + one map-side-combinable aggregate.
+    */
+  def assortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges.select(col(srcCol).cast("string").as("_a"),
+      col(dstCol).cast("string").as("_b"))
+      .where(col("_a") =!= col("_b")).distinct()
+    val sym = und.unionAll(und.select(col("_b").as("_a"), col("_a").as("_b")))
+    val deg = sym.groupBy(col("_a").as("_n")).agg(count(lit(1)).as("_d"))
+    val paired = sym
+      .join(deg.select(col("_n").as("_a"), col("_d").as("_x")), Seq("_a"))
+      .join(deg.select(col("_n").as("_b"), col("_d").as("_y")), Seq("_b"))
+    val agg = paired.agg(count(lit(1)).as("n_pairs"),
+      sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+      sum(col("_x") * col("_x")).as("_sxx"),
+      sum(col("_y") * col("_y")).as("_syy"),
+      sum(col("_x") * col("_y")).as("_sxy"))
+    val num = col("n_pairs") * col("_sxy") - col("_sx") * col("_sy")
+    val d1 = col("n_pairs") * col("_sxx") - col("_sx") * col("_sx")
+    val d2 = col("n_pairs") * col("_syy") - col("_sy") * col("_sy")
+    agg.select(col("n_pairs"),
+      when(d1 <= 0 || d2 <= 0, lit(0.0)).otherwise(
+        round(num.cast("double") /
+          (sqrt(d1.cast("double")) * sqrt(d2.cast("double"))), 4))
+        .as("assortativity"))
+  }
+
   /** Micro-nat table ln(d / (xmin − ½)) for d = 1..maxDegree (entries
     * below xmin are never probed). Shared with the oracle generator.
     */
