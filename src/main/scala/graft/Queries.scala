@@ -2693,6 +2693,32 @@ object GraftQueries {
     "q_benford" -> { (s, d) =>
       Corpus.benfordProfile(t(s, d)("orders"), "o_totalprice")
         .orderBy("digit")
+    },
+
+    // extension: trig-free planar proximity join — customers vs
+    // suppliers at arithmetic pseudo-coordinates, grid-cell candidates
+    "q_geo_join" -> { (s, d) =>
+      val cust = t(s, d)("customer").select(col("c_custkey"),
+        (col("c_nationkey") * 3 + (col("c_custkey") % 100) / lit(100.0))
+          .as("lat"),
+        (col("c_nationkey") * 7 + (col("c_custkey") % 53) / lit(53.0))
+          .as("lon"))
+      val supp = t(s, d)("supplier").select(col("s_suppkey"),
+        (col("s_nationkey") * 3 + (col("s_suppkey") % 41) / lit(41.0))
+          .as("slat"),
+        (col("s_nationkey") * 7 + (col("s_suppkey") % 29) / lit(29.0))
+          .as("slon"))
+      graft.ext.Geo.proximityJoin(cust, supp, "lat", "lon", "slat", "slon",
+        radiusMicroDeg = 250000L)
+        .select(col("c_custkey"), col("s_suppkey"), col("dist_q"))
+        .orderBy("c_custkey", "s_suppkey")
+    },
+
+    // extension: first-order Markov transition matrix of event types
+    "q_markov" -> { (s, d) =>
+      Events.transitionMatrix(TpchGraph.eventsTable(s, d), "user_id", "ts",
+        "event_type", "event_id")
+        .orderBy("from_type", "to_type")
     }
   )
 
@@ -5950,6 +5976,44 @@ object GraftQueries {
         |FROM ag""".stripMargin,
 
     "q_benford" -> Corpus.benfordOracleSql(
-      "SELECT o_totalprice AS x FROM orders")
+      "SELECT o_totalprice AS x FROM orders"),
+
+    // brute-force replay of the grid join (the oracle may go quadratic;
+    // the engine may not) — identical micro-degree quantization
+    "q_geo_join" ->
+      """WITH cust AS (SELECT c_custkey,
+        |    CAST(round((c_nationkey * 3 + (c_custkey % 100) / 100.0) * 1000000,
+        |      0) AS BIGINT) AS qlat,
+        |    CAST(round((c_nationkey * 7 + (c_custkey % 53) / 53.0) * 1000000,
+        |      0) AS BIGINT) AS qlon
+        |  FROM customer),
+        |supp AS (SELECT s_suppkey,
+        |    CAST(round((s_nationkey * 3 + (s_suppkey % 41) / 41.0) * 1000000,
+        |      0) AS BIGINT) AS qslat,
+        |    CAST(round((s_nationkey * 7 + (s_suppkey % 29) / 29.0) * 1000000,
+        |      0) AS BIGINT) AS qslon
+        |  FROM supplier)
+        |SELECT c_custkey, s_suppkey,
+        |  (qlat - qslat) * (qlat - qslat) + (qlon - qslon) * (qlon - qslon)
+        |    AS dist_q
+        |FROM cust, supp
+        |WHERE (qlat - qslat) * (qlat - qslat) + (qlon - qslon) * (qlon - qslon)
+        |  <= CAST(250000 AS BIGINT) * 250000
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
+
+    "q_markov" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |tr AS (SELECT prev AS from_type, event_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM tr
+        |  GROUP BY 1)
+        |SELECT tr.from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) / tot, 4) AS prob
+        |FROM tr JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin
   )
 }

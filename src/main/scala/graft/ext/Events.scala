@@ -405,6 +405,31 @@ object Events {
           .as("m_score"))
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next = b | current = a) with exact rational probabilities
+    * (transition count / from-state total). The session-model summary
+    * behind "what happens after X" product questions and synthetic
+    * clickstream generation.
+    *
+    * Ordering ties break on `tieCol` (deterministic); one lag window per
+    * user + one keyed count; from-state totals come from a tiny per-state
+    * aggregate joined back broadcast (#states rows), NOT a second window.
+    */
+  def transitionMatrix(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val trans = df
+      .withColumn("_prev", lag(col(typeCol), 1).over(w))
+      .where(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("from_type").agg(sum(col("n")).as("_tot"))
+    trans.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("_tot"), 4).as("prob"))
+  }
+
   /** Cohort retention: users grouped by their FIRST-activity period
     * (`periodDays`-day buckets from the epoch), counted as retained in
     * each later offset if they have any event there. Returns
