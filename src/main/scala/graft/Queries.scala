@@ -2719,6 +2719,25 @@ object GraftQueries {
       Events.transitionMatrix(TpchGraph.eventsTable(s, d), "user_id", "ts",
         "event_type", "event_id")
         .orderBy("from_type", "to_type")
+    },
+
+    // extension: lead-lag cross-correlation, click volume vs purchase
+    // volume, hourly buckets, lags −6..6
+    "q_xcorr" -> { (s, d) =>
+      Events.crossCorrelation(TpchGraph.eventsTable(s, d), "ts", "event_type",
+        "click", "purchase", stepSeconds = 3600L, maxLag = 6)
+        .orderBy("lag")
+    },
+
+    // extension: missingness-pattern profile over synthesized nulls
+    "q_null_patterns" -> { (s, d) =>
+      Corpus.nullPatterns(
+        t(s, d)("orders")
+          .withColumn("o_orderstatus", nullif(col("o_orderstatus"), lit("F")))
+          .withColumn("o_orderpriority",
+            nullif(col("o_orderpriority"), lit("1-URGENT"))),
+        Seq("o_orderkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("pattern")
     }
   )
 
@@ -6014,6 +6033,47 @@ object GraftQueries {
         |SELECT tr.from_type, to_type, n,
         |  round(CAST(n AS DOUBLE) / tot, 4) AS prob
         |FROM tr JOIN tot USING (from_type)
-        |ORDER BY from_type, to_type""".stripMargin
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    "q_xcorr" ->
+      """WITH ca AS (SELECT epoch_us(ts) // 3600000000 AS b,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |cb AS (SELECT epoch_us(ts) // 3600000000 AS b,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |span AS (SELECT min(b) AS b0, max(b) AS b1 FROM
+        |  (SELECT b FROM ca UNION ALL SELECT b FROM cb)),
+        |grid AS (SELECT unnest(generate_series(b0, b1)) AS b FROM span),
+        |fa AS (SELECT g.b, coalesce(ca.cnt, 0) AS x
+        |  FROM grid g LEFT JOIN ca ON ca.b = g.b),
+        |fb AS (SELECT g.b, coalesce(cb.cnt, 0) AS y
+        |  FROM grid g LEFT JOIN cb ON cb.b = g.b),
+        |lags AS (SELECT unnest(generate_series(-6, 6)) AS lag),
+        |pairs AS (SELECT l.lag, a.x, y.y
+        |  FROM lags l JOIN fa a ON TRUE JOIN fb y ON y.b = a.b + l.lag),
+        |ag AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM pairs GROUP BY 1)
+        |SELECT CAST(lag AS INT) AS lag, n_pairs,
+        |  CASE WHEN n_pairs * sxx - sx * sx <= 0 OR n_pairs * syy - sy * sy <= 0
+        |    THEN 0.0
+        |    ELSE round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 4) END AS xcorr
+        |FROM ag ORDER BY lag""".stripMargin,
+
+    "q_null_patterns" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    nullif(o_orderstatus, 'F') AS st,
+        |    nullif(o_orderpriority, '1-URGENT') AS pr
+        |  FROM orders)
+        |SELECT (CASE WHEN o_orderkey IS NULL THEN '1' ELSE '0' END ||
+        |        CASE WHEN st IS NULL THEN '1' ELSE '0' END ||
+        |        CASE WHEN pr IS NULL THEN '1' ELSE '0' END) AS pattern,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM o GROUP BY 1 ORDER BY pattern""".stripMargin
   )
 }

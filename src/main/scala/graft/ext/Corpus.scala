@@ -1574,4 +1574,20 @@ object Corpus {
        |    CAST(([$table])[digit] AS DOUBLE) / 1000000), 4) AS abs_diff
        |FROM c, tot ORDER BY digit""".stripMargin
   }
+
+  /** Missingness-pattern profile (the `md.pattern` / missingno summary):
+    * rows group by their null-indicator bitstring over `cols`, so
+    * correlated missingness ("colA is null exactly when colB is") shows
+    * up as one dominant pattern instead of independent per-column null
+    * rates — the diagnosis [[profile]]'s per-column counts cannot see.
+    * ONE map-side-combinable groupBy on a narrow computed key.
+    */
+  def nullPatterns(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val pattern = concat(
+      cols.map(c => when(col(c).isNull, lit("1")).otherwise(lit("0"))): _*)
+    df.groupBy(pattern.as("pattern"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
 }

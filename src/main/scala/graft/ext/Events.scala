@@ -430,6 +430,53 @@ object Events {
         round(col("n").cast("double") / col("_tot"), 4).as("prob"))
   }
 
+  /** Cross-correlation of two bucket-count series over a lag range — the
+    * lead-lag detector ("do clicks lead purchases, and by how many
+    * hours?"): for every lag in [−maxLag, maxLag], the Pearson
+    * correlation of (a[b], b[b+lag]) on the shared zero-filled grid.
+    * The argmax row is the estimated lead time.
+    *
+    * Same exact-integer Pearson core as [[lagAutocorr]]; the lag range
+    * explodes from a literal array (2·maxLag+1 shifted copies of the
+    * B series — bounded fan-out), pairs join keyed on the bucket.
+    */
+  def crossCorrelation(df: DataFrame, tsCol: String, typeCol: String,
+      typeA: String, typeB: String, stepSeconds: Long,
+      maxLag: Int): DataFrame = {
+    require(stepSeconds > 0 && maxLag >= 1, "positive step and lag range")
+    val stepUs = stepSeconds * 1000000L
+    val bucket = RangeJoin.floorDiv(unix_micros(col(tsCol)), stepUs)
+    def series(ty: String) = df.where(col(typeCol) === ty)
+      .groupBy(bucket.as("_b")).agg(count(lit(1)).as("_cnt"))
+    val a = series(typeA)
+    val b = series(typeB)
+    val span = a.select(col("_b")).unionAll(b.select(col("_b")))
+      .agg(min(col("_b")).as("_b0"), max(col("_b")).as("_b1"))
+      .select(explode(sequence(col("_b0"), col("_b1"))).as("_b"))
+    val fa = span.join(a, Seq("_b"), "left")
+      .select(col("_b"), coalesce(col("_cnt"), lit(0L)).as("_x"))
+    val fb = span.join(b, Seq("_b"), "left")
+      .select(col("_b"), coalesce(col("_cnt"), lit(0L)).as("_y"))
+    val lags = (-maxLag to maxLag).toArray
+    val shifted = fb.withColumn("lag", explode(lit(lags)))
+      .select(col("lag"), (col("_b") - col("lag")).as("_b"), col("_y"))
+    val pairs = fa.join(shifted, Seq("_b"))
+    val agg = pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_y") * col("_y")).as("_syy"),
+        sum(col("_x") * col("_y")).as("_sxy"))
+    val num = col("n_pairs") * col("_sxy") - col("_sx") * col("_sy")
+    val d1 = col("n_pairs") * col("_sxx") - col("_sx") * col("_sx")
+    val d2 = col("n_pairs") * col("_syy") - col("_sy") * col("_sy")
+    agg.select(col("lag"), col("n_pairs"),
+      when(d1 <= 0 || d2 <= 0, lit(0.0)).otherwise(
+        round(num.cast("double") /
+          (sqrt(d1.cast("double")) * sqrt(d2.cast("double"))), 4))
+        .as("xcorr"))
+  }
+
   /** Cohort retention: users grouped by their FIRST-activity period
     * (`periodDays`-day buckets from the epoch), counted as retained in
     * each later offset if they have any event there. Returns
