@@ -2738,6 +2738,20 @@ object GraftQueries {
             nullif(col("o_orderpriority"), lit("1-URGENT"))),
         Seq("o_orderkey", "o_orderstatus", "o_orderpriority"))
         .orderBy("pattern")
+    },
+
+    // extension: declarative data-quality rule suite (Deequ/dbt-tests
+    // shape) — the batch admission gate
+    "q_dq_checks" -> { (s, d) =>
+      import graft.ext.Quality
+      import graft.ext.Quality._
+      Quality.check(t(s, d)("orders"), Seq(
+        NotNull("o_custkey"),
+        Unique(Seq("o_orderkey")),
+        InSet("o_orderstatus", Seq("F", "O", "P")),
+        InRange("o_totalprice", 0.0, 1e7),
+        ForeignKey(Seq("o_custkey"), t(s, d)("customer"), Seq("c_custkey"))))
+        .orderBy("rule")
     }
   )
 
@@ -6074,6 +6088,31 @@ object GraftQueries {
         |        CASE WHEN st IS NULL THEN '1' ELSE '0' END ||
         |        CASE WHEN pr IS NULL THEN '1' ELSE '0' END) AS pattern,
         |  CAST(count(*) AS BIGINT) AS n_rows
-        |FROM o GROUP BY 1 ORDER BY pattern""".stripMargin
+        |FROM o GROUP BY 1 ORDER BY pattern""".stripMargin,
+
+    "q_dq_checks" ->
+      """SELECT rule, n_violations, n_violations <= 0 AS pass FROM (
+        |  SELECT 'not_null(o_custkey)' AS rule,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violations FROM orders
+        |  UNION ALL
+        |  SELECT 'unique(o_orderkey)',
+        |    CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM
+        |    (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+        |  UNION ALL
+        |  SELECT 'in_set(o_orderstatus)',
+        |    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END)
+        |      AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'in_range(o_totalprice)',
+        |    CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+        |      AND (o_totalprice < 0 OR o_totalprice > 10000000) THEN 1 ELSE 0
+        |      END) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'foreign_key(o_custkey)', CAST(count(*) AS BIGINT)
+        |  FROM orders o WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |ORDER BY rule""".stripMargin
   )
 }

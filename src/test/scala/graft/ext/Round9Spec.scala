@@ -337,4 +337,30 @@ class Round9Spec extends AnyFunSuite with SparkSpec {
     assert(out(1L)._1 == 1) // oldest activity -> worst recency score
     assert((1L to 4L).forall(i => out(i)._2 < out(i + 1)._2))
   }
+
+  test("Quality.check counts violations per rule on dirty data") {
+    import spark.implicits._
+    import graft.ext.Quality
+    import graft.ext.Quality._
+    val dirty = Seq(
+      (Some(1L), Some("A"), 5.0), (Some(1L), Some("A"), 5.0), // dup id 1
+      (None, Some("B"), -2.0),                                // null id, neg
+      (Some(3L), Some("Z"), 99999.0),                         // bad status
+      (Some(9L), Some("A"), 1.0))                             // missing FK
+      .toDF("id", "status", "amount")
+    val dim = Seq(1L, 2L, 3L).toDF("k")
+    val out = Quality.check(dirty, Seq(
+      NotNull("id"), Unique(Seq("id")), InSet("status", Seq("A", "B")),
+      InRange("amount", 0.0, 1000.0),
+      ForeignKey(Seq("id"), dim, Seq("k"))))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out("not_null(id)") == ((1L, false)))
+    assert(out("unique(id)") == ((1L, false)))    // one extra row of id 1
+    assert(out("in_set(status)") == ((1L, false)))
+    assert(out("in_range(amount)") == ((2L, false))) // -2 and 99999
+    assert(out("foreign_key(id)") == ((1L, false)))  // id 9
+    val clean = Quality.check(dim.toDF("id"), Seq(NotNull("id")))
+      .collect().head
+    assert(clean.getBoolean(2))
+  }
 }
