@@ -2752,6 +2752,24 @@ object GraftQueries {
         InRange("o_totalprice", 0.0, 1e7),
         ForeignKey(Seq("o_custkey"), t(s, d)("customer"), Seq("c_custkey"))))
         .orderBy("rule")
+    },
+
+    // extension: two-proportion z-test — even-user treatment vs odd-user
+    // control, conversion = any purchase
+    "q_ab_test" -> { (s, d) =>
+      graft.ext.Stats.twoProportionZ(TpchGraph.eventsTable(s, d), "user_id",
+        "event_type", "purchase", col("user_id") % 2 === 0)
+    },
+
+    // extension: UCB1 arm ranking over event-type reward streams
+    "q_ucb" -> { (s, d) =>
+      graft.ext.Stats.ucbScores(TpchGraph.eventsTable(s, d), "event_type",
+        "value").orderBy("arm")
+    },
+
+    // extension: chi-square independence of lang × source (+ Cramér's V)
+    "q_chi2" -> { (s, d) =>
+      graft.ext.Stats.chiSquare(t(s, d)("documents"), "lang", "source")
     }
   )
 
@@ -6113,6 +6131,68 @@ object GraftQueries {
         |  SELECT 'foreign_key(o_custkey)', CAST(count(*) AS BIGINT)
         |  FROM orders o WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
         |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
-        |ORDER BY rule""".stripMargin
+        |ORDER BY rule""".stripMargin,
+
+    "q_ab_test" ->
+      """WITH users AS (SELECT DISTINCT user_id AS u, (user_id % 2 = 0) AS g
+        |  FROM events),
+        |conv AS (SELECT DISTINCT user_id AS u FROM events
+        |  WHERE event_type = 'purchase'),
+        |f AS (SELECT users.u, users.g,
+        |    CASE WHEN conv.u IS NOT NULL THEN 1 ELSE 0 END AS c
+        |  FROM users LEFT JOIN conv ON conv.u = users.u),
+        |ag AS (SELECT
+        |    CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+        |    CAST(sum(CASE WHEN g THEN c ELSE 0 END) AS BIGINT) AS x_treat,
+        |    CAST(sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+        |    CAST(sum(CASE WHEN NOT g THEN c ELSE 0 END) AS BIGINT) AS x_ctrl
+        |  FROM f)
+        |SELECT n_treat, x_treat, n_ctrl, x_ctrl,
+        |  round(CAST(x_treat AS DOUBLE) / n_treat, 4) AS rate_treat,
+        |  round(CAST(x_ctrl AS DOUBLE) / n_ctrl, 4) AS rate_ctrl,
+        |  round(CAST(x_treat AS DOUBLE) / n_treat -
+        |    CAST(x_ctrl AS DOUBLE) / n_ctrl, 4) AS lift,
+        |  CASE WHEN sqrt(CAST(x_treat + x_ctrl AS DOUBLE) / (n_treat + n_ctrl) *
+        |      (1.0 - CAST(x_treat + x_ctrl AS DOUBLE) / (n_treat + n_ctrl)) *
+        |      (1.0 / n_treat + 1.0 / n_ctrl)) = 0 THEN 0.0
+        |    ELSE round((CAST(x_treat AS DOUBLE) / n_treat -
+        |      CAST(x_ctrl AS DOUBLE) / n_ctrl) /
+        |      sqrt(CAST(x_treat + x_ctrl AS DOUBLE) / (n_treat + n_ctrl) *
+        |      (1.0 - CAST(x_treat + x_ctrl AS DOUBLE) / (n_treat + n_ctrl)) *
+        |      (1.0 / n_treat + 1.0 / n_ctrl)), 4) END AS z
+        |FROM ag""".stripMargin,
+
+    "q_ucb" ->
+      """WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS N FROM events),
+        |arms AS (SELECT event_type AS arm, CAST(count(*) AS BIGINT) AS n_pulls,
+        |    CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT) AS rq
+        |  FROM events GROUP BY 1)
+        |SELECT arm, n_pulls,
+        |  round(CAST(rq AS DOUBLE) / n_pulls / 1000000, 4) AS mean_reward,
+        |  round(CAST(rq AS DOUBLE) / n_pulls / 1000000 +
+        |    sqrt(2.0 * CAST(CAST(round(ln(CAST(N AS DOUBLE)) * 1000000, 0)
+        |      AS BIGINT) AS DOUBLE) / 1000000 / n_pulls), 4) AS ucb
+        |FROM arms, tot ORDER BY arm""".stripMargin,
+
+    "q_chi2" ->
+      """WITH cells AS (SELECT lang AS a, source AS b,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rm AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+        |cm AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT a) AS BIGINT) AS da,
+        |    CAST(count(DISTINCT b) AS BIGINT) AS db
+        |  FROM cells),
+        |q AS (SELECT CAST(round(
+        |    (o - CAST(ra AS DOUBLE) * cb / n) * (o - CAST(ra AS DOUBLE) * cb / n)
+        |      / (CAST(ra AS DOUBLE) * cb / n) * 1000000, 0) AS BIGINT) AS cq
+        |  FROM cells JOIN rm USING (a) JOIN cm USING (b), tot)
+        |SELECT tot.n AS n_obs, (da - 1) * (db - 1) AS dof,
+        |  round(CAST((SELECT sum(cq) FROM q) AS DOUBLE) / 1000000, 4) AS chi2,
+        |  round(sqrt(CAST((SELECT sum(cq) FROM q) AS DOUBLE) / 1000000 /
+        |    CAST(n * least(da - 1, db - 1) AS DOUBLE)), 4) AS cramers_v
+        |FROM tot""".stripMargin
   )
 }

@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Experiment / inference statistics over exact counts — the A/B-test and
+  * independence layer a product-analytics deployment runs on event data.
+  * Everything derives from integer counting aggregates; the few floating
+  * steps are single fixed-shape expressions over those exact integers
+  * (the engine-parity contract used throughout graft).
+  */
+object Stats {
+
+  /** Two-proportion z-test (pooled standard error) between two user
+    * groups: conversion = at least one `convType` event. Returns one row:
+    * group sizes, conversion counts/rates, absolute lift and the z
+    * statistic — the "is the treatment real" primitive.
+    *
+    * Scale shape: one distinct-users pass + one conversion semi-join
+    * (both keyed on the user), then a 2-row aggregate. The z expression
+    * is one fixed IEEE shape over six exact integers.
+    */
+  def twoProportionZ(df: DataFrame, userCol: String, typeCol: String,
+      convType: String, groupExpr: org.apache.spark.sql.Column): DataFrame = {
+    val users = df.select(col(userCol).as("_u"), groupExpr.as("_g")).distinct()
+    val converted = df.where(col(typeCol) === convType)
+      .select(col(userCol).as("_u")).distinct()
+    val flagged = users.join(converted.withColumn("_c", lit(1L)), Seq("_u"), "left")
+    val agg = flagged.agg(
+      sum(when(col("_g"), 1L).otherwise(0L)).as("n_treat"),
+      sum(when(col("_g"), coalesce(col("_c"), lit(0L))).otherwise(0L)).as("x_treat"),
+      sum(when(!col("_g"), 1L).otherwise(0L)).as("n_ctrl"),
+      sum(when(!col("_g"), coalesce(col("_c"), lit(0L))).otherwise(0L)).as("x_ctrl"))
+    val p1 = col("x_treat").cast("double") / col("n_treat")
+    val p2 = col("x_ctrl").cast("double") / col("n_ctrl")
+    val pPool = (col("x_treat") + col("x_ctrl")).cast("double") /
+      (col("n_treat") + col("n_ctrl"))
+    val se = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n_treat") + lit(1.0) / col("n_ctrl")))
+    agg.select(col("n_treat"), col("x_treat"), col("n_ctrl"), col("x_ctrl"),
+      round(p1, 4).as("rate_treat"), round(p2, 4).as("rate_ctrl"),
+      round(p1 - p2, 4).as("lift"),
+      when(se === 0, lit(0.0)).otherwise(round((p1 - p2) / se, 4)).as("z"))
+  }
+
+  /** UCB1 arm scores (Auer et al. 2002): mean reward + √(2 ln N / nᵢ)
+    * per arm — the deterministic exploration-bonus ranking a bandit
+    * allocator reads each round. Rewards sum as micro-unit integers;
+    * ln N evaluates ONCE (N = total pulls from a 1-row aggregate,
+    * broadcast back) and is immediately quantized to micro-nats, so the
+    * one libm call that is not IEEE-pinned cannot leak sub-ulp drift
+    * into the comparison path.
+    */
+  def ucbScores(df: DataFrame, armCol: String, rewardCol: String): DataFrame = {
+    val tot = df.agg(count(lit(1)).as("_N"))
+    val lnq = round(log(col("_N").cast("double")) * 1e6, 0).cast("long")
+    val mean = col("_rq").cast("double") / col("n_pulls") / 1e6
+    df.groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).as("n_pulls"),
+        sum(round(col(rewardCol) * 1e6, 0).cast("long")).as("_rq"))
+      .crossJoin(broadcast(tot))
+      .select(col("arm"), col("n_pulls"),
+        round(mean, 4).as("mean_reward"),
+        round(mean +
+          sqrt(lit(2.0) * lnq.cast("double") / 1e6 / col("n_pulls")), 4)
+          .as("ucb"))
+  }
+
+  /** Chi-square test of independence between two categorical columns,
+    * plus Cramér's V. Per-cell contributions (o−e)²/e quantize to
+    * micro-units BEFORE the sum (e = row·col/N is rational from exact
+    * integers; the per-cell double math is one fixed shape), so the
+    * statistic accumulates as exact integers in any partitioning.
+    * Scale shape: one (a, b) count + two tiny marginal aggregates
+    * broadcast back; cells scale with the category product, not rows.
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowM = cells.groupBy("_a").agg(sum(col("_o")).as("_ra"))
+    val colM = cells.groupBy("_b").agg(sum(col("_o")).as("_cb"))
+    val tot = cells.agg(sum(col("_o")).as("_n"),
+      count_distinct(col("_a")).as("_da"), count_distinct(col("_b")).as("_db"))
+    val e = col("_ra").cast("double") * col("_cb") / col("_n")
+    val contribQ = round((col("_o") - e) * (col("_o") - e) / e * 1e6, 0)
+      .cast("long")
+    cells.join(broadcast(rowM), Seq("_a")).join(broadcast(colM), Seq("_b"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(contribQ).as("_chi_q"),
+        first(col("_n")).as("n_obs"), first(col("_da")).as("_a_levels"),
+        first(col("_db")).as("_b_levels"))
+      .select(col("n_obs"),
+        ((col("_a_levels") - 1) * (col("_b_levels") - 1)).as("dof"),
+        round(col("_chi_q").cast("double") / 1e6, 4).as("chi2"),
+        round(sqrt(col("_chi_q").cast("double") / 1e6 /
+          (col("n_obs") * least(col("_a_levels") - 1, col("_b_levels") - 1))
+            .cast("double")), 4).as("cramers_v"))
+  }
+}
