@@ -2770,6 +2770,15 @@ object GraftQueries {
     // extension: chi-square independence of lang × source (+ Cramér's V)
     "q_chi2" -> { (s, d) =>
       graft.ext.Stats.chiSquare(t(s, d)("documents"), "lang", "source")
+    },
+
+    // extension: histogram split finding (the XGBoost/LightGBM kernel)
+    // — best Gini split per lineitem feature for predicting returns
+    "q_best_split" -> { (s, d) =>
+      graft.ext.Tree.bestSplits(t(s, d)("lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        col("l_returnflag") === "R", nBins = 16)
+        .orderBy("feature")
     }
   )
 
@@ -6193,6 +6202,55 @@ object GraftQueries {
         |  round(CAST((SELECT sum(cq) FROM q) AS DOUBLE) / 1000000, 4) AS chi2,
         |  round(sqrt(CAST((SELECT sum(cq) FROM q) AS DOUBLE) / 1000000 /
         |    CAST(n * least(da - 1, db - 1) AS DOUBLE)), 4) AS cramers_v
-        |FROM tot""".stripMargin
+        |FROM tot""".stripMargin,
+
+    // histogram split replay: identical binning, cumulative class counts,
+    // micro-quantized weighted Gini, (gini, bin) argmin
+    "q_best_split" ->
+      """WITH m AS (
+        |  SELECT CAST(l_returnflag = 'R' AS BIGINT) AS y, 'l_quantity' AS f,
+        |    CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+        |  UNION ALL SELECT CAST(l_returnflag = 'R' AS BIGINT),
+        |    'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        |  UNION ALL SELECT CAST(l_returnflag = 'R' AS BIGINT), 'l_discount',
+        |    CAST(l_discount AS DOUBLE) FROM lineitem),
+        |m2 AS (SELECT * FROM m WHERE v IS NOT NULL AND y IS NOT NULL),
+        |st AS (SELECT f, min(v) AS mn, max(v) AS mx FROM m2 GROUP BY 1),
+        |h AS (SELECT m2.f,
+        |    CAST(CASE WHEN mx = mn THEN 0
+        |      ELSE least(floor((v - mn) / ((mx - mn) / 16)), 15) END AS INT)
+        |      AS bin,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+        |  FROM m2 JOIN st USING (f) GROUP BY 1, 2),
+        |cum AS (SELECT f, bin,
+        |    CAST(sum(n) OVER (PARTITION BY f ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+        |    CAST(sum(pos) OVER (PARTITION BY f ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pl,
+        |    CAST(sum(n) OVER (PARTITION BY f) AS BIGINT) AS nt,
+        |    CAST(sum(pos) OVER (PARTITION BY f) AS BIGINT) AS pt
+        |  FROM h),
+        |sc AS (SELECT f, bin, nt, CAST(round((
+        |    (CAST(nl AS DOUBLE) / nt) * (1.0
+        |      - (CAST(pl AS DOUBLE) / nl) * (CAST(pl AS DOUBLE) / nl)
+        |      - (CAST(nl - pl AS DOUBLE) / nl) * (CAST(nl - pl AS DOUBLE) / nl))
+        |    + (CAST(nt - nl AS DOUBLE) / nt) * (1.0
+        |      - (CAST(pt - pl AS DOUBLE) / (nt - nl)) *
+        |        (CAST(pt - pl AS DOUBLE) / (nt - nl))
+        |      - (CAST((nt - nl) - (pt - pl) AS DOUBLE) / (nt - nl)) *
+        |        (CAST((nt - nl) - (pt - pl) AS DOUBLE) / (nt - nl)))
+        |    ) * 1000000, 0) AS BIGINT) AS gq
+        |  FROM cum WHERE nl < nt),
+        |best AS (SELECT f, bin, gq, nt FROM (
+        |    SELECT f, bin, gq, nt,
+        |      row_number() OVER (PARTITION BY f ORDER BY gq, bin) AS rn
+        |    FROM sc) WHERE rn = 1)
+        |SELECT b.f AS feature, b.bin AS split_bin,
+        |  round(st.mn + CAST(b.bin + 1 AS DOUBLE) * ((st.mx - st.mn) / 16), 4)
+        |    AS split_value,
+        |  round(CAST(b.gq AS DOUBLE) / 1000000, 4) AS weighted_gini,
+        |  b.nt AS n_rows
+        |FROM best b JOIN st ON st.f = b.f
+        |ORDER BY feature""".stripMargin
   )
 }

@@ -363,4 +363,20 @@ class Round9Spec extends AnyFunSuite with SparkSpec {
       .collect().head
     assert(clean.getBoolean(2))
   }
+
+  test("bestSplits finds the separating threshold of a clean feature") {
+    import spark.implicits._
+    // feature a separates perfectly at 50; feature b is pure noise
+    val rows = (0 until 100).map { i =>
+      (i.toDouble, (i % 7).toDouble, if (i < 50) 0L else 1L)
+    }
+    val df = rows.toDF("a", "b", "y")
+    val out = Tree.bestSplits(df, Seq("a", "b"), col("y") === 1, nBins = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Double]("weighted_gini") == 0.0) // perfect separation
+    assert(a.getAs[Double]("split_value") == 49.5)  // boundary of bin 4
+    val b = out("b")
+    assert(b.getAs[Double]("weighted_gini") > 0.4)  // noise cannot split
+  }
 }
