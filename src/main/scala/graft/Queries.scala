@@ -2779,6 +2779,18 @@ object GraftQueries {
         Seq("l_quantity", "l_extendedprice", "l_discount"),
         col("l_returnflag") === "R", nBins = 16)
         .orderBy("feature")
+    },
+
+    // extension: hashed multinomial Naive Bayes — train a language
+    // classifier on the corpus, score it back (model = plan literals)
+    "q_naive_bayes" -> { (s, d) =>
+      val docs = t(s, d)("documents")
+      val model = Corpus.naiveBayesTrain(docs, "doc_id", "text", "lang",
+        dim = 64)
+      Corpus.naiveBayesScore(docs, "doc_id", "text", model)
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("pred"), col("score_q"))
+        .orderBy("doc_id")
     }
   )
 
@@ -6251,6 +6263,47 @@ object GraftQueries {
         |  round(CAST(b.gq AS DOUBLE) / 1000000, 4) AS weighted_gini,
         |  b.nt AS n_rows
         |FROM best b JOIN st ON st.f = b.f
-        |ORDER BY feature""".stripMargin
+        |ORDER BY feature""".stripMargin,
+
+    // full NB replay: same tokenization/hash as the perceptron oracle,
+    // Laplace log-likelihoods micro-nat-rounded, argmax (score, class)
+    "q_naive_bayes" ->
+      """WITH toks AS (SELECT doc_id AS did, lang,
+        |    unnest(list_filter(str_split(
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |fb AS (SELECT did, lang,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      p -> (strpos('0123456789abcdef', substring(md5(tok), p, 1)) - 1)
+        |           * CAST(power(16, 8 - p) AS BIGINT))) % 64 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY 1, 2, 3),
+        |cb AS (SELECT lang AS c, bucket, CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM fb GROUP BY 1, 2),
+        |docs AS (SELECT lang AS c, CAST(count(*) AS BIGINT) AS nd
+        |  FROM documents GROUP BY 1),
+        |ndocs AS (SELECT CAST(sum(nd) AS BIGINT) AS n FROM docs),
+        |ctot AS (SELECT c, CAST(sum(n) AS BIGINT) AS tot FROM cb GROUP BY 1),
+        |grid AS (SELECT d.c, b.bucket FROM docs d,
+        |  (SELECT unnest(generate_series(0, 63)) AS bucket) b),
+        |lp AS (SELECT g.c, g.bucket,
+        |    CAST(round(1000000 * ln((coalesce(cb.n, 0) + 1) * 1.0 /
+        |      (ctot.tot + 64)), 0) AS BIGINT) AS lpq
+        |  FROM grid g LEFT JOIN cb ON cb.c = g.c AND cb.bucket = g.bucket
+        |  JOIN ctot ON ctot.c = g.c),
+        |pri AS (SELECT docs.c,
+        |    CAST(round(1000000 * ln(CAST(nd AS DOUBLE) / n), 0) AS BIGINT) AS pq
+        |  FROM docs, ndocs),
+        |sc AS (SELECT fb.did, lp.c, CAST(sum(fb.cnt * lp.lpq) AS BIGINT) AS s
+        |  FROM fb JOIN lp ON lp.bucket = fb.bucket GROUP BY 1, 2),
+        |scp AS (SELECT sc.did, sc.c, sc.s + pri.pq AS sq
+        |  FROM sc JOIN pri ON pri.c = sc.c),
+        |best AS (SELECT did, c, sq FROM (SELECT did, c, sq,
+        |    row_number() OVER (PARTITION BY did ORDER BY sq DESC, c ASC) AS rn
+        |  FROM scp) WHERE rn = 1)
+        |SELECT b.did AS doc_id, d.lang, b.c AS pred, b.sq AS score_q
+        |FROM best b JOIN documents d ON d.doc_id = b.did
+        |ORDER BY doc_id""".stripMargin
   )
 }

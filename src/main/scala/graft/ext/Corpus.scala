@@ -1590,4 +1590,75 @@ object Corpus {
     df.groupBy(pattern.as("pattern"))
       .agg(count(lit(1)).as("n_rows"))
   }
+
+  /** Driver-small multinomial Naive Bayes model over hashed unigram
+    * counts: per class, a Laplace-smoothed log-likelihood per hash bucket
+    * and a log-prior — all pre-quantized to integer micro-nats ON THE
+    * DRIVER, so scoring holds zero transcendentals and argmax ties are
+    * exact. `classes` is sorted; ties prefer the earlier class.
+    */
+  final case class NbModel(classes: Seq[String], dim: Int,
+      priorQ: Map[String, Long], lpQ: Map[String, Array[Long]])
+
+  /** Shared (doc, bucket, cnt) projection for NB train and score — the
+    * [[hashedCounts]] tokenization with an arbitrary carried column.
+    */
+  private def nbBuckets(df: DataFrame, idCol: String, textCol: String,
+      carryCol: String, dim: Int): DataFrame =
+    df.select(col(idCol).as("_did"), col(carryCol).as("_carry"),
+      explode(filter(split(Dedup.normalize(col(textCol)), " "),
+        t => length(t) > 0)).as("_tok"))
+      .withColumn("bucket",
+        conv(substring(md5(col("_tok")), 1, 8), 16, 10).cast("long") % dim)
+      .groupBy("_did", "_carry", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Train the hashed multinomial NB (McCallum & Nigam 1998) — the
+    * classic "label the whole corpus by domain/language with a model you
+    * can ship as plan literals" classifier, the generative sibling of
+    * [[perceptronTrain]]. One tokenization pass; the collected sufficient
+    * statistic is classes × dim counts — driver-small by construction at
+    * any corpus size.
+    */
+  def naiveBayesTrain(df: DataFrame, idCol: String, textCol: String,
+      classCol: String, dim: Int = 64): NbModel = {
+    require(dim >= 2, "dim must be >= 2")
+    val feats = nbBuckets(df, idCol, textCol, classCol, dim)
+    val cb = feats.groupBy("_carry", "bucket").agg(sum(col("cnt")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val docs = df.groupBy(col(classCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val classes = docs.keySet.toSeq.sorted
+    val nDocs = docs.values.sum
+    val priorQ = classes.map(c =>
+      c -> math.round(1e6 * math.log(docs(c).toDouble / nDocs))).toMap
+    val lpQ = classes.map { c =>
+      val tot = (0L until dim).map(b => cb.getOrElse((c, b), 0L)).sum
+      c -> Array.tabulate(dim)(b => math.round(1e6 *
+        math.log((cb.getOrElse((c, b.toLong), 0L) + 1).toDouble / (tot + dim))))
+    }.toMap
+    NbModel(classes, dim, priorQ, lpQ)
+  }
+
+  /** Score docs under a trained [[NbModel]]: per class an exact integer
+    * sum Σ cnt·lp[bucket] + prior (model literals ride the plan — no
+    * join), argmax by (score, earlier class). One tokenization pass and
+    * one keyed aggregate.
+    */
+  def naiveBayesScore(df: DataFrame, idCol: String, textCol: String,
+      model: NbModel): DataFrame = {
+    val feats = nbBuckets(df, idCol, textCol, idCol, model.dim)
+    val scores = model.classes.zipWithIndex.map { case (c, i) =>
+      sum(col("cnt") * element_at(lit(model.lpQ(c)),
+        col("bucket").cast("int") + 1)).as(s"_s$i")
+    }
+    val scored = feats.groupBy("_did").agg(scores.head, scores.tail: _*)
+    val entries = model.classes.zipWithIndex.map { case (c, i) =>
+      struct((col(s"_s$i") + model.priorQ(c)).as("s"), lit(-i).as("ni"))
+    }
+    scored.withColumn("_best", array_max(array(entries: _*)))
+      .select(col("_did").as(idCol),
+        element_at(lit(model.classes.toArray), -col("_best.ni") + 1)
+          .as("pred"),
+        col("_best.s").as("score_q"))
+  }
 }

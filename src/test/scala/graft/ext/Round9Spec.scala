@@ -379,4 +379,20 @@ class Round9Spec extends AnyFunSuite with SparkSpec {
     val b = out("b")
     assert(b.getAs[Double]("weighted_gini") > 0.4)  // noise cannot split
   }
+
+  test("naiveBayes learns trivially separable vocabularies") {
+    import spark.implicits._
+    val docs = ((0 until 20).map(i => (i.toLong, "apple fruit sweet", "food")) ++
+      (20 until 40).map(i => (i.toLong, "gear engine piston", "machine")))
+      .toDF("id", "text", "cls")
+    val model = Corpus.naiveBayesTrain(docs, "id", "text", "cls", dim = 32)
+    val preds = Corpus.naiveBayesScore(docs, "id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((0 until 20).forall(i => preds(i.toLong) == "food"))
+    assert((20 until 40).forall(i => preds(i.toLong) == "machine"))
+    // scoring is deterministic across runs
+    val again = Corpus.naiveBayesScore(docs, "id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == preds)
+  }
 }
