@@ -2791,6 +2791,32 @@ object GraftQueries {
         .join(docs.select("doc_id", "lang"), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("pred"), col("score_q"))
         .orderBy("doc_id")
+    },
+
+    // extension: data-skipping simulation — the measured argument for
+    // sort-on-write (date layout skips most files; key layout cannot)
+    "q_skipping" -> { (s, d) =>
+      import graft.ext.Layout
+      val o = t(s, d)("orders").withColumn("_day",
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .cast("double"))
+      Layout.skippingStats(o, "o_orderdate", "o_orderkey", "_day",
+        lo = 10227, hi = 10407, rowsPerFile = 1000L, label = "by_date")
+        .unionAll(Layout.skippingStats(o, "o_orderkey", "o_orderkey", "_day",
+          lo = 10227, hi = 10407, rowsPerFile = 1000L, label = "by_key"))
+        .orderBy("layout")
+    },
+
+    // extension: near-dup cluster size distribution (the dedup-health
+    // summary over the component labels)
+    "q_component_sizes" -> { (s, d) =>
+      val docs = t(s, d)("documents").where(col("doc_id") < 200)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 4, minSim = 0.2)
+      Dedup.connectedComponents(docs, "doc_id", pairs, "id_a", "id_b")
+        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
     }
   )
 
@@ -6304,6 +6330,78 @@ object GraftQueries {
         |  FROM scp) WHERE rn = 1)
         |SELECT b.did AS doc_id, d.lang, b.c AS pred, b.sq AS score_q
         |FROM best b JOIN documents d ON d.doc_id = b.did
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // global (key, id) order replayed with one window; file = rank div N
+    "q_skipping" ->
+      """WITH o AS (SELECT o_orderkey, o_orderdate,
+        |    CAST(epoch_us(o_orderdate) // 86400000000 AS DOUBLE) AS day
+        |  FROM orders),
+        |bydate AS (SELECT day,
+        |    (row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1) // 1000
+        |      AS f FROM o),
+        |pf1 AS (SELECT f, min(day) AS mn, max(day) AS mx,
+        |    CAST(count(*) AS BIGINT) AS n FROM bydate GROUP BY 1),
+        |r1 AS (SELECT 'by_date' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+        |    CAST(sum(CASE WHEN mx >= 10227 AND mn <= 10407 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS files_scanned,
+        |    CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN mx >= 10227 AND mn <= 10407 THEN n ELSE 0 END)
+        |      AS BIGINT) AS rows_scanned
+        |  FROM pf1),
+        |bykey AS (SELECT day,
+        |    (row_number() OVER (ORDER BY o_orderkey, o_orderkey) - 1) // 1000
+        |      AS f FROM o),
+        |pf2 AS (SELECT f, min(day) AS mn, max(day) AS mx,
+        |    CAST(count(*) AS BIGINT) AS n FROM bykey GROUP BY 1),
+        |r2 AS (SELECT 'by_key' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+        |    CAST(sum(CASE WHEN mx >= 10227 AND mn <= 10407 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS files_scanned,
+        |    CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN mx >= 10227 AND mn <= 10407 THEN n ELSE 0 END)
+        |      AS BIGINT) AS rows_scanned
+        |  FROM pf2)
+        |SELECT layout, n_files, files_scanned, n_rows, rows_scanned,
+        |  round(1.0 - CAST(files_scanned AS DOUBLE) / n_files, 4) AS skip_ratio
+        |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+        |ORDER BY layout""".stripMargin,
+
+    // component labels via the recursive closure, then the size histogram
+    "q_component_sizes" ->
+      """WITH RECURSIVE sel AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text),'\s+',' ','g')) AS nt
+        |  FROM documents WHERE doc_id < 200),
+        |tok AS (SELECT doc_id, string_split(nt, ' ') AS t FROM sel),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) u
+        |  WHERE len(t) >= 3),
+        |seeded AS (SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || shingle) AS h
+        |  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) seeds),
+        |mh AS (SELECT doc_id, seed, min(h) AS minhash FROM seeded GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, seed // 4 AS band,
+        |  md5(string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || minhash, '|'
+        |    ORDER BY lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || minhash)) AS bsig
+        |  FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bs a JOIN bs b ON a.band = b.band AND a.bsig = b.bsig
+        |    AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT c.id_a, c.id_b, count(*) AS c FROM cand c
+        |  JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+        |    AND a.shingle = b.shingle
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT i.id_a, i.id_b
+        |  FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
+        |  JOIN sz sb ON sb.doc_id = i.id_b
+        |  WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.2),
+        |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |r AS (SELECT doc_id, doc_id AS reach FROM sel
+        |  UNION SELECT r.doc_id, e.b FROM r JOIN e ON r.reach = e.a),
+        |comp AS (SELECT doc_id, min(reach) AS component FROM r GROUP BY doc_id),
+        |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM comp GROUP BY 1)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM cs GROUP BY 1 ORDER BY cluster_size""".stripMargin
   )
 }
