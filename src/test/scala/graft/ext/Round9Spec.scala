@@ -395,4 +395,41 @@ class Round9Spec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(again == preds)
   }
+
+  test("proximityJoin matches brute force, negative coordinates included") {
+    import spark.implicits._
+    val l = Seq((1L, 0.0, 0.0), (2L, -0.3, 0.1), (3L, 5.0, -5.0))
+      .toDF("lid", "lat", "lon")
+    val r = Seq((10L, 0.15, 0.1), (11L, -0.4, 0.0), (12L, 5.05, -5.05),
+      (13L, 2.0, 2.0)).toDF("rid", "rlat", "rlon")
+    val radius = 250000L // 0.25 degrees in micro-degrees
+    val got = Geo.proximityJoin(l, r, "lat", "lon", "rlat", "rlon", radius)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+    def q(x: Double) = math.round(x * 1e6)
+    val brute = for {
+      (li, la, lo) <- Seq((1L, 0.0, 0.0), (2L, -0.3, 0.1), (3L, 5.0, -5.0))
+      (ri, ra, ro) <- Seq((10L, 0.15, 0.1), (11L, -0.4, 0.0),
+        (12L, 5.05, -5.05), (13L, 2.0, 2.0))
+      dl = q(la) - q(ra); dn = q(lo) - q(ro)
+      if dl * dl + dn * dn <= radius * radius
+    } yield (li, ri)
+    assert(got.sorted.toSeq == brute.sorted)
+    assert(got.length == got.distinct.length)
+  }
+
+  test("crossCorrelation peaks at the true lead") {
+    import spark.implicits._
+    // series B is series A shifted by +3 buckets: xcorr peaks at lag 3
+    val rows = (0 until 60).flatMap { b =>
+      val n = if (b % 5 == 0) 4 else 1
+      (0 until n).map(i => ("A", b * 10L * 1000000L + i)) ++
+        (0 until n).map(i => ("B", (b + 3) * 10L * 1000000L + i))
+    }
+    val df = rows.toDF("ty", "us").withColumn("ts", timestamp_micros(col("us")))
+    val out = graft.ext.Events.crossCorrelation(df, "ts", "ty", "A", "B",
+      stepSeconds = 10L, maxLag = 5)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(out(3) == out.values.max)
+    assert(out(3) > 0.9)
+  }
 }
