@@ -2817,6 +2817,20 @@ object GraftQueries {
         .groupBy("component").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
         .orderBy("cluster_size")
+    },
+
+    // extension: k-truss backbone of the co-purchase graph (every
+    // surviving edge closes ≥ k−2 triangles inside the subgraph)
+    "q_ktruss" -> { (s, d) =>
+      import graft.graph.GraphAlgos
+      val p = t(s, d)("lineitem").where(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val e = p.as("x").join(p.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(concat(lit("p"), col("x.p")).as("src"),
+          concat(lit("p"), col("y.p")).as("dst"))
+      GraphAlgos.kTruss(e, "src", "dst", k = 4, maxRounds = 3)
+        .orderBy("a", "b")
     }
   )
 
@@ -6402,6 +6416,16 @@ object GraftQueries {
         |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
         |  FROM comp GROUP BY 1)
         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
-        |FROM cs GROUP BY 1 ORDER BY cluster_size""".stripMargin
+        |FROM cs GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+
+    "q_ktruss" -> graft.graph.GraphAlgos.kTrussOracleSql(
+      """SELECT 'p' || CAST(x.l_partkey AS VARCHAR) AS src,
+        |    'p' || CAST(y.l_partkey AS VARCHAR) AS dst
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |        WHERE l_orderkey % 10 = 0) x
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |        WHERE l_orderkey % 10 = 0) y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"""
+        .stripMargin, k = 4, rounds = 3)
   )
 }

@@ -586,6 +586,101 @@ object GraphAlgos {
     (head +: iters).mkString(",\n")
   }
 
+  /** k-truss decomposition (Cohen 2008): the maximal subgraph in which
+    * every edge closes at least k−2 triangles WITHIN the subgraph — the
+    * edge-grained refinement of [[kCore]] (a k-truss is always inside the
+    * (k−1)-core, but prunes bridge edges the core keeps). The
+    * community-backbone extractor.
+    *
+    * Peeling loop in the [[kCore]] shape: per round, per-edge triangle
+    * support from a node-ordered wedge join over the current edge set
+    * (x<y<z once per triangle, each triangle crediting its three edges),
+    * then edges under k−2 drop via anti-join; fixed `maxRounds` budget
+    * with an early `isEmpty` convergence probe, lineage severed per
+    * round. Returns surviving (a, b, support) under the FINAL edge set.
+    *
+    * Scale note: the wedge join here orients by node id; the
+    * degree-ordered orientation of [[triangleCounts]] (O(√m) fanout cap)
+    * drops in unchanged when hub skew demands it — kept node-ordered so
+    * the unrolled oracle replays the identical join.
+    */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int): DataFrame = {
+    require(k >= 3, "k must be >= 3")
+    require(maxRounds >= 1, "need at least one round")
+    var e = edges.select(
+      least(col(srcCol).cast("string"), col(dstCol).cast("string")).as("a"),
+      greatest(col(srcCol).cast("string"), col(dstCol).cast("string")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    def support(cur: DataFrame): DataFrame = {
+      val tri = cur.as("e1")
+        .join(cur.as("e2"),
+          col("e2.a") === col("e1.a") && col("e2.b") > col("e1.b"))
+        .join(cur.as("e3"),
+          col("e3.a") === col("e1.b") && col("e3.b") === col("e2.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      tri.select(explode(array(
+        struct(col("x").as("a"), col("y").as("b")),
+        struct(col("x").as("a"), col("z").as("b")),
+        struct(col("y").as("a"), col("z").as("b")))).as("_e"))
+        .select(col("_e.a").as("a"), col("_e.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+    }
+    var round = 0
+    var stable = false
+    while (round < maxRounds && !stable) {
+      val weak = e.join(support(e), Seq("a", "b"), "left")
+        .where(coalesce(col("support"), lit(0L)) < k - 2)
+        .select("a", "b")
+        .localCheckpoint(true)
+      if (weak.isEmpty) stable = true
+      else {
+        e = e.join(weak, Seq("a", "b"), "left_anti").localCheckpoint(true)
+        round += 1
+      }
+    }
+    e.join(support(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** DuckDB replay of [[kTruss]], rounds unrolled (a converged round
+    * removes nothing, so a fixed unroll equals the early-exit loop).
+    */
+  def kTrussOracleSql(edgesSql: String, k: Int, rounds: Int): String = {
+    val head =
+      s"""WITH undE AS ($edgesSql),
+         |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+         |    greatest(src, dst) AS b
+         |  FROM undE WHERE src <> dst)""".stripMargin
+    def supSql(src: String, out: String) =
+      s"""$out AS MATERIALIZED (SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+         |  SELECT e1.a AS a, e1.b AS b FROM $src e1
+         |    JOIN $src e2 ON e2.a = e1.a AND e2.b > e1.b
+         |    JOIN $src e3 ON e3.a = e1.b AND e3.b = e2.b
+         |  UNION ALL
+         |  SELECT e1.a, e2.b FROM $src e1
+         |    JOIN $src e2 ON e2.a = e1.a AND e2.b > e1.b
+         |    JOIN $src e3 ON e3.a = e1.b AND e3.b = e2.b
+         |  UNION ALL
+         |  SELECT e1.b, e2.b FROM $src e1
+         |    JOIN $src e2 ON e2.a = e1.a AND e2.b > e1.b
+         |    JOIN $src e3 ON e3.a = e1.b AND e3.b = e2.b
+         |) GROUP BY 1, 2)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      s"""${supSql(s"e${r - 1}", s"s$r")},
+         |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e LEFT JOIN s$r s
+         |  ON s.a = e.a AND s.b = e.b
+         |  WHERE coalesce(s.support, 0) >= ${k - 2})""".stripMargin
+    }
+    val fin =
+      s"""${supSql(s"e$rounds", "sf")}
+         |SELECT e.a, e.b, coalesce(sf.support, 0) AS support
+         |FROM e$rounds e LEFT JOIN sf ON sf.a = e.a AND sf.b = e.b
+         |ORDER BY e.a, e.b""".stripMargin
+    (head +: iters.toSeq :+ fin).mkString(",\n")
+  }
+
   /** Per-node core numbers (coreness) via h-index iteration (Lü et al.
     * 2016, public result: repeatedly replacing each node's value with the
     * H-index of its neighbors' values, starting from degrees, converges

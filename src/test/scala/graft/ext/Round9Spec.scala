@@ -432,4 +432,27 @@ class Round9Spec extends AnyFunSuite with SparkSpec {
     assert(out(3) == out.values.max)
     assert(out(3) > 0.9)
   }
+
+  test("kTruss keeps the K4, peels pendant and bridge edges") {
+    import spark.implicits._
+    // K4 on {a,b,c,d} (every edge in 2 triangles) + pendant d-e + a
+    // second triangle {e,f,g} bridged at e: 4-truss = the K4 only
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e"), ("e", "f"), ("e", "g"), ("f", "g"))
+      .toDF("src", "dst")
+    val out = graft.graph.GraphAlgos.kTruss(edges, "src", "dst", k = 4,
+      maxRounds = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d")))
+    assert(out.values.forall(_ == 2L)) // K4: every edge closes 2 triangles
+    // 3-truss additionally keeps the e-f-g triangle but not the bridge
+    val t3 = graft.graph.GraphAlgos.kTruss(edges, "src", "dst", k = 3,
+      maxRounds = 5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(t3.contains(("e", "f")) && t3.contains(("f", "g")))
+    assert(!t3.contains(("d", "e"))) // bridge closes no triangle
+  }
 }
