@@ -20,7 +20,11 @@ object PlanAudit {
       if (args.nonEmpty) args.toSeq
       else Seq("q_filter_predicate", "q_revenue_by_nation", "q_fuzzy_match",
         "q_skew_join", "q_semi_join", "q_edge_pair",
-        "q_gopher_rules", "q_pack_sequences", "q_unigram_lm")
+        "q_gopher_rules", "q_pack_sequences", "q_unigram_lm",
+        // round-8 flagships: literal-centroid k-means (no join), grid
+        // proximity join (broadcast cells), histogram split finding
+        // (broadcast stats, pushed filters), DQ rule aggregates
+        "q_kmeans", "q_geo_join", "q_best_split", "q_dq_checks")
     names.foreach { n =>
       println(s"\n===== $n =====")
       try GraftQueries.all(n)(spark, sfDir).explain("formatted")
