@@ -2819,6 +2819,31 @@ object GraftQueries {
         .orderBy("cluster_size")
     },
 
+    // extension: HLL intersection by inclusion-exclusion over the
+    // register algebra — |A∩B| ≈ |A| + |B| − |A∪B|, no re-reading values
+    "q_hll_intersect" -> { (s, d) =>
+      import graft.ext.Sketch
+      val ev = TpchGraph.eventsTable(s, d)
+      val a = Sketch.hllRegisters(ev.where(col("event_type") === "click"),
+        Nil, "user_id")
+      val b = Sketch.hllRegisters(ev.where(col("event_type") === "purchase"),
+        Nil, "user_id")
+      val estA = Sketch.hllEstimate(a, Nil).select(col("estimate").as("est_a"))
+      val estB = Sketch.hllEstimate(b, Nil).select(col("estimate").as("est_b"))
+      val estU = Sketch.hllUnionCounts(a, b)
+        .select(col("estimate").as("est_union"))
+      val exact = ev.where(col("event_type") === "click")
+        .select("user_id").distinct()
+        .join(ev.where(col("event_type") === "purchase")
+          .select("user_id").distinct(), Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("exact_intersection"))
+      estA.crossJoin(estB).crossJoin(estU).crossJoin(exact)
+        .select(col("est_a"), col("est_b"), col("est_union"),
+          round(col("est_a") + col("est_b") - col("est_union"), 2)
+            .as("est_intersection"),
+          col("exact_intersection"))
+    },
+
     // extension: k-truss backbone of the co-purchase graph (every
     // surviving edge closes ≥ k−2 triangles inside the subgraph)
     "q_ktruss" -> { (s, d) =>
@@ -6417,6 +6442,46 @@ object GraftQueries {
         |  FROM comp GROUP BY 1)
         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
         |FROM cs GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+
+    // three estimator replays (A, B, A∪B) + the exact intersection
+    "q_hll_intersect" -> {
+      def estSql(name: String, whereSql: String) =
+        s"""src_$name AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events
+           |  WHERE $whereSql AND user_id IS NOT NULL),
+           |reg_$name AS (SELECT
+           |    (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+           |      + strpos('0123456789abcdef', substring(h, 2, 1)) - 1 AS bucket,
+           |    max(CASE WHEN length(regexp_extract(substring(h, 3, 12), '^0*')) = 12 THEN 49
+           |      ELSE 4 * length(regexp_extract(substring(h, 3, 12), '^0*'))
+           |        + CASE substring(regexp_replace(substring(h, 3, 12), '^0*', ''), 1, 1)
+           |            WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+           |            WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+           |            ELSE 0 END + 1 END) AS reg
+           |  FROM src_$name GROUP BY 1),
+           |agg_$name AS (SELECT sum(CAST(1 AS BIGINT) << (49 - reg)) AS s_present,
+           |    count(*) AS present FROM reg_$name),
+           |est_$name AS (SELECT s_present + (256 - present) * (CAST(1 AS BIGINT) << 49) AS s,
+           |    256 - present AS zeros FROM agg_$name),
+           |fin_$name AS (SELECT CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)
+           |      * 256.0 * 256.0 / (CAST(s AS DOUBLE) / 562949953421312.0) AS raw,
+           |    zeros FROM est_$name),
+           |e2_$name AS (SELECT CASE WHEN raw <= 640.0 AND zeros > 0
+           |    THEN round(256.0 * ln(256.0 / zeros), 2)
+           |    ELSE round(raw, 2) END AS estimate FROM fin_$name)""".stripMargin
+      s"""WITH ${estSql("a", "event_type = 'click'")},
+         |${estSql("b", "event_type = 'purchase'")},
+         |${estSql("u", "event_type IN ('click', 'purchase')")},
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersection FROM (
+         |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+         |  INTERSECT
+         |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+         |SELECT e2_a.estimate AS est_a, e2_b.estimate AS est_b,
+         |  e2_u.estimate AS est_union,
+         |  round(e2_a.estimate + e2_b.estimate - e2_u.estimate, 2)
+         |    AS est_intersection,
+         |  ex.exact_intersection
+         |FROM e2_a, e2_b, e2_u, ex""".stripMargin
+    },
 
     "q_ktruss" -> graft.graph.GraphAlgos.kTrussOracleSql(
       """SELECT 'p' || CAST(x.l_partkey AS VARCHAR) AS src,
