@@ -2819,6 +2819,19 @@ object GraftQueries {
         .orderBy("cluster_size")
     },
 
+    // extension: weighted PageRank — outflow proportional to shipped
+    // quantity instead of uniform per edge
+    "q_wpagerank" -> { (s, d) =>
+      import graft.graph.GraphAlgos
+      val edges = t(s, d)("lineitem")
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"),
+          col("l_quantity").cast("long").as("w"))
+      GraphAlgos.weightedPageRankFixed(edges, "src", "dst", "w",
+        iterations = 3)
+        .orderBy(col("rank").desc, col("node")).limit(100)
+    },
+
     // extension: HLL intersection by inclusion-exclusion over the
     // register algebra — |A∩B| ≈ |A| + |B| − |A∪B|, no re-reading values
     "q_hll_intersect" -> { (s, d) =>
@@ -6442,6 +6455,13 @@ object GraftQueries {
         |  FROM comp GROUP BY 1)
         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
         |FROM cs GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+
+    "q_wpagerank" ->
+      (graft.graph.GraphAlgos.weightedPageRankOracleSql(
+        """SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst,
+          |  CAST(l_quantity AS BIGINT) AS w FROM lineitem""".stripMargin,
+        iterations = 3) +
+        "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, node LIMIT 100"),
 
     // three estimator replays (A, B, A∪B) + the exact intersection
     "q_hll_intersect" -> {

@@ -81,6 +81,84 @@ object GraphAlgos {
     ranks
   }
 
+  /** Weighted PageRank: [[pageRankFixed]] with per-edge weights — each
+    * source's outflow divides proportionally to edge weight instead of
+    * uniformly (rank·damping÷100)·w_uv ÷ W_u with W_u the source's total
+    * outgoing weight. Same integer fixed-point contract; parallel edges
+    * sum their weights. Caller contract: weight·scale must fit a long
+    * (weights ≤ ~10⁶ at the default scale), the price of exactness.
+    *
+    * Scale shape identical to the unweighted loop: the n-row
+    * (node, outflow, W) table joins the edge frame ONCE per iteration
+    * (broadcast under the limit), the per-edge share is narrow integer
+    * math, and the dst aggregation partial-combines map-side.
+    */
+  def weightedPageRankFixed(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int, dampingPct: Int = 85,
+      scale: Long = 1000000000000L,
+      broadcastNodeLimit: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"),
+      col(weightCol).cast("long").as("w"))
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      .where(col("w") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val init = scale / n
+    val base = (init * (100L - dampingPct)) / 100L
+    val wsum = e.groupBy("src").agg(sum(col("w")).as("wsum"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes.withColumn("rank", lit(init))
+    for (_ <- 1 to iterations) {
+      val share = ranks.withColumnRenamed("node", "src").join(wsum, Seq("src"))
+        .select(col("src"), expr(s"(rank * $dampingPct) div 100").as("t"),
+          col("wsum"))
+      val shareSide = if (n <= broadcastNodeLimit) broadcast(share) else share
+      val contrib = e.join(shareSide, Seq("src"))
+        .select(col("dst"), expr("(t * w) div wsum").as("m"))
+        .groupBy(col("dst").as("node")).agg(sum(col("m")).as("m"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("m"), lit(0L))).as("rank"))
+        .localCheckpoint(true)
+    }
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    wsum.unpersist(blocking = false)
+    ranks
+  }
+
+  /** DuckDB replay of [[weightedPageRankFixed]], iterations unrolled. */
+  def weightedPageRankOracleSql(edgesSql: String, iterations: Int,
+      dampingPct: Int = 85, scale: Long = 1000000000000L): String = {
+    val head =
+      s"""WITH E0 AS ($edgesSql),
+         |E AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM E0
+         |  GROUP BY 1, 2 HAVING sum(w) > 0),
+         |nodes AS (SELECT src AS node FROM E UNION SELECT dst FROM E),
+         |nn AS (SELECT count(*) AS c FROM nodes),
+         |ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM E GROUP BY 1),
+         |r0 AS (SELECT node, ($scale // c) AS rank FROM nodes CROSS JOIN nn)"""
+        .stripMargin
+    val iters = (1 to iterations).map { i =>
+      s"""r$i AS (SELECT nd.node,
+         |  ((($scale // c) * ${100L - dampingPct}) // 100) + coalesce(s.m, 0)
+         |    AS rank
+         |  FROM nodes nd CROSS JOIN nn
+         |  LEFT JOIN (SELECT e.dst AS node,
+         |      sum((r.rank * $dampingPct // 100) * e.w // d.wsum) AS m
+         |    FROM E e JOIN r${i - 1} r ON r.node = e.src
+         |    JOIN ws d ON d.src = e.src GROUP BY 1) s ON s.node = nd.node)"""
+        .stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
+
   /** Personalized PageRank (Jeh & Widom 2003, "Scaling personalized web
     * search"): [[pageRankFixed]]'s fixed-point integer iteration with the
     * teleport mass restricted to `seeds` — rank(v) = seedBase(v) +
