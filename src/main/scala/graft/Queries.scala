@@ -2819,6 +2819,41 @@ object GraftQueries {
         .orderBy("cluster_size")
     },
 
+    // extension: degree distribution rows (the raw table behind
+    // q_powerlaw's alpha — histogram of customer order counts)
+    "q_degree_dist" -> { (s, d) =>
+      t(s, d)("orders").groupBy(col("o_custkey")).agg(count(lit(1)).as("_d"))
+        .groupBy(col("_d").as("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    },
+
+    // extension: funnel step latencies — exact quantiles of the time
+    // between consecutive resolved funnel steps
+    "q_funnel_latency" -> { (s, d) =>
+      val ev = TpchGraph.eventsTable(s, d)
+        .select(col("user_id").as("_u"), unix_micros(col("ts")).as("_t"),
+          col("event_type").as("_ty"))
+      val s0 = ev.where(col("_ty") === "signup")
+        .groupBy("_u").agg(min(col("_t")).as("_t0"))
+      val s1 = ev.where(col("_ty") === "view").join(s0, Seq("_u"))
+        .where(col("_t") > col("_t0"))
+        .groupBy("_u").agg(min(col("_t")).as("_t1"), first(col("_t0")).as("_t0"))
+      val s2 = ev.where(col("_ty") === "purchase")
+        .join(s1.select("_u", "_t1"), Seq("_u"))
+        .where(col("_t") > col("_t1"))
+        .groupBy("_u").agg(min(col("_t")).as("_t2"), first(col("_t1")).as("_t1"))
+      def lat(df: DataFrame, a: String, b: String, label: String) = df
+        .select(((col(b) - col(a)) / lit(1000000.0)).as("_lat"))
+        .agg(count(lit(1)).as("n_users"),
+          round(percentile(col("_lat"), lit(0.5)), 2).as("p50_s"),
+          round(percentile(col("_lat"), lit(0.9)), 2).as("p90_s"))
+        .select(lit(label).as("step_pair"), col("n_users"), col("p50_s"),
+          col("p90_s"))
+      lat(s1, "_t0", "_t1", "signup>view")
+        .unionAll(lat(s2, "_t1", "_t2", "view>purchase"))
+        .orderBy("step_pair")
+    },
+
     // extension: weighted PageRank — outflow proportional to shipped
     // quantity instead of uniform per edge
     "q_wpagerank" -> { (s, d) =>
@@ -6455,6 +6490,33 @@ object GraftQueries {
         |  FROM comp GROUP BY 1)
         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
         |FROM cs GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+
+    "q_degree_dist" ->
+      """SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_nodes FROM
+        |  (SELECT CAST(count(*) AS BIGINT) AS d FROM orders GROUP BY o_custkey)
+        |GROUP BY 1 ORDER BY degree""".stripMargin,
+
+    "q_funnel_latency" ->
+      """WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS ty
+        |  FROM events),
+        |s0 AS (SELECT u, min(t) AS t0 FROM ev WHERE ty = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.u, min(e.t) AS t1, min(s0.t0) AS t0 FROM ev e
+        |  JOIN s0 ON s0.u = e.u WHERE e.ty = 'view' AND e.t > s0.t0
+        |  GROUP BY 1),
+        |s2 AS (SELECT e.u, min(e.t) AS t2, min(s1.t1) AS t1 FROM ev e
+        |  JOIN s1 ON s1.u = e.u WHERE e.ty = 'purchase' AND e.t > s1.t1
+        |  GROUP BY 1),
+        |l1 AS (SELECT (t1 - t0) / 1000000.0 AS lat FROM s1),
+        |l2 AS (SELECT (t2 - t1) / 1000000.0 AS lat FROM s2)
+        |SELECT * FROM (
+        |  SELECT 'signup>view' AS step_pair, CAST(count(*) AS BIGINT) AS n_users,
+        |    round(quantile_cont(lat, 0.5), 2) AS p50_s,
+        |    round(quantile_cont(lat, 0.9), 2) AS p90_s FROM l1
+        |  UNION ALL
+        |  SELECT 'view>purchase', CAST(count(*) AS BIGINT),
+        |    round(quantile_cont(lat, 0.5), 2), round(quantile_cont(lat, 0.9), 2)
+        |  FROM l2)
+        |ORDER BY step_pair""".stripMargin,
 
     "q_wpagerank" ->
       (graft.graph.GraphAlgos.weightedPageRankOracleSql(
