@@ -2819,6 +2819,38 @@ object GraftQueries {
         .orderBy("cluster_size")
     },
 
+    // extension: order-to-ship latency quantiles per priority class
+    "q_ship_latency" -> { (s, d) =>
+      val j = t(s, d)("orders").join(t(s, d)("lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"),
+          ((unix_micros(col("l_shipdate").cast("timestamp")) -
+            unix_micros(col("o_orderdate").cast("timestamp"))) /
+            lit(86400000000.0)).as("_days"))
+      j.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(percentile(col("_days"), lit(0.5)), 2).as("p50_days"),
+          round(percentile(col("_days"), lit(0.9)), 2).as("p90_days"))
+        .orderBy("o_orderpriority")
+    },
+
+    // extension: Herfindahl-Hirschman supplier concentration per part —
+    // per-supplier share² quantized to micro-units before the sum
+    "q_hhi" -> { (s, d) =>
+      val li = t(s, d)("lineitem").where(col("l_partkey") < 20)
+      val bySupp = li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("_q"))
+      val byPart = bySupp.groupBy("l_partkey")
+        .agg(sum(col("_q")).as("_tot"), count(lit(1)).as("n_suppliers"))
+      bySupp.join(byPart, Seq("l_partkey"))
+        .withColumn("_h_q", round((col("_q").cast("double") / col("_tot")) *
+          (col("_q").cast("double") / col("_tot")) * 1e6, 0).cast("long"))
+        .groupBy(col("l_partkey"), col("n_suppliers"))
+        .agg(round(sum(col("_h_q")).cast("double") / 1e6, 4).as("hhi"))
+        .select("l_partkey", "n_suppliers", "hhi")
+        .orderBy("l_partkey")
+    },
+
     // extension: degree distribution rows (the raw table behind
     // q_powerlaw's alpha — histogram of customer order counts)
     "q_degree_dist" -> { (s, d) =>
@@ -6495,6 +6527,31 @@ object GraftQueries {
       """SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_nodes FROM
         |  (SELECT CAST(count(*) AS BIGINT) AS d FROM orders GROUP BY o_custkey)
         |GROUP BY 1 ORDER BY degree""".stripMargin,
+
+    "q_ship_latency" ->
+      """WITH j AS (SELECT o.o_orderpriority,
+        |    (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) / 86400000000.0
+        |      AS days
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  round(quantile_cont(days, 0.5), 2) AS p50_days,
+        |  round(quantile_cont(days, 0.9), 2) AS p90_days
+        |FROM j GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "q_hhi" ->
+      """WITH bs AS (SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem WHERE l_partkey < 20 GROUP BY 1, 2),
+        |bp AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS tot,
+        |    CAST(count(*) AS BIGINT) AS n_suppliers
+        |  FROM bs GROUP BY 1),
+        |hq AS (SELECT bs.l_partkey, bp.n_suppliers,
+        |    CAST(round((CAST(bs.q AS DOUBLE) / bp.tot) *
+        |      (CAST(bs.q AS DOUBLE) / bp.tot) * 1000000, 0) AS BIGINT) AS h
+        |  FROM bs JOIN bp USING (l_partkey))
+        |SELECT l_partkey, n_suppliers,
+        |  round(CAST(sum(h) AS DOUBLE) / 1000000, 4) AS hhi
+        |FROM hq GROUP BY 1, 2 ORDER BY l_partkey""".stripMargin,
 
     "q_funnel_latency" ->
       """WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS ty
