@@ -2819,6 +2819,28 @@ object GraftQueries {
         .orderBy("cluster_size")
     },
 
+    // extension: Pareto revenue concentration — customers bucketed into
+    // spend deciles by exact percentile thresholds (no global window),
+    // each decile's share of total revenue in exact integer cents
+    "q_pareto" -> { (s, d) =>
+      val rev = t(s, d)("orders").groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("_c"))
+      val qs = Array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+      val th = rev.agg(percentile(col("_c"), lit(qs)).as("_t"))
+      val decile = (1 to 9).map(i =>
+        when(col("_c").cast("double") > element_at(col("_t"), i), 1)
+          .otherwise(0)).reduce(_ + _) + 1
+      val bucketed = rev.crossJoin(broadcast(th))
+        .withColumn("decile", decile.cast("int"))
+      val tot = bucketed.agg(sum(col("_c")).as("_tot"))
+      bucketed.groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"), sum(col("_c")).as("_dc"))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_customers"),
+          round(col("_dc").cast("double") / col("_tot"), 4).as("rev_share"))
+        .orderBy("decile")
+    },
+
     // extension: order-to-ship latency quantiles per priority class
     "q_ship_latency" -> { (s, d) =>
       val j = t(s, d)("orders").join(t(s, d)("lineitem"),
@@ -6527,6 +6549,25 @@ object GraftQueries {
       """SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_nodes FROM
         |  (SELECT CAST(count(*) AS BIGINT) AS d FROM orders GROUP BY o_custkey)
         |GROUP BY 1 ORDER BY degree""".stripMargin,
+
+    "q_pareto" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS c
+        |  FROM orders GROUP BY 1),
+        |th AS (SELECT quantile_cont(CAST(c AS DOUBLE),
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t FROM rev),
+        |b AS (SELECT c, CAST(1 + (CAST(c AS DOUBLE) > t[1])::INT
+        |    + (CAST(c AS DOUBLE) > t[2])::INT + (CAST(c AS DOUBLE) > t[3])::INT
+        |    + (CAST(c AS DOUBLE) > t[4])::INT + (CAST(c AS DOUBLE) > t[5])::INT
+        |    + (CAST(c AS DOUBLE) > t[6])::INT + (CAST(c AS DOUBLE) > t[7])::INT
+        |    + (CAST(c AS DOUBLE) > t[8])::INT + (CAST(c AS DOUBLE) > t[9])::INT
+        |    AS INT) AS decile
+        |  FROM rev, th),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tc FROM b)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+        |  round(CAST(sum(c) AS DOUBLE) / tc, 4) AS rev_share
+        |FROM b, tot GROUP BY decile, tc ORDER BY decile""".stripMargin,
 
     "q_ship_latency" ->
       """WITH j AS (SELECT o.o_orderpriority,
