@@ -2958,6 +2958,89 @@ object GraftQueries {
           concat(lit("p"), col("y.p")).as("dst"))
       GraphAlgos.kTruss(e, "src", "dst", k = 4, maxRounds = 3)
         .orderBy("a", "b")
+    },
+
+    // extension: exact functional-dependency discovery with the g3
+    // almost-FD error (min rows to delete for the FD to hold) — the
+    // data-driven half of relational schema inference (catalog-driven half:
+    // q_infer_3nf)
+    "q_fd_mine" -> { (s, d) =>
+      import graft.infer.Dependencies
+      Dependencies.functionalDeps(t(s, d)("orders"),
+          Seq(("o_orderkey", "o_custkey"), ("o_custkey", "o_orderpriority")))
+        .unionByName(Dependencies.functionalDeps(t(s, d)("customer"),
+          Seq(("c_custkey", "c_mktsegment"), ("c_nationkey", "c_mktsegment"))))
+        .unionByName(Dependencies.functionalDeps(t(s, d)("lineitem"),
+          Seq(("l_orderkey", "l_suppkey"))))
+        .orderBy("determinant", "dependent")
+    },
+
+    // extension: inclusion-dependency (FK candidate) discovery — exact
+    // distinct containment of child column in parent column, incl. one
+    // deliberately-partial candidate (p_size ⊄ n_nationkey)
+    "q_inclusion_dep" -> { (s, d) =>
+      import graft.infer.Dependencies
+      Dependencies.inclusionDeps(Seq(
+        (t(s, d)("lineitem"), "l_partkey", "lineitem",
+          t(s, d)("part"), "p_partkey", "part"),
+        (t(s, d)("lineitem"), "l_suppkey", "lineitem",
+          t(s, d)("supplier"), "s_suppkey", "supplier"),
+        (t(s, d)("orders"), "o_custkey", "orders",
+          t(s, d)("customer"), "c_custkey", "customer"),
+        (t(s, d)("customer"), "c_nationkey", "customer",
+          t(s, d)("nation"), "n_nationkey", "nation"),
+        (t(s, d)("part"), "p_size", "part",
+          t(s, d)("nation"), "n_nationkey", "nation")))
+        .orderBy("child", "parent")
+    },
+
+    // extension: Self-BLEU corpus diversity — clipped n-gram precision of
+    // each doc vs the next doc of its source; exact integer components,
+    // one divide per order
+    "q_self_bleu" -> { (s, d) =>
+      graft.ext.Eval.selfBleuComponents(t(s, d)("documents"),
+        "doc_id", "text", "source", maxN = 2)
+        .orderBy("grp")
+    },
+
+    // extension: cross-source corpus overlap via bottom-k (KMV) shingle
+    // sketches — pairwise estimated Jaccard between ingest domains without
+    // joining the corpora; md5 hashes make the oracle replay bit-for-bit
+    "q_source_overlap" -> { (s, d) =>
+      import graft.ext.Sketch
+      val sk = Sketch.kmvSketches(t(s, d)("documents"), "source", "text",
+        n = 3, k = 64)
+      Sketch.kmvJaccard(sk, k = 64)
+        .select(col("grp_a"), col("grp_b"), col("matches").cast("long").as("matches"),
+          col("k_eff"), col("jaccard_est"))
+        .orderBy("grp_a", "grp_b")
+    },
+
+    // extension: mutual kNN graph over embeddings (exact top-k on the
+    // bounded set; LSH/IVF is the candidate stage at corpus scale)
+    "q_knn_graph" -> { (s, d) =>
+      Similarity.mutualKnnGraph(
+        t(s, d)("embeddings").where(col("vec_id") < 400),
+        "vec_id", "embedding", k = 5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // classic promo-share analytics (TPC-H Q14 shape): per ship month, the
+    // revenue share of PROMO-type parts — broadcast dim join, conditional
+    // aggregate, one divide over the rounded sums
+    "q_promo_share" -> { (s, d) =>
+      val li = t(s, d)("lineitem"); val p = t(s, d)("part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .otherwise(lit(0.0))), 2).as("promo_revenue"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("total_revenue"))
+        .withColumn("promo_share",
+          round(col("promo_revenue") / col("total_revenue"), 6))
+        .orderBy("ship_month")
     }
   )
 
@@ -6671,6 +6754,135 @@ object GraftQueries {
         |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
         |        WHERE l_orderkey % 10 = 0) y
         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"""
-        .stripMargin, k = 4, rounds = 3)
+        .stripMargin, k = 4, rounds = 3),
+
+    "q_fd_mine" -> {
+      def fd(tbl: String, det: String, dep: String): String =
+        s"""SELECT '$det' AS determinant, '$dep' AS dependent,
+           |  CAST(count(*) AS BIGINT) AS distinct_lhs,
+           |  CAST(sum(_ndep) AS BIGINT) AS distinct_pairs,
+           |  CAST(sum(_rows) AS BIGINT) AS n_rows,
+           |  CAST(sum(_rows - _keep) AS BIGINT) AS g3_violations,
+           |  sum(_ndep) = count(*) AS holds
+           |FROM (SELECT _lhs, count(*) AS _ndep, sum(_n) AS _rows,
+           |        max(_n) AS _keep
+           |      FROM (SELECT $det AS _lhs, $dep AS _rhs, count(*) AS _n
+           |            FROM $tbl GROUP BY 1, 2) GROUP BY 1)""".stripMargin
+      Seq(
+        fd("orders", "o_orderkey", "o_custkey"),
+        fd("orders", "o_custkey", "o_orderpriority"),
+        fd("customer", "c_custkey", "c_mktsegment"),
+        fd("customer", "c_nationkey", "c_mktsegment"),
+        fd("lineitem", "l_orderkey", "l_suppkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY 1, 2")
+    },
+
+    "q_inclusion_dep" -> {
+      def ind(ct: String, cc: String, pt: String, pc: String): String =
+        s"""SELECT '$ct.$cc' AS child, '$pt.$pc' AS parent,
+           |  (SELECT CAST(count(DISTINCT CAST($cc AS BIGINT)) AS BIGINT)
+           |     FROM $ct WHERE $cc IS NOT NULL) AS child_distinct,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM
+           |     (SELECT DISTINCT CAST($cc AS BIGINT) AS v FROM $ct
+           |        WHERE $cc IS NOT NULL)
+           |     WHERE v IN (SELECT CAST($pc AS BIGINT) FROM $pt
+           |        WHERE $pc IS NOT NULL)) AS contained,
+           |  round((SELECT count(*) FROM
+           |     (SELECT DISTINCT CAST($cc AS BIGINT) AS v FROM $ct
+           |        WHERE $cc IS NOT NULL)
+           |     WHERE v IN (SELECT CAST($pc AS BIGINT) FROM $pt
+           |        WHERE $pc IS NOT NULL))::DOUBLE /
+           |    (SELECT count(DISTINCT CAST($cc AS BIGINT)) FROM $ct
+           |        WHERE $cc IS NOT NULL), 6) AS containment""".stripMargin
+      Seq(
+        ind("lineitem", "l_partkey", "part", "p_partkey"),
+        ind("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ind("orders", "o_custkey", "customer", "c_custkey"),
+        ind("customer", "c_nationkey", "nation", "n_nationkey"),
+        ind("part", "p_size", "nation", "n_nationkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY 1, 2")
+    },
+
+    "q_self_bleu" ->
+      """WITH base AS (SELECT source AS grp, doc_id AS _id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' '),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |paired AS (SELECT grp, _id, toks,
+        |    lead(toks) OVER (PARTITION BY grp ORDER BY _id) AS rtoks FROM base
+        |  QUALIFY rtoks IS NOT NULL),
+        |np AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_pairs FROM paired GROUP BY 1),
+        |c1c AS (SELECT grp, _id, g, count(*) AS c FROM
+        |  (SELECT grp, _id, unnest(toks) AS g FROM paired) GROUP BY 1, 2, 3),
+        |r1c AS (SELECT grp, _id, g, count(*) AS r FROM
+        |  (SELECT grp, _id, unnest(rtoks) AS g FROM paired) GROUP BY 1, 2, 3),
+        |a1 AS (SELECT c.grp, CAST(sum(least(c.c, coalesce(r.r, 0))) AS BIGINT) AS p1_num,
+        |    CAST(sum(c.c) AS BIGINT) AS p1_den
+        |  FROM c1c c LEFT JOIN r1c r ON c.grp = r.grp AND c._id = r._id AND c.g = r.g
+        |  GROUP BY 1),
+        |c2c AS (SELECT grp, _id, g, count(*) AS c FROM
+        |  (SELECT grp, _id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i + 1])) AS g FROM paired) GROUP BY 1, 2, 3),
+        |r2c AS (SELECT grp, _id, g, count(*) AS r FROM
+        |  (SELECT grp, _id, unnest(list_transform(generate_series(1, len(rtoks) - 1),
+        |     i -> rtoks[i] || ' ' || rtoks[i + 1])) AS g FROM paired) GROUP BY 1, 2, 3),
+        |a2 AS (SELECT c.grp, CAST(sum(least(c.c, coalesce(r.r, 0))) AS BIGINT) AS p2_num,
+        |    CAST(sum(c.c) AS BIGINT) AS p2_den
+        |  FROM c2c c LEFT JOIN r2c r ON c.grp = r.grp AND c._id = r._id AND c.g = r.g
+        |  GROUP BY 1)
+        |SELECT np.grp, np.n_pairs, a1.p1_num, a1.p1_den,
+        |  round(a1.p1_num::DOUBLE / a1.p1_den, 6) AS p1,
+        |  a2.p2_num, a2.p2_den, round(a2.p2_num::DOUBLE / a2.p2_den, 6) AS p2
+        |FROM np JOIN a1 USING (grp) JOIN a2 USING (grp) ORDER BY grp""".stripMargin,
+
+    "q_source_overlap" ->
+      """WITH sel AS (SELECT source AS grp,
+        |    trim(regexp_replace(lower(text),'\s+',' ','g')) AS nt FROM documents),
+        |tok AS (SELECT grp, string_split(nt, ' ') AS t FROM sel),
+        |sh AS (SELECT DISTINCT grp, md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) u
+        |  WHERE len(t) >= 3),
+        |rk AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+        |  FROM sh),
+        |sk AS (SELECT grp, list_sort(list(h)) AS sketch FROM rk WHERE rk <= 64
+        |  GROUP BY 1),
+        |pr AS (SELECT a.grp AS grp_a, b.grp AS grp_b, a.sketch AS sa, b.sketch AS sb
+        |  FROM sk a JOIN sk b ON a.grp < b.grp),
+        |u AS (SELECT grp_a, grp_b, sa, sb,
+        |  list_sort(list_distinct(list_concat(sa, sb)))[1:64] AS uk FROM pr)
+        |SELECT grp_a, grp_b,
+        |  CAST(len(list_filter(uk, x -> list_contains(sa, x) AND list_contains(sb, x)))
+        |    AS BIGINT) AS matches,
+        |  CAST(len(uk) AS BIGINT) AS k_eff,
+        |  round(len(list_filter(uk, x -> list_contains(sa, x) AND list_contains(sb, x)))::DOUBLE
+        |    / len(uk), 6) AS jaccard_est
+        |FROM u ORDER BY 1, 2""".stripMargin,
+
+    "q_knn_graph" ->
+      """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings WHERE vec_id < 400),
+        |scored AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |  round(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(a.e[i] AS DOUBLE) * CAST(a.e[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(b.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE))))), 4) AS cos
+        |  FROM v a, v b WHERE a.vec_id <> b.vec_id),
+        |knn AS (SELECT qid, nid, cos FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) <= 5)
+        |SELECT k.qid AS id_a, k.nid AS id_b, k.cos
+        |FROM knn k JOIN knn r ON r.qid = k.nid AND r.nid = k.qid
+        |WHERE k.qid < k.nid ORDER BY 1, 2""".stripMargin,
+
+    "q_promo_share" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  round(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS promo_revenue,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+        |  round(round(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) /
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2), 6) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -79,6 +79,31 @@ object Similarity {
       "anchor_id", "cos", "negative_id", k)
   }
 
+  /** Mutual k-nearest-neighbor graph over an embedding column: undirected
+    * edge (a, b) iff b is in a's cosine top-k AND a is in b's — the
+    * standard noise-robust substrate for density clustering and diffusion
+    * (mutual edges prune hub links that one-directional kNN graphs keep).
+    *
+    * The directed lists come from [[bruteForceTopK]] (exact, bounded-input
+    * contract — swap [[annTopK]]/[[ivfTopK]] in as the candidate stage at
+    * corpus scale; the mutual filter is unchanged). The mutuality check is
+    * one self-join of the k-bounded directed edge list with itself
+    * (`nodes × k` rows per side), never the corpus.
+    */
+  def mutualKnnGraph(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val knn = bruteForceTopK(df, df, idCol, vecCol, k)
+    val fwd = knn.select(col("query_id").as("id_a"),
+      col("neighbor_id").as("id_b"), col("cos"))
+    // (neighbor, query) rows state "neighbor ∈ knn(query)" — semi-joining
+    // fwd(a,b) against rev(a,b) keeps exactly the pairs where each end
+    // ranks the other
+    val rev = knn.select(col("neighbor_id").as("id_a"),
+      col("query_id").as("id_b"))
+    fwd.join(rev, Seq("id_a", "id_b"), "left_semi")
+      .where(col("id_a") < col("id_b"))
+  }
+
   /** Reciprocal-rank fusion of two per-query rankings — the standard
     * hybrid-retrieval combiner (Cormack et al. 2009, public):
     * `rrf(q, d) = Σ_lists 1 / (kRrf + rank_list(q, d))`, summed over the

@@ -269,4 +269,53 @@ object Sketch {
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_shingles"), 4))
   }
+
+  /** k-minimum-values (bottom-k / KMV) shingle sketch per group: the k
+    * lexicographically-smallest md5 hex hashes of the group's DISTINCT word
+    * n-gram shingles. String-min over fixed-length hex is a valid uniform
+    * order (same argument as [[graft.ext.Dedup]]'s MinHash), and md5 makes
+    * the sketch engine-portable — the DuckDB oracle rebuilds it
+    * bit-for-bit.
+    *
+    * This is the corpus-overlap primitive: per-SOURCE sketches estimate
+    * pairwise content overlap between ingest domains (the FineWeb/RefinedWeb
+    * "how much of source B is already in source A" question) without ever
+    * joining the corpora themselves.
+    *
+    * Scale shape: distinct (group, hash) is one keyed dedup; the bottom-k
+    * is a per-group rank over that DISTINCT frame (cardinality = distinct
+    * shingles, not rows), and the output is `groups × k` rows — driver-tiny
+    * regardless of corpus size.
+    */
+  def kmvSketches(df: DataFrame, groupCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val hashed = graft.ext.Dedup.explodeShingles(df, groupCol, textCol, n)
+      .select(col(groupCol).as("grp"), md5(col("shingle")).as("_h")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("_h")
+    hashed.withColumn("_rk", row_number().over(w)).where(col("_rk") <= k)
+      .groupBy("grp")
+      .agg(sort_array(collect_list("_h")).as("sketch"),
+        count(lit(1)).as("k_actual"))
+  }
+
+  /** Pairwise KMV Jaccard estimates between group sketches: for each group
+    * pair, take the union's bottom-k hashes and count how many live in BOTH
+    * sketches — matches/k is the standard unbiased KMV Jaccard estimate
+    * (Beyer et al. 2007). When the union holds fewer than k hashes the
+    * sketches are lossless and the estimate is EXACT. One tiny
+    * groups×groups self-join; all array math is per-row codegen.
+    */
+  def kmvJaccard(sketches: DataFrame, k: Int): DataFrame = {
+    val a = sketches.select(col("grp").as("grp_a"), col("sketch").as("_sa"))
+    val b = sketches.select(col("grp").as("grp_b"), col("sketch").as("_sb"))
+    a.join(b, col("grp_a") < col("grp_b"))
+      .withColumn("_uk",
+        slice(array_sort(array_union(col("_sa"), col("_sb"))), 1, k))
+      .withColumn("matches", size(filter(col("_uk"),
+        h => array_contains(col("_sa"), h) && array_contains(col("_sb"), h))))
+      .select(col("grp_a"), col("grp_b"), col("matches"),
+        size(col("_uk")).cast("long").as("k_eff"),
+        round(col("matches") / size(col("_uk")), 6).as("jaccard_est"))
+  }
 }
