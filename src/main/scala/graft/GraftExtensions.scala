@@ -58,6 +58,12 @@ object GraftExtensions {
         new Divide(DotProduct(a, b),
           new Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
       }),
+    (FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[graft.expr.JaroWinkler].getName, "jaro_winkler"),
+      args => {
+        require(args.size == 2, "jaro_winkler(a, b) takes two strings")
+        graft.expr.JaroWinkler(args(0), args(1))
+      }),
     (FunctionIdentifier("topk_pairs"),
       new ExpressionInfo(classOf[graft.expr.BoundedTopK].getName, "topk_pairs"),
       args => {

@@ -3025,6 +3025,15 @@ object GraftQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // extension: Jaro-Winkler fuzzy linkage over part names (native codegen
+    // expression, DuckDB-parity byte semantics) with first-token blocking
+    "q_jaro_link" -> { (s, d) =>
+      graft.infer.CrossResourceIdentity.jaroWinklerPairs(
+        t(s, d)("part").where(col("p_partkey") < 500),
+        "p_partkey", "p_name", minSim = 0.88)
+        .orderBy("id_a", "id_b")
+    },
+
     // classic promo-share analytics (TPC-H Q14 shape): per ship month, the
     // revenue share of PROMO-type parts — broadcast dim join, conditional
     // aggregate, one divide over the rounded sums
@@ -6873,6 +6882,16 @@ object GraftQueries {
         |SELECT k.qid AS id_a, k.nid AS id_b, k.cos
         |FROM knn k JOIN knn r ON r.qid = k.nid AND r.nid = k.qid
         |WHERE k.qid < k.nid ORDER BY 1, 2""".stripMargin,
+
+    "q_jaro_link" ->
+      """WITH p AS (SELECT p_partkey AS id, p_name AS s,
+        |    string_split(p_name, ' ')[1] AS blk
+        |  FROM part WHERE p_partkey < 500)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  round(jaro_winkler_similarity(a.s, b.s), 6) AS sim
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+        |WHERE round(jaro_winkler_similarity(a.s, b.s), 6) >= 0.88
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_promo_share" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,

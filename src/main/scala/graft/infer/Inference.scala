@@ -109,6 +109,30 @@ object CrossResourceIdentity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Jaro-Winkler-scored candidate pairs with first-token blocking — the
+    * transposition-tolerant face of fuzzy identity matching ([[fuzzyPairs]]
+    * is the edit-distance face). Candidates must share their first
+    * whitespace token (the standard cheap blocking key for name data:
+    * typos and reorderings concentrate later in the string); each
+    * candidate is scored by the native [[graft.expr.JaroWinkler]] codegen
+    * kernel and kept at `sim >= minSim` (threshold applied to the 6-dp
+    * rounded score, engine-portably). Keyed equi-join on the block token —
+    * never all-pairs; block skew is bounded by the first-token vocabulary.
+    */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, strCol: String,
+      minSim: Double): DataFrame = {
+    val blocked = df.select(col(idCol).as("_id"), col(strCol).as("_s"),
+      split(col(strCol), "\\s+").getItem(0).as("_blk"))
+    val a = blocked.select(col("_blk"), col("_id").as("id_a"), col("_s").as("s_a"))
+    val b = blocked.select(col("_blk"), col("_id").as("id_b"), col("_s").as("s_b"))
+    a.join(b, Seq("_blk"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim",
+        round(graft.expr.JaroWinkler.column(col("s_a"), col("s_b")), 6))
+      .where(col("sim") >= minSim)
+      .select("id_a", "id_b", "sim")
+  }
+
   /** Sorted-neighborhood blocking (Hernández & Stolfo 1995, "The
     * merge/purge problem for large databases"): sort records by a
     * blocking key and emit every pair within a sliding window of `w`
