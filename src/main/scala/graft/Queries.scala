@@ -3025,6 +3025,27 @@ object GraftQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // extension: one-scan covariance/correlation matrix over embedding
+    // dims — micro-unit integer product sums (order-free exact), cells
+    // exploded from the single aggregated row; the PCA sufficient statistic
+    "q_embed_cov" -> { (s, d) =>
+      graft.ext.Stats.covarianceMatrix(t(s, d)("embeddings"), "embedding",
+        dims = 8)
+        .orderBy("dim_i", "dim_j")
+    },
+
+    // extension: incremental aggregate maintenance — base + delta partial
+    // aggregates merged by a keyed full-outer join equal the full recompute
+    // (the oracle IS the recompute)
+    "q_ivm" -> { (s, d) =>
+      val ev = TpchGraph.eventsTable(s, d)
+      graft.ext.Events.mergePartialAggs(
+        ev.where(col("event_id") % 10 =!= 0),
+        ev.where(col("event_id") % 10 === 0),
+        "user_id", "value")
+        .orderBy("user_id")
+    },
+
     // extension: Jaro-Winkler fuzzy linkage over part names (native codegen
     // expression, DuckDB-parity byte semantics) with first-token blocking
     "q_jaro_link" -> { (s, d) =>
@@ -6882,6 +6903,15 @@ object GraftQueries {
         |SELECT k.qid AS id_a, k.nid AS id_b, k.cos
         |FROM knn k JOIN knn r ON r.qid = k.nid AND r.nid = k.qid
         |WHERE k.qid < k.nid ORDER BY 1, 2""".stripMargin,
+
+    "q_embed_cov" ->
+      graft.ext.Stats.covarianceMatrixOracleSql("embeddings", "embedding", 8),
+
+    "q_ivm" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)
+        |    AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_jaro_link" ->
       """WITH p AS (SELECT p_partkey AS id, p_name AS s,

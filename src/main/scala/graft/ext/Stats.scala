@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Experiment / inference statistics over exact counts — the A/B-test and
@@ -97,5 +97,67 @@ object Stats {
         round(sqrt(col("_chi_q").cast("double") / 1e6 /
           (col("n_obs") * least(col("_a_levels") - 1, col("_b_levels") - 1))
             .cast("double")), 4).as("cramers_v"))
+  }
+
+  /** Exact covariance + correlation matrix over the first `dims` dimensions
+    * of an embedding column, in ONE scan — the sufficient statistic for
+    * driver-side PCA/whitening (dims² numbers regardless of corpus size;
+    * eigen-decomposition of a dims×dims matrix is driver-trivial).
+    *
+    * Determinism: each element is quantized to integer micro-units BEFORE
+    * aggregation, so every per-pair product sum is an exact long in any
+    * partitioning (order-free, engine-portable); population cov/corr are
+    * then fixed IEEE expressions over those integer sums. Product sums
+    * bound: |q| ≤ 1e6·max|e|, so Σ qᵢqⱼ fits a long up to ~1e6 rows per
+    * unit-scale dimension pair — beyond that, shard the sum or drop to
+    * decimal; the overflow is loud (ANSI), not silent.
+    *
+    * Scale shape: one aggregate with `dims(dims+1)/2 + dims + 1` map-side-
+    * combinable expressions — a single reduce to ONE row; the (i, j) cells
+    * are exploded from that row, so nothing row-sized ever shuffles.
+    */
+  def covarianceMatrix(df: DataFrame, vecCol: String, dims: Int): DataFrame = {
+    require(dims >= 2 && dims <= 32, s"dims must be in [2, 32], got $dims")
+    val base = df.select((0 until dims).map(i =>
+      round(col(vecCol).getItem(i).cast("double") * 1e6).cast("long")
+        .as(s"_q$i")): _*)
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("_n")) ++
+        (0 until dims).map(i => sum(col(s"_q$i")).as(s"_s$i")) ++
+        (for { i <- 0 until dims; j <- i until dims }
+          yield sum(col(s"_q$i") * col(s"_q$j")).as(s"_p${i}_$j"))
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    def covExpr(i: Int, j: Int): Column =
+      (col(s"_p${i}_$j").cast("double") -
+        col(s"_s$i").cast("double") * col(s"_s$j") / col("_n")) /
+        col("_n") / 1e12
+    val cells = for { i <- 0 until dims; j <- i until dims } yield
+      struct(lit(i).as("dim_i"), lit(j).as("dim_j"),
+        round(covExpr(i, j), 9).as("cov"),
+        round(covExpr(i, j) / sqrt(covExpr(i, i) * covExpr(j, j)), 6)
+          .as("corr"))
+    one.select(explode(array(cells: _*)).as("_c"))
+      .select(col("_c.dim_i"), col("_c.dim_j"), col("_c.cov"), col("_c.corr"))
+  }
+
+  /** DuckDB replay of [[covarianceMatrix]] — generated side-by-side so the
+    * quantization, the integer sums, and the final IEEE expressions match
+    * term for term.
+    */
+  def covarianceMatrixOracleSql(table: String, vecCol: String, dims: Int): String = {
+    val sums = (0 until dims).map(i => s"sum(v[${i + 1}]) AS s$i") ++
+      (for { i <- 0 until dims; j <- i until dims }
+        yield s"sum(v[${i + 1}] * v[${j + 1}]) AS p${i}_$j")
+    def cov(i: Int, j: Int) =
+      s"(CAST(p${i}_$j AS DOUBLE) - CAST(s$i AS DOUBLE) * s$j / n) / n / 1e12"
+    val cells = for { i <- 0 until dims; j <- i until dims } yield
+      s"""SELECT $i AS dim_i, $j AS dim_j, round(${cov(i, j)}, 9) AS cov,
+         |  round(${cov(i, j)} / sqrt((${cov(i, i)}) * (${cov(j, j)})), 6) AS corr
+         |FROM a""".stripMargin
+    s"""WITH q AS (SELECT list_transform($vecCol[1:$dims],
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v FROM $table),
+       |a AS (SELECT count(*) AS n, ${sums.mkString(", ")} FROM q)
+       |${cells.mkString("\nUNION ALL\n")}
+       |ORDER BY 1, 2""".stripMargin
   }
 }
