@@ -24,7 +24,11 @@ object PlanAudit {
         // round-8 flagships: literal-centroid k-means (no join), grid
         // proximity join (broadcast cells), histogram split finding
         // (broadcast stats, pushed filters), DQ rule aggregates
-        "q_kmeans", "q_geo_join", "q_best_split", "q_dq_checks")
+        "q_kmeans", "q_geo_join", "q_best_split", "q_dq_checks",
+        // round-9 flagships: single-row covariance aggregate, blocked
+        // Jaro-Winkler join (native codegen kernel), FD rollups,
+        // broadcast promo-share dims
+        "q_embed_cov", "q_jaro_link", "q_fd_mine", "q_promo_share")
     names.foreach { n =>
       println(s"\n===== $n =====")
       try GraftQueries.all(n)(spark, sfDir).explain("formatted")

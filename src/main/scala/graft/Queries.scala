@@ -3025,6 +3025,26 @@ object GraftQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // extension: RAKE keyphrase extraction — stopword-delimited candidate
+    // phrases, degree/frequency word scores (micro-unit quantized before
+    // the per-phrase sum), per-doc top-3
+    "q_rake" -> { (s, d) =>
+      TextAnalysis.rakeKeyphrases(
+        t(s, d)("documents").where(col("doc_id") < 300),
+        "doc_id", "text", TextAnalysis.DefaultStopwords("en"),
+        maxLen = 4, k = 3)
+        .orderBy("doc_id", "rank")
+    },
+
+    // extension: Cohen's kappa label-quality gate — chance-corrected
+    // agreement between the declared lang metadata and the langId
+    // heuristic's prediction (annotator-vs-model agreement)
+    "q_kappa" -> { (s, d) =>
+      val pred = t(s, d)("documents").select(col("lang"),
+        TextAnalysis.langId(col("text")).as("guess"))
+      graft.ext.Stats.cohenKappa(pred, "lang", "guess")
+    },
+
     // extension: one-scan covariance/correlation matrix over embedding
     // dims — micro-unit integer product sums (order-free exact), cells
     // exploded from the single aggregated row; the PCA sufficient statistic
@@ -6903,6 +6923,69 @@ object GraftQueries {
         |SELECT k.qid AS id_a, k.nid AS id_b, k.cos
         |FROM knn k JOIN knn r ON r.qid = k.nid AND r.nid = k.qid
         |WHERE k.qid < k.nid ORDER BY 1, 2""".stripMargin,
+
+    "q_rake" ->
+      """WITH sel AS (SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS nt
+        |  FROM documents WHERE doc_id < 300),
+        |tok AS (SELECT doc_id, string_split(nt, ' ') AS t FROM sel),
+        |pos AS (SELECT doc_id, i AS pos, t[i] AS tok
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) u),
+        |flag AS (SELECT doc_id, pos, tok,
+        |  CASE WHEN tok IN ('the','a','of','and','to','in','is','it','that','for')
+        |    THEN 1 ELSE 0 END AS st FROM pos),
+        |runs AS (SELECT doc_id, pos, tok, st,
+        |  sum(st) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM flag),
+        |nw AS (SELECT doc_id, run, pos, tok FROM runs WHERE st = 0),
+        |phr AS (SELECT doc_id, run, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+        |    count(*) AS plen
+        |  FROM nw GROUP BY 1, 2 HAVING count(*) <= 4),
+        |words AS (SELECT n.doc_id, n.run, p.plen, n.tok AS w
+        |  FROM nw n JOIN phr p ON n.doc_id = p.doc_id AND n.run = p.run),
+        |ws AS (SELECT w,
+        |    CAST(round(CAST(sum(plen) AS DOUBLE) * 1e6 / count(*)) AS BIGINT) AS sq
+        |  FROM words GROUP BY 1),
+        |ps AS (SELECT doc_id, run, CAST(sum(sq) AS BIGINT) AS psq
+        |  FROM words JOIN ws USING (w) GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT p.doc_id, p.phrase, ps.psq
+        |  FROM phr p JOIN ps ON p.doc_id = ps.doc_id AND p.run = ps.run),
+        |rk AS (SELECT doc_id, phrase, psq,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY psq DESC, phrase) AS rk
+        |  FROM cand)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rank, phrase,
+        |  round(CAST(psq AS DOUBLE) / 1e6, 6) AS score
+        |FROM rk WHERE rk <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_kappa" ->
+      """WITH tok AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  round(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE) / greatest(len(t),1), 4) AS s_en,
+        |  round(CAST(len(list_filter(t, x -> x IN ('el','la','de','y','que','en','un','una','es','por'))) AS DOUBLE) / greatest(len(t),1), 4) AS s_es,
+        |  round(CAST(len(list_filter(t, x -> x IN ('le','la','de','et','que','en','un','une','est','pour'))) AS DOUBLE) / greatest(len(t),1), 4) AS s_fr,
+        |  round(CAST(len(list_filter(t, x -> x IN ('der','die','das','und','zu','in','ist','ein','eine','von'))) AS DOUBLE) / greatest(len(t),1), 4) AS s_de
+        |  FROM tok),
+        |st AS (SELECT doc_id, lang, s_en, s_es, s_fr,
+        |  CASE WHEN s_en > s_de THEN s_en ELSE s_de END AS m2,
+        |  CASE WHEN s_en > s_de THEN 'en' ELSE 'de' END AS g2 FROM sc),
+        |st2 AS (SELECT doc_id, lang, s_en, s_fr,
+        |  CASE WHEN s_es > m2 THEN s_es ELSE m2 END AS m3,
+        |  CASE WHEN s_es > m2 THEN 'es' ELSE g2 END AS g3 FROM st),
+        |pred AS (SELECT lang AS a, CASE WHEN s_fr > m3 THEN 'fr' ELSE g3 END AS b
+        |  FROM st2 WHERE lang IS NOT NULL),
+        |cells AS (SELECT a, b, count(*) AS o FROM pred GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n_obs,
+        |  CAST(sum(CASE WHEN a = b THEN o ELSE 0 END) AS BIGINT) AS n_agree FROM cells),
+        |rm AS (SELECT a AS cat, sum(o) AS ra FROM cells GROUP BY 1),
+        |cm AS (SELECT b AS cat, sum(o) AS cb FROM cells GROUP BY 1),
+        |pe AS (SELECT CAST(coalesce(sum(ra * cb), 0) AS BIGINT) AS pe_num
+        |  FROM rm JOIN cm USING (cat))
+        |SELECT n_obs, n_agree,
+        |  round(CAST(n_agree AS DOUBLE) / n_obs, 6) AS po,
+        |  round(CAST(pe_num AS DOUBLE) / (n_obs * n_obs), 6) AS pe,
+        |  round((CAST(n_agree AS DOUBLE) / n_obs - CAST(pe_num AS DOUBLE) / (n_obs * n_obs)) /
+        |    (1.0 - CAST(pe_num AS DOUBLE) / (n_obs * n_obs)), 6) AS kappa
+        |FROM tot, pe""".stripMargin,
 
     "q_embed_cov" ->
       graft.ext.Stats.covarianceMatrixOracleSql("embeddings", "embedding", 8),

@@ -99,6 +99,45 @@ object Stats {
             .cast("double")), 4).as("cramers_v"))
   }
 
+  /** Cohen's kappa inter-annotator agreement between two categorical
+    * columns — the label-quality gate for supervised training data
+    * (agreement between two annotators, or between declared metadata and a
+    * model's prediction, corrected for chance). κ = (p₀ − pₑ)/(1 − pₑ)
+    * with p₀ the observed agreement rate and pₑ the chance rate from the
+    * two marginals.
+    *
+    * Everything derives from exact integer counts: cells are one keyed
+    * groupBy, marginals two rollups of the cells frame, and the chance
+    * term Σ rowᵢ·colᵢ is a per-category long product summed over the
+    * (tiny) category set — order-free in any partitioning. Rows where
+    * either label is null are excluded (un-annotated, not disagreeing).
+    * Product bound: rowᵢ·colᵢ ≤ n², so n must stay under ~3e9 — beyond
+    * that, compute pₑ in decimal.
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = cells.agg(sum(col("_o")).as("n_obs"),
+      sum(when(col("_a") === col("_b"), col("_o")).otherwise(lit(0L)))
+        .as("n_agree"))
+    val rowM = cells.groupBy(col("_a").as("_cat")).agg(sum("_o").as("_ra"))
+    val colM = cells.groupBy(col("_b").as("_cat")).agg(sum("_o").as("_cb"))
+    // inner join: a category missing from either marginal contributes 0
+    val peNum = rowM.join(colM, Seq("_cat"))
+      .agg(coalesce(sum(col("_ra") * col("_cb")), lit(0L)).as("_pe_num"))
+    val po = col("n_agree").cast("double") / col("n_obs")
+    val pe = col("_pe_num").cast("double") / (col("n_obs") * col("n_obs"))
+    tot.crossJoin(peNum).select(
+      col("n_obs"), col("n_agree"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      // pe = 1 (a single category on both sides) leaves κ undefined (0/0)
+      // — surface NULL instead of an ANSI divide-by-zero
+      when(pe === 1.0, lit(null).cast("double"))
+        .otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
   /** Exact covariance + correlation matrix over the first `dims` dimensions
     * of an embedding column, in ONE scan — the sufficient statistic for
     * driver-side PCA/whitening (dims² numbers regardless of corpus size;

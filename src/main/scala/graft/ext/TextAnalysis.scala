@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (extension surface):
@@ -302,5 +303,61 @@ object TextAnalysis {
       rStop.as("r_stopwords"), rDup.as("r_dup_bigram"),
       (rWords && rMeanLen && rSymbol && rBullet && rEllipsis &&
         rAlpha && rStop && rDup).as("pass"))
+  }
+
+  /** RAKE keyphrase extraction (Rose et al. 2010, public): candidate
+    * phrases are maximal runs of non-stopword tokens (stopwords are the
+    * delimiters), each word is scored `degree/frequency` over the
+    * candidate set (degree = Σ lengths of the phrases it appears in —
+    * rewards words that co-occur inside longer phrases), and a phrase
+    * scores the sum of its word scores. The per-doc top-k by score is the
+    * extracted keyphrase set — the cheap deterministic keyword tagger for
+    * corpus labeling/routing.
+    *
+    * Determinism: word scores are quantized to integer micro-units before
+    * the per-phrase sum (order-free exact — the house float-parity
+    * contract); ties rank by phrase text. Scale shape: one
+    * per-doc-partitioned window builds the runs (keyed shuffle, no global
+    * sort); word stats are one keyed groupBy over phrase occurrences;
+    * everything else is keyed joins. Phrases longer than `maxLen` tokens
+    * are dropped (RAKE's usual guard against stopword-free run-ons).
+    */
+  def rakeKeyphrases(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], maxLen: Int = 4, k: Int = 3): DataFrame = {
+    val toks = filter(split(Dedup.normalize(col(textCol)), " "),
+      t => length(t) > 0)
+    val pos = df.select(col(idCol).as("_id"),
+      posexplode(toks).as(Seq("_pos", "_tok")))
+    val isStop = col("_tok").isInCollection(stopwords)
+    val w = Window.partitionBy("_id").orderBy("_pos")
+    val runs = pos
+      .withColumn("_run", sum(when(isStop, 1).otherwise(0)).over(w))
+      .where(!isStop)
+    val phrases = runs.groupBy(col("_id"), col("_run"))
+      .agg(sort_array(collect_list(struct(col("_pos"), col("_tok"))))
+        .as("_pt"))
+      .select(col("_id"), col("_run"),
+        transform(col("_pt"), p => p.getField("_tok")).as("_words"))
+      .where(size(col("_words")) <= maxLen)
+      .withColumn("phrase", array_join(col("_words"), " "))
+      .withColumn("_plen", size(col("_words")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val words = phrases.select(col("_id"), col("_run"), col("_plen"),
+      explode(col("_words")).as("_w"))
+    val scores = words.groupBy("_w")
+      .agg(count(lit(1)).as("_freq"), sum(col("_plen")).as("_deg"))
+      .withColumn("_sq",
+        round(col("_deg").cast("double") * 1e6 / col("_freq")).cast("long"))
+    val pscore = words.join(scores.select("_w", "_sq"), Seq("_w"))
+      .groupBy(col("_id"), col("_run")).agg(sum("_sq").as("_ps"))
+    phrases.join(pscore, Seq("_id", "_run"))
+      // identical phrases from different runs collapse to one candidate
+      // (same words → same _ps, so the surviving row is unambiguous)
+      .dropDuplicates("_id", "phrase")
+      .withColumn("_rk", row_number().over(Window.partitionBy("_id")
+        .orderBy(col("_ps").desc, col("phrase").asc)))
+      .where(col("_rk") <= k)
+      .select(col("_id").as(idCol), col("_rk").cast("long").as("rank"),
+        col("phrase"), round(col("_ps") / 1e6, 6).as("score"))
   }
 }
