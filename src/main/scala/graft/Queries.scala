@@ -3025,6 +3025,26 @@ object GraftQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // extension: trailing-7-day distinct users per day via HLL register
+    // re-merge (registers built once per day, windows merged from sketches
+    // — never re-scanning the week); exact window count alongside
+    "q_hll_window" -> { (s, d) =>
+      import graft.ext.Sketch
+      val ev = TpchGraph.eventsTable(s, d).where(col("user_id").isNotNull)
+        .withColumn("day",
+          floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long"))
+      val est = Sketch.hllTrailingCounts(ev, "day", "user_id", window = 7)
+      val days = ev.select("day").distinct()
+      val exact = ev.select(col("day"), col("user_id")).distinct()
+        .withColumn("w", explode(sequence(col("day"), col("day") + 6)))
+        .join(days.withColumnRenamed("day", "w"), Seq("w"))
+        .select(col("w"), col("user_id")).distinct()
+        .groupBy("w").agg(count(lit(1)).as("exact_window"))
+      est.withColumnRenamed("day", "w").join(exact, Seq("w"))
+        .select(col("w").as("day"), col("estimate"), col("exact_window"))
+        .orderBy("day")
+    },
+
     // extension: RAKE keyphrase extraction — stopword-delimited candidate
     // phrases, degree/frequency word scores (micro-unit quantized before
     // the per-phrase sum), per-doc top-3
@@ -6923,6 +6943,41 @@ object GraftQueries {
         |SELECT k.qid AS id_a, k.nid AS id_b, k.cos
         |FROM knn k JOIN knn r ON r.qid = k.nid AND r.nid = k.qid
         |WHERE k.qid < k.nid ORDER BY 1, 2""".stripMargin,
+
+    "q_hll_window" ->
+      """WITH ev AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS d,
+        |    user_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |src AS (SELECT d, md5(CAST(user_id AS VARCHAR)) AS h FROM ev),
+        |reg AS (SELECT d,
+        |    (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substring(h, 2, 1)) - 1 AS bucket,
+        |    max(CASE WHEN length(regexp_extract(substring(h, 3, 12), '^0*')) = 12 THEN 49
+        |      ELSE 4 * length(regexp_extract(substring(h, 3, 12), '^0*'))
+        |        + CASE substring(regexp_replace(substring(h, 3, 12), '^0*', ''), 1, 1)
+        |            WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |            WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+        |            ELSE 0 END + 1 END) AS reg
+        |  FROM src GROUP BY 1, 2),
+        |ends AS (SELECT DISTINCT d AS w FROM reg),
+        |spread AS (SELECT r.d + o AS w, r.bucket, r.reg
+        |  FROM reg r, LATERAL (SELECT unnest(generate_series(0, 6)) AS o) u),
+        |mreg AS (SELECT s.w, s.bucket, max(s.reg) AS reg
+        |  FROM spread s JOIN ends e ON s.w = e.w GROUP BY 1, 2),
+        |agg AS (SELECT w, sum(CAST(1 AS BIGINT) << (49 - reg)) AS s_present,
+        |    count(*) AS present FROM mreg GROUP BY 1),
+        |est AS (SELECT w, s_present + (256 - present) * (CAST(1 AS BIGINT) << 49) AS s,
+        |    256 - present AS zeros FROM agg),
+        |fin AS (SELECT w, CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)
+        |      * 256.0 * 256.0 / (CAST(s AS DOUBLE) / 562949953421312.0) AS raw,
+        |    zeros FROM est),
+        |e2 AS (SELECT w, CASE WHEN raw <= 640.0 AND zeros > 0
+        |    THEN round(256.0 * ln(256.0 / zeros), 2)
+        |    ELSE round(raw, 2) END AS estimate FROM fin),
+        |exact AS (SELECT e.w, CAST(count(DISTINCT ev.user_id) AS BIGINT) AS exact_window
+        |  FROM ends e JOIN ev ON ev.d BETWEEN e.w - 6 AND e.w GROUP BY 1)
+        |SELECT e2.w AS day, e2.estimate, exact.exact_window
+        |FROM e2 JOIN exact ON e2.w = exact.w ORDER BY day""".stripMargin,
 
     "q_rake" ->
       """WITH sel AS (SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS nt

@@ -270,6 +270,32 @@ object Sketch {
         round(col("n_novel").cast("double") / col("n_shingles"), 4))
   }
 
+  /** Trailing-window distinct-count estimates from per-period register
+    * sketches — the "distinct users, last N days, every day" product
+    * metric computed WITHOUT re-scanning N days per window: each period's
+    * 256 registers are built ONCE from the raw data, then every window is
+    * a per-bucket max-merge of `window` register sets (the mergeability
+    * that makes HLL the right sketch for this — re-aggregation never
+    * touches values again).
+    *
+    * `periodCol` must be an integral period number (e.g. epoch-day).
+    * Windows are emitted only for periods that actually occur. Scale
+    * shape: the registers frame is `periods × 256` rows regardless of
+    * input size; the spread-join is over that tiny frame, never the data.
+    */
+  def hllTrailingCounts(df: DataFrame, periodCol: String, valueCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val regs = hllRegisters(df, Seq(periodCol), valueCol)
+    // each period's registers serve the windows ENDING at p .. p+window-1
+    val spread = regs.withColumn("_w",
+      explode(sequence(col(periodCol), col(periodCol) + (window - 1))))
+    val ends = regs.select(col(periodCol).as("_w")).distinct()
+    val merged = spread.join(ends, Seq("_w"))
+      .groupBy(col("_w"), col("bucket")).agg(max(col("reg")).as("reg"))
+    hllEstimate(merged, Seq("_w")).withColumnRenamed("_w", periodCol)
+  }
+
   /** k-minimum-values (bottom-k / KMV) shingle sketch per group: the k
     * lexicographically-smallest md5 hex hashes of the group's DISTINCT word
     * n-gram shingles. String-min over fixed-length hex is a valid uniform

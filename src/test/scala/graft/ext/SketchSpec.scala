@@ -132,4 +132,24 @@ class SketchSpec extends SparkSpec {
       .collect().map(_.getSeq[Int](1))
     assert(codes(0)(0) == 0 && codes(1)(0) == 0)
   }
+
+  test("hllTrailingCounts: window merge equals a from-scratch window sketch") {
+    import spark.implicits._
+    // days 10..12, each with its own users plus overlap across days
+    val rows = (0 until 300).map(i => (10L, s"u$i")) ++
+      (150 until 450).map(i => (11L, s"u$i")) ++
+      (400 until 500).map(i => (12L, s"u$i"))
+    val df = rows.toDF("day", "v")
+    val out = Sketch.hllTrailingCounts(df, "day", "v", window = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("estimate")).toMap
+    assert(out.keySet == Set(10L, 11L, 12L)) // only observed end-days
+    // window ending at 12 covers days 10..12 = ALL values: its estimate
+    // must equal the single sketch over the whole frame
+    val whole = Sketch.hllCounts(df, Nil, "v").collect()(0).getAs[Double]("estimate")
+    assert(out(12L) == whole)
+    // day-10 window is just day 10's own sketch
+    val d10 = Sketch.hllCounts(df.where($"day" === 10L), Nil, "v")
+      .collect()(0).getAs[Double]("estimate")
+    assert(out(10L) == d10)
+  }
 }
