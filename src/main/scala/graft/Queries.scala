@@ -3025,6 +3025,24 @@ object GraftQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // extension: CUSUM drift detection — cumulative deviation of daily
+    // totals from the long-run mean, exact scaled-integer comparisons
+    "q_cusum" -> { (s, d) =>
+      graft.ext.Events.cusumDrift(
+        TpchGraph.eventsTable(s, d).where(col("value").isNotNull),
+        "event_type", "ts", "value", theta = 2)
+        .orderBy("event_type", "day")
+    },
+
+    // extension: day-of-week seasonality index per event type (mean per
+    // weekday over overall mean, exact cents to one divide)
+    "q_seasonality" -> { (s, d) =>
+      graft.ext.Events.seasonalityIndex(
+        TpchGraph.eventsTable(s, d).where(col("value").isNotNull),
+        "event_type", "ts", "value")
+        .orderBy("event_type", "dow")
+    },
+
     // extension: trailing-7-day distinct users per day via HLL register
     // re-merge (registers built once per day, windows merged from sketches
     // — never re-scanning the week); exact window count alongside
@@ -6943,6 +6961,38 @@ object GraftQueries {
         |SELECT k.qid AS id_a, k.nid AS id_b, k.cos
         |FROM knn k JOIN knn r ON r.qid = k.nid AND r.nid = k.qid
         |WHERE k.qid < k.nid ORDER BY 1, 2""".stripMargin,
+
+    "q_cusum" ->
+      """WITH daily AS (SELECT event_type AS t,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x_cents
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT t, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x_cents) AS BIGINT) AS s FROM daily GROUP BY 1),
+        |wd AS (SELECT d.t, d.day, d.x_cents, tot.n, tot.s,
+        |    sum(d.x_cents) OVER (PARTITION BY d.t ORDER BY d.day
+        |      ROWS UNBOUNDED PRECEDING) AS prefix,
+        |    row_number() OVER (PARTITION BY d.t ORDER BY d.day) AS idx
+        |  FROM daily d JOIN tot ON d.t = tot.t)
+        |SELECT t AS event_type, day, x_cents,
+        |  round(CAST(n * prefix - idx * s AS DOUBLE) / n / 100.0, 2) AS dev_value,
+        |  abs(n * prefix - idx * s) > 2 * abs(s) AS drift
+        |FROM wd ORDER BY 1, 2""".stripMargin,
+
+    "q_seasonality" ->
+      """WITH base AS (SELECT event_type AS t,
+        |    CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |pd AS (SELECT t, dow, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(v) AS BIGINT) AS s_dow FROM base GROUP BY 1, 2),
+        |pt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t,
+        |    CAST(sum(v) AS BIGINT) AS s_t FROM base GROUP BY 1)
+        |SELECT pd.t AS event_type, pd.dow, pd.n_events,
+        |  round(CAST(pd.s_dow AS DOUBLE) / pd.n_events / 100.0, 2) AS mean_value,
+        |  round(CAST(pd.s_dow AS DOUBLE) * pt.n_t /
+        |    (pd.n_events * CAST(pt.s_t AS DOUBLE)), 6) AS season_index
+        |FROM pd JOIN pt ON pd.t = pt.t ORDER BY 1, 2""".stripMargin,
 
     "q_hll_window" ->
       """WITH ev AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS d,

@@ -496,6 +496,64 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** CUSUM drift detection over per-period value totals (Page 1954): the
+    * cumulative deviation of the daily total from its long-run mean,
+    * flagged when it exceeds `theta` average-period-totals. Catches slow
+    * drift that the trailing-window spike detector (point deviations)
+    * misses — the complementary change-point face.
+    *
+    * Exact-integer contract: totals are cent-quantized; the deviation is
+    * kept SCALED by n (periods) so `dev_scaled = n·prefix − idx·S` is an
+    * exact long — the flag compares longs, and only the reported
+    * `dev_cents` pays one final divide. Scale shape: one keyed aggregate
+    * to period totals (map-side combinable), one per-type ordered window
+    * over the tiny period frame, per-type totals broadcast back.
+    */
+  def cusumDrift(df: DataFrame, typeCol: String, tsCol: String,
+      valueCol: String, theta: Int = 2): DataFrame = {
+    val day = floor(unix_timestamp(col(tsCol)) / lit(86400L)).cast("long")
+    val daily = df.select(col(typeCol).as("_t"), day.as("day"),
+      round(col(valueCol) * 100).cast("long").as("_v"))
+      .groupBy("_t", "day").agg(sum("_v").as("x_cents"))
+    val totals = daily.groupBy("_t")
+      .agg(count(lit(1)).as("_n"), sum("x_cents").as("_s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_t").orderBy("day")
+    daily.join(broadcast(totals), Seq("_t"))
+      .withColumn("_prefix", sum(col("x_cents")).over(w))
+      .withColumn("_idx", row_number().over(w))
+      .withColumn("_dev_scaled",
+        col("_n") * col("_prefix") - col("_idx") * col("_s"))
+      .select(col("_t").as(typeCol), col("day"), col("x_cents"),
+        round(col("_dev_scaled").cast("double") / col("_n") / 100.0, 2)
+          .as("dev_value"),
+        (abs(col("_dev_scaled")) > lit(theta.toLong) * abs(col("_s")))
+          .as("drift"))
+  }
+
+  /** Day-of-week seasonality profile per event type: mean value per
+    * weekday over the overall mean — the index a capacity plan or anomaly
+    * baseline divides by. `index = (s_dow · n_total) / (n_dow · s_total)`
+    * evaluated as one fixed expression over exact cent/count integers.
+    * Weekdays are 0–6 with Sunday = 0.
+    */
+  def seasonalityIndex(df: DataFrame, typeCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.select(col(typeCol).as("_t"),
+      (dayofweek(col(tsCol)) - 1).cast("int").as("dow"),
+      round(col(valueCol) * 100).cast("long").as("_v"))
+    val perDow = base.groupBy("_t", "dow")
+      .agg(count(lit(1)).as("n_events"), sum("_v").as("_s_dow"))
+    val perType = base.groupBy("_t")
+      .agg(count(lit(1)).as("_n_t"), sum("_v").as("_s_t"))
+    perDow.join(broadcast(perType), Seq("_t"))
+      .select(col("_t").as(typeCol), col("dow"), col("n_events"),
+        round(col("_s_dow").cast("double") / col("n_events") / 100.0, 2)
+          .as("mean_value"),
+        round(col("_s_dow").cast("double") * col("_n_t") /
+          (col("n_events") * col("_s_t").cast("double")), 6).as("season_index"))
+  }
+
   /** Incremental aggregate maintenance (the materialized-view / Delta
     * pattern): merge per-key partial aggregates of a base snapshot and a
     * delta batch into exactly the view a full recompute would produce —

@@ -1,0 +1,52 @@
+package graft.ext
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** CUSUM drift detection and day-of-week seasonality. */
+class DriftSeasonSpec extends SparkSpec {
+
+  private def ts(day: Int): Timestamp =
+    new Timestamp(day.toLong * 86400000L) // epoch days → ms (UTC session)
+
+  test("cusumDrift flags sustained deviation, not a balanced series") {
+    import spark.implicits._
+    // type a: constant 10/day for 10 days → dev 0 everywhere, no drift.
+    // type b: 5/day for 5 days then 15/day for 5 days → prefix runs below
+    // the mean line; |n·prefix − idx·S| peaks mid-series.
+    val rows =
+      (0 until 10).map(d => ("a", ts(d), 10.0)) ++
+      (0 until 5).map(d => ("b", ts(d), 5.0)) ++
+      (5 until 10).map(d => ("b", ts(d), 15.0))
+    val out = Events.cusumDrift(rows.toDF("t", "ts", "v"), "t", "ts", "v",
+      theta = 2)
+    val a = out.where(col("t") === "a").collect()
+    assert(a.forall(_.getAs[Double]("dev_value") == 0.0))
+    assert(a.forall(!_.getAs[Boolean]("drift")))
+    val b = out.where(col("t") === "b").orderBy("day").collect()
+    // day 5 (idx 5): prefix 25, mean 10/day → dev = 25 − 50 = −25
+    assert(b(4).getAs[Double]("dev_value") == -25.0)
+    // theta=2 ⇒ threshold |dev·n| > 2·S = 200·n-units → dev beyond 20/day·n
+    assert(b(4).getAs[Boolean]("drift"))
+    // final day: prefix = S → dev exactly 0
+    assert(b(9).getAs[Double]("dev_value") == 0.0)
+  }
+
+  test("seasonalityIndex: uniform series indexes to 1, skewed dow above 1") {
+    import spark.implicits._
+    // 14 consecutive days, value 1.0 except dow 0 (Sundays) gets 3.0
+    val rows = (0 until 14).map { d =>
+      val dow = (d + 4) % 7 // epoch day 0 = Thursday = dow 4
+      ("t", ts(d), if (dow == 0) 3.0 else 1.0)
+    }
+    val out = Events.seasonalityIndex(rows.toDF("t", "ts", "v"), "t", "ts", "v")
+      .collect().map(r => r.getAs[Int]("dow") -> r).toMap
+    assert(out.size == 7)
+    val sunday = out(0)
+    assert(sunday.getAs[Double]("mean_value") == 3.0)
+    // overall mean = (2·3 + 12·1)/14 = 18/14 → index = 3/(18/14) = 7/3
+    assert(math.abs(sunday.getAs[Double]("season_index") - 7.0 / 3) < 1e-5)
+    assert(math.abs(out(1).getAs[Double]("season_index") - 7.0 / 9) < 1e-5)
+  }
+}
