@@ -3025,6 +3025,27 @@ object GraftQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // extension: PSI distribution drift between a baseline and current
+    // sample (equi-width bins from the baseline, Laplace-smoothed shares,
+    // nano-quantized contributions — order-free total)
+    "q_psi" -> { (s, d) =>
+      val ev = TpchGraph.eventsTable(s, d).where(col("value").isNotNull)
+      graft.ext.Stats.psi(
+        ev.where(col("event_id") % 10 =!= 0),
+        ev.where(col("event_id") % 10 === 0), "value", nBins = 10)
+        .orderBy("bin")
+    },
+
+    // extension: Flesch / Flesch-Kincaid readability from deterministic
+    // sentence, word, and vowel-group syllable counts
+    "q_readability" -> { (s, d) =>
+      t(s, d)("documents").select(col("doc_id"),
+        TextAnalysis.readability(col("text")).as("r"))
+        .select(col("doc_id"), col("r.words"), col("r.sentences"),
+          col("r.syllables"), col("r.flesch"), col("r.fk_grade"))
+        .orderBy("doc_id")
+    },
+
     // extension: CUSUM drift detection — cumulative deviation of daily
     // totals from the long-run mean, exact scaled-integer comparisons
     "q_cusum" -> { (s, d) =>
@@ -6961,6 +6982,55 @@ object GraftQueries {
         |SELECT k.qid AS id_a, k.nid AS id_b, k.cos
         |FROM knn k JOIN knn r ON r.qid = k.nid AND r.nid = k.qid
         |WHERE k.qid < k.nid ORDER BY 1, 2""".stripMargin,
+
+    "q_psi" ->
+      """WITH ev AS (SELECT event_id, value FROM events WHERE value IS NOT NULL),
+        |base AS (SELECT value FROM ev WHERE event_id % 10 <> 0),
+        |cur AS (SELECT value FROM ev WHERE event_id % 10 = 0),
+        |st AS (SELECT min(value) AS lo, max(value) AS hi FROM base),
+        |bb AS (SELECT CASE WHEN hi = lo THEN 0 ELSE
+        |    least(greatest(CAST(floor((value - lo) * 10 / (hi - lo)) AS INT), 0), 9)
+        |  END AS bin FROM base, st),
+        |cb AS (SELECT CASE WHEN hi = lo THEN 0 ELSE
+        |    least(greatest(CAST(floor((value - lo) * 10 / (hi - lo)) AS INT), 0), 9)
+        |  END AS bin FROM cur, st),
+        |bins AS (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bin),
+        |nb AS (SELECT bins.bin, CAST(coalesce(x.cnt, 0) AS BIGINT) AS n_base
+        |  FROM bins LEFT JOIN (SELECT bin, count(*) AS cnt FROM bb GROUP BY 1) x
+        |    ON bins.bin = x.bin),
+        |nc AS (SELECT bins.bin, CAST(coalesce(x.cnt, 0) AS BIGINT) AS n_cur
+        |  FROM bins LEFT JOIN (SELECT bin, count(*) AS cnt FROM cb GROUP BY 1) x
+        |    ON bins.bin = x.bin),
+        |tb AS (SELECT CAST(sum(n_base) AS BIGINT) AS t FROM nb),
+        |tc AS (SELECT CAST(sum(n_cur) AS BIGINT) AS t FROM nc),
+        |j AS (SELECT nb.bin, n_base, n_cur,
+        |    CAST(n_base + 1 AS DOUBLE) / (tb.t + 10) AS p,
+        |    CAST(n_cur + 1 AS DOUBLE) / (tc.t + 10) AS q
+        |  FROM nb JOIN nc ON nb.bin = nc.bin, tb, tc),
+        |k AS (SELECT bin, n_base, n_cur, p, q,
+        |    CAST(round((p - q) * ln(p / q) * 1e9) AS BIGINT) AS cq FROM j),
+        |tot AS (SELECT CAST(sum(cq) AS BIGINT) AS pq FROM k)
+        |SELECT bin, n_base, n_cur, round(p, 6) AS p, round(q, 6) AS q,
+        |  round(cq / 1e9, 6) AS contrib, round(tot.pq / 1e9, 6) AS psi_total
+        |FROM k, tot ORDER BY bin""".stripMargin,
+
+    "q_readability" ->
+      """WITH b AS (SELECT doc_id,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS words,
+        |  greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+        |    s -> len(trim(s)) > 0)), 1) AS sentences,
+        |  len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+        |  FROM documents)
+        |SELECT doc_id, CAST(words AS BIGINT) AS words,
+        |  CAST(sentences AS BIGINT) AS sentences,
+        |  CAST(syllables AS BIGINT) AS syllables,
+        |  round(206.835 - 1.015 * CAST(words AS DOUBLE) / sentences
+        |    - 84.6 * CAST(syllables AS DOUBLE) / greatest(words, 1), 3) AS flesch,
+        |  round(0.39 * CAST(words AS DOUBLE) / sentences
+        |    + 11.8 * CAST(syllables AS DOUBLE) / greatest(words, 1) - 15.59, 3)
+        |    AS fk_grade
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "q_cusum" ->
       """WITH daily AS (SELECT event_type AS t,

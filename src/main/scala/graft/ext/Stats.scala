@@ -99,6 +99,58 @@ object Stats {
             .cast("double")), 4).as("cramers_v"))
   }
 
+  /** Population Stability Index between a baseline and a current sample of
+    * one numeric column — the standard ML-ops drift gate (PSI < 0.1 stable,
+    * 0.1–0.25 drifting, > 0.25 shifted). Bins are equi-width over the
+    * BASELINE's min/max (out-of-range current values clamp into the edge
+    * bins); shares are Laplace-smoothed `(n+1)/(N+bins)` so empty bins
+    * stay finite; per-bin contributions `(p−q)·ln(p/q)` are quantized to
+    * integer nano-units BEFORE the total sum (order-free — the house
+    * float-parity contract; ln itself is the same double in any libm-exact
+    * engine, and the quantization absorbs sub-ulp variance).
+    *
+    * Scale shape: two counting aggregates (map-side combinable) over the
+    * two samples, baseline stats broadcast; everything after is bins-sized.
+    */
+  def psi(base: DataFrame, current: DataFrame, valueCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "nBins must be >= 2")
+    val stats = base.agg(min(col(valueCol)).as("_lo"), max(col(valueCol)).as("_hi"))
+    def binned(df: DataFrame) = df.where(col(valueCol).isNotNull)
+      .crossJoin(broadcast(stats))
+      .select(when(col("_hi") === col("_lo"), lit(0))
+        .otherwise(least(greatest(
+          floor((col(valueCol) - col("_lo")) * nBins / (col("_hi") - col("_lo")))
+            .cast("int"), lit(0)), lit(nBins - 1))).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("_n"))
+    val bins = spark_bins(nBins)
+    val b = bins.join(binned(base), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("_n"), lit(0L)).as("n_base"))
+    val c = bins.join(binned(current), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("_n"), lit(0L)).as("n_cur"))
+    val tb = b.agg(sum("n_base").as("_tb"))
+    val tc = c.agg(sum("n_cur").as("_tc"))
+    val joined = b.join(c, Seq("bin"))
+      .crossJoin(broadcast(tb)).crossJoin(broadcast(tc))
+      .withColumn("p", (col("n_base") + 1).cast("double") / (col("_tb") + nBins))
+      .withColumn("q", (col("n_cur") + 1).cast("double") / (col("_tc") + nBins))
+      .withColumn("_contrib_q",
+        round((col("p") - col("q")) * log(col("p") / col("q")) * 1e9)
+          .cast("long"))
+    val total = joined.agg(sum("_contrib_q").as("_psi_q"))
+    joined.crossJoin(broadcast(total))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        round(col("p"), 6).as("p"), round(col("q"), 6).as("q"),
+        round(col("_contrib_q") / 1e9, 6).as("contrib"),
+        round(col("_psi_q") / 1e9, 6).as("psi_total"))
+  }
+
+  /** The 0..nBins-1 bin spine, so empty bins appear with zero counts. */
+  private def spark_bins(nBins: Int): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.range(nBins).select(col("id").cast("int").as("bin"))
+  }
+
   /** Cohen's kappa inter-annotator agreement between two categorical
     * columns — the label-quality gate for supervised training data
     * (agreement between two annotators, or between declared metadata and a

@@ -305,6 +305,32 @@ object TextAnalysis {
         rAlpha && rStop && rDup).as("pass"))
   }
 
+  /** Flesch reading-ease + Flesch–Kincaid grade level (public formulas)
+    * from deterministic heuristic counts: sentences = non-empty `[.!?]+`
+    * segments (min 1), words = whitespace tokens, syllables = vowel-group
+    * runs (`[aeiouy]+`) — the standard cheap approximation. All three are
+    * exact integers; each score is ONE fixed IEEE expression over them.
+    * Narrow per-row column math: embarrassingly parallel at any scale.
+    */
+  def readability(text: Column): Column = {
+    val words = tokenCount(text)
+    val sentences = greatest(
+      size(filter(split(text, "[.!?]+"), s => length(trim(s)) > 0)), lit(1))
+    val syllables = size(
+      regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+    struct(
+      words.cast("long").as("words"),
+      sentences.cast("long").as("sentences"),
+      syllables.cast("long").as("syllables"),
+      round(lit(206.835)
+        - lit(1.015) * words.cast("double") / sentences
+        - lit(84.6) * syllables.cast("double") / greatest(words, lit(1)), 3)
+        .as("flesch"),
+      round(lit(0.39) * words.cast("double") / sentences
+        + lit(11.8) * syllables.cast("double") / greatest(words, lit(1))
+        - lit(15.59), 3).as("fk_grade"))
+  }
+
   /** RAKE keyphrase extraction (Rose et al. 2010, public): candidate
     * phrases are maximal runs of non-stopword tokens (stopwords are the
     * delimiters), each word is scored `degree/frequency` over the

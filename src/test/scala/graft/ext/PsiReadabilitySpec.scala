@@ -1,0 +1,50 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** PSI distribution drift and Flesch readability. */
+class PsiReadabilitySpec extends SparkSpec {
+
+  test("psi: identical distributions score ~0, shifted ones score high") {
+    import spark.implicits._
+    val base = (0 until 1000).map(i => (i % 100).toDouble).toDF("v")
+    val same = (0 until 500).map(i => (i % 100).toDouble).toDF("v")
+    val psiSame = Stats.psi(base, same, "v", nBins = 10)
+      .select("psi_total").head().getDouble(0)
+    assert(math.abs(psiSame) < 0.01, s"got $psiSame")
+
+    // current mass concentrated in the top decile
+    val shifted = (0 until 500).map(i => 90.0 + i % 10).toDF("v")
+    val psiShift = Stats.psi(base, shifted, "v", nBins = 10)
+      .select("psi_total").head().getDouble(0)
+    assert(psiShift > 0.25, s"got $psiShift")
+  }
+
+  test("psi: empty bins stay finite and out-of-range values clamp") {
+    import spark.implicits._
+    val base = Seq(0.0, 1.0, 2.0, 3.0).toDF("v")
+    val cur = Seq(-5.0, 99.0).toDF("v") // both outside baseline range
+    val rows = Stats.psi(base, cur, "v", nBins = 4).orderBy("bin").collect()
+    assert(rows.length == 4)
+    assert(rows.forall(r => !r.getAs[Double]("contrib").isNaN))
+    assert(rows.head.getAs[Long]("n_cur") == 1L) // -5 clamps to bin 0
+    assert(rows.last.getAs[Long]("n_cur") == 1L) // 99 clamps to bin 3
+  }
+
+  test("readability: hand-computed Flesch on a known sentence") {
+    import spark.implicits._
+    // "the cat sat. it ran!" → 5 words, 2 sentences; vowel groups:
+    // e, a, a, i, a → 5 syllables
+    val df = Seq((1L, "the cat sat. it ran!")).toDF("id", "text")
+    val r = df.select(TextAnalysis.readability(col("text")).as("r"))
+      .select("r.*").head()
+    assert(r.getAs[Long]("words") == 5L)
+    assert(r.getAs[Long]("sentences") == 2L)
+    assert(r.getAs[Long]("syllables") == 5L)
+    val flesch = 206.835 - 1.015 * 5.0 / 2 - 84.6 * 5.0 / 5
+    assert(math.abs(r.getAs[Double]("flesch") - flesch) < 1e-3) // 3-dp rounded
+    val fk = 0.39 * 5.0 / 2 + 11.8 * 5.0 / 5 - 15.59
+    assert(math.abs(r.getAs[Double]("fk_grade") - fk) < 1e-3)
+  }
+}
