@@ -3025,6 +3025,22 @@ object GraftQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // extension: item-item collaborative filtering — per-item top-5
+    // neighbors by co-occurrence cosine over order baskets
+    "q_item_cf" -> { (s, d) =>
+      graft.ext.Association.itemNeighbors(
+        t(s, d)("lineitem").where(col("l_orderkey") % 5 === 0),
+        "l_orderkey", "l_partkey", k = 5, minPairSup = 2)
+        .orderBy("item", "rank")
+    },
+
+    // extension: gaps-and-islands id-completeness probe — maximal missing
+    // orderkey ranges in lineitem (orders that never shipped a line)
+    "q_id_gaps" -> { (s, d) =>
+      graft.ext.Quality.gapRanges(t(s, d)("lineitem"), "l_orderkey")
+        .orderBy("gap_start")
+    },
+
     // extension: PSI distribution drift between a baseline and current
     // sample (equi-width bins from the baseline, Laplace-smoothed shares,
     // nano-quantized contributions — order-free total)
@@ -6982,6 +6998,38 @@ object GraftQueries {
         |SELECT k.qid AS id_a, k.nid AS id_b, k.cos
         |FROM knn k JOIN knn r ON r.qid = k.nid AND r.nid = k.qid
         |WHERE k.qid < k.nid ORDER BY 1, 2""".stripMargin,
+
+    "q_item_cf" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem WHERE l_orderkey % 5 = 0),
+        |sup AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY 1),
+        |co AS (SELECT x.i AS item, y.i AS neighbor, CAST(count(*) AS BIGINT) AS co
+        |  FROM items x JOIN items y ON x.b = y.b AND x.i <> y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sc AS (SELECT co.item, co.neighbor, co.co,
+        |    round(CAST(co.co AS DOUBLE) /
+        |      sqrt(CAST(a.n AS DOUBLE) * b.n), 6) AS cos
+        |  FROM co JOIN sup a ON a.i = co.item JOIN sup b ON b.i = co.neighbor)
+        |SELECT item, CAST(row_number() OVER w AS BIGINT) AS rank, neighbor, co, cos
+        |FROM sc WINDOW w AS (PARTITION BY item ORDER BY cos DESC, neighbor)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY item, rank""".stripMargin,
+
+    "q_id_gaps" ->
+      """WITH ids AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS i FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL),
+        |mm AS (SELECT min(i) AS lo, max(i) AS hi FROM ids),
+        |starts AS (SELECT a.i + 1 AS gs FROM ids a, mm
+        |  WHERE NOT EXISTS (SELECT 1 FROM ids b WHERE b.i = a.i + 1)
+        |    AND a.i + 1 <= mm.hi),
+        |ends AS (SELECT a.i - 1 AS ge FROM ids a, mm
+        |  WHERE NOT EXISTS (SELECT 1 FROM ids b WHERE b.i = a.i - 1)
+        |    AND a.i - 1 >= mm.lo),
+        |rs AS (SELECT gs, row_number() OVER (ORDER BY gs) AS k FROM starts),
+        |re AS (SELECT ge, row_number() OVER (ORDER BY ge) AS k FROM ends)
+        |SELECT rs.gs AS gap_start, re.ge AS gap_end,
+        |  re.ge - rs.gs + 1 AS gap_len
+        |FROM rs JOIN re ON rs.k = re.k ORDER BY gap_start""".stripMargin,
 
     "q_psi" ->
       """WITH ev AS (SELECT event_id, value FROM events WHERE value IS NOT NULL),

@@ -79,4 +79,35 @@ object Quality {
     frames.reduceLeft(_.unionAll(_))
       .withColumn("pass", col("n_violations") <= maxViolations)
   }
+
+  /** Maximal missing-id ranges (the gaps-and-islands completeness probe):
+    * every maximal run of ids absent from `idCol` between the observed min
+    * and max — dropped batches, lost partitions, and retention bites show
+    * up as ranges, not per-id noise.
+    *
+    * Scale shape: gap BOUNDARIES are found with two keyed anti-joins over
+    * the distinct-id frame (id+1 absent → a gap starts; id−1 absent → a
+    * gap ends — no window over the data). Only the boundary frames
+    * (exactly one row per gap) are globally ranked to pair the k-th start
+    * with the k-th end; at any realistic gap count that frame is
+    * driver-tiny next to the ids.
+    */
+  def gapRanges(df: DataFrame, idCol: String): DataFrame = {
+    val ids = df.select(col(idCol).cast("long").as("_i"))
+      .where(col("_i").isNotNull).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mm = ids.agg(min("_i").as("_lo"), max("_i").as("_hi"))
+    val starts = ids.select((col("_i") + 1).as("gs"))
+      .join(ids.select(col("_i").as("gs")), Seq("gs"), "left_anti")
+      .crossJoin(broadcast(mm)).where(col("gs") <= col("_hi")).select("gs")
+    val ends = ids.select((col("_i") - 1).as("ge"))
+      .join(ids.select(col("_i").as("ge")), Seq("ge"), "left_anti")
+      .crossJoin(broadcast(mm)).where(col("ge") >= col("_lo")).select("ge")
+    val ws = org.apache.spark.sql.expressions.Window.orderBy("gs")
+    val we = org.apache.spark.sql.expressions.Window.orderBy("ge")
+    starts.withColumn("_k", row_number().over(ws))
+      .join(ends.withColumn("_k", row_number().over(we)), Seq("_k"))
+      .select(col("gs").as("gap_start"), col("ge").as("gap_end"),
+        (col("ge") - col("gs") + 1).as("gap_len"))
+  }
 }

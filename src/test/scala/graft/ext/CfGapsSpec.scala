@@ -1,0 +1,46 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Item-item CF neighbors and gaps-and-islands detection. */
+class CfGapsSpec extends SparkSpec {
+
+  test("itemNeighbors: cosine from co-occurrence, ranked per item") {
+    import spark.implicits._
+    // baskets: {A,B}, {A,B}, {A,C} → co(A,B)=2, co(A,C)=1;
+    // n_A=3, n_B=2, n_C=1
+    val df = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (3L, "A"),
+      (3L, "C")).toDF("b", "i")
+    val out = Association.itemNeighbors(df, "b", "i", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(2)) -> r).toMap
+    val ab = out(("A", "B"))
+    assert(ab.getAs[Long]("co") == 2L)
+    assert(math.abs(ab.getAs[Double]("cos") - 2.0 / math.sqrt(6.0)) < 1e-6)
+    assert(ab.getAs[Long]("rank") == 1L)
+    // symmetric cosine, independent per-item ranking
+    assert(out(("B", "A")).getAs[Double]("cos") == ab.getAs[Double]("cos"))
+    assert(out(("A", "C")).getAs[Long]("rank") == 2L)
+  }
+
+  test("itemNeighbors: minPairSup prunes singleton co-occurrence") {
+    import spark.implicits._
+    val df = Seq((1L, "A"), (1L, "B")).toDF("b", "i")
+    assert(Association.itemNeighbors(df, "b", "i", k = 5, minPairSup = 2)
+      .count() == 0)
+  }
+
+  test("gapRanges finds maximal missing runs, ignores edges") {
+    import spark.implicits._
+    // present: 1,2,5,6,9 → gaps [3,4] and [7,8]; nothing before 1/after 9
+    val df = Seq(1L, 2L, 5L, 6L, 9L).toDF("id")
+    val out = Quality.gapRanges(df, "id").orderBy("gap_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((3L, 4L, 2L), (7L, 8L, 2L)))
+  }
+
+  test("gapRanges on a contiguous column is empty") {
+    import spark.implicits._
+    assert(Quality.gapRanges((1L to 50L).toDF("id"), "id").count() == 0)
+  }
+}
