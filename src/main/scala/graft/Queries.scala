@@ -3025,6 +3025,15 @@ object GraftQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // extension: nearest-centroid (Rocchio) classification confusion
+    // matrix over the labeled embeddings — the label-separability report
+    "q_centroid_confusion" -> { (s, d) =>
+      Similarity.centroidConfusion(t(s, d)("embeddings"), "label", "embedding")
+        .select(col("true_label").cast("long").as("true_label"),
+          col("pred_label").cast("long").as("pred_label"), col("n"))
+        .orderBy("true_label", "pred_label")
+    },
+
     // extension: item-item collaborative filtering — per-item top-5
     // neighbors by co-occurrence cosine over order baskets
     "q_item_cf" -> { (s, d) =>
@@ -6998,6 +7007,26 @@ object GraftQueries {
         |SELECT k.qid AS id_a, k.nid AS id_b, k.cos
         |FROM knn k JOIN knn r ON r.qid = k.nid AND r.nid = k.qid
         |WHERE k.qid < k.nid ORDER BY 1, 2""".stripMargin,
+
+    "q_centroid_confusion" ->
+      """WITH cent AS (SELECT label AS cl, d,
+        |    round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS c
+        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, 64)) AS d) u
+        |  GROUP BY 1, 2),
+        |carr AS (SELECT cl, list(c ORDER BY d) AS cv FROM cent GROUP BY 1),
+        |sc AS (SELECT e.vec_id, e.label AS tl, c.cl,
+        |    round(list_sum(list_transform(generate_series(1, 64),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * cv[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, 64),
+        |        i -> cv[i] * cv[i])))), 6) AS cos
+        |  FROM embeddings e, carr c),
+        |best AS (SELECT vec_id, tl, cl FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl) = 1)
+        |SELECT CAST(tl AS BIGINT) AS true_label, CAST(cl AS BIGINT) AS pred_label,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM best GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_item_cf" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i

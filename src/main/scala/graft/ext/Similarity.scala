@@ -976,4 +976,33 @@ object Similarity {
       .select(col(idCol), col("label"),
         round(cosine(col("_v"), col("centroid")), 4).as("proto_cos"))
   }
+
+  /** Nearest-centroid classification confusion matrix: every vector is
+    * assigned to the label whose centroid it is most cosine-similar to
+    * (Rocchio classification — the zero-parameter baseline that tells you
+    * whether labels are even separable in the embedding space), and the
+    * (true, predicted) count table is the label-quality artifact.
+    *
+    * The centroid table is labels-many rows and broadcasts; the corpus is
+    * scanned ONCE against all centroids (labels × rows scored, narrow).
+    * The argmax is a struct-max (cos desc, then smaller label wins — ties
+    * deterministic), no window. Centroids are 6-dp-rounded before scoring
+    * so the whole assignment is engine-replayable.
+    */
+  def centroidConfusion(df: DataFrame, labelCol: String,
+      vecCol: String): DataFrame = {
+    val cents = labelCentroids(df, labelCol, vecCol)
+      .select(col("label").as("_cl"), col("centroid"))
+    df.select(col(labelCol).as("true_label"), col(vecCol).as("_v"),
+        monotonically_increasing_id().as("_row"))
+      .join(broadcast(cents))
+      .select(col("true_label"), col("_row"),
+        struct(round(cosine(col("_v"), col("centroid")), 6).as("_cos"),
+          (-col("_cl")).cast("long").as("_neg")).as("_s"))
+      .groupBy(col("_row"), col("true_label"))
+      .agg(max(col("_s")).as("_best"))
+      .select(col("true_label"), (-col("_best").getField("_neg")).as("pred_label"))
+      .groupBy("true_label", "pred_label")
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -43,4 +43,18 @@ class CfGapsSpec extends SparkSpec {
     import spark.implicits._
     assert(Quality.gapRanges((1L to 50L).toDF("id"), "id").count() == 0)
   }
+
+  test("centroidConfusion: separable labels classify to themselves") {
+    import spark.implicits._
+    // two well-separated clusters around orthogonal axes
+    val rows =
+      (0 until 10).map(i => (0, Array(1.0f, 0.01f * i))) ++
+      (0 until 10).map(i => (1, Array(0.01f * i, 1.0f)))
+    val out = Similarity.centroidConfusion(rows.toDF("label", "vec"),
+      "label", "vec")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((0, 0L)) == 10L)
+    assert(out((1, 1L)) == 10L)
+    assert(out.size == 2) // no off-diagonal mass
+  }
 }
