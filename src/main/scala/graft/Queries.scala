@@ -3025,6 +3025,22 @@ object GraftQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // classic large-volume-customer analytics (TPC-H Q18 shape): orders
+    // whose total quantity clears a threshold, hydrated with the customer
+    // dim via broadcast; HAVING-style post-aggregate filter then join-back
+    "q_big_orders" -> { (s, d) =>
+      val li = t(s, d)("lineitem"); val o = t(s, d)("orders")
+      val c = t(s, d)("customer")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("_q")).where(col("_q") > 300)
+      o.join(big, o("o_orderkey") === big("l_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_totalprice"), round(col("_q"), 2).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
+    },
+
     // extension: nearest-centroid (Rocchio) classification confusion
     // matrix over the labeled embeddings — the label-separability report
     "q_centroid_confusion" -> { (s, d) =>
@@ -7007,6 +7023,16 @@ object GraftQueries {
         |SELECT k.qid AS id_a, k.nid AS id_b, k.cos
         |FROM knn k JOIN knn r ON r.qid = k.nid AND r.nid = k.qid
         |WHERE k.qid < k.nid ORDER BY 1, 2""".stripMargin,
+
+    "q_big_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS q FROM lineitem
+        |  GROUP BY 1 HAVING sum(l_quantity) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice,
+        |  round(q, 2) AS total_qty
+        |FROM orders JOIN big ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "q_centroid_confusion" ->
       """WITH cent AS (SELECT label AS cl, d,

@@ -206,10 +206,28 @@ object Main {
         round(avg("n_tokens"), 2).as("avg_tokens")).collect().head
       println(s"""{"merges": ${merges.size}, "docs": ${stats.getLong(0)}, """ +
         s""""tokens": ${stats.getLong(1)}, "avg_tokens": ${stats.getDouble(2)}}""")
+    case "drift" :: basePath :: curPath :: valueCol :: Nil =>
+      // distribution-drift gate between two snapshots of one numeric
+      // column: PSI verdict + the per-bin report — the check a scheduled
+      // pipeline runs before promoting a new batch
+      import org.apache.spark.sql.functions._
+      val base = spark.read.parquet(basePath).where(col(valueCol).isNotNull)
+      val cur = spark.read.parquet(curPath).where(col(valueCol).isNotNull)
+      val rows = graft.ext.Stats.psi(base, cur, valueCol, nBins = 10)
+        .orderBy("bin").collect()
+      val psi = rows.head.getAs[Double]("psi_total")
+      val verdict =
+        if (psi < 0.1) "stable" else if (psi <= 0.25) "drifting" else "shifted"
+      val bins = rows.map(r => s"""{"bin": ${r.getAs[Int]("bin")}, """ +
+        s""""n_base": ${r.getAs[Long]("n_base")}, """ +
+        s""""n_cur": ${r.getAs[Long]("n_cur")}, """ +
+        s""""contrib": ${r.getAs[Double]("contrib")}}""")
+      println(s"""{"psi": $psi, "verdict": "$verdict", """ +
+        s""""bins": [${bins.mkString(", ")}]}""")
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println(
-        "usage: ingest-manifest|ingest|node|agg|bfs|migrate|curate|tokenize|analyze ...")
+        "usage: ingest-manifest|ingest|node|agg|bfs|migrate|curate|tokenize|analyze|drift ...")
       sys.exit(2)
   }
 
