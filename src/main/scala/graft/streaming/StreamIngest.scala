@@ -257,6 +257,49 @@ object StreamIngest {
       }
   }
 
+  final case class CusumEvent(k: String, period: Long, xCents: Long)
+  final case class CusumState(cum: Long, last: Long)
+  final case class CusumOut(k: String, period: Long, xCents: Long,
+    cumDev: Long, drift: Boolean)
+
+  /** Streaming face of [[graft.ext.Events.cusumDrift]] — the continuous
+    * drift alarm over a PRE-BUCKETED per-period totals stream. Classic
+    * CUSUM needs an a-priori target, so unlike the batch operator (which
+    * derives the mean from the full series) the expected per-period total
+    * is a PARAMETER; state per key is two longs (cumulative deviation +
+    * last period). Missing periods zero-fill (each contributes −target),
+    * late/duplicate periods are ignored — with per-key in-order delivery
+    * the emitted rows equal a batch fold with the same target, asserted
+    * in StreamingSpec. All arithmetic is exact longs.
+    */
+  def cusumStream(events: Dataset[CusumEvent], targetCents: Long,
+      theta: Int): Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    require(targetCents > 0 && theta >= 1, "positive target and theta")
+    events.groupByKey(_.k)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (k, evs, state: GroupState[CusumState]) =>
+          val sorted = evs.toSeq.sortBy(_.period)
+          var st = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumOut]
+          sorted.foreach { e =>
+            st match {
+              case Some(s) if e.period <= s.last => // late/duplicate: ignore
+              case _ =>
+                val gap = st.map(s => e.period - s.last - 1).getOrElse(0L)
+                val cum = st.map(_.cum).getOrElse(0L) -
+                  gap * targetCents + (e.xCents - targetCents)
+                out += CusumOut(k, e.period, e.xCents, cum,
+                  math.abs(cum) > theta.toLong * targetCents)
+                st = Some(CusumState(cum, e.period))
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   def sessionize(events: Dataset[SessionEvent], gapMs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.withWatermark("ts", s"$gapMs milliseconds")

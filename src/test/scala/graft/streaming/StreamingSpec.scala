@@ -323,4 +323,44 @@ class MultimodalSpec extends SparkSpec {
       assert(streamed(("x", 40L)).spike) // the burst bucket flags
     } finally q.stop()
   }
+
+  test("cusumStream equals a batch fold with the same fixed target") {
+    import spark.implicits._
+    import graft.streaming.StreamIngest.{CusumEvent, CusumOut}
+    implicit val sq = spark.sqlContext
+    // key x: under-target run then recovery; key y: on-target with a gap
+    val raw = Seq(("x", 0L, 500L), ("x", 1L, 500L), ("x", 2L, 500L),
+      ("x", 3L, 2500L), ("y", 0L, 1000L), ("y", 3L, 1000L))
+    val mem = MemoryStream[CusumEvent]
+    val out = StreamIngest.cusumStream(mem.toDS(), targetCents = 1000L,
+      theta = 1)
+    val q = out.writeStream.format("memory").queryName("cusum_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(raw.filter(_._2 <= 1).map(CusumEvent.tupled): _*)
+      q.processAllAvailable()
+      mem.addData(raw.filter(_._2 > 1).map(CusumEvent.tupled): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cusum_test").as[CusumOut].collect()
+        .map(o => (o.k, o.period) -> (o.cumDev, o.drift)).toMap
+      // batch fold reference with zero-fill for gaps
+      def fold(evs: Seq[(Long, Long)]): Map[Long, (Long, Boolean)] = {
+        var cum = 0L; var last = -1L
+        evs.sortBy(_._1).map { case (p, x) =>
+          val gap = if (last < 0) 0L else p - last - 1
+          cum = cum - gap * 1000L + (x - 1000L); last = p
+          p -> (cum, math.abs(cum) > 1000L)
+        }.toMap
+      }
+      val bx = fold(raw.filter(_._1 == "x").map(t => (t._2, t._3)))
+      val by = fold(raw.filter(_._1 == "y").map(t => (t._2, t._3)))
+      bx.foreach { case (p, v) => assert(streamed(("x", p)) == v, s"x $p") }
+      by.foreach { case (p, v) => assert(streamed(("y", p)) == v, s"y $p") }
+      // x dips to -1500 at period 2 -> drift; recovers at 3 -> clears
+      assert(streamed(("x", 2L))._2 && !streamed(("x", 3L))._2)
+      // y's gap at periods 1-2 contributes -2000 silently: period 3 on
+      // target leaves cum at -2000 -> drift
+      assert(streamed(("y", 3L)) == ((-2000L, true)))
+    } finally q.stop()
+  }
 }
