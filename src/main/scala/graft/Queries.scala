@@ -3025,6 +3025,25 @@ object GraftQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // extension: exact weighted median (quantity-weighted price center per
+    // return flag) — cents and long weights, lower-median convention
+    "q_weighted_median" -> { (s, d) =>
+      graft.ext.Stats.weightedMedian(t(s, d)("lineitem"), "l_returnflag",
+        "l_extendedprice", "l_quantity")
+        .orderBy("l_returnflag")
+    },
+
+    // extension: deterministic mode per group (most frequent order
+    // priority per market segment, ties to the smallest value)
+    "q_mode" -> { (s, d) =>
+      val o = t(s, d)("orders"); val c = t(s, d)("customer")
+      graft.ext.Stats.modePerGroup(
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .select(col("c_mktsegment"), col("o_orderpriority")),
+        "c_mktsegment", "o_orderpriority")
+        .orderBy("c_mktsegment")
+    },
+
     // classic large-volume-customer analytics (TPC-H Q18 shape): orders
     // whose total quantity clears a threshold, hydrated with the customer
     // dim via broadcast; HAVING-style post-aggregate filter then join-back
@@ -7023,6 +7042,32 @@ object GraftQueries {
         |SELECT k.qid AS id_a, k.nid AS id_b, k.cos
         |FROM knn k JOIN knn r ON r.qid = k.nid AND r.nid = k.qid
         |WHERE k.qid < k.nid ORDER BY 1, 2""".stripMargin,
+
+    "q_weighted_median" ->
+      """WITH base AS (SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        |mass AS (SELECT g, v, CAST(sum(w) AS BIGINT) AS m FROM base GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(sum(m) AS BIGINT) AS t FROM mass GROUP BY 1),
+        |cum AS (SELECT g, v, sum(m) OVER (PARTITION BY g ORDER BY v
+        |  ROWS UNBOUNDED PRECEDING) AS c FROM mass),
+        |sel AS (SELECT cum.g, cum.v, tot.t FROM cum JOIN tot ON cum.g = tot.g
+        |  WHERE cum.c * 2 >= tot.t)
+        |SELECT g AS l_returnflag, round(min(v) / 100.0, 2) AS weighted_median,
+        |  CAST(min(t) AS BIGINT) AS total_weight
+        |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_mode" ->
+      """WITH j AS (SELECT c_mktsegment AS g, o_orderpriority AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderpriority IS NOT NULL),
+        |counts AS (SELECT g, v, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1, 2),
+        |top AS (SELECT g, max(n) AS n FROM counts GROUP BY 1)
+        |SELECT counts.g AS c_mktsegment, min(counts.v) AS mode,
+        |  CAST(max(counts.n) AS BIGINT) AS n_mode
+        |FROM counts JOIN top ON counts.g = top.g AND counts.n = top.n
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_big_orders" ->
       """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS q FROM lineitem

@@ -99,6 +99,56 @@ object Stats {
             .cast("double")), 4).as("cramers_v"))
   }
 
+  /** Exact weighted median per group: the smallest value whose cumulative
+    * weight reaches half the group's total — the robust center when
+    * observations carry unequal mass (revenue-weighted price points,
+    * token-weighted doc stats). The lower-median convention (2·cum ≥ total,
+    * first in value order) keeps the answer a VALUE FROM THE DATA and the
+    * whole computation exact integers: values in cents, weights as longs.
+    *
+    * Scale shape: one keyed aggregate to (group, value) mass, one
+    * group-partitioned ordered window over the collapsed frame (distinct
+    * values per group, not rows), one argmin via struct-min — no global
+    * sort.
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    val base = df.where(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol) * 100).cast("long").as("_v"),
+        col(weightCol).cast("long").as("_w"))
+    val mass = base.groupBy("_g", "_v").agg(sum("_w").as("_m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_g").orderBy("_v")
+    val tot = mass.groupBy("_g").agg(sum("_m").as("_t"))
+    mass.withColumn("_cum", sum(col("_m")).over(w))
+      .join(broadcast(tot), Seq("_g"))
+      .where(col("_cum") * 2 >= col("_t"))
+      .groupBy(col("_g"))
+      .agg(min(struct(col("_v"), col("_t"))).as("_s"))
+      .select(col("_g").as(groupCol),
+        round(col("_s").getField("_v") / 100.0, 2).as("weighted_median"),
+        col("_s").getField("_t").as("total_weight"))
+  }
+
+  /** Deterministic mode per group: the most frequent value, ties resolved
+    * to the smallest value (which a one-shot struct-max cannot express for
+    * non-negatable types like strings — hence max-count first, then min
+    * value among the tied). Two keyed aggregates over the collapsed
+    * (group, value) frame plus one join on the tiny per-group max.
+    */
+  def modePerGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("_g"), col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = counts.groupBy("_g").agg(max("_n").as("_n"))
+    counts.join(broadcast(top), Seq("_g", "_n"))
+      .groupBy("_g")
+      .agg(min(col("_v")).as("mode"), max(col("_n")).as("n_mode"))
+      .select(col("_g").as(groupCol), col("mode"), col("n_mode"))
+  }
+
   /** Population Stability Index between a baseline and a current sample of
     * one numeric column — the standard ML-ops drift gate (PSI < 0.1 stable,
     * 0.1–0.25 drifting, > 0.25 shifted). Bins are equi-width over the

@@ -47,4 +47,29 @@ class PsiReadabilitySpec extends SparkSpec {
     val fk = 0.39 * 5.0 / 2 + 11.8 * 5.0 / 5 - 15.59
     assert(math.abs(r.getAs[Double]("fk_grade") - fk) < 1e-3)
   }
+
+  test("weightedMedian: lower-median with unequal masses") {
+    import spark.implicits._
+    // values 1 (w 1), 2 (w 1), 10 (w 5): total 7 → qualify when 2·cum ≥ 7:
+    // v=1 cum=1 (2<7); v=2 cum=2 (4<7); v=10 cum=7 (14≥7) → median 10
+    val df = Seq(("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 10.0, 5L))
+      .toDF("g", "v", "w")
+    val r = Stats.weightedMedian(df, "g", "v", "w").collect().head
+    assert(r.getAs[Double]("weighted_median") == 10.0)
+    assert(r.getAs[Long]("total_weight") == 7L)
+    // unweighted (equal weights) median of 1,2,3 is 2 (lower median)
+    val eq = Seq(("h", 1.0, 1L), ("h", 2.0, 1L), ("h", 3.0, 1L))
+      .toDF("g", "v", "w")
+    assert(Stats.weightedMedian(eq, "g", "v", "w")
+      .collect().head.getAs[Double]("weighted_median") == 2.0)
+  }
+
+  test("modePerGroup: ties resolve to the smallest value") {
+    import spark.implicits._
+    val df = Seq(("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c"))
+      .toDF("g", "v")
+    val r = Stats.modePerGroup(df, "g", "v").collect().head
+    assert(r.getAs[String]("mode") == "a") // a and b tie at 2
+    assert(r.getAs[Long]("n_mode") == 2L)
+  }
 }
