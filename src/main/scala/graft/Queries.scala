@@ -3025,6 +3025,17 @@ object GraftQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // extension: per-user state-run compression (gaps-and-islands over
+    // data rows — consecutive same-type events collapse to segments)
+    "q_state_runs" -> { (s, d) =>
+      graft.ext.Events.stateRuns(TpchGraph.eventsTable(s, d),
+        "user_id", "ts", "event_type", "event_id")
+        .select(col("user_id"), col("run"), col("state"),
+          expr("unix_micros(run_start)").as("start_us"),
+          expr("unix_micros(run_end)").as("end_us"), col("n_events"))
+        .orderBy("user_id", "run")
+    },
+
     // extension: exact weighted median (quantity-weighted price center per
     // return flag) — cents and long weights, lower-median convention
     "q_weighted_median" -> { (s, d) =>
@@ -7042,6 +7053,23 @@ object GraftQueries {
         |SELECT k.qid AS id_a, k.nid AS id_b, k.cos
         |FROM knn k JOIN knn r ON r.qid = k.nid AND r.nid = k.qid
         |WHERE k.qid < k.nid ORDER BY 1, 2""".stripMargin,
+
+    "q_state_runs" ->
+      """WITH base AS (SELECT user_id, event_id, event_type AS st,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |chg AS (SELECT user_id, event_id, st, ts,
+        |    CASE WHEN lag(st) OVER w IS NULL OR lag(st) OVER w <> st
+        |      THEN 1 ELSE 0 END AS c
+        |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs AS (SELECT user_id, st, ts,
+        |    sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM chg)
+        |SELECT user_id, CAST(run AS BIGINT) AS run, min(st) AS state,
+        |  CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+        |  CAST(epoch_us(max(ts)) AS BIGINT) AS end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_weighted_median" ->
       """WITH base AS (SELECT l_returnflag AS g,

@@ -496,6 +496,33 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Run-length compression of a per-key state sequence (gaps-and-islands
+    * over DATA rows): consecutive events with the same state collapse to
+    * one (key, state, start, end, n_events) segment — the state-duration
+    * view CDC feeds and session analyses read. Deterministic ordering via
+    * (ts, tiebreak id); run ids are the running count of state CHANGES
+    * (the lag/cumsum islands idiom), so segments need no self-join.
+    * Scale shape: two stacked windows partitioned by the key (one keyed
+    * shuffle), then one keyed aggregate.
+    */
+  def stateRuns(df: DataFrame, keyCol: String, tsCol: String,
+      stateCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_k").orderBy(col("_ts"), col("_tie"))
+    df.select(col(keyCol).as("_k"), col(tsCol).as("_ts"),
+        col(stateCol).as("_st"), col(tieCol).as("_tie"))
+      .withColumn("_chg",
+        when(lag(col("_st"), 1).over(w).isNull ||
+          lag(col("_st"), 1).over(w) =!= col("_st"), 1L).otherwise(0L))
+      .withColumn("_run", sum(col("_chg")).over(w))
+      .groupBy(col("_k"), col("_run"))
+      .agg(min(col("_st")).as("state"),
+        min(col("_ts")).as("run_start"), max(col("_ts")).as("run_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("_k").as(keyCol), col("_run").as("run"), col("state"),
+        col("run_start"), col("run_end"), col("n_events"))
+  }
+
   /** CUSUM drift detection over per-period value totals (Page 1954): the
     * cumulative deviation of the daily total from its long-run mean,
     * flagged when it exceeds `theta` average-period-totals. Catches slow

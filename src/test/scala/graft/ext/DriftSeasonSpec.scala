@@ -49,4 +49,19 @@ class DriftSeasonSpec extends SparkSpec {
     assert(math.abs(sunday.getAs[Double]("season_index") - 7.0 / 3) < 1e-5)
     assert(math.abs(out(1).getAs[Double]("season_index") - 7.0 / 9) < 1e-5)
   }
+
+  test("stateRuns compresses consecutive same-state events") {
+    import spark.implicits._
+    // user u: A A B A, interleaved ts; user v: single run
+    val rows = Seq(
+      ("u", ts(0), "A", 1L), ("u", ts(1), "A", 2L), ("u", ts(2), "B", 3L),
+      ("u", ts(3), "A", 4L), ("v", ts(0), "X", 5L), ("v", ts(1), "X", 6L))
+    val out = Events.stateRuns(rows.toDF("k", "ts", "st", "id"),
+      "k", "ts", "st", "id")
+      .orderBy("k", "run").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("u", 1L, "A", 2L), ("u", 2L, "B", 1L), ("u", 3L, "A", 1L),
+      ("v", 1L, "X", 2L)))
+  }
 }
