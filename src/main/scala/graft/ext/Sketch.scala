@@ -309,20 +309,22 @@ object Sketch {
     * joining the corpora themselves.
     *
     * Scale shape: distinct (group, hash) is one keyed dedup; the bottom-k
-    * is a per-group rank over that DISTINCT frame (cardinality = distinct
-    * shingles, not rows), and the output is `groups × k` rows — driver-tiny
-    * regardless of corpus size.
+    * rides the native bounded heap ([[graft.expr.BoundedTopK]] with a
+    * CONSTANT score — at equal score the heap keeps the k SMALLEST
+    * payloads, which is exactly min-k), so partials reduce map-side and
+    * the exchange carries at most k hashes per group per partition — no
+    * per-group sort of the distinct-shingle frame (the window-rank idiom
+    * this replaced shuffled and sorted every hash).
     */
   def kmvSketches(df: DataFrame, groupCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
     val hashed = graft.ext.Dedup.explodeShingles(df, groupCol, textCol, n)
       .select(col(groupCol).as("grp"), md5(col("shingle")).as("_h")).distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("grp").orderBy("_h")
-    hashed.withColumn("_rk", row_number().over(w)).where(col("_rk") <= k)
-      .groupBy("grp")
-      .agg(sort_array(collect_list("_h")).as("sketch"),
-        count(lit(1)).as("k_actual"))
+    hashed.groupBy("grp")
+      .agg(graft.expr.BoundedTopK.topKPairs(k, lit(0), col("_h")).as("_tk"))
+      .select(col("grp"),
+        transform(col("_tk"), s => s.getField("payload")).as("sketch"),
+        size(col("_tk")).cast("long").as("k_actual"))
   }
 
   /** Pairwise KMV Jaccard estimates between group sketches: for each group
