@@ -3025,6 +3025,14 @@ object GraftQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // extension: Kaplan-Meier time-to-conversion survival (right-censored
+    // at the observation horizon; micro-nat quantized running product)
+    "q_kaplan_meier" -> { (s, d) =>
+      graft.ext.Events.kaplanMeier(TpchGraph.eventsTable(s, d),
+        "user_id", "ts", "event_type", "signup", "purchase")
+        .orderBy("t")
+    },
+
     // extension: per-user state-run compression (gaps-and-islands over
     // data rows — consecutive same-type events collapse to segments)
     "q_state_runs" -> { (s, d) =>
@@ -7053,6 +7061,35 @@ object GraftQueries {
         |SELECT k.qid AS id_a, k.nid AS id_b, k.cos
         |FROM knn k JOIN knn r ON r.qid = k.nid AND r.nid = k.qid
         |WHERE k.qid < k.nid ORDER BY 1, 2""".stripMargin,
+
+    "q_kaplan_meier" ->
+      """WITH base AS (SELECT user_id AS u,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS d,
+        |    event_type AS t FROM events),
+        |su AS (SELECT u, min(d) AS s FROM base WHERE t = 'signup' GROUP BY 1),
+        |cv AS (SELECT b.u, min(b.d) - min(su.s) AS dur
+        |  FROM base b JOIN su ON b.u = su.u
+        |  WHERE b.t = 'purchase' AND b.d >= su.s GROUP BY 1),
+        |mx AS (SELECT max(d) AS m FROM base),
+        |users AS (SELECT su.u, coalesce(cv.dur, mx.m - su.s) AS t,
+        |    cv.dur IS NOT NULL AS ev
+        |  FROM su LEFT JOIN cv ON su.u = cv.u, mx),
+        |tbl AS (SELECT t, CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM users GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM users),
+        |wn AS (SELECT tbl.t, tbl.d, tbl.c,
+        |    tot.n - coalesce(sum(tbl.d + tbl.c) OVER (ORDER BY tbl.t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM tbl, tot),
+        |lq AS (SELECT t, d, c, n_risk,
+        |    CASE WHEN d = 0 THEN 0
+        |      WHEN d < n_risk THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk) * 1e6) AS BIGINT)
+        |      ELSE CAST(-1000000000000 AS BIGINT) END AS l FROM wn)
+        |SELECT t, d, c, CAST(n_risk AS BIGINT) AS n_risk,
+        |  round(exp(CAST(sum(l) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |    AS DOUBLE) / 1e6), 4) AS surv
+        |FROM lq ORDER BY t""".stripMargin,
 
     "q_state_runs" ->
       """WITH base AS (SELECT user_id, event_id, event_type AS st,

@@ -496,6 +496,60 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Kaplan-Meier survival curve for time-to-conversion (the product-limit
+    * estimator, public): users enter at their first `startType` event and
+    * either convert at their first later `eventType` event (duration in
+    * days) or are right-CENSORED at the observation horizon (global max
+    * day) — the censoring correction is what a naive "conversion rate by
+    * day" gets wrong. Output per distinct time: events `d`, censored `c`,
+    * risk set `n_risk`, and the survival estimate `S(t) = Π(1 − dᵢ/nᵢ)`.
+    *
+    * Determinism: counts are exact; each factor's log is quantized to
+    * integer micro-nats and the running product is the SUM of those longs
+    * (order-free — the NB/UCB micro-nat contract), exp'd once per row for
+    * the reported S. A time where d = n (risk set wiped out) contributes a
+    * −1e12 micro-nat sentinel: S underflows to exactly 0 from there on.
+    *
+    * Scale shape: per-user reductions are keyed aggregates; the KM table
+    * itself has one row per DISTINCT duration (days — thousands at most),
+    * so its ordered window is over a driver-tiny frame by construction.
+    */
+  def kaplanMeier(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, startType: String, eventType: String): DataFrame = {
+    val day = floor(unix_timestamp(col(tsCol)) / lit(86400L)).cast("long")
+    val base = df.select(col(userCol).as("_u"), day.as("_d"),
+      col(typeCol).as("_t"))
+    val su = base.where(col("_t") === startType)
+      .groupBy("_u").agg(min("_d").as("_s"))
+    val cv = base.where(col("_t") === eventType)
+      .join(su, Seq("_u")).where(col("_d") >= col("_s"))
+      .groupBy("_u").agg((min(col("_d")) - min(col("_s"))).as("_dur"))
+    val maxDay = base.agg(max("_d").as("_mx"))
+    val users = su.join(cv, Seq("_u"), "left").crossJoin(broadcast(maxDay))
+      .select(col("_u"),
+        coalesce(col("_dur"), col("_mx") - col("_s")).as("t"),
+        col("_dur").isNotNull.as("_ev"))
+    val tbl = users.groupBy("t").agg(
+      sum(when(col("_ev"), 1L).otherwise(0L)).as("d"),
+      sum(when(col("_ev"), 0L).otherwise(1L)).as("c"))
+    val total = users.agg(count(lit(1)).as("_N"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("t")
+    val withN = tbl.crossJoin(broadcast(total))
+      .withColumn("_prior", coalesce(sum(col("d") + col("c"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_risk", col("_N") - col("_prior"))
+    val lq = when(col("d") === 0, lit(0L))
+      .when(col("d") < col("n_risk"),
+        round(log(lit(1.0) - col("d").cast("double") / col("n_risk")) * 1e6)
+          .cast("long"))
+      .otherwise(lit(-1000000000000L)) // d = n: survival is exactly 0 onward
+    withN.withColumn("_lq", lq)
+      .withColumn("log_surv_micro", sum(col("_lq")).over(w))
+      .select(col("t"), col("d"), col("c"), col("n_risk"),
+        round(exp(col("log_surv_micro").cast("double") / 1e6), 4).as("surv"))
+  }
+
   /** Run-length compression of a per-key state sequence (gaps-and-islands
     * over DATA rows): consecutive events with the same state collapse to
     * one (key, state, start, end, n_events) segment — the state-duration

@@ -64,4 +64,24 @@ class DriftSeasonSpec extends SparkSpec {
       ("u", 1L, "A", 2L), ("u", 2L, "B", 1L), ("u", 3L, "A", 1L),
       ("v", 1L, "X", 2L)))
   }
+
+  test("kaplanMeier: censoring keeps late users in the risk set") {
+    import spark.implicits._
+    // 4 users sign up at day 0; horizon = day 3 (a view event sets max day)
+    // u1 converts at day 1, u2 at day 2, u3/u4 never -> censored at t=3
+    val rows = Seq(
+      ("u1", ts(0), "signup"), ("u2", ts(0), "signup"),
+      ("u3", ts(0), "signup"), ("u4", ts(0), "signup"),
+      ("u1", ts(1), "purchase"), ("u2", ts(2), "purchase"),
+      ("zz", ts(3), "view"))
+    val out = Events.kaplanMeier(rows.toDF("u", "ts", "t"), "u", "ts", "t",
+      "signup", "purchase").orderBy("t").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toMap
+    // t=1: d=1 of n=4 -> S = 0.75; t=2: d=1 of n=3 -> S = 0.5
+    assert(out(1L) == ((1L, 0L, 4L, 0.75)))
+    assert(out(2L) == ((1L, 0L, 3L, 0.5)))
+    // t=3: both remaining users censored, no events -> S stays 0.5
+    assert(out(3L) == ((0L, 2L, 2L, 0.5)))
+  }
 }
