@@ -3025,6 +3025,29 @@ object GraftQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // extension: difference-in-differences (treatment = odd user ids,
+    // post = second half of the observation window) — 2×2 cell means from
+    // exact cents, one fixed estimate expression
+    "q_did" -> { (s, d) =>
+      val ev = TpchGraph.eventsTable(s, d)
+      graft.ext.Stats.diffInDiff(
+        ev.select(col("value"),
+          (col("user_id") % 2 === 1).as("treated"),
+          (floor(unix_timestamp(col("ts")) / lit(86400L)) >= 19738)
+            .as("post")),
+        "treated", "post", "value")
+        .orderBy("treated", "post")
+    },
+
+    // extension: distributed Poisson bootstrap SE of the mean order value
+    // (md5-derived Poisson(1) weights per replicate — reproducible, no
+    // resampling shuffle; replicate means micro-quantized before the
+    // across-replicate variance)
+    "q_bootstrap" -> { (s, d) =>
+      graft.ext.Stats.poissonBootstrapSE(t(s, d)("orders"),
+        "o_orderkey", "o_totalprice", b = 32)
+    },
+
     // extension: Kaplan-Meier time-to-conversion survival (right-censored
     // at the observation horizon; micro-nat quantized running product)
     "q_kaplan_meier" -> { (s, d) =>
@@ -7061,6 +7084,62 @@ object GraftQueries {
         |SELECT k.qid AS id_a, k.nid AS id_b, k.cos
         |FROM knn k JOIN knn r ON r.qid = k.nid AND r.nid = k.qid
         |WHERE k.qid < k.nid ORDER BY 1, 2""".stripMargin,
+
+    "q_did" ->
+      """WITH base AS (SELECT value, user_id % 2 = 1 AS treated,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) >= 19738 AS post
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (SELECT treated, post, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+        |  FROM base GROUP BY 1, 2),
+        |m AS (SELECT treated, post, n,
+        |    round(CAST(s AS DOUBLE) / n / 100.0, 4) AS mean_value,
+        |    CAST(s AS DOUBLE) / n / 100.0 AS mm FROM cells),
+        |did AS (SELECT round(
+        |    (max(CASE WHEN treated AND post THEN mm END)
+        |      - max(CASE WHEN treated AND NOT post THEN mm END))
+        |  - (max(CASE WHEN NOT treated AND post THEN mm END)
+        |      - max(CASE WHEN NOT treated AND NOT post THEN mm END)), 4) AS did
+        |  FROM m)
+        |SELECT treated, post, n, mean_value, did.did
+        |FROM m, did ORDER BY treated, post""".stripMargin,
+
+    "q_bootstrap" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+        |  WHERE o_totalprice IS NOT NULL),
+        |reps AS (SELECT id, v, b
+        |  FROM base, (SELECT unnest(generate_series(0, 31)) AS b)),
+        |uni AS (SELECT v, b,
+        |    CAST(list_sum(list_transform(generate_series(1, 12), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substring(md5(id || ':' || CAST(b AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+        |      * CAST(16 ** (12 - i) AS BIGINT))) AS DOUBLE) / (16.0 ** 12) AS u
+        |  FROM reps),
+        |wts AS (SELECT v, b, CAST(CASE
+        |    WHEN u < 0.36787944117144233 THEN 0
+        |    WHEN u < 0.7357588823428847 THEN 1
+        |    WHEN u < 0.9196986029286058 THEN 2
+        |    WHEN u < 0.9810118431238462 THEN 3
+        |    WHEN u < 0.9963401531726563 THEN 4
+        |    WHEN u < 0.9994058151824183 THEN 5
+        |    ELSE 6 END AS BIGINT) AS w FROM uni),
+        |pr AS (SELECT b, CAST(sum(w * v) AS BIGINT) AS ws,
+        |    CAST(sum(w) AS BIGINT) AS ww
+        |  FROM wts GROUP BY 1 HAVING sum(w) > 0),
+        |fl AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS fs
+        |  FROM base),
+        |rf AS (SELECT CAST(round(CAST(fs AS DOUBLE) / n * 100) AS BIGINT) AS r
+        |  FROM fl),
+        |pm AS (SELECT CAST(round(CAST(ws AS DOUBLE) / ww * 100) AS BIGINT) - rf.r
+        |    AS dq FROM pr, rf),
+        |rs AS (SELECT CAST(count(*) AS BIGINT) AS nb, CAST(sum(dq) AS BIGINT) AS sm,
+        |    CAST(sum(dq * dq) AS BIGINT) AS sm2 FROM pm)
+        |SELECT n, rs.nb AS b_reps,
+        |  round(CAST(fs AS DOUBLE) / n / 100.0, 4) AS mean_value,
+        |  round(sqrt((CAST(sm2 AS DOUBLE) - CAST(sm AS DOUBLE) * sm / nb)
+        |    / (nb - 1)) / 1e4, 4) AS bootstrap_se
+        |FROM fl, rs""".stripMargin,
 
     "q_kaplan_meier" ->
       """WITH base AS (SELECT user_id AS u,

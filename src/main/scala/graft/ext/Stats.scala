@@ -99,6 +99,95 @@ object Stats {
             .cast("double")), 4).as("cramers_v"))
   }
 
+  /** Difference-in-differences estimator: the causal-inference workhorse
+    * for before/after × treatment/control designs —
+    * `DiD = (T_post − T_pre) − (C_post − C_pre)` over cell means, which
+    * cancels both the group's level difference and the common time trend.
+    * Cells are exact cent/count integers; each mean is one divide; the
+    * estimate is one fixed expression. Output: the four cells plus the
+    * estimate on every row (single-row frame joined back would be the
+    * alternative; a 2×2 is driver-trivial either way).
+    */
+  def diffInDiff(df: DataFrame, treatedCol: String, postCol: String,
+      valueCol: String): DataFrame = {
+    val cells = df.where(col(valueCol).isNotNull)
+      .groupBy(col(treatedCol).cast("boolean").as("treated"),
+        col(postCol).cast("boolean").as("post"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col(valueCol) * 100).cast("long")).as("_s"))
+      .withColumn("mean_value",
+        round(col("_s").cast("double") / col("n") / 100.0, 4))
+    def cell(t: Boolean, p: Boolean) = cells
+      .where(col("treated") === t && col("post") === p)
+      .select((col("_s").cast("double") / col("n") / 100.0).as(s"_m_${t}_$p"))
+    val did = cell(true, true).crossJoin(cell(true, false))
+      .crossJoin(cell(false, true)).crossJoin(cell(false, false))
+      .select(round((col("_m_true_true") - col("_m_true_false")) -
+        (col("_m_false_true") - col("_m_false_false")), 4).as("did"))
+    cells.select(col("treated"), col("post"), col("n"), col("mean_value"))
+      .crossJoin(broadcast(did))
+  }
+
+  /** Cumulative Poisson(1) CDF thresholds for the bootstrap draw — shared
+    * verbatim with the oracle SQL so both engines bin the same uniforms.
+    */
+  private[graft] val PoissonCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+
+  /** Distributed Poisson bootstrap standard error of the mean (the
+    * resampling scheme that works on unmaterializable data: instead of
+    * drawing n rows with replacement per replicate, each row enters
+    * replicate b with an independent Poisson(1) weight — one narrow pass
+    * over `data × B`, no sampling shuffle). Weights come from md5-derived
+    * uniforms binned by the Poisson(1) CDF, so every replicate is
+    * reproducible in any engine with md5.
+    *
+    * Per replicate: weighted mean from exact cent/weight sums (one
+    * divide), then QUANTIZED to micro-units; the across-replicate variance
+    * is exact integer sums over those quantized means — order-free.
+    * Output one row: n, B, the full-sample point estimate, and the
+    * bootstrap SE.
+    */
+  def poissonBootstrapSE(df: DataFrame, idCol: String, valueCol: String,
+      b: Int): DataFrame = {
+    require(b >= 2, "need at least 2 replicates")
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").as("_id"),
+        round(col(valueCol) * 100).cast("long").as("_v"))
+    val reps = base.withColumn("_b", explode(lit((0 until b).toArray)))
+      .withColumn("_u",
+        conv(substring(md5(concat(col("_id"), lit(":"), col("_b"))), 1, 12),
+          16, 10).cast("long").cast("double") / lit(math.pow(16.0, 12)))
+    val w = PoissonCdf.zipWithIndex.foldRight(lit(PoissonCdf.size): Column) {
+      case ((thr, k), acc) => when(col("_u") < thr, k).otherwise(acc)
+    }.cast("long")
+    val full = base.agg(count(lit(1)).as("n"), sum("_v").as("_fs"))
+    // replicate means are CENTERED on the full-sample mean before squaring:
+    // squared absolute means in fine units overflow a long; squared
+    // DEVIATIONS (the only part the variance needs) stay tiny. Both the
+    // quantization scale (hundredth-cents) and the shared reference are
+    // exact integers, so the variance is still an order-free integer sum.
+    val ref = full.select(
+      round(col("_fs").cast("double") / col("n") * 100).cast("long").as("_ref"))
+    val perRep = reps.withColumn("_w", w)
+      .groupBy("_b")
+      .agg(sum(col("_w") * col("_v")).as("_ws"), sum(col("_w")).as("_ww"))
+      .where(col("_ww") > 0)
+      .crossJoin(broadcast(ref))
+      .select((round(col("_ws").cast("double") / col("_ww") * 100).cast("long")
+        - col("_ref")).as("_dq")) // deviation in hundredth-cents
+    val rstats = perRep.agg(count(lit(1)).as("_nb"), sum("_dq").as("_sm"),
+      sum(col("_dq") * col("_dq")).as("_sm2"))
+    full.crossJoin(broadcast(rstats)).select(
+      col("n"), col("_nb").as("b_reps"),
+      round(col("_fs").cast("double") / col("n") / 100.0, 4).as("mean_value"),
+      // SE = sqrt( (Σd² − (Σd)²/B) / (B−1) ), hundredth-cents → dollars
+      round(sqrt((col("_sm2").cast("double") -
+        col("_sm").cast("double") * col("_sm") / col("_nb")) /
+        (col("_nb") - 1)) / 1e4, 4).as("bootstrap_se"))
+  }
+
   /** Exact weighted median per group: the smallest value whose cumulative
     * weight reaches half the group's total — the robust center when
     * observations carry unequal mass (revenue-weighted price points,

@@ -72,4 +72,29 @@ class PsiReadabilitySpec extends SparkSpec {
     assert(r.getAs[String]("mode") == "a") // a and b tie at 2
     assert(r.getAs[Long]("n_mode") == 2L)
   }
+
+  test("diffInDiff cancels level and trend, isolates the treatment effect") {
+    import spark.implicits._
+    // control: 10 -> 12 (+2 trend); treated: 20 -> 25 (+2 trend +3 effect)
+    val rows =
+      Seq.fill(5)((false, false, 10.0)) ++ Seq.fill(5)((false, true, 12.0)) ++
+      Seq.fill(5)((true, false, 20.0)) ++ Seq.fill(5)((true, true, 25.0))
+    val out = Stats.diffInDiff(rows.toDF("treated", "post", "v"),
+      "treated", "post", "v").collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getAs[Double]("did") == 3.0))
+  }
+
+  test("poissonBootstrapSE approximates sd/sqrt(n) on iid data") {
+    import spark.implicits._
+    // uniform 0..99: sd ~ 28.87, n = 2000 -> SE ~ 0.645
+    val df = (0 until 2000).map(i => (i.toLong, (i % 100).toDouble))
+      .toDF("id", "v")
+    val r = Stats.poissonBootstrapSE(df, "id", "v", b = 64).collect().head
+    assert(r.getAs[Long]("n") == 2000L)
+    assert(r.getAs[Long]("b_reps") == 64L)
+    assert(r.getAs[Double]("mean_value") == 49.5)
+    val se = r.getAs[Double]("bootstrap_se")
+    assert(se > 0.3 && se < 1.2, s"got $se") // ~0.645 expected
+  }
 }
