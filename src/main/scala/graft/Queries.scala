@@ -3048,6 +3048,13 @@ object GraftQueries {
         "o_orderkey", "o_totalprice", b = 32)
     },
 
+    // extension: log-rank test — do odd-id users convert faster than
+    // even-id users, censoring-corrected (the test over two KM curves)
+    "q_logrank" -> { (s, d) =>
+      graft.ext.Events.logRank(TpchGraph.eventsTable(s, d), "user_id", "ts",
+        "event_type", "signup", "purchase", col("user_id") % 2 === 1)
+    },
+
     // extension: Kaplan-Meier time-to-conversion survival (right-censored
     // at the observation horizon; micro-nat quantized running product)
     "q_kaplan_meier" -> { (s, d) =>
@@ -7140,6 +7147,53 @@ object GraftQueries {
         |  round(sqrt((CAST(sm2 AS DOUBLE) - CAST(sm AS DOUBLE) * sm / nb)
         |    / (nb - 1)) / 1e4, 4) AS bootstrap_se
         |FROM fl, rs""".stripMargin,
+
+    "q_logrank" ->
+      """WITH base AS (SELECT user_id AS u,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS d,
+        |    event_type AS t,
+        |    CAST(user_id % 2 = 1 AS INT) AS g FROM events),
+        |su AS (SELECT u, min(d) AS s, min(g) AS g FROM base WHERE t = 'signup'
+        |  GROUP BY 1),
+        |cv AS (SELECT b.u, min(b.d) - min(su.s) AS dur
+        |  FROM base b JOIN su ON b.u = su.u
+        |  WHERE b.t = 'purchase' AND b.d >= su.s GROUP BY 1),
+        |mx AS (SELECT max(d) AS m FROM base),
+        |users AS (SELECT su.g, coalesce(cv.dur, mx.m - su.s) AS t,
+        |    cv.dur IS NOT NULL AS ev
+        |  FROM su LEFT JOIN cv ON su.u = cv.u, mx),
+        |tbl AS (SELECT t,
+        |    CAST(sum(CASE WHEN ev AND g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN ev AND g <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        |    CAST(sum(CASE WHEN g <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS a2
+        |  FROM users GROUP BY 1),
+        |tot AS (SELECT
+        |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1t,
+        |    CAST(sum(CASE WHEN g <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2t,
+        |    CAST(sum(CASE WHEN ev AND g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS e1,
+        |    CAST(sum(CASE WHEN ev AND g <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS e2
+        |  FROM users),
+        |rk AS (SELECT tbl.t, d1, d2,
+        |    tot.n1t - coalesce(sum(a1) OVER (ORDER BY tbl.t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+        |    tot.n2t - coalesce(sum(a2) OVER (ORDER BY tbl.t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2
+        |  FROM tbl, tot),
+        |terms AS (SELECT
+        |    CAST(round((CAST(d1 AS DOUBLE) -
+        |      CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2)) * 1e9) AS BIGINT) AS oe,
+        |    CAST(round((CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2)) *
+        |      (CAST(n2 AS DOUBLE) / (n1 + n2)) *
+        |      ((CAST(n1 + n2 AS DOUBLE) - (d1 + d2)) / (n1 + n2 - 1)) * 1e9)
+        |      AS BIGINT) AS v
+        |  FROM rk WHERE d1 + d2 > 0 AND n1 + n2 > 1),
+        |sums AS (SELECT CAST(sum(oe) AS BIGINT) AS soe,
+        |    CAST(sum(v) AS BIGINT) AS sv FROM terms)
+        |SELECT tot.n1t AS n1, tot.n2t AS n2, tot.e1 AS events1, tot.e2 AS events2,
+        |  round(soe / 1e9, 4) AS o_minus_e,
+        |  round((CAST(soe AS DOUBLE) / 1e9) * (soe / 1e9) / (sv / 1e9), 4) AS chi2
+        |FROM tot, sums""".stripMargin,
 
     "q_kaplan_meier" ->
       """WITH base AS (SELECT user_id AS u,

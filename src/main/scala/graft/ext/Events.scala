@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics over (user, timestamp, event-type) data — the
@@ -548,6 +548,69 @@ object Events {
       .withColumn("log_surv_micro", sum(col("_lq")).over(w))
       .select(col("t"), col("d"), col("c"), col("n_risk"),
         round(exp(col("log_surv_micro").cast("double") / 1e6), 4).as("surv"))
+  }
+
+  /** Two-sample log-rank test (Mantel-Haenszel) — does one cohort convert
+    * faster than another, accounting for censoring (the hypothesis test
+    * over two [[kaplanMeier]] curves): at every pooled event time, the
+    * observed group-1 events are compared with their hypergeometric
+    * expectation given the pooled risk sets, and
+    * `χ² = (Σ(O−E))² / ΣV` is approximately chi-square(1) under the null.
+    *
+    * Determinism: per-time O−E and V are rationals over exact counts,
+    * quantized to integer nano-units before the sums (order-free); the
+    * statistic is one fixed expression over the two integer sums. The
+    * per-time table is distinct durations — driver-tiny — so its windows
+    * are over rows-per-day, never data.
+    */
+  def logRank(df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      startType: String, eventType: String, groupExpr: Column): DataFrame = {
+    val day = floor(unix_timestamp(col(tsCol)) / lit(86400L)).cast("long")
+    val base = df.select(col(userCol).as("_u"), day.as("_d"),
+      col(typeCol).as("_t"), groupExpr.cast("int").as("_g"))
+    val su = base.where(col("_t") === startType)
+      .groupBy("_u").agg(min("_d").as("_s"), min("_g").as("_g"))
+    val cv = base.where(col("_t") === eventType).drop("_g")
+      .join(su.select("_u", "_s"), Seq("_u")).where(col("_d") >= col("_s"))
+      .groupBy("_u").agg((min(col("_d")) - min(col("_s"))).as("_dur"))
+    val maxDay = base.agg(max("_d").as("_mx"))
+    val users = su.join(cv, Seq("_u"), "left").crossJoin(broadcast(maxDay))
+      .select(col("_g"),
+        coalesce(col("_dur"), col("_mx") - col("_s")).as("t"),
+        col("_dur").isNotNull.as("_ev"))
+    val tbl = users.groupBy("t").agg(
+      sum(when(col("_ev") && col("_g") === 1, 1L).otherwise(0L)).as("d1"),
+      sum(when(col("_ev") && col("_g") =!= 1, 1L).otherwise(0L)).as("d2"),
+      sum(when(col("_g") === 1, 1L).otherwise(0L)).as("a1"),
+      sum(when(col("_g") =!= 1, 1L).otherwise(0L)).as("a2"))
+    val totals = users.groupBy().agg(
+      sum(when(col("_g") === 1, 1L).otherwise(0L)).as("_N1"),
+      sum(when(col("_g") =!= 1, 1L).otherwise(0L)).as("_N2"),
+      sum(when(col("_ev") && col("_g") === 1, 1L).otherwise(0L)).as("events1"),
+      sum(when(col("_ev") && col("_g") =!= 1, 1L).otherwise(0L)).as("events2"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("t")
+    val pre = org.apache.spark.sql.expressions.Window.unboundedPreceding
+    val risks = tbl.crossJoin(broadcast(totals))
+      .withColumn("_p1", coalesce(sum(col("a1")).over(w.rowsBetween(pre, -1)), lit(0L)))
+      .withColumn("_p2", coalesce(sum(col("a2")).over(w.rowsBetween(pre, -1)), lit(0L)))
+      .withColumn("n1", col("_N1") - col("_p1"))
+      .withColumn("n2", col("_N2") - col("_p2"))
+      .withColumn("n", col("n1") + col("n2"))
+      .withColumn("d", col("d1") + col("d2"))
+      .where(col("d") > 0 && col("n") > 1)
+    val oeQ = round((col("d1").cast("double") -
+      col("d").cast("double") * col("n1") / col("n")) * 1e9).cast("long")
+    val vQ = round((col("d").cast("double") * col("n1") / col("n")) *
+      (col("n2").cast("double") / col("n")) *
+      ((col("n").cast("double") - col("d")) / (col("n") - 1)) * 1e9).cast("long")
+    val sums = risks.select(oeQ.as("_oe"), vQ.as("_v"))
+      .agg(sum("_oe").as("_soe"), sum("_v").as("_sv"))
+    totals.crossJoin(broadcast(sums)).select(
+      col("_N1").as("n1"), col("_N2").as("n2"),
+      col("events1"), col("events2"),
+      round(col("_soe") / 1e9, 4).as("o_minus_e"),
+      round((col("_soe").cast("double") / 1e9) * (col("_soe") / 1e9) /
+        (col("_sv") / 1e9), 4).as("chi2"))
   }
 
   /** Run-length compression of a per-key state sequence (gaps-and-islands

@@ -84,4 +84,24 @@ class DriftSeasonSpec extends SparkSpec {
     // t=3: both remaining users censored, no events -> S stays 0.5
     assert(out(3L) == ((0L, 2L, 2L, 0.5)))
   }
+
+  test("logRank: identical cohorts score ~0, divergent cohorts score high") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // identical conversion behavior in both groups -> chi2 ~ 0
+    val same = (0 until 40).flatMap { i =>
+      Seq((i.toLong, ts(0), "signup"), (i.toLong, ts(1 + i % 3), "purchase"))
+    } :+ (999L, ts(9), "view")
+    val r0 = Events.logRank(same.toDF("u", "ts", "t"), "u", "ts", "t",
+      "signup", "purchase", col("u") % 2 === 1).collect().head
+    assert(r0.getAs[Double]("chi2") < 0.1)
+    // odd users convert day 1, even users never (censored) -> large chi2
+    val div = (0 until 40).map(i => (i.toLong, ts(0), "signup")) ++
+      (0 until 40).filter(_ % 2 == 1)
+        .map(i => (i.toLong, ts(1), "purchase")) :+ (999L, ts(9), "view")
+    val r1 = Events.logRank(div.toDF("u", "ts", "t"), "u", "ts", "t",
+      "signup", "purchase", col("u") % 2 === 1).collect().head
+    assert(r1.getAs[Long]("events1") == 20L && r1.getAs[Long]("events2") == 0L)
+    assert(r1.getAs[Double]("chi2") > 10.0, s"got ${r1.getAs[Double]("chi2")}")
+  }
 }
