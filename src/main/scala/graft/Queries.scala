@@ -3048,6 +3048,23 @@ object GraftQueries {
         "o_orderkey", "o_totalprice", b = 32)
     },
 
+    // extension: Bradley-Terry preference ratings (the RLHF pairwise-
+    // comparison model) over supplier price-competition outcomes — exact
+    // integer MM rounds, oracle replays the FULL training
+    "q_bradley_terry" -> { (s, d) =>
+      val li = t(s, d)("lineitem")
+      val ps = li.groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .agg(min(col("l_extendedprice")).as("pr"))
+      val pairs = ps.as("x").join(ps.as("y"),
+          col("x.pk") === col("y.pk") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("ia"), col("y.sk").as("ib"),
+          (col("x.pr") <= col("y.pr")).cast("long").as("wa"))
+      val matches = pairs.groupBy(col("ia").as("item_a"), col("ib").as("item_b"))
+        .agg(sum("wa").as("wins_a"), sum(lit(1L) - col("wa")).as("wins_b"))
+      graft.ext.Stats.bradleyTerry(matches, rounds = 8)
+        .orderBy(col("rating_micro").desc, col("item"))
+    },
+
     // extension: log-rank test — do odd-id users convert faster than
     // even-id users, censoring-corrected (the test over two KM curves)
     "q_logrank" -> { (s, d) =>
@@ -7147,6 +7164,20 @@ object GraftQueries {
         |  round(sqrt((CAST(sm2 AS DOUBLE) - CAST(sm AS DOUBLE) * sm / nb)
         |    / (nb - 1)) / 1e4, 4) AS bootstrap_se
         |FROM fl, rs""".stripMargin,
+
+    "q_bradley_terry" -> (graft.ext.Stats.bradleyTerryOracleSql(
+      """SELECT ia AS item_a, ib AS item_b,
+        |    CAST(sum(wa) AS BIGINT) AS wins_a,
+        |    CAST(sum(1 - wa) AS BIGINT) AS wins_b
+        |  FROM (SELECT x.sk AS ia, y.sk AS ib,
+        |      CASE WHEN x.pr <= y.pr THEN 1 ELSE 0 END AS wa
+        |    FROM (SELECT l_partkey AS pk, l_suppkey AS sk,
+        |        min(l_extendedprice) AS pr FROM lineitem GROUP BY 1, 2) x
+        |    JOIN (SELECT l_partkey AS pk, l_suppkey AS sk,
+        |        min(l_extendedprice) AS pr FROM lineitem GROUP BY 1, 2) y
+        |      ON x.pk = y.pk AND x.sk < y.sk)
+        |  GROUP BY 1, 2""".stripMargin, rounds = 8) +
+      "\nORDER BY 2 DESC, 1"),
 
     "q_logrank" ->
       """WITH base AS (SELECT user_id AS u,

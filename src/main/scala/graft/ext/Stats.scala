@@ -99,6 +99,99 @@ object Stats {
             .cast("double")), 4).as("cramers_v"))
   }
 
+  /** Bradley-Terry preference ratings (Hunter 2004 MM iteration) — the
+    * model under pairwise preference data (RLHF comparisons, A/B taste
+    * tests, match outcomes): `P(i beats j) = pᵢ/(pᵢ+pⱼ)`, fit by fixed MM
+    * rounds `pᵢ ← Wᵢ / Σⱼ nᵢⱼ/(pᵢ+pⱼ)`, renormalized each round.
+    *
+    * Everything is EXACT integer arithmetic in micro-units (`div`
+    * divisions — the same fixed-point contract as the PageRank family), so
+    * every round is bit-reproducible in any engine and the oracle replays
+    * the FULL training as unrolled CTEs ([[bradleyTerryOracleSql]] is
+    * generated side-by-side). Scale shape: per round one pair-keyed join
+    * against the ratings table and one keyed sum — pairs × rounds total
+    * work, ratings stay item-many rows.
+    *
+    * `matches`: one row per unordered pair — (item_a, item_b, wins_a,
+    * wins_b).
+    */
+  def bradleyTerry(matches: DataFrame, rounds: Int = 8,
+      scale: Long = 1000000L): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val big = scale * scale // numerator boost so terms keep 6 digits
+    val dir = matches.select(col("item_a").as("i"), col("item_b").as("j"),
+        (col("wins_a") + col("wins_b")).cast("long").as("n"),
+        col("wins_a").cast("long").as("w"))
+      .unionByName(matches.select(col("item_b").as("i"), col("item_a").as("j"),
+        (col("wins_a") + col("wins_b")).cast("long").as("n"),
+        col("wins_b").cast("long").as("w")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val items = dir.groupBy(col("i").as("item"))
+      .agg(sum("w").as("wins"), sum("n").as("n_matches"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nItems = items.select(count(lit(1)).as("_ni"))
+    var p = items.select(col("item"), lit(scale).as("p"))
+    for (_ <- 1 to rounds) {
+      val denom = dir
+        .join(p.select(col("item").as("i"), col("p").as("_pi")), Seq("i"))
+        .join(p.select(col("item").as("j"), col("p").as("_pj")), Seq("j"))
+        .select(col("i"), expr(s"n * ${big}L div (_pi + _pj)").as("_t"))
+        .groupBy("i").agg(sum("_t").as("_den"))
+      val raw = items.join(denom, items("item") === denom("i"), "left")
+        .select(col("item"),
+          when(col("_den").isNull || col("_den") === 0, lit(0L))
+            .otherwise(expr(s"wins * ${big}L div _den")).as("p"))
+      val tot = raw.agg(sum("p").as("_tp"))
+      p = raw.crossJoin(broadcast(tot)).crossJoin(broadcast(nItems))
+        .select(col("item"),
+          when(col("_tp") === 0, lit(0L))
+            .otherwise(expr(s"p * _ni * ${scale}L div _tp")).as("p"))
+        .localCheckpoint(true)
+    }
+    items.join(p, Seq("item"))
+      .select(col("item"), col("p").as("rating_micro"), col("wins"),
+        col("n_matches"))
+  }
+
+  /** DuckDB replay of [[bradleyTerry]] — unrolled integer CTE rounds,
+    * generated side-by-side. `matchesSql` must yield
+    * (item_a, item_b, wins_a, wins_b).
+    */
+  def bradleyTerryOracleSql(matchesSql: String, rounds: Int,
+      scale: Long = 1000000L): String = {
+    val big = scale * scale
+    val head =
+      s"""WITH M AS ($matchesSql),
+         |dir AS MATERIALIZED (SELECT item_a AS i, item_b AS j,
+         |    CAST(wins_a + wins_b AS BIGINT) AS n, CAST(wins_a AS BIGINT) AS w
+         |  FROM M
+         |  UNION ALL SELECT item_b, item_a, CAST(wins_a + wins_b AS BIGINT),
+         |    CAST(wins_b AS BIGINT) FROM M),
+         |items AS MATERIALIZED (SELECT i AS item, CAST(sum(w) AS BIGINT) AS wins,
+         |    CAST(sum(n) AS BIGINT) AS n_matches FROM dir GROUP BY 1),
+         |ni AS (SELECT count(*) AS c FROM items),
+         |p0 AS MATERIALIZED (SELECT item, CAST($scale AS BIGINT) AS p FROM items)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT dir.i, CAST(sum(dir.n * $big // (pi.p + pj.p)) AS BIGINT) AS den
+         |  FROM dir JOIN p${r - 1} pi ON pi.item = dir.i
+         |  JOIN p${r - 1} pj ON pj.item = dir.j GROUP BY 1),
+         |raw$r AS MATERIALIZED (SELECT items.item,
+         |    CASE WHEN d$r.den IS NULL OR d$r.den = 0 THEN 0
+         |      ELSE items.wins * $big // d$r.den END AS p
+         |  FROM items LEFT JOIN d$r ON d$r.i = items.item),
+         |t$r AS MATERIALIZED (SELECT CAST(sum(p) AS BIGINT) AS tp FROM raw$r),
+         |p$r AS MATERIALIZED (SELECT item,
+         |    CASE WHEN t$r.tp = 0 THEN 0
+         |      ELSE p * ni.c * $scale // t$r.tp END AS p
+         |  FROM raw$r, t$r, ni)""".stripMargin
+    }
+    ((head +: iters).mkString(",\n")) +
+      s"""
+         |SELECT items.item, CAST(p$rounds.p AS BIGINT) AS rating_micro,
+         |  items.wins, items.n_matches
+         |FROM items JOIN p$rounds ON p$rounds.item = items.item""".stripMargin
+  }
+
   /** Difference-in-differences estimator: the causal-inference workhorse
     * for before/after × treatment/control designs —
     * `DiD = (T_post − T_pre) − (C_post − C_pre)` over cell means, which

@@ -97,4 +97,25 @@ class PsiReadabilitySpec extends SparkSpec {
     val se = r.getAs[Double]("bootstrap_se")
     assert(se > 0.3 && se < 1.2, s"got $se") // ~0.645 expected
   }
+
+  test("bradleyTerry: dominant item rates highest, shut-out rates zero") {
+    import spark.implicits._
+    // a beats b 9:1, b beats c 9:1, a beats c 10:0
+    val m = Seq(("a", "b", 9L, 1L), ("b", "c", 9L, 1L), ("a", "c", 10L, 0L))
+      .toDF("item_a", "item_b", "wins_a", "wins_b")
+    val out = Stats.bradleyTerry(m, rounds = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (ra, wa, na) = out("a"); val (rb, _, _) = out("b")
+    val (rc, wc, _) = out("c")
+    assert(wa == 19L && na == 20L)
+    assert(ra > rb && rb > rc, s"ratings $ra $rb $rc")
+    // transitive strength: a's rating far above c's
+    assert(ra > 2 * rc)
+    // an item that never wins rates exactly 0 under MM
+    val m2 = Seq(("x", "y", 5L, 0L)).toDF("item_a", "item_b", "wins_a", "wins_b")
+    val z = Stats.bradleyTerry(m2, rounds = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(z("y") == 0L && z("x") > 0L)
+  }
 }
