@@ -3048,6 +3048,25 @@ object GraftQueries {
         "o_orderkey", "o_totalprice", b = 32)
     },
 
+    // extension: seasonal-naive forecast evaluation (MAE/SMAPE/MASE over
+    // daily value totals — the baseline yardstick, exact cents)
+    "q_forecast_eval" -> { (s, d) =>
+      graft.ext.Events.seasonalNaiveEval(TpchGraph.eventsTable(s, d),
+        "ts", "value", season = 7)
+    },
+
+    // extension: Apdex SLA score per order priority over order→ship
+    // latency days (T = 30)
+    "q_apdex" -> { (s, d) =>
+      val li = t(s, d)("lineitem"); val o = t(s, d)("orders")
+      val lat = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("o_orderpriority"),
+          (datediff(col("l_shipdate"), col("o_orderdate")))
+            .cast("double").as("lat_days"))
+      graft.ext.Events.apdex(lat, "o_orderpriority", "lat_days", 30.0)
+        .orderBy("o_orderpriority")
+    },
+
     // extension: Bradley-Terry preference ratings (the RLHF pairwise-
     // comparison model) over supplier price-competition outcomes — exact
     // integer MM rounds, oracle replays the FULL training
@@ -7164,6 +7183,42 @@ object GraftQueries {
         |  round(sqrt((CAST(sm2 AS DOUBLE) - CAST(sm AS DOUBLE) * sm / nb)
         |    / (nb - 1)) / 1e4, 4) AS bootstrap_se
         |FROM fl, rs""".stripMargin,
+
+    "q_forecast_eval" ->
+      """WITH daily AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400)
+        |      AS BIGINT) AS d,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |lg AS (SELECT d, x, lag(x, 7) OVER (ORDER BY d) AS f,
+        |    lag(x, 1) OVER (ORDER BY d) AS p FROM daily),
+        |sc AS (SELECT
+        |    CASE WHEN f IS NOT NULL THEN abs(x - f) END AS ae,
+        |    CASE WHEN f IS NOT NULL THEN CAST(round(CAST(abs(x - f) AS DOUBLE)
+        |      * 2e6 / (abs(x) + abs(f))) AS BIGINT) END AS smq,
+        |    CASE WHEN p IS NOT NULL THEN abs(x - p) END AS n1
+        |  FROM lg)
+        |SELECT CAST(count(ae) AS BIGINT) AS n_scored,
+        |  round(avg(ae) / 100.0, 4) AS mae,
+        |  round(CAST(sum(smq) AS DOUBLE) / count(smq) / 1e6, 6) AS smape,
+        |  round((CAST(sum(ae) AS DOUBLE) / count(ae)) /
+        |    (CAST(sum(n1) AS DOUBLE) / count(n1)), 4) AS mase
+        |FROM sc""".stripMargin,
+
+    "q_apdex" ->
+      """WITH lat AS (SELECT o_orderpriority,
+        |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) AS DOUBLE) AS lat_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN lat_days <= 30.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS satisfied,
+        |  CAST(sum(CASE WHEN lat_days > 30.0 AND lat_days <= 120.0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS tolerating,
+        |  round((sum(CASE WHEN lat_days <= 30.0 THEN 1 ELSE 0 END)
+        |    + CAST(sum(CASE WHEN lat_days > 30.0 AND lat_days <= 120.0
+        |        THEN 1 ELSE 0 END) AS DOUBLE) / 2) / count(*), 4) AS apdex
+        |FROM lat WHERE lat_days IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_bradley_terry" -> (graft.ext.Stats.bradleyTerryOracleSql(
       """SELECT ia AS item_a, ib AS item_b,

@@ -550,6 +550,56 @@ object Events {
         round(exp(col("log_surv_micro").cast("double") / 1e6), 4).as("surv"))
   }
 
+  /** Forecast-accuracy evaluation of the seasonal-naive baseline (the
+    * yardstick every real forecast must beat): per period the forecast is
+    * the value `season` periods back; errors aggregate to MAE, SMAPE and
+    * MASE (MAE over the IN-SAMPLE naive-1 MAE — Hyndman & Koehler 2006,
+    * the scale-free standard). Exact cents for every error; the two ratio
+    * metrics quantize per-period contributions to micro-units before the
+    * order-free sums.
+    */
+  def seasonalNaiveEval(df: DataFrame, tsCol: String, valueCol: String,
+      season: Int): DataFrame = {
+    require(season >= 1, "season must be >= 1")
+    val day = floor(unix_timestamp(col(tsCol)) / lit(86400L)).cast("long")
+    val daily = df.where(col(valueCol).isNotNull)
+      .select(day.as("d"), round(col(valueCol) * 100).cast("long").as("_v"))
+      .groupBy("d").agg(sum("_v").as("x"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("d")
+    val withLags = daily
+      .withColumn("_f", lag(col("x"), season).over(w))
+      .withColumn("_p", lag(col("x"), 1).over(w))
+    val scored = withLags.select(
+      when(col("_f").isNotNull, abs(col("x") - col("_f"))).as("_ae"),
+      when(col("_f").isNotNull,
+        round(abs(col("x") - col("_f")).cast("double") * 2e6 /
+          (abs(col("x")) + abs(col("_f"))), 0).cast("long")).as("_smq"),
+      when(col("_p").isNotNull, abs(col("x") - col("_p"))).as("_n1"))
+    scored.agg(
+      count(col("_ae")).as("n_scored"),
+      round(avg(col("_ae")) / 100.0, 4).as("mae"),
+      round(sum(col("_smq")).cast("double") / count(col("_smq")) / 1e6, 6)
+        .as("smape"),
+      round((sum(col("_ae")).cast("double") / count(col("_ae"))) /
+        (sum(col("_n1")).cast("double") / count(col("_n1"))), 4).as("mase"))
+  }
+
+  /** Apdex score per group (public Apdex standard): satisfied ≤ T,
+    * tolerating ≤ 4T, `(satisfied + tolerating/2) / n` — the SLA summary
+    * number. Exact integer counts to one fixed expression.
+    */
+  def apdex(df: DataFrame, groupCol: String, latencyCol: String,
+      thresholdT: Double): DataFrame =
+    df.where(col(latencyCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(latencyCol) <= thresholdT, 1L).otherwise(0L)).as("satisfied"),
+        sum(when(col(latencyCol) > thresholdT &&
+          col(latencyCol) <= 4 * thresholdT, 1L).otherwise(0L)).as("tolerating"))
+      .withColumn("apdex",
+        round((col("satisfied") + col("tolerating").cast("double") / 2) /
+          col("n"), 4))
+
   /** Two-sample log-rank test (Mantel-Haenszel) — does one cohort convert
     * faster than another, accounting for censoring (the hypothesis test
     * over two [[kaplanMeier]] curves): at every pooled event time, the

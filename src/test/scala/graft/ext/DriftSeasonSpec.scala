@@ -104,4 +104,26 @@ class DriftSeasonSpec extends SparkSpec {
     assert(r1.getAs[Long]("events1") == 20L && r1.getAs[Long]("events2") == 0L)
     assert(r1.getAs[Double]("chi2") > 10.0, s"got ${r1.getAs[Double]("chi2")}")
   }
+
+  test("seasonalNaiveEval: perfectly seasonal series scores MAE 0") {
+    import spark.implicits._
+    // value depends only on day-of-week -> lag-7 forecast is exact
+    val rows = (0 until 28).map(d => (ts(d), 10.0 + (d % 7)))
+    val r = Events.seasonalNaiveEval(rows.toDF("ts", "v"), "ts", "v", 7)
+      .collect().head
+    assert(r.getAs[Long]("n_scored") == 21L)
+    assert(r.getAs[Double]("mae") == 0.0)
+    assert(r.getAs[Double]("mase") == 0.0)
+  }
+
+  test("apdex: satisfied/tolerating/frustrated split") {
+    import spark.implicits._
+    // T = 10: latencies 5 (sat), 15 (tol), 50 (frustrated), 10 (sat edge)
+    val df = Seq(("g", 5.0), ("g", 15.0), ("g", 50.0), ("g", 10.0))
+      .toDF("g", "lat")
+    val r = Events.apdex(df, "g", "lat", 10.0).collect().head
+    assert(r.getAs[Long]("satisfied") == 2L)
+    assert(r.getAs[Long]("tolerating") == 1L)
+    assert(r.getAs[Double]("apdex") == 0.625) // (2 + 0.5) / 4
+  }
 }
