@@ -104,13 +104,20 @@ object Stats {
     * tests, match outcomes): `P(i beats j) = pᵢ/(pᵢ+pⱼ)`, fit by fixed MM
     * rounds `pᵢ ← Wᵢ / Σⱼ nᵢⱼ/(pᵢ+pⱼ)`, renormalized each round.
     *
-    * Everything is EXACT integer arithmetic in micro-units (`div`
-    * divisions — the same fixed-point contract as the PageRank family), so
-    * every round is bit-reproducible in any engine and the oracle replays
-    * the FULL training as unrolled CTEs ([[bradleyTerryOracleSql]] is
-    * generated side-by-side). Scale shape: per round one pair-keyed join
-    * against the ratings table and one keyed sum — pairs × rounds total
-    * work, ratings stay item-many rows.
+    * Everything is EXACT integer arithmetic in micro-units (truncating
+    * division on positive longs — the same fixed-point contract as the
+    * PageRank family), so every round is bit-reproducible in any engine
+    * and the oracle replays the FULL training as unrolled CTEs
+    * ([[bradleyTerryOracleSql]] is generated side-by-side).
+    *
+    * Scale shape: the MODEL (one rating per item) is driver-small by
+    * definition while the match data is not — so, like the k-means
+    * centroids and the Naive-Bayes tables, the ratings live on the driver
+    * and ride each round's plan as a broadcast literal: per round ONE job
+    * over the persisted pair frame (two broadcast joins + a keyed partial
+    * sum), the items-many denominator vector collected back, and the MM
+    * update + renormalization done in exact driver-side long arithmetic.
+    * No per-round checkpoint, no re-shuffle of the pairs.
     *
     * `matches`: one row per unordered pair — (item_a, item_b, wins_a,
     * wins_b).
@@ -118,6 +125,7 @@ object Stats {
   def bradleyTerry(matches: DataFrame, rounds: Int = 8,
       scale: Long = 1000000L): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
+    val spark = matches.sparkSession
     val big = scale * scale // numerator boost so terms keep 6 digits
     val dir = matches.select(col("item_a").as("i"), col("item_b").as("j"),
         (col("wins_a") + col("wins_b")).cast("long").as("n"),
@@ -129,28 +137,36 @@ object Stats {
     val items = dir.groupBy(col("i").as("item"))
       .agg(sum("w").as("wins"), sum("n").as("n_matches"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nItems = items.select(count(lit(1)).as("_ni"))
-    var p = items.select(col("item"), lit(scale).as("p"))
+    val itemField = items.schema("item")
+    val itemRows = items.collect() // items-many — the model, not the data
+    val wins: Map[Any, Long] =
+      itemRows.map(r => r.get(0) -> r.getLong(1)).toMap
+    val nI = itemRows.length.toLong
+    def literal(p: Map[Any, Long], iCol: String, pCol: String): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(p.toSeq.map { case (it, v) =>
+          org.apache.spark.sql.Row(it, v) }: _*),
+        org.apache.spark.sql.types.StructType(Seq(itemField.copy(name = iCol),
+          org.apache.spark.sql.types.StructField(pCol,
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    var p: Map[Any, Long] = wins.map { case (k, _) => k -> scale }
     for (_ <- 1 to rounds) {
       val denom = dir
-        .join(p.select(col("item").as("i"), col("p").as("_pi")), Seq("i"))
-        .join(p.select(col("item").as("j"), col("p").as("_pj")), Seq("j"))
+        .join(broadcast(literal(p, "i", "_pi")), Seq("i"))
+        .join(broadcast(literal(p, "j", "_pj")), Seq("j"))
         .select(col("i"), expr(s"n * ${big}L div (_pi + _pj)").as("_t"))
         .groupBy("i").agg(sum("_t").as("_den"))
-      val raw = items.join(denom, items("item") === denom("i"), "left")
-        .select(col("item"),
-          when(col("_den").isNull || col("_den") === 0, lit(0L))
-            .otherwise(expr(s"wins * ${big}L div _den")).as("p"))
-      val tot = raw.agg(sum("p").as("_tp"))
-      p = raw.crossJoin(broadcast(tot)).crossJoin(broadcast(nItems))
-        .select(col("item"),
-          when(col("_tp") === 0, lit(0L))
-            .otherwise(expr(s"p * _ni * ${scale}L div _tp")).as("p"))
-        .localCheckpoint(true)
+        .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+      val raw: Map[Any, Long] = p.map { case (it, _) =>
+        val den = denom.getOrElse(it, 0L)
+        it -> (if (den == 0L) 0L else wins(it) * big / den)
+      }
+      val tot = raw.valuesIterator.sum
+      p = if (tot == 0L) raw
+      else raw.map { case (it, v) => it -> v * nI * scale / tot }
     }
-    items.join(p, Seq("item"))
-      .select(col("item"), col("p").as("rating_micro"), col("wins"),
-        col("n_matches"))
+    items.join(broadcast(literal(p, "item", "rating_micro")), Seq("item"))
+      .select(col("item"), col("rating_micro"), col("wins"), col("n_matches"))
   }
 
   /** DuckDB replay of [[bradleyTerry]] — unrolled integer CTE rounds,
