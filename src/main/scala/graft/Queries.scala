@@ -2960,6 +2960,20 @@ object GraftQueries {
         .orderBy("a", "b")
     },
 
+    // extension: HyperBall neighborhood function — per-node HLL ball
+    // sketches grown by register max-merge along co-purchase edges; the
+    // scalable reach/effective-diameter estimate
+    "q_hyperball" -> { (s, d) =>
+      import graft.graph.GraphAlgos
+      val p = t(s, d)("lineitem").where(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val e = p.as("x").join(p.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(concat(lit("p"), col("x.p")).as("src"),
+          concat(lit("p"), col("y.p")).as("dst"))
+      GraphAlgos.hyperBall(e, "src", "dst", rounds = 3).orderBy("round")
+    },
+
     // extension: exact functional-dependency discovery with the g3
     // almost-FD error (min rows to delete for the FD to hold) — the
     // data-driven half of relational schema inference (catalog-driven half:
@@ -7009,6 +7023,16 @@ object GraftQueries {
         |        WHERE l_orderkey % 10 = 0) y
         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"""
         .stripMargin, k = 4, rounds = 3),
+
+    "q_hyperball" -> graft.graph.GraphAlgos.hyperBallOracleSql(
+      """SELECT 'p' || CAST(x.l_partkey AS VARCHAR) AS src,
+        |    'p' || CAST(y.l_partkey AS VARCHAR) AS dst
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |        WHERE l_orderkey % 10 = 0) x
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |        WHERE l_orderkey % 10 = 0) y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"""
+        .stripMargin, rounds = 3),
 
     "q_fd_mine" -> {
       def fd(tbl: String, det: String, dep: String): String =

@@ -1095,4 +1095,110 @@ object GraphAlgos {
     }
     (head +: iters).mkString(",\n")
   }
+
+  /** HyperBall (Boldi & Vigna 2013, public): the neighborhood function
+    * N(r) — how many (node, reachable-node) pairs exist within r hops —
+    * estimated by giving every node an HLL register set of its ball and
+    * growing balls by register max-merge along edges each round. This is
+    * THE scalable way to measure reach/effective diameter: exact
+    * neighborhood sets explode quadratically, the sketch keeps every node
+    * at 256 bytes and the merge is the same keyed max the HLL union uses.
+    *
+    * Determinism: registers are the md5-derived [[graft.ext.Sketch]]
+    * registers; per-node ball estimates round to 2 dp and are quantized
+    * to integer hundredths before the cross-node total, so every number
+    * replays in DuckDB ([[hyperBallOracleSql]] unrolls the rounds).
+    *
+    * Scale shape: each round is one edge ⋈ registers join keyed on the
+    * endpoint plus a (node, bucket) max — the register frame is
+    * nodes × ≤256 rows regardless of density; per-round eager checkpoint
+    * keeps lineage flat (the fixed-point contract used by the PageRank
+    * family).
+    */
+  def hyperBall(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct().persist(lvl)
+    val nodes = e.select(col("u").as("node")).distinct()
+    var regs = graft.ext.Sketch.hllRegisters(nodes, Seq("node"), "node")
+      .localCheckpoint(true)
+    def roundRow(r: Int, g: DataFrame): DataFrame = {
+      val est = graft.ext.Sketch.hllEstimate(g, Seq("node"))
+      est.agg(count(lit(1)).as("n_nodes"),
+          sum(round(col("estimate") * 100).cast("long")).as("_rq"))
+        .select(lit(r).as("round"), col("n_nodes"),
+          round(col("_rq") / 100.0, 2).as("reach_total"),
+          round(col("_rq").cast("double") / col("n_nodes") / 100.0, 4)
+            .as("avg_ball"))
+    }
+    var out = roundRow(0, regs)
+    for (r <- 1 to rounds) {
+      val fromNbr = e.join(regs.withColumnRenamed("node", "v"), Seq("v"))
+        .select(col("u").as("node"), col("bucket"), col("reg"))
+      regs = fromNbr.unionByName(regs)
+        .groupBy("node", "bucket").agg(max(col("reg")).as("reg"))
+        .localCheckpoint(true)
+      out = out.unionByName(roundRow(r, regs))
+    }
+    e.unpersist()
+    out
+  }
+
+  /** DuckDB replay of [[hyperBall]] — materialized unrolled register CTEs
+    * plus the grouped estimator (the q_hll_window shape, per node per
+    * round). `edgesSql` must yield (src, dst) strings.
+    */
+  def hyperBallOracleSql(edgesSql: String, rounds: Int): String = {
+    val rhoSql =
+      """CASE WHEN length(regexp_extract(substring(h, 3, 12), '^0*')) = 12 THEN 49
+        |  ELSE 4 * length(regexp_extract(substring(h, 3, 12), '^0*'))
+        |    + CASE substring(regexp_replace(substring(h, 3, 12), '^0*', ''), 1, 1)
+        |        WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |        WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+        |        ELSE 0 END + 1 END""".stripMargin
+    val head =
+      s"""WITH eraw AS ($edgesSql),
+         |e AS MATERIALIZED (SELECT src AS u, dst AS v FROM eraw
+         |  UNION SELECT dst, src FROM eraw),
+         |nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM e),
+         |h0 AS (SELECT node, md5(CAST(node AS VARCHAR)) AS h FROM nodes),
+         |g0 AS MATERIALIZED (SELECT node,
+         |    (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+         |      + strpos('0123456789abcdef', substring(h, 2, 1)) - 1 AS bucket,
+         |    $rhoSql AS reg
+         |  FROM h0)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      s"""g$r AS MATERIALIZED (SELECT node, bucket, max(reg) AS reg FROM (
+         |  SELECT e.u AS node, p.bucket, p.reg FROM e
+         |    JOIN g${r - 1} p ON p.node = e.v
+         |  UNION ALL SELECT node, bucket, reg FROM g${r - 1}) GROUP BY 1, 2)"""
+        .stripMargin
+    }
+    val ests = (0 to rounds).map { r =>
+      s"""est$r AS (SELECT $r AS round, CAST(count(*) AS BIGINT) AS n_nodes,
+         |    round(CAST(sum(eq) AS BIGINT) / 100.0, 2) AS reach_total,
+         |    round(CAST(CAST(sum(eq) AS BIGINT) AS DOUBLE) / count(*) / 100.0, 4)
+         |      AS avg_ball
+         |  FROM (SELECT node, CAST(round(estimate * 100) AS BIGINT) AS eq FROM (
+         |    SELECT node, CASE WHEN raw <= 640.0 AND zeros > 0
+         |        THEN round(256.0 * ln(256.0 / zeros), 2)
+         |        ELSE round(raw, 2) END AS estimate
+         |    FROM (SELECT node,
+         |        CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)
+         |          * 256.0 * 256.0 /
+         |          (CAST(s_present + (256 - present) * (CAST(1 AS BIGINT) << 49)
+         |            AS DOUBLE) / 562949953421312.0) AS raw,
+         |        256 - present AS zeros
+         |      FROM (SELECT node,
+         |          sum(CAST(1 AS BIGINT) << (49 - reg)) AS s_present,
+         |          count(*) AS present
+         |        FROM g$r GROUP BY 1)))))""".stripMargin
+    }
+    ((head +: (iters ++ ests)).mkString(",\n")) +
+      "\n" + (0 to rounds).map(r => s"SELECT * FROM est$r").mkString("\nUNION ALL\n") +
+      "\nORDER BY round"
+  }
 }

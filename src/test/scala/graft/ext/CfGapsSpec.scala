@@ -57,4 +57,24 @@ class CfGapsSpec extends SparkSpec {
     assert(out((1, 1L)) == 10L)
     assert(out.size == 2) // no off-diagonal mass
   }
+
+  test("hyperBall: ball growth on a path graph matches exact reach") {
+    import spark.implicits._
+    import graft.graph.GraphAlgos
+    // path a-b-c-d-e: balls r=1 have sizes 2,3,3,3,2 (sum 13);
+    // r=2: 3,4,5,4,3 (sum 19); HLL at n<=5 runs linear counting -> near-exact
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val out = GraphAlgos.hyperBall(e, "src", "dst", rounds = 2)
+      .orderBy("round").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    assert(out.forall(_.getLong(1) == 5L))
+    val reach = out.map(_.getDouble(2))
+    // round 0 = every node sees itself
+    assert(math.abs(reach(0) - 5.0) < 0.3)
+    assert(math.abs(reach(1) - 13.0) < 1.0)
+    assert(math.abs(reach(2) - 19.0) < 1.5)
+    // monotone non-decreasing by construction (register max-merge)
+    assert(reach(0) <= reach(1) && reach(1) <= reach(2))
+  }
 }
