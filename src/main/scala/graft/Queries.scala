@@ -2960,6 +2960,14 @@ object GraftQueries {
         .orderBy("a", "b")
     },
 
+    // extension: greedy max-coverage doc selection (submodular curation:
+    // each round picks the doc adding the most uncovered shingles)
+    "q_greedy_cover" -> { (s, d) =>
+      Corpus.greedyCoverSelect(t(s, d)("documents").where(col("doc_id") < 150),
+        "doc_id", "text", n = 3, k = 5)
+        .orderBy("round")
+    },
+
     // extension: HyperBall neighborhood function — per-node HLL ball
     // sketches grown by register max-merge along co-purchase edges; the
     // scalable reach/effective-diameter estimate
@@ -7023,6 +7031,9 @@ object GraftQueries {
         |        WHERE l_orderkey % 10 = 0) y
         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"""
         .stripMargin, k = 4, rounds = 3),
+
+    "q_greedy_cover" -> Corpus.greedyCoverOracleSql(
+      "SELECT doc_id, text FROM documents WHERE doc_id < 150", n = 3, k = 5),
 
     "q_hyperball" -> graft.graph.GraphAlgos.hyperBallOracleSql(
       """SELECT 'p' || CAST(x.l_partkey AS VARCHAR) AS src,

@@ -1661,4 +1661,95 @@ object Corpus {
           .as("pred"),
         col("_best.s").as("score_q"))
   }
+
+  /** Greedy maximum-coverage selection of k documents (the submodular /
+    * facility-location curation recipe, public: pick the doc adding the
+    * most not-yet-covered shingles, repeat — within (1−1/e) of the
+    * optimal coverage by the classic greedy guarantee). The "smallest
+    * representative subset" selector for eval-set construction and
+    * few-shot pool curation.
+    *
+    * Per round: one anti-join of the (doc, shingle) frame against the
+    * covered-shingle set (keyed on the shingle), one counting aggregate,
+    * and a 1-row deterministic argmax (gain desc, id asc) — k rounds
+    * total, the covered set grows by one doc's shingles per round and is
+    * checkpointed (the fixed-point lineage contract). Never materializes
+    * per-doc shingle sets on the driver.
+    */
+  def greedyCoverSelect(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sh = graft.ext.Dedup.explodeShingles(df, idCol, textCol, n)
+      .select(col(idCol).as("_id"), col("shingle")).distinct().persist(lvl)
+    var covered = sh.select(col("shingle")).limit(0).localCheckpoint(true)
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Any, Long, Long)]
+    var round = 1
+    var done = false
+    while (round <= k && !done) {
+      val gains = sh.join(covered, Seq("shingle"), "left_anti")
+        .groupBy("_id").agg(count(lit(1)).as("_g"))
+        .orderBy(col("_g").desc, col("_id").asc).limit(1).collect()
+      if (gains.isEmpty) done = true // everything covered: stop early
+      else {
+        val doc = gains.head.get(0)
+        val gain = gains.head.getLong(1)
+        covered = covered
+          .unionByName(sh.where(col("_id") === doc).select("shingle"))
+          .distinct().localCheckpoint(true)
+        picks += ((round, doc, gain, covered.count()))
+        round += 1
+      }
+    }
+    sh.unpersist()
+    import org.apache.spark.sql.types._
+    val idField = df.schema(idCol)
+    spark.createDataFrame(
+      java.util.Arrays.asList(picks.toSeq.map { case (r, doc, g, c) =>
+        org.apache.spark.sql.Row(r, doc, g, c) }: _*),
+      StructType(Seq(StructField("round", IntegerType, nullable = false),
+        idField.copy(name = idCol),
+        StructField("gain", LongType, nullable = false),
+        StructField("covered_total", LongType, nullable = false))))
+  }
+
+  /** DuckDB replay of [[greedyCoverSelect]] — unrolled materialized CTE
+    * rounds (pick → covered per round). `docsSql` must yield (doc_id,
+    * text); shingles/normalization match [[graft.ext.Dedup.shingles]].
+    */
+  def greedyCoverOracleSql(docsSql: String, n: Int, k: Int): String = {
+    val grams = (0 until n).map(i => s"t[i+$i]").mkString(" || ' ' || ")
+    val head =
+      s"""WITH docs AS ($docsSql),
+         |tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),
+         |    '\\s+', ' ', 'g')), ' ') AS t FROM docs),
+         |sh AS MATERIALIZED (SELECT DISTINCT doc_id AS id, $grams AS shingle
+         |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - ${n - 1}))
+         |    AS i) u
+         |  WHERE len(t) >= $n)""".stripMargin
+    val rounds = (1 to k).map { r =>
+      val anti =
+        if (r == 1) "sh"
+        else s"""(SELECT * FROM sh WHERE NOT EXISTS
+                |  (SELECT 1 FROM cov${r - 1} c WHERE c.shingle = sh.shingle))"""
+          .stripMargin
+      s"""pick$r AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS gain
+         |  FROM $anti sx GROUP BY 1 ORDER BY gain DESC, id LIMIT 1),
+         |cov$r AS MATERIALIZED (SELECT DISTINCT shingle FROM sh
+         |  WHERE sh.id = (SELECT id FROM pick$r)
+         |  ${if (r == 1) "" else s"UNION SELECT shingle FROM cov${r - 1}"}),
+         |tot$r AS (SELECT CAST(count(*) AS BIGINT) AS c FROM cov$r)""".stripMargin
+    }
+    // a saturated round has an EMPTY pick (no uncovered shingles left) —
+    // emit nothing for it, matching the Scala early stop
+    val sel = (1 to k).map { r =>
+      s"""SELECT $r AS round, (SELECT id FROM pick$r) AS doc_id,
+         |  (SELECT gain FROM pick$r) AS gain,
+         |  (SELECT c FROM tot$r) AS covered_total
+         |WHERE (SELECT count(*) FROM pick$r) > 0""".stripMargin
+    }
+    ((head +: rounds).mkString(",\n")) + "\n" +
+      sel.mkString("\nUNION ALL\n") + "\nORDER BY round"
+  }
 }

@@ -397,4 +397,22 @@ class CorpusSpec extends SparkSpec {
     assert(w(1) > w(3) && w(2) > w(4))
     assert(!w.contains(6L), "empty doc has no evidence — omitted")
   }
+
+  test("greedyCoverSelect picks by marginal gain and stops when covered") {
+    import spark.implicits._
+    // doc 1 covers {a b c, b c d} (2 shingles); doc 2 shares "a b c" and
+    // adds "c d e"; doc 3 is a strict subset of doc 1's coverage
+    val df = Seq(
+      (1L, "a b c d"),      // shingles: "a b c", "b c d"
+      (2L, "a b c d e"),    // shingles: "a b c", "b c d", "c d e"
+      (3L, "a b c"))        // shingle:  "a b c"
+      .toDF("doc_id", "text")
+    val out = Corpus.greedyCoverSelect(df, "doc_id", "text", n = 3, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // round 1: doc 2 (gain 3); round 2: nothing new for 1/3 -> gain-0 picks
+    assert(out(0) == ((1, 2L, 3L, 3L)))
+    // all shingles covered after round 1: remaining rounds gain 0 and the
+    // anti-join empties -> selection stops early
+    assert(out.length == 1)
+  }
 }
