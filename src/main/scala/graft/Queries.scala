@@ -2960,6 +2960,19 @@ object GraftQueries {
         .orderBy("a", "b")
     },
 
+    // extension: SQL surface over the property graph — collections
+    // registered as temp views, vertices joined THROUGH an edge view in
+    // plain spark.sql (the JDBC/notebook face of the store)
+    "q_graph_sql" -> { (s, d) =>
+      val g = ingestCore(s, d)
+      g.registerViews("g_")
+      s.sql("""SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
+        FROM g_customer c
+        JOIN g_customer__in_nation__nation e ON e.src_c_custkey = c.c_custkey
+        JOIN g_nation n ON n.n_nationkey = e.dst_n_nationkey
+        GROUP BY n.n_name ORDER BY n.n_name""")
+    },
+
     // extension: greedy max-coverage doc selection (submodular curation:
     // each round picks the doc adding the most uncovered shingles)
     "q_greedy_cover" -> { (s, d) =>
@@ -7031,6 +7044,11 @@ object GraftQueries {
         |        WHERE l_orderkey % 10 = 0) y
         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"""
         .stripMargin, k = 4, rounds = 3),
+
+    "q_graph_sql" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_greedy_cover" -> Corpus.greedyCoverOracleSql(
       "SELECT doc_id, text FROM documents WHERE doc_id < 150", n = 3, k = 5),

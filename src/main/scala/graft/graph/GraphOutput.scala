@@ -100,6 +100,20 @@ final case class GraphOutput(
       .map(_.select(org.apache.spark.sql.functions.lit(1).as("one")))
       .reduceOption(_ union _).map(_.count()).getOrElse(0L)
 
+  /** Register every collection as a session temp view — the SQL surface
+    * over the property graph: `<prefix><vertex>` per vertex collection and
+    * `<prefix><src>__<rel>__<tgt>` per edge collection, so SQL-only
+    * clients (JDBC, notebooks, `spark.sql`) can join vertices through
+    * edges without touching the Scala API. Views are lazy plan aliases —
+    * no materialization, full pushdown through them.
+    */
+  def registerViews(prefix: String = "g_"): Unit = {
+    vertices.foreach { case (name, df) =>
+      df.createOrReplaceTempView(s"$prefix$name") }
+    edges.foreach { case (k, df) =>
+      df.createOrReplaceTempView(s"$prefix${k.storeName}") }
+  }
+
   /** Persist every collection — for read paths that touch the same derived
     * DataFrames repeatedly (BFS hops, multi-query readers). Lazy: storage
     * fills on first action per collection.
