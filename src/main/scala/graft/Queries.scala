@@ -2960,6 +2960,21 @@ object GraftQueries {
         .orderBy("a", "b")
     },
 
+    // extension: node2vec-biased walks (return weight 1/p, outward 1/q;
+    // deterministic exponential-race weighted draw, pico-quantized)
+    "q_biased_walks" -> { (s, d) =>
+      import graft.graph.GraphAlgos
+      val li = t(s, d)("lineitem")
+      val fwd = li.select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"))
+      val rev = li.select(concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      GraphAlgos.biasedWalks(fwd.unionByName(rev), "src", "dst",
+        seeds = Seq("s1", "s2", "s3"), steps = 4,
+        pReturn = 4.0, qOut = 0.5, walksPerSeed = 2)
+        .orderBy("walk_id", "step")
+    },
+
     // extension: SQL surface over the property graph — collections
     // registered as temp views, vertices joined THROUGH an edge view in
     // plain spark.sql (the JDBC/notebook face of the store)
@@ -7044,6 +7059,14 @@ object GraftQueries {
         |        WHERE l_orderkey % 10 = 0) y
         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"""
         .stripMargin, k = 4, rounds = 3),
+
+    "q_biased_walks" -> graft.graph.GraphAlgos.biasedWalksOracleSql(
+      """SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+        |    'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem
+        |UNION ALL SELECT 'p' || CAST(l_partkey AS VARCHAR),
+        |    's' || CAST(l_suppkey AS VARCHAR) FROM lineitem""".stripMargin,
+      seeds = Seq("s1", "s2", "s3"), steps = 4,
+      pReturn = 4.0, qOut = 0.5, walksPerSeed = 2),
 
     "q_graph_sql" ->
       """SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers

@@ -1201,4 +1201,107 @@ object GraphAlgos {
       "\n" + (0 to rounds).map(r => s"SELECT * FROM est$r").mkString("\nUNION ALL\n") +
       "\nORDER BY round"
   }
+
+  /** node2vec-biased walks (Grover & Leskovec 2016, public): the next hop
+    * is drawn with weight 1/p for returning to the PREVIOUS node, 1 for
+    * moving to a common neighbor of the previous node (BFS-ish), and 1/q
+    * for moving outward (DFS-ish) — p > 1, q < 1 explores; p < 1 returns.
+    * The draw is DETERMINISTIC weighted sampling: per candidate an
+    * md5-derived uniform feeds an exponential race `−ln(u)·(1/weight)`
+    * (the Efraimidis-Spirakis key [[graft.ext.Corpus]]'s weighted sampler
+    * uses), quantized to integer picos so the argmin replays in any
+    * engine; ties break on the neighbor id.
+    *
+    * Scale shape: per step one edge ⋈ frontier join (frontier ≤ #walks
+    * rows → broadcast), one (prev, dst) membership probe against the edge
+    * set (keyed join), and a struct-min argmin — no windows over the edge
+    * frame; per-step checkpoint keeps lineage flat.
+    */
+  def biasedWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[String], steps: Int, pReturn: Double, qOut: Double,
+      walksPerSeed: Int = 1): DataFrame = {
+    require(steps >= 1 && walksPerSeed >= 1 && seeds.nonEmpty,
+      "need steps, walks, seeds")
+    require(pReturn > 0 && qOut > 0, "p and q must be positive")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var frontier = seeds.distinct.sorted
+      .flatMap(s => (0 until walksPerSeed).map(w => (s"$s#$w", 0L, s, null: String)))
+      .toDF("walk_id", "step", "node", "prev")
+    var out = frontier.select("walk_id", "step", "node")
+    for (st <- 1 to steps) {
+      val cand = e
+        .join(frontier.select(col("walk_id"), col("node").as("src"),
+          col("prev")), Seq("src"))
+        .select(col("walk_id"), col("src"), col("prev"), col("dst"))
+      // distance-1 probe: is (prev, dst) itself an edge?
+      val nbrOfPrev = e.select(col("src").as("prev"), col("dst"),
+        lit(true).as("_n1"))
+      val weighted = cand.join(nbrOfPrev, Seq("prev", "dst"), "left")
+        .withColumn("_u",
+          conv(substring(md5(concat_ws(":", col("walk_id"), lit(st.toString),
+            col("dst"))), 1, 12), 16, 10).cast("long").cast("double") /
+            lit(math.pow(16.0, 12)))
+        .withColumn("_winv",
+          when(col("prev").isNull, lit(1.0))
+            .when(col("dst") === col("prev"), lit(pReturn))
+            .when(col("_n1"), lit(1.0)).otherwise(lit(qOut)))
+        .withColumn("_kq",
+          round(-log(col("_u")) * col("_winv") * 1e12).cast("long"))
+      frontier = weighted
+        .groupBy("walk_id")
+        .agg(min(struct(col("_kq"), col("dst"), col("src"))).as("m"))
+        .select(col("walk_id"), lit(st.toLong).as("step"),
+          col("m.dst").as("node"), col("m.src").as("prev"))
+        .localCheckpoint(true)
+      out = out.unionByName(frontier.select("walk_id", "step", "node"))
+    }
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** DuckDB replay of [[biasedWalks]] — unrolled steps with the same
+    * md5-uniform, exponential-race key, pico quantization, and tiebreak.
+    */
+  def biasedWalksOracleSql(edgesSql: String, seeds: Seq[String], steps: Int,
+      pReturn: Double, qOut: Double, walksPerSeed: Int = 1): String = {
+    val seedRows = seeds.distinct.sorted
+      .flatMap(s => (0 until walksPerSeed).map(w => s"('$s#$w', '$s')"))
+      .mkString(", ")
+    val uniform = (step: Int) =>
+      s"""CAST(list_sum(list_transform(generate_series(1, 12), ii ->
+         |  CAST(strpos('0123456789abcdef',
+         |    substring(md5(concat(f.walk_id, ':$step:', e.dst)), ii, 1)) - 1
+         |    AS BIGINT)
+         |  * CAST(16 ** (12 - ii) AS BIGINT))) AS DOUBLE) / (16.0 ** 12)"""
+        .stripMargin
+    val head =
+      s"""WITH E0 AS ($edgesSql),
+         |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM E0 WHERE src <> dst),
+         |s0 AS (SELECT walk_id, CAST(0 AS BIGINT) AS step, node,
+         |    CAST(NULL AS VARCHAR) AS prev
+         |  FROM (VALUES $seedRows) t(walk_id, node))""".stripMargin
+    val iters = (1 to steps).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT walk_id, CAST($i AS BIGINT) AS step,
+         |    dst AS node, src AS prev FROM (
+         |  SELECT f.walk_id, e.src, e.dst,
+         |      row_number() OVER (PARTITION BY f.walk_id ORDER BY
+         |        CAST(round(-ln(${uniform(i)}) *
+         |          (CASE WHEN f.prev IS NULL THEN 1.0
+         |            WHEN e.dst = f.prev THEN $pReturn
+         |            WHEN EXISTS (SELECT 1 FROM e e2
+         |              WHERE e2.src = f.prev AND e2.dst = e.dst) THEN 1.0
+         |            ELSE $qOut END) * 1e12) AS BIGINT), e.dst, e.src) AS rk
+         |    FROM s${i - 1} f JOIN e ON e.src = f.node) WHERE rk = 1)"""
+        .stripMargin
+    }
+    val union = (0 to steps).map(i =>
+      s"SELECT walk_id, step, node FROM s$i").mkString(" UNION ALL ")
+    (head +: iters).mkString(",\n") +
+      s"\n$union\nORDER BY walk_id, step"
+  }
 }

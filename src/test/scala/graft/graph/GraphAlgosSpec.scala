@@ -210,4 +210,29 @@ class GraphAlgosSpec extends SparkSpec {
       if (sunk.nonEmpty) assert(steps.map(_._2).max == sunk.map(_._2).min)
     }
   }
+
+  test("biasedWalks: return bias steers the second hop") {
+    import spark.implicits._
+    // star a-{b,c,d} plus b-c edges: the race key multiplies -ln(u) by
+    // pReturn for the return candidate, so a SMALL pReturn makes the
+    // return hop win the race at step 2
+    val e = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
+      ("a", "d"), ("d", "a"), ("b", "c"), ("c", "b")).toDF("src", "dst")
+    // pReturn = 0.01: exponential race key scales by 0.01 for the return
+    // candidate -> practically always wins at step 2
+    val walks = GraphAlgos.biasedWalks(e, "src", "dst",
+      seeds = Seq("a"), steps = 2, pReturn = 0.01, qOut = 1.0,
+      walksPerSeed = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    (0 until 4).foreach { w =>
+      assert(walks(("a#" + w, 2L)) == "a", s"walk $w should return to a")
+    }
+    // qOut huge (outward strongly disfavored): from b (prev a), step-2
+    // choices are a (return) or c (common neighbor of a) - both beat any
+    // outward move; with pReturn = 1 both classes race at weight 1
+    val w2 = GraphAlgos.biasedWalks(e, "src", "dst", Seq("a"), 2,
+      pReturn = 1.0, qOut = 1000.0, walksPerSeed = 8)
+    assert(w2.where(org.apache.spark.sql.functions.col("step") === 2)
+      .count() == 8L)
+  }
 }
