@@ -3098,6 +3098,14 @@ object GraftQueries {
         "o_orderkey", "o_totalprice", b = 32)
     },
 
+    // extension: robust seasonal anomalies — per-(type, weekday) exact
+    // median baseline + MAD bands over daily cent totals
+    "q_robust_seasonal" -> { (s, d) =>
+      graft.ext.Events.robustSeasonalAnomalies(TpchGraph.eventsTable(s, d),
+        "event_type", "ts", "value", k = 3.0)
+        .orderBy("event_type", "day")
+    },
+
     // extension: seasonal-naive forecast evaluation (MAE/SMAPE/MASE over
     // daily value totals — the baseline yardstick, exact cents)
     "q_forecast_eval" -> { (s, d) =>
@@ -7259,6 +7267,27 @@ object GraftQueries {
         |  round(sqrt((CAST(sm2 AS DOUBLE) - CAST(sm AS DOUBLE) * sm / nb)
         |    / (nb - 1)) / 1e4, 4) AS bootstrap_se
         |FROM fl, rs""".stripMargin,
+
+    "q_robust_seasonal" ->
+      """WITH daily AS (SELECT event_type AS t,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |dw AS (SELECT t, day, x, CAST((day + 4) % 7 AS INT) AS dow FROM daily),
+        |med AS (SELECT t, dow, quantile_cont(x::DOUBLE, 0.5) AS m
+        |  FROM dw GROUP BY 1, 2),
+        |j AS (SELECT dw.t, dw.day, dw.dow, dw.x, med.m
+        |  FROM dw JOIN med ON dw.t = med.t AND dw.dow = med.dow),
+        |mad AS (SELECT t, dow, quantile_cont(abs(x - m), 0.5) AS md
+        |  FROM j GROUP BY 1, 2)
+        |SELECT j.t AS event_type, j.day, j.dow,
+        |  j.x / 100.0 AS value,
+        |  j.m / 100.0 AS baseline,
+        |  (j.x - j.m) / 100.0 AS deviation,
+        |  (abs(j.x - j.m) > mad.md * 3.0 OR (mad.md = 0.0 AND j.x <> j.m))
+        |    AS anomaly
+        |FROM j JOIN mad ON j.t = mad.t AND j.dow = mad.dow
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_forecast_eval" ->
       """WITH daily AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400)

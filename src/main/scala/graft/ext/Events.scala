@@ -550,6 +550,43 @@ object Events {
         round(exp(col("log_surv_micro").cast("double") / 1e6), 4).as("surv"))
   }
 
+  /** Robust seasonal anomaly detection: each (type, weekday) gets an
+    * exact-median baseline and a MAD scale, and a day flags when its total
+    * deviates more than `k` MADs — the outlier-resistant alternative to
+    * mean/stddev bands (one anomalous spike inflates a stddev band enough
+    * to hide the next spike; medians don't move). A zero-MAD weekday
+    * (constant history) flags ANY deviation.
+    *
+    * Exact cents feed exact interpolated percentiles; the flag compares
+    * doubles derived identically in any engine. Scale shape: one keyed
+    * daily aggregate, two grouped percentile aggregates over the tiny
+    * (type × weekday) frame, keyed joins back.
+    */
+  def robustSeasonalAnomalies(df: DataFrame, typeCol: String, tsCol: String,
+      valueCol: String, k: Double = 3.0): DataFrame = {
+    val day = floor(unix_timestamp(col(tsCol)) / lit(86400L)).cast("long")
+    val daily = df.where(col(valueCol).isNotNull)
+      .select(col(typeCol).as("_t"), day.as("day"),
+        round(col(valueCol) * 100).cast("long").as("_v"))
+      .groupBy("_t", "day").agg(sum("_v").as("x"))
+      .withColumn("dow", pmod(col("day") + 4, lit(7)).cast("int"))
+    val med = daily.groupBy("_t", "dow")
+      .agg(percentile(col("x"), lit(0.5)).as("_med"))
+    val j = daily.join(med, Seq("_t", "dow"))
+    val mad = j.groupBy("_t", "dow")
+      .agg(percentile(abs(col("x") - col("_med")), lit(0.5)).as("_mad"))
+    j.join(mad, Seq("_t", "dow"))
+      // no rounding: every number derives bit-identically from exact
+      // integers in any engine, and rounding a half-ending interpolated
+      // median is exactly where engines disagree
+      .select(col("_t").as(typeCol), col("day"), col("dow"),
+        (col("x") / 100.0).as("value"),
+        (col("_med") / 100.0).as("baseline"),
+        ((col("x") - col("_med")) / 100.0).as("deviation"),
+        (abs(col("x") - col("_med")) > col("_mad") * k ||
+          (col("_mad") === 0.0 && col("x") =!= col("_med"))).as("anomaly"))
+  }
+
   /** Forecast-accuracy evaluation of the seasonal-naive baseline (the
     * yardstick every real forecast must beat): per period the forecast is
     * the value `season` periods back; errors aggregate to MAE, SMAPE and

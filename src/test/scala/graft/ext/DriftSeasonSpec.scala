@@ -126,4 +126,22 @@ class DriftSeasonSpec extends SparkSpec {
     assert(r.getAs[Long]("tolerating") == 1L)
     assert(r.getAs[Double]("apdex") == 0.625) // (2 + 0.5) / 4
   }
+
+  test("robustSeasonalAnomalies: outlier flags, stable weekday does not") {
+    import spark.implicits._
+    // 5 weeks of data: type t, every day value 10 except ONE huge Monday
+    val rows = (0 until 35).map { d =>
+      val v = if (d == 11) 500.0 else 10.0 + (d % 7) // day 11 is an outlier
+      ("t", ts(d), v)
+    }
+    val out = Events.robustSeasonalAnomalies(rows.toDF("t", "ts", "v"),
+      "t", "ts", "v", k = 3.0)
+    val anomalies = out.where(col("anomaly")).collect()
+    assert(anomalies.map(_.getLong(1)).toSeq == Seq(11L))
+    // the outlier's weekday baseline stays at the MEDIAN of its weekday
+    // (the other four 10+dow values), not dragged toward 500
+    val a = anomalies.head
+    assert(a.getAs[Double]("baseline") < 20.0)
+    assert(a.getAs[Double]("value") == 500.0)
+  }
 }
