@@ -2975,6 +2975,47 @@ object GraftQueries {
         .orderBy("walk_id", "step")
     },
 
+    // extension: skip-gram (center, context) pairs from the biased-walk
+    // corpus — the node-embedding training statistics
+    "q_skipgram" -> { (s, d) =>
+      import graft.graph.GraphAlgos
+      val li = t(s, d)("lineitem")
+      val fwd = li.select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"))
+      val rev = li.select(concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      val walks = GraphAlgos.biasedWalks(fwd.unionByName(rev), "src", "dst",
+        seeds = Seq("s1", "s2", "s3"), steps = 4,
+        pReturn = 4.0, qOut = 0.5, walksPerSeed = 2)
+      GraphAlgos.skipGramPairs(walks, window = 2)
+        .orderBy("center", "context")
+    },
+
+    // extension: cohort LTV curve — cumulative revenue per signup-week
+    // cohort by week offset (the unit-economics payback view); exact cents
+    "q_cohort_ltv" -> { (s, d) =>
+      val ev = TpchGraph.eventsTable(s, d).where(col("value").isNotNull)
+      val period = floor(unix_timestamp(col("ts")) / lit(604800L)).cast("long")
+      val base = ev.select(col("user_id").as("u"), period.as("p"),
+        round(col("value") * 100).cast("long").as("v"))
+      val cohorts = base.groupBy("u").agg(min("p").as("c"))
+      val spend = base.join(cohorts, Seq("u"))
+        .groupBy(col("c").as("cohort_week"),
+          (col("p") - col("c")).as("week_offset"))
+        .agg(sum("v").as("_cents"),
+          count_distinct(col("u")).as("n_users"))
+      val w = Window.partitionBy("cohort_week").orderBy("week_offset")
+      val sizes = cohorts.groupBy(col("c").as("cohort_week"))
+        .agg(count(lit(1)).as("cohort_size"))
+      spend.withColumn("_cum", sum(col("_cents")).over(w))
+        .join(broadcast(sizes), Seq("cohort_week"))
+        .select(col("cohort_week"), col("week_offset"), col("n_users"),
+          col("cohort_size"),
+          round(col("_cum").cast("double") / col("cohort_size") / 100.0, 4)
+            .as("cum_ltv_per_user"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
     // extension: SQL surface over the property graph — collections
     // registered as temp views, vertices joined THROUGH an edge view in
     // plain spark.sql (the JDBC/notebook face of the store)
@@ -7067,6 +7108,39 @@ object GraftQueries {
         |        WHERE l_orderkey % 10 = 0) y
         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"""
         .stripMargin, k = 4, rounds = 3),
+
+    "q_skipgram" -> (graft.graph.GraphAlgos.biasedWalksOracleCte(
+      """SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+        |    'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem
+        |UNION ALL SELECT 'p' || CAST(l_partkey AS VARCHAR),
+        |    's' || CAST(l_suppkey AS VARCHAR) FROM lineitem""".stripMargin,
+      seeds = Seq("s1", "s2", "s3"), steps = 4,
+      pReturn = 4.0, qOut = 0.5, walksPerSeed = 2) +
+      """
+        |SELECT a.node AS center, b.node AS context,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+        |  AND a.step <> b.step AND abs(a.step - b.step) <= 2
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q_cohort_ltv" ->
+      """WITH base AS (SELECT user_id AS u,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 604800) AS BIGINT) AS p,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |coh AS (SELECT u, min(p) AS c FROM base GROUP BY 1),
+        |spend AS (SELECT coh.c AS cohort_week, base.p - coh.c AS week_offset,
+        |    CAST(sum(v) AS BIGINT) AS cents,
+        |    CAST(count(DISTINCT base.u) AS BIGINT) AS n_users
+        |  FROM base JOIN coh ON base.u = coh.u GROUP BY 1, 2),
+        |sz AS (SELECT c AS cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM coh GROUP BY 1)
+        |SELECT s.cohort_week, s.week_offset, s.n_users, sz.cohort_size,
+        |  round(CAST(sum(s.cents) OVER (PARTITION BY s.cohort_week
+        |      ORDER BY s.week_offset ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    / sz.cohort_size / 100.0, 4) AS cum_ltv_per_user
+        |FROM spend s JOIN sz ON s.cohort_week = sz.cohort_week
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_biased_walks" -> graft.graph.GraphAlgos.biasedWalksOracleSql(
       """SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,

@@ -1267,7 +1267,7 @@ object GraphAlgos {
   /** DuckDB replay of [[biasedWalks]] — unrolled steps with the same
     * md5-uniform, exponential-race key, pico quantization, and tiebreak.
     */
-  def biasedWalksOracleSql(edgesSql: String, seeds: Seq[String], steps: Int,
+  def biasedWalksOracleCte(edgesSql: String, seeds: Seq[String], steps: Int,
       pReturn: Double, qOut: Double, walksPerSeed: Int = 1): String = {
     val seedRows = seeds.distinct.sorted
       .flatMap(s => (0 until walksPerSeed).map(w => s"('$s#$w', '$s')"))
@@ -1301,7 +1301,33 @@ object GraphAlgos {
     }
     val union = (0 to steps).map(i =>
       s"SELECT walk_id, step, node FROM s$i").mkString(" UNION ALL ")
-    (head +: iters).mkString(",\n") +
-      s"\n$union\nORDER BY walk_id, step"
+    (head +: iters).mkString(",\n") + s",\nwalks AS ($union)"
+  }
+
+  /** Full standalone query over [[biasedWalksOracleCte]]. */
+  def biasedWalksOracleSql(edgesSql: String, seeds: Seq[String], steps: Int,
+      pReturn: Double, qOut: Double, walksPerSeed: Int): String =
+    biasedWalksOracleCte(edgesSql, seeds, steps, pReturn, qOut, walksPerSeed) +
+      "\nSELECT walk_id, step, node FROM walks ORDER BY walk_id, step"
+
+  /** Skip-gram training pairs from a walk corpus (the DeepWalk/node2vec
+    * second stage, public): for every walk, all (center, context) node
+    * pairs within `window` steps, counted — the co-occurrence statistics a
+    * node-embedding trainer consumes. One self-join of the walks frame
+    * keyed on the walk id with a bounded step-distance predicate, then a
+    * map-side-combinable pair count; walks are steps-bounded so the join
+    * fan-out is ≤ 2·window per position.
+    */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val a = walks.select(col("walk_id"), col("step").as("_sa"),
+      col("node").as("center"))
+    val b = walks.select(col("walk_id"), col("step").as("_sb"),
+      col("node").as("context"))
+    a.join(b, Seq("walk_id"))
+      .where(col("_sa") =!= col("_sb") &&
+        abs(col("_sa") - col("_sb")) <= window)
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("n"))
   }
 }

@@ -235,4 +235,18 @@ class GraphAlgosSpec extends SparkSpec {
     assert(w2.where(org.apache.spark.sql.functions.col("step") === 2)
       .count() == 8L)
   }
+
+  test("skipGramPairs: window-bounded pairs per walk") {
+    import spark.implicits._
+    // one walk a->b->c->d: window 1 pairs each adjacent (both directions)
+    val walks = Seq(("w#0", 0L, "a"), ("w#0", 1L, "b"), ("w#0", 2L, "c"),
+      ("w#0", 3L, "d")).toDF("walk_id", "step", "node")
+    val pairs = GraphAlgos.skipGramPairs(walks, window = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set(("a","b"), ("b","a"), ("b","c"), ("c","b"),
+      ("c","d"), ("d","c")))
+    assert(pairs.values.forall(_ == 1L))
+    // window 3 adds the distance-2 and distance-3 pairs
+    assert(GraphAlgos.skipGramPairs(walks, window = 3).count() == 12L)
+  }
 }
