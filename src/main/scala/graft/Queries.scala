@@ -2975,6 +2975,16 @@ object GraftQueries {
         .orderBy("walk_id", "step")
     },
 
+    // extension: native QOI image decode — procedurally synthesized QOI
+    // payloads round-trip through the real codec (encode → decode) and the
+    // decoded channel sums check closed-form against the pixel formula
+    "q_qoi_decode" -> { (s, d) =>
+      val ids = t(s, d)("documents").select(col("doc_id"))
+        .where(col("doc_id") < 100)
+      val packed = Multimodal.synthesizeQoi(ids, "doc_id", w = 16, h = 12)
+      Multimodal.channelSums(packed, "doc_id").orderBy("doc_id")
+    },
+
     // extension: skip-gram (center, context) pairs from the biased-walk
     // corpus — the node-embedding training statistics
     "q_skipgram" -> { (s, d) =>
@@ -7108,6 +7118,16 @@ object GraftQueries {
         |        WHERE l_orderkey % 10 = 0) y
         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"""
         .stripMargin, k = 4, rounds = 3),
+
+    "q_qoi_decode" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+        |xs AS (SELECT unnest(generate_series(0, 15)) AS x),
+        |ys AS (SELECT unnest(generate_series(0, 11)) AS y)
+        |SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+        |  CAST(sum((x * 3 + y * 5 + doc_id) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((x * 7 + y + 2 * doc_id) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((x + y * 11 + 3 * doc_id) % 256) AS BIGINT) AS sum_b
+        |FROM d, xs, ys GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_skipgram" -> (graft.graph.GraphAlgos.biasedWalksOracleCte(
       """SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,

@@ -99,7 +99,181 @@ object Multimodal {
   def decode(bytes: Array[Byte]): Option[Raster] =
     if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if (bytes.length >= 4 && bytes(0) == 'q' && bytes(1) == 'o' &&
+      bytes(2) == 'i' && bytes(3) == 'f') decodeQoi(bytes)
     else None
+
+  /** QOI decode (the public "Quite OK Image" spec, qoiformat.org): 14-byte
+    * header, then RGB/RGBA/INDEX/DIFF/LUMA/RUN chunks against a 64-slot
+    * seen-pixel array keyed by `(3r+5g+7b+11a) mod 64`, 8-byte end marker.
+    * Alpha is decoded but dropped (the engine's raster is RGB). Pure
+    * integer byte walking — deterministic on any JVM.
+    */
+  def decodeQoi(bytes: Array[Byte]): Option[Raster] = {
+    if (bytes.length < 22 || bytes(0) != 'q' || bytes(1) != 'o' ||
+      bytes(2) != 'i' || bytes(3) != 'f') return None
+    def u32(o: Int): Int =
+      ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+        ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+    val w = u32(4); val h = u32(8)
+    if (w <= 0 || h <= 0 || w.toLong * h > 16777216L) return None
+    val out = new Array[Byte](w * h * 3)
+    val index = new Array[Int](64) // packed rgba, all-zero init
+    var r = 0; var g = 0; var b = 0; var a = 255
+    var p = 14; var px = 0
+    val nPx = w * h
+    while (px < nPx && p < bytes.length) {
+      val b1 = bytes(p) & 0xff; p += 1
+      var run = 1
+      if (b1 == 0xfe) { // RGB
+        r = bytes(p) & 0xff; g = bytes(p + 1) & 0xff; b = bytes(p + 2) & 0xff
+        p += 3
+      } else if (b1 == 0xff) { // RGBA
+        r = bytes(p) & 0xff; g = bytes(p + 1) & 0xff; b = bytes(p + 2) & 0xff
+        a = bytes(p + 3) & 0xff; p += 4
+      } else (b1 >> 6) match {
+        case 0 => // INDEX
+          val v = index(b1 & 0x3f)
+          r = (v >> 24) & 0xff; g = (v >> 16) & 0xff
+          b = (v >> 8) & 0xff; a = v & 0xff
+        case 1 => // DIFF (2-bit channel deltas, bias 2)
+          r = (r + ((b1 >> 4) & 3) - 2) & 0xff
+          g = (g + ((b1 >> 2) & 3) - 2) & 0xff
+          b = (b + (b1 & 3) - 2) & 0xff
+        case 2 => // LUMA (6-bit dg bias 32; dr/db relative to dg, bias 8)
+          val dg = (b1 & 0x3f) - 32
+          val b2 = bytes(p) & 0xff; p += 1
+          r = (r + dg + ((b2 >> 4) & 15) - 8) & 0xff
+          g = (g + dg) & 0xff
+          b = (b + dg + (b2 & 15) - 8) & 0xff
+        case _ => // RUN (bias -1)
+          run = (b1 & 0x3f) + 1
+      }
+      // update the seen array after every chunk — a RUN rewrites the same
+      // value (harmless), everything else must be registered
+      index((3 * r + 5 * g + 7 * b + 11 * a) % 64) =
+        (r << 24) | (g << 16) | (b << 8) | a
+      var k = 0
+      while (k < run && px < nPx) {
+        val o = px * 3
+        out(o) = r.toByte; out(o + 1) = g.toByte; out(o + 2) = b.toByte
+        px += 1; k += 1
+      }
+    }
+    if (px != nPx) None else Some(Raster(w, h, out, 255))
+  }
+
+  /** QOI encode of an RGB raster (alpha fixed at 255) — the write-side
+    * half, used by [[synthesizeQoi]] and round-trip specs. Emits RUN /
+    * INDEX / DIFF / LUMA / RGB chunks exactly per the public spec.
+    */
+  def qoiPack(raster: Raster): Array[Byte] = {
+    val w = raster.width; val h = raster.height; val px = raster.rgb
+    val out = new java.io.ByteArrayOutputStream(14 + w * h + 8)
+    def u32(v: Int): Unit = {
+      out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff)
+      out.write((v >> 8) & 0xff); out.write(v & 0xff)
+    }
+    out.write('q'); out.write('o'); out.write('i'); out.write('f')
+    u32(w); u32(h); out.write(3); out.write(0)
+    val index = new Array[Int](64)
+    var pr = 0; var pg = 0; var pb = 0
+    var run = 0
+    var i = 0
+    val n = w * h
+    while (i < n) {
+      val r = px(i * 3) & 0xff; val g = px(i * 3 + 1) & 0xff
+      val b = px(i * 3 + 2) & 0xff
+      if (r == pr && g == pg && b == pb) {
+        run += 1
+        if (run == 62 || i == n - 1) { out.write(0xc0 | (run - 1)); run = 0 }
+      } else {
+        if (run > 0) { out.write(0xc0 | (run - 1)); run = 0 }
+        val hash = (3 * r + 5 * g + 7 * b + 11 * 255) % 64
+        val packed = (r << 24) | (g << 16) | (b << 8) | 255
+        if (index(hash) == packed) out.write(hash)
+        else {
+          index(hash) = packed
+          val dr = ((r - pr + 128) & 0xff) - 128
+          val dg = ((g - pg + 128) & 0xff) - 128
+          val db = ((b - pb + 128) & 0xff) - 128
+          if (dr >= -2 && dr <= 1 && dg >= -2 && dg <= 1 && db >= -2 && db <= 1)
+            out.write(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+          else if (dg >= -32 && dg <= 31 && dr - dg >= -8 && dr - dg <= 7 &&
+            db - dg >= -8 && db - dg <= 7) {
+            out.write(0x80 | (dg + 32))
+            out.write(((dr - dg + 8) << 4) | (db - dg + 8))
+          } else {
+            out.write(0xfe); out.write(r); out.write(g); out.write(b)
+          }
+        }
+      }
+      pr = r; pg = g; pb = b
+      i += 1
+    }
+    (0 until 7).foreach(_ => out.write(0)); out.write(1)
+    out.toByteArray
+  }
+
+  /** Synthesize deterministic QOI payloads per id — procedural RGB so the
+    * oracle can recompute any decoded statistic closed-form.
+    */
+  def synthesizeQoi(df: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("media", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val rgb = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val o = (y * w + x) * 3
+              rgb(o) = (((x * 3 + y * 5 + id) % 256).toInt).toByte
+              rgb(o + 1) = (((x * 7 + y + 2 * id) % 256).toInt).toByte
+              rgb(o + 2) = (((x + y * 11 + 3 * id) % 256).toInt).toByte
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, qoiPack(Raster(w, h, rgb, 255)))
+        }
+      }(enc)
+  }
+
+  /** Per-image channel sums over the decoded raster — the closed-form-
+    * checkable decode statistic (same mapPartitions batch shape as
+    * [[extractFeatures]]; undecodable rows are dropped).
+    */
+  def channelSums(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("width", LongType), StructField("height", LongType),
+      StructField("sum_r", LongType), StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col("media"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          decode(r.getAs[Array[Byte]](1)).map { ras =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var i = 0
+            val n = ras.width * ras.height
+            while (i < n) {
+              sr += ras.rgb(i * 3) & 0xff
+              sg += ras.rgb(i * 3 + 1) & 0xff
+              sb += ras.rgb(i * 3 + 2) & 0xff
+              i += 1
+            }
+            Row(r.getLong(0), ras.width.toLong, ras.height.toLong, sr, sg, sb)
+          }
+        }
+      }(enc)
+  }
 
   /** Grid-cell mean-luminance features of a decoded raster (`grid²` floats,
     * row-major cells; luma = (0.299 R + 0.587 G + 0.114 B) / 255, averaged

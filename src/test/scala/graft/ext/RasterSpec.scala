@@ -70,4 +70,36 @@ class RasterSpec extends AnyFunSuite {
     assert(up.rgb.grouped(3).map(_(0)).toSeq ==
       Seq[Byte](0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7))
   }
+
+  test("QOI round-trip is lossless across all chunk types") {
+    // build a raster exercising RUN (constant rows), DIFF/LUMA (small
+    // gradients), INDEX (revisited colors), and RGB (big jumps)
+    val w = 32; val h = 16
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      val (r, g, b) =
+        if (y < 4) (10, 20, 30)                       // RUN territory
+        else if (y < 8) (x, x + 1, x + 2)             // DIFF/LUMA gradients
+        else if (y < 12) (10 * ((x % 3) + 1), 20, 30) // INDEX revisits
+        else ((x * 97) % 256, (x * 31) % 256, (x * 13) % 256) // RGB jumps
+      rgb(o) = r.toByte; rgb(o + 1) = g.toByte; rgb(o + 2) = b.toByte
+    }
+    val in = Multimodal.Raster(w, h, rgb, 255)
+    val bytes = Multimodal.qoiPack(in)
+    assert(new String(bytes.take(4)) == "qoif")
+    val out = Multimodal.decodeQoi(bytes).get
+    assert(out.width == w && out.height == h)
+    assert(out.rgb.toSeq == in.rgb.toSeq) // bit-exact round trip
+    // the generic dispatch also routes QOI
+    assert(Multimodal.decode(bytes).get.rgb.toSeq == in.rgb.toSeq)
+  }
+
+  test("QOI decode rejects truncated and foreign payloads") {
+    assert(Multimodal.decodeQoi("nope".getBytes).isEmpty)
+    val good = Multimodal.qoiPack(Multimodal.Raster(4, 4,
+      Array.fill(48)(7.toByte), 255))
+    assert(Multimodal.decodeQoi(good.take(10)).isEmpty)
+    assert(Multimodal.decodeQoi(good).nonEmpty)
+  }
 }
