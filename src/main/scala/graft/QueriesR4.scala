@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Clustering, Events, Regression}
+import graft.fixtures.TpchGraph
+
+/** Round-4 operator additions, same contract as [[GraftQueries]]: one
+  * battery entry per operator, each with a full DuckDB oracle. Split into
+  * its own file to keep `Queries.scala` reviewable; [[SparkEntry]] merges
+  * both maps.
+  */
+object GraftQueriesR4 {
+
+  private def t(s: SparkSession, dir: String)(name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val all: Map[String, Q] = Map(
+
+    // extension: distributed linear regression — ONE partial-aggregated
+    // Gram-matrix pass (ten integer sums cross the exchange, nothing else),
+    // exact BigInt normal-equation solve on the driver, OLS + ridge from
+    // the same sufficient statistics. y = extendedprice (whole dollars),
+    // x1 = quantity, x2 = discount (percent points).
+    "q_ols" -> { (s, d) =>
+      val li = t(s, d)("lineitem").select(
+        round(col("l_quantity")).cast("long").as("x1"),
+        round(col("l_discount") * 100).cast("long").as("x2"),
+        round(col("l_extendedprice")).cast("long").as("y"))
+      val g = Regression.gram2(li, "x1", "x2", "y")
+      val models = Seq(
+        ("ols", Regression.solve2(g)),
+        ("ridge", Regression.solve2(g, BigInt(20) * g.n * g.n)))
+      import s.implicits._
+      models.map { case (m, (b0, b1, b2, r2)) =>
+        (m, b0, b1, b2, r2, g.n.toLong)
+      }.toDF("model", "_b0", "_b1", "_b2", "_r2", "n")
+        .select(col("model"),
+          round(col("_b0"), 4).as("b0"), round(col("_b1"), 4).as("b1"),
+          round(col("_b2"), 4).as("b2"), round(col("_r2"), 6).as("r2"),
+          col("n"))
+        .orderBy("model")
+    },
+
+    // extension: grid-bucketed DBSCAN over the first two embedding dims —
+    // eps-neighbors via a 3×3 cell-keyed join (bounded by local density,
+    // never all-pairs), core/border/noise roles, clusters = hash-min
+    // connected components of the core graph
+    "q_dbscan" -> { (s, d) =>
+      Clustering.dbscanGrid(t(s, d)("embeddings"), "vec_id", "embedding",
+        eps = 50000L, minPts = 10)
+        .orderBy("vec_id")
+    },
+
+    // extension: Holt double exponential smoothing (level + trend) per
+    // event type over daily value totals — exact rational-coefficient
+    // integer recurrence, parallel across series, one array fold per
+    // series; 7-day-ahead linear forecast
+    "q_holt" -> { (s, d) =>
+      Events.holtSmooth(
+        TpchGraph.eventsTable(s, d).where(col("value").isNotNull),
+        "event_type", "ts", "value", horizon = 7)
+        .orderBy("event_type")
+    })
+
+  // ---------------------------------------------------------------- oracles
+
+  private val olsGramSql =
+    """WITH q AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS x2,
+      |    CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem),
+      |g AS (SELECT count(*)::HUGEINT AS n,
+      |  sum(x1)::HUGEINT AS sx1, sum(x2)::HUGEINT AS sx2, sum(y)::HUGEINT AS sy,
+      |  sum(x1*x1)::HUGEINT AS sx1x1, sum(x2*x2)::HUGEINT AS sx2x2,
+      |  sum(x1*x2)::HUGEINT AS sx1x2, sum(x1*y)::HUGEINT AS sx1y,
+      |  sum(x2*y)::HUGEINT AS sx2y, sum(y*y)::HUGEINT AS syy FROM q)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "q_ols" ->
+      s"""$olsGramSql,
+         |${Regression.solve2Sql("0::HUGEINT", "0")},
+         |${Regression.solve2Sql("20::HUGEINT*n*n", "1")}
+         |SELECT * FROM (
+         |  SELECT 'ols' AS model, round(b0, 4) AS b0, round(b1, 4) AS b1,
+         |    round(b2, 4) AS b2, round(r2, 6) AS r2, n::BIGINT AS n FROM m0
+         |  UNION ALL
+         |  SELECT 'ridge', round(b0, 4), round(b1, 4), round(b2, 4),
+         |    round(r2, 6), n::BIGINT FROM m1)
+         |ORDER BY model""".stripMargin,
+
+    "q_dbscan" -> Clustering.dbscanOracleSql(
+      "embeddings", "vec_id", "embedding", eps = 50000L, minPts = 10),
+
+    "q_holt" -> Events.holtOracleSql(
+      "(SELECT * FROM events WHERE value IS NOT NULL)",
+      "event_type", "CAST(ts AS TIMESTAMP)", "value", horizon = 7))
+}

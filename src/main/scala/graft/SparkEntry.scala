@@ -6,8 +6,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     GraftQueries.all("q_revenue_by_nation")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = GraftQueries.all
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    GraftQueries.all ++ GraftQueriesR4.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = GraftQueries.oracles
+  def oracleSql: Map[String, String] = GraftQueries.oracles ++ GraftQueriesR4.oracles
 }

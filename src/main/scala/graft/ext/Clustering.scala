@@ -133,4 +133,110 @@ object Clustering {
        |SELECT id AS $idCol, CAST(cluster AS INTEGER) AS cluster, dist_q
        |FROM fin ORDER BY $idCol""".stripMargin
   }
+
+  /** Grid-bucketed DBSCAN over the first two embedding coordinates —
+    * density clustering without the all-pairs join. Eps-neighbor candidate
+    * pairs come from a JOIN ON GRID CELL (cell side = eps; each point probes
+    * its 3×3 cell neighborhood), so the pair count is bounded by local
+    * density, never n² — the standard spatial-partitioning trick that keeps
+    * DBSCAN feasible at corpus scale. Classification is the textbook one:
+    * core = |N_eps(p)| ≥ minPts (self included), clusters = connected
+    * components of the core-core eps-graph (labels = min reachable core id,
+    * via [[Dedup.connectedComponents]] hash-min propagation), border =
+    * non-core with a core neighbor (assigned the MIN neighboring core's
+    * component for determinism), noise = everything else (cluster −1).
+    *
+    * Determinism: coordinates quantize to integer micro-units first, so
+    * distance comparisons are exact long arithmetic; the floor-div to cell
+    * ids uses the `(v − pmod(v, eps)) / eps` identity (exact for negatives
+    * too). `eps` is in quantized units (50_000 = 0.05 raw).
+    *
+    * Scale shape: one narrow projection persisted, one cell-keyed shuffle
+    * join (9 probe keys/point), one degree aggregate, then CC over the
+    * (much smaller) core-core edge list. Skew guard: a pathological
+    * all-points-in-one-cell input degrades to the dense-cell pair join —
+    * callers with known hot cells should pre-filter or raise eps; the
+    * normal corpus case is bounded by `minPts`-scale densities.
+    */
+  def dbscanGrid(df: DataFrame, idCol: String, vecCol: String,
+      eps: Long, minPts: Int): DataFrame = {
+    require(eps > 0 && minPts >= 1, "eps and minPts must be positive")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pts = df.select(col(idCol).as("id"),
+        round(element_at(col(vecCol), 1).cast("double") * Scale, 0)
+          .cast("long").as("x"),
+        round(element_at(col(vecCol), 2).cast("double") * Scale, 0)
+          .cast("long").as("y"))
+      .persist(lvl)
+    def fdiv(c: Column): Column =
+      ((c - pmod(c, lit(eps))) / lit(eps)).cast("long")
+    val right = pts.select(col("id").as("ib"), col("x").as("xb"),
+      col("y").as("yb"), fdiv(col("x")).as("cx"), fdiv(col("y")).as("cy"))
+    val offsets = array((for { i <- -1 to 1; j <- -1 to 1 } yield
+      struct(lit(i).as("i"), lit(j).as("j"))): _*)
+    val left = pts.select(col("id").as("ia"), col("x").as("xa"),
+        col("y").as("ya"), fdiv(col("x")).as("bx"), fdiv(col("y")).as("by"))
+      .withColumn("_o", explode(offsets))
+      .select(col("ia"), col("xa"), col("ya"),
+        (col("bx") + col("_o.i")).as("cx"), (col("by") + col("_o.j")).as("cy"))
+    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    val nbr = left.join(right, Seq("cx", "cy"))
+      .where(d2 <= lit(eps) * lit(eps))
+      .select("ia", "ib").persist(lvl)
+    val cores = nbr.groupBy("ia").agg(count(lit(1)).as("dg"))
+      .where(col("dg") >= minPts).select(col("ia").as("id"))
+    val coreEdges = nbr
+      .join(cores.withColumnRenamed("id", "ia"), Seq("ia"))
+      .join(cores.withColumnRenamed("id", "ib"), Seq("ib"))
+      .where(col("ia") =!= col("ib"))
+    val comp = Dedup.connectedComponents(cores, "id", coreEdges, "ia", "ib")
+    val borders = nbr
+      .join(comp.withColumnRenamed("id", "ib")
+        .withColumnRenamed("component", "_c"), Seq("ib"))
+      .join(cores.withColumnRenamed("id", "ia"), Seq("ia"), "left_anti")
+      .groupBy(col("ia").as("id")).agg(min("_c").as("cluster"))
+    val coreOut = comp.select(col("id"), lit("core").as("role"),
+      col("component").as("cluster"))
+    val borderOut = borders.select(col("id"), lit("border").as("role"),
+      col("cluster"))
+    val noiseOut = pts.select("id")
+      .join(comp.select("id"), Seq("id"), "left_anti")
+      .join(borders.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), lit("noise").as("role"), lit(-1L).as("cluster"))
+    coreOut.unionByName(borderOut).unionByName(noiseOut)
+      .select(col("id").as(idCol), col("role"), col("cluster"))
+  }
+
+  /** DuckDB replay of [[dbscanGrid]] — the oracle skips the grid (scale
+    * machinery, not semantics) and does the eps-join directly, then the
+    * same core/border/noise classification with a recursive reachability
+    * closure for components (min reachable core id = the hash-min label).
+    */
+  def dbscanOracleSql(table: String, idCol: String, vecCol: String,
+      eps: Long, minPts: Int): String =
+    s"""WITH RECURSIVE p AS (SELECT $idCol AS id,
+       |    CAST(round(CAST($vecCol[1] AS DOUBLE) * 1000000, 0) AS BIGINT) AS x,
+       |    CAST(round(CAST($vecCol[2] AS DOUBLE) * 1000000, 0) AS BIGINT) AS y
+       |  FROM $table),
+       |nbr AS (SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b
+       |  ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= ${eps}::BIGINT * ${eps}::BIGINT),
+       |core AS (SELECT ia AS id FROM nbr GROUP BY ia HAVING count(*) >= $minPts),
+       |ce AS (SELECT n.ia, n.ib FROM nbr n
+       |  JOIN core ca ON ca.id = n.ia JOIN core cb ON cb.id = n.ib
+       |  WHERE n.ia <> n.ib),
+       |reach AS (SELECT id, id AS r FROM core
+       |  UNION SELECT ce.ia AS id, reach.r FROM ce JOIN reach ON reach.id = ce.ib),
+       |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+       |border AS (SELECT n.ia AS id, min(c.cluster) AS cluster FROM nbr n
+       |  JOIN comp c ON c.id = n.ib
+       |  WHERE n.ia NOT IN (SELECT id FROM core) GROUP BY n.ia)
+       |SELECT p.id AS $idCol,
+       |  CASE WHEN comp.id IS NOT NULL THEN 'core'
+       |       WHEN border.id IS NOT NULL THEN 'border'
+       |       ELSE 'noise' END AS role,
+       |  COALESCE(comp.cluster, border.cluster, -1) AS cluster
+       |FROM p LEFT JOIN comp ON comp.id = p.id
+       |  LEFT JOIN border ON border.id = p.id
+       |ORDER BY p.id""".stripMargin
 }

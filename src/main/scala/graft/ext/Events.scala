@@ -813,4 +813,86 @@ object Events {
         round((coalesce(col("_sb"), lit(0L)) + coalesce(col("_sd"), lit(0L)))
           .cast("double") / 100.0, 2).as("total_value"))
   }
+
+  /** Holt double exponential smoothing (level + linear trend) per series —
+    * the forecasting step up from the seasonal-naive baseline
+    * ([[seasonalityIndex]] handles the seasonal face). Smoothing factors
+    * are exact rationals (alpha = 2/10, beta = 3/10) over integer cents
+    * with an explicit floor-division, so the recursion replays bit-for-bit
+    * in any engine:
+    *
+    *   l_t = (2*y_t + 8*(l_{t-1} + b_{t-1})) fdiv 10
+    *   b_t = (3*(l_t - l_{t-1}) + 7*b_{t-1}) fdiv 10,   l_1 = y_1, b_1 = 0
+    *
+    * Scale shape: the recurrence is inherently sequential PER SERIES but
+    * embarrassingly parallel ACROSS series (the 100 TB case is millions of
+    * series × short horizons, not one long series): one keyed daily
+    * aggregate, then `sort_array(collect_list)` + a codegen'd `aggregate`
+    * HOF fold per group — each series' whole pass is one in-memory array
+    * fold on its reducer, no per-step shuffle. Returns one row per series:
+    * day count, final level/trend, and the h-step-ahead linear forecast
+    * (all in value units, 2 dp).
+    */
+  def holtSmooth(df: DataFrame, typeCol: String, tsCol: String,
+      valueCol: String, horizon: Int = 7): DataFrame = {
+    def fdiv10(a: Column): Column =
+      ((a - pmod(a, lit(10L))) / lit(10L)).cast("long")
+    val day = floor(unix_timestamp(col(tsCol)) / lit(86400L)).cast("long")
+    val daily = df.select(col(typeCol).as("_t"), day.as("_day"),
+        round(col(valueCol) * 100).cast("long").as("_v"))
+      .groupBy("_t", "_day").agg(sum("_v").as("_y"))
+    val series = daily
+      .groupBy("_t")
+      .agg(sort_array(collect_list(struct(col("_day"), col("_y")))).as("_ys"))
+    val zero = struct(
+      element_at(col("_ys"), 1).getField("_y").as("l"),
+      lit(0L).as("b"))
+    val folded = aggregate(
+      slice(col("_ys"), lit(2), greatest(size(col("_ys")) - 1, lit(0))),
+      zero,
+      (acc, e) => {
+        val lNew = fdiv10(lit(2L) * e.getField("_y") +
+          lit(8L) * (acc.getField("l") + acc.getField("b")))
+        val bNew = fdiv10(lit(3L) * (lNew - acc.getField("l")) +
+          lit(7L) * acc.getField("b"))
+        struct(lNew.as("l"), bNew.as("b"))
+      })
+    series.select(col("_t").as(typeCol),
+        size(col("_ys")).cast("long").as("n_days"),
+        folded.getField("l").as("_l"), folded.getField("b").as("_b"))
+      .select(col(typeCol), col("n_days"),
+        round(col("_l").cast("double") / 100.0, 2).as("level"),
+        round(col("_b").cast("double") / 100.0, 2).as("trend"),
+        round((col("_l") + lit(horizon.toLong) * col("_b")).cast("double") / 100.0, 2)
+          .as(s"forecast_h$horizon"))
+  }
+
+  /** DuckDB replay of [[holtSmooth]]: the same integer recurrence as a
+    * recursive CTE stepping all series in lockstep on the day ordinal.
+    */
+  def holtOracleSql(table: String, typeCol: String, tsCol: String,
+      valueCol: String, horizon: Int = 7): String = {
+    def fd(a: String) = s"(($a - ((($a) % 10 + 10) % 10)) / 10)::BIGINT"
+    val lNew = fd(s"2*s.y + 8*(r.l + r.b)")
+    s"""WITH RECURSIVE daily AS (SELECT $typeCol AS t,
+       |    CAST(floor(epoch($tsCol) / 86400) AS BIGINT) AS day,
+       |    CAST(sum(CAST(round($valueCol * 100) AS BIGINT)) AS BIGINT) AS y
+       |  FROM $table GROUP BY 1, 2),
+       |s AS (SELECT t, y, row_number() OVER (PARTITION BY t ORDER BY day) AS idx
+       |  FROM daily),
+       |n AS (SELECT t, count(*) AS n_days FROM s GROUP BY t),
+       |rec AS (SELECT t, idx, y AS l, 0::BIGINT AS b FROM s WHERE idx = 1
+       |  UNION ALL
+       |  SELECT s.t, s.idx, x.lnew AS l,
+       |    ${fd("3*(x.lnew - r.l) + 7*r.b")} AS b
+       |  FROM rec r JOIN s ON s.t = r.t AND s.idx = r.idx + 1,
+       |  LATERAL (SELECT $lNew AS lnew) x),
+       |fin AS (SELECT r.t, r.l, r.b FROM rec r JOIN n ON n.t = r.t
+       |  WHERE r.idx = n.n_days)
+       |SELECT fin.t AS $typeCol, n.n_days::BIGINT AS n_days,
+       |  round(fin.l::DOUBLE / 100.0, 2) AS level,
+       |  round(fin.b::DOUBLE / 100.0, 2) AS trend,
+       |  round((fin.l + $horizon*fin.b)::DOUBLE / 100.0, 2) AS forecast_h$horizon
+       |FROM fin JOIN n ON n.t = fin.t ORDER BY $typeCol""".stripMargin
+  }
 }
