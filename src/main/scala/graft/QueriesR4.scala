@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Clustering, Events, Regression}
+import graft.ext.{Clustering, Events, Regression, Url}
 import graft.fixtures.TpchGraph
+import graft.graph.GraphAlgos
 
 /** Round-4 operator additions, same contract as [[GraftQueries]]: one
   * battery entry per operator, each with a full DuckDB oracle. Split into
@@ -15,6 +16,39 @@ object GraftQueriesR4 {
 
   private def t(s: SparkSession, dir: String)(name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  /** The messy-URL synthesis shared by q_url_canon and its oracle: a
+    * deterministic function of (doc_id, source) exercising every
+    * canonicalization rule — mixed-case scheme/host, default and
+    * non-default ports, duplicate slashes, trailing slash, tracking
+    * params, unsorted params, fragments.
+    */
+  private def messyUrl: org.apache.spark.sql.Column =
+    concat(
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTP")).otherwise(lit("https")),
+      lit("://WWW.Ex"), col("source"), lit(".COM"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit(":80"))
+        .otherwise(when(pmod(col("doc_id"), lit(3)) === 1, lit(":8080"))
+          .otherwise(lit(""))),
+      lit("/A//b"), pmod(col("doc_id"), lit(5)).cast("string"),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=x&b=2&a="), pmod(col("doc_id"), lit(7)).cast("string"),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("#frag")).otherwise(lit("")))
+
+  private val messyUrlSql: String =
+    """(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END ||
+      |'://WWW.Ex' || source || '.COM' ||
+      |CASE WHEN doc_id % 3 = 0 THEN ':80'
+      |     WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END ||
+      |'/A//b' || (doc_id % 5)::VARCHAR ||
+      |CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+      |'?utm_source=x&b=2&a=' || (doc_id % 7)::VARCHAR ||
+      |CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END)""".stripMargin
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -64,6 +98,35 @@ object GraftQueriesR4 {
         TpchGraph.eventsTable(s, d).where(col("value").isNotNull),
         "event_type", "ts", "value", horizon = 7)
         .orderBy("event_type")
+    },
+
+    // §2.1 FileDataSource breadth: ORC round-trip through the same format
+    // dispatch as csv/jsonl/parquet (columnar interchange beyond the
+    // reference's chunker formats)
+    "q_file_orc" -> { (s, d) =>
+      val dir = s"/root/repo/target/graft-file-${d.replaceAll("[^0-9.]", "")}"
+      deleteRecursively(new java.io.File(s"$dir/supplier_orc"))
+      t(s, d)("supplier").write.mode("overwrite").orc(s"$dir/supplier_orc")
+      graft.sources.FileSource.read(s, s"$dir/supplier_orc", format = Some("orc"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_nationkey").cast("long").as("s_nationkey"))
+        .orderBy("s_suppkey")
+    },
+
+    // extension: butterfly (bipartite 4-cycle) census over the
+    // part-supplier incidence graph — wedges pivot on the low-degree side
+    "q_butterflies" -> { (s, d) =>
+      GraphAlgos.butterflyCensus(t(s, d)("lineitem"), "l_partkey", "l_suppkey")
+    },
+
+    // extension: URL canonicalization + canonical-key dedup — the
+    // web-corpus normalization pass (case, default ports, dup slashes,
+    // trailing slash, tracking params, param order, fragments)
+    "q_url_canon" -> { (s, d) =>
+      t(s, d)("documents").select(col("doc_id"), col("source"))
+        .select(Url.canonicalize(messyUrl).as("url"))
+        .groupBy("url").agg(count(lit(1)).as("n_dups"))
+        .orderBy("url")
     })
 
   // ---------------------------------------------------------------- oracles
@@ -97,5 +160,17 @@ object GraftQueriesR4 {
 
     "q_holt" -> Events.holtOracleSql(
       "(SELECT * FROM events WHERE value IS NOT NULL)",
-      "event_type", "CAST(ts AS TIMESTAMP)", "value", horizon = 7))
+      "event_type", "CAST(ts AS TIMESTAMP)", "value", horizon = 7),
+
+    "q_file_orc" ->
+      """SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
+        |FROM supplier ORDER BY 1""".stripMargin,
+
+    "q_butterflies" -> GraphAlgos.butterflyCensusOracleSql(
+      "SELECT l_partkey AS a, l_suppkey AS b FROM lineitem"),
+
+    "q_url_canon" ->
+      s"""WITH u AS (SELECT ${Url.canonicalizeSql(messyUrlSql)} AS url
+         |  FROM documents)
+         |SELECT url, count(*) AS n_dups FROM u GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -29,6 +29,7 @@ object FileSource {
         case "csv"            => "csv"       // TableChunker (chunker.py:247)
         case "tsv"            => "tsv"
         case "parquet"        => "parquet"   // ParquetChunker (chunker.py:387)
+        case "orc"            => "orc"       // columnar breadth beyond the reference
         case other => throw new IllegalArgumentException(s"unknown file format: $other")
       }
     }
@@ -40,6 +41,7 @@ object FileSource {
       case "tsv"     => spark.read.option("header", csvHeader).option("sep", "\t")
         .option("inferSchema", true).csv(path)
       case "parquet" => spark.read.parquet(path)
+      case "orc"     => spark.read.orc(path)
       case other     => throw new IllegalArgumentException(s"unknown format: $other")
     }
     limit.map(df.limit).getOrElse(df) // source `limit` (data_source/base.py:71-92)
