@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Clustering, Events, Regression, Url}
+import graft.ext.{Clustering, Events, Privacy, Regression, Stats, Url}
 import graft.fixtures.TpchGraph
 import graft.graph.GraphAlgos
 
@@ -127,6 +127,37 @@ object GraftQueriesR4 {
         .select(Url.canonicalize(messyUrl).as("url"))
         .groupBy("url").agg(count(lit(1)).as("n_dups"))
         .orderBy("url")
+    },
+
+    // extension: HITS hubs & authorities over the supplier→part incidence
+    // graph — integer L1-normalized fixed point, 3 rounds
+    "q_hits" -> { (s, d) =>
+      val edges = t(s, d)("lineitem")
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+      GraphAlgos.hitsFixed(edges, "src", "dst", iterations = 3)
+        .orderBy(col("authority").desc, col("node")).limit(100)
+    },
+
+    // extension: isotonic (PAV) calibration of return probability against
+    // the discount level — minimax identity over the bin table, so the
+    // sequential pool-adjacent-violators scan becomes joins/aggregates
+    "q_isotonic" -> { (s, d) =>
+      Stats.isotonicCalibration(
+        t(s, d)("lineitem").select(
+          round(col("l_discount") * 100).cast("long").as("disc_pct"),
+          (col("l_returnflag") === "R").cast("int").as("ret")),
+        "disc_pct", "ret")
+        .orderBy("score")
+    },
+
+    // extension: differentially-private histogram release — per-type event
+    // counts + inverse-CDF Laplace noise (ε = 0.5) from the house
+    // md5-uniform, reproducible and engine-replicable
+    "q_dp_histogram" -> { (s, d) =>
+      Privacy.dpNoisyCounts(TpchGraph.eventsTable(s, d), "event_type",
+        epsilonX10 = 5)
+        .orderBy("event_type")
     })
 
   // ---------------------------------------------------------------- oracles
@@ -172,5 +203,20 @@ object GraftQueriesR4 {
     "q_url_canon" ->
       s"""WITH u AS (SELECT ${Url.canonicalizeSql(messyUrlSql)} AS url
          |  FROM documents)
-         |SELECT url, count(*) AS n_dups FROM u GROUP BY 1 ORDER BY 1""".stripMargin)
+         |SELECT url, count(*) AS n_dups FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_hits" ->
+      s"""${GraphAlgos.hitsOracleSql(
+            "SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem",
+            iterations = 3)}
+         |SELECT a3.node, a3.authority, h3.hub
+         |FROM a3 JOIN h3 ON h3.node = a3.node
+         |ORDER BY a3.authority DESC, a3.node LIMIT 100""".stripMargin,
+
+    "q_isotonic" -> Stats.isotonicOracleSql("lineitem",
+      "CAST(round(l_discount * 100) AS BIGINT)",
+      "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"),
+
+    "q_dp_histogram" -> Privacy.dpNoisyCountsOracleSql(
+      "events", "event_type", epsilonX10 = 5))
 }

@@ -45,4 +45,51 @@ object Privacy {
           .as("pct_rows_below_k"),
         col("min_l_diversity"))
   }
+
+  /** Differentially-private histogram release: per-key counts with Laplace
+    * noise at sensitivity 1 (each row contributes to ONE key), scale
+    * b = 10/epsilonX10 — i.e. `epsilonX10 = 10` is ε = 1. The "randomness"
+    * is the house md5-uniform (48 bits of `md5(salt:key)` → u ∈ [0,1)), so
+    * the release is reproducible and engine-replicable while keeping the
+    * DP shape: noise = −b·sgn(u−½)·ln(1−2|u−½|) (inverse-CDF Laplace).
+    * For a real adversarial release swap the seed for entropy; the
+    * pipeline mechanics (one keyed count, per-key constant-time noise, no
+    * true count in the output) are exactly these.
+    *
+    * Scale shape: one map-side-combinable count per key + a narrow per-key
+    * expression. Output: key, noisy_n (rounded to a long, floored at 0).
+    */
+  def dpNoisyCounts(df: DataFrame, keyCol: String, epsilonX10: Int,
+      salt: String = "dp"): DataFrame = {
+    require(epsilonX10 >= 1, "epsilonX10 must be >= 1")
+    val b = 10.0 / epsilonX10
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+    val u = conv(substring(md5(concat_ws(":", lit(salt), col("key"))), 1, 12),
+      16, 10).cast("double") / lit(281474976710656.0) // 2^48
+    val centered = u - lit(0.5)
+    val lnArg = greatest(lit(1.0) - lit(2.0) * abs(centered),
+      lit(3.552713678800501e-15)) // 2^-48: ln stays finite at u = 0.5
+    val noise = -lit(b) * signum(centered) * log(lnArg)
+    counts.select(col("key").as(keyCol),
+      greatest(round(col("n") + noise, 0).cast("long"), lit(0L))
+        .as("noisy_n"))
+  }
+
+  /** DuckDB replay of [[dpNoisyCounts]]. */
+  def dpNoisyCountsOracleSql(table: String, keyCol: String,
+      epsilonX10: Int, salt: String = "dp"): String = {
+    val b = s"(10.0 / $epsilonX10)"
+    s"""WITH c AS (SELECT $keyCol AS key, count(*)::BIGINT AS n
+       |  FROM $table GROUP BY 1),
+       |u AS (SELECT key, n,
+       |    CAST(concat('0x', substring(md5(concat('$salt', ':', key)), 1, 12))
+       |      AS BIGINT)::DOUBLE / 281474976710656.0 - 0.5 AS ctr
+       |  FROM c)
+       |SELECT key AS $keyCol,
+       |  greatest(CAST(round(n + (-$b * sign(ctr) *
+       |    ln(greatest(1.0 - 2.0 * abs(ctr), 3.552713678800501e-15))), 0)
+       |    AS BIGINT), 0) AS noisy_n
+       |FROM u ORDER BY 1""".stripMargin
+  }
 }

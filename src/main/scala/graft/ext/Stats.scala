@@ -499,4 +499,78 @@ object Stats {
        |${cells.mkString("\nUNION ALL\n")}
        |ORDER BY 1, 2""".stripMargin
   }
+
+  /** Isotonic (monotone nondecreasing) calibration of a binary outcome
+    * against an ordinal score — the PAV fit a ranker/classifier's scores
+    * pass through before use as probabilities (Zadrozny & Elkan 2002).
+    * Computed via the minimax identity instead of the sequential
+    * pool-adjacent-violators scan:
+    *
+    *   fit(i) = max_{j ≤ i} min_{k ≥ i} mean(y over score-bins j..k)
+    *
+    * which is pure joins/aggregates over the BIN table — no sequential
+    * state, so both engines replay it exactly.
+    *
+    * Scale shape: the data-sized work is ONE keyed aggregate to per-bin
+    * (n, positives) — map-side combinable, B rows out. The O(B³) minimax
+    * runs on the bin table (B = #distinct scores, e.g. 11 discount
+    * levels), which is broadcast-tiny by construction; callers with
+    * continuous scores bucket them first. Window means are exact integer
+    * ratios divided once in double (identical IEEE op both sides).
+    *
+    * Output: one row per bin — score, n, p_raw, p_iso (6 dp), p_iso
+    * nondecreasing in score.
+    */
+  def isotonicCalibration(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val bins = df.groupBy(col(scoreCol).as("score"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("s"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("score")
+    val b = bins.select(col("score"), col("n"), col("s"),
+      row_number().over(w).as("idx"),
+      sum(col("n")).over(w).as("cn"), sum(col("s")).over(w).as("cs"))
+    val j = b.select(col("idx").as("jidx"), col("n").as("jn"),
+      col("s").as("js"), col("cn").as("jcn"), col("cs").as("jcs"))
+    val k = b.select(col("idx").as("kidx"), col("cn").as("kcn"),
+      col("cs").as("kcs"))
+    // window mean over bins j..k: (cs_k − cs_j + s_j)/(cn_k − cn_j + n_j)
+    val windows = j.join(k, col("jidx") <= col("kidx"))
+      .select(col("jidx"), col("kidx"),
+        ((col("kcs") - col("jcs") + col("js")).cast("double") /
+          (col("kcn") - col("jcn") + col("jn"))).as("wmean"))
+    val fits = b.select(col("idx"), col("score"), col("n"), col("s"))
+      .join(windows, col("jidx") <= col("idx") && col("kidx") >= col("idx"))
+      .groupBy("idx", "score", "n", "s", "jidx")
+      .agg(min("wmean").as("mn"))
+      .groupBy("idx", "score", "n", "s").agg(max("mn").as("p_iso"))
+    fits.select(col("score"), col("n"),
+      round(col("s").cast("double") / col("n"), 6).as("p_raw"),
+      round(col("p_iso"), 6).as("p_iso"))
+  }
+
+  /** DuckDB replay of [[isotonicCalibration]]. `scoreExpr`/`labelExpr`
+    * are SQL expressions over `table` rows (label must be 0/1).
+    */
+  def isotonicOracleSql(table: String, scoreExpr: String,
+      labelExpr: String): String =
+    s"""WITH bins AS (SELECT $scoreExpr AS score, count(*)::BIGINT AS n,
+       |    sum($labelExpr)::BIGINT AS s FROM $table GROUP BY 1),
+       |b AS (SELECT score, n, s,
+       |    row_number() OVER (ORDER BY score) AS idx,
+       |    sum(n) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cn,
+       |    sum(s) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cs
+       |  FROM bins),
+       |w AS (SELECT j.idx AS jidx, k.idx AS kidx,
+       |    (k.cs - j.cs + j.s)::DOUBLE / (k.cn - j.cn + j.n) AS wmean
+       |  FROM b j JOIN b k ON j.idx <= k.idx),
+       |inner_min AS (SELECT i.idx, i.score, i.n, i.s, w.jidx,
+       |    min(w.wmean) AS mn
+       |  FROM b i JOIN w ON w.jidx <= i.idx AND w.kidx >= i.idx
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |fit AS (SELECT idx, score, n, s, max(mn) AS p_iso
+       |  FROM inner_min GROUP BY 1, 2, 3, 4)
+       |SELECT score, n, round(s::DOUBLE / n, 6) AS p_raw,
+       |  round(p_iso, 6) AS p_iso
+       |FROM fit ORDER BY score""".stripMargin
 }

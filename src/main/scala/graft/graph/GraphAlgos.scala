@@ -1318,6 +1318,79 @@ object GraphAlgos {
     * map-side-combinable pair count; walks are steps-bounded so the join
     * fan-out is ≤ 2·window per position.
     */
+  /** HITS hubs & authorities — the second classic link-analysis fixed
+    * point next to [[pageRankFixed]], same integer discipline: scores live
+    * in `unit`-scaled longs, each half-step is ONE node-keyed join against
+    * the persisted edge frame + a map-side-combinable sum, and the L1
+    * normalization (total mass re-scaled to `unit`) is an exact integer
+    * floor-division against a broadcast 1-row total — no driver action
+    * inside the loop beyond the eager checkpoint that keeps lineage flat.
+    *
+    * Caller contract: `n_nodes * unit^2` must fit a long (n ≤ ~9×10^6 at
+    * the default unit) — the price of bit-exact replay. Edges are
+    * de-duplicated; dangling nodes keep score 0 on the side they lack
+    * edges for.
+    */
+  def hitsFixed(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, unit: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct().persist(lvl)
+    require(e.limit(1).count() > 0, "HITS needs at least one edge")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct().persist(lvl)
+    def normalize(raw: DataFrame, outCol: String): DataFrame = {
+      // raw: (node, v) partial sums; missing nodes → 0. One broadcast
+      // 1-row total; exact (v·unit) floor-div total.
+      val total = raw.agg(sum(col("v")).as("t"))
+      nodes.join(raw, Seq("node"), "left").crossJoin(broadcast(total))
+        .select(col("node"),
+          coalesce(expr("(v * " + unit + ") div t"), lit(0L)).as(outCol))
+        .localCheckpoint(true)
+    }
+    var hubs = nodes.withColumn("hub", lit(unit))
+    var auths = nodes.withColumn("authority", lit(0L))
+    for (_ <- 1 to iterations) {
+      val araw = e.join(hubs.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum("hub").as("v"))
+      auths = normalize(araw, "authority")
+      val hraw = e.join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum("authority").as("v"))
+      hubs = normalize(hraw, "hub")
+    }
+    val out = nodes.join(auths, Seq("node")).join(hubs, Seq("node"))
+      .select(col("node"), col("authority"), col("hub"))
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
+  /** DuckDB replay of [[hitsFixed]] — iterations unrolled, one
+    * (raw-sum, total, normalize) CTE triple per half-step. `edgesSql` must
+    * select distinct (src, dst).
+    */
+  def hitsOracleSql(edgesSql: String, iterations: Int,
+      unit: Long = 1000000L): String = {
+    val head =
+      s"""WITH E AS ($edgesSql),
+         |nodes AS (SELECT src AS node FROM E UNION SELECT dst FROM E),
+         |h0 AS (SELECT node, ${unit}::BIGINT AS hub FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s"""ar$i AS (SELECT e.dst AS node, sum(h.hub) AS v
+         |  FROM E e JOIN h${i - 1} h ON h.node = e.src GROUP BY 1),
+         |at$i AS (SELECT sum(v) AS t FROM ar$i),
+         |a$i AS (SELECT nd.node, coalesce((ar.v * $unit) // t, 0)::BIGINT AS authority
+         |  FROM nodes nd CROSS JOIN at$i LEFT JOIN ar$i ar ON ar.node = nd.node),
+         |hr$i AS (SELECT e.src AS node, sum(a.authority) AS v
+         |  FROM E e JOIN a$i a ON a.node = e.dst GROUP BY 1),
+         |ht$i AS (SELECT sum(v) AS t FROM hr$i),
+         |h$i AS (SELECT nd.node, coalesce((hr.v * $unit) // t, 0)::BIGINT AS hub
+         |  FROM nodes nd CROSS JOIN ht$i LEFT JOIN hr$i hr ON hr.node = nd.node)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
+
   /** Butterfly (bipartite 4-cycle) census over an (a, b) edge list — the
     * bipartite analogue of triangle counting (spam/fraud cohort detection,
     * bipartite clustering). Counted exactly via the wedge formula:
