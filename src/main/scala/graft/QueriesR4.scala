@@ -130,12 +130,12 @@ object GraftQueriesR4 {
     },
 
     // extension: HITS hubs & authorities over the supplier→part incidence
-    // graph — integer L1-normalized fixed point, 3 rounds
+    // graph — integer L1-normalized fixed point, 2 rounds
     "q_hits" -> { (s, d) =>
       val edges = t(s, d)("lineitem")
         .select(concat(lit("s"), col("l_suppkey")).as("src"),
           concat(lit("p"), col("l_partkey")).as("dst"))
-      GraphAlgos.hitsFixed(edges, "src", "dst", iterations = 3)
+      GraphAlgos.hitsFixed(edges, "src", "dst", iterations = 2)
         .orderBy(col("authority").desc, col("node")).limit(100)
     },
 
@@ -208,10 +208,10 @@ object GraftQueriesR4 {
     "q_hits" ->
       s"""${GraphAlgos.hitsOracleSql(
             "SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem",
-            iterations = 3)}
-         |SELECT a3.node, a3.authority, h3.hub
-         |FROM a3 JOIN h3 ON h3.node = a3.node
-         |ORDER BY a3.authority DESC, a3.node LIMIT 100""".stripMargin,
+            iterations = 2)}
+         |SELECT a2.node, a2.authority, h2.hub
+         |FROM a2 JOIN h2 ON h2.node = a2.node
+         |ORDER BY a2.authority DESC, a2.node LIMIT 100""".stripMargin,
 
     "q_isotonic" -> Stats.isotonicOracleSql("lineitem",
       "CAST(round(l_discount * 100) AS BIGINT)",

@@ -1332,7 +1332,8 @@ object GraphAlgos {
     * edges for.
     */
   def hitsFixed(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, unit: Long = 1000000L): DataFrame = {
+      iterations: Int, unit: Long = 1000000L,
+      broadcastNodeLimit: Long = 1000000L): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(srcCol).cast("string").as("src"),
@@ -1340,27 +1341,38 @@ object GraphAlgos {
     require(e.limit(1).count() > 0, "HITS needs at least one edge")
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct().persist(lvl)
+    val n = nodes.count()
+    // score frames stay SPARSE inside the loop (only nodes that received
+    // mass — a node absent from a frame has score 0, and joining it in
+    // would only add per-half-step node-table traffic); the dense frame is
+    // assembled once at the end. The score side of each edge join is
+    // broadcast under the limit, so the big cached edge frame NEVER
+    // re-shuffles — the only exchange per half-step is the map-side
+    // combined (node, partial-sum) aggregate.
+    def bc(df: DataFrame): DataFrame =
+      if (n <= broadcastNodeLimit) broadcast(df) else df
     def normalize(raw: DataFrame, outCol: String): DataFrame = {
-      // raw: (node, v) partial sums; missing nodes → 0. One broadcast
-      // 1-row total; exact (v·unit) floor-div total.
+      // one broadcast 1-row total; exact (v·unit) floor-div total
       val total = raw.agg(sum(col("v")).as("t"))
-      nodes.join(raw, Seq("node"), "left").crossJoin(broadcast(total))
-        .select(col("node"),
-          coalesce(expr("(v * " + unit + ") div t"), lit(0L)).as(outCol))
+      raw.crossJoin(broadcast(total))
+        .select(col("node"), expr(s"(v * $unit) div t").as(outCol))
         .localCheckpoint(true)
     }
-    var hubs = nodes.withColumn("hub", lit(unit))
-    var auths = nodes.withColumn("authority", lit(0L))
+    var hubs = e.select(col("src").as("node")).distinct()
+      .withColumn("hub", lit(unit)).localCheckpoint(true)
+    var auths: DataFrame = null
     for (_ <- 1 to iterations) {
-      val araw = e.join(hubs.withColumnRenamed("node", "src"), Seq("src"))
+      val araw = e.join(bc(hubs.withColumnRenamed("node", "src")), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum("hub").as("v"))
       auths = normalize(araw, "authority")
-      val hraw = e.join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
+      val hraw = e.join(bc(auths.withColumnRenamed("node", "dst")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum("authority").as("v"))
       hubs = normalize(hraw, "hub")
     }
-    val out = nodes.join(auths, Seq("node")).join(hubs, Seq("node"))
-      .select(col("node"), col("authority"), col("hub"))
+    val out = nodes
+      .join(auths, Seq("node"), "left").join(hubs, Seq("node"), "left")
+      .select(col("node"), coalesce(col("authority"), lit(0L)).as("authority"),
+        coalesce(col("hub"), lit(0L)).as("hub"))
     e.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     out
