@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Clustering, Events, Privacy, Regression, Stats, Url}
+import graft.ext.{Clustering, Events, Factorize, Privacy, Regression, Stats, Url}
 import graft.fixtures.TpchGraph
 import graft.graph.GraphAlgos
 
@@ -158,6 +158,36 @@ object GraftQueriesR4 {
       Privacy.dpNoisyCounts(TpchGraph.eventsTable(s, d), "event_type",
         epsilonX10 = 5)
         .orderBy("event_type")
+    },
+
+    // extension: rank-1 ALS over the customer×part demand matrix — two
+    // exact-integer alternations, factors stay distributed; output is the
+    // reconstruction RMSE + matrix shape
+    "q_als" -> { (s, d) =>
+      val ratings = t(s, d)("orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, d)("lineitem").select(
+          col("l_orderkey").as("o_orderkey"), col("l_partkey"),
+          col("l_quantity")), Seq("o_orderkey"))
+        .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+        .agg(max(round(col("l_quantity")).cast("long")).as("r"))
+      val (x, yf) = Factorize.als1(ratings, "u", "i", "r", rounds = 2)
+      Factorize.als1Rmse(ratings, "u", "i", "r", x, yf)
+        .crossJoin(broadcast(x.agg(count(lit(1)).as("n_users"))))
+        .crossJoin(broadcast(yf.agg(count(lit(1)).as("n_items"))))
+        .select(col("n_ratings"), col("n_users"), col("n_items"), col("rmse"))
+    },
+
+    // extension: leave-one-out target encoding of part id against the
+    // return flag — leakage-free smoothed category feature as one exact
+    // integer ratio per row
+    "q_target_encode" -> { (s, d) =>
+      Stats.targetEncodeLoo(
+        t(s, d)("lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), (col("l_returnflag") === "R").cast("int").as("ret")),
+        "l_partkey", "ret", m = 20)
+        .select(col("l_orderkey"), col("l_linenumber"), col("enc"))
+        .orderBy("l_orderkey", "l_linenumber")
     })
 
   // ---------------------------------------------------------------- oracles
@@ -218,5 +248,20 @@ object GraftQueriesR4 {
       "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"),
 
     "q_dp_histogram" -> Privacy.dpNoisyCountsOracleSql(
-      "events", "event_type", epsilonX10 = 5))
+      "events", "event_type", epsilonX10 = 5),
+
+    "q_als" ->
+      s"""${Factorize.als1OracleSql(
+            """SELECT o.o_custkey AS u, l.l_partkey AS i,
+              |  max(CAST(round(l.l_quantity) AS BIGINT)) AS r
+              |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              |GROUP BY 1, 2""".stripMargin, rounds = 2)},
+         |nu AS (SELECT count(*)::BIGINT AS n_users FROM x2),
+         |ni AS (SELECT count(*)::BIGINT AS n_items FROM y2)
+         |SELECT n_ratings, n_users, n_items, rmse
+         |FROM metrics CROSS JOIN nu CROSS JOIN ni""".stripMargin,
+
+    "q_target_encode" -> (Stats.targetEncodeLooSql("lineitem", "l_partkey",
+      "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END", m = 20,
+      cols = Seq("l_orderkey", "l_linenumber")) + "\nORDER BY 1, 2"))
 }

@@ -573,4 +573,52 @@ object Stats {
        |SELECT score, n, round(s::DOUBLE / n, 6) AS p_raw,
        |  round(p_iso, 6) AS p_iso
        |FROM fit ORDER BY score""".stripMargin
+
+  /** Leave-one-out target encoding with additive smoothing — the standard
+    * high-cardinality-categorical feature for tree/linear models, built
+    * leakage-free (each row's own label is excluded from its group
+    * statistic) and smoothed toward the global prior:
+    *
+    *   enc_i = (S_g − y_i + m·prior) / (n_g − 1 + m),  prior = S_tot/N
+    *
+    * evaluated as ONE exact integer ratio `((S_g − y_i)·N + m·S_tot) /
+    * ((n_g − 1 + m)·N)` — numerator and denominator are exact longs, so
+    * the single double division replays identically in any engine.
+    *
+    * Scale shape: a per-group sum/count (one unsorted window partition —
+    * equivalently an aggregate + broadcast-back join) + a 1-row global
+    * aggregate broadcast into a narrow per-row expression. No per-row
+    * state, no fold.
+    */
+  def targetEncodeLoo(df: DataFrame, groupCol: String, labelCol: String,
+      m: Int): DataFrame = {
+    require(m >= 1, "smoothing m must be >= 1")
+    val y = col(labelCol).cast("long")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val withGroup = df
+      .withColumn("_sg", sum(y).over(w))
+      .withColumn("_ng", count(lit(1)).over(w))
+    val totals = df.agg(sum(y).as("_st"), count(lit(1)).as("_nt"))
+    withGroup.crossJoin(broadcast(totals))
+      .withColumn("enc", round(
+        ((col("_sg") - y) * col("_nt") + lit(m.toLong) * col("_st"))
+          .cast("double") /
+          ((col("_ng") - 1 + m) * col("_nt")), 6))
+      .drop("_sg", "_ng", "_st", "_nt")
+  }
+
+  /** DuckDB replay of [[targetEncodeLoo]]: same window/global sums, same
+    * single-division expression. `cols` = pass-through output columns.
+    */
+  def targetEncodeLooSql(table: String, groupCol: String, labelExpr: String,
+      m: Int, cols: Seq[String]): String =
+    s"""WITH b AS (SELECT ${cols.mkString(", ")}, $labelExpr AS y,
+       |    sum($labelExpr) OVER (PARTITION BY $groupCol) AS sg,
+       |    count(*) OVER (PARTITION BY $groupCol) AS ng
+       |  FROM $table),
+       |t AS (SELECT sum(y) AS st, count(*) AS nt FROM b)
+       |SELECT ${cols.mkString(", ")},
+       |  round(((sg - y) * nt + $m * st)::DOUBLE /
+       |    ((ng - 1 + $m) * nt), 6) AS enc
+       |FROM b CROSS JOIN t""".stripMargin
 }
