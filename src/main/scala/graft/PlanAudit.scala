@@ -28,10 +28,14 @@ object PlanAudit {
         // round-9 flagships: single-row covariance aggregate, blocked
         // Jaro-Winkler join (native codegen kernel), FD rollups,
         // broadcast promo-share dims
-        "q_embed_cov", "q_jaro_link", "q_fd_mine", "q_promo_share")
+        "q_embed_cov", "q_jaro_link", "q_fd_mine", "q_promo_share",
+        // round-11 flagships: one-pass Gram-matrix regression, cell-keyed
+        // DBSCAN candidate join, ratings-join ALS half-steps, window+
+        // broadcast target encoding, wedge-pivot butterfly census
+        "q_ols", "q_dbscan", "q_als", "q_target_encode", "q_butterflies")
     names.foreach { n =>
       println(s"\n===== $n =====")
-      try GraftQueries.all(n)(spark, sfDir).explain("formatted")
+      try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
       catch { case e: Throwable => println(s"(explain failed: ${e.getMessage})") }
     }
     spark.stop()

@@ -188,6 +188,28 @@ object GraftQueriesR4 {
         "l_partkey", "ret", m = 20)
         .select(col("l_orderkey"), col("l_linenumber"), col("enc"))
         .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // extension: Theil–Sen robust daily-revenue trend per event type —
+    // median of per-series pairwise slopes, deterministic median pick
+    "q_theilsen" -> { (s, d) =>
+      val daily = TpchGraph.eventsTable(s, d).where(col("value").isNotNull)
+        .select(col("event_type").as("_g"),
+          floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long").as("x"),
+          round(col("value") * 100).cast("long").as("_v"))
+        .groupBy("_g", "x").agg(sum("_v").as("y"))
+      Stats.theilSenSlope(daily, "_g", "x", "y")
+        .withColumnRenamed("_g", "event_type")
+        .orderBy("event_type")
+    },
+
+    // extension: SAX-style symbolic series words — PAA segment means over
+    // exact cents, per-series equi-width alphabet, engine-exact
+    "q_sax" -> { (s, d) =>
+      Events.saxWords(
+        TpchGraph.eventsTable(s, d).where(col("value").isNotNull),
+        "event_type", "ts", "value", segments = 6, alphabet = 4)
+        .orderBy("event_type")
     })
 
   // ---------------------------------------------------------------- oracles
@@ -263,5 +285,19 @@ object GraftQueriesR4 {
 
     "q_target_encode" -> (Stats.targetEncodeLooSql("lineitem", "l_partkey",
       "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END", m = 20,
-      cols = Seq("l_orderkey", "l_linenumber")) + "\nORDER BY 1, 2"))
+      cols = Seq("l_orderkey", "l_linenumber")) + "\nORDER BY 1, 2"),
+
+    "q_theilsen" ->
+      s"""SELECT _g AS event_type, n_pairs, ts_slope FROM (
+         |${Stats.theilSenOracleSql(
+             """SELECT event_type AS _g,
+               |  CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS x,
+               |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+               |FROM events WHERE value IS NOT NULL GROUP BY 1, 2""".stripMargin)}
+         |) ORDER BY 1""".stripMargin,
+
+    "q_sax" -> (Events.saxOracleSql(
+      "(SELECT * FROM events WHERE value IS NOT NULL)",
+      "event_type", "CAST(ts AS TIMESTAMP)", "value",
+      segments = 6, alphabet = 4) + "\nORDER BY 1"))
 }

@@ -867,6 +867,82 @@ object Events {
           .as(s"forecast_h$horizon"))
   }
 
+  /** SAX-style symbolic series representation: daily totals → PAA segment
+    * means → a small-alphabet word per series, the index key for
+    * similarity search / motif mining over millions of series. Two
+    * deliberate divergences from classic SAX, both for engine-exact
+    * replay: no z-normalization (means stay exact integer cents —
+    * `sum fdiv count`), and equi-width per-series binning between the
+    * min/max segment mean (`(m−mn)·alphabet fdiv (mx−mn+1)`) instead of
+    * Gaussian breakpoints.
+    *
+    * Scale shape: one keyed daily aggregate, one per-series window
+    * ordinal, one (series, segment) aggregate, then a per-series
+    * sorted-collect of ≤`segments` symbols — every stage map-side
+    * combinable, nothing driver-side.
+    */
+  def saxWords(df: DataFrame, typeCol: String, tsCol: String,
+      valueCol: String, segments: Int = 6, alphabet: Int = 4): DataFrame = {
+    require(segments >= 1 && alphabet >= 2 && alphabet <= 26,
+      "segments >= 1, alphabet in [2, 26]")
+    val letters = "abcdefghijklmnopqrstuvwxyz".take(alphabet)
+    def fdiv(a: Column, m: Column): Column = (a - pmod(a, m)) / m
+    val day = floor(unix_timestamp(col(tsCol)) / lit(86400L)).cast("long")
+    val daily = df.select(col(typeCol).as("_t"), day.as("_day"),
+        round(col(valueCol) * 100).cast("long").as("_v"))
+      .groupBy("_t", "_day").agg(sum("_v").as("_y"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("_t").orderBy("_day")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("_t")
+    val seg = daily
+      .withColumn("_i", row_number().over(wOrd) - 1)
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("seg", fdiv(col("_i") * segments, col("_n")).cast("long"))
+      .groupBy("_t", "seg")
+      .agg(fdiv(sum("_y"), count(lit(1))).cast("long").as("m"),
+        max("_n").as("_n"))
+    val bounds = seg.groupBy("_t")
+      .agg(min("m").as("_mn"), max("m").as("_mx"))
+    val sym = seg.join(bounds, Seq("_t"))
+      .withColumn("sym", least(
+        fdiv((col("m") - col("_mn")) * alphabet,
+          col("_mx") - col("_mn") + 1).cast("long"),
+        lit(alphabet - 1L)))
+    sym.groupBy(col("_t").as(typeCol))
+      .agg(max("_n").cast("long").as("n_days"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg"), col("sym")))),
+          e => lit(letters).substr(e.getField("sym").cast("int") + 1, lit(1))),
+          "").as("sax_word"))
+  }
+
+  /** DuckDB replay of [[saxWords]]. */
+  def saxOracleSql(table: String, typeCol: String, tsCol: String,
+      valueCol: String, segments: Int = 6, alphabet: Int = 4): String = {
+    val letters = "abcdefghijklmnopqrstuvwxyz".take(alphabet)
+    def fd(a: String, m: String) = s"(($a - ((($a) % $m + $m) % $m)) / $m)"
+    s"""WITH daily AS (SELECT $typeCol AS t,
+       |    CAST(floor(epoch($tsCol) / 86400) AS BIGINT) AS day,
+       |    CAST(sum(CAST(round($valueCol * 100) AS BIGINT)) AS BIGINT) AS y
+       |  FROM $table GROUP BY 1, 2),
+       |o AS (SELECT t, y,
+       |    row_number() OVER (PARTITION BY t ORDER BY day) - 1 AS i,
+       |    count(*) OVER (PARTITION BY t) AS n
+       |  FROM daily),
+       |sg AS (SELECT t, ${fd("i * " + segments, "n")}::BIGINT AS seg,
+       |    ${fd("sum(y)", "count(*)")}::BIGINT AS m, max(n) AS n
+       |  FROM o GROUP BY 1, 2),
+       |b AS (SELECT t, min(m) AS mn, max(m) AS mx FROM sg GROUP BY 1),
+       |s AS (SELECT sg.t, sg.seg, sg.n,
+       |    least(${fd("(sg.m - b.mn) * " + alphabet, "(b.mx - b.mn + 1)")}::BIGINT,
+       |      ${alphabet - 1}) AS sym
+       |  FROM sg JOIN b ON b.t = sg.t)
+       |SELECT t AS $typeCol, max(n)::BIGINT AS n_days,
+       |  string_agg(substring('$letters', (sym + 1)::INT, 1), '' ORDER BY seg)
+       |    AS sax_word
+       |FROM s GROUP BY 1""".stripMargin
+  }
+
   /** DuckDB replay of [[holtSmooth]]: the same integer recurrence as a
     * recursive CTE stepping all series in lockstep on the day ordinal.
     */

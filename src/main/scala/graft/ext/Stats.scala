@@ -574,6 +574,51 @@ object Stats {
        |  round(p_iso, 6) AS p_iso
        |FROM fit ORDER BY score""".stripMargin
 
+  /** Theil–Sen robust trend per series: the median of all pairwise slopes
+    * `(y_j − y_i)/(x_j − x_i)`, the estimator that shrugs off up to ~29%
+    * outliers where OLS folds. Median selection is deterministic: pairs
+    * sort by (slope, x_i, x_j) and the lower median (row ⌈n/2⌉) is taken,
+    * so engines agree even on tied slopes.
+    *
+    * Scale shape: the pair join is per-series (the join key is the series
+    * id), so cost is Σ_g C(len_g, 2) — the millions-of-short-series case
+    * is cheap and embarrassingly parallel; a single very long series needs
+    * pair sampling first (caller's responsibility, documented contract).
+    * Inputs are integer-quantized (x: ordinal, y: cents), slopes are one
+    * double division each.
+    */
+  def theilSenSlope(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val a = df.select(col(groupCol).as("_g"), col(xCol).cast("long").as("xi"),
+      col(yCol).cast("long").as("yi"))
+    val b = a.select(col("_g"), col("xi").as("xj"), col("yi").as("yj"))
+    val pairs = a.join(b, Seq("_g")).where(col("xi") < col("xj"))
+      .withColumn("slope",
+        (col("yj") - col("yi")).cast("double") / (col("xj") - col("xi")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_g")
+      .orderBy(col("slope"), col("xi"), col("xj"))
+    pairs
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_g")))
+      .where(col("_rn") === expr("(_n + 1) div 2"))
+      .select(col("_g").as(groupCol), col("_n").as("n_pairs"),
+        round(col("slope"), 6).as("ts_slope"))
+  }
+
+  /** DuckDB replay of [[theilSenSlope]] over `(g, x, y)` rows. */
+  def theilSenOracleSql(srcSql: String): String =
+    s"""WITH a AS ($srcSql),
+       |p AS (SELECT a._g, a.x AS xi, b.x AS xj,
+       |    (b.y - a.y)::DOUBLE / (b.x - a.x) AS slope
+       |  FROM a JOIN a b ON a._g = b._g AND a.x < b.x),
+       |r AS (SELECT _g, slope,
+       |    row_number() OVER (PARTITION BY _g ORDER BY slope, xi, xj) AS rn,
+       |    count(*) OVER (PARTITION BY _g) AS n
+       |  FROM p)
+       |SELECT _g, n::BIGINT AS n_pairs, round(slope, 6) AS ts_slope
+       |FROM r WHERE rn = (n + 1) // 2""".stripMargin
+
   /** Leave-one-out target encoding with additive smoothing — the standard
     * high-cardinality-categorical feature for tree/linear models, built
     * leakage-free (each row's own label is excluded from its group
