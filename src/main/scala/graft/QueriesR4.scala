@@ -210,6 +210,18 @@ object GraftQueriesR4 {
         TpchGraph.eventsTable(s, d).where(col("value").isNotNull),
         "event_type", "ts", "value", segments = 6, alphabet = 4)
         .orderBy("event_type")
+    },
+
+    // extension: sampled-source truncated Brandes betweenness over the
+    // undirected supplier–part graph — 3 simultaneous sources, depth 3,
+    // scale-quantized integer dependencies (no double accumulation)
+    "q_betweenness" -> { (s, d) =>
+      val edges = t(s, d)("lineitem")
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+      GraphAlgos.betweennessSampled(edges, "src", "dst",
+        seeds = Seq("s1", "s2", "s3"), maxDepth = 3)
+        .orderBy(col("bc_q").desc, col("node")).limit(50)
     })
 
   // ---------------------------------------------------------------- oracles
@@ -299,5 +311,12 @@ object GraftQueriesR4 {
     "q_sax" -> (Events.saxOracleSql(
       "(SELECT * FROM events WHERE value IS NOT NULL)",
       "event_type", "CAST(ts AS TIMESTAMP)", "value",
-      segments = 6, alphabet = 4) + "\nORDER BY 1"))
+      segments = 6, alphabet = 4) + "\nORDER BY 1"),
+
+    "q_betweenness" ->
+      s"""SELECT node, bc_q FROM (
+         |${GraphAlgos.betweennessOracleSql(
+             "SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem",
+             seeds = Seq("s1", "s2", "s3"), maxDepth = 3)}
+         |) ORDER BY bc_q DESC, node LIMIT 50""".stripMargin)
 }

@@ -1318,6 +1318,140 @@ object GraphAlgos {
     * map-side-combinable pair count; walks are steps-bounded so the join
     * fan-out is ≤ 2·window per position.
     */
+  /** Sampled-source betweenness centrality — truncated Brandes (Brandes
+    * 2001; source-sampling per Brandes/Pich 2007) with the house
+    * exact-integer discipline. All sample sources run SIMULTANEOUSLY (the
+    * source id rides every frame as a key), so the pass count is the BFS
+    * depth, not |seeds|·depth:
+    *
+    *   forward  — per depth: frontier ⋈ edges, σ (shortest-path counts)
+    *              summed per (source, node), visited anti-join;
+    *   backward — per depth descending: dependency
+    *              δ(v) = Σ_{w ∈ succ(v)} ⌊σ_v·(scale + δ_w) / σ_w⌋
+    *              accumulated in scale-quantized longs, so the sums are
+    *              order-free and engine-exact (classic Brandes uses
+    *              double ratios — addition order across partitions would
+    *              make the result nondeterministic at cluster scale);
+    *   bc(v)    = Σ_sources δ(v), v not a source, in scale units.
+    *
+    * `maxDepth` truncates to k-betweenness (paths longer than k ignored) —
+    * the standard cost bound; on small-diameter graphs depth 3–4 is
+    * effectively exact. Caller contract: σ·(scale + δ_max) within a long —
+    * at scale 10⁶, graphs with σ ≤ ~10⁹ and per-node degrees ≤ ~10⁴ are
+    * safe (TPC-H-shaped incidence graphs by orders of magnitude).
+    *
+    * Scale shape: per depth ONE join of the persisted edge frame against
+    * the (seed-keyed, usually broadcastable) frontier + a map-side
+    * combinable σ/δ aggregate + an anti-join on the visited set — no
+    * driver data path; levels are checkpointed to keep lineage flat.
+    */
+  def betweennessSampled(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[String], maxDepth: Int, undirected: Boolean = true,
+      deltaScale: Long = 1000000L,
+      broadcastFrontier: Boolean = true): DataFrame = {
+    require(seeds.nonEmpty && maxDepth >= 1, "need seeds and maxDepth >= 1")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dir = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"))
+    val e = (if (undirected)
+      dir.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("_e"))
+        .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
+      else dir).distinct().persist(lvl)
+    e.count(): Unit
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // frontier/visited/delta frames are |seeds|·|nodes| at worst — tiny
+    // next to the edge frame, so broadcasting them keeps the persisted
+    // edges from ever re-exchanging; disable for seed sets × node counts
+    // beyond broadcast range
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastFrontier) broadcast(df) else df
+    // forward: levels(d) = (s, v, sigma)
+    val l0 = seeds.map(s => (s, s, 1L)).toDF("s", "v", "sigma")
+      .localCheckpoint(true)
+    val levels = scala.collection.mutable.ArrayBuffer(l0)
+    var visited = l0.select("s", "v").localCheckpoint(true)
+    for (_ <- 1 to maxDepth) {
+      val next = e.withColumnRenamed("src", "v")
+        .join(bc(levels.last), Seq("v"))
+        .groupBy(col("s"), col("dst").as("v"))
+        .agg(sum("sigma").as("sigma"))
+        .join(bc(visited), Seq("s", "v"), "left_anti")
+        .localCheckpoint(true)
+      levels += next
+      visited = visited.union(next.select("s", "v")).localCheckpoint(true)
+    }
+    // backward: delta(d) over levels(d), deepest = 0
+    var delta = levels(maxDepth).select(col("s"), col("v"), lit(0L).as("delta"))
+    val acc = scala.collection.mutable.ArrayBuffer(
+      delta) // deepest level contributes 0 but keeps nodes in the output sum
+    for (d <- (maxDepth - 1) to 1 by -1) {
+      // successors with no dependency of their own still contribute the
+      // σ_v·scale/σ_w term — left-join δ and default it to 0
+      val wSide = levels(d + 1)
+        .join(delta, Seq("s", "v"), "left")
+        .select(col("s"), col("v").as("w"), col("sigma").as("sw"),
+          coalesce(col("delta"), lit(0L)).as("dw"))
+      delta = e.withColumnRenamed("src", "v").withColumnRenamed("dst", "w")
+        .join(bc(levels(d)), Seq("v"))
+        .join(bc(wSide), Seq("s", "w"))
+        .groupBy("s", "v")
+        .agg(sum(expr(s"(sigma * ($deltaScale + dw)) div sw")).as("delta"))
+        .localCheckpoint(true)
+      acc += delta
+    }
+    val out = acc.map(_.select(col("v"), col("delta"))).reduce(_ union _)
+      .groupBy(col("v").as("node"))
+      .agg(sum("delta").as("bc_q"))
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** DuckDB replay of [[betweennessSampled]] — forward levels and backward
+    * dependency passes unrolled as CTEs. `edgesSql` must select the
+    * directed (src, dst) pairs BEFORE undirected expansion/dedup (the
+    * generator adds both).
+    */
+  def betweennessOracleSql(edgesSql: String, seeds: Seq[String],
+      maxDepth: Int, deltaScale: Long = 1000000L): String = {
+    val seedRows = seeds.map(s => s"('$s')").mkString(", ")
+    val head =
+      s"""WITH E0 AS ($edgesSql),
+         |E AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM E0 UNION ALL SELECT dst, src FROM E0)),
+         |l0 AS (SELECT s, s AS v, 1::BIGINT AS sigma
+         |  FROM (VALUES $seedRows) seeds(s))""".stripMargin
+    val fwd = (1 to maxDepth).map { d =>
+      val prevVisited = (0 until d).map(p => s"SELECT s, v FROM l$p")
+        .mkString(" UNION ALL ")
+      s"""l$d AS (SELECT f.s, e.dst AS v, sum(f.sigma)::BIGINT AS sigma
+         |  FROM l${d - 1} f JOIN E e ON e.src = f.v
+         |  WHERE NOT EXISTS (SELECT 1 FROM ($prevVisited) p
+         |    WHERE p.s = f.s AND p.v = e.dst)
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    val bk = ((maxDepth - 1) to 1 by -1).map { d =>
+      val dwExpr = if (d == maxDepth - 1) "0"
+        else s"coalesce(dl${d + 1}.delta, 0)"
+      val dwJoin = if (d == maxDepth - 1) ""
+        else s" LEFT JOIN dl${d + 1} ON dl${d + 1}.s = w.s AND dl${d + 1}.v = w.v"
+      s"""dl$d AS (SELECT f.s, f.v,
+         |  sum((f.sigma * ($deltaScale + $dwExpr)) // w.sigma)::BIGINT AS delta
+         |  FROM l$d f JOIN E e ON e.src = f.v
+         |  JOIN l${d + 1} w ON w.s = f.s AND w.v = e.dst$dwJoin
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    val deltaUnion = (((maxDepth - 1) to 1 by -1).map(d =>
+      s"SELECT v, delta FROM dl$d") :+
+      s"SELECT v, 0::BIGINT AS delta FROM l$maxDepth").mkString(" UNION ALL ")
+    ((head +: fwd) ++ bk).mkString(",\n") +
+      s"""
+         |SELECT v AS node, sum(delta)::BIGINT AS bc_q
+         |FROM ($deltaUnion) GROUP BY 1""".stripMargin
+  }
+
   /** HITS hubs & authorities — the second classic link-analysis fixed
     * point next to [[pageRankFixed]], same integer discipline: scores live
     * in `unit`-scaled longs, each half-step is ONE node-keyed join against
