@@ -212,6 +212,28 @@ object GraftQueriesR4 {
         .orderBy("event_type")
     },
 
+    // extension: depth-2 decision-tree training — two levels of the
+    // histogram split method + leaf class counts, splits ride the plan as
+    // broadcast 1/2-row frames
+    "q_tree2" -> { (s, d) =>
+      graft.ext.Tree.depth2Tree(t(s, d)("lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        col("l_returnflag") === "R", nBins = 16)
+        .orderBy("node")
+    },
+
+    // extension: per-group classical OLS over the same daily series as
+    // q_theilsen — five integer sufficient statistics per group, no joins
+    "q_groupreg" -> { (s, d) =>
+      val daily = TpchGraph.eventsTable(s, d).where(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long").as("x"),
+          round(col("value") * 100).cast("long").as("_v"))
+        .groupBy("event_type", "x").agg(sum("_v").as("y"))
+      Stats.groupedOls(daily, "event_type", "x", "y")
+        .orderBy("event_type")
+    },
+
     // extension: sampled-source truncated Brandes betweenness over the
     // undirected supplier–part graph — 3 simultaneous sources, depth 3,
     // scale-quantized integer dependencies (no double accumulation)
@@ -312,6 +334,19 @@ object GraftQueriesR4 {
       "(SELECT * FROM events WHERE value IS NOT NULL)",
       "event_type", "CAST(ts AS TIMESTAMP)", "value",
       segments = 6, alphabet = 4) + "\nORDER BY 1"),
+
+    "q_tree2" -> graft.ext.Tree.depth2TreeOracleSql("lineitem",
+      Seq("l_quantity", "l_extendedprice", "l_discount"),
+      "CAST(l_returnflag = 'R' AS BIGINT)", nBins = 16),
+
+    "q_groupreg" ->
+      s"""SELECT g AS event_type, n_obs, slope, intercept, r2 FROM (
+         |${Stats.groupedOlsOracleSql(
+             """SELECT event_type AS g,
+               |  CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS x,
+               |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+               |FROM events WHERE value IS NOT NULL GROUP BY 1, 2""".stripMargin)}
+         |) ORDER BY 1""".stripMargin,
 
     "q_betweenness" ->
       s"""SELECT node, bc_q FROM (

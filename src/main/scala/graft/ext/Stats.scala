@@ -574,6 +574,45 @@ object Stats {
        |  round(p_iso, 6) AS p_iso
        |FROM fit ORDER BY score""".stripMargin
 
+  /** Per-group simple linear regression — the classical counterpart to
+    * [[theilSenSlope]] over the same (group, x, y) rows, and the grouped
+    * face of [[Regression]]: ONE keyed aggregate of the five integer
+    * sufficient statistics per group, then fixed-order IEEE expressions
+    * for slope/intercept/R² (covariance form, so engines agree exactly).
+    * Millions of groups = millions of independent 5-long aggregates; no
+    * joins, no iteration.
+    */
+  def groupedOls(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"), sum(x).as("_sx"), sum(y).as("_sy"),
+        sum(x * x).as("_sxx"), sum(x * y).as("_sxy"), sum(y * y).as("_syy"))
+    val sxx = (col("_n") * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+    val sxy = (col("_n") * col("_sxy") - col("_sx") * col("_sy")).cast("double")
+    val syy = (col("_n") * col("_syy") - col("_sy") * col("_sy")).cast("double")
+    val slope = sxy / sxx
+    g.select(col(groupCol), col("_n").as("n_obs"),
+      round(slope, 6).as("slope"),
+      round((col("_sy") - slope * col("_sx")) / col("_n"), 6).as("intercept"),
+      round(sxy * sxy / (sxx * syy), 6).as("r2"))
+  }
+
+  /** DuckDB replay of [[groupedOls]] over `(g, x, y)` rows. */
+  def groupedOlsOracleSql(srcSql: String): String =
+    s"""WITH a AS ($srcSql),
+       |s AS (SELECT g, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+       |    sum(y)::BIGINT AS sy, sum(x*x)::BIGINT AS sxx,
+       |    sum(x*y)::BIGINT AS sxy, sum(y*y)::BIGINT AS syy
+       |  FROM a GROUP BY 1)
+       |SELECT g, n AS n_obs,
+       |  round((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE, 6) AS slope,
+       |  round((sy - ((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE) * sx)
+       |    / n, 6) AS intercept,
+       |  round((n*sxy - sx*sy)::DOUBLE * (n*sxy - sx*sy)::DOUBLE /
+       |    ((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE), 6) AS r2
+       |FROM s""".stripMargin
+
   /** Theil–Sen robust trend per series: the median of all pairwise slopes
     * `(y_j − y_i)/(x_j − x_i)`, the estimator that shrugs off up to ~29%
     * outliers where OLS folds. Median selection is deterministic: pairs

@@ -80,4 +80,207 @@ object Tree {
         round(col("_best.g").cast("double") / 1e6, 4).as("weighted_gini"),
         col("n_rows"))
   }
+
+  // ------------------------------------------------------------- depth-2
+
+  /** One histogram-split pass over melted rows `(rid, y, nd, f, v)`,
+    * grouped by node: returns one row per node — the argmin split as a
+    * struct carrying everything downstream needs (gq, f, bin, nt, pt,
+    * mn, mx). Ties break on (gq, f, bin), so the choice is
+    * engine-deterministic.
+    */
+  private def nodeBest(m: DataFrame, nBins: Int): DataFrame = {
+    val stats = m.groupBy("nd", "f").agg(min("v").as("mn"), max("v").as("mx"))
+    val bin = when(col("_mx_") === col("_mn_"), 0L)
+      .otherwise(least(floor((col("v") - col("_mn_")) /
+        ((col("_mx_") - col("_mn_")) / nBins)), lit(nBins - 1L)))
+    val hist = m.join(broadcast(stats
+        .select(col("nd"), col("f"), col("mn").as("_mn_"), col("mx").as("_mx_"))),
+        Seq("nd", "f"))
+      .withColumn("bin", bin.cast("int"))
+      .groupBy("nd", "f", "bin")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("nd", "f").orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy("nd", "f")
+    val cum = hist
+      .withColumn("nl", sum(col("n")).over(win))
+      .withColumn("pl", sum(col("pos")).over(win))
+      .withColumn("nt", sum(col("n")).over(tot))
+      .withColumn("pt", sum(col("pos")).over(tot))
+      .where(col("nl") < col("nt"))
+    def gini(n: Column, p: Column) = {
+      val q = n - p
+      lit(1.0) - (p.cast("double") / n) * (p.cast("double") / n) -
+        (q.cast("double") / n) * (q.cast("double") / n)
+    }
+    val nr = col("nt") - col("nl"); val pr = col("pt") - col("pl")
+    val weighted =
+      (col("nl").cast("double") / col("nt")) * gini(col("nl"), col("pl")) +
+        (nr.cast("double") / col("nt")) * gini(nr, pr)
+    cum.withColumn("gq", round(weighted * 1e6, 0).cast("long"))
+      .join(broadcast(stats), Seq("nd", "f"))
+      .groupBy("nd")
+      .agg(min(struct(col("gq"), col("f"), col("bin"), col("nt"), col("pt"),
+        col("mn"), col("mx"))).as("b"))
+  }
+
+  /** The same equi-width bin expression used everywhere in the chain. */
+  private def binOf(v: Column, mn: Column, mx: Column, nBins: Int): Column =
+    when(mx === mn, 0L)
+      .otherwise(least(floor((v - mn) / ((mx - mn) / nBins)), lit(nBins - 1L)))
+      .cast("int")
+
+  /** Depth-2 decision-tree training — two levels of the histogram method
+    * ([[bestSplits]]) plus leaf statistics, entirely as joins/aggregates
+    * (the chosen splits ride the plan as broadcast 1/2-row frames, never
+    * the driver). Output, one row per tree node ordered by name:
+    *
+    *   '~' (root), 'L', 'R'      — feature, split_value, weighted_gini,
+    *                                n_rows, n_pos of the node;
+    *   'LL'..'RR' (leaves)       — feature '-', zeros for split fields,
+    *                                n_rows/n_pos (the class histogram a
+    *                                scorer thresholds).
+    *
+    * Rows with a NULL value in a node's chosen feature fall to the RIGHT
+    * child (the null bin compares false). Row assignment happens on the
+    * WIDE frame via a broadcast CASE over the chosen split — no
+    * melt-and-join-back, so the only data-sized shuffles are the
+    * histogram aggregates themselves.
+    *
+    * Scale shape: two melt passes over the data (one per level) + one
+    * leaf count — the standard histogram-trainer cost; everything else is
+    * bins×features×nodes-sized.
+    */
+  def depth2Tree(df: DataFrame, featureCols: Seq[String],
+      labelExpr: Column, nBins: Int = 16): DataFrame = {
+    require(featureCols.nonEmpty && nBins >= 2, "need features and bins")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def melt(src: DataFrame, ndCol: Column): DataFrame = src.select(
+        ndCol.as("nd"), col("_y").as("y"),
+        explode(array(featureCols.map(c =>
+          struct(lit(c).as("f"), col(c).cast("double").as("v"))): _*)).as("_fv"))
+      .select(col("nd"), col("y"), col("_fv.f").as("f"), col("_fv.v").as("v"))
+      .where(col("v").isNotNull && col("y").isNotNull)
+    // chosen-feature value on the wide frame: CASE over the broadcast best
+    def chosenV = coalesce(featureCols.map(c =>
+      when(col("_bf") === c, col(c).cast("double"))): _*)
+    // persist ONLY what the two melt passes read: features + label
+    val base = df.select(featureCols.map(col) :+
+      labelExpr.cast("long").as("_y"): _*).persist(lvl)
+    val rootBest = nodeBest(melt(base, lit("~")), nBins)
+      .localCheckpoint(true) // 1 row
+    val sided = base
+      .crossJoin(broadcast(rootBest.select(col("b.f").as("_bf"),
+        col("b.bin").as("_sb"), col("b.mn").as("_mn"), col("b.mx").as("_mx"))))
+      .withColumn("_nd",
+        when(binOf(chosenV, col("_mn"), col("_mx"), nBins) <= col("_sb"), "L")
+          .otherwise("R"))
+      .drop("_bf", "_sb", "_mn", "_mx")
+      .persist(lvl)
+    val childBest = nodeBest(melt(sided, col("_nd")), nBins)
+      .localCheckpoint(true) // 2 rows
+    val leaves = sided
+      .join(broadcast(childBest.select(col("nd").as("_nd"),
+        col("b.f").as("_bf"), col("b.bin").as("_sb"),
+        col("b.mn").as("_mn"), col("b.mx").as("_mx"))), Seq("_nd"))
+      .where(chosenV.isNotNull && col("_y").isNotNull)
+      .groupBy(concat(col("_nd"),
+        when(binOf(chosenV, col("_mn"), col("_mx"), nBins) <= col("_sb"),
+          "L").otherwise("R")).as("node"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("_y")).as("n_pos"))
+      .select(col("node"), lit("-").as("feature"), lit(0.0).as("split_value"),
+        lit(0.0).as("weighted_gini"), col("n_rows"), col("n_pos"))
+    def nodeRow(best: DataFrame, name: Column) = best.select(
+      name.as("node"), col("b.f").as("feature"),
+      round(col("b.mn") + (col("b.bin") + 1).cast("double") *
+        ((col("b.mx") - col("b.mn")) / nBins), 4).as("split_value"),
+      round(col("b.gq").cast("double") / 1e6, 4).as("weighted_gini"),
+      col("b.nt").as("n_rows"), col("b.pt").as("n_pos"))
+    nodeRow(rootBest, lit("~"))
+      .unionByName(nodeRow(childBest, col("nd")))
+      .unionByName(leaves)
+  }
+
+  /** DuckDB replay of [[depth2Tree]]: `tableSql` supplies the wide rows,
+    * `features` the (numeric) column names, `labelSql` the 0/1 label
+    * expression. Node assignment happens on the wide rows via a CASE over
+    * the broadcast best — the same no-row-id shape as the Spark side.
+    */
+  def depth2TreeOracleSql(tableSql: String, features: Seq[String],
+      labelSql: String, nBins: Int): String = {
+    def meltSql(src: String, nd: String) = features.map(f =>
+      s"""SELECT $nd AS nd, $labelSql AS y, '$f' AS f,
+         |    CAST($f AS DOUBLE) AS v FROM $src
+         |  WHERE $f IS NOT NULL AND $labelSql IS NOT NULL""".stripMargin)
+      .mkString("\n  UNION ALL ")
+    val chosen = "CASE b.f " + features.map(f =>
+      s"WHEN '$f' THEN CAST(t.$f AS DOUBLE)").mkString(" ") + " END"
+    def chain(p: String, mCte: String) =
+      s"""st$p AS (SELECT nd, f, min(v) AS mn, max(v) AS mx
+         |  FROM $mCte GROUP BY 1, 2),
+         |h$p AS (SELECT m.nd, m.f,
+         |    CAST(CASE WHEN st.mx = st.mn THEN 0
+         |      ELSE least(floor((m.v - st.mn) / ((st.mx - st.mn) / $nBins)),
+         |        ${nBins - 1}) END AS INT) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(m.y) AS BIGINT) AS pos
+         |  FROM $mCte m JOIN st$p st ON st.nd = m.nd AND st.f = m.f
+         |  GROUP BY 1, 2, 3),
+         |c$p AS (SELECT nd, f, bin,
+         |    CAST(sum(n) OVER (PARTITION BY nd, f ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+         |    CAST(sum(pos) OVER (PARTITION BY nd, f ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pl,
+         |    CAST(sum(n) OVER (PARTITION BY nd, f) AS BIGINT) AS nt,
+         |    CAST(sum(pos) OVER (PARTITION BY nd, f) AS BIGINT) AS pt
+         |  FROM h$p),
+         |sc$p AS (SELECT nd, f, bin, nt, pt, CAST(round((
+         |    (CAST(nl AS DOUBLE) / nt) * (1.0
+         |      - (CAST(pl AS DOUBLE) / nl) * (CAST(pl AS DOUBLE) / nl)
+         |      - (CAST(nl - pl AS DOUBLE) / nl) * (CAST(nl - pl AS DOUBLE) / nl))
+         |    + (CAST(nt - nl AS DOUBLE) / nt) * (1.0
+         |      - (CAST(pt - pl AS DOUBLE) / (nt - nl)) *
+         |        (CAST(pt - pl AS DOUBLE) / (nt - nl))
+         |      - (CAST((nt - nl) - (pt - pl) AS DOUBLE) / (nt - nl)) *
+         |        (CAST((nt - nl) - (pt - pl) AS DOUBLE) / (nt - nl)))
+         |    ) * 1000000, 0) AS BIGINT) AS gq
+         |  FROM c$p WHERE nl < nt),
+         |b$p AS (SELECT sc.nd, sc.f, sc.bin, sc.gq, sc.nt, sc.pt, st.mn, st.mx
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY nd
+         |      ORDER BY gq, f, bin) AS rn FROM sc$p) sc
+         |  JOIN st$p st ON st.nd = sc.nd AND st.f = sc.f
+         |  WHERE sc.rn = 1)""".stripMargin
+    def binSql(v: String, mn: String, mx: String) =
+      s"""CAST(CASE WHEN $mx = $mn THEN 0
+         |  ELSE least(floor(($v - $mn) / (($mx - $mn) / $nBins)), ${nBins - 1})
+         |  END AS INT)""".stripMargin
+    def nodeRowSql(b: String, name: String) =
+      s"""SELECT $name AS node, f AS feature,
+         |  round(mn + CAST(bin + 1 AS DOUBLE) * ((mx - mn) / $nBins), 4)
+         |    AS split_value,
+         |  round(CAST(gq AS DOUBLE) / 1000000, 4) AS weighted_gini,
+         |  nt AS n_rows, pt AS n_pos FROM $b""".stripMargin
+    s"""WITH m0 AS (${meltSql(tableSql, "'~'")}),
+       |${chain("0", "m0")},
+       |w1 AS (SELECT t.*,
+       |    CASE WHEN ${binSql(chosen, "b.mn", "b.mx")} <= b.bin
+       |      THEN 'L' ELSE 'R' END AS nd
+       |  FROM $tableSql t CROSS JOIN b0 b),
+       |m1 AS (${meltSql("w1", "nd")}),
+       |${chain("1", "m1")},
+       |leaves AS (SELECT t.nd ||
+       |    CASE WHEN ${binSql(chosen, "b.mn", "b.mx")} <= b.bin
+       |      THEN 'L' ELSE 'R' END AS node,
+       |    CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(sum($labelSql) AS BIGINT) AS n_pos
+       |  FROM w1 t JOIN b1 b ON b.nd = t.nd
+       |  WHERE ($chosen) IS NOT NULL AND ($labelSql) IS NOT NULL
+       |  GROUP BY 1)
+       |SELECT * FROM (
+       |  ${nodeRowSql("b0", "'~'")}
+       |  UNION ALL ${nodeRowSql("b1", "nd")}
+       |  UNION ALL SELECT node, '-', 0.0, 0.0, n_rows, n_pos FROM leaves)
+       |ORDER BY node""".stripMargin
+  }
 }
