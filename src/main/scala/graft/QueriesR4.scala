@@ -212,6 +212,15 @@ object GraftQueriesR4 {
         .orderBy("event_type")
     },
 
+    // extension: bounded-radius Local Outlier Factor over the same
+    // eps-cell candidate join as q_dbscan — staged integer quantization
+    // (milli-distances, 10¹²-unit lrd, milli-unit factor)
+    "q_lof" -> { (s, d) =>
+      Clustering.lofGrid(t(s, d)("embeddings"), "vec_id", "embedding",
+        eps = 50000L, minNbrs = 5)
+        .orderBy("vec_id")
+    },
+
     // extension: depth-2 decision-tree training — two levels of the
     // histogram split method + leaf class counts, splits ride the plan as
     // broadcast 1/2-row frames
@@ -334,6 +343,9 @@ object GraftQueriesR4 {
       "(SELECT * FROM events WHERE value IS NOT NULL)",
       "event_type", "CAST(ts AS TIMESTAMP)", "value",
       segments = 6, alphabet = 4) + "\nORDER BY 1"),
+
+    "q_lof" -> Clustering.lofOracleSql("embeddings", "vec_id", "embedding",
+      eps = 50000L, minNbrs = 5),
 
     "q_tree2" -> graft.ext.Tree.depth2TreeOracleSql("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount"),

@@ -208,6 +208,105 @@ object Clustering {
       .select(col("id").as(idCol), col("role"), col("cluster"))
   }
 
+  /** Bounded-radius Local Outlier Factor — density-based outlier scoring
+    * over the SAME eps-cell candidate join as [[dbscanGrid]] (one
+    * deliberate divergence from classic LOF, documented: neighborhoods are
+    * the eps-ball, not the exact kNN set, so no adaptive-radius search is
+    * needed and the pair count stays density-bounded; points with fewer
+    * than `minNbrs` eps-neighbors are reported with lof −1 = "too isolated
+    * to score", which IS the outlier verdict for them).
+    *
+    * Every aggregation is staged-quantized so the score replays exactly:
+    * distances floor to milli-units (`⌊√d²·1000⌋` — one deterministic
+    * sqrt per pair), reach-dist sums are exact longs, local reachability
+    * density quantizes to `⌊n·10¹²/Σreach⌋` (reach floored at 1 so lrd is
+    * bounded by 10¹² even under coincident points), and the final factor is one
+    * integer ratio `⌊Σ lrd_nbr·1000 / (n·lrd_self)⌋` in milli-units
+    * (LOF ≈ 1 → inlier, ≫ 1 → outlier).
+    */
+  def lofGrid(df: DataFrame, idCol: String, vecCol: String,
+      eps: Long, minNbrs: Int): DataFrame = {
+    require(eps > 0 && minNbrs >= 1, "eps and minNbrs must be positive")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pts = df.select(col(idCol).as("id"),
+        round(element_at(col(vecCol), 1).cast("double") * Scale, 0)
+          .cast("long").as("x"),
+        round(element_at(col(vecCol), 2).cast("double") * Scale, 0)
+          .cast("long").as("y"))
+      .persist(lvl)
+    def fdiv(c: Column): Column =
+      ((c - pmod(c, lit(eps))) / lit(eps)).cast("long")
+    val right = pts.select(col("id").as("ib"), col("x").as("xb"),
+      col("y").as("yb"), fdiv(col("x")).as("cx"), fdiv(col("y")).as("cy"))
+    val offsets = array((for { i <- -1 to 1; j <- -1 to 1 } yield
+      struct(lit(i).as("i"), lit(j).as("j"))): _*)
+    val left = pts.select(col("id").as("ia"), col("x").as("xa"),
+        col("y").as("ya"), fdiv(col("x")).as("bx"), fdiv(col("y")).as("by"))
+      .withColumn("_o", explode(offsets))
+      .select(col("ia"), col("xa"), col("ya"),
+        (col("bx") + col("_o.i")).as("cx"), (col("by") + col("_o.j")).as("cy"))
+    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    // strict pairs (no self), milli-unit distance
+    val nbr = left.join(right, Seq("cx", "cy"))
+      .where(d2 <= lit(eps) * lit(eps) && col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        floor(sqrt(d2.cast("double")) * 1000.0).cast("long").as("dq"))
+      .persist(lvl)
+    // k-distance surrogate: max eps-neighbor distance per point
+    val kdist = nbr.groupBy(col("ib").as("id")).agg(max("dq").as("kd"))
+    // reach-dist(a→b) = max(dist, kdist(b)); lrd in 10¹²-units
+    val lrd = nbr.join(kdist.withColumnRenamed("id", "ib"), Seq("ib"))
+      .groupBy(col("ia").as("id"))
+      .agg(count(lit(1)).as("n"),
+        sum(greatest(col("dq"), col("kd"), lit(1L))).as("_sr"))
+      .where(col("n") >= minNbrs)
+      .select(col("id"), col("n"),
+        expr("(n * 1000000000000) div greatest(_sr, 1)").as("lrdq"))
+    // LOF = mean neighbor lrd / own lrd, milli-units
+    val lof = nbr
+      .join(lrd.select(col("id").as("ib"), col("lrdq").as("_ln")), Seq("ib"))
+      .groupBy(col("ia").as("id"))
+      .agg(sum("_ln").as("_sln"), count(lit(1)).as("_nn"))
+      .join(lrd.select(col("id"), col("lrdq"), col("n")), Seq("id"))
+      .select(col("id"), col("n").as("n_nbrs"),
+        expr("(_sln * 1000) div (_nn * lrdq)").as("lof_milli"))
+    pts.select("id").join(lof, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
+        coalesce(col("lof_milli"), lit(-1L)).as("lof_milli"))
+  }
+
+  /** DuckDB replay of [[lofGrid]] (direct eps-join, same quantization). */
+  def lofOracleSql(table: String, idCol: String, vecCol: String,
+      eps: Long, minNbrs: Int): String =
+    s"""WITH p AS (SELECT $idCol AS id,
+       |    CAST(round(CAST($vecCol[1] AS DOUBLE) * 1000000, 0) AS BIGINT) AS x,
+       |    CAST(round(CAST($vecCol[2] AS DOUBLE) * 1000000, 0) AS BIGINT) AS y
+       |  FROM $table),
+       |nbr AS (SELECT a.id AS ia, b.id AS ib,
+       |    CAST(floor(sqrt(CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+       |      AS DOUBLE)) * 1000.0) AS BIGINT) AS dq
+       |  FROM p a JOIN p b
+       |  ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+       |       <= ${eps}::BIGINT * ${eps}::BIGINT
+       |     AND a.id <> b.id),
+       |kd AS (SELECT ib AS id, max(dq) AS kd FROM nbr GROUP BY 1),
+       |lrd AS (SELECT ia AS id, count(*)::BIGINT AS n,
+       |    ((count(*)::BIGINT * 1000000000000) //
+       |      greatest(sum(greatest(dq, kd, 1))::BIGINT, 1))::BIGINT AS lrdq
+       |  FROM nbr JOIN kd ON kd.id = nbr.ib
+       |  GROUP BY 1 HAVING count(*) >= $minNbrs),
+       |lof AS (SELECT n.ia AS id, s.n AS n_nbrs,
+       |    ((sum(l.lrdq)::BIGINT * 1000) // (count(*)::BIGINT * s.lrdq))::BIGINT
+       |      AS lof_milli
+       |  FROM nbr n JOIN lrd l ON l.id = n.ib JOIN lrd s ON s.id = n.ia
+       |  GROUP BY 1, s.n, s.lrdq)
+       |SELECT p.id AS $idCol, coalesce(lof.n_nbrs, 0)::BIGINT AS n_nbrs,
+       |  coalesce(lof.lof_milli, -1)::BIGINT AS lof_milli
+       |FROM p LEFT JOIN lof ON lof.id = p.id
+       |ORDER BY p.id""".stripMargin
+
   /** DuckDB replay of [[dbscanGrid]] — the oracle skips the grid (scale
     * machinery, not semantics) and does the eps-join directly, then the
     * same core/border/noise classification with a recursive reachability

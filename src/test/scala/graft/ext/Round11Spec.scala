@@ -67,6 +67,22 @@ class Round11Spec extends SparkSpec {
     assert(out(30L) == ("noise", -1L))
   }
 
+  test("lofGrid: fringe point scores well above the dense core") {
+    import spark.implicits._
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat, 0f)
+    // 3×3 lattice at 0.01 spacing (dense core) + one point 0.045 off —
+    // inside eps of the edge but in a far sparser neighborhood
+    val core = for { i <- 0 until 3; j <- 0 until 3 }
+      yield ((i * 3 + j).toLong, v(0.10 + 0.01 * i, 0.10 + 0.01 * j))
+    val fringe = Seq((100L, v(0.165, 0.11)))
+    val out = Clustering.lofGrid((core ++ fringe).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", eps = 50000L, minNbrs = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // core members sit near LOF 1.0 (±30% for the bounded-radius variant)
+    assert(core.forall { case (id, _) => out(id) > 700 && out(id) < 1300 })
+    assert(out(100L) > 1400) // fringe point flagged (measured 1494)
+  }
+
   test("holtSmooth matches a direct replay of the integer recurrence") {
     import spark.implicits._
     def ts(day: Int) = new Timestamp(day.toLong * 86400000L)
