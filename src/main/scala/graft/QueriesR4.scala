@@ -212,6 +212,25 @@ object GraftQueriesR4 {
         .orderBy("event_type")
     },
 
+    // extension: rich-club coefficient profile — do high-degree nodes of
+    // the supplier–part graph preferentially interconnect?
+    "q_rich_club" -> { (s, d) =>
+      val edges = t(s, d)("lineitem")
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+      GraphAlgos.richClub(edges, "src", "dst", ks = Seq(5, 10, 20, 40))
+        .orderBy("k")
+    },
+
+    // extension: dominant covariance eigenvector by integer power
+    // iteration — one sufficient-statistics pass, exact BigInt driver
+    // iteration with norm-free renormalization (no sqrt, no eigensolver)
+    "q_power_iter" -> { (s, d) =>
+      Stats.powerIteration(t(s, d)("embeddings"), "embedding",
+        dims = 8, iters = 3)
+        .orderBy("dim_i")
+    },
+
     // extension: bounded-radius Local Outlier Factor over the same
     // eps-cell candidate join as q_dbscan — staged integer quantization
     // (milli-distances, 10¹²-unit lrd, milli-unit factor)
@@ -346,6 +365,13 @@ object GraftQueriesR4 {
 
     "q_lof" -> Clustering.lofOracleSql("embeddings", "vec_id", "embedding",
       eps = 50000L, minNbrs = 5),
+
+    "q_power_iter" -> Stats.powerIterationOracleSql("embeddings", "embedding",
+      dims = 8, iters = 3),
+
+    "q_rich_club" -> GraphAlgos.richClubOracleSql(
+      "SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem",
+      ks = Seq(5, 10, 20, 40)),
 
     "q_tree2" -> graft.ext.Tree.depth2TreeOracleSql("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount"),

@@ -574,6 +574,98 @@ object Stats {
        |  round(p_iso, 6) AS p_iso
        |FROM fit ORDER BY score""".stripMargin
 
+  /** Dominant eigenvector of the embedding covariance by integer power
+    * iteration — the PCA-direction primitive (data-drift axes, spectral
+    * initialization) without any eigensolver dependency. The DATA-sized
+    * work is one pass accumulating the integer second-moment sums
+    * (`n, Σv_i, Σv_i·v_j` over micro-quantized coordinates — the same
+    * sufficient-statistics shape as [[covarianceMatrix]]); the iteration
+    * then runs on the driver over the dims² exact BigInt covariance
+    * `C = n·P − s·sᵀ`, with a NORM-FREE renormalization (divide by
+    * max|component| via floor-division — no sqrt) so every step is exact
+    * integer arithmetic an engine replays verbatim. Start vector is
+    * all-ones; `iters` fixed rounds.
+    *
+    * Returns one row per dimension: (dim_i, v_milli — the eigenvector
+    * component in 10⁶-units — plus the Rayleigh quotient estimate of the
+    * eigenvalue, raw-value² units, identical on every row).
+    */
+  def powerIteration(df: DataFrame, vecCol: String, dims: Int,
+      iters: Int): DataFrame = {
+    require(dims >= 2 && iters >= 1, "dims >= 2 and iters >= 1")
+    val q = df.select(org.apache.spark.sql.functions.transform(
+      slice(col(vecCol), 1, dims),
+      x => round(x.cast("double") * 1e6, 0).cast("long")).as("v"))
+    val sums: Seq[Column] =
+      (count(lit(1)).cast("long").as("n") +:
+        (0 until dims).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i"))) ++
+        (for { i <- 0 until dims; j <- i until dims }
+          yield sum(element_at(col("v"), i + 1) * element_at(col("v"), j + 1))
+            .as(s"p${i}_$j"))
+    val r = q.agg(sums.head, sums.tail: _*).head()
+    val n = BigInt(r.getAs[Long]("n"))
+    val s = Array.tabulate(dims)(i => BigInt(r.getAs[Long](s"s$i")))
+    def p(i: Int, j: Int) =
+      BigInt(r.getAs[Long](if (i <= j) s"p${i}_$j" else s"p${j}_$i"))
+    val c = Array.tabulate(dims, dims)((i, j) => n * p(i, j) - s(i) * s(j))
+    var v = Array.fill(dims)(BigInt(1000000))
+    for (_ <- 1 to iters) {
+      val mv = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => c(i)(j) * v(j)).sum)
+      val mx = mv.map(_.abs).max.max(BigInt(1))
+      // BigInt `/` truncates toward zero — exactly DuckDB's HUGEINT `//`
+      v = mv.map(x => x * BigInt(1000000) / mx)
+    }
+    val num = (for { i <- 0 until dims; j <- 0 until dims }
+      yield v(i) * c(i)(j) * v(j)).sum
+    val den = v.map(x => x * x).sum * n * n
+    // Rayleigh in raw units: vᵀCv/(vᵀv·n²) · 1e-12 (C carries n²·1e12·cov)
+    val lambda = BigDecimal(num.toDouble / den.toDouble / 1e12)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = df.sparkSession
+    import spark.implicits._
+    (0 until dims).map(i => (i.toLong, v(i).toLong, lambda))
+      .toDF("dim_i", "v_milli", "lambda")
+  }
+
+  /** DuckDB replay of [[powerIteration]] — covariance cells as a dims²-row
+    * CTE, iterations unrolled as matvec+renormalize pairs, all HUGEINT.
+    */
+  def powerIterationOracleSql(table: String, vecCol: String, dims: Int,
+      iters: Int): String = {
+    val sums = (0 until dims).map(i => s"sum(v[${i + 1}])::HUGEINT AS s$i") ++
+      (for { i <- 0 until dims; j <- i until dims }
+        yield s"sum(v[${i + 1}] * v[${j + 1}])::HUGEINT AS p${i}_$j")
+    val cells = (for { i <- 0 until dims; j <- 0 until dims } yield {
+      val pn = if (i <= j) s"p${i}_$j" else s"p${j}_$i"
+      s"SELECT $i AS i, $j AS j, n * $pn - s$i * s$j AS c FROM a"
+    }).mkString("\n  UNION ALL ")
+    val itersSql = (1 to iters).map { k =>
+      s"""mv$k AS (SELECT c.i, sum(c.c * v.x) AS m FROM c
+         |  JOIN v${k - 1} v ON v.i = c.j GROUP BY 1),
+         |mx$k AS (SELECT greatest(max(abs(m)), 1) AS mx FROM mv$k),
+         |v$k AS (SELECT i, (m * 1000000) // mx AS x
+         |  FROM mv$k CROSS JOIN mx$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT list_transform($vecCol[1:$dims],
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT)) AS v
+       |  FROM $table),
+       |a AS (SELECT count(*)::HUGEINT AS n, ${sums.mkString(", ")} FROM q),
+       |c AS ($cells),
+       |v0 AS (SELECT i, 1000000::HUGEINT AS x
+       |  FROM (SELECT DISTINCT i FROM c)),
+       |$itersSql,
+       |ray AS (SELECT
+       |    (SELECT sum(vi.x * c.c * vj.x) FROM c
+       |      JOIN v$iters vi ON vi.i = c.i JOIN v$iters vj ON vj.i = c.j)
+       |    ::DOUBLE /
+       |    ((SELECT sum(x * x) FROM v$iters) * (SELECT n * n FROM a))::DOUBLE
+       |    / 1e12 AS l)
+       |SELECT v.i::BIGINT AS dim_i, v.x::BIGINT AS v_milli,
+       |  round(ray.l, 9) AS lambda
+       |FROM v$iters v CROSS JOIN ray ORDER BY dim_i""".stripMargin
+  }
+
   /** Per-group simple linear regression — the classical counterpart to
     * [[theilSenSlope]] over the same (group, x, y) rows, and the grouped
     * face of [[Regression]]: ONE keyed aggregate of the five integer

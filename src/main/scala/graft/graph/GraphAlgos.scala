@@ -1318,6 +1318,66 @@ object GraphAlgos {
     * map-side-combinable pair count; walks are steps-bounded so the join
     * fan-out is ≤ 2·window per position.
     */
+  /** Rich-club coefficient profile — for each degree threshold k, the
+    * density of the subgraph induced by nodes of degree > k:
+    * φ(k) = 2·E₍₎ / (N₍₎·(N₍₎−1)). Rising φ(k) = hubs preferentially
+    * interconnect (the "rich club" of supply networks / citation graphs).
+    * One degree aggregate + one edges⋈degrees join fanned out over the
+    * (tiny, literal) threshold list — exact integer counts to one final
+    * ratio.
+    */
+  def richClub(edges: DataFrame, srcCol: String, dstCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty, "need at least one threshold")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dir = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"))
+    val e = dir.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("_e"))
+      .select(col("_e.src").as("a"), col("_e.dst").as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .persist(lvl) // both directions: degree = row count per node
+    val deg = e.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+      .persist(lvl)
+    val kDf = broadcast(e.sparkSession.createDataFrame(
+      ks.map(Tuple1(_))).toDF("k"))
+    val nRich = deg.crossJoin(kDf).where(col("deg") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_rich"))
+    val eRich = e
+      .join(deg.select(col("node").as("a"), col("deg").as("_da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("_db")), Seq("b"))
+      .crossJoin(kDf)
+      .where(col("_da") > col("k") && col("_db") > col("k"))
+      .groupBy("k").agg((count(lit(1)) / 2).cast("long").as("e_rich"))
+    nRich.join(eRich, Seq("k"), "left")
+      .select(col("k").cast("long").as("k"), col("n_rich"),
+        coalesce(col("e_rich"), lit(0L)).as("e_rich"),
+        when(col("n_rich") > 1,
+          round(coalesce(col("e_rich"), lit(0L)).cast("double") * 2.0 /
+            (col("n_rich") * (col("n_rich") - 1)), 6)).as("phi"))
+  }
+
+  /** DuckDB replay of [[richClub]]. `edgesSql`: directed (src, dst). */
+  def richClubOracleSql(edgesSql: String, ks: Seq[Int]): String =
+    s"""WITH E0 AS ($edgesSql),
+       |E AS (SELECT DISTINCT a, b FROM (
+       |  SELECT src AS a, dst AS b FROM E0
+       |  UNION ALL SELECT dst, src FROM E0) WHERE a <> b),
+       |deg AS (SELECT a AS node, count(*)::BIGINT AS deg FROM E GROUP BY 1),
+       |ks AS (SELECT unnest(ARRAY[${ks.mkString(", ")}]) AS k),
+       |nr AS (SELECT k, count(*)::BIGINT AS n_rich
+       |  FROM deg CROSS JOIN ks WHERE deg > k GROUP BY 1),
+       |er AS (SELECT k, (count(*) // 2)::BIGINT AS e_rich
+       |  FROM E JOIN deg da ON da.node = E.a JOIN deg db ON db.node = E.b
+       |  CROSS JOIN ks WHERE da.deg > k AND db.deg > k GROUP BY 1)
+       |SELECT nr.k::BIGINT AS k, nr.n_rich,
+       |  coalesce(er.e_rich, 0)::BIGINT AS e_rich,
+       |  CASE WHEN nr.n_rich > 1 THEN round(coalesce(er.e_rich, 0)::DOUBLE * 2.0 /
+       |    (nr.n_rich * (nr.n_rich - 1)), 6) END AS phi
+       |FROM nr LEFT JOIN er ON er.k = nr.k
+       |ORDER BY k""".stripMargin
+
   /** Sampled-source betweenness centrality — truncated Brandes (Brandes
     * 2001; source-sampling per Brandes/Pich 2007) with the house
     * exact-integer discipline. All sample sources run SIMULTANEOUSLY (the
