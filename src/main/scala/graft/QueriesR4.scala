@@ -212,6 +212,31 @@ object GraftQueriesR4 {
         .orderBy("event_type")
     },
 
+    // extension: single change-point per series by binary segmentation —
+    // argmax of the exact variance-reduction objective over boundaries
+    "q_changepoint" -> { (s, d) =>
+      Events.changePoint(
+        TpchGraph.eventsTable(s, d).where(col("value").isNotNull),
+        "event_type", "ts", "value")
+        .orderBy("event_type")
+    },
+
+    // extension: split-conformal next-day interval on the per-type daily
+    // revenue trend — distribution-free 90% coverage from the calibration
+    // quantile of absolute fit residuals
+    "q_conformal" -> { (s, d) =>
+      val daily = TpchGraph.eventsTable(s, d).where(col("value").isNotNull)
+        .select(col("event_type").as("g"),
+          floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long").as("x"),
+          round(col("value") * 100).cast("long").as("_v"))
+        .groupBy("g", "x")
+        .agg(((sum("_v") - pmod(sum("_v"), lit(100L))) / lit(100L))
+          .cast("long").as("y"))
+      Stats.conformalNextInterval(daily, "g", "x", "y", alphaPct = 10)
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type")
+    },
+
     // extension: rich-club coefficient profile — do high-degree nodes of
     // the supplier–part graph preferentially interconnect?
     "q_rich_club" -> { (s, d) =>
@@ -368,6 +393,21 @@ object GraftQueriesR4 {
 
     "q_power_iter" -> Stats.powerIterationOracleSql("embeddings", "embedding",
       dims = 8, iters = 3),
+
+    "q_changepoint" -> Events.changePointOracleSql(
+      "(SELECT * FROM events WHERE value IS NOT NULL)",
+      "event_type", "CAST(ts AS TIMESTAMP)", "value"),
+
+    "q_conformal" ->
+      s"""SELECT g AS event_type, n_obs, x_star, yhat, lo, hi, conf_pct FROM (
+         |${Stats.conformalOracleSql(
+             """SELECT event_type AS g,
+               |  CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS x,
+               |  ((sum(CAST(round(value * 100) AS BIGINT))
+               |    - (sum(CAST(round(value * 100) AS BIGINT)) % 100)) / 100)::BIGINT AS y
+               |FROM events WHERE value IS NOT NULL GROUP BY 1, 2""".stripMargin,
+             alphaPct = 10)}
+         |) ORDER BY 1""".stripMargin,
 
     "q_rich_club" -> GraphAlgos.richClubOracleSql(
       "SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem",

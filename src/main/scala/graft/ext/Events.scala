@@ -867,6 +867,85 @@ object Events {
           .as(s"forecast_h$horizon"))
   }
 
+  /** Single change-point detection per series by binary segmentation —
+    * the first split of the classic recursive scheme: choose the boundary
+    * k maximizing the variance-reduction objective
+    * `f(k) = (Σy_left)²/n_left + (Σy_right)²/n_right` (equivalently,
+    * minimizing split SSE). Daily totals are exact integer DOLLARS
+    * (cents fdiv 100) so f stays inside double-exact magnitude; f
+    * quantizes to integer units before a struct-min argmin (ties → the
+    * earliest boundary), so the chosen break replays in any engine.
+    *
+    * Scale shape: one keyed daily aggregate + per-series prefix-sum
+    * windows + one argmin — candidate count = series length, parallel
+    * across series.
+    */
+  def changePoint(df: DataFrame, typeCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    def fd(a: Column, m: Long): Column =
+      ((a - pmod(a, lit(m))) / lit(m)).cast("long")
+    val day = floor(unix_timestamp(col(tsCol)) / lit(86400L)).cast("long")
+    val daily = df.select(col(typeCol).as("_t"), day.as("_day"),
+        round(col(valueCol) * 100).cast("long").as("_v"))
+      .groupBy("_t", "_day")
+      .agg(fd(sum("_v"), 100L).as("_y")) // whole dollars
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("_t").orderBy("_day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("_t")
+    val pre = daily
+      .withColumn("_idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_t").orderBy("_day")))
+      .withColumn("_cs", sum("_y").over(wOrd))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_st", sum("_y").over(wAll))
+    val nl = col("_idx"); val nr = col("_n") - col("_idx")
+    val sl = col("_cs"); val sr = col("_st") - col("_cs")
+    val fq = round(
+      sl.cast("double") * sl / nl + sr.cast("double") * sr / nr, 0)
+      .cast("long")
+    pre.where(col("_idx") < col("_n"))
+      .withColumn("_cand", struct((-fq).as("negf"), col("_idx").as("i"),
+        col("_day").as("d"), sl.as("sl"), col("_n").as("n"),
+        col("_st").as("st")))
+      .groupBy("_t").agg(min("_cand").as("b"))
+      .select(col("_t").as(typeCol),
+        col("b.d").as("split_day"), col("b.i").cast("long").as("n_before"),
+        (col("b.n") - col("b.i")).cast("long").as("n_after"),
+        round(col("b.sl").cast("double") / col("b.i"), 2).as("mean_before"),
+        round((col("b.st") - col("b.sl")).cast("double") /
+          (col("b.n") - col("b.i")), 2).as("mean_after"))
+  }
+
+  /** DuckDB replay of [[changePoint]]. */
+  def changePointOracleSql(table: String, typeCol: String, tsCol: String,
+      valueCol: String): String =
+    s"""WITH daily AS (SELECT $typeCol AS t,
+       |    CAST(floor(epoch($tsCol) / 86400) AS BIGINT) AS day,
+       |    ((sum(CAST(round($valueCol * 100) AS BIGINT))
+       |      - ((sum(CAST(round($valueCol * 100) AS BIGINT)) % 100 + 100) % 100))
+       |      / 100)::BIGINT AS y
+       |  FROM $table GROUP BY 1, 2),
+       |pre AS (SELECT t, day, y,
+       |    row_number() OVER (PARTITION BY t ORDER BY day) AS idx,
+       |    sum(y) OVER (PARTITION BY t ORDER BY day
+       |      ROWS UNBOUNDED PRECEDING) AS cs,
+       |    count(*) OVER (PARTITION BY t) AS n,
+       |    sum(y) OVER (PARTITION BY t) AS st
+       |  FROM daily),
+       |sc AS (SELECT t, day, idx, cs, n, st,
+       |    CAST(round(cs::DOUBLE * cs / idx
+       |      + (st - cs)::DOUBLE * (st - cs) / (n - idx), 0) AS BIGINT) AS fq
+       |  FROM pre WHERE idx < n),
+       |best AS (SELECT * FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY t ORDER BY fq DESC, idx) AS rn
+       |  FROM sc) WHERE rn = 1)
+       |SELECT t AS $typeCol, day AS split_day, idx::BIGINT AS n_before,
+       |  (n - idx)::BIGINT AS n_after,
+       |  round(cs::DOUBLE / idx, 2) AS mean_before,
+       |  round((st - cs)::DOUBLE / (n - idx), 2) AS mean_after
+       |FROM best ORDER BY 1""".stripMargin
+
   /** SAX-style symbolic series representation: daily totals → PAA segment
     * means → a small-alphabet word per series, the index key for
     * similarity search / motif mining over millions of series. Two

@@ -705,6 +705,81 @@ object Stats {
        |    ((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE), 6) AS r2
        |FROM s""".stripMargin
 
+  /** Split-conformal prediction interval for the next step of each series
+    * — distribution-free coverage on top of the [[groupedOls]] trend fit:
+    * the interval is `ŷ(x*) ± q` with q the ⌈(n+1)·(1−α)⌉-th smallest
+    * absolute residual of the fit (the conformal calibration quantile),
+    * x* = max(x)+1. The quantile rank uses exact integer ceil-division;
+    * residuals quantize to micro-units before ranking (ties break on x),
+    * so the chosen q — and hence the interval — replays in any engine.
+    * `alphaPct` = 10 means 90% target coverage.
+    *
+    * Scale shape: one 5-stat aggregate per group broadcast back + one
+    * per-group ordered window over the residuals — parallel across
+    * series.
+    */
+  def conformalNextInterval(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, alphaPct: Int = 10): DataFrame = {
+    require(alphaPct >= 1 && alphaPct <= 50, "alphaPct in [1, 50]")
+    val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
+    val g = df.groupBy(col(groupCol).as("_g"))
+      .agg(count(lit(1)).as("_n"), sum(x).as("_sx"), sum(y).as("_sy"),
+        sum(x * x).as("_sxx"), sum(x * y).as("_sxy"), max(x).as("_mx"))
+    val slope = (col("_n") * col("_sxy") - col("_sx") * col("_sy"))
+      .cast("double") /
+      (col("_n") * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+    val icept = (col("_sy") - slope * col("_sx")) / col("_n")
+    val fit = g.select(col("_g"), col("_n"), col("_mx"),
+      slope.as("_b1"), icept.as("_b0"))
+    val rows = df.select(col(groupCol).as("_g"), x.as("_x"), y.as("_y"))
+      .join(broadcast(fit), Seq("_g"))
+      .withColumn("_rq",
+        round(abs(col("_y") - (col("_b0") + col("_b1") * col("_x"))) * 1e6, 0)
+          .cast("long"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_g")
+      .orderBy(col("_rq"), col("_x"))
+    val conf = lit(100 - alphaPct)
+    val k = expr(s"((100 - $alphaPct) * (_n + 1) + 99) div 100")
+    rows.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === least(k, col("_n")))
+      .select(col("_g").as(groupCol), col("_n").as("n_obs"),
+        (col("_mx") + 1).as("x_star"),
+        round(col("_b0") + col("_b1") * (col("_mx") + 1), 2).as("yhat"),
+        round(col("_b0") + col("_b1") * (col("_mx") + 1) -
+          col("_rq").cast("double") / 1e6, 2).as("lo"),
+        round(col("_b0") + col("_b1") * (col("_mx") + 1) +
+          col("_rq").cast("double") / 1e6, 2).as("hi"),
+        conf.cast("long").as("conf_pct"))
+  }
+
+  /** DuckDB replay of [[conformalNextInterval]] over `(g, x, y)` rows. */
+  def conformalOracleSql(srcSql: String, alphaPct: Int = 10): String =
+    s"""WITH a AS ($srcSql),
+       |s AS (SELECT g, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+       |    sum(y)::BIGINT AS sy, sum(x*x)::BIGINT AS sxx,
+       |    sum(x*y)::BIGINT AS sxy, max(x)::BIGINT AS mx
+       |  FROM a GROUP BY 1),
+       |fit AS (SELECT g, n, mx,
+       |    (n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE AS b1,
+       |    (sy - ((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE) * sx)
+       |      / n AS b0
+       |  FROM s),
+       |r AS (SELECT a.g, a.x,
+       |    CAST(round(abs(a.y - (f.b0 + f.b1 * a.x)) * 1e6, 0) AS BIGINT)
+       |      AS rq, f.n, f.mx, f.b0, f.b1,
+       |    row_number() OVER (PARTITION BY a.g ORDER BY
+       |      CAST(round(abs(a.y - (f.b0 + f.b1 * a.x)) * 1e6, 0) AS BIGINT),
+       |      a.x) AS rn
+       |  FROM a JOIN fit f ON f.g = a.g)
+       |SELECT g, n AS n_obs, (mx + 1)::BIGINT AS x_star,
+       |  round(b0 + b1 * (mx + 1), 2) AS yhat,
+       |  round(b0 + b1 * (mx + 1) - rq::DOUBLE / 1e6, 2) AS lo,
+       |  round(b0 + b1 * (mx + 1) + rq::DOUBLE / 1e6, 2) AS hi,
+       |  ${100 - alphaPct}::BIGINT AS conf_pct
+       |FROM r
+       |WHERE rn = least(((${100 - alphaPct}) * (n + 1) + 99) // 100, n)
+       |ORDER BY g""".stripMargin
+
   /** Theil–Sen robust trend per series: the median of all pairwise slopes
     * `(y_j − y_i)/(x_j − x_i)`, the estimator that shrugs off up to ~29%
     * outliers where OLS folds. Median selection is deterministic: pairs

@@ -28,6 +28,36 @@ class TrendSpec extends SparkSpec {
     assert(out.getAs[Double]("ts_slope") == 3.0)
   }
 
+  test("changePoint finds a planted level shift at the right day") {
+    import spark.implicits._
+    def ts(day: Int) = new Timestamp(day.toLong * 86400000L)
+    // 10 days at $100, then 10 days at $500 → boundary after day 9
+    val rows = (0 until 10).map(d => ("s", ts(d), 100.0)) ++
+      (10 until 20).map(d => ("s", ts(d), 500.0))
+    val out = Events.changePoint(rows.toDF("t", "ts", "v"), "t", "ts", "v")
+      .collect().head
+    assert(out.getAs[Long]("split_day") == 9L)
+    assert(out.getAs[Long]("n_before") == 10L && out.getAs[Long]("n_after") == 10L)
+    assert(out.getAs[Double]("mean_before") == 100.0)
+    assert(out.getAs[Double]("mean_after") == 500.0)
+  }
+
+  test("conformalNextInterval covers a linear series with one outlier") {
+    import spark.implicits._
+    // y = 10x exactly except x=5 off by +30; 90% quantile of |residuals|
+    // over n=20: rank ceil(0.9·21) = 19 → a zero-ish residual below 30
+    val rows = (0 until 20).map(x =>
+      ("s", x.toLong, 10L * x + (if (x == 5) 30L else 0L)))
+    val out = Stats.conformalNextInterval(rows.toDF("g", "x", "y"),
+      "g", "x", "y", alphaPct = 10)
+      .collect().head
+    assert(out.getAs[Long]("x_star") == 20L)
+    val (yh, lo, hi) = (out.getAs[Double]("yhat"), out.getAs[Double]("lo"),
+      out.getAs[Double]("hi"))
+    assert(math.abs(yh - 200.0) < 5.0) // fit dragged slightly by the outlier
+    assert(lo < yh && hi > yh && (hi - lo) < 30.0) // q excludes the outlier
+  }
+
   test("saxWords maps a ramp to a monotone word, a flat series to 'aaaaaa'") {
     import spark.implicits._
     def ts(day: Int) = new Timestamp(day.toLong * 86400000L)
