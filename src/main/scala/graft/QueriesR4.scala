@@ -212,6 +212,18 @@ object GraftQueriesR4 {
         .orderBy("event_type")
     },
 
+    // extension: link-prediction AUC over the part co-order graph —
+    // deterministic 10% edge holdout, common-neighbor scores in the train
+    // graph, tie-aware Mann–Whitney AUC from score histograms
+    "q_link_auc" -> { (s, d) =>
+      val li = t(s, d)("lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      GraphAlgos.linkPredictionAuc(pairs, "a", "b")
+    },
+
     // extension: single change-point per series by binary segmentation —
     // argmax of the exact variance-reduction objective over boundaries
     "q_changepoint" -> { (s, d) =>
@@ -393,6 +405,12 @@ object GraftQueriesR4 {
 
     "q_power_iter" -> Stats.powerIterationOracleSql("embeddings", "embedding",
       dims = 8, iters = 3),
+
+    "q_link_auc" -> GraphAlgos.linkPredictionAucOracleSql(
+      """SELECT CAST(x.l_partkey AS VARCHAR) AS a,
+        |  CAST(y.l_partkey AS VARCHAR) AS b
+        |FROM lineitem x JOIN lineitem y
+        |ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey""".stripMargin),
 
     "q_changepoint" -> Events.changePointOracleSql(
       "(SELECT * FROM events WHERE value IS NOT NULL)",

@@ -1318,6 +1318,102 @@ object GraphAlgos {
     * map-side-combinable pair count; walks are steps-bounded so the join
     * fan-out is ≤ 2·window per position.
     */
+  /** Link-prediction evaluation — the standard graph-ML benchmark loop,
+    * engine-exact end to end: hold out ~10% of edges deterministically
+    * (md5 tag < '1a'), score held-out positives and a deterministic
+    * negative sample (all non-edges among the 200 smallest-md5 nodes) by
+    * COMMON-NEIGHBOR count in the training graph (an exact integer), and
+    * report the tie-aware Mann–Whitney AUC
+    * `(2·#concordant + #tied) / (2·P·N)` computed from the two score
+    * HISTOGRAMS (a scores×scores join — score cardinality, not pair
+    * cardinality).
+    *
+    * Scale shape: the scorer is one adjacency self-join keyed on the
+    * common neighbor, restricted to the evaluation pairs (broadcast-small
+    * by construction); the AUC reduction never materializes pairwise
+    * comparisons.
+    */
+  def linkPredictionAuc(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = pairs.select(col(aCol).cast("string").as("_x"),
+        col(bCol).cast("string").as("_y"))
+      .select(least(col("_x"), col("_y")).as("a"),
+        greatest(col("_x"), col("_y")).as("b"))
+      .where(col("a") =!= col("b")).distinct().persist(lvl)
+    val tag = substring(md5(concat_ws(":", lit("h"), col("a"), col("b"))), 1, 2)
+    val test = e.where(tag < "1a").persist(lvl)
+    val train = e.where(!(tag < "1a")).persist(lvl)
+    // negative sample: non-edges among the 200 smallest-md5 nodes
+    val nodes = e.select(col("a").as("n")).union(e.select(col("b"))).distinct()
+      .withColumn("_h", md5(concat(lit("n:"), col("n"))))
+      .orderBy("_h", "n").limit(200).select("n").persist(lvl)
+    val negs = nodes.select(col("n").as("a"))
+      .join(nodes.select(col("n").as("b")), col("a") < col("b"))
+      .join(e, Seq("a", "b"), "left_anti").persist(lvl)
+    // common-neighbor scores for an evaluation pair set
+    val adj = train.select(col("a").as("u"), col("b").as("w"))
+      .union(train.select(col("b").as("u"), col("a").as("w")))
+    def score(ev: DataFrame): DataFrame = ev
+      .join(adj.select(col("u").as("a"), col("w")), Seq("a"))
+      .join(adj.select(col("u").as("b"), col("w")), Seq("b", "w"))
+      .groupBy("a", "b").agg(count(lit(1)).as("s"))
+      .join(ev, Seq("a", "b"), "right")
+      .select(coalesce(col("s"), lit(0L)).as("s"))
+    val ph = score(test).groupBy("s").agg(count(lit(1)).as("cp"))
+    val nh = score(negs).groupBy("s").agg(count(lit(1)).as("cn"))
+    val u2 = ph.crossJoin(nh.select(col("s").as("sn"), col("cn")))
+      .agg(
+        coalesce(sum(when(col("s") > col("sn"),
+          lit(2L) * col("cp") * col("cn"))), lit(0L)).as("_conc2"),
+        coalesce(sum(when(col("s") === col("sn"),
+          col("cp") * col("cn"))), lit(0L)).as("_tie"))
+    val totals = ph.agg(sum("cp").as("n_pos"))
+      .crossJoin(nh.agg(sum("cn").as("n_neg")))
+    u2.crossJoin(totals)
+      .select(col("n_pos"), col("n_neg"),
+        round((col("_conc2") + col("_tie")).cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
+  /** DuckDB replay of [[linkPredictionAuc]]. `pairsSql`: (a, b) rows. */
+  def linkPredictionAucOracleSql(pairsSql: String): String =
+    s"""WITH e AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+       |  FROM ($pairsSql) WHERE a <> b),
+       |tagged AS (SELECT a, b,
+       |    substring(md5('h' || ':' || a || ':' || b), 1, 2) AS tg FROM e),
+       |test AS (SELECT a, b FROM tagged WHERE tg < '1a'),
+       |train AS (SELECT a, b FROM tagged WHERE NOT (tg < '1a')),
+       |nodes AS (SELECT n FROM (
+       |    SELECT n, md5('n:' || n) AS h FROM (
+       |      SELECT a AS n FROM e UNION SELECT b FROM e)
+       |    ORDER BY h, n LIMIT 200)),
+       |negs AS (SELECT x.n AS a, y.n AS b FROM nodes x JOIN nodes y
+       |  ON x.n < y.n
+       |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = x.n AND e.b = y.n)),
+       |adj AS (SELECT a AS u, b AS w FROM train
+       |  UNION ALL SELECT b, a FROM train),
+       |ts AS (SELECT t.a, t.b, coalesce(cnt.s, 0)::BIGINT AS s FROM test t
+       |  LEFT JOIN (SELECT x.u AS a, y.u AS b, count(*)::BIGINT AS s
+       |    FROM adj x JOIN adj y ON x.w = y.w
+       |    GROUP BY 1, 2) cnt ON cnt.a = t.a AND cnt.b = t.b),
+       |ns AS (SELECT t.a, t.b, coalesce(cnt.s, 0)::BIGINT AS s FROM negs t
+       |  LEFT JOIN (SELECT x.u AS a, y.u AS b, count(*)::BIGINT AS s
+       |    FROM adj x JOIN adj y ON x.w = y.w
+       |    GROUP BY 1, 2) cnt ON cnt.a = t.a AND cnt.b = t.b),
+       |ph AS (SELECT s, count(*)::BIGINT AS cp FROM ts GROUP BY 1),
+       |nh AS (SELECT s, count(*)::BIGINT AS cn FROM ns GROUP BY 1),
+       |u2 AS (SELECT
+       |    coalesce(sum(CASE WHEN ph.s > nh.s THEN 2 * ph.cp * nh.cn END), 0)
+       |      ::BIGINT AS conc2,
+       |    coalesce(sum(CASE WHEN ph.s = nh.s THEN ph.cp * nh.cn END), 0)
+       |      ::BIGINT AS tie
+       |  FROM ph CROSS JOIN nh),
+       |tot AS (SELECT (SELECT sum(cp) FROM ph)::BIGINT AS n_pos,
+       |    (SELECT sum(cn) FROM nh)::BIGINT AS n_neg)
+       |SELECT n_pos, n_neg,
+       |  round((conc2 + tie)::DOUBLE / (2 * n_pos * n_neg), 6) AS auc
+       |FROM u2 CROSS JOIN tot""".stripMargin
+
   /** Rich-club coefficient profile — for each degree threshold k, the
     * density of the subgraph induced by nodes of degree > k:
     * φ(k) = 2·E₍₎ / (N₍₎·(N₍₎−1)). Rising φ(k) = hubs preferentially

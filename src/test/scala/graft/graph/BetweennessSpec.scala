@@ -29,6 +29,25 @@ class BetweennessSpec extends SparkSpec {
     assert(Seq("a", "b", "c", "d").forall(v => out(v) == 1000000L))
   }
 
+  test("linkPredictionAuc separates clique edges from chain/non-edges") {
+    import spark.implicits._
+    // 20-clique: any held-out clique edge keeps ~18 common neighbors;
+    // a 30-node chain supplies near-zero-scoring structure + non-edges.
+    val clique = for { i <- 0 until 20; j <- i + 1 until 20 }
+      yield (f"c$i%02d", f"c$j%02d")
+    val chain = (0 until 29).map(i => (f"x$i%02d", f"x${i + 1}%02d"))
+    val out = GraphAlgos.linkPredictionAuc((clique ++ chain).toDF("a", "b"),
+      "a", "b").collect().head
+    assert(out.getAs[Long]("n_pos") > 5L)
+    assert(out.getAs[Long]("n_neg") > 100L)
+    val auc = out.getAs[Double]("auc")
+    assert(auc > 0.8 && auc <= 1.0)
+    // deterministic: a second run reproduces the exact AUC
+    val again = GraphAlgos.linkPredictionAuc((clique ++ chain).toDF("a", "b"),
+      "a", "b").collect().head.getAs[Double]("auc")
+    assert(again == auc)
+  }
+
   test("depth truncation ignores longer paths") {
     import spark.implicits._
     // path a—b—c—d—e with depth 2: only ≤2-hop pairs count.
