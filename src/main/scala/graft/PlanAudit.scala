@@ -32,7 +32,10 @@ object PlanAudit {
         // round-11 flagships: one-pass Gram-matrix regression, cell-keyed
         // DBSCAN candidate join, ratings-join ALS half-steps, window+
         // broadcast target encoding, wedge-pivot butterfly census
-        "q_ols", "q_dbscan", "q_als", "q_target_encode", "q_butterflies")
+        "q_ols", "q_dbscan", "q_als", "q_target_encode", "q_butterflies",
+        // partitioned-layout pruning (PartitionFilters must show the
+        // o_year predicate — whole directories eliminated pre-I/O)
+        "q_partition_prune")
     names.foreach { n =>
       println(s"\n===== $n =====")
       try SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -212,6 +212,25 @@ object GraftQueriesR4 {
         .orderBy("event_type")
     },
 
+    // extension: hive-style partitioned layout + partition pruning — the
+    // directory-level analogue of q_skipping's file stats: a year-
+    // partitioned write, then a pruned read (the filter eliminates whole
+    // directories before any file I/O; see PlanAudit for the scan)
+    "q_partition_prune" -> { (s, d) =>
+      val dir = s"/root/repo/target/graft-file-${d.replaceAll("[^0-9.]", "")}"
+      val target = s"$dir/orders_by_year"
+      deleteRecursively(new java.io.File(target))
+      t(s, d)("orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.partitionBy("o_year").parquet(target)
+      s.read.parquet(target)
+        .where(col("o_year") === 1995)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice")).cast("long")).as("total_dollars"))
+        .orderBy("o_orderpriority")
+    },
+
     // extension: link-prediction AUC over the part co-order graph —
     // deterministic 10% edge holdout, common-neighbor scores in the train
     // graph, tie-aware Mann–Whitney AUC from score histograms
@@ -405,6 +424,12 @@ object GraftQueriesR4 {
 
     "q_power_iter" -> Stats.powerIterationOracleSql("embeddings", "embedding",
       dims = 8, iters = 3),
+
+    "q_partition_prune" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+        |  sum(CAST(round(o_totalprice) AS BIGINT))::BIGINT AS total_dollars
+        |FROM orders WHERE year(o_orderdate) = 1995
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_link_auc" -> GraphAlgos.linkPredictionAucOracleSql(
       """SELECT CAST(x.l_partkey AS VARCHAR) AS a,
