@@ -212,6 +212,16 @@ object GraftQueriesR4 {
         .orderBy("event_type")
     },
 
+    // extension: least-squares gradient boosting (3 stump rounds, lr 0.5)
+    // on extendedprice — integer predictions keep residuals exact across
+    // rounds; per-round stump + decreasing quantized training SSE
+    "q_lsboost" -> { (s, d) =>
+      graft.ext.Tree.lsBoost(t(s, d)("lineitem"),
+        Seq("l_quantity", "l_discount"), col("l_extendedprice"),
+        nBins = 16, rounds = 3, lrPct = 50)
+        .orderBy("round")
+    },
+
     // extension: hive-style partitioned layout + partition pruning — the
     // directory-level analogue of q_skipping's file stats: a year-
     // partitioned write, then a pruned read (the filter eliminates whole
@@ -424,6 +434,10 @@ object GraftQueriesR4 {
 
     "q_power_iter" -> Stats.powerIterationOracleSql("embeddings", "embedding",
       dims = 8, iters = 3),
+
+    "q_lsboost" -> graft.ext.Tree.lsBoostOracleSql("lineitem",
+      Seq("l_quantity", "l_discount"), "l_extendedprice",
+      nBins = 16, rounds = 3, lrPct = 50),
 
     "q_partition_prune" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_orders,

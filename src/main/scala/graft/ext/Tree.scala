@@ -203,6 +203,165 @@ object Tree {
       .unionByName(leaves)
   }
 
+  /** Least-squares gradient boosting with regression stumps (LS_Boost,
+    * Friedman 2001) — `rounds` sequential stumps fitted to residuals,
+    * learning rate `lrPct`/100. The engine-exact recipe:
+    *
+    *   - target quantizes to integer cents; the model state per row is an
+    *     integer prediction, so RESIDUALS STAY EXACT INTEGERS round after
+    *     round (no float drift to accumulate);
+    *   - each stump comes from one melt + (feature, bin) histogram of
+    *     (count, Σresidual) — map-side combinable; the split argmin uses
+    *     the variance-reduction objective quantized AFTER division by the
+    *     total count (so it fits a long);
+    *   - leaf values are truncating integer divisions (Σres/n, then
+    *     ·lr/100) — Spark `div` and DuckDB `//` agree on negatives (both
+    *     truncate);
+    *   - the per-row update is a broadcast CASE on the wide frame (the
+    *     stump is the model — driver-small by definition, like the
+    *     k-means centroids and Bradley-Terry ratings).
+    *
+    * Returns one row per round: the stump (feature, split_value, leaf
+    * adds in cents) and the post-round training SSE (quantized
+    * Σ(res²/10⁴) — exact, order-free).
+    */
+  def lsBoost(df: DataFrame, featureCols: Seq[String], targetExpr: Column,
+      nBins: Int = 16, rounds: Int = 3, lrPct: Int = 50): DataFrame = {
+    require(featureCols.nonEmpty && nBins >= 2 && rounds >= 1, "bad params")
+    require(lrPct >= 1 && lrPct <= 100, "lrPct in [1, 100]")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = df.select(featureCols.map(c => col(c).cast("double").as(c)) :+
+      round(targetExpr * 100).cast("long").as("_y"): _*).persist(lvl)
+    // per-feature range (fixed across rounds — residuals don't move x)
+    val statCols = Seq(count(lit(1)).as("n"), sum("_y").as("sy")) ++
+      featureCols.flatMap(c =>
+        Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+    val statRows = base.agg(statCols.head, statCols.tail: _*).head()
+    val n = statRows.getAs[Long]("n")
+    val f0 = statRows.getAs[Long]("sy") / n // trunc == oracle //
+    val mnmx = featureCols.map(c =>
+      c -> (statRows.getAs[Double](s"mn_$c"), statRows.getAs[Double](s"mx_$c")))
+      .toMap
+    def binOfLit(c: String): Column = {
+      val (mn, mx) = mnmx(c)
+      if (mx == mn) lit(0)
+      else least(floor((col(c) - mn) / ((mx - mn) / nBins)), lit(nBins - 1L))
+        .cast("int")
+    }
+    var cur = base.withColumn("_p", lit(f0))
+    val out = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, String, Double, Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      val res = cur.withColumn("_r", col("_y") - col("_p"))
+      val hist = res.select(col("_r"),
+          explode(array(featureCols.map(c =>
+            struct(lit(c).as("f"), binOfLit(c).as("bin"))): _*)).as("_fb"))
+        .groupBy(col("_fb.f").as("f"), col("_fb.bin").as("bin"))
+        .agg(count(lit(1)).as("cnt"), sum("_r").as("sr"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("f").orderBy("bin")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val scored = hist
+        .withColumn("nl", sum(col("cnt")).over(w))
+        .withColumn("sl", sum(col("sr")).over(w))
+        .crossJoin(broadcast(res.agg(count(lit(1)).as("nt"), sum("_r").as("st"))))
+        .where(col("nl") < col("nt"))
+        .withColumn("fq", round(
+          (col("sl").cast("double") * col("sl") / col("nl") +
+            (col("st") - col("sl")).cast("double") * (col("st") - col("sl")) /
+              (col("nt") - col("nl"))) / col("nt"), 0).cast("long"))
+      val b = scored
+        .select(struct((-col("fq")).as("negf"), col("f"), col("bin"),
+          col("nl"), col("sl"), col("nt"), col("st")).as("b"))
+        .agg(min("b").as("b")).head().getStruct(0)
+      val (bf, bb) = (b.getAs[String]("f"), b.getAs[Int]("bin"))
+      val (bnl, bsl) = (b.getAs[Long]("nl"), b.getAs[Long]("sl"))
+      val (bnt, bst) = (b.getAs[Long]("nt"), b.getAs[Long]("st"))
+      val addL = (bsl / bnl) * lrPct / 100 // trunc at each step, like //
+      val addR = ((bst - bsl) / (bnt - bnl)) * lrPct / 100
+      cur = cur.withColumn("_p",
+        col("_p") + when(binOfLit(bf) <= bb, addL).otherwise(addR))
+        .localCheckpoint(true)
+      val sse = cur.agg(sum(expr(
+        "((_y - _p) * (_y - _p)) div 10000")).as("s")).head().getLong(0)
+      val (mn, mx) = mnmx(bf)
+      val splitValue = BigDecimal(mn + (bb + 1).toDouble * ((mx - mn) / nBins))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      out += ((r.toLong, bf, splitValue, addL, addR, sse))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("round", "feature", "split_value",
+      "add_left_cents", "add_right_cents", "sse_q")
+  }
+
+  /** DuckDB replay of [[lsBoost]]. */
+  def lsBoostOracleSql(tableSql: String, features: Seq[String],
+      targetSql: String, nBins: Int, rounds: Int, lrPct: Int): String = {
+    def binSql(c: String) =
+      s"""CAST(CASE WHEN st.mx_$c = st.mn_$c THEN 0
+         |  ELSE least(floor(($c - st.mn_$c) / ((st.mx_$c - st.mn_$c) / $nBins)),
+         |    ${nBins - 1}) END AS INT)""".stripMargin
+    val statSel = features.map(c =>
+      s"min($c) AS mn_$c, max($c) AS mx_$c").mkString(", ")
+    val roundsSql = (1 to rounds).map { r =>
+      val melt = features.map(c =>
+        s"""SELECT w.rid, w.res, '$c' AS f, ${binSql(c)} AS bin
+           |  FROM w${r - 1} w CROSS JOIN st""".stripMargin)
+        .mkString("\n  UNION ALL ")
+      s"""m$r AS ($melt),
+         |h$r AS (SELECT f, bin, count(*)::BIGINT AS cnt,
+         |    sum(res)::BIGINT AS sr FROM m$r GROUP BY 1, 2),
+         |t$r AS (SELECT count(*)::BIGINT AS nt, sum(res)::BIGINT AS st
+         |  FROM w${r - 1}),
+         |sc$r AS (SELECT f, bin, nl, sl, nt, st,
+         |    CAST(round((sl::DOUBLE * sl / nl
+         |      + (st - sl)::DOUBLE * (st - sl) / (nt - nl)) / nt, 0) AS BIGINT)
+         |      AS fq
+         |  FROM (SELECT f, bin,
+         |      sum(cnt) OVER (PARTITION BY f ORDER BY bin
+         |        ROWS UNBOUNDED PRECEDING) AS nl,
+         |      sum(sr) OVER (PARTITION BY f ORDER BY bin
+         |        ROWS UNBOUNDED PRECEDING) AS sl
+         |    FROM h$r) CROSS JOIN t$r WHERE nl < nt),
+         |b$r AS (SELECT *,
+         |    (((sl // nl) * $lrPct) // 100)::BIGINT AS addl,
+         |    ((((st - sl) // (nt - nl)) * $lrPct) // 100)::BIGINT AS addr
+         |  FROM (SELECT *, row_number() OVER (ORDER BY fq DESC, f, bin) AS rn
+         |    FROM sc$r) WHERE rn = 1),
+         |w$r AS (SELECT w.rid, ${features.map(c => s"w.$c").mkString(", ")},
+         |    w.y, w.p + CASE WHEN (CASE b.f
+         |      ${features.map(c => s"WHEN '$c' THEN ${binSql(c)}").mkString(" ")}
+         |      END) <= b.bin THEN b.addl ELSE b.addr END AS p,
+         |    w.y - (w.p + CASE WHEN (CASE b.f
+         |      ${features.map(c => s"WHEN '$c' THEN ${binSql(c)}").mkString(" ")}
+         |      END) <= b.bin THEN b.addl ELSE b.addr END) AS res
+         |  FROM w${r - 1} w CROSS JOIN b$r b CROSS JOIN st),
+         |sse$r AS (SELECT sum(((y - p) * (y - p)) // 10000)::BIGINT AS s
+         |  FROM w$r)""".stripMargin
+    }.mkString(",\n")
+    val roundRows = (1 to rounds).map { r =>
+      s"""SELECT $r::BIGINT AS round, b.f AS feature,
+         |  round((CASE b.f ${features.map(c =>
+              s"WHEN '$c' THEN st.mn_$c + CAST(b.bin + 1 AS DOUBLE) * ((st.mx_$c - st.mn_$c) / $nBins)")
+              .mkString(" ")} END), 4) AS split_value,
+         |  b.addl AS add_left_cents, b.addr AS add_right_cents,
+         |  sse$r.s AS sse_q
+         |FROM b$r b CROSS JOIN st CROSS JOIN sse$r""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH rows0 AS (SELECT row_number() OVER () AS rid,
+       |    ${features.map(c => s"CAST($c AS DOUBLE) AS $c").mkString(", ")},
+       |    CAST(round(($targetSql) * 100) AS BIGINT) AS y
+       |  FROM $tableSql),
+       |st AS (SELECT count(*)::BIGINT AS n, $statSel FROM rows0),
+       |f0 AS (SELECT (sum(y) // count(*))::BIGINT AS p0 FROM rows0),
+       |w0 AS (SELECT rid, ${features.mkString(", ")}, y, p0 AS p,
+       |    y - p0 AS res FROM rows0 CROSS JOIN f0),
+       |$roundsSql
+       |$roundRows
+       |ORDER BY round""".stripMargin
+  }
+
   /** DuckDB replay of [[depth2Tree]]: `tableSql` supplies the wide rows,
     * `features` the (numeric) column names, `labelSql` the 0/1 label
     * expression. Node assignment happens on the wide rows via a CASE over

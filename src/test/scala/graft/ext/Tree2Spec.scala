@@ -36,6 +36,24 @@ class Tree2Spec extends SparkSpec {
       out("RR").getAs[Long]("n_pos") == 0L)
   }
 
+  test("lsBoost drives training SSE down and finds the step feature") {
+    import spark.implicits._
+    // y = 100 + 500·[x1 ≥ 8]; x2 pure noise cycling 0..3
+    val rows = for { x <- 0 to 15; r <- 1 to 5 }
+      yield (x.toDouble, ((x + r) % 4).toDouble,
+        if (x >= 8) 600.0 else 100.0)
+    val out = Tree.lsBoost(rows.toDF("x1", "x2", "y"), Seq("x1", "x2"),
+      col("y"), nBins = 16, rounds = 3, lrPct = 50)
+      .orderBy("round").collect()
+    assert(out.head.getAs[String]("feature") == "x1")
+    val sses = out.map(_.getAs[Long]("sse_q")).toSeq
+    assert(sses == sses.sorted.reverse) // monotone decreasing
+    assert(sses.last < sses.head / 3) // substantial fit after 3 rounds
+    // step boundary recovered: split between 7 and 8
+    val sv = out.head.getAs[Double]("split_value")
+    assert(sv > 7.0 && sv <= 8.0)
+  }
+
   test("depth2Tree picks the informative feature among noise") {
     import spark.implicits._
     // x2 is constant (mx == mn → single bin, never a valid split);
