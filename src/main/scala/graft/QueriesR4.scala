@@ -212,6 +212,20 @@ object GraftQueriesR4 {
         .orderBy("event_type")
     },
 
+    // extension: Poisson GLM (log link) of orders-per-customer against
+    // nation — the count-data face of the regression family: one profile
+    // aggregate, exact-integer Newton steps on the driver
+    "q_poisson_glm" -> { (s, d) =>
+      val cnt = t(s, d)("orders").groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("y"))
+      val data = t(s, d)("customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("x"))
+        .join(cnt, Seq("c_custkey"), "left")
+        .select(col("x"), coalesce(col("y"), lit(0L)).as("y"))
+      Regression.poissonGlm(data, "x", "y", rounds = 3)
+        .orderBy("x")
+    },
+
     // extension: least-squares gradient boosting (3 stump rounds, lr 0.5)
     // on extendedprice — integer predictions keep residuals exact across
     // rounds; per-round stump + decreasing quantized training SSE
@@ -434,6 +448,13 @@ object GraftQueriesR4 {
 
     "q_power_iter" -> Stats.powerIterationOracleSql("embeddings", "embedding",
       dims = 8, iters = 3),
+
+    "q_poisson_glm" -> Regression.poissonGlmOracleSql(
+      """SELECT CAST(c.c_nationkey AS BIGINT) AS x,
+        |  coalesce(o.y, 0)::BIGINT AS y
+        |FROM customer c LEFT JOIN (SELECT o_custkey, count(*)::BIGINT AS y
+        |  FROM orders GROUP BY 1) o ON o.o_custkey = c.c_custkey""".stripMargin,
+      rounds = 3),
 
     "q_lsboost" -> graft.ext.Tree.lsBoostOracleSql("lineitem",
       Seq("l_quantity", "l_discount"), "l_extendedprice",

@@ -85,6 +85,107 @@ object Regression {
     (b0, b1, b2, r2)
   }
 
+  /** Poisson GLM (log link) on a LOW-CARDINALITY ordinal covariate —
+    * `y ~ Poisson(exp(b0 + b1·x))` fit by `rounds` Newton steps. The
+    * data-sized work is ONE keyed aggregate to the per-level profile
+    * (x, n, Σy); training runs on that profile (levels-many rows — the
+    * canonical GLM-on-sufficient-statistics decomposition, valid because
+    * the Poisson log-likelihood depends on the data only through per-level
+    * counts when x is discrete).
+    *
+    * Engine parity: the only libm calls are `exp` per LEVEL per round
+    * (≤ levels·rounds, each immediately quantized to micro-units), so
+    * gradient/Hessian sums are exact integers; the Newton solve is exact
+    * BigInt Cramer + one double division per coefficient — the same
+    * contract as [[solve2]].
+    *
+    * Returns one row per level: x, n_obs, mean_y, lambda_hat (the fitted
+    * rate), with b0/b1 (6 dp) repeated on every row.
+    */
+  def poissonGlm(df: DataFrame, xCol: String, yCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "rounds >= 1")
+    val prof = df.groupBy(col(xCol).cast("long").as("x"))
+      .agg(count(lit(1)).as("n"), sum(col(yCol).cast("long")).as("sy"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(prof.nonEmpty, "empty input")
+    require(prof.length <= 10000, "xCol must be low-cardinality (levels <= 1e4)")
+    val nTot = prof.map(_._2).sum
+    val syTot = prof.map(_._3).sum
+    var b0 = math.log(syTot.toDouble / nTot)
+    var b1 = 0.0
+    for (_ <- 1 to rounds) {
+      // per-level rate, micro-quantized the instant it leaves libm
+      val lamQ = prof.map { case (x, _, _) =>
+        BigDecimal(math.exp(b0 + b1 * x) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+      }
+      val h11 = prof.zip(lamQ).map { case ((_, n, _), l) => BigInt(n) * l }.sum
+      val h12 = prof.zip(lamQ).map { case ((x, n, _), l) =>
+        BigInt(x) * BigInt(n) * l }.sum
+      val h22 = prof.zip(lamQ).map { case ((x, n, _), l) =>
+        BigInt(x) * BigInt(x) * BigInt(n) * l }.sum
+      val g1 = BigInt(syTot) * BigInt(1000000) - h11
+      val g2 = prof.map { case (x, _, sy) => BigInt(x) * BigInt(sy) }.sum *
+        BigInt(1000000) - h12
+      val det = h11 * h22 - h12 * h12
+      require(det != 0, "singular Hessian")
+      b0 += (h22 * g1 - h12 * g2).toDouble / det.toDouble
+      b1 += (h11 * g2 - h12 * g1).toDouble / det.toDouble
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b0r = BigDecimal(b0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    val b1r = BigDecimal(b1).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    prof.toSeq.map { case (x, n, sy) =>
+      val lam = BigDecimal(math.exp(b0 + b1 * x))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val my = BigDecimal(sy.toDouble / n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (x, n, my, lam, b0r, b1r)
+    }.toDF("x", "n_obs", "mean_y", "lambda_hat", "b0", "b1")
+  }
+
+  /** DuckDB replay of [[poissonGlm]] — Newton rounds unrolled over the
+    * profile CTE; `srcSql` must produce (x, y) rows.
+    */
+  def poissonGlmOracleSql(srcSql: String, rounds: Int): String = {
+    val iters = (1 to rounds).map { r =>
+      s"""lam$r AS (SELECT p.x, p.n, p.sy,
+         |    CAST(round(exp(b.b0 + b.b1 * p.x) * 1e6, 0) AS HUGEINT) AS lq
+         |  FROM prof p CROSS JOIN beta${r - 1} b),
+         |hs$r AS (SELECT sum(n::HUGEINT * lq) AS h11,
+         |    sum(x::HUGEINT * n * lq) AS h12,
+         |    sum(x::HUGEINT * x * n * lq) AS h22,
+         |    (SELECT sum(sy) FROM prof)::HUGEINT * 1000000
+         |      - sum(n::HUGEINT * lq) AS g1,
+         |    (SELECT sum(x::HUGEINT * sy) FROM prof) * 1000000
+         |      - sum(x::HUGEINT * n * lq) AS g2
+         |  FROM lam$r),
+         |beta$r AS (SELECT
+         |    b.b0 + (h.h22 * h.g1 - h.h12 * h.g2)::DOUBLE /
+         |      (h.h11 * h.h22 - h.h12 * h.h12)::DOUBLE AS b0,
+         |    b.b1 + (h.h11 * h.g2 - h.h12 * h.g1)::DOUBLE /
+         |      (h.h11 * h.h22 - h.h12 * h.h12)::DOUBLE AS b1
+         |  FROM beta${r - 1} b CROSS JOIN hs$r h)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH src AS ($srcSql),
+       |prof AS (SELECT x::BIGINT AS x, count(*)::BIGINT AS n,
+       |    sum(y)::BIGINT AS sy FROM src GROUP BY 1),
+       |beta0 AS (SELECT ln((SELECT sum(sy) FROM prof)::DOUBLE /
+       |    (SELECT sum(n) FROM prof)) AS b0, 0.0::DOUBLE AS b1),
+       |$iters
+       |SELECT p.x, p.n AS n_obs,
+       |  round(p.sy::DOUBLE / p.n, 4) AS mean_y,
+       |  round(exp(b.b0 + b.b1 * p.x), 4) AS lambda_hat,
+       |  round(b.b0, 6) AS b0, round(b.b1, 6) AS b1
+       |FROM prof p CROSS JOIN beta$rounds b
+       |ORDER BY p.x""".stripMargin
+  }
+
   /** The DuckDB side of [[solve2]]: CTEs over a one-row CTE `g` holding the
     * ten sums as HUGEINT columns named like [[Gram2]]'s fields, computing
     * b0/b1/b2/r2 with the exact association order of the Scala solve.

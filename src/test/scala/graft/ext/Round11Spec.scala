@@ -67,6 +67,29 @@ class Round11Spec extends SparkSpec {
     assert(out(30L) == ("noise", -1L))
   }
 
+  test("poissonGlm recovers a planted log-linear rate") {
+    import spark.implicits._
+    // y deterministic ≈ Poisson mean: y = round(exp(1 + 0.3x)), x in 0..5,
+    // many rows per level → Newton should land near (1, 0.3)
+    val rows = for { x <- 0 to 5; i <- 1 to 50 } yield {
+      val lam = math.exp(1.0 + 0.3 * x)
+      // spread y around the mean deterministically, preserving the level mean
+      val y = math.round(lam).toLong + (if (i % 2 == 0) 1L else -1L) * (i % 3)
+      (x.toLong, math.max(y, 0L))
+    }
+    val out = Regression.poissonGlm(rows.toDF("x", "y"), "x", "y", rounds = 4)
+      .collect()
+    val b0 = out.head.getAs[Double]("b0")
+    val b1 = out.head.getAs[Double]("b1")
+    assert(math.abs(b1 - 0.3) < 0.05)
+    assert(math.abs(b0 - 1.0) < 0.15)
+    // fitted rates track level means
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("lambda_hat") -
+        r.getAs[Double]("mean_y")) < 1.5)
+    }
+  }
+
   test("lofGrid: fringe point scores well above the dense core") {
     import spark.implicits._
     def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat, 0f)
