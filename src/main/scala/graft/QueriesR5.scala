@@ -1,0 +1,290 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Regression
+import graft.graph.GraphAlgos
+
+/** Round-5 operator additions, same contract as [[GraftQueries]] /
+  * [[GraftQueriesR4]]: one battery entry per operator, each with a full
+  * DuckDB oracle. [[SparkEntry]] merges all maps.
+  */
+object GraftQueriesR5 {
+
+  private def t(s: SparkSession, dir: String)(name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Shared TextRank token-pair construction: content words (≥ 4 letters)
+    * co-occurring within a 3-token window, symmetrized. The DuckDB twin is
+    * [[textrankEdgesSql]].
+    */
+  private def textrankEdges(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      filter(split(trim(lower(col("text"))), "\\s+"),
+        w => w.rlike("^[a-z]{4,}$")).as("t"))
+    val pos = toks.select(col("doc_id"), posexplode(col("t")))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "w")
+    val pairs = pos.as("x").join(pos.as("y"),
+        col("x.doc_id") === col("y.doc_id") &&
+          (col("y.p") - col("x.p")).between(1, 3) &&
+          col("x.w") =!= col("y.w"))
+      .select(col("x.w").as("src"), col("y.w").as("dst"))
+    pairs.union(pairs.select(col("dst"), col("src")))
+      .withColumn("w", lit(1L))
+  }
+
+  private val textrankPairsSub: String =
+    """(SELECT x.w AS src, y.w AS dst
+      |   FROM (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS p
+      |         FROM (SELECT doc_id,
+      |                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |                   w -> regexp_matches(w, '^[a-z]{4,}$')) AS t
+      |               FROM documents)) x
+      |   JOIN (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS p
+      |         FROM (SELECT doc_id,
+      |                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |                   w -> regexp_matches(w, '^[a-z]{4,}$')) AS t
+      |               FROM documents)) y
+      |   ON x.doc_id = y.doc_id AND y.p - x.p BETWEEN 1 AND 3
+      |      AND x.w <> y.w)""".stripMargin
+
+  private val textrankEdgesSql: String =
+    s"""SELECT src, dst, 1::BIGINT AS w FROM $textrankPairsSub pr
+       |UNION ALL
+       |SELECT dst, src, 1::BIGINT FROM $textrankPairsSub pr""".stripMargin
+
+  val all: Map[String, Q] = Map(
+
+    // extension: logistic regression (binomial GLM, logit link) of the
+    // return probability against the discount level — the Platt-scaling /
+    // propensity face of the GLM family; ONE profile aggregate, exact
+    // BigInt IRLS on the driver, micro-quantized sigmoids
+    "q_logit_glm" -> { (s, d) =>
+      Regression.logitGlm(
+        t(s, d)("lineitem").select(
+          round(col("l_discount") * 100).cast("long").as("x"),
+          (col("l_returnflag") === "R").cast("long").as("y")),
+        "x", "y", rounds = 3)
+        .orderBy("x")
+    },
+
+    // extension: k-fold cross-validated OLS (price ~ quantity) — per-fold
+    // training stats are total − fold (one aggregate pass), per-fold solves
+    // on the driver, one broadcast-scored eval pass; leakage-free by
+    // construction, folds stable under reruns (md5 draw)
+    "q_cv_folds" -> { (s, d) =>
+      Regression.cvFoldOls(
+        t(s, d)("lineitem").select(
+          concat(col("l_orderkey"), lit("-"), col("l_linenumber")).as("k"),
+          round(col("l_quantity")).cast("long").as("x"),
+          round(col("l_extendedprice")).cast("long").as("y")),
+        "k", "x", "y", k = 5)
+        .orderBy("fold")
+    },
+
+    // extension: community quality of the brand partition over the part
+    // co-order graph — per-community intra/cut/volume counts, conductance,
+    // and exact-integer Newman modularity (is "brand" a real community
+    // structure in what customers co-buy?)
+    "q_community_quality" -> { (s, d) =>
+      val li = t(s, d)("lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      GraphAlgos.communityQuality(pairs, "src", "dst",
+        t(s, d)("part").select(col("p_partkey"), col("p_brand")),
+        "p_partkey", "p_brand")
+        .orderBy("community")
+    },
+
+    // extension: TextRank keyword extraction — content-word co-occurrence
+    // graph (3-token window) + weighted fixed-point PageRank; the
+    // graph-centrality cousin of RAKE over the same corpus
+    "q_textrank" -> { (s, d) =>
+      GraphAlgos.weightedPageRankFixed(
+        textrankEdges(t(s, d)("documents")),
+        "src", "dst", "w", iterations = 2)
+        .orderBy(col("rank").desc, col("node")).limit(30)
+    },
+
+    // TPC-H Q4 shape: late-shipment order-priority census — orders with
+    // any lineitem shipped > 30 days after the order date, counted per
+    // priority; the EXISTS becomes a conditioned left-semi join (one
+    // shuffle on orderkey, no row duplication before the aggregate)
+    "q_tpch_late_priority" -> { (s, d) =>
+      val o = t(s, d)("orders")
+      val li = t(s, d)("lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      o.join(li,
+          o("o_orderkey") === li("l_orderkey") &&
+            li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 30 DAY"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_late_orders"))
+        .orderBy("o_orderpriority")
+    },
+
+    // TPC-H Q13 shape: customer order-count distribution — left join keeps
+    // zero-order customers, two cascaded counting aggregates; the histogram
+    // that powers "how engaged is the customer base"
+    "q_tpch_cust_dist" -> { (s, d) =>
+      t(s, d)("customer").select("c_custkey")
+        .join(t(s, d)("orders").select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_customers").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q17 shape: small-quantity revenue — lineitems below 20% of
+    // their part's average quantity; the per-part aggregate joins back on
+    // the SAME key it grouped on, so Catalyst reuses the exchange (one
+    // lineitem shuffle total); the avg comparison is the exact integer
+    // cross-multiplication 5·q·n < Σq, no division
+    "q_tpch_small_qty" -> { (s, d) =>
+      val li = t(s, d)("lineitem").select(col("l_partkey"),
+        round(col("l_quantity") * 100).cast("long").as("q100"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      val byPart = li.groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"), sum("q100").as("sq"))
+      li.join(byPart, Seq("l_partkey"))
+        .where(col("q100") * lit(5L) * col("n") < col("sq"))
+        .agg(count(lit(1)).as("n_small"), sum("price_c").as("revenue_cents"))
+    },
+
+    // TPC-H Q22 shape: well-funded idle customers — above the average
+    // positive balance (1-row broadcast), no RECENT orders (anti join on
+    // the distinct custkey set of orders since 2000; every customer has
+    // SOME order in this data, so the window keeps the anti-join
+    // non-vacuous); per-nation counts; the exact comparison is the
+    // cross-multiplication bal·n > Σbal, no division
+    "q_tpch_idle_cust" -> { (s, d) =>
+      val cust = t(s, d)("customer").select(col("c_custkey"),
+        col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+      val pos = cust.where(col("bal_c") > 0)
+        .agg(count(lit(1)).as("n_pos"), sum("bal_c").as("sum_pos"))
+      cust.join(t(s, d)("orders")
+            .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+            .select(col("o_custkey").as("c_custkey")).distinct(),
+          Seq("c_custkey"), "left_anti")
+        .crossJoin(broadcast(pos))
+        .where(col("bal_c") * col("n_pos") > col("sum_pos"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_custs"), sum("bal_c").as("total_bal_cents"))
+        .orderBy("c_nationkey")
+    },
+
+    // TPC-H Q15 shape: top supplier by 1996 revenue — per-supplier revenue
+    // aggregate, 1-row broadcast max, equality filter, then the supplier
+    // dim join; ties all surface (deterministic)
+    "q_tpch_top_supplier" -> { (s, d) =>
+      val rev = t(s, d)("lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_suppkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("rev_c"))
+        .groupBy("l_suppkey").agg(sum("rev_c").as("total_rev_cents"))
+      val mx = rev.agg(max("total_rev_cents").as("_mx"))
+      rev.crossJoin(broadcast(mx))
+        .where(col("total_rev_cents") === col("_mx"))
+        .join(t(s, d)("supplier")
+            .select(col("s_suppkey").as("l_suppkey"), col("s_name")),
+          Seq("l_suppkey"))
+        .select(col("l_suppkey").as("s_suppkey"), col("s_name"),
+          col("total_rev_cents"))
+        .orderBy("s_suppkey")
+    })
+
+  // ---------------------------------------------------------------- oracles
+
+  val oracles: Map[String, String] = Map(
+
+    "q_logit_glm" -> Regression.logitGlmOracleSql(
+      """SELECT CAST(round(l_discount * 100) AS BIGINT) AS x,
+        |  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |FROM lineitem""".stripMargin,
+      rounds = 3),
+
+    "q_cv_folds" -> Regression.cvFoldOlsSql(
+      """SELECT l_orderkey || '-' || l_linenumber AS key,
+        |  CAST(round(l_quantity) AS BIGINT) AS x,
+        |  CAST(round(l_extendedprice) AS BIGINT) AS y
+        |FROM lineitem""".stripMargin,
+      k = 5),
+
+    "q_community_quality" -> (GraphAlgos.communityQualityOracleSql(
+      """SELECT CAST(x.l_partkey AS VARCHAR) AS src,
+        |  CAST(y.l_partkey AS VARCHAR) AS dst
+        |FROM lineitem x JOIN lineitem y
+        |ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey""".stripMargin,
+      "SELECT CAST(p_partkey AS VARCHAR) AS node, p_brand AS community FROM part")
+      + "\nORDER BY community"),
+
+    "q_textrank" ->
+      s"""${GraphAlgos.weightedPageRankOracleSql(textrankEdgesSql,
+            iterations = 2)}
+         |SELECT node, rank::BIGINT AS rank FROM r2
+         |ORDER BY rank DESC, node LIMIT 30""".stripMargin,
+
+    "q_tpch_late_priority" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_late_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tpch_cust_dist" ->
+      """SELECT c_count, count(*)::BIGINT AS n_customers FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+        |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY 2 DESC, 1 DESC""".stripMargin,
+
+    "q_tpch_small_qty" ->
+      """WITH li AS (SELECT l_partkey,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS q100,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+        |  FROM lineitem),
+        |a AS (SELECT l_partkey, count(*)::BIGINT AS n, sum(q100)::BIGINT AS sq
+        |  FROM li GROUP BY 1)
+        |SELECT count(*)::BIGINT AS n_small,
+        |  sum(li.price_c)::BIGINT AS revenue_cents
+        |FROM li JOIN a USING (l_partkey)
+        |WHERE li.q100 * 5 * a.n < a.sq""".stripMargin,
+
+    "q_tpch_idle_cust" ->
+      """WITH cust AS (SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer),
+        |p AS (SELECT count(*)::BIGINT AS n_pos, sum(bal_c)::BIGINT AS sum_pos
+        |  FROM cust WHERE bal_c > 0)
+        |SELECT c_nationkey, count(*)::BIGINT AS n_custs,
+        |  sum(bal_c)::BIGINT AS total_bal_cents
+        |FROM cust CROSS JOIN p
+        |WHERE bal_c * n_pos > sum_pos
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = cust.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tpch_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT))::BIGINT AS total_rev_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1),
+        |mx AS (SELECT max(total_rev_cents) AS _mx FROM rev)
+        |SELECT r.l_suppkey AS s_suppkey, s.s_name, r.total_rev_cents
+        |FROM rev r CROSS JOIN mx
+        |JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        |WHERE r.total_rev_cents = mx._mx
+        |ORDER BY 1""".stripMargin)
+}

@@ -1740,6 +1740,112 @@ object GraphAlgos {
        |  COALESCE(max(c), 0)::BIGINT AS max_copairs
        |FROM pc""".stripMargin
 
+  /** Partition quality of a node→community assignment over an undirected
+    * graph: per-community intra-edge / cut-edge / volume counts, Newman
+    * modularity contribution, and conductance — the metrics that grade a
+    * community detection (or any attribute partition) before acting on it.
+    *
+    * Exactness: edges canonicalize to distinct unordered pairs (self-loops
+    * dropped); every per-community count is an exact integer, the
+    * modularity numerator is the exact integer `4·m·intra_c − vol_c²`
+    * summed order-free, and the ONLY divisions are one per output value:
+    * modularity = Σ_c (4·m·intra_c − vol_c²) / (4m²),
+    * conductance_c = cut_c / min(vol_c, 2m − vol_c) (null when the
+    * denominator is 0). Both engines evaluate single double divisions of
+    * identical integers.
+    *
+    * Scale shape: one distinct over the edge frame, two community-mapping
+    * joins keyed on the endpoints (broadcast when the mapping is small),
+    * then keyed counting aggregates — community cardinality rows cross the
+    * exchange, never pairs. Caller contract: `4·m·intra` must fit a long
+    * (m ≤ ~10⁹ edges at intra ≤ m), the usual price of exactness.
+    */
+  def communityQuality(edges: DataFrame, srcCol: String, dstCol: String,
+      communities: DataFrame, nodeCol: String, commCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol).cast("string"), col(dstCol).cast("string")).as("a"),
+        greatest(col(srcCol).cast("string"), col(dstCol).cast("string")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val cm = communities.select(col(nodeCol).cast("string").as("node"),
+      col(commCol).cast("string").as("community")).distinct()
+    val tagged = e
+      .join(cm.withColumnRenamed("node", "a").withColumnRenamed("community", "ca"), Seq("a"))
+      .join(cm.withColumnRenamed("node", "b").withColumnRenamed("community", "cb"), Seq("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = tagged.count()
+    require(m > 0, "graph has no edges after canonicalization")
+    // per-community: intra edges (both endpoints inside) and cut edges
+    // (exactly one endpoint inside — each cut edge counts for BOTH sides)
+    val intra = tagged.where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val cut = tagged.where(col("ca") =!= col("cb"))
+      .select(col("ca").as("community"))
+      .union(tagged.where(col("ca") =!= col("cb")).select(col("cb")))
+      .groupBy("community").agg(count(lit(1)).as("cut_edges"))
+    val nNodes = cm.groupBy("community").agg(count(lit(1)).as("n_nodes"))
+    val perC = nNodes
+      .join(intra, Seq("community"), "left")
+      .join(cut, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        coalesce(col("cut_edges"), lit(0L)).as("cut_edges"))
+      .withColumn("volume",
+        lit(2L) * col("intra_edges") + col("cut_edges"))
+      .withColumn("contrib_q",
+        lit(4L) * lit(m) * col("intra_edges") - col("volume") * col("volume"))
+    tagged.unpersist(blocking = false)
+    val q = perC.agg(sum(col("contrib_q")).as("_qnum"))
+      .select(round(col("_qnum").cast("double") /
+        (lit(4.0) * lit(m.toDouble) * lit(m.toDouble)), 6).as("modularity"))
+    perC
+      .withColumn("conductance",
+        when(least(col("volume"), lit(2L) * lit(m) - col("volume")) === 0L,
+          lit(null).cast("double"))
+          .otherwise(round(col("cut_edges").cast("double") /
+            least(col("volume"), lit(2L) * lit(m) - col("volume"))
+              .cast("double"), 6)))
+      .crossJoin(broadcast(q))
+      .select(col("community"), col("n_nodes"), col("intra_edges"),
+        col("cut_edges"), col("volume"), col("conductance"),
+        col("modularity"))
+  }
+
+  /** DuckDB replay of [[communityQuality]]; `edgesSql` must produce
+    * (src, dst) rows and `commSql` (node, community) rows, both VARCHAR.
+    */
+  def communityQualityOracleSql(edgesSql: String, commSql: String): String =
+    s"""WITH e0 AS ($edgesSql),
+       |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM e0 WHERE src <> dst),
+       |cm AS (SELECT DISTINCT node, community FROM ($commSql)),
+       |tagged AS (SELECT ca.community AS ca, cb.community AS cb
+       |  FROM e JOIN cm ca ON ca.node = e.a JOIN cm cb ON cb.node = e.b),
+       |m AS (SELECT count(*)::BIGINT AS m FROM tagged),
+       |intra AS (SELECT ca AS community, count(*)::BIGINT AS intra_edges
+       |  FROM tagged WHERE ca = cb GROUP BY 1),
+       |cut AS (SELECT community, count(*)::BIGINT AS cut_edges FROM (
+       |    SELECT ca AS community FROM tagged WHERE ca <> cb
+       |    UNION ALL SELECT cb FROM tagged WHERE ca <> cb) GROUP BY 1),
+       |nn AS (SELECT community, count(*)::BIGINT AS n_nodes FROM cm GROUP BY 1),
+       |perc AS (SELECT nn.community, nn.n_nodes,
+       |    coalesce(i.intra_edges, 0)::BIGINT AS intra_edges,
+       |    coalesce(c.cut_edges, 0)::BIGINT AS cut_edges,
+       |    (2 * coalesce(i.intra_edges, 0) + coalesce(c.cut_edges, 0))::BIGINT
+       |      AS volume
+       |  FROM nn LEFT JOIN intra i ON i.community = nn.community
+       |  LEFT JOIN cut c ON c.community = nn.community),
+       |q AS (SELECT round(sum(4 * m.m * intra_edges - volume * volume)::DOUBLE
+       |    / (4.0 * m.m * m.m), 6) AS modularity
+       |  FROM perc CROSS JOIN m GROUP BY m.m)
+       |SELECT p.community, p.n_nodes, p.intra_edges, p.cut_edges, p.volume,
+       |  CASE WHEN least(p.volume, 2 * m.m - p.volume) = 0 THEN NULL
+       |    ELSE round(p.cut_edges::DOUBLE /
+       |      least(p.volume, 2 * m.m - p.volume), 6) END AS conductance,
+       |  q.modularity
+       |FROM perc p CROSS JOIN m CROSS JOIN q""".stripMargin
+
   def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
     require(window >= 1, "window must be >= 1")
     val a = walks.select(col("walk_id"), col("step").as("_sa"),
