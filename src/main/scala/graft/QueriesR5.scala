@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.Regression
+import graft.ext.{Regression, Stats}
+import graft.fixtures.TpchGraph
 import graft.graph.GraphAlgos
 
 /** Round-5 operator additions, same contract as [[GraftQueries]] /
@@ -109,6 +110,60 @@ object GraftQueriesR5 {
         textrankEdges(t(s, d)("documents")),
         "src", "dst", "w", iterations = 2)
         .orderBy(col("rank").desc, col("node")).limit(30)
+    },
+
+    // extension: strongly connected components of the directed
+    // above-uniform event-type transition graph (edges where a transition
+    // exceeds its source's uniform share) — iterated forward-backward
+    // min-label agreement, every locally-minimal SCC assigned per peel
+    "q_scc" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val tr = TpchGraph.eventsTable(s, d)
+        .withColumn("_prev", lag(col("event_type"), 1).over(w))
+        .where(col("_prev").isNotNull)
+        .groupBy(col("_prev").as("f"), col("event_type").as("t"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy("f").agg(sum("n").as("tot"))
+      val edges = tr.join(broadcast(tot), Seq("f"))
+        .where(col("n") * lit(5L) > col("tot"))
+        .select(col("f").as("src"), col("t").as("dst"))
+      GraphAlgos.sccFixed(edges, "src", "dst", peelRounds = 3, propRounds = 4)
+        .orderBy("node")
+    },
+
+    // extension: two-sample Kolmogorov–Smirnov drift test — click vs
+    // purchase value distributions in exact integer cents; D's numerator
+    // is an exact integer over the distinct-value domain
+    "q_ks_test" -> { (s, d) =>
+      Stats.ksTest(
+        TpchGraph.eventsTable(s, d).where(col("value").isNotNull)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents")),
+        "event_type", "cents", "click", "purchase")
+    },
+
+    // extension: mutual information / entropy profile of brand ×
+    // return-flag — the information-theoretic effect size next to q_chi2's
+    // independence test; nano-quantized nats, exact integer sums
+    "q_mutual_info" -> { (s, d) =>
+      Stats.mutualInfo(
+        t(s, d)("lineitem").select("l_partkey", "l_returnflag")
+          .join(broadcast(t(s, d)("part").select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey")),
+        "p_brand", "l_returnflag")
+    },
+
+    // extension: ATT by exact stratified matching — effect of a deep
+    // discount (≥ 5%) on line revenue, controlling for quantity strata;
+    // common-support drop, micro-quantized control means, one division
+    "q_att_matching" -> { (s, d) =>
+      Stats.attMatched(
+        t(s, d)("lineitem").select(
+          (col("l_discount") >= 0.05).as("treat"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+          round(col("l_quantity")).cast("long").as("qty")),
+        "treat", "price_c", "qty")
     },
 
     // TPC-H Q4 shape: late-shipment order-priority census — orders with
@@ -230,6 +285,40 @@ object GraftQueriesR5 {
             iterations = 2)}
          |SELECT node, rank::BIGINT AS rank FROM r2
          |ORDER BY rank DESC, node LIMIT 30""".stripMargin,
+
+    "q_scc" -> {
+      val trSub =
+        """(SELECT prev AS f, event_type AS t, count(*)::BIGINT AS n
+          |   FROM (SELECT user_id, event_type,
+          |           lag(event_type) OVER (PARTITION BY user_id
+          |             ORDER BY ts, event_id) AS prev
+          |         FROM events) s
+          |   WHERE prev IS NOT NULL GROUP BY 1, 2)""".stripMargin
+      GraphAlgos.sccOracleSql(
+        s"""SELECT tr.f AS src, tr.t AS dst
+           |FROM $trSub tr
+           |JOIN (SELECT f, sum(n)::BIGINT AS tot FROM $trSub tr2 GROUP BY 1)
+           |  tot ON tot.f = tr.f
+           |WHERE tr.n * 5 > tot.tot""".stripMargin,
+        peelRounds = 3, propRounds = 4) + "\nORDER BY node"
+    },
+
+    "q_ks_test" -> Stats.ksTestOracleSql(
+      """SELECT event_type AS g,
+        |  CAST(round(value * 100) AS BIGINT) AS v
+        |FROM events WHERE value IS NOT NULL
+        |  AND event_type IN ('click', 'purchase')""".stripMargin,
+      "click", "purchase"),
+
+    "q_mutual_info" -> Stats.mutualInfoOracleSql(
+      """SELECT p.p_brand AS a, l.l_returnflag AS b
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey""".stripMargin),
+
+    "q_att_matching" -> Stats.attMatchedOracleSql(
+      """SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+        |  l_discount >= 0.05 AS t,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |FROM lineitem""".stripMargin),
 
     "q_tpch_late_priority" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_late_orders

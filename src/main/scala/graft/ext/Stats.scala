@@ -872,4 +872,233 @@ object Stats {
        |  round(((sg - y) * nt + $m * st)::DOUBLE /
        |    ((ng - 1 + $m) * nt), 6) AS enc
        |FROM b CROSS JOIN t""".stripMargin
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the `valueCol`
+    * distributions of groups `gA` and `gB` — the nonparametric
+    * distribution-drift test PSI's binning can blunt. The D statistic is
+    * EXACT: at every observed value v, |F_A(v) − F_B(v)| =
+    * |cumA·n_B − cumB·n_A| / (n_A·n_B), an integer numerator over a
+    * constant denominator — no floating CDFs, no ties ambiguity (steps
+    * evaluate after both groups' jumps at v, the standard two-sided
+    * convention). Output one row: n_a, n_b, the argmax value (smallest on
+    * ties), d_num (exact integer) and d (6 dp).
+    *
+    * Scale shape: one keyed count per distinct value (map-side combines),
+    * then a running-sum window over the DISTINCT-VALUE table ordered by
+    * value. The window is unpartitioned by design: its input is the value
+    * domain, not the data — callers quantize (cents here) so the domain
+    * stays bounded at any corpus size. Caller contract: `cum·n` must fit
+    * a long (n_A·n_B ≤ ~9e18).
+    */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+      gA: String, gB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df
+      .where(col(groupCol).isin(gA, gB))
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg(sum(when(col(groupCol) === gA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === gB, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells
+      .withColumn("cuma", sum("ca").over(w))
+      .withColumn("cumb", sum("cb").over(w))
+    val tot = cum.agg(max("cuma").as("n_a"), max("cumb").as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"), col("v"),
+        abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")).as("_d"))
+      .groupBy("n_a", "n_b")
+      .agg(max(struct(col("_d"), (-col("v")).as("_nv"))).as("_mx"))
+      .select(col("n_a"), col("n_b"),
+        (-col("_mx._nv")).as("at_value"),
+        col("_mx._d").as("d_num"),
+        round(col("_mx._d").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("d"))
+  }
+
+  /** DuckDB replay of [[ksTest]]; `srcSql` must produce (g VARCHAR,
+    * v BIGINT) rows already filtered to the two groups' raw rows.
+    */
+  def ksTestOracleSql(srcSql: String, gA: String, gB: String): String =
+    s"""WITH src AS ($srcSql),
+       |cells AS (SELECT v,
+       |    sum(CASE WHEN g = '$gA' THEN 1 ELSE 0 END)::BIGINT AS ca,
+       |    sum(CASE WHEN g = '$gB' THEN 1 ELSE 0 END)::BIGINT AS cb
+       |  FROM src GROUP BY 1),
+       |cum AS (SELECT v,
+       |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW)::BIGINT AS cuma,
+       |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW)::BIGINT AS cumb
+       |  FROM cells),
+       |tot AS (SELECT max(cuma)::BIGINT AS n_a, max(cumb)::BIGINT AS n_b
+       |  FROM cum),
+       |d AS (SELECT t.n_a, t.n_b, c.v,
+       |    abs(c.cuma * t.n_b - c.cumb * t.n_a)::BIGINT AS dd
+       |  FROM cum c CROSS JOIN tot t),
+       |mx AS (SELECT n_a, n_b, max(dd) AS d_num FROM d GROUP BY 1, 2)
+       |SELECT m.n_a, m.n_b,
+       |  (SELECT min(v) FROM d WHERE d.dd = m.d_num) AS at_value,
+       |  m.d_num,
+       |  round(m.d_num::DOUBLE / (m.n_a * m.n_b)::DOUBLE, 6) AS d
+       |FROM mx m""".stripMargin
+
+  /** Mutual information and entropies of two categorical columns — the
+    * feature-relevance / redundancy screen (complements [[chi2]]'s
+    * independence test with an information-theoretic effect size).
+    * H(A), H(B), H(A,B) and I(A;B) = H(A)+H(B)−H(A,B) each accumulate
+    * per-level/per-cell nats QUANTIZED to nano-units the instant they
+    * leave libm (`round(1e9·(n/N)·ln(n/N))`), so the distributed sums are
+    * exact integers (order-free, engine-identical); MI additionally
+    * reports the direct per-cell form Σ (n_ab/N)·ln(n_ab·N/(n_a·n_b)).
+    *
+    * Scale shape: ONE keyed (a,b) counting aggregate over the data;
+    * marginals and entropy terms derive from the CELL table (cardinality
+    * |A|·|B|, not rows). Output one row: n, n_cells, h_a, h_b, h_ab, mi
+    * (6 dp each).
+    */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("nab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ma = cells.groupBy("a").agg(sum("nab").as("na"))
+    val mb = cells.groupBy("b").agg(sum("nab").as("nb"))
+    val nn = cells.agg(sum("nab").as("nn"), count(lit(1)).as("n_cells"))
+    def entQ(cnt: Column, n: Column): Column =
+      round(lit(-1e9) * (cnt.cast("double") / n.cast("double")) *
+        log(cnt.cast("double") / n.cast("double"))).cast("long")
+    val ha = ma.crossJoin(broadcast(nn))
+      .agg(sum(entQ(col("na"), col("nn"))).as("ha_q"))
+    val hb = mb.crossJoin(broadcast(nn))
+      .agg(sum(entQ(col("nb"), col("nn"))).as("hb_q"))
+    val hab = cells.crossJoin(broadcast(nn))
+      .agg(sum(entQ(col("nab"), col("nn"))).as("hab_q"))
+    val mi = cells.join(broadcast(ma), Seq("a")).join(broadcast(mb), Seq("b"))
+      .crossJoin(broadcast(nn))
+      .agg(sum(round(lit(1e9) *
+        (col("nab").cast("double") / col("nn").cast("double")) *
+        log((col("nab") * col("nn")).cast("double") /
+          (col("na") * col("nb")).cast("double"))).cast("long")).as("mi_q"))
+    val out = nn.crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .crossJoin(broadcast(hab)).crossJoin(broadcast(mi))
+      .select(col("nn").as("n"), col("n_cells"),
+        round(col("ha_q").cast("double") / 1e9, 6).as("h_a"),
+        round(col("hb_q").cast("double") / 1e9, 6).as("h_b"),
+        round(col("hab_q").cast("double") / 1e9, 6).as("h_ab"),
+        round(col("mi_q").cast("double") / 1e9, 6).as("mi"))
+    out
+  }
+
+  /** DuckDB replay of [[mutualInfo]]; `srcSql` must produce (a, b) VARCHAR
+    * rows.
+    */
+  def mutualInfoOracleSql(srcSql: String): String =
+    s"""WITH src AS ($srcSql),
+       |cells AS (SELECT a, b, count(*)::BIGINT AS nab FROM src GROUP BY 1, 2),
+       |ma AS (SELECT a, sum(nab)::BIGINT AS na FROM cells GROUP BY 1),
+       |mb AS (SELECT b, sum(nab)::BIGINT AS nb FROM cells GROUP BY 1),
+       |nn AS (SELECT sum(nab)::BIGINT AS nn, count(*)::BIGINT AS n_cells
+       |  FROM cells),
+       |ha AS (SELECT sum(CAST(round(-1e9 * (na::DOUBLE / nn::DOUBLE) *
+       |    ln(na::DOUBLE / nn::DOUBLE)) AS BIGINT)) AS ha_q
+       |  FROM ma CROSS JOIN nn),
+       |hb AS (SELECT sum(CAST(round(-1e9 * (nb::DOUBLE / nn::DOUBLE) *
+       |    ln(nb::DOUBLE / nn::DOUBLE)) AS BIGINT)) AS hb_q
+       |  FROM mb CROSS JOIN nn),
+       |hab AS (SELECT sum(CAST(round(-1e9 * (nab::DOUBLE / nn::DOUBLE) *
+       |    ln(nab::DOUBLE / nn::DOUBLE)) AS BIGINT)) AS hab_q
+       |  FROM cells CROSS JOIN nn),
+       |mi AS (SELECT sum(CAST(round(1e9 *
+       |    (c.nab::DOUBLE / nn::DOUBLE) *
+       |    ln((c.nab * nn)::DOUBLE / (ma.na * mb.nb)::DOUBLE)) AS BIGINT))
+       |    AS mi_q
+       |  FROM cells c JOIN ma ON ma.a = c.a JOIN mb ON mb.b = c.b
+       |  CROSS JOIN nn)
+       |SELECT nn.nn AS n, nn.n_cells,
+       |  round(ha.ha_q::DOUBLE / 1e9, 6) AS h_a,
+       |  round(hb.hb_q::DOUBLE / 1e9, 6) AS h_b,
+       |  round(hab.hab_q::DOUBLE / 1e9, 6) AS h_ab,
+       |  round(mi.mi_q::DOUBLE / 1e9, 6) AS mi
+       |FROM nn CROSS JOIN ha CROSS JOIN hb CROSS JOIN hab CROSS JOIN mi"""
+      .stripMargin
+
+  /** Average treatment effect on the treated (ATT) by exact stratified
+    * matching — the covariate-adjustment estimator observational data
+    * needs where [[diffInDiff]] needs a pre-period: within each stratum
+    * (the quantized covariate — equivalently, any monotone propensity's
+    * bins), treated and control outcome means difference out; strata
+    * without BOTH arms drop (the common-support rule); strata terms weight
+    * by treated count.
+    *
+    * Exactness: per matched stratum the control mean quantizes to
+    * micro-units by integer floor division (`mc_q = (S_c·1e6) div n_c`,
+    * outcomes must be ≥ 0), the stratum term `S_t·1e6 − n_t·mc_q` is an
+    * exact integer, and ATT = Σterms / (1e6·N_t) is ONE double division.
+    * The naive (unadjusted) difference rides along for contrast.
+    *
+    * Scale shape: ONE keyed aggregate by stratum with conditional sums,
+    * then a strata-cardinality rollup. Caller contract: Σ n_t·mc_q fits a
+    * long (outcome·rows ≤ ~9e18 micro-units).
+    */
+  def attMatched(df: DataFrame, treatCol: String, outcomeCol: String,
+      strataCol: String): DataFrame = {
+    val strata = df.select(col(strataCol).cast("long").as("x"),
+        col(treatCol).cast("boolean").as("t"),
+        col(outcomeCol).cast("long").as("y"))
+      .groupBy("x")
+      .agg(sum(when(col("t"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("t"), col("y")).otherwise(0L)).as("s_t"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(!col("t"), col("y")).otherwise(0L)).as("s_c"))
+    val matched = strata.where(col("n_t") > 0 && col("n_c") > 0)
+      .select(col("*"),
+        expr("s_c * 1000000 div n_c").as("mc_q"))
+      .select(col("*"),
+        (col("s_t") * lit(1000000L) - col("n_t") * col("mc_q")).as("term_q"))
+    val m = matched.agg(
+      count(lit(1)).as("n_strata_matched"),
+      sum("n_t").as("nt_matched"),
+      sum("term_q").as("att_num_q"))
+    val tot = strata.agg(
+      sum("n_t").as("nt_all"), sum("s_t").as("st_all"),
+      sum("n_c").as("nc_all"), sum("s_c").as("sc_all"))
+    m.crossJoin(broadcast(tot))
+      .select(col("nt_all").as("n_treated"), col("nc_all").as("n_control"),
+        col("n_strata_matched"),
+        (col("nt_all") - col("nt_matched")).as("n_treated_unmatched"),
+        round(col("att_num_q").cast("double") /
+          (lit(1e6) * col("nt_matched").cast("double")), 4).as("att"),
+        round(col("st_all").cast("double") / col("nt_all").cast("double") -
+          col("sc_all").cast("double") / col("nc_all").cast("double"), 4)
+          .as("naive_diff"))
+  }
+
+  /** DuckDB replay of [[attMatched]]; `srcSql` must produce
+    * (x BIGINT, t BOOLEAN, y BIGINT) rows.
+    */
+  def attMatchedOracleSql(srcSql: String): String =
+    s"""WITH src AS ($srcSql),
+       |strata AS (SELECT x,
+       |    sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS n_t,
+       |    sum(CASE WHEN t THEN y ELSE 0 END)::BIGINT AS s_t,
+       |    sum(CASE WHEN t THEN 0 ELSE 1 END)::BIGINT AS n_c,
+       |    sum(CASE WHEN t THEN 0 ELSE y END)::BIGINT AS s_c
+       |  FROM src GROUP BY 1),
+       |matched AS (SELECT *,
+       |    (s_t * 1000000 - n_t * ((s_c * 1000000) // n_c))::BIGINT AS term_q
+       |  FROM strata WHERE n_t > 0 AND n_c > 0),
+       |m AS (SELECT count(*)::BIGINT AS n_strata_matched,
+       |    sum(n_t)::BIGINT AS nt_matched,
+       |    sum(term_q)::BIGINT AS att_num_q FROM matched),
+       |tot AS (SELECT sum(n_t)::BIGINT AS nt_all, sum(s_t)::BIGINT AS st_all,
+       |    sum(n_c)::BIGINT AS nc_all, sum(s_c)::BIGINT AS sc_all
+       |  FROM strata)
+       |SELECT tot.nt_all AS n_treated, tot.nc_all AS n_control,
+       |  m.n_strata_matched,
+       |  (tot.nt_all - m.nt_matched)::BIGINT AS n_treated_unmatched,
+       |  round(m.att_num_q::DOUBLE / (1e6 * m.nt_matched::DOUBLE), 4) AS att,
+       |  round(tot.st_all::DOUBLE / tot.nt_all::DOUBLE -
+       |    tot.sc_all::DOUBLE / tot.nc_all::DOUBLE, 4) AS naive_diff
+       |FROM m CROSS JOIN tot""".stripMargin
 }

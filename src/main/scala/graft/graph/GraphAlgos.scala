@@ -1846,6 +1846,165 @@ object GraphAlgos {
        |  q.modularity
        |FROM perc p CROSS JOIN m CROSS JOIN q""".stripMargin
 
+  /** Strongly connected components of a DIRECTED graph by iterated
+    * forward-backward min-label agreement (the distributed FW-BW/coloring
+    * family — Orzan's coloring, FastSV's min-propagation): each peel round
+    * computes, over the still-unassigned subgraph, `fmin(u)` = min node id
+    * reachable FROM u and `bmin(u)` = min node id that REACHES u (both
+    * including u), each by `propRounds` synchronous min-propagation steps;
+    * every node with `fmin = bmin = w` is mutually reachable with `w`, so
+    * all such nodes form exactly SCC(w) — one peel assigns EVERY locally
+    * minimal component, not one. Unassigned nodes iterate on the shrinking
+    * subgraph. Each peel first TRIMS: a node lacking in- or out-edges
+    * inside the remaining subgraph cannot sit in a multi-node SCC (SCCs
+    * leave the working set whole), so it is assigned as its own singleton
+    * — the standard FW-BW trim that collapses DAG tails and chains pure
+    * peeling would burn one round per node on.
+    *
+    * Caller contract: `propRounds` must cover the reachability diameter of
+    * every intermediate subgraph — truncated propagation could split one
+    * SCC across labels, so nodes still unassigned after `peelRounds` are
+    * reported with `scc = '?' || node` (visibly unconverged, deterministic,
+    * oracle-replicable) rather than guessed.
+    *
+    * Scale shape: node-cardinality label frames joined to the edge frame
+    * once per propagation step (broadcast under the node limit), min
+    * aggregates partial-combine map-side; the subgraph shrinks
+    * monotonically across peels. Labels are strings; min is lexicographic
+    * (callers wanting numeric order zero-pad).
+    */
+  def sccFixed(edges: DataFrame, srcCol: String, dstCol: String,
+      peelRounds: Int, propRounds: Int): DataFrame = {
+    require(peelRounds >= 1 && propRounds >= 1, "rounds must be >= 1")
+    val persistL = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .persist(persistL)
+    val allNodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst"))).distinct().persist(persistL)
+    var rem = allNodes
+    var assigned: DataFrame = null
+    for (_ <- 1 to peelRounds) {
+      // edges with both endpoints still unassigned
+      val re0 = e0
+        .join(rem.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(rem.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .persist(persistL)
+      // trim: a multi-node SCC needs in AND out edges inside the remaining
+      // subgraph (SCCs are always removed whole), so any node missing
+      // either side is a singleton SCC — this collapses DAG tails/chains
+      // that pure FW-BW peeling would burn one round per node on
+      val core = re0.select(col("src").as("node"))
+        .intersect(re0.select(col("dst").as("node")))
+      val singles = rem.join(core, Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("scc"))
+        .localCheckpoint(true)
+      assigned = if (assigned == null) singles else assigned.union(singles)
+      rem = rem.join(singles, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      val re = re0
+        .join(rem.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(rem.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .persist(persistL)
+      re0.unpersist(blocking = false)
+      // fmin: min id reachable FROM u — labels flow AGAINST edge direction
+      var f = rem.withColumn("lbl", col("node"))
+      var b = rem.withColumn("lbl", col("node"))
+      for (_ <- 1 to propRounds) {
+        val fIn = re.join(f.withColumnRenamed("node", "dst"), Seq("dst"))
+          .groupBy(col("src").as("node")).agg(min("lbl").as("_in"))
+        f = f.join(fIn, Seq("node"), "left")
+          .select(col("node"), least(col("lbl"),
+            coalesce(col("_in"), col("lbl"))).as("lbl"))
+          .localCheckpoint(true)
+        val bIn = re.join(b.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(min("lbl").as("_in"))
+        b = b.join(bIn, Seq("node"), "left")
+          .select(col("node"), least(col("lbl"),
+            coalesce(col("_in"), col("lbl"))).as("lbl"))
+          .localCheckpoint(true)
+      }
+      val agree = f.withColumnRenamed("lbl", "_f")
+        .join(b.withColumnRenamed("lbl", "_b"), Seq("node"))
+        .where(col("_f") === col("_b"))
+        .select(col("node"), col("_f").as("scc"))
+        .localCheckpoint(true)
+      assigned = if (assigned == null) agree else assigned.union(agree)
+      rem = rem.join(agree, Seq("node"), "left_anti").localCheckpoint(true)
+      re.unpersist(blocking = false)
+    }
+    val out = assigned.union(
+      rem.select(col("node"), concat(lit("?"), col("node")).as("scc")))
+    e0.unpersist(blocking = false)
+    allNodes.unpersist(blocking = false)
+    out
+  }
+
+  /** DuckDB replay of [[sccFixed]] — peel × propagation rounds unrolled;
+    * `edgesSql` must produce (src, dst) VARCHAR rows.
+    */
+  def sccOracleSql(edgesSql: String, peelRounds: Int,
+      propRounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($edgesSql)
+         |  WHERE src <> dst),
+         |n0 AS MATERIALIZED (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+         |rem0 AS MATERIALIZED (SELECT node FROM n0),
+         |asg0 AS MATERIALIZED (SELECT node, node AS scc FROM n0 WHERE false)""".stripMargin)
+    for (p <- 1 to peelRounds) {
+      sb.append(",\n").append(
+        s"""re0_$p AS MATERIALIZED (SELECT e.src, e.dst FROM e0 e
+           |  JOIN rem${p - 1} a ON a.node = e.src
+           |  JOIN rem${p - 1} b ON b.node = e.dst),
+           |core$p AS MATERIALIZED (SELECT src AS node FROM re0_$p
+           |  INTERSECT SELECT dst FROM re0_$p),
+           |single$p AS MATERIALIZED (SELECT r.node, r.node AS scc
+           |  FROM rem${p - 1} r WHERE NOT EXISTS (
+           |    SELECT 1 FROM core$p c WHERE c.node = r.node)),
+           |remT$p AS MATERIALIZED (SELECT r.node FROM rem${p - 1} r
+           |  WHERE NOT EXISTS (SELECT 1 FROM single$p s
+           |    WHERE s.node = r.node)),
+           |re$p AS MATERIALIZED (SELECT e.src, e.dst FROM re0_$p e
+           |  JOIN remT$p a ON a.node = e.src
+           |  JOIN remT$p b ON b.node = e.dst),
+           |f${p}_0 AS MATERIALIZED (SELECT node, node AS lbl FROM remT$p),
+           |b${p}_0 AS MATERIALIZED (SELECT node, node AS lbl FROM remT$p)""".stripMargin)
+      for (i <- 1 to propRounds) {
+        sb.append(",\n").append(
+          s"""f${p}_$i AS MATERIALIZED (SELECT f.node,
+             |    least(f.lbl, coalesce(s.m, f.lbl)) AS lbl
+             |  FROM f${p}_${i - 1} f LEFT JOIN (
+             |    SELECT e.src AS node, min(x.lbl) AS m
+             |    FROM re$p e JOIN f${p}_${i - 1} x ON x.node = e.dst
+             |    GROUP BY 1) s ON s.node = f.node),
+             |b${p}_$i AS MATERIALIZED (SELECT f.node,
+             |    least(f.lbl, coalesce(s.m, f.lbl)) AS lbl
+             |  FROM b${p}_${i - 1} f LEFT JOIN (
+             |    SELECT e.dst AS node, min(x.lbl) AS m
+             |    FROM re$p e JOIN b${p}_${i - 1} x ON x.node = e.src
+             |    GROUP BY 1) s ON s.node = f.node)""".stripMargin)
+      }
+      sb.append(",\n").append(
+        s"""agree$p AS MATERIALIZED (SELECT f.node, f.lbl AS scc
+           |  FROM f${p}_$propRounds f
+           |  JOIN b${p}_$propRounds b ON b.node = f.node AND b.lbl = f.lbl),
+           |asg$p AS MATERIALIZED (SELECT * FROM asg${p - 1}
+           |  UNION ALL SELECT * FROM single$p
+           |  UNION ALL SELECT * FROM agree$p),
+           |rem$p AS MATERIALIZED (SELECT r.node FROM remT$p r
+           |  WHERE NOT EXISTS (SELECT 1 FROM agree$p a
+           |    WHERE a.node = r.node))""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT node, scc FROM asg$peelRounds
+         |UNION ALL
+         |SELECT node, '?' || node FROM rem$peelRounds""".stripMargin)
+    sb.toString
+  }
+
   def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
     require(window >= 1, "window must be >= 1")
     val a = walks.select(col("walk_id"), col("step").as("_sa"),
