@@ -49,6 +49,7 @@ object Bench {
       // the artifact reports the LAST pass; `failed` must describe that
       // same pass, not accumulate transient earlier-pass failures
       failed.clear()
+      var qIdx = 0
       results = selected.map { case (name, fn) =>
         // operators persist their multi-consumer index frames (postings,
         // adjacency, candidate sets) and cannot unpersist them — the result
@@ -70,6 +71,13 @@ object Bench {
         spark.sparkContext.getPersistentRDDs
           .filterNot { case (id, _) => cachedBefore(id) }
           .values.foreach(_.unpersist(blocking = false))
+        // ContextCleaner reclaims dropped broadcasts / checkpoint blocks
+        // only after a driver GC notices them unreferenced; 300 queries
+        // accumulate enough to inflate later queries 4-7x (measured:
+        // q_temporal_reach 31.7 s late in the battery vs 4.4 s alone).
+        // A periodic explicit GC keeps the session state flat.
+        qIdx += 1
+        if (qIdx % 20 == 0) System.gc()
         name -> dt
       }
     }

@@ -259,8 +259,10 @@ object GraftQueriesR4 {
     // deterministic 10% edge holdout, common-neighbor scores in the train
     // graph, tie-aware Mann–Whitney AUC from score histograms
     "q_link_auc" -> { (s, d) =>
+      // distinct BEFORE the self-join: duplicate (order, part) rows would
+      // square in the pair fanout, and linkPredictionAuc dedups anyway
       val li = t(s, d)("lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       val pairs = li.as("x").join(li.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("a"), col("y.p").as("b"))

@@ -91,8 +91,10 @@ object GraftQueriesR5 {
     // and exact-integer Newman modularity (is "brand" a real community
     // structure in what customers co-buy?)
     "q_community_quality" -> { (s, d) =>
+      // distinct before the self-join — communityQuality canonicalizes
+      // to distinct pairs anyway, so this only shrinks the fanout
       val li = t(s, d)("lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       val pairs = li.as("x").join(li.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("src"), col("y.p").as("dst"))

@@ -394,8 +394,12 @@ object GraphAlgos {
     val und = edges.select(col(srcCol).cast("string").as("_a"),
       col(dstCol).cast("string").as("_b"))
       .where(col("_a") =!= col("_b")).distinct()
+    // sym feeds deg AND the paired join (deg twice more) — without a
+    // persist the upstream edge derivation re-runs per branch
     val sym = und.unionAll(und.select(col("_b").as("_a"), col("_a").as("_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = sym.groupBy(col("_a").as("_n")).agg(count(lit(1)).as("_d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val paired = sym
       .join(deg.select(col("_n").as("_a"), col("_d").as("_x")), Seq("_a"))
       .join(deg.select(col("_n").as("_b"), col("_d").as("_y")), Seq("_b"))
@@ -1333,15 +1337,22 @@ object GraphAlgos {
     * by construction); the AUC reduction never materializes pairwise
     * comparisons.
     */
-  def linkPredictionAuc(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def linkPredictionAuc(pairs: DataFrame, aCol: String, bCol: String,
+      evalCap: Int = 5000): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = pairs.select(col(aCol).cast("string").as("_x"),
         col(bCol).cast("string").as("_y"))
       .select(least(col("_x"), col("_y")).as("a"),
         greatest(col("_x"), col("_y")).as("b"))
       .where(col("a") =!= col("b")).distinct().persist(lvl)
-    val tag = substring(md5(concat_ws(":", lit("h"), col("a"), col("b"))), 1, 2)
-    val test = e.where(tag < "1a").persist(lvl)
+    val h = md5(concat_ws(":", lit("h"), col("a"), col("b")))
+    val tag = substring(h, 1, 2)
+    // eval set: the held-out 10%, CAPPED deterministically (smallest full
+    // hash first) — AUC is an estimate either way, and an uncapped eval
+    // join fans out by the node degree (measured 49 s at sf0.1 uncapped)
+    val test = e.withColumn("_h", h).where(tag < "1a")
+      .orderBy("_h", "a", "b").limit(evalCap)
+      .select("a", "b").persist(lvl)
     val train = e.where(!(tag < "1a")).persist(lvl)
     // negative sample: non-edges among the 200 smallest-md5 nodes
     val nodes = e.select(col("a").as("n")).union(e.select(col("b"))).distinct()
@@ -1376,13 +1387,17 @@ object GraphAlgos {
   }
 
   /** DuckDB replay of [[linkPredictionAuc]]. `pairsSql`: (a, b) rows. */
-  def linkPredictionAucOracleSql(pairsSql: String): String =
+  def linkPredictionAucOracleSql(pairsSql: String,
+      evalCap: Int = 5000): String =
     s"""WITH e AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
        |  FROM ($pairsSql) WHERE a <> b),
        |tagged AS (SELECT a, b,
-       |    substring(md5('h' || ':' || a || ':' || b), 1, 2) AS tg FROM e),
-       |test AS (SELECT a, b FROM tagged WHERE tg < '1a'),
-       |train AS (SELECT a, b FROM tagged WHERE NOT (tg < '1a')),
+       |    md5('h' || ':' || a || ':' || b) AS h FROM e),
+       |test AS (SELECT a, b FROM (
+       |    SELECT a, b FROM tagged WHERE substring(h, 1, 2) < '1a'
+       |    ORDER BY h, a, b LIMIT $evalCap)),
+       |train AS (SELECT a, b FROM tagged
+       |  WHERE NOT (substring(h, 1, 2) < '1a')),
        |nodes AS (SELECT n FROM (
        |    SELECT n, md5('n:' || n) AS h FROM (
        |      SELECT a AS n FROM e UNION SELECT b FROM e)
