@@ -83,20 +83,30 @@ object Sketch {
     * register-algebra consumers like [[hllUnionCounts]].
     */
   def hllEstimate(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
-    val m = 256
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
     val grouped =
       if (groupCols.isEmpty) regs.groupBy()
       else regs.groupBy(groupCols.map(col): _*)
-    val agg = grouped
+    estimateFromStats(grouped
       .agg(sum(expr("shiftleft(cast(1 as bigint), 49 - reg)")).as("_s_present"),
-        count(lit(1)).as("_present"))
+        count(lit(1)).as("_present")))
+  }
+
+  /** The estimator half of [[hllEstimate]], over a frame already carrying
+    * the exact integer stats `_s_present` (Σ 2^(49−reg) over present
+    * buckets) and `_present` — shared with the register-vector path
+    * ([[graft.expr.HllRegisterAgg]]) so both layouts produce bit-identical
+    * estimates.
+    */
+  private[graft] def estimateFromStats(stats: DataFrame): DataFrame = {
+    val m = 256
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    stats
       .withColumn("_s",
         col("_s_present") + (lit(m.toLong) - col("_present")) * lit(1L << 49))
       .withColumn("_zeros", lit(m.toLong) - col("_present"))
       .withColumn("_raw",
         lit(alpha * m * m) / (col("_s").cast("double") / lit(math.pow(2.0, 49))))
-    agg.withColumn("estimate",
+      .withColumn("estimate",
         when(col("_raw") <= lit(2.5 * m) && col("_zeros") > 0,
           round(lit(m.toDouble) * log(lit(m.toDouble) / col("_zeros")), 2))
           .otherwise(round(col("_raw"), 2)))
