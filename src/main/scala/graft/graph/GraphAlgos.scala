@@ -1910,7 +1910,8 @@ object GraphAlgos {
       .union(e0.select(col("dst"))).distinct().persist(persistL)
     var rem = allNodes
     var assigned: DataFrame = null
-    for (_ <- 1 to peelRounds) {
+    var done = false
+    for (_ <- 1 to peelRounds if !done) {
       // edges with both endpoints still unassigned
       val re0 = e0
         .join(rem.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
@@ -1958,6 +1959,10 @@ object GraphAlgos {
       assigned = if (assigned == null) agree else assigned.union(agree)
       rem = rem.join(agree, Seq("node"), "left_anti").localCheckpoint(true)
       re.unpersist(blocking = false)
+      // early exit once everything is assigned — the oracle unrolls every
+      // peel regardless, but its remaining rounds run on empty frames, so
+      // skipping them here cannot change the output
+      done = rem.limit(1).count() == 0
     }
     val out = assigned.union(
       rem.select(col("node"), concat(lit("?"), col("node")).as("scc")))
