@@ -168,6 +168,17 @@ object GraftQueriesR5 {
         "treat", "price_c", "qty")
     },
 
+    // extension: discrete AdaBoost (2 stump rounds) predicting returns
+    // from quantity/price/discount — integer odds-ratio weights keep the
+    // weighted round exactly replayable; per-round stump + alpha +
+    // ensemble training error
+    "q_adaboost" -> { (s, d) =>
+      graft.ext.Tree.adaBoost2(t(s, d)("lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        col("l_returnflag") === "R", nBins = 16)
+        .orderBy("round")
+    },
+
     // TPC-H Q4 shape: late-shipment order-priority census — orders with
     // any lineitem shipped > 30 days after the order date, counted per
     // priority; the EXISTS becomes a conditioned left-semi join (one
@@ -321,6 +332,10 @@ object GraftQueriesR5 {
         |  l_discount >= 0.05 AS t,
         |  CAST(round(l_extendedprice * 100) AS BIGINT) AS y
         |FROM lineitem""".stripMargin),
+
+    "q_adaboost" -> (graft.ext.Tree.adaBoost2OracleSql("lineitem",
+      Seq("l_quantity", "l_extendedprice", "l_discount"),
+      "l_returnflag = 'R'", nBins = 16) + "\nORDER BY round"),
 
     "q_tpch_late_priority" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_late_orders

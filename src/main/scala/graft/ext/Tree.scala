@@ -295,6 +295,203 @@ object Tree {
       "add_left_cents", "add_right_cents", "sse_q")
   }
 
+  /** Discrete AdaBoost, two rounds of decision stumps — the
+    * classification face of the boosting family next to [[lsBoost]]'s
+    * least-squares regression. The trick that keeps a WEIGHTED booster
+    * exactly replayable: after round 1 every row's weight is one of two
+    * integers — misclassified rows weigh `n − e₁`, correct rows `e₁`
+    * (the same (1−ε)/ε odds ratio as the classic exp(∓α) update, cleared
+    * of its common denominator) — so round-2 weighted histograms are
+    * exact integer sums and the round-2 argmin is an integer comparison.
+    * The only libm per round is the driver-side α = ½·ln((1−ε)/ε),
+    * micro-quantized before it enters the ensemble sign.
+    *
+    * Scale shape per round: ONE melt scan (rows × features) into
+    * map-side-combinable (feature, bin) weighted counts, a window over
+    * ≤ features × nBins rows, a 1-row argmin; the final ensemble error is
+    * one more narrow pass. Stump candidates are `bin ≤ b` with either
+    * polarity; err(pol=−1) = W − err(pol=+1), so each boundary scores
+    * both polarities from one number.
+    *
+    * Output: one row per round — round, feature, split_value, polarity,
+    * err_num/err_den (exact weighted error), alpha (6 dp), with the
+    * ensemble's training error (4 dp) repeated.
+    */
+  def adaBoost2(df: DataFrame, featureCols: Seq[String], labelExpr: Column,
+      nBins: Int = 16): DataFrame = {
+    require(featureCols.nonEmpty && nBins >= 2, "bad params")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = df.select(featureCols.map(c => col(c).cast("double").as(c)) :+
+      when(labelExpr, 1).otherwise(-1).as("_y"): _*).persist(lvl)
+    val statCols = Seq(count(lit(1)).as("n")) ++ featureCols.flatMap(c =>
+      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+    val statRow = base.agg(statCols.head, statCols.tail: _*).head()
+    val n = statRow.getAs[Long]("n")
+    val mnmx = featureCols.map(c =>
+      c -> (statRow.getAs[Double](s"mn_$c"), statRow.getAs[Double](s"mx_$c")))
+      .toMap
+    def binOfLit(c: String): Column = {
+      val (mn, mx) = mnmx(c)
+      if (mx == mn) lit(0)
+      else least(floor((col(c) - mn) / ((mx - mn) / nBins)), lit(nBins - 1L))
+        .cast("int")
+    }
+    // one boosting round: weighted stump search. Returns
+    // (f, bin, pol, errNum, errDen) with err the weighted error.
+    def bestStump(wExpr: Column): (String, Int, Int, Long, Long) = {
+      val hist = base.select(col("_y"), wExpr.as("_w"),
+          explode(array(featureCols.map(c =>
+            struct(lit(c).as("f"), binOfLit(c).as("bin"))): _*)).as("_fb"))
+        .groupBy(col("_fb.f").as("f"), col("_fb.bin").as("bin"))
+        .agg(sum("_w").as("cw"),
+          sum(when(col("_y") === 1, col("_w")).otherwise(0L)).as("pw"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("f").orderBy("bin")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val tot = hist.groupBy("f")
+        .agg(sum("cw").as("nt"), sum("pw").as("ptw"))
+      val cand = hist
+        .withColumn("nl", sum(col("cw")).over(w))
+        .withColumn("pl", sum(col("pw")).over(w))
+        .join(broadcast(tot), Seq("f"))
+        .where(col("nl") < col("nt"))
+        // pol=+1 (predict +1 on bin ≤ b) errs on left negatives + right
+        // positives; pol=−1 errs on the complement W − err₊
+        .withColumn("ep", (col("nl") - col("pl")) + (col("ptw") - col("pl")))
+        .withColumn("pol",
+          when(col("ep") <= col("nt") - col("ep"), 1).otherwise(-1))
+        .withColumn("err", least(col("ep"), col("nt") - col("ep")))
+      val b = cand
+        .select(struct(col("err"), col("f"), col("bin"), col("pol"),
+          col("nt")).as("b"))
+        .agg(min("b").as("b")).head().getStruct(0)
+      (b.getAs[String]("f"), b.getAs[Int]("bin"), b.getAs[Int]("pol"),
+        b.getAs[Long]("err"), b.getAs[Long]("nt"))
+    }
+    def stumpCol(f: String, bin: Int, pol: Int): Column =
+      when(binOfLit(f) <= bin, lit(pol)).otherwise(lit(-pol))
+    def alphaQ(errNum: Long, errDen: Long): Long = {
+      require(errNum > 0 && errNum * 2 < errDen,
+        s"stump error $errNum/$errDen outside (0, 1/2) — cannot boost")
+      BigDecimal(0.5 * math.log((errDen - errNum).toDouble / errNum) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    // round 1: uniform unit weights
+    val (f1, b1, p1, e1, d1) = bestStump(lit(1L))
+    val a1q = alphaQ(e1, d1)
+    // round 2: wrong rows weigh n−e₁, right rows e₁
+    val h1 = stumpCol(f1, b1, p1)
+    val (f2, b2, p2, e2, d2) =
+      bestStump(when(h1 =!= col("_y"), lit(n - e1)).otherwise(lit(e1)))
+    val a2q = alphaQ(e2, d2)
+    // ensemble training error: sign(α₁h₁ + α₂h₂), zero → +1
+    val h2 = stumpCol(f2, b2, p2)
+    val score = lit(a1q) * h1 + lit(a2q) * h2
+    val wrong = base
+      .select(when(when(score >= 0, 1).otherwise(-1) =!= col("_y"), 1L)
+        .otherwise(0L).as("_e"))
+      .agg(sum("_e").as("e")).head().getLong(0)
+    val ensErr = BigDecimal(wrong.toDouble / n)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    base.unpersist(blocking = false)
+    def splitValue(f: String, bin: Int): Double = {
+      val (mn, mx) = mnmx(f)
+      BigDecimal(mn + (bin + 1).toDouble * ((mx - mn) / nBins))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def alphaOut(aq: Long): Double = BigDecimal(aq.toDouble / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(
+      (1L, f1, splitValue(f1, b1), p1, e1, d1, alphaOut(a1q), ensErr),
+      (2L, f2, splitValue(f2, b2), p2, e2, d2, alphaOut(a2q), ensErr))
+      .toDF("round", "feature", "split_value", "polarity",
+        "err_num", "err_den", "alpha", "ens_err")
+  }
+
+  /** DuckDB replay of [[adaBoost2]]; `labelSql` must be a boolean
+    * expression over `tableSql`'s columns.
+    */
+  def adaBoost2OracleSql(tableSql: String, features: Seq[String],
+      labelSql: String, nBins: Int): String = {
+    def binSql(c: String) =
+      s"""CAST(CASE WHEN st.mx_$c = st.mn_$c THEN 0
+         |  ELSE least(floor(($c - st.mn_$c) / ((st.mx_$c - st.mn_$c) / $nBins)),
+         |    ${nBins - 1}) END AS INT)""".stripMargin
+    val statSel = (Seq("count(*)::BIGINT AS n") ++ features.map(c =>
+      s"min($c) AS mn_$c, max($c) AS mx_$c")).mkString(", ")
+    def meltSql(wSrc: String, wCol: String) = features.map(c =>
+      s"""SELECT '$c' AS f, ${binSql(c)} AS bin, w.y, $wCol AS w
+         |  FROM $wSrc w CROSS JOIN st""".stripMargin)
+      .mkString("\n  UNION ALL ")
+    // chosen-stump classification of a base row, feature via CASE
+    def hSql(bCte: String) = {
+      val binCase = features.map(c =>
+        s"WHEN '$c' THEN ${binSql(c)}").mkString(" ")
+      s"""(CASE WHEN (CASE $bCte.f $binCase END) <= $bCte.bin
+         |  THEN $bCte.pol ELSE -$bCte.pol END)""".stripMargin
+    }
+    def roundSql(r: Int, meltSrc: String): String =
+      s"""m$r AS ($meltSrc),
+         |h$r AS (SELECT f, bin, sum(w)::BIGINT AS cw,
+         |    sum(CASE WHEN y = 1 THEN w ELSE 0 END)::BIGINT AS pw
+         |  FROM m$r GROUP BY 1, 2),
+         |t$r AS (SELECT f, sum(cw)::BIGINT AS nt, sum(pw)::BIGINT AS ptw
+         |  FROM h$r GROUP BY 1),
+         |c$r AS (SELECT h.f, h.bin,
+         |    sum(h.cw) OVER (PARTITION BY h.f ORDER BY h.bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+         |    sum(h.pw) OVER (PARTITION BY h.f ORDER BY h.bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl,
+         |    t.nt, t.ptw
+         |  FROM h$r h JOIN t$r t ON t.f = h.f),
+         |s$r AS (SELECT f, bin, nt,
+         |    (nl - pl) + (ptw - pl) AS ep FROM c$r WHERE nl < nt),
+         |b$r AS (SELECT f, bin,
+         |    CASE WHEN ep <= nt - ep THEN 1 ELSE -1 END AS pol,
+         |    least(ep, nt - ep)::BIGINT AS err, nt
+         |  FROM s$r
+         |  ORDER BY least(ep, nt - ep), f, bin,
+         |    CASE WHEN ep <= nt - ep THEN 1 ELSE -1 END
+         |  LIMIT 1),
+         |a$r AS (SELECT b$r.*, CAST(round(
+         |    0.5 * ln((nt - err)::DOUBLE / err) * 1e6, 0) AS BIGINT) AS aq
+         |  FROM b$r)""".stripMargin
+    val splitCase1 = features.map(c =>
+      s"WHEN '$c' THEN round(st.mn_$c + (a1.bin + 1) * ((st.mx_$c - st.mn_$c) / $nBins), 4)")
+      .mkString(" ")
+    val splitCase2 = features.map(c =>
+      s"WHEN '$c' THEN round(st.mn_$c + (a2.bin + 1) * ((st.mx_$c - st.mn_$c) / $nBins), 4)")
+      .mkString(" ")
+    s"""WITH base AS MATERIALIZED (SELECT
+       |    ${features.mkString(", ")},
+       |    CASE WHEN $labelSql THEN 1 ELSE -1 END AS y
+       |  FROM $tableSql),
+       |st AS MATERIALIZED (SELECT $statSel FROM base),
+       |${roundSql(1, meltSql("base", "1::BIGINT"))},
+       |w2 AS MATERIALIZED (SELECT base.*,
+       |    CASE WHEN ${hSql("a1")} <> base.y THEN (st.n - a1.err)
+       |      ELSE a1.err END AS wt
+       |  FROM base CROSS JOIN st CROSS JOIN a1),
+       |${roundSql(2, meltSql("w2", "w.wt"))},
+       |ens AS (SELECT sum(CASE WHEN
+       |      (CASE WHEN a1.aq * ${hSql("a1")} + a2.aq * ${hSql("a2")} >= 0
+       |        THEN 1 ELSE -1 END) <> base.y THEN 1 ELSE 0 END)::BIGINT AS e,
+       |    count(*)::BIGINT AS n
+       |  FROM base CROSS JOIN st CROSS JOIN a1 CROSS JOIN a2)
+       |SELECT 1::BIGINT AS round, a1.f AS feature,
+       |  (CASE a1.f $splitCase1 END) AS split_value,
+       |  a1.pol AS polarity, a1.err AS err_num, a1.nt AS err_den,
+       |  round(a1.aq::DOUBLE / 1e6, 6) AS alpha,
+       |  round(ens.e::DOUBLE / ens.n, 4) AS ens_err
+       |FROM a1 CROSS JOIN st CROSS JOIN ens
+       |UNION ALL
+       |SELECT 2, a2.f, (CASE a2.f $splitCase2 END), a2.pol, a2.err, a2.nt,
+       |  round(a2.aq::DOUBLE / 1e6, 6), round(ens.e::DOUBLE / ens.n, 4)
+       |FROM a2 CROSS JOIN st CROSS JOIN ens""".stripMargin
+  }
+
   /** DuckDB replay of [[lsBoost]]. */
   def lsBoostOracleSql(tableSql: String, features: Seq[String],
       targetSql: String, nBins: Int, rounds: Int, lrPct: Int): String = {
