@@ -179,6 +179,96 @@ object GraftQueriesR5 {
         .orderBy("round")
     },
 
+    // extension: Holt–Winters additive triple smoothing — level + trend +
+    // 7-slot weekly seasonality per event type, exact integer recurrence,
+    // 7-day-ahead forecast including the seasonal component
+    "q_holt_winters" -> { (s, d) =>
+      graft.ext.Events.holtWinters(
+        TpchGraph.eventsTable(s, d).where(col("value").isNotNull),
+        "event_type", "ts", "value", horizon = 7)
+        .orderBy("event_type")
+    },
+
+    // extension: lift / gains table over the q_logit_glm propensity —
+    // discount levels ranked by fitted return probability, per-level lift
+    // vs the base rate and cumulative capture of responders; exact counts,
+    // one division per output value
+    "q_lift_curve" -> { (s, d) =>
+      val cells = t(s, d)("lineitem")
+        .groupBy(round(col("l_discount") * 100).cast("long").as("x"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_returnflag") === "R").cast("long")).as("pos"))
+      val glm = Regression.logitGlm(
+        t(s, d)("lineitem").select(
+          round(col("l_discount") * 100).cast("long").as("x"),
+          (col("l_returnflag") === "R").cast("long").as("y")),
+        "x", "y", rounds = 3).select(col("x"), col("p_hat"))
+      val tot = cells.agg(sum("n").as("nt"), sum("pos").as("post"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("p_hat").desc, col("x"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      // ratios round half-up via EXACT integer arithmetic
+      // ((num·2e4 + den) div 2·den) — engines disagree on double
+      // round(x, 4) exactly at a decimal tie (Spark rounds the shortest
+      // decimal rendering, DuckDB the binary value)
+      def r4(num: org.apache.spark.sql.Column,
+          den: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val a = num * lit(20000L) + den
+        val b = den * lit(2L)
+        (((a - pmod(a, b)) / b).cast("long")) / lit(10000.0)
+      }
+      cells.join(broadcast(glm), Seq("x")).crossJoin(broadcast(tot))
+        .withColumn("cum_pos", sum(col("pos")).over(w))
+        .withColumn("cum_n", sum(col("n")).over(w))
+        .select(col("x"), col("n"), col("pos"), col("p_hat"),
+          r4(col("pos") * col("nt"), col("n") * col("post")).as("lift"),
+          r4(col("cum_pos"), col("post")).as("cum_capture"),
+          r4(col("cum_n"), col("nt")).as("cum_frac"))
+        .orderBy(col("p_hat").desc, col("x"))
+    },
+
+    // TPC-H Q10 shape: top-20 customers by returned-item revenue — the
+    // global top-k compiles to TakeOrderedAndProject (per-partition heaps,
+    // never a full sort); customer/nation dims join after the aggregate
+    "q_tpch_returned_topk" -> { (s, d) =>
+      val rev = t(s, d)("lineitem").where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("rev_c"))
+        .join(t(s, d)("orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(sum("rev_c").as("revenue_cents"))
+      rev.join(t(s, d)("customer").select("c_custkey", "c_name", "c_nationkey"),
+          Seq("c_custkey"))
+        .join(broadcast(t(s, d)("nation")
+          .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+          Seq("c_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey")).limit(20)
+    },
+
+    // TPC-H Q19 shape: revenue under an OR-of-ANDs compound predicate
+    // (brand × quantity-band × size-band) — the disjunction stays inside
+    // ONE broadcast-join filter pass, no unions
+    "q_tpch_compound_pred" -> { (s, d) =>
+      val li = t(s, d)("lineitem").select(col("l_partkey"),
+        col("l_quantity"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("rev_c"))
+      val p = t(s, d)("part").select("p_partkey", "p_brand", "p_size")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11)
+            && col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20)
+            && col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30)
+            && col("p_size").between(1, 15)))
+        .agg(count(lit(1)).as("n_items"), sum("rev_c").as("revenue_cents"))
+    },
+
     // TPC-H Q4 shape: late-shipment order-priority census — orders with
     // any lineitem shipped > 30 days after the order date, counted per
     // priority; the EXISTS becomes a conditioned left-semi join (one
@@ -336,6 +426,62 @@ object GraftQueriesR5 {
     "q_adaboost" -> (graft.ext.Tree.adaBoost2OracleSql("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount"),
       "l_returnflag = 'R'", nBins = 16) + "\nORDER BY round"),
+
+    "q_holt_winters" -> graft.ext.Events.holtWintersOracleSql(
+      "(SELECT * FROM events WHERE value IS NOT NULL)",
+      "event_type", "CAST(ts AS TIMESTAMP)", "value", horizon = 7),
+
+    "q_lift_curve" -> {
+      val glmSql = Regression.logitGlmOracleSql(
+        """SELECT CAST(round(l_discount * 100) AS BIGINT) AS x,
+          |  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+          |FROM lineitem""".stripMargin,
+        rounds = 3)
+      s"""WITH cells AS (SELECT CAST(round(l_discount * 100) AS BIGINT) AS x,
+         |    count(*)::BIGINT AS n,
+         |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+         |      AS pos
+         |  FROM lineitem GROUP BY 1),
+         |glm AS (SELECT x, p_hat FROM ($glmSql) g),
+         |tot AS (SELECT sum(n)::BIGINT AS nt, sum(pos)::BIGINT AS post
+         |  FROM cells),
+         |cum AS (SELECT c.x, c.n, c.pos, g.p_hat, t.nt, t.post,
+         |    sum(c.pos) OVER (ORDER BY g.p_hat DESC, c.x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+         |    sum(c.n) OVER (ORDER BY g.p_hat DESC, c.x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+         |  FROM cells c JOIN glm g ON g.x = c.x CROSS JOIN tot t)
+         |SELECT x, n, pos, p_hat,
+         |  ((pos * nt * 20000 + n * post) // (n * post * 2)) / 10000.0
+         |    AS lift,
+         |  ((cum_pos * 20000 + post) // (post * 2)) / 10000.0
+         |    AS cum_capture,
+         |  ((cum_n * 20000 + nt) // (nt * 2)) / 10000.0 AS cum_frac
+         |FROM cum ORDER BY p_hat DESC, x""".stripMargin
+    },
+
+    "q_tpch_returned_topk" ->
+      """WITH rev AS (SELECT o.o_custkey AS c_custkey,
+        |    sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |      AS BIGINT))::BIGINT AS revenue_cents
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  WHERE l.l_returnflag = 'R' GROUP BY 1)
+        |SELECT r.c_custkey, c.c_name, n.n_name, r.revenue_cents
+        |FROM rev r JOIN customer c ON c.c_custkey = r.c_custkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |ORDER BY r.revenue_cents DESC, r.c_custkey LIMIT 20""".stripMargin,
+
+    "q_tpch_compound_pred" ->
+      """SELECT count(*)::BIGINT AS n_items,
+        |  sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |    AS BIGINT))::BIGINT AS revenue_cents
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11
+        |    AND p.p_size BETWEEN 1 AND 5)
+        |  OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20
+        |    AND p.p_size BETWEEN 1 AND 10)
+        |  OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30
+        |    AND p.p_size BETWEEN 1 AND 15)""".stripMargin,
 
     "q_tpch_late_priority" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_late_orders

@@ -1025,6 +1025,111 @@ object Events {
   /** DuckDB replay of [[holtSmooth]]: the same integer recurrence as a
     * recursive CTE stepping all series in lockstep on the day ordinal.
     */
+  /** Holt–Winters additive triple exponential smoothing per series —
+    * [[holtSmooth]] plus a 7-slot weekly seasonal state: for each
+    * observation y on day d (season slot i = d mod 7),
+    * l′ = α(y−sᵢ) + (1−α)(l+b), b′ = β(l′−l) + (1−β)b,
+    * sᵢ′ = γ(y−l′) + (1−γ)sᵢ, with the same exact rational coefficients
+    * (α = 0.2, β = γ = 0.3) as integer floor-division recurrences over
+    * cents — sequential per series, parallel across series via ONE sorted
+    * array fold; the seasonal slots ride the fold accumulator as a 7-long
+    * array. Divergence from textbook HW (documented): level initializes
+    * to the first observation and seasonals to 0 (no first-season
+    * averaging pass), and gap days advance the recurrence by observation
+    * order, not calendar steps.
+    *
+    * Forecast h days past the last observed day D:
+    * l + h·b + s[(D+h) mod 7]. Output per series: n_days, level, trend,
+    * s_fc (the seasonal slot the forecast lands on), forecast_h{h}.
+    */
+  def holtWinters(df: DataFrame, typeCol: String, tsCol: String,
+      valueCol: String, horizon: Int = 7): DataFrame = {
+    def fdiv10(a: Column): Column =
+      ((a - pmod(a, lit(10L))) / lit(10L)).cast("long")
+    val day = floor(unix_timestamp(col(tsCol)) / lit(86400L)).cast("long")
+    val daily = df.select(col(typeCol).as("_t"), day.as("_day"),
+        round(col(valueCol) * 100).cast("long").as("_v"))
+      .groupBy("_t", "_day").agg(sum("_v").as("_y"))
+    val series = daily
+      .groupBy("_t")
+      .agg(sort_array(collect_list(struct(col("_day"), col("_y")))).as("_ys"))
+    val zeroSeason = array((0 until 7).map(_ => lit(0L)): _*)
+    val zero = struct(
+      element_at(col("_ys"), 1).getField("_y").as("l"),
+      lit(0L).as("b"),
+      zeroSeason.as("s"))
+    val folded = aggregate(
+      slice(col("_ys"), lit(2), greatest(size(col("_ys")) - 1, lit(0))),
+      zero,
+      (acc, e) => {
+        val i = pmod(e.getField("_day"), lit(7L)) // season slot 0..6
+        val sI = element_at(acc.getField("s"), (i + 1).cast("int"))
+        val lNew = fdiv10(lit(2L) * (e.getField("_y") - sI) +
+          lit(8L) * (acc.getField("l") + acc.getField("b")))
+        val bNew = fdiv10(lit(3L) * (lNew - acc.getField("l")) +
+          lit(7L) * acc.getField("b"))
+        val sNew = fdiv10(lit(3L) * (e.getField("_y") - lNew) +
+          lit(7L) * sI)
+        val sArr = transform(sequence(lit(0), lit(6)),
+          j => when(j === i.cast("int"), sNew)
+            .otherwise(element_at(acc.getField("s"), (j + 1).cast("int"))))
+        struct(lNew.as("l"), bNew.as("b"), sArr.as("s"))
+      })
+    val lastDay = element_at(col("_ys"), size(col("_ys"))).getField("_day")
+    series.select(col("_t").as(typeCol),
+        size(col("_ys")).cast("long").as("n_days"),
+        folded.getField("l").as("_l"), folded.getField("b").as("_b"),
+        element_at(folded.getField("s"),
+          (pmod(lastDay + horizon, lit(7L)) + 1).cast("int")).as("_sfc"))
+      .select(col(typeCol), col("n_days"),
+        round(col("_l").cast("double") / 100.0, 2).as("level"),
+        round(col("_b").cast("double") / 100.0, 2).as("trend"),
+        round(col("_sfc").cast("double") / 100.0, 2).as("s_fc"),
+        round((col("_l") + lit(horizon.toLong) * col("_b") + col("_sfc"))
+          .cast("double") / 100.0, 2).as(s"forecast_h$horizon"))
+  }
+
+  /** DuckDB replay of [[holtWinters]] — recursive CTE carrying the
+    * 7-slot seasonal list.
+    */
+  def holtWintersOracleSql(table: String, typeCol: String, tsCol: String,
+      valueCol: String, horizon: Int = 7): String = {
+    def fd(a: String) = s"(($a - ((($a) % 10 + 10) % 10)) / 10)::BIGINT"
+    s"""WITH RECURSIVE daily AS (SELECT $typeCol AS t,
+       |    CAST(floor(epoch($tsCol) / 86400) AS BIGINT) AS day,
+       |    CAST(sum(CAST(round($valueCol * 100) AS BIGINT)) AS BIGINT) AS y
+       |  FROM $table GROUP BY 1, 2),
+       |s AS (SELECT t, day, y,
+       |    row_number() OVER (PARTITION BY t ORDER BY day) AS idx
+       |  FROM daily),
+       |n AS (SELECT t, count(*) AS n_days, max(day) AS last_day
+       |  FROM s GROUP BY t),
+       |rec AS (SELECT t, idx, y AS l, 0::BIGINT AS b,
+       |    [0,0,0,0,0,0,0]::BIGINT[] AS sn
+       |  FROM s WHERE idx = 1
+       |  UNION ALL
+       |  SELECT s.t, s.idx, x2.lnew AS l,
+       |    ${fd("3*(x2.lnew - r.l) + 7*r.b")} AS b,
+       |    list_transform(generate_series(1, 7), j ->
+       |      CASE WHEN j = x.i THEN
+       |        ${fd("3*(s.y - x2.lnew) + 7*x.si")}
+       |      ELSE r.sn[j] END) AS sn
+       |  FROM rec r JOIN s ON s.t = r.t AND s.idx = r.idx + 1,
+       |  LATERAL (SELECT CAST(s.day % 7 + 1 AS INT) AS i,
+       |    r.sn[CAST(s.day % 7 + 1 AS INT)] AS si) x,
+       |  LATERAL (SELECT ${fd("2*(s.y - x.si) + 8*(r.l + r.b)")} AS lnew) x2),
+       |fin AS (SELECT r.t, r.l, r.b,
+       |    r.sn[CAST((n.last_day + $horizon) % 7 + 1 AS INT)] AS sfc
+       |  FROM rec r JOIN n ON n.t = r.t WHERE r.idx = n.n_days)
+       |SELECT fin.t AS $typeCol, n.n_days::BIGINT AS n_days,
+       |  round(fin.l::DOUBLE / 100.0, 2) AS level,
+       |  round(fin.b::DOUBLE / 100.0, 2) AS trend,
+       |  round(fin.sfc::DOUBLE / 100.0, 2) AS s_fc,
+       |  round((fin.l + $horizon*fin.b + fin.sfc)::DOUBLE / 100.0, 2)
+       |    AS forecast_h$horizon
+       |FROM fin JOIN n ON n.t = fin.t ORDER BY $typeCol""".stripMargin
+  }
+
   def holtOracleSql(table: String, typeCol: String, tsCol: String,
       valueCol: String, horizon: Int = 7): String = {
     def fd(a: String) = s"(($a - ((($a) % 10 + 10) % 10)) / 10)::BIGINT"
