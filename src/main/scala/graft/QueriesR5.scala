@@ -269,6 +269,55 @@ object GraftQueriesR5 {
         .agg(count(lit(1)).as("n_items"), sum("rev_c").as("revenue_cents"))
     },
 
+    // extension: ACF + PACF profile (lags 1..5) of daily revenue per
+    // event type — the ARIMA order-identification pair; exact integer
+    // autocovariances, bit-identical Durbin–Levinson in fixed-order
+    // doubles
+    "q_pacf" -> { (s, d) =>
+      val daily = TpchGraph.eventsTable(s, d).where(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long").as("day"),
+          round(col("value") * 100).cast("long").as("_v"))
+        .groupBy("event_type", "day").agg(sum("_v").as("cents"))
+      graft.ext.Events.acfPacf(daily, "event_type", "day", "cents", maxLag = 5)
+        .orderBy("event_type", "lag")
+    },
+
+    // extension: exact Shapley decomposition of the 2-feature OLS —
+    // for a linear model φᵢ(row) = bᵢ·(xᵢ − x̄ᵢ) IS the Shapley value,
+    // so mean |φᵢ| = |b_q|·Σ|n·xᵢ − Sᵢ| / (n²·1e6) is exact-integer up
+    // to one division; per-feature attribution share
+    "q_shapley_ols" -> { (s, d) =>
+      val li = t(s, d)("lineitem").select(
+        round(col("l_quantity")).cast("long").as("x1"),
+        round(col("l_discount") * 100).cast("long").as("x2"),
+        round(col("l_extendedprice")).cast("long").as("y"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val g = Regression.gram2(li, "x1", "x2", "y")
+      val (_, b1, b2, _) = Regression.solve2(g)
+      def q6(v: Double) = BigDecimal(v * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+      val (b1q, b2q) = (q6(b1), q6(b2))
+      val absRow = li.agg(
+        sum(abs(lit(g.n.toLong) * col("x1") - lit(g.sx1.toLong))).as("d1"),
+        sum(abs(lit(g.n.toLong) * col("x2") - lit(g.sx2.toLong))).as("d2"))
+        .head()
+      li.unpersist(blocking = false)
+      val c1 = b1q.abs * BigInt(absRow.getAs[Long]("d1"))
+      val c2 = b2q.abs * BigInt(absRow.getAs[Long]("d2"))
+      val den = g.n * g.n * BigInt(1000000)
+      def r6(v: Double) = BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def contrib(c: BigInt) = r6(c.toDouble / den.toDouble)
+      def share(c: BigInt) = r6(c.toDouble / (c1 + c2).toDouble)
+      import s.implicits._
+      Seq(
+        ("x1_quantity", r6(b1), contrib(c1), share(c1)),
+        ("x2_discount_pct", r6(b2), contrib(c2), share(c2)))
+        .toDF("feature", "b", "mean_abs_contrib", "share")
+        .orderBy("feature")
+    },
+
     // TPC-H Q4 shape: late-shipment order-priority census — orders with
     // any lineitem shipped > 30 days after the order date, counted per
     // priority; the EXISTS becomes a conditioned left-semi join (one
@@ -482,6 +531,43 @@ object GraftQueriesR5 {
         |    AND p.p_size BETWEEN 1 AND 10)
         |  OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30
         |    AND p.p_size BETWEEN 1 AND 15)""".stripMargin,
+
+    "q_pacf" -> (graft.ext.Events.acfPacfOracleSql(
+      """SELECT event_type AS k, day AS t, cents AS x FROM (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)""".stripMargin,
+      maxLag = 5, keyAlias = "event_type") + "\nORDER BY event_type, lag"),
+
+    "q_shapley_ols" -> (
+      """WITH q AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS x2,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem),
+        |g AS (SELECT count(*)::HUGEINT AS n,
+        |  sum(x1)::HUGEINT AS sx1, sum(x2)::HUGEINT AS sx2, sum(y)::HUGEINT AS sy,
+        |  sum(x1*x1)::HUGEINT AS sx1x1, sum(x2*x2)::HUGEINT AS sx2x2,
+        |  sum(x1*x2)::HUGEINT AS sx1x2, sum(x1*y)::HUGEINT AS sx1y,
+        |  sum(x2*y)::HUGEINT AS sx2y, sum(y*y)::HUGEINT AS syy FROM q),
+        |""".stripMargin +
+      Regression.solve2Sql("0::HUGEINT", "0") +
+      """,
+        |bq AS (SELECT CAST(round(b1 * 1e6, 0) AS HUGEINT) AS b1q,
+        |    CAST(round(b2 * 1e6, 0) AS HUGEINT) AS b2q, b1, b2 FROM m0),
+        |ad AS (SELECT sum(abs(g.n * q.x1 - g.sx1))::HUGEINT AS d1,
+        |    sum(abs(g.n * q.x2 - g.sx2))::HUGEINT AS d2
+        |  FROM q CROSS JOIN g),
+        |cc AS (SELECT abs(bq.b1q) * ad.d1 AS c1, abs(bq.b2q) * ad.d2 AS c2,
+        |    bq.b1, bq.b2, (g.n * g.n * 1000000::HUGEINT) AS den
+        |  FROM bq CROSS JOIN ad CROSS JOIN g)
+        |SELECT 'x1_quantity' AS feature, round(b1, 6) AS b,
+        |  round(c1::DOUBLE / den::DOUBLE, 6) AS mean_abs_contrib,
+        |  round(c1::DOUBLE / (c1 + c2)::DOUBLE, 6) AS share FROM cc
+        |UNION ALL
+        |SELECT 'x2_discount_pct', round(b2, 6),
+        |  round(c2::DOUBLE / den::DOUBLE, 6),
+        |  round(c2::DOUBLE / (c1 + c2)::DOUBLE, 6) FROM cc
+        |ORDER BY feature""".stripMargin),
 
     "q_tpch_late_priority" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_late_orders

@@ -275,6 +275,134 @@ object Events {
         .as("autocorr"))
   }
 
+  /** ACF + PACF per series at lags 1..maxLag — the ARIMA
+    * order-identification pair ([[lagAutocorr]] detects ONE seasonal lag;
+    * this profiles the whole short-lag structure). Autocovariances use
+    * the standard full-series-mean convention: with n, S = Σx,
+    * Sxx = Σx² and per-lag integer sums (Σ xₜxₜ₊ₖ, head/tail sums),
+    * n²γₖ·n = n²Σxx′ − nS(head+tail) + (n−k)S² is an EXACT integer
+    * (BigInt/HUGEINT), so rₖ = Aₖ/A₀ is one double division of identical
+    * integers in both engines; the Durbin–Levinson recursion then runs in
+    * fixed-order double arithmetic (no libm), so φₖₖ is bit-identical
+    * without quantization.
+    *
+    * Scale shape: one row_number window per series, one (series, lag)
+    * keyed self-join (fanout maxLag), keyed integer aggregates; the
+    * recursion runs on the driver over maxLag numbers per series.
+    * Output: (key, lag, n_obs, acf (6 dp), pacf (6 dp)).
+    */
+  def acfPacf(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 24, "maxLag in [1, 24]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_k").orderBy("_t")
+    val base = df.select(col(keyCol).as("_k"), col(tsCol).as("_t"),
+        col(valueCol).cast("long").as("_x"))
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = base.groupBy("_k").agg(count(lit(1)).as("n"),
+      sum("_x").as("s"), sum(col("_x") * col("_x")).as("sxx"))
+    val a = base.withColumn("_l", explode(sequence(lit(1), lit(maxLag))))
+      .select(col("_k"), col("_l"), (col("_i") + col("_l")).as("_j"),
+        col("_x").as("_xa"))
+    val b = base.select(col("_k"), col("_i").as("_j"), col("_x").as("_xb"))
+    val perLag = a.join(b, Seq("_k", "_j"))
+      .groupBy("_k", "_l")
+      .agg(count(lit(1)).as("cnt"), sum(col("_xa") * col("_xb")).as("sp"),
+        sum("_xa").as("sh"), sum("_xb").as("st"))
+    val rows = perLag.join(tot, Seq("_k")).collect().map { r =>
+      (r.getAs[String]("_k"), r.getAs[Int]("_l"), r.getAs[Long]("n"),
+        BigInt(r.getAs[Long]("s")), BigInt(r.getAs[Long]("sxx")),
+        BigInt(r.getAs[Long]("sp")), BigInt(r.getAs[Long]("sh")),
+        BigInt(r.getAs[Long]("st")))
+    }
+    base.unpersist(blocking = false)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = rows.groupBy(_._1).toSeq.flatMap { case (k, ls) =>
+      val n = BigInt(ls.head._3)
+      val s = ls.head._4
+      val sxx = ls.head._5
+      val a0 = n * n * sxx - n * s * s
+      require(a0 > 0, s"series $k has zero variance")
+      val rByLag = ls.sortBy(_._2).map { case (_, l, _, _, _, sp, sh, st) =>
+        val ak = n * n * sp - n * s * (sh + st) + (n - l) * s * s
+        l -> ak.toDouble / a0.toDouble
+      }.toMap
+      val kMax = rByLag.keys.max
+      // Durbin–Levinson in fixed-order doubles
+      val phi = Array.ofDim[Double](kMax + 1, kMax + 1)
+      val pacf = Array.ofDim[Double](kMax + 1)
+      phi(1)(1) = rByLag(1); pacf(1) = rByLag(1)
+      for (m <- 2 to kMax) {
+        var num = rByLag(m)
+        var den = 1.0
+        for (j <- 1 until m) {
+          num -= phi(m - 1)(j) * rByLag(m - j)
+          den -= phi(m - 1)(j) * rByLag(j)
+        }
+        val pkk = num / den
+        phi(m)(m) = pkk; pacf(m) = pkk
+        for (j <- 1 until m)
+          phi(m)(j) = phi(m - 1)(j) - pkk * phi(m - 1)(m - j)
+      }
+      def r6(v: Double) = BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (1 to kMax).map(l =>
+        (k, l.toLong, n.toLong, r6(rByLag(l)), r6(pacf(l))))
+    }
+    out.toDF(keyCol, "lag", "n_obs", "acf", "pacf")
+  }
+
+  /** DuckDB replay of [[acfPacf]] — integer autocovariance CTEs, lag
+    * columns pivoted wide, the Durbin–Levinson recursion unrolled with
+    * the Scala evaluation order, then unpivoted.
+    */
+  def acfPacfOracleSql(srcSql: String, maxLag: Int,
+      keyAlias: String = "k"): String = {
+    // phi expressions as SQL strings, mirroring the driver recursion
+    val phiExpr = scala.collection.mutable.Map[(Int, Int), String]()
+    phiExpr((1, 1)) = "r1"
+    for (m <- 2 to maxLag) {
+      val num = (1 until m).foldLeft(s"r$m") { (acc, j) =>
+        s"($acc - (${phiExpr((m - 1, j))}) * r${m - j})"
+      }
+      val den = (1 until m).foldLeft("1.0") { (acc, j) =>
+        s"($acc - (${phiExpr((m - 1, j))}) * r$j)"
+      }
+      phiExpr((m, m)) = s"(($num) / ($den))"
+      for (j <- 1 until m)
+        phiExpr((m, j)) =
+          s"((${phiExpr((m - 1, j))}) - (${phiExpr((m, m))}) * (${phiExpr((m - 1, m - j))}))"
+    }
+    val rCols = (1 to maxLag).map(l =>
+      s"max(CASE WHEN l = $l THEN r END) AS r$l").mkString(",\n    ")
+    val unions = (1 to maxLag).map(l =>
+      s"""SELECT k AS $keyAlias, $l::BIGINT AS lag, n::BIGINT AS n_obs,
+         |  round(r$l, 6) AS acf, round(${phiExpr((l, l))}, 6) AS pacf
+         |FROM wide""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH src AS MATERIALIZED (SELECT k, t, x::BIGINT AS x FROM ($srcSql)),
+       |idx AS MATERIALIZED (SELECT k, x,
+       |    row_number() OVER (PARTITION BY k ORDER BY t) AS i FROM src),
+       |tot AS (SELECT k, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s,
+       |    sum(x*x)::HUGEINT AS sxx FROM idx GROUP BY 1),
+       |lags AS (SELECT a.k, l.l,
+       |    count(*)::HUGEINT AS cnt, sum(a.x * b.x)::HUGEINT AS sp,
+       |    sum(a.x)::HUGEINT AS sh, sum(b.x)::HUGEINT AS st
+       |  FROM idx a CROSS JOIN (SELECT unnest(generate_series(1, $maxLag)) AS l) l
+       |  JOIN idx b ON b.k = a.k AND b.i = a.i + l.l
+       |  GROUP BY 1, 2),
+       |rr AS (SELECT g.k, g.l,
+       |    (t.n*t.n*g.sp - t.n*t.s*(g.sh + g.st) + (t.n - g.l)*t.s*t.s)::DOUBLE
+       |      / (t.n*t.n*t.sxx - t.n*t.s*t.s)::DOUBLE AS r,
+       |    t.n AS n
+       |  FROM lags g JOIN tot t ON t.k = g.k),
+       |wide AS (SELECT k, max(n) AS n,
+       |    $rCols
+       |  FROM rr GROUP BY k)
+       |$unions""".stripMargin
+  }
+
   /** Time-bound funnel — [[funnel]] with a per-step conversion window:
     * step i must occur strictly after step i−1 AND within `windowHours`
     * of it (the Amplitude/Mixpanel conversion-window semantics). Matching
