@@ -318,6 +318,57 @@ object GraftQueriesR5 {
         .orderBy("feature")
     },
 
+    // TPC-H Q7 shape: bilateral shipping volume between two nations by
+    // year — fact joins customer+supplier dims (shuffle) and nation twice
+    // (broadcast); the pair filter applies right after the dim joins
+    "q_tpch_nation_volume" -> { (s, d) =>
+      val li = t(s, d)("lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("rev_c"))
+      val o = t(s, d)("orders").select("o_orderkey", "o_custkey")
+      val c = t(s, d)("customer").select("c_custkey", "c_nationkey")
+      val sup = t(s, d)("supplier").select("s_suppkey", "s_nationkey")
+      val n = t(s, d)("nation").select("n_nationkey", "n_name")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n.select(col("n_nationkey").as("c_nationkey"),
+          col("n_name").as("cust_nation"))), Seq("c_nationkey"))
+        .join(broadcast(n.select(col("n_nationkey").as("s_nationkey"),
+          col("n_name").as("supp_nation"))), Seq("s_nationkey"))
+        .where(col("cust_nation").isin("NATION_1", "NATION_2", "NATION_3") &&
+          col("supp_nation").isin("NATION_1", "NATION_2", "NATION_3") &&
+          col("cust_nation") =!= col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", "l_year")
+        .agg(count(lit(1)).as("n_items"), sum("rev_c").as("revenue_cents"))
+        .orderBy("cust_nation", "supp_nation", "l_year")
+    },
+
+    // extension: sequential-pattern support mining — for every ordered
+    // event-type pair (a, b): in how many users does b occur AFTER some
+    // a? Per-user (type → min/max ts) profile, a 25-cell per-user type
+    // self-join, exact support counts + support share
+    "q_seq_support" -> { (s, d) =>
+      val prof = TpchGraph.eventsTable(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(unix_micros(col("ts"))).as("first_us"),
+          max(unix_micros(col("ts"))).as("last_us"))
+      val nUsers = TpchGraph.eventsTable(s, d)
+        .agg(count_distinct(col("user_id")).as("n_users"))
+      prof.as("x").join(prof.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") =!= col("y.event_type") &&
+            col("y.last_us") > col("x.first_us"))
+        .groupBy(col("x.event_type").as("a"), col("y.event_type").as("b"))
+        .agg(count(lit(1)).as("support"))
+        .crossJoin(broadcast(nUsers))
+        .select(col("a"), col("b"), col("support"),
+          round(col("support").cast("double") / col("n_users").cast("double"),
+            4).as("support_frac"))
+        .orderBy("a", "b")
+    },
+
     // TPC-H Q4 shape: late-shipment order-priority census — orders with
     // any lineitem shipped > 30 days after the order date, counted per
     // priority; the EXISTS becomes a conditioned left-semi join (one
@@ -568,6 +619,36 @@ object GraftQueriesR5 {
         |  round(c2::DOUBLE / den::DOUBLE, 6),
         |  round(c2::DOUBLE / (c1 + c2)::DOUBLE, 6) FROM cc
         |ORDER BY feature""".stripMargin),
+
+    "q_tpch_nation_volume" ->
+      """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+        |  year(l.l_shipdate)::INT AS l_year,
+        |  count(*)::BIGINT AS n_items,
+        |  sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |    AS BIGINT))::BIGINT AS revenue_cents
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        |JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        |WHERE cn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        |  AND sn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        |  AND cn.n_name <> sn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_seq_support" ->
+      """WITH prof AS (SELECT user_id, event_type,
+        |    min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY 1, 2),
+        |nu AS (SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM events)
+        |SELECT x.event_type AS a, y.event_type AS b,
+        |  count(*)::BIGINT AS support,
+        |  round(count(*)::DOUBLE / nu.n_users::DOUBLE, 4) AS support_frac
+        |FROM prof x JOIN prof y ON y.user_id = x.user_id
+        |  AND y.event_type <> x.event_type AND y.last_us > x.first_us
+        |CROSS JOIN nu
+        |GROUP BY 1, 2, nu.n_users ORDER BY 1, 2""".stripMargin,
 
     "q_tpch_late_priority" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_late_orders
