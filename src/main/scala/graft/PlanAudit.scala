@@ -35,7 +35,13 @@ object PlanAudit {
         "q_ols", "q_dbscan", "q_als", "q_target_encode", "q_butterflies",
         // partitioned-layout pruning (PartitionFilters must show the
         // o_year predicate — whole directories eliminated pre-I/O)
-        "q_partition_prune")
+        "q_partition_prune",
+        // round-12 flagships: Q17 self-agg join (ReusedExchange expected),
+        // Q10 top-k (TakeOrderedAndProject, no global sort), Q19 compound
+        // predicate (one broadcast join + single filter), Q4 conditioned
+        // left-semi, CV eval (broadcast k-row model join)
+        "q_tpch_small_qty", "q_tpch_returned_topk", "q_tpch_compound_pred",
+        "q_tpch_late_priority", "q_cv_folds")
     names.foreach { n =>
       println(s"\n===== $n =====")
       try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
