@@ -369,6 +369,25 @@ object GraftQueriesR5 {
         .orderBy("a", "b")
     },
 
+    // extension: classifier fairness profile across market segments —
+    // "urgent priority predicts a return" as the model under audit;
+    // selection rate / TPR / FPR per segment + demographic-parity gap,
+    // all exact-integer half-up rates
+    "q_fairness" -> { (s, d) =>
+      val ret = t(s, d)("lineitem").where(col("l_returnflag") === "R")
+        .select(col("l_orderkey")).distinct()
+      val o = t(s, d)("orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("p"))
+        .join(ret, col("o_orderkey") === col("l_orderkey"), "left")
+        .withColumn("y", col("l_orderkey").isNotNull)
+      val c = t(s, d)("customer").select("c_custkey", "c_mktsegment")
+      Stats.fairnessProfile(
+        o.join(c, col("o_custkey") === col("c_custkey")),
+        "c_mktsegment", "p", "y")
+        .orderBy("c_mktsegment")
+    },
+
     // TPC-H Q4 shape: late-shipment order-priority census — orders with
     // any lineitem shipped > 30 days after the order date, counted per
     // priority; the EXISTS becomes a conditioned left-semi join (one
@@ -649,6 +668,14 @@ object GraftQueriesR5 {
         |  AND y.event_type <> x.event_type AND y.last_us > x.first_us
         |CROSS JOIN nu
         |GROUP BY 1, 2, nu.n_users ORDER BY 1, 2""".stripMargin,
+
+    "q_fairness" -> (Stats.fairnessProfileSql(
+      """SELECT c.c_mktsegment AS grp,
+        |  o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS p,
+        |  EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R') AS y
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey""".stripMargin,
+      groupAlias = "c_mktsegment") + "\nORDER BY c_mktsegment"),
 
     "q_tpch_late_priority" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_late_orders

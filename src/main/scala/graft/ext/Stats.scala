@@ -1074,6 +1074,73 @@ object Stats {
           .as("naive_diff"))
   }
 
+  /** Classifier fairness profile across a protected/segment grouping —
+    * the model-governance screen: per group, selection rate (demographic
+    * parity), TPR (equal opportunity) and FPR (equalized odds), plus the
+    * global parity gap (max − min selection rate) repeated on every row.
+    *
+    * All rates are exact-integer half-up roundings
+    * (`(num·2e4 + den) div 2·den` over exact counts — immune to the
+    * engines' double-rounding tie divergence); groups with no positive
+    * (or no negative) labels report null TPR (FPR). ONE keyed counting
+    * aggregate; everything after is group-cardinality work.
+    */
+  def fairnessProfile(df: DataFrame, groupCol: String, predCol: String,
+      labelCol: String): DataFrame = {
+    def r4q(num: Column, den: Column): Column = {
+      val a = num * lit(20000L) + den
+      val b = den * lit(2L)
+      ((a - pmod(a, b)) / b).cast("long")
+    }
+    val g = df.select(col(groupCol).cast("string").as("grp"),
+        col(predCol).cast("boolean").as("p"),
+        col(labelCol).cast("boolean").as("y"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("p"), 1L).otherwise(0L)).as("n_sel"),
+        sum(when(col("p") && col("y"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("p") && !col("y"), 1L).otherwise(0L)).as("fp"))
+      .withColumn("sel_q", r4q(col("n_sel"), col("n")))
+    val gap = g.agg(((max("sel_q") - min("sel_q")) / lit(10000.0))
+      .as("dp_gap"))
+    g.crossJoin(broadcast(gap))
+      .select(col("grp").as(groupCol), col("n"), col("n_pos"), col("n_sel"),
+        (col("sel_q") / lit(10000.0)).as("selection_rate"),
+        when(col("n_pos") === 0, lit(null).cast("double"))
+          .otherwise(r4q(col("tp"), col("n_pos")) / lit(10000.0)).as("tpr"),
+        when(col("n") === col("n_pos"), lit(null).cast("double"))
+          .otherwise(r4q(col("fp"), col("n") - col("n_pos")) / lit(10000.0))
+          .as("fpr"),
+        col("dp_gap"))
+  }
+
+  /** DuckDB replay of [[fairnessProfile]]; `srcSql` must produce
+    * (grp VARCHAR, p BOOLEAN, y BOOLEAN) rows.
+    */
+  def fairnessProfileSql(srcSql: String, groupAlias: String): String =
+    s"""WITH src AS ($srcSql),
+       |g AS (SELECT grp, count(*)::BIGINT AS n,
+       |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+       |    sum(CASE WHEN p THEN 1 ELSE 0 END)::BIGINT AS n_sel,
+       |    sum(CASE WHEN p AND y THEN 1 ELSE 0 END)::BIGINT AS tp,
+       |    sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END)::BIGINT AS fp
+       |  FROM src GROUP BY 1),
+       |q AS (SELECT g.*,
+       |    ((n_sel * 20000 + n) // (n * 2))::BIGINT AS sel_q FROM g),
+       |gap AS (SELECT (max(sel_q) - min(sel_q)) / 10000.0 AS dp_gap FROM q)
+       |SELECT q.grp AS $groupAlias, q.n, q.n_pos, q.n_sel,
+       |  q.sel_q / 10000.0 AS selection_rate,
+       |  CASE WHEN q.n_pos = 0 THEN NULL
+       |    ELSE ((q.tp * 20000 + q.n_pos) // (q.n_pos * 2)) / 10000.0
+       |  END AS tpr,
+       |  CASE WHEN q.n = q.n_pos THEN NULL
+       |    ELSE ((q.fp * 20000 + (q.n - q.n_pos)) // ((q.n - q.n_pos) * 2))
+       |      / 10000.0
+       |  END AS fpr,
+       |  gap.dp_gap
+       |FROM q CROSS JOIN gap""".stripMargin
+
   /** DuckDB replay of [[attMatched]]; `srcSql` must produce
     * (x BIGINT, t BOOLEAN, y BIGINT) rows.
     */
