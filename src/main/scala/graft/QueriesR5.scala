@@ -388,6 +388,79 @@ object GraftQueriesR5 {
         .orderBy("c_mktsegment")
     },
 
+    // extension: AR(2) Yule–Walker fit + one-step forecast of daily
+    // revenue per event type — the model-fitting leg after q_pacf
+    // identifies the order; bit-identical fixed-order doubles over the
+    // same exact integer autocovariances
+    "q_ar2_forecast" -> { (s, d) =>
+      val daily = TpchGraph.eventsTable(s, d).where(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long").as("day"),
+          round(col("value") * 100).cast("long").as("_v"))
+        .groupBy("event_type", "day").agg(sum("_v").as("cents"))
+      graft.ext.Events.ar2Forecast(daily, "event_type", "day", "cents")
+        .orderBy("event_type")
+    },
+
+    // TPC-H Q2 shape: cheapest supplier per part — exact integer unit
+    // price (price_c·100 div q100), per-part struct-min argmin (ties to
+    // the smallest suppkey), supplier dim joined AFTER the argmin
+    "q_tpch_min_cost_supp" -> { (s, d) =>
+      val unit = t(s, d)("lineitem").select(col("l_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+          round(col("l_quantity") * 100).cast("long").as("q100"))
+        .where(col("q100") > 0)
+        .withColumn("unit_c",
+          ((col("price_c") * 100 - pmod(col("price_c") * 100, col("q100"))) /
+            col("q100")).cast("long"))
+      unit.groupBy("l_partkey")
+        .agg(min(struct(col("unit_c"), col("l_suppkey"))).as("_m"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("_m.l_suppkey").as("s_suppkey"),
+          col("_m.unit_c").as("min_unit_cents"))
+        .join(t(s, d)("supplier").select("s_suppkey", "s_name"),
+          Seq("s_suppkey"))
+        .orderBy("p_partkey").limit(50)
+        .select("p_partkey", "s_suppkey", "s_name", "min_unit_cents")
+    },
+
+    // TPC-H Q16 shape: supplier diversity per brand/size band — distinct
+    // supplier counting after a broadcast part join
+    "q_tpch_supplier_cnt" -> { (s, d) =>
+      t(s, d)("lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(t(s, d)("part")
+          .select(col("p_partkey"), col("p_brand"),
+            (col("p_size") - pmod(col("p_size"), lit(10))).as("size_band"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "size_band")
+        .agg(count_distinct(col("l_suppkey")).as("n_suppliers"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand", "size_band")
+    },
+
+    // TPC-H Q21 shape: the sole late supplier — multi-supplier orders
+    // where EXACTLY ONE supplier shipped > 60 days after the order date;
+    // the correlated EXISTS/NOT-EXISTS pair becomes one per-(order,
+    // supplier) aggregate + one per-order rollup, then a per-supplier
+    // count (no correlated subqueries, two keyed aggregates)
+    "q_tpch_sole_late" -> { (s, d) =>
+      val perOS = t(s, d)("lineitem")
+        .join(t(s, d)("orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max((col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAY")).cast("int"))
+          .as("late"))
+      val perO = perOS.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"), sum("late").as("n_late"))
+      perOS.where(col("late") === 1)
+        .join(perO.where(col("n_supp") > 1 && col("n_late") === 1),
+          Seq("l_orderkey"))
+        .groupBy(col("l_suppkey").as("s_suppkey"))
+        .agg(count(lit(1)).as("n_waiting_orders"))
+        .orderBy(col("n_waiting_orders").desc, col("s_suppkey")).limit(20)
+    },
+
     // TPC-H Q4 shape: late-shipment order-priority census — orders with
     // any lineitem shipped > 30 days after the order date, counted per
     // priority; the EXISTS becomes a conditioned left-semi join (one
@@ -676,6 +749,48 @@ object GraftQueriesR5 {
         |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R') AS y
         |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey""".stripMargin,
       groupAlias = "c_mktsegment") + "\nORDER BY c_mktsegment"),
+
+    "q_ar2_forecast" -> (graft.ext.Events.ar2ForecastOracleSql(
+      """SELECT event_type AS k, day AS t, cents AS x FROM (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)""".stripMargin,
+      keyAlias = "event_type") + "\nORDER BY event_type"),
+
+    "q_tpch_min_cost_supp" ->
+      """WITH unit AS (SELECT l_partkey, l_suppkey,
+        |    (CAST(round(l_extendedprice * 100) AS BIGINT) * 100)
+        |      // CAST(round(l_quantity * 100) AS BIGINT) AS unit_c
+        |  FROM lineitem WHERE CAST(round(l_quantity * 100) AS BIGINT) > 0),
+        |am AS (SELECT l_partkey AS p_partkey,
+        |    min(struct_pack(unit_c := unit_c, sk := l_suppkey)) AS m
+        |  FROM unit GROUP BY 1)
+        |SELECT am.p_partkey, am.m.sk AS s_suppkey, s.s_name,
+        |  am.m.unit_c AS min_unit_cents
+        |FROM am JOIN supplier s ON s.s_suppkey = am.m.sk
+        |ORDER BY am.p_partkey LIMIT 50""".stripMargin,
+
+    "q_tpch_supplier_cnt" ->
+      """SELECT p.p_brand, (p.p_size - p.p_size % 10)::INT AS size_band,
+        |  count(DISTINCT l.l_suppkey)::BIGINT AS n_suppliers,
+        |  count(*)::BIGINT AS n_items
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_tpch_sole_late" ->
+      """WITH pos AS (SELECT l.l_orderkey, l.l_suppkey,
+        |    max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |      THEN 1 ELSE 0 END)::INT AS late
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2),
+        |po AS (SELECT l_orderkey, count(*)::BIGINT AS n_supp,
+        |    sum(late)::BIGINT AS n_late FROM pos GROUP BY 1)
+        |SELECT pos.l_suppkey AS s_suppkey,
+        |  count(*)::BIGINT AS n_waiting_orders
+        |FROM pos JOIN po ON po.l_orderkey = pos.l_orderkey
+        |WHERE pos.late = 1 AND po.n_supp > 1 AND po.n_late = 1
+        |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
 
     "q_tpch_late_priority" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_late_orders

@@ -403,6 +403,120 @@ object Events {
        |$unions""".stripMargin
   }
 
+  /** AR(2) fit by Yule–Walker + one-step forecast per series — the
+    * model-fitting leg after [[acfPacf]] identifies the order: φ₂ =
+    * (r₂ − r₁²)/(1 − r₁²), φ₁ = r₁ − φ₂·r₁ (exactly the order-2
+    * Durbin–Levinson step), forecast x̂ₙ₊₁ = x̄ + φ₁(xₙ − x̄) +
+    * φ₂(xₙ₋₁ − x̄). Autocorrelations come from the same exact-integer
+    * autocovariance sums as acfPacf; every floating step is a fixed-order
+    * double expression over identical integers, so both engines agree
+    * bit-for-bit.
+    *
+    * Output: (key, n_obs, mean (2 dp, cents→units), phi1, phi2 (6 dp),
+    * forecast_next (2 dp)).
+    */
+  def ar2Forecast(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_k").orderBy("_t")
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy("_k").orderBy(col("_t").desc)
+    val base = df.select(col(keyCol).as("_k"), col(tsCol).as("_t"),
+        col(valueCol).cast("long").as("_x"))
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = base.groupBy("_k").agg(count(lit(1)).as("n"),
+      sum("_x").as("s"), sum(col("_x") * col("_x")).as("sxx"))
+    val a = base.withColumn("_l", explode(sequence(lit(1), lit(2))))
+      .select(col("_k"), col("_l"), (col("_i") + col("_l")).as("_j"),
+        col("_x").as("_xa"))
+    val b = base.select(col("_k"), col("_i").as("_j"), col("_x").as("_xb"))
+    val perLag = a.join(b, Seq("_k", "_j"))
+      .groupBy("_k", "_l")
+      .agg(sum(col("_xa") * col("_xb")).as("sp"),
+        sum("_xa").as("sh"), sum("_xb").as("st"))
+    val lastTwo = base.withColumn("_r", row_number().over(wDesc))
+      .where(col("_r") <= 2)
+      .groupBy("_k")
+      .agg(max(when(col("_r") === 1, col("_x"))).as("xn"),
+        max(when(col("_r") === 2, col("_x"))).as("xn1"))
+    val rows = perLag.join(tot, Seq("_k")).join(lastTwo, Seq("_k"))
+      .collect().map { r =>
+        (r.getAs[String]("_k"), r.getAs[Int]("_l"), r.getAs[Long]("n"),
+          BigInt(r.getAs[Long]("s")), BigInt(r.getAs[Long]("sxx")),
+          BigInt(r.getAs[Long]("sp")), BigInt(r.getAs[Long]("sh")),
+          BigInt(r.getAs[Long]("st")), r.getAs[Long]("xn"),
+          r.getAs[Long]("xn1"))
+      }
+    base.unpersist(blocking = false)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = rows.groupBy(_._1).toSeq.map { case (k, ls) =>
+      require(ls.length == 2, s"series $k needs at least 3 observations")
+      val n = BigInt(ls.head._3)
+      val s = ls.head._4
+      val sxx = ls.head._5
+      val a0 = n * n * sxx - n * s * s
+      require(a0 > 0, s"series $k has zero variance")
+      def rl(l: Int): Double = {
+        val (_, _, _, _, _, sp, sh, st, _, _) = ls.find(_._2 == l).get
+        (n * n * sp - n * s * (sh + st) + (n - l) * s * s).toDouble /
+          a0.toDouble
+      }
+      val (r1, r2) = (rl(1), rl(2))
+      val phi2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+      val phi1 = r1 - phi2 * r1
+      val mean = s.toDouble / n.toDouble
+      val (xn, xn1) = (ls.head._9, ls.head._10)
+      val fc = mean + phi1 * (xn - mean) + phi2 * (xn1 - mean)
+      def r6(v: Double) = BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def c2(v: Double) = BigDecimal(v / 100.0)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (k, n.toLong, c2(mean), r6(phi1), r6(phi2), c2(fc))
+    }
+    out.toDF(keyCol, "n_obs", "mean", "phi1", "phi2", "forecast_next")
+  }
+
+  /** DuckDB replay of [[ar2Forecast]]; `srcSql` must produce
+    * (k, t, x BIGINT) rows.
+    */
+  def ar2ForecastOracleSql(srcSql: String, keyAlias: String = "k"): String =
+    s"""WITH src AS MATERIALIZED (SELECT k, t, x::BIGINT AS x FROM ($srcSql)),
+       |idx AS MATERIALIZED (SELECT k, x,
+       |    row_number() OVER (PARTITION BY k ORDER BY t) AS i,
+       |    row_number() OVER (PARTITION BY k ORDER BY t DESC) AS rdesc
+       |  FROM src),
+       |tot AS (SELECT k, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s,
+       |    sum(x*x)::HUGEINT AS sxx FROM idx GROUP BY 1),
+       |lags AS (SELECT a.k, l.l, sum(a.x * b.x)::HUGEINT AS sp,
+       |    sum(a.x)::HUGEINT AS sh, sum(b.x)::HUGEINT AS st
+       |  FROM idx a CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS l) l
+       |  JOIN idx b ON b.k = a.k AND b.i = a.i + l.l
+       |  GROUP BY 1, 2),
+       |lastv AS (SELECT k,
+       |    max(CASE WHEN rdesc = 1 THEN x END) AS xn,
+       |    max(CASE WHEN rdesc = 2 THEN x END) AS xn1
+       |  FROM idx WHERE rdesc <= 2 GROUP BY 1),
+       |rr AS (SELECT g.k, g.l,
+       |    (t.n*t.n*g.sp - t.n*t.s*(g.sh + g.st) + (t.n - g.l)*t.s*t.s)::DOUBLE
+       |      / (t.n*t.n*t.sxx - t.n*t.s*t.s)::DOUBLE AS r
+       |  FROM lags g JOIN tot t ON t.k = g.k),
+       |wide AS (SELECT k, max(CASE WHEN l = 1 THEN r END) AS r1,
+       |    max(CASE WHEN l = 2 THEN r END) AS r2 FROM rr GROUP BY 1),
+       |fit AS (SELECT w.k, t.n, t.s::DOUBLE / t.n::DOUBLE AS mean,
+       |    (w.r2 - w.r1*w.r1) / (1.0 - w.r1*w.r1) AS phi2, w.r1,
+       |    lv.xn, lv.xn1
+       |  FROM wide w JOIN tot t ON t.k = w.k JOIN lastv lv ON lv.k = w.k),
+       |fin AS (SELECT k, n, mean, (r1 - phi2 * r1) AS phi1, phi2, xn, xn1
+       |  FROM fit)
+       |SELECT k AS $keyAlias, n::BIGINT AS n_obs,
+       |  round(mean / 100.0, 2) AS mean,
+       |  round(phi1, 6) AS phi1, round(phi2, 6) AS phi2,
+       |  round((mean + phi1 * (xn - mean) + phi2 * (xn1 - mean)) / 100.0, 2)
+       |    AS forecast_next
+       |FROM fin""".stripMargin
+
   /** Time-bound funnel — [[funnel]] with a per-step conversion window:
     * step i must occur strictly after step i−1 AND within `windowHours`
     * of it (the Amplitude/Mixpanel conversion-window semantics). Matching
