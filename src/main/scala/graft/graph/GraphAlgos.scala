@@ -2037,9 +2037,12 @@ object GraphAlgos {
 
   def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
     require(window >= 1, "window must be >= 1")
-    val a = walks.select(col("walk_id"), col("step").as("_sa"),
+    // the walk corpus feeds BOTH sides of the self-join — persist it, or
+    // an expensive upstream walk generation re-runs per branch
+    val w = walks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = w.select(col("walk_id"), col("step").as("_sa"),
       col("node").as("center"))
-    val b = walks.select(col("walk_id"), col("step").as("_sb"),
+    val b = w.select(col("walk_id"), col("step").as("_sb"),
       col("node").as("context"))
     a.join(b, Seq("walk_id"))
       .where(col("_sa") =!= col("_sb") &&
