@@ -402,6 +402,18 @@ object GraftQueriesR5 {
         .orderBy("event_type")
     },
 
+    // extension: IPW average treatment effect — the ATE companion to
+    // q_att_matching over the same (discount, quantity-stratum) design;
+    // exact stratum propensities, micro-quantized arm means, one division
+    "q_ipw_ate" -> { (s, d) =>
+      Stats.ateIpw(
+        t(s, d)("lineitem").select(
+          (col("l_discount") >= 0.05).as("treat"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+          round(col("l_quantity")).cast("long").as("qty")),
+        "treat", "price_c", "qty")
+    },
+
     // TPC-H Q2 shape: cheapest supplier per part — exact integer unit
     // price (price_c·100 div q100), per-part struct-min argmin (ties to
     // the smallest suppkey), supplier dim joined AFTER the argmin
@@ -757,6 +769,12 @@ object GraftQueriesR5 {
         |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)""".stripMargin,
       keyAlias = "event_type") + "\nORDER BY event_type"),
+
+    "q_ipw_ate" -> Stats.ateIpwOracleSql(
+      """SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+        |  l_discount >= 0.05 AS t,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |FROM lineitem""".stripMargin),
 
     "q_tpch_min_cost_supp" ->
       """WITH unit AS (SELECT l_partkey, l_suppkey,

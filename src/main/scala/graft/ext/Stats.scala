@@ -1141,6 +1141,81 @@ object Stats {
        |  gap.dp_gap
        |FROM q CROSS JOIN gap""".stripMargin
 
+  /** Average treatment effect by inverse-propensity weighting (IPW /
+    * Horvitz–Thompson with an exactly-estimated propensity) — the ATE
+    * companion to [[attMatched]]'s ATT: with stratum propensity
+    * e(x) = n_t/n exactly, the HT estimate collapses to
+    * ATE = Σₓ nₓ·(ȳ_t,x − ȳ_c,x) / N. Per-stratum arm means quantize to
+    * micro-units by integer floor division, each stratum term
+    * `nₓ·(mt_q − mc_q)` is an exact long, and the final ATE is ONE double
+    * division. Strata lacking an arm drop (common support) and their rows
+    * are counted in `n_rows_dropped`.
+    *
+    * Output one row: n_rows_used, n_rows_dropped, n_strata, ate (4 dp),
+    * naive_diff (4 dp). Same scale shape and caller contract as
+    * [[attMatched]].
+    */
+  def ateIpw(df: DataFrame, treatCol: String, outcomeCol: String,
+      strataCol: String): DataFrame = {
+    val strata = df.select(col(strataCol).cast("long").as("x"),
+        col(treatCol).cast("boolean").as("t"),
+        col(outcomeCol).cast("long").as("y"))
+      .groupBy("x")
+      .agg(count(lit(1)).as("nx"),
+        sum(when(col("t"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("t"), col("y")).otherwise(0L)).as("s_t"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(!col("t"), col("y")).otherwise(0L)).as("s_c"))
+    val matched = strata.where(col("n_t") > 0 && col("n_c") > 0)
+      .select(col("*"),
+        expr("s_t * 1000000 div n_t").as("mt_q"),
+        expr("s_c * 1000000 div n_c").as("mc_q"))
+      .select(col("*"),
+        (col("nx") * (col("mt_q") - col("mc_q"))).as("term_q"))
+    val m = matched.agg(count(lit(1)).as("n_strata"),
+      sum("nx").as("n_used"), sum("term_q").as("ate_num_q"))
+    val tot = strata.agg(sum("nx").as("n_all"),
+      sum("n_t").as("nt_all"), sum("s_t").as("st_all"),
+      sum("n_c").as("nc_all"), sum("s_c").as("sc_all"))
+    m.crossJoin(broadcast(tot))
+      .select(col("n_used").as("n_rows_used"),
+        (col("n_all") - col("n_used")).as("n_rows_dropped"),
+        col("n_strata"),
+        round(col("ate_num_q").cast("double") /
+          (lit(1e6) * col("n_used").cast("double")), 4).as("ate"),
+        round(col("st_all").cast("double") / col("nt_all").cast("double") -
+          col("sc_all").cast("double") / col("nc_all").cast("double"), 4)
+          .as("naive_diff"))
+  }
+
+  /** DuckDB replay of [[ateIpw]]; `srcSql` must produce
+    * (x BIGINT, t BOOLEAN, y BIGINT) rows.
+    */
+  def ateIpwOracleSql(srcSql: String): String =
+    s"""WITH src AS ($srcSql),
+       |strata AS (SELECT x, count(*)::BIGINT AS nx,
+       |    sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS n_t,
+       |    sum(CASE WHEN t THEN y ELSE 0 END)::BIGINT AS s_t,
+       |    sum(CASE WHEN t THEN 0 ELSE 1 END)::BIGINT AS n_c,
+       |    sum(CASE WHEN t THEN 0 ELSE y END)::BIGINT AS s_c
+       |  FROM src GROUP BY 1),
+       |matched AS (SELECT *,
+       |    (nx * (((s_t * 1000000) // n_t) - ((s_c * 1000000) // n_c)))
+       |      ::BIGINT AS term_q
+       |  FROM strata WHERE n_t > 0 AND n_c > 0),
+       |m AS (SELECT count(*)::BIGINT AS n_strata, sum(nx)::BIGINT AS n_used,
+       |    sum(term_q)::BIGINT AS ate_num_q FROM matched),
+       |tot AS (SELECT sum(nx)::BIGINT AS n_all, sum(n_t)::BIGINT AS nt_all,
+       |    sum(s_t)::BIGINT AS st_all, sum(n_c)::BIGINT AS nc_all,
+       |    sum(s_c)::BIGINT AS sc_all FROM strata)
+       |SELECT m.n_used AS n_rows_used,
+       |  (tot.n_all - m.n_used)::BIGINT AS n_rows_dropped,
+       |  m.n_strata,
+       |  round(m.ate_num_q::DOUBLE / (1e6 * m.n_used::DOUBLE), 4) AS ate,
+       |  round(tot.st_all::DOUBLE / tot.nt_all::DOUBLE -
+       |    tot.sc_all::DOUBLE / tot.nc_all::DOUBLE, 4) AS naive_diff
+       |FROM m CROSS JOIN tot""".stripMargin
+
   /** DuckDB replay of [[attMatched]]; `srcSql` must produce
     * (x BIGINT, t BOOLEAN, y BIGINT) rows.
     */

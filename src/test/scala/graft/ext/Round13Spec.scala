@@ -109,6 +109,24 @@ class Round13Spec extends SparkSpec {
     assert(r.getAs[Long]("n_treated_unmatched") == 0L)
   }
 
+  test("ateIpw recovers a planted constant effect and counts drops") {
+    import spark.implicits._
+    // same confounded design as the ATT spec — constant effect 7
+    val rows = (for {
+      x <- 1 to 10
+      i <- 0 until 20
+    } yield {
+      val treated = i < x
+      (treated, 100L * x + (if (treated) 7L else 0L), x.toLong)
+    }) ++ Seq((true, 999L, 99L)) // stratum with no control → dropped
+    val r = Stats.ateIpw(rows.toDF("t", "y", "x"), "t", "y", "x")
+      .collect().head
+    assert(r.getAs[Double]("ate") == 7.0)
+    assert(r.getAs[Long]("n_rows_used") == 200L)
+    assert(r.getAs[Long]("n_rows_dropped") == 1L)
+    assert(r.getAs[Long]("n_strata") == 10L)
+  }
+
   test("attMatched drops strata without common support") {
     import spark.implicits._
     // x=1 has only treated rows → dropped; x=2 has both arms
