@@ -414,6 +414,26 @@ object GraftQueriesR5 {
         "treat", "price_c", "qty")
     },
 
+    // extension: end-to-end curation pipeline in ONE plan — exact dedup
+    // (keep min doc id per normalized-content hash) → minimum-length
+    // quality gate → deterministic 90/10 hash split → per-(lang, split)
+    // doc/token accounting; the composition every training-data run
+    // executes, here as a single Catalyst plan with no intermediate
+    // materialization
+    "q_curation_pipeline" -> { (s, d) =>
+      import graft.ext.{Corpus, Dedup}
+      val docs = t(s, d)("documents")
+      val deduped = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      val toks = filter(split(trim(lower(col("text"))), "\\s+"),
+        w => length(w) > 0)
+      val gated = deduped.where(size(toks) >= 30)
+      Corpus.hashSplit(gated, "doc_id", Seq("train" -> 0.9, "val" -> 0.1))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks)).cast("long").as("total_tokens"))
+        .orderBy("lang", "split")
+    },
+
     // TPC-H Q2 shape: cheapest supplier per part — exact integer unit
     // price (price_c·100 div q100), per-part struct-min argmin (ties to
     // the smallest suppkey), supplier dim joined AFTER the argmin
@@ -775,6 +795,26 @@ object GraftQueriesR5 {
         |  l_discount >= 0.05 AS t,
         |  CAST(round(l_extendedprice * 100) AS BIGINT) AS y
         |FROM lineitem""".stripMargin),
+
+    // 0.9 cumulative split threshold = first 8 md5 hex of 0.9 → 'e6666666'
+    // (Corpus.hexThreshold); token count = whitespace tokens of
+    // trim(lower(text)) — the established parity idiom
+    "q_curation_pipeline" ->
+      """WITH keep AS (SELECT min(doc_id) AS doc_id
+        |  FROM documents
+        |  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))),
+        |dd AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+        |tk AS (SELECT *, len(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'),
+        |    w -> len(w) > 0)) AS n_tok
+        |  FROM dd),
+        |gated AS (SELECT * FROM tk WHERE n_tok >= 30),
+        |sp AS (SELECT *, CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6666666'
+        |    THEN 'train' ELSE 'val' END AS split
+        |  FROM gated)
+        |SELECT lang, split, count(*)::BIGINT AS n_docs,
+        |  sum(n_tok)::BIGINT AS total_tokens
+        |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_tpch_min_cost_supp" ->
       """WITH unit AS (SELECT l_partkey, l_suppkey,
