@@ -200,7 +200,12 @@ object GraftQueries {
 
     // §2.6 existence joins: anti
     "q_anti_join" -> { (s, d) =>
-      val probe = t(s, d)("orders").select(col("o_custkey").as("c_custkey"))
+      // probe = customers with RECENT orders; every customer has SOME
+      // order in this data, so an unfiltered probe made the anti-join
+      // vacuously empty (a weak artifact) without exercising anything
+      val probe = t(s, d)("orders")
+        .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey").as("c_custkey"))
       t(s, d)("customer").join(probe, Seq("c_custkey"), "left_anti")
         .select("c_custkey", "c_name").orderBy("c_custkey")
     },
@@ -3700,7 +3705,8 @@ object GraftQueries {
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '2000-01-01')
         |ORDER BY c_custkey""".stripMargin,
 
     "q_select_spec" ->
