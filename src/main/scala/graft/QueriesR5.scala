@@ -434,6 +434,56 @@ object GraftQueriesR5 {
         .orderBy("lang", "split")
     },
 
+    // extension: inter-event burstiness per event type — B = (σ−μ)/(σ+μ)
+    // over integer-second gaps (B→−1 periodic, 0 Poisson, →1 bursty);
+    // exact integer gap sums, one fixed-order sqrt expression
+    "q_burstiness" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val gaps = TpchGraph.eventsTable(s, d)
+        .withColumn("_us", unix_micros(col("ts")))
+        .withColumn("_prev", lag(col("_us"), 1).over(w))
+        .where(col("_prev").isNotNull)
+        .select(col("event_type"),
+          (((col("_us") - col("_prev")) -
+            pmod(col("_us") - col("_prev"), lit(1000000L))) /
+            lit(1000000L)).cast("long").as("gap_s"))
+      gaps.groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"), sum("gap_s").as("_sg"),
+          sum(col("gap_s") * col("gap_s")).as("_sgg"))
+        .select(col("event_type"), col("n_gaps"),
+          round((col("_sg").cast("double") / col("n_gaps")), 2).as("mean_gap_s"),
+          round(
+            (sqrt(col("_sgg").cast("double") / col("n_gaps") -
+              (col("_sg").cast("double") / col("n_gaps")) *
+                (col("_sg").cast("double") / col("n_gaps"))) -
+              col("_sg").cast("double") / col("n_gaps")) /
+            (sqrt(col("_sgg").cast("double") / col("n_gaps") -
+              (col("_sg").cast("double") / col("n_gaps")) *
+                (col("_sg").cast("double") / col("n_gaps"))) +
+              col("_sg").cast("double") / col("n_gaps")), 4)
+            .plus(lit(0.0)).as("burstiness"))
+        .orderBy("event_type")
+    },
+
+    // extension: Markov conditional entropy of the event stream —
+    // H(next | current) = H(pair) − H(current) over per-user transition
+    // pairs; how predictable is the next action? (composes q_mutual_info's
+    // machinery on the q_markov pair construction)
+    "q_markov_entropy" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = TpchGraph.eventsTable(s, d)
+        .withColumn("_prev", lag(col("event_type"), 1).over(w))
+        .where(col("_prev").isNotNull)
+        .select(col("_prev").as("cur"), col("event_type").as("nxt"))
+      Stats.mutualInfo(pairs, "cur", "nxt")
+        .select(col("n"), col("n_cells"),
+          col("h_a").as("h_cur"), col("h_b").as("h_next"),
+          col("h_ab").as("h_pair"), col("mi"),
+          round(col("h_ab") - col("h_a"), 6).as("h_next_given_cur"))
+    },
+
     // TPC-H Q2 shape: cheapest supplier per part — exact integer unit
     // price (price_c·100 div q100), per-part struct-min argmin (ties to
     // the smallest suppkey), supplier dim joined AFTER the argmin
@@ -795,6 +845,34 @@ object GraftQueriesR5 {
         |  l_discount >= 0.05 AS t,
         |  CAST(round(l_extendedprice * 100) AS BIGINT) AS y
         |FROM lineitem""".stripMargin),
+
+    "q_burstiness" ->
+      """WITH g AS (SELECT event_type,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id)) // 1000000 AS gap_s
+        |  FROM events),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n_gaps,
+        |    sum(gap_s)::BIGINT AS sg, sum(gap_s * gap_s)::BIGINT AS sgg
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_gaps,
+        |  round(sg::DOUBLE / n_gaps, 2) AS mean_gap_s,
+        |  round((sqrt(sgg::DOUBLE / n_gaps - (sg::DOUBLE / n_gaps)
+        |      * (sg::DOUBLE / n_gaps)) - sg::DOUBLE / n_gaps)
+        |    / (sqrt(sgg::DOUBLE / n_gaps - (sg::DOUBLE / n_gaps)
+        |      * (sg::DOUBLE / n_gaps)) + sg::DOUBLE / n_gaps), 4) + 0.0
+        |    AS burstiness
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "q_markov_entropy" -> {
+      val inner = Stats.mutualInfoOracleSql(
+        """SELECT prev AS a, event_type AS b FROM (
+          |  SELECT event_type, lag(event_type) OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id) AS prev
+          |  FROM events) s WHERE prev IS NOT NULL""".stripMargin)
+      s"""SELECT n, n_cells, h_a AS h_cur, h_b AS h_next, h_ab AS h_pair,
+         |  mi, round(h_ab - h_a, 6) AS h_next_given_cur
+         |FROM ($inner) g""".stripMargin
+    },
 
     // 0.9 cumulative split threshold = first 8 md5 hex of 0.9 → 'e6666666'
     // (Corpus.hexThreshold); token count = whitespace tokens of
