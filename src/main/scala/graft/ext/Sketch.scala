@@ -345,8 +345,12 @@ object Sketch {
     * groups×groups self-join; all array math is per-row codegen.
     */
   def kmvJaccard(sketches: DataFrame, k: Int): DataFrame = {
-    val a = sketches.select(col("grp").as("grp_a"), col("sketch").as("_sa"))
-    val b = sketches.select(col("grp").as("grp_b"), col("sketch").as("_sb"))
+    // both sides of the pair join read the sketch frame — persist it, or
+    // the full shingle-explode + top-k sketch build runs once per side
+    val s = sketches
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = s.select(col("grp").as("grp_a"), col("sketch").as("_sa"))
+    val b = s.select(col("grp").as("grp_b"), col("sketch").as("_sb"))
     a.join(b, col("grp_a") < col("grp_b"))
       .withColumn("_uk",
         slice(array_sort(array_union(col("_sa"), col("_sb"))), 1, k))
