@@ -484,6 +484,48 @@ object GraftQueriesR5 {
           round(col("h_ab") - col("h_a"), 6).as("h_next_given_cur"))
     },
 
+    // extension: Brier score + skill of the q_logit_glm propensity —
+    // probability-forecast quality vs the base-rate predictor; the
+    // quantized p makes every squared error an exact integer
+    "q_brier" -> { (s, d) =>
+      val glm = Regression.logitGlm(
+        t(s, d)("lineitem").select(
+          round(col("l_discount") * 100).cast("long").as("x"),
+          (col("l_returnflag") === "R").cast("long").as("y")),
+        "x", "y", rounds = 3).select(col("x"), col("p_hat"))
+      val rows = t(s, d)("lineitem").select(
+        round(col("l_discount") * 100).cast("long").as("x"),
+        (col("l_returnflag") === "R").cast("long").as("y"))
+      val scored = rows.join(broadcast(glm), Seq("x"))
+        .withColumn("p_q", round(col("p_hat") * 10000).cast("long"))
+      val agg = scored.agg(count(lit(1)).as("n"), sum("y").as("sy"),
+        sum((col("p_q") - col("y") * 10000) *
+          (col("p_q") - col("y") * 10000)).as("se"))
+      val withBase = agg
+        .withColumn("p0_q",
+          round(col("sy").cast("double") / col("n") * 10000).cast("long"))
+      val base = scored.crossJoin(broadcast(withBase.select("p0_q")))
+        .agg(sum((col("p0_q") - col("y") * 10000) *
+          (col("p0_q") - col("y") * 10000)).as("se0"))
+      withBase.crossJoin(broadcast(base))
+        .select(col("n"),
+          round(col("se").cast("double") /
+            (col("n") * lit(100000000L)).cast("double"), 6).as("brier"),
+          round(col("se0").cast("double") /
+            (col("n") * lit(100000000L)).cast("double"), 6).as("brier_base"),
+          round(lit(1.0) - col("se").cast("double") /
+            col("se0").cast("double"), 4).as("brier_skill"))
+    },
+
+    // extension: Dirichlet-smoothed query-likelihood retrieval — the
+    // language-model scorer next to q_bm25 over the same corpus; zero-tf
+    // terms get smoothed mass, so every doc scores
+    "q_query_likelihood" -> { (s, d) =>
+      graft.ext.Corpus.queryLikelihood(t(s, d)("documents"),
+        "doc_id", "text", Seq("spark", "vector", "window"))
+        .orderBy(col("ql").desc, col("doc_id")).limit(20)
+    },
+
     // TPC-H Q2 shape: cheapest supplier per part — exact integer unit
     // price (price_c·100 div q100), per-part struct-min argmin (ties to
     // the smallest suppkey), supplier dim joined AFTER the argmin
@@ -845,6 +887,39 @@ object GraftQueriesR5 {
         |  l_discount >= 0.05 AS t,
         |  CAST(round(l_extendedprice * 100) AS BIGINT) AS y
         |FROM lineitem""".stripMargin),
+
+    "q_brier" -> {
+      val glmSql = Regression.logitGlmOracleSql(
+        """SELECT CAST(round(l_discount * 100) AS BIGINT) AS x,
+          |  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+          |FROM lineitem""".stripMargin,
+        rounds = 3)
+      s"""WITH glm AS (SELECT x, p_hat FROM ($glmSql) g),
+         |rows_ AS (SELECT CAST(round(l_discount * 100) AS BIGINT) AS x,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         |  FROM lineitem),
+         |scored AS (SELECT r.x, r.y,
+         |    CAST(round(g.p_hat * 10000) AS BIGINT) AS p_q
+         |  FROM rows_ r JOIN glm g ON g.x = r.x),
+         |agg AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+         |    sum((p_q - y * 10000) * (p_q - y * 10000))::BIGINT AS se
+         |  FROM scored),
+         |wb AS (SELECT *, CAST(round(sy::DOUBLE / n * 10000) AS BIGINT)
+         |    AS p0_q FROM agg),
+         |base AS (SELECT sum((wb.p0_q - s.y * 10000)
+         |    * (wb.p0_q - s.y * 10000))::BIGINT AS se0
+         |  FROM scored s CROSS JOIN wb)
+         |SELECT wb.n,
+         |  round(wb.se::DOUBLE / (wb.n * 100000000)::DOUBLE, 6) AS brier,
+         |  round(base.se0::DOUBLE / (wb.n * 100000000)::DOUBLE, 6)
+         |    AS brier_base,
+         |  round(1.0 - wb.se::DOUBLE / base.se0::DOUBLE, 4) AS brier_skill
+         |FROM wb CROSS JOIN base""".stripMargin
+    },
+
+    "q_query_likelihood" -> (graft.ext.Corpus.queryLikelihoodOracleSql(
+      "documents", "doc_id", "text", Seq("spark", "vector", "window"))
+      + "\nORDER BY ql DESC, doc_id LIMIT 20"),
 
     "q_burstiness" ->
       """WITH g AS (SELECT event_type,

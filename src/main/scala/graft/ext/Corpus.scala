@@ -1752,4 +1752,91 @@ object Corpus {
     ((head +: rounds).mkString(",\n")) + "\n" +
       sel.mkString("\nUNION ALL\n") + "\nORDER BY round"
   }
+
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty) —
+    * the language-model scorer next to [[bm25]]: score(q, d) =
+    * Σ_t ln((tf_td·|C| + μ·cf_t) / ((dl_d + μ)·|C|)). Unlike BM25 every
+    * document scores on every term (smoothing gives zero-tf terms mass),
+    * so the per-doc combination is a docs × |q| broadcast expansion with
+    * a left-joined tf. Exactness: tf / cf / dl / |C| are exact integers,
+    * each term contributes ONE division of exact integers into ln, and
+    * the per-doc sum folds the sorted terms left-to-right (fixed order).
+    *
+    * Scale shape: one token-explode tf aggregate (map-side combines),
+    * a |q|-row collection-frequency broadcast, a narrow per-doc
+    * expansion. Output: doc_id, ql (4 dp), n_matched_terms.
+    */
+  def queryLikelihood(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], mu: Long = 2000L): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val terms = queryTerms.map(_.toLowerCase).distinct.sorted
+    val toks = filter(split(Dedup.normalize(col(textCol)), " "),
+      t => length(t) > 0)
+    val docs = df.select(col(idCol), toks.as("_t"))
+      .withColumn("dl", size(col("_t")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val coll = docs.agg(sum("dl").as("c_len"))
+    val tf = docs
+      .select(col(idCol), explode(filter(col("_t"), t => t.isin(terms: _*)))
+        .as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy("term").agg(sum("tf").as("cf"))
+    val termsDf = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      terms.toDF("term")
+    }
+    val pairs = docs.select(col(idCol), col("dl"))
+      .crossJoin(broadcast(termsDf))
+      .join(tf, Seq(idCol, "term"), "left")
+      .join(broadcast(cf), Seq("term"))
+      .crossJoin(broadcast(coll))
+      .withColumn("_tf", coalesce(col("tf"), lit(0L)))
+      .withColumn("_c", log(
+        (col("_tf") * col("c_len") + lit(mu) * col("cf")).cast("double") /
+          ((col("dl") + lit(mu)) * col("c_len")).cast("double")))
+    val perTerm = terms.map(t =>
+      coalesce(sum(when(col("term") === t, col("_c"))), lit(0.0)))
+    pairs.groupBy(col(idCol))
+      .agg(round(perTerm.reduceLeft(_ + _), 4).as("ql"),
+        coalesce(sum(when(col("_tf") > 0, 1L).otherwise(0L)), lit(0L))
+          .as("n_matched_terms"))
+  }
+
+  /** DuckDB replay of [[queryLikelihood]]. */
+  def queryLikelihoodOracleSql(table: String, idCol: String, textCol: String,
+      queryTerms: Seq[String], mu: Long = 2000L): String = {
+    val terms = queryTerms.map(_.toLowerCase).distinct.sorted
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val sumExpr = terms.map(t =>
+      s"coalesce(sum(CASE WHEN term = '$t' THEN c END), 0)")
+      .mkString("\n      + ")
+    s"""WITH sel AS (SELECT $idCol AS did,
+       |    list_filter(string_split(trim(regexp_replace(lower($textCol),
+       |      '\\s+', ' ', 'g')), ' '), x -> len(x) > 0) AS t
+       |  FROM $table),
+       |docs AS (SELECT did, CAST(len(t) AS BIGINT) AS dl, t FROM sel),
+       |coll AS (SELECT sum(dl)::BIGINT AS c_len FROM docs),
+       |tf AS (SELECT did, term, count(*)::BIGINT AS tf
+       |  FROM docs, LATERAL (SELECT unnest(list_filter(t,
+       |    x -> x IN ($termList))) AS term) u
+       |  GROUP BY 1, 2),
+       |cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1),
+       |qt AS (SELECT unnest([$termList]) AS term),
+       |pairs AS (SELECT d.did, qt.term,
+       |    coalesce(t.tf, 0)::BIGINT AS tf, d.dl, cf.cf, coll.c_len
+       |  FROM docs d CROSS JOIN qt
+       |  LEFT JOIN tf t ON t.did = d.did AND t.term = qt.term
+       |  JOIN cf ON cf.term = qt.term CROSS JOIN coll),
+       |c AS (SELECT did, term, tf,
+       |    ln((tf * c_len + $mu * cf)::DOUBLE / ((dl + $mu) * c_len)::DOUBLE)
+       |      AS c
+       |  FROM pairs)
+       |SELECT did AS $idCol,
+       |  round($sumExpr, 4) AS ql,
+       |  coalesce(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END), 0)::BIGINT
+       |    AS n_matched_terms
+       |FROM c GROUP BY 1""".stripMargin
+  }
 }
