@@ -526,6 +526,30 @@ object GraftQueriesR5 {
         .orderBy(col("ql").desc, col("doc_id")).limit(20)
     },
 
+    // extension: Matryoshka dimension-truncation recall — cosine top-k
+    // with the first 16 of 64 dims vs the full-dimension ground truth;
+    // the MRL question "how much ANN quality do truncated embeddings
+    // keep" answered exactly on the bounded query set
+    "q_matryoshka_recall" -> { (s, d) =>
+      import graft.ext.Similarity
+      val emb = t(s, d)("embeddings")
+      val q = emb.where(col("vec_id") < 10)
+      val full = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val qT = q.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+      val cT = emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+      val trunc = Similarity.bruteForceTopK(qT, cT, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = full.join(trunc, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)) / lit(5.0), 4).as("recall"))
+        .orderBy("query_id")
+    },
+
     // TPC-H Q2 shape: cheapest supplier per part — exact integer unit
     // price (price_c·100 div q100), per-part struct-min argmin (ties to
     // the smallest suppkey), supplier dim joined AFTER the argmin
@@ -887,6 +911,33 @@ object GraftQueriesR5 {
         |  l_discount >= 0.05 AS t,
         |  CAST(round(l_extendedprice * 100) AS BIGINT) AS y
         |FROM lineitem""".stripMargin),
+
+    "q_matryoshka_recall" -> {
+      def bf(name: String, dims: Int) =
+        s"""$name AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+           |  JOIN embeddings c ON c.vec_id <> q.vec_id
+           |  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |    round(list_sum(list_transform(generate_series(1, $dims),
+           |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+           |      (sqrt(list_sum(list_transform(generate_series(1, $dims),
+           |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) *
+           |       sqrt(list_sum(list_transform(generate_series(1, $dims),
+           |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))), 4)
+           |    DESC, c.vec_id) <= 5)""".stripMargin
+      s"""WITH ${bf("full_", 64)},
+         |${bf("trunc_", 16)},
+         |hits AS (SELECT f.query_id, count(*)::BIGINT AS n_hits
+         |  FROM full_ f JOIN trunc_ t
+         |  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+         |  GROUP BY 1)
+         |SELECT q.vec_id AS query_id,
+         |  coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+         |  round(coalesce(h.n_hits, 0) / 5.0, 4) AS recall
+         |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+         |LEFT JOIN hits h ON h.query_id = q.vec_id
+         |ORDER BY q.vec_id""".stripMargin
+    },
 
     "q_brier" -> {
       val glmSql = Regression.logitGlmOracleSql(
