@@ -550,6 +550,17 @@ object GraftQueriesR5 {
         .orderBy("query_id")
     },
 
+    // extension: IPF raking of the (event_type × weekday) cell table —
+    // rows rake to uniform shares, columns preserve their observed
+    // totals; exact integer scaling passes, unrolled oracle
+    "q_ipf_rake" -> { (s, d) =>
+      Stats.ipfRake(
+        TpchGraph.eventsTable(s, d).select(col("event_type"),
+          dayofweek(col("ts")).as("dow")),
+        "event_type", "dow", rounds = 2)
+        .orderBy("event_type", "dow")
+    },
+
     // TPC-H Q2 shape: cheapest supplier per part — exact integer unit
     // price (price_c·100 div q100), per-part struct-min argmin (ties to
     // the smallest suppkey), supplier dim joined AFTER the argmin
@@ -911,6 +922,13 @@ object GraftQueriesR5 {
         |  l_discount >= 0.05 AS t,
         |  CAST(round(l_extendedprice * 100) AS BIGINT) AS y
         |FROM lineitem""".stripMargin),
+
+    "q_ipf_rake" -> (Stats.ipfRakeOracleSql(
+      """SELECT event_type AS r, CAST(dayofweek(ts) + 1 AS VARCHAR) AS c
+        |FROM events""".stripMargin,
+      rounds = 2, scale = 1000L,
+      rowAlias = "event_type", colAlias = "dow")
+      + "\nORDER BY event_type, dow"),
 
     "q_matryoshka_recall" -> {
       def bf(name: String, dims: Int) =

@@ -1074,6 +1074,84 @@ object Stats {
           .as("naive_diff"))
   }
 
+  /** Iterative proportional fitting (IPF / raking) of a two-way cell
+    * table — the survey-weighting / margin-calibration algorithm: cell
+    * weights start at the observed counts and alternate row- and
+    * column-scaling passes until the weighted margins match the targets.
+    * Here rows rake to UNIFORM targets and columns to their observed
+    * totals (the "re-balance one dimension, preserve the other" demo
+    * shape); weights live in exact integer `scale` units with floor
+    * division per scaling step, so every round is bit-reproducible and
+    * the oracle unrolls them.
+    *
+    * Scale shape: ONE data-sized counting aggregate; everything after is
+    * cell-cardinality work (margin sums + broadcast joins per half-pass).
+    * Caller contract: weight·target products fit a long
+    * (counts·scale² ≤ ~9e18).
+    */
+  def ipfRake(df: DataFrame, rowCol: String, colCol: String,
+      rounds: Int = 2, scale: Long = 1000L): DataFrame = {
+    require(rounds >= 1, "rounds >= 1")
+    val cells = df.groupBy(col(rowCol).cast("string").as("r"),
+        col(colCol).cast("string").as("c"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = cells.agg(sum("n").as("nn"),
+      count_distinct(col("r")).as("nr"))
+    // uniform row target (scale units); observed column totals
+    val rowT = cells.select(col("r")).distinct()
+      .crossJoin(broadcast(tot))
+      .select(col("r"), expr("nn * " + scale + " div nr").as("t_r"))
+    val colT = cells.groupBy("c").agg((sum("n") * scale).as("t_c"))
+    var w = cells.withColumn("w", col("n") * scale)
+    for (_ <- 1 to rounds) {
+      val rs = w.groupBy("r").agg(sum("w").as("rs"))
+      w = w.join(broadcast(rs), Seq("r")).join(broadcast(rowT), Seq("r"))
+        .select(col("r"), col("c"), col("n"),
+          expr("w * t_r div rs").as("w"))
+      val cs = w.groupBy("c").agg(sum("w").as("cs"))
+      w = w.join(broadcast(cs), Seq("c")).join(broadcast(colT), Seq("c"))
+        .select(col("r"), col("c"), col("n"),
+          expr("w * t_c div cs").as("w"))
+        .localCheckpoint(true)
+    }
+    cells.unpersist(blocking = false)
+    w.select(col("r").as(rowCol), col("c").as(colCol), col("n"),
+      (col("w") / lit(scale.toDouble)).as("weight"))
+  }
+
+  /** DuckDB replay of [[ipfRake]] — scaling half-passes unrolled. */
+  def ipfRakeOracleSql(srcSql: String, rounds: Int, scale: Long,
+      rowAlias: String, colAlias: String): String = {
+    val passes = (1 to rounds).map { k =>
+      s"""rs$k AS (SELECT r, sum(w)::BIGINT AS rs FROM w${2 * k - 2}
+         |  GROUP BY 1),
+         |w${2 * k - 1} AS (SELECT w.r, w.c, w.n,
+         |    (w.w * rt.t_r // rs.rs)::BIGINT AS w
+         |  FROM w${2 * k - 2} w JOIN rs$k rs ON rs.r = w.r
+         |  JOIN rowt rt ON rt.r = w.r),
+         |cs$k AS (SELECT c, sum(w)::BIGINT AS cs FROM w${2 * k - 1}
+         |  GROUP BY 1),
+         |w${2 * k} AS (SELECT w.r, w.c, w.n,
+         |    (w.w * ct.t_c // cs.cs)::BIGINT AS w
+         |  FROM w${2 * k - 1} w JOIN cs$k cs ON cs.c = w.c
+         |  JOIN colt ct ON ct.c = w.c)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH src AS ($srcSql),
+       |cells AS (SELECT r, c, count(*)::BIGINT AS n FROM src GROUP BY 1, 2),
+       |tot AS (SELECT sum(n)::BIGINT AS nn,
+       |    count(DISTINCT r)::BIGINT AS nr FROM cells),
+       |rowt AS (SELECT r, (tot.nn * $scale // tot.nr)::BIGINT AS t_r
+       |  FROM (SELECT DISTINCT r FROM cells) rr CROSS JOIN tot),
+       |colt AS (SELECT c, (sum(n) * $scale)::BIGINT AS t_c FROM cells
+       |  GROUP BY 1),
+       |w0 AS (SELECT r, c, n, (n * $scale)::BIGINT AS w FROM cells),
+       |$passes
+       |SELECT r AS $rowAlias, c AS $colAlias, n,
+       |  w / ${scale.toDouble} AS weight
+       |FROM w${2 * rounds}""".stripMargin
+  }
+
   /** Classifier fairness profile across a protected/segment grouping —
     * the model-governance screen: per group, selection rate (demographic
     * parity), TPR (equal opportunity) and FPR (equalized odds), plus the

@@ -127,6 +127,27 @@ class Round13Spec extends SparkSpec {
     assert(r.getAs[Long]("n_strata") == 10L)
   }
 
+  test("ipfRake pulls row margins toward uniform, preserves column totals") {
+    import spark.implicits._
+    // skewed 2×2: row a carries 3x the mass of row b
+    val rows = Seq.fill(30)(("a", "x")) ++ Seq.fill(30)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
+    val out = Stats.ipfRake(rows.toDF("r", "c"), "r", "c", rounds = 3)
+      .collect()
+    val byRow = out.groupBy(_.getString(0))
+      .map { case (k, v) => k -> v.map(_.getAs[Double]("weight")).sum }
+    val byCol = out.groupBy(_.getString(1))
+      .map { case (k, v) => k -> v.map(_.getAs[Double]("weight")).sum }
+    // rows raked to ~40 each (uniform over total 80)
+    assert(math.abs(byRow("a") - 40.0) < 1.0, s"row a: ${byRow("a")}")
+    assert(math.abs(byRow("b") - 40.0) < 1.0, s"row b: ${byRow("b")}")
+    // column totals preserved at their observed 40/40
+    assert(math.abs(byCol("x") - 40.0) < 1.0)
+    assert(math.abs(byCol("y") - 40.0) < 1.0)
+    // raking re-weights, never changes the observed counts
+    assert(out.map(_.getAs[Long]("n")).sum == 80L)
+  }
+
   test("attMatched drops strata without common support") {
     import spark.implicits._
     // x=1 has only treated rows → dropped; x=2 has both arms
