@@ -561,6 +561,34 @@ object GraftQueriesR5 {
         .orderBy("event_type", "dow")
     },
 
+    // extension: winsorized mean per group — the outlier-robust location
+    // estimate (clamp to the exact 5th/95th percentile cents, then an
+    // exact integer mean); thresholds from ONE percentile aggregate,
+    // clamped sums are order-free integers
+    "q_winsorized_mean" -> { (s, d) =>
+      val li = t(s, d)("lineitem").select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val thr = li.groupBy("l_returnflag")
+        .agg(round(percentile(col("cents"), lit(0.05))).cast("long").as("lo_c"),
+          round(percentile(col("cents"), lit(0.95))).cast("long").as("hi_c"))
+      li.join(broadcast(thr), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("lo_c"), col("hi_c"),
+          col("cents"),
+          greatest(col("lo_c"), least(col("hi_c"), col("cents"))).as("w_c"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          max("lo_c").as("_lo"), max("hi_c").as("_hi"),
+          sum("w_c").as("_sw"), sum("cents").as("_sr"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("_lo") / 100.0, 2).as("lo"),
+          round(col("_hi") / 100.0, 2).as("hi"),
+          round(col("_sw").cast("double") / col("n") / 100.0, 2)
+            .as("winsorized_mean"),
+          round(col("_sr").cast("double") / col("n") / 100.0, 2)
+            .as("raw_mean"))
+        .orderBy("l_returnflag")
+    },
+
     // TPC-H Q2 shape: cheapest supplier per part — exact integer unit
     // price (price_c·100 div q100), per-part struct-min argmin (ties to
     // the smallest suppkey), supplier dim joined AFTER the argmin
@@ -929,6 +957,24 @@ object GraftQueriesR5 {
       rounds = 2, scale = 1000L,
       rowAlias = "event_type", colAlias = "dow")
       + "\nORDER BY event_type, dow"),
+
+    "q_winsorized_mean" ->
+      """WITH li AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |thr AS (SELECT l_returnflag,
+        |    CAST(round(quantile_cont(cents::DOUBLE, 0.05)) AS BIGINT) AS lo_c,
+        |    CAST(round(quantile_cont(cents::DOUBLE, 0.95)) AS BIGINT) AS hi_c
+        |  FROM li GROUP BY 1),
+        |w AS (SELECT li.l_returnflag, thr.lo_c, thr.hi_c, li.cents,
+        |    greatest(thr.lo_c, least(thr.hi_c, li.cents)) AS w_c
+        |  FROM li JOIN thr USING (l_returnflag))
+        |SELECT l_returnflag, count(*)::BIGINT AS n,
+        |  round(max(lo_c) / 100.0, 2) AS lo,
+        |  round(max(hi_c) / 100.0, 2) AS hi,
+        |  round(sum(w_c)::DOUBLE / count(*) / 100.0, 2) AS winsorized_mean,
+        |  round(sum(cents)::DOUBLE / count(*) / 100.0, 2) AS raw_mean
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_matryoshka_recall" -> {
       def bf(name: String, dims: Int) =
