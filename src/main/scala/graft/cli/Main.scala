@@ -224,10 +224,33 @@ object Main {
         s""""contrib": ${r.getAs[Double]("contrib")}}""")
       println(s"""{"psi": $psi, "verdict": "$verdict", """ +
         s""""bins": [${bins.mkString(", ")}]}""")
+    case "fairness" :: path :: groupCol :: predExpr :: labelExpr :: Nil =>
+      // model-governance gate: per-group selection rate / TPR / FPR and
+      // the demographic-parity gap, with a verdict the pipeline can gate
+      // on (the four-fifths rule: min selection rate ≥ 0.8 × max)
+      import org.apache.spark.sql.functions._
+      val df = spark.read.parquet(path)
+        .withColumn("_p", expr(predExpr))
+        .withColumn("_y", expr(labelExpr))
+      val rows = graft.ext.Stats.fairnessProfile(df, groupCol, "_p", "_y")
+        .orderBy(groupCol).collect()
+      val rates = rows.map(_.getAs[Double]("selection_rate"))
+      val fourFifths = rates.max <= 0.0 || rates.min >= 0.8 * rates.max
+      val gap = rows.head.getAs[Double]("dp_gap")
+      val groups = rows.map { r =>
+        def numOrNull(c: String) =
+          if (r.isNullAt(r.fieldIndex(c))) "null" else r.getAs[Double](c).toString
+        s"""{"group": "${r.getAs[String](groupCol)}", """ +
+          s""""n": ${r.getAs[Long]("n")}, """ +
+          s""""selection_rate": ${r.getAs[Double]("selection_rate")}, """ +
+          s""""tpr": ${numOrNull("tpr")}, "fpr": ${numOrNull("fpr")}}"""
+      }
+      println(s"""{"dp_gap": $gap, "four_fifths_pass": $fourFifths, """ +
+        s""""groups": [${groups.mkString(", ")}]}""")
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println(
-        "usage: ingest-manifest|ingest|node|agg|bfs|migrate|curate|tokenize|analyze|drift ...")
+        "usage: ingest-manifest|ingest|node|agg|bfs|migrate|curate|tokenize|analyze|drift|fairness ...")
       sys.exit(2)
   }
 
