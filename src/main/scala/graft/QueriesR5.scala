@@ -589,6 +589,31 @@ object GraftQueriesR5 {
         .orderBy("l_returnflag")
     },
 
+    // TPC-H Q9 shape: product profit by supplier nation × year — profit =
+    // discounted revenue − 60%-of-retail supply cost (the partsupp-free
+    // adaptation); fact joins part (broadcast) + supplier + nation
+    // (broadcast), exact cents end-to-end
+    "q_tpch_profit" -> { (s, d) =>
+      val li = t(s, d)("lineitem").select(col("l_partkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("o_year"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("rev_c"), col("l_quantity"))
+      val p = t(s, d)("part").select(col("p_partkey"), col("p_retailprice"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .withColumn("cost_c",
+          round(col("l_quantity") * col("p_retailprice") * lit(0.6) * 100)
+            .cast("long"))
+        .join(t(s, d)("supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d)("nation")
+          .select(col("n_nationkey").as("s_nationkey"), col("n_name"))),
+          Seq("s_nationkey"))
+        .groupBy(col("n_name").as("nation"), col("o_year"))
+        .agg(sum(col("rev_c") - col("cost_c")).as("profit_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy("nation", "o_year")
+    },
+
     // TPC-H Q2 shape: cheapest supplier per part — exact integer unit
     // price (price_c·100 div q100), per-part struct-min argmin (ties to
     // the smallest suppkey), supplier dim joined AFTER the argmin
@@ -957,6 +982,19 @@ object GraftQueriesR5 {
       rounds = 2, scale = 1000L,
       rowAlias = "event_type", colAlias = "dow")
       + "\nORDER BY event_type, dow"),
+
+    "q_tpch_profit" ->
+      """SELECT n.n_name AS nation, year(l.l_shipdate)::INT AS o_year,
+        |  sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |        AS BIGINT)
+        |    - CAST(round(l.l_quantity * p.p_retailprice * 0.6 * 100)
+        |        AS BIGINT))::BIGINT AS profit_cents,
+        |  count(*)::BIGINT AS n_items
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_winsorized_mean" ->
       """WITH li AS (SELECT l_returnflag,
