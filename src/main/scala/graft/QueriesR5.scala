@@ -614,6 +614,34 @@ object GraftQueriesR5 {
         .orderBy("nation", "o_year")
     },
 
+    // extension: moment-based skewness + excess kurtosis per group —
+    // the profiling stats beside mean/median/mode/MAD; four EXACT integer
+    // raw-moment sums (decimal(38) / HUGEINT) cross the exchange, central
+    // moments and the two ratios are fixed-order double expressions
+    "q_skew_kurtosis" -> { (s, d) =>
+      val c = round(col("l_extendedprice")).cast("long").cast("decimal(38,0)")
+      val agg = t(s, d)("lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(c).as("s1"), sum(c * c).as("s2"),
+          sum(c * c * c).as("s3"), sum(c * c * c * c).as("s4"))
+      val n = col("n").cast("double")
+      val mu = col("s1").cast("double") / n
+      val m2 = col("s2").cast("double") / n - mu * mu
+      val m3 = col("s3").cast("double") / n -
+        lit(3.0) * mu * (col("s2").cast("double") / n) +
+        lit(2.0) * mu * mu * mu
+      val m4 = col("s4").cast("double") / n -
+        lit(4.0) * mu * (col("s3").cast("double") / n) +
+        lit(6.0) * mu * mu * (col("s2").cast("double") / n) -
+        lit(3.0) * mu * mu * mu * mu
+      agg.select(col("l_returnflag"), col("n"),
+          round(mu, 2).as("mean"),
+          round(sqrt(m2), 2).as("stddev"),
+          round(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)), 4).as("skewness"),
+          round(m4 / (m2 * m2) - lit(3.0), 4).as("kurtosis_excess"))
+        .orderBy("l_returnflag")
+    },
+
     // TPC-H Q2 shape: cheapest supplier per part — exact integer unit
     // price (price_c·100 div q100), per-part struct-min argmin (ties to
     // the smallest suppkey), supplier dim joined AFTER the argmin
@@ -982,6 +1010,31 @@ object GraftQueriesR5 {
       rounds = 2, scale = 1000L,
       rowAlias = "event_type", colAlias = "dow")
       + "\nORDER BY event_type, dow"),
+
+    "q_skew_kurtosis" ->
+      """WITH src AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice) AS HUGEINT) AS c FROM lineitem),
+        |a AS (SELECT l_returnflag, count(*)::BIGINT AS n,
+        |    sum(c)::HUGEINT AS s1, sum(c*c)::HUGEINT AS s2,
+        |    sum(c*c*c)::HUGEINT AS s3, sum(c*c*c*c)::HUGEINT AS s4
+        |  FROM src GROUP BY 1),
+        |m AS (SELECT l_returnflag, n,
+        |    s1::DOUBLE / n::DOUBLE AS mu,
+        |    s2::DOUBLE / n::DOUBLE AS r2,
+        |    s3::DOUBLE / n::DOUBLE AS r3,
+        |    s4::DOUBLE / n::DOUBLE AS r4
+        |  FROM a),
+        |cm AS (SELECT l_returnflag, n, mu,
+        |    r2 - mu * mu AS m2,
+        |    r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+        |    r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+        |      - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM m)
+        |SELECT l_returnflag, n, round(mu, 2) AS mean,
+        |  round(sqrt(m2), 2) AS stddev,
+        |  round(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)), 4) AS skewness,
+        |  round(m4 / (m2 * m2) - 3.0, 4) AS kurtosis_excess
+        |FROM cm ORDER BY l_returnflag""".stripMargin,
 
     "q_tpch_profit" ->
       """SELECT n.n_name AS nation, year(l.l_shipdate)::INT AS o_year,
