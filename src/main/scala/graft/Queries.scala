@@ -490,10 +490,14 @@ object GraftQueries {
     },
 
     // extension: feature-hashing vectorization (hashing trick) — dense
-    // 16-dim token-count vectors with no vocabulary pass
+    // 16-dim token-count vectors with no vocabulary pass; rendered as a
+    // comma-joined string so the array compares as a scalar in the oracle
     "q_feature_hash" -> { (s, d) =>
       Corpus.featureHash(t(s, d)("documents").where(col("doc_id") < 200),
         "doc_id", "text", dim = 16)
+        .select(col("doc_id"),
+          concat_ws(",", transform(col("features"), x => x.cast("string")))
+            .as("features"))
         .orderBy("doc_id")
     },
 
@@ -3954,7 +3958,8 @@ object GraftQueries {
         |  FROM hb GROUP BY 1, 2),
         |grid AS (SELECT d.doc_id, g.b
         |  FROM (SELECT DISTINCT doc_id FROM tok) d, generate_series(0, 15) g(b))
-        |SELECT grid.doc_id AS doc_id, list(coalesce(c.cnt, 0) ORDER BY grid.b) AS features
+        |SELECT grid.doc_id AS doc_id,
+        |  string_agg(CAST(coalesce(c.cnt, 0) AS VARCHAR), ',' ORDER BY grid.b) AS features
         |FROM grid LEFT JOIN cnts c ON c.doc_id = grid.doc_id AND c.bucket = grid.b
         |GROUP BY grid.doc_id ORDER BY grid.doc_id""".stripMargin,
 
