@@ -260,6 +260,21 @@ object ManifestLoader {
     val call = t.path("call")
     if (!call.isObject)
       throw new IllegalArgumentException(s"transform needs 'rename' or 'call': $t")
+    // target: keys — name-function over COLUMN NAMES with a keys selector
+    // (reference contract/ingestion/transform.py:217-232; string/list forms
+    // normalize to include mode, transform.py:70-80)
+    val target = Seq(t.path("target").asText(""), call.path("target").asText(""))
+      .find(_.nonEmpty).getOrElse("values")
+    if (target == "keys") {
+      val keysNode = if (t.has("keys")) t.path("keys") else call.path("keys")
+      val (mode, names) =
+        if (keysNode.isTextual) ("include", Seq(keysNode.asText()))
+        else if (keysNode.isArray) ("include", strings(keysNode))
+        else if (keysNode.isObject)
+          (keysNode.path("mode").asText("all"), strings(keysNode.path("names")))
+        else ("all", Seq.empty[String])
+      return RenameKeysStep(call.path("foo").asText(), mode, names)
+    }
     val module = call.path("module").asText("")
     val fn = call.path("foo").asText()
     val input = strings(call.path("input"))
@@ -296,17 +311,24 @@ object ManifestLoader {
           Some(cs => graft.functions.TransformLib.removeSuffix(cs.head, p))
         case _ => None // named registry fn (TransformRegistry) resolves at compile
       }
+    // repeated tuple-call groups (reference transform.py:663-678)
+    def groups(n: JsonNode): Seq[Seq[String]] =
+      if (!n.isArray) Nil else n.elements().asScala.map(strings).toSeq
+    val inGroups = groups(call.path("input_groups"))
+    val outGroups = groups(call.path("output_groups"))
     TransformStep(
       fn = fn,
       input = input,
       output = output,
-      strategy = if (input.size > 1 &&
+      strategy = if ((input.size > 1 || inGroups.exists(_.size > 1)) &&
         graft.functions.TransformRegistry.nary.contains(fn)) "single" else "each",
       inline = inline,
       dress = dress,
       errorTolerant = t.path("error_tolerant").asBoolean(false) ||
         call.path("error_tolerant").asBoolean(false),
-      label = call.path("label").asText(""))
+      label = call.path("label").asText(""),
+      inputGroups = inGroups,
+      outputGroups = outGroups)
   }
 
   } // end Parser

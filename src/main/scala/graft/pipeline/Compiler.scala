@@ -172,6 +172,19 @@ object PipelineCompiler {
       case m: MultiEdgeStep    => m.links.foreach(l => ctx.intents += mkIntent(l, cur, loc))
       case r: RenameStep       =>
         cur = r.renames.foldLeft(cur) { case (d, (a, b)) => d.withColumnRenamed(a, b) }
+      case k: RenameKeysStep   =>
+        val nameFn: String => String = k.fn match {
+          case "camel_to_snake" => graft.functions.TransformLib.camelToSnakeName
+          case "snake_to_camel" => graft.functions.TransformLib.snakeToCamelName
+          case "lower"          => (n: String) => n.toLowerCase
+          case "upper"          => (n: String) => n.toUpperCase
+          case other =>
+            throw new IllegalArgumentException(s"unknown key-name fn: $other")
+        }
+        // lineage meta columns are engine-owned, never user-renamable
+        val include = if (k.mode == "include") k.names else Nil
+        val exclude = (if (k.mode == "exclude") k.names else Nil) ++ MetaCols
+        cur = graft.functions.TransformLib.renameColumns(cur, nameFn, include, exclude)
       case c: CastStep         =>
         cur = c.types.foldLeft(cur) { case (d, (f, t)) =>
           val ft = FieldType.fromName(t)

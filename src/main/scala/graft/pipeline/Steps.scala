@@ -126,6 +126,17 @@ final case class MultiEdgeStep(links: Seq[EdgeStep]) extends Step
   */
 final case class RenameStep(renames: Map[String, String]) extends Step
 
+/** `target: keys` — apply a NAME function to column names with
+  * all/include/exclude selection (reference contract/ingestion/transform.py
+  * KeySelectionConfig + runtime actor/transform.py:739-761). Collisions
+  * throw, matching the reference's key-collision validation.
+  */
+final case class RenameKeysStep(
+    fn: String,
+    mode: String = "all", // all | include | exclude
+    names: Seq[String] = Nil
+) extends Step
+
 /** Top-level per-field type casters (reference util/casting.py:9-59, applied
   * runtime/resource.py:316-319).
   */
