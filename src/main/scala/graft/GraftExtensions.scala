@@ -76,6 +76,17 @@ object GraftExtensions {
         // the analyzer wraps a bare AggregateFunction from the registry in
         // an AggregateExpression itself
         graft.expr.BoundedTopK(k, args(1), args(2))
+      }),
+    (FunctionIdentifier("mink_distinct"),
+      new ExpressionInfo(classOf[graft.expr.BoundedMinK].getName, "mink_distinct"),
+      args => {
+        require(args.size == 2, "mink_distinct(k, value) takes two arguments")
+        val k = args.head match {
+          case Literal(i: Int, IntegerType) => i
+          case other => throw new IllegalArgumentException(
+            s"mink_distinct: k must be an integer literal, got ${other.sql}")
+        }
+        graft.expr.BoundedMinK(k, args(1))
       }))
 
   /** The composite builders repeat their argument trees (norm evaluates

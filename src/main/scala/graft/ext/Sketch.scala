@@ -318,23 +318,22 @@ object Sketch {
     * "how much of source B is already in source A" question) without ever
     * joining the corpora themselves.
     *
-    * Scale shape: distinct (group, hash) is one keyed dedup; the bottom-k
-    * rides the native bounded heap ([[graft.expr.BoundedTopK]] with a
-    * CONSTANT score — at equal score the heap keeps the k SMALLEST
-    * payloads, which is exactly min-k), so partials reduce map-side and
-    * the exchange carries at most k hashes per group per partition — no
-    * per-group sort of the distinct-shingle frame (the window-rank idiom
-    * this replaced shuffled and sorted every hash).
+    * Scale shape: ONE aggregation, no distinct pass — the native
+    * [[graft.expr.BoundedMinK]] buffer is a bounded ordered SET, so
+    * duplicate shingle hashes collapse inside the map-side partial and the
+    * single exchange carries at most k hashes per group per partition. The
+    * classic distinct()-then-bottom-k formulation shuffles the (group,
+    * hash) universe twice; at corpus scale that global dedup IS the job's
+    * dominant shuffle, and the set-buffer makes it disappear.
     */
   def kmvSketches(df: DataFrame, groupCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
     val hashed = graft.ext.Dedup.explodeShingles(df, groupCol, textCol, n)
-      .select(col(groupCol).as("grp"), md5(col("shingle")).as("_h")).distinct()
+      .select(col(groupCol).as("grp"), md5(col("shingle")).as("_h"))
     hashed.groupBy("grp")
-      .agg(graft.expr.BoundedTopK.topKPairs(k, lit(0), col("_h")).as("_tk"))
-      .select(col("grp"),
-        transform(col("_tk"), s => s.getField("payload")).as("sketch"),
-        size(col("_tk")).cast("long").as("k_actual"))
+      .agg(graft.expr.BoundedMinK.minKDistinct(k, col("_h")).as("sketch"))
+      .select(col("grp"), col("sketch"),
+        size(col("sketch")).cast("long").as("k_actual"))
   }
 
   /** Pairwise KMV Jaccard estimates between group sketches: for each group
