@@ -989,6 +989,23 @@ object GraphAlgos {
     * candidate set. Frontier lineage is severed per hop (localCheckpoint)
     * — see [[pageRankFixed]].
     */
+  /** Walk-kernel edge prep: project, drop self-loops, cache — NO global
+    * distinct. Duplicate (src, dst) rows cannot change any hop's outcome:
+    * the next-hop choice is an argmin (plain `min` for [[randomWalks]],
+    * min over the race-key struct in [[biasedWalks]]) and min is
+    * duplicate-insensitive, so deduping the corpus-scale edge frame would
+    * buy nothing and cost the kernel's only full-data shuffle. At 100 TB
+    * multiplicity only multiplies candidate rows flowing into a
+    * map-side-combinable min — no sort, no window, no exchange of the
+    * edge frame, ever.
+    */
+  private def walkEdges(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: Seq[String], steps: Int, walksPerSeed: Int = 1): DataFrame = {
     require(steps >= 1, "need at least one step")
@@ -996,10 +1013,7 @@ object GraphAlgos {
     require(seeds.nonEmpty, "need at least one seed")
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col(srcCol).cast("string").as("src"),
-      col(dstCol).cast("string").as("dst"))
-      .where(col("src") =!= col("dst")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = walkEdges(edges, srcCol, dstCol)
     var frontier = seeds.distinct.sorted
       .flatMap(s => (0 until walksPerSeed).map(w => (s"$s#$w", 0L, s)))
       .toDF("walk_id", "step", "node")
@@ -1239,19 +1253,21 @@ object GraphAlgos {
     require(pReturn > 0 && qOut > 0, "p and q must be positive")
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col(srcCol).cast("string").as("src"),
-      col(dstCol).cast("string").as("dst"))
-      .where(col("src") =!= col("dst")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = walkEdges(edges, srcCol, dstCol)
     var frontier = seeds.distinct.sorted
       .flatMap(s => (0 until walksPerSeed).map(w => (s"$s#$w", 0L, s, null: String)))
       .toDF("walk_id", "step", "node", "prev")
     var out = frontier.select("walk_id", "step", "node")
     for (st <- 1 to steps) {
+      // distinct here dedups edge multiplicity on the SMALL candidate set
+      // (walks × out-degree rows) so the distance-1 probe join below can't
+      // multiply duplicates against duplicates; the corpus-scale edge
+      // frame itself is never deduped (see walkEdges)
       val cand = e
         .join(frontier.select(col("walk_id"), col("node").as("src"),
           col("prev")), Seq("src"))
         .select(col("walk_id"), col("src"), col("prev"), col("dst"))
+        .distinct()
       // distance-1 probe: is (prev, dst) itself an edge?
       val nbrOfPrev = e.select(col("src").as("prev"), col("dst"),
         lit(true).as("_n1"))
