@@ -212,11 +212,8 @@ object GraftQueriesR5 {
       // round(x, 4) exactly at a decimal tie (Spark rounds the shortest
       // decimal rendering, DuckDB the binary value)
       def r4(num: org.apache.spark.sql.Column,
-          den: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-        val a = num * lit(20000L) + den
-        val b = den * lit(2L)
-        (((a - pmod(a, b)) / b).cast("long")) / lit(10000.0)
-      }
+          den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        Stats.halfUpQ4(num, den) / lit(10000.0)
       cells.join(broadcast(glm), Seq("x")).crossJoin(broadcast(tot))
         .withColumn("cum_pos", sum(col("pos")).over(w))
         .withColumn("cum_n", sum(col("n")).over(w))

@@ -196,6 +196,20 @@ object GraftQueriesR5b {
           sum((col("c_custkey") % 2 === 0).cast("long")).as("n_even"))
     },
 
+    // extension: sccFixed's unconverged-stop contract — a 25-cycle with
+    // 2 propagation rounds cannot converge; the one provably-correct
+    // agreement (the min-id node) is kept and everything else is
+    // '?'-marked instead of a later trim mislabeling cycle members as
+    // singletons; the oracle replays the stop via its conv/act flag CTEs
+    "q_scc_truncated" -> { (s, d) =>
+      import graft.graph.GraphAlgos
+      val cyc = t(s, d)("nation").select(
+        concat(lit("n"), col("n_nationkey")).as("src"),
+        concat(lit("n"), pmod(col("n_nationkey") + 1, lit(25))).as("dst"))
+      GraphAlgos.sccFixed(cyc, "src", "dst", peelRounds = 2, propRounds = 2)
+        .orderBy("node")
+    },
+
     // §2.7 AggregateQuery constraint contract (reference models.py:252-283):
     // the valid spec computes against live data; each invalid spec must be
     // rejected by the constraint checks, not silently computed
@@ -256,6 +270,10 @@ object GraftQueriesR5b {
     "q_dry_run" ->
       """SELECT count(*) AS cnt_after_dry, count(*) AS n_even
         |FROM customer WHERE c_custkey % 2 = 0""".stripMargin,
+
+    "q_scc_truncated" -> (graft.graph.GraphAlgos.sccOracleSql(
+      "SELECT 'n' || n_nationkey AS src, 'n' || ((n_nationkey + 1) % 25) AS dst FROM nation",
+      peelRounds = 2, propRounds = 2) + "\nORDER BY node"),
 
     "q_agg_constraints" ->
       """SELECT 'count_total' AS spec,

@@ -11,6 +11,20 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Exact half-up 4-decimal ratio quantizer over integer num/den:
+    * `(num·2e4 + den) div (2·den)` computed ENTIRELY in decimal(38,0) —
+    * the earlier long arithmetic did the final division in IEEE doubles,
+    * which can be off by one ulp once the numerator passes 2^53 (a
+    * corpus-scale count times 2e4 gets there), silently diverging from an
+    * engine that divides exactly. Returns the quantized ratio ×10⁴ as a
+    * long; divide by 1e4 for the rendered value.
+    */
+  private[graft] def halfUpQ4(num: Column, den: Column): Column = {
+    val a = num.cast("decimal(38,0)") * lit(20000) + den.cast("decimal(38,0)")
+    val b = den.cast("decimal(38,0)") * lit(2)
+    ((a - pmod(a, b)) / b).cast("long")
+  }
+
   /** Two-proportion z-test (pooled standard error) between two user
     * groups: conversion = at least one `convType` event. Returns one row:
     * group sizes, conversion counts/rates, absolute lift and the z
@@ -1165,11 +1179,7 @@ object Stats {
     */
   def fairnessProfile(df: DataFrame, groupCol: String, predCol: String,
       labelCol: String): DataFrame = {
-    def r4q(num: Column, den: Column): Column = {
-      val a = num * lit(20000L) + den
-      val b = den * lit(2L)
-      ((a - pmod(a, b)) / b).cast("long")
-    }
+    def r4q(num: Column, den: Column): Column = halfUpQ4(num, den)
     val g = df.select(col(groupCol).cast("string").as("grp"),
         col(predCol).cast("boolean").as("p"),
         col(labelCol).cast("boolean").as("y"))

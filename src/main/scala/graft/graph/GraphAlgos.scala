@@ -1902,11 +1902,15 @@ object GraphAlgos {
     * — the standard FW-BW trim that collapses DAG tails and chains pure
     * peeling would burn one round per node on.
     *
-    * Caller contract: `propRounds` must cover the reachability diameter of
-    * every intermediate subgraph — truncated propagation could split one
-    * SCC across labels, so nodes still unassigned after `peelRounds` are
-    * reported with `scc = '?' || node` (visibly unconverged, deterministic,
-    * oracle-replicable) rather than guessed.
+    * Caller contract: `propRounds` should cover the reachability diameter
+    * of every intermediate subgraph. Under-provisioned propagation is
+    * DETECTED, not guessed around: each peel ends with a one-step
+    * stability probe, and if any label could still improve, the peel's
+    * (provably correct) agreements are kept but peeling STOPS — an
+    * unconverged peel can assign only part of an SCC, and a further trim
+    * round would confidently mislabel the stranded mates as singletons.
+    * Every node left unassigned is reported with `scc = '?' || node`
+    * (visibly unconverged, deterministic, oracle-replicable).
     *
     * Scale shape: node-cardinality label frames joined to the edge frame
     * once per propagation step (broadcast under the node limit), min
@@ -1967,6 +1971,22 @@ object GraphAlgos {
             coalesce(col("_in"), col("lbl"))).as("lbl"))
           .localCheckpoint(true)
       }
+      // convergence probe: one extra half-step per direction. If any label
+      // can still improve, this peel's agreement may cover only PART of an
+      // SCC — peeling that part strands its mates, and the NEXT peel's trim
+      // would then confidently mislabel them as singletons (silently,
+      // contradicting the '?' contract). The agreement criterion itself is
+      // sound even truncated (f=b=L proves L both reaches and is reached by
+      // the node), so assign what agrees, then stop peeling and '?'-mark
+      // everything left rather than guess.
+      val fConv = re.join(f.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(min("lbl").as("_in"))
+        .join(f, Seq("node"))
+        .where(col("_in") < col("lbl")).limit(1).count() == 0
+      val bConv = re.join(b.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(min("lbl").as("_in"))
+        .join(b, Seq("node"))
+        .where(col("_in") < col("lbl")).limit(1).count() == 0
       val agree = f.withColumnRenamed("lbl", "_f")
         .join(b.withColumnRenamed("lbl", "_b"), Seq("node"))
         .where(col("_f") === col("_b"))
@@ -1977,8 +1997,9 @@ object GraphAlgos {
       re.unpersist(blocking = false)
       // early exit once everything is assigned — the oracle unrolls every
       // peel regardless, but its remaining rounds run on empty frames, so
-      // skipping them here cannot change the output
-      done = rem.limit(1).count() == 0
+      // skipping them here cannot change the output. The unconverged stop
+      // IS replayed by the oracle (per-peel conv/act flag CTEs).
+      done = rem.limit(1).count() == 0 || !(fConv && bConv)
     }
     val out = assigned.union(
       rem.select(col("node"), concat(lit("?"), col("node")).as("scc")))
@@ -1998,8 +2019,12 @@ object GraphAlgos {
          |  WHERE src <> dst),
          |n0 AS MATERIALIZED (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
          |rem0 AS MATERIALIZED (SELECT node FROM n0),
-         |asg0 AS MATERIALIZED (SELECT node, node AS scc FROM n0 WHERE false)""".stripMargin)
+         |asg0 AS MATERIALIZED (SELECT node, node AS scc FROM n0 WHERE false),
+         |act1 AS MATERIALIZED (SELECT TRUE AS ok)""".stripMargin)
     for (p <- 1 to peelRounds) {
+      if (p > 1) sb.append(",\n").append(
+        s"""act$p AS MATERIALIZED (SELECT a.ok AND c.ok AS ok
+           |  FROM act${p - 1} a CROSS JOIN conv${p - 1} c)""".stripMargin)
       sb.append(",\n").append(
         s"""re0_$p AS MATERIALIZED (SELECT e.src, e.dst FROM e0 e
            |  JOIN rem${p - 1} a ON a.node = e.src
@@ -2033,15 +2058,29 @@ object GraphAlgos {
              |    GROUP BY 1) s ON s.node = f.node)""".stripMargin)
       }
       sb.append(",\n").append(
-        s"""agree$p AS MATERIALIZED (SELECT f.node, f.lbl AS scc
+        s"""conv$p AS MATERIALIZED (SELECT
+           |  (NOT EXISTS (SELECT 1 FROM f${p}_$propRounds f JOIN (
+           |     SELECT e.src AS node, min(x.lbl) AS m FROM re$p e
+           |     JOIN f${p}_$propRounds x ON x.node = e.dst GROUP BY 1) s
+           |   ON s.node = f.node WHERE s.m < f.lbl))
+           |  AND (NOT EXISTS (SELECT 1 FROM b${p}_$propRounds f JOIN (
+           |     SELECT e.dst AS node, min(x.lbl) AS m FROM re$p e
+           |     JOIN b${p}_$propRounds x ON x.node = e.src GROUP BY 1) s
+           |   ON s.node = f.node WHERE s.m < f.lbl)) AS ok),
+           |agree$p AS MATERIALIZED (SELECT f.node, f.lbl AS scc
            |  FROM f${p}_$propRounds f
            |  JOIN b${p}_$propRounds b ON b.node = f.node AND b.lbl = f.lbl),
            |asg$p AS MATERIALIZED (SELECT * FROM asg${p - 1}
-           |  UNION ALL SELECT * FROM single$p
-           |  UNION ALL SELECT * FROM agree$p),
-           |rem$p AS MATERIALIZED (SELECT r.node FROM remT$p r
-           |  WHERE NOT EXISTS (SELECT 1 FROM agree$p a
-           |    WHERE a.node = r.node))""".stripMargin)
+           |  UNION ALL SELECT s.node, s.scc FROM single$p s
+           |    CROSS JOIN act$p a WHERE a.ok
+           |  UNION ALL SELECT g.node, g.scc FROM agree$p g
+           |    CROSS JOIN act$p a WHERE a.ok),
+           |rem$p AS MATERIALIZED (
+           |  SELECT r.node FROM remT$p r CROSS JOIN act$p a WHERE a.ok
+           |    AND NOT EXISTS (SELECT 1 FROM agree$p g WHERE g.node = r.node)
+           |  UNION ALL
+           |  SELECT r.node FROM rem${p - 1} r CROSS JOIN act$p a
+           |    WHERE NOT a.ok)""".stripMargin)
     }
     sb.append(
       s"""

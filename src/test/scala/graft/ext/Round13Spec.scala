@@ -49,6 +49,23 @@ class Round13Spec extends SparkSpec {
     assert(out.values.exists(_.startsWith("?")))
   }
 
+  test("sccFixed never splits a cycle into silent singletons under " +
+      "truncated propagation") {
+    import spark.implicits._
+    // 3-cycle with propRounds=1: one peel can agree on only part of the
+    // SCC; a later trim must NOT confidently label the stranded members
+    // as singleton SCCs — they either share label 'a' or carry '?'
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val out = GraphAlgos.sccFixed(edges, "src", "dst",
+      peelRounds = 3, propRounds = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.size == 3)
+    val labels = out.values.toSeq
+    // every non-'?' assignment must be the true SCC label 'a'
+    assert(labels.filterNot(_.startsWith("?")).forall(_ == "a"),
+      s"silently split SCC: $out")
+  }
+
   test("ksTest: identical samples give D = 0, disjoint give D = 1") {
     import spark.implicits._
     val same = (1 to 50).flatMap(i => Seq(("a", i.toLong), ("b", i.toLong)))
