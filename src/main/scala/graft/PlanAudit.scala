@@ -9,16 +9,15 @@ import org.apache.spark.sql.SparkSession
   * scan-and-join-heavy set).
   */
 object PlanAudit {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val names =
-      if (args.nonEmpty) args.toSeq
-      else Seq("q_filter_predicate", "q_revenue_by_nation", "q_fuzzy_match",
+
+  /** The scan-and-join-heavy flagship set. [[graft.PlanAssertSpec]] walks
+    * the same list and ASSERTS the load-bearing physical properties (no
+    * cartesian/nested-loop joins, pushdown present, top-k and
+    * exchange-reuse operators chosen), so a plan regression fails
+    * `sbt test` instead of waiting for a human to re-read this audit.
+    */
+  val flagships: Seq[String] =
+    Seq("q_filter_predicate", "q_revenue_by_nation", "q_fuzzy_match",
         "q_skew_join", "q_semi_join", "q_edge_pair",
         "q_gopher_rules", "q_pack_sequences", "q_unigram_lm",
         // round-8 flagships: literal-centroid k-means (no join), grid
@@ -42,6 +41,15 @@ object PlanAudit {
         // left-semi, CV eval (broadcast k-row model join)
         "q_tpch_small_qty", "q_tpch_returned_topk", "q_tpch_compound_pred",
         "q_tpch_late_priority", "q_cv_folds")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = if (args.nonEmpty) args.toSeq else flagships
     names.foreach { n =>
       println(s"\n===== $n =====")
       try SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan regression gate: [[PlanAudit]] prints these plans for a
+  * human; this spec ASSERTS their load-bearing properties so a pushdown or
+  * join-strategy regression fails CI instead of an eyeball pass. The
+  * checks run on the optimizer's initial plan (no execution needed) except
+  * exchange reuse, which AQE only materializes in the final adaptive plan.
+  */
+class PlanAssertSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def df(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
+
+  private def plan(name: String): String =
+    df(name).queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("no flagship plan contains a cartesian or conditioned nested-loop join") {
+    PlanAudit.flagships.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      // BroadcastNestedLoopJoin is legitimate ONLY as the scalar-attach
+      // idiom (crossJoin of a broadcast 1-row aggregate → "Cross
+      // BuildRight"); any other variant (inner/outer with a residual
+      // condition, or BuildLeft against the big side) is a real
+      // non-equi-join regression
+      "BroadcastNestedLoopJoin ([A-Za-z]+ [A-Za-z]+)".r.findAllMatchIn(p)
+        .foreach { m =>
+          assert(m.group(1) == "Cross BuildRight",
+            s"$name plans a non-scalar BroadcastNestedLoopJoin (${m.group(1)})")
+        }
+    }
+  }
+
+  test("filtered scans push their predicates into the parquet reader") {
+    Seq("q_filter_predicate", "q_tpch_compound_pred").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("PushedFilters: ["), s"$name shows no pushdown block")
+      assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
+        s"$name has an EMPTY PushedFilters list:\n$p")
+    }
+  }
+
+  test("partitioned layout scan prunes directories via PartitionFilters") {
+    val p = plan("q_partition_prune")
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
+      s"q_partition_prune lost its partition pruning:\n$p")
+  }
+
+  test("TPC-H Q17 shape broadcasts the self-agg side, never double-shuffles") {
+    // the per-part aggregate is part-cardinality — broadcastable at any
+    // per-executor-sane SF, so the detail-side lineitem scan must flow into
+    // the join with NO exchange of its own. (At a scale where AQE falls
+    // back to sort-merge, both sides shuffle on l_partkey and exchange
+    // reuse takes over — that fallback can't be exercised at test SF.)
+    val d = df("q_tpch_small_qty")
+    d.collect() // assert on the FINAL adaptive plan, not the static guess
+    val p = d.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"q_tpch_small_qty lost the broadcast self-agg join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q_tpch_small_qty double-shuffles lineitem through a SortMergeJoin:\n$p")
+  }
+
+  test("TPC-H Q10 shape takes top-k with per-partition heaps, no global sort") {
+    val p = plan("q_tpch_returned_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q_tpch_returned_topk lost TakeOrderedAndProject:\n$p")
+  }
+}
