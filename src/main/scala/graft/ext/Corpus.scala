@@ -885,7 +885,20 @@ object Corpus {
       .select(filter(split(col("word"), ""), s => length(s) > 0).as("syms"),
         col("freq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    words.count(): Unit
+    val vocabRows = words.count()
+    // Zipf compresses the corpus into this distinct-word table, and every
+    // merge round touches ONLY the table — so when the vocabulary is
+    // driver-small (the common case even for huge corpora; vocab grows
+    // sub-linearly), loop locally over the collected (syms, freq) pairs:
+    // identical greedy-leftmost merge and (cnt desc, a, b) unsigned-UTF8
+    // tie-break, none of the per-round job-launch latency. The distributed
+    // loop below stays as the unbounded-vocabulary path.
+    if (vocabRows <= 500000L) {
+      val local = words.collect()
+        .map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
+      words.unpersist(blocking = false)
+      return bpeTrainLocal(local, nMerges)
+    }
     val merges = scala.collection.mutable.Buffer[(String, String, Long)]()
     var r = 0
     var exhausted = false
@@ -915,6 +928,65 @@ object Corpus {
     }
     words.unpersist(blocking = false)
     merges.toSeq
+  }
+
+  /** Driver-local BPE merge loop over a collected (symbols, freq) vocab —
+    * semantics bit-identical to the distributed rounds: the same
+    * greedy-leftmost non-overlapping merge as [[bpeMergeOnce]] and the
+    * same (cnt desc, a asc, b asc) argmax with Spark's UNSIGNED UTF-8
+    * binary string order (signed-byte or UTF-16 comparisons diverge on
+    * non-ASCII symbols).
+    */
+  private def bpeTrainLocal(vocab: Array[(Array[String], Long)],
+      nMerges: Int): Seq[(String, String, Long)] = {
+    def u8(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def mergeOnce(syms: Array[String], a: String, b: String): Array[String] = {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+      syms.foreach { s =>
+        if (acc.nonEmpty && acc.last == a && s == b) {
+          acc.remove(acc.length - 1)
+          acc += (a + b)
+        } else acc += s
+      }
+      acc.toArray
+    }
+    var cur = vocab
+    val out = scala.collection.mutable.Buffer[(String, String, Long)]()
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      cur.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.foreach { case (k, c) =>
+          val better = best == null || {
+            val cc = java.lang.Long.compare(c, best._2)
+            if (cc != 0) cc > 0
+            else {
+              val ca = java.util.Arrays.compareUnsigned(u8(k._1), u8(best._1._1))
+              if (ca != 0) ca < 0
+              else java.util.Arrays.compareUnsigned(u8(k._2), u8(best._1._2)) < 0
+            }
+          }
+          if (better) best = (k, c)
+        }
+        val ((a, b), c) = best
+        out += ((a, b, c))
+        cur = cur.map { case (syms, f) => (mergeOnce(syms, a, b), f) }
+        r += 1
+      }
+    }
+    out.toSeq
   }
 
   /** Encode text into BPE symbols by REPLAYING a learned merge table in

@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   * without a spatial index AND without trigonometry in the plan.
   *
   * Coordinates quantize to integer micro-degrees; the candidate stage is
-  * the classic uniform-grid join (cell width = radius: each LEFT point
-  * probes its 3×3 cell neighborhood, each RIGHT point sits in exactly ONE
-  * cell, so every candidate pair arises exactly once — no distinct pass);
-  * the verify stage is the exact integer squared distance
+  * the classic uniform-grid join (cell width = radius: each RIGHT point
+  * replicates into its 3×3 cell neighborhood, each LEFT point sits in
+  * exactly ONE cell, so every candidate pair arises exactly once — no
+  * distinct pass). Pass the SMALLER frame as `right`: the 9× replication
+  * belongs on the small side, the big side flows through unexpanded.
+  * The verify stage is the exact integer squared distance
   * Δlat² + Δlon² ≤ r² in micro-degrees. That is the flat-earth (small
   * radius) metric — the honest contract for sub-degree radii; for
   * longitude-compressed accuracy scale `lonCol` by cos(lat₀) UPSTREAM
@@ -36,18 +38,18 @@ object Geo {
     val l = left
       .withColumn("_qlat_l", q(col(latL)))
       .withColumn("_qlon_l", q(col(lonL)))
-      .withColumn("_dc", explode(lit(Array(-1, 0, 1))))
-      .withColumn("_dr", explode(lit(Array(-1, 0, 1))))
-      .withColumn("_cell_lat",
-        RangeJoin.floorDiv(col("_qlat_l"), w) + col("_dc"))
-      .withColumn("_cell_lon",
-        RangeJoin.floorDiv(col("_qlon_l"), w) + col("_dr"))
-      .drop("_dc", "_dr")
+      .withColumn("_cell_lat", RangeJoin.floorDiv(col("_qlat_l"), w))
+      .withColumn("_cell_lon", RangeJoin.floorDiv(col("_qlon_l"), w))
     val r = right
       .withColumn("_qlat_r", q(col(latR)))
       .withColumn("_qlon_r", q(col(lonR)))
-      .withColumn("_cell_lat", RangeJoin.floorDiv(col("_qlat_r"), w))
-      .withColumn("_cell_lon", RangeJoin.floorDiv(col("_qlon_r"), w))
+      .withColumn("_dc", explode(lit(Array(-1, 0, 1))))
+      .withColumn("_dr", explode(lit(Array(-1, 0, 1))))
+      .withColumn("_cell_lat",
+        RangeJoin.floorDiv(col("_qlat_r"), w) + col("_dc"))
+      .withColumn("_cell_lon",
+        RangeJoin.floorDiv(col("_qlon_r"), w) + col("_dr"))
+      .drop("_dc", "_dr")
     val dLat = col("_qlat_l") - col("_qlat_r")
     val dLon = col("_qlon_l") - col("_qlon_r")
     l.join(r, Seq("_cell_lat", "_cell_lon"))
