@@ -87,7 +87,13 @@ object IdentityDigest {
   def dropUnkeyed(v: VertexDef)(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     v.identity match {
       case Identity.Natural(fs) =>
-        df.where(fs.map(col(_).isNotNull).reduceLeft(_ || _))
+        // identity fields the frame never produced are absent from every
+        // doc (the reference keys on the PRESENT subset — ticker.yaml
+        // declares (cusip, cname, oftic) over data carrying only oftic);
+        // a frame with NO identity field at all has only unkeyed docs
+        val present = fs.filter(df.columns.contains)
+        if (present.isEmpty) df.where(lit(false))
+        else df.where(present.map(col(_).isNotNull).reduceLeft(_ || _))
       case Identity.Hash(_) | Identity.Funnel(_, _) =>
         df.where(col(GraphSchema.SyntheticId).isNotNull)
       case _ => df // blank/assigned always mint

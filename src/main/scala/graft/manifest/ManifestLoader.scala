@@ -147,12 +147,16 @@ object ManifestLoader {
     val props = strings(e.path("properties")).map(FieldDef(_))
     // identities may be a flat token list or a list of key-sets (kg.yaml);
     // the first set is the uniqueness key (reference edge.py:141-151)
+    // ABSENT identities mean NO uniqueness constraint — the reference's
+    // default (schema/edge.py:141 default_factory=list) inserts every
+    // observation (db_writer.py:470 filter_uniques=False); ticker.yaml's
+    // 398-edge golden depends on it
     val ids = e.path("identities") match {
       case n if n.isArray && n.size() > 0 =>
         val head = n.get(0)
         if (head.isArray) head.elements().asScala.map(_.asText()).toSeq
         else n.elements().asScala.map(_.asText()).toSeq
-      case _ => Seq("source", "target")
+      case _ => Nil
     }
     EdgeDef(source, target, relation, properties = props, identities = ids)
   }

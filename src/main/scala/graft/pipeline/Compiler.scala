@@ -510,7 +510,13 @@ object PipelineCompiler {
         }
         val unioned = withOrd.reduceLeft(_.unionByName(_, allowMissingColumns = true))
         val keyed = IdentityDigest.dropUnkeyed(vdef)(unioned)
-        val merged = MergeOps.mergeDocBasis(keyed, vdef.idColumns, "_ord")
+        // identity fields the data never carried merge as null (the
+        // reference's docs simply lack the key — tabular form needs the
+        // column to group on)
+        val withAllIds = vdef.idColumns.foldLeft(keyed) { (d, c) =>
+          if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast("string"))
+        }
+        val merged = MergeOps.mergeDocBasis(withAllIds, vdef.idColumns, "_ord")
         name -> merged
       }
 
@@ -565,7 +571,11 @@ object PipelineCompiler {
       val nonNull = (srcCols.map(col(_).isNotNull).reduceLeft(_ || _)) &&
         (dstCols.map(col(_).isNotNull).reduceLeft(_ || _))
       val kept = df.where(nonNull)
-      k -> (if (dedupCols.nonEmpty) kept.dropDuplicates(dedupCols) else kept.dropDuplicates())
+      // empty identities = no uniqueness constraint: every observation is
+      // an edge (reference db_writer.py:470 filter_uniques=False)
+      k -> (if (edef.identities.isEmpty) kept
+        else if (dedupCols.nonEmpty) kept.dropDuplicates(dedupCols)
+        else kept.dropDuplicates())
     }
 
     GraphOutput(vertices, edges, errors)
@@ -617,11 +627,13 @@ object PipelineCompiler {
       val left = sb.df.select(
         (MetaCols.map(col) ++ Seq(posStr(col(PosCol)).as("_lps"),
           lastPos(col(PosCol)).as("_lzi")) ++
-          sKeys.map(c => col(c).as(s"src_$c"))): _*)
+          sKeys.map(c => (if (sb.df.columns.contains(c)) col(c)
+            else lit(null).cast("string")).as(s"src_$c"))): _*)
       val right = db.df.select(
         (MetaCols.map(c => col(c).as(s"__r_$c")) ++ Seq(posStr(col(PosCol)).as("_rps"),
           lastPos(col(PosCol)).as("_rzi")) ++
-          tKeys.map(c => col(c).as(s"dst_$c"))): _*)
+          tKeys.map(c => (if (db.df.columns.contains(c)) col(c)
+            else lit(null).cast("string")).as(s"dst_$c"))): _*)
 
       // Lineage-prefix congruence (reference edge_render.py:143-228): two
       // buckets pair within the deepest explode level they SHARE. The shared
