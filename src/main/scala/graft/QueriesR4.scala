@@ -132,10 +132,8 @@ object GraftQueriesR4 {
     // extension: HITS hubs & authorities over the supplier→part incidence
     // graph — integer L1-normalized fixed point, 2 rounds
     "q_hits" -> { (s, d) =>
-      val edges = t(s, d)("lineitem")
-        .select(concat(lit("s"), col("l_suppkey")).as("src"),
-          concat(lit("p"), col("l_partkey")).as("dst"))
-      GraphAlgos.hitsFixed(edges, "src", "dst", iterations = 2)
+      GraphAlgos.hitsFixed(GraftQueries.supplierPartFwd(s, d), "src", "dst",
+        iterations = 2)
         .orderBy(col("authority").desc, col("node")).limit(100)
     },
 
@@ -297,10 +295,8 @@ object GraftQueriesR4 {
     // extension: rich-club coefficient profile — do high-degree nodes of
     // the supplier–part graph preferentially interconnect?
     "q_rich_club" -> { (s, d) =>
-      val edges = t(s, d)("lineitem")
-        .select(concat(lit("s"), col("l_suppkey")).as("src"),
-          concat(lit("p"), col("l_partkey")).as("dst"))
-      GraphAlgos.richClub(edges, "src", "dst", ks = Seq(5, 10, 20, 40))
+      GraphAlgos.richClub(GraftQueries.supplierPartFwd(s, d), "src", "dst",
+        ks = Seq(5, 10, 20, 40))
         .orderBy("k")
     },
 
@@ -348,10 +344,7 @@ object GraftQueriesR4 {
     // undirected supplier–part graph — 3 simultaneous sources, depth 3,
     // scale-quantized integer dependencies (no double accumulation)
     "q_betweenness" -> { (s, d) =>
-      val edges = t(s, d)("lineitem")
-        .select(concat(lit("s"), col("l_suppkey")).as("src"),
-          concat(lit("p"), col("l_partkey")).as("dst"))
-      GraphAlgos.betweennessSampled(edges, "src", "dst",
+      GraphAlgos.betweennessSampled(GraftQueries.supplierPartFwd(s, d), "src", "dst",
         seeds = Seq("s1", "s2", "s3"), maxDepth = 3)
         .orderBy(col("bc_q").desc, col("node")).limit(50)
     })
