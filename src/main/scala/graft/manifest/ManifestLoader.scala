@@ -324,8 +324,9 @@ object ManifestLoader {
       fn = fn,
       input = input,
       output = output,
-      strategy = if ((input.size > 1 || inGroups.exists(_.size > 1)) &&
-        graft.functions.TransformRegistry.nary.contains(fn)) "single" else "each",
+      strategy = if (((input.size > 1 || inGroups.exists(_.size > 1)) &&
+        graft.functions.TransformRegistry.nary.contains(fn)) ||
+        output.size > input.size) "single" else "each", // tuple-result fns
       inline = inline,
       dress = dress,
       errorTolerant = t.path("error_tolerant").asBoolean(false) ||

@@ -159,7 +159,27 @@ object PipelineCompiler {
 
   // ------------------------------------------------------------------ walk
 
-  private def walk(steps: Seq[Step], frame: DataFrame, loc: Loc, ctx: Ctx): Unit = {
+  /** Sibling-actor type priority (reference descend.py:208-216
+    * `_NodeTypePriority`): at every pipeline level the reference STABLE-
+    * SORTS siblings so all transforms run before any vertex extraction and
+    * edges render last, regardless of listed order — ibes.yaml lists its
+    * vertex steps first and relies on this. Rename/keys/cast are transform
+    * forms (priority 20).
+    */
+  private def stepPriority(s: Step): Int = s match {
+    case _: Descend          => 10
+    case _: TransformStep    => 20
+    case _: RenameStep       => 20
+    case _: RenameKeysStep   => 20
+    case _: CastStep         => 20
+    case _: VertexRouterStep => 30
+    case _: VertexStep       => 50
+    case _: EdgeStep         => 90
+    case _: MultiEdgeStep    => 90
+  }
+
+  private def walk(steps0: Seq[Step], frame: DataFrame, loc: Loc, ctx: Ctx): Unit = {
+    val steps = steps0.sortBy(stepPriority) // stable: ties keep listed order
     var cur = frame
     steps.foreach {
       case d: Descend          => descend(d, cur, loc, ctx) // children use sub-frame; parent frame unchanged
@@ -698,6 +718,37 @@ object PipelineCompiler {
         case None => joined
       }).drop("_lps", "_rps", "_lzi", "_rzi")
 
+      // NON-ENDPOINT vertex_weights (reference db_writer.py:355-387
+      // _enrich_extra_weights): a weight vertex that is neither endpoint
+      // attaches per DOCUMENT — the reference takes `weights[0]`, the
+      // first doc of that vertex extracted from the same item. The row
+      // association only exists here (the store sees no _row_id), so the
+      // fields join on _row_id with the first-by-(pos, seq) observation.
+      val nonEndpointSpecs = schema.edgesBetween(sb.vertex, db.vertex)
+        .flatMap(_.extraWeights)
+        .filter(sp => sp.endpoint.isEmpty &&
+          sp.vertex != sb.vertex && sp.vertex != db.vertex)
+        .distinct
+      val withDocWeights = nonEndpointSpecs.foldLeft(withCarried) { (acc, sp) =>
+        val obs = ctx.acc.filter(_.vertex == sp.vertex)
+        if (obs.isEmpty) acc
+        else {
+          val frames: Seq[DataFrame] = obs.toSeq.map { o =>
+            val ordered: Seq[Column] =
+              Seq(posStr(col(PosCol)).as("_p"), lit(o.seq).as("_s")) ++
+                sp.fields.map(f => col(f))
+            o.df.select(col(RowIdCol), struct(ordered: _*).as("_wq"))
+          }
+          val first = frames.reduceLeft(_.unionByName(_))
+            .groupBy(RowIdCol).agg(min(col("_wq")).as("_wq"))
+          val named = sp.fields.foldLeft(first) { (d, f) =>
+            val out = if (sp.keepVertexName) s"${sp.vertex}@$f" else f
+            d.withColumn(out, col("_wq").getField(f))
+          }.drop("_wq")
+          acc.join(named, Seq(RowIdCol), "left")
+        }
+      }
+
       // relation: static, or data-driven with renames + static fallback
       // (fallback applies with or WITHOUT a relation_map: a null relation
       // column falls back to the declared static relation)
@@ -713,8 +764,10 @@ object PipelineCompiler {
         case None => lit(e.relation)
       }
 
+      val docWeightCols = nonEndpointSpecs.flatMap(sp =>
+        sp.fields.map(f => if (sp.keepVertexName) s"${sp.vertex}@$f" else f))
       val dropRel = e.relationField.filterNot(e.weightFields.contains).toSeq
-      val projected = withCarried
+      val projected = withDocWeights
         .withColumn("_rel", relCol)
         .drop((MetaCols ++ MetaCols.map("__r_" + _) ++ MetaCols.map("__i_" + _) ++
           dropRel): _*)
@@ -739,7 +792,7 @@ object PipelineCompiler {
           .withColumnRenamed("_relation", "relation")
         val keep = finalDf.columns.filter(c =>
           c.startsWith("src_") || c.startsWith("dst_") || c == "relation" ||
-            e.weightFields.contains(c))
+            e.weightFields.contains(c) || docWeightCols.contains(c))
         out.getOrElseUpdate(k, mutable.ArrayBuffer.empty) +=
           finalDf.select(keep.map(col): _*)
       }

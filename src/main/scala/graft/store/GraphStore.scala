@@ -450,8 +450,19 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
         case None =>
           if (spec.vertex == k.source) "src_"
           else if (spec.vertex == k.target) "dst_"
-          else throw new IllegalArgumentException(
-            s"vertex_weights '${spec.vertex}' matches neither endpoint of $k")
+          else {
+            // non-endpoint weight vertex: the association is per DOCUMENT
+            // and only the compiler sees document ids, so the fields were
+            // attached at render time (Compiler.renderIntent) — verify and
+            // pass through (reference db_writer.py:355-387 semantics)
+            val expected = spec.fields.map(f =>
+              if (spec.keepVertexName) s"${spec.vertex}@$f" else f)
+            val missing = expected.filterNot(e.columns.contains)
+            if (missing.nonEmpty) throw new IllegalArgumentException(
+              s"vertex_weights '${spec.vertex}' matches neither endpoint of $k " +
+                s"and the render-time fields ${missing.mkString(",")} are absent")
+            return e
+          }
       }
       val vdef = schema.vertex(spec.vertex)
       val ids = vdef.idColumns

@@ -43,4 +43,39 @@ class ReferenceGoldenSpec extends SparkSpec {
       .find(k => k.source == "ticker" && k.target == "feature").get
     assert(store.edges(ek).count() == golden("tickers_features_edges"))
   }
+
+  test("reference ibes example lands its committed cast-level golden sizes") {
+    // ref/cast/ibes_sizes.yaml is the ASSEMBLY contract (test_caster.py
+    // level-2: cast + pick_unique whole-dict dedup, before any DB write) —
+    // exactly the plane PipelineCompiler implements. The ibes pipeline
+    // lists its vertex steps BEFORE the transforms that produce their
+    // fields, so this golden also locks the reference's sibling-actor
+    // priority sort (descend.py:208-216). The db-ingest golden
+    // (ref/table/ibes_sizes.yaml) additionally bakes in ArangoDB
+    // upsert-on-partial-null behavior and is not asserted here.
+    assume(new java.io.File(s"$refRoot/config/schema/ibes.yaml").exists())
+    val golden = goldenSizes(s"$refRoot/ref/cast/ibes_sizes.yaml")
+    val m = graft.manifest.ManifestLoader.load(
+      s"$refRoot/config/schema/ibes.yaml")
+    // the manifest declares `encoding: ISO-8859-1` for this feed
+    val df = spark.read.option("header", "true")
+      .option("encoding", "ISO-8859-1")
+      .csv(s"$refRoot/data/ibes/ibes.csv.gz")
+    val g = PipelineCompiler.compile(m.schema, m.resources.head, df)
+    // identity-merged vertex frames match the dict-level dedup directly
+    assert(g.vertex("ticker").count() == golden("ticker"))
+    assert(g.vertex("agency").count() == golden("agency"))
+    assert(g.vertex("analyst").count() == golden("analyst"))
+    assert(g.vertex("recommendation").count() == golden("recommendation"))
+    // blank vertices carry minted ids pre-write; the cast golden dedups the
+    // PROPERTY dicts (keys are minted later, db_writer.py:240-276)
+    assert(g.vertex("publication")
+      .select("datetime_review", "datetime_announce").distinct().count() ==
+      golden("publication"))
+    // the explicit analyst→agency edge (with its document-scoped
+    // publication vertex_weights) whole-dict dedups to the golden
+    val ek = m.schema.edges.map(e => EdgeKey(e.source, e.target, e.relation))
+      .find(k => k.source == "analyst" && k.target == "agency").get
+    assert(g.edge(ek).distinct().count() == golden("analyst->agency->None"))
+  }
 }
