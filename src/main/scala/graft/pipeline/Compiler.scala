@@ -578,12 +578,14 @@ object PipelineCompiler {
       val vdefS = schema.vertex(k.source); val vdefT = schema.vertex(k.target)
       val edef = schema.edgeByKey.getOrElse(k, EdgeDef(k.source, k.target, k.relation))
       val df = dfs.map(_._2).reduceLeft(_.unionByName(_, allowMissingColumns = true))
-      // edge uniqueness keys (edge.py:141-151): source/target tokens → id cols
-      val dedupCols = edef.identities.flatMap {
-        case "source" => idColsOf(vdefS).map("src_" + _)
-        case "target" => idColsOf(vdefT).map("dst_" + _)
-        case p        => Seq(p)
-      }.filter(df.columns.contains)
+      // edge uniqueness keys (edge.py:141-151): each key's fields are
+      // unique TOGETHER WITH the resolved endpoints — the endpoint id
+      // columns are always part of the key; explicit source/target tokens
+      // are therefore redundant but allowed (kg.yaml writes both forms)
+      val dedupCols = (if (edef.identities.isEmpty) Nil
+        else idColsOf(vdefS).map("src_" + _) ++ idColsOf(vdefT).map("dst_" + _) ++
+          edef.identities.filterNot(t => t == "source" || t == "target")
+        ).filter(df.columns.contains)
       // drop edges with an entirely-null endpoint (e.g. funnel identity with
       // no matching branch — mirrors _drop_unkeyed_docs on the edge side)
       val srcCols = df.columns.filter(_.startsWith("src_"))

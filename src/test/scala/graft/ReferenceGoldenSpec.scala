@@ -78,4 +78,34 @@ class ReferenceGoldenSpec extends SparkSpec {
       .find(k => k.source == "analyst" && k.target == "agency").get
     assert(g.edge(ek).distinct().count() == golden("analyst->agency->None"))
   }
+
+  test("reference kg example lands its committed cast-level golden sizes") {
+    // ref/cast/kg_sizes.yaml: assembly + pick_unique whole-dict dedup over
+    // the declared fields — identity-merged vertices land the same counts.
+    // The kg pipeline exercises nested descends, a bare descend inside
+    // `triple`, match/match_source/match_target location groups, edge
+    // identities with key-set form, and infer_edge_except — the deepest
+    // dialect surface the reference ships.
+    assume(new java.io.File(s"$refRoot/config/schema/kg.yaml").exists())
+    val golden = goldenSizes(s"$refRoot/ref/cast/kg_sizes.yaml")
+    val m = graft.manifest.ManifestLoader.load(s"$refRoot/config/schema/kg.yaml")
+    val df = graft.sources.FileSource.read(spark,
+      s"$refRoot/data/kg/kg.json.gz", format = Some("json"))
+    val g = PipelineCompiler.compile(m.schema, m.resource("kg"), df)
+    assert(g.vertex("publication").count() == golden("publication"))
+    assert(g.vertex("mention").count() == golden("mention"))
+    assert(g.vertex("entity").count() == golden("entity"))
+    def edge(src: String, dst: String) =
+      g.edges.collectFirst { case (k, e) if k.source == src && k.target == dst => e }
+    // identities [[_role]] → assembly dedup on endpoints + _role
+    assert(edge("mention", "mention").get.count() ==
+      golden("mention->mention->None"))
+    // identity-less edges dedup whole-dict at cast (pick_unique)
+    assert(edge("mention", "entity").get.distinct().count() ==
+      golden("mention->entity->None"))
+    assert(edge("publication", "mention").get.distinct().count() ==
+      golden("publication->mention->None"))
+    // entity→entity is excluded from inference and has no explicit step
+    assert(edge("entity", "entity").map(_.count()).getOrElse(0L) == 0L)
+  }
 }
