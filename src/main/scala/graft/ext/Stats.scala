@@ -350,15 +350,16 @@ object Stats {
     * (group, value) frame plus one join on the tiny per-group max.
     */
   def modePerGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val counts = df.where(col(valueCol).isNotNull)
+    // one counting aggregate, then a struct-argmax (min over (-n, v) =
+    // highest count, smallest value on ties) — no persist, no join-back;
+    // the second aggregate is group-cardinality and map-side combinable
+    df.where(col(valueCol).isNotNull)
       .groupBy(col(groupCol).as("_g"), col(valueCol).as("_v"))
       .agg(count(lit(1)).as("_n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val top = counts.groupBy("_g").agg(max("_n").as("_n"))
-    counts.join(broadcast(top), Seq("_g", "_n"))
       .groupBy("_g")
-      .agg(min(col("_v")).as("mode"), max(col("_n")).as("n_mode"))
-      .select(col("_g").as(groupCol), col("mode"), col("n_mode"))
+      .agg(min(struct((-col("_n")).as("nn"), col("_v").as("v"))).as("m"))
+      .select(col("_g").as(groupCol), col("m.v").as("mode"),
+        (-col("m.nn")).as("n_mode"))
   }
 
   /** Population Stability Index between a baseline and a current sample of
