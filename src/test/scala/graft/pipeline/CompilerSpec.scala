@@ -196,6 +196,24 @@ class CompilerSpec extends SparkSpec {
     assert(out.edge(EdgeKey("order", "seller", "sold_by")).count() == 1)
   }
 
+  test("sibling actors sort by type priority: transforms run before " +
+      "vertex extraction regardless of listed order") {
+    import spark.implicits._
+    // reference _NodeTypePriority (descend.py:208-216): ibes.yaml lists
+    // vertex steps before the renames that produce their identity fields
+    val df = Seq(("k1", "alpha"), ("k2", "beta")).toDF("RAW_KEY", "RAW_VAL")
+    val schema = sch(Seq(VertexDef("item", Seq(FieldDef("val")),
+      Identity.Natural(Seq("key")))))
+    val res = ResourceDef("r", Seq(
+      VertexStep("item"), // listed FIRST, must still see renamed columns
+      RenameStep(Map("RAW_KEY" -> "key", "RAW_VAL" -> "val"))))
+    val out = PipelineCompiler.compile(schema, res, df)
+    val rows = out.vertex("item").orderBy("key").collect()
+    assert(rows.length == 2)
+    assert(rows.head.getAs[String]("key") == "k1")
+    assert(rows.head.getAs[String]("val") == "alpha")
+  }
+
   test("merge across repeated identities is order-sensitive last-wins") {
     import spark.implicits._
     val df = Seq((1L, "first"), (1L, "second")).toDF("k", "v")
