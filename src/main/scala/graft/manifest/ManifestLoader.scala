@@ -180,8 +180,29 @@ object ManifestLoader {
     )
   }
 
+  /** Sibling-actor type priority (reference descend.py:208-216
+    * `_NodeTypePriority`): the reference STABLE-SORTS every pipeline
+    * level so all transforms run before any vertex extraction and edges
+    * render last, regardless of listed order — ibes.yaml lists its vertex
+    * steps before the renames that produce their fields and relies on
+    * this. A YAML-dialect normalization only: the programmatic Scala API
+    * stays sequential (it can descend into transform-produced keys).
+    */
+  private def stepPriority(s: Step): Int = s match {
+    case _: Descend          => 10
+    case _: TransformStep    => 20
+    case _: RenameStep       => 20
+    case _: RenameKeysStep   => 20
+    case _: CastStep         => 20
+    case _: VertexRouterStep => 30
+    case _: VertexStep       => 50
+    case _: EdgeStep         => 90
+    case _: MultiEdgeStep    => 90
+  }
+
   private def parseSteps(n: JsonNode): Seq[Step] =
-    if (!n.isArray) Nil else n.elements().asScala.map(parseStep).toSeq
+    if (!n.isArray) Nil
+    else n.elements().asScala.map(parseStep).toSeq.sortBy(stepPriority)
 
   private def parseStep(s: JsonNode): Step = {
     if (s.has("vertex")) parseVertexStep(s)

@@ -159,27 +159,12 @@ object PipelineCompiler {
 
   // ------------------------------------------------------------------ walk
 
-  /** Sibling-actor type priority (reference descend.py:208-216
-    * `_NodeTypePriority`): at every pipeline level the reference STABLE-
-    * SORTS siblings so all transforms run before any vertex extraction and
-    * edges render last, regardless of listed order — ibes.yaml lists its
-    * vertex steps first and relies on this. Rename/keys/cast are transform
-    * forms (priority 20).
-    */
-  private def stepPriority(s: Step): Int = s match {
-    case _: Descend          => 10
-    case _: TransformStep    => 20
-    case _: RenameStep       => 20
-    case _: RenameKeysStep   => 20
-    case _: CastStep         => 20
-    case _: VertexRouterStep => 30
-    case _: VertexStep       => 50
-    case _: EdgeStep         => 90
-    case _: MultiEdgeStep    => 90
-  }
-
-  private def walk(steps0: Seq[Step], frame: DataFrame, loc: Loc, ctx: Ctx): Unit = {
-    val steps = steps0.sortBy(stepPriority) // stable: ties keep listed order
+  private def walk(steps: Seq[Step], frame: DataFrame, loc: Loc, ctx: Ctx): Unit = {
+    // steps execute in GIVEN order: the programmatic API is sequential and
+    // supports descending into transform-produced keys. The reference's
+    // sibling-actor priority sort (descend.py:208-216) is a YAML-dialect
+    // normalization applied by ManifestLoader.parseSteps — manifests like
+    // ibes.yaml list vertex steps before the transforms that feed them.
     var cur = frame
     steps.foreach {
       case d: Descend          => descend(d, cur, loc, ctx) // children use sub-frame; parent frame unchanged

@@ -249,7 +249,10 @@ class ManifestSpec extends SparkSpec {
     assert(r.inferEdgeExcept == Seq(("entity", "entity")))
     val d1 = r.steps.head.asInstanceOf[Descend]
     assert(d1.key.contains("mentions"))
-    assert(d1.steps.last.isInstanceOf[RenameStep])
+    // the dialect sorts siblings by actor priority (descend.py:208-216):
+    // the rename (transform, 20) precedes the vertex extraction (50)
+    assert(d1.steps.head.isInstanceOf[RenameStep])
+    assert(d1.steps.last.isInstanceOf[VertexStep])
     val d2 = r.steps(1).asInstanceOf[Descend]
     assert(d2.steps.head.asInstanceOf[Descend].key.isEmpty) // bare descend
     val e = r.steps(2).asInstanceOf[EdgeStep]

@@ -196,18 +196,37 @@ class CompilerSpec extends SparkSpec {
     assert(out.edge(EdgeKey("order", "seller", "sold_by")).count() == 1)
   }
 
-  test("sibling actors sort by type priority: transforms run before " +
-      "vertex extraction regardless of listed order") {
+  test("manifest dialect sorts sibling actors by type priority: transforms " +
+      "run before vertex extraction regardless of listed order") {
     import spark.implicits._
     // reference _NodeTypePriority (descend.py:208-216): ibes.yaml lists
-    // vertex steps before the renames that produce their identity fields
+    // vertex steps before the renames that produce their identity fields.
+    // This is a YAML-dialect normalization — the programmatic Scala API
+    // stays sequential (it can descend into transform-produced keys).
     val df = Seq(("k1", "alpha"), ("k2", "beta")).toDF("RAW_KEY", "RAW_VAL")
-    val schema = sch(Seq(VertexDef("item", Seq(FieldDef("val")),
-      Identity.Natural(Seq("key")))))
-    val res = ResourceDef("r", Seq(
-      VertexStep("item"), // listed FIRST, must still see renamed columns
-      RenameStep(Map("RAW_KEY" -> "key", "RAW_VAL" -> "val"))))
-    val out = PipelineCompiler.compile(schema, res, df)
+    val m = graft.manifest.ManifestLoader.fromYamlString(
+      """schema:
+        |    metadata:
+        |        name: prio-demo
+        |    graph:
+        |        vertex_config:
+        |            vertices:
+        |            -   name: item
+        |                properties:
+        |                -   val
+        |                identity:
+        |                -   key
+        |ingestion_model:
+        |    resources:
+        |    -   name: r
+        |        pipeline:
+        |        -   vertex: item
+        |        -   transform:
+        |                rename:
+        |                    RAW_KEY: key
+        |                    RAW_VAL: val
+        |""".stripMargin)
+    val out = PipelineCompiler.compile(m.schema, m.resources.head, df)
     val rows = out.vertex("item").orderBy("key").collect()
     assert(rows.length == 2)
     assert(rows.head.getAs[String]("key") == "k1")
