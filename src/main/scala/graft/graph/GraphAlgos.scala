@@ -1979,14 +1979,16 @@ object GraphAlgos {
       // sound even truncated (f=b=L proves L both reaches and is reached by
       // the node), so assign what agrees, then stop peeling and '?'-mark
       // everything left rather than guess.
-      val fConv = re.join(f.withColumnRenamed("node", "dst"), Seq("dst"))
+      val fProbe = re.join(f.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node")).agg(min("lbl").as("_in"))
         .join(f, Seq("node"))
-        .where(col("_in") < col("lbl")).limit(1).count() == 0
-      val bConv = re.join(b.withColumnRenamed("node", "src"), Seq("src"))
+        .where(col("_in") < col("lbl")).select(lit(1).as("_x"))
+      val bProbe = re.join(b.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node")).agg(min("lbl").as("_in"))
         .join(b, Seq("node"))
-        .where(col("_in") < col("lbl")).limit(1).count() == 0
+        .where(col("_in") < col("lbl")).select(lit(1).as("_x"))
+      // one job probes both directions
+      val converged = fProbe.unionAll(bProbe).limit(1).count() == 0
       val agree = f.withColumnRenamed("lbl", "_f")
         .join(b.withColumnRenamed("lbl", "_b"), Seq("node"))
         .where(col("_f") === col("_b"))
@@ -1999,7 +2001,7 @@ object GraphAlgos {
       // peel regardless, but its remaining rounds run on empty frames, so
       // skipping them here cannot change the output. The unconverged stop
       // IS replayed by the oracle (per-peel conv/act flag CTEs).
-      done = rem.limit(1).count() == 0 || !(fConv && bConv)
+      done = rem.limit(1).count() == 0 || !converged
     }
     val out = assigned.union(
       rem.select(col("node"), concat(lit("?"), col("node")).as("scc")))
