@@ -224,6 +224,46 @@ object Main {
         s""""contrib": ${r.getAs[Double]("contrib")}}""")
       println(s"""{"psi": $psi, "verdict": "$verdict", """ +
         s""""bins": [${bins.mkString(", ")}]}""")
+    case "manifest-to-rdf" :: manifestPath :: outPath :: Nil =>
+      // reference CLI `manifest_to_rdf` (pyproject scripts; rdf/serializer.py):
+      // schema → OWL/RDFS TBox as N-Triples
+      val m = graft.manifest.ManifestLoader.load(manifestPath)
+      val lines = graft.rdf.Rdf.schemaToNTriples(m.schema)
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      println(s"""{"triples": ${lines.size}, "out": "$outPath"}""")
+
+    case "rdf-to-manifest" :: ntPath :: outPath :: Nil =>
+      // reference CLI `rdf_to_manifest` (rdf/deserializer.py +
+      // hq/rdf_inferencer.py): OWL TBox → manifest schema YAML
+      import spark.implicits._
+      val lines = scala.io.Source.fromFile(ntPath, "UTF-8").getLines().toSeq.toDF("line")
+      val schema = graft.rdf.Rdf.inferSchema(graft.rdf.Rdf.parseNTriples(lines))
+      val sb = new StringBuilder
+      sb.append("schema:\n    metadata:\n        name: inferred\n    graph:\n")
+      sb.append("        vertex_config:\n            vertices:\n")
+      schema.vertices.foreach { v =>
+        sb.append(s"            -   name: ${v.name}\n")
+        if (v.properties.nonEmpty) {
+          sb.append("                properties:\n")
+          v.properties.foreach(p => sb.append(s"                -   ${p.name}\n"))
+        }
+        sb.append("                identity:\n")
+        v.idColumns.foreach(c => sb.append(s"                -   $c\n"))
+      }
+      if (schema.edges.nonEmpty) {
+        sb.append("        edge_config:\n            edges:\n")
+        schema.edges.foreach { e =>
+          sb.append(s"            -   source: ${e.source}\n")
+          sb.append(s"                target: ${e.target}\n")
+          sb.append(s"                relation: ${e.relation}\n")
+        }
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        sb.toString.getBytes("UTF-8"))
+      println(s"""{"vertices": ${schema.vertices.size}, """ +
+        s""""edges": ${schema.edges.size}, "out": "$outPath"}""")
+
     case "fairness" :: path :: groupCol :: predExpr :: labelExpr :: Nil =>
       // model-governance gate: per-group selection rate / TPR / FPR and
       // the demographic-parity gap, with a verdict the pipeline can gate
