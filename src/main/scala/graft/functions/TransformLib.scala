@@ -50,8 +50,12 @@ object TransformLib {
   def tryInt(c: Column): Column = c.cast("string").try_cast("bigint")
 
   /** `split_keep_part` (:449-470). */
-  def splitKeepPart(c: Column, sep: String, idx: Int): Column =
-    split(c, java.util.regex.Pattern.quote(sep)).getItem(idx)
+  def splitKeepPart(c: Column, sep: String, idx: Int): Column = {
+    val parts = split(c, java.util.regex.Pattern.quote(sep))
+    // negative idx counts from the end (Python parts[-1]); element_at is
+    // 1-based positive / negative-from-end, getItem 0-based positive
+    if (idx >= 0) parts.getItem(idx) else element_at(parts, idx)
+  }
 
   /** `cast_ibes_analyst` (:175-207): "'LAST      F'" → (last, first-initial);
     * also handles "LAST/TEAM" team forms.

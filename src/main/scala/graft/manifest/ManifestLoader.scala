@@ -74,11 +74,21 @@ object ManifestLoader {
   private final class Parser {
     private val weightBuf =
       scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Seq[VertexWeightSpec])]
+    /** named transform declarations (reference ingestion_model.transforms:
+      * [{name, foo, module, params, input, output}]) referenced from calls
+      * via `use:` (oa-institution.yaml's keep_suffix_id).
+      */
+    private var namedTransforms: Map[String, JsonNode] = Map.empty
 
     def parse(root: JsonNode): GraphManifest = {
       val sNode = root.path("schema")
       val name = sNode.path("metadata").path("name").asText("manifest")
       val schema0 = parseSchema(sNode)
+      namedTransforms = root.path("ingestion_model").path("transforms") match {
+        case a if a.isArray =>
+          a.elements().asScala.map(n => n.path("name").asText() -> n).toMap
+        case _ => Map.empty
+      }
       val resources = root.path("ingestion_model").path("resources") match {
         case n if n.isArray => n.elements().asScala.map(parseResource).toSeq
         case _              => Nil
@@ -282,9 +292,24 @@ object ManifestLoader {
   private def parseTransform(t: JsonNode): Step = {
     if (t.has("rename"))
       return RenameStep(objMap(t.path("rename")))
-    val call = t.path("call")
-    if (!call.isObject)
+    val call0 = t.path("call")
+    if (!call0.isObject)
       throw new IllegalArgumentException(s"transform needs 'rename' or 'call': $t")
+    // `use:` pulls a named declaration's fields as defaults; explicit call
+    // fields override (reference named-transform registry)
+    val call: JsonNode =
+      if (!call0.has("use")) call0
+      else {
+        val nm = call0.path("use").asText()
+        val base = namedTransforms.getOrElse(nm, throw new IllegalArgumentException(
+          s"unknown named transform: $nm"))
+        val merged = base.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+        call0.properties().asScala.foreach { e =>
+          if (e.getKey != "use") merged.set[com.fasterxml.jackson.databind.JsonNode](
+            e.getKey, e.getValue): Unit
+        }
+        merged
+      }
     // target: keys — name-function over COLUMN NAMES with a keys selector
     // (reference contract/ingestion/transform.py:217-232; string/list forms
     // normalize to include mode, transform.py:70-80)
@@ -326,7 +351,9 @@ object ManifestLoader {
         case ("builtins", "str") => Some(cs => cs.head.cast("string"))
         case (_, "split_keep_part") =>
           val sep = params.get("sep").map(_.asText()).getOrElse(" ")
-          val idx = params.get("idx").map(_.asInt()).getOrElse(0)
+          // reference param name is `keep` (negative = from the end)
+          val idx = params.get("keep").orElse(params.get("idx"))
+            .map(_.asInt()).getOrElse(0)
           Some(cs => graft.functions.TransformLib.splitKeepPart(cs.head, sep, idx))
         case (_, "remove_prefix") =>
           val p = params.get("prefix").map(_.asText()).getOrElse("")

@@ -89,6 +89,12 @@ object PipelineCompiler {
       * missing from the live frame but present here consume these branches.
       */
     val dressBranches = mutable.ArrayBuffer.empty[(DataFrame, Loc)]
+    /** frame at each lineage location ON ENTRY (before that level's
+      * transforms): lets an edge intent fetch relation_field data that
+      * lives at an endpoint's location rather than its own (oa-institution
+      * reads `relationship` off each descended associated institution).
+      */
+    val locFrames = mutable.Map.empty[Seq[(String, Boolean)], DataFrame]
     /** salt for blank/assigned synthetic ids: resource name + batch id */
     var idSalt = ""
     var seq = 0
@@ -165,6 +171,7 @@ object PipelineCompiler {
     // sibling-actor priority sort (descend.py:208-216) is a YAML-dialect
     // normalization applied by ManifestLoader.parseSteps — manifests like
     // ibes.yaml list vertex steps before the transforms that feed them.
+    ctx.locFrames.getOrElseUpdate(loc, frame): Unit
     var cur = frame
     steps.foreach {
       case d: Descend          => descend(d, cur, loc, ctx) // children use sub-frame; parent frame unchanged
@@ -614,8 +621,21 @@ object PipelineCompiler {
       }
     }
 
-    val srcBuckets = bucketsFor(e.source, e.sourceRole, e.sourceGroup)
-    val dstBuckets = bucketsFor(e.target, e.targetRole, e.targetGroup)
+    val srcBuckets0 = bucketsFor(e.source, e.sourceRole, e.sourceGroup)
+    val dstBuckets0 = bucketsFor(e.target, e.targetRole, e.targetGroup)
+    // same-type endpoints with a ONE-SIDED match selector: the unselected
+    // side means "the OTHER observations of this type" (oa-institution.yaml:
+    // institution→institution with match_target=associated_institutions
+    // pairs the top-level institution against the descended ones, not the
+    // descended ones against themselves)
+    val srcBuckets =
+      if (e.source == e.target && e.sourceGroup.isEmpty && e.targetGroup.nonEmpty)
+        srcBuckets0.filterNot(_.loc.exists(_._1 == e.targetGroup.get))
+      else srcBuckets0
+    val dstBuckets =
+      if (e.source == e.target && e.targetGroup.isEmpty && e.sourceGroup.nonEmpty)
+        dstBuckets0.filterNot(_.loc.exists(_._1 == e.sourceGroup.get))
+      else dstBuckets0
 
     val out = mutable.Map.empty[EdgeKey, mutable.ArrayBuffer[DataFrame]]
 
@@ -631,16 +651,26 @@ object PipelineCompiler {
       // _lzi/_rzi is the row's OWN deepest position index (for `zip`)
       def lastPos(c: Column): Column =
         coalesce(get(c, size(c) - 1), lit(-1L))
+      // relation_field fallback: when the intent's own location has no such
+      // column (no relFrame), the relation rides an ENDPOINT observation —
+      // oa-institution.yaml reads `relationship` off each descended target
+      val relFromTarget = e.relationField.filter(rf =>
+        rec.relFrame.isEmpty && db.df.columns.contains(rf))
+      val relFromSource = e.relationField.filter(rf =>
+        rec.relFrame.isEmpty && relFromTarget.isEmpty &&
+          sb.df.columns.contains(rf))
       val left = sb.df.select(
         (MetaCols.map(col) ++ Seq(posStr(col(PosCol)).as("_lps"),
           lastPos(col(PosCol)).as("_lzi")) ++
           sKeys.map(c => (if (sb.df.columns.contains(c)) col(c)
-            else lit(null).cast("string")).as(s"src_$c"))): _*)
+            else lit(null).cast("string")).as(s"src_$c")) ++
+          relFromSource.map(col).toSeq): _*)
       val right = db.df.select(
         (MetaCols.map(c => col(c).as(s"__r_$c")) ++ Seq(posStr(col(PosCol)).as("_rps"),
           lastPos(col(PosCol)).as("_rzi")) ++
           tKeys.map(c => (if (db.df.columns.contains(c)) col(c)
-            else lit(null).cast("string")).as(s"dst_$c"))): _*)
+            else lit(null).cast("string")).as(s"dst_$c")) ++
+          relFromTarget.map(col).toSeq): _*)
 
       // Lineage-prefix congruence (reference edge_render.py:143-228): two
       // buckets pair within the deepest explode level they SHARE. The shared
@@ -736,6 +766,36 @@ object PipelineCompiler {
         }
       }
 
+      // relation_field living at the TARGET's (or source's) lineage
+      // location rather than the intent's own or an obs projection: join
+      // the per-position value from the recorded location frame
+      // (oa-institution.yaml: `relationship` is a raw field of each
+      // descended associated institution, not a declared vertex property)
+      val relFromLoc: Option[DataFrame] = e.relationField match {
+        case Some(rf) if rec.relFrame.isEmpty && relFromTarget.isEmpty &&
+            relFromSource.isEmpty =>
+          ctx.locFrames.get(db.loc).filter(_.columns.contains(rf))
+            .map(f => f.select(col(RowIdCol).as("__t__rid"),
+              posStr(col(PosCol)).as("__t__ps"), col(rf)))
+            .orElse(ctx.locFrames.get(sb.loc).filter(_.columns.contains(rf))
+              .map(f => f.select(col(RowIdCol).as("__s__rid"),
+                posStr(col(PosCol)).as("__s__ps"), col(rf))))
+        case _ => None
+      }
+      val withLocRel = relFromLoc match {
+        case Some(rl) if rl.columns.contains("__t__rid") =>
+          withDocWeights.join(rl,
+            col(s"__r_$RowIdCol") === col("__t__rid") &&
+              posStr(col(s"__r_$PosCol")) === col("__t__ps"), "left")
+            .drop("__t__rid", "__t__ps")
+        case Some(rl) =>
+          withDocWeights.join(rl,
+            col(RowIdCol) === col("__s__rid") &&
+              posStr(col(PosCol)) === col("__s__ps"), "left")
+            .drop("__s__rid", "__s__ps")
+        case None => withDocWeights
+      }
+
       // relation: static, or data-driven with renames + static fallback
       // (fallback applies with or WITHOUT a relation_map: a null relation
       // column falls back to the declared static relation)
@@ -754,13 +814,16 @@ object PipelineCompiler {
       val docWeightCols = nonEndpointSpecs.flatMap(sp =>
         sp.fields.map(f => if (sp.keepVertexName) s"${sp.vertex}@$f" else f))
       val dropRel = e.relationField.filterNot(e.weightFields.contains).toSeq
-      val projected = withDocWeights
+      val projected = withLocRel
         .withColumn("_rel", relCol)
         .drop((MetaCols ++ MetaCols.map("__r_" + _) ++ MetaCols.map("__i_" + _) ++
           dropRel): _*)
 
       // group rows into per-(srcType, dstType, relation) collections; strict
       // edge-type gate: only declared edges pass (edge.py strict_edge_types)
+      val dynDeclared =
+        schema.edges.filter(d => d.source == sb.vertex && d.target == db.vertex)
+          .map(_.key)
       val candidateKeys: Seq[EdgeKey] =
         if (e.relationField.isEmpty) {
           val rel =
@@ -768,12 +831,17 @@ object PipelineCompiler {
             else schema.edgesBetween(sb.vertex, db.vertex).headOption
               .map(_.relation).getOrElse("related")
           Seq(EdgeKey(sb.vertex, db.vertex, rel))
-        } else schema.edges.filter(d => d.source == sb.vertex && d.target == db.vertex)
-          .map(_.key)
+        } else if (dynDeclared.nonEmpty) dynDeclared
+        // dynamic relation with NO declared edge types between the pair:
+        // the collection is identified by the endpoints alone (reference
+        // edge_id (src, dst, None)) and per-row relations ride the
+        // relation column (oa-institution.yaml relation_field)
+        else Seq(EdgeKey(sb.vertex, db.vertex,
+          if (e.relation.nonEmpty) e.relation else "related"))
 
       candidateKeys.foreach { k =>
         val part =
-          if (e.relationField.isEmpty) projected
+          if (e.relationField.isEmpty || dynDeclared.isEmpty) projected
           else projected.where(col("_rel") === lit(k.relation))
         val finalDf = part.withColumn("_relation", col("_rel")).drop("_rel")
           .withColumnRenamed("_relation", "relation")

@@ -108,4 +108,25 @@ class ReferenceGoldenSpec extends SparkSpec {
     // entity→entity is excluded from inference and has no explicit step
     assert(edge("entity", "entity").map(_.count()).getOrElse(0L) == 0L)
   }
+
+  test("reference oa-institution example lands its committed golden sizes") {
+    // ref/db/oa-institution_sizes.yaml: named `transforms:` declarations
+    // referenced via `use:`, split_keep_part with a NEGATIVE keep, a
+    // dynamic relation_field edge with NO declared edge types, and a
+    // same-type edge whose one-sided match_target selects the descended
+    // observations against the top-level ones.
+    assume(new java.io.File(s"$refRoot/config/schema/oa-institution.yaml").exists())
+    val golden = goldenSizes(s"$refRoot/ref/db/oa-institution_sizes.yaml")
+    val m = graft.manifest.ManifestLoader.load(
+      s"$refRoot/config/schema/oa-institution.yaml")
+    val df = graft.sources.FileSource.read(spark,
+      s"$refRoot/data/oa-institution/oa.institutions.json", format = Some("json"))
+    val g = PipelineCompiler.compile(m.schema, m.resource("institutions"), df)
+    assert(g.vertex("institution").count() == golden("institutions"))
+    val edges = g.edges.collect {
+      case (k, e) if k.source == "institution" && k.target == "institution" => e
+    }
+    assert(edges.map(_.distinct().count()).sum ==
+      golden("institutions->institutions->None"))
+  }
 }
