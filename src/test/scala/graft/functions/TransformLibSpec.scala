@@ -46,6 +46,67 @@ class TransformLibSpec extends SparkSpec {
     assert(r.getStruct(1).getAs[String]("first_name") == "J")
   }
 
+  test("splitKeepPart supports negative indices (Python parts[-1])") {
+    import spark.implicits._
+    val df = Seq("https://openalex.org/I220871436").toDF("id")
+    val r = df.select(
+      TransformLib.splitKeepPart(col("id"), "/", -1).as("last"),
+      TransformLib.splitKeepPart(col("id"), "/", 0).as("first"),
+      TransformLib.splitKeepPart(col("id"), "/", 2).as("third")).collect().head
+    assert(r.getString(0) == "I220871436")
+    assert(r.getString(1) == "https:")
+    assert(r.getString(2) == "openalex.org")
+  }
+
+  test("manifest named transforms resolve via use with call-site overrides") {
+    val m = graft.manifest.ManifestLoader.fromYamlString(
+      """schema:
+        |    metadata:
+        |        name: use-demo
+        |    graph:
+        |        vertex_config:
+        |            vertices:
+        |            -   name: v
+        |                properties:
+        |                -   other_key
+        |                identity:
+        |                -   _key
+        |ingestion_model:
+        |    resources:
+        |    -   name: r
+        |        pipeline:
+        |        -   transform:
+        |                call:
+        |                    use: keep_last
+        |        -   transform:
+        |                call:
+        |                    use: keep_last
+        |                    input:
+        |                    -   other
+        |                    output:
+        |                    -   other_key
+        |        -   vertex: v
+        |    transforms:
+        |    -   name: keep_last
+        |        foo: split_keep_part
+        |        module: graflo.util.transform
+        |        params:
+        |            sep: /
+        |            keep: -1
+        |        input:
+        |        -   id
+        |        output:
+        |        -   _key
+        |""".stripMargin)
+    import spark.implicits._
+    val df = Seq(("a/b/c", "x/y")).toDF("id", "other")
+    val out = graft.pipeline.PipelineCompiler
+      .compile(m.schema, m.resources.head, df)
+      .vertex("v").collect().head
+    assert(out.getAs[String]("_key") == "c")
+    assert(out.getAs[String]("other_key") == "y") // call-site override
+  }
+
   test("input_groups repeat the call per field group") {
     import spark.implicits._
     import graft.model._
