@@ -210,6 +210,76 @@ object GraftQueriesR5b {
         .orderBy("node")
     },
 
+    // §2.13 compose_manifests (reference evolution/compose.py:586-660):
+    // two independently-authored manifests (clients over customer, vendors
+    // over supplier) compose under explicit vertex/property equivalences
+    // into ONE party graph; both resources ingest through the composed
+    // manifest and same-key docs merge across sources
+    "q_compose_manifests" -> { (s, d) =>
+      import graft.evolve.Compose
+      import graft.evolve.Compose._
+      val leftM = graft.manifest.ManifestLoader.fromYamlString(
+        """schema:
+          |    metadata:
+          |        name: clients
+          |    graph:
+          |        vertex_config:
+          |            vertices:
+          |            -   name: client
+          |                properties:
+          |                -   name
+          |                identity:
+          |                -   client_id
+          |ingestion_model:
+          |    resources:
+          |    -   name: customers
+          |        pipeline:
+          |        -   transform:
+          |                rename:
+          |                    c_custkey: client_id
+          |                    c_name: name
+          |        -   vertex: client
+          |""".stripMargin)
+      val rightM = graft.manifest.ManifestLoader.fromYamlString(
+        """schema:
+          |    metadata:
+          |        name: vendors
+          |    graph:
+          |        vertex_config:
+          |            vertices:
+          |            -   name: vendor
+          |                properties:
+          |                -   vname
+          |                identity:
+          |                -   vendor_id
+          |ingestion_model:
+          |    resources:
+          |    -   name: suppliers
+          |        pipeline:
+          |        -   transform:
+          |                rename:
+          |                    s_suppkey: vendor_id
+          |                    s_name: vname
+          |        -   vertex: vendor
+          |""".stripMargin)
+      val composed = Compose.composeManifests(leftM, rightM, ComposeManifestsOp(
+        vertices = Seq(VertexEquiv("client", "vendor", "party",
+          properties = Seq(
+            PropertyEquiv(Some("name"), Some("vname"), "name"),
+            PropertyEquiv(Some("client_id"), Some("vendor_id"), "party_id")),
+          identity = Some(Seq("party_id"))))))
+      val root = s"/root/repo/target/graft-compose-${d.replaceAll("[^0-9.]", "")}"
+      deleteRecursively(new java.io.File(root))
+      val store = new GraphStore(root, composed.schema, s)
+      composed.resources.foreach { r =>
+        val src = if (r.name == "customers") "customer" else "supplier"
+        store.write(PipelineCompiler.compile(composed.schema, r, t(s, d)(src)))
+      }
+      store.vertices("party")
+        .agg(count(lit(1)).as("n_parties"),
+          sum(when(col("name").isNotNull, 1L).otherwise(0L)).as("n_named"))
+    },
+
     // §2.7 AggregateQuery constraint contract (reference models.py:252-283):
     // the valid spec computes against live data; each invalid spec must be
     // rejected by the constraint checks, not silently computed
@@ -274,6 +344,11 @@ object GraftQueriesR5b {
     "q_scc_truncated" -> (graft.graph.GraphAlgos.sccOracleSql(
       "SELECT 'n' || n_nationkey AS src, 'n' || ((n_nationkey + 1) % 25) AS dst FROM nation",
       peelRounds = 2, propRounds = 2) + "\nORDER BY node"),
+
+    "q_compose_manifests" ->
+      """SELECT count(*) AS n_parties, count(*) AS n_named FROM (
+        |  SELECT c_custkey AS k FROM customer
+        |  UNION SELECT s_suppkey FROM supplier)""".stripMargin,
 
     "q_agg_constraints" ->
       """SELECT 'count_total' AS spec,
