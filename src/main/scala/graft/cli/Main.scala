@@ -224,6 +224,24 @@ object Main {
         s""""contrib": ${r.getAs[Double]("contrib")}}""")
       println(s"""{"psi": $psi, "verdict": "$verdict", """ +
         s""""bins": [${bins.mkString(", ")}]}""")
+    case "schema-card" :: manifestPath :: rest =>
+      // compact schema summary, optionally sliced around seed types:
+      // schema-card <manifest> [seed1,seed2 [maxHops [maxVertices]]]
+      val m = graft.manifest.ManifestLoader.load(manifestPath)
+      val (schema, report) = rest match {
+        case seeds :: tail =>
+          val hops = tail.headOption.map(_.toInt).getOrElse(3)
+          val cap = tail.lift(1).map(_.toInt)
+          val (s2, r) = graft.evolve.SchemaContext.subschema(
+            m.schema, seeds.split(",").toSeq, hops, cap)
+          (s2, Some(r))
+        case Nil => (m.schema, None)
+      }
+      println(graft.evolve.SchemaContext.schemaCard(schema))
+      report.filter(r => r.elidedVertices.nonEmpty || r.elidedEdges.nonEmpty)
+        .foreach(r => println(s"(elided: ${r.elidedVertices.size} vertices, " +
+          s"${r.elidedEdges.size} edges)"))
+
     case "manifest-to-rdf" :: manifestPath :: outPath :: Nil =>
       // reference CLI `manifest_to_rdf` (pyproject scripts; rdf/serializer.py):
       // schema → OWL/RDFS TBox as N-Triples
