@@ -164,15 +164,33 @@ object Similarity {
       .withColumn("_sn", norm(col("_sv")))
     val b = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("_tv"))
       .withColumn("_tn", norm(col("_tv")))
-    // both top-k directions consume the scored candidates — persist so
-    // the cross join + dot products run once, not per direction
-    val pairs = a.crossJoin(broadcast(b))
-      .withColumn("c", round(dot(col("_sv"), col("_tv")) /
-        (col("_sn") * col("_tn")) * 10000).cast("long"))
-      .select("src_id", "tgt_id", "c")
+    // ONE scan of the cross join: every scored pair explodes into its two
+    // directional rows and BOTH top-k heaps fill inside a single
+    // map-side-combined bounded-heap aggregation — the corpus-scale pair
+    // frame is never persisted and never rescanned (the earlier shape
+    // materialized all |src|·|tgt| scored rows to serve two aggregations)
+    val scored = a.crossJoin(broadcast(b))
+      .select(col("src_id"), col("tgt_id"),
+        round(dot(col("_sv"), col("_tv")) /
+          (col("_sn") * col("_tn")) * 10000).cast("long").as("c"))
+    val tk = scored.select(explode(array(
+        struct(lit("s").as("side"), col("src_id").as("g"),
+          col("tgt_id").as("o"), col("c")),
+        struct(lit("t").as("side"), col("tgt_id").as("g"),
+          col("src_id").as("o"), col("c")))).as("e"))
+      .select(col("e.side").as("side"), col("e.g").as("g"),
+        col("e.o").as("o"), col("e.c").as("c"))
+      .groupBy("side", "g")
+      .agg(graft.expr.BoundedTopK.topKPairs(k, col("c"), col("o")).as("_tk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val kA = graft.ext.Corpus.topKPerGroupAgg(pairs, "src_id", "c", "tgt_id", k)
-    val kB = graft.ext.Corpus.topKPerGroupAgg(pairs, "tgt_id", "c", "src_id", k)
+    def sideK(side: String, gName: String, oName: String): DataFrame =
+      tk.where(col("side") === side)
+        .select(col("g").as(gName),
+          posexplode(col("_tk")).as(Seq("_pos", "_pair")))
+        .select(col(gName), col("_pair.payload").as(oName),
+          col("_pair.score").cast("long").as("c"))
+    val kA = sideK("s", "src_id", "tgt_id")
+    val kB = sideK("t", "tgt_id", "src_id")
     val sA = kA.groupBy("src_id")
       .agg(sum("c").as("_sa"), count(lit(1)).as("_ka"))
     val sB = kB.groupBy("tgt_id")
