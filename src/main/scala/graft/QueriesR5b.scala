@@ -181,7 +181,7 @@ object GraftQueriesR5b {
     // the even half, then a DRY write of the odd half through the full plan
     // — the store must still hold exactly the even half
     "q_dry_run" -> { (s, d) =>
-      val root = s"/root/repo/target/graft-dryrun-${d.replaceAll("[^0-9.]", "")}"
+      val root = GraftQueries.scratch(s, "dryrun", d)
       deleteRecursively(new java.io.File(root))
       val sch = GraphSchema(Seq(VertexDef("customer", Seq(FieldDef("c_name")),
         Identity.Natural(Seq("c_custkey")))))
@@ -268,7 +268,7 @@ object GraftQueriesR5b {
             PropertyEquiv(Some("name"), Some("vname"), "name"),
             PropertyEquiv(Some("client_id"), Some("vendor_id"), "party_id")),
           identity = Some(Seq("party_id"))))))
-      val root = s"/root/repo/target/graft-compose-${d.replaceAll("[^0-9.]", "")}"
+      val root = GraftQueries.scratch(s, "compose", d)
       deleteRecursively(new java.io.File(root))
       val store = new GraphStore(root, composed.schema, s)
       composed.resources.foreach { r =>

@@ -68,32 +68,58 @@ object Compose {
     case other => other
   }
 
+  /** Vertex types a step extracts from / matches against at its own level
+    * (Descend excluded — nested levels get their own injection).
+    */
+  private def stepVertexRefs(s: Step): Set[String] = s match {
+    case v: VertexStep    => Set(v.vertex)
+    case e: EdgeStep      => Set(e.source, e.target)
+    case m: MultiEdgeStep => m.links.flatMap(l => Set(l.source, l.target)).toSet
+    case _                => Set.empty
+  }
+
   /** Boundary renames: a schema-property rename must also rename the DATA
     * column the resource produces under the old name — injected as a
-    * RenameStep at the head of the resource and of every descend level
-    * (withColumnRenamed is a no-op where the column is absent, so the
-    * blanket injection is safe).
+    * RenameStep at the head of the resource and of every descend level.
+    * The injected map is SCOPED to the vertices actually referenced at
+    * that level (keyed by post-merge vertex name): a blanket map would
+    * rename a same-named column out from under a non-equivalent vertex
+    * extracted at the same level. Conflicting renames of one source field
+    * by two vertices at the same level are ambiguous and rejected.
     */
   private def injectFieldRenames(steps: Seq[Step],
-      renames: Map[String, String]): Seq[Step] =
-    if (renames.isEmpty) steps
+      renamesByVertex: Map[String, Map[String, String]]): Seq[Step] =
+    if (renamesByVertex.isEmpty) steps
     else {
       val recursed = steps.map {
-        case d: Descend => d.copy(steps = injectFieldRenames(d.steps, renames))
+        case d: Descend => d.copy(steps = injectFieldRenames(d.steps, renamesByVertex))
         case other => other
       }
-      // the boundary rename slots in AFTER the level's leading transform
-      // block (the resource's own renames/derivations produce the old
-      // names) and before the first extraction step
-      val at = recursed.indexWhere {
-        case _: TransformStep | _: RenameStep | _: RenameKeysStep |
-             _: CastStep => false
-        case _ => true
-      } match {
-        case -1 => recursed.length
-        case i  => i
+      val refs = steps.flatMap(stepVertexRefs).toSet
+      val pairs = refs.toSeq.sorted
+        .flatMap(v => renamesByVertex.getOrElse(v, Map.empty).toSeq)
+      val conflicts = pairs.groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1)
+      if (conflicts.nonEmpty) throw new IllegalArgumentException(
+        "compose: conflicting property renames at one pipeline level: " +
+          conflicts.map { case (f, ts) =>
+            s"$f -> {${ts.map(_._2).distinct.sorted.mkString(",")}}"
+          }.mkString("; "))
+      val renames = pairs.toMap.filter { case (a, b) => a != b }
+      if (renames.isEmpty) recursed
+      else {
+        // the boundary rename slots in AFTER the level's leading transform
+        // block (the resource's own renames/derivations produce the old
+        // names) and before the first extraction step
+        val at = recursed.indexWhere {
+          case _: TransformStep | _: RenameStep | _: RenameKeysStep |
+               _: CastStep => false
+          case _ => true
+        } match {
+          case -1 => recursed.length
+          case i  => i
+        }
+        (recursed.take(at) :+ RenameStep(renames)) ++ recursed.drop(at)
       }
-      (recursed.take(at) :+ RenameStep(renames)) ++ recursed.drop(at)
     }
 
   private def alignSide(m: GraphManifest, pick: VertexEquiv => String,
@@ -108,8 +134,19 @@ object Compose {
       pick(veq) -> veq.properties.flatMap(pe =>
         pickProp(pe).map(_ -> pe.into)).toMap
     }.toMap
-    val allFieldRenames = fmapByVertex.values.flatten
-      .filter { case (a, b) => a != b }.toMap
+    // boundary-rename maps keyed by the POST-merge vertex name (the steps
+    // carry `into` names once renameStepVertices has run); two equivs
+    // targeting the same `into` must not rename one field two ways
+    val renamesByVertex: Map[String, Map[String, String]] =
+      op.vertices.groupBy(_.into).map { case (into, veqs) =>
+        val pairs = veqs.flatMap(_.properties.flatMap(pe =>
+          pickProp(pe).map(_ -> pe.into)))
+        val conflicts = pairs.groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1)
+        if (conflicts.nonEmpty) throw new IllegalArgumentException(
+          s"compose: conflicting property renames for vertex '$into': " +
+            conflicts.keys.toSeq.sorted.mkString(","))
+        into -> pairs.toMap.filter { case (a, b) => a != b }
+      }.filter(_._2.nonEmpty)
     val vertices = m.schema.vertices.map { v =>
       val fm = fmapByVertex.getOrElse(v.name, Map.empty)
       def rf(n: String) = fm.getOrElse(n, n)
@@ -129,7 +166,7 @@ object Compose {
     val resources = m.resources.map { r =>
       r.copy(steps = injectFieldRenames(
         r.steps.map(renameStepVertices(_, vmap, fmapByVertex, rmap)),
-        allFieldRenames))
+        renamesByVertex))
     }
     m.copy(schema = GraphSchema(vertices, edges), resources = resources)
   }

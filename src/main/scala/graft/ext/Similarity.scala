@@ -210,8 +210,15 @@ object Similarity {
       .groupBy("tgt_id")
       .agg(min(struct(negate(col("margin")).as("nm"), col("src_id").as("s"))).as("_b"))
       .select(col("tgt_id"), col("_b.s").as("src_id"))
-    bestA.join(bestB, Seq("src_id", "tgt_id"))
+    // eager-materialize the mined pairs (≤ min(|src|,|tgt|) rows — bounded
+    // by the broadcast side) so the tk heap frame can be released NOW;
+    // returning a lazy frame would pin tk's cached partitions for the
+    // session lifetime across repeated invocations
+    val mined = bestA.join(bestB, Seq("src_id", "tgt_id"))
       .select(col("src_id"), col("tgt_id"), round(col("margin"), 4).as("margin"))
+      .localCheckpoint(true)
+    tk.unpersist(blocking = false)
+    mined
   }
 
   /** Deterministic random hyperplanes: `planes(b)(d)` from a seeded RNG.

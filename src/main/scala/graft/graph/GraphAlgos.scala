@@ -675,16 +675,17 @@ object GraphAlgos {
     * community-backbone extractor.
     *
     * Peeling loop in the [[kCore]] shape: per round, per-edge triangle
-    * support from a node-ordered wedge join over the current edge set
-    * (x<y<z once per triangle, each triangle crediting its three edges),
-    * then edges under k−2 drop via anti-join; fixed `maxRounds` budget
-    * with an early `isEmpty` convergence probe, lineage severed per
-    * round. Returns surviving (a, b, support) under the FINAL edge set.
-    *
-    * Scale note: the wedge join here orients by node id; the
-    * degree-ordered orientation of [[triangleCounts]] (O(√m) fanout cap)
-    * drops in unchanged when hub skew demands it — kept node-ordered so
-    * the unrolled oracle replays the identical join.
+    * support from a DEGREE-ORDERED wedge join over the current edge set
+    * (the [[triangleCounts]] orientation: each edge oriented from its
+    * lower-(deg, node) endpoint, wedges only from outgoing oriented
+    * edges — O(√m) fanout per node regardless of raw degree, so a hub's
+    * id-ordered neighborhood can't mint a quadratic wedge blowup), then
+    * edges under k−2 drop via anti-join; fixed `maxRounds` budget with an
+    * early `isEmpty` convergence probe, lineage severed per round.
+    * Returns surviving (a, b, support) under the FINAL edge set. Support
+    * values are orientation-independent (each triangle is found exactly
+    * once and credits its three canonical edges), so the unrolled oracle
+    * — regenerated from this same orientation — replays bit-exact.
     */
   def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxRounds: Int): DataFrame = {
@@ -695,39 +696,69 @@ object GraphAlgos {
       greatest(col(srcCol).cast("string"), col(dstCol).cast("string")).as("b"))
       .where(col("a") =!= col("b")).distinct()
       .localCheckpoint(true)
-    def support(cur: DataFrame): DataFrame = {
-      val tri = cur.as("e1")
-        .join(cur.as("e2"),
-          col("e2.a") === col("e1.a") && col("e2.b") > col("e1.b"))
-        .join(cur.as("e3"),
-          col("e3.a") === col("e1.b") && col("e3.b") === col("e2.b"))
-        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-      tri.select(explode(array(
-        struct(col("x").as("a"), col("y").as("b")),
-        struct(col("x").as("a"), col("z").as("b")),
-        struct(col("y").as("a"), col("z").as("b")))).as("_e"))
+    // returns (support frame, oriented-edge cache): the caller unpersists
+    // the cache once the support consumer is materialized
+    def support(cur: DataFrame): (DataFrame, DataFrame) = {
+      val deg = cur.select(col("a").as("node")).unionAll(cur.select(col("b")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val lowFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val o = cur
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+        .select(
+          when(lowFirst, col("a")).otherwise(col("b")).as("lo"),
+          when(lowFirst, col("b")).otherwise(col("a")).as("hi"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // wedges from a common low endpoint; u < v kills the (u,v)/(v,u)
+      // mirror; the closing edge {u, v} may be oriented either way
+      val wedges = o.select(col("lo"), col("hi").as("u"))
+        .join(o.select(col("lo"), col("hi").as("v")), Seq("lo"))
+        .where(col("u") < col("v"))
+      val tri = wedges.join(
+        o.select(col("lo").as("u"), col("hi").as("v"))
+          .unionAll(o.select(col("hi").as("u"), col("lo").as("v"))),
+        Seq("u", "v"))
+      val sup = tri.select(explode(array(
+        struct(least(col("lo"), col("u")).as("a"),
+          greatest(col("lo"), col("u")).as("b")),
+        struct(least(col("lo"), col("v")).as("a"),
+          greatest(col("lo"), col("v")).as("b")),
+        struct(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b")))).as("_e"))
         .select(col("_e.a").as("a"), col("_e.b").as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      (sup, o)
     }
     var round = 0
     var stable = false
     while (round < maxRounds && !stable) {
-      val weak = e.join(support(e), Seq("a", "b"), "left")
+      val (sup, oCache) = support(e)
+      val weak = e.join(sup, Seq("a", "b"), "left")
         .where(coalesce(col("support"), lit(0L)) < k - 2)
         .select("a", "b")
         .localCheckpoint(true)
+      oCache.unpersist(blocking = false)
       if (weak.isEmpty) stable = true
       else {
         e = e.join(weak, Seq("a", "b"), "left_anti").localCheckpoint(true)
         round += 1
       }
     }
-    e.join(support(e), Seq("a", "b"), "left")
+    val (supF, oF) = support(e)
+    val out = e.join(supF, Seq("a", "b"), "left")
       .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
+      .localCheckpoint(true) // materialize so the oriented cache can drop
+    oF.unpersist(blocking = false)
+    out
   }
 
   /** DuckDB replay of [[kTruss]], rounds unrolled (a converged round
-    * removes nothing, so a fixed unroll equals the early-exit loop).
+    * removes nothing, so a fixed unroll equals the early-exit loop). The
+    * wedge join replays the SAME degree-ordered orientation as the
+    * implementation (support values are orientation-independent, but the
+    * oracle-replays-the-identical-computation discipline holds — and the
+    * bounded fanout speeds DuckDB up just the same).
     */
   def kTrussOracleSql(edgesSql: String, k: Int, rounds: Int): String = {
     val head =
@@ -735,28 +766,35 @@ object GraphAlgos {
          |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
          |    greatest(src, dst) AS b
          |  FROM undE WHERE src <> dst)""".stripMargin
-    def supSql(src: String, out: String) =
-      s"""$out AS MATERIALIZED (SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
-         |  SELECT e1.a AS a, e1.b AS b FROM $src e1
-         |    JOIN $src e2 ON e2.a = e1.a AND e2.b > e1.b
-         |    JOIN $src e3 ON e3.a = e1.b AND e3.b = e2.b
-         |  UNION ALL
-         |  SELECT e1.a, e2.b FROM $src e1
-         |    JOIN $src e2 ON e2.a = e1.a AND e2.b > e1.b
-         |    JOIN $src e3 ON e3.a = e1.b AND e3.b = e2.b
-         |  UNION ALL
-         |  SELECT e1.b, e2.b FROM $src e1
-         |    JOIN $src e2 ON e2.a = e1.a AND e2.b > e1.b
-         |    JOIN $src e3 ON e3.a = e1.b AND e3.b = e2.b
+    def supSql(src: String, tag: String, out: String) =
+      s"""d$tag AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT a AS node FROM $src UNION ALL SELECT b FROM $src) GROUP BY 1),
+         |o$tag AS MATERIALIZED (
+         |  SELECT CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND e.a < e.b)
+         |      THEN e.a ELSE e.b END AS lo,
+         |    CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND e.a < e.b)
+         |      THEN e.b ELSE e.a END AS hi
+         |  FROM $src e JOIN d$tag x ON x.node = e.a JOIN d$tag y ON y.node = e.b),
+         |t$tag AS MATERIALIZED (
+         |  SELECT w.lo, w.u, w.v
+         |  FROM (SELECT o1.lo, o1.hi AS u, o2.hi AS v
+         |        FROM o$tag o1 JOIN o$tag o2 ON o2.lo = o1.lo AND o1.hi < o2.hi) w
+         |  JOIN (SELECT lo AS u, hi AS v FROM o$tag
+         |        UNION ALL SELECT hi, lo FROM o$tag) c
+         |    ON c.u = w.u AND c.v = w.v),
+         |$out AS MATERIALIZED (SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+         |  SELECT least(lo, u) AS a, greatest(lo, u) AS b FROM t$tag
+         |  UNION ALL SELECT least(lo, v), greatest(lo, v) FROM t$tag
+         |  UNION ALL SELECT least(u, v), greatest(u, v) FROM t$tag
          |) GROUP BY 1, 2)""".stripMargin
     val iters = (1 to rounds).map { r =>
-      s"""${supSql(s"e${r - 1}", s"s$r")},
+      s"""${supSql(s"e${r - 1}", s"$r", s"s$r")},
          |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e LEFT JOIN s$r s
          |  ON s.a = e.a AND s.b = e.b
          |  WHERE coalesce(s.support, 0) >= ${k - 2})""".stripMargin
     }
     val fin =
-      s"""${supSql(s"e$rounds", "sf")}
+      s"""${supSql(s"e$rounds", "f", "sf")}
          |SELECT e.a, e.b, coalesce(sf.support, 0) AS support
          |FROM e$rounds e LEFT JOIN sf ON sf.a = e.a AND sf.b = e.b
          |ORDER BY e.a, e.b""".stripMargin
@@ -1387,15 +1425,25 @@ object GraphAlgos {
     val negs = nodes.select(col("n").as("a"))
       .join(nodes.select(col("n").as("b")), col("a") < col("b"))
       .join(e, Seq("a", "b"), "left_anti").persist(lvl)
-    // common-neighbor scores for an evaluation pair set
+    // common-neighbor scores for an evaluation pair set. The scorer only
+    // ever needs adjacency rows whose endpoint u appears in an eval pair
+    // (≤ 2·|ev| nodes, broadcast-small) — semi-joining the FULL train
+    // adjacency down first shrinks the common-neighbor join's input by
+    // orders of magnitude on a large graph (the w-keyed join otherwise
+    // fans out over every training edge).
     val adj = train.select(col("a").as("u"), col("b").as("w"))
       .union(train.select(col("b").as("u"), col("a").as("w")))
-    def score(ev: DataFrame): DataFrame = ev
-      .join(adj.select(col("u").as("a"), col("w")), Seq("a"))
-      .join(adj.select(col("u").as("b"), col("w")), Seq("b", "w"))
-      .groupBy("a", "b").agg(count(lit(1)).as("s"))
-      .join(ev, Seq("a", "b"), "right")
-      .select(coalesce(col("s"), lit(0L)).as("s"))
+    def score(ev: DataFrame): DataFrame = {
+      val evNodes = ev.select(col("a").as("u"))
+        .union(ev.select(col("b"))).distinct()
+      val adjP = adj.join(broadcast(evNodes), Seq("u"), "left_semi")
+      ev
+        .join(adjP.select(col("u").as("a"), col("w")), Seq("a"))
+        .join(adjP.select(col("u").as("b"), col("w")), Seq("b", "w"))
+        .groupBy("a", "b").agg(count(lit(1)).as("s"))
+        .join(ev, Seq("a", "b"), "right")
+        .select(coalesce(col("s"), lit(0L)).as("s"))
+    }
     val ph = score(test).groupBy("s").agg(count(lit(1)).as("cp"))
     val nh = score(negs).groupBy("s").agg(count(lit(1)).as("cn"))
     val u2 = ph.crossJoin(nh.select(col("s").as("sn"), col("cn")))

@@ -350,10 +350,12 @@ object ManifestLoader {
         case ("builtins", "float") => Some(cs => cs.head.cast("double"))
         case ("builtins", "str") => Some(cs => cs.head.cast("string"))
         case (_, "split_keep_part") =>
-          val sep = params.get("sep").map(_.asText()).getOrElse(" ")
+          // reference defaults: sep="/", keep=-1 (util/transform.py:449) —
+          // a manifest omitting params keeps the LAST slash-separated part
+          val sep = params.get("sep").map(_.asText()).getOrElse("/")
           // reference param name is `keep` (negative = from the end)
           val idx = params.get("keep").orElse(params.get("idx"))
-            .map(_.asInt()).getOrElse(0)
+            .map(_.asInt()).getOrElse(-1)
           Some(cs => graft.functions.TransformLib.splitKeepPart(cs.head, sep, idx))
         case (_, "remove_prefix") =>
           val p = params.get("prefix").map(_.asText()).getOrElse("")

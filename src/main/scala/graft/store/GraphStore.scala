@@ -441,39 +441,47 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
     */
   def enrichEdgeWeights(k: EdgeKey, edges: DataFrame,
       specs: Seq[VertexWeightSpec]): DataFrame =
-    specs.foldLeft(edges) { (e, spec) =>
-      val side = spec.endpoint match {
-        case Some("source") => "src_"
-        case Some("target") => "dst_"
-        case Some(other) =>
-          throw new IllegalArgumentException(s"bad endpoint '$other' (source|target)")
-        case None =>
-          if (spec.vertex == k.source) "src_"
-          else if (spec.vertex == k.target) "dst_"
-          else {
-            // non-endpoint weight vertex: the association is per DOCUMENT
-            // and only the compiler sees document ids, so the fields were
-            // attached at render time (Compiler.renderIntent) — verify and
-            // pass through (reference db_writer.py:355-387 semantics)
-            val expected = spec.fields.map(f =>
-              if (spec.keepVertexName) s"${spec.vertex}@$f" else f)
-            val missing = expected.filterNot(e.columns.contains)
-            if (missing.nonEmpty) throw new IllegalArgumentException(
-              s"vertex_weights '${spec.vertex}' matches neither endpoint of $k " +
-                s"and the render-time fields ${missing.mkString(",")} are absent")
-            return e
-          }
-      }
-      val vdef = schema.vertex(spec.vertex)
-      val ids = vdef.idColumns
-      val lookup = vertices(spec.vertex)
-        .select((ids ++ spec.fields).distinct.map(col): _*)
-        .dropDuplicates(ids) // one weight doc per identity (reference weights[0])
-      val prefixed = ids.foldLeft(lookup)((d, c) => d.withColumnRenamed(c, side + c))
-      val named = spec.fields.filterNot(ids.contains).foldLeft(prefixed)((d, f) =>
-        if (spec.keepVertexName) d.withColumnRenamed(f, s"${spec.vertex}@$f") else d)
-      e.join(broadcast(named), ids.map(side + _), "left")
+    specs.foldLeft(edges)((e, spec) => enrichOneWeight(k, e, spec))
+
+  /** One vertex_weights spec applied to the edge frame. Separate method so
+    * the non-endpoint pass-through is a LOCAL return — inside a foldLeft
+    * lambda a `return` would abort the whole fold and silently skip every
+    * remaining spec.
+    */
+  private def enrichOneWeight(k: EdgeKey, e: DataFrame,
+      spec: VertexWeightSpec): DataFrame = {
+    val side = spec.endpoint match {
+      case Some("source") => "src_"
+      case Some("target") => "dst_"
+      case Some(other) =>
+        throw new IllegalArgumentException(s"bad endpoint '$other' (source|target)")
+      case None =>
+        if (spec.vertex == k.source) "src_"
+        else if (spec.vertex == k.target) "dst_"
+        else {
+          // non-endpoint weight vertex: the association is per DOCUMENT
+          // and only the compiler sees document ids, so the fields were
+          // attached at render time (Compiler.renderIntent) — verify and
+          // pass through (reference db_writer.py:355-387 semantics)
+          val expected = spec.fields.map(f =>
+            if (spec.keepVertexName) s"${spec.vertex}@$f" else f)
+          val missing = expected.filterNot(e.columns.contains)
+          if (missing.nonEmpty) throw new IllegalArgumentException(
+            s"vertex_weights '${spec.vertex}' matches neither endpoint of $k " +
+              s"and the render-time fields ${missing.mkString(",")} are absent")
+          return e
+        }
     }
+    val vdef = schema.vertex(spec.vertex)
+    val ids = vdef.idColumns
+    val lookup = vertices(spec.vertex)
+      .select((ids ++ spec.fields).distinct.map(col): _*)
+      .dropDuplicates(ids) // one weight doc per identity (reference weights[0])
+    val prefixed = ids.foldLeft(lookup)((d, c) => d.withColumnRenamed(c, side + c))
+    val named = spec.fields.filterNot(ids.contains).foldLeft(prefixed)((d, f) =>
+      if (spec.keepVertexName) d.withColumnRenamed(f, s"${spec.vertex}@$f") else d)
+    e.join(broadcast(named), ids.map(side + _), "left")
+  }
 
   /** INDEX.json manifest (reference layout.py:23-120). */
   def writeIndex(): Unit = {
