@@ -877,7 +877,8 @@ object Corpus {
     * KMeans centroid update), and a narrow per-row fold. The evolving
     * word table is persisted per round with flat lineage.
     */
-  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): Seq[(String, String, Long)] = {
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
+      localVocabLimit: Long = 500000L): Seq[(String, String, Long)] = {
     require(nMerges >= 1, "nMerges must be positive")
     val toks = filter(split(Dedup.normalize(col(textCol)), " "), t => length(t) > 0)
     var words = df.select(explode(toks).as("word"))
@@ -893,7 +894,10 @@ object Corpus {
     // identical greedy-leftmost merge and (cnt desc, a, b) unsigned-UTF8
     // tie-break, none of the per-round job-launch latency. The distributed
     // loop below stays as the unbounded-vocabulary path.
-    if (vocabRows <= 500000L) {
+    // `localVocabLimit` is a measured-count gate, NOT a tunable to raise
+    // silently; tests pass 0 to force the distributed loop and assert both
+    // branches produce identical merge tables
+    if (vocabRows <= localVocabLimit) {
       val local = words.collect()
         .map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
       words.unpersist(blocking = false)

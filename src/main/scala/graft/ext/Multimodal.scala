@@ -14,7 +14,12 @@ import org.apache.spark.sql.types._
   *    mean luminance (a real, deterministic image embedding).
   *  - UNCOMPRESSED audio (WAV RIFF, PCM 8/16-bit) likewise decodes
   *    natively ([[decodeWav]]) with duration/RMS features.
-  *  - Compressed codecs (JPEG/PNG/MP3/video) need libraries this
+  *  - COMPRESSED images (JPEG baseline + PNG) decode and encode for real
+  *    through the JDK's bundled `javax.imageio` codecs ([[decodeImageIo]],
+  *    [[encodePng]], [[encodeJpeg]]) — part of Java SE, no external
+  *    library. PNG round-trips bit-exact (lossless); JPEG is gated by a
+  *    PSNR band ([[psnrCheck]]).
+  *  - Compressed AUDIO/VIDEO (MP3/MP4) still need codec libraries this
   *    container lacks, so their kernel is `decodeStub` ??? — a
   *    deterministic fake signal from the bytes. Swapping it for a real
   *    JNI/codec call changes no plan shape.
@@ -95,13 +100,91 @@ object Multimodal {
     Some(Raster(w, hh, out))
   }
 
-  /** Format sniff + decode for the natively-supported rasters. */
+  /** Format sniff + decode for the supported rasters: native byte-walking
+    * for PPM/BMP/QOI, the JDK's bundled `javax.imageio` codecs for
+    * JPEG/PNG (part of Java SE — the container lacks libjpeg/ffmpeg for
+    * the PYTHON stack, but every JVM ships its own image codecs).
+    */
   def decode(bytes: Array[Byte]): Option[Raster] =
     if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else if (bytes.length >= 4 && bytes(0) == 'q' && bytes(1) == 'o' &&
       bytes(2) == 'i' && bytes(3) == 'f') decodeQoi(bytes)
+    else if (isJpeg(bytes) || isPng(bytes)) decodeImageIo(bytes)
     else None
+
+  def isJpeg(bytes: Array[Byte]): Boolean =
+    bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 &&
+      (bytes(2) & 0xff) == 0xff
+
+  def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G'
+
+  /** JPEG/PNG decode through `javax.imageio` (headless-safe; executors set
+    * no display). Undecodable or absurdly large images → None, like the
+    * native decoders.
+    */
+  def decodeImageIo(bytes: Array[Byte]): Option[Raster] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        if (w <= 0 || h <= 0 || w.toLong * h > 16777216L) None
+        else {
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          val out = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            out(i * 3) = ((p >> 16) & 0xff).toByte
+            out(i * 3 + 1) = ((p >> 8) & 0xff).toByte
+            out(i * 3 + 2) = (p & 0xff).toByte
+            i += 1
+          }
+          Some(Raster(w, h, out))
+        }
+      }
+    } catch { case _: Throwable => None }
+
+  private def toBufferedImage(r: Raster): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(r.width, r.height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](r.width * r.height)
+    var i = 0
+    while (i < px.length) {
+      px(i) = ((r.rgb(i * 3) & 0xff) << 16) | ((r.rgb(i * 3 + 1) & 0xff) << 8) |
+        (r.rgb(i * 3 + 2) & 0xff)
+      i += 1
+    }
+    img.setRGB(0, 0, r.width, r.height, px, 0, r.width)
+    img
+  }
+
+  /** PNG encode (lossless — decode(encodePng(r)) returns r's exact pixels). */
+  def encodePng(r: Raster): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(toBufferedImage(r), "png", bos)
+    bos.toByteArray
+  }
+
+  /** Baseline JPEG encode at the given quality (lossy — round-trips are
+    * checked by PSNR band, not bit equality).
+    */
+  def encodeJpeg(r: Raster, quality: Float = 0.9f): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(toBufferedImage(r), null, null), param)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
 
   /** QOI decode (the public "Quite OK Image" spec, qoiformat.org): 14-byte
     * header, then RGB/RGBA/INDEX/DIFF/LUMA/RUN chunks against a 64-slot
@@ -218,29 +301,83 @@ object Multimodal {
   /** Synthesize deterministic QOI payloads per id — procedural RGB so the
     * oracle can recompute any decoded statistic closed-form.
     */
-  def synthesizeQoi(df: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+  /** The closed-form test image: each channel a small linear formula of
+    * (x, y, id) mod 256 — reproducible in plain SQL, so decode statistics
+    * oracle exactly.
+    */
+  private[graft] def formulaRaster(id: Long, w: Int, h: Int): Raster = {
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        rgb(o) = (((x * 3 + y * 5 + id) % 256).toInt).toByte
+        rgb(o + 1) = (((x * 7 + y + 2 * id) % 256).toInt).toByte
+        rgb(o + 2) = (((x + y * 11 + 3 * id) % 256).toInt).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Raster(w, h, rgb, 255)
+  }
+
+  private def synthesize(df: DataFrame, idCol: String, w: Int, h: Int,
+      pack: Raster => Array[Byte]): DataFrame = {
     val schema = StructType(Seq(
       StructField(idCol, LongType),
       StructField("media", BinaryType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.select(col(idCol).cast("long"))
       .mapPartitions { it =>
-        it.map { r =>
+        it.map(r => Row(r.getLong(0), pack(formulaRaster(r.getLong(0), w, h))))
+      }(enc)
+  }
+
+  def synthesizeQoi(df: DataFrame, idCol: String, w: Int, h: Int): DataFrame =
+    synthesize(df, idCol, w, h, qoiPack)
+
+  def synthesizePng(df: DataFrame, idCol: String, w: Int, h: Int): DataFrame =
+    synthesize(df, idCol, w, h, encodePng)
+
+  def synthesizeJpeg(df: DataFrame, idCol: String, w: Int, h: Int,
+      quality: Float = 0.9f): DataFrame =
+    synthesize(df, idCol, w, h, encodeJpeg(_, quality))
+
+  /** Lossy-decode quality gate: decode the media column, compare against
+    * the formula image, emit whether PSNR clears `minPsnrDb`. Any CORRECT
+    * JPEG decoder clears a conservative band; a broken one cannot — so the
+    * check is engine-portable (the DuckDB oracle asserts the band, not
+    * decoder-specific pixels).
+    */
+  def psnrCheck(df: DataFrame, idCol: String, w: Int, h: Int,
+      minPsnrDb: Double): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("width", LongType), StructField("height", LongType),
+      StructField("psnr_ok", BooleanType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col("media"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
           val id = r.getLong(0)
-          val rgb = new Array[Byte](w * h * 3)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val o = (y * w + x) * 3
-              rgb(o) = (((x * 3 + y * 5 + id) % 256).toInt).toByte
-              rgb(o + 1) = (((x * 7 + y + 2 * id) % 256).toInt).toByte
-              rgb(o + 2) = (((x + y * 11 + 3 * id) % 256).toInt).toByte
-              x += 1
+          decode(r.getAs[Array[Byte]](1)).map { ras =>
+            val ref = formulaRaster(id, w, h)
+            var se = 0.0
+            val n = math.min(ras.rgb.length, ref.rgb.length)
+            var i = 0
+            while (i < n) {
+              val dd = (ras.rgb(i) & 0xff) - (ref.rgb(i) & 0xff)
+              se += dd.toDouble * dd
+              i += 1
             }
-            y += 1
+            val mse = if (n == 0) Double.MaxValue else se / n
+            val psnr =
+              if (mse <= 0.0) Double.MaxValue
+              else 10.0 * math.log10(255.0 * 255.0 / mse)
+            Row(id, ras.width.toLong, ras.height.toLong,
+              ras.width == w && ras.height == h && psnr >= minPsnrDb)
           }
-          Row(id, qoiPack(Raster(w, h, rgb, 255)))
         }
       }(enc)
   }
@@ -638,10 +775,12 @@ object Multimodal {
         octet_length(col(payloadCol)).cast("long").as("n_bytes"),
         md5(col(payloadCol)).as("checksum")).as("meta"))
 
-  /** STUB ??? — a real implementation decodes image/audio bytes here (e.g.
-    * libjpeg/ffmpeg via JNI). The stub derives `dim` deterministic floats
-    * from a rolling view of the bytes so downstream ops (similarity, dedup)
-    * are exercisable end-to-end.
+  /** STUB ??? — reached only for COMPRESSED AUDIO/VIDEO (MP3/MP4), whose
+    * codecs the JVM does not bundle (a real implementation calls ffmpeg
+    * via JNI here). Images — including JPEG/PNG since round 6 — take the
+    * real [[decode]] path above. The stub derives `dim` deterministic
+    * floats from a rolling view of the bytes so downstream ops
+    * (similarity, dedup) are exercisable end-to-end.
     */
   private def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)

@@ -241,17 +241,27 @@ object GraphAlgos {
     var dist = Seq((source, 0L)).toDF("node", "dist")
     var distRows = 1L // known: the seed row (the checkpoint count below
     for (_ <- 1 to maxHops) { //    keeps this exact every later round)
-      val distSide = if (distRows <= broadcastNodeLimit) broadcast(dist) else dist
-      val relaxed = e.join(distSide.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       // localCheckpoint severs the per-round lineage (see pageRankFixed)
-      dist = dist.unionByName(relaxed)
+      dist = dist.unionByName(relaxRound(e, dist, distRows, broadcastNodeLimit))
         .groupBy("node").agg(min("dist").as("dist"))
         .localCheckpoint(true)
       distRows = dist.count()
     }
     e.unpersist(blocking = false)
     dist
+  }
+
+  /** One Bellman-Ford relaxation: the node-keyed distance table joins the
+    * edge frame, broadcast while it fits — exposed package-private so
+    * `PlanAssertSpec` can assert the loop's plan invariants (distance side
+    * broadcast under the limit, no Exchange on the cached edge side)
+    * without executing the loop.
+    */
+  private[graft] def relaxRound(e: DataFrame, dist: DataFrame, distRows: Long,
+      broadcastNodeLimit: Long): DataFrame = {
+    val distSide = if (distRows <= broadcastNodeLimit) broadcast(dist) else dist
+    e.join(distSide.withColumnRenamed("node", "src"), Seq("src"))
+      .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
   }
 
   /** DuckDB-dialect oracle for [[shortestPathsFixed]]: rounds unrolled as

@@ -168,7 +168,8 @@ object ManifestLoader {
         else n.elements().asScala.map(_.asText()).toSeq
       case _ => Nil
     }
-    EdgeDef(source, target, relation, properties = props, identities = ids)
+    EdgeDef(source, target, relation, properties = props, identities = ids,
+      relationDeclared = e.has("relation"))
   }
 
   // ------------------------------------------------------------- resources
@@ -181,7 +182,7 @@ object ManifestLoader {
     }
     ResourceDef(
       name = r.path("name").asText(),
-      steps = parseSteps(r.path("pipeline")),
+      steps = parseSteps(pipelineNode(r)),
       dropTrivialFields = r.path("strip_trivial").asBoolean(false),
       inferEdges = r.path("infer_edges").asBoolean(true),
       inferEdgeOnly = pairList(r.path("infer_edge_only")),
@@ -210,6 +211,12 @@ object ManifestLoader {
     case _: MultiEdgeStep    => 90
   }
 
+  /** `apply:` is the reference's older spelling of `pipeline:` (conftest
+    * deb resources; steps/models.py accepts both).
+    */
+  private def pipelineNode(s: JsonNode): JsonNode =
+    if (s.has("pipeline")) s.path("pipeline") else s.path("apply")
+
   private def parseSteps(n: JsonNode): Seq[Step] =
     if (!n.isArray) Nil
     else n.elements().asScala.map(parseStep).toSeq.sortBy(stepPriority)
@@ -218,25 +225,39 @@ object ManifestLoader {
     if (s.has("vertex")) parseVertexStep(s)
     else if (s.has("transform")) parseTransform(s.path("transform"))
     else if (s.has("source") && s.has("target")) parseEdgeStep(s)
+    else if (s.has("edge")) parseEdgeStep(s.path("edge"))
     else if (s.has("links")) MultiEdgeStep(
       s.path("links").elements().asScala.map(parseEdgeStep).toSeq)
     else if (s.has("cast")) CastStep(
       s.path("cast").properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
     else if (s.has("vertex_router") || s.has("type_field")) {
       val r = if (s.has("vertex_router")) s.path("vertex_router") else s
+      val typeMap = objMap(r.path("type_map"))
+      // flat `from:` applies to every routed type (objects-relations.yaml);
+      // per_type_from entries override per type
+      val flatFrom = objMap(r.path("from"))
+      val perType0 = r.path("per_type_from") match {
+        case n if n.isObject => n.properties().asScala.map(e =>
+          e.getKey -> objMap(e.getValue)).toMap
+        case _ => Map.empty[String, Map[String, String]]
+      }
+      val perType =
+        if (flatFrom.isEmpty) perType0
+        else typeMap.values.toSeq.distinct.map(v =>
+          v -> (flatFrom ++ perType0.getOrElse(v, Map.empty))).toMap ++
+          (perType0 -- typeMap.values.toSet)
       VertexRouterStep(
         typeField = r.path("type_field").asText(),
-        typeMap = objMap(r.path("type_map")),
-        perTypeFrom = r.path("per_type_from") match {
-          case n if n.isObject => n.properties().asScala.map(e =>
-            e.getKey -> objMap(e.getValue)).toMap
-          case _ => Map.empty
-        })
+        typeMap = typeMap,
+        perTypeFrom = perType,
+        // synthetic role so `edge:` steps can reference this router slot by
+        // its type field (source_type_field / target_type_field)
+        role = text(r, "role").orElse(Some(s"__tf_${r.path("type_field").asText()}")))
     }
-    else if (s.has("pipeline")) Descend(
+    else if (s.has("pipeline") || s.has("apply")) Descend(
       key = Option(s.get("key")).filterNot(_.isNull).map(_.asText()),
       anyKey = s.path("any_key").asBoolean(false),
-      steps = parseSteps(s.path("pipeline")))
+      steps = parseSteps(pipelineNode(s)))
     else throw new IllegalArgumentException(s"unrecognized pipeline step: $s")
   }
 
@@ -259,18 +280,30 @@ object ManifestLoader {
   private def parseEdgeStep(s: JsonNode): EdgeStep = {
     // `match` selects one location group for BOTH endpoints (kg.yaml)
     val both = text(s, "match")
+    // nested `edge:` form (objects-relations.yaml): `from`/`to` are static
+    // endpoint names; `source_type_field`/`target_type_field` bind an
+    // endpoint to a vertex_router slot via its synthetic `__tf_` role
+    val srcName = if (s.has("source")) s.path("source").asText()
+      else s.path("from").asText("")
+    val dstName = if (s.has("target")) s.path("target").asText()
+      else s.path("to").asText("")
     val step = EdgeStep(
-      source = s.path("source").asText(),
-      target = s.path("target").asText(),
+      source = if (s.has("source_type_field")) "" else srcName,
+      target = if (s.has("target_type_field")) "" else dstName,
       relation = s.path("relation").asText(""),
-      sourceRole = text(s, "source_role"),
-      targetRole = text(s, "target_role"),
+      sourceRole = text(s, "source_role")
+        .orElse(text(s, "source_type_field").map("__tf_" + _)),
+      targetRole = text(s, "target_role")
+        .orElse(text(s, "target_type_field").map("__tf_" + _)),
       relationField = text(s, "relation_field"),
       relationMap = objMap(s.path("relation_map")),
+      relationFromKey = s.path("relation_from_key").asBoolean(false),
       casting = s.path("casting").asText("auto"),
       weightFields = strings(s.path("properties")) ++ strings(s.path("weights")),
       sourceMatch = text(s, "source_match"),
       targetMatch = text(s, "target_match"),
+      excludeSource = text(s, "exclude_source"),
+      excludeTarget = text(s, "exclude_target"),
       sourceGroup = text(s, "match_source").orElse(both),
       targetGroup = text(s, "match_target").orElse(both))
     val vw = s.path("vertex_weights") match {

@@ -171,7 +171,13 @@ final case class EdgeDef(
     targetMatch: Option[String] = None,
     ambiguity: AmbiguityPolicy = AmbiguityPolicy.All,
     /** extra-weight enrichment from stored vertex docs (db_writer.py:355-387) */
-    extraWeights: Seq[VertexWeightSpec] = Nil
+    extraWeights: Seq[VertexWeightSpec] = Nil,
+    /** false when the manifest declared the edge WITHOUT a relation (the
+      * reference's relation=None): the strict per-relation gate must not
+      * constrain data-driven relations to the synthesized default name
+      * (csv-edge-weights.yaml relation_field edges).
+      */
+    relationDeclared: Boolean = true
 ) {
   def key: EdgeKey = EdgeKey(source, target, relation)
 }

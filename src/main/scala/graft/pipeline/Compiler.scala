@@ -180,8 +180,8 @@ object PipelineCompiler {
       case t: TransformStep    => cur = transform(t, cur, ctx)
       case v: VertexStep       => vertexStep(v, cur, loc, ctx)
       case r: VertexRouterStep => routerStep(r, cur, loc, ctx)
-      case e: EdgeStep         => ctx.intents += mkIntent(e, cur, loc)
-      case m: MultiEdgeStep    => m.links.foreach(l => ctx.intents += mkIntent(l, cur, loc))
+      case e: EdgeStep         => ctx.intents += mkIntent(e, cur, loc, ctx.schema)
+      case m: MultiEdgeStep    => m.links.foreach(l => ctx.intents += mkIntent(l, cur, loc, ctx.schema))
       case r: RenameStep       =>
         cur = r.renames.foldLeft(cur) { case (d, (a, b)) => d.withColumnRenamed(a, b) }
       case k: RenameKeysStep   =>
@@ -211,8 +211,23 @@ object PipelineCompiler {
     }
   }
 
-  private def mkIntent(e: EdgeStep, frame: DataFrame, loc: Loc): EdgeIntentRec = {
-    val carried = (e.relationField.toSeq ++ e.weightFields)
+  private def mkIntent(e: EdgeStep, frame: DataFrame, loc: Loc,
+      schema: GraphSchema): EdgeIntentRec = {
+    // schema-declared edge properties are DIRECT weights read off the row
+    // at the edge actor's location (csv-edge-weights.yaml `date`; the
+    // reference copies them onto the edge payload) — carried exactly like
+    // step-level weights when the column exists here
+    val declared =
+      if (e.source.isEmpty || e.target.isEmpty) Nil
+      else schema.edgesBetween(e.source, e.target).flatMap { d =>
+        // properties served by vertex_weights enrichment are NOT direct
+        // row weights — carrying them too would duplicate the column
+        // (ibes analyst→agency declares datetime_review/announce, both
+        // attached by the publication vertex_weights join)
+        val viaWeights = d.extraWeights.flatMap(_.fields).toSet
+        d.properties.map(_.name).filterNot(viaWeights)
+      }
+    val carried = (e.relationField.toSeq ++ e.weightFields ++ declared)
       .distinct.filter(frame.columns.contains)
     val relFrame =
       if (carried.isEmpty) None
@@ -224,8 +239,18 @@ object PipelineCompiler {
     * lineage. Arrays fan out via posexplode (index → `_pos`); structs re-root;
     * maps (`any_key`) fan out over entries with the key joining the frame.
     */
-  private def descend(d: Descend, frame: DataFrame, loc: Loc, ctx: Ctx): Unit = {
+  private def descend(d0: Descend, frame0: DataFrame, loc: Loc, ctx: Ctx): Unit = {
     val meta = MetaCols.map(col)
+    // keyless any_key iterates the CURRENT level's own keys (debian-eco:
+    // `key: dependencies` re-roots, then a bare `any_key: true` walks the
+    // re-rooted entries) — pack the data columns into one struct and reuse
+    // the keyed any_key paths
+    val (d, frame) =
+      if (d0.key.isEmpty && d0.anyKey) {
+        val dataCols = frame0.columns.filterNot(MetaCols.contains)
+        (d0.copy(key = Some("__anykey")),
+          frame0.select(meta :+ struct(dataCols.map(col): _*).as("__anykey"): _*))
+      } else (d0, frame0)
     val sub: (DataFrame, Loc) = (d.key, d.anyKey) match {
       case (Some(k), false) =>
         frame.schema(k).dataType match {
@@ -251,6 +276,47 @@ object PipelineCompiler {
               .withColumn(PosCol, concat(col(PosCol), array(col("__p").cast("long"))))
               .select(MetaCols.map(col) ++ Seq(col("__kv.key").as("_key"), col("__kv.value").as("_value")): _*)
             (e, loc :+ ("*" -> true))
+          case st: StructType if st.fields.nonEmpty &&
+              st.fields.forall(_.dataType match {
+                case ArrayType(_: StructType, _) => true
+                case _ => false
+              }) =>
+            // struct-of-arrays (debian-eco `dependencies`): each field is a
+            // keyed LIST of sub-documents — iterate (key, element) pairs in
+            // field-then-element order with ONE position index, so lineage
+            // congruence sees a single exploding segment (the reference's
+            // loc ("dependencies", <key>, i)). Element structs unify to the
+            // union of their fields (JSON inference gives per-key subsets).
+            val unified: Seq[(String, org.apache.spark.sql.types.DataType)] = {
+              val seen = mutable.LinkedHashMap
+                .empty[String, org.apache.spark.sql.types.DataType]
+              st.fields.foreach { f =>
+                f.dataType.asInstanceOf[ArrayType].elementType
+                  .asInstanceOf[StructType].fields.foreach(sf =>
+                    if (!seen.contains(sf.name)) seen += sf.name -> sf.dataType)
+              }
+              seen.toSeq
+            }
+            val perField: Seq[Column] = st.fields.toSeq.map { f =>
+              val et = f.dataType.asInstanceOf[ArrayType].elementType
+                .asInstanceOf[StructType]
+              org.apache.spark.sql.functions.transform(
+                coalesce(col(k).getField(f.name),
+                  array().cast(f.dataType.asInstanceOf[ArrayType])),
+                x => struct(
+                  (lit(f.name).as("_key") +:
+                    unified.map { case (fn, dt) =>
+                      (if (et.fieldNames.contains(fn)) x.getField(fn).cast(dt)
+                       else lit(null).cast(dt)).as(fn)
+                    }): _*))
+            }
+            val entries = frame.select(
+              meta :+ posexplode(flatten(array(perField: _*))).as(Seq("__p", "__e")): _*)
+              .withColumn(PosCol, concat(col(PosCol), array(col("__p").cast("long"))))
+            val rerooted = entries.select(
+              MetaCols.map(col) ++ (col("__e._key").as("_key") +:
+                unified.map { case (fn, _) => col(s"__e.$fn") }): _*)
+            (rerooted, loc :+ ("*" -> true))
           case st: StructType =>
             // melt the struct's fields into (_key, _value) rows
             val pairs = st.fields.zipWithIndex.map { case (f, i) =>
@@ -443,6 +509,13 @@ object PipelineCompiler {
         proj = proj.withColumn(p.name, col(p.name).cast(t.get.sparkDdl))
     }
     v.filters.orElse(vdef.filters).foreach(f => proj = proj.where(FilterExpr.compile(f)))
+    // an observation whose EVERY extracted field is null is an empty doc —
+    // the reference's vertex actor emits nothing for it (actor/vertex.py:
+    // empty projection short-circuit; deb's depends_aliases entries carry
+    // none of package's fields and must not mint a null-identity vertex)
+    val extracted = proj.columns.filterNot(MetaCols.contains)
+    if (extracted.nonEmpty)
+      proj = proj.where(extracted.map(c => col(c).isNotNull).reduce(_ || _))
     val sq = ctx.nextSeq()
     val obs = VertexObs(v.vertex, v.role, loc, v.lookupOnly, sq,
       mintIdentity(vdef, v.role, sq, ctx.idSalt, proj))
@@ -606,7 +679,7 @@ object PipelineCompiler {
     val schema = ctx.schema
 
     def bucketsFor(name: String, role: Option[String],
-        group: Option[String]): Seq[VertexObs] = {
+        group: Option[String], exclude: Option[String]): Seq[VertexObs] = {
       val base = role match {
         case Some(r) => ctx.roleSlots.getOrElse(r, Seq.empty).toSeq
           .filter(o => name.isEmpty || o.vertex == name)
@@ -614,15 +687,31 @@ object PipelineCompiler {
       }
       // location-group selector: keep observations made under the named
       // descend key anywhere on their lineage path (manifest match_source/
-      // match_target/match — reference location groups)
-      group match {
+      // match_target/match — reference location groups); exclude_* drops
+      // observations under the named key (edge_render.py:135-136)
+      val matched = group match {
         case Some(g) => base.filter(_.loc.exists(_._1 == g))
         case None    => base
       }
+      exclude match {
+        case Some(x) => matched.filterNot(_.loc.exists(_._1 == x))
+        case None    => matched
+      }
     }
 
-    val srcBuckets0 = bucketsFor(e.source, e.sourceRole, e.sourceGroup)
-    val dstBuckets0 = bucketsFor(e.target, e.targetRole, e.targetGroup)
+    val srcBucketsA = bucketsFor(e.source, e.sourceRole, e.sourceGroup, e.excludeSource)
+    val dstBucketsA = bucketsFor(e.target, e.targetRole, e.targetGroup, e.excludeTarget)
+    // relation_from_key same-type edges replay the reference's
+    // emitter/receiver split (edge_render.py:183-210
+    // _iter_emitter_receiver_group_pairs): the FIRST location (shallowest,
+    // then emission order) is the sole emitter; every other location
+    // receives — so a package's dependency observations never re-emit
+    // edges back at the top-level package or at each other.
+    val (srcBuckets0, dstBuckets0) =
+      if (e.relationFromKey && e.source == e.target && srcBucketsA.size > 1) {
+        val sorted = srcBucketsA.sortBy(o => (o.loc.length, o.seq))
+        (Seq(sorted.head), sorted.tail)
+      } else (srcBucketsA, dstBucketsA)
     // same-type endpoints with a ONE-SIDED match selector: the unselected
     // side means "the OTHER observations of this type" (oa-institution.yaml:
     // institution→institution with match_target=associated_institutions
@@ -639,7 +728,24 @@ object PipelineCompiler {
 
     val out = mutable.Map.empty[EdgeKey, mutable.ArrayBuffer[DataFrame]]
 
-    for (sb <- srcBuckets; db <- dstBuckets) {
+    // same-type, same-location, distinct-bucket pairs render once in
+    // emission order (the reference's COMBINATIONS over the location's
+    // ordered item list yields (a, b) but never the mirrored (b, a)):
+    // csv-edge-weights' two company extractions make ONE edge per row
+    def mirroredPair(sb: VertexObs, db: VertexObs): Boolean =
+      e.casting == "auto" && sb.vertex == db.vertex && sb.loc == db.loc &&
+        sb.role == db.role && sb.seq > db.seq
+    // relation_from_key side pick (edge_render.py:231-245): deeper endpoint
+    // wins, target on ties; a pair with neither endpoint under a descend
+    // key renders no edge (the reference `continue`, :401-407)
+    def relKeySide(sb: VertexObs, db: VertexObs): Option[(VertexObs, Boolean)] =
+      if (db.loc.nonEmpty && sb.loc.size <= db.loc.size) Some((db, true))
+      else if (sb.loc.nonEmpty) Some((sb, false))
+      else None
+
+    for (sb <- srcBuckets; db <- dstBuckets
+         if !mirroredPair(sb, db) &&
+           !(e.relationFromKey && relKeySide(sb, db).isEmpty)) {
       val sv = schema.vertex(sb.vertex); val tv = schema.vertex(db.vertex)
       // endpoint projection: secondary-identity match selectors (edge.py
       // source_match/target_match) swap the key columns used on that side.
@@ -766,6 +872,37 @@ object PipelineCompiler {
         }
       }
 
+      // relation_from_key: the relation is the chosen side's last descend
+      // key — static lineage keys become a literal; the dynamic any_key
+      // segment ("*") reads the `_key` column off the location frame,
+      // joined per (row, position) like relFromLoc below
+      val (withRelKey, relKeyCol): (DataFrame, Option[Column]) =
+        if (!e.relationFromKey) (withDocWeights, None)
+        else {
+          val (obs, isTarget) = relKeySide(sb, db).get
+          val lastKey = obs.loc.last._1
+          if (lastKey != "*")
+            (withDocWeights, Some(lit(lastKey.replace('-', '_'))))
+          else {
+            val lf = ctx.locFrames.get(obs.loc).filter(_.columns.contains("_key"))
+              .getOrElse(throw new IllegalArgumentException(
+                s"relation_from_key: no _key column at location ${obs.loc}"))
+            val rl = lf.select(col(RowIdCol).as("__k__rid"),
+              posStr(col(PosCol)).as("__k__ps"),
+              translate(col("_key"), "-", "_").as("__relkey"))
+            val j =
+              if (isTarget)
+                withDocWeights.join(rl,
+                  col(s"__r_$RowIdCol") === col("__k__rid") &&
+                    posStr(col(s"__r_$PosCol")) === col("__k__ps"), "left")
+              else
+                withDocWeights.join(rl,
+                  col(RowIdCol) === col("__k__rid") &&
+                    posStr(col(PosCol)) === col("__k__ps"), "left")
+            (j.drop("__k__rid", "__k__ps"), Some(col("__relkey")))
+          }
+        }
+
       // relation_field living at the TARGET's (or source's) lineage
       // location rather than the intent's own or an obs projection: join
       // the per-position value from the recorded location frame
@@ -784,46 +921,59 @@ object PipelineCompiler {
       }
       val withLocRel = relFromLoc match {
         case Some(rl) if rl.columns.contains("__t__rid") =>
-          withDocWeights.join(rl,
+          withRelKey.join(rl,
             col(s"__r_$RowIdCol") === col("__t__rid") &&
               posStr(col(s"__r_$PosCol")) === col("__t__ps"), "left")
             .drop("__t__rid", "__t__ps")
         case Some(rl) =>
-          withDocWeights.join(rl,
+          withRelKey.join(rl,
             col(RowIdCol) === col("__s__rid") &&
               posStr(col(PosCol)) === col("__s__ps"), "left")
             .drop("__s__rid", "__s__ps")
-        case None => withDocWeights
+        case None => withRelKey
       }
 
-      // relation: static, or data-driven with renames + static fallback
-      // (fallback applies with or WITHOUT a relation_map: a null relation
-      // column falls back to the declared static relation)
-      val relCol: Column = e.relationField match {
-        case Some(rf) =>
-          val raw = col(rf)
-          val mapped =
-            if (e.relationMap.isEmpty) raw
-            else e.relationMap.foldLeft(when(lit(false), lit(""))) {
-              case (w, (k, v)) => w.when(raw === lit(k), lit(v))
-            }.otherwise(raw)
-          if (e.relation.nonEmpty) coalesce(mapped, lit(e.relation)) else mapped
-        case None => lit(e.relation)
+      // relation: from-key, static, or data-driven with renames + static
+      // fallback (fallback applies with or WITHOUT a relation_map: a null
+      // relation column falls back to the declared static relation)
+      val relCol: Column = relKeyCol match {
+        case Some(rk) => rk
+        case None => e.relationField match {
+          case Some(rf) =>
+            val raw = col(rf)
+            val mapped =
+              if (e.relationMap.isEmpty) raw
+              else e.relationMap.foldLeft(when(lit(false), lit(""))) {
+                case (w, (k, v)) => w.when(raw === lit(k), lit(v))
+              }.otherwise(raw)
+            if (e.relation.nonEmpty) coalesce(mapped, lit(e.relation)) else mapped
+          case None => lit(e.relation)
+        }
       }
 
       val docWeightCols = nonEndpointSpecs.flatMap(sp =>
         sp.fields.map(f => if (sp.keepVertexName) s"${sp.vertex}@$f" else f))
+      // schema-declared edge properties carried as direct weights
+      // (csv-edge-weights.yaml `date`) survive the projection like
+      // step-level weights
+      val declaredWeightCols = schema.edgesBetween(sb.vertex, db.vertex)
+        .flatMap(_.properties.map(_.name))
       val dropRel = e.relationField.filterNot(e.weightFields.contains).toSeq
-      val projected = withLocRel
+      val projected0 = withLocRel
         .withColumn("_rel", relCol)
         .drop((MetaCols ++ MetaCols.map("__r_" + _) ++ MetaCols.map("__i_" + _) ++
-          dropRel): _*)
+          dropRel :+ "__relkey"): _*)
+      // relation_from_key drops rows whose relation could not be derived
+      // (a dynamic-key join miss — reference edge_render.py:405-407)
+      val projected =
+        if (e.relationFromKey) projected0.where(col("_rel").isNotNull)
+        else projected0
 
       // group rows into per-(srcType, dstType, relation) collections; strict
       // edge-type gate: only declared edges pass (edge.py strict_edge_types)
       val dynDeclared =
-        schema.edges.filter(d => d.source == sb.vertex && d.target == db.vertex)
-          .map(_.key)
+        schema.edges.filter(d => d.source == sb.vertex && d.target == db.vertex &&
+          d.relationDeclared).map(_.key)
       val candidateKeys: Seq[EdgeKey] =
         if (e.relationField.isEmpty) {
           val rel =
@@ -847,7 +997,8 @@ object PipelineCompiler {
           .withColumnRenamed("_relation", "relation")
         val keep = finalDf.columns.filter(c =>
           c.startsWith("src_") || c.startsWith("dst_") || c == "relation" ||
-            e.weightFields.contains(c) || docWeightCols.contains(c))
+            e.weightFields.contains(c) || docWeightCols.contains(c) ||
+            declaredWeightCols.contains(c))
         out.getOrElseUpdate(k, mutable.ArrayBuffer.empty) +=
           finalDf.select(keep.map(col): _*)
       }

@@ -106,10 +106,22 @@ final case class EdgeStep(
     targetRole: Option[String] = None,
     relationField: Option[String] = None,
     relationMap: Map[String, String] = Map.empty,
+    /** `relation_from_key` (reference edge_derivation.py:60 +
+      * edge_render.py:231-245): the per-pair relation is the last descend
+      * KEY on the deeper endpoint's lineage ('-'→'_'); pairs with no such
+      * key render no edge (the reference `continue`) — debian-eco.yaml's
+      * package→package dependency edges.
+      */
+    relationFromKey: Boolean = false,
     casting: String = "auto", // auto | pair | product | combinations | zip
     weightFields: Seq[String] = Nil,
     sourceMatch: Option[String] = None,
     targetMatch: Option[String] = None,
+    /** exclude_source / exclude_target (edge_derivation.py:44-51): drop
+      * endpoint observations whose lineage passes through the named key.
+      */
+    excludeSource: Option[String] = None,
+    excludeTarget: Option[String] = None,
     /** location-group selectors (reference manifest `match_source` /
       * `match_target` / `match`, kg.yaml pattern): restrict an endpoint's
       * buckets to observations made under the named descend key.

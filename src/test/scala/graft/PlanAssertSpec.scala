@@ -76,4 +76,26 @@ class PlanAssertSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"q_tpch_returned_topk lost TakeOrderedAndProject:\n$p")
   }
+
+  test("fixed-point relax round broadcasts the distance table under the limit") {
+    // the loop invariant every iterative kernel (sssp, pagerank, temporal
+    // reach) depends on: the node-keyed state table is the BROADCAST side
+    // while it fits, so the big cached edge frame joins with no Exchange
+    // of its own; over the limit the plan degrades to a shuffle join
+    // rather than an overflowing broadcast
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_suppkey").cast("string").as("src"),
+        col("l_partkey").cast("string").as("dst"),
+        col("l_quantity").cast("long").as("w"))
+    val dist = Seq(("1", 0L)).toDF("node", "dist")
+    val under = graft.graph.GraphAlgos
+      .relaxRound(e, dist, distRows = 1L, broadcastNodeLimit = 1000000L)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(under.contains("BroadcastHashJoin"),
+      s"relax round lost the distance-side broadcast:\n$under")
+    assert(!under.contains("SortMergeJoin") && !under.contains("ShuffledHashJoin"),
+      s"relax round shuffles the edge frame under the broadcast limit:\n$under")
+  }
 }

@@ -1,0 +1,248 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.PipelineCompiler
+import graft.sources.FileSource
+
+/** Round-6 reference-golden ports: the remaining reference-committed
+  * manifests with data fixtures run VERBATIM through the manifest loader +
+  * pipeline compiler, asserted against golden numbers produced by the
+  * reference's own code on its own committed fixtures
+  * (`test/config/schema/{debian-eco,objects-relations,csv-edge-weights,
+  * review}.yaml` + `test/data/...`; counts cross-checked against the
+  * reference's committed test assertions where they exist —
+  * test/architecture/test_actor.py:141-166 for the dependency-relation
+  * histogram, test/routing/test_objects_relations.py:49-146 for the
+  * router/dynamic-edge counts, test/architecture/test_csv_edge_weights.py
+  * for one-edge-per-row + direct weights, test/db/neo4js/test_ingest.py:33
+  * for the 374 authors).
+  *
+  * Note: the reference also commits `test/ref/json/{community, freshcaller,
+  * kg_v2, kg_v3, kg_v3b, lake_odds, wos}_sizes.yaml` — those goldens are
+  * ORPHANED upstream (no `<mode>.yaml` manifest exists under
+  * test/config/schema/ for any of them, and mostly no data either), so no
+  * dialect-parity port is possible; recorded in DIVERGENCES.md.
+  */
+class ReferenceGoldenR6Spec extends SparkSpec {
+
+  private val refRoot = "/root/reference/test"
+
+  private def relationHistogram(
+      edges: Seq[org.apache.spark.sql.DataFrame],
+      cols: Seq[String]): Map[String, Long] =
+    edges.map(_.select(cols.map(col): _*).distinct()
+        .groupBy("relation").count())
+      .reduceLeft(_.unionByName(_))
+      .groupBy("relation").agg(sum("count").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("reference debian-eco package resource lands reference-executed goldens") {
+    assume(new java.io.File(s"$refRoot/config/schema/debian-eco.yaml").exists())
+    val m = graft.manifest.ManifestLoader.load(
+      s"$refRoot/config/schema/debian-eco.yaml")
+    val df = FileSource.read(spark, s"$refRoot/data/deb/package.json",
+      format = Some("json"))
+    val g = PipelineCompiler.compile(m.schema, m.resource("package"), df)
+    // identity (name) merged packages = 29 distinct names (reference
+    // pick_unique keeps 35 whole dicts over the same 29 identities);
+    // the single shared maintainer merges to one doc
+    assert(g.vertex("package").count() == 29)
+    assert(g.vertex("maintainer").count() == 1)
+    // relation_from_key: dependency edges keyed by the any_key map entry
+    // ('-'→'_'), identity-projected (reference pick_unique histogram:
+    // depends 27, pre_depends 3, suggests 2, breaks 1)
+    val pp = g.edges.collect {
+      case (k, e) if k.source == "package" && k.target == "package" => e
+    }.toSeq
+    assert(relationHistogram(pp, Seq("src_name", "dst_name", "relation")) ==
+      Map("depends" -> 27L, "pre_depends" -> 3L, "suggests" -> 2L,
+        "breaks" -> 1L))
+    // no spurious self-edges (reference test_no_self_edge invariant)
+    pp.foreach(e =>
+      assert(e.where(col("src_name") === col("dst_name")).count() == 0))
+    // maintainer->package: document-scoped product over every package
+    // observation, identity-projected = 29 (the one maintainer × all names)
+    val mp = g.edges.collect {
+      case (k, e) if k.source == "maintainer" && k.target == "package" => e
+    }.toSeq
+    assert(mp.map(_.select("src_email", "dst_name").distinct().count()).sum == 29L)
+  }
+
+  test("reference deb compact resource (apply + exclude_target) lands committed counts") {
+    // the reference's conftest resource_deb_compact (test/conftest.py:397-415,
+    // `apply:` dialect) with the committed raw-assembly counts from
+    // test/architecture/test_actor.py:165-166 and :180 — depends 29,
+    // pre_depends 3, suggests 2, breaks 1; maintainer->package 3 with
+    // exclude_target: dependencies
+    assume(new java.io.File(s"$refRoot/data/deb/package.json").exists())
+    val m = graft.manifest.ManifestLoader.fromYamlString(
+      """schema:
+        |    metadata:
+        |        name: deb-compact
+        |    graph:
+        |        vertex_config:
+        |            vertices:
+        |            -   name: package
+        |                properties: [name, version]
+        |                identity: [name]
+        |            -   name: maintainer
+        |                properties: [name, email]
+        |                identity: [email]
+        |        edge_config:
+        |            edges:
+        |            -   source: package
+        |                target: package
+        |            -   source: maintainer
+        |                target: package
+        |ingestion_model:
+        |    resources:
+        |    -   name: package
+        |        apply:
+        |        -   vertex: package
+        |        -   key: dependencies
+        |            apply:
+        |            -   any_key: true
+        |                apply:
+        |                -   vertex: package
+        |        -   source: maintainer
+        |            target: package
+        |            exclude_target: dependencies
+        |        -   source: package
+        |            target: package
+        |            relation_from_key: true
+        |        -   key: maintainer
+        |            apply:
+        |            -   vertex: maintainer
+        |bindings: {}
+        |""".stripMargin)
+    val df = FileSource.read(spark, s"$refRoot/data/deb/package.json",
+      format = Some("json"))
+    val g = PipelineCompiler.compile(m.schema, m.resource("package"), df)
+    val pp = g.edges.collect {
+      case (k, e) if k.source == "package" && k.target == "package" => e
+    }.toSeq
+    // RAW assembly counts (the reference's acc lengths, pre-dedup)
+    val rawHist = pp.map(_.groupBy("relation").count())
+      .reduceLeft(_.unionByName(_))
+      .groupBy("relation").agg(sum("count").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rawHist == Map("depends" -> 29L, "pre_depends" -> 3L,
+      "suggests" -> 2L, "breaks" -> 1L))
+    val mp = g.edges.collect {
+      case (k, e) if k.source == "maintainer" && k.target == "package" => e
+    }.toSeq
+    assert(mp.map(_.count()).sum == 3L) // exclude_target keeps top-level only
+  }
+
+  test("reference debian-eco bug resource infers package->bug and never package->package") {
+    // reference test_no_self_edge.py:126-155: bugs for a single package
+    // must not mint a package->package self-edge through edge inference
+    assume(new java.io.File(s"$refRoot/config/schema/debian-eco.yaml").exists())
+    val m = graft.manifest.ManifestLoader.load(
+      s"$refRoot/config/schema/debian-eco.yaml")
+    import spark.implicits._
+    val bugs = Seq(
+      """{"package": "0ad", "bug_num": 1008531, "subject": "assertion failure", "severity": "normal", "date": "2022-03-28T14:00:01"}""",
+      """{"package": "0ad", "bug_num": 794562, "subject": "test with nvidia-texture-tools", "severity": "wishlist", "date": "2015-08-04T13:00:01"}""")
+    val df = spark.read.json(bugs.toDS())
+    val g = PipelineCompiler.compile(m.schema, m.resource("bug"), df)
+    assert(g.vertex("package").count() == 1) // both bugs name 0ad
+    assert(g.vertex("bug").count() == 2)
+    val pb = g.edges.collect {
+      case (k, e) if k.source == "package" && k.target == "bug" => e
+    }.toSeq
+    assert(pb.map(_.count()).sum == 2L)
+    val pp = g.edges.collect {
+      case (k, e) if k.source == "package" && k.target == "package" => e
+    }.toSeq
+    assert(pp.map(_.count()).sum == 0L)
+  }
+
+  test("reference objects-relations routers + dynamic edge land committed counts") {
+    // test/routing/test_objects_relations.py:49-146: objects route to
+    // person 4 / vehicle 3 / institution 3; relations produce exactly one
+    // edge per row (7) with canonical relation_map names
+    assume(new java.io.File(s"$refRoot/config/schema/objects-relations.yaml").exists())
+    val m = graft.manifest.ManifestLoader.load(
+      s"$refRoot/config/schema/objects-relations.yaml")
+    val objects = FileSource.read(spark,
+      s"$refRoot/data/objects-relations/objects.csv")
+    val go = PipelineCompiler.compile(m.schema, m.resource("objects"), objects)
+    assert(go.vertex("person").count() == 4)
+    assert(go.vertex("vehicle").count() == 3)
+    assert(go.vertex("institution").count() == 3)
+    // routed vertices retain row fields (Alice keeps name + email)
+    val alice = go.vertex("person")
+      .where(col("id") === "ec3cd5f9-8a75-49af-adc8-654eab637ebc")
+      .select("name", "email").collect().head
+    assert(alice.getString(0) == "Alice Martin")
+    assert(alice.getString(1) == "alice@example.com")
+    val relations = FileSource.read(spark,
+      s"$refRoot/data/objects-relations/relations.csv")
+    val gr = PipelineCompiler.compile(m.schema, m.resource("relations"), relations)
+    val all = gr.edges.values.toSeq
+    assert(all.map(_.count()).sum == 7L) // one edge per relations row
+    val hist = all.map(_.groupBy("relation").count())
+      .reduceLeft(_.unionByName(_))
+      .groupBy("relation").agg(sum("count").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hist == Map("employed_by" -> 2L, "owns" -> 2L,
+      "colleague_of" -> 1L, "funds" -> 1L, "invests_in" -> 1L))
+    // per-(srcType, dstType) split matches the reference container keys
+    def between(s: String, t: String): Long = gr.edges.collect {
+      case (k, e) if k.source == s && k.target == t => e
+    }.map(_.count()).sum
+    assert(between("person", "institution") == 2L)
+    assert(between("person", "vehicle") == 2L)
+    assert(between("person", "person") == 1L)
+    assert(between("institution", "institution") == 2L)
+  }
+
+  test("reference csv-edge-weights lands one edge per row with direct date weights") {
+    // test/architecture/test_csv_edge_weights.py: 8 rows → 8 edges, each
+    // carrying the schema-declared `date` property off its own row
+    assume(new java.io.File(s"$refRoot/config/schema/csv-edge-weights.yaml").exists())
+    val m = graft.manifest.ManifestLoader.load(
+      s"$refRoot/config/schema/csv-edge-weights.yaml")
+    val df = FileSource.read(spark,
+      s"$refRoot/data/csv-edge-weights/relations.csv")
+    val g = PipelineCompiler.compile(m.schema, m.resource("relations"), df)
+    assert(g.vertex("company").count() == 8) // identity (name) merged
+    val cc = g.edges.collect {
+      case (k, e) if k.source == "company" && k.target == "company" => e
+    }.toSeq
+    assert(cc.map(_.count()).sum == 8L)
+    // every edge payload carries its row's date (null merge keys would
+    // break downstream MERGE semantics — the reference asserts non-null)
+    cc.foreach { e =>
+      assert(e.columns.contains("date"))
+      assert(e.where(col("date").isNull).count() == 0)
+    }
+    val hist = cc.map(_.groupBy("relation").count())
+      .reduceLeft(_.unionByName(_))
+      .groupBy("relation").agg(sum("count").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hist == Map("invests_in" -> 1L, "partners_with" -> 2L,
+      "acquires" -> 1L, "integrates_with" -> 1L, "competes_with" -> 1L,
+      "collaborates_with" -> 1L, "supplies_to" -> 1L))
+  }
+
+  test("reference review example lands its committed author counts") {
+    // test/db/neo4js/test_ingest.py:33-36: 374 Authors after ingest, 8 of
+    // them with hindex 10; plus the inferred author->researchField edge
+    assume(new java.io.File(s"$refRoot/config/schema/review.yaml").exists())
+    val m = graft.manifest.ManifestLoader.load(s"$refRoot/config/schema/review.yaml")
+    val df = FileSource.read(spark, s"$refRoot/data/review/authors.csv.gz",
+      format = Some("csv"))
+    val g = PipelineCompiler.compile(m.schema, m.resource("authors"), df)
+    assert(g.vertex("author").count() == 374)
+    assert(g.vertex("author").where(col("hindex") === 10).count() == 8)
+    assert(g.vertex("researchField").count() == 17)
+    val ar = g.edges.collect {
+      case (k, e) if k.source == "author" && k.target == "researchField" => e
+    }.toSeq
+    assert(ar.map(_.select("src_id", "src_full_name", "dst_id").distinct()
+      .count()).sum == 374L)
+  }
+}

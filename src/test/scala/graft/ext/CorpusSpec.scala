@@ -279,6 +279,20 @@ class CorpusSpec extends SparkSpec {
     assert(merges(1)._3 == 3L)   // ab+c in the three 'abc' occurrences
   }
 
+  test("bpeTrain distributed loop matches the driver-local fast path exactly") {
+    import spark.implicits._
+    // both branches must stay bit-identical as they evolve: same greedy-
+    // leftmost merges, same (cnt desc, a, b) unsigned-UTF8 tie-break —
+    // exercised with a multi-byte symbol so a UTF-16/signed-byte
+    // comparison divergence would be caught
+    val docs = Seq((1L, "abc abd abc über"), (2L, "abe abc büro über"),
+      (3L, "caab caab büro")).toDF("id", "text")
+    val local = Corpus.bpeTrain(docs, "text", nMerges = 5)
+    val dist = Corpus.bpeTrain(docs, "text", nMerges = 5, localVocabLimit = 0L)
+    assert(dist == local)
+    assert(local.size == 5)
+  }
+
   test("robustScale: median-centered, IQR-normalized per group; constant group → 0") {
     import spark.implicits._
     val df = Seq(

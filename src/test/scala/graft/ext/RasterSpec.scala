@@ -102,4 +102,31 @@ class RasterSpec extends AnyFunSuite {
     assert(Multimodal.decodeQoi(good.take(10)).isEmpty)
     assert(Multimodal.decodeQoi(good).nonEmpty)
   }
+
+  test("PNG round-trips bit-exact through the JDK codec") {
+    val in = Multimodal.formulaRaster(7L, 16, 12)
+    val bytes = Multimodal.encodePng(in)
+    assert(Multimodal.isPng(bytes))
+    val out = Multimodal.decode(bytes).get
+    assert(out.width == 16 && out.height == 12)
+    assert(out.rgb.toSeq == in.rgb.toSeq) // lossless
+  }
+
+  test("baseline JPEG decodes within a PSNR band and rejects garbage") {
+    val in = Multimodal.formulaRaster(3L, 16, 12)
+    val bytes = Multimodal.encodeJpeg(in, quality = 0.9f)
+    assert(Multimodal.isJpeg(bytes))
+    val out = Multimodal.decode(bytes).get
+    assert(out.width == 16 && out.height == 12)
+    var se = 0.0
+    for (i <- in.rgb.indices) {
+      val d = (out.rgb(i) & 0xff) - (in.rgb(i) & 0xff)
+      se += d.toDouble * d
+    }
+    val psnr = 10.0 * math.log10(255.0 * 255.0 / (se / in.rgb.length))
+    assert(psnr >= 20.0, s"JPEG decode PSNR $psnr below band")
+    // truncated payload must not crash, just yield None
+    assert(Multimodal.decodeImageIo(bytes.take(20)).isEmpty)
+    assert(Multimodal.decodeImageIo("not an image".getBytes).isEmpty)
+  }
 }
