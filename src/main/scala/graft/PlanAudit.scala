@@ -44,7 +44,11 @@ object PlanAudit {
         // round-13 flagships: single-shuffle KMV sketch (native bounded
         // distinct-min-k), small-side-replicated grid proximity join,
         // struct-argmax mode, hashing-trick featurizer
-        "q_source_overlap", "q_geo_join", "q_mode", "q_feature_hash")
+        "q_source_overlap", "q_geo_join", "q_mode", "q_feature_hash",
+        // round-14 flagships: relation_from_key assembly (keyed location
+        // join, no cartesian), dynamic typed edge slots (row-keyed
+        // router-bucket pairing), direct-weight carry
+        "q_relation_from_key", "q_edge_typed_slots", "q_edge_direct_weights")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
