@@ -164,8 +164,14 @@ object ManifestLoader {
     val ids = e.path("identities") match {
       case n if n.isArray && n.size() > 0 =>
         val head = n.get(0)
-        if (head.isArray) head.elements().asScala.map(_.asText()).toSeq
-        else n.elements().asScala.map(_.asText()).toSeq
+        val fields =
+          if (head.isArray) head.elements().asScala.map(_.asText()).toSeq
+          else n.elements().asScala.map(_.asText()).toSeq
+        // declared identity fields AUGMENT the endpoints: the reference's
+        // edge upsert matches on (_from, _to) PLUS the index fields
+        // (db/conn.py upsert keys) — kg's [[_role]] means one edge per
+        // (source, target, _role), never one edge per role value globally
+        (Seq("source", "target") ++ fields).distinct
       case _ => Nil
     }
     EdgeDef(source, target, relation, properties = props, identities = ids,

@@ -89,10 +89,12 @@ object PipelineCompiler {
       * missing from the live frame but present here consume these branches.
       */
     val dressBranches = mutable.ArrayBuffer.empty[(DataFrame, Loc)]
-    /** frame at each lineage location ON ENTRY (before that level's
-      * transforms): lets an edge intent fetch relation_field data that
-      * lives at an endpoint's location rather than its own (oa-institution
-      * reads `relationship` off each descended associated institution).
+    /** frame at each lineage location, tracking that level's transforms
+      * (the reference's obs buffers hold TRANSFORMED docs): lets an edge
+      * intent fetch relation_field / weight data that lives at an
+      * endpoint's location rather than its own (oa-institution reads
+      * `relationship` off each descended associated institution; kg reads
+      * the renamed `_role` off each triple mention).
       */
     val locFrames = mutable.Map.empty[Seq[(String, Boolean)], DataFrame]
     /** salt for blank/assigned synthetic ids: resource name + batch id */
@@ -177,13 +179,20 @@ object PipelineCompiler {
       case d: Descend          => descend(d, cur, loc, ctx) // children use sub-frame; parent frame unchanged
       case t: TransformStep if t.dress.isDefined =>
         ctx.dressBranches += dressBranch(t, cur, loc) // parent frame unchanged
-      case t: TransformStep    => cur = transform(t, cur, ctx)
+      case t: TransformStep    =>
+        cur = transform(t, cur, ctx)
+        // the location frame tracks the TRANSFORMED level (the reference's
+        // obs buffers hold transformed docs): an edge intent fetching
+        // relation/weight data by location must see post-rename columns
+        // (kg.yaml reads `_role` — renamed from `role` at the triple level)
+        ctx.locFrames(loc) = cur
       case v: VertexStep       => vertexStep(v, cur, loc, ctx)
       case r: VertexRouterStep => routerStep(r, cur, loc, ctx)
       case e: EdgeStep         => ctx.intents += mkIntent(e, cur, loc, ctx.schema)
       case m: MultiEdgeStep    => m.links.foreach(l => ctx.intents += mkIntent(l, cur, loc, ctx.schema))
       case r: RenameStep       =>
         cur = r.renames.foldLeft(cur) { case (d, (a, b)) => d.withColumnRenamed(a, b) }
+        ctx.locFrames(loc) = cur
       case k: RenameKeysStep   =>
         val nameFn: String => String = k.fn match {
           case "camel_to_snake" => graft.functions.TransformLib.camelToSnakeName
@@ -197,6 +206,7 @@ object PipelineCompiler {
         val include = if (k.mode == "include") k.names else Nil
         val exclude = (if (k.mode == "exclude") k.names else Nil) ++ MetaCols
         cur = graft.functions.TransformLib.renameColumns(cur, nameFn, include, exclude)
+        ctx.locFrames(loc) = cur
       case c: CastStep         =>
         cur = c.types.foldLeft(cur) { case (d, (f, t)) =>
           val ft = FieldType.fromName(t)
@@ -208,6 +218,7 @@ object PipelineCompiler {
           }
           d.withColumn(f, checked)
         }
+        ctx.locFrames(loc) = cur
     }
   }
 
@@ -903,35 +914,44 @@ object PipelineCompiler {
           }
         }
 
-      // relation_field living at the TARGET's (or source's) lineage
+      // relation_field / weight fields living at an ENDPOINT's lineage
       // location rather than the intent's own or an obs projection: join
-      // the per-position value from the recorded location frame
+      // the per-position values from the recorded location frame
       // (oa-institution.yaml: `relationship` is a raw field of each
-      // descended associated institution, not a declared vertex property)
-      val relFromLoc: Option[DataFrame] = e.relationField match {
-        case Some(rf) if rec.relFrame.isEmpty && relFromTarget.isEmpty &&
-            relFromSource.isEmpty =>
-          ctx.locFrames.get(db.loc).filter(_.columns.contains(rf))
-            .map(f => f.select(col(RowIdCol).as("__t__rid"),
-              posStr(col(PosCol)).as("__t__ps"), col(rf)))
-            .orElse(ctx.locFrames.get(sb.loc).filter(_.columns.contains(rf))
-              .map(f => f.select(col(RowIdCol).as("__s__rid"),
-                posStr(col(PosCol)).as("__s__ps"), col(rf))))
-        case _ => None
-      }
-      val withLocRel = relFromLoc match {
-        case Some(rl) if rl.columns.contains("__t__rid") =>
+      // descended associated institution; kg.yaml: `_role` is a renamed
+      // field of each triple-level mention, declared as an edge weight).
+      // Target location wins per column; the source location serves what
+      // the target lacks.
+      val relNeeded = e.relationField.filter(_ => rec.relFrame.isEmpty &&
+        relFromTarget.isEmpty && relFromSource.isEmpty).toSeq
+      val weightNeeded = e.weightFields.filterNot(w =>
+        rec.relFrame.exists(_.columns.contains(w)))
+      val locNeeded = (relNeeded ++ weightNeeded).distinct
+      val tgtLocF = ctx.locFrames.get(db.loc)
+      val srcLocF = ctx.locFrames.get(sb.loc)
+      val tgtCols = locNeeded.filter(c => tgtLocF.exists(_.columns.contains(c)))
+      val srcCols = locNeeded.filterNot(tgtCols.contains)
+        .filter(c => srcLocF.exists(_.columns.contains(c)))
+      val withTgtLoc =
+        if (tgtCols.isEmpty) withRelKey
+        else {
+          val rl = tgtLocF.get.select(col(RowIdCol).as("__t__rid") +:
+            posStr(col(PosCol)).as("__t__ps") +: tgtCols.map(col): _*)
           withRelKey.join(rl,
             col(s"__r_$RowIdCol") === col("__t__rid") &&
               posStr(col(s"__r_$PosCol")) === col("__t__ps"), "left")
             .drop("__t__rid", "__t__ps")
-        case Some(rl) =>
-          withRelKey.join(rl,
+        }
+      val withLocRel =
+        if (srcCols.isEmpty) withTgtLoc
+        else {
+          val rl = srcLocF.get.select(col(RowIdCol).as("__s__rid") +:
+            posStr(col(PosCol)).as("__s__ps") +: srcCols.map(col): _*)
+          withTgtLoc.join(rl,
             col(RowIdCol) === col("__s__rid") &&
               posStr(col(PosCol)) === col("__s__ps"), "left")
             .drop("__s__rid", "__s__ps")
-        case None => withRelKey
-      }
+        }
 
       // relation: from-key, static, or data-driven with renames + static
       // fallback (fallback applies with or WITHOUT a relation_map: a null

@@ -228,6 +228,84 @@ class ReferenceGoldenR6Spec extends SparkSpec {
       "collaborates_with" -> 1L, "supplies_to" -> 1L))
   }
 
+  test("reference kg example round-trips the committed DB CONTENTS through a live store") {
+    // ref/db/kg_contents.yaml is the reference's committed ArangoDB
+    // contents dump — document-level, not just sizes. The kg data carries
+    // its own `_key` values (renamed from `hash`), so even the keys are
+    // engine-portable here; every vertex dict and edge endpoint pair must
+    // match EXACTLY after our store upsert.
+    assume(new java.io.File(s"$refRoot/ref/db/kg_contents.yaml").exists())
+    val golden = loadContentsYaml(s"$refRoot/ref/db/kg_contents.yaml")
+    val m = graft.manifest.ManifestLoader.load(s"$refRoot/config/schema/kg.yaml")
+    val df = FileSource.read(spark, s"$refRoot/data/kg/kg.json.gz",
+      format = Some("json"))
+    val g = PipelineCompiler.compile(m.schema, m.resource("kg"), df)
+    val root = freshDir("/root/repo/target/graft-kg-contents-golden")
+    val store = new graft.store.GraphStore(root, m.schema, spark)
+    store.write(g)
+    def vertexDicts(name: String): Seq[Map[String, String]] =
+      store.vertices(name).collect().toSeq.map { r =>
+        r.schema.fieldNames.flatMap(f =>
+          Option(r.getAs[Any](f)).map(v => f -> v.toString)).toMap
+      }
+    def sortDicts(ds: Seq[Map[String, String]]) =
+      ds.sortBy(_.toSeq.sorted.mkString(""))
+    // vertex collections: full document contents, key included
+    assert(sortDicts(vertexDicts("entity")) == sortDicts(golden("entities")))
+    assert(sortDicts(vertexDicts("mention")) == sortDicts(golden("mentions")))
+    assert(sortDicts(vertexDicts("publication").map(_ - "data_source")) ==
+      sortDicts(golden("publications")))
+    // edge collections: endpoint key pairs (+ _role where the reference
+    // records it); the golden prefixes keys with the storage collection
+    def stripRef(v: String) = v.substring(v.indexOf('/') + 1)
+    def edgeFrame(src: String, dst: String) = {
+      // undeclared pipeline edges (publication→mention) land under the
+      // synthesized default relation
+      val ek = m.schema.edges.map(e => graft.model.EdgeKey(e.source, e.target, e.relation))
+        .find(k => k.source == src && k.target == dst)
+        .getOrElse(graft.model.EdgeKey(src, dst, "related"))
+      store.edges(ek)
+    }
+    val me = edgeFrame("mention", "entity")
+      .select("src__key", "dst__key").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    val meGold = golden("mentions_entities_edges")
+      .map(d => (stripRef(d("_from")), stripRef(d("_to")))).sorted
+    assert(me == meGold)
+    val mm = edgeFrame("mention", "mention")
+      .select(col("src__key"), col("dst__key"), col("_role"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq.sorted
+    val mmGold = golden("mentions_mentions_edges")
+      .map(d => (stripRef(d("_from")), stripRef(d("_to")), d("_role"))).sorted
+    assert(mm == mmGold)
+    val pm = edgeFrame("publication", "mention")
+      .select("dst__key").collect().map(_.getString(0)).toSeq.sorted
+    val pmGold = golden("publications_mentions_edges")
+      .map(d => stripRef(d("_to"))).sorted
+    assert(pm == pmGold)
+    // empty collections stay empty (never written at all here)
+    assert(golden("communities").isEmpty)
+    assert(!store.vertexCollections.contains("community"))
+  }
+
+  /** Parse a reference contents dump (collection → list of string-valued
+    * docs) with the Jackson YAML reader bundled with Spark.
+    */
+  private def loadContentsYaml(path: String): Map[String, Seq[Map[String, String]]] = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+    import scala.jdk.CollectionConverters._
+    val root = new ObjectMapper(new YAMLFactory())
+      .readTree(new java.io.File(path))
+    root.properties().asScala.map { e =>
+      val docs = e.getValue.elements().asScala.map { d =>
+        d.properties().asScala.map(f => f.getKey -> f.getValue.asText()).toMap
+      }.toSeq
+      e.getKey -> docs
+    }.toMap
+  }
+
   test("reference review example lands its committed author counts") {
     // test/db/neo4js/test_ingest.py:33-36: 374 Authors after ingest, 8 of
     // them with hindex 10; plus the inferred author->researchField edge
