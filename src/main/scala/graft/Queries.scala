@@ -1169,8 +1169,11 @@ object GraftQueries {
 
     // §2.4 cast_ibes_analyst: "'LAST  F'" → (last_name, first_name)
     "q_cast_ibes" -> { (s, d) =>
-      val raw = concat(lit("'"), regexp_replace(col("c_name"), "Customer#", "ANALYST"),
-        lit(" "), substring(col("c_name"), 10, 1), lit("'"))
+      // exercise BOTH reference branches: even keys get the whitespace
+      // form ('NAME   X'), odd keys the slash form ('NAME/X')
+      val raw = concat(regexp_replace(col("c_name"), "Customer#", "ANALYST"),
+        when(col("c_custkey") % 2 === 0, lit("   ")).otherwise(lit("/")),
+        substring(col("c_name"), 10, 1))
       val parsed = TransformLib.castIbesAnalyst(raw)
       t(s, d)("customer").select(col("c_custkey"),
         parsed.getField("last_name").as("last_name"),
@@ -4559,12 +4562,22 @@ object GraftQueries {
 
     "q_cast_ibes" ->
       """WITH raw AS (SELECT c_custkey,
-        |  trim(replace('''' || replace(c_name, 'Customer#', 'ANALYST') || ' '
-        |    || substring(c_name, 10, 1) || '''', '''', '')) AS cleaned
-        |  FROM customer)
-        |SELECT c_custkey, regexp_extract(cleaned, '^([^/ ]+)', 1) AS last_name,
-        |  trim(regexp_replace(cleaned, '^[^/ ]+[/ ]*', '')) AS first_name
-        |FROM raw ORDER BY c_custkey""".stripMargin,
+        |  replace(c_name, 'Customer#', 'ANALYST')
+        |    || CASE WHEN c_custkey % 2 = 0 THEN '   ' ELSE '/' END
+        |    || substring(c_name, 10, 1) AS s
+        |  FROM customer),
+        |toks AS (SELECT c_custkey,
+        |  CASE WHEN regexp_matches(s, '[ \t]')
+        |    THEN (list_filter(regexp_split_to_array(s, '[ \t]+'),
+        |          x -> length(x) > 0))[1:2]
+        |    ELSE CASE WHEN starts_with(s, '/')
+        |      THEN string_split(s, '/')[2:3]
+        |      ELSE string_split(s, '/')[1:2] END
+        |  END AS t FROM raw)
+        |SELECT c_custkey, coalesce(t[1], '') AS last_name,
+        |  CASE WHEN len(t) >= 2 THEN substring(coalesce(t[2], ''), 1, 1)
+        |       ELSE '' END AS first_name
+        |FROM toks ORDER BY c_custkey""".stripMargin,
 
     "q_parse_multi" ->
       """SELECT c_custkey, c_mktsegment AS seg, CAST(2 AS BIGINT) AS nk

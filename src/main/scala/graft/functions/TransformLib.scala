@@ -60,11 +60,24 @@ object TransformLib {
   /** `cast_ibes_analyst` (:175-207): "'LAST      F'" → (last, first-initial);
     * also handles "LAST/TEAM" team forms.
     */
+  /** `cast_ibes_analyst` (util/transform.py:175-207), reference-exact:
+    * a whitespace-bearing name takes its FIRST TWO whitespace-run tokens
+    * as (last_name, initial[:1]) — 'ARFSTROM      J' → ('ARFSTROM', 'J'),
+    * and the quirk is preserved: 'VAN DEUSEN    P' → ('VAN', 'D'), the
+    * initial comes from the SECOND token, not the last. The slash form
+    * splits on '/' (a leading slash skips the empty head):
+    * 'ADKINS/NARRA' → ('ADKINS', 'N'). Apostrophes and commas are DATA
+    * (the reference keeps O'LEARY intact), never stripped.
+    */
   def castIbesAnalyst(c: Column): Column = {
-    val cleaned = trim(regexp_replace(c, "'", ""))
-    val last    = trim(regexp_extract(cleaned, "^([^/ ]+)", 1))
-    val rest    = trim(regexp_replace(cleaned, "^[^/ ]+[/ ]*", ""))
-    struct(last.as("last_name"), rest.as("first_name"))
+    val ws = filter(split(c, "[ \\t]+"), t => length(t) > 0)
+    val sl0 = split(c, "/")
+    val sl = when(c.startsWith("/"), slice(sl0, 2, 2)).otherwise(slice(sl0, 1, 2))
+    val toks = when(c.rlike("[ \\t]"), slice(ws, 1, 2)).otherwise(sl)
+    val last = coalesce(element_at(toks, 1), lit(""))
+    val ini = when(size(toks) >= 2,
+      substring(coalesce(element_at(toks, 2), lit("")), 1, 1)).otherwise(lit(""))
+    struct(last.as("last_name"), ini.as("first_name"))
   }
 
   def removePrefix(c: Column, p: String): Column =

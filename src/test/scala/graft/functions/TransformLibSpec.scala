@@ -37,13 +37,25 @@ class TransformLibSpec extends SparkSpec {
 
   test("ibes transforms: date+time to ISO Z, analyst name split") {
     import spark.implicits._
-    val df = Seq(("20200105", "9:30:00", "'ARFSTROM      J'")).toDF("d", "t", "a")
+    val df = Seq(("20200105", "9:30:00", "ARFSTROM      J")).toDF("d", "t", "a")
     val r = df.select(
       TransformLib.parseDateIbes(col("d"), col("t")).as("ts"),
       TransformLib.castIbesAnalyst(col("a")).as("an")).collect().head
     assert(r.getString(0) == "2020-01-05T09:30:00Z")
     assert(r.getStruct(1).getAs[String]("last_name") == "ARFSTROM")
     assert(r.getStruct(1).getAs[String]("first_name") == "J")
+    // reference doctest cases + quirks (util/transform.py:175-207)
+    def cast(s: String) = {
+      val row = Seq(s).toDF("a")
+        .select(TransformLib.castIbesAnalyst(col("a")).as("an"))
+        .collect().head.getStruct(0)
+      (row.getAs[String]("last_name"), row.getAs[String]("first_name"))
+    }
+    assert(cast("ADKINS/NARRA") == ("ADKINS", "N"))
+    assert(cast("VAN DEUSEN    P") == ("VAN", "D")) // second token, not last
+    assert(cast("O'LEARY       G") == ("O'LEARY", "G")) // apostrophe is data
+    assert(cast("/X/Y") == ("X", "Y")) // leading slash skips the empty head
+    assert(cast("SOLO") == ("SOLO", ""))
   }
 
   test("splitKeepPart supports negative indices (Python parts[-1])") {
