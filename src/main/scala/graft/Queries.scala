@@ -3809,9 +3809,17 @@ object GraftQueries {
         |FROM lineitem ORDER BY 1, 2""".stripMargin,
 
     "q_standardize" ->
-      """SELECT p_partkey, trim(regexp_replace(lower(
-        |regexp_replace(p_name, '[^\p{L}\p{N}]+', ' ', 'g')), ' +', ' ', 'g')) AS std
-        |FROM part ORDER BY p_partkey""".stripMargin,
+      """WITH raw AS (SELECT p_partkey, replace(p_name, '.', '') AS cleaned
+        |  FROM part),
+        |t AS (SELECT p_partkey, cleaned,
+        |  string_split(cleaned, ', ') AS pc FROM raw)
+        |SELECT p_partkey,
+        |  CASE WHEN len(pc) < 2
+        |    THEN array_to_string(string_split(cleaned, ' '), ',')
+        |    ELSE array_to_string(
+        |      pc[1:1] || [replace(pc[2], ' ', '')] || pc[3:], ',')
+        |  END AS std
+        |FROM t ORDER BY p_partkey""".stripMargin,
 
     "q_camel_to_snake" ->
       """SELECT c_custkey, lower(regexp_replace(regexp_replace(

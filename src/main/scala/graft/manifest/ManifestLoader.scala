@@ -384,7 +384,7 @@ object ManifestLoader {
       (module, fn) match {
         case (_, "round_str") =>
           val nd = params.get("ndigits").map(_.asInt()).getOrElse(0)
-          Some(cs => round(cs.head.cast("double"), nd))
+          Some(cs => graft.functions.TransformLib.roundStr(cs.head, nd))
         case ("builtins", "int") => Some(cs => cs.head.cast("string").try_cast("bigint"))
         case ("builtins", "float") => Some(cs => cs.head.cast("double"))
         case ("builtins", "str") => Some(cs => cs.head.cast("string"))
@@ -392,10 +392,19 @@ object ManifestLoader {
           // reference defaults: sep="/", keep=-1 (util/transform.py:449) —
           // a manifest omitting params keeps the LAST slash-separated part
           val sep = params.get("sep").map(_.asText()).getOrElse("/")
-          // reference param name is `keep` (negative = from the end)
-          val idx = params.get("keep").orElse(params.get("idx"))
-            .map(_.asInt()).getOrElse(-1)
-          Some(cs => graft.functions.TransformLib.splitKeepPart(cs.head, sep, idx))
+          // reference param name is `keep` (negative = from the end; a
+          // LIST keeps several indices re-joined with the separator)
+          params.get("keep").orElse(params.get("idx")) match {
+            case Some(n) if n.isArray =>
+              val idxs = n.elements().asScala.map(_.asInt()).toSeq
+              Some(cs => graft.functions.TransformLib.splitKeepParts(cs.head, sep, idxs))
+            case other =>
+              val idx = other.map(_.asInt()).getOrElse(-1)
+              Some(cs => graft.functions.TransformLib.splitKeepPart(cs.head, sep, idx))
+          }
+        case (_, "snake_to_camel") if params.contains("upper_first") =>
+          val uf = params("upper_first").asBoolean(false)
+          Some(cs => graft.functions.TransformLib.snakeToCamel(cs.head, uf))
         case (_, "remove_prefix") =>
           val p = params.get("prefix").map(_.asText()).getOrElse("")
           Some(cs => graft.functions.TransformLib.removePrefix(cs.head, p))

@@ -5,14 +5,22 @@ import org.apache.spark.sql.functions._
 
 class TransformLibSpec extends SparkSpec {
 
-  test("parse_date_reference handles a ladder of messy formats") {
+  test("parse_date_reference extracts the year, reference-exact") {
     import spark.implicits._
-    val df = Seq("2020-01-05", "01/05/2020", "January 5, 2020", "Jan 5, 2020",
-      "5th January 2020", "garbage").toDF("d")
-    val out = df.select(TransformLib.parseDateReference(col("d")).cast("string").as("p"))
-      .collect().map(r => Option(r.getString(0)))
-    assert(out.take(5).forall(_.contains("2020-01-05")))
-    assert(out.last.isEmpty)
+    // reference semantics (util/transform.py:210-278): YEAR out of comma
+    // forms and leading digits; unparseable inputs pass through
+    val cases = Seq(
+      "1923, May 10" -> "1923",
+      "1923, July" -> "1923",
+      "1921, Sept" -> "1921",
+      "1926, December 24th" -> "1926",
+      "1935-36" -> "1935",
+      "2020-01-05" -> "2020",
+      "garbage" -> "garbage")
+    val df = cases.map(_._1).toDF("d")
+    val out = df.select(TransformLib.parseDateReference(col("d")).as("p"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == cases.map(_._2))
   }
 
   test("parse_multi_item parses quoted kv-list strings into a typed map") {
@@ -41,7 +49,7 @@ class TransformLibSpec extends SparkSpec {
     val r = df.select(
       TransformLib.parseDateIbes(col("d"), col("t")).as("ts"),
       TransformLib.castIbesAnalyst(col("a")).as("an")).collect().head
-    assert(r.getString(0) == "2020-01-05T09:30:00Z")
+    assert(r.getString(0) == "2020-01-05T9:30:00Z") // reference keeps the time AS GIVEN
     assert(r.getStruct(1).getAs[String]("last_name") == "ARFSTROM")
     assert(r.getStruct(1).getAs[String]("first_name") == "J")
     // reference doctest cases + quirks (util/transform.py:175-207)

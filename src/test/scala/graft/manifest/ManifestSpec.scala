@@ -196,10 +196,12 @@ class ManifestSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq(("T1", 12.345), ("T2", -3.0)).toDF("__ticker", "Open")
     val out = PipelineCompiler.compile(m.schema, m.resource("history"), df)
-    // dress melts Open → (name=Open, value=12.35 / -3.0); filter drops -3.0
+    // dress melts Open → (name=Open, value=12.34 / -3.0); filter drops
+    // -3.0. 12.34, not 12.35: python round() is banker's rounding on the
+    // BINARY value (12.345 is stored as 12.34499…), replayed by bround
     val feats = out.vertex("feature").collect()
     assert(feats.length == 1)
-    assert(feats.head.getAs[Double]("value") == 12.35)
+    assert(feats.head.getAs[Double]("value") == 12.34)
     assert(out.vertex("ticker").count() == 2)
   }
 
