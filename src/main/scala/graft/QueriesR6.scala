@@ -202,6 +202,27 @@ object GraftQueriesR6 {
       Multimodal.channelSums(packed, "doc_id").orderBy("doc_id")
     },
 
+    // §2.12 schema-inference fuzzy name matcher (util/fuzzy_matcher.py,
+    // reference-exact port incl. difflib SequenceMatcher.ratio): fragments
+    // derived from the testdata table vocabulary match vertex names; the
+    // oracle is the REFERENCE'S OWN executed output for the same grid
+    // (literal rows — the same golden discipline as the manifest goldens)
+    "q_fuzzy_fragment" -> { (s, d) =>
+      import s.implicits._
+      val names = Seq("customer", "supplier", "nation", "region", "part",
+        "orders", "lineitem")
+      val frags = Seq("c_custkey", "customer_id", "supplier_fk", "nationkey",
+        "region", "part_key", "order", "lineitems", "l_orderkey", "custome",
+        "suplier", "regio", "fk_nation", "reference_part", "partsupp",
+        "o_orderdate", "lineitem_ref", "natio")
+      val m = new graft.infer.FuzzyMatcher(names, threshold = 0.8)
+      frags.map { f =>
+        val (mm, score) = m.matchFragment(f)
+        (f, mm.orNull, BigDecimal(score).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("fragment", "matched", "score").orderBy("fragment")
+    },
+
     // extension: REAL baseline-JPEG decode (JDK javax.imageio) — lossy, so
     // the gate is a PSNR band vs the known source image: any correct
     // decoder clears 15 dB on this content (measured floor 19.2 dB at
@@ -264,5 +285,30 @@ object GraftQueriesR6 {
     "q_jpeg_decode" ->
       """SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
         |  true AS psnr_ok
-        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    // literal rows = the reference FuzzyMatcher's own executed output for
+    // this grid (tools/gen_fuzzy_fixture.py provenance)
+    "q_fuzzy_fragment" ->
+      """SELECT fragment, matched, score FROM (VALUES
+        |    ('c_custkey', NULL, 0.0),
+        |    ('customer_id', 'customer', 0.9),
+        |    ('supplier_fk', 'supplier', 0.9),
+        |    ('nationkey', 'nation', 0.8),
+        |    ('region', 'region', 1.0),
+        |    ('part_key', 'part', 0.9),
+        |    ('order', 'orders', 0.95),
+        |    ('lineitems', 'lineitem', 0.95),
+        |    ('l_orderkey', NULL, 0.0),
+        |    ('custome', 'customer', 0.95),
+        |    ('suplier', 'supplier', 0.933333),
+        |    ('regio', 'region', 0.95),
+        |    ('fk_nation', 'nation', 0.9),
+        |    ('reference_part', 'part', 0.9),
+        |    ('partsupp', NULL, 0.0),
+        |    ('o_orderdate', NULL, 0.0),
+        |    ('lineitem_ref', 'lineitem', 0.9),
+        |    ('natio', 'nation', 0.95)
+        |) t(fragment, matched, score)
+        |ORDER BY fragment""".stripMargin)
 }
