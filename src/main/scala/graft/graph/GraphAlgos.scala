@@ -1428,13 +1428,20 @@ object GraphAlgos {
       .orderBy("_h", "a", "b").limit(evalCap)
       .select("a", "b").persist(lvl)
     val train = e.where(!(tag < "1a")).persist(lvl)
-    // negative sample: non-edges among the 200 smallest-md5 nodes
+    // negative sample: non-edges among the 200 smallest-md5 nodes. The
+    // anti-join only needs edges whose BOTH endpoints fall in that node
+    // set — two broadcast semi-joins shrink the full edge frame to the
+    // 200-node subgraph first, so the anti probe broadcasts instead of
+    // shuffling every edge
     val nodes = e.select(col("a").as("n")).union(e.select(col("b"))).distinct()
       .withColumn("_h", md5(concat(lit("n:"), col("n"))))
       .orderBy("_h", "n").limit(200).select("n").persist(lvl)
+    val eSub = e
+      .join(broadcast(nodes.withColumnRenamed("n", "a")), Seq("a"), "left_semi")
+      .join(broadcast(nodes.withColumnRenamed("n", "b")), Seq("b"), "left_semi")
     val negs = nodes.select(col("n").as("a"))
       .join(nodes.select(col("n").as("b")), col("a") < col("b"))
-      .join(e, Seq("a", "b"), "left_anti").persist(lvl)
+      .join(broadcast(eSub), Seq("a", "b"), "left_anti").persist(lvl)
     // common-neighbor scores for an evaluation pair set. The scorer only
     // ever needs adjacency rows whose endpoint u appears in an eval pair
     // (≤ 2·|ev| nodes, broadcast-small) — semi-joining the FULL train
