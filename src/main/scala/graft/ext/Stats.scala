@@ -124,20 +124,28 @@ object Stats {
     * and the oracle replays the FULL training as unrolled CTEs
     * ([[bradleyTerryOracleSql]] is generated side-by-side).
     *
-    * Scale shape: the MODEL (one rating per item) is driver-small by
-    * definition while the match data is not — so, like the k-means
-    * centroids and the Naive-Bayes tables, the ratings live on the driver
-    * and ride each round's plan as a broadcast literal: per round ONE job
-    * over the persisted pair frame (two broadcast joins + a keyed partial
-    * sum), the items-many denominator vector collected back, and the MM
-    * update + renormalization done in exact driver-side long arithmetic.
-    * No per-round checkpoint, no re-shuffle of the pairs.
+    * Scale shape: the MODEL (one rating per item) is USUALLY driver-small
+    * while the match data is not — but item count is data-dependent (an
+    * RLHF corpus can field millions of distinct competitors), so the
+    * driver-resident model is gated on a MEASURED item count
+    * (`localItemLimit`, the [[Corpus.bpeTrain]] dual-path discipline).
+    * Under the gate the ratings live on the driver and ride each round's
+    * plan as a broadcast literal: per round ONE job over the persisted
+    * pair frame (two broadcast joins + a keyed partial sum), the
+    * items-many denominator vector collected back, and the MM update +
+    * renormalization done in exact driver-side long arithmetic. Over the
+    * gate the ratings stay a persisted DataFrame: the same per-round job
+    * with shuffle joins instead of broadcast literals, the round total a
+    * 1-row scalar collect, the update pure column arithmetic — nothing
+    * items-many ever lands on the driver. Both paths run the identical
+    * truncating-long recurrence; tests force the distributed branch and
+    * assert rating-for-rating equality.
     *
     * `matches`: one row per unordered pair — (item_a, item_b, wins_a,
     * wins_b).
     */
   def bradleyTerry(matches: DataFrame, rounds: Int = 8,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L, localItemLimit: Long = 500000L): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val spark = matches.sparkSession
     val big = scale * scale // numerator boost so terms keep 6 digits
@@ -151,8 +159,13 @@ object Stats {
     val items = dir.groupBy(col("i").as("item"))
       .agg(sum("w").as("wins"), sum("n").as("n_matches"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // measured-count gate BEFORE any items-many collect; tests pass 0 to
+    // force the distributed branch and assert both produce identical
+    // ratings
+    if (items.count() > localItemLimit)
+      return bradleyTerryDistributed(dir, items, rounds, scale)
     val itemField = items.schema("item")
-    val itemRows = items.collect() // items-many — the model, not the data
+    val itemRows = items.collect() // items-many — gated above
     val wins: Map[Any, Long] =
       itemRows.map(r => r.get(0) -> r.getLong(1)).toMap
     val nI = itemRows.length.toLong
@@ -181,6 +194,46 @@ object Stats {
     }
     items.join(broadcast(literal(p, "item", "rating_micro")), Seq("item"))
       .select(col("item"), col("rating_micro"), col("wins"), col("n_matches"))
+  }
+
+  /** Unbounded-item-count branch of [[bradleyTerry]]: the ratings vector
+    * is a persisted DataFrame joined (shuffle, item-keyed) into each MM
+    * round; only two true scalars ever reach the driver (the item count
+    * once, the renormalization total per round). The recurrence is the
+    * same truncating positive-long arithmetic as the local branch —
+    * `div` on LongType truncates exactly like driver `Long./` for
+    * non-negative operands — so the two branches are bit-identical.
+    */
+  private def bradleyTerryDistributed(dir: DataFrame, items: DataFrame,
+      rounds: Int, scale: Long): DataFrame = {
+    val big = scale * scale
+    val nI = items.count()
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var p = items.select(col("item"), lit(scale).as("_p")).persist(lvl)
+    p.count(): Unit
+    for (_ <- 1 to rounds) {
+      val denom = dir
+        .join(p.select(col("item").as("i"), col("_p").as("_pi")), Seq("i"))
+        .join(p.select(col("item").as("j"), col("_p").as("_pj")), Seq("j"))
+        .select(col("i"), expr(s"n * ${big}L div (_pi + _pj)").as("_t"))
+        .groupBy(col("i").as("item")).agg(sum("_t").as("_den"))
+      val raw = items.join(denom, Seq("item"), "left")
+        .select(col("item"),
+          when(col("_den").isNull || col("_den") === 0L, lit(0L))
+            .otherwise(expr(s"wins * ${big}L div _den")).as("_p"))
+      val tot = raw.agg(coalesce(sum("_p"), lit(0L)))
+        .collect()(0).getLong(0) // 1-row scalar, not the model
+      val next = (if (tot == 0L) raw
+        else raw.select(col("item"),
+          expr(s"_p * ${nI}L * ${scale}L div ${tot}L").as("_p")))
+        .persist(lvl)
+      next.count(): Unit
+      p.unpersist(blocking = false)
+      p = next
+    }
+    items.join(p, Seq("item"))
+      .select(col("item"), col("_p").as("rating_micro"), col("wins"),
+        col("n_matches"))
   }
 
   /** DuckDB replay of [[bradleyTerry]] — unrolled integer CTE rounds,

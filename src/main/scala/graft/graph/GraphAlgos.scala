@@ -466,25 +466,34 @@ object GraphAlgos {
     * The wedge→closing-edge probe is an equi-join on the oriented edge
     * set itself.
     */
+  /** Degree-ordered orientation of a canonical undirected edge frame
+    * (columns `a` < `b`): each edge oriented `lo → hi` from its
+    * lower-(deg, node) endpoint, both endpoints joined against the
+    * node-keyed degree table (broadcast-eligible). THE scale invariant of
+    * every wedge join in this file ([[triangleCounts]], [[kTruss]]): max
+    * outgoing fanout per node is O(√m) regardless of raw degree, so a
+    * celebrity hub cannot mint a Σ deg² wedge blowup. PlanAssertSpec's
+    * star-graph invariant pins this — an id-ordered regression fails CI.
+    */
+  private[graft] def orientByDegree(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("node")).unionAll(und.select(col("b")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(lowFirst, col("a")).otherwise(col("b")).as("lo"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("hi"))
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val und = edges.select(
       least(col(srcCol).cast("string"), col(dstCol).cast("string")).as("a"),
       greatest(col(srcCol).cast("string"), col(dstCol).cast("string")).as("b"))
       .where(col("a") =!= col("b")).distinct()
-    val deg = und.select(col("a").as("node")).unionAll(und.select(col("b")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    // orient each edge low→high by (deg, node); both endpoints join the
-    // small degree table (node-keyed, broadcast-eligible)
-    val o = und
-      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
-      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
-      .select(
-        when(col("da") < col("db") ||
-          (col("da") === col("db") && col("a") < col("b")), col("a"))
-          .otherwise(col("b")).as("lo"),
-        when(col("da") < col("db") ||
-          (col("da") === col("db") && col("a") < col("b")), col("b"))
-          .otherwise(col("a")).as("hi"))
+    val o = orientByDegree(und)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // wedges from a common low endpoint; u < v in oriented order kills the
     // (u,v)/(v,u) mirror so each triangle closes once
@@ -709,16 +718,7 @@ object GraphAlgos {
     // returns (support frame, oriented-edge cache): the caller unpersists
     // the cache once the support consumer is materialized
     def support(cur: DataFrame): (DataFrame, DataFrame) = {
-      val deg = cur.select(col("a").as("node")).unionAll(cur.select(col("b")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-      val lowFirst = col("da") < col("db") ||
-        (col("da") === col("db") && col("a") < col("b"))
-      val o = cur
-        .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
-        .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
-        .select(
-          when(lowFirst, col("a")).otherwise(col("b")).as("lo"),
-          when(lowFirst, col("b")).otherwise(col("a")).as("hi"))
+      val o = orientByDegree(cur)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // wedges from a common low endpoint; u < v kills the (u,v)/(v,u)
       // mirror; the closing edge {u, v} may be oriented either way

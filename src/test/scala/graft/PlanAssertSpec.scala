@@ -98,4 +98,23 @@ class PlanAssertSpec extends SparkSpec {
     assert(!under.contains("SortMergeJoin") && !under.contains("ShuffledHashJoin"),
       s"relax round shuffles the edge frame under the broadcast limit:\n$under")
   }
+
+  test("wedge orientation is degree-ordered: a hub never fans out wedges") {
+    // the O(√m) invariant behind triangleCounts and every kTruss round:
+    // orient each edge from its lower-(deg, node) endpoint. On a star
+    // K(1,n) whose CENTER has the LEXICALLY SMALLEST id, an id-ordered
+    // orientation (the round-5 scale-killer) points all n edges OUT of
+    // the hub — fanout n, wedge count n·(n−1)/2; degree-ordered points
+    // every edge leaf→hub — max fanout 1, zero wedges
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    val star = (1 to 40).map(i => ("a_hub", f"leaf_$i%02d")).toDF("a", "b")
+    val o = graft.graph.GraphAlgos.orientByDegree(star)
+    val maxFan = o.groupBy("lo").agg(count(lit(1)).as("fan"))
+      .agg(max("fan")).collect()(0).getLong(0)
+    assert(maxFan == 1L,
+      s"degree orientation reverted: hub fans out $maxFan oriented edges")
+    // and the hub is always the hi endpoint
+    assert(o.where(col("lo") === "a_hub").count() == 0L)
+  }
 }
