@@ -175,7 +175,9 @@ object GraftQueries {
         .orderBy("src_c_custkey", "dst_p_partkey")
     },
 
-    // §2.6 COMBINATIONS casting: unordered pairs of one bucket
+    // §2.6 same-type same-bucket casting: the reference's anchor split —
+    // the document's first item pairs with each other item
+    // (edge_render.py:196-207; asserted by ReferenceActorParitySpec)
     "q_edge_combinations" -> { (s, d) =>
       val g = nestedOrders(s, d)
       g.edge(EdgeKey("part", "part", "co_occurs"))
@@ -3737,7 +3739,8 @@ object GraftQueries {
         |  (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS rn
         |  FROM lineitem)
         |SELECT DISTINCT a.l_partkey AS src_p_partkey, b.l_partkey AS dst_p_partkey
-        |FROM pos a JOIN pos b ON a.l_orderkey = b.l_orderkey AND a.rn < b.rn
+        |FROM pos a JOIN pos b ON a.l_orderkey = b.l_orderkey
+        |  AND a.rn = 1 AND b.rn > 1
         |ORDER BY 1, 2""".stripMargin,
 
     "q_edge_weights" ->

@@ -36,8 +36,13 @@ import graft.graph.GraphOutput
   *  - nested locs              → parent-scoped join (child pairs with ITS
   *                               parent only, via shared `_pos` prefix)
   *  - sibling branches         → document-scoped PRODUCT (`_row_id` only)
-  *  - same (vertex,role) bucket→ COMBINATIONS (posL < posR, unordered pairs)
-  * Explicit `casting = pair|product|combinations` overrides the auto rule.
+  *  - same (vertex,role) bucket→ ANCHOR (the document's first location
+  *                               pairs with each other location — the
+  *                               reference's `(group[:1], group[1:])`
+  *                               split, edge_render.py:196-207; NOT all
+  *                               C(n,2) pairs)
+  * Explicit `casting = pair|product|combinations` overrides the auto rule
+  * (explicit `combinations` renders the full posL < posR unordered pairs).
   *
   * Scale note: all joins here are keyed on `_row_id` which is unique and
   * uniformly distributed (partition-id high bits), so the within-document
@@ -797,7 +802,7 @@ object PipelineCompiler {
       //   sibling branches        → document-scoped PRODUCT
       val casting = e.casting match {
         case "auto" =>
-          if (sb.vertex == db.vertex && sb.role == db.role && sb.seq == db.seq) "combinations"
+          if (sb.vertex == db.vertex && sb.role == db.role && sb.seq == db.seq) "anchor"
           else "prefix"
         case c => c
       }
@@ -818,6 +823,20 @@ object PipelineCompiler {
         case "combinations" =>
           left.join(right, col(RowIdCol) === col(s"__r_$RowIdCol") &&
             col("_lps") < col("_rps"))
+        case "anchor" =>
+          // same-type same-bucket auto rule: the reference's single-group
+          // emitter/receiver split pairs the document's FIRST emitted
+          // location against each OTHER location — `(source_group[:1],
+          // source_group[1:])`, edge_render.py:196-207 — so [a, b, c]
+          // renders a→b, a→c and never b→c (caught by the executed
+          // actor-parity fixture; explicit `casting: combinations` keeps
+          // the full unordered-pairs join above)
+          val wA = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(RowIdCol))
+          left.withColumn("_minp", min(col("_lps")).over(wA))
+            .join(right, col(RowIdCol) === col(s"__r_$RowIdCol") &&
+              col("_lps") === col("_minp") && col("_lps") =!= col("_rps"))
+            .drop("_minp")
         case "zip" =>
           // positional-zip fallback (reference db_writer.py:314-349): pair
           // the i-th source observation with the i-th target observation —

@@ -50,7 +50,10 @@ object MergeOps {
     val valueCols = df.columns.filterNot(c => keyCols.contains(c) || c == orderCol)
     val keyed = if (keepUnkeyed) df
       else df.where(keyCols.map(col(_).isNotNull).reduceLeft(_ || _))
-    if (valueCols.isEmpty) keyed.dropDuplicates(keyCols)
+    // identity-only frames: the order column must not leak into the
+    // result (it reached stored documents via GraphStore.write before the
+    // actor-parity fixtures caught it)
+    if (valueCols.isEmpty) keyed.dropDuplicates(keyCols).drop(orderCol)
     else {
       val aggs = valueCols.map { c =>
         max(when(col(c).isNotNull, struct(col(orderCol).as("o"), col(c).as("v"))))

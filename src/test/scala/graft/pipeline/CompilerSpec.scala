@@ -61,7 +61,7 @@ class CompilerSpec extends SparkSpec {
     assert(edges == Set((10L, "p1"), (10L, "p2"), (20L, "p3")))
   }
 
-  test("combinations casting pairs a bucket with itself, no self-loops") {
+  test("same-bucket auto casting: anchor pairs first item with the rest") {
     import spark.implicits._
     val df = Seq((1L, Seq("a", "b", "c")), (2L, Seq("x"))).toDF("gid", "members")
     val schema = sch(Seq(VertexDef("m", Nil, Identity.Natural(Seq("name")))),
@@ -73,7 +73,25 @@ class CompilerSpec extends SparkSpec {
     val out = PipelineCompiler.compile(schema, res, df)
     val pairs = out.edge(EdgeKey("m", "m", "together"))
       .select("src_name", "dst_name").as[(String, String)].collect().toSet
-    assert(pairs == Set(("a", "b"), ("a", "c"), ("b", "c"))) // gid=2 singleton → none
+    // the reference's single-group anchor split (edge_render.py:196-207):
+    // first location × rest — (b, c) is NOT emitted; gid=2 singleton → none
+    assert(pairs == Set(("a", "b"), ("a", "c")))
+  }
+
+  test("explicit combinations casting keeps the full unordered-pair join") {
+    import spark.implicits._
+    val df = Seq((1L, Seq("a", "b", "c"))).toDF("gid", "members")
+    val schema = sch(Seq(VertexDef("m", Nil, Identity.Natural(Seq("name")))),
+      Seq(EdgeDef("m", "m", "together")))
+    val res = ResourceDef("r", Seq(
+      Descend(Some("members"), steps = Seq(
+        VertexStep("m", from = Map("name" -> "_value"), extractionScope = "mapped_only"))),
+      EdgeStep(source = "m", target = "m", relation = "together",
+        casting = "combinations")), inferEdges = false)
+    val out = PipelineCompiler.compile(schema, res, df)
+    val pairs = out.edge(EdgeKey("m", "m", "together"))
+      .select("src_name", "dst_name").as[(String, String)].collect().toSet
+    assert(pairs == Set(("a", "b"), ("a", "c"), ("b", "c")))
   }
 
   test("dynamic edges: relation from a data field with relation_map and strict types") {
