@@ -230,10 +230,19 @@ object ManifestLoader {
   private def parseStep(s: JsonNode): Step = {
     if (s.has("vertex")) parseVertexStep(s)
     else if (s.has("transform")) parseTransform(s.path("transform"))
-    else if (s.has("source") && s.has("target")) parseEdgeStep(s)
-    else if (s.has("edge")) parseEdgeStep(s.path("edge"))
+    // the source/target SHORTHAND binds a schema edge directly; its
+    // relation_field values pass through RAW — relation_map renames only
+    // apply on the explicit `edge:` actor form (executed actor-parity:
+    // the reference leaves OWNS/RENTS unmapped in the shorthand)
+    else if (s.has("source") && s.has("target")) parseEdgeStep(s, applyRelationMap = false)
+    else if (s.has("edge")) {
+      val e = s.path("edge")
+      if (e.has("links")) MultiEdgeStep(
+        e.path("links").elements().asScala.map(l => parseEdgeStep(l)).toSeq)
+      else parseEdgeStep(e)
+    }
     else if (s.has("links")) MultiEdgeStep(
-      s.path("links").elements().asScala.map(parseEdgeStep).toSeq)
+      s.path("links").elements().asScala.map(l => parseEdgeStep(l)).toSeq)
     else if (s.has("cast")) CastStep(
       s.path("cast").properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
     else if (s.has("vertex_router") || s.has("type_field")) {
@@ -242,11 +251,15 @@ object ManifestLoader {
       // flat `from:` applies to every routed type (objects-relations.yaml);
       // per_type_from entries override per type
       val flatFrom = objMap(r.path("from"))
-      val perType0 = r.path("per_type_from") match {
-        case n if n.isObject => n.properties().asScala.map(e =>
+      // `vertex_from_map` is the reference spelling (steps/models.py:791);
+      // `per_type_from` is the older dialect — accept both, reference wins
+      def typedFrom(n: JsonNode): Map[String, Map[String, String]] = n match {
+        case x if x.isObject => x.properties().asScala.map(e =>
           e.getKey -> objMap(e.getValue)).toMap
         case _ => Map.empty[String, Map[String, String]]
       }
+      val perType0 = typedFrom(r.path("per_type_from")) ++
+        typedFrom(r.path("vertex_from_map"))
       val perType =
         if (flatFrom.isEmpty) perType0
         else typeMap.values.toSeq.distinct.map(v =>
@@ -256,6 +269,7 @@ object ManifestLoader {
         typeField = r.path("type_field").asText(),
         typeMap = typeMap,
         perTypeFrom = perType,
+        keepFields = strings(r.path("keep_fields")),
         // synthetic role so `edge:` steps can reference this router slot by
         // its type field (source_type_field / target_type_field)
         role = text(r, "role").orElse(Some(s"__tf_${r.path("type_field").asText()}")))
@@ -283,7 +297,7 @@ object ManifestLoader {
       role = text(s, "role"),
       lookupOnly = s.path("lookup_only").asBoolean(false))
 
-  private def parseEdgeStep(s: JsonNode): EdgeStep = {
+  private def parseEdgeStep(s: JsonNode, applyRelationMap: Boolean = true): EdgeStep = {
     // `match` selects one location group for BOTH endpoints (kg.yaml)
     val both = text(s, "match")
     // nested `edge:` form (objects-relations.yaml): `from`/`to` are static
@@ -302,7 +316,7 @@ object ManifestLoader {
       targetRole = text(s, "target_role")
         .orElse(text(s, "target_type_field").map("__tf_" + _)),
       relationField = text(s, "relation_field"),
-      relationMap = objMap(s.path("relation_map")),
+      relationMap = if (applyRelationMap) objMap(s.path("relation_map")) else Map.empty,
       relationFromKey = s.path("relation_from_key").asBoolean(false),
       casting = s.path("casting").asText("auto"),
       weightFields = strings(s.path("properties")) ++ strings(s.path("weights")),

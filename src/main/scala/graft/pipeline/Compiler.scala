@@ -94,6 +94,14 @@ object PipelineCompiler {
       * missing from the live frame but present here consume these branches.
       */
     val dressBranches = mutable.ArrayBuffer.empty[(DataFrame, Loc)]
+    /** Column names produced by a transform (in-place outputs and dress
+      * key/value fields). Schema-level vertex filters only apply to
+      * transform-fed observations (reference vertex.py:57-65
+      * `_filter_and_aggregate_vertex_docs` runs over TRANSFORMED buffer
+      * items only; passthrough doc fields are never filtered at cast
+      * time — executed actor-parity finding).
+      */
+    val transformedCols = mutable.Set.empty[String]
     /** frame at each lineage location, tracking that level's transforms
       * (the reference's obs buffers hold TRANSFORMED docs): lets an edge
       * intent fetch relation_field / weight data that lives at an
@@ -183,8 +191,11 @@ object PipelineCompiler {
     steps.foreach {
       case d: Descend          => descend(d, cur, loc, ctx) // children use sub-frame; parent frame unchanged
       case t: TransformStep if t.dress.isDefined =>
+        t.dress.foreach { case (k, v) => ctx.transformedCols += k += v }
         ctx.dressBranches += dressBranch(t, cur, loc) // parent frame unchanged
       case t: TransformStep    =>
+        ctx.transformedCols ++= (if (t.output.nonEmpty) t.output else t.input)
+        ctx.transformedCols ++= t.outputGroups.flatten
         cur = transform(t, cur, ctx)
         // the location frame tracks the TRANSFORMED level (the reference's
         // obs buffers hold transformed docs): an edge intent fetching
@@ -196,6 +207,9 @@ object PipelineCompiler {
       case e: EdgeStep         => ctx.intents += mkIntent(e, cur, loc, ctx.schema)
       case m: MultiEdgeStep    => m.links.foreach(l => ctx.intents += mkIntent(l, cur, loc, ctx.schema))
       case r: RenameStep       =>
+        // renames run through the reference's TransformActor, so renamed
+        // fields count as transform-fed for schema-filter gating
+        ctx.transformedCols ++= r.renames.values
         cur = r.renames.foldLeft(cur) { case (d, (a, b)) => d.withColumnRenamed(a, b) }
         ctx.locFrames(loc) = cur
       case k: RenameKeysStep   =>
@@ -333,6 +347,38 @@ object PipelineCompiler {
               MetaCols.map(col) ++ (col("__e._key").as("_key") +:
                 unified.map { case (fn, _) => col(s"__e.$fn") }): _*)
             (rerooted, loc :+ ("*" -> true))
+          case st: StructType if st.fields.nonEmpty &&
+              st.fields.forall(_.dataType.isInstanceOf[StructType]) =>
+            // map-of-OBJECTS (any_key over `{key: {...}, ...}` where every
+            // value is a sub-document, reference descend.py map-entry
+            // iteration): each PRESENT key is one (key, sub-document)
+            // entry — re-root the sub-document's fields with `_key`
+            // carrying the map key. Value structs unify to the union of
+            // their fields (JSON inference gives per-key subsets), and
+            // keys absent from a document (null struct) emit no entry.
+            val unified: Seq[(String, org.apache.spark.sql.types.DataType)] = {
+              val seen = mutable.LinkedHashMap
+                .empty[String, org.apache.spark.sql.types.DataType]
+              st.fields.foreach(_.dataType.asInstanceOf[StructType].fields
+                .foreach(sf => if (!seen.contains(sf.name)) seen += sf.name -> sf.dataType))
+              seen.toSeq
+            }
+            val perField: Seq[Column] = st.fields.toSeq.map { f =>
+              val et = f.dataType.asInstanceOf[StructType]
+              when(col(s"$k.${f.name}").isNotNull, struct(
+                (lit(f.name).as("_key") +: unified.map { case (fn, dt) =>
+                  (if (et.fieldNames.contains(fn)) col(s"$k.${f.name}.$fn").cast(dt)
+                   else lit(null).cast(dt)).as(fn)
+                }): _*))
+            }
+            val entries = frame.select(meta :+ posexplode(
+              org.apache.spark.sql.functions.filter(array(perField: _*), x => x.isNotNull))
+              .as(Seq("__p", "__e")): _*)
+              .withColumn(PosCol, concat(col(PosCol), array(col("__p").cast("long"))))
+            val rerooted = entries.select(
+              MetaCols.map(col) ++ (col("__e._key").as("_key") +:
+                unified.map { case (fn, _) => col(s"__e.$fn") }): _*)
+            (rerooted, loc :+ ("*" -> true))
           case st: StructType =>
             // melt the struct's fields into (_key, _value) rows
             val pairs = st.fields.zipWithIndex.map { case (f, i) =>
@@ -430,10 +476,17 @@ object PipelineCompiler {
     // untyped dicts.
     val valueOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       if (t.input.size > 1) c => fn(c).cast("string") else fn
+    // a document missing the input field gets NO dressed entry — the
+    // reference only invokes the transform on present inputs (caught by
+    // the executed actor-parity fixture: a doc without `Open` must not
+    // mint a `{name: Open, value: null}` observation)
     val pairs = t.input.zipWithIndex.map { case (f, i) =>
-      struct(lit(i.toLong).as("p"), lit(f).as("k"), valueOf(col(f)).as("v"))
+      when(col(f).isNotNull,
+        struct(lit(i.toLong).as("p"), lit(f).as("k"), valueOf(col(f)).as("v")))
     }
-    val child = frame.select(MetaCols.map(col) :+ explode(array(pairs: _*)).as("__kv"): _*)
+    val child = frame.select(MetaCols.map(col) :+ explode(
+      org.apache.spark.sql.functions.filter(array(pairs: _*), x => x.isNotNull))
+      .as("__kv"): _*)
       .withColumn(PosCol, concat(col(PosCol), array(col("__kv.p"))))
       .select(MetaCols.map(col) ++
         Seq(col("__kv.k").as(keyName), col("__kv.v").as(valName)): _*)
@@ -524,7 +577,17 @@ object PipelineCompiler {
       if (t.isDefined && proj.columns.contains(p.name))
         proj = proj.withColumn(p.name, col(p.name).cast(t.get.sparkDdl))
     }
-    v.filters.orElse(vdef.filters).foreach(f => proj = proj.where(FilterExpr.compile(f)))
+    // step-level filters (programmatic API) always apply; SCHEMA-level
+    // vertex filters only gate transform-fed observations — the reference
+    // runs them over transformed buffer items only (vertex.py:57-65 via
+    // _process_transformed_items), never over passthrough doc fields, so
+    // ticker's dress-fed `feature` rows filter but a raw-document field
+    // with the same name does not (executed actor-parity finding)
+    v.filters.foreach(f => proj = proj.where(FilterExpr.compile(f)))
+    if (v.filters.isEmpty)
+      vdef.filters
+        .filter(f => FilterExpr.fields(f).exists(ctx.transformedCols))
+        .foreach(f => proj = proj.where(FilterExpr.compile(f)))
     // an observation whose EVERY extracted field is null is an empty doc —
     // the reference's vertex actor emits nothing for it (actor/vertex.py:
     // empty projection short-circuit; deb's depends_aliases entries carry
@@ -550,7 +613,7 @@ object PipelineCompiler {
       if (ctx.schema.vertexByName.contains(vtype)) {
         val sub = frame.where(col(r.typeField) === lit(value))
         val vs = VertexStep(vtype, from = r.perTypeFrom.getOrElse(vtype, Map.empty),
-          role = r.role)
+          role = r.role, keepFields = r.keepFields)
         vertexStep(vs, sub, loc, ctx)
       }
     }
@@ -626,14 +689,25 @@ object PipelineCompiler {
 
     val explicit: Seq[(EdgeKey, DataFrame)] = ctx.intents.toSeq.flatMap(i => renderIntent(ctx, i))
 
-    val coveredKeys = explicit.map(_._1).toSet
+    // inference is suppressed per (source, target) PAIR: a resource that
+    // DECLARES any edge actor for the pair owns that pair's rendering even
+    // when the actor emits zero rows (match selectors with no hits) or a
+    // different relation label (`relation: lives_in` must not leave the
+    // bare schema edge to re-render — executed actor-parity finding).
+    // Dynamic actors (router slots) contribute the pairs they actually
+    // rendered.
+    val coveredPairs: Set[(String, String)] =
+      ctx.intents.toSeq.collect {
+        case i if i.step.source.nonEmpty && i.step.target.nonEmpty =>
+          (i.step.source, i.step.target)
+      }.toSet ++ explicit.map { case (k, _) => (k.source, k.target) }
     val inferred: Seq[(EdgeKey, DataFrame)] =
       if (!resource.inferEdges) Nil
       else schema.edges.filter { e =>
         val pairOk =
           (resource.inferEdgeOnly.isEmpty || resource.inferEdgeOnly.contains((e.source, e.target))) &&
             !resource.inferEdgeExcept.contains((e.source, e.target))
-        pairOk && !coveredKeys.contains(e.key) &&
+        pairOk && !coveredPairs.contains((e.source, e.target)) &&
           produced.contains(e.source) && produced.contains(e.target)
       }.flatMap { e =>
         renderIntent(ctx, EdgeIntentRec(
@@ -715,8 +789,38 @@ object PipelineCompiler {
       }
     }
 
-    val srcBucketsA = bucketsFor(e.source, e.sourceRole, e.sourceGroup, e.excludeSource)
-    val dstBucketsA = bucketsFor(e.target, e.targetRole, e.targetGroup, e.excludeTarget)
+    // SAME-TYPE static edges: the reference renders them over ONE
+    // emission-ordered group of ALL the type's observations — source_role/
+    // target_role do NOT partition the endpoints (executed actor-parity:
+    // reversing the roles changes nothing; a list-valued role slot's
+    // members pair with the document's first location, not with the other
+    // slot). Resolve a role-only slot's type so the rule also covers
+    // `edge: {source_role: a, target_role: b}` with no explicit names;
+    // router-synthetic `__tf_` slots keep slot semantics (their types are
+    // data-dependent).
+    def slotType(role: Option[String]): Option[String] = role
+      .filterNot(_.startsWith("__tf_"))
+      .flatMap { r =>
+        val ts = ctx.roleSlots.getOrElse(r, Seq.empty).map(_.vertex).distinct
+        if (ts.size == 1) Some(ts.head) else None
+      }
+    val effSrcName = if (e.source.nonEmpty) Some(e.source) else slotType(e.sourceRole)
+    val effDstName = if (e.target.nonEmpty) Some(e.target) else slotType(e.targetRole)
+    // TWO-SIDED match selectors opt OUT of the single-group emitter rule:
+    // `if d.match_source is not None and d.match_target is not None: yield
+    // from zip(source_groups, target_groups)` (edge_render.py:198-200) —
+    // kg.yaml's mention→mention (triple_index → triple) pairs the two
+    // location groups directly.
+    val sameTypeStatic = e.casting == "auto" && !e.relationFromKey &&
+      !(e.sourceGroup.nonEmpty && e.targetGroup.nonEmpty) &&
+      effSrcName.isDefined && effSrcName == effDstName
+    val (srcBucketsA, dstBucketsA) =
+      if (sameTypeStatic)
+        (bucketsFor(effSrcName.get, None, e.sourceGroup, e.excludeSource),
+         bucketsFor(effDstName.get, None, e.targetGroup, e.excludeTarget))
+      else
+        (bucketsFor(e.source, e.sourceRole, e.sourceGroup, e.excludeSource),
+         bucketsFor(e.target, e.targetRole, e.targetGroup, e.excludeTarget))
     // relation_from_key same-type edges replay the reference's
     // emitter/receiver split (edge_render.py:183-210
     // _iter_emitter_receiver_group_pairs): the FIRST location (shallowest,
@@ -742,6 +846,19 @@ object PipelineCompiler {
         dstBuckets0.filterNot(_.loc.exists(_._1 == e.sourceGroup.get))
       else dstBuckets0
 
+    // same-type single-group emitter (edge_render.py:196-212): the FIRST
+    // emitted location is the sole emitter — `(group[:1], group[1:])` when
+    // source and target groups coincide, `(source_group[:1], target_group)`
+    // when match selectors split them. At the obs level: only the
+    // first-emitted source obs renders, and cross-obs pairs restrict its
+    // side to the document's first position ("anchorCross" below); the
+    // (emitter, emitter) pair keeps the within-obs anchor split.
+    val emitterSeq: Option[Int] =
+      if (sameTypeStatic && srcBuckets.nonEmpty &&
+          (srcBuckets.size > 1 || dstBuckets.exists(_.seq != srcBuckets.head.seq)))
+        Some(srcBuckets.map(_.seq).min)
+      else None
+
     val out = mutable.Map.empty[EdgeKey, mutable.ArrayBuffer[DataFrame]]
 
     // same-type, same-location, distinct-bucket pairs render once in
@@ -760,7 +877,8 @@ object PipelineCompiler {
       else None
 
     for (sb <- srcBuckets; db <- dstBuckets
-         if !mirroredPair(sb, db) &&
+         if emitterSeq.forall(_ == sb.seq) &&
+           !mirroredPair(sb, db) &&
            !(e.relationFromKey && relKeySide(sb, db).isEmpty)) {
       val sv = schema.vertex(sb.vertex); val tv = schema.vertex(db.vertex)
       // endpoint projection: secondary-identity match selectors (edge.py
@@ -803,6 +921,7 @@ object PipelineCompiler {
       val casting = e.casting match {
         case "auto" =>
           if (sb.vertex == db.vertex && sb.role == db.role && sb.seq == db.seq) "anchor"
+          else if (emitterSeq.isDefined) "anchorCross"
           else "prefix"
         case c => c
       }
@@ -836,6 +955,18 @@ object PipelineCompiler {
           left.withColumn("_minp", min(col("_lps")).over(wA))
             .join(right, col(RowIdCol) === col(s"__r_$RowIdCol") &&
               col("_lps") === col("_minp") && col("_lps") =!= col("_rps"))
+            .drop("_minp")
+        case "anchorCross" =>
+          // same-type emitter → another obs bucket's locations: the
+          // emitter side is the document's FIRST position of the
+          // first-emitted obs; the receiving side takes every location.
+          // Document-scoped (the reference's single group carries no
+          // congruence constraint across the split).
+          val wC = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(RowIdCol))
+          left.withColumn("_minp", min(col("_lps")).over(wC))
+            .join(right, col(RowIdCol) === col(s"__r_$RowIdCol") &&
+              col("_lps") === col("_minp"))
             .drop("_minp")
         case "zip" =>
           // positional-zip fallback (reference db_writer.py:314-349): pair

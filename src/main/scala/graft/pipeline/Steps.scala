@@ -84,7 +84,8 @@ final case class VertexRouterStep(
     typeField: String,
     typeMap: Map[String, String] = Map.empty,
     perTypeFrom: Map[String, Map[String, String]] = Map.empty,
-    role: Option[String] = None
+    role: Option[String] = None,
+    keepFields: Seq[String] = Nil
 ) extends Step
 
 /** Declare an edge intent at the current lineage location
