@@ -3735,12 +3735,16 @@ object GraftQueries {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey ORDER BY 1, 2""".stripMargin,
 
     "q_edge_combinations" ->
+      // a.l_partkey <> b.l_partkey: same-identity items at one location
+      // FUSE in the reference accumulator (merge_doc_basis per location),
+      // so an order holding the same part on two line items is ONE part
+      // observation and never self-pairs
       """WITH pos AS (SELECT l_orderkey, l_partkey, row_number() OVER
         |  (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS rn
         |  FROM lineitem)
         |SELECT DISTINCT a.l_partkey AS src_p_partkey, b.l_partkey AS dst_p_partkey
         |FROM pos a JOIN pos b ON a.l_orderkey = b.l_orderkey
-        |  AND a.rn = 1 AND b.rn > 1
+        |  AND a.rn = 1 AND b.rn > 1 AND a.l_partkey <> b.l_partkey
         |ORDER BY 1, 2""".stripMargin,
 
     "q_edge_weights" ->

@@ -129,7 +129,14 @@ object EvolutionOp {
     * endpoint slots).
     */
   final case class MergeVertices(sources: Seq[String], into: String,
-      allowSelfRelations: Boolean = false) extends EvolutionOp {
+      allowSelfRelations: Boolean = false,
+      /** affirm ROW FUSION: a pipeline level producing the merged type more
+        * than once means one source document yielded both pre-merge types —
+        * after the merge they share an accumulator slot and assembly fuses
+        * them into one node. Checked by [[MergeImpact.applyMergeVertices]]
+        * (the schema-only apply can't see the ingestion model).
+        */
+      allowRowFusion: Boolean = false) extends EvolutionOp {
     require(sources.nonEmpty && !sources.contains(into),
       "sources must be non-empty and not include 'into'")
 
@@ -502,7 +509,7 @@ object Evolution {
             store.overwriteEdges(key, df.withColumnRenamed(from, to)))
         case RemoveEdgeProperty(key, f) =>
           store.readEdges(key).foreach(df => store.overwriteEdges(key, df.drop(f)))
-        case MergeVertices(sources, into, _) =>
+        case MergeVertices(sources, into, _, _) =>
           // union the source collections into the target and re-merge on the
           // target identity; incident edge collections move to their new key
           // (the old-named collection stays on disk — migration skips

@@ -197,9 +197,10 @@ object RevisionStore {
         o.put("op", "remove_edge_property"); keyToJson(o, k); o.put("field", f)
       case SetEdgeDirected(k, d) =>
         o.put("op", "set_edge_directed"); keyToJson(o, k); o.put("directed", d)
-      case MergeVertices(srcs, into, allow) =>
+      case MergeVertices(srcs, into, allow, allowFusion) =>
         o.put("op", "merge_vertices"); strArr(o, "sources", srcs)
         o.put("into", into); o.put("allow_self_relations", allow)
+        o.put("allow_row_fusion", allowFusion)
     }
     o
   }
@@ -237,7 +238,8 @@ object RevisionStore {
     case "set_edge_directed" =>
       SetEdgeDirected(keyFromJson(n), n.path("directed").asBoolean(true))
     case "merge_vertices" => MergeVertices(strs(n, "sources"),
-      n.path("into").asText(), n.path("allow_self_relations").asBoolean(false))
+      n.path("into").asText(), n.path("allow_self_relations").asBoolean(false),
+      n.path("allow_row_fusion").asBoolean(false))
     case other => throw new IllegalArgumentException(s"unknown op kind: $other")
   }
 

@@ -149,30 +149,59 @@ object Similarity {
     * integer sums, and argmaxes tie-break on the candidate id (struct
     * min — map-side combinable, no window).
     *
-    * Scale shape: candidate generation here is the exact broadcast
-    * cross-product — bounded-contract like [[bruteForceTopK]] (one side
-    * driver-small). At corpus scale swap in [[annTopK]]-style bucketed
-    * candidates for both directions; everything from the quantized
-    * top-k on is keyed on endpoint ids and partial-aggregates.
+    * Scale shape: candidate generation is GATED on the measured pair
+    * count (the [[graft.ext.Corpus.bpeTrain]] dual-path discipline).
+    * Below `exactPairLimit` it is the exact broadcast cross-product —
+    * bounded-contract like [[bruteForceTopK]] (one side driver-small);
+    * the sf0.1→sf1 scale probe measured that path at 12.8× on 10× data
+    * (quadratic, as a cross join must be). Above the gate, candidates
+    * come from a sign-LSH bucket join (both sides hashed with the SAME
+    * hyperplanes, multiprobe widening on the src side) — the CCMatrix
+    * recipe's "ANN candidates, then margins". Everything from the
+    * quantized top-k on is identical in both paths: keyed on endpoint
+    * ids, partial-aggregated, never a full pair materialization.
     *
     * Output: (src_id, tgt_id, margin), one row per mined pair.
     */
   def bitextMine(src: DataFrame, tgt: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
+      vecCol: String, k: Int, exactPairLimit: Long = 4000000L,
+      bits: Int = 8, multiprobe: Int = 3, seed: Long = 42L): DataFrame = {
     require(k >= 1, "k must be positive")
     val a = src.select(col(idCol).as("src_id"), col(vecCol).as("_sv"))
       .withColumn("_sn", norm(col("_sv")))
     val b = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("_tv"))
       .withColumn("_tn", norm(col("_tv")))
-    // ONE scan of the cross join: every scored pair explodes into its two
-    // directional rows and BOTH top-k heaps fill inside a single
+    val cosQ = round(dot(col("_sv"), col("_tv")) /
+      (col("_sn") * col("_tn")) * 10000).cast("long").as("c")
+    // measured gate, not configuration: two cheap counts decide the path
+    val nPairs = a.count() * b.count()
+    // ONE scan of the candidate frame: every scored pair explodes into its
+    // two directional rows and BOTH top-k heaps fill inside a single
     // map-side-combined bounded-heap aggregation — the corpus-scale pair
     // frame is never persisted and never rescanned (the earlier shape
     // materialized all |src|·|tgt| scored rows to serve two aggregations)
-    val scored = a.crossJoin(broadcast(b))
-      .select(col("src_id"), col("tgt_id"),
-        round(dot(col("_sv"), col("_tv")) /
-          (col("_sn") * col("_tn")) * 10000).cast("long").as("c"))
+    val scored =
+      if (nPairs <= exactPairLimit)
+        a.crossJoin(broadcast(b)).select(col("src_id"), col("tgt_id"), cosQ)
+      else {
+        // sign-LSH bucket join: 2^bits buckets shared by both sides; the
+        // src side also probes Hamming-1 flips of its first `multiprobe`
+        // bits (recall knob). dropDuplicates keeps multiprobe hits from
+        // occupying two heap slots for one pair.
+        val dim = src.select(org.apache.spark.sql.functions.size(col(vecCol)))
+          .head.getInt(0)
+        val planes = hyperplanes(bits, dim, seed)
+        val b0 = lshBucket(col("_sv"), planes)
+        val probes: Column =
+          if (multiprobe <= 0) array(b0)
+          else array((b0 +: (0 until multiprobe).map(i =>
+            b0.bitwiseXOR(lit(1L << i)))): _*)
+        val aP = a.withColumn("bucket", explode(probes))
+        val bH = b.withColumn("bucket", lshBucket(col("_tv"), planes))
+        aP.join(bH, Seq("bucket"))
+          .select(col("src_id"), col("tgt_id"), cosQ)
+          .dropDuplicates("src_id", "tgt_id")
+      }
     val tk = scored.select(explode(array(
         struct(lit("s").as("side"), col("src_id").as("g"),
           col("tgt_id").as("o"), col("c")),

@@ -912,6 +912,18 @@ object PipelineCompiler {
             else lit(null).cast("string")).as(s"dst_$c")) ++
           relFromTarget.map(col).toSeq): _*)
 
+      // same-LOCATION same-type observations with EQUAL identity values are
+      // ONE entity: the reference's accumulator applies merge_doc_basis per
+      // location, so two steps (or duplicate list items) observing the same
+      // identity fuse into a single item and never self-pair (caught by the
+      // merge-guard scenario: two post-merge `vertex: A` steps at one level
+      // must not mint an (a1, a1) self-edge)
+      val idPairs = sKeys.zip(tKeys)
+      def identityDiffers: Column =
+        if (idPairs.isEmpty) lit(true)
+        else not(idPairs.map { case (sc, tc) =>
+          col(s"src_$sc") <=> col(s"dst_$tc") }.reduce(_ && _))
+
       // Lineage-prefix congruence (reference edge_render.py:143-228): two
       // buckets pair within the deepest explode level they SHARE. The shared
       // depth is the number of exploding segments on the common loc prefix:
@@ -954,7 +966,8 @@ object PipelineCompiler {
             .partitionBy(col(RowIdCol))
           left.withColumn("_minp", min(col("_lps")).over(wA))
             .join(right, col(RowIdCol) === col(s"__r_$RowIdCol") &&
-              col("_lps") === col("_minp") && col("_lps") =!= col("_rps"))
+              col("_lps") === col("_minp") && col("_lps") =!= col("_rps") &&
+              identityDiffers)
             .drop("_minp")
         case "anchorCross" =>
           // same-type emitter → another obs bucket's locations: the
@@ -964,9 +977,11 @@ object PipelineCompiler {
           // congruence constraint across the split).
           val wC = org.apache.spark.sql.expressions.Window
             .partitionBy(col(RowIdCol))
+          val fuseGuard = // same-loc cross-obs: equal-identity rows are fused
+            if (sb.loc == db.loc) identityDiffers else lit(true)
           left.withColumn("_minp", min(col("_lps")).over(wC))
             .join(right, col(RowIdCol) === col(s"__r_$RowIdCol") &&
-              col("_lps") === col("_minp"))
+              col("_lps") === col("_minp") && fuseGuard)
             .drop("_minp")
         case "zip" =>
           // positional-zip fallback (reference db_writer.py:314-349): pair

@@ -63,4 +63,48 @@ class BitextSpec extends SparkSpec {
     assert(mined.nonEmpty)
     assert(mined.forall(r => r.getLong(0) % 2 == 0 && r.getLong(1) % 2 == 1))
   }
+
+  // The sf0.1→sf1 scale probe measured the exact cross-product at 12.8×
+  // on 10× data (quadratic); past the measured pair gate, candidates come
+  // from a sign-LSH bucket join instead. These pin the bucketed path's
+  // contract: deterministic, same output schema, and high agreement with
+  // the exact path on a structured corpus.
+  private def clusteredSides(n: Int) = {
+    def v(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)(r.nextGaussian().toFloat)
+    }
+    // n clean translation clusters: src i and tgt i share a direction
+    // (tgt = src + small noise), so exact mining pairs them 1:1
+    val rows = (0 until n).map { i =>
+      val base = v(i.toLong)
+      val noisy = base.zipWithIndex.map { case (x, d) =>
+        x + ((i * 7 + d) % 5 - 2) * 0.01f }
+      (i.toLong * 2, base, i.toLong * 2 + 1, noisy)
+    }
+    val src = rows.map(r => (r._1, r._2)).toDF("id", "vec")
+    val tgt = rows.map(r => (r._3, r._4)).toDF("id", "vec")
+    (src, tgt)
+  }
+
+  test("bucketed candidate path (past the pair gate): deterministic and " +
+      "near-exact on clustered data") {
+    val (src, tgt) = clusteredSides(120)
+    val exact = Similarity.bitextMine(src, tgt, "id", "vec", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exactPairLimit = 1 forces the LSH path on the same input
+    val lsh1 = Similarity.bitextMine(src, tgt, "id", "vec", k = 4,
+      exactPairLimit = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh2 = Similarity.bitextMine(src.repartition(7), tgt.repartition(3),
+      "id", "vec", k = 4, exactPairLimit = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh1 == lsh2, "bucketed path must be partition-order deterministic")
+    // recall: noise-pair clusters the exact path mines should survive the
+    // bucket join (same direction ⇒ same sign pattern for almost all
+    // planes; multiprobe covers near-boundary flips)
+    val recalled = exact.count(lsh1)
+    assert(recalled >= (exact.size * 0.8).toInt,
+      s"bucketed path recalled $recalled of ${exact.size} exact pairs")
+  }
 }
