@@ -1332,6 +1332,63 @@ ingestion_model:
 ])
 
 
+# edge inference with TWO relations on one (source, target) pair: both
+# render (the reference once keyed inference by pair and silently lost
+# one — test_merge_runtime_semantics.py:72-86)
+SCHEMA_TWOREL = """
+schema:
+    metadata:
+        name: t
+    graph:
+        vertex_config:
+            vertices:
+            -   name: person
+                properties: [pid]
+                identity: [pid]
+            -   name: city
+                properties: [cid]
+                identity: [cid]
+        edge_config:
+            edges:
+            -   source: person
+                target: city
+                relation: lives_in
+            -   source: person
+                target: city
+                relation: works_in
+"""
+case("infer_two_relations_per_pair", SCHEMA_TWOREL + """
+ingestion_model:
+    resources:
+    -   name: r
+        pipeline:
+        -   vertex: person
+        -   key: places
+            pipeline:
+            -   vertex: city
+""", [
+    {"pid": "p1", "places": [{"cid": "c1"}]},
+])
+
+# ...and an explicit edge step for the pair suppresses BOTH inferred
+# relations (authored edges own their pair)
+case("explicit_edge_owns_pair", SCHEMA_TWOREL + """
+ingestion_model:
+    resources:
+    -   name: r
+        pipeline:
+        -   vertex: person
+        -   key: places
+            pipeline:
+            -   vertex: city
+        -   source: person
+            target: city
+            relation: lives_in
+""", [
+    {"pid": "p1", "places": [{"cid": "c1"}]},
+])
+
+
 def main():
     from graflo.architecture.graph_types.merge import merge_doc_basis
     out = []
