@@ -165,7 +165,8 @@ object Similarity {
     */
   def bitextMine(src: DataFrame, tgt: DataFrame, idCol: String,
       vecCol: String, k: Int, exactPairLimit: Long = 4000000L,
-      bits: Int = 8, multiprobe: Int = 3, seed: Long = 42L): DataFrame = {
+      bits: Int = 8, multiprobe: Int = 3, seed: Long = 42L,
+      tables: Int = 4): DataFrame = {
     require(k >= 1, "k must be positive")
     val a = src.select(col(idCol).as("src_id"), col(vecCol).as("_sv"))
       .withColumn("_sn", norm(col("_sv")))
@@ -184,23 +185,40 @@ object Similarity {
       if (nPairs <= exactPairLimit)
         a.crossJoin(broadcast(b)).select(col("src_id"), col("tgt_id"), cosQ)
       else {
-        // sign-LSH bucket join: 2^bits buckets shared by both sides; the
-        // src side also probes Hamming-1 flips of its first `multiprobe`
-        // bits (recall knob). dropDuplicates keeps multiprobe hits from
+        // sign-LSH bucket join, `tables` independent hash tables (banding:
+        // a near pair is a candidate if ANY table collides — L bands of b
+        // bits, the MinHash-LSH recall construction applied to sign-LSH).
+        // The bit WIDTH scales with the measured size so the expected
+        // per-table candidate count stays ~exactPairLimit at ANY corpus
+        // size: E[pairs/table] ≈ |A|·|B| / 2^bits (random buckets), so
+        // bits = log2(nPairs / exactPairLimit) caps the quadratic term —
+        // the 30× scale probe measured the FIXED-width version's
+        // candidate term re-emerging (8.6× on 30× data); width scaling
+        // is what keeps it flat. Recall lost to wider buckets is bought
+        // back with `tables` (OR over bands) + Hamming-1 multiprobe on
+        // the src side. dropDuplicates keeps multi-table/probe hits from
         // occupying two heap slots for one pair.
+        // width targets E[candidates/table] ≈ exactPairLimit INCLUDING the
+        // multiprobe fanout: E = |A|·(probes)·|B| / 2^bits
+        val probeMul = math.max(1, multiprobe + 1).toLong
+        val bitsEff = math.max(bits, math.min(20,
+          64 - java.lang.Long.numberOfLeadingZeros(
+            math.max(1L, nPairs * probeMul / math.max(1L, exactPairLimit))).toInt))
         val dim = src.select(org.apache.spark.sql.functions.size(col(vecCol)))
           .head.getInt(0)
-        val planes = hyperplanes(bits, dim, seed)
-        val b0 = lshBucket(col("_sv"), planes)
-        val probes: Column =
-          if (multiprobe <= 0) array(b0)
-          else array((b0 +: (0 until multiprobe).map(i =>
-            b0.bitwiseXOR(lit(1L << i)))): _*)
-        val aP = a.withColumn("bucket", explode(probes))
-        val bH = b.withColumn("bucket", lshBucket(col("_tv"), planes))
-        aP.join(bH, Seq("bucket"))
-          .select(col("src_id"), col("tgt_id"), cosQ)
-          .dropDuplicates("src_id", "tgt_id")
+        val cands = (0 until math.max(1, tables)).map { t =>
+          val planes = hyperplanes(bitsEff, dim, seed + t)
+          val b0 = lshBucket(col("_sv"), planes)
+          val probes: Column =
+            if (multiprobe <= 0) array(b0)
+            else array((b0 +: (0 until multiprobe).map(i =>
+              b0.bitwiseXOR(lit(1L << i)))): _*)
+          val aP = a.withColumn("bucket", explode(probes))
+          val bH = b.withColumn("bucket", lshBucket(col("_tv"), planes))
+          aP.join(bH, Seq("bucket"))
+            .select(col("src_id"), col("tgt_id"), cosQ)
+        }
+        cands.reduce(_ unionByName _).dropDuplicates("src_id", "tgt_id")
       }
     val tk = scored.select(explode(array(
         struct(lit("s").as("side"), col("src_id").as("g"),
