@@ -379,7 +379,10 @@ object ManifestLoader {
       return RenameKeysStep(call.path("foo").asText(), mode, names)
     }
     val module = call.path("module").asText("")
-    val fn = call.path("foo").asText()
+    // dress shorthand WITHOUT a function (test_actor.py:762): the raw
+    // value is dressed as-is — an identity transform
+    val fn = Option(call.path("foo").asText()).filter(_.nonEmpty)
+      .getOrElse("identity")
     val input = strings(call.path("input"))
     val output = strings(call.path("output"))
     val dress = call.path("dress") match {

@@ -1389,6 +1389,77 @@ ingestion_model:
 ])
 
 
+# dress WITHOUT a function: the raw value is dressed as-is
+# (test_actor.py:762 shorthand)
+case("transform_dress_shorthand", """
+schema:
+    metadata:
+        name: t
+    graph:
+        vertex_config:
+            vertices:
+            -   name: feature
+                properties: [name, value]
+                identity: [name, value]
+        edge_config:
+            edges: []
+ingestion_model:
+    resources:
+    -   name: r
+        pipeline:
+        -   transform:
+                call:
+                    input: [vol]
+                    dress:
+                        key: name
+                        value: value
+        -   vertex: feature
+""", [
+    {"vol": 0.123},
+    {"vol": 7},
+])
+
+# named transform declaration + `use:` with a LOCAL param override
+# (test_actor.py:461 local io overrides library io)
+case("transform_named_use_override", """
+schema:
+    metadata:
+        name: t
+    graph:
+        vertex_config:
+            vertices:
+            -   name: person
+                properties: [pid, pname]
+                identity: [pid]
+        edge_config:
+            edges: []
+ingestion_model:
+    resources:
+    -   name: r
+        pipeline:
+        -   transform:
+                call:
+                    use: keep_tail
+        -   transform:
+                call:
+                    use: keep_tail
+                    input: [raw_name]
+                    output: [pname]
+        -   vertex: person
+    transforms:
+    -   name: keep_tail
+        foo: split_keep_part
+        module: graflo.util.transform
+        params:
+            sep: "/"
+            keep: -1
+        input: [id]
+        output: [pid]
+""", [
+    {"id": "org/p1", "raw_name": "people/Ann"},
+])
+
+
 def main():
     from graflo.architecture.graph_types.merge import merge_doc_basis
     out = []
