@@ -1692,12 +1692,24 @@ object Corpus {
     * classic "label the whole corpus by domain/language with a model you
     * can ship as plan literals" classifier, the generative sibling of
     * [[perceptronTrain]]. One tokenization pass; the collected sufficient
-    * statistic is classes × dim counts — driver-small by construction at
-    * any corpus size.
+    * statistic is classes × dim counts — driver-small only while the
+    * CLASS count is model-scale, and class cardinality is data-dependent
+    * (a mislabeled join could hand this a million-value column), so the
+    * size is MEASURED before the collect (the [[bpeTrain]] /
+    * [[graft.ext.Stats.bradleyTerry]] gating discipline; NB over
+    * millions of classes is a modeling error, not a scale path — hence a
+    * hard require, not a fallback).
     */
   def naiveBayesTrain(df: DataFrame, idCol: String, textCol: String,
-      classCol: String, dim: Int = 64): NbModel = {
+      classCol: String, dim: Int = 64,
+      localClassLimit: Long = 10000L): NbModel = {
     require(dim >= 2, "dim must be >= 2")
+    val nClasses = df.select(col(classCol)).distinct().count()
+    require(nClasses <= localClassLimit,
+      s"naiveBayesTrain: $nClasses distinct '$classCol' values exceed " +
+        s"localClassLimit=$localClassLimit — the class axis is the MODEL " +
+        "and must stay driver-small; check the label column or raise the " +
+        "limit deliberately")
     val feats = nbBuckets(df, idCol, textCol, classCol, dim)
     val cb = feats.groupBy("_carry", "bucket").agg(sum(col("cnt")).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap

@@ -396,6 +396,17 @@ class Round9Spec extends AnyFunSuite with SparkSpec {
     assert(again == preds)
   }
 
+  test("naiveBayes refuses a data-scale class axis (measured gate)") {
+    import spark.implicits._
+    val docs = (0 until 10).map(i => (i.toLong, "w", s"cls$i"))
+      .toDF("id", "text", "cls")
+    val err = intercept[IllegalArgumentException] {
+      Corpus.naiveBayesTrain(docs, "id", "text", "cls", dim = 8,
+        localClassLimit = 3L)
+    }
+    assert(err.getMessage.contains("localClassLimit"))
+  }
+
   test("proximityJoin matches brute force, negative coordinates included") {
     import spark.implicits._
     val l = Seq((1L, 0.0, 0.0), (2L, -0.3, 0.1), (3L, 5.0, -5.0))
