@@ -1,0 +1,524 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** REAL container-level parsing for compressed audio/video: MPEG audio
+  * (MP3) frame-header walking and MP4 / ISO-BMFF box-tree parsing.
+  *
+  * At 100 TB the metadata pass — duration, codec, sample counts, keyframe
+  * offsets, bitrate mode — is what a Spark pipeline actually runs over
+  * media columns (routing, curation, shard balancing, frame-sample
+  * planning); PCM/pixel decode of the compressed codecs happens in
+  * GPU/ffmpeg workers downstream. These parsers are complete and real at
+  * that container level: they walk genuine MPEG audio framing
+  * (ISO/IEC 11172-3 header fields, bitrate/samplerate tables, Xing/Info
+  * VBR headers, ID3v2 skip) and genuine ISO-BMFF box structure
+  * (ftyp/mvhd/tkhd/mdhd/hdlr/stsd/stts/stsz/stss), so they produce correct
+  * metadata for real-world files. Only the codec kernels themselves
+  * (Layer III subband synthesis, H.264/AAC) remain behind
+  * `Multimodal.decodeStub` — see `Multimodal.scala` §stub.
+  *
+  * Everything is per-row byte walking inside `mapPartitions` — narrow,
+  * embarrassingly parallel, no shuffle. Crafted/corrupt payloads must
+  * never throw or over-allocate: every length field is bounds-checked in
+  * Long arithmetic before use (same discipline as `decodeWav`).
+  */
+object MediaContainers {
+
+  // ------------------------------------------------------------ § MP3
+
+  /** One parsed MPEG audio frame header. `frameBytes` includes the 4-byte
+    * header; `samplesPerFrame` is the PCM samples the frame decodes to.
+    */
+  final case class Mp3Frame(offset: Int, versionId: Int, layer: Int,
+      bitrateKbps: Int, sampleRate: Int, padding: Int, channels: Int,
+      frameBytes: Int, samplesPerFrame: Int)
+
+  /** Stream-level metadata from a full frame walk. `xingFrames` is the
+    * frame count the first frame's Xing/Info header declares (VBR streams
+    * put the authoritative count there); `bitrateKbps` is the mean header
+    * bitrate across walked frames (== the constant one for CBR).
+    */
+  final case class Mp3Meta(id3Bytes: Int, nFrames: Int, sampleRate: Int,
+      channels: Int, bitrateKbps: Double, durationMs: Double,
+      mode: String, xingFrames: Option[Int])
+
+  // bitrate tables in kbps, indexed 1..14 (0 = free, 15 = bad) —
+  // ISO/IEC 11172-3 Table B.2 / ISO 13818-3
+  private val BrMpeg1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+  private val BrMpeg1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+  private val BrMpeg1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val BrMpeg2L1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+  private val BrMpeg2L23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+  private val SrMpeg1 = Array(44100, 48000, 32000)
+  private val SrMpeg2 = Array(22050, 24000, 16000)
+  private val SrMpeg25 = Array(11025, 12000, 8000)
+
+  /** Parse one frame header at `off`. Returns None unless the 11-bit sync
+    * plus every table index is valid — the standard resync criterion.
+    */
+  def parseMp3Frame(bytes: Array[Byte], off: Int): Option[Mp3Frame] = {
+    if (off + 4 > bytes.length) return None
+    val b0 = bytes(off) & 0xff; val b1 = bytes(off + 1) & 0xff
+    val b2 = bytes(off + 2) & 0xff; val b3 = bytes(off + 3) & 0xff
+    if (b0 != 0xff || (b1 & 0xe0) != 0xe0) return None
+    val versionId = (b1 >> 3) & 3 // 0=MPEG2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    val layerId = (b1 >> 1) & 3   // 0=reserved, 1=LIII, 2=LII, 3=LI
+    if (versionId == 1 || layerId == 0) return None
+    val brIdx = (b2 >> 4) & 0xf
+    val srIdx = (b2 >> 2) & 3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None // free-format unsupported
+    val layer = 4 - layerId // 1, 2, 3
+    val mpeg1 = versionId == 3
+    val bitrate = (mpeg1, layer) match {
+      case (true, 1)  => BrMpeg1L1(brIdx)
+      case (true, 2)  => BrMpeg1L2(brIdx)
+      case (true, _)  => BrMpeg1L3(brIdx)
+      case (false, 1) => BrMpeg2L1(brIdx)
+      case (false, _) => BrMpeg2L23(brIdx)
+    }
+    val sampleRate = versionId match {
+      case 3 => SrMpeg1(srIdx)
+      case 2 => SrMpeg2(srIdx)
+      case _ => SrMpeg25(srIdx)
+    }
+    val padding = (b2 >> 1) & 1
+    val channels = if (((b3 >> 6) & 3) == 3) 1 else 2
+    // samples per frame: LI=384; LII=1152; LIII = 1152 (MPEG1) / 576 (MPEG2/2.5)
+    val spf =
+      if (layer == 1) 384
+      else if (layer == 2) 1152
+      else if (mpeg1) 1152 else 576
+    // frame length: LI slots are 4 bytes; LII/LIII one byte
+    val frameBytes =
+      if (layer == 1) (12 * bitrate * 1000 / sampleRate + padding) * 4
+      else spf / 8 * bitrate * 1000 / sampleRate + padding
+    if (frameBytes < 4) return None
+    Some(Mp3Frame(off, versionId, layer, bitrate, sampleRate, padding,
+      channels, frameBytes, spf))
+  }
+
+  /** Bytes occupied by an ID3v2 tag at the stream head (0 if absent):
+    * 10-byte header + syncsafe 28-bit size (+10 for a declared footer).
+    */
+  def id3v2Size(bytes: Array[Byte]): Int = {
+    if (bytes.length < 10 || bytes(0) != 'I' || bytes(1) != 'D' || bytes(2) != '3')
+      return 0
+    val f = bytes(5) & 0xff
+    val sz = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+      ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+    10 + sz + (if ((f & 0x10) != 0) 10 else 0)
+  }
+
+  /** Side-info bytes between a Layer III frame header and the Xing tag
+    * position (ISO 11172-3 §2.4.1.7): MPEG1 17 mono / 32 stereo,
+    * MPEG2/2.5 9 mono / 17 stereo.
+    */
+  private def sideInfoBytes(f: Mp3Frame): Int =
+    if (f.versionId == 3) { if (f.channels == 1) 17 else 32 }
+    else { if (f.channels == 1) 9 else 17 }
+
+  /** Read a Xing/Info VBR header from the first frame if present: returns
+    * the declared frame count when the FRAMES flag is set.
+    */
+  def xingFrameCount(bytes: Array[Byte], f: Mp3Frame): Option[Int] = {
+    val p = f.offset + 4 + sideInfoBytes(f)
+    if (p + 12 > bytes.length) return None
+    val tag = new String(bytes, p, 4, "US-ASCII")
+    if (tag != "Xing" && tag != "Info") return None
+    def i32(o: Int): Int =
+      ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+        ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+    val flags = i32(p + 4)
+    if ((flags & 1) == 0) None else Some(i32(p + 8))
+  }
+
+  /** Full stream walk: skip ID3v2, sync to the first valid frame, then
+    * step frame-to-frame by each header's computed length (tolerating a
+    * final truncated frame). A "frame" only counts if the NEXT position is
+    * either EOF or another valid header — the standard false-sync guard.
+    */
+  def parseMp3(bytes: Array[Byte]): Option[Mp3Meta] = {
+    var off = id3v2Size(bytes)
+    if (off < 0 || off >= bytes.length) return None
+    // resync scan for the first frame whose successor also parses
+    var first: Option[Mp3Frame] = None
+    while (first.isEmpty && off + 4 <= bytes.length) {
+      parseMp3Frame(bytes, off) match {
+        case Some(f) =>
+          val nxt = f.offset + f.frameBytes
+          if (nxt >= bytes.length || parseMp3Frame(bytes, nxt).isDefined) first = Some(f)
+          else off += 1
+        case None => off += 1
+      }
+    }
+    first.map { f0 =>
+      var nFrames = 0
+      var brSum = 0L
+      var brMin = Int.MaxValue; var brMax = Int.MinValue
+      var samples = 0L
+      var cur: Option[Mp3Frame] = Some(f0)
+      while (cur.isDefined) {
+        val f = cur.get
+        nFrames += 1; brSum += f.bitrateKbps
+        brMin = math.min(brMin, f.bitrateKbps); brMax = math.max(brMax, f.bitrateKbps)
+        samples += f.samplesPerFrame
+        cur = parseMp3Frame(bytes, f.offset + f.frameBytes)
+      }
+      val xing = xingFrameCount(bytes, f0)
+      Mp3Meta(
+        id3Bytes = id3v2Size(bytes),
+        nFrames = nFrames,
+        sampleRate = f0.sampleRate,
+        channels = f0.channels,
+        bitrateKbps = brSum.toDouble / nFrames,
+        durationMs = samples.toDouble * 1000.0 / f0.sampleRate,
+        mode = if (brMin == brMax && xing.isEmpty) "CBR" else "VBR",
+        xingFrames = xing)
+    }
+  }
+
+  /** Assemble a VALID MPEG audio stream from explicit per-frame header
+    * fields (the test/synthesis path — real encoders emit exactly this
+    * framing; payloads here are deterministic filler bytes, which frame
+    * walking never reads).
+    *
+    * `frames` = (bitrateIdx, paddingBit); all frames share
+    * version/layer/samplerate/mono. `xingDeclared` writes a Xing tag into
+    * frame 0 declaring that count.
+    */
+  def mp3Pack(versionId: Int, layer: Int, srIdx: Int, mono: Boolean,
+      frames: Seq[(Int, Int)], id3Pad: Int = 0,
+      xingDeclared: Option[Int] = None): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Pad > 0) {
+      val hdr = Array[Byte]('I', 'D', '3', 4, 0, 0,
+        ((id3Pad >> 21) & 0x7f).toByte, ((id3Pad >> 14) & 0x7f).toByte,
+        ((id3Pad >> 7) & 0x7f).toByte, (id3Pad & 0x7f).toByte)
+      out.write(hdr); out.write(new Array[Byte](id3Pad))
+    }
+    var first = true
+    frames.foreach { case (brIdx, pad) =>
+      val layerId = 4 - layer
+      val b1 = 0xe0 | (versionId << 3) | (layerId << 1) | 1
+      val b2 = (brIdx << 4) | (srIdx << 2) | (pad << 1)
+      val b3 = if (mono) 0xc0 else 0x00
+      val hdr = Array(0xff.toByte, b1.toByte, b2.toByte, b3.toByte)
+      val f = parseMp3Frame(hdr ++ new Array[Byte](4), 0)
+        .getOrElse(throw new IllegalArgumentException(
+          s"invalid synth header br=$brIdx sr=$srIdx v=$versionId l=$layer"))
+      val body = new Array[Byte](f.frameBytes - 4)
+      if (first) {
+        xingDeclared.foreach { n =>
+          val p = sideInfoBytes(f) // offset within body (header already out)
+          require(p + 12 <= body.length,
+            s"frame too small for a Xing tag (${body.length} bytes body)")
+          body(p) = 'X'; body(p + 1) = 'i'; body(p + 2) = 'n'; body(p + 3) = 'g'
+          body(p + 7) = 1 // flags: FRAMES
+          body(p + 8) = ((n >> 24) & 0xff).toByte
+          body(p + 9) = ((n >> 16) & 0xff).toByte
+          body(p + 10) = ((n >> 8) & 0xff).toByte
+          body(p + 11) = (n & 0xff).toByte
+        }
+        first = false
+      }
+      out.write(hdr); out.write(body)
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic synthetic MP3 payloads keyed by the row id — closed-form
+    * replicable in SQL, so the pack→walk round-trip has an exact oracle:
+    *  - id % 3 == 0  → MPEG2 Layer III @ 22.05 kHz (576 samples/frame),
+    *    otherwise MPEG1 Layer III @ 44.1 kHz (1152)
+    *  - CBR bitrate index 2 + id%13 (index 1 = MPEG2 8 kbps frames are
+    *    too small to hold a stereo Xing tag); mono when id odd
+    *  - 20 + id%30 frames; padding bit = frame_idx % 2
+    *  - id % 5 == 0 → an ID3v2 tag of 10 + 1 + (id%50) bytes AND a Xing
+    *    tag declaring the true frame count (→ mode VBR)
+    */
+  def synthesizeMp3(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType), StructField("media", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val mpeg2 = id % 3 == 0
+        val nF = (20 + id % 30).toInt
+        val frames = (0 until nF).map(i => ((2 + id % 13).toInt, i % 2))
+        val bytes = mp3Pack(
+          versionId = if (mpeg2) 2 else 3, layer = 3, srIdx = 0,
+          mono = id % 2 == 1, frames = frames,
+          id3Pad = if (id % 5 == 0) (1 + id % 50).toInt else 0,
+          xingDeclared = if (id % 5 == 0) Some(nF) else None)
+        Row(id, bytes)
+      }
+    }(enc)
+  }
+
+  /** Walk the MP3 binary column → one metadata row per decodable stream.
+    * Narrow mapPartitions, same batch shape as `Multimodal.extractFeatures`.
+    */
+  def mp3MetaFrame(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("id3_bytes", LongType),
+      StructField("n_frames", LongType),
+      StructField("sample_rate", LongType),
+      StructField("channels", LongType),
+      StructField("bitrate_kbps", DoubleType),
+      StructField("duration_ms", DoubleType),
+      StructField("mode", StringType),
+      StructField("xing_frames", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col("media")).mapPartitions { it =>
+      it.flatMap { r =>
+        parseMp3(r.getAs[Array[Byte]](1)).map { m =>
+          Row(r.getLong(0), m.id3Bytes.toLong, m.nFrames.toLong,
+            m.sampleRate.toLong, m.channels.toLong, m.bitrateKbps,
+            m.durationMs, m.mode,
+            m.xingFrames.map(x => java.lang.Long.valueOf(x.toLong)).orNull)
+        }
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------ § MP4
+
+  /** One media track from the ISO-BMFF sample tables. Durations are in the
+    * track's own `timescale`; `totalDelta` is the stts sum (presentation
+    * duration in samples' timescale units).
+    */
+  final case class Mp4Track(trackId: Long, handler: String, codec: String,
+      timescale: Long, totalDelta: Long, nSamples: Long, sampleBytes: Long,
+      nSync: Long, width: Double, height: Double)
+
+  final case class Mp4Meta(majorBrand: String, movieTimescale: Long,
+      movieDuration: Long, tracks: Seq[Mp4Track])
+
+  private val Containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+  /** Parse an ISO-BMFF byte stream: walk the box tree (size==1 → 64-bit
+    * largesize, size==0 → extends to EOF), collecting movie header and
+    * per-track sample-table metadata. Bounds-checked in Long arithmetic —
+    * a crafted size can never index past the buffer.
+    */
+  def parseMp4(bytes: Array[Byte]): Option[Mp4Meta] = {
+    def u32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+
+    var majorBrand: Option[String] = None
+    var movie: Option[(Long, Long)] = None
+    val tracks = scala.collection.mutable.ArrayBuffer.empty[Mp4Track]
+
+    // per-trak accumulation state, flushed when a trak closes
+    final class TrakState {
+      var trackId = 0L; var width = 0.0; var height = 0.0
+      var handler = ""; var codec = ""; var timescale = 0L
+      var totalDelta = 0L; var nSamples = 0L; var sampleBytes = 0L; var nSync = 0L
+    }
+
+    def walk(start: Long, end: Long, trak: Option[TrakState]): Boolean = {
+      var off = start
+      while (off + 8 <= end) {
+        val sz0 = u32(off.toInt)
+        val typ = tag(off.toInt + 4)
+        var hdr = 8L
+        val size: Long =
+          if (sz0 == 1) { if (off + 16 > end) return false; hdr = 16; u64(off.toInt + 8) }
+          else if (sz0 == 0) end - off
+          else sz0
+        // compare against (end - off): a crafted 64-bit size near 2^63
+        // must not overflow `off + size` past the bounds check
+        if (size < hdr || size > end - off) return false
+        val p = (off + hdr).toInt
+        val cEnd = off + size
+        typ match {
+          case "ftyp" if size >= hdr + 4 => majorBrand = Some(tag(p))
+          case "mvhd" if size >= hdr + 4 =>
+            val v = bytes(p) & 0xff
+            if (v == 1 && size >= hdr + 28)
+              movie = Some((u32(p + 20), u64(p + 24)))
+            else if (v == 0 && size >= hdr + 20)
+              movie = Some((u32(p + 12), u32(p + 16)))
+          case "trak" =>
+            val st = new TrakState
+            if (!walk(off + hdr, cEnd, Some(st))) return false
+            tracks += Mp4Track(st.trackId, st.handler, st.codec, st.timescale,
+              st.totalDelta, st.nSamples, st.sampleBytes, st.nSync,
+              st.width, st.height)
+          case t if Containers.contains(t) =>
+            if (!walk(off + hdr, cEnd, trak)) return false
+          case "tkhd" if trak.isDefined && size >= hdr + 8 =>
+            val v = bytes(p) & 0xff
+            val st = trak.get
+            if (v == 1 && size >= hdr + 96) {
+              st.trackId = u32(p + 20)
+              st.width = u32(p + 88) / 65536.0; st.height = u32(p + 92) / 65536.0
+            } else if (v == 0 && size >= hdr + 84) {
+              st.trackId = u32(p + 12)
+              st.width = u32(p + 76) / 65536.0; st.height = u32(p + 80) / 65536.0
+            }
+          case "mdhd" if trak.isDefined && size >= hdr + 20 =>
+            val v = bytes(p) & 0xff
+            trak.get.timescale = if (v == 1) u32(p + 20) else u32(p + 12)
+          case "hdlr" if trak.isDefined && size >= hdr + 12 =>
+            trak.get.handler = tag(p + 8)
+          case "stsd" if trak.isDefined && size >= hdr + 16 =>
+            if (u32(p + 4) >= 1) trak.get.codec = tag(p + 12)
+          case "stts" if trak.isDefined && size >= hdr + 8 =>
+            val n = u32(p + 4)
+            if (hdr + 8 + n * 8 <= size) {
+              var i = 0L; var cnt = 0L; var dur = 0L
+              while (i < n) {
+                val c = u32((p + 8 + i * 8).toInt)
+                cnt += c; dur += c * u32((p + 12 + i * 8).toInt); i += 1
+              }
+              trak.get.totalDelta = dur
+              if (trak.get.nSamples == 0) trak.get.nSamples = cnt
+            }
+          case "stsz" if trak.isDefined && size >= hdr + 12 =>
+            val fixed = u32(p + 4); val n = u32(p + 8)
+            trak.get.nSamples = n
+            if (fixed != 0) trak.get.sampleBytes = fixed * n
+            else if (hdr + 12 + n * 4 <= size) {
+              var i = 0L; var s = 0L
+              while (i < n) { s += u32((p + 12 + i * 4).toInt); i += 1 }
+              trak.get.sampleBytes = s
+            }
+          case "stss" if trak.isDefined && size >= hdr + 8 =>
+            trak.get.nSync = u32(p + 4)
+          case _ => ()
+        }
+        off = cEnd
+      }
+      true
+    }
+
+    if (bytes.length < 8 || !walk(0L, bytes.length.toLong, None)) None
+    else movie.map { case (ts, dur) =>
+      Mp4Meta(majorBrand.getOrElse(""), ts, dur, tracks.toSeq)
+    }
+  }
+
+  // --- synthesis: assemble genuine ISO-BMFF box trees --------------------
+
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val sz = 8 + payload.length
+    val out = java.nio.ByteBuffer.allocate(sz)
+    out.putInt(sz).put(typ.getBytes("US-ASCII")).put(payload)
+    out.array()
+  }
+  private def full(typ: String, version: Int, body: Array[Byte]): Array[Byte] =
+    box(typ, Array[Byte](version.toByte, 0, 0, 0) ++ body)
+  private def be32(vs: Long*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+    vs.foreach(v => bb.putInt(v.toInt)); bb.array()
+  }
+
+  /** Assemble a minimal VALID MP4: ftyp + moov(mvhd, trak*) + mdat. Each
+    * track spec = (trackId, handler4cc, codec4cc, timescale, nSamples,
+    * sampleDelta, sampleSize, nSync, width, height).
+    */
+  def mp4Pack(movieTimescale: Long, movieDuration: Long,
+      tracks: Seq[(Long, String, String, Long, Long, Long, Long, Long, Int, Int)])
+      : Array[Byte] = {
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(0x200) ++ "isomiso2".getBytes("US-ASCII"))
+    val mvhd = full("mvhd", 0, be32(0, 0, movieTimescale, movieDuration) ++
+      be32(0x00010000, 0x01000000) ++ new Array[Byte](4 * 20))
+    val traks = tracks.map { case (tid, handler, codec, ts, n, delta, ssz, nSync, w, h) =>
+      val tkhd = full("tkhd", 0, be32(0, 0, tid, 0, movieDuration) ++
+        new Array[Byte](8) ++ be32(0, 0) ++
+        be32(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000) ++
+        be32(w.toLong << 16, h.toLong << 16))
+      val mdhd = full("mdhd", 0, be32(0, 0, ts, n * delta) ++
+        Array[Byte](0x55, 0xc4.toByte, 0, 0))
+      val hdlr = full("hdlr", 0, be32(0) ++ handler.getBytes("US-ASCII") ++
+        new Array[Byte](13))
+      val sampleEntry = box(codec, new Array[Byte](8)) // 6 reserved + data_ref_index
+      val stsd = full("stsd", 0, be32(1) ++ sampleEntry)
+      val stts = full("stts", 0, be32(1, n, delta))
+      val stsz = full("stsz", 0, be32(ssz, n))
+      val stsc = full("stsc", 0, be32(1, 1, n, 1))
+      val stco = full("stco", 0, be32(1, 0))
+      val stssB = if (nSync > 0) full("stss", 0,
+        be32(nSync +: (1L to nSync).map(i => 1 + (i - 1) * (n / math.max(nSync, 1))): _*))
+      else Array.emptyByteArray
+      val stbl = box("stbl", stsd ++ stts ++ stsz ++ stsc ++ stco ++ stssB)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+      box("trak", tkhd ++ mdia)
+    }
+    val moov = box("moov", mvhd ++ traks.flatten.toArray)
+    val mdat = box("mdat", new Array[Byte](16))
+    ftyp ++ moov ++ mdat
+  }
+
+  /** Deterministic synthetic MP4 payloads keyed by the row id — two tracks
+    * (video `vide`/`avc1` + audio `soun`/`mp4a`) with closed-form
+    * parameters, so the box-tree round-trip has an exact SQL oracle:
+    *  - movie: timescale 600, duration 600·(1 + id%10)
+    *  - video: timescale 90000, (1+id%10)·24 samples of delta 3750
+    *    (24 fps), fixed sample size 500 + id%100, keyframes every 24th,
+    *    320×240
+    *  - audio: timescale 44100, (1+id%10)·43 samples of delta 1024
+    *    (AAC frames), fixed size 200 + id%50, no stss
+    */
+  def synthesizeMp4(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType), StructField("media", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val secs = 1 + id % 10
+        val bytes = mp4Pack(600, 600 * secs, Seq(
+          (1L, "vide", "avc1", 90000L, secs * 24, 3750L, 500 + id % 100, secs, 320, 240),
+          (2L, "soun", "mp4a", 44100L, secs * 43, 1024L, 200 + id % 50, 0L, 0, 0)))
+        Row(id, bytes)
+      }
+    }(enc)
+  }
+
+  /** Parse the MP4 binary column → one row per track (the explode shape a
+    * frame-sampling planner consumes). Duration converts each track's
+    * stts total into milliseconds via its own timescale.
+    */
+  def mp4MetaFrame(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("major_brand", StringType),
+      StructField("track_id", LongType),
+      StructField("handler", StringType),
+      StructField("codec", StringType),
+      StructField("timescale", LongType),
+      StructField("n_samples", LongType),
+      StructField("sample_bytes", LongType),
+      StructField("n_keyframes", LongType),
+      StructField("duration_ms", DoubleType),
+      StructField("width", DoubleType),
+      StructField("height", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col("media")).mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        parseMp4(r.getAs[Array[Byte]](1)).toSeq.flatMap { m =>
+          m.tracks.map { t =>
+            Row(id, m.majorBrand, t.trackId, t.handler, t.codec, t.timescale,
+              t.nSamples, t.sampleBytes, t.nSync,
+              if (t.timescale == 0) 0.0 else t.totalDelta * 1000.0 / t.timescale,
+              t.width, t.height)
+          }
+        }
+      }
+    }(enc)
+  }
+}
