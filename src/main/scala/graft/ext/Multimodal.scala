@@ -19,10 +19,15 @@ import org.apache.spark.sql.types._
   *    [[encodePng]], [[encodeJpeg]]) — part of Java SE, no external
   *    library. PNG round-trips bit-exact (lossless); JPEG is gated by a
   *    PSNR band ([[psnrCheck]]).
-  *  - Compressed AUDIO/VIDEO (MP3/MP4) still need codec libraries this
-  *    container lacks, so their kernel is `decodeStub` ??? — a
-  *    deterministic fake signal from the bytes. Swapping it for a real
-  *    JNI/codec call changes no plan shape.
+  *  - Compressed AUDIO/VIDEO (MP3/MP4): the CONTAINER level — framing,
+  *    duration, bitrate mode, codec ids, sample tables, keyframe counts —
+  *    parses for real in [[MediaContainers]] (MPEG audio frame walk +
+  *    ISO-BMFF box tree), which is the metadata pass a 100 TB pipeline
+  *    runs Spark-side. Only the codec KERNELS (Layer III subband
+  *    synthesis, H.264/AAC) need libraries this container lacks, so the
+  *    PCM/pixel kernel is `decodeStub` ??? — a deterministic fake signal
+  *    from the bytes. Swapping it for a real JNI/codec call changes no
+  *    plan shape.
   * The Spark-side plumbing is real and tested: schema (binary + metadata
   * struct), partition-wise batched processing via `mapPartitions` (the Scala
   * analogue of `mapInPandas` — batch shape `(id, bytes) → (id, features)`),
@@ -775,12 +780,14 @@ object Multimodal {
         octet_length(col(payloadCol)).cast("long").as("n_bytes"),
         md5(col(payloadCol)).as("checksum")).as("meta"))
 
-  /** STUB ??? — reached only for COMPRESSED AUDIO/VIDEO (MP3/MP4), whose
-    * codecs the JVM does not bundle (a real implementation calls ffmpeg
-    * via JNI here). Images — including JPEG/PNG since round 6 — take the
-    * real [[decode]] path above. The stub derives `dim` deterministic
-    * floats from a rolling view of the bytes so downstream ops
-    * (similarity, dedup) are exercisable end-to-end.
+  /** STUB ??? — reached only for the PCM/pixel KERNELS of compressed
+    * audio/video (MP3/MP4), whose codecs the JVM does not bundle (a real
+    * implementation calls ffmpeg via JNI here). Images — including
+    * JPEG/PNG since round 6 — take the real [[decode]] path above, and
+    * MP3/MP4 CONTAINER metadata (duration, codec, sample tables) parses
+    * for real in [[MediaContainers]] since round 7. The stub derives
+    * `dim` deterministic floats from a rolling view of the bytes so
+    * downstream ops (similarity, dedup) are exercisable end-to-end.
     */
   private def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
