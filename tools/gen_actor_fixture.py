@@ -1459,6 +1459,343 @@ ingestion_model:
     {"id": "org/p1", "raw_name": "people/Ann"},
 ])
 
+# ---- round-7 additions: rename plane, merged-row view, proto
+# inheritance, from-map buffer isolation (test_actor.py:1332-1657,
+# :598-681, :434-530) ----
+
+SCHEMA_RES = """
+schema:
+    metadata:
+        name: t
+    graph:
+        vertex_config:
+            vertices:
+            -   name: resource
+                properties: [context, title, bkuid, r_id, r_name]
+                identity: [bkuid]
+        edge_config:
+            edges: []
+"""
+
+# rename destinations land in the vertex; SOURCE keys are stripped from
+# the effective doc (test_rename_removes_source_keys_from_vertex_effective_doc)
+case("rename_strips_source_keys", SCHEMA_RES + """
+ingestion_model:
+    resources:
+    -   name: r
+        pipeline:
+        -   transform:
+                rename:
+                    s_context: context
+                    a_title: title
+                    number: bkuid
+        -   vertex: resource
+""", [
+    {"s_context": "ctx1", "a_title": "t1", "r_id": "rid",
+     "r_name": "rname", "number": "42"},
+])
+
+# a rename entry whose source field is absent is tolerated (fail_fast
+# defaults off): present pairs land, the missing one is skipped
+# (test_rename_partial_when_fail_fast_false)
+case("rename_missing_input_tolerated", SCHEMA_RES + """
+ingestion_model:
+    resources:
+    -   name: r
+        pipeline:
+        -   transform:
+                rename:
+                    s_context: context
+                    a_title: title
+                    number: bkuid
+                    missing_field: r_name
+        -   vertex: resource
+""", [
+    {"s_context": "ctx1", "a_title": "t1", "number": "42"},
+])
+
+# rename then target:keys — the key function sees the view WITHOUT the
+# rename's consumed source keys, so only untouched keys are camelized
+# (test_rename_then_key_transform_feed_doc_excludes_source_keys)
+case("rename_then_camel_keys", """
+schema:
+    metadata:
+        name: t
+    graph:
+        vertex_config:
+            vertices:
+            -   name: resource
+                properties: [context, title, bkuid, rId, rName]
+                identity: [bkuid]
+        edge_config:
+            edges: []
+ingestion_model:
+    resources:
+    -   name: r
+        pipeline:
+        -   transform:
+                rename:
+                    s_context: context
+                    a_title: title
+                    number: bkuid
+        -   transform:
+                call:
+                    module: graflo.util.transform
+                    foo: snake_to_camel
+                    target: keys
+        -   vertex: resource
+""", [
+    {"s_context": "ctx1", "a_title": "t1", "r_id": "rid",
+     "r_name": "rname", "number": "42"},
+])
+
+# a pipeline with ONLY a rename still emits the vertex whose properties
+# the rename destinations cover (test_infer_vertex_from_rename_destination_keys)
+case("vertex_inferred_from_rename_dest", """
+schema:
+    metadata:
+        name: t
+    graph:
+        vertex_config:
+            vertices:
+            -   name: resource
+                properties: [context, title, bkuid]
+                identity: [bkuid]
+        edge_config:
+            edges: []
+ingestion_model:
+    resources:
+    -   name: r
+        pipeline:
+        -   transform:
+                rename:
+                    s_context: context
+                    a_title: title
+                    number: bkuid
+""", [
+    {"s_context": "ctx1", "a_title": "t1", "number": "42"},
+])
+
+# a later call step reads the doc MERGED with the prior step's payloads
+# at the same location: camel_to_snake keys first, then float over the
+# snake-cased field (test_sequential_transforms_second_sees_merged_row_from_first)
+case("sequential_calls_merged_row", """
+schema:
+    metadata:
+        name: t
+    graph:
+        vertex_config:
+            vertices:
+            -   name: tick
+                properties: [id, prc]
+                identity: [id]
+        edge_config:
+            edges: []
+ingestion_model:
+    resources:
+    -   name: r
+        pipeline:
+        -   transform:
+                call:
+                    use: snake_keys
+        -   transform:
+                call:
+                    module: builtins
+                    foo: float
+                    input: [prc]
+        -   vertex: tick
+    transforms:
+    -   name: snake_keys
+        module: graflo.util.transform
+        foo: camel_to_snake
+        target: keys
+""", [
+    {"PRC": "3.5", "id": "t1"},
+])
+
+# a library proto carrying a DRESS config: the call names only the input
+# column, the payload comes out as {key-col: input name, value-col: fn
+# result} (test_transform_named_proto_binding_inherits_dress_from_library)
+case("use_inherits_dress", """
+schema:
+    metadata:
+        name: t
+    graph:
+        vertex_config:
+            vertices:
+            -   name: metric
+                properties: [name, value]
+                identity: [name]
+        edge_config:
+            edges: []
+ingestion_model:
+    resources:
+    -   name: r
+        pipeline:
+        -   transform:
+                call:
+                    use: to_int_metric
+                    input: [Volume]
+        -   vertex: metric
+    transforms:
+    -   name: to_int_metric
+        module: builtins
+        foo: int
+        dress:
+            key: name
+            value: value
+""", [
+    {"Volume": "9000"},
+])
+
+# grouped proto: input_groups/output_groups declared in the LIBRARY
+# entry, the call is a bare use
+# (test_transform_grouped_call_use_inherits_input_groups)
+case("grouped_use_inherits_input_groups", """
+schema:
+    metadata:
+        name: t
+    graph:
+        vertex_config:
+            vertices:
+            -   name: item
+                properties: [iid, d1, d2]
+                identity: [iid]
+        edge_config:
+            edges: []
+ingestion_model:
+    resources:
+    -   name: r
+        pipeline:
+        -   transform:
+                call:
+                    use: head_part
+        -   vertex: item
+    transforms:
+    -   name: head_part
+        module: graflo.util.transform
+        foo: split_keep_part
+        params:
+            sep: "-"
+            keep: 0
+        input_groups:
+        -   [r1]
+        -   [r2]
+        output_groups:
+        -   [d1]
+        -   [d2]
+""", [
+    {"iid": "i1", "r1": "2020-01-02", "r2": "2021-03-04"},
+])
+
+# a from-map vertex must NOT consume transform payloads meant for the
+# sibling vertex with the same property names
+# (test_vertex_from_doc_does_not_steal_other_vertex_buffer_payloads)
+case("vertex_from_no_buffer_steal", """
+schema:
+    metadata:
+        name: t
+    graph:
+        vertex_config:
+            vertices:
+            -   name: identifier
+                properties: [type, value]
+                identity: [type, value]
+            -   name: metric
+                properties: [type, value]
+                identity: [type, value]
+        edge_config:
+            edges: []
+ingestion_model:
+    resources:
+    -   name: r
+        pipeline:
+        -   transform:
+                rename:
+                    mtype: type
+                    mvalue: value
+        -   vertex: metric
+        -   vertex: identifier
+            from:
+                type: itype
+                value: ivalue
+""", [
+    {"mtype": "VOL", "mvalue": "93115", "itype": "CUSIP",
+     "ivalue": "03073T10"},
+])
+
+# two from-map vertices over one doc with OVERLAPPING property names
+# mapping different doc fields: one inferred edge, no self-edges
+# (test_transform_payload_consumption_avoids_cross_vertex_self_edge)
+case("from_map_overlap_infer_edge", """
+schema:
+    metadata:
+        name: t
+    graph:
+        vertex_config:
+            vertices:
+            -   name: author
+                properties: [id, full_name, hindex]
+                identity: [id]
+            -   name: researchField
+                properties: [id, name, level]
+                identity: [id]
+        edge_config:
+            edges:
+            -   source: author
+                target: researchField
+                relation: belongsTo
+ingestion_model:
+    resources:
+    -   name: r
+        pipeline:
+        -   vertex: author
+            from:
+                id: author_id
+                full_name: FullName
+                hindex: HIndex
+        -   vertex: researchField
+            from:
+                id: research_sector
+""", [
+    {"author_id": "309238221625", "FullName": "Guillaume Lemaitre",
+     "HIndex": "10", "research_sector": "32057259"},
+])
+
+# local input/output on a use: call overrides the library's
+# (test_transform_named_proto_binding_local_io_overrides_library_io)
+case("use_local_io_overrides_library", """
+schema:
+    metadata:
+        name: t
+    graph:
+        vertex_config:
+            vertices:
+            -   name: item
+                properties: [iid, parsed]
+                identity: [iid]
+        edge_config:
+            edges: []
+ingestion_model:
+    resources:
+    -   name: r
+        pipeline:
+        -   transform:
+                call:
+                    use: to_int
+                    input: [raw_value]
+                    output: [parsed]
+        -   vertex: item
+    transforms:
+    -   name: to_int
+        module: builtins
+        foo: int
+        input: [value]
+        output: [v]
+""", [
+    {"iid": "i1", "raw_value": "7", "value": "999"},
+])
+
 
 def main():
     from graflo.architecture.graph_types.merge import merge_doc_basis
