@@ -3780,15 +3780,19 @@ object GraftQueries {
         |AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' + INTERVAL 90 DAY
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the digest payload is the reference's Python-json canonicalization:
+    // json.dumps({"user_id": <int>}, sort_keys=True) — byte-compatible
     "q_hash_identity" ->
       """SELECT DISTINCT user_id,
-        |sha256('user_id=' || CAST(user_id AS VARCHAR)) AS _id
-        |FROM events ORDER BY user_id""".stripMargin,
+        |sha256('{"user_id": ' || CAST(user_id AS VARCHAR) || '}') AS _id
+        |FROM events WHERE user_id IS NOT NULL ORDER BY user_id""".stripMargin,
 
     "q_funnel_identity" ->
       """SELECT c_custkey AS ckey,
-        |CASE WHEN (c_custkey % 7) <> 0 THEN sha256('cname=' || c_name)
-        |     ELSE sha256('ckey=' || CAST(c_custkey AS VARCHAR)) END AS _id
+        |CASE WHEN (c_custkey % 7) <> 0
+        |     THEN sha256('{"cname": "' || c_name || '"}')
+        |     ELSE sha256('{"ckey": "' || CAST(c_custkey AS VARCHAR) || '"}')
+        |END AS _id
         |FROM customer ORDER BY ckey""".stripMargin,
 
     "q_descend_json" ->

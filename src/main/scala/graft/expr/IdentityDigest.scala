@@ -6,43 +6,49 @@ import graft.model.{FunnelBranch, Identity, GraphSchema, VertexDef}
 
 /** Synthetic-identity minting as pure Catalyst column expressions.
   *
-  * Reference semantics:
-  *  - hash identity: SHA-256 over a canonical rendering of the named source
-  *    fields (graflo/architecture/schema/identity_digest.py:39-47). The
-  *    reference canonicalizes via Python `json.dumps(sort_keys=True,
-  *    default=str)`; byte-parity with that is NOT a goal (documented
-  *    divergence, SURVEY §7.3) — we need determinism and collision
-  *    resistance, so we render `name=value` pairs in declared field order
-  *    joined with an unlikely separator, all inside whole-stage codegen.
+  * Reference semantics — BYTE-COMPATIBLE since round 7:
+  *  - hash identity: SHA-256 hex over Python
+  *    `json.dumps({field: value}, sort_keys=True, default=str)`
+  *    (graflo/architecture/schema/identity_digest.py:33-47), reproduced
+  *    exactly by [[PyJsonCanon]] — stores written by the two engines can
+  *    be key-joined on hash ids (the former SURVEY §7.3 divergence is
+  *    closed; the remaining caveat is TYPE parity, see DIVERGENCES.md).
+  *    A document whose source fields are ALL empty (null or "") gets a
+  *    null digest and is dropped, mirroring `compute_vertex_identity`
+  *    (identity_digest.py:74-90).
   *  - funnel identity: ordered fallback branches, first branch whose
-  *    `when_all_present` fields are all non-empty wins; optional branch
-  *    marker mixed into the digest (identity_digest.py:50-71).
+  *    `when_all_present` fields are all non-empty wins; optional
+  *    `"_branch": <id>` marker mixed into the payload
+  *    (identity_digest.py:50-71).
   *  - blank/assigned: uuid4 minted at assemble/write time
   *    (graflo/hq/db_writer.py:240-276).
   *
-  * All of these are plain `Column`s — no UDF, no codegen break.
+  * All of these are plain `Column`s — the canonicalizer is a native
+  * Catalyst expression with codegen; no UDF, no codegen break.
   */
 object IdentityDigest {
   val Sep = "\u0001"
 
   /** "present" means non-null and non-empty-string (reference treats "" as
-    * missing for funnel branch selection).
+    * missing for funnel branch selection and the all-empty hash rule).
     */
   private def present(f: String): Column =
     col(f).isNotNull && (col(f).cast("string") =!= lit(""))
 
-  /** Canonical digest payload: `f1=v1␁f2=v2…` in declared order; nulls render
-    * as the empty marker so that (null, "x") != ("x", null).
+  /** Reference-canonical digest payload: the Python-json rendering of
+    * `{field: value}` (+ the `_branch` marker when given). Key order is
+    * handled inside [[PyJsonCanon]] (sort_keys).
     */
   private def payload(fields: Seq[String], marker: Option[String]): Column = {
-    val parts = fields.map(f =>
-      concat(lit(f), lit("="), coalesce(col(f).cast("string"), lit("\u0000"))))
-    val all = marker.map(m => lit(s"_branch=$m") +: parts).getOrElse(parts)
-    concat_ws(Sep, all: _*)
+    val parts = fields.map(f => col(f).as(f)) ++
+      marker.map(m => lit(m).as("_branch"))
+    PyJsonCanon.column(struct(parts: _*))
   }
 
-  def hashDigest(fields: Seq[String]): Column =
-    sha2(payload(fields, None), 256)
+  def hashDigest(fields: Seq[String]): Column = {
+    val anyPresent = fields.map(present).reduceLeft(_ || _)
+    when(anyPresent, sha2(payload(fields, None), 256))
+  }
 
   /** First branch whose `whenAllPresent` fields are all present wins;
     * no branch matching → null (the row is dropped before write, mirroring

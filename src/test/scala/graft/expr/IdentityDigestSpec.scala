@@ -13,18 +13,21 @@ class IdentityDigestSpec extends SparkSpec {
       .toDF("name", "code", "k")
   }
 
-  test("hash digest is sha-256 of the canonical payload") {
+  test("hash digest is sha-256 of the reference's Python-json payload") {
     val r = df.select(IdentityDigest.hashDigest(Seq("name")).as("h")).head()
-    // payload "name=alice" — matches DuckDB sha256('name=alice')
+    // payload json.dumps({"name": "alice"}, sort_keys=True) — byte-compatible
+    // with identity_digest.py:33-47 (proven by ReferenceDigestParitySpec)
     assert(r.getString(0) ==
       java.security.MessageDigest.getInstance("SHA-256")
-        .digest("name=alice".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+        .digest("""{"name": "alice"}""".getBytes("UTF-8")).map("%02x".format(_)).mkString)
   }
 
-  test("null and empty render differently from values, digest is total") {
+  test("null and empty render differently; the all-empty row digests to null") {
     val hs = df.select(IdentityDigest.hashDigest(Seq("name", "code")).as("h"))
       .collect().map(_.getString(0))
-    assert(hs.distinct.length == 4) // all rows digest distinctly
+    // k=4 has name=null, code=null — compute_vertex_identity returns None
+    assert(hs.count(_ == null) == 1)
+    assert(hs.filter(_ != null).distinct.length == 3)
   }
 
   test("funnel picks the first branch with all fields present ('' = missing)") {
@@ -35,9 +38,9 @@ class IdentityDigestSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     def sha(s: String) = java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    assert(r(1L) == sha("name=alice"))
-    assert(r(2L) == sha("code=b2"))  // name null → branch 2
-    assert(r(3L) == sha("code=c3"))  // name empty → branch 2
+    assert(r(1L) == sha("""{"name": "alice"}"""))
+    assert(r(2L) == sha("""{"code": "b2"}"""))  // name null → branch 2
+    assert(r(3L) == sha("""{"code": "c3"}"""))  // name empty → branch 2
     assert(r(4L) == null)            // no branch matches → null → dropped later
   }
 
