@@ -36,6 +36,23 @@ object GraftQueriesR7 {
         .orderBy("doc_id")
     },
 
+    // §2.5 the reference's strict PYTHON filter flavor (dunder-direct, no
+    // coercion — onto.py:499-523), compiled statically against the frame
+    // schema: the cross-type `== "25"` leaf is constant-false (so its NOT
+    // passes every row), and IN coerces numeric kinds like real Python `in`
+    "q_filter_python_flavor" -> { (s, d) =>
+      import graft.expr.FilterExpr
+      val filt = FilterExpr.parse(Map("AND" -> Seq(
+        Seq(">", 20L, "p_size"),
+        Map("NOT" -> Seq(Seq("==", "25", "p_size"))), // str vs int col → False → NOT → True
+        Map("field" -> "p_size", "cmp_operator" -> "IN",
+          "value" -> Seq(30.0, 35L, true))))) // 30.0 and true coerce; "1" would not
+      val df = t(s, d)("part")
+      df.where(FilterExpr.compilePython(filt, df.schema))
+        .select(col("p_partkey"), col("p_size"))
+        .orderBy("p_partkey")
+    },
+
     // extension: MP4 / ISO-BMFF box-tree parse — ftyp/mvhd/tkhd/mdhd/hdlr/
     // stsd/stts/stsz/stss over a two-track (video+audio) synthesized file;
     // one output row per track (the frame-sampling planner's shape)
@@ -81,6 +98,13 @@ object GraftQueriesR7 {
         |  CASE WHEN doc_id % 5 = 0 THEN 'VBR' ELSE 'CBR' END AS mode,
         |  CASE WHEN doc_id % 5 = 0 THEN nf ELSE NULL END AS xing_frames
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    // the strict-flavor tree reduces to: p_size > 20 AND p_size IN (30, 35, 1)
+    // (the cross-type NOT leaf is always true; 30.0/true coerce under IN)
+    "q_filter_python_flavor" ->
+      """SELECT p_partkey, p_size FROM part
+        |WHERE p_size > 20 AND p_size IN (30, 35, 1)
+        |ORDER BY p_partkey""".stripMargin,
 
     // closed-form replay of synthesizeMp4's two tracks: 24 fps video at
     // timescale 90000 (delta 3750, keyframe per second) + AAC-framed audio
