@@ -587,7 +587,12 @@ object PipelineCompiler {
     if (v.filters.isEmpty)
       vdef.filters
         .filter(f => FilterExpr.fields(f).exists(ctx.transformedCols))
-        .foreach(f => proj = proj.where(FilterExpr.compile(f)))
+        // the reference evaluates schema-level vertex filters under the
+        // strict PYTHON flavor (vertex.py:64, kind=ExpressionFlavor.PYTHON)
+        // — dunder-direct comparisons, definite booleans (NOT over a null
+        // field keeps the row); step-level filters above stay engine-flavor
+        // (they are graft's programmatic extension)
+        .foreach(f => proj = proj.where(FilterExpr.compilePython(f, proj.schema)))
     // an observation whose EVERY extracted field is null is an empty doc —
     // the reference's vertex actor emits nothing for it (actor/vertex.py:
     // empty projection short-circuit; deb's depends_aliases entries carry
