@@ -117,4 +117,25 @@ class PlanAssertSpec extends SparkSpec {
     // and the hub is always the hi endpoint
     assert(o.where(col("lo") === "a_hub").count() == 0L)
   }
+
+  test("the byte-compatible digest expression stays inside whole-stage codegen") {
+    // PyJsonCanon implements doGenCode via a reference-object call — a
+    // regression to CodegenFallback would split the identity projection
+    // out of the codegen stage on every vertex frame. AQE's initial plan
+    // hides codegen stages, so assert on a non-adaptive plan directly.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = spark.read.parquet(s"$sfDir/customer.parquet")
+        .select(graft.expr.IdentityDigest.hashDigest(Seq("c_name")).as("_id"))
+      val exec = df.queryExecution.executedPlan
+      import org.apache.spark.sql.execution.{ProjectExec, WholeStageCodegenExec}
+      val codegenProjects = exec.collect { case w: WholeStageCodegenExec =>
+        w.collect { case p: ProjectExec => p }
+      }.flatten
+      assert(codegenProjects.exists(_.projectList.exists(
+        _.find(_.isInstanceOf[graft.expr.PyJsonCanon]).isDefined)),
+        s"digest Project fell out of whole-stage codegen:\n${exec.toString}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
