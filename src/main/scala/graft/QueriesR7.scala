@@ -53,6 +53,50 @@ object GraftQueriesR7 {
         .orderBy("p_partkey")
     },
 
+    // extension: REAL G.711 μ-law/A-law decode (ITU-T G.711 segment
+    // expansion, a pure closed-form integer kernel) over WAV format tags
+    // 7/6 — compressed bytes are closed-form, so the decoded 16-bit
+    // sample aggregates replay exactly in SQL through the same formula
+    "q_g711_decode" -> { (s, d) =>
+      import graft.ext.Multimodal
+      val ids = t(s, d)("documents").select(col("doc_id")).where(col("doc_id") < 200)
+      val u = Multimodal.pcmStatsFrame(
+        Multimodal.synthesizeG711(ids, "doc_id", n = 240, aLaw = false), "doc_id")
+        .withColumn("codec", lit("ulaw"))
+      val a = Multimodal.pcmStatsFrame(
+        Multimodal.synthesizeG711(ids, "doc_id", n = 240, aLaw = true), "doc_id")
+        .withColumn("codec", lit("alaw"))
+      u.unionByName(a)
+        .select(col("doc_id"), col("codec"), col("sample_rate"),
+          col("n_samples"), col("sum_pcm"), col("min_pcm"), col("max_pcm"))
+        .orderBy("doc_id", "codec")
+    },
+
+    // extension: REAL IMA/DVI ADPCM decode (WAV tag 0x11) — per-block
+    // {predictor, step-index} headers + 4-bit nibbles, blocks independent
+    // (the 100 TB property), fact-chunk trim; the step-table recurrence
+    // replays in SQL as a per-block recursive CTE
+    "q_adpcm_decode" -> { (s, d) =>
+      import graft.ext.Multimodal
+      val ids = t(s, d)("documents").select(col("doc_id")).where(col("doc_id") < 150)
+      Multimodal.pcmStatsFrame(
+        Multimodal.synthesizeImaAdpcm(ids, "doc_id", nSamples = 97,
+          samplesPerBlock = 33), "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // extension: REAL video decode — MJPEG-in-AVI: RIFF container walk +
+    // per-frame JDK JPEG decode, PSNR-gated per frame against the known
+    // source raster (the q_jpeg_decode lossy-codec discipline)
+    "q_mjpeg_decode" -> { (s, d) =>
+      val ids = t(s, d)("documents").select(col("doc_id")).where(col("doc_id") < 60)
+      MediaContainers.aviFrameCheck(
+        MediaContainers.synthesizeAvi(ids, "doc_id", w = 16, h = 12,
+          quality = 0.9f),
+        "doc_id", w = 16, h = 12, minPsnrDb = 15.0)
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // extension: MP4 / ISO-BMFF box-tree parse — ftyp/mvhd/tkhd/mdhd/hdlr/
     // stsd/stts/stsz/stss over a two-track (video+audio) synthesized file;
     // one output row per track (the frame-sampling planner's shape)
@@ -105,6 +149,91 @@ object GraftQueriesR7 {
       """SELECT p_partkey, p_size FROM part
         |WHERE p_size > 20 AND p_size IN (30, 35, 1)
         |ORDER BY p_partkey""".stripMargin,
+
+    // the G.711 expansion formulas verbatim: μ-law complement/bias/shift,
+    // A-law xor-0x55 segment cases — over the same closed-form byte stream
+    "q_g711_decode" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |i AS (SELECT unnest(generate_series(0, 239)) AS i),
+        |b AS (SELECT doc_id, (doc_id * 31 + i * 7) % 256 AS byte FROM d, i),
+        |c AS (SELECT doc_id, 255 - byte AS ub, xor(byte, 85) AS ab FROM b),
+        |vals AS (
+        |  SELECT doc_id, 'ulaw' AS codec,
+        |    CASE WHEN ub >= 128
+        |      THEN 132 - ((((ub & 15) << 3) + 132) << ((ub & 112) >> 4))
+        |      ELSE ((((ub & 15) << 3) + 132) << ((ub & 112) >> 4)) - 132
+        |    END AS v
+        |  FROM c
+        |  UNION ALL
+        |  SELECT doc_id, 'alaw',
+        |    CASE WHEN (ab & 128) != 0 THEN t ELSE -t END
+        |  FROM (SELECT doc_id, ab,
+        |      CASE WHEN ((ab & 112) >> 4) = 0 THEN ((ab & 15) << 4) + 8
+        |           WHEN ((ab & 112) >> 4) = 1 THEN ((ab & 15) << 4) + 264
+        |           ELSE (((ab & 15) << 4) + 264) * (1 << (((ab & 112) >> 4) - 1))
+        |      END AS t
+        |    FROM c))
+        |SELECT doc_id, codec, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(240 AS BIGINT) AS n_samples,
+        |  CAST(sum(v) AS BIGINT) AS sum_pcm,
+        |  CAST(min(v) AS BIGINT) AS min_pcm,
+        |  CAST(max(v) AS BIGINT) AS max_pcm
+        |FROM vals GROUP BY doc_id, codec ORDER BY doc_id, codec""".stripMargin,
+
+    // the published IMA recurrence as a per-block recursive CTE: step-table
+    // list literal, nibble from the closed form, clamp to [-32768,32767]
+    // and [0,88]; fact-chunk trim = the b*33+j < 97 filter
+    "q_adpcm_decode" ->
+      """WITH RECURSIVE d AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+        |blk AS (SELECT doc_id, unnest(generate_series(0, 2)) AS b FROM d),
+        |r AS (
+        |  SELECT doc_id, b, 0 AS j,
+        |    CAST((doc_id * 13 + b * 101) % 1024 - 512 AS INTEGER) AS pred,
+        |    CAST((doc_id + b * 7) % 40 AS INTEGER) AS idx
+        |  FROM blk
+        |  UNION ALL
+        |  SELECT doc_id, b, j + 1,
+        |    CAST(GREATEST(-32768, LEAST(32767,
+        |      CASE WHEN (nib & 8) != 0 THEN pred - diff ELSE pred + diff END))
+        |      AS INTEGER),
+        |    CAST(GREATEST(0, LEAST(88, idx +
+        |      CASE WHEN (nib & 7) < 4 THEN -1 ELSE 2 * ((nib & 7) - 3) END))
+        |      AS INTEGER)
+        |  FROM (
+        |    SELECT doc_id, b, j, pred, idx, nib,
+        |      (s >> 3) + CASE WHEN (nib & 4) != 0 THEN s ELSE 0 END
+        |               + CASE WHEN (nib & 2) != 0 THEN s >> 1 ELSE 0 END
+        |               + CASE WHEN (nib & 1) != 0 THEN s >> 2 ELSE 0 END AS diff
+        |    FROM (
+        |      SELECT doc_id, b, j, pred, idx,
+        |        CAST((doc_id * 7 + b * 3 + j * 5) % 16 AS INTEGER) AS nib,
+        |        ([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,
+        |          50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,
+        |          230,253,279,307,337,371,408,449,494,544,598,658,724,796,
+        |          876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,
+        |          2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,
+        |          7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,
+        |          20350,22385,24623,27086,29794,32767])[idx + 1] AS s
+        |      FROM r WHERE j < 32) q1) q2)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(97 AS BIGINT) AS n_samples,
+        |  CAST(sum(pred) AS BIGINT) AS sum_pcm,
+        |  CAST(min(pred) AS BIGINT) AS min_pcm,
+        |  CAST(max(pred) AS BIGINT) AS max_pcm
+        |FROM r WHERE b * 33 + j < 97
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // closed-form frame grid (2 + id%4 frames at 24 fps); the PSNR gate is
+    // the lossy-codec banded check, same shape as q_jpeg_decode
+    "q_mjpeg_decode" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |f AS (SELECT doc_id,
+        |  unnest(generate_series(0, CAST(1 + doc_id % 4 AS BIGINT))) AS frame_idx
+        |  FROM d)
+        |SELECT doc_id, frame_idx, CAST(16 AS BIGINT) AS width,
+        |  CAST(12 AS BIGINT) AS height, CAST(24.0 AS DOUBLE) AS fps,
+        |  true AS psnr_ok
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     // closed-form replay of synthesizeMp4's two tracks: 24 fps video at
     // timescale 90000 (delta 3750, keyframe per second) + AAC-framed audio

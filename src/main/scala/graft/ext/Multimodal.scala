@@ -626,10 +626,12 @@ object Multimodal {
     out.array()
   }
 
-  /** WAV (RIFF/WAVE, PCM 8/16-bit) decode: walk the chunk list for `fmt `
-    * and `data`, reject non-PCM encodings. Pure byte parsing — audio needs
-    * no codec library for the PCM container, so unlike JPEG/MP3 this
-    * modality decodes NATIVELY.
+  /** WAV (RIFF/WAVE) decode: walk the chunk list for `fmt `/`fact`/`data`
+    * and dispatch on the format tag — PCM 8/16-bit natively, plus REAL
+    * compressed-codec expansion for G.711 μ-law (tag 7) / A-law (tag 6)
+    * and mono IMA-ADPCM (tag 0x11) via [[AudioCodecs]]. Every path
+    * returns 16-bit linear samples. Pure byte parsing + closed-form
+    * integer kernels — no codec library involved.
     */
   def decodeWav(bytes: Array[Byte]): Option[PcmAudio] = {
     if (bytes.length < 44) return None
@@ -637,9 +639,11 @@ object Multimodal {
     def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var off = 12
-    var fmt: Option[(Int, Int, Int)] = None // (channels, sampleRate, bits)
-    var data: Option[(Int, Int)] = None     // (offset, length)
-    while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+    // (formatTag, channels, sampleRate, bits, blockAlign, samplesPerBlock)
+    var fmt: Option[(Int, Int, Int, Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None // (offset, length)
+    var factSamples = -1
+    while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty || factSamples < 0)) {
       val id = tag(off); val len = bb.getInt(off + 4)
       // long arithmetic: a crafted len near Int.MaxValue must not wrap the
       // bounds check and turn into a giant allocation downstream
@@ -647,28 +651,60 @@ object Multimodal {
       id match {
         case "fmt " =>
           if (len < 16) return None
-          val audioFormat = bb.getShort(off + 8).toInt
-          if (audioFormat != 1) return None // PCM only
-          fmt = Some((bb.getShort(off + 10).toInt, bb.getInt(off + 12),
-            bb.getShort(off + 22).toInt))
-        case "data" => data = Some((off + 8, len))
-        case _      => ()
+          val spb = if (len >= 20) bb.getShort(off + 26) & 0xffff else 0
+          fmt = Some((bb.getShort(off + 8).toInt, bb.getShort(off + 10).toInt,
+            bb.getInt(off + 12), bb.getShort(off + 22).toInt,
+            bb.getShort(off + 20) & 0xffff, spb))
+        case "fact" if len >= 4 => factSamples = bb.getInt(off + 8)
+        case "data"             => data = Some((off + 8, len))
+        case _                  => ()
       }
       off += 8 + len + (len & 1) // chunks are word-aligned
     }
-    for ((channels, rate, bits) <- fmt; (dOff, dLen) <- data;
-         if channels >= 1 && rate > 0 && (bits == 8 || bits == 16)) yield {
-      val n = dLen / (bits / 8)
-      val samples = new Array[Int](n)
-      var i = 0
-      while (i < n) {
-        samples(i) =
-          if (bits == 8) (bytes(dOff + i) & 0xff) - 128 // 8-bit WAV is unsigned
-          else bb.getShort(dOff + i * 2).toInt
-        i += 1
-      }
-      PcmAudio(rate, channels, bits, samples)
-    }
+    for ((fmtTag, channels, rate, bits, blockAlign, spb) <- fmt;
+         (dOff, dLen) <- data;
+         if channels >= 1 && rate > 0;
+         decoded <- fmtTag match {
+           case 1 if bits == 8 || bits == 16 =>
+             val n = dLen / (bits / 8)
+             val samples = new Array[Int](n)
+             var i = 0
+             while (i < n) {
+               samples(i) =
+                 if (bits == 8) (bytes(dOff + i) & 0xff) - 128 // 8-bit WAV is unsigned
+                 else bb.getShort(dOff + i * 2).toInt
+               i += 1
+             }
+             Some(PcmAudio(rate, channels, bits, samples))
+           case 6 | 7 => // G.711: one byte per sample, expands to 16-bit
+             val aLaw = fmtTag == 6
+             val n = if (factSamples >= 0) math.min(factSamples, dLen) else dLen
+             val samples = new Array[Int](n)
+             var i = 0
+             while (i < n) {
+               val b = bytes(dOff + i) & 0xff
+               samples(i) = if (aLaw) AudioCodecs.alawDecode(b)
+                            else AudioCodecs.ulawDecode(b)
+               i += 1
+             }
+             Some(PcmAudio(rate, channels, 16, samples))
+           case 0x11 if channels == 1 && blockAlign >= 4 =>
+             // mono IMA-ADPCM: independent self-contained blocks
+             val spbEff = if (spb > 0) spb else (blockAlign - 4) * 2 + 1
+             val nBlocks = dLen / blockAlign
+             val total =
+               if (factSamples >= 0) factSamples else nBlocks * spbEff
+             val out = new Array[Int](math.max(total, 0))
+             var blk = 0; var pos = 0
+             while (blk < nBlocks && pos < total) {
+               val dec = AudioCodecs.imaDecodeBlock(bytes, dOff + blk * blockAlign,
+                 blockAlign, math.min(spbEff, total - pos))
+               System.arraycopy(dec, 0, out, pos, dec.length)
+               pos += dec.length; blk += 1
+             }
+             if (pos == total) Some(PcmAudio(rate, 1, 16, out)) else None
+           case _ => None
+         }) yield decoded
   }
 
   /** Nearest-neighbor PCM resample: output sample j reads input sample
@@ -732,6 +768,95 @@ object Multimodal {
       }(enc)
   }
 
+  /** Synthesize one G.711 WAV per row (format tag 6 = A-law, 7 = μ-law):
+    * compressed byte i is the closed form `(id·31 + i·7) mod 256`, so the
+    * decoded 16-bit samples replay in SQL through the G.711 expansion
+    * formula — a REAL compressed-codec decode with an exact oracle.
+    */
+  def synthesizeG711(df: DataFrame, idCol: String, n: Int,
+      aLaw: Boolean): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType), StructField("media", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = Array.tabulate(n)(i => ((id * 31 + i * 7) % 256).toByte)
+        Row(id, AudioCodecs.wavPackG711(bytes, 8000, aLaw))
+      }
+    }(enc)
+  }
+
+  /** Synthesize one mono IMA-ADPCM WAV per row with closed-form block
+    * headers and nibbles (block b: predictor `(id·13 + b·101) mod 1024 −
+    * 512`, index `(id + b·7) mod 40`; nibble j: `(id·7 + b·3 + j·5) mod
+    * 16`), `samplesPerBlock` odd, `fact`-trimmed to `nSamples` — the
+    * decode recurrence replays in SQL as a per-block recursive CTE.
+    */
+  def synthesizeImaAdpcm(df: DataFrame, idCol: String, nSamples: Int,
+      samplesPerBlock: Int): DataFrame = {
+    require(samplesPerBlock >= 3 && samplesPerBlock % 2 == 1,
+      "samplesPerBlock must be odd and >= 3")
+    val schema = StructType(Seq(
+      StructField(idCol, LongType), StructField("media", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val bytesPerBlock = 4 + (samplesPerBlock - 1) / 2
+    val nBlocks = (nSamples + samplesPerBlock - 1) / samplesPerBlock
+    df.select(col(idCol).cast("long")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val blocks = new Array[Byte](nBlocks * bytesPerBlock)
+        var b = 0
+        while (b < nBlocks) {
+          val base = b * bytesPerBlock
+          val pred = ((id * 13 + b * 101) % 1024 - 512).toInt
+          blocks(base) = (pred & 0xff).toByte
+          blocks(base + 1) = ((pred >> 8) & 0xff).toByte
+          blocks(base + 2) = ((id + b * 7) % 40).toByte
+          blocks(base + 3) = 0
+          var j = 0
+          while (j < samplesPerBlock - 1) {
+            val nib = ((id * 7 + b * 3 + j * 5) % 16).toInt
+            val bo = base + 4 + j / 2
+            if (j % 2 == 0) blocks(bo) = (nib & 0x0f).toByte
+            else blocks(bo) = (blocks(bo) | ((nib & 0x0f) << 4)).toByte
+            j += 1
+          }
+          b += 1
+        }
+        Row(id, AudioCodecs.wavPackIma(blocks, 8000, samplesPerBlock, nSamples))
+      }
+    }(enc)
+  }
+
+  /** Decode the WAV binary column and emit EXACT integer sample
+    * aggregates — (id, sample_rate, n_samples, sum/min/max of the decoded
+    * 16-bit values) — the oracle-checkable face of a real codec decode.
+    */
+  def pcmStatsFrame(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("sample_rate", LongType),
+      StructField("n_samples", LongType),
+      StructField("sum_pcm", LongType),
+      StructField("min_pcm", LongType),
+      StructField("max_pcm", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col("media")).mapPartitions { it =>
+      it.flatMap { r =>
+        decodeWav(r.getAs[Array[Byte]](1)).map { a =>
+          var s = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+          a.samples.foreach { v =>
+            s += v; if (v < mn) mn = v; if (v > mx) mx = v
+          }
+          Row(r.getLong(0), a.sampleRate.toLong, a.samples.length.toLong,
+            s, if (a.samples.isEmpty) 0L else mn,
+            if (a.samples.isEmpty) 0L else mx)
+        }
+      }
+    }(enc)
+  }
+
   /** Decode the WAV binary column and emit per-row audio features
     * (sample rate, sample count, duration, RMS) — the audio analogue of
     * [[extractFeatures]], same mapPartitions batch shape. Rows that fail to
@@ -780,14 +905,18 @@ object Multimodal {
         octet_length(col(payloadCol)).cast("long").as("n_bytes"),
         md5(col(payloadCol)).as("checksum")).as("meta"))
 
-  /** STUB ??? — reached only for the PCM/pixel KERNELS of compressed
-    * audio/video (MP3/MP4), whose codecs the JVM does not bundle (a real
-    * implementation calls ffmpeg via JNI here). Images — including
-    * JPEG/PNG since round 6 — take the real [[decode]] path above, and
-    * MP3/MP4 CONTAINER metadata (duration, codec, sample tables) parses
-    * for real in [[MediaContainers]] since round 7. The stub derives
-    * `dim` deterministic floats from a rolling view of the bytes so
-    * downstream ops (similarity, dedup) are exercisable end-to-end.
+  /** STUB ??? — reached only for the PCM/pixel KERNELS of the
+    * perceptual codecs (MP3 Layer III subband synthesis, H.264/AAC),
+    * which the JVM does not bundle (a real implementation calls ffmpeg
+    * via JNI here). Everything else decodes for REAL: images via
+    * [[decode]] (PPM/BMP/QOI native; JPEG/PNG via the JDK codec since
+    * round 6), audio via [[decodeWav]] (PCM native; G.711 μ-law/A-law
+    * and IMA-ADPCM through the closed-form [[AudioCodecs]] kernels since
+    * round 7), video via [[MediaContainers.aviFrameCheck]] (MJPEG-in-AVI
+    * through the JDK JPEG codec), and MP3/MP4 CONTAINER metadata
+    * (duration, codec, sample tables) in [[MediaContainers]]. The stub
+    * derives `dim` deterministic floats from a rolling view of the bytes
+    * so downstream ops (similarity, dedup) are exercisable end-to-end.
     */
   private def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
