@@ -97,6 +97,31 @@ object GraftQueriesR7 {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // extension: spectral audio fingerprint — 64-sample windows, integer
+    // Walsh–Hadamard transform (exact; Hadamard signs = popcount parity,
+    // so SQL replays it via bit_count), peak band per window, 4-gram
+    // shingles (the constellation-hash idea in exact integer math)
+    "q_audio_fingerprint" -> { (s, d) =>
+      import graft.ext.Multimodal
+      val ids = t(s, d)("documents").select(col("doc_id")).where(col("doc_id") < 80)
+      val wav = Multimodal.synthesizeWavTones(ids, "doc_id", n = 320,
+        sampleRate = 8000)
+      Multimodal.audioFingerprint(wav, "doc_id").orderBy("doc_id", "w")
+    },
+
+    // extension: audio near-duplicate pairs — the audio face of the dedup
+    // family (text shingles / image dHash): exact Jaccard over fingerprint
+    // gram sets, candidates meet on a shared gram (banded, never
+    // all-pairs), df-capped; id folding (seedMod=40) plants exact dups
+    "q_audio_neardup" -> { (s, d) =>
+      import graft.ext.Multimodal
+      val ids = t(s, d)("documents").select(col("doc_id")).where(col("doc_id") < 80)
+      val wav = Multimodal.synthesizeWavTones(ids, "doc_id", n = 320,
+        sampleRate = 8000, seedMod = 40)
+      Multimodal.audioNearDups(wav, "doc_id", "media", minJaccard = 0.9)
+        .orderBy("id_a", "id_b")
+    },
+
     // extension: MP4 / ISO-BMFF box-tree parse — ftyp/mvhd/tkhd/mdhd/hdlr/
     // stsd/stts/stsz/stss over a two-track (video+audio) synthesized file;
     // one output row per track (the frame-sampling planner's shape)
@@ -222,6 +247,82 @@ object GraftQueriesR7 {
         |  CAST(max(pred) AS BIGINT) AS max_pcm
         |FROM r WHERE b * 33 + j < 97
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // full integer replay of the fingerprint pipeline: closed-form PCM,
+    // WHT via bit_count parity signs, band energies, peak argmax
+    // (energy desc, band asc), 4-gram assembly
+    "q_audio_fingerprint" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 80),
+        |i AS (SELECT unnest(generate_series(0, 319)) AS i),
+        |x AS (SELECT doc_id, i,
+        |        CAST(CASE WHEN (i // (2 + doc_id % 13)) % 2 = 0
+        |          THEN 700 ELSE -700 END
+        |          + (i * (doc_id + 3)) % 400 - 200 AS BIGINT) AS xv
+        |      FROM d, i),
+        |w AS (SELECT unnest(generate_series(0, 8)) AS w),
+        |k AS (SELECT unnest(generate_series(0, 63)) AS k),
+        |c AS (SELECT doc_id, w, k,
+        |        sum(xv * (1 - 2 * (bit_count(j & k) % 2))) AS c
+        |      FROM (SELECT x.doc_id, w.w AS w, x.i - w.w * 32 AS j, x.xv
+        |            FROM x, w WHERE x.i >= w.w * 32 AND x.i < w.w * 32 + 64), k
+        |      GROUP BY doc_id, w, k),
+        |e AS (SELECT doc_id, w, k // 8 AS b, sum(abs(c)) AS e
+        |      FROM c GROUP BY doc_id, w, k // 8),
+        |p AS (SELECT doc_id, w, b AS peak FROM (
+        |        SELECT doc_id, w, b,
+        |          row_number() OVER (PARTITION BY doc_id, w
+        |                             ORDER BY e DESC, b ASC) AS rn
+        |        FROM e WHERE b >= 1) q WHERE rn = 1)
+        |SELECT p0.doc_id, p0.w,
+        |  p0.peak + p1.peak * 8 + p2.peak * 64 + p3.peak * 512 AS gram
+        |FROM p p0
+        |JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.w = p0.w + 1
+        |JOIN p p2 ON p2.doc_id = p0.doc_id AND p2.w = p0.w + 2
+        |JOIN p p3 ON p3.doc_id = p0.doc_id AND p3.w = p0.w + 3
+        |ORDER BY p0.doc_id, p0.w""".stripMargin,
+
+    // same fingerprint replay over the FOLDED id space (seed = id % 40),
+    // then exact Jaccard over distinct-gram sets with the df-cap
+    "q_audio_neardup" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 80),
+        |i AS (SELECT unnest(generate_series(0, 319)) AS i),
+        |x AS (SELECT doc_id, i,
+        |        CAST(CASE WHEN (i // (2 + (doc_id % 40) % 13)) % 2 = 0
+        |          THEN 700 ELSE -700 END
+        |          + (i * ((doc_id % 40) + 3)) % 400 - 200 AS BIGINT) AS xv
+        |      FROM d, i),
+        |w AS (SELECT unnest(generate_series(0, 8)) AS w),
+        |k AS (SELECT unnest(generate_series(0, 63)) AS k),
+        |c AS (SELECT doc_id, w, k,
+        |        sum(xv * (1 - 2 * (bit_count(j & k) % 2))) AS c
+        |      FROM (SELECT x.doc_id, w.w AS w, x.i - w.w * 32 AS j, x.xv
+        |            FROM x, w WHERE x.i >= w.w * 32 AND x.i < w.w * 32 + 64), k
+        |      GROUP BY doc_id, w, k),
+        |e AS (SELECT doc_id, w, k // 8 AS b, sum(abs(c)) AS e
+        |      FROM c GROUP BY doc_id, w, k // 8),
+        |p AS (SELECT doc_id, w, b AS peak FROM (
+        |        SELECT doc_id, w, b,
+        |          row_number() OVER (PARTITION BY doc_id, w
+        |                             ORDER BY e DESC, b ASC) AS rn
+        |        FROM e WHERE b >= 1) q WHERE rn = 1),
+        |g AS (SELECT DISTINCT p0.doc_id AS id,
+        |        p0.peak + p1.peak * 8 + p2.peak * 64 + p3.peak * 512 AS gram
+        |      FROM p p0
+        |      JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.w = p0.w + 1
+        |      JOIN p p2 ON p2.doc_id = p0.doc_id AND p2.w = p0.w + 2
+        |      JOIN p p3 ON p3.doc_id = p0.doc_id AND p3.w = p0.w + 3),
+        |kept AS (SELECT id, gram FROM g WHERE gram IN (
+        |        SELECT gram FROM g GROUP BY gram HAVING count(*) <= 10000)),
+        |sz AS (SELECT id, count(*) AS n FROM g GROUP BY id),
+        |pr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        |       FROM kept a JOIN kept b ON a.gram = b.gram AND a.id < b.id
+        |       GROUP BY a.id, b.id)
+        |SELECT id_a, id_b,
+        |  round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+        |FROM pr
+        |JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+        |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // closed-form frame grid (2 + id%4 frames at 24 fps); the PSNR gate is
     // the lossy-codec banded check, same shape as q_jpeg_decode

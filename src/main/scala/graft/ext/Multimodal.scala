@@ -753,7 +753,7 @@ object Multimodal {
     * closed-form oracle): (id, media) with a real WAV byte payload.
     */
   def synthesizeWav(df: DataFrame, idCol: String, n: Int,
-      sampleRate: Int): DataFrame = {
+      sampleRate: Int, seedMod: Long = 0L): DataFrame = {
     val schema = StructType(Seq(
       StructField(idCol, LongType),
       StructField("media", BinaryType)))
@@ -762,7 +762,10 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
-          val samples = Array.tabulate(n)(i => (((i.toLong * (id + 3)) % 2000) - 1000).toInt)
+          // seedMod > 0 folds the id space so distinct rows carry identical
+          // audio — the controlled-duplicate input for near-dup operators
+          val seed = if (seedMod > 0) id % seedMod else id
+          val samples = Array.tabulate(n)(i => (((i.toLong * (seed + 3)) % 2000) - 1000).toInt)
           Row(id, wavPack(samples, sampleRate))
         }
       }(enc)
@@ -827,6 +830,129 @@ object Multimodal {
         Row(id, AudioCodecs.wavPackIma(blocks, 8000, samplesPerBlock, nSamples))
       }
     }(enc)
+  }
+
+  /** Synthesize spectrally-DISTINCT audio per seed class: a square wave
+    * whose period depends on the seed (`2 + seed % 13` — different seeds
+    * put their energy in different WHT bands) plus a low-amplitude
+    * seed-keyed sawtooth. All integer, so the PCM replays exactly in SQL.
+    * `seedMod` folds the id space to plant controlled duplicates (the
+    * near-dup operator's test input).
+    */
+  def synthesizeWavTones(df: DataFrame, idCol: String, n: Int,
+      sampleRate: Int, seedMod: Long = 0L): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType), StructField("media", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val seed = if (seedMod > 0) id % seedMod else id
+        val p = (2 + seed % 13).toInt
+        val samples = Array.tabulate(n) { i =>
+          val sq = if ((i / p) % 2 == 0) 700 else -700
+          sq + ((i.toLong * (seed + 3)) % 400 - 200).toInt
+        }
+        Row(id, wavPack(samples, sampleRate))
+      }
+    }(enc)
+  }
+
+  /** Unnormalized 64-point Walsh–Hadamard transform (natural/Hadamard
+    * ordering): coefficient k = Σᵢ xᵢ·(−1)^popcount(i AND k). Integer
+    * butterfly — exact, overflow-free for 16-bit inputs (|c| ≤ 64·32768),
+    * and replayable in SQL via `bit_count(i & k) % 2`.
+    */
+  private[graft] def wht64(x: Array[Long]): Array[Long] = {
+    val a = x.clone()
+    var len = 1
+    while (len < 64) {
+      var i = 0
+      while (i < 64) {
+        var j = i
+        while (j < i + len) {
+          val u = a(j); val v = a(j + len)
+          a(j) = u + v; a(j + len) = u - v
+          j += 1
+        }
+        i += 2 * len
+      }
+      len <<= 1
+    }
+    a
+  }
+
+  /** Spectral audio fingerprint (the audio face of the dedup family —
+    * text shingles / image dHash / THIS): decode the WAV column, slide a
+    * 64-sample window with hop 32, take the integer WHT per window, sum
+    * |coefficients| into 8 bands of 8, take the peak band (DC band 0
+    * excluded; ties → lower band), and shingle 4 consecutive peaks into a
+    * 12-bit gram — the constellation-hash idea behind published audio
+    * fingerprinters, in exact integer math so the whole pipeline replays
+    * in SQL. One output row per (id, window, gram); all per-row work, no
+    * shuffle.
+    */
+  def audioFingerprint(df: DataFrame, idCol: String,
+      mediaCol: String = "media"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("w", LongType),
+      StructField("gram", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col(mediaCol)).mapPartitions { it =>
+      it.flatMap { r =>
+        decodeWav(r.getAs[Array[Byte]](1)).toSeq.flatMap { a =>
+          val n = a.samples.length
+          val nw = if (n < 64) 0 else (n - 64) / 32 + 1
+          val peaks = Array.tabulate(nw) { w =>
+            val cs = wht64(Array.tabulate(64)(i => a.samples(w * 32 + i).toLong))
+            val e = new Array[Long](8)
+            var k = 0
+            while (k < 64) { e(k / 8) += math.abs(cs(k)); k += 1 }
+            var best = 1; var b = 2
+            while (b < 8) { if (e(b) > e(best)) best = b; b += 1 }
+            best.toLong
+          }
+          (0 until nw - 3).map { w =>
+            Row(r.getLong(0), w.toLong,
+              peaks(w) + peaks(w + 1) * 8 + peaks(w + 2) * 64 + peaks(w + 3) * 512)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Audio near-duplicate pairs by exact Jaccard over fingerprint gram
+    * SETS: candidates meet on a shared gram (banded join — never
+    * all-pairs), grams seen in more than `maxDf` rows are dropped first
+    * (the PPJoin df-cap discipline: a ubiquitous gram pairs everything
+    * with everything and carries no identity signal), intersection counts
+    * against set sizes. Output (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def audioNearDups(df: DataFrame, idCol: String, mediaCol: String,
+      minJaccard: Double, maxDf: Long = 10000L): DataFrame = {
+    val grams = audioFingerprint(df, idCol, mediaCol)
+      .select(col(idCol).as("id"), col("gram")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = grams.join(
+      grams.groupBy("gram").agg(count(lit(1)).as("df_"))
+        .where(col("df_") <= maxDf).select("gram"), Seq("gram"))
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = kept.select(col("id").as("id_a"), col("gram"))
+      .join(kept.select(col("id").as("id_b"), col("gram")), Seq("gram"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val out = inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    // grams stays persisted: the result is lazy and reads it four ways
+    // (df-cap, both join sides, sizes) — the battery harness releases
+    // run-scoped caches after each timing (Bench.scala)
+    out
   }
 
   /** Decode the WAV binary column and emit EXACT integer sample
