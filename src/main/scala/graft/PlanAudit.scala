@@ -48,7 +48,10 @@ object PlanAudit {
         // round-14 flagships: relation_from_key assembly (keyed location
         // join, no cartesian), dynamic typed edge slots (row-keyed
         // router-bucket pairing), direct-weight carry
-        "q_relation_from_key", "q_edge_typed_slots", "q_edge_direct_weights")
+        "q_relation_from_key", "q_edge_typed_slots", "q_edge_direct_weights",
+        // round-17 flagships: audio gram near-dup (shared-gram banded
+        // hash join + df-cap — must never plan an all-pairs comparison)
+        "q_audio_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -1750,10 +1750,10 @@ object GraphAlgos {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst")).distinct().persist(lvl)
-    require(e.limit(1).count() > 0, "HITS needs at least one edge")
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct().persist(lvl)
     val n = nodes.count()
+    require(n > 0, "HITS needs at least one edge") // n>0 ⟺ e nonempty
     // score frames stay SPARSE inside the loop (only nodes that received
     // mass — a node absent from a frame has score 0, and joining it in
     // would only add per-half-step node-table traffic); the dense frame is
@@ -1764,11 +1764,17 @@ object GraphAlgos {
     def bc(df: DataFrame): DataFrame =
       if (n <= broadcastNodeLimit) broadcast(df) else df
     def normalize(raw: DataFrame, outCol: String): DataFrame = {
-      // one broadcast 1-row total; exact (v·unit) floor-div total
-      val total = raw.agg(sum(col("v")).as("t"))
-      raw.crossJoin(broadcast(total))
+      // raw (a join+agg) feeds BOTH the 1-row total and the scaled output
+      // — persist it so the half-step runs the edge join once, not twice;
+      // the eager localCheckpoint materializes the output, so the cache
+      // can be dropped before returning
+      val r = raw.persist(lvl)
+      val total = r.agg(sum(col("v")).as("t"))
+      val out = r.crossJoin(broadcast(total))
         .select(col("node"), expr(s"(v * $unit) div t").as(outCol))
         .localCheckpoint(true)
+      r.unpersist(blocking = false)
+      out
     }
     var hubs = e.select(col("src").as("node")).distinct()
       .withColumn("hub", lit(unit)).localCheckpoint(true)
