@@ -76,14 +76,57 @@ object EvolutionOp {
   final case class RemoveEdge(key: EdgeKey) extends EvolutionOp {
     def apply(s: GraphSchema) = s.copy(edges = s.edges.filterNot(_.key == key))
   }
+  /** Merge two edge defs that landed on one key after a rename/redirect —
+    * the reference's `merge_edge_pair` (evolution/merge_core.py:176-214):
+    * property UNION with typed-beats-untyped (conflicting concrete types
+    * raise, merge_core.py:11-19), and `directed` = a AND b ("undirected
+    * wins: it is the weaker assertion; a merged undirected edge treated as
+    * directed would let an inverse-edge op synthesize a duplicate").
+    * graft models a single uniqueness key, so differing `identities`
+    * raise rather than silently dropping a constraint.
+    */
+  def mergeEdgePair(a: EdgeDef, b: EdgeDef): EdgeDef = {
+    require(a.key == b.key, s"mergeEdgePair on different keys: ${a.key} vs ${b.key}")
+    require(a.identities == b.identities,
+      s"merge of edge ${a.key}: identity keys differ (${a.identities} vs ${b.identities})")
+    val props = scala.collection.mutable.LinkedHashMap.empty[String, FieldDef]
+    (a.properties ++ b.properties).foreach { f =>
+      props.get(f.name) match {
+        case None => props(f.name) = f
+        case Some(prev) => (prev.ftype, f.ftype) match {
+          case (None, Some(_)) => props(f.name) = f
+          case (Some(x), Some(y)) if x != y =>
+            throw new IllegalArgumentException(
+              s"cannot merge edge field '${f.name}': incompatible types $x vs $y")
+          case _ => ()
+        }
+      }
+    }
+    a.copy(properties = props.values.toSeq, directed = a.directed && b.directed)
+  }
+
+  /** Fold duplicate edge keys via [[mergeEdgePair]] (first occurrence
+    * keeps its position) — the reference's post-rename merge loop.
+    */
+  private def mergeDuplicateEdges(edges: Seq[EdgeDef]): Seq[EdgeDef] = {
+    val byKey = scala.collection.mutable.LinkedHashMap.empty[EdgeKey, EdgeDef]
+    edges.foreach { e =>
+      byKey(e.key) = byKey.get(e.key).map(mergeEdgePair(_, e)).getOrElse(e)
+    }
+    byKey.values.toSeq
+  }
+
   final case class RenameRelation(key: EdgeKey, to: String) extends EvolutionOp {
-    def apply(s: GraphSchema) = s.copy(edges = s.edges.map(e =>
-      if (e.key == key) e.copy(relation = to) else e))
+    // a rename can land on an existing key — merge like the reference's
+    // remap_relation_and_merge_edges (merge_core.py:249-269)
+    def apply(s: GraphSchema) = s.copy(edges = mergeDuplicateEdges(
+      s.edges.map(e => if (e.key == key) e.copy(relation = to) else e)))
   }
   /** retarget an edge to different endpoint types (ops.py retarget) */
   final case class RetargetEdge(key: EdgeKey, newSource: String, newTarget: String) extends EvolutionOp {
-    def apply(s: GraphSchema) = s.copy(edges = s.edges.map(e =>
-      if (e.key == key) e.copy(source = newSource, target = newTarget) else e))
+    def apply(s: GraphSchema) = s.copy(edges = mergeDuplicateEdges(
+      s.edges.map(e =>
+        if (e.key == key) e.copy(source = newSource, target = newTarget) else e)))
   }
   /** add the inverse edge (ops.py inverse_edge) */
   final case class InverseEdge(key: EdgeKey, relation: String) extends EvolutionOp {
@@ -179,17 +222,12 @@ object EvolutionOp {
             s"merge_vertices: edge ${was.key} becomes a self-relation on '$into' " +
               "(set allowSelfRelations to accept)")
       }
-      // distinct edge defs may collapse onto one key after the rename;
-      // identical defs dedupe, CONFLICTING defs raise (edgeByKey would
-      // silently keep one and lose the other's identities/properties)
-      val edges = edges0.groupBy(_.key).toSeq.sortBy(_._1.storeName).map {
-        case (_, defs) =>
-          val distinctDefs = defs.distinct
-          if (distinctDefs.size > 1) throw new IllegalArgumentException(
-            s"merge_vertices: edges ${distinctDefs.map(_.key).head} collapse onto one " +
-              "key with conflicting definitions (identities/properties differ)")
-          distinctDefs.head
-      }
+      // distinct edge defs may collapse onto one key after the rename —
+      // MERGE them like the reference's redirect_and_merge_edges
+      // (merge_core.py:217-246): property union typed-beats-untyped,
+      // undirected wins; conflicting types/identity keys still raise
+      // inside mergeEdgePair
+      val edges = mergeDuplicateEdges(edges0)
       s.copy(
         vertices = s.vertices.filterNot(v => gone(v.name))
           .map(v => if (v.name == into) merged else v) ++

@@ -147,7 +147,16 @@ object ManifestLoader {
         Some(if (fs.size == 1) fs.head else FilterExpr.And(fs))
       case _ => None
     }
-    VertexDef(name, props, identity, filters = filters)
+    // secondary identities (vertex.py secondary_identities): named field
+    // sets edges may select with source_match/target_match
+    val secondary = v.path("secondary_identities") match {
+      case n if n.isArray => n.elements().asScala.map { s =>
+        graft.model.SecondaryIdentity(s.path("name").asText(),
+          strings(s.path("fields")))
+      }.toSeq
+      case _ => Nil
+    }
+    VertexDef(name, props, identity, secondary = secondary, filters = filters)
   }
 
   private def parseEdgeDef(e: JsonNode): EdgeDef = {

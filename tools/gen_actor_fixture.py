@@ -1797,6 +1797,126 @@ ingestion_model:
 ])
 
 
+# ---- secondary-identity endpoint selection (source_match/target_match) ----
+# (test/architecture/test_secondary_identity_assembly.py): edges may match
+# endpoints on a SECONDARY identity; the per-edge merge must key on the
+# selected fields (secondary-only docs must not collapse under the primary
+# basis), endpoints project the selected fields, and an endpoint carrying
+# none of the selected fields cannot be located.
+
+SCHEMA_SEC = """
+schema:
+    metadata:
+        name: t
+    graph:
+        vertex_config:
+            vertices:
+            -   name: instrument
+                properties: [sid, isin]
+                identity: [sid]
+                secondary_identities:
+                -   name: by_isin
+                    fields: [isin]
+            -   name: issuer
+                properties: [iid, lei]
+                identity: [iid]
+                secondary_identities:
+                -   name: by_lei
+                    fields: [lei]
+        edge_config:
+            edges:
+            -   source: instrument
+                target: issuer
+"""
+
+# secondary-only source docs stay DISTINCT through the per-edge merge
+# (under the primary basis the three keyless rows would fold into one)
+case("secondary_endpoints_distinct_rows", SCHEMA_SEC + """
+ingestion_model:
+    resources:
+    -   name: r
+        pipeline:
+        -   key: instruments
+            pipeline:
+            -   vertex: instrument
+        -   key: issuers
+            pipeline:
+            -   vertex: issuer
+        -   source: instrument
+            target: issuer
+            source_match: by_isin
+            target_match: by_lei
+""", [
+    {"instruments": [{"isin": "US001"}, {"isin": "US002"}, {"isin": "US003"}],
+     "issuers": [{"lei": "L1"}]},
+])
+
+# source on the primary identity, target on a secondary one — each endpoint
+# projects exactly its selected fields
+case("secondary_asymmetric_projection", SCHEMA_SEC + """
+ingestion_model:
+    resources:
+    -   name: r
+        pipeline:
+        -   key: instruments
+            pipeline:
+            -   vertex: instrument
+        -   key: issuers
+            pipeline:
+            -   vertex: issuer
+        -   source: instrument
+            target: issuer
+            target_match: by_lei
+""", [
+    {"instruments": [{"sid": "S1", "isin": "US001"}],
+     "issuers": [{"lei": "L1"}]},
+])
+
+# an endpoint carrying NONE of the selected fields cannot be located — the
+# edge is dropped, not emitted with an empty projection
+case("secondary_missing_fields_dropped", SCHEMA_SEC + """
+ingestion_model:
+    resources:
+    -   name: r
+        pipeline:
+        -   key: instruments
+            pipeline:
+            -   vertex: instrument
+        -   key: issuers
+            pipeline:
+            -   vertex: issuer
+        -   source: instrument
+            target: issuer
+            source_match: by_isin
+            target_match: by_lei
+""", [
+    {"instruments": [{"sid": "S1"}],
+     "issuers": [{"lei": "L1"}]},
+])
+
+# mixed population: docs carrying the secondary field pair up, the one
+# without it drops out of the edge but keeps its primary-keyed vertex
+case("secondary_mixed_population", SCHEMA_SEC + """
+ingestion_model:
+    resources:
+    -   name: r
+        pipeline:
+        -   key: instruments
+            pipeline:
+            -   vertex: instrument
+        -   key: issuers
+            pipeline:
+            -   vertex: issuer
+        -   source: instrument
+            target: issuer
+            source_match: by_isin
+            target_match: by_lei
+""", [
+    {"instruments": [{"sid": "S1", "isin": "US001"}, {"sid": "S2"}],
+     "issuers": [{"iid": "I1", "lei": "L1"}]},
+])
+
+
 def main():
     from graflo.architecture.graph_types.merge import merge_doc_basis
     out = []
