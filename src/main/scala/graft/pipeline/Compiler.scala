@@ -210,7 +210,17 @@ object PipelineCompiler {
         // renames run through the reference's TransformActor, so renamed
         // fields count as transform-fed for schema-filter gating
         ctx.transformedCols ++= r.renames.values
-        cur = r.renames.foldLeft(cur) { case (d, (a, b)) => d.withColumnRenamed(a, b) }
+        cur = r.renames.foldLeft(cur) { case (d, (a, b)) =>
+          // a rename onto an EXISTING column replaces it — the reference
+          // merges the transform buffer OVER the raw doc, so the buffer
+          // value wins (vertex_router reads `type` post-override;
+          // test_vertex_router_transform_buffer.py). Keep the old column
+          // only when the source is absent (tolerated no-op rename).
+          val replaced =
+            if (a != b && d.columns.contains(a) && d.columns.contains(b)) d.drop(b)
+            else d
+          replaced.withColumnRenamed(a, b)
+        }
         ctx.locFrames(loc) = cur
       case k: RenameKeysStep   =>
         val nameFn: String => String = k.fn match {

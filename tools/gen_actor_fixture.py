@@ -1797,6 +1797,61 @@ ingestion_model:
 ])
 
 
+# ---- router × transform buffer (test_vertex_router_transform_buffer.py) ---
+# the router's type_field and from-map keys read the same-location
+# TRANSFORM BUFFER merged over the raw doc, and the buffer value WINS on
+# conflict
+
+# the routing field exists only as a transform output, not in the doc
+case("router_type_from_transform_buffer", SCHEMA_ROUTER + """
+ingestion_model:
+    resources:
+    -   name: r
+        pipeline:
+        -   transform:
+                rename:
+                    raw_kind: type
+        -   vertex_router:
+                type_field: type
+""", [
+    {"raw_kind": "person", "id": "P1", "full_name": "Ann"},
+    {"raw_kind": "vehicle", "id": "V1", "model": "T800"},
+])
+
+# the doc carries a CONFLICTING routing value; the transform buffer wins
+case("router_transform_overrides_doc_type", SCHEMA_ROUTER + """
+ingestion_model:
+    resources:
+    -   name: r
+        pipeline:
+        -   transform:
+                rename:
+                    corrected: type
+        -   vertex_router:
+                type_field: type
+""", [
+    {"type": "person", "corrected": "vehicle", "id": "V9", "model": "T1000"},
+])
+
+# from-map keys read transform-buffer values too
+case("router_from_reads_transform_buffer", SCHEMA_ROUTER + """
+ingestion_model:
+    resources:
+    -   name: r
+        pipeline:
+        -   transform:
+                rename:
+                    ext: external_id
+        -   vertex_router:
+                type_field: type
+                vertex_from_map:
+                    person:
+                        id: external_id
+""", [
+    {"type": "person", "ext": "ext-99", "full_name": "Zed"},
+])
+
+
 # ---- secondary-identity endpoint selection (source_match/target_match) ----
 # (test/architecture/test_secondary_identity_assembly.py): edges may match
 # endpoints on a SECONDARY identity; the per-edge merge must key on the
