@@ -97,6 +97,69 @@ object GraftQueriesR7 {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // §2.13 manifest projection (ProjectManifestOp / select_induced):
+    // slice a manifest to a vertex/edge subgraph — endpoint-closed edges,
+    // induced prune of isolated requested vertices, pipeline cascade — then
+    // RUN the projected pipeline; the dropped segment vertex/edge must not
+    // appear even though the original pipeline declared them
+    "q_project_manifest" -> { (s, d) =>
+      import graft.model.EdgeKey
+      val m = graft.manifest.ManifestLoader.fromYamlString(
+        """schema:
+          |    metadata:
+          |        name: proj
+          |    graph:
+          |        vertex_config:
+          |            vertices:
+          |            -   name: customer
+          |                properties: [c_name]
+          |                identity: [c_custkey]
+          |            -   name: nation
+          |                properties: []
+          |                identity: [n_id]
+          |            -   name: segment
+          |                properties: []
+          |                identity: [seg]
+          |        edge_config:
+          |            edges:
+          |            -   source: customer
+          |                target: nation
+          |                relation: in_nation
+          |            -   source: customer
+          |                target: segment
+          |                relation: in_segment
+          |ingestion_model:
+          |    resources:
+          |    -   name: customer
+          |        pipeline:
+          |        -   vertex: customer
+          |        -   vertex: nation
+          |            from:
+          |                n_id: c_nationkey
+          |            mapped_only: true
+          |        -   vertex: segment
+          |            from:
+          |                seg: c_mktsegment
+          |            mapped_only: true
+          |        -   source: customer
+          |            target: nation
+          |        -   source: customer
+          |            target: segment
+          |""".stripMargin)
+      val p = graft.evolve.Project.projectManifest(m,
+        keepVertices = Some(Seq("customer", "nation")))
+      val g = graft.pipeline.PipelineCompiler.compile(p.schema,
+        p.resource("customer"), t(s, d)("customer"))
+      val vRows = p.schema.vertices.map(v =>
+        g.vertex(v.name).agg(countDistinct(col(v.idColumns.head)).as("cnt"))
+          .withColumn("coll", lit(v.name)))
+      val eRows = p.schema.edges.map(e =>
+        g.edge(EdgeKey(e.source, e.target, e.relation))
+          .agg(count(lit(1)).as("cnt")).withColumn("coll", lit(e.relation)))
+      (vRows ++ eRows).reduce(_.unionByName(_))
+        .select(col("coll"), col("cnt")).orderBy("coll")
+    },
+
     // extension: spectral audio fingerprint — 64-sample windows, integer
     // Walsh–Hadamard transform (exact; Hadamard signs = popcount parity,
     // so SQL replays it via bit_count), peak band per window, 4-gram
@@ -247,6 +310,16 @@ object GraftQueriesR7 {
         |  CAST(max(pred) AS BIGINT) AS max_pcm
         |FROM r WHERE b * 33 + j < 97
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the projected manifest keeps customer/nation/in_nation only; segment
+    // and in_segment are gone, so the replay is plain counts over customer
+    "q_project_manifest" ->
+      """SELECT 'customer' AS coll, COUNT(DISTINCT c_custkey) AS cnt FROM customer
+        |UNION ALL
+        |SELECT 'in_nation', COUNT(DISTINCT (c_custkey, c_nationkey)) FROM customer
+        |UNION ALL
+        |SELECT 'nation', COUNT(DISTINCT c_nationkey) FROM customer
+        |ORDER BY coll""".stripMargin,
 
     // full integer replay of the fingerprint pipeline: closed-form PCM,
     // WHT via bit_count parity signs, band energies, peak argmax
