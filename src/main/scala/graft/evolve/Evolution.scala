@@ -128,6 +128,50 @@ object EvolutionOp {
       s.edges.map(e =>
         if (e.key == key) e.copy(source = newSource, target = newTarget) else e)))
   }
+  /** rename relation NAMES across every dyad (reference RenameRelationsOp,
+    * ops.py:375-393) — injective map; a rename landing on an existing key
+    * merges via [[mergeEdgePair]].
+    */
+  final case class RenameRelations(relations: Map[String, String]) extends EvolutionOp {
+    require(relations.nonEmpty, "rename_relations requires a non-empty map")
+    require(relations.values.toSeq.distinct.size == relations.size,
+      "rename_relations map must be injective (use MergeEdges to collapse)")
+    def apply(s: GraphSchema) = s.copy(edges = mergeDuplicateEdges(
+      s.edges.map(e =>
+        relations.get(e.relation).map(r => e.copy(relation = r)).getOrElse(e))))
+  }
+
+  /** merge source relation names into one canonical relation (reference
+    * MergeEdgesOp, ops.py:429-443 + apply.py:1145-1170): deliberately
+    * non-injective; collapsed defs union via [[mergeEdgePair]].
+    */
+  final case class MergeEdges(sources: Seq[String], into: String) extends EvolutionOp {
+    require(sources.nonEmpty, "merge_edges requires at least one source")
+    require(!sources.contains(into), "merge_edges: `sources` must not include `into`")
+    def apply(s: GraphSchema) = s.copy(edges = mergeDuplicateEdges(
+      s.edges.map(e =>
+        if (sources.contains(e.relation)) e.copy(relation = into) else e)))
+  }
+
+  /** replace an edge's uniqueness key (reference ReplaceEdgeIdentitiesOp,
+    * ops.py:330-354) — the edge-side ReplaceIdentity; no retire policy
+    * (edge identities have no lookup plane). Non-endpoint tokens merge
+    * into properties like authored identities (edge.py finish_init).
+    */
+  final case class ReplaceEdgeIdentities(key: EdgeKey, identities: Seq[String]) extends EvolutionOp {
+    require(identities.nonEmpty, "replace_edge_identities requires a non-empty key")
+    def apply(s: GraphSchema) = s.copy(edges = s.edges.map { e =>
+      if (e.key != key) e
+      else {
+        val declared = e.properties.map(_.name).toSet
+        val extra = identities.filterNot(t =>
+          t == "source" || t == "target" || declared(t))
+        e.copy(identities = identities,
+          properties = e.properties ++ extra.map(FieldDef(_)))
+      }
+    })
+  }
+
   /** add the inverse edge (ops.py inverse_edge) */
   final case class InverseEdge(key: EdgeKey, relation: String) extends EvolutionOp {
     def apply(s: GraphSchema) = s.edgeByKey.get(key) match {
@@ -259,11 +303,12 @@ object Risk {
     case _: AddVertex | _: AddProperty | _: AddEdge | _: InverseEdge
        | _: AddEdgeProperty => Low
     case _: AddSecondaryIdentity | _: RemoveSecondaryIdentity
-       | _: RenameRelation | _: RenameVertex | _: RenameProperty
-       | _: RenameEdgeProperty | _: SetEdgeDirected => Medium
+       | _: RenameRelation | _: RenameRelations | _: RenameVertex
+       | _: RenameProperty | _: RenameEdgeProperty | _: SetEdgeDirected => Medium
     case _: RemoveProperty | _: RemoveVertex | _: RemoveEdge
-       | _: SetFieldType | _: RetargetEdge | _: RemoveEdgeProperty => High
-    case _: ReplaceIdentity | _: MergeVertices => Critical
+       | _: SetFieldType | _: RetargetEdge | _: RemoveEdgeProperty
+       | _: MergeEdges => High
+    case _: ReplaceIdentity | _: ReplaceEdgeIdentities | _: MergeVertices => Critical
   }
 
   /** Per-op risk report (migrate/diff.py:86-91 `risk_assessment`). */

@@ -129,4 +129,27 @@ object Project {
     m.copy(schema = schema2, resources = kept,
       bindings = m.bindings.filter((b: ResourceBinding) => keptNames(b.resource)))
   }
+
+  /** Rename ingestion resources and their binding references (reference
+    * RenameResourcesOp, ops.py:394-417) — injective map, unknown names
+    * raise, and the result must not collide with surviving names.
+    */
+  def renameResources(m: GraphManifest,
+      renames: Map[String, String]): GraphManifest = {
+    require(renames.nonEmpty, "rename_resources requires a non-empty map")
+    require(renames.values.toSeq.distinct.size == renames.size,
+      "rename_resources map must be injective (compose with explicit renames to collapse)")
+    val known = m.resources.map(_.name).toSet
+    val unknown = renames.keys.filterNot(known)
+    require(unknown.isEmpty, s"Unknown resources: ${unknown.mkString(", ")}")
+    val out = m.copy(
+      resources = m.resources.map(r =>
+        renames.get(r.name).map(n => r.copy(name = n)).getOrElse(r)),
+      bindings = m.bindings.map(b =>
+        renames.get(b.resource).map(n => b.copy(resource = n)).getOrElse(b)))
+    val names = out.resources.map(_.name)
+    require(names.distinct.size == names.size,
+      s"rename_resources would duplicate resource names: ${names.diff(names.distinct).mkString(", ")}")
+    out
+  }
 }

@@ -201,6 +201,14 @@ object RevisionStore {
         o.put("op", "merge_vertices"); strArr(o, "sources", srcs)
         o.put("into", into); o.put("allow_self_relations", allow)
         o.put("allow_row_fusion", allowFusion)
+      case RenameRelations(m) =>
+        o.put("op", "rename_relations")
+        val mo = o.putObject("relations"); m.foreach { case (k, v) => mo.put(k, v) }
+      case MergeEdges(srcs, into) =>
+        o.put("op", "merge_edges"); strArr(o, "sources", srcs); o.put("into", into)
+      case ReplaceEdgeIdentities(k, ids) =>
+        o.put("op", "replace_edge_identities"); keyToJson(o, k)
+        strArr(o, "identities", ids)
     }
     o
   }
@@ -240,6 +248,12 @@ object RevisionStore {
     case "merge_vertices" => MergeVertices(strs(n, "sources"),
       n.path("into").asText(), n.path("allow_self_relations").asBoolean(false),
       n.path("allow_row_fusion").asBoolean(false))
+    case "rename_relations" =>
+      val mo = n.path("relations")
+      RenameRelations(mo.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+    case "merge_edges" => MergeEdges(strs(n, "sources"), n.path("into").asText())
+    case "replace_edge_identities" =>
+      ReplaceEdgeIdentities(keyFromJson(n), strs(n, "identities"))
     case other => throw new IllegalArgumentException(s"unknown op kind: $other")
   }
 
