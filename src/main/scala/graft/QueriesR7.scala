@@ -97,6 +97,55 @@ object GraftQueriesR7 {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // §2.3 assigned identity mode (identity_uuid.py keep-present /
+    // mint-when-empty): even custkeys arrive with a closed-form UUID that
+    // must survive untouched; odd custkeys arrive empty and mint — minted
+    // values are engine-deterministic but not SQL-replicable, so the
+    // oracle checks the KEPT flag and UUID validity per row
+    "q_assigned_identity" -> { (s, d) =>
+      val m = graft.manifest.ManifestLoader.fromYamlString(
+        """schema:
+          |    metadata:
+          |        name: t
+          |    graph:
+          |        vertex_config:
+          |            vertices:
+          |            -   name: session
+          |                properties: [sid, user]
+          |                identity: [sid]
+          |                assigned: true
+          |        edge_config:
+          |            edges: []
+          |ingestion_model:
+          |    resources:
+          |    -   name: r
+          |        pipeline:
+          |        -   vertex: session
+          |""".stripMargin)
+      val mhex = md5(col("c_custkey").cast("string"))
+      val presentUuid = concat_ws("-",
+        substring(mhex, 1, 8), substring(mhex, 9, 4), substring(mhex, 13, 4),
+        substring(mhex, 17, 4), substring(mhex, 21, 12))
+      val base = t(s, d)("customer").where(col("c_custkey") <= 1000)
+      val rows = base.select(
+        when(col("c_custkey") % 2 === 0, presentUuid).otherwise(lit(null))
+          .as("sid"),
+        col("c_name").as("user"))
+      val g = graft.pipeline.PipelineCompiler.compile(m.schema,
+        m.resource("r"), rows)
+      // the vertex frame carries only declared properties — join the
+      // expected closed-form UUID back by the unique user name
+      val expect = base.select(col("c_name").as("user"),
+        presentUuid.as("_expect"))
+      g.vertex("session").join(broadcast(expect), Seq("user"))
+        .select(col("user"),
+          (col("sid") === col("_expect")).as("kept"),
+          col("sid").rlike(
+            "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")
+            .as("valid"))
+        .orderBy("user")
+    },
+
     // §2.13 manifest projection (ProjectManifestOp / select_induced):
     // slice a manifest to a vertex/edge subgraph — endpoint-closed edges,
     // induced prune of isolated requested vertices, pipeline cascade — then
@@ -310,6 +359,14 @@ object GraftQueriesR7 {
         |  CAST(max(pred) AS BIGINT) AS max_pcm
         |FROM r WHERE b * 33 + j < 97
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // kept = the present (even-key) closed-form UUID survived untouched;
+    // odd keys minted an engine-deterministic UUID the oracle checks only
+    // for validity
+    "q_assigned_identity" ->
+      """SELECT c_name AS user, (c_custkey % 2 = 0) AS kept, true AS valid
+        |FROM customer WHERE c_custkey <= 1000
+        |ORDER BY user""".stripMargin,
 
     // the projected manifest keeps customer/nation/in_nation only; segment
     // and in_segment are gone, so the replay is plain counts over customer

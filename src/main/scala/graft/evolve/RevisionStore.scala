@@ -69,7 +69,7 @@ object RevisionStore {
         arr.add(bo)
       }
     case Identity.Blank    => o.put("kind", "blank"): Unit
-    case Identity.Assigned => o.put("kind", "assigned"): Unit
+    case Identity.Assigned(f) => o.put("kind", "assigned"); o.put("field", f): Unit
   }
 
   private def identityFromJson(n: JsonNode): Identity = n.path("kind").asText() match {
@@ -81,7 +81,8 @@ object RevisionStore {
         strs(b, "digest_fields"))).toSeq,
       n.path("mark_branch").asBoolean(false))
     case "blank"    => Identity.Blank
-    case "assigned" => Identity.Assigned
+    case "assigned" => Identity.Assigned(
+      Option(n.get("field")).map(_.asText()).getOrElse("id"))
     case other => throw new IllegalArgumentException(s"bad identity kind: $other")
   }
 

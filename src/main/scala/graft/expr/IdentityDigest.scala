@@ -69,7 +69,7 @@ object IdentityDigest {
     case Identity.Natural(_)     => None
     case Identity.Hash(fs)       => Some(hashDigest(fs))
     case Identity.Funnel(bs, mk) => Some(funnelDigest(bs, mk))
-    case Identity.Blank | Identity.Assigned =>
+    case Identity.Blank | Identity.Assigned(_) =>
       // NOT uuid(): uuid() re-evaluates per action, so a caller that writes
       // the frame and then joins against it would see two disjoint id sets.
       // A digest over a stable row ordinal is deterministic per evaluation;
@@ -79,11 +79,25 @@ object IdentityDigest {
         monotonically_increasing_id().cast("string")), 256))
   }
 
-  /** Append the synthetic `_id` column if the vertex needs one. */
+  /** Append the identity column if the vertex needs one (assigned mode
+    * fills its REAL field, keeping present values — identity_uuid.py:38-50;
+    * here at the rewrite plane the mint is the ordinal digest in UUID
+    * shape).
+    */
   def withIdentity(v: VertexDef)(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    idColumn(v) match {
-      case Some(c) => df.withColumn(GraphSchema.SyntheticId, c)
-      case None    => df
+    (v.identity, idColumn(v)) match {
+      case (Identity.Assigned(field), Some(c)) =>
+        val minted = concat_ws("-",
+          substring(c, 1, 8), substring(c, 9, 4),
+          concat(lit("4"), substring(c, 14, 3)),
+          concat(lit("8"), substring(c, 18, 3)),
+          substring(c, 21, 12))
+        val present = if (df.columns.contains(field))
+          col(field).cast("string") else lit(null).cast("string")
+        df.withColumn(field,
+          when(present.isNull || present === "", minted).otherwise(present))
+      case (_, Some(c)) => df.withColumn(GraphSchema.SyntheticId, c)
+      case _            => df
     }
 
   /** Drop rows whose identity is entirely missing, mirroring

@@ -135,6 +135,11 @@ object ManifestLoader {
     val idFields = strings(v.path("identity"))
     val identity =
       if (v.path("blank").asBoolean(false)) Identity.Blank
+      // assigned: true (vertex.py:498, identity_uuid.py): UUID PK in a real
+      // field — identity_fields[0] or "id" — kept when present, minted when
+      // empty
+      else if (v.path("assigned").asBoolean(false))
+        Identity.Assigned(idFields.headOption.getOrElse("id"))
       else if (v.has("identity_hash")) Identity.Hash(strings(v.path("identity_hash")))
       else if (idFields.nonEmpty) Identity.Natural(idFields)
       // identity_from_all_properties fallback (reference vertex.py:822-828):

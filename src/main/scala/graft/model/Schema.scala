@@ -66,8 +66,13 @@ object Identity {
       extends Identity
   /** No natural identity; UUID minted at write. Reference db_writer.py:240-256. */
   case object Blank extends Identity
-  /** Intentional uuid4 PK minted at assemble time. Reference db_writer.py:257-276. */
-  case object Assigned extends Identity
+  /** Intentional UUID primary key in a REAL doc field (reference
+    * `assigned: true`, identity_uuid.py:38-84): a present value is KEPT
+    * (validated as a UUID — overwriting it would rekey data the caller
+    * already holds references to); only empty values mint. `field` is the
+    * declared identity field (reference `identity_fields[0] or "id"`).
+    */
+  final case class Assigned(field: String = "id") extends Identity
 }
 
 /** Alternate lookup-only field set ("match on ISIN instead of the PK").
@@ -122,8 +127,9 @@ final case class VertexDef(
     val merged = mergedDeclared
     val declared = merged.map(_.name).toSet
     val idFields = identity match {
-      case Identity.Natural(fs) => fs
-      case Identity.Hash(fs)    => fs
+      case Identity.Natural(fs)  => fs
+      case Identity.Hash(fs)     => fs
+      case Identity.Assigned(f)  => Seq(f)
       case Identity.Funnel(bs, _) =>
         bs.flatMap(b => b.whenAllPresent ++ b.digestFields).distinct
       case _ => Nil
@@ -131,10 +137,14 @@ final case class VertexDef(
     merged ++ idFields.filterNot(declared).map(FieldDef(_))
   }
 
-  /** Columns that form the merge/upsert key on the vertex DataFrame. */
+  /** Columns that form the merge/upsert key on the vertex DataFrame.
+    * Assigned keys on its REAL field (the minted/kept UUID lives in the
+    * doc, reference db_writer.py:257-276), not on the engine-synthetic id.
+    */
   def idColumns: Seq[String] = identity match {
-    case Identity.Natural(fs) => fs
-    case _                    => Seq(GraphSchema.SyntheticId)
+    case Identity.Natural(fs)    => fs
+    case Identity.Assigned(f)    => Seq(f)
+    case _                       => Seq(GraphSchema.SyntheticId)
   }
 
   def secondaryByName(n: String): SecondaryIdentity =

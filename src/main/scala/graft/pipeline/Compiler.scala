@@ -646,17 +646,45 @@ object PipelineCompiler {
       case Identity.Natural(_) => df
       case Identity.Hash(_) | Identity.Funnel(_, _) =>
         IdentityDigest.withIdentity(vdef)(df)
-      case Identity.Blank | Identity.Assigned =>
-        // digest includes the actor seq (two same-vertex steps at one
-        // location are distinct observations) and the resource/batch salt
-        // (_row_id restarts per compile); separator \u0001 keeps fields
-        // from gluing ambiguously
-        df.withColumn(SyntheticId,
-          sha2(concat_ws("\u0001",
-            lit(salt), lit(vdef.name), lit(role.getOrElse("")), lit(seq.toString),
-            col(RowIdCol).cast("string"),
-            concat_ws(".", col(PosCol).cast("array<string>"))), 256))
+      case Identity.Blank =>
+        df.withColumn(SyntheticId, mintDigest(vdef, role, seq, salt))
+      case Identity.Assigned(field) =>
+        // assigned mode (reference identity_uuid.py:38-50): a PRESENT value
+        // is kept -- overwriting would rekey data the caller already holds
+        // references to -- but must BE a UUID (fail-fast like the
+        // reference's ValueError); only empty (null/"") values mint. The
+        // mint is the deterministic blank digest folded into UUID shape
+        // (version-4/variant bits), so re-runs are replayable while the
+        // value satisfies the reference's UUID contract.
+        val digest = mintDigest(vdef, role, seq, salt)
+        val minted = concat_ws("-",
+          substring(digest, 1, 8), substring(digest, 9, 4),
+          concat(lit("4"), substring(digest, 14, 3)),
+          concat(lit("8"), substring(digest, 18, 3)),
+          substring(digest, 21, 12))
+        val present = if (df.columns.contains(field))
+          col(field).cast("string") else lit(null).cast("string")
+        val uuidRe = "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+          "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+        df.withColumn(field,
+          when(present.isNull || present === "", minted)
+            .when(present.rlike(uuidRe), present)
+            .otherwise(raise_error(concat(
+              lit(s"assigned identity field '$field': invalid UUID value "),
+              present))))
     }
+
+  /** Deterministic blank/assigned mint digest: actor seq (two same-vertex
+    * steps at one location are distinct observations) + resource/batch salt
+    * (_row_id restarts per compile); separator \u0001 keeps fields from
+    * gluing ambiguously.
+    */
+  private def mintDigest(vdef: VertexDef, role: Option[String], seq: Int,
+      salt: String): Column =
+    sha2(concat_ws("\u0001",
+      lit(salt), lit(vdef.name), lit(role.getOrElse("")), lit(seq.toString),
+      col(RowIdCol).cast("string"),
+      concat_ws(".", col(PosCol).cast("array<string>"))), 256)
 
   // --------------------------------------------------------------- finish
 
