@@ -50,6 +50,7 @@ object EvolutionOp {
         case Identity.Funnel(bs, mk) => Identity.Funnel(bs.map(b =>
           b.copy(whenAllPresent = b.whenAllPresent.map(ren),
             digestFields = b.digestFields.map(ren))), mk)
+        case Identity.Assigned(f) => Identity.Assigned(ren(f))
         case other                => other
       },
       secondary = v.secondary.map(sec => sec.copy(fields = sec.fields.map(ren)))))

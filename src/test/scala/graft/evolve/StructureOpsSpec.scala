@@ -86,6 +86,13 @@ class StructureOpsSpec extends SparkSpec {
       Project.renameResources(m, Map("old" -> "x", "other" -> "x")))
   }
 
+  test("assigned identity field follows a property rename") {
+    val s = GraphSchema(Seq(VertexDef("sess", Seq(FieldDef("sid")),
+      Identity.Assigned("sid"))), Nil)
+    val out = Evolution(s, Seq(RenameProperty("sess", "sid", "session_id")))
+    assert(out.vertexByName("sess").identity == Identity.Assigned("session_id"))
+  }
+
   test("risk classification covers the new ops") {
     assert(Risk.classify(RenameRelations(Map("a" -> "b"))) == Risk.Medium)
     assert(Risk.classify(MergeEdges(Seq("a"), "b")) == Risk.High)
