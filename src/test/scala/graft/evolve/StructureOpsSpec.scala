@@ -99,4 +99,38 @@ class StructureOpsSpec extends SparkSpec {
     assert(Risk.classify(ReplaceEdgeIdentities(
       EdgeKey("a", "b", "r"), Seq("source", "target"))) == Risk.Critical)
   }
+
+  test("planner orders ops deterministically: vertices, edges, fields") {
+    val plan = Planner.build(Seq(
+      AddEdgeProperty(EdgeKey("a", "b", "r"), FieldDef("w")),
+      AddVertex(vtx("person")),
+      AddEdge(EdgeDef("person", "company", "works_at"))))
+    assert(plan.operations.map(_.getClass.getSimpleName) ==
+      Seq("AddVertex", "AddEdge", "AddEdgeProperty"))
+    assert(plan.blocked.isEmpty && plan.warnings.isEmpty)
+  }
+
+  test("planner blocks high-risk by default, reports them, allows on flag") {
+    val ops = Seq(
+      RemoveVertex("old"),
+      AddVertex(vtx("fresh")),
+      MergeVertices(Seq("x"), "y"))
+    val gated = Planner.build(ops)
+    assert(gated.operations.map(_.getClass.getSimpleName) == Seq("AddVertex"))
+    assert(gated.blocked.map(_._2).toSet == Set(Risk.High, Risk.Critical))
+    assert(gated.warnings.exists(_.contains("blocked by default")))
+    val open = Planner.build(ops, allowHighRisk = true)
+    assert(open.operations.size == 3 && open.blocked.isEmpty)
+    // removes run AFTER adds even when allowed
+    assert(open.operations.map(_.getClass.getSimpleName) ==
+      Seq("AddVertex", "RemoveVertex", "MergeVertices"))
+  }
+
+  test("intra-rank order is alphabetical by target (deterministic re-runs)") {
+    val plan = Planner.build(Seq(
+      AddVertex(vtx("zebra")), AddVertex(vtx("ant"))),
+      allowHighRisk = true)
+    assert(plan.operations.collect { case AddVertex(v) => v.name } ==
+      Seq("ant", "zebra"))
+  }
 }
