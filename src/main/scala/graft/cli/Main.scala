@@ -78,6 +78,28 @@ object Main {
       val s = new GraphStore(src, TpchGraph.schema, spark)
       val d = new GraphStore(dst, TpchGraph.schema, spark)
       GraphMigration.migrate(s, d).toSeq.sorted.foreach { case (k, n) => println(s"$k: $n") }
+    // migrate_schema plan (reference cli/migrate_schema.py:41-106): diff two
+    // manifest YAMLs, order ops by structural dependency, gate risk
+    case "plan-migration" :: fromPath :: toPath :: rest =>
+      val allowHighRisk = rest.contains("--allow-high-risk")
+      val from = graft.manifest.ManifestLoader.load(fromPath).schema
+      val to = graft.manifest.ManifestLoader.load(toPath).schema
+      val plan = graft.evolve.Planner.build(
+        graft.evolve.Evolution.diff(from, to), allowHighRisk)
+      println("Migration Plan")
+      println("================")
+      println(s"Operations: ${plan.operations.size}")
+      println(s"Blocked: ${plan.blocked.size}")
+      if (plan.operations.nonEmpty) {
+        println("\nRunnable operations:")
+        plan.operations.foreach(op =>
+          println(s"- $op [${graft.evolve.Risk.classify(op)}]"))
+      }
+      if (plan.blocked.nonEmpty) {
+        println("\nBlocked operations:")
+        plan.blocked.foreach { case (op, r) => println(s"- $op [$r]") }
+      }
+      plan.warnings.foreach(w => println(s"\nWarnings:\n- $w"))
     case "export-gf" :: storeDir :: outDir :: Nil =>
       // GraphFrames-shaped interchange export: one vertices + one edges
       // parquet in the de-facto public Spark graph schema
@@ -308,7 +330,7 @@ object Main {
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println(
-        "usage: ingest-manifest|ingest|node|agg|bfs|migrate|curate|tokenize|analyze|drift|fairness ...")
+        "usage: ingest-manifest|ingest|node|agg|bfs|migrate|plan-migration|curate|tokenize|analyze|drift|fairness ...")
       sys.exit(2)
   }
 
