@@ -587,6 +587,27 @@ object PipelineCompiler {
       if (t.isDefined && proj.columns.contains(p.name))
         proj = proj.withColumn(p.name, col(p.name).cast(t.get.sparkDdl))
     }
+    // UUID-typed NATURAL identity fields validate present values — never
+    // invent (identity_uuid.py validate_uuid_typed_identity_fields:
+    // empty passes through, a present non-UUID fails fast)
+    vdef.identity match {
+      case graft.model.Identity.Natural(fs) =>
+        val typed = vdef.allProperties
+          .filter(p => p.ftype.contains(graft.model.FieldType.UuidT))
+          .map(_.name).toSet
+        fs.filter(f => typed(f) && proj.columns.contains(f)).foreach { f =>
+          val v0 = col(f).cast("string")
+          val uuidRe = "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+            "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+          proj = proj.withColumn(f,
+            when(v0.isNull || v0 === "", v0)
+              .when(v0.rlike(uuidRe), v0)
+              .otherwise(raise_error(concat(
+                lit(s"vertex '${vdef.name}' identity field '$f': invalid UUID value "),
+                v0))))
+        }
+      case _ => ()
+    }
     // step-level filters (programmatic API) always apply; SCHEMA-level
     // vertex filters only gate transform-fed observations — the reference
     // runs them over transformed buffer items only (vertex.py:57-65 via

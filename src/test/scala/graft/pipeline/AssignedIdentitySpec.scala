@@ -72,6 +72,46 @@ class AssignedIdentitySpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("invalid UUID value")), msgs(ex).mkString("|"))
   }
 
+  test("UUID-typed natural identity fields validate, never invent") {
+    val spark0 = spark
+    import spark0.implicits._
+    val m2 = graft.manifest.ManifestLoader.fromYamlString(
+      """schema:
+        |    metadata:
+        |        name: t
+        |    graph:
+        |        vertex_config:
+        |            vertices:
+        |            -   name: device
+        |                properties:
+        |                -   name: did
+        |                    type: uuid
+        |                -   owner
+        |                identity: [did]
+        |        edge_config:
+        |            edges: []
+        |ingestion_model:
+        |    resources:
+        |    -   name: r
+        |        pipeline:
+        |        -   vertex: device
+        |""".stripMargin)
+    val good = "123e4567-e89b-12d3-a456-426614174000"
+    val ok = Seq((good, "ann"), (null.asInstanceOf[String], "bob"))
+      .toDF("did", "owner")
+    val g = PipelineCompiler.compile(m2.schema, m2.resource("r"), ok)
+    val got = g.vertex("device").select("did", "owner").collect()
+      .map(r => r.getString(1) -> Option(r.getString(0))).toMap
+    assert(got("ann").contains(good))
+    assert(got.get("bob").forall(_.isEmpty)) // empty passes through or drops unkeyed
+    val bad = Seq(("oops", "cyd")).toDF("did", "owner")
+    val g2 = PipelineCompiler.compile(m2.schema, m2.resource("r"), bad)
+    val ex = intercept[Exception](g2.vertex("device").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("invalid UUID value")))
+  }
+
   test("a missing assigned field mints for every row") {
     val spark0 = spark
     import spark0.implicits._
