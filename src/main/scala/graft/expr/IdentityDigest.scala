@@ -110,10 +110,15 @@ object IdentityDigest {
         // identity fields the frame never produced are absent from every
         // doc (the reference keys on the PRESENT subset — ticker.yaml
         // declares (cusip, cname, oftic) over data carrying only oftic);
-        // a frame with NO identity field at all has only unkeyed docs
+        // a frame with NO identity field at all has only unkeyed docs.
+        // "present" means non-null AND non-empty-string — the reference's
+        // blank-identity prune drops a doc whose identity value is ""
+        // (executed parity case edge_blank_string_identity)
         val present = fs.filter(df.columns.contains)
         if (present.isEmpty) df.where(lit(false))
-        else df.where(present.map(col(_).isNotNull).reduceLeft(_ || _))
+        else df.where(present
+          .map(f => col(f).isNotNull && col(f).cast("string") =!= "")
+          .reduceLeft(_ || _))
       case Identity.Hash(_) | Identity.Funnel(_, _) =>
         df.where(col(GraphSchema.SyntheticId).isNotNull)
       case _ => df // blank/assigned always mint

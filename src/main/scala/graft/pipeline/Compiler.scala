@@ -805,12 +805,16 @@ object PipelineCompiler {
         else idColsOf(vdefS).map("src_" + _) ++ idColsOf(vdefT).map("dst_" + _) ++
           edef.identities.filterNot(t => t == "source" || t == "target")
         ).filter(df.columns.contains)
-      // drop edges with an entirely-null endpoint (e.g. funnel identity with
-      // no matching branch — mirrors _drop_unkeyed_docs on the edge side)
+      // drop edges with an entirely-blank endpoint (e.g. funnel identity
+      // with no matching branch — mirrors _drop_unkeyed_docs on the edge
+      // side); like the vertex prune, "" counts as absent (executed parity
+      // case edge_blank_string_identity: a blank-id source emits no edge)
       val srcCols = df.columns.filter(_.startsWith("src_"))
       val dstCols = df.columns.filter(_.startsWith("dst_"))
-      val nonNull = (srcCols.map(col(_).isNotNull).reduceLeft(_ || _)) &&
-        (dstCols.map(col(_).isNotNull).reduceLeft(_ || _))
+      def presentCol(c: String) =
+        col(c).isNotNull && col(c).cast("string") =!= ""
+      val nonNull = (srcCols.map(presentCol).reduceLeft(_ || _)) &&
+        (dstCols.map(presentCol).reduceLeft(_ || _))
       val kept = df.where(nonNull)
       // empty identities = no uniqueness constraint: every observation is
       // an edge (reference db_writer.py:470 filter_uniques=False)

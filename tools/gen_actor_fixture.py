@@ -1797,6 +1797,63 @@ ingestion_model:
 ])
 
 
+# ---- edge-render identity corners (test_edge_render_grouping_router_identity)
+
+# heterogeneous endpoint types whose projected identity VALUES coincide
+# still render the edge (equality of values across different types is not
+# a self-edge)
+case("edge_hetero_equal_ids", """
+schema:
+    metadata:
+        name: t
+    graph:
+        vertex_config:
+            vertices:
+            -   name: a
+                properties: [id]
+                identity: [id]
+            -   name: b
+                properties: [id]
+                identity: [id]
+        edge_config:
+            edges:
+            -   source: a
+                target: b
+ingestion_model:
+    resources:
+    -   name: r
+        pipeline:
+        -   key: src
+            pipeline:
+            -   vertex: a
+        -   key: dst
+            pipeline:
+            -   vertex: b
+        -   source: a
+            target: b
+""", [
+    {"src": {"id": 42}, "dst": {"id": 42}},
+])
+
+# a blank-string identity on an endpoint suppresses its edges (assembly
+# prunes blank-id observations)
+case("edge_blank_string_identity", SCHEMA_PC + """
+ingestion_model:
+    resources:
+    -   name: r
+        pipeline:
+        -   vertex: person
+        -   key: homes
+            pipeline:
+            -   vertex: city
+        -   source: person
+            target: city
+""", [
+    {"pid": "", "pname": "ghost", "homes": [{"cid": "c1"}]},
+    {"pid": "p2", "pname": "real", "homes": [{"cid": "c2"}]},
+])
+
+
 # ---- router × transform buffer (test_vertex_router_transform_buffer.py) ---
 # the router's type_field and from-map keys read the same-location
 # TRANSFORM BUFFER merged over the raw doc, and the buffer value WINS on
