@@ -17,6 +17,11 @@ object GraftQueriesR7 {
   private def t(s: SparkSession, dir: String)(name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val all: Map[String, Q] = Map(
@@ -95,6 +100,41 @@ object GraftQueriesR7 {
           quality = 0.9f),
         "doc_id", w = 16, h = 12, minPsnrDb = 15.0)
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // §2.11 stream-stream INTERVAL join: two watermarked streams of the
+    // same event feed (even/odd split), per-user join within a 30-minute
+    // event-time bound, append-mode sink — with complete input the
+    // streaming answer equals the static interval join the oracle runs
+    "q_stream_join" -> { (s, d) =>
+      val root = GraftQueries.scratch(s, "sjoin", d)
+      deleteRecursively(new java.io.File(root))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val inDir = java.nio.file.Paths.get(s"$root/in")
+      java.nio.file.Files.createDirectories(inDir)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
+        inDir.resolve("events.parquet"))
+      val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+      def src() = graft.fixtures.TpchGraph.normalizeEventTs(
+        s.readStream.schema(batchSchema).parquet(inDir.toString))
+      val a = src().where(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("ts").as("a_ts"))
+        .withWatermark("a_ts", "365 days")
+      val b = src().where(col("event_id") % 2 === 1)
+        .select(col("user_id").as("user_id_b"), col("ts").as("b_ts"))
+        .withWatermark("b_ts", "365 days")
+      val joined = a.join(b,
+        col("user_id") === col("user_id_b") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTES"))
+      val q = joined.writeStream.format("parquet")
+        .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$root/out")
+        .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
     },
 
     // §2.3 assigned identity mode (identity_uuid.py keep-present /
@@ -359,6 +399,17 @@ object GraftQueriesR7 {
         |  CAST(max(pred) AS BIGINT) AS max_pcm
         |FROM r WHERE b * 33 + j < 97
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the static interval join the streaming answer converges to
+    "q_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, ts FROM events),
+        |a AS (SELECT user_id, ts AS a_ts FROM e WHERE event_id % 2 = 0),
+        |b AS (SELECT user_id, ts AS b_ts FROM e WHERE event_id % 2 = 1)
+        |SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |  AND b.b_ts >= a.a_ts
+        |  AND b.b_ts <= a.a_ts + INTERVAL 30 MINUTE
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
 
     // kept = the present (even-key) closed-form UUID survived untouched;
     // odd keys minted an engine-deterministic UUID the oracle checks only
