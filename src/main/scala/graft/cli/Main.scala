@@ -348,14 +348,18 @@ object Main {
       b.path match {
         case Some(p) =>
           val full = if (new java.io.File(p).isAbsolute) p else s"$dataDir/$p"
-          Seq(FileSource.read(spark, full, format = b.format))
+          // manifest-driven CSV reads stay STRING-typed like the
+          // reference's csv plane; declared property types cast later
+          Seq(FileSource.read(spark, full, format = b.format,
+            inferTypes = false))
         case None => b.regex.toSeq.flatMap { rx =>
           val dir = new java.io.File(b.subPath.map(sp => s"$dataDir/$sp").getOrElse(dataDir))
           val matches = Option(dir.listFiles).getOrElse(Array.empty)
             .filter(_.getName.matches(rx)).sortBy(_.getName)
           require(matches.nonEmpty,
             s"no file under $dir matches binding regex '$rx' for '$resource'")
-          matches.map(f => FileSource.read(spark, f.getPath, format = b.format)).toSeq
+          matches.map(f => FileSource.read(spark, f.getPath, format = b.format,
+            inferTypes = false)).toSeq
         }
       }
     }

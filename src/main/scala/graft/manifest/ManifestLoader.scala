@@ -103,7 +103,42 @@ object ManifestLoader {
           if (extra.isEmpty) ed else ed.copy(extraWeights = ed.extraWeights ++ extra.toSeq)
         })
       val bindings = parseBindings(root.path("bindings"))
-      GraphManifest(name, schema, resources, bindings)
+      // step-level secondary-identity endpoint selectors propagate to the
+      // schema edge so the STORE's write-time resolution sees them (the
+      // reference's registry_builder wires resource edge actors'
+      // source_match/target_match into the auto-join lookups,
+      // hq/registry_builder.py:325; hq/auto_join.py:42-97), along with
+      // the manifest-level endpoints_on_ambiguous policy
+      def edgeSteps(steps: Seq[graft.pipeline.Step]): Seq[graft.pipeline.EdgeStep] =
+        steps.flatMap {
+          case e: graft.pipeline.EdgeStep      => Seq(e)
+          case m: graft.pipeline.MultiEdgeStep => m.links
+          case d: graft.pipeline.Descend       => edgeSteps(d.steps)
+          case _                               => Nil
+        }
+      val policy = root.path("ingestion_model").path("endpoints_on_ambiguous")
+        .asText("") match {
+        case "first" => Some(AmbiguityPolicy.First)
+        case "skip"  => Some(AmbiguityPolicy.Skip)
+        case "error" => Some(AmbiguityPolicy.Error)
+        case "all"   => Some(AmbiguityPolicy.All)
+        case _       => None
+      }
+      val stepSel = resources.flatMap(r => edgeSteps(r.steps))
+        .filter(es => es.source.nonEmpty && es.target.nonEmpty &&
+          (es.sourceMatch.nonEmpty || es.targetMatch.nonEmpty))
+      val schemaSel =
+        if (stepSel.isEmpty && policy.isEmpty) schema
+        else schema.copy(edges = schema.edges.map { ed =>
+          val sel = stepSel.find(es => es.source == ed.source &&
+            es.target == ed.target &&
+            (es.relation.isEmpty || es.relation == ed.relation))
+          val patched = sel.map(es => ed.copy(
+            sourceMatch = ed.sourceMatch.orElse(es.sourceMatch),
+            targetMatch = ed.targetMatch.orElse(es.targetMatch))).getOrElse(ed)
+          policy.map(p => patched.copy(ambiguity = p)).getOrElse(patched)
+        })
+      GraphManifest(name, schemaSel, resources, bindings)
     }
 
   // ---------------------------------------------------------------- schema
@@ -140,6 +175,23 @@ object ManifestLoader {
       // empty
       else if (v.path("assigned").asBoolean(false))
         Identity.Assigned(idFields.headOption.getOrElse("id"))
+      // identity_funnel (identity_funnel.py): ordered fallback branches;
+      // a branch's condition defaults to its own fields; include_branch_id
+      // (default true) folds the branch name into the digest payload
+      else if (v.has("identity_funnel")) {
+        val f = v.path("identity_funnel")
+        val branches = f.path("branches").elements().asScala.map { b =>
+          val fields = strings(b.path("fields"))
+          val when =
+            if (b.has("when_all_present")) strings(b.path("when_all_present"))
+            else fields
+          FunnelBranch(b.path("id").asText(), when, fields)
+        }.toSeq
+        require(branches.nonEmpty, s"vertex $name: identity_funnel needs branches")
+        Identity.Funnel(branches,
+          markBranch = !f.has("include_branch_id") ||
+            f.path("include_branch_id").asBoolean(true))
+      }
       else if (v.has("identity_hash")) Identity.Hash(strings(v.path("identity_hash")))
       else if (idFields.nonEmpty) Identity.Natural(idFields)
       // identity_from_all_properties fallback (reference vertex.py:822-828):
@@ -168,7 +220,18 @@ object ManifestLoader {
     val source = e.path("source").asText()
     val target = e.path("target").asText()
     val relation = e.path("relation").asText("related")
-    val props = strings(e.path("properties")).map(FieldDef(_))
+    // properties accept the bare-string and the {name, type} dict forms
+    // (edge.py _normalize_direct_item; examples/16 declares
+    // {name: share, type: FLOAT})
+    val props = e.path("properties") match {
+      case n if n.isArray => n.elements().asScala.map {
+        case p if p.isTextual => FieldDef(p.asText())
+        case p => FieldDef(p.path("name").asText(),
+          Option(p.get("type")).filterNot(_.isNull)
+            .map(t => FieldType.fromName(t.asText())))
+      }.toSeq
+      case _ => Nil
+    }
     // identities may be a flat token list or a list of key-sets (kg.yaml);
     // the first set is the uniqueness key (reference edge.py:141-151)
     // ABSENT identities mean NO uniqueness constraint — the reference's
@@ -249,6 +312,10 @@ object ManifestLoader {
     // apply on the explicit `edge:` actor form (executed actor-parity:
     // the reference leaves OWNS/RENTS unmapped in the shorthand)
     else if (s.has("source") && s.has("target")) parseEdgeStep(s, applyRelationMap = false)
+    // flat from/to edge actor (reference EdgeActorConfig canonical spelling,
+    // examples/16: `from: instrument, to: issuer, source_match: by_isin`)
+    else if (s.has("from") && s.has("to") &&
+      s.path("from").isTextual && s.path("to").isTextual) parseEdgeStep(s)
     else if (s.has("edge")) {
       val e = s.path("edge")
       if (e.has("links")) MultiEdgeStep(

@@ -19,7 +19,12 @@ object FileSource {
       format: Option[String] = None,
       limit: Option[Int] = None,
       csvSep: String = ",",
-      csvHeader: Boolean = true
+      csvHeader: Boolean = true,
+      /** false = CSV/TSV columns stay STRING (the reference's csv plane;
+        * declared manifest types cast later) — inference would eat
+        * formatting a string-typed field must keep ("+44..." → 44...)
+        */
+      inferTypes: Boolean = true
   ): DataFrame = {
     val base = path.toLowerCase.stripSuffix(".gz")
     val fmt = format.getOrElse {
@@ -37,9 +42,9 @@ object FileSource {
       case "json"    => spark.read.option("multiLine", true).json(path)
       case "jsonl"   => spark.read.json(path)
       case "csv"     => spark.read.option("header", csvHeader).option("sep", csvSep)
-        .option("inferSchema", true).csv(path)
+        .option("inferSchema", inferTypes).csv(path)
       case "tsv"     => spark.read.option("header", csvHeader).option("sep", "\t")
-        .option("inferSchema", true).csv(path)
+        .option("inferSchema", inferTypes).csv(path)
       case "parquet" => spark.read.parquet(path)
       case "orc"     => spark.read.orc(path)
       case other     => throw new IllegalArgumentException(s"unknown format: $other")
