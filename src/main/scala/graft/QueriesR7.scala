@@ -102,6 +102,22 @@ object GraftQueriesR7 {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // §2.12 full identity inference (identity_inference.py): eligible
+    // columns by type cost, parsimony + semantic ranking, unary winner
+    // with bootstrap stability — c_custkey (unique, int, *key suffix)
+    // beats the equally-unique c_name string
+    "q_identity_full" -> { (s, d) =>
+      import s.implicits._
+      val r = graft.infer.IdentityInferencer.infer(
+        t(s, d)("customer").select("c_custkey", "c_name", "c_nationkey",
+          "c_mktsegment"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
+        maxSampleSize = Some(2000))
+      r.identity.zipWithIndex
+        .map { case (f, i) => (r.strategy, i.toLong, f) }
+        .toDF("strategy", "pos", "field").orderBy("pos")
+    },
+
     // §2.11 stream-stream INTERVAL join: two watermarked streams of the
     // same event feed (even/odd split), per-user join within a 30-minute
     // event-time bound, append-mode sink — with complete input the
@@ -399,6 +415,12 @@ object GraftQueriesR7 {
         |  CAST(max(pred) AS BIGINT) AS max_pcm
         |FROM r WHERE b * 33 + j < 97
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the unary winner is fully determined by the data contract (unique
+    // integer key column with the semantic suffix)
+    "q_identity_full" ->
+      """SELECT 'unary' AS strategy, CAST(0 AS BIGINT) AS pos,
+        |  'c_custkey' AS field""".stripMargin,
 
     // the static interval join the streaming answer converges to
     "q_stream_join" ->

@@ -37,6 +37,153 @@ object IdentityInference {
       .collect().map(_.getString(0)).toSeq
 }
 
+/** Full identity inference — the reference's `IdentityInferencer`
+  * (graflo/db/identity_inference.py:43-383): eligible-column selection
+  * with per-type costs (lists/bytes/long-text/mostly-null disqualify),
+  * candidate ranking by parsimony + type cost − semantic bonus
+  * (field name ending id/uuid/key/code/pk), a stable unary winner if one
+  * column is unique AND bootstrap-stable, else a GREEDY composite key
+  * grown in ranked order then minimized, else the hash fallback over the
+  * minimal key. Runs on a bounded sample (the reference's contract too —
+  * `max_sample_size`), so the driver-side work is sample-capped, never
+  * data-sized. Bootstrap subsampling is seeded per boot index for
+  * engine-deterministic re-runs (the reference uses an unseeded rng; its
+  * own contract demands the verdict be stable under resampling, so a
+  * fixed seed changes nothing a correct answer depends on).
+  */
+object IdentityInferencer {
+  final case class Result(
+      identity: Seq[String],
+      hashIdentityProperties: Seq[String],
+      confidence: Double,
+      strategy: String, // unary | composite | hash_fallback | no_viable_identity
+      warning: Option[String] = None)
+
+  private val SemanticRe = "(?i)(id|uuid|key|code|pk)$".r
+  private val UuidRe =
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$".r
+  private val IsoRe = "^\\d{4}-\\d{2}-\\d{2}([T ].*)?$".r
+  private val LongTextThreshold = 256
+  private val NoneRatioReject = 0.5
+
+  /** per-column type suitability cost; None = disqualified */
+  private[infer] def typeCost(values: Seq[Any]): Option[Double] = {
+    if (values.isEmpty) return None
+    val nonNull = values.filter(_ != null)
+    if (nonNull.isEmpty) return None
+    if (nonNull.size.toDouble / values.size < 1.0 - NoneRatioReject) return None
+    val costs = nonNull.map {
+      case _: Boolean                => 0.1
+      case _: Int | _: Long | _: Short | _: Byte => 0.0
+      case _: Float | _: Double      => 1.0
+      case _: java.math.BigDecimal   => 1.0
+      case _: java.sql.Timestamp | _: java.sql.Date => 0.5
+      case _: Array[_] | _: Seq[_] | _: Array[Byte] => return None
+      case s: String =>
+        if (UuidRe.findFirstIn(s).isDefined) 0.0
+        else if (s.length > LongTextThreshold) return None
+        else if (IsoRe.findFirstIn(s).isDefined) 0.5
+        else 0.1
+      case _ => return None
+    }
+    Some(costs.sum / costs.size)
+  }
+
+  private def score(fields: Seq[String], costs: Map[String, Double],
+      typeCostWeight: Double, semanticWeight: Double): Double = {
+    val parsimony = (fields.size * fields.size).toDouble
+    val tc = fields.map(costs).sum
+    val bonus = if (fields.exists(f => SemanticRe.findFirstIn(f).isDefined))
+      semanticWeight else 0.0
+    parsimony + typeCostWeight * tc - bonus
+  }
+
+  private def uniqRatio(samples: Seq[Map[String, Any]], key: Seq[String]): Double =
+    if (samples.isEmpty || key.isEmpty) 0.0
+    else samples.map(s => key.map(s.get)).distinct.size.toDouble / samples.size
+
+  private def bootstrapPassRate(samples: Seq[Map[String, Any]], key: Seq[String],
+      nBoots: Int, subsampleRatio: Double, minSample: Int): Double = {
+    if (samples.size < minSample) return 0.0
+    val k = math.max(1, (samples.size * subsampleRatio).toInt)
+    val passes = (0 until nBoots).count { b =>
+      val rng = new scala.util.Random(1234567L + b)
+      val sub = rng.shuffle(samples.indices.toVector).take(k).map(samples)
+      uniqRatio(sub, key) >= 1.0
+    }
+    passes.toDouble / nBoots
+  }
+
+  private def minimize(samples: Seq[Map[String, Any]],
+      key: Seq[String]): Seq[String] = {
+    var minimal = key
+    var changed = true
+    while (changed) {
+      changed = false
+      val it = minimal.indices.iterator
+      while (it.hasNext && !changed) {
+        val i = it.next()
+        val subset = minimal.patch(i, Nil, 1)
+        if (subset.nonEmpty && uniqRatio(samples, subset) >= 1.0) {
+          minimal = subset; changed = true
+        }
+      }
+    }
+    minimal
+  }
+
+  /** Infer the identity for one vertex type from a bounded sample of `df`. */
+  def infer(df: DataFrame, propertyNames: Seq[String] = Nil,
+      maxKeyWidth: Int = 3, minSampleSize: Int = 100,
+      maxSampleSize: Option[Int] = None, typeCostWeight: Double = 0.2,
+      semanticWeight: Double = 0.5, nBoots: Int = 5,
+      subsampleRatio: Double = 0.8): Result = {
+    val capped = maxSampleSize.map(df.limit).getOrElse(df)
+    val cols = if (propertyNames.nonEmpty) propertyNames else df.columns.toSeq.sorted
+    val rows = capped.select(cols.map(col): _*).collect()
+    val samples: Seq[Map[String, Any]] =
+      rows.toSeq.map(r => cols.zipWithIndex.map { case (c, i) =>
+        c -> (if (r.isNullAt(i)) null else r.get(i)) }.toMap)
+    if (samples.size < minSampleSize)
+      return Result(Nil, Nil, 0.0, "no_viable_identity", Some("sample too small"))
+    val costs = cols.flatMap(c =>
+      typeCost(samples.map(_(c))).map(c -> _)).toMap
+    val eligible = cols.filter(costs.contains)
+    if (eligible.isEmpty)
+      return Result(Nil, Nil, 0.0, "no_viable_identity",
+        Some("all columns disqualified"))
+    val ranked = eligible.sortBy(f =>
+      score(Seq(f), costs, typeCostWeight, semanticWeight))
+    val unary = ranked.filter(f => uniqRatio(samples, Seq(f)) >= 1.0)
+    if (unary.nonEmpty) {
+      val best = unary.minBy(f => score(Seq(f), costs, typeCostWeight, semanticWeight))
+      if (bootstrapPassRate(samples, Seq(best), nBoots, subsampleRatio,
+          minSampleSize) == 1.0)
+        return Result(Seq(best), Nil, 1.0, "unary")
+    }
+    // greedy composite: grow in ranked order until the TUPLE is unique
+    var selected = Seq(ranked.head)
+    var found = uniqRatio(samples, selected) >= 1.0
+    val rest = ranked.tail.iterator
+    while (!found && rest.hasNext) {
+      selected = selected :+ rest.next()
+      found = uniqRatio(samples, selected) >= 1.0
+    }
+    if (!found)
+      return Result(Nil, Nil, 0.0, "no_viable_identity",
+        Some("no unique combination found"))
+    val minimal = minimize(samples, selected)
+    val passRate = bootstrapPassRate(samples, minimal, nBoots, subsampleRatio,
+      minSampleSize)
+    if (passRate == 1.0 && minimal.size <= maxKeyWidth)
+      Result(minimal, Nil, passRate, "composite")
+    else Result(Seq("id"), minimal, math.max(passRate * 0.5, 0.1),
+      "hash_fallback",
+      Some(if (minimal.size > maxKeyWidth) "identity key exceeds max_key_width"
+        else "bootstrap validation failed"))
+  }
+}
+
 /** Bounded row sampling with cell truncation — the reference's sampler
   * (graflo/hq/sampler.py:48-407): JSON-able projections of the first N rows
   * with long cells truncated (drives identity/schema inference and UI
