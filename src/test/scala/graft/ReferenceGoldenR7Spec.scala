@@ -77,6 +77,59 @@ class ReferenceGoldenR7Spec extends SparkSpec {
     assert(edges == goldEdges)
   }
 
+  test("example 13 (export/migration) matches its committed artifacts") {
+    val ex = s"$refRoot/13-graph-export-migration"
+    assume(new java.io.File(s"$ex/manifest.yaml").exists())
+    val m = graft.manifest.ManifestLoader.load(s"$ex/manifest.yaml")
+    val root = freshDir("/root/repo/target/golden-ex13")
+    val store = new graft.store.GraphStore(root, m.schema, spark)
+    val parts = m.resources.map { res =>
+      val input = cli.Main.resolveInput(spark, m, res.name, ex)
+      graft.pipeline.PipelineCompiler.compile(m.schema, res, input)
+    }
+    store.write(parts.reduceLeft(_.unionWith(_)))
+
+    def vertexDicts(name: String): Seq[Map[String, String]] =
+      store.vertices(name).collect().toSeq.map { r =>
+        r.schema.fieldNames.flatMap(f =>
+          Option(r.getAs[Any](f)).map(v => f -> v.toString)).toMap
+      }
+    def sortDicts(ds: Seq[Map[String, String]]) =
+      ds.map(clean).sortBy(_.toSeq.sorted.mkString("|"))
+    val art = s"$ex/artifacts/csv-backend"
+    // the backend appends one chunk per batch (person.000 = people.csv,
+    // person.001 = the departments resource's partial observations); the
+    // read-side view merges by id with the later batch winning per field
+    val expectPerson = {
+      val byId = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
+      Seq("000", "001").foreach { b =>
+        jsonlGz(s"$art/vertices/person.$b.jsonl.gz").foreach { d =>
+          byId(d("id")) = byId.getOrElse(d("id"), Map.empty) ++ clean(d)
+        }
+      }
+      byId.values.toSeq
+    }
+    assert(sortDicts(vertexDicts("person")) == sortDicts(expectPerson))
+    assert(sortDicts(vertexDicts("department")) ==
+      sortDicts(jsonlGz(s"$art/vertices/department.000.jsonl.gz")))
+    // edge artifact rows are [srcDoc, dstDoc, props] (empty props); the
+    // reference leaves the relation undeclared — graft synthesizes
+    // "related" for the store key, contents identical
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val in = new java.util.zip.GZIPInputStream(new java.io.FileInputStream(
+      s"$art/edges/person____department.000.jsonl.gz"))
+    val lines = new String(in.readAllBytes(), "UTF-8").split("\n").filter(_.nonEmpty)
+    in.close()
+    val goldEdges = lines.toSeq.map { line =>
+      val a = mapper.readTree(line)
+      (a.get(0).path("id").asText(), a.get(1).path("name").asText())
+    }.sorted
+    val edges = store.edges(graft.model.EdgeKey("person", "department", "related"))
+      .select(col("src_id"), col("dst_name"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(edges == goldEdges)
+  }
+
   test("example 17 (identity funnel) reproduces the committed digest ids byte-for-byte") {
     val ex = s"$refRoot/17-identity-funnel"
     assume(new java.io.File(s"$ex/manifest.yaml").exists())
