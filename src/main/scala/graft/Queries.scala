@@ -1396,8 +1396,7 @@ object GraftQueries {
       // the streaming file source wants a DIRECTORY of drop files
       val inDir = java.nio.file.Paths.get(s"$root/in")
       java.nio.file.Files.createDirectories(inDir)
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
-        inDir.resolve("events.parquet"))
+      GraftQueriesR7.copyParquetInto(s"$d/events.parquet", inDir, "events")
       val batchSchema = s.read.parquet(s"$d/events.parquet").schema
       val src = TpchGraph.normalizeEventTs(
         s.readStream.schema(batchSchema).parquet(inDir.toString))
@@ -1461,10 +1460,8 @@ object GraftQueries {
       java.nio.file.Files.createDirectories(inDir)
       // two copies = redelivery; the watermark horizon exceeds the table's
       // event-time span so no duplicate is ever outside the dedup state
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
-        inDir.resolve("events_a.parquet"))
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
-        inDir.resolve("events_b.parquet"))
+      GraftQueriesR7.copyParquetInto(s"$d/events.parquet", inDir, "events_a")
+      GraftQueriesR7.copyParquetInto(s"$d/events.parquet", inDir, "events_b")
       val batchSchema = s.read.parquet(s"$d/events.parquet").schema
       val src = TpchGraph.normalizeEventTs(
         s.readStream.schema(batchSchema).parquet(inDir.toString))

@@ -22,6 +22,24 @@ object GraftQueriesR7 {
     f.delete(): Unit
   }
 
+  /** Copy a parquet input that may be a single FILE (driver testdata) or a
+    * DIRECTORY of part files (synthesized sf1 tables) into `dstDir` as
+    * `<stem>*.parquet` — the shape a streaming file source scans.
+    */
+  private[graft] def copyParquetInto(src: String,
+      dstDir: java.nio.file.Path, stem: String): Unit = {
+    val f = new java.io.File(src)
+    if (f.isFile)
+      java.nio.file.Files.copy(f.toPath, dstDir.resolve(s"$stem.parquet")): Unit
+    else
+      Option(f.listFiles).getOrElse(Array.empty)
+        .filter(p => p.isFile && p.getName.endsWith(".parquet"))
+        .sortBy(_.getName).zipWithIndex.foreach { case (p, i) =>
+          java.nio.file.Files.copy(p.toPath,
+            dstDir.resolve(f"$stem%s_$i%04d.parquet")): Unit
+        }
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val all: Map[String, Q] = Map(
@@ -128,8 +146,7 @@ object GraftQueriesR7 {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val inDir = java.nio.file.Paths.get(s"$root/in")
       java.nio.file.Files.createDirectories(inDir)
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
-        inDir.resolve("events.parquet"))
+      copyParquetInto(s"$d/events.parquet", inDir, "events")
       val batchSchema = s.read.parquet(s"$d/events.parquet").schema
       def src() = graft.fixtures.TpchGraph.normalizeEventTs(
         s.readStream.schema(batchSchema).parquet(inDir.toString))
