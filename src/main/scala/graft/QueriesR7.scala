@@ -130,7 +130,7 @@ object GraftQueriesR7 {
         t(s, d)("customer").select("c_custkey", "c_name", "c_nationkey",
           "c_mktsegment"),
         Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
-        maxSampleSize = Some(2000))
+        maxSampleSize = 2000)
       r.identity.zipWithIndex
         .map { case (f, i) => (r.strategy, i.toLong, f) }
         .toDF("strategy", "pos", "field").orderBy("pos")

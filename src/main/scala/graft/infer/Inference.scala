@@ -132,13 +132,20 @@ object IdentityInferencer {
     minimal
   }
 
-  /** Infer the identity for one vertex type from a bounded sample of `df`. */
+  /** Infer the identity for one vertex type from a bounded sample of `df`.
+    * `maxSampleSize` is ALWAYS applied (the reference's config allows an
+    * unbounded sample; here the driver-side collect is gated by design —
+    * the bpeTrain discipline: inference is a model decision, its cost must
+    * be sample-sized, never data-sized).
+    */
   def infer(df: DataFrame, propertyNames: Seq[String] = Nil,
       maxKeyWidth: Int = 3, minSampleSize: Int = 100,
-      maxSampleSize: Option[Int] = None, typeCostWeight: Double = 0.2,
+      maxSampleSize: Int = 100000, typeCostWeight: Double = 0.2,
       semanticWeight: Double = 0.5, nBoots: Int = 5,
       subsampleRatio: Double = 0.8): Result = {
-    val capped = maxSampleSize.map(df.limit).getOrElse(df)
+    require(maxSampleSize >= minSampleSize,
+      "maxSampleSize must cover minSampleSize")
+    val capped = df.limit(maxSampleSize)
     val cols = if (propertyNames.nonEmpty) propertyNames else df.columns.toSeq.sorted
     val rows = capped.select(cols.map(col): _*).collect()
     val samples: Seq[Map[String, Any]] =
