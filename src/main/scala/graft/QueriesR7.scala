@@ -5,11 +5,13 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.MediaContainers
 
-/** Round-7 battery entries: real container-level parsing for compressed
-  * audio/video media columns — MPEG audio (MP3) frame-header walking and
-  * MP4 / ISO-BMFF box-tree metadata (`ext/MediaContainers.scala`). The
-  * synthesized payloads are genuine container bytes with closed-form
-  * parameters, so the pack→parse round-trip has an exact DuckDB oracle —
+/** Round-7 battery entries: real compressed-media handling (MP3/MP4
+  * container metadata, G.711 + IMA-ADPCM audio decode, MJPEG-in-AVI video
+  * decode), the audio face of the dedup family (WHT spectral fingerprints
+  * + gram-Jaccard near-dups), the strict PYTHON filter flavor, assigned
+  * identities, manifest projection, full identity inference, and a
+  * watermarked stream-stream interval join. Synthesized payloads use
+  * closed-form parameters so every query has an exact DuckDB oracle —
   * the same discipline as the WAV/PNG queries.
   */
 object GraftQueriesR7 {
