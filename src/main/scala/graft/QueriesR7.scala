@@ -297,9 +297,10 @@ object GraftQueriesR7 {
     },
 
     // extension: audio near-duplicate pairs — the audio face of the dedup
-    // family (text shingles / image dHash): exact Jaccard over fingerprint
-    // gram sets, candidates meet on a shared gram (banded, never
-    // all-pairs), df-capped; id folding (seedMod=40) plants exact dups
+    // family (text shingles / image dHash): exact Jaccard over df-capped
+    // fingerprint gram sets (sizes + intersections in the same capped
+    // universe), candidates meet on a shared gram (banded, never
+    // all-pairs); id folding (seedMod=40) plants exact dups
     "q_audio_neardup" -> { (s, d) =>
       import graft.ext.Multimodal
       val ids = t(s, d)("documents").select(col("doc_id")).where(col("doc_id") < 80)
@@ -504,7 +505,8 @@ object GraftQueriesR7 {
         |ORDER BY p0.doc_id, p0.w""".stripMargin,
 
     // same fingerprint replay over the FOLDED id space (seed = id % 40),
-    // then exact Jaccard over distinct-gram sets with the df-cap
+    // then exact Jaccard over the df-CAPPED distinct-gram sets (sizes and
+    // intersections share the capped universe — audioNearDups contract)
     "q_audio_neardup" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 80),
         |i AS (SELECT unnest(generate_series(0, 319)) AS i),
@@ -535,7 +537,7 @@ object GraftQueriesR7 {
         |      JOIN p p3 ON p3.doc_id = p0.doc_id AND p3.w = p0.w + 3),
         |kept AS (SELECT id, gram FROM g WHERE gram IN (
         |        SELECT gram FROM g GROUP BY gram HAVING count(*) <= 10000)),
-        |sz AS (SELECT id, count(*) AS n FROM g GROUP BY id),
+        |sz AS (SELECT id, count(*) AS n FROM kept GROUP BY id),
         |pr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
         |       FROM kept a JOIN kept b ON a.gram = b.gram AND a.id < b.id
         |       GROUP BY a.id, b.id)

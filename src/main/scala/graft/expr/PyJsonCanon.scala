@@ -153,8 +153,8 @@ object PyJsonCanon {
       case TimestampType | TimestampNTZType =>
         appendStr(sb, pyDatetimeStr(row.getLong(i)))
       case d: DecimalType => // default=str → str(Decimal), scale-preserving
-        appendStr(sb, row.getDecimal(i, d.precision, d.scale)
-          .toJavaBigDecimal.toPlainString)
+        appendStr(sb, pyDecimalStr(
+          row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal))
       case other =>
         throw new IllegalArgumentException(
           s"py_json_canon: unsupported field type $other")
@@ -171,6 +171,32 @@ object PyJsonCanon {
     val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
       f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
     if (us == 0) base else f"$base.$us%06d"
+  }
+
+  /** `str(Decimal)` — the "to-scientific-string" rule of the IBM decimal
+    * spec CPython implements (Lib/_pydecimal.py `__str__`): plain notation
+    * only when the exponent is ≤ 0 AND the adjusted exponent (exponent +
+    * digits − 1) is ≥ −6; otherwise `<digit>[.<digits>]E<sign><adjusted>`
+    * with uppercase E, an explicit sign, and no zero-padding — so
+    * `Decimal('0.0000001')` renders `1E-7`, not `0.0000001`. Digits are
+    * NOT normalized (scale is preserved), matching Python.
+    */
+  private[expr] def pyDecimalStr(bd: java.math.BigDecimal): String = {
+    val digits = bd.unscaledValue.abs.toString
+    val exponent = -bd.scale
+    val adjusted = exponent + digits.length - 1
+    if (exponent <= 0 && adjusted >= -6) {
+      bd.toPlainString // Python's plain form == BigDecimal's for exp ≤ 0
+    } else {
+      val sb = new java.lang.StringBuilder(digits.length + 8)
+      if (bd.signum < 0) sb.append('-')
+      sb.append(digits.charAt(0))
+      if (digits.length > 1) sb.append('.').append(digits, 1, digits.length)
+      sb.append('E')
+      if (adjusted >= 0) sb.append('+')
+      sb.append(adjusted)
+      sb.toString
+    }
   }
 
   /** CPython `repr(float)`: the shortest correctly-rounded decimal that

@@ -123,10 +123,11 @@ object MediaContainers {
     if (f.versionId == 3) { if (f.channels == 1) 17 else 32 }
     else { if (f.channels == 1) 9 else 17 }
 
-  /** Read a Xing/Info VBR header from the first frame if present: returns
-    * the declared frame count when the FRAMES flag is set.
+  /** Read a Xing/Info header from the first frame if present: the tag name
+    * ("Xing" = VBR by convention, "Info" = the LAME CBR marker) and the
+    * declared frame count when the FRAMES flag is set.
     */
-  def xingFrameCount(bytes: Array[Byte], f: Mp3Frame): Option[Int] = {
+  def xingHeader(bytes: Array[Byte], f: Mp3Frame): Option[(String, Option[Int])] = {
     val p = f.offset + 4 + sideInfoBytes(f)
     if (p + 12 > bytes.length) return None
     val tag = new String(bytes, p, 4, "US-ASCII")
@@ -135,8 +136,12 @@ object MediaContainers {
       ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
         ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
     val flags = i32(p + 4)
-    if ((flags & 1) == 0) None else Some(i32(p + 8))
+    Some((tag, if ((flags & 1) == 0) None else Some(i32(p + 8))))
   }
+
+  /** Declared frame count from a Xing/Info header (either tag). */
+  def xingFrameCount(bytes: Array[Byte], f: Mp3Frame): Option[Int] =
+    xingHeader(bytes, f).flatMap(_._2)
 
   /** Full stream walk: skip ID3v2, sync to the first valid frame, then
     * step frame-to-frame by each header's computed length (tolerating a
@@ -170,7 +175,11 @@ object MediaContainers {
         samples += f.samplesPerFrame
         cur = parseMp3Frame(bytes, f.offset + f.frameBytes)
       }
-      val xing = xingFrameCount(bytes, f0)
+      val hdr = xingHeader(bytes, f0)
+      // "Info" is the conventional CBR marker (LAME writes it on CBR
+      // encodes); only a "Xing"-tagged header — or actually varying frame
+      // bitrates — means VBR
+      val vbr = brMin != brMax || hdr.exists(_._1 == "Xing")
       Mp3Meta(
         id3Bytes = id3v2Size(bytes),
         nFrames = nFrames,
@@ -178,8 +187,8 @@ object MediaContainers {
         channels = f0.channels,
         bitrateKbps = brSum.toDouble / nFrames,
         durationMs = samples.toDouble * 1000.0 / f0.sampleRate,
-        mode = if (brMin == brMax && xing.isEmpty) "CBR" else "VBR",
-        xingFrames = xing)
+        mode = if (vbr) "VBR" else "CBR",
+        xingFrames = hdr.flatMap(_._2))
     }
   }
 
@@ -189,12 +198,14 @@ object MediaContainers {
     * walking never reads).
     *
     * `frames` = (bitrateIdx, paddingBit); all frames share
-    * version/layer/samplerate/mono. `xingDeclared` writes a Xing tag into
-    * frame 0 declaring that count.
+    * version/layer/samplerate/mono. `xingDeclared` writes a Xing/Info tag
+    * into frame 0 declaring that count; `xingTag` picks the tag name
+    * ("Xing" = VBR convention, "Info" = LAME's CBR marker).
     */
   def mp3Pack(versionId: Int, layer: Int, srIdx: Int, mono: Boolean,
       frames: Seq[(Int, Int)], id3Pad: Int = 0,
-      xingDeclared: Option[Int] = None): Array[Byte] = {
+      xingDeclared: Option[Int] = None, xingTag: String = "Xing"): Array[Byte] = {
+    require(xingTag == "Xing" || xingTag == "Info", "tag must be Xing or Info")
     val out = new java.io.ByteArrayOutputStream()
     if (id3Pad > 0) {
       val hdr = Array[Byte]('I', 'D', '3', 4, 0, 0,
@@ -218,7 +229,8 @@ object MediaContainers {
           val p = sideInfoBytes(f) // offset within body (header already out)
           require(p + 12 <= body.length,
             s"frame too small for a Xing tag (${body.length} bytes body)")
-          body(p) = 'X'; body(p + 1) = 'i'; body(p + 2) = 'n'; body(p + 3) = 'g'
+          body(p) = xingTag.charAt(0).toByte; body(p + 1) = xingTag.charAt(1).toByte
+          body(p + 2) = xingTag.charAt(2).toByte; body(p + 3) = xingTag.charAt(3).toByte
           body(p + 7) = 1 // flags: FRAMES
           body(p + 8) = ((n >> 24) & 0xff).toByte
           body(p + 9) = ((n >> 16) & 0xff).toByte

@@ -689,20 +689,31 @@ object Multimodal {
              }
              Some(PcmAudio(rate, channels, 16, samples))
            case 0x11 if channels == 1 && blockAlign >= 4 =>
-             // mono IMA-ADPCM: independent self-contained blocks
+             // mono IMA-ADPCM: independent self-contained blocks.
+             // Allocation is capped by what the data chunk can actually
+             // decode (Long arithmetic — nBlocks·spbEff can overflow Int):
+             // a crafted fact chunk (fact = Int.MaxValue over a tiny data
+             // chunk) must be REJECTED before any allocation, mirroring
+             // the G.711 branch's min(factSamples, dLen) guard. A fact
+             // count beyond capacity was already a decode failure
+             // (pos < total); now it fails without the multi-GB array.
              val spbEff = if (spb > 0) spb else (blockAlign - 4) * 2 + 1
              val nBlocks = dLen / blockAlign
-             val total =
-               if (factSamples >= 0) factSamples else nBlocks * spbEff
-             val out = new Array[Int](math.max(total, 0))
-             var blk = 0; var pos = 0
-             while (blk < nBlocks && pos < total) {
-               val dec = AudioCodecs.imaDecodeBlock(bytes, dOff + blk * blockAlign,
-                 blockAlign, math.min(spbEff, total - pos))
-               System.arraycopy(dec, 0, out, pos, dec.length)
-               pos += dec.length; blk += 1
+             val capacity = nBlocks.toLong * spbEff
+             val want = if (factSamples >= 0) factSamples.toLong else capacity
+             if (want > capacity || want > Int.MaxValue) None
+             else {
+               val total = want.toInt
+               val out = new Array[Int](math.max(total, 0))
+               var blk = 0; var pos = 0
+               while (blk < nBlocks && pos < total) {
+                 val dec = AudioCodecs.imaDecodeBlock(bytes, dOff + blk * blockAlign,
+                   blockAlign, math.min(spbEff, total - pos))
+                 System.arraycopy(dec, 0, out, pos, dec.length)
+                 pos += dec.length; blk += 1
+               }
+               if (pos == total) Some(PcmAudio(rate, 1, 16, out)) else None
              }
-             if (pos == total) Some(PcmAudio(rate, 1, 16, out)) else None
            case _ => None
          }) yield decoded
   }
@@ -923,11 +934,17 @@ object Multimodal {
   }
 
   /** Audio near-duplicate pairs by exact Jaccard over fingerprint gram
-    * SETS: candidates meet on a shared gram (banded join — never
-    * all-pairs), grams seen in more than `maxDf` rows are dropped first
-    * (the PPJoin df-cap discipline: a ubiquitous gram pairs everything
-    * with everything and carries no identity signal), intersection counts
-    * against set sizes. Output (id_a, id_b, jaccard) with id_a < id_b.
+    * sets WITHIN THE DF-CAPPED GRAM UNIVERSE: candidates meet on a shared
+    * gram (banded join — never all-pairs), grams seen in more than `maxDf`
+    * rows are dropped first (the PPJoin df-cap discipline: a ubiquitous
+    * gram pairs everything with everything and carries no identity
+    * signal), and BOTH the intersection counts and the set sizes are
+    * computed over the kept grams — a consistent universe, so two files
+    * with identical fingerprints score exactly 1.0 no matter how many of
+    * their grams were corpus-ubiquitous (sizes over the full sets with
+    * capped intersections would silently depress every score once any
+    * shared gram crossed the cap). Output (id_a, id_b, jaccard),
+    * id_a < id_b.
     */
   def audioNearDups(df: DataFrame, idCol: String, mediaCol: String,
       minJaccard: Double, maxDf: Long = 10000L): DataFrame = {
@@ -937,7 +954,8 @@ object Multimodal {
     val kept = grams.join(
       grams.groupBy("gram").agg(count(lit(1)).as("df_"))
         .where(col("df_") <= maxDf).select("gram"), Seq("gram"))
-    val sizes = grams.groupBy("id").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = kept.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = kept.select(col("id").as("id_a"), col("gram"))
       .join(kept.select(col("id").as("id_b"), col("gram")), Seq("gram"))
       .where(col("id_a") < col("id_b"))
@@ -949,8 +967,8 @@ object Multimodal {
         col("inter") / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-    // grams stays persisted: the result is lazy and reads it four ways
-    // (df-cap, both join sides, sizes) — the battery harness releases
+    // grams/kept stay persisted: the result is lazy and reads them four
+    // ways (df-cap, both join sides, sizes) — the battery harness releases
     // run-scoped caches after each timing (Bench.scala)
     out
   }

@@ -85,6 +85,28 @@ class AudioCodecSpec extends SparkSpec {
     assert(Multimodal.decodeWav(wav.take(30)).isEmpty)
   }
 
+  test("crafted ADPCM fact chunk rejects without allocating") {
+    // fmt 0x11 with fact = Int.MaxValue over a tiny data chunk: the decode
+    // must reject BEFORE allocating the declared sample count (the
+    // never-over-allocate discipline) — previously this built a multi-GB
+    // array first and only then failed the pos==total check
+    val pcm = Array.tabulate(97)(i => (2000 * math.sin(i * 0.2)).toInt)
+    val wav = AudioCodecs.wavPackIma(AudioCodecs.imaEncode(pcm, 33), 8000, 33,
+      nSamples = 97)
+    // locate the fact chunk and patch its declared count to Int.MaxValue
+    val fi = wav.indices.find(i => i + 12 <= wav.length &&
+      wav(i) == 'f' && wav(i + 1) == 'a' && wav(i + 2) == 'c' && wav(i + 3) == 't').get
+    val crafted = wav.clone()
+    crafted(fi + 8) = 0xff.toByte; crafted(fi + 9) = 0xff.toByte
+    crafted(fi + 10) = 0xff.toByte; crafted(fi + 11) = 0x7f.toByte
+    val before = Runtime.getRuntime.totalMemory()
+    assert(Multimodal.decodeWav(crafted).isEmpty)
+    // heap must not have ballooned by the ~8 GB the fake fact implies
+    assert(Runtime.getRuntime.totalMemory() - before < (1L << 30))
+    // the untouched WAV still decodes (fact == real sample count)
+    assert(Multimodal.decodeWav(wav).get.samples.length == 97)
+  }
+
   test("MJPEG AVI: pack -> parse -> real JDK frame decode clears PSNR") {
     val spark0 = spark
     import spark0.implicits._

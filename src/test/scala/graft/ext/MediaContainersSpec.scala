@@ -71,6 +71,20 @@ class MediaContainersSpec extends AnyFunSuite {
     assert(m.nFrames == 25 && m.xingFrames.contains(25) && m.mode == "VBR")
   }
 
+  test("'Info' tag (LAME's CBR marker) keeps mode CBR but carries the count") {
+    // real-world CBR files written by LAME carry an Info-tagged header at
+    // the Xing position — tag name, not header presence, decides VBR
+    val bytes = mp3Pack(versionId = 3, layer = 3, srIdx = 0, mono = true,
+      frames = Seq.fill(25)((9, 0)), xingDeclared = Some(25), xingTag = "Info")
+    val m = parseMp3(bytes).get
+    assert(m.mode == "CBR" && m.xingFrames.contains(25))
+    // …but varying bitrates override the Info marker
+    val mixed = mp3Pack(3, 3, 0, mono = true,
+      frames = Seq((9, 0), (12, 0), (9, 0), (9, 0), (9, 0)),
+      xingDeclared = Some(5), xingTag = "Info")
+    assert(parseMp3(mixed).get.mode == "VBR")
+  }
+
   test("varying per-frame bitrate walks correctly and averages") {
     val idx = Seq(2, 5, 9, 12) // 40, 64, 128, 224 kbps in MPEG1 LIII
     val bytes = mp3Pack(3, 3, 0, mono = false, frames = idx.map((_, 0)))

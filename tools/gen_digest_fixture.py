@@ -72,6 +72,21 @@ hc("datetime_no_us", {"d": datetime.datetime(2021, 12, 31, 23, 59, 58)},
 hc("datetime_us", {"d": datetime.datetime(2021, 1, 2, 3, 4, 5, 60007)},
    ["d"], {"d": "timestamp"})
 hc("decimal", {"d": decimal.Decimal("1.50")}, ["d"], {"d": "decimal(10,2)"})
+# str(Decimal) flips to scientific notation when the adjusted exponent is
+# < -6 (to-scientific-string rule): '1E-7', not '0.0000001'. The Spark
+# scale must match the Python decimal's scale — scale IS part of the
+# rendering (type-parity caveat in DIVERGENCES.md).
+DECIMALS = [("0.0000001", "decimal(10,7)"),   # adjusted -7 → 1E-7
+            ("0.00000012345", "decimal(12,11)"),
+            ("0.000001", "decimal(10,6)"),    # adjusted -6 → stays plain
+            ("0.0000010", "decimal(10,7)"),   # trailing zero kept, still plain
+            ("-0.0000001", "decimal(10,7)"),
+            ("0.00000001", "decimal(16,8)"),
+            ("123.456", "decimal(10,3)"),
+            ("0", "decimal(10,0)"),
+            ("-42.10", "decimal(10,2)")]
+for i, (s, t) in enumerate(DECIMALS):
+    hc(f"decimal_{i}", {"d": decimal.Decimal(s)}, ["d"], {"d": t})
 hc("mixed_all", {"s": "x", "i": 7, "fl": 2.5, "b": True, "n": None,
                  "u": "ü"}, ["s", "i", "fl", "b", "n", "u"],
    {"s": "string", "i": "long", "fl": "double", "b": "boolean",
