@@ -134,6 +134,86 @@ object Clustering {
        |FROM fin ORDER BY $idCol""".stripMargin
   }
 
+  /** Salt count ceiling for [[saltedCellSides]]: bounds the per-row
+    * replication a single pathological cell can demand.
+    */
+  private[ext] val MaxCellSalt = 1024
+
+  /** The two sides of the eps-cell candidate join with HOT-CELL SALTING —
+    * the skew guard for a natural density peak. A plain cell-keyed join
+    * sends ALL of one cell's pairs to ONE task: at 100 TB a dense cell
+    * (occupancy n) is a straggler computing n² candidate pairs. Guard:
+    *
+    *   1. one cheap map-side-combinable aggregate counts per-cell
+    *      occupancy; only cells ABOVE `hotCellThreshold` survive — that
+    *      list is tiny by construction (a density peak is rare; the frame
+    *      is bounded by rows/threshold) and broadcasts;
+    *   2. a hot cell with occupancy n splits into k = ⌈n/threshold⌉
+    *      (≤ [[MaxCellSalt]]) sub-buckets on BOTH sides: a right-side
+    *      point gets the FIXED sub-bucket (hash(id) mod k) and replicates
+    *      over the k left sub-buckets; a probe gets the fixed left
+    *      sub-bucket and replicates over the k right ones. Every pair
+    *      meets in EXACTLY one (cellX, cellY, saltA, saltB) bucket, so
+    *      results are identical to the unsalted join while the hot cell's
+    *      pair work spreads over k² tasks of ≤ ~9·threshold² pairs each.
+    *
+    * Cold cells (k = 1) pay one broadcast-hash probe against the tiny hot
+    * list — no extra shuffle, no replication.
+    *
+    * Input `pts` must have columns (id, x, y) (quantized longs). Returns
+    * (left, right) frames keyed on (cx, cy, _sa, _sb): left = probes
+    * carrying (ia, xa, ya) exploded over the 3×3 cell neighborhood, right
+    * = points carrying (ib, xb, yb).
+    */
+  private[ext] def saltedCellSides(pts: DataFrame, eps: Long,
+      hotCellThreshold: Int): (DataFrame, DataFrame) = {
+    require(hotCellThreshold >= 1, "hotCellThreshold must be positive")
+    def fdiv(c: Column): Column =
+      ((c - pmod(c, lit(eps))) / lit(eps)).cast("long")
+    val hot = pts
+      .groupBy(fdiv(col("x")).as("cx"), fdiv(col("y")).as("cy"))
+      .agg(count(lit(1)).as("_occ"))
+      .where(col("_occ") > hotCellThreshold)
+      .select(col("cx"), col("cy"),
+        least(ceil(col("_occ").cast("double") / hotCellThreshold),
+          lit(MaxCellSalt.toLong)).cast("int").as("_k"))
+    val right = pts.select(col("id").as("ib"), col("x").as("xb"),
+        col("y").as("yb"), fdiv(col("x")).as("cx"), fdiv(col("y")).as("cy"))
+      .join(broadcast(hot), Seq("cx", "cy"), "left")
+      .withColumn("_kk", coalesce(col("_k"), lit(1)))
+      .withColumn("_sb", pmod(hash(col("ib")), col("_kk")))
+      .withColumn("_sa", explode(sequence(lit(0), col("_kk") - 1)))
+      .select("cx", "cy", "_sa", "_sb", "ib", "xb", "yb")
+    val offsets = array((for { i <- -1 to 1; j <- -1 to 1 } yield
+      struct(lit(i).as("i"), lit(j).as("j"))): _*)
+    val left = pts.select(col("id").as("ia"), col("x").as("xa"),
+        col("y").as("ya"), fdiv(col("x")).as("bx"), fdiv(col("y")).as("by"))
+      .withColumn("_o", explode(offsets))
+      .select(col("ia"), col("xa"), col("ya"),
+        (col("bx") + col("_o.i")).as("cx"), (col("by") + col("_o.j")).as("cy"))
+      .join(broadcast(hot), Seq("cx", "cy"), "left")
+      .withColumn("_kk", coalesce(col("_k"), lit(1)))
+      .withColumn("_sa", pmod(hash(col("ia")), col("_kk")))
+      .withColumn("_sb", explode(sequence(lit(0), col("_kk") - 1)))
+      .select("cx", "cy", "_sa", "_sb", "ia", "xa", "ya")
+    (left, right)
+  }
+
+  /** Eps-neighborhood candidate pairs (ia, ib) with d2 ≤ eps² — the shared
+    * candidate stage of [[dbscanGrid]] and [[lofGrid]], salted per
+    * [[saltedCellSides]]. Self-pairs (ia == ib) are INCLUDED (dbscan's
+    * core rule counts self; lof filters them out).
+    */
+  private[ext] def epsPairs(pts: DataFrame, eps: Long,
+      hotCellThreshold: Int): DataFrame = {
+    val (left, right) = saltedCellSides(pts, eps, hotCellThreshold)
+    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    left.join(right, Seq("cx", "cy", "_sa", "_sb"))
+      .where(d2 <= lit(eps) * lit(eps))
+      .select(col("ia"), col("ib"), d2.as("d2"))
+  }
+
   /** Grid-bucketed DBSCAN over the first two embedding coordinates —
     * density clustering without the all-pairs join. Eps-neighbor candidate
     * pairs come from a JOIN ON GRID CELL (cell side = eps; each point probes
@@ -153,13 +233,13 @@ object Clustering {
     *
     * Scale shape: one narrow projection persisted, one cell-keyed shuffle
     * join (9 probe keys/point), one degree aggregate, then CC over the
-    * (much smaller) core-core edge list. Skew guard: a pathological
-    * all-points-in-one-cell input degrades to the dense-cell pair join —
-    * callers with known hot cells should pre-filter or raise eps; the
-    * normal corpus case is bounded by `minPts`-scale densities.
+    * (much smaller) core-core edge list. Skew guard: cells above
+    * `hotCellThreshold` occupancy are salted into sub-buckets on both join
+    * sides ([[saltedCellSides]]) — identical results, bounded task size
+    * even for an all-points-in-one-cell pathology.
     */
   def dbscanGrid(df: DataFrame, idCol: String, vecCol: String,
-      eps: Long, minPts: Int): DataFrame = {
+      eps: Long, minPts: Int, hotCellThreshold: Int = 4096): DataFrame = {
     require(eps > 0 && minPts >= 1, "eps and minPts must be positive")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pts = df.select(col(idCol).as("id"),
@@ -168,21 +248,7 @@ object Clustering {
         round(element_at(col(vecCol), 2).cast("double") * Scale, 0)
           .cast("long").as("y"))
       .persist(lvl)
-    def fdiv(c: Column): Column =
-      ((c - pmod(c, lit(eps))) / lit(eps)).cast("long")
-    val right = pts.select(col("id").as("ib"), col("x").as("xb"),
-      col("y").as("yb"), fdiv(col("x")).as("cx"), fdiv(col("y")).as("cy"))
-    val offsets = array((for { i <- -1 to 1; j <- -1 to 1 } yield
-      struct(lit(i).as("i"), lit(j).as("j"))): _*)
-    val left = pts.select(col("id").as("ia"), col("x").as("xa"),
-        col("y").as("ya"), fdiv(col("x")).as("bx"), fdiv(col("y")).as("by"))
-      .withColumn("_o", explode(offsets))
-      .select(col("ia"), col("xa"), col("ya"),
-        (col("bx") + col("_o.i")).as("cx"), (col("by") + col("_o.j")).as("cy"))
-    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
-      (col("ya") - col("yb")) * (col("ya") - col("yb"))
-    val nbr = left.join(right, Seq("cx", "cy"))
-      .where(d2 <= lit(eps) * lit(eps))
+    val nbr = epsPairs(pts, eps, hotCellThreshold)
       .select("ia", "ib").persist(lvl)
     val cores = nbr.groupBy("ia").agg(count(lit(1)).as("dg"))
       .where(col("dg") >= minPts).select(col("ia").as("id"))
@@ -225,7 +291,7 @@ object Clustering {
     * (LOF ≈ 1 → inlier, ≫ 1 → outlier).
     */
   def lofGrid(df: DataFrame, idCol: String, vecCol: String,
-      eps: Long, minNbrs: Int): DataFrame = {
+      eps: Long, minNbrs: Int, hotCellThreshold: Int = 4096): DataFrame = {
     require(eps > 0 && minNbrs >= 1, "eps and minNbrs must be positive")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pts = df.select(col(idCol).as("id"),
@@ -234,24 +300,12 @@ object Clustering {
         round(element_at(col(vecCol), 2).cast("double") * Scale, 0)
           .cast("long").as("y"))
       .persist(lvl)
-    def fdiv(c: Column): Column =
-      ((c - pmod(c, lit(eps))) / lit(eps)).cast("long")
-    val right = pts.select(col("id").as("ib"), col("x").as("xb"),
-      col("y").as("yb"), fdiv(col("x")).as("cx"), fdiv(col("y")).as("cy"))
-    val offsets = array((for { i <- -1 to 1; j <- -1 to 1 } yield
-      struct(lit(i).as("i"), lit(j).as("j"))): _*)
-    val left = pts.select(col("id").as("ia"), col("x").as("xa"),
-        col("y").as("ya"), fdiv(col("x")).as("bx"), fdiv(col("y")).as("by"))
-      .withColumn("_o", explode(offsets))
-      .select(col("ia"), col("xa"), col("ya"),
-        (col("bx") + col("_o.i")).as("cx"), (col("by") + col("_o.j")).as("cy"))
-    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
-      (col("ya") - col("yb")) * (col("ya") - col("yb"))
-    // strict pairs (no self), milli-unit distance
-    val nbr = left.join(right, Seq("cx", "cy"))
-      .where(d2 <= lit(eps) * lit(eps) && col("ia") =!= col("ib"))
+    // strict pairs (no self), milli-unit distance; candidates via the same
+    // hot-cell-salted eps-cell join as dbscanGrid
+    val nbr = epsPairs(pts, eps, hotCellThreshold)
+      .where(col("ia") =!= col("ib"))
       .select(col("ia"), col("ib"),
-        floor(sqrt(d2.cast("double")) * 1000.0).cast("long").as("dq"))
+        floor(sqrt(col("d2").cast("double")) * 1000.0).cast("long").as("dq"))
       .persist(lvl)
     // k-distance surrogate: max eps-neighbor distance per point
     val kdist = nbr.groupBy(col("ib").as("id")).agg(max("dq").as("kd"))
