@@ -564,15 +564,27 @@ object Similarity {
     * never touching the original corpus floats. LUTs are computed on the
     * driver per query (m × ksub doubles — the same IEEE op sequence as
     * the oracle) and folded into the plan as literals; ranking is the
-    * bounded-heap top-k (ascending distance, id tiebreak). Queries are a
-    * driver-small set by contract, like [[bruteForceTopK]]'s broadcast
-    * side. Output: (query_id, rank, neighbor_id, adist).
+    * bounded-heap top-k (ascending distance, id tiebreak).
+    * Output: (query_id, rank, neighbor_id, adist).
+    *
+    * The query-set collect is gated on a MEASURED count (the bpeTrain /
+    * bradleyTerry / acfPacf discipline): above `maxDriverQueries` the
+    * queries stay a DataFrame and the ADC distance is computed per
+    * (query, code-row) inside the plan ([[pqTopKDistributed]]) — the same
+    * IEEE fold order, so both branches are bit-identical; tests force the
+    * distributed branch with maxDriverQueries = 0.
     */
   def pqTopK(queries: DataFrame, encoded: DataFrame, idCol: String,
-      vecCol: String, codebook: Array[Array[Array[Double]]], k: Int): DataFrame = {
+      vecCol: String, codebook: Array[Array[Array[Double]]], k: Int,
+      maxDriverQueries: Int = 4096): DataFrame = {
     val m = codebook.length
     val ksub = codebook(0).length
     val dsub = codebook(0)(0).length
+    // measured-count gate BEFORE any queries-many collect (bounded probe:
+    // limit(n+1).count() never scans past n+1 rows)
+    if (queries.select(col(idCol)).limit(maxDriverQueries + 1).count()
+        > maxDriverQueries)
+      return pqTopKDistributed(queries, encoded, idCol, vecCol, codebook, k)
     val qs = queries.select(col(idCol).as("_qid"),
       col(vecCol).cast("array<double>").as("_qv"))
       .collect().map(r => (r.get(0), r.getSeq[Double](1).toArray))
@@ -602,6 +614,47 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), explode(perQuery).as("_q"))
       .select(col("_q.query_id").as("query_id"), col("neighbor_id"),
         col("_q._adist").as("_adist"))
+      .where(col("query_id") =!= col("neighbor_id"))
+    graft.ext.Corpus.topKPerGroupAgg(
+      scored.select(col("query_id"), col("neighbor_id"),
+        negate(col("_adist")).as("_nad")),
+      "query_id", "_nad", "neighbor_id", k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(-col("_nad"), 4).as("adist"))
+  }
+
+  /** Unbounded-query-count branch of [[pqTopK]]: queries stay a DataFrame;
+    * each (query, code-row) pair's ADC distance is computed inside the
+    * plan from the query vector and the plan-literal codebook — the same
+    * per-subspace ascending-d fold and ascending-s sum as the driver-LUT
+    * branch (0.0-seeded folds of non-negative squares are IEEE-identical
+    * to the driver's reduceLeft), so the two branches agree bit-for-bit.
+    *
+    * Scale shape: corpus × queries is the inherent cost of a full ADC
+    * scan; the cross join lets Spark broadcast whichever side is smaller
+    * (or chunk both at the extreme), instead of inlining a million-row
+    * query literal into the plan / OOMing the driver.
+    */
+  private def pqTopKDistributed(queries: DataFrame, encoded: DataFrame,
+      idCol: String, vecCol: String, codebook: Array[Array[Array[Double]]],
+      k: Int): DataFrame = {
+    val m = codebook.length
+    val dsub = codebook(0)(0).length
+    val cb = typedLit(codebook.map(_.map(_.toSeq).toSeq).toSeq)
+    val qf = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv"))
+    val adist = (0 until m).map { s =>
+      aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0), (acc, d) => {
+        val diff = element_at(col("_qv"),
+            (lit(s * dsub) + d + 1).cast("int")).cast("double") -
+          element_at(element_at(element_at(cb, s + 1),
+            element_at(col("codes"), s + 1) + 1), d + 1)
+        acc + diff * diff
+      })
+    }.reduceLeft(_ + _)
+    val scored = encoded.select(col(idCol).as("neighbor_id"), col("codes"))
+      .crossJoin(qf)
+      .select(col("query_id"), col("neighbor_id"), adist.as("_adist"))
       .where(col("query_id") =!= col("neighbor_id"))
     graft.ext.Corpus.topKPerGroupAgg(
       scored.select(col("query_id"), col("neighbor_id"),
@@ -855,9 +908,15 @@ object Similarity {
     * scan for all queries ([[pqTopK]]'s explode shape); rows outside
     * every probed cell contribute null and are filtered. Output:
     * (query_id, rank, neighbor_id, adist).
+    *
+    * Same measured-count gate as [[pqTopK]]: above `maxDriverQueries` the
+    * queries stay distributed and probing becomes a cell-keyed equi-join
+    * ([[ivfPqTopKDistributed]] — the `ivfTopK` probe-join shape), results
+    * bit-identical; tests force the branch with maxDriverQueries = 0.
     */
   def ivfPqTopK(queries: DataFrame, encoded: DataFrame, idCol: String,
-      vecCol: String, index: IvfPq, k: Int, nprobe: Int): DataFrame = {
+      vecCol: String, index: IvfPq, k: Int, nprobe: Int,
+      maxDriverQueries: Int = 4096): DataFrame = {
     val coarse = index.coarse
     val codebook = index.codebook
     val m = codebook.length
@@ -865,6 +924,10 @@ object Similarity {
     val dsub = codebook(0)(0).length
     val dim = m * dsub
     require(nprobe >= 1 && nprobe <= coarse.length, "nprobe in [1, nlist]")
+    if (queries.select(col(idCol)).limit(maxDriverQueries + 1).count()
+        > maxDriverQueries)
+      return ivfPqTopKDistributed(queries, encoded, idCol, vecCol, index,
+        k, nprobe)
     val qs = queries.select(col(idCol).as("_qid"),
       col(vecCol).cast("array<double>").as("_qv"))
       .collect().map(r => (r.get(0), r.getSeq[Double](1).toArray))
@@ -903,6 +966,63 @@ object Similarity {
       .select(col("_q.query_id").as("query_id"), col("neighbor_id"),
         col("_q._adist").as("_adist"))
       .where(col("_adist").isNotNull && col("query_id") =!= col("neighbor_id"))
+    graft.ext.Corpus.topKPerGroupAgg(
+      scored.select(col("query_id"), col("neighbor_id"),
+        negate(col("_adist")).as("_nad")),
+      "query_id", "_nad", "neighbor_id", k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(-col("_nad"), 4).as("adist"))
+  }
+
+  /** Unbounded-query-count branch of [[ivfPqTopK]]: per query, the nprobe
+    * nearest coarse cells come from an in-plan sort of the literal-struct
+    * cell-distance array (the ascending-fold squared L2 + lexicographic
+    * (distance, cell) tiebreak the driver branch's `.sorted.take(nprobe)`
+    * uses), then probing is a cell-keyed EQUI-JOIN of exploded
+    * (query, cell) rows against the encoded corpus — the `ivfTopK`
+    * probe-join shape, so only the probed cells' codes are scanned and
+    * the shuffle keys on cell. The residual ADC distance re-derives the
+    * query residual per element inside the same fold as the driver LUT
+    * (qres − codebookEntry, ascending d, ascending s) — bit-identical
+    * results.
+    */
+  private def ivfPqTopKDistributed(queries: DataFrame, encoded: DataFrame,
+      idCol: String, vecCol: String, index: IvfPq, k: Int,
+      nprobe: Int): DataFrame = {
+    val coarse = index.coarse
+    val codebook = index.codebook
+    val m = codebook.length
+    val dsub = codebook(0)(0).length
+    val dim = m * dsub
+    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+    val cbLit = typedLit(codebook.map(_.map(_.toSeq).toSeq).toSeq)
+    val cells = coarse.indices.map { c =>
+      val d = aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), (acc, i) => {
+        val diff = element_at(col("_qv"), (i + 1).cast("int")).cast("double") -
+          element_at(element_at(coarseLit, c + 1), i + 1)
+        acc + diff * diff
+      })
+      struct(d.as("d"), lit(c).as("cell"))
+    }
+    val qf = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("_qv"))
+      .withColumn("cell",
+        explode(slice(sort_array(array(cells: _*)), 1, nprobe).getField("cell")))
+    val adist = (0 until m).map { s =>
+      aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0), (acc, d) => {
+        val i = (lit(s * dsub) + d + 1).cast("int")
+        val qres = element_at(col("_qv"), i).cast("double") -
+          element_at(element_at(coarseLit, col("cell") + 1), i)
+        val diff = qres - element_at(element_at(element_at(cbLit, s + 1),
+          element_at(col("codes"), s + 1) + 1), d + 1)
+        acc + diff * diff
+      })
+    }.reduceLeft(_ + _)
+    val scored = qf
+      .join(encoded.select(col("cell"), col(idCol).as("neighbor_id"),
+        col("codes")), Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"), adist.as("_adist"))
+      .where(col("query_id") =!= col("neighbor_id"))
     graft.ext.Corpus.topKPerGroupAgg(
       scored.select(col("query_id"), col("neighbor_id"),
         negate(col("_adist")).as("_nad")),

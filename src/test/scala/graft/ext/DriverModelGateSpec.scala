@@ -80,4 +80,47 @@ class DriverModelGateSpec extends SparkSpec {
     assert(e.getMessage.contains("at least 3 observations") ||
       Option(e.getCause).exists(_.getMessage.contains("at least 3 observations")))
   }
+
+  import org.apache.spark.sql.functions.col
+
+  private def annVecs(n: Int, dim: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      (i.toLong, (0 until dim).map(d =>
+        if (d == 0) i.toFloat else ((i * 31 + d * 7) % 13 - 6).toFloat).toArray)
+    }.toDF("id", "vec")
+  }
+
+  test("pqTopK: distributed branch is rank-for-rank identical") {
+    val corpus = annVecs(60, 16)
+    val qs = corpus.where(col("id") < 7)
+    val cb = Similarity.pqCodebook(corpus, "id", "vec", m = 4, ksub = 8, dim = 16)
+    val enc = Similarity.pqEncode(corpus, "id", "vec", cb)
+    val local = Similarity.pqTopK(qs, enc, "id", "vec", cb, k = 5)
+    val dist = Similarity.pqTopK(qs, enc, "id", "vec", cb, k = 5,
+      maxDriverQueries = 0)
+    assert(sortedRows(local) == sortedRows(dist))
+    // the gate changes the plan: no per-query literal array in the
+    // distributed branch
+    assert(dist.queryExecution.analyzed.toString !=
+      local.queryExecution.analyzed.toString)
+  }
+
+  test("ivfPqTopK: distributed branch is rank-for-rank identical") {
+    val corpus = annVecs(80, 16)
+    val qs = corpus.where(col("id") % 11 === 0)
+    val (enc, index) = Similarity.ivfPqIndex(corpus, "id", "vec",
+      nlist = 4, m = 4, ksub = 8, dim = 16)
+    val local = Similarity.ivfPqTopK(qs, enc, "id", "vec", index,
+      k = 5, nprobe = 2)
+    val dist = Similarity.ivfPqTopK(qs, enc, "id", "vec", index,
+      k = 5, nprobe = 2, maxDriverQueries = 0)
+    assert(sortedRows(local) == sortedRows(dist))
+    // full-probe coverage too (every cell probed — all corpus rows scanned)
+    val localAll = Similarity.ivfPqTopK(qs, enc, "id", "vec", index,
+      k = 3, nprobe = 4)
+    val distAll = Similarity.ivfPqTopK(qs, enc, "id", "vec", index,
+      k = 3, nprobe = 4, maxDriverQueries = 0)
+    assert(sortedRows(localAll) == sortedRows(distAll))
+  }
 }
