@@ -263,6 +263,7 @@ object ManifestLoader {
         (p.path("source").asText(), p.path("target").asText())).toSeq
       case _ => Nil
     }
+    parseExtraWeights(r)
     ResourceDef(
       name = r.path("name").asText(),
       steps = parseSteps(pipelineNode(r)),
@@ -273,6 +274,31 @@ object ManifestLoader {
       maxDocErrors = Option(r.get("max_doc_errors")).filterNot(_.isNull).map(_.asLong())
     )
   }
+
+  /** Resource-level `extra_weights` (reference ResourceExtraWeightEntry,
+    * contract/ingestion/resource.py:89-145: bare edge dict or
+    * `{edge: {...}, vertex_weights: [...]}`): vertex_weights merge onto the
+    * schema edge exactly like step-level ones (the reference's
+    * `_init_extra_weights` merges both into one registry,
+    * pipeline/runtime/resource.py:303-308). The reference's own DB-fetch
+    * enrichment for these entries is unreachable as written — it reads
+    * `weight.properties` where the model declares `fields`
+    * (graflo/hq/db_writer.py:378, executed writer-parity case
+    * xw_active_reference_crash) — so the store-side enrichment here
+    * implements the documented intent (`fields`), see DIVERGENCES.md.
+    */
+  private def parseExtraWeights(r: JsonNode): Unit =
+    r.path("extra_weights") match {
+      case a if a.isArray => a.elements().asScala.foreach { e =>
+        val edge = if (e.has("edge")) e.path("edge") else e
+        val vw = parseVertexWeights(e.path("vertex_weights"))
+        if (vw.nonEmpty)
+          weightBuf += ((edge.path("source").asText(),
+            edge.path("target").asText(),
+            edge.path("relation").asText(""), vw))
+      }
+      case _ => ()
+    }
 
   /** Sibling-actor type priority (reference descend.py:208-216
     * `_NodeTypePriority`): the reference STABLE-SORTS every pipeline
@@ -407,17 +433,19 @@ object ManifestLoader {
       excludeTarget = text(s, "exclude_target"),
       sourceGroup = text(s, "match_source").orElse(both),
       targetGroup = text(s, "match_target").orElse(both))
-    val vw = s.path("vertex_weights") match {
-      case n if n.isArray => n.elements().asScala.map(w =>
-        VertexWeightSpec(
-          vertex = w.path("name").asText(),
-          fields = strings(w.path("fields")) ++ strings(w.path("properties")),
-          keepVertexName = w.path("keep_vertex_name").asBoolean(true),
-          endpoint = text(w, "endpoint"))).toSeq
-      case _ => Nil
-    }
+    val vw = parseVertexWeights(s.path("vertex_weights"))
     if (vw.nonEmpty) weightBuf += ((step.source, step.target, step.relation, vw))
     step
+  }
+
+  private def parseVertexWeights(n: JsonNode): Seq[VertexWeightSpec] = n match {
+    case a if a.isArray => a.elements().asScala.map(w =>
+      VertexWeightSpec(
+        vertex = w.path("name").asText(),
+        fields = strings(w.path("fields")) ++ strings(w.path("properties")),
+        keepVertexName = w.path("keep_vertex_name").asBoolean(true),
+        endpoint = text(w, "endpoint"))).toSeq
+    case _ => Nil
   }
 
   /** transform step: `rename:` map form or `call:` named-function form

@@ -62,6 +62,11 @@ object PipelineCompiler {
 
   private val MetaCols = Seq(RowIdCol, PosCol)
 
+  /** first-occurrence emission order carried on merged vertex frames for
+    * the writer-plane blank-edge zip; stripped before the GraphOutput
+    */
+  private val ZipOrdCol = "_zord"
+
   /** One accumulated vertex-observation frame. */
   final case class VertexObs(
       vertex: String,
@@ -744,7 +749,10 @@ object PipelineCompiler {
         val withAllIds = vdef.idColumns.foldLeft(keyed) { (d, c) =>
           if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast("string"))
         }
-        val merged = MergeOps.mergeDocBasis(withAllIds, vdef.idColumns, "_ord")
+        // first-occurrence order rides along as _zord for the writer-plane
+        // blank-edge zip below; stripped before the GraphOutput
+        val merged = MergeOps.mergeDocBasis(withAllIds, vdef.idColumns, "_ord",
+          keepOrderAs = Some(ZipOrdCol))
         name -> merged
       }
 
@@ -813,9 +821,13 @@ object PipelineCompiler {
       val dstCols = df.columns.filter(_.startsWith("dst_"))
       def presentCol(c: String) =
         col(c).isNotNull && col(c).cast("string") =!= ""
+      // blank-endpoint gates (see renderIntent): an actor-rendered edge
+      // row survives only when its blank endpoint carried a doc `id`
+      val gateCols = df.columns.filter(_.startsWith("_bgate_"))
       val nonNull = (srcCols.map(presentCol).reduceLeft(_ || _)) &&
-        (dstCols.map(presentCol).reduceLeft(_ || _))
-      val kept = df.where(nonNull)
+        (dstCols.map(presentCol).reduceLeft(_ || _)) &&
+        gateCols.map(presentCol).foldLeft(lit(true))(_ && _)
+      val kept = df.where(nonNull).drop(gateCols: _*)
       // empty identities = no uniqueness constraint: every observation is
       // an edge (reference db_writer.py:470 filter_uniques=False)
       k -> (if (edef.identities.isEmpty) kept
@@ -823,7 +835,82 @@ object PipelineCompiler {
         else kept.dropDuplicates())
     }
 
-    GraphOutput(vertices, edges, errors)
+    // ---- writer-plane blank-edge resolution (reference
+    // `_resolve_blank_edges`, graflo/hq/db_writer.py:314-349): every schema
+    // edge incident to a blank-identity vertex EXTENDS its rendered rows
+    // with batch-level pairs of the two collections — key-join when the
+    // endpoints' reference identity field names intersect, flat positional
+    // zip otherwise. Runs whether or not an actor rendered the pair (the
+    // reference appends to gc.edges unconditionally).
+    val blankResolved: Seq[(EdgeKey, DataFrame)] = schema.edges
+      .filter(e => schema.vertex(e.source).identity == Identity.Blank ||
+        schema.vertex(e.target).identity == Identity.Blank)
+      .filter(e => vertices.contains(e.source) && vertices.contains(e.target))
+      .map(e => e.key -> resolveBlankEdge(schema, e,
+        vertices(e.source), vertices(e.target)))
+
+    val withResolved = blankResolved.foldLeft(edges) { case (acc, (k, df)) =>
+      acc.get(k) match {
+        case Some(cur) =>
+          acc.updated(k, cur.unionByName(df, allowMissingColumns = true))
+        case None => acc.updated(k, df)
+      }
+    }
+
+    GraphOutput(
+      vertices.map { case (n, d) => n -> d.drop(ZipOrdCol) },
+      withResolved, errors)
+  }
+
+  /** The reference's DB-aware identity field NAMES (vertex_config
+    * .identity_fields): natural/assigned vertices keep their declared
+    * fields; blank (and digest-mode) vertices get the synthetic `id` — so
+    * a blank vertex "shares" identity with any vertex whose identity
+    * literally contains `id` (db_writer.py:329-331 compares names, not
+    * values).
+    */
+  private def refIdFields(v: VertexDef): Seq[String] = v.identity match {
+    case Identity.Natural(fs) => fs
+    case Identity.Assigned(f) => Seq(f)
+    case _                    => Seq("id")
+  }
+
+  /** One blank-incident schema edge's writer-plane resolution
+    * (db_writer.py:333-349). Join path: key on the shared field names'
+    * DATA columns — a doc-carried `id` participates (the reference's mint
+    * keeps present values), a fresh mint never matches (uuid4 vs natural
+    * key), and null keys are skipped (`===` equality). Zip path: the
+    * reference's flat `zip(source_docs, target_docs)` over the WHOLE batch
+    * in emission order — inherently sequential list semantics, so the
+    * row_number window is unpartitioned; blank-edge zip batches are
+    * ingest-batch-sized by contract (the reference holds them in one
+    * Python list), never unbounded collections.
+    */
+  private def resolveBlankEdge(schema: GraphSchema, e: EdgeDef,
+      sf: DataFrame, tf: DataFrame): DataFrame = {
+    val sv = schema.vertex(e.source); val tv = schema.vertex(e.target)
+    val shared = refIdFields(sv).filter(refIdFields(tv).toSet)
+    def dataCol(f: DataFrame, name: String): Column =
+      if (f.columns.contains(name)) col(name) else lit(null).cast("string")
+    if (shared.nonEmpty) {
+      val l = sf.select(sv.idColumns.map(c => col(c).as("src_" + c)) ++
+        shared.map(s => dataCol(sf, s).as(s"_bk_l_$s")): _*)
+      val r = tf.select(tv.idColumns.map(c => col(c).as("dst_" + c)) ++
+        shared.map(s => dataCol(tf, s).as(s"_bk_r_$s")): _*)
+      val cond = shared.map(s => col(s"_bk_l_$s") === col(s"_bk_r_$s"))
+        .reduce(_ && _)
+      l.join(r, cond)
+        .drop(shared.flatMap(s => Seq(s"_bk_l_$s", s"_bk_r_$s")): _*)
+    } else {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("_zo"))
+      val l = sf.select(sv.idColumns.map(c => col(c).as("src_" + c)) :+
+          col(ZipOrdCol).as("_zo"): _*)
+        .withColumn("_zi", row_number().over(w)).drop("_zo")
+      val r = tf.select(tv.idColumns.map(c => col(c).as("dst_" + c)) :+
+          col(ZipOrdCol).as("_zo"): _*)
+        .withColumn("_zi", row_number().over(w)).drop("_zo")
+      l.join(r, "_zi").drop("_zi")
+    }
   }
 
   private def idColsOf(v: VertexDef): Seq[String] = v.idColumns
@@ -967,17 +1054,29 @@ object PipelineCompiler {
       val relFromSource = e.relationField.filter(rf =>
         rec.relFrame.isEmpty && relFromTarget.isEmpty &&
           sb.df.columns.contains(rf))
+      // blank-identity endpoints gate on the DOC-carried `id` (reference
+      // assemble projects a blank endpoint onto its DB-aware identity
+      // ['id'], so id-less blank docs render NO edge rows at assemble —
+      // their edges come from the writer-plane resolution instead;
+      // executed writer-parity truth, db_writer probe: explicit actors
+      // between a blank and a natural vertex emit nothing at assemble)
+      def blankGate(v: VertexDef, f: DataFrame, out: String): Seq[Column] =
+        if (v.identity != Identity.Blank) Nil
+        else Seq((if (f.columns.contains("id")) col("id")
+          else lit(null).cast("string")).as(out))
       val left = sb.df.select(
         (MetaCols.map(col) ++ Seq(posStr(col(PosCol)).as("_lps"),
           lastPos(col(PosCol)).as("_lzi")) ++
           sKeys.map(c => (if (sb.df.columns.contains(c)) col(c)
             else lit(null).cast("string")).as(s"src_$c")) ++
+          blankGate(sv, sb.df, "_bgate_src") ++
           relFromSource.map(col).toSeq): _*)
       val right = db.df.select(
         (MetaCols.map(c => col(c).as(s"__r_$c")) ++ Seq(posStr(col(PosCol)).as("_rps"),
           lastPos(col(PosCol)).as("_rzi")) ++
           tKeys.map(c => (if (db.df.columns.contains(c)) col(c)
             else lit(null).cast("string")).as(s"dst_$c")) ++
+          blankGate(tv, db.df, "_bgate_dst") ++
           relFromTarget.map(col).toSeq): _*)
 
       // same-LOCATION same-type observations with EQUAL identity values are
@@ -1250,6 +1349,7 @@ object PipelineCompiler {
           .withColumnRenamed("_relation", "relation")
         val keep = finalDf.columns.filter(c =>
           c.startsWith("src_") || c.startsWith("dst_") || c == "relation" ||
+            c.startsWith("_bgate_") || // blank-endpoint gates, pruned in finish
             e.weightFields.contains(c) || docWeightCols.contains(c) ||
             declaredWeightCols.contains(c))
         out.getOrElseUpdate(k, mutable.ArrayBuffer.empty) +=

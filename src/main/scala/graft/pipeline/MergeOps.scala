@@ -45,7 +45,13 @@ object MergeOps {
       df: DataFrame,
       keyCols: Seq[String],
       orderCol: String,
-      keepUnkeyed: Boolean = false
+      keepUnkeyed: Boolean = false,
+      /** when set, the merged row keeps its FIRST occurrence order (the
+        * reference's merge preserves first-occurrence list order,
+        * merge.py:57-63) under this column name — the writer-plane
+        * blank-edge zip (db_writer.py:314-349) needs emission order.
+        */
+      keepOrderAs: Option[String] = None
   ): DataFrame = {
     val valueCols = df.columns.filterNot(c => keyCols.contains(c) || c == orderCol)
     val keyed = if (keepUnkeyed) df
@@ -53,12 +59,16 @@ object MergeOps {
     // identity-only frames: the order column must not leak into the
     // result (it reached stored documents via GraphStore.write before the
     // actor-parity fixtures caught it)
-    if (valueCols.isEmpty) keyed.dropDuplicates(keyCols).drop(orderCol)
+    if (valueCols.isEmpty) keepOrderAs match {
+      case None => keyed.dropDuplicates(keyCols).drop(orderCol)
+      case Some(oc) => keyed.groupBy(keyCols.map(col): _*)
+        .agg(min(col(orderCol)).as(oc))
+    }
     else {
       val aggs = valueCols.map { c =>
         max(when(col(c).isNotNull, struct(col(orderCol).as("o"), col(c).as("v"))))
           .getField("v").as(c)
-      }
+      } ++ keepOrderAs.map(oc => min(col(orderCol)).as(oc))
       keyed.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     }
   }

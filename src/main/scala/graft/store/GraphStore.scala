@@ -115,11 +115,27 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
   /** Keyed upsert of one vertex collection (reference `upsert_docs_batch`,
     * graflo/db/conn.py:390-405): merge on identity, incoming fields win.
     */
-  def upsertVertices(name: String, incoming: DataFrame): Unit = {
+  def upsertVertices(name: String, incoming: DataFrame): UpsertReport = {
     val vdef = schema.vertex(name)
     val dir = vdir(name)
     val cur = currentVersion(dir)
     val next = cur.getOrElse(-1) + 1
+    // Drop-unkeyed accounting (reference `_drop_unkeyed_docs`,
+    // graflo/hq/db_writer.py:206-238): a doc carrying NONE of its vertex's
+    // identity fields cannot be upserted — every backend would invent a key
+    // or fold the batch onto one keyless vertex. The actual drop happens in
+    // mergeDocBasis (same any-identity-non-null predicate; "" IS a value at
+    // this plane — `doc.get(field) is not None` — unlike the cast plane's
+    // blank-string prune). Counting rides the write action itself via
+    // `Observation` — zero extra scan, which matters when the incoming
+    // batch is a 100 TB frame.
+    val ids = vdef.idColumns
+    val withIds = ids.foldLeft(incoming)((d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast("string")))
+    val keep = ids.map(col(_).isNotNull).reduceLeft(_ || _)
+    val obs = org.apache.spark.sql.Observation()
+    val observed = withIds.observe(obs,
+      count(lit(1)).as("total"), count(when(keep, 1)).as("kept"))
     // Incoming rows get a PER-ROW generation (1 + row ordinal), not a
     // constant: a batch holding several docs with the same identity must
     // resolve last-wins in document order (merge_doc_basis semantics) —
@@ -127,7 +143,7 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
     // duplicates arbitrarily. The ordinal reflects partition order, i.e.
     // input order for a narrow-read batch; merge and write evaluate in one
     // action, so id non-determinism across evaluations can't split state.
-    val neu = incoming.withColumn(GenCol, monotonically_increasing_id() + 1L)
+    val neu = observed.withColumn(GenCol, monotonically_increasing_id() + 1L)
     val merged = cur match {
       case None => MergeOps.mergeDocBasis(neu, vdef.idColumns, GenCol)
       case Some(v) =>
@@ -162,6 +178,10 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
           .write.mode("overwrite").parquet(s"$dir/v$next")
     }
     flip(dir, next)
+    val m = obs.get
+    val total = m("total").asInstanceOf[Long]
+    val kept = m("kept").asInstanceOf[Long]
+    UpsertReport(name, total, total - kept, ids)
   }
 
   /** Edge insert with endpoint uniqueness (reference `insert_edges_batch`,
@@ -387,12 +407,17 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
     */
   def write(g: GraphOutput): Unit = write(g, dry = false)
 
+  def write(g: GraphOutput, dry: Boolean): Unit = { writeReport(g, dry): Unit }
+
   /** `dry = true` mirrors the reference's dry run
     * (graflo/hq/ingestion_parameters.py:155): execute the full plan (counts
     * force evaluation) but mutate nothing.
+    *
+    * Returns the write's drop-unkeyed accounting — the stats behind the
+    * reference's per-collection skip warnings (db_writer.py:228-237).
     */
-  def write(g: GraphOutput, dry: Boolean): Unit = {
-    if (dry) { g.sizes(): Unit; return }
+  def writeReport(g: GraphOutput, dry: Boolean = false): WriteReport = {
+    if (dry) { g.sizes(): Unit; return WriteReport(Nil) }
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -403,13 +428,14 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
     // Failures propagate only AFTER every sibling future settles: a
     // fail-fast await would leave detached writers mutating collections
     // while the caller already handles (or retries on) the exception.
-    def awaitAll(fs: Seq[Future[Unit]]): Unit = {
+    def awaitAll[T](fs: Seq[Future[T]]): Seq[T] = {
       val settled = Await.result(
         Future.traverse(fs)(f => f.transform(scala.util.Success(_))),
         Duration.Inf)
       settled.collectFirst { case scala.util.Failure(e) => throw e }: Unit
+      settled.collect { case scala.util.Success(v) => v }
     }
-    awaitAll(g.vertices.toSeq.map { case (name, df) =>
+    val reports = awaitAll(g.vertices.toSeq.map { case (name, df) =>
       Future(upsertVertices(name, df))
     })
     awaitAll(g.edges.toSeq.map { case (k, df) =>
@@ -427,8 +453,9 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
         if (edef.extraWeights.nonEmpty) e = enrichEdgeWeights(k, e, edef.extraWeights)
         insertEdges(k, e)
       }
-    })
+    }): Unit
     writeIndex()
+    WriteReport(reports.sortBy(_.vertex))
   }
 
   /** Extra-weight enrichment (reference `_enrich_extra_weights`,
@@ -461,17 +488,17 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
         else {
           // non-endpoint weight vertex: the association is per DOCUMENT
           // and only the compiler sees document ids, so the fields were
-          // attached at render time (Compiler.renderIntent) — verify and
-          // pass through (reference db_writer.py:355-387 semantics)
-          val expected = spec.fields.map(f =>
-            if (spec.keepVertexName) s"${spec.vertex}@$f" else f)
-          val missing = expected.filterNot(e.columns.contains)
-          if (missing.nonEmpty) throw new IllegalArgumentException(
-            s"vertex_weights '${spec.vertex}' matches neither endpoint of $k " +
-              s"and the render-time fields ${missing.mkString(",")} are absent")
+          // attached at render time (Compiler.renderIntent) if the vertex
+          // was emitted at all. Absent fields pass through unchanged — the
+          // reference skips a weight vertex that is invalid or not in the
+          // batch container (db_writer.py:368-372 logger.error + continue /
+          // `weight.name not in gc.vertices` continue), it never fails the
+          // write (executed writer-parity cases xw_invalid_vertex,
+          // xw_vertex_absent).
           return e
         }
     }
+    if (!schema.vertexByName.contains(spec.vertex)) return e
     val vdef = schema.vertex(spec.vertex)
     val ids = vdef.idColumns
     val lookup = vertices(spec.vertex)
@@ -503,6 +530,27 @@ final class GraphStore(val root: String, val schema: GraphSchema, spark: SparkSe
     val keys = schema.vertex(name).idColumns
     probe.join(vertices(name), keys, "left_anti")
   }
+}
+
+/** One collection's upsert accounting (the stats behind the reference's
+  * drop-unkeyed warning, graflo/hq/db_writer.py:228-237).
+  */
+final case class UpsertReport(vertex: String, incoming: Long,
+    droppedUnkeyed: Long, identityFields: Seq[String]) {
+  /** The reference's warning payload, byte-for-byte (db_writer.py:230-237:
+    * `logger.warning("Skipped %s '%s' document(s) ...", dropped, vcol,
+    * identity_fields)` — the field list renders as a Python list literal).
+    */
+  def warning: Option[String] =
+    if (droppedUnkeyed == 0L) None
+    else Some(s"Skipped $droppedUnkeyed '$vertex' document(s) with no " +
+      s"identity value for [${identityFields.map(f => s"'$f'").mkString(", ")}]; " +
+      "they cannot be upserted. Mark the step lookup_only if the resource " +
+      "only references this vertex.")
+}
+
+final case class WriteReport(upserts: Seq[UpsertReport]) {
+  def warnings: Seq[String] = upserts.flatMap(_.warning)
 }
 
 /** Graph→graph migration (reference `migrate_graph`,
