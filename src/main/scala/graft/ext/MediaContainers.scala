@@ -18,9 +18,10 @@ import org.apache.spark.sql.types._
   * (ISO/IEC 11172-3 header fields, bitrate/samplerate tables, Xing/Info
   * VBR headers, ID3v2 skip) and genuine ISO-BMFF box structure
   * (ftyp/mvhd/tkhd/mdhd/hdlr/stsd/stts/stsz/stss), so they produce correct
-  * metadata for real-world files. Only the codec kernels themselves
-  * (Layer III subband synthesis, H.264/AAC) remain behind
-  * `Multimodal.decodeStub` — see `Multimodal.scala` §stub.
+  * metadata for real-world files. MPEG-1 Layer III decode is real since
+  * round 8 (`Mp3Layer3.scala`); only H.264/AAC (and the ESC-codebook MP3
+  * frames Mp3Layer3's doc bounds) remain behind `Multimodal.decodeStub` —
+  * see `Multimodal.scala` §stub.
   *
   * Everything is per-row byte walking inside `mapPartitions` — narrow,
   * embarrassingly parallel, no shuffle. Crafted/corrupt payloads must

@@ -1,0 +1,283 @@
+package graft.ext
+
+/** Minimal MPEG-1 Layer III encoder — enough to produce VALID, decodable
+  * frames for the decode oracle and the multimodal pipeline fixtures.
+  * Deliberately simple where the spec allows: mono, long blocks only,
+  * all-zero scalefactors (scalefac_compress 0), one global_gain per
+  * granule chosen to fit the validated table-15 codebook (|value| <= 15),
+  * no bit reservoir (main_data_begin 0), no padding, scfsi 0.
+  *
+  * The analysis side is the textbook pseudo-QMF adjoint of the decoder's
+  * synthesis ([[Mp3Layer3]]): 32-band analysis with h(n)cos((2k+1)(n-16)
+  * pi/64) filters over the shared computed prototype, then the 36-point
+  * sine-windowed forward MDCT with 50% overlap per subband. The round
+  * trip encoder → [[Mp3Layer3.decode]] is pinned by a PSNR spec
+  * (delay+gain-fitted, as codec comparisons are) — an end-to-end
+  * inverse-property check of the whole chain.
+  */
+object Mp3Encoder {
+
+  // analysis filters a_k(n) = h(n) cos((2k+1)(n-16) pi/64)
+  private val analysisA: Array[Array[Double]] = {
+    val h = Mp3Tables.synthWindow
+    Array.tabulate(32, 512) { (k, n) =>
+      h(n) * math.cos((2 * k + 1) * (n - 16) * math.Pi / 64.0)
+    }
+  }
+
+  /** 32-band analysis: input samples -> subband slices (one 32-vector per
+    * 32 input samples). `x` is mono in [-1, 1].
+    */
+  def analyze(x: Array[Double]): Array[Array[Double]] = {
+    val steps = x.length / 32
+    val out = Array.ofDim[Double](steps, 32)
+    var m = 0
+    while (m < steps) {
+      val t0 = m * 32 + 31 // newest sample of this step
+      var k = 0
+      while (k < 32) {
+        var sum = 0.0
+        var n = 0
+        while (n < 512) {
+          val ti = t0 - n
+          if (ti >= 0) sum += x(ti) * analysisA(k)(n)
+          n += 1
+        }
+        out(m)(k) = sum
+        k += 1
+      }
+      m += 1
+    }
+    out
+  }
+
+  /** forward 36-point MDCT (18 coefficients) with the long sine window */
+  private def forwardMdct(time36: Array[Double]): Array[Double] = {
+    val win = Mp3Tables.imdctWin(0)
+    val out = new Array[Double](18)
+    var k = 0
+    while (k < 18) {
+      var sum = 0.0
+      var i = 0
+      while (i < 36) {
+        sum += time36(i) * win(i) *
+          math.cos(math.Pi / 72.0 * (2 * i + 1 + 18) * (2 * k + 1))
+        i += 1
+      }
+      // 4/N normalization so IMDCT+window+OLA reconstructs at unit gain
+      out(k) = sum * (4.0 / 36.0)
+      k += 1
+    }
+    out
+  }
+
+  /** Full forward transform: mono PCM -> per-granule spectra xr[576]
+    * (subband-major, 18 lines each), plus the antialias forward
+    * butterflies (inverse of the decoder's).
+    */
+  def forwardSpectra(x: Array[Double]): Array[Array[Double]] = {
+    val slices = analyze(x)
+    val nGran = slices.length / 18
+    val prev = Array.ofDim[Double](32, 18)
+    val spectra = Array.ofDim[Double](nGran, 576)
+    var g = 0
+    while (g < nGran) {
+      var sb = 0
+      while (sb < 32) {
+        val t36 = new Array[Double](36)
+        var i = 0
+        while (i < 18) {
+          t36(i) = prev(sb)(i)
+          var v = slices(g * 18 + i)(sb)
+          // undo the decoder's frequency inversion for odd subbands
+          if (sb % 2 == 1 && i % 2 == 1) v = -v
+          t36(18 + i) = v
+          i += 1
+        }
+        i = 0
+        while (i < 18) {
+          var v = slices(g * 18 + i)(sb)
+          if (sb % 2 == 1 && i % 2 == 1) v = -v
+          prev(sb)(i) = v
+          i += 1
+        }
+        val md = forwardMdct(t36)
+        System.arraycopy(md, 0, spectra(g), sb * 18, 18)
+        sb += 1
+      }
+      // forward antialias = inverse butterfly (rotation transpose)
+      var sbb = 0
+      while (sbb < 31) {
+        val off = (sbb + 1) * 18
+        var bi = 0
+        while (bi < 8) {
+          val lo = off - 1 - bi
+          val hi = off + bi
+          val a = spectra(g)(lo); val b = spectra(g)(hi)
+          spectra(g)(lo) = a * Mp3Tables.csTab(bi) + b * Mp3Tables.caTab(bi)
+          spectra(g)(hi) = b * Mp3Tables.csTab(bi) - a * Mp3Tables.caTab(bi)
+          bi += 1
+        }
+        sbb += 1
+      }
+      g += 1
+    }
+    spectra
+  }
+
+  // ------------------------------------------------------------ bits
+
+  private final class BitWriter {
+    private val buf = new scala.collection.mutable.ArrayBuffer[Byte]()
+    private var cur = 0
+    private var nbits = 0
+    def write(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >>> i) & 1)
+        nbits += 1
+        if (nbits == 8) { buf += cur.toByte; cur = 0; nbits = 0 }
+        i -= 1
+      }
+    }
+    def bitLength: Int = buf.length * 8 + nbits
+    def toBytes(padToBytes: Int): Array[Byte] = {
+      while (nbits != 0) write(0, 1)
+      while (buf.length < padToBytes) buf += 0
+      buf.toArray
+    }
+  }
+
+  private final case class EncGranule(
+      globalGain: Int, bigValues: Int, part23: Int, bits: BitWriter)
+
+  /** quantize + huffman-encode one granule spectrum with table 15 */
+  private def encodeGranule(xr: Array[Double]): EncGranule = {
+    // choose global_gain: smallest step with max quantized value <= 15
+    val maxAbs = xr.map(math.abs).max
+    var gg = 210
+    if (maxAbs > 0) {
+      // is = (|xr| * 2^(-(gg-210)/4))^(3/4): LOWER gg = larger step =
+      // larger quantized values. Pick the smallest gg whose max quantized
+      // value still fits table 15 (|v| <= 15) — full codebook range,
+      // finest quantization.
+      def maxIs(g: Int): Double =
+        math.pow(maxAbs * math.pow(2.0, -(g - 210) / 4.0), 0.75)
+      while (gg < 255 && maxIs(gg) > 15.0) gg += 1
+      while (gg > 0 && maxIs(gg - 1) <= 15.0) gg -= 1
+    }
+    val step = math.pow(2.0, -(gg - 210) / 4.0)
+    val is = new Array[Int](576)
+    var last = -1
+    var i = 0
+    while (i < 576) {
+      val q = math.rint(math.pow(math.abs(xr(i)) * step, 0.75)).toInt
+      val qq = math.min(q, 15)
+      is(i) = if (xr(i) < 0) -qq else qq
+      if (qq != 0) last = i
+      i += 1
+    }
+    val bigValues = if (last < 0) 0 else (last + 2) / 2
+    val bw = new BitWriter
+    val tab = Mp3Tables.big(15)
+    i = 0
+    while (i < bigValues * 2) {
+      val x = is(i); val y = is(i + 1)
+      val ax = math.abs(x); val ay = math.abs(y)
+      val sym = ax * 16 + ay
+      bw.write(tab.code(sym), tab.len(sym))
+      if (ax != 0) bw.write(if (x < 0) 1 else 0, 1)
+      if (ay != 0) bw.write(if (y < 0) 1 else 0, 1)
+      i += 2
+    }
+    // scalefactors are all zero (scalefac_compress 0 -> slen 0,0): part2=0
+    EncGranule(gg, bigValues, bw.bitLength, bw)
+  }
+
+  /** Encode mono PCM at a supported MPEG-1 rate into a Layer III stream.
+    * `x` in [-1, 1]; length is truncated to whole frames (2 granules =
+    * 1152 samples each).
+    */
+  def encode(x: Array[Double], sampleRate: Int = 44100,
+      bitrateIdx: Int = 14): Array[Byte] =
+    encodeChannels(Array(x), sampleRate, bitrateIdx)
+
+  /** Stereo variant: independent left/right (mode "stereo", no MS) —
+    * exercises the decoder's two-channel side-info and synthesis paths.
+    */
+  def encodeStereo(l: Array[Double], r: Array[Double],
+      sampleRate: Int = 44100, bitrateIdx: Int = 14): Array[Byte] =
+    encodeChannels(Array(l, r), sampleRate, bitrateIdx)
+
+  private def encodeChannels(chans: Array[Array[Double]], sampleRate: Int,
+      bitrateIdx: Int): Array[Byte] = {
+    val srIdx = Array(44100, 48000, 32000).indexOf(sampleRate)
+    require(srIdx >= 0, s"unsupported rate $sampleRate")
+    val nCh = chans.length
+    require(nCh == 1 || nCh == 2)
+    val spectra = chans.map(forwardSpectra) // [ch][granule][576]
+    val nFrames = spectra.map(_.length).min / 2
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    val bitrate = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+      224, 256, 320)(bitrateIdx)
+    val frameBytes = 144 * bitrate * 1000 / sampleRate // no padding
+    val sideBytes = if (nCh == 1) 17 else 32
+    var fr = 0
+    while (fr < nFrames) {
+      // [gr][ch]
+      val gs = Array.tabulate(2, nCh)((gr, ch) =>
+        encodeGranule(spectra(ch)(fr * 2 + gr)))
+      val bw = new BitWriter
+      // header: sync(11) version(2)=11 layer(2)=01 noCrc(1)=1
+      bw.write(0x7ff, 11); bw.write(3, 2); bw.write(1, 2); bw.write(1, 1)
+      bw.write(bitrateIdx, 4); bw.write(srIdx, 2); bw.write(0, 1) // padding
+      bw.write(0, 1) // private
+      bw.write(if (nCh == 1) 3 else 0, 2) // mode: mono / stereo
+      bw.write(0, 2) // mode extension (no MS, no intensity)
+      bw.write(0, 1); bw.write(0, 1) // copyright/original
+      bw.write(0, 2) // emphasis
+      bw.write(0, 9) // main_data_begin
+      bw.write(0, if (nCh == 1) 5 else 3) // private
+      var c = 0
+      while (c < nCh) { bw.write(0, 4); c += 1 } // scfsi per channel
+      var gr = 0
+      while (gr < 2) {
+        c = 0
+        while (c < nCh) {
+          val g = gs(gr)(c)
+          bw.write(g.part23, 12)
+          bw.write(g.bigValues, 9)
+          bw.write(g.globalGain, 8)
+          bw.write(0, 4) // scalefac_compress
+          bw.write(0, 1) // window switching off
+          bw.write(15, 5); bw.write(15, 5); bw.write(15, 5) // table_select
+          bw.write(7, 4) // region0_count
+          bw.write(7, 3) // region1_count
+          bw.write(0, 1) // preflag
+          bw.write(0, 1) // scalefac_scale
+          bw.write(0, 1) // count1 table A
+          c += 1
+        }
+        gr += 1
+      }
+      val flat = gs.flatten
+      val mainBudgetBits = (frameBytes - 4 - sideBytes) * 8
+      require(flat.map(_.part23).sum <= mainBudgetBits,
+        s"granule data ${flat.map(_.part23).sum} exceeds $mainBudgetBits " +
+          "bits; raise the bitrate index")
+      // main data (gr-major, channel-minor — the side-info order) then
+      // zero stuffing to the fixed frame size
+      flat.foreach { g =>
+        val bytes = g.bits.toBytes(0)
+        var bit = 0
+        while (bit < g.part23) {
+          bw.write((bytes(bit >>> 3) >>> (7 - (bit & 7))) & 1, 1)
+          bit += 1
+        }
+      }
+      out ++= bw.toBytes(frameBytes)
+      fr += 1
+    }
+    out.toArray
+  }
+}

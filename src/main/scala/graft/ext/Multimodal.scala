@@ -23,11 +23,13 @@ import org.apache.spark.sql.types._
   *    duration, bitrate mode, codec ids, sample tables, keyframe counts —
   *    parses for real in [[MediaContainers]] (MPEG audio frame walk +
   *    ISO-BMFF box tree), which is the metadata pass a 100 TB pipeline
-  *    runs Spark-side. Only the codec KERNELS (Layer III subband
-  *    synthesis, H.264/AAC) need libraries this container lacks, so the
-  *    PCM/pixel kernel is `decodeStub` ??? — a deterministic fake signal
-  *    from the bytes. Swapping it for a real JNI/codec call changes no
-  *    plan shape.
+  *    runs Spark-side. MPEG-1 Layer III decodes for REAL since round 8
+  *    ([[Mp3Layer3]]: full subband synthesis, validated-codebook subset —
+  *    see its doc). Only the remaining codec KERNELS (H.264/AAC, and MP3
+  *    frames using the offline-unavailable ESC codebooks) need libraries
+  *    this container lacks, so their PCM/pixel kernel is `decodeStub` ???
+  *    — a deterministic fake signal from the bytes. Swapping it for a
+  *    real JNI/codec call changes no plan shape.
   * The Spark-side plumbing is real and tested: schema (binary + metadata
   * struct), partition-wise batched processing via `mapPartitions` (the Scala
   * analogue of `mapInPandas` — batch shape `(id, bytes) → (id, features)`),
@@ -1032,6 +1034,63 @@ object Multimodal {
       }(enc)
   }
 
+  /** Per-id test tone for the Layer III round trip — deterministic, so the
+    * decode side regenerates the reference signal from the id alone.
+    */
+  private def mp3TestTone(id: Long, nGranules: Int): Array[Double] = {
+    val sr = 44100
+    val freq = 300.0 + (id % 10).toDouble * 250.0
+    Array.tabulate(nGranules * 576)(i =>
+      0.5 * math.sin(2 * math.Pi * freq * i / sr))
+  }
+
+  /** Synthesize one REAL MPEG-1 Layer III stream per row ([[Mp3Encoder]]:
+    * valid headers, side info, table-15 Huffman spectrum) over a
+    * deterministic per-id tone. `nGranules` must be even (2 per frame).
+    */
+  def synthesizeMp3Audio(df: DataFrame, idCol: String,
+      nGranules: Int = 6): DataFrame = {
+    require(nGranules % 2 == 0, "nGranules must be even (2 per frame)")
+    val schema = StructType(Seq(
+      StructField(idCol, LongType), StructField("media", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, Mp3Encoder.encode(mp3TestTone(id, nGranules)))
+      }
+    }(enc)
+  }
+
+  /** Full Layer III decode ([[Mp3Layer3]]) + fidelity check: per row,
+    * decode the media column and compare against the regenerated per-id
+    * tone with the standard delay+gain-fitted PSNR. Output:
+    * (id, sample_rate, channels, n_granules, n_samples, psnr_ok).
+    * Per-row kernel at the codec boundary, like every decoder here.
+    */
+  def mp3DecodeFrame(df: DataFrame, idCol: String, nGranules: Int = 6,
+      minPsnrDb: Double = 20.0): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("sample_rate", LongType),
+      StructField("channels", LongType),
+      StructField("n_granules", LongType),
+      StructField("n_samples", LongType),
+      StructField("psnr_ok", BooleanType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col("media")).mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        Mp3Layer3.decode(r.getAs[Array[Byte]](1)).map { d =>
+          val ref = mp3TestTone(id, nGranules)
+          val (_, _, psnr) = Mp3Layer3.fitPsnr(ref, d.samples, 1500)
+          Row(id, d.sampleRate.toLong, d.channels.toLong,
+            d.nGranules.toLong, d.samples.length.toLong, psnr >= minPsnrDb)
+        }
+      }
+    }(enc)
+  }
+
   val MetaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),
     StructField("n_bytes", LongType),
@@ -1049,18 +1108,21 @@ object Multimodal {
         octet_length(col(payloadCol)).cast("long").as("n_bytes"),
         md5(col(payloadCol)).as("checksum")).as("meta"))
 
-  /** STUB ??? — reached only for the PCM/pixel KERNELS of the
-    * perceptual codecs (MP3 Layer III subband synthesis, H.264/AAC),
-    * which the JVM does not bundle (a real implementation calls ffmpeg
-    * via JNI here). Everything else decodes for REAL: images via
-    * [[decode]] (PPM/BMP/QOI native; JPEG/PNG via the JDK codec since
-    * round 6), audio via [[decodeWav]] (PCM native; G.711 μ-law/A-law
-    * and IMA-ADPCM through the closed-form [[AudioCodecs]] kernels since
-    * round 7), video via [[MediaContainers.aviFrameCheck]] (MJPEG-in-AVI
-    * through the JDK JPEG codec), and MP3/MP4 CONTAINER metadata
-    * (duration, codec, sample tables) in [[MediaContainers]]. The stub
-    * derives `dim` deterministic floats from a rolling view of the bytes
-    * so downstream ops (similarity, dedup) are exercisable end-to-end.
+  /** STUB ??? — reached only for the pixel/PCM KERNELS still outside the
+    * pure-JVM boundary: H.264/AAC, and MP3 frames whose Huffman codebook
+    * is in the offline-unavailable set (tables 11, 13, 16-31 — see
+    * [[Mp3Tables.big]]); a real implementation calls ffmpeg via JNI here.
+    * Everything else decodes for REAL: images via [[decode]] (PPM/BMP/QOI
+    * native; JPEG/PNG via the JDK codec since round 6), audio via
+    * [[decodeWav]] (PCM native; G.711 μ-law/A-law and IMA-ADPCM through
+    * the closed-form [[AudioCodecs]] kernels since round 7), MPEG-1
+    * Layer III through the full [[Mp3Layer3]] pipeline (round 8: bit
+    * reservoir, Huffman, requantize, stereo, IMDCT, polyphase synthesis),
+    * video via [[MediaContainers.aviFrameCheck]] (MJPEG-in-AVI through
+    * the JDK JPEG codec), and MP3/MP4 CONTAINER metadata (duration,
+    * codec, sample tables) in [[MediaContainers]]. The stub derives `dim`
+    * deterministic floats from a rolling view of the bytes so downstream
+    * ops (similarity, dedup) are exercisable end-to-end.
     */
   private def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)

@@ -1,0 +1,128 @@
+package graft.ext
+
+/** MPEG-1 Layer III decode pipeline ([[Mp3Layer3]]) against the in-repo
+  * encoder ([[Mp3Encoder]]):
+  *  - codebook validation: exactly the documented usable set is
+  *    prefix-free + Kraft-complete; unavailable tables are inert;
+  *  - the pure filterbank (analysis → MDCT → IMDCT → synthesis) is a
+  *    near-inverse pair: ≥30 dB PSNR at ~unit gain, quantization off;
+  *  - full codec round trips (mono single tone, mono multi-tone, stereo
+  *    with distinct channels) clear PSNR floors through the 4-bit
+  *    table-15 quantizer;
+  *  - bitstream robustness: garbage input, truncated streams, and frames
+  *    selecting an unavailable codebook decode to None / stop cleanly.
+  */
+class Mp3Layer3Spec extends graft.SparkSpec {
+
+  private val sr = 44100
+
+  private def tone(freqs: (Double, Double)*)(n: Int): Array[Double] =
+    Array.tabulate(n)(i =>
+      freqs.map { case (f, a) => a * math.sin(2 * math.Pi * f * i / sr) }.sum)
+
+  test("huffman codebooks: usable set is exactly the documented one") {
+    val expectUsable = Set(1, 2, 3, 5, 6, 7, 8, 9, 10, 12, 15)
+    val actual = Mp3Tables.big.zipWithIndex.collect {
+      case (t, i) if t.usable => i
+    }.toSet
+    assert(actual == expectUsable)
+    expectUsable.foreach { i =>
+      assert(math.abs(Mp3Tables.big(i).kraft - 1.0) < 1e-9, s"table $i kraft")
+    }
+    assert(math.abs(Mp3Tables.count1A.kraft - 1.0) < 1e-9)
+    // every usable table round-trips every codeword through its trie
+    expectUsable.foreach { i =>
+      val t = Mp3Tables.big(i)
+      (0 until t.len.length).filter(t.len(_) > 0).foreach { sym =>
+        var node = 0
+        var bit = t.len(sym) - 1
+        while (bit >= 0) {
+          val b = (t.code(sym) >>> bit) & 1
+          val v = t.trie(node * 2 + b)
+          if (bit == 0) assert(v == -(sym + 1), s"table $i sym $sym")
+          else node = v
+          bit -= 1
+        }
+      }
+    }
+  }
+
+  test("pure filterbank inverse property: >=30 dB at ~unit gain") {
+    val x = tone((441.0, 0.35), (1870.0, 0.25), (5012.0, 0.15))(1152 * 6)
+    val out = Mp3Layer3.synthesizeSpectra(Mp3Encoder.forwardSpectra(x))
+    val (_, gain, psnr) = Mp3Layer3.fitPsnr(x, out, 1500)
+    assert(psnr >= 30.0, s"filterbank psnr $psnr")
+    assert(math.abs(gain - 1.0) < 0.05, s"chain gain $gain drifted")
+  }
+
+  test("mono single-tone codec round trip >= 24 dB") {
+    val x = tone((441.0, 0.5))(1152 * 6)
+    val d = Mp3Layer3.decode(Mp3Encoder.encode(x)).get
+    assert(d.sampleRate == sr && d.channels == 1 && d.nGranules == 12)
+    assert(d.samples.length == 1152 * 6)
+    val (_, _, psnr) = Mp3Layer3.fitPsnr(x, d.samples, 1500)
+    assert(psnr >= 24.0, s"codec psnr $psnr")
+  }
+
+  test("mono multi-tone codec round trip >= 20 dB") {
+    val x = tone((441.0, 0.35), (1870.0, 0.25), (5012.0, 0.15))(1152 * 6)
+    val d = Mp3Layer3.decode(Mp3Encoder.encode(x)).get
+    val (_, _, psnr) = Mp3Layer3.fitPsnr(x, d.samples, 1500)
+    assert(psnr >= 20.0, s"codec psnr $psnr")
+  }
+
+  test("stereo: channels decode independently, each >= 20 dB") {
+    val l = tone((441.0, 0.5))(1152 * 4)
+    val r = tone((1336.0, 0.4))(1152 * 4)
+    val d = Mp3Layer3.decode(Mp3Encoder.encodeStereo(l, r)).get
+    assert(d.channels == 2)
+    assert(d.samples.length == 1152 * 4 * 2)
+    val dl = Array.tabulate(1152 * 4)(i => d.samples(2 * i))
+    val dr = Array.tabulate(1152 * 4)(i => d.samples(2 * i + 1))
+    val (_, _, pl) = Mp3Layer3.fitPsnr(l, dl, 1500)
+    val (_, _, pr) = Mp3Layer3.fitPsnr(r, dr, 1500)
+    assert(pl >= 20.0, s"left psnr $pl")
+    assert(pr >= 20.0, s"right psnr $pr")
+    // cross-check: left signal must NOT fit the right channel
+    val (_, _, cross) = Mp3Layer3.fitPsnr(l, dr, 1500)
+    assert(cross < 10.0, s"channel bleed: cross psnr $cross")
+  }
+
+  test("garbage and truncation are rejected or stop cleanly") {
+    assert(Mp3Layer3.decode(Array.fill[Byte](256)(0x55)).isEmpty)
+    assert(Mp3Layer3.decode(Array.empty[Byte]).isEmpty)
+    val x = tone((441.0, 0.5))(1152 * 6)
+    val enc = Mp3Encoder.encode(x)
+    // cut mid-frame: whole frames before the cut still decode
+    val cut = Mp3Layer3.decode(enc.take(enc.length - 100))
+    assert(cut.isDefined && cut.get.nGranules >= 8)
+  }
+
+  test("a frame selecting an unavailable codebook decodes to None") {
+    val x = tone((441.0, 0.5))(1152 * 2)
+    val enc = Mp3Encoder.encode(x)
+    // granule 0's first table_select sits at a fixed offset in the mono
+    // layout: header(32) + mdb(9)+priv(5)+scfsi(4) + p23(12)+bv(9)+gg(8)+
+    // sfc(4)+ws(1) = 84 bits after the header -> bit 116; overwrite the
+    // 5-bit field with 13 (a structurally-unavailable table)
+    val bad = enc.clone()
+    def setBit(bit: Int, v: Int): Unit = {
+      val mask = 1 << (7 - (bit & 7))
+      if (v == 1) bad(bit >>> 3) = (bad(bit >>> 3) | mask).toByte
+      else bad(bit >>> 3) = (bad(bit >>> 3) & ~mask).toByte
+    }
+    val tsel = 13
+    var i = 0
+    while (i < 5) { setBit(116 + i, (tsel >>> (4 - i)) & 1); i += 1 }
+    assert(Mp3Layer3.decode(bad).isEmpty)
+  }
+
+  test("MPEG-2 LSF and non-Layer-III inputs return None (metadata still parses)") {
+    // the container-synthesized MPEG-2 frames (MediaContainers.synthesizeMp3
+    // id%3==0 shape) carry no valid Layer III payload for this decoder
+    val lsf = MediaContainers.mp3Pack(2, 3, 0, mono = true,
+      frames = Seq.fill(4)((5, 0)))
+    assert(Mp3Layer3.decode(lsf).isEmpty)
+    assert(MediaContainers.parseMp3(lsf).isDefined)
+  }
+}
