@@ -566,9 +566,16 @@ object Mp3Layer3 {
   // ------------------------------------------------------------ decode
 
   /** Decode an MPEG-1 Layer III stream to PCM. Returns None on any
-    * malformed frame, unavailable codebook, or non-MPEG-1 input.
+    * malformed frame, unavailable codebook, or non-MPEG-1 input — a
+    * crafted stream whose side-info lengths point past the reservoir
+    * must reject, never throw (same malformed-input contract as the
+    * other decoders here).
     */
-  def decode(bytes: Array[Byte], maxFrames: Int = 4096): Option[Decoded] = {
+  def decode(bytes: Array[Byte], maxFrames: Int = 4096): Option[Decoded] =
+    try decodeImpl(bytes, maxFrames)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeImpl(bytes: Array[Byte], maxFrames: Int): Option[Decoded] = {
     var off = id3v2Size(bytes)
     // resync to first frame
     var first: Option[Mp3Frame] = None

@@ -91,6 +91,16 @@ class Mp3Layer3Spec extends graft.SparkSpec {
   test("garbage and truncation are rejected or stop cleanly") {
     assert(Mp3Layer3.decode(Array.fill[Byte](256)(0x55)).isEmpty)
     assert(Mp3Layer3.decode(Array.empty[Byte]).isEmpty)
+    // fuzz: valid header prefix + deterministic pseudo-random payloads
+    // must reject or decode, never throw
+    val rnd = new scala.util.Random(7)
+    (0 until 50).foreach { _ =>
+      val junk = new Array[Byte](1044 * 2)
+      rnd.nextBytes(junk)
+      junk(0) = 0xff.toByte; junk(1) = 0xfb.toByte // MPEG1 L3 sync
+      junk(2) = 0xe0.toByte; junk(3) = 0xc0.toByte // 320kbps 44.1 mono
+      Mp3Layer3.decode(junk): Unit // must not throw
+    }
     val x = tone((441.0, 0.5))(1152 * 6)
     val enc = Mp3Encoder.encode(x)
     // cut mid-frame: whole frames before the cut still decode
