@@ -27,7 +27,10 @@ import graft.pipeline.PipelineCompiler
   * explicit-null dropped, empty-string KEPT at this plane, per-collection
   * warnings, edges surviving a dropped vertex); cross-batch keyed upsert
   * (field-wise last-wins, in-batch doc order, compound identities, edge
-  * re-insert); extra_weights resource entries (invalid vertex and absent
+  * re-insert); endpoint resolution in the writer (cross-batch secondary →
+  * primary against the stored collections, missing-match drop, ambiguity
+  * policies all/first/skip fan-out and the error policy failing the write
+  * on BOTH engines); extra_weights resource entries (invalid vertex and absent
   * vertex are skipped without failing the write; an ACTIVE vertex_weights
   * entry CRASHES the reference — db_writer.py:378 reads
   * `weight.properties`, the model declares `fields` — recorded as
@@ -128,12 +131,18 @@ class ReferenceWriterParitySpec extends SparkSpec {
         if (c.path("batches").isArray) {
           // per-batch idSalt = the compile contract for multi-batch ingest
           // (the reference mints uuid4 per doc; graft's deterministic mint
-          // discriminates batches via the salt, Compiler.scala idSalt doc)
+          // discriminates batches via the salt, Compiler.scala idSalt doc).
+          // A batch entry is either a bare doc list (the case's default
+          // resource) or {resource, docs} for multi-resource sequences.
           c.path("batches").elements().asScala.zipWithIndex.foreach {
             case (batch, i) =>
-              val df = docsToDf(batch)
+              val (rname, docs) =
+                if (batch.isObject)
+                  (batch.path("resource").asText(), batch.path("docs"))
+                else (c.path("resource").asText(), batch)
+              val df = docsToDf(docs)
               recordWrite(PipelineCompiler.compile(m.schema,
-                m.resource(c.path("resource").asText()), df, idSalt = s"b$i"))
+                m.resource(rname), df, idSalt = s"b$i"))
           }
         } else {
           c.path("direct").elements().asScala.foreach { gcSpec =>
@@ -165,12 +174,20 @@ class ReferenceWriterParitySpec extends SparkSpec {
       }
 
       if (refError) {
-        // the reference CRASHED on this case (executed truth recorded in
-        // the fixture); graft must complete the write instead — content
-        // comparison is meaningless, the divergence is documented
-        assert(ran.isSuccess,
-          s"[$name] reference crashed (${c.path("error").asText()}) and " +
-            s"graft also failed: ${ran.failed.toOption}")
+        // the reference raised on this case (executed truth recorded in
+        // the fixture). graft_expectation says which kind: "fail" =
+        // semantic error both engines owe (e.g. endpoints_on_ambiguous:
+        // error); "succeed" = a reference-side crash graft implements the
+        // documented intent for (DIVERGENCES.md). Content comparison is
+        // meaningless either way.
+        if (c.path("graft_expectation").asText("succeed") == "fail")
+          assert(ran.isFailure,
+            s"[$name] reference raised (${c.path("error").asText()}) but " +
+              "graft completed a write the policy forbids")
+        else
+          assert(ran.isSuccess,
+            s"[$name] reference crashed (${c.path("error").asText()}) and " +
+              s"graft also failed: ${ran.failed.toOption}")
       } else {
       assert(ran.isSuccess, s"[$name] graft write failed: ${ran.failed.toOption}")
 

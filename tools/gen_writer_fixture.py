@@ -71,9 +71,16 @@ UUID_RE = re.compile(
 CASES = []
 
 
-def case(name, manifest_yaml, batches=None, direct=None, resource="r"):
+def case(name, manifest_yaml, batches=None, direct=None, resource="r",
+         graft_expectation="succeed"):
+    """batches: list of doc-lists (all for `resource`), or list of
+    {"resource": name, "docs": [...]} dicts for multi-resource sequences.
+    graft_expectation: "succeed" (default — even where the reference
+    crashes on its own bug) or "fail" (semantic errors both engines owe,
+    e.g. endpoints_on_ambiguous: error)."""
     CASES.append({"name": name, "manifest": manifest_yaml,
-                  "batches": batches, "direct": direct, "resource": resource})
+                  "batches": batches, "direct": direct, "resource": resource,
+                  "graft_expectation": graft_expectation})
 
 
 # ----------------------------------------------------------------- schemas
@@ -754,6 +761,119 @@ ingestion_model:
     {"pid": "p1", "home": [{"cid": "c1", "pop": 10}]},
 ]])
 
+
+# ----------------------------------------- endpoint resolution (writer)
+
+# secondary-identity endpoint resolution runs in the WRITER against the
+# post-upsert store (db_writer._resolve_endpoints -> resolve_edge_endpoints)
+# — these corners exercise it across batches and under each ambiguity
+# policy. NOTE on `first`: the reference picks the first match in backend
+# fetch order, which is unspecified on real backends; graft canonicalizes
+# to the smallest primary id. Cases align insertion order with primary
+# order so the two coincide on the file backend (DIVERGENCES.md).
+def SCHEMA_SEC2(policy):
+    return """
+schema:
+    metadata: {name: t}
+    graph:
+        vertex_config:
+            vertices:
+            -   name: instrument
+                properties: [sid, isin]
+                identity: [sid]
+                secondary_identities:
+                -   name: by_isin
+                    fields: [isin]
+            -   name: issuer
+                properties: [iid, lei]
+                identity: [iid]
+                secondary_identities:
+                -   name: by_lei
+                    fields: [lei]
+        edge_config:
+            edges:
+            -   source: instrument
+                target: issuer
+                relation: issued_by
+ingestion_model:
+    endpoints_on_ambiguous: """ + policy + """
+    resources:
+    -   name: seed_i
+        pipeline:
+        -   vertex: instrument
+    -   name: seed_j
+        pipeline:
+        -   vertex: issuer
+    -   name: links
+        pipeline:
+        -   vertex: instrument
+            lookup_only: true
+        -   vertex: issuer
+            lookup_only: true
+        -   from: instrument
+            to: issuer
+            relation: issued_by
+            source_match: by_isin
+            target_match: by_lei
+"""
+
+# cross-batch: endpoints seeded in EARLIER writes; the link batch carries
+# only secondary fields and resolution reads the stored collections
+case("er_cross_batch", SCHEMA_SEC2("all"), batches=[
+    {"resource": "seed_i", "docs": [
+        {"sid": "S1", "isin": "US1"}, {"sid": "S2", "isin": "US2"}]},
+    {"resource": "seed_j", "docs": [
+        {"iid": "I1", "lei": "L1"}, {"iid": "I2", "lei": "L2"}]},
+    {"resource": "links", "docs": [
+        {"isin": "US1", "lei": "L2"}, {"isin": "US2", "lei": "L1"}]},
+])
+
+# a link whose secondary key matches NOTHING drops out of the edge write
+case("er_missing_match", SCHEMA_SEC2("all"), batches=[
+    {"resource": "seed_i", "docs": [{"sid": "S1", "isin": "US1"}]},
+    {"resource": "seed_j", "docs": [{"iid": "I1", "lei": "L1"}]},
+    {"resource": "links", "docs": [
+        {"isin": "US1", "lei": "L1"}, {"isin": "NOPE", "lei": "L1"},
+        {"isin": "US1", "lei": "GONE"}]},
+])
+
+# ambiguity fan-out: two issuers share the lei; policy all -> both edges
+case("er_ambiguous_all", SCHEMA_SEC2("all"), batches=[
+    {"resource": "seed_i", "docs": [{"sid": "S1", "isin": "US1"}]},
+    {"resource": "seed_j", "docs": [
+        {"iid": "I1", "lei": "L1"}, {"iid": "I2", "lei": "L1"}]},
+    {"resource": "links", "docs": [{"isin": "US1", "lei": "L1"}]},
+])
+
+# policy first: one edge (insertion order aligned with primary order —
+# see the section note)
+case("er_ambiguous_first", SCHEMA_SEC2("first"), batches=[
+    {"resource": "seed_i", "docs": [{"sid": "S1", "isin": "US1"}]},
+    {"resource": "seed_j", "docs": [
+        {"iid": "I1", "lei": "L1"}, {"iid": "I2", "lei": "L1"}]},
+    {"resource": "links", "docs": [{"isin": "US1", "lei": "L1"}]},
+])
+
+# policy skip: the ambiguous key contributes NO edge; an unambiguous one
+# in the same batch still resolves
+case("er_ambiguous_skip", SCHEMA_SEC2("skip"), batches=[
+    {"resource": "seed_i", "docs": [
+        {"sid": "S1", "isin": "US1"}, {"sid": "S2", "isin": "US2"}]},
+    {"resource": "seed_j", "docs": [
+        {"iid": "I1", "lei": "L1"}, {"iid": "I2", "lei": "L1"},
+        {"iid": "I3", "lei": "L3"}]},
+    {"resource": "links", "docs": [
+        {"isin": "US1", "lei": "L1"}, {"isin": "US2", "lei": "L3"}]},
+])
+
+# policy error: an ambiguous key FAILS the write on both engines
+case("er_ambiguous_error", SCHEMA_SEC2("error"), batches=[
+    {"resource": "seed_i", "docs": [{"sid": "S1", "isin": "US1"}]},
+    {"resource": "seed_j", "docs": [
+        {"iid": "I1", "lei": "L1"}, {"iid": "I2", "lei": "L1"}]},
+    {"resource": "links", "docs": [{"isin": "US1", "lei": "L1"}]},
+], graft_expectation="fail")
+
 # ----------------------------------------------------------------- runner
 
 
@@ -821,9 +941,13 @@ def run_case(c):
         if c["batches"] is not None:
             caster = DocumentCaster(m.require_ingestion_model())
             for batch in c["batches"]:
+                if isinstance(batch, dict):
+                    rname, docs = batch["resource"], batch["docs"]
+                else:
+                    rname, docs = c["resource"], batch
                 res = asyncio.run(caster.cast_batch(
-                    list(batch), c["resource"], params=IngestionParams()))
-                asyncio.run(w.write(res.graph, conf, c["resource"]))
+                    list(docs), rname, params=IngestionParams()))
+                asyncio.run(w.write(res.graph, conf, rname))
         else:
             for gc_spec in c["direct"]:
                 edges = {}
@@ -924,13 +1048,18 @@ def run_case(c):
         "store": {"vertices": out_vertices, "edges": out_edges},
         # aggregated per vertex across write calls (warnings keep per-call
         # granularity)
+        "graft_expectation": c["graft_expectation"],
         "drops": sorted(
             ({"vertex": v,
               "dropped": sum(d["dropped"] for d in drops if d["vertex"] == v),
               "fields": next(d["fields"] for d in drops if d["vertex"] == v)}
              for v in {d["vertex"] for d in drops}),
             key=lambda d: d["vertex"]),
-        "warnings": sorted(m for lvl, m in warns if lvl == "WARNING"),
+        # compared plane: the drop-unkeyed payloads (graft's WriteReport);
+        # the resolver's stats-summary log lines are reference logging
+        # chatter whose CONTENT the edge-set comparison already covers
+        "warnings": sorted(m for lvl, m in warns
+                           if lvl == "WARNING" and m.startswith("Skipped ")),
         "errors_logged": sorted(m for lvl, m in warns if lvl == "ERROR"),
         "error": error,
     }
