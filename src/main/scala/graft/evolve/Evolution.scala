@@ -37,8 +37,22 @@ object EvolutionOp {
       v.copy(properties = v.properties :+ field))
   }
   final case class RemoveProperty(vertex: String, field: String) extends EvolutionOp {
-    def apply(s: GraphSchema) = mapVertex(s, vertex)(v =>
-      v.copy(properties = v.properties.filterNot(_.name == field)))
+    def apply(s: GraphSchema) = mapVertex(s, vertex) { v =>
+      // removing a field the vertex UPSERTS BY is rejected (executed
+      // evolution-parity: the reference raises "remove_vertex_properties
+      // cannot remove identity fields" — replace the identity first)
+      val idFields = v.identity match {
+        case Identity.Natural(fs)   => fs
+        case Identity.Hash(fs)      => fs
+        case Identity.Assigned(f)   => Seq(f)
+        case Identity.Funnel(bs, _) => bs.flatMap(b => b.whenAllPresent ++ b.digestFields)
+        case _                      => Nil
+      }
+      if (idFields.contains(field)) throw new IllegalArgumentException(
+        s"remove_property: cannot remove identity field '$field' of " +
+          s"'$vertex' (use ReplaceIdentity first)")
+      v.copy(properties = v.properties.filterNot(_.name == field))
+    }
   }
   final case class RenameProperty(vertex: String, from: String, to: String) extends EvolutionOp {
     private def ren(f: String) = if (f == from) to else f
@@ -60,9 +74,46 @@ object EvolutionOp {
       properties = v.properties.map(p =>
         if (p.name == field) p.copy(ftype = Some(ftype)) else p)))
   }
-  /** identity replacement natural↔hash↔funnel↔assigned↔blank (ops.py) */
-  final case class ReplaceIdentity(vertex: String, identity: Identity) extends EvolutionOp {
-    def apply(s: GraphSchema) = mapVertex(s, vertex)(_.copy(identity = identity))
+  /** Identity replacement natural↔hash↔funnel↔assigned↔blank with the
+    * reference's RETIRE policy for the OLD identity field-set
+    * (ReplaceIdentityOp / IdentityReplacement, ops.py:202-267, executed
+    * evolution-parity fixture):
+    *  - `demote` (default): the old NATURAL fields become a secondary
+    *    identity named `retireAs` (default "retired_identity"); demotion
+    *    downgrades to `keep` when the old identity was synthetic
+    *    (hash/funnel/assigned/blank) or already equals the new one;
+    *  - `keep`: old fields stay as plain properties;
+    *  - `drop`: old natural identity fields are REMOVED from the
+    *    properties (fields shared with the new identity survive).
+    * The reference's `endpoints: pin_to_retired` rewrite is
+    * ingestion-plane and out of schema-plane scope (DIVERGENCES.md).
+    */
+  final case class ReplaceIdentity(vertex: String, identity: Identity,
+      retire: String = "demote", retireAs: Option[String] = None)
+      extends EvolutionOp {
+    require(Set("demote", "keep", "drop")(retire),
+      s"replace_identity: retire must be demote|keep|drop, got '$retire'")
+    def apply(s: GraphSchema) = mapVertex(s, vertex) { v =>
+      val oldNatural = v.identity match {
+        case Identity.Natural(fs) => fs
+        case _                    => Nil // synthetic: demote downgrades to keep
+      }
+      val base = v.copy(identity = identity)
+      retire match {
+        case "demote"
+          if oldNatural.nonEmpty && v.identity != identity =>
+          base.copy(secondary = base.secondary :+
+            SecondaryIdentity(retireAs.getOrElse("retired_identity"), oldNatural))
+        case "drop" if oldNatural.nonEmpty =>
+          val keepFields = identity match {
+            case Identity.Natural(fs) => fs.toSet
+            case _                    => Set.empty[String]
+          }
+          val gone = oldNatural.filterNot(keepFields).toSet
+          base.copy(properties = base.properties.filterNot(p => gone(p.name)))
+        case _ => base
+      }
+    }
   }
   final case class AddSecondaryIdentity(vertex: String, sec: SecondaryIdentity) extends EvolutionOp {
     def apply(s: GraphSchema) = mapVertex(s, vertex)(v => v.copy(secondary = v.secondary :+ sec))
@@ -109,6 +160,17 @@ object EvolutionOp {
   /** Fold duplicate edge keys via [[mergeEdgePair]] (first occurrence
     * keeps its position) — the reference's post-rename merge loop.
     */
+  /** reject duplicate (source, target, relation) triples — the reference's
+    * manifest re-validation contract for rename/retarget ops (merge is the
+    * MergeVertices/MergeEdges privilege, merge_core.py)
+    */
+  private def requireNoDuplicates(edges: Seq[EdgeDef], op: String): Unit = {
+    val dups = edges.groupBy(_.key).collect { case (k, es) if es.size > 1 => k }
+    if (dups.nonEmpty) throw new IllegalArgumentException(
+      s"$op: duplicate edge definitions: ${dups.mkString(", ")} " +
+        "(use MergeEdges/MergeVertices to collapse edges deliberately)")
+  }
+
   private def mergeDuplicateEdges(edges: Seq[EdgeDef]): Seq[EdgeDef] = {
     val byKey = scala.collection.mutable.LinkedHashMap.empty[EdgeKey, EdgeDef]
     edges.foreach { e =>
@@ -118,28 +180,44 @@ object EvolutionOp {
   }
 
   final case class RenameRelation(key: EdgeKey, to: String) extends EvolutionOp {
-    // a rename can land on an existing key — merge like the reference's
-    // remap_relation_and_merge_edges (merge_core.py:249-269)
-    def apply(s: GraphSchema) = s.copy(edges = mergeDuplicateEdges(
-      s.edges.map(e => if (e.key == key) e.copy(relation = to) else e)))
+    // a rename landing on an existing key is REJECTED (executed
+    // evolution-parity: the reference's manifest re-validation raises
+    // "duplicate edge definitions"; MergeEdges is the merge path)
+    def apply(s: GraphSchema) = {
+      val renamed = s.edges.map(e => if (e.key == key) e.copy(relation = to) else e)
+      requireNoDuplicates(renamed, "rename_relation")
+      s.copy(edges = renamed)
+    }
   }
-  /** retarget an edge to different endpoint types (ops.py retarget) */
+  /** Retarget an edge to different endpoint types (ops.py retarget).
+    * A retarget landing on an existing (source, target, relation) triple
+    * is REJECTED (executed evolution-parity: apply.py raises "retargeted
+    * edges collide with existing ones; use Merge...").
+    */
   final case class RetargetEdge(key: EdgeKey, newSource: String, newTarget: String) extends EvolutionOp {
-    def apply(s: GraphSchema) = s.copy(edges = mergeDuplicateEdges(
-      s.edges.map(e =>
-        if (e.key == key) e.copy(source = newSource, target = newTarget) else e)))
+    def apply(s: GraphSchema) = {
+      val moved = s.edges.map(e =>
+        if (e.key == key) e.copy(source = newSource, target = newTarget) else e)
+      requireNoDuplicates(moved, "retarget_edges")
+      s.copy(edges = moved)
+    }
   }
-  /** rename relation NAMES across every dyad (reference RenameRelationsOp,
+  /** Rename relation NAMES across every dyad (reference RenameRelationsOp,
     * ops.py:375-393) — injective map; a rename landing on an existing key
-    * merges via [[mergeEdgePair]].
+    * between the same endpoints is REJECTED (executed evolution-parity:
+    * the reference's manifest re-validation raises "duplicate edge
+    * definitions"; MergeEdges is the deliberate merge path).
     */
   final case class RenameRelations(relations: Map[String, String]) extends EvolutionOp {
     require(relations.nonEmpty, "rename_relations requires a non-empty map")
     require(relations.values.toSeq.distinct.size == relations.size,
       "rename_relations map must be injective (use MergeEdges to collapse)")
-    def apply(s: GraphSchema) = s.copy(edges = mergeDuplicateEdges(
-      s.edges.map(e =>
-        relations.get(e.relation).map(r => e.copy(relation = r)).getOrElse(e))))
+    def apply(s: GraphSchema) = {
+      val renamed = s.edges.map(e =>
+        relations.get(e.relation).map(r => e.copy(relation = r)).getOrElse(e))
+      requireNoDuplicates(renamed, "rename_relations")
+      s.copy(edges = renamed)
+    }
   }
 
   /** merge source relation names into one canonical relation (reference
@@ -254,9 +332,21 @@ object EvolutionOp {
       val srcDefs = sources.map(s.vertexByName)
       val base = s.vertexByName.get(into)
         .getOrElse(srcDefs.head.copy(name = into))
-      val merged = srcDefs.foldLeft(base)((acc, sv) =>
+      // identity = UNION of the natural identity fields in encounter order
+      // (executed evolution-parity: merging city[cid] + company[coid] into
+      // org yields identity [cid, coid] — the reference warns that rows
+      // must carry ALL of them to collide, and unions anyway)
+      def natFields(i: Identity): Seq[String] = i match {
+        case Identity.Natural(fs) => fs
+        case _                    => Nil
+      }
+      val merged0 = srcDefs.foldLeft(base)((acc, sv) =>
         acc.copy(properties = mergeProps(acc.properties, sv.properties),
           secondary = (acc.secondary ++ sv.secondary).distinctBy(_.name)))
+      val unionId = (natFields(base.identity) ++
+        srcDefs.flatMap(sv => natFields(sv.identity))).distinct
+      val merged = if (unionId.nonEmpty)
+        merged0.copy(identity = Identity.Natural(unionId)) else merged0
       val gone = sources.toSet
       def ren(n: String) = if (gone(n)) into else n
       val edges0 = s.edges.map(e => e.copy(source = ren(e.source), target = ren(e.target)))
@@ -630,7 +720,7 @@ object Evolution {
               store.overwriteEdges(newKey, merged)
             }
           }
-        case ReplaceIdentity(vx, _) =>
+        case ReplaceIdentity(vx, _, _, _) =>
           val oldIdCols = schema.vertex(vx).idColumns
           store.readVertices(vx).foreach { df =>
             val vdefNew = op(schema).vertex(vx)

@@ -46,7 +46,7 @@ object Planner {
     case RemoveProperty(v, f)          => s"vertex:$v:$f"
     case RenameProperty(v, a, _)       => s"vertex:$v:$a"
     case SetFieldType(v, f, _)         => s"vertex:$v:$f"
-    case ReplaceIdentity(v, _)         => s"vertex:$v"
+    case ReplaceIdentity(v, _, _, _)   => s"vertex:$v"
     case AddSecondaryIdentity(v, s)    => s"vertex:$v:${s.name}"
     case RemoveSecondaryIdentity(v, n) => s"vertex:$v:$n"
     case MergeVertices(srcs, into, _, _) => s"vertex:${srcs.mkString("+")}>$into"

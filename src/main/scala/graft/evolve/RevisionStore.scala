@@ -172,8 +172,10 @@ object RevisionStore {
       case SetFieldType(vx, f, t) =>
         o.put("op", "set_field_type"); o.put("vertex", vx)
         o.set[JsonNode]("field", fieldToJson(FieldDef(f, Some(t))))
-      case ReplaceIdentity(vx, id) =>
+      case ReplaceIdentity(vx, id, retire, retireAs) =>
         o.put("op", "replace_identity"); o.put("vertex", vx)
+        o.put("retire", retire)
+        retireAs.foreach(o.put("retire_as", _))
         val io = o.putObject("identity"); identityToJson(io, id)
       case AddSecondaryIdentity(vx, s) =>
         o.put("op", "add_secondary"); o.put("vertex", vx)
@@ -228,7 +230,10 @@ object RevisionStore {
       val f = fieldFromJson(n.path("field"))
       SetFieldType(n.path("vertex").asText(), f.name, f.ftype.get)
     case "replace_identity" =>
-      ReplaceIdentity(n.path("vertex").asText(), identityFromJson(n.path("identity")))
+      ReplaceIdentity(n.path("vertex").asText(),
+        identityFromJson(n.path("identity")),
+        retire = n.path("retire").asText("demote"),
+        retireAs = Option(n.get("retire_as")).filterNot(_.isNull).map(_.asText()))
     case "add_secondary" => AddSecondaryIdentity(n.path("vertex").asText(),
       SecondaryIdentity(n.path("name").asText(), strs(n, "fields")))
     case "remove_secondary" =>

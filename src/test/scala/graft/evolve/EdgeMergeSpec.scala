@@ -60,29 +60,33 @@ class EdgeMergeSpec extends SparkSpec {
     assert(!ks.head.directed)
   }
 
-  test("relation-remap collision merges and preserves undirected") {
+  test("relation-remap collision is rejected (merge is MergeEdges' job)") {
+    // executed evolution-parity: the reference's manifest re-validation
+    // raises "duplicate edge definitions" when a rename lands on an
+    // existing (source, target, relation) key
     val s = GraphSchema(
       vertices = Seq(vertex("a"), vertex("b")),
       edges = Seq(
         EdgeDef("a", "b", "likes", directed = false,
           properties = Seq(FieldDef("since"))),
         EdgeDef("a", "b", "knows", directed = true)))
-    val out = Evolution(s, Seq(
-      RenameRelation(EdgeKey("a", "b", "likes"), "knows")))
-    assert(out.edges.size == 1)
-    val e = out.edges.head
-    assert(e.relation == "knows" && !e.directed)
-    assert(e.properties.map(_.name) == Seq("since"))
+    intercept[IllegalArgumentException](Evolution(s, Seq(
+      RenameRelation(EdgeKey("a", "b", "likes"), "knows"))))
+    // non-colliding rename still works
+    val ok = Evolution(s, Seq(
+      RenameRelation(EdgeKey("a", "b", "likes"), "adores")))
+    assert(ok.edges.map(_.relation).sorted == Seq("adores", "knows"))
   }
 
-  test("retarget collision merges duplicate keys") {
+  test("retarget collision is rejected (executed reference truth)") {
     val s = GraphSchema(
       vertices = Seq(vertex("a"), vertex("b"), vertex("c")),
       edges = Seq(
         EdgeDef("a", "b", "r", directed = false),
         EdgeDef("a", "c", "r", directed = true)))
-    val out = Evolution(s, Seq(
-      RetargetEdge(EdgeKey("a", "c", "r"), "a", "b")))
-    assert(out.edges.size == 1 && !out.edges.head.directed)
+    intercept[IllegalArgumentException](Evolution(s, Seq(
+      RetargetEdge(EdgeKey("a", "c", "r"), "a", "b"))))
+    val ok = Evolution(s, Seq(RetargetEdge(EdgeKey("a", "c", "r"), "b", "c")))
+    assert(ok.edgeByKey.contains(EdgeKey("b", "c", "r")))
   }
 }

@@ -36,7 +36,10 @@ class EvolutionSpec extends SparkSpec {
     val p = s.vertex("person")
     assert(p.properties.map(_.name) == Seq("full_name", "email"))
     assert(p.identity == Identity.Hash(Seq("full_name")))
-    assert(p.secondary.map(_.name) == Seq("by_email"))
+    // replace_identity's default retire=demote turns the old NATURAL
+    // identity into the retired_identity secondary (executed parity)
+    assert(p.secondary.map(_.name) == Seq("retired_identity", "by_email"))
+    assert(p.secondary.head.fields == Seq("pid"))
   }
 
   test("edge ops: rename relation, retarget, inverse") {

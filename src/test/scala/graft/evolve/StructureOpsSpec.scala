@@ -30,14 +30,11 @@ class StructureOpsSpec extends SparkSpec {
       RenameRelations(Map("likes" -> "x", "knows" -> "x")))
   }
 
-  test("rename_relations landing on an existing key merges, undirected wins") {
-    val out = Evolution(base, Seq(RenameRelations(Map("likes" -> "knows"))))
-    val ab = out.edges.filter(e => e.source == "a" && e.target == "b")
-    assert(ab.size == 1 && !ab.head.directed)
-    assert(ab.head.properties.map(_.name) == Seq("since"))
-    // the (a, c) dyad renames without a collision partner
-    assert(out.edges.exists(e => e.source == "a" && e.target == "c" &&
-      e.relation == "knows"))
+  test("rename_relations landing on an existing key is REJECTED") {
+    // executed evolution-parity: the reference raises "duplicate edge
+    // definitions" — MergeEdges is the deliberate merge path
+    intercept[IllegalArgumentException](
+      Evolution(base, Seq(RenameRelations(Map("likes" -> "knows")))))
   }
 
   test("merge_edges collapses source relations into the canonical one") {
