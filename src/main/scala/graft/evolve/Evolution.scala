@@ -585,8 +585,13 @@ object Evolution {
     ops.foldLeft(s)((acc, op) => op(acc))
 
   /** Autogenerate the op chain turning `from` into `to` (the reference's
-    * autogenerate.py diff): additive/destructive vertex, property, and edge
-    * differences. Renames are not guessed (same as a conservative diff).
+    * autogenerate.py diff_manifests, executed-parity pinned by
+    * ReferenceAutogenParitySpec): additive/destructive vertex, property,
+    * edge, secondary-identity, edge-property, and field-TYPE differences.
+    * Renames are not guessed (the reference requires RenameHints);
+    * identity replacements carry retire=keep like the reference's
+    * `_identity_ops` (an autogenerated diff states the target's truth —
+    * the target declares no retired secondary, so none is minted).
     */
   def diff(from: GraphSchema, to: GraphSchema): Seq[EvolutionOp] = {
     import EvolutionOp._
@@ -600,11 +605,30 @@ object Evolution {
       (bp -- ap).toSeq.sorted.foreach(p =>
         ops += AddProperty(n, b.properties.find(_.name == p).get))
       (ap -- bp).toSeq.sorted.foreach(p => ops += RemoveProperty(n, p))
-      if (a.identity != b.identity) ops += ReplaceIdentity(n, b.identity)
+      // field-type drift on shared properties (reference change_field_types)
+      (ap & bp).toSeq.sorted.foreach { p =>
+        val at = a.properties.find(_.name == p).flatMap(_.ftype)
+        val bt = b.properties.find(_.name == p).flatMap(_.ftype)
+        if (at != bt) bt.foreach(t => ops += SetFieldType(n, p, t))
+      }
+      if (a.identity != b.identity)
+        ops += ReplaceIdentity(n, b.identity, retire = "keep")
+      val asec = a.secondary.map(_.name).toSet
+      val bsec = b.secondary.map(_.name).toSet
+      (bsec -- asec).toSeq.sorted.foreach(sn =>
+        ops += AddSecondaryIdentity(n, b.secondary.find(_.name == sn).get))
+      (asec -- bsec).toSeq.sorted.foreach(sn => ops += RemoveSecondaryIdentity(n, sn))
     }
     val fromE = from.edgeByKey.keySet; val toE = to.edgeByKey.keySet
     (toE -- fromE).toSeq.sortBy(_.storeName).foreach(k => ops += AddEdge(to.edgeByKey(k)))
     (fromE -- toE).toSeq.sortBy(_.storeName).foreach(k => ops += RemoveEdge(k))
+    (fromE & toE).toSeq.sortBy(_.storeName).foreach { k =>
+      val a = from.edgeByKey(k); val b = to.edgeByKey(k)
+      val apn = a.properties.map(_.name).toSet; val bpn = b.properties.map(_.name).toSet
+      (bpn -- apn).toSeq.sorted.foreach(p =>
+        ops += AddEdgeProperty(k, b.properties.find(_.name == p).get))
+      (apn -- bpn).toSeq.sorted.foreach(p => ops += RemoveEdgeProperty(k, p))
+    }
     ops.toSeq
   }
 

@@ -193,6 +193,9 @@ object ManifestLoader {
             f.path("include_branch_id").asBoolean(true))
       }
       else if (v.has("identity_hash")) Identity.Hash(strings(v.path("identity_hash")))
+      // the reference's canonical spelling (vertex.py hash_identity_properties)
+      else if (v.has("hash_identity_properties"))
+        Identity.Hash(strings(v.path("hash_identity_properties")))
       else if (idFields.nonEmpty) Identity.Natural(idFields)
       // identity_from_all_properties fallback (reference vertex.py:822-828):
       // no declared identity and not blank → hash over every property
