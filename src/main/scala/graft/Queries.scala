@@ -4272,9 +4272,12 @@ object GraftQueries {
       """SELECT o_orderkey AS src_o_orderkey, o_custkey AS dst_c_custkey FROM orders
         |ORDER BY 1""".stripMargin,
 
+    // `first` orders candidates by str(primary) — the reference's
+    // _sorted_candidates contract (endpoint_resolve.py), so "10" < "9"
     "q_ambiguity_first" ->
-      """SELECT c_mktsegment AS seg, min(c_custkey) AS dst_c_custkey FROM customer
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      """SELECT c_mktsegment AS seg,
+        |  min_by(c_custkey, CAST(c_custkey AS VARCHAR)) AS dst_c_custkey
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_minhash_lsh" ->
       """WITH sel AS (SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS nt

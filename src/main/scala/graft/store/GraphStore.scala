@@ -625,8 +625,12 @@ object EndpointResolve {
     val lookup = policy match {
       case AmbiguityPolicy.All => lookupBase
       case AmbiguityPolicy.First =>
+        // the reference orders candidates by str() of the primary identity
+        // ("so `first` is reproducible", endpoint_resolve.py
+        // _sorted_candidates) — cast to string so numeric identities sort
+        // the same way here ("10" < "9")
         val w = Window.partitionBy(sec.fields.map(col): _*)
-          .orderBy(prim.map(col): _*)
+          .orderBy(prim.map(c => col(c).cast("string")): _*)
         lookupBase.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
       case AmbiguityPolicy.Skip =>
         val w = Window.partitionBy(sec.fields.map(col): _*)

@@ -767,10 +767,8 @@ ingestion_model:
 # secondary-identity endpoint resolution runs in the WRITER against the
 # post-upsert store (db_writer._resolve_endpoints -> resolve_edge_endpoints)
 # — these corners exercise it across batches and under each ambiguity
-# policy. NOTE on `first`: the reference picks the first match in backend
-# fetch order, which is unspecified on real backends; graft canonicalizes
-# to the smallest primary id. Cases align insertion order with primary
-# order so the two coincide on the file backend (DIVERGENCES.md).
+# policy. `first` sorts candidates by str(primary identity) on both
+# engines (endpoint_resolve.py _sorted_candidates; graft casts to string).
 def SCHEMA_SEC2(policy):
     return """
 schema:
@@ -851,6 +849,16 @@ case("er_ambiguous_first", SCHEMA_SEC2("first"), batches=[
     {"resource": "seed_i", "docs": [{"sid": "S1", "isin": "US1"}]},
     {"resource": "seed_j", "docs": [
         {"iid": "I1", "lei": "L1"}, {"iid": "I2", "lei": "L1"}]},
+    {"resource": "links", "docs": [{"isin": "US1", "lei": "L1"}]},
+])
+
+# policy first with NUMERIC-LOOKING primary ids: the reference sorts
+# candidates by str(primary) — "10" wins over "9" — and graft casts to
+# string to match
+case("er_first_numeric_order", SCHEMA_SEC2("first"), batches=[
+    {"resource": "seed_i", "docs": [{"sid": "1", "isin": "US1"}]},
+    {"resource": "seed_j", "docs": [
+        {"iid": 9, "lei": "L1"}, {"iid": 10, "lei": "L1"}]},
     {"resource": "links", "docs": [{"isin": "US1", "lei": "L1"}]},
 ])
 
