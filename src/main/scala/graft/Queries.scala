@@ -3868,10 +3868,13 @@ object GraftQueries {
     "q_store_roundtrip" ->
       """SELECT c_nationkey, count(*) AS cnt FROM customer GROUP BY 1 ORDER BY 1""",
 
+    // the anchor (nation 0) is never part of the result container —
+    // reference bfs_neighbors semantics, ReferenceQueryParitySpec
     "q_traverse_2hop" ->
       """SELECT 'customer' AS vtype, count(*) AS cnt FROM customer WHERE c_nationkey = 0
         |UNION ALL SELECT 'nation', count(*) FROM nation
         |  WHERE n_regionkey = (SELECT n_regionkey FROM nation WHERE n_nationkey = 0)
+        |    AND n_nationkey <> 0
         |UNION ALL SELECT 'orders', count(*) FROM orders
         |  WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 0)
         |UNION ALL SELECT 'region', 1
@@ -4522,10 +4525,13 @@ object GraftQueries {
         |c_mktsegment AS "customer@c_mktsegment"
         |FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY 1""".stripMargin,
 
+    // the two seeds don't reach each other in 1 hop, and a walk never
+    // contains its own anchor (reference traverse = merged per-seed
+    // bfs_neighbors, ReferenceQueryParitySpec) -> nation count is 0
     "q_traverse_multiseed" ->
       """SELECT 'customer' AS vtype, count(*) AS cnt FROM customer
         |  WHERE c_nationkey IN (0, 1)
-        |UNION ALL SELECT 'nation', count(*) FROM nation WHERE n_nationkey IN (0, 1)
+        |UNION ALL SELECT 'nation', CAST(0 AS BIGINT)
         |UNION ALL SELECT 'region', count(DISTINCT n_regionkey) FROM nation
         |  WHERE n_nationkey IN (0, 1)
         |UNION ALL SELECT 'supplier', count(*) FROM supplier

@@ -29,6 +29,36 @@ object GraftQueriesR8 {
         graft.ext.Multimodal.synthesizeMp3Audio(ids, "doc_id", nGranules = 6),
         "doc_id", nGranules = 6, minPsnrDb = 20.0)
         .orderBy("doc_id")
+    },
+
+    // §2.10 the reference's direction dialect, battery-pinned: OUT from a
+    // raw-id anchor follows a directed CROSS-TYPE edge from EITHER side
+    // (customer→nation outbound AND orders→customer served inbound,
+    // db/traversal.py:246-265), and the anchor itself is never in the
+    // result container. Executed-parity corners live in
+    // ReferenceQueryParitySpec; this row keeps the dialect under the
+    // DuckDB gate too.
+    "q_neighbor_out" -> { (s, d) =>
+      import graft.query._
+      import graft.model._
+      val cust = t(s, d)("customer"); val nat = t(s, d)("nation")
+      val ord = t(s, d)("orders")
+      val vs = Map("customer" -> cust, "nation" -> nat, "orders" -> ord)
+      val es = Map(
+        EdgeKey("customer", "nation", "in_nation") -> cust.select(
+          col("c_custkey").as("src_c_custkey"),
+          col("c_nationkey").as("dst_n_nationkey")),
+        EdgeKey("orders", "customer", "placed_by") -> ord.select(
+          col("o_orderkey").as("src_o_orderkey"),
+          col("o_custkey").as("dst_c_custkey")))
+      val reader = new GraphReader(graft.fixtures.TpchGraph.schema,
+        n => vs.getOrElse(n, throw new NoSuchElementException(s"no vertex collection: $n")),
+        k => es.get(k), QueryCaps.Hard.copy(timeoutSeconds = 600))
+      val out = reader.neighbors(
+        NeighborQuery.byId("customer", "7", direction = Direction.Out))
+      out.vertices.toSeq.sortBy(_._1).map { case (n, df) =>
+        df.agg(count(lit(1)).as("cnt")).withColumn("vtype", lit(n))
+      }.reduce(_.unionByName(_)).select("vtype", "cnt").orderBy("vtype")
     }
   )
 
@@ -37,6 +67,12 @@ object GraftQueriesR8 {
       """SELECT doc_id, CAST(44100 AS BIGINT) AS sample_rate,
         |  CAST(1 AS BIGINT) AS channels, CAST(6 AS BIGINT) AS n_granules,
         |  CAST(3456 AS BIGINT) AS n_samples, true AS psnr_ok
-        |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
+
+    "q_neighbor_out" ->
+      """SELECT 'customer' AS vtype, CAST(0 AS BIGINT) AS cnt
+        |UNION ALL SELECT 'nation', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'orders', count(*) FROM orders WHERE o_custkey = 7
+        |ORDER BY vtype""".stripMargin
   )
 }

@@ -31,7 +31,8 @@ final case class QueryCaps(
     case None    => defaultLimit
   }
   def narrowHops(asked: Int): Int =
-    if (asked > maxHops) throw new IllegalArgumentException(s"hops $asked exceeds cap $maxHops")
+    if (asked < 1) throw new IllegalArgumentException(s"hops must be >= 1, got $asked")
+    else if (asked > maxHops) throw new IllegalArgumentException(s"hops $asked exceeds cap $maxHops")
     else asked
 }
 
@@ -54,21 +55,52 @@ final case class NodeQuery(
 sealed trait Direction
 object Direction { case object Out extends Direction; case object In extends Direction; case object Any extends Direction }
 
+/** One-anchor neighborhood request (reference `graph_neighbors`,
+  * db/conn.py:733-791). The reference's `key` is `str | dict`: a raw id
+  * string is TRUSTED without a vertex lookup (db/traversal.py:276-277 — it
+  * can anchor a walk at an id that was never stored), while a field map
+  * resolves to the FIRST matching document (`fetch_docs(..., limit=1)`,
+  * db/traversal.py:284). Here `anchorId` is the raw-id form (when set,
+  * `anchorFilter` is ignored and may be null) and `anchorFilter` the
+  * field-map form, resolved first-by-identity — the engine's deterministic
+  * stand-in for the backend's storage order.
+  */
 final case class NeighborQuery(
     vertex: String,
-    anchorFilter: FilterExpr, // anchor by id or field-map (db/traversal.py:268-287)
+    anchorFilter: FilterExpr, // field-map anchor (db/traversal.py:268-287)
     hops: Int = 1,
     direction: Direction = Direction.Any,
     relations: Seq[String] = Nil, // edge-relation allow-list; empty = all
     filters: Option[FilterExpr] = None,
-    edgeLimit: Option[Int] = None
+    edgeLimit: Option[Int] = None,
+    anchorId: Option[String] = None // raw trusted id (reference str form)
 )
 
+object NeighborQuery {
+  /** Anchor by raw id, the reference's `key: str` form. */
+  def byId(vertex: String, id: String, hops: Int = 1,
+      direction: Direction = Direction.Any, relations: Seq[String] = Nil,
+      filters: Option[FilterExpr] = None, edgeLimit: Option[Int] = None): NeighborQuery =
+    NeighborQuery(vertex, null, hops, direction, relations, filters,
+      edgeLimit, Some(id))
+}
+
+/** Multi-seed reachability (reference TraverseQuery, query/models.py:200-236
+  * + db/conn.py:791-830): seeds walk INDEPENDENTLY — each seed gets its own
+  * `graph_neighbors` call with its own edge budget (`query.limit` is passed
+  * per walk, conn.py:815) — and the containers merge with `pick_unique`.
+  * Consequence pinned by ReferenceQueryParitySpec: a seed's own walk never
+  * contains the seed, but a seed REACHED FROM ANOTHER seed's walk does
+  * appear in the merged result.
+  */
 final case class TraverseQuery(
-    seeds: Seq[(String, FilterExpr)], // (vertexType, anchorFilter)
+    seeds: Seq[(String, FilterExpr)], // (vertexType, field-map anchor)
     hops: Int = 1,
     direction: Direction = Direction.Any,
-    relations: Seq[String] = Nil
+    relations: Seq[String] = Nil,
+    seedIds: Seq[(String, String)] = Nil, // (vertexType, raw id) seeds
+    edgeLimit: Option[Int] = None, // per-seed edge budget (conn.py:815)
+    edgeFilter: Option[FilterExpr] = None
 )
 
 final case class AggregateQuery(
@@ -96,7 +128,11 @@ final class GraphReader(
   def node(q: NodeQuery): DataFrame = {
     var df = vertexDf(q.vertex)
     q.filters.foreach(f => df = df.where(FilterExpr.compile(f)))
-    if (q.returnFields.nonEmpty) df = df.select(q.returnFields.map(col): _*)
+    // projection uses doc.get semantics (reference graflo_backend
+    // connection.py:203-207): a requested key the store lacks projects to
+    // null rather than erroring
+    if (q.returnFields.nonEmpty) df = df.select(q.returnFields.map(f =>
+      if (df.columns.contains(f)) col(f) else lit(null).as(f)): _*)
     val keyCols = schema.vertex(q.vertex).idColumns.filter(df.columns.contains)
     val ordered = if (keyCols.nonEmpty) df.orderBy(keyCols.map(col): _*) else df
     ordered.limit(caps.narrowLimit(q.limit))
@@ -134,8 +170,26 @@ final class GraphReader(
 
   /** k-hop BFS neighborhood (reference bfs_neighbors,
     * graflo/db/traversal.py:113-243): frontier expansion over the declared
-    * incident edges with direction checks, visited-set anti-joins, edge-limit
-    * truncation, far-endpoint hydration.
+    * incident edges with direction checks, visited-set anti-joins, a global
+    * edge budget, far-endpoint hydration. Reference-exact semantics pinned
+    * by ReferenceQueryParitySpec (50 cases executed through the reference's
+    * own bfs_neighbors):
+    *   - the ANCHOR is never part of the result container — only reached
+    *     vertices are (a cycle edge back to the anchor is collected, the
+    *     anchor doc is not re-added);
+    *   - a DANGLING far endpoint (edge row to an id that was never stored)
+    *     keeps its edge row but contributes no vertex and is never expanded
+    *     (the reference's frontier is the HYDRATED docs, traversal.py:227-235);
+    *   - the edge budget is GLOBAL across hops and stops the walk at the
+    *     hop boundary where it exhausts (traversal.py:175-177). Within one
+    *     hop graft runs every (edge, side) branch in one parallel job with
+    *     the budget applied per branch, where the reference truncates in
+    *     its sequential edge order — mid-hop truncation keeps a different
+    *     (backend-order-dependent) subset; sizes still agree when one
+    *     branch fires per hop. Budget counts joined rows per hop; a row
+    *     re-collected through a cycle at a later hop re-counts here where
+    *     the reference's marker-dedup skips it — only their interaction
+    *     diverges, never the unlimited walk.
     *
     * Scale note: each hop is a set of keyed equi-joins frontier⋈edges; the
     * frontier is usually tiny → Spark broadcasts it; the visited anti-join is
@@ -145,26 +199,66 @@ final class GraphReader(
     */
   def neighbors(q: NeighborQuery): GraphOutput = {
     val hops = caps.narrowHops(q.hops)
-    val anchor = vertexDf(q.vertex).where(FilterExpr.compile(q.anchorFilter))
+    schema.vertex(q.vertex) // Unknown vertex type → raise (traversal.py:156-160)
+    val anchor = anchorIds(q.vertex, q.anchorId, Option(q.anchorFilter))
     // q.filters are EDGE filters, constraining which edges are traversed —
     // the reference passes them into the per-hop edge fetch
     // (db/traversal.py:121-204), not onto the result vertices
     withTimeout(anchor.sparkSession) {
-      val (out, hopFrames) = traverse(Seq(q.vertex -> anchor), hops, q.direction,
+      val (out, hopFrames) = walk(q.vertex, anchor, hops, q.direction,
         q.relations, q.edgeLimit.getOrElse(caps.defaultEdgeLimit), q.filters)
       finish(out, hopFrames)
     }
   }
 
-  /** Multi-seed reachability (reference TraverseQuery, db/conn.py:791-830). */
+  /** Multi-seed reachability: independent per-seed walks, merged +
+    * deduplicated (see [[TraverseQuery]]). Seed count is capped at
+    * `caps.maxSeeds` (≤ 10) and each walk is edge-budgeted, so the
+    * sequential per-seed loop is bounded work even at cluster scale.
+    */
   def traverseQuery(q: TraverseQuery): GraphOutput = {
-    require(q.seeds.size <= caps.maxSeeds, s"seeds exceed cap ${caps.maxSeeds}")
-    if (q.seeds.isEmpty) return GraphOutput.empty
-    val seeds = q.seeds.map { case (t, f) => t -> vertexDf(t).where(FilterExpr.compile(f)) }
-    withTimeout(seeds.head._2.sparkSession) {
-      val (out, hopFrames) = traverse(seeds, caps.narrowHops(q.hops), q.direction,
-        q.relations, caps.defaultEdgeLimit)
-      finish(out, hopFrames)
+    val hops = caps.narrowHops(q.hops)
+    val budget = q.edgeLimit.getOrElse(caps.defaultEdgeLimit)
+    require(q.seeds.size + q.seedIds.size <= caps.maxSeeds,
+      s"seeds exceed cap ${caps.maxSeeds}")
+    val anchors: Seq[(String, DataFrame)] =
+      q.seeds.map { case (t, f) => t -> anchorIds(t, None, Some(f)) } ++
+        q.seedIds.map { case (t, id) => t -> anchorIds(t, Some(id), None) }
+    if (anchors.isEmpty) return GraphOutput.empty
+    withTimeout(anchors.head._2.sparkSession) {
+      val walks = anchors.map { case (t, a) =>
+        walk(t, a, hops, q.direction, q.relations, budget, q.edgeFilter)
+      }
+      val merged = walks.map(_._1).reduceLeft(_ unionWith _)
+      // reference container.pick_unique() after the merge (conn.py:829)
+      val dedup = GraphOutput(
+        merged.vertices.map { case (t, df) => t -> df.dropDuplicates() },
+        merged.edges.map { case (k, df) => k -> df.dropDuplicates() })
+      finish(dedup, walks.flatMap(_._2))
+    }
+  }
+
+  /** Resolve an anchor to its id-column frame (reference
+    * `_resolve_anchor_id`, db/traversal.py:268-287): a raw id is trusted
+    * as-is — it need not exist as a stored vertex; a field map resolves to
+    * ONE document (the reference's `fetch_docs(limit=1)` storage-order
+    * first; here first-by-identity, deterministic across partitionings).
+    */
+  private def anchorIds(t: String, rawId: Option[String],
+      filter: Option[FilterExpr]): DataFrame = {
+    val cols = schema.vertex(t).idColumns
+    rawId match {
+      case Some(id) =>
+        require(cols.size == 1, "raw-id anchors need a single identity column")
+        val (spark, dt) =
+          try { val v = vertexDf(t); (v.sparkSession, v.schema(cols.head).dataType) }
+          catch { case _: NoSuchElementException =>
+            (org.apache.spark.sql.SparkSession.active,
+              org.apache.spark.sql.types.StringType) }
+        spark.range(1).select(lit(id).cast(dt).as(cols.head))
+      case None =>
+        vertexDf(t).where(FilterExpr.compile(filter.get))
+          .select(cols.map(col): _*).orderBy(cols.map(col): _*).limit(1)
     }
   }
 
@@ -245,48 +339,68 @@ final class GraphReader(
     else spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 
-  private def traverse(
-      seeds: Seq[(String, DataFrame)],
+  /** One BFS walk from one anchor — the engine's `bfs_neighbors`
+    * (db/traversal.py:113-243). See [[neighbors]] for the pinned semantics.
+    */
+  private def walk(
+      anchorType: String,
+      anchor: DataFrame,
       hops: Int,
       direction: Direction,
       relations: Seq[String],
       edgeLimit: Int,
       edgeFilter: Option[FilterExpr] = None
   ): (GraphOutput, Seq[DataFrame]) = {
-    // visited / frontier are Map[vertexType -> DataFrame of id columns]
+    // visited / frontier are Map[vertexType -> DataFrame of id columns];
+    // visited only ever gains HYDRATABLE ids (the anchor aside) — a
+    // dangling endpoint is re-attempted if reached again, like the
+    // reference re-running its empty hydration fetch
     def idCols(t: String) = schema.vertex(t).idColumns
-    var visited: Map[String, DataFrame] =
-      seeds.groupBy(_._1).map { case (t, ds) =>
-        t -> localize(
-          ds.map(_._2.select(idCols(t).map(col): _*)).reduceLeft(_.union(_)).distinct())
-      }
+    val anchorSet = localize(anchor.distinct())
+    var visited: Map[String, DataFrame] = Map(anchorType -> anchorSet)
     var frontier = visited
     var collectedEdges = Map.empty[EdgeKey, DataFrame]
     val hopFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val unbounded = edgeLimit >= Int.MaxValue / 2
+    var budget = edgeLimit
+
+    def vertexCollection(t: String): Option[DataFrame] =
+      try Some(vertexDf(t))
+      catch { case _: NoSuchElementException => None } // collection absent
 
     val allowedEdges = schema.edges
       .filter(e => relations.isEmpty || relations.contains(e.relation))
     require(allowedEdges.size <= caps.maxEdgeTypes, s"edge types exceed cap ${caps.maxEdgeTypes}")
 
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    for (_ <- 1 to hops if frontier.nonEmpty) {
+    // one hop's (edge, side) expansion, pending budget assignment
+    final case class Branch(key: EdgeKey, toType: String, toPrefix: String,
+        joined: DataFrame)
+
+    for (_ <- 1 to hops if frontier.nonEmpty && (unbounded || budget > 0)) {
       var nextFrontier = Map.empty[String, DataFrame]
       var newEdges = Map.empty[EdgeKey, DataFrame]
-      val hopJoined = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      val branches = scala.collection.mutable.ArrayBuffer.empty[Branch]
+      val hopFar = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
 
       def expand(e: EdgeDef, fromType: String, fromPrefix: String, toType: String, toPrefix: String): Unit =
         frontier.get(fromType).zip(edgeDf(e.key)).foreach { case (front, edf0) =>
           // edge filters constrain which edges are traversed, as in the
-          // reference's _fetch_edge_rows (db/traversal.py:121-204); a filter
-          // naming fields this edge type lacks doesn't apply to it
+          // reference's per-hop edge fetch (db/traversal.py:121-204). The
+          // filter applies to EVERY traversed edge type; a row lacking a
+          // filtered field does not match (null comparison semantics —
+          // IS_NULL on a missing field matches), pinned by the
+          // nb_edge_filter_missing_field / nb_edge_filter_is_null parity cases
           val edf = edgeFilter match {
-            case Some(f) if FilterExpr.fields(f).subsetOf(edf0.columns.toSet) =>
-              edf0.where(FilterExpr.compile(f))
-            case _ => edf0
+            case Some(f) =>
+              val missing = (FilterExpr.fields(f) -- edf0.columns.toSet).toSeq
+              val withNulls = missing.foldLeft(edf0)((d, c) => d.withColumn(c, lit(null)))
+              withNulls.where(FilterExpr.compile(f)).drop(missing: _*)
+            case None => edf0
           }
           val keys = idCols(fromType)
-          // truncation beyond edgeLimit keeps an arbitrary subset — matching
-          // the reference, whose DEFAULT_EDGE_LIMIT truncation order is
+          // truncation beyond the remaining budget keeps an arbitrary
+          // subset — matching the reference, whose truncation order is
           // backend-dependent (db/traversal.py:36). The limited frame is
           // persisted ONCE and both the edge set and the frontier derive
           // from it: two independent materializations of an unordered limit
@@ -297,23 +411,32 @@ final class GraphReader(
           val expanded = edf.join(
             broadcast(front.withColumnsRenamed(keys.map(k => k -> s"$fromPrefix$k").toMap)),
             keys.map(k => s"$fromPrefix$k"), "inner")
-          val joined = (if (edgeLimit >= Int.MaxValue / 2) expanded
-            else expanded.limit(edgeLimit)).persist(lvl)
+          val joined = (if (unbounded) expanded
+            else expanded.limit(budget)).persist(lvl)
           hopFrames += joined
-          hopJoined += joined
-          newEdges += e.key -> newEdges.get(e.key).map(_.unionByName(joined, true)).getOrElse(joined)
-          val farIds = joined.select(idCols(toType).map(k => col(s"$toPrefix$k").as(k)): _*).distinct()
-          val unseen = visited.get(toType).map(v => farIds.join(v, idCols(toType), "left_anti")).getOrElse(farIds)
-          nextFrontier += toType -> nextFrontier.get(toType).map(_.union(unseen).distinct()).getOrElse(unseen)
+          branches += Branch(e.key, toType, toPrefix, joined)
         }
 
       allowedEdges.foreach { e =>
-        // OUT follows src→dst; IN follows dst→src; undirected edges are
-        // followed both ways regardless of direction (models.py:142-198)
-        val followOut = direction != Direction.In || !e.directed
-        val followIn  = direction != Direction.Out || !e.directed
-        if (followOut) expand(e, e.source, "src_", e.target, "dst_")
-        if (followIn)  expand(e, e.target, "dst_", e.source, "src_")
+        // Direction dialect, reference-executed (_anchor_side,
+        // db/traversal.py:246-265, pinned by the nb_* direction matrix):
+        //   - undirected edges are followed both ways whatever the caller
+        //     asked (_edge_direction_for, traversal.py:39-48);
+        //   - a directed SELF-TYPE edge is directional: OUT follows the
+        //     declaration, IN follows it in reverse, ANY both;
+        //   - a directed CROSS-TYPE edge: OUT is followed from EITHER side
+        //     ("an edge reached from its target has to be queried inbound
+        //     even when the caller asked to go out", traversal.py:249-253),
+        //     and IN follows it from NEITHER (_anchor_side returns None on
+        //     both sides).
+        val self = e.source == e.target
+        val (doOut, doIn) =
+          if (!e.directed) (true, true)
+          else if (self) (direction != Direction.In, direction != Direction.Out)
+          else if (direction == Direction.In) (false, false)
+          else (true, true)
+        if (doOut) expand(e, e.source, "src_", e.target, "dst_")
+        if (doIn)  expand(e, e.target, "dst_", e.source, "src_")
       }
 
       // materialize every branch's persisted frame in ONE job (a union of
@@ -321,8 +444,51 @@ final class GraphReader(
       // DAG instead of serially inside the per-type localize collects —
       // per-hop wall time becomes max(branch) + one job overhead rather
       // than sum(branch).
-      if (hopJoined.nonEmpty)
-        hopJoined.map(_.select(lit(1).as("one"))).reduce(_.union(_)).count(): Unit
+      if (branches.nonEmpty)
+        branches.map(_.joined.select(lit(1).as("one"))).reduce(_.union(_)).count(): Unit
+
+      // global edge budget (reference edge_count, traversal.py:173-177,
+      // 202-203), assigned to branches IN ORDER like the reference's
+      // sequential edge loop — a branch past the exhaustion point
+      // contributes nothing, a straddling branch is trimmed. Counts come
+      // from the already-persisted frames (cache-local); the unbounded
+      // path never counts at all.
+      branches.foreach { b =>
+        val frame =
+          if (unbounded) b.joined
+          else {
+            val n = b.joined.count()
+            val take = math.min(n, math.max(budget, 0).toLong)
+            budget -= take.toInt
+            if (take == n) b.joined
+            else if (take == 0L) null
+            else {
+              val t = b.joined.limit(take.toInt).persist(lvl)
+              hopFrames += t
+              t.count(): Unit // pin the subset before both consumers read it
+              t
+            }
+          }
+        if (frame != null) {
+          newEdges += b.key -> newEdges.get(b.key)
+            .map(_.unionByName(frame, true)).getOrElse(frame)
+          hopFar += b.toType -> frame.select(
+            idCols(b.toType).map(k => col(s"${b.toPrefix}$k").as(k)): _*).distinct()
+        }
+      }
+
+      // the next frontier is the HYDRATABLE unseen far endpoints only —
+      // the reference walks on from hydrated documents, never from bare
+      // edge-row ids (traversal.py:227-235)
+      hopFar.groupBy(_._1).foreach { case (t, fars) =>
+        val far = fars.map(_._2).reduceLeft(_.union(_)).distinct()
+        val unseen = visited.get(t).map(v => far.join(v, idCols(t), "left_anti")).getOrElse(far)
+        val hydratable = vertexCollection(t) match {
+          case Some(v) => unseen.join(v.select(idCols(t).map(col): _*), idCols(t), "left_semi")
+          case None    => unseen.limit(0)
+        }
+        nextFrontier += t -> hydratable
+      }
 
       // localize each hop's small frontier set (≤ edgeLimit rows per
       // expand): later hops, hydration, and the element-cap count reuse it
@@ -350,17 +516,16 @@ final class GraphReader(
       frontier = nextFrontier
     }
 
-    // far-endpoint hydration (traversal.py far-endpoint fetch): project the
-    // visited id sets back onto the full vertex docs via semi-joins; a type
-    // reachable through edges but with no stored collection hydrates to its
-    // bare ids (same degradation as the reference's partial graphs)
-    val hydrated = visited.map { case (t, ids) =>
-      val full =
-        try Some(vertexDf(t))
-        catch { case _: NoSuchElementException => None } // collection absent
-      // any OTHER failure (corrupt data, schema drift) must propagate — a
-      // silent id-only fallback would turn real errors into wrong results
-      t -> full.map(v => v.join(ids, idCols(t), "left_semi")).getOrElse(ids)
+    // far-endpoint hydration (traversal.py:227-234, 412-433): project the
+    // visited id sets back onto the full vertex docs via semi-joins. The
+    // ANCHOR is excluded — the result container holds what was REACHED
+    // (the reference never appends the anchor doc; a cycle back to it is
+    // caught by the visited set). A type with no stored collection
+    // contributes no documents, exactly like the reference's failed
+    // hydration fetch.
+    val hydrated = visited.flatMap { case (t, ids) =>
+      val reached = if (t == anchorType) ids.join(anchorSet, idCols(t), "left_anti") else ids
+      vertexCollection(t).map(v => t -> v.join(reached, idCols(t), "left_semi"))
     }
     (GraphOutput(hydrated, collectedEdges), hopFrames.toSeq)
   }

@@ -67,11 +67,25 @@ class QuerySpec extends SparkSpec {
     assert(out.edges(EdgeKey("b", "c", "bc")).count() == 2)
   }
 
-  test("IN direction from b1: directed ab followed reverse, undirected bc still followed") {
+  test("IN direction from b1: directed cross-type ab is NOT followed, undirected bc is") {
+    // reference _anchor_side dialect (db/traversal.py:246-265, pinned by
+    // ReferenceQueryParitySpec nb_bi_src_in/nb_bi_tgt_in): IN never follows
+    // a directed cross-type edge; undirected edges ignore the direction
     val out = reader.neighbors(NeighborQuery("b", FilterExpr.eq("id", "b1"),
       hops = 1, direction = Direction.In))
-    assert(out.vertices("a").count() == 1)
+    assert(out.vertices.get("a").forall(_.isEmpty))
     assert(out.vertices("c").count() == 1) // undirected → followed regardless
+  }
+
+  test("OUT from b1 follows directed ab from the target side (reference dialect)") {
+    val out = reader.neighbors(NeighborQuery("b", FilterExpr.eq("id", "b1"),
+      hops = 1, direction = Direction.Out))
+    assert(out.vertices("a").count() == 1) // 'queried inbound even when OUT'
+  }
+
+  test("the anchor vertex is never part of the result container") {
+    val out = reader.neighbors(NeighborQuery("a", FilterExpr.eq("id", "a1"), hops = 2))
+    assert(out.vertices.get("a").forall(_.isEmpty))
   }
 
   test("NeighborQuery.filters constrain traversed edges (reference edge-filter semantics)") {

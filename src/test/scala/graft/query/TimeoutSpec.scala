@@ -40,6 +40,9 @@ class TimeoutSpec extends SparkSpec {
     val reader = new GraphReader(schema, _ => Seq(1L).toDF("id"), _ => None,
       QueryCaps(timeoutSeconds = 0))
     val out = reader.neighbors(NeighborQuery("a", FilterExpr.eq("id", 1L), hops = 1))
-    assert(out.vertices("a").count() == 1)
+    // the walk completed without a timer — no edges declared, and the
+    // anchor itself is never part of the result container
+    assert(out.vertices("a").count() == 0)
+    assert(out.edges.isEmpty)
   }
 }
