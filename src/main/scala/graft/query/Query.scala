@@ -7,9 +7,29 @@ import graft.model._
 import graft.expr.FilterExpr
 import graft.graph.GraphOutput
 
-/** Query caps lattice (reference graflo/architecture/query/caps.py:23-92):
-  * hard ceilings with `narrowed` semantics (query/models.py:81-121) — an
-  * explicit over-ask raises, defaults clamp.
+/** A query asked for more than a cap allows (reference CapExceededError,
+  * caps.py:96-112): carries the cap's NAME so the surface can say which
+  * limit was hit — "an agent told 'too many hops, max is 3' can retry; one
+  * told 'invalid request' cannot". Same message shape as the reference.
+  */
+final class CapExceededException(val cap: String, val requested: Any, val allowed: Any)
+  extends IllegalArgumentException(
+    s"$cap exceeded: requested $requested, maximum is $allowed")
+
+/** Query caps lattice (reference graflo/architecture/query/caps.py:23-92 +
+  * query/models.py:56-141), executed-parity pinned by
+  * `ReferenceCapsParitySpec` (29 reference-run cases). Two request faces
+  * with deliberately DIFFERENT strictness, exactly like the reference:
+  *   - validate* (`finish_init`, models.py:56-77): raises on ANY over-cap
+  *     value, even one the caller left at its default;
+  *   - narrow* (`narrowed`, models.py:81-121): an EXPLICIT over-ask raises,
+  *     a default clamps (a `max_rows=5` policy must not reject every
+  *     request that simply didn't mention a limit), and a projection
+  *     allow-list always intersects rather than raising — it exists to
+  *     HIDE names, so refusing would confirm which forbidden property the
+  *     caller guessed.
+  * In graft "explicit" is `Some(...)` — the Option IS the reference's
+  * `model_fields_set`.
   */
 final case class QueryCaps(
     maxHops: Int = 3,
@@ -22,21 +42,103 @@ final case class QueryCaps(
     /** wall-clock budget per read query (reference HARD_CAPS 30 s timeout,
       * caps.py:30-92); <= 0 disables enforcement
       */
-    timeoutSeconds: Int = 30
+    timeoutSeconds: Int = 30,
+    /** property names a response may include (caps.py:76-84): None means
+      * unrestricted; Some(Nil) means nothing may be projected — "which is
+      * not the same thing"
+      */
+    projectionAllowList: Option[Seq[String]] = None
 ) {
-  def narrowLimit(asked: Option[Int]): Int = asked match {
-    case Some(n) if n > maxRows =>
-      throw new IllegalArgumentException(s"limit $n exceeds cap $maxRows")
-    case Some(n) => n
-    case None    => defaultLimit
+
+  /** Lattice meet (reference QueryCaps.narrow, caps.py:62-91): the stricter
+    * of each ceiling; allow-lists intersect keeping THIS side's order; a
+    * policy that tried to raise a ceiling silently becomes a no-op. The
+    * graft-only `default*` knobs and the <=0 disabled-timeout sentinel meet
+    * accordingly (a disabled timeout is the WIDEST, so the other side wins).
+    */
+  def narrow(other: QueryCaps): QueryCaps = QueryCaps(
+    maxHops = math.min(maxHops, other.maxHops),
+    maxRows = math.min(maxRows, other.maxRows),
+    maxElements = math.min(maxElements, other.maxElements),
+    maxEdgeTypes = math.min(maxEdgeTypes, other.maxEdgeTypes),
+    maxSeeds = math.min(maxSeeds, other.maxSeeds),
+    defaultLimit = math.min(defaultLimit, other.defaultLimit),
+    defaultEdgeLimit = math.min(defaultEdgeLimit, other.defaultEdgeLimit),
+    timeoutSeconds =
+      if (timeoutSeconds <= 0) other.timeoutSeconds
+      else if (other.timeoutSeconds <= 0) timeoutSeconds
+      else math.min(timeoutSeconds, other.timeoutSeconds),
+    projectionAllowList = (projectionAllowList, other.projectionAllowList) match {
+      case (None, b)          => b
+      case (a, None)          => a
+      case (Some(a), Some(b)) => val permitted = b.toSet; Some(a.filter(permitted))
+    })
+
+  // ------------------------------------------- validate (finish_init face)
+
+  def validateLimit(asked: Option[Int]): Int = {
+    val n = asked.getOrElse(defaultLimit)
+    if (n > maxRows) throw new CapExceededException("max_rows", n, maxRows)
+    n
   }
+
+  def validateTimeout(asked: Option[Double]): Double = {
+    val t = asked.getOrElse(QueryCaps.DefaultQueryTimeoutS)
+    if (timeoutSeconds > 0 && t > timeoutSeconds)
+      throw new CapExceededException("timeout_s", t, timeoutSeconds.toDouble)
+    t
+  }
+
+  /** Raises naming the DENIED fields, sorted (models.py:66-72). */
+  def validateProjection(asked: Seq[String]): Unit =
+    projectionAllowList.foreach { allow =>
+      val permitted = allow.toSet
+      val denied = asked.filterNot(permitted).sorted
+      if (denied.nonEmpty)
+        throw new CapExceededException("projection_allow_list", denied, allow)
+    }
+
+  def validateSeeds(n: Int): Unit =
+    if (n > maxSeeds) throw new CapExceededException("max_seeds", n, maxSeeds)
+
+  def validateEdgeTypes(n: Int): Unit =
+    if (n > maxEdgeTypes) throw new CapExceededException("max_edge_types", n, maxEdgeTypes)
+
+  // --------------------------------------------- narrow (narrowed face)
+
+  def narrowLimit(asked: Option[Int]): Int = asked match {
+    case Some(n) if n > maxRows => throw new CapExceededException("max_rows", n, maxRows)
+    case Some(n) => n
+    case None    => math.min(defaultLimit, maxRows) // default clamps
+  }
+
+  def narrowTimeout(asked: Option[Double]): Double = asked match {
+    case Some(t) if timeoutSeconds > 0 && t > timeoutSeconds =>
+      throw new CapExceededException("timeout_s", t, timeoutSeconds.toDouble)
+    case Some(t) => t
+    case None if timeoutSeconds > 0 =>
+      math.min(QueryCaps.DefaultQueryTimeoutS, timeoutSeconds.toDouble)
+    case None => QueryCaps.DefaultQueryTimeoutS
+  }
+
+  /** Intersection keeping the REQUEST's order; never raises. */
+  def narrowProjection(asked: Seq[String]): Seq[String] =
+    projectionAllowList match {
+      case Some(allow) => val permitted = allow.toSet; asked.filter(permitted)
+      case None        => asked
+    }
+
   def narrowHops(asked: Int): Int =
     if (asked < 1) throw new IllegalArgumentException(s"hops must be >= 1, got $asked")
-    else if (asked > maxHops) throw new IllegalArgumentException(s"hops $asked exceeds cap $maxHops")
+    else if (asked > maxHops) throw new CapExceededException("max_hops", asked, maxHops)
     else asked
 }
 
-object QueryCaps { val Hard = QueryCaps() }
+object QueryCaps {
+  val Hard = QueryCaps()
+  /** a request's own timeout default (reference GraphQuery.timeout_s = 10.0) */
+  val DefaultQueryTimeoutS = 10.0
+}
 
 /** A read query exceeded `QueryCaps.timeoutSeconds` and its Spark jobs were
   * cancelled (the reference raises on the DB driver's timeout instead).
@@ -143,12 +245,16 @@ final class GraphReader(
     * aggs need `aggregatedField`.
     */
   def aggregate(q: AggregateQuery): DataFrame = {
+    // shape rules + messages per the reference (models.py:273-283,
+    // executed: fi_agg_field_required / fi_agg_groupby_noncount)
     val aggName = q.agg.toUpperCase
+    if (aggName != "COUNT" && q.aggregatedField.isEmpty)
+      throw new IllegalArgumentException(
+        s"aggregated_field is required for $aggName; only COUNT can " +
+          "aggregate without naming a property")
     if (q.discriminant.isDefined && aggName != "COUNT")
       throw new IllegalArgumentException(
-        "group_by supported with COUNT only (reference models.py:252-283)")
-    if (aggName != "COUNT" && q.aggregatedField.isEmpty)
-      throw new IllegalArgumentException(s"$aggName requires aggregated_field")
+        s"group_by is only supported for COUNT, not $aggName")
     var df = vertexDf(q.vertex)
     q.filters.foreach(f => df = df.where(FilterExpr.compile(f)))
     val fn = q.agg.toUpperCase match {
@@ -219,8 +325,7 @@ final class GraphReader(
   def traverseQuery(q: TraverseQuery): GraphOutput = {
     val hops = caps.narrowHops(q.hops)
     val budget = q.edgeLimit.getOrElse(caps.defaultEdgeLimit)
-    require(q.seeds.size + q.seedIds.size <= caps.maxSeeds,
-      s"seeds exceed cap ${caps.maxSeeds}")
+    caps.validateSeeds(q.seeds.size + q.seedIds.size)
     val anchors: Seq[(String, DataFrame)] =
       q.seeds.map { case (t, f) => t -> anchorIds(t, None, Some(f)) } ++
         q.seedIds.map { case (t, id) => t -> anchorIds(t, Some(id), None) }
@@ -368,9 +473,11 @@ final class GraphReader(
       try Some(vertexDf(t))
       catch { case _: NoSuchElementException => None } // collection absent
 
+    // the cap is on the RELATIONS the request names (models.py:178-183),
+    // not on how many edge types the schema happens to declare
+    if (relations.nonEmpty) caps.validateEdgeTypes(relations.size)
     val allowedEdges = schema.edges
       .filter(e => relations.isEmpty || relations.contains(e.relation))
-    require(allowedEdges.size <= caps.maxEdgeTypes, s"edge types exceed cap ${caps.maxEdgeTypes}")
 
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // one hop's (edge, side) expansion, pending budget assignment
