@@ -255,11 +255,14 @@ object Main {
           val hops = tail.headOption.map(_.toInt).getOrElse(3)
           val cap = tail.lift(1).map(_.toInt)
           val (s2, r) = graft.evolve.SchemaContext.subschema(
-            m.schema, seeds.split(",").toSeq, hops, cap)
+            m.schema, seeds.split(",").toSeq,
+            budget = graft.evolve.SchemaContext.Budget(
+              maxElements = cap, maxTokens = None),
+            maxHops = hops)
           (s2, Some(r))
         case Nil => (m.schema, None)
       }
-      println(graft.evolve.SchemaContext.schemaCard(schema))
+      println(graft.evolve.SchemaContext.schemaCardText(schema))
       report.filter(r => r.elidedVertices.nonEmpty || r.elidedEdges.nonEmpty)
         .foreach(r => println(s"(elided: ${r.elidedVertices.size} vertices, " +
           s"${r.elidedEdges.size} edges)"))

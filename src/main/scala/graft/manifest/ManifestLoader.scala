@@ -156,15 +156,40 @@ object ManifestLoader {
     GraphSchema(vertices, edges)
   }
 
+  /** Optional `semantics:` block (reference schema/semantics.py): `unit`
+    * is valid on FIELD semantics only — the reference's
+    * Semantics/FieldSemantics split makes `unit:` on a vertex or edge a
+    * validation error, and the loader owes the same rejection.
+    */
+  private def parseSemantics(owner: JsonNode, allowUnit: Boolean,
+      where: String): Option[graft.model.Semantics] = {
+    val n = owner.path("semantics")
+    if (n.isMissingNode || n.isNull) None
+    else {
+      if (!allowUnit && n.has("unit"))
+        throw new IllegalArgumentException(
+          s"$where: 'unit' is only valid on field semantics " +
+            "(reference semantics.py FieldSemantics vs Semantics)")
+      Some(graft.model.Semantics(
+        iri = Option(n.get("iri")).filterNot(_.isNull).map(_.asText()),
+        exactMatch = strings(n.path("exact_match")),
+        synonyms = strings(n.path("synonyms")),
+        unit = Option(n.get("unit")).filterNot(_.isNull).map(_.asText())))
+    }
+  }
+
+  private def parseFieldDef(p: JsonNode): FieldDef =
+    if (p.isTextual) FieldDef(p.asText())
+    else FieldDef(p.path("name").asText(),
+      Option(p.get("type")).filterNot(_.isNull)
+        .map(t => FieldType.fromName(t.asText())),
+      semantics = parseSemantics(p, allowUnit = true,
+        where = s"field ${p.path("name").asText()}"))
+
   private def parseVertex(v: JsonNode): VertexDef = {
     val name = v.path("name").asText()
     val props = v.path("properties") match {
-      case n if n.isArray => n.elements().asScala.map {
-        case p if p.isTextual => FieldDef(p.asText())
-        case p => FieldDef(p.path("name").asText(),
-          Option(p.get("type")).filterNot(_.isNull)
-            .map(t => FieldType.fromName(t.asText())))
-      }.toSeq
+      case n if n.isArray => n.elements().asScala.map(parseFieldDef).toSeq
       case _ => Nil
     }
     val idFields = strings(v.path("identity"))
@@ -216,7 +241,8 @@ object ManifestLoader {
       }.toSeq
       case _ => Nil
     }
-    VertexDef(name, props, identity, secondary = secondary, filters = filters)
+    VertexDef(name, props, identity, secondary = secondary, filters = filters,
+      semantics = parseSemantics(v, allowUnit = false, where = s"vertex $name"))
   }
 
   private def parseEdgeDef(e: JsonNode): EdgeDef = {
@@ -227,12 +253,7 @@ object ManifestLoader {
     // (edge.py _normalize_direct_item; examples/16 declares
     // {name: share, type: FLOAT})
     val props = e.path("properties") match {
-      case n if n.isArray => n.elements().asScala.map {
-        case p if p.isTextual => FieldDef(p.asText())
-        case p => FieldDef(p.path("name").asText(),
-          Option(p.get("type")).filterNot(_.isNull)
-            .map(t => FieldType.fromName(t.asText())))
-      }.toSeq
+      case n if n.isArray => n.elements().asScala.map(parseFieldDef).toSeq
       case _ => Nil
     }
     // identities may be a flat token list or a list of key-sets (kg.yaml);
@@ -255,7 +276,9 @@ object ManifestLoader {
       case _ => Nil
     }
     EdgeDef(source, target, relation, properties = props, identities = ids,
-      relationDeclared = e.has("relation"))
+      relationDeclared = e.has("relation"),
+      semantics = parseSemantics(e, allowUnit = false,
+        where = s"edge $source->$target"))
   }
 
   // ------------------------------------------------------------- resources

@@ -36,8 +36,25 @@ object FieldType {
   }
 }
 
+/** Optional grounding of a schema element in external vocabularies
+  * (reference graflo/architecture/schema/semantics.py, meta-ontology
+  * 1.4.0): purely additive — identity, storage naming and ingestion behave
+  * identically whether or not the block is present. `unit` is valid on
+  * FIELDS only (the reference splits `FieldSemantics` from `Semantics` so
+  * `unit:` on a vertex is a validation error; graft's loader enforces the
+  * same rejection). Serialized through `gf:semanticIri` / `gf:unit` and
+  * the reused `skos:exactMatch` / `skos:altLabel`.
+  */
+final case class Semantics(
+    iri: Option[String] = None,
+    exactMatch: Seq[String] = Nil,
+    synonyms: Seq[String] = Nil,
+    unit: Option[String] = None
+)
+
 /** A declared vertex property; type is optional (schema-agnostic mode). */
-final case class FieldDef(name: String, ftype: Option[FieldType] = None)
+final case class FieldDef(name: String, ftype: Option[FieldType] = None,
+    semantics: Option[Semantics] = None)
 
 /** One ordered fallback branch of an identity funnel.
   * Reference: graflo/architecture/schema/identity_funnel.py:40-120.
@@ -98,7 +115,8 @@ final case class VertexDef(
     identity: Identity = Identity.Blank,
     secondary: Seq[SecondaryIdentity] = Nil,
     filters: Option[FilterExpr] = None,
-    forceTypes: Map[String, FieldType] = Map.empty
+    forceTypes: Map[String, FieldType] = Map.empty,
+    semantics: Option[Semantics] = None
 ) {
   // duplicate-property merge rules (reference vertex.py:352-416): a name
   // declared twice merges typed-beats-untyped; two DIFFERENT declared types
@@ -182,6 +200,7 @@ final case class EdgeDef(
     ambiguity: AmbiguityPolicy = AmbiguityPolicy.All,
     /** extra-weight enrichment from stored vertex docs (db_writer.py:355-387) */
     extraWeights: Seq[VertexWeightSpec] = Nil,
+    semantics: Option[Semantics] = None,
     /** false when the manifest declared the edge WITHOUT a relation (the
       * reference's relation=None): the strict per-relation gate must not
       * constrain data-driven relations to the synthesized default name

@@ -213,18 +213,45 @@ object Rdf {
     * owl:DatatypeProperty with domain. Inverse of [[inferSchema]] up to
     * ordering. N-Triples lines, base IRI configurable.
     */
+  /** gf: meta-ontology 1.4.0 semantic-anchoring predicates (reference
+    * rdf/namespace.py: gf:semanticIri / gf:unit, reusing skos:exactMatch /
+    * skos:altLabel rather than minting equivalents). Declared without
+    * rdfs:domain upstream to allow multi-class attachment — same here.
+    */
+  val GfSemanticIri = "https://ontology.growgraph.dev/graflo/semanticIri"
+  val GfUnit = "https://ontology.growgraph.dev/graflo/unit"
+  val SkosExactMatch = "http://www.w3.org/2004/02/skos/core#exactMatch"
+  val SkosAltLabel = "http://www.w3.org/2004/02/skos/core#altLabel"
+
+  private def escapeLiteral(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+      case '\n' => "\\n"; case '\r' => "\\r"; case c => c.toString }
+
+  /** Semantics block → triples on `subject` (reference
+    * rdf/serializer.py:_emit_semantics: iri and exact_match as IRIs,
+    * synonyms and unit as literals).
+    */
+  private def semanticsTriples(subject: String, s: graft.model.Semantics): Seq[String] =
+    s.iri.map(i => s"$subject <$GfSemanticIri> <$i> .").toSeq ++
+      s.exactMatch.map(i => s"$subject <$SkosExactMatch> <$i> .") ++
+      s.synonyms.map(l => s"""$subject <$SkosAltLabel> "${escapeLiteral(l)}" .""") ++
+      s.unit.map(u => s"""$subject <$GfUnit> "${escapeLiteral(u)}" .""").toSeq
+
   def schemaToNTriples(schema: GraphSchema, base: String = "http://graft.local/"): Seq[String] = {
     def iri(n: String) = s"<$base$n>"
-    val classes = schema.vertices.map(v =>
-      s"${iri(v.name)} <$RdfType> <$OwlClass> .")
-    val fields = schema.vertices.flatMap(v => v.properties.map { f =>
+    val classes = schema.vertices.flatMap(v =>
+      s"${iri(v.name)} <$RdfType> <$OwlClass> ." +:
+        v.semantics.toSeq.flatMap(semanticsTriples(iri(v.name), _)))
+    val fields = schema.vertices.flatMap(v => v.properties.flatMap { f =>
       Seq(s"${iri(f.name)} <$RdfType> <$OwlDatatypeProperty> .",
-        s"${iri(f.name)} <$RdfsDomain> ${iri(v.name)} .")
-    }.flatten)
+        s"${iri(f.name)} <$RdfsDomain> ${iri(v.name)} .") ++
+        f.semantics.toSeq.flatMap(semanticsTriples(iri(f.name), _))
+    })
     val edges = schema.edges.flatMap(e => Seq(
       s"${iri(e.relation)} <$RdfType> <$OwlObjectProperty> .",
       s"${iri(e.relation)} <$RdfsDomain> ${iri(e.source)} .",
-      s"${iri(e.relation)} <$RdfsRange> ${iri(e.target)} ."))
+      s"${iri(e.relation)} <$RdfsRange> ${iri(e.target)} .") ++
+      e.semantics.toSeq.flatMap(semanticsTriples(iri(e.relation), _)))
     classes ++ fields ++ edges
   }
 
@@ -245,19 +272,38 @@ object Rdf {
     val ranges = triples.where(col("p") === RdfsRange)
       .select("s", "o").collect().map(r => r.getString(0) -> r.getString(1)).toMap
 
+    // semantic anchors read back onto the inferred elements (gf:
+    // meta-ontology 1.4.0; emitted by schemaToNTriples) — round-trip face
+    val semRows = triples.where(col("p").isin(
+      GfSemanticIri, SkosExactMatch, SkosAltLabel, GfUnit))
+      .select("s", "p", "o").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val semBySubject: Map[String, graft.model.Semantics] =
+      semRows.groupBy(_._1).map { case (s, rows) =>
+        s -> graft.model.Semantics(
+          iri = rows.find(_._2 == GfSemanticIri).map(_._3),
+          exactMatch = rows.filter(_._2 == SkosExactMatch).map(_._3).toSeq.sorted,
+          synonyms = rows.filter(_._2 == SkosAltLabel).map(_._3).toSeq.sorted,
+          unit = rows.find(_._2 == GfUnit).map(_._3))
+      }
+    def semOf(subjectIri: String): Option[graft.model.Semantics] =
+      semBySubject.get(subjectIri)
+
     val fieldsByClass = dataProps.toSeq.flatMap { dp =>
-      domains.get(dp).map(d => local(d) -> FieldDef(local(dp)))
+      domains.get(dp).map(d => local(d) -> FieldDef(local(dp), semantics = semOf(dp)))
     }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
 
+    val classIri = classes.map(c => local(c) -> c).toMap
     val vertices = classes.map(local).sorted.map { c =>
-      VertexDef(c, fieldsByClass.getOrElse(c, Nil), Identity.Natural(Seq("id")))
+      VertexDef(c, fieldsByClass.getOrElse(c, Nil), Identity.Natural(Seq("id")),
+        semantics = classIri.get(c).flatMap(semOf))
     }
     val vnames = vertices.map(_.name).toSet
     val edges = objProps.toSeq.sorted.flatMap { op =>
       for {
         d <- domains.get(op).map(local) if vnames(d)
         r <- ranges.get(op).map(local) if vnames(r)
-      } yield EdgeDef(d, r, local(op))
+      } yield EdgeDef(d, r, local(op), semantics = semOf(op))
     }
     GraphSchema(vertices.toSeq, edges)
   }

@@ -24,19 +24,20 @@ class SchemaContextSpec extends SparkSpec {
 
   test("seeds always admit even under a tiny budget; nearest-first order") {
     val (s, _) = SchemaContext.subschema(ring, Seq("v05"), maxHops = 3,
-      maxVertices = Some(3))
+      budget = SchemaContext.Budget(maxElements = Some(3), maxTokens = None))
     // v05 (seed), then hop-1 neighbours by name: v04, v06
     assert(s.vertexByName.keySet == Set("v05", "v04", "v06"))
     val (s1, _) = SchemaContext.subschema(ring, Seq("v02", "v07"),
-      maxHops = 2, maxVertices = Some(1))
+      maxHops = 2,
+      budget = SchemaContext.Budget(maxElements = Some(1), maxTokens = None))
     assert(s1.vertexByName.keySet == Set("v02", "v07")) // seeds never elide
   }
 
   test("unknown seed throws; schemaCard renders every type") {
-    intercept[IllegalArgumentException] {
+    intercept[NoSuchElementException] {
       SchemaContext.subschema(ring, Seq("nope"))
     }
-    val card = SchemaContext.schemaCard(ring)
+    val card = SchemaContext.schemaCardText(ring)
     assert(card.linesIterator.size == 20)
     assert(card.contains("vertex v00(id: [p]; props: [p])"))
     assert(card.contains("edge (v00)-[r0]->(v01)"))
