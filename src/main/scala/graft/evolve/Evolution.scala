@@ -24,13 +24,43 @@ object EvolutionOp {
       vertices = s.vertices.filterNot(_.name == name),
       edges = s.edges.filterNot(e => e.source == name || e.target == name))
   }
-  /** rename + rewrite of all edge references */
+  /** rename + rewrite of all edge references (single-pair convenience of
+    * [[RenameVertices]] — same validation)
+    */
   final case class RenameVertex(from: String, to: String) extends EvolutionOp {
-    def apply(s: GraphSchema) = s.copy(
-      vertices = s.vertices.map(v => if (v.name == from) v.copy(name = to) else v),
-      edges = s.edges.map(e => e.copy(
-        source = if (e.source == from) to else e.source,
-        target = if (e.target == from) to else e.target)))
+    def apply(s: GraphSchema) = RenameVertices(Map(from -> to)).apply(s)
+  }
+
+  /** Atomic multi-rename (reference RenameVerticesOp with its 1.10.5
+    * guards, executed-parity pinned): the map applies SIMULTANEOUSLY, so a
+    * swap `{a->b, b->a}` is legal; unknown sources are errors (a typo must
+    * not be a silent no-op the revision machinery still records); a
+    * non-injective map is rejected at construction and a target colliding
+    * with a type that is STAYING is rejected at apply — `MergeVertices` is
+    * the deliberate merge path ("a rename could silently merge two vertex
+    * types into one").
+    */
+  final case class RenameVertices(vertices: Map[String, String]) extends EvolutionOp {
+    require(vertices.nonEmpty, "rename_vertices requires a non-empty map")
+    require(vertices.values.toSeq.distinct.size == vertices.size,
+      "rename_vertices map must be injective (use MergeVertices to collapse)")
+    def apply(s: GraphSchema) = {
+      val names = s.vertices.map(_.name).toSet
+      val unknown = vertices.keys.filterNot(names).toSeq.sorted
+      if (unknown.nonEmpty) throw new IllegalArgumentException(
+        s"rename_vertices: unknown vertices: ${unknown.mkString("[", ", ", "]")}")
+      val staying = names -- vertices.keySet
+      val collisions = vertices.collect { case (from, to) if staying(to) =>
+        s"'$from' -> '$to'" }.toSeq.sorted
+      if (collisions.nonEmpty) throw new IllegalArgumentException(
+        "rename_vertices: renamed vertices collide with existing ones: " +
+          collisions.mkString("[", ", ", "]") + " (use MergeVertices)")
+      def ren(n: String) = vertices.getOrElse(n, n)
+      s.copy(
+        vertices = s.vertices.map(v => v.copy(name = ren(v.name))),
+        edges = s.edges.map(e =>
+          e.copy(source = ren(e.source), target = ren(e.target))))
+    }
   }
   final case class AddProperty(vertex: String, field: FieldDef) extends EvolutionOp {
     def apply(s: GraphSchema) = mapVertex(s, vertex)(v =>
@@ -213,6 +243,12 @@ object EvolutionOp {
     require(relations.values.toSeq.distinct.size == relations.size,
       "rename_relations map must be injective (use MergeEdges to collapse)")
     def apply(s: GraphSchema) = {
+      // 1.10.5 guard (executed-parity): an unknown source is an error, not
+      // a silent no-op the revision machinery still records as a change
+      val declared = s.edges.map(_.relation).toSet
+      val unknown = relations.keys.filterNot(declared).toSeq.sorted
+      if (unknown.nonEmpty) throw new IllegalArgumentException(
+        s"rename_relations: unknown relations: ${unknown.mkString("[", ", ", "]")}")
       val renamed = s.edges.map(e =>
         relations.get(e.relation).map(r => e.copy(relation = r)).getOrElse(e))
       requireNoDuplicates(renamed, "rename_relations")
@@ -395,6 +431,7 @@ object Risk {
        | _: AddEdgeProperty => Low
     case _: AddSecondaryIdentity | _: RemoveSecondaryIdentity
        | _: RenameRelation | _: RenameRelations | _: RenameVertex
+       | _: RenameVertices
        | _: RenameProperty | _: RenameEdgeProperty | _: SetEdgeDirected => Medium
     case _: RemoveProperty | _: RemoveVertex | _: RemoveEdge
        | _: SetFieldType | _: RetargetEdge | _: RemoveEdgeProperty
@@ -409,6 +446,48 @@ object Risk {
   /** migrate/risk.py `is_backward_compatible_operations` */
   def isBackwardCompatible(ops: Seq[EvolutionOp]): Boolean =
     ops.forall(classify(_) == Low)
+
+  /** Ops whose effect extends past the schema into the INGESTION model
+    * (reference ops.py INGESTION_REWRITING_OPS, 1.10.5): applying one to a
+    * manifest that carries no ingestion block silently drops that half of
+    * the work — the schema gains renamed vertices while the resources keep
+    * pointing at the old names. Every op kind in graft's vocabulary is
+    * classified (`IngestionReachSpec` asserts exhaustiveness, mirroring
+    * the reference's test_every_op_is_classified_for_ingestion_reach).
+    * graft's `Sanitize` and `Project` are surfaced as op GENERATORS /
+    * separate modules, so the reference's `sanitize` / `project_manifest`
+    * / `rename_resources` members classify there, not here.
+    */
+  def reachesIngestion(op: EvolutionOp): Boolean = op match {
+    case _: RenameVertex | _: RenameVertices | _: RemoveVertex
+       | _: RenameProperty | _: RemoveProperty
+       | _: RenameRelation | _: RenameRelations | _: RemoveEdge
+       | _: MergeEdges | _: MergeVertices | _: ReplaceIdentity
+       | _: InverseEdge => true
+    case _: AddVertex | _: AddProperty | _: AddEdge | _: AddEdgeProperty
+       | _: RemoveEdgeProperty | _: RenameEdgeProperty | _: SetFieldType
+       | _: SetEdgeDirected | _: RetargetEdge | _: ReplaceEdgeIdentities
+       | _: AddSecondaryIdentity | _: RemoveSecondaryIdentity => false
+  }
+
+  /** Names of the ops reaching the ingestion model, in order (reference
+    * `ops_reaching_ingestion`, ops.py:1010-1017) — the reference's op
+    * tokens, so migration tooling can warn in its words.
+    */
+  def opsReachingIngestion(ops: Seq[EvolutionOp]): Seq[String] =
+    ops.filter(reachesIngestion).map {
+      case _: RenameVertex | _: RenameVertices => "rename_vertices"
+      case _: RemoveVertex                     => "remove_vertices"
+      case _: RenameProperty                   => "rename_vertex_properties"
+      case _: RemoveProperty                   => "remove_vertex_properties"
+      case _: RenameRelation | _: RenameRelations => "rename_relations"
+      case _: RemoveEdge                       => "remove_edges"
+      case _: MergeEdges                       => "merge_edges"
+      case _: MergeVertices                    => "merge_vertices"
+      case _: ReplaceIdentity                  => "replace_identity"
+      case _: InverseEdge                      => "add_inverse_edges"
+      case other => throw new IllegalStateException(s"unclassified: $other")
+    }
 }
 
 /** Linear revision chain (reference evolution/revision.py:68-260):
@@ -642,6 +721,7 @@ object Evolution {
     op match {
       case AddVertex(v)                 => Some(RemoveVertex(v.name))
       case RenameVertex(a, b)           => Some(RenameVertex(b, a))
+      case RenameVertices(m)            => Some(RenameVertices(m.map(_.swap)))
       case AddProperty(vx, f)           => Some(RemoveProperty(vx, f.name))
       case RenameProperty(vx, a, b)     => Some(RenameProperty(vx, b, a))
       case AddEdge(e)                   => Some(RemoveEdge(e.key))

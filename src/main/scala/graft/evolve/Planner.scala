@@ -42,6 +42,7 @@ object Planner {
     case AddVertex(v)                  => s"vertex:${v.name}"
     case RemoveVertex(n)               => s"vertex:$n"
     case RenameVertex(a, _)            => s"vertex:$a"
+    case RenameVertices(m)             => s"vertex:${m.keys.toSeq.sorted.mkString(",")}"
     case AddProperty(v, f)             => s"vertex:$v:$f"
     case RemoveProperty(v, f)          => s"vertex:$v:$f"
     case RenameProperty(v, a, _)       => s"vertex:$v:$a"
@@ -68,11 +69,21 @@ object Planner {
     val ordered = ops.sortBy(op => (rank(op), target(op)))
     val (runnable, blocked) = ordered.partition(op =>
       allowHighRisk || Risk.classify(op) == Risk.Low)
-    val warnings =
+    val gateWarnings =
       if (blocked.nonEmpty && !allowHighRisk)
         Seq("High-risk operations are blocked by default. " +
           "Re-run with allowHighRisk = true to include them.")
       else Nil
-    Plan(runnable, blocked.map(op => op -> Risk.classify(op)), warnings)
+    // 1.10.5 ingestion-reach surface (ops.py INGESTION_REWRITING_OPS):
+    // applying these to a schema stored apart from its resources silently
+    // drops half the work — say so up front, in the reference's tokens
+    val reach = Risk.opsReachingIngestion(ordered).distinct
+    val reachWarnings =
+      if (reach.nonEmpty)
+        Seq("Ops reaching the ingestion model (apply to the FULL manifest, " +
+          s"not a bare schema): ${reach.mkString(", ")}")
+      else Nil
+    Plan(runnable, blocked.map(op => op -> Risk.classify(op)),
+      gateWarnings ++ reachWarnings)
   }
 }

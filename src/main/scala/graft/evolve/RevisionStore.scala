@@ -163,6 +163,11 @@ object RevisionStore {
       case AddVertex(v) => o.put("op", "add_vertex"); o.set[JsonNode]("vertex", vertexToJson(v))
       case RemoveVertex(n) => o.put("op", "remove_vertex"); o.put("name", n)
       case RenameVertex(a, b) => o.put("op", "rename_vertex"); o.put("from", a); o.put("to", b)
+      case RenameVertices(m) =>
+        o.put("op", "rename_vertices")
+        val mm = mapper.createObjectNode()
+        m.toSeq.sortBy(_._1).foreach { case (k, v) => mm.put(k, v) }
+        o.set[JsonNode]("vertices", mm): Unit
       case AddProperty(vx, f) =>
         o.put("op", "add_property"); o.put("vertex", vx); o.set[JsonNode]("field", fieldToJson(f))
       case RemoveProperty(vx, f) =>
@@ -220,6 +225,10 @@ object RevisionStore {
     case "add_vertex" => AddVertex(vertexFromJson(n.path("vertex")))
     case "remove_vertex" => RemoveVertex(n.path("name").asText())
     case "rename_vertex" => RenameVertex(n.path("from").asText(), n.path("to").asText())
+    case "rename_vertices" =>
+      import scala.jdk.CollectionConverters._
+      RenameVertices(n.path("vertices").properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap)
     case "add_property" =>
       AddProperty(n.path("vertex").asText(), fieldFromJson(n.path("field")))
     case "remove_property" =>

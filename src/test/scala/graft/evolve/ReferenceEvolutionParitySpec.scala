@@ -58,7 +58,10 @@ class ReferenceEvolutionParitySpec extends SparkSpec {
     def entries(n: JsonNode) = n.properties().asScala.toSeq
     op.path("op").asText() match {
       case "rename_vertices" =>
-        entries(op.path("vertices")).map(e => RenameVertex(e.getKey, e.getValue.asText()))
+        // one ATOMIC map, like the reference — a swap is legal, a partial
+        // sequential application would collide on itself
+        Seq(RenameVertices(entries(op.path("vertices"))
+          .map(e => e.getKey -> e.getValue.asText()).toMap))
       case "remove_vertices" =>
         fields(op.path("names")).map(RemoveVertex.apply)
       case "merge_vertices" =>

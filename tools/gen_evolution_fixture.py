@@ -87,6 +87,27 @@ case("remove_vertex_drops_incident_edges", BASE, [
     {"op": "remove_vertices", "names": ["company"]},
 ])
 
+# 1.10.5 rename-validation guards (changelog "Renames never checked that
+# their sources existed" / "A rename could silently merge two vertex
+# types"): executed truth for graft's Evolution to mirror
+case("rename_unknown_source_rejected", BASE, [
+    {"op": "rename_vertices", "vertices": {"ghost": "ghost2"}},
+])
+case("rename_onto_staying_type_rejected", BASE, [
+    {"op": "rename_vertices", "vertices": {"person": "city"}},
+])
+case("rename_noninjective_rejected", BASE, [
+    {"op": "rename_vertices", "vertices": {"person": "x", "city": "x"}},
+])
+case("rename_relation_unknown_source_rejected", BASE, [
+    {"op": "rename_relations", "relations": {"ghost_rel": "other"}},
+])
+# a swap through a chain is NOT a collision if applied as one map — probe
+# the executed truth rather than guessing
+case("rename_vertex_swap", BASE, [
+    {"op": "rename_vertices", "vertices": {"city": "company", "company": "city"}},
+])
+
 # merge into an EXISTING vertex: property union (typed beats untyped),
 # edges retargeted; person->person edges would self-relate so merge the
 # city/company pair instead
