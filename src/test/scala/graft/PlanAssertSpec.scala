@@ -138,4 +138,31 @@ class PlanAssertSpec extends SparkSpec {
         s"digest Project fell out of whole-stage codegen:\n${exec.toString}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("a BFS walk's frontier joins broadcast the frontier, never sort-merge") {
+    // the reference-exact walk (GraphReader.walk) joins each hop's tiny
+    // frontier against the edge frames: every such join must be a
+    // broadcast-hash with the FRONTIER on the build side — a sort-merge
+    // there would shuffle the (data-sized) edge frame once per hop per
+    // edge type, the exact shape that dies at 100×
+    import graft.query._
+    import graft.model._
+    import graft.expr.FilterExpr
+    import org.apache.spark.sql.functions.col
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    val es = Map(
+      EdgeKey("orders", "customer", "placed_by") -> ord.select(
+        col("o_orderkey").as("src_o_orderkey"),
+        col("o_custkey").as("dst_c_custkey")))
+    val reader = new GraphReader(graft.fixtures.TpchGraph.schema,
+      Map("customer" -> cust, "orders" -> ord).apply _, es.get(_),
+      QueryCaps.Hard.copy(timeoutSeconds = 600))
+    val out = reader.neighbors(
+      NeighborQuery("customer", FilterExpr.eq("c_custkey", 7L)))
+    val p = out.vertices("orders").queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("SortMergeJoin"),
+      s"walk hydration plans a SortMergeJoin:\n$p")
+  }
 }
