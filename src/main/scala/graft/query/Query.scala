@@ -330,10 +330,26 @@ final class GraphReader(
       q.seeds.map { case (t, f) => t -> anchorIds(t, None, Some(f)) } ++
         q.seedIds.map { case (t, id) => t -> anchorIds(t, Some(id), None) }
     if (anchors.isEmpty) return GraphOutput.empty
-    withTimeout(anchors.head._2.sparkSession) {
-      val walks = anchors.map { case (t, a) =>
+    val spark = anchors.head._2.sparkSession
+    withTimeout(spark) {
+      // the walks are INDEPENDENT (reference conn.py:791-830 loops them
+      // serially; their results merge commutatively), so run them
+      // concurrently — at maxSeeds ≤ 10 and hops ≤ 3 a serial loop costs
+      // up to 30 sequential job rounds of pure latency. Each future
+      // thread re-joins the caller's job group so the timeout cancel
+      // reaches every walk's jobs (localProperties don't cross pooled
+      // executor threads).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val sc = spark.sparkContext
+      val group = Option(sc.getLocalProperty("spark.jobGroup.id"))
+      val futures = anchors.map { case (t, a) => Future {
+        group.foreach(g =>
+          sc.setJobGroup(g, "graft traverse walk", interruptOnCancel = true))
         walk(t, a, hops, q.direction, q.relations, budget, q.edgeFilter)
-      }
+      }}
+      val walks = futures.map(Await.result(_, Duration.Inf))
       val merged = walks.map(_._1).reduceLeft(_ unionWith _)
       // reference container.pick_unique() after the merge (conn.py:829)
       val dedup = GraphOutput(
