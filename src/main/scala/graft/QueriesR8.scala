@@ -94,6 +94,30 @@ object GraftQueriesR8 {
           rep.budget.exhaustedBy)
       import s.implicits._
       rows.toDF("kind", "name", "reason").orderBy("kind", "name")
+    },
+
+    // schema-TYPE adjacency (SchemaGraph.schemaNeighbors — "what is
+    // adjacent to nation in the SCHEMA", never the instance plane): 2-hop
+    // BFS distances over the TPC-H type graph, constants-oracled
+    "q_schema_neighbors" -> { (s, d) =>
+      import graft.evolve.SchemaContext._
+      val g = new SchemaGraph(graft.fixtures.TpchGraph.schema)
+      val nb = g.schemaNeighbors("nation", hops = 2)
+      import s.implicits._
+      nb.distances.toSeq.map { case (n, dist) => (n, dist.toLong) }
+        .toDF("vtype", "dist").orderBy("dist", "vtype")
+    },
+
+    // bounded simple-path enumeration between two TYPES
+    // (SchemaGraph.relationsBetween): how customer connects to region
+    "q_relations_between" -> { (s, d) =>
+      import graft.evolve.SchemaContext._
+      val g = new SchemaGraph(graft.fixtures.TpchGraph.schema)
+      val paths = g.relationsBetween("customer", "region", maxLen = 3)
+      import s.implicits._
+      paths.zipWithIndex.map { case (p, i) =>
+        (i.toLong, p.vertices.mkString(">"), p.edges.map(_.relation).mkString(";"))
+      }.toDF("path_rank", "vertices", "relations").orderBy("path_rank")
     }
   )
 
@@ -145,6 +169,17 @@ object GraftQueriesR8 {
         |  ('kept_vertex', 'part', ''),
         |  ('kept_vertex', 'supplier', '')
         |) AS t(kind, name, reason)
-        |ORDER BY kind, name""".stripMargin
+        |ORDER BY kind, name""".stripMargin,
+
+    "q_schema_neighbors" ->
+      """SELECT vtype, CAST(dist AS BIGINT) AS dist FROM (VALUES
+        |  ('nation', 0), ('customer', 1), ('region', 1), ('supplier', 1),
+        |  ('orders', 2), ('part', 2)
+        |) AS t(vtype, dist) ORDER BY dist, vtype""".stripMargin,
+
+    "q_relations_between" ->
+      """SELECT CAST(0 AS BIGINT) AS path_rank,
+        |  'customer>nation>region' AS vertices,
+        |  'in_nation;in_region' AS relations""".stripMargin
   )
 }
