@@ -224,7 +224,14 @@ final class GraphReader(
     schema: GraphSchema,
     vertexDf: String => DataFrame,
     edgeDf: EdgeKey => Option[DataFrame],
-    caps: QueryCaps = QueryCaps.Hard
+    caps: QueryCaps = QueryCaps.Hard,
+    /** Bounded-set localization threshold for BFS frontier/visited id-sets
+      * (see [[localize]]): sets at or below it collect to a LocalRelation
+      * (plan-depth reset per hop); larger sets stay distributed and join as
+      * broadcast frontiers. Injectable so the distributed branch is
+      * testable (forced with 0) — the measured-gate discipline.
+      */
+    localizeCap: Int = GraphReader.DefaultLocalizeCap
 ) {
 
   def node(q: NodeQuery): DataFrame = {
@@ -449,14 +456,13 @@ final class GraphReader(
     * LocalRelation resets the logical-plan depth each hop — otherwise every
     * hop's joins re-analyze (and re-broadcast) the whole anchor→hopN lineage,
     * and the job count grows quadratically with hops. Sets larger than
-    * `LocalizeCap` stay distributed (the scale path: broadcast joins).
+    * `localizeCap` stay distributed (the scale path: broadcast joins).
     */
-  private val LocalizeCap = 100000
-
   private def localize(df: DataFrame): DataFrame = {
+    if (localizeCap <= 0) return df // forced-distributed (tests / huge walks)
     val spark = df.sparkSession
-    val rows = df.limit(LocalizeCap + 1).collect()
-    if (rows.length > LocalizeCap) df
+    val rows = df.limit(localizeCap + 1).collect()
+    if (rows.length > localizeCap) df
     else spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 
@@ -652,4 +658,13 @@ final class GraphReader(
     }
     (GraphOutput(hydrated, collectedEdges), hopFrames.toSeq)
   }
+}
+
+object GraphReader {
+  /** BFS id-set localization threshold: below it, frontier/visited sets
+    * collect to a LocalRelation each hop (plan-depth reset); above it they
+    * stay distributed. 100k ids ≈ a few MB — far past any caps-lattice
+    * walk, reachable only by uncapped programmatic walks on huge graphs.
+    */
+  val DefaultLocalizeCap = 100000
 }
