@@ -407,10 +407,19 @@ object ManifestLoader {
         // its type field (source_type_field / target_type_field)
         role = text(r, "role").orElse(Some(s"__tf_${r.path("type_field").asText()}")))
     }
+    else if (s.has("descend")) {
+      // wrapped form (steps/normalize.py:42-59): `descend: {key, apply|pipeline}`
+      val d = s.path("descend")
+      Descend(
+        key = Option(d.get("key")).filterNot(_.isNull).map(_.asText()),
+        anyKey = d.path("any_key").asBoolean(false),
+        steps = parseSteps(pipelineNode(d)))
+    }
     else if (s.has("pipeline") || s.has("apply")) Descend(
       key = Option(s.get("key")).filterNot(_.isNull).map(_.asText()),
       anyKey = s.path("any_key").asBoolean(false),
       steps = parseSteps(pipelineNode(s)))
+    else if (s.has("rename") || s.has("call")) parseTransform(s)
     else throw new IllegalArgumentException(s"unrecognized pipeline step: $s")
   }
 
