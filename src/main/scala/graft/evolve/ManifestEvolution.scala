@@ -135,6 +135,28 @@ object ManifestEvolution {
   def evolve(state: ManifestState, ops: Seq[CascadeOp]): ManifestState =
     ops.foldLeft(state)(applyOne)
 
+  /** Evolve a whole YAML manifest and re-load it as a runnable
+    * [[graft.manifest.GraphManifest]]: the cascade rewrites the ingestion
+    * document, the typed schema carries the schema-plane ops, and the
+    * evolved document round-trips through the manifest loader (the
+    * cascade emits loader-parsable normalized step forms). Step-level
+    * `vertex_weights` that attach to schema edges at load time are the
+    * original schema's concern and are not re-attached here.
+    */
+  def evolveManifest(yamlText: String, ops: Seq[CascadeOp]): graft.manifest.GraphManifest = {
+    val loaded = graft.manifest.ManifestLoader.fromYamlString(yamlText)
+    val root = asObj(DocJson.parseYamlDoc(yamlText)).getOrElse(EmptyObj)
+    val im = asObj(root.getOrElse("ingestion_model", null)).getOrElse(EmptyObj)
+    val b = asObj(root.getOrElse("bindings", null)).getOrElse(EmptyObj)
+    val st = evolve(ManifestState(loaded.schema, im, b), ops)
+    val json = SchemaContext.serializeCompact(VectorMap[String, Any](
+      "schema" -> VectorMap[String, Any](
+        "metadata" -> VectorMap[String, Any]("name" -> loaded.name)),
+      "ingestion_model" -> st.ingestion))
+    graft.manifest.ManifestLoader.fromJsonString(json)
+      .copy(name = loaded.name, schema = st.schema, bindings = loaded.bindings)
+  }
+
   // -------------------------------------------------------------- helpers
 
   private def resources(im: Obj): Vector[Obj] =
