@@ -316,6 +316,111 @@ object EvolutionOp {
         identities = e.identities.filterNot(_ == field))
       else e))
   }
+  /** Physical-profile index ops (reference evolution/physical.py:132-278):
+    * backend-portable index metadata with the reference's validation
+    * lattice, executed-parity pinned by `ReferencePhysicalParitySpec`.
+    * The effective vertex index set is `derivedIndexes ++ indexes`
+    * deduped on the ordered field tuple (db_profile.add_vertex_index is
+    * idempotent on the field-set, database_features.py:383-392).
+    */
+  final case class AddVertexIndexes(vertex: String, indexes: Seq[IndexDef]) extends EvolutionOp {
+    def apply(s: GraphSchema) = {
+      if (!s.vertexByName.contains(vertex)) throw new IllegalArgumentException(
+        s"add_vertex_indexes: unknown vertices: [$vertex]")
+      mapVertex(s, vertex) { v =>
+        val declared = (v.properties.map(_.name) ++ (v.identity match {
+          case Identity.Natural(fs) => fs; case _ => Nil
+        })).toSet
+        indexes.foreach { ix =>
+          val missing = ix.fields.filterNot(declared)
+          if (missing.nonEmpty) throw new IllegalArgumentException(
+            s"add_vertex_indexes: vertex '$vertex' does not declare " +
+              missing.mkString("[", ", ", "]"))
+        }
+        // idempotent on the ordered field tuple, derived sets included
+        var present = (v.derivedIndexes ++ v.indexes).map(_.fields).toSet
+        var authored = v.indexes
+        indexes.foreach { ix =>
+          if (!present(ix.fields)) { authored = authored :+ ix; present += ix.fields }
+        }
+        v.copy(indexes = authored)
+      }
+    }
+  }
+
+  /** Withdraw authored vertex indexes, REFUSING to touch derived ones
+    * (physical.py:162-199: a derived index "would be re-registered by the
+    * next finish_init; use RemoveSecondaryIdentitiesOp instead").
+    */
+  final case class RemoveVertexIndexes(vertex: String, fieldSets: Seq[Seq[String]]) extends EvolutionOp {
+    def apply(s: GraphSchema) = {
+      if (!s.vertexByName.contains(vertex)) throw new IllegalArgumentException(
+        s"remove_vertex_indexes: unknown vertices: [$vertex]")
+      mapVertex(s, vertex) { v =>
+        val doomed  = fieldSets.map(_.toSet).toSet
+        val derived = v.derivedIndexes.map(_.fields.toSet).toSet
+        val collision = (doomed & derived).map(_.toSeq.sorted).toSeq.sortBy(_.mkString(","))
+        if (collision.nonEmpty) throw new IllegalArgumentException(
+          s"remove_vertex_indexes: vertex '$vertex' indexes " +
+            collision.map(_.mkString("[", ", ", "]")).mkString(", ") +
+            " are derived from secondary_identities and would be re-registered " +
+            "by the next finish_init; use RemoveSecondaryIdentity instead")
+        val present = (v.derivedIndexes ++ v.indexes).map(_.fields.toSet).toSet
+        val unmatched = (doomed -- present).map(_.toSeq.sorted).toSeq.sortBy(_.mkString(","))
+        if (unmatched.nonEmpty) throw new IllegalArgumentException(
+          s"remove_vertex_indexes: vertex '$vertex' has no index on " +
+            unmatched.map(_.mkString("[", ", ", "]")).mkString(", "))
+        v.copy(indexes = v.indexes.filterNot(ix => doomed(ix.fields.toSet)))
+      }
+    }
+  }
+
+  /** Author indexes on an edge's PHYSICAL spec (physical.py:214-245): the
+    * spec must pre-exist (manifest db_profile.edge_specs), duplicate
+    * field-sets are rejected rather than deduped.
+    */
+  final case class AddEdgeIndexes(key: EdgeKey, indexes: Seq[IndexDef]) extends EvolutionOp {
+    def apply(s: GraphSchema) = {
+      val e = s.edgeByKey.getOrElse(key, throw new IllegalArgumentException(
+        s"add_edge_indexes: unknown edge: $key"))
+      if (indexes.isEmpty) throw new IllegalArgumentException(
+        s"add_edge_indexes: edge $key lists no indexes")
+      val spec = e.specIndexes.getOrElse(throw new IllegalArgumentException(
+        s"add_edge_indexes: no physical spec for $key"))
+      var existing = spec.map(_.fields.toSet).toSet
+      val additions = indexes.map { ix =>
+        if (existing(ix.fields.toSet)) throw new IllegalArgumentException(
+          s"add_edge_indexes: $key already indexes ${ix.fields.mkString("[", ", ", "]")}")
+        existing += ix.fields.toSet
+        ix
+      }
+      s.copy(edges = s.edges.map(ed =>
+        if (ed.key == key) ed.copy(specIndexes = Some(spec ++ additions)) else ed))
+    }
+  }
+
+  /** Withdraw authored indexes from an edge physical spec (physical.py:248-276). */
+  final case class RemoveEdgeIndexes(key: EdgeKey, fieldSets: Seq[Seq[String]]) extends EvolutionOp {
+    def apply(s: GraphSchema) = {
+      if (fieldSets.isEmpty) throw new IllegalArgumentException(
+        s"remove_edge_indexes: edge $key lists no fields")
+      val e = s.edgeByKey.getOrElse(key, throw new IllegalArgumentException(
+        s"remove_edge_indexes: no physical spec for $key"))
+      val spec = e.specIndexes.getOrElse(throw new IllegalArgumentException(
+        s"remove_edge_indexes: no physical spec for $key"))
+      val doomed  = fieldSets.map(_.toSet).toSet
+      val present = spec.map(_.fields.toSet).toSet
+      val unmatched = (doomed -- present).map(_.toSeq.sorted).toSeq.sortBy(_.mkString(","))
+      if (unmatched.nonEmpty) throw new IllegalArgumentException(
+        s"remove_edge_indexes: $key has no index on " +
+          unmatched.map(_.mkString("[", ", ", "]")).mkString(", "))
+      s.copy(edges = s.edges.map(ed =>
+        if (ed.key == key)
+          ed.copy(specIndexes = Some(spec.filterNot(ix => doomed(ix.fields.toSet))))
+        else ed))
+    }
+  }
+
   /** flip directedness (reference SetEdgeDirectedOp, ops.py:744-763) */
   final case class SetEdgeDirected(key: EdgeKey, directed: Boolean) extends EvolutionOp {
     def apply(s: GraphSchema) = s.copy(edges = s.edges.map(e =>
@@ -428,11 +533,15 @@ object Risk {
   import EvolutionOp._
   def classify(op: EvolutionOp): Level = op match {
     case _: AddVertex | _: AddProperty | _: AddEdge | _: InverseEdge
-       | _: AddEdgeProperty => Low
+       | _: AddEdgeProperty
+       // reference migrate/risk.py LOW_RISK_OPS: ADD_VERTEX_INDEX / ADD_EDGE_INDEX
+       | _: AddVertexIndexes | _: AddEdgeIndexes => Low
     case _: AddSecondaryIdentity | _: RemoveSecondaryIdentity
        | _: RenameRelation | _: RenameRelations | _: RenameVertex
        | _: RenameVertices
-       | _: RenameProperty | _: RenameEdgeProperty | _: SetEdgeDirected => Medium
+       | _: RenameProperty | _: RenameEdgeProperty | _: SetEdgeDirected
+       // reference migrate/risk.py MEDIUM_RISK_OPS: REMOVE_*_INDEX
+       | _: RemoveVertexIndexes | _: RemoveEdgeIndexes => Medium
     case _: RemoveProperty | _: RemoveVertex | _: RemoveEdge
        | _: SetFieldType | _: RetargetEdge | _: RemoveEdgeProperty
        | _: MergeEdges => High
@@ -467,7 +576,9 @@ object Risk {
     case _: AddVertex | _: AddProperty | _: AddEdge | _: AddEdgeProperty
        | _: RemoveEdgeProperty | _: RenameEdgeProperty | _: SetFieldType
        | _: SetEdgeDirected | _: RetargetEdge | _: ReplaceEdgeIdentities
-       | _: AddSecondaryIdentity | _: RemoveSecondaryIdentity => false
+       | _: AddSecondaryIdentity | _: RemoveSecondaryIdentity
+       | _: AddVertexIndexes | _: RemoveVertexIndexes
+       | _: AddEdgeIndexes | _: RemoveEdgeIndexes => false
   }
 
   /** Names of the ops reaching the ingestion model, in order (reference
@@ -729,6 +840,8 @@ object Evolution {
       case AddSecondaryIdentity(vx, s)  => Some(RemoveSecondaryIdentity(vx, s.name))
       case AddEdgeProperty(k, f)        => Some(RemoveEdgeProperty(k, f.name))
       case RenameEdgeProperty(k, a, b)  => Some(RenameEdgeProperty(k, b, a))
+      case AddVertexIndexes(v, ixs)     => Some(RemoveVertexIndexes(v, ixs.map(_.fields)))
+      case AddEdgeIndexes(k, ixs)       => Some(RemoveEdgeIndexes(k, ixs.map(_.fields)))
       // SetEdgeDirected does not record the PRIOR value, so a blind flip is
       // wrong when the op was a no-op — not invertible
       case _                            => None

@@ -58,6 +58,10 @@ object Planner {
     case MergeEdges(srcs, into)        => s"edge:${srcs.mkString("+")}>$into"
     case RetargetEdge(k, _, _)         => s"edge:${k.storeName}"
     case InverseEdge(k, _)             => s"edge:${k.storeName}"
+    case AddVertexIndexes(v, _)        => s"vertex:$v:indexes"
+    case RemoveVertexIndexes(v, _)     => s"vertex:$v:indexes"
+    case AddEdgeIndexes(k, _)          => s"edge:${k.storeName}:indexes"
+    case RemoveEdgeIndexes(k, _)       => s"edge:${k.storeName}:indexes"
     case AddEdgeProperty(k, f)         => s"edge:${k.storeName}:${f.name}"
     case RenameEdgeProperty(k, a, _)   => s"edge:${k.storeName}:$a"
     case RemoveEdgeProperty(k, f)      => s"edge:${k.storeName}:$f"

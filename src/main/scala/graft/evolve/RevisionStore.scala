@@ -217,6 +217,30 @@ object RevisionStore {
       case ReplaceEdgeIdentities(k, ids) =>
         o.put("op", "replace_edge_identities"); keyToJson(o, k)
         strArr(o, "identities", ids)
+      case AddVertexIndexes(vx, ixs) =>
+        o.put("op", "add_vertex_indexes"); o.put("vertex", vx)
+        val arr = o.putArray("indexes")
+        ixs.foreach { ix =>
+          val io = arr.addObject()
+          strArr(io, "fields", ix.fields); io.put("unique", ix.unique)
+          ix.name.foreach(io.put("name", _))
+        }
+      case RemoveVertexIndexes(vx, sets) =>
+        o.put("op", "remove_vertex_indexes"); o.put("vertex", vx)
+        val arr = o.putArray("field_sets")
+        sets.foreach(fs => { val a = arr.addArray(); fs.foreach(a.add) })
+      case AddEdgeIndexes(k, ixs) =>
+        o.put("op", "add_edge_indexes"); keyToJson(o, k)
+        val arr = o.putArray("indexes")
+        ixs.foreach { ix =>
+          val io = arr.addObject()
+          strArr(io, "fields", ix.fields); io.put("unique", ix.unique)
+          ix.name.foreach(io.put("name", _))
+        }
+      case RemoveEdgeIndexes(k, sets) =>
+        o.put("op", "remove_edge_indexes"); keyToJson(o, k)
+        val arr = o.putArray("field_sets")
+        sets.foreach(fs => { val a = arr.addArray(); fs.foreach(a.add) })
     }
     o
   }
@@ -269,6 +293,14 @@ object RevisionStore {
     case "merge_edges" => MergeEdges(strs(n, "sources"), n.path("into").asText())
     case "replace_edge_identities" =>
       ReplaceEdgeIdentities(keyFromJson(n), strs(n, "identities"))
+    case "add_vertex_indexes" =>
+      AddVertexIndexes(n.path("vertex").asText(), indexesFromJson(n))
+    case "remove_vertex_indexes" =>
+      RemoveVertexIndexes(n.path("vertex").asText(), fieldSetsFromJson(n))
+    case "add_edge_indexes" =>
+      AddEdgeIndexes(keyFromJson(n), indexesFromJson(n))
+    case "remove_edge_indexes" =>
+      RemoveEdgeIndexes(keyFromJson(n), fieldSetsFromJson(n))
     case other => throw new IllegalArgumentException(s"unknown op kind: $other")
   }
 
@@ -279,4 +311,14 @@ object RevisionStore {
   }
   private def strs(n: JsonNode, k: String): Seq[String] =
     n.path(k).elements().asScala.map(_.asText()).toSeq
+
+  private def indexesFromJson(n: JsonNode): Seq[IndexDef] =
+    n.path("indexes").elements().asScala.map(io => IndexDef(
+      fields = strs(io, "fields"),
+      unique = io.path("unique").asBoolean(true),
+      name = Option(io.get("name")).filterNot(_.isNull).map(_.asText()))).toSeq
+
+  private def fieldSetsFromJson(n: JsonNode): Seq[Seq[String]] =
+    n.path("field_sets").elements().asScala
+      .map(a => a.elements().asScala.map(_.asText()).toSeq).toSeq
 }

@@ -153,7 +153,44 @@ object ManifestLoader {
       case n if n.isArray => n.elements().asScala.map(parseEdgeDef).toSeq
       case _              => Nil
     }
-    GraphSchema(vertices, edges)
+    // db_profile physical plane (reference database_features.py):
+    // authored vertex indexes and edge physical specs — the metadata the
+    // index evolution ops (evolution/physical.py:132-278) validate against
+    val profile = sNode.path("db_profile")
+    val vIndexes: Map[String, Seq[IndexDef]] = profile.path("vertex_indexes") match {
+      case n if n.isObject => n.properties().asScala.map(e =>
+        e.getKey -> parseIndexes(e.getValue)).toMap
+      case _ => Map.empty
+    }
+    val eSpecs: Map[EdgeKey, Seq[IndexDef]] = profile.path("edge_specs") match {
+      case n if n.isArray => n.elements().asScala.map { sp =>
+        EdgeKey(sp.path("source").asText(), sp.path("target").asText(),
+          sp.path("relation").asText()) -> parseIndexes(sp.path("indexes"))
+      }.toMap
+      case _ => Map.empty
+    }
+    // registration order matches the reference profile: YAML-authored
+    // entries first, then the secondary-identity-DERIVED lookup indexes
+    // finish_init appends (idempotent on the field tuple); op additions
+    // land after both (executed-parity fixture `avi_basic` ordering)
+    def withDerived(v: VertexDef): VertexDef = {
+      val authored = vIndexes.getOrElse(v.name, Nil)
+      val seen = scala.collection.mutable.LinkedHashMap.empty[Seq[String], IndexDef]
+      (authored ++ v.derivedIndexes).foreach(ix =>
+        if (!seen.contains(ix.fields)) seen(ix.fields) = ix)
+      if (seen.isEmpty) v else v.copy(indexes = seen.values.toSeq)
+    }
+    GraphSchema(
+      vertices.map(withDerived),
+      edges.map(e => eSpecs.get(e.key).map(ix => e.copy(specIndexes = Some(ix))).getOrElse(e)))
+  }
+
+  private def parseIndexes(n: JsonNode): Seq[IndexDef] = n match {
+    case a if a.isArray => a.elements().asScala.map(io => IndexDef(
+      fields = strings(io.path("fields")),
+      unique = io.path("unique").asBoolean(true),
+      name = Option(io.get("name")).filterNot(_.isNull).map(_.asText()))).toSeq
+    case _ => Nil
   }
 
   /** Optional `semantics:` block (reference schema/semantics.py): `unit`

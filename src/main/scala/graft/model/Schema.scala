@@ -97,6 +97,18 @@ object Identity {
   */
 final case class SecondaryIdentity(name: String, fields: Seq[String])
 
+/** Secondary-index declaration (reference graph_types Index,
+  * index_config.py:63-110; the physical-profile plane of
+  * evolution/physical.py:132-278). Backend-portable metadata: graft's
+  * store is parquet so indexes carry no execution weight here, but the
+  * manifest contract (db_profile.vertex_indexes / edge_specs[].indexes)
+  * round-trips and the evolution ops validate against it.
+  */
+final case class IndexDef(
+    fields: Seq[String],
+    unique: Boolean = true, // the reference Index model's default
+    name: Option[String] = None)
+
 /** Ambiguity policy when resolving a secondary identity to primaries.
   * Reference: graflo/onto.py:176-188.
   */
@@ -116,8 +128,17 @@ final case class VertexDef(
     secondary: Seq[SecondaryIdentity] = Nil,
     filters: Option[FilterExpr] = None,
     forceTypes: Map[String, FieldType] = Map.empty,
-    semantics: Option[Semantics] = None
+    semantics: Option[Semantics] = None,
+    /** AUTHORED secondary indexes (db_profile.vertex_indexes). Derived
+      * lookup indexes come from [[secondary]] — see [[derivedIndexes]].
+      */
+    indexes: Seq[IndexDef] = Nil
 ) {
+  /** Every secondary identity derives a non-unique lookup index that
+    * finish_init re-registers (reference database_features.py — probe:
+    * secondary [email] yields a persistent unique=false index on [email]).
+    */
+  def derivedIndexes: Seq[IndexDef] = secondary.map(s => IndexDef(s.fields, unique = false))
   // duplicate-property merge rules (reference vertex.py:352-416): a name
   // declared twice merges typed-beats-untyped; two DIFFERENT declared types
   // conflict and raise (enforced schema-wide in GraphSchema's validation)
@@ -206,7 +227,13 @@ final case class EdgeDef(
       * constrain data-driven relations to the synthesized default name
       * (csv-edge-weights.yaml relation_field edges).
       */
-    relationDeclared: Boolean = true
+    relationDeclared: Boolean = true,
+    /** The edge's PHYSICAL spec indexes (db_profile.edge_specs[].indexes):
+      * None = no physical spec declared (the reference's
+      * `add_edge_indexes: no physical spec for ...` refusal), Some(...) =
+      * spec present with its authored index list.
+      */
+    specIndexes: Option[Seq[IndexDef]] = None
 ) {
   def key: EdgeKey = EdgeKey(source, target, relation)
 }

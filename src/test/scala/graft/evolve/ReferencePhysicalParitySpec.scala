@@ -1,0 +1,126 @@
+package graft.evolve
+
+import scala.collection.immutable.VectorMap
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import graft.SparkSpec
+import graft.model._
+
+/** Executed-parity for the physical-profile index ops
+  * (reference evolution/physical.py:132-278): each fixture case runs
+  * through the reference's own `apply_evolution`
+  * (tools/gen_physical_fixture.py) and records the DatabaseProfile's index
+  * surface; this spec replays the translated [[EvolutionOp]]s and compares
+  * byte-exactly. Covered: add/remove vertex indexes (field-tuple idempotent
+  * add, derived-from-secondary refusal on remove, unknown-vertex and
+  * undeclared-field and no-such-index rejections), add/remove edge spec
+  * indexes (pre-existing-physical-spec requirement, duplicate-add and
+  * unmatched-remove and empty-list rejections), and a round-trip chain.
+  */
+class ReferencePhysicalParitySpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+  private val fixture = mapper.readTree(new java.io.File(
+    "/root/repo/src/test/resources/reference_physical_fixture.json"))
+
+  import scala.jdk.CollectionConverters._
+
+  private def indexOf(n: JsonNode): IndexDef = IndexDef(
+    fields = n.path("fields").elements().asScala.map(_.asText()).toSeq,
+    unique = n.path("unique").asBoolean(true))
+
+  private def translate(op: JsonNode): Seq[EvolutionOp] = {
+    import EvolutionOp._
+    def entries(n: JsonNode) = n.properties().asScala.toSeq
+    op.path("op").asText() match {
+      case "add_vertex_indexes" => entries(op.path("indexes")).map { e =>
+        AddVertexIndexes(e.getKey,
+          e.getValue.elements().asScala.map(indexOf).toSeq)
+      }
+      case "remove_vertex_indexes" => entries(op.path("indexes")).map { e =>
+        RemoveVertexIndexes(e.getKey,
+          e.getValue.elements().asScala
+            .map(_.elements().asScala.map(_.asText()).toSeq).toSeq)
+      }
+      case "add_edge_indexes" => op.path("edges").elements().asScala.toSeq.map { e =>
+        AddEdgeIndexes(
+          EdgeKey(e.path("source").asText(), e.path("target").asText(),
+            e.path("relation").asText()),
+          e.path("indexes").elements().asScala.map(indexOf).toSeq)
+      }
+      case "remove_edge_indexes" => op.path("edges").elements().asScala.toSeq.map { e =>
+        RemoveEdgeIndexes(
+          EdgeKey(e.path("source").asText(), e.path("target").asText(),
+            e.path("relation").asText()),
+          e.path("fields").elements().asScala
+            .map(_.elements().asScala.map(_.asText()).toSeq).toSeq)
+      }
+      case other => throw new IllegalArgumentException(s"untranslated op: $other")
+    }
+  }
+
+  /** Mirror of the generator's projection of the profile index surface. */
+  private def render(s: GraphSchema): String = {
+    def ix(i: IndexDef): Any =
+      VectorMap[String, Any]("fields" -> i.fields.toVector, "unique" -> i.unique)
+    val vertexIndexes = VectorMap.from(s.vertices.flatMap { v =>
+      val seen = scala.collection.mutable.LinkedHashMap.empty[Seq[String], IndexDef]
+      (v.indexes ++ v.derivedIndexes).foreach(i =>
+        if (!seen.contains(i.fields)) seen(i.fields) = i)
+      if (seen.isEmpty) None
+      else Some(v.name -> (seen.values.map(ix).toVector: Any))
+    })
+    val edgeIndexes = s.edges.flatMap(e => e.specIndexes.map(spec =>
+      VectorMap[String, Any]("source" -> e.source, "target" -> e.target,
+        "relation" -> e.relation, "indexes" -> spec.map(ix).toVector))).toVector
+    SchemaContext.serializeCompact(VectorMap[String, Any](
+      "vertex_indexes" -> vertexIndexes, "edge_indexes" -> edgeIndexes))
+  }
+
+  fixture.elements().asScala.toSeq.foreach { c =>
+    val name = c.path("name").asText()
+    test(s"physical-parity: $name") {
+      val schema = graft.manifest.ManifestLoader
+        .fromYamlString(c.path("manifest").asText()).schema
+      assert(render(schema) == c.path("before").asText(),
+        s"$name: pre-op profile mismatch")
+      val expectedError = Option(c.get("error")).filterNot(_.isNull).map(_.asText())
+      val result = scala.util.Try {
+        val ops = c.path("ops").elements().asScala.toSeq.flatMap(translate)
+        Evolution(schema, ops)
+      }
+      expectedError match {
+        case Some(err) => assert(result.isFailure,
+          s"$name: reference rejected ($err) but graft accepted")
+        case None =>
+          val got = render(result.get)
+          assert(got == c.path("after").asText(),
+            s"$name:\n got $got\nwant ${c.path("after").asText()}")
+      }
+    }
+  }
+
+  test("index ops: risk + ingestion-reach classification + codec round-trip") {
+    import EvolutionOp._
+    val ops: Seq[EvolutionOp] = Seq(
+      AddVertexIndexes("v", Seq(IndexDef(Seq("a", "b"), unique = false))),
+      RemoveVertexIndexes("v", Seq(Seq("a", "b"))),
+      AddEdgeIndexes(EdgeKey("a", "b", "r"), Seq(IndexDef(Seq("w")))),
+      RemoveEdgeIndexes(EdgeKey("a", "b", "r"), Seq(Seq("w"))))
+    // reference migrate/risk.py: ADD_*_INDEX low, REMOVE_*_INDEX medium
+    assert(Risk.classify(ops(0)) == Risk.Low)
+    assert(Risk.classify(ops(2)) == Risk.Low)
+    assert(Risk.classify(ops(1)) == Risk.Medium)
+    assert(Risk.classify(ops(3)) == Risk.Medium)
+    // not in INGESTION_REWRITING_OPS
+    ops.foreach(op => assert(!Risk.reachesIngestion(op)))
+    ops.foreach(op =>
+      assert(RevisionStore.opFromJson(RevisionStore.opToJson(op)) == op))
+    // structural inverses for the additive pair
+    assert(Evolution.invert(ops(0)).contains(
+      RemoveVertexIndexes("v", Seq(Seq("a", "b")))))
+    assert(Evolution.invert(ops(2)).contains(
+      RemoveEdgeIndexes(EdgeKey("a", "b", "r"), Seq(Seq("w")))))
+  }
+}

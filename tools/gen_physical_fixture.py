@@ -1,0 +1,183 @@
+#!/usr/bin/env python3
+"""Regenerates src/test/resources/reference_physical_fixture.json by
+EXECUTING the reference's physical-profile index ops
+(graflo/architecture/evolution/physical.py:132-278 via apply_evolution)
+over (manifest, ops) corner cases — ground truth for
+ReferencePhysicalParitySpec.
+
+The comparison plane is the DatabaseProfile's index surface:
+
+  vertex_indexes: {vertex: [{fields, unique}, ...]}   (derived-from-
+                  secondary entries included, registration order)
+  edge_indexes:   [{source, target, relation, indexes: [...]}] per
+                  physical spec
+
+`error` is non-null when the reference itself rejects the op sequence.
+
+Usage:
+  PYTHONPATH=/tmp/refstubs:/root/reference python3 tools/gen_physical_fixture.py \
+      > src/test/resources/reference_physical_fixture.json
+"""
+import sys, json
+
+sys.path.insert(0, '/tmp/refstubs'); sys.path.insert(0, '/root/reference')
+import yaml
+from pydantic import TypeAdapter
+from graflo.architecture.contract.manifest import GraphManifest
+from graflo.architecture.evolution import apply_evolution
+from graflo.architecture.evolution.ops import ManifestOp
+
+CASES = []
+
+
+def case(name, ops, manifest_yaml=None):
+    CASES.append({"name": name, "manifest": manifest_yaml or BASE, "ops": ops})
+
+
+BASE = """
+schema:
+    metadata: {name: t}
+    graph:
+        vertex_config:
+            vertices:
+            -   name: person
+                properties: [pid, age, email]
+                identity: [pid]
+                secondary_identities:
+                -   {name: by_email, fields: [email]}
+            -   name: city
+                properties: [cid, pop]
+                identity: [cid]
+        edge_config:
+            edges:
+            -   source: person
+                target: city
+                relation: lives_in
+                properties: [since, w]
+            -   source: person
+                target: city
+                relation: works_near
+    db_profile:
+        vertex_indexes:
+            person:
+            -   {fields: [age], unique: false}
+        edge_specs:
+        -   source: person
+            target: city
+            relation: lives_in
+            indexes:
+            -   fields: [since]
+ingestion_model:
+    resources:
+    -   name: r
+        pipeline:
+        -   vertex: person
+"""
+
+case("avi_basic", [
+    {"op": "add_vertex_indexes", "indexes": {"city": [{"fields": ["pop"]}]}}])
+case("avi_nonunique_composite", [
+    {"op": "add_vertex_indexes",
+     "indexes": {"person": [{"fields": ["age", "email"], "unique": False}]}}])
+case("avi_dedup_derived", [
+    {"op": "add_vertex_indexes", "indexes": {"person": [{"fields": ["email"]}]}}])
+case("avi_dedup_authored", [
+    {"op": "add_vertex_indexes", "indexes": {"person": [{"fields": ["age"]}]}},
+    {"op": "add_vertex_indexes", "indexes": {"person": [{"fields": ["age"]}]}}])
+case("avi_unknown_vertex", [
+    {"op": "add_vertex_indexes", "indexes": {"ghost": [{"fields": ["x"]}]}}])
+case("avi_undeclared_field", [
+    {"op": "add_vertex_indexes", "indexes": {"city": [{"fields": ["altitude"]}]}}])
+
+case("rvi_basic", [
+    {"op": "remove_vertex_indexes", "indexes": {"person": [["age"]]}}])
+case("rvi_derived_refused", [
+    {"op": "remove_vertex_indexes", "indexes": {"person": [["email"]]}}])
+case("rvi_unmatched", [
+    {"op": "remove_vertex_indexes", "indexes": {"city": [["pop"]]}}])
+case("rvi_unknown_vertex", [
+    {"op": "remove_vertex_indexes", "indexes": {"ghost": [["x"]]}}])
+
+case("aei_basic", [
+    {"op": "add_edge_indexes", "edges": [
+        {"source": "person", "target": "city", "relation": "lives_in",
+         "indexes": [{"fields": ["w"], "unique": False}]}]}])
+case("aei_duplicate", [
+    {"op": "add_edge_indexes", "edges": [
+        {"source": "person", "target": "city", "relation": "lives_in",
+         "indexes": [{"fields": ["since"]}]}]}])
+case("aei_unknown_edge", [
+    {"op": "add_edge_indexes", "edges": [
+        {"source": "city", "target": "person", "relation": "ghost_rel",
+         "indexes": [{"fields": ["w"]}]}]}])
+case("aei_no_spec", [
+    {"op": "add_edge_indexes", "edges": [
+        {"source": "person", "target": "city", "relation": "works_near",
+         "indexes": [{"fields": ["w"]}]}]}])
+case("aei_empty", [
+    {"op": "add_edge_indexes", "edges": [
+        {"source": "person", "target": "city", "relation": "lives_in"}]}])
+
+case("rei_basic", [
+    {"op": "remove_edge_indexes", "edges": [
+        {"source": "person", "target": "city", "relation": "lives_in",
+         "fields": [["since"]]}]}])
+case("rei_unmatched", [
+    {"op": "remove_edge_indexes", "edges": [
+        {"source": "person", "target": "city", "relation": "lives_in",
+         "fields": [["w"]]}]}])
+case("rei_no_fields", [
+    {"op": "remove_edge_indexes", "edges": [
+        {"source": "person", "target": "city", "relation": "lives_in"}]}])
+
+case("chain_roundtrip", [
+    {"op": "add_vertex_indexes", "indexes": {"city": [{"fields": ["pop"]}]}},
+    {"op": "add_edge_indexes", "edges": [
+        {"source": "person", "target": "city", "relation": "lives_in",
+         "indexes": [{"fields": ["w"]}]}]},
+    {"op": "remove_vertex_indexes", "indexes": {"city": [["pop"]]}},
+    {"op": "remove_edge_indexes", "edges": [
+        {"source": "person", "target": "city", "relation": "lives_in",
+         "fields": [["w"], ["since"]]}]}])
+
+
+def proj(m):
+    p = m.graph_schema.db_profile
+    return {
+        "vertex_indexes": {
+            k: [{"fields": list(i.fields), "unique": bool(i.unique)} for i in v]
+            for k, v in p.vertex_indexes.items() if v},
+        "edge_indexes": [
+            {"source": s.source, "target": s.target, "relation": s.relation,
+             "indexes": [{"fields": list(i.fields), "unique": bool(i.unique)}
+                         for i in s.indexes]}
+            for s in p.edge_specs],
+    }
+
+
+def dumps(x):
+    return json.dumps(x, sort_keys=True, separators=(",", ":"), default=str)
+
+
+def run_case(c):
+    m = GraphManifest.from_config(yaml.safe_load(c["manifest"]))
+    m.finish_init()
+    before = dumps(proj(m))
+    error = None
+    after = None
+    try:
+        ops = TypeAdapter(list[ManifestOp]).validate_python(c["ops"])
+        out = apply_evolution(m, ops)
+        after = dumps(proj(out))
+    except Exception as e:
+        error = f"{type(e).__name__}: {e}"
+    return {"name": c["name"], "manifest": c["manifest"], "ops": c["ops"],
+            "before": before, "after": after, "error": error}
+
+
+def main():
+    print(json.dumps([run_case(c) for c in CASES], indent=1, default=str))
+
+
+if __name__ == "__main__":
+    main()
