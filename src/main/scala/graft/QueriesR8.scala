@@ -125,7 +125,8 @@ object GraftQueriesR8 {
     "q_mp3_decode" ->
       """SELECT doc_id, CAST(44100 AS BIGINT) AS sample_rate,
         |  CAST(1 AS BIGINT) AS channels, CAST(6 AS BIGINT) AS n_granules,
-        |  CAST(3456 AS BIGINT) AS n_samples, true AS psnr_ok
+        |  CAST(3456 AS BIGINT) AS n_samples, true AS psnr_ok,
+        |  (doc_id % 3 = 0) AS esc_table
         |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
 
     "q_neighbor_out" ->

@@ -149,49 +149,87 @@ object Mp3Encoder {
   }
 
   private final case class EncGranule(
-      globalGain: Int, bigValues: Int, part23: Int, bits: BitWriter)
+      globalGain: Int, bigValues: Int, part23: Int, tableSelect: Int,
+      bits: BitWriter)
 
-  /** quantize + huffman-encode one granule spectrum with table 15 */
-  private def encodeGranule(xr: Array[Double]): EncGranule = {
-    // choose global_gain: smallest step with max quantized value <= 15
+  /** quantize + huffman-encode one granule spectrum.
+    *
+    * With `escTables = false` (the normative-interchange default) the
+    * quantizer caps at table 15's |value| <= 15 and every emitted frame
+    * uses only ISO-normative codebooks. With `escTables = true` the cap
+    * widens to 15 + 2^13 - 1 and values above 15 ride an ESC table's
+    * linbits escape (ISO 2.4.2.7: huffcode, x linbits, x sign, y linbits,
+    * y sign) — the encoder picks the smallest-linbits table of the
+    * 16-family that covers the granule's maximum, so quantization is
+    * FINER for high-crest spectra (4-bit table-15 quantization costs
+    * ~6 dB/bit of headroom). ESC frames decode only with
+    * [[Mp3Layer3.decode]]'s allowNonNormative opt-in (the ESC codebooks
+    * are in-repo canonical stand-ins, Mp3Tables.big).
+    */
+  private def encodeGranule(xr: Array[Double], escTables: Boolean): EncGranule = {
+    // finest-first cap ladder: a dense fine-quantized granule can blow
+    // the 12-bit part2_3_length field (and the 320 kbps main budget), so
+    // the encoder settles on the finest cap whose bitstream fits —
+    // 15+255 (8 linbits) down through the smaller escapes to plain 15
+    val ladder = if (escTables) Seq(15 + 255, 15 + 63, 15 + 15, 15) else Seq(15)
+    ladder.iterator.map(encodeGranuleAt(xr, _))
+      .find(_.part23 <= 4000)
+      .getOrElse(encodeGranuleAt(xr, 15))
+  }
+
+  private def encodeGranuleAt(xr: Array[Double], cap: Int): EncGranule = {
+    val linbits16 = Array(1, 2, 3, 4, 6, 8, 10, 13)
+    // choose global_gain: smallest step with max quantized value <= cap
     val maxAbs = xr.map(math.abs).max
     var gg = 210
     if (maxAbs > 0) {
       // is = (|xr| * 2^(-(gg-210)/4))^(3/4): LOWER gg = larger step =
-      // larger quantized values. Pick the smallest gg whose max quantized
-      // value still fits table 15 (|v| <= 15) — full codebook range,
-      // finest quantization.
+      // larger quantized values; smallest gg under the cap = finest step
       def maxIs(g: Int): Double =
         math.pow(maxAbs * math.pow(2.0, -(g - 210) / 4.0), 0.75)
-      while (gg < 255 && maxIs(gg) > 15.0) gg += 1
-      while (gg > 0 && maxIs(gg - 1) <= 15.0) gg -= 1
+      while (gg < 255 && maxIs(gg) > cap) gg += 1
+      while (gg > 0 && maxIs(gg - 1) <= cap) gg -= 1
     }
     val step = math.pow(2.0, -(gg - 210) / 4.0)
     val is = new Array[Int](576)
     var last = -1
+    var maxQ = 0
     var i = 0
     while (i < 576) {
       val q = math.rint(math.pow(math.abs(xr(i)) * step, 0.75)).toInt
-      val qq = math.min(q, 15)
+      val qq = math.min(q, cap)
       is(i) = if (xr(i) < 0) -qq else qq
       if (qq != 0) last = i
+      if (qq > maxQ) maxQ = qq
       i += 1
     }
     val bigValues = if (last < 0) 0 else (last + 2) / 2
+    // table choice: 15 whenever the granule fits it; else the
+    // smallest-linbits 16-family ESC table covering (maxQ - 15)
+    val tsel =
+      if (maxQ <= 15) 15
+      else {
+        var need = 1
+        while ((1 << need) - 1 < maxQ - 15) need += 1
+        16 + linbits16.indexWhere(_ >= need)
+      }
+    val tab = Mp3Tables.big(tsel)
     val bw = new BitWriter
-    val tab = Mp3Tables.big(15)
     i = 0
     while (i < bigValues * 2) {
       val x = is(i); val y = is(i + 1)
       val ax = math.abs(x); val ay = math.abs(y)
-      val sym = ax * 16 + ay
+      val cx = math.min(ax, 15); val cy = math.min(ay, 15)
+      val sym = cx * 16 + cy
       bw.write(tab.code(sym), tab.len(sym))
+      if (cx == 15 && tab.linbits > 0) bw.write(ax - 15, tab.linbits)
       if (ax != 0) bw.write(if (x < 0) 1 else 0, 1)
+      if (cy == 15 && tab.linbits > 0) bw.write(ay - 15, tab.linbits)
       if (ay != 0) bw.write(if (y < 0) 1 else 0, 1)
       i += 2
     }
     // scalefactors are all zero (scalefac_compress 0 -> slen 0,0): part2=0
-    EncGranule(gg, bigValues, bw.bitLength, bw)
+    EncGranule(gg, bigValues, bw.bitLength, tsel, bw)
   }
 
   /** Encode mono PCM at a supported MPEG-1 rate into a Layer III stream.
@@ -199,18 +237,18 @@ object Mp3Encoder {
     * 1152 samples each).
     */
   def encode(x: Array[Double], sampleRate: Int = 44100,
-      bitrateIdx: Int = 14): Array[Byte] =
-    encodeChannels(Array(x), sampleRate, bitrateIdx)
+      bitrateIdx: Int = 14, escTables: Boolean = false): Array[Byte] =
+    encodeChannels(Array(x), sampleRate, bitrateIdx, escTables)
 
   /** Stereo variant: independent left/right (mode "stereo", no MS) —
     * exercises the decoder's two-channel side-info and synthesis paths.
     */
   def encodeStereo(l: Array[Double], r: Array[Double],
       sampleRate: Int = 44100, bitrateIdx: Int = 14): Array[Byte] =
-    encodeChannels(Array(l, r), sampleRate, bitrateIdx)
+    encodeChannels(Array(l, r), sampleRate, bitrateIdx, escTables = false)
 
   private def encodeChannels(chans: Array[Array[Double]], sampleRate: Int,
-      bitrateIdx: Int): Array[Byte] = {
+      bitrateIdx: Int, escTables: Boolean = false): Array[Byte] = {
     val srIdx = Array(44100, 48000, 32000).indexOf(sampleRate)
     require(srIdx >= 0, s"unsupported rate $sampleRate")
     val nCh = chans.length
@@ -226,7 +264,7 @@ object Mp3Encoder {
     while (fr < nFrames) {
       // [gr][ch]
       val gs = Array.tabulate(2, nCh)((gr, ch) =>
-        encodeGranule(spectra(ch)(fr * 2 + gr)))
+        encodeGranule(spectra(ch)(fr * 2 + gr), escTables))
       val bw = new BitWriter
       // header: sync(11) version(2)=11 layer(2)=01 noCrc(1)=1
       bw.write(0x7ff, 11); bw.write(3, 2); bw.write(1, 2); bw.write(1, 1)
@@ -245,12 +283,16 @@ object Mp3Encoder {
         c = 0
         while (c < nCh) {
           val g = gs(gr)(c)
+          require(g.part23 <= 4095,
+            s"granule needs ${g.part23} bits > the 12-bit part2_3_length field; " +
+              "simplify the spectrum or lower the ESC cap")
           bw.write(g.part23, 12)
           bw.write(g.bigValues, 9)
           bw.write(g.globalGain, 8)
           bw.write(0, 4) // scalefac_compress
           bw.write(0, 1) // window switching off
-          bw.write(15, 5); bw.write(15, 5); bw.write(15, 5) // table_select
+          bw.write(g.tableSelect, 5); bw.write(g.tableSelect, 5)
+          bw.write(g.tableSelect, 5) // table_select (all three regions)
           bw.write(7, 4) // region0_count
           bw.write(7, 3) // region1_count
           bw.write(0, 1) // preflag

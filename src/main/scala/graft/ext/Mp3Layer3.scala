@@ -9,15 +9,18 @@ import graft.ext.MediaContainers.{Mp3Frame, parseMp3Frame, id3v2Size}
   * frequency inversion, and 32-band polyphase synthesis.
   *
   * Honest capability boundary (see DIVERGENCES.md):
-  *  - Huffman codebooks are limited to the offline-validated set
-  *    {1,2,3,5,6,7,8,9,10,12,15} + count1 A/B ([[Mp3Tables.big]]); a frame
-  *    selecting an unavailable codebook (11, 13, 16-31) decodes to None
-  *    rather than to plausible garbage.
+  *  - ISO-NORMATIVE Huffman bit patterns cover the offline-validated set
+  *    {1,2,3,5,6,7,8,9,10,12,15} + count1 A/B; tables 11/13/16-31 carry
+  *    IN-REPO canonical codebooks with the FULL ESC mechanics (linbits
+  *    escapes, sign ordering) but non-normative bit assignments
+  *    ([[Mp3Tables.big]]) — by default a frame selecting one decodes to
+  *    None rather than to plausible garbage; `allowNonNormative = true`
+  *    opts in (graft's own encoder's ESC frames round-trip exactly).
   *  - The synthesis prototype window is computed (near-PR pseudo-QMF
   *    design), not the spec's 512 tabulated constants.
   *  - MPEG-2 LSF (576-sample frames) is not decoded — its scalefactor
-  *    plane is only reachable through the unavailable ESC codebooks in
-  *    practice; [[MediaContainers.parseMp3]] still reads LSF metadata.
+  *    plane is only reachable through ESC-coded streams in practice;
+  *    [[MediaContainers.parseMp3]] still reads LSF metadata.
   *
   * Intensity stereo positions are applied for long blocks
   * (ISO 2.4.3.4.9.3); short-block intensity falls back to leaving the
@@ -173,7 +176,8 @@ object Mp3Layer3 {
     * malformed/unsupported condition.
     */
   private def readSpectrum(br: BitReader, g: GranuleInfo, srIdx: Int,
-      granuleEnd: Int, is: Array[Int]): Boolean = {
+      granuleEnd: Int, is: Array[Int],
+      allowNonNormative: Boolean = false): Boolean = {
     java.util.Arrays.fill(is, 0)
     val sfbLong = Mp3Tables.sfbLongM1(srIdx)
     // region boundaries in line indices
@@ -191,6 +195,8 @@ object Mp3Layer3 {
       val tsel = g.tableSelect(region)
       val tab = Mp3Tables.big(tsel)
       if (tsel != 0 && !tab.usable) return false // unavailable codebook
+      // in-repo canonical stand-in tables need the caller's opt-in
+      if (tsel != 0 && !tab.normative && !allowNonNormative) return false
       if (tsel == 0) {
         is(i) = 0; is(i + 1) = 0
       } else {
@@ -566,16 +572,24 @@ object Mp3Layer3 {
   // ------------------------------------------------------------ decode
 
   /** Decode an MPEG-1 Layer III stream to PCM. Returns None on any
-    * malformed frame, unavailable codebook, or non-MPEG-1 input — a
-    * crafted stream whose side-info lengths point past the reservoir
+    * malformed frame, unavailable/refused codebook, or non-MPEG-1 input —
+    * a crafted stream whose side-info lengths point past the reservoir
     * must reject, never throw (same malformed-input contract as the
     * other decoders here).
+    *
+    * `allowNonNormative = true` opts in to the IN-REPO canonical
+    * codebooks standing in for ISO tables 11/13/16-31 (full ESC
+    * mechanics; see [[Mp3Tables.big]]). The default refuses them: a
+    * spec-exact third-party stream selecting those tables would decode
+    * to garbage under different bit patterns, and None beats garbage.
     */
-  def decode(bytes: Array[Byte], maxFrames: Int = 4096): Option[Decoded] =
-    try decodeImpl(bytes, maxFrames)
+  def decode(bytes: Array[Byte], maxFrames: Int = 4096,
+      allowNonNormative: Boolean = false): Option[Decoded] =
+    try decodeImpl(bytes, maxFrames, allowNonNormative)
     catch { case scala.util.control.NonFatal(_) => None }
 
-  private def decodeImpl(bytes: Array[Byte], maxFrames: Int): Option[Decoded] = {
+  private def decodeImpl(bytes: Array[Byte], maxFrames: Int,
+      allowNonNormative: Boolean): Option[Decoded] = {
     var off = id3v2Size(bytes)
     // resync to first frame
     var first: Option[Mp3Frame] = None
@@ -638,7 +652,7 @@ object Mp3Layer3 {
                   resBytes(j) = reservoir.get(begin + j); j += 1
                 }
                 val br = new BitReader(resBytes)
-                val frameOk = decodeFrameGranules(br, side, channels, srIdx,
+                val frameOk = decodeFrameGranules(br, side, channels, srIdx, allowNonNormative,
                   modeExt, prevSf, overlap, synth, pcm)
                 if (frameOk) nGranules += 2 else ok = false
               }
@@ -657,7 +671,7 @@ object Mp3Layer3 {
 
   /** decode both granules of one frame from the reservoir reader */
   private def decodeFrameGranules(br: BitReader, side: SideInfo,
-      channels: Int, srIdx: Int, modeExt: Int,
+      channels: Int, srIdx: Int, allowNonNormative: Boolean, modeExt: Int,
       prevSf: Array[Scalefactors],
       overlap: Array[Array[Array[Double]]],
       synth: Array[SynthState],
@@ -678,7 +692,8 @@ object Mp3Layer3 {
         if (gr == 0 || !(g.windowSwitching && g.blockType == 2))
           prevSf(ch) = sf
         val is = new Array[Int](576)
-        if (!readSpectrum(br, g, srIdx, granuleEnd, is)) return false
+        if (!readSpectrum(br, g, srIdx, granuleEnd, is, allowNonNormative))
+          return false
         br.pos = granuleEnd // discard stuffing
         requantize(g, sf, srIdx, is, xr(ch))
         reorderShort(g, srIdx, xr(ch))

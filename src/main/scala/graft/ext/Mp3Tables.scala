@@ -71,7 +71,14 @@ object Mp3Tables {
     * unused entry (only table 0, which codes nothing).
     */
   final case class HuffTable(xy: Int, linbits: Int, len: Array[Int],
-      code: Array[Int]) {
+      code: Array[Int],
+      /** true when the (length, codeword) assignments are the ISO Table
+        * B.7 bit patterns; false for the IN-REPO canonical codebooks
+        * standing in for tables 11/13/16-31 (see [[canonical]]) — streams
+        * interchanged with spec-exact third-party codecs must not use a
+        * non-normative table, so the decoder requires an explicit opt-in.
+        */
+      normative: Boolean = true) {
     /** flat decode trie: node i holds branches [i*2], [i*2+1]; leaves are
       * encoded as -(xy_index + 1). Built once; `None` when the table's
       * transcription is not self-consistent (prefix collision) — such a
@@ -285,23 +292,76 @@ object Mp3Tables {
           71, 37, 34, 30, 28, 20, 17, 26, 21, 16, 10, 6, 8, 6, 2, 0))
 
     // Tables 11, 13 and the ESC trees 16/24 (shared by 17-23 / 25-31)
-    // are UNAVAILABLE: this container has no copy of the spec to
-    // transcribe them from and best-effort recall failed the
-    // prefix-free/Kraft self-consistency validation (wrong data is worse
+    // carry IN-REPO CANONICAL codebooks, NOT the ISO Table B.7 bit
+    // patterns: this container has no copy of the spec to transcribe
+    // them from and best-effort recall failed the prefix-free/Kraft
+    // self-consistency validation (wrong data labeled normative is worse
     // than absent data — a silently corrupt codebook decodes plausible
-    // garbage). Frames selecting an unavailable table decode to None; the
-    // validated set {1,2,3,5,6,7,8,9,10,12,15} + count1 A/B covers every
-    // frame graft's own encoder emits. See DIVERGENCES.md.
-    val unavailable = HuffTable(16, 0, new Array[Int](256), new Array[Int](256))
-    def esc(lb: Int) = HuffTable(16, lb, new Array[Int](256), new Array[Int](256))
+    // garbage). The canonical stand-ins make the FULL ESC mechanism real
+    // (linbits escapes, sign ordering, region table selection, the
+    // encoder's escape-table choice) and are prefix-free/Kraft-complete
+    // by construction; they are marked `normative = false`, and
+    // [[Mp3Layer3.decode]] refuses them unless the caller opts in — a
+    // spec-exact third-party stream selecting 11/13/16-31 still decodes
+    // to None rather than to garbage. See DIVERGENCES.md.
     val linbits16 = Array(1, 2, 3, 4, 6, 8, 10, 13)
     val linbits24 = Array(4, 5, 6, 7, 8, 9, 11, 13)
+    val t11 = canonical(16, 0, (x, y) => 1L << (20 - math.min(17, x + y + ((x + 1) >> 2))))
+    val t13 = canonical(16, 0, (x, y) => 1L << (20 - math.min(17, x + y)))
+    val esc16Base = canonical(16, 0, (x, y) => 1L << (20 - math.min(17, 2 * math.min(x + y, 8))))
+    val esc24Base = canonical(16, 0, (x, y) => 1L << (20 - math.min(17, (x + y + 1) / 2 + math.min(x + y, 9))))
+    def esc16(lb: Int) = esc16Base.copy(linbits = lb)
+    def esc24(lb: Int) = esc24Base.copy(linbits = lb)
 
     Array(
-      t0, t1, t2, t3, t0, t5, t6, t7, t8, t9, t10, unavailable, t12,
-      unavailable, t0, t15,
-      esc(1), esc(2), esc(3), esc(4), esc(6), esc(8), esc(10), esc(13),
-      esc(4), esc(5), esc(6), esc(7), esc(8), esc(9), esc(11), esc(13))
+      t0, t1, t2, t3, t0, t5, t6, t7, t8, t9, t10, t11, t12,
+      t13, t0, t15,
+      esc16(linbits16(0)), esc16(linbits16(1)), esc16(linbits16(2)),
+      esc16(linbits16(3)), esc16(linbits16(4)), esc16(linbits16(5)),
+      esc16(linbits16(6)), esc16(linbits16(7)),
+      esc24(linbits24(0)), esc24(linbits24(1)), esc24(linbits24(2)),
+      esc24(linbits24(3)), esc24(linbits24(4)), esc24(linbits24(5)),
+      esc24(linbits24(6)), esc24(linbits24(7)))
+  }
+
+  /** Deterministic canonical-Huffman codebook over an `xy`×`xy` symbol
+    * grid from integer weights (two-queue Huffman with index tie-breaks,
+    * then canonical code assignment in (length, symbol) order) — the
+    * stand-in construction for the codebooks whose normative ISO bit
+    * patterns are unavailable offline. Prefix-free and Kraft-complete by
+    * construction; `normative = false`.
+    */
+  private def canonical(xy: Int, linbits: Int,
+      weight: (Int, Int) => Long): HuffTable = {
+    val n = xy * xy
+    // Huffman code lengths: merge the two lightest trees; ties break on
+    // creation order so the table is deterministic across runs
+    final case class Tree(w: Long, order: Int, syms: List[Int])
+    implicit val ord: Ordering[Tree] =
+      Ordering.by((t: Tree) => (-t.w, -t.order))
+    val pq = scala.collection.mutable.PriorityQueue.empty[Tree]
+    var i = 0
+    while (i < n) { pq.enqueue(Tree(weight(i / xy, i % xy), i, List(i))); i += 1 }
+    val lens = new Array[Int](n)
+    var order = n
+    while (pq.size > 1) {
+      val a = pq.dequeue(); val b = pq.dequeue()
+      (a.syms ++ b.syms).foreach(s => lens(s) += 1)
+      pq.enqueue(Tree(a.w + b.w, order, a.syms ++ b.syms))
+      order += 1
+    }
+    // canonical assignment: ascending (length, symbol)
+    val bySym = (0 until n).sortBy(s => (lens(s), s))
+    val codes = new Array[Int](n)
+    var codeAcc = 0
+    var prevLen = lens(bySym.head)
+    bySym.foreach { s =>
+      codeAcc = codeAcc << (lens(s) - prevLen)
+      codes(s) = codeAcc
+      prevLen = lens(s)
+      codeAcc += 1
+    }
+    HuffTable(xy, linbits, lens, codes, normative = false)
   }
 
   /** count1 quadruple tables (ISO B.7 tables A and B): 16 entries keyed

@@ -1040,9 +1040,20 @@ object Multimodal {
   private def mp3TestTone(id: Long, nGranules: Int): Array[Double] = {
     val sr = 44100
     val freq = 300.0 + (id % 10).toDouble * 250.0
-    Array.tabulate(nGranules * 576)(i =>
-      0.5 * math.sin(2 * math.Pi * freq * i / sr))
+    if (mp3UsesEsc(id))
+      // high-crest shape: near-full-scale fundamental + a whisper-level
+      // partial the 4-bit table-15 quantizer would zero out — the signal
+      // that makes the encoder reach for an ESC escape table
+      Array.tabulate(nGranules * 576)(i =>
+        0.95 * math.sin(2 * math.Pi * freq * i / sr) +
+          0.002 * math.sin(2 * math.Pi * (freq * 3.7) * i / sr))
+    else
+      Array.tabulate(nGranules * 576)(i =>
+        0.5 * math.sin(2 * math.Pi * freq * i / sr))
   }
+
+  /** ids on the ESC leg of the MP3 battery row (every third doc) */
+  private def mp3UsesEsc(id: Long): Boolean = id % 3 == 0
 
   /** Synthesize one REAL MPEG-1 Layer III stream per row ([[Mp3Encoder]]:
     * valid headers, side info, table-15 Huffman spectrum) over a
@@ -1057,7 +1068,8 @@ object Multimodal {
     df.select(col(idCol).cast("long")).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
-        Row(id, Mp3Encoder.encode(mp3TestTone(id, nGranules)))
+        Row(id, Mp3Encoder.encode(mp3TestTone(id, nGranules),
+          escTables = mp3UsesEsc(id)))
       }
     }(enc)
   }
@@ -1076,16 +1088,23 @@ object Multimodal {
       StructField("channels", LongType),
       StructField("n_granules", LongType),
       StructField("n_samples", LongType),
-      StructField("psnr_ok", BooleanType)))
+      StructField("psnr_ok", BooleanType),
+      StructField("esc_table", BooleanType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.select(col(idCol).cast("long"), col("media")).mapPartitions { it =>
       it.flatMap { r =>
         val id = r.getLong(0)
-        Mp3Layer3.decode(r.getAs[Array[Byte]](1)).map { d =>
+        val bytes = r.getAs[Array[Byte]](1)
+        // esc_table = the normative-only decode refuses the stream (an
+        // ESC codebook was genuinely selected); the opted-in decode then
+        // carries the fidelity leg
+        val normativeOnly = Mp3Layer3.decode(bytes)
+        Mp3Layer3.decode(bytes, allowNonNormative = true).map { d =>
           val ref = mp3TestTone(id, nGranules)
           val (_, _, psnr) = Mp3Layer3.fitPsnr(ref, d.samples, 1500)
           Row(id, d.sampleRate.toLong, d.channels.toLong,
-            d.nGranules.toLong, d.samples.length.toLong, psnr >= minPsnrDb)
+            d.nGranules.toLong, d.samples.length.toLong, psnr >= minPsnrDb,
+            normativeOnly.isEmpty)
         }
       }
     }(enc)

@@ -20,12 +20,24 @@ class Mp3Layer3Spec extends graft.SparkSpec {
     Array.tabulate(n)(i =>
       freqs.map { case (f, a) => a * math.sin(2 * math.Pi * f * i / sr) }.sum)
 
-  test("huffman codebooks: usable set is exactly the documented one") {
-    val expectUsable = Set(1, 2, 3, 5, 6, 7, 8, 9, 10, 12, 15)
+  test("huffman codebooks: usable + normative sets are exactly the documented ones") {
+    // 0/4/14 code nothing; everything else decodes (11/13/16-31 via the
+    // in-repo canonical stand-ins)
+    val expectUsable = (0 until 32).toSet -- Set(0, 4, 14)
     val actual = Mp3Tables.big.zipWithIndex.collect {
       case (t, i) if t.usable => i
     }.toSet
     assert(actual == expectUsable)
+    // ISO-normative bit patterns remain exactly the validated set
+    val normative = Mp3Tables.big.zipWithIndex.collect {
+      case (t, i) if t.usable && t.normative => i
+    }.toSet
+    assert(normative == Set(1, 2, 3, 5, 6, 7, 8, 9, 10, 12, 15))
+    // the 16- and 24-families share their trees and carry the ISO linbits
+    assert((16 to 23).map(Mp3Tables.big(_).linbits) == Seq(1, 2, 3, 4, 6, 8, 10, 13))
+    assert((24 to 31).map(Mp3Tables.big(_).linbits) == Seq(4, 5, 6, 7, 8, 9, 11, 13))
+    assert((17 to 23).forall(i => Mp3Tables.big(i).len.sameElements(Mp3Tables.big(16).len)))
+    assert((25 to 31).forall(i => Mp3Tables.big(i).len.sameElements(Mp3Tables.big(24).len)))
     expectUsable.foreach { i =>
       assert(math.abs(Mp3Tables.big(i).kraft - 1.0) < 1e-9, s"table $i kraft")
     }
@@ -106,6 +118,37 @@ class Mp3Layer3Spec extends graft.SparkSpec {
     // cut mid-frame: whole frames before the cut still decode
     val cut = Mp3Layer3.decode(enc.take(enc.length - 100))
     assert(cut.isDefined && cut.get.nGranules >= 8)
+  }
+
+  test("ESC round trip: a high-crest signal selects an escape table, PSNR holds") {
+    // a near-full-scale tone over a whisper-level one: the 4-bit cap of
+    // table 15 costs the quiet partial; the ESC cap keeps both
+    val x = tone((441.0, 0.95), (3000.0, 0.002))(1152 * 4)
+    val escEnc = Mp3Encoder.encode(x, escTables = true)
+    // the stream genuinely uses a non-normative ESC table: the default
+    // decode refuses it...
+    assert(Mp3Layer3.decode(escEnc).isEmpty)
+    // ...and the opted-in decode round-trips with fidelity
+    val d = Mp3Layer3.decode(escEnc, allowNonNormative = true)
+    assert(d.isDefined)
+    val (_, _, psnr) = Mp3Layer3.fitPsnr(x, d.get.samples, 1500)
+    assert(psnr >= 24.0, s"esc psnr $psnr")
+    // finer quantization beats the table-15 cap on the same signal
+    val plainDec = Mp3Layer3.decode(Mp3Encoder.encode(x)).get
+    val (_, _, plainPsnr) = Mp3Layer3.fitPsnr(x, plainDec.samples, 1500)
+    assert(psnr > plainPsnr + 3.0,
+      s"esc $psnr dB should beat capped $plainPsnr dB")
+  }
+
+  test("ESC linbits boundary: quantized value exactly 15 escapes with zero linbits") {
+    // amplitude tuned so the peak quantizes into [15, 30): the escape
+    // symbol fires with small linbits payloads including zero
+    val x = tone((441.0, 0.9))(1152 * 2)
+    val enc = Mp3Encoder.encode(x, escTables = true)
+    val viaEsc = Mp3Layer3.decode(enc, allowNonNormative = true)
+    assert(viaEsc.isDefined)
+    val (_, _, psnr) = Mp3Layer3.fitPsnr(x, viaEsc.get.samples, 1500)
+    assert(psnr >= 24.0, s"boundary psnr $psnr")
   }
 
   test("a frame selecting an unavailable codebook decodes to None") {
