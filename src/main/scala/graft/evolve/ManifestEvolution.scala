@@ -94,6 +94,18 @@ object CascadeOp {
     val opToken = "replace_identity" }
   final case class RetargetEdges(edges: Seq[(EdgeKey, String, String)]) extends CascadeOp {
     val opToken = "retarget_edges" }
+  /** reference SanitizeOp with an EXPLICIT reserved-words list on a
+    * generic (non-TigerGraph) flavor: reserved vertex fields rename to
+    * `<name>_attr` (then `_attr_N` while still reserved,
+    * db/util.py:309-374 sanitize_attribute_name, whole-name
+    * case-insensitive match) and the rename rides the
+    * [[RenameVertexProperties]] cascade — the same pinned from:-map path
+    * (apply.py:1368-1407 apply_sanitize). TigerGraph's identifier rules
+    * and flavor-default reserved-word sets are out of scope
+    * (DIVERGENCES.md).
+    */
+  final case class SanitizeFields(reservedWords: Seq[String]) extends CascadeOp {
+    val opToken = "sanitize" }
   final case class ProjectManifest(keepVertices: Option[Seq[String]] = None,
       keepEdges: Option[Seq[EdgeKey]] = None, prune: Boolean = true,
       keepResources: Option[Seq[String]] = None) extends CascadeOp {
@@ -780,6 +792,28 @@ object ManifestEvolution {
       val im = rebuildWithPipelineRewrite(state.ingestion,
         pl => rewriteEdgeEndpointsInPipeline(pl, mapping))
       ManifestState(schema, im, state.bindings)
+
+    case SanitizeFields(reserved) =>
+      val reservedUpper = reserved.map(_.toUpperCase).toSet
+      def sanitizeName(name: String): String = {
+        if (name.isEmpty || reservedUpper.isEmpty) return name
+        if (!reservedUpper(name.toUpperCase)) return name
+        val candidate = name + "_attr"
+        if (!reservedUpper(candidate.toUpperCase)) return candidate
+        var k = 1
+        while (reservedUpper(s"${name}_attr_$k".toUpperCase) && k <= 1000) k += 1
+        s"${name}_attr_$k"
+      }
+      val renames = state.schema.vertices.flatMap { v =>
+        val fields = (v.properties.map(_.name) ++ naturalFields(v.identity)).distinct
+        val per = fields.flatMap { f =>
+          val nn = sanitizeName(f)
+          if (nn != f) Some(f -> nn) else None
+        }
+        if (per.nonEmpty) Some(v.name -> per) else None
+      }
+      if (renames.isEmpty) state
+      else applyOne(state, RenameVertexProperties(renames))
 
     case ProjectManifest(keepV, keepE, prune, keepResources) =>
       val sel = Project.selectInduced(state.schema, keepV, keepE, prune)

@@ -569,6 +569,55 @@ case("chain_prop_then_merge", BASE, [
     {"op": "merge_vertices", "sources": ["company"], "into": "org"}])
 
 
+# -------------------------------------------------------------- sanitize
+
+SAN = """
+schema:
+    metadata: {name: t}
+    graph:
+        vertex_config:
+            vertices:
+            -   name: person
+                properties: [pid, select, order_col, rank]
+                identity: [pid]
+            -   name: city
+                properties: [cid, level]
+                identity: [cid]
+        edge_config:
+            edges:
+            -   source: person
+                target: city
+                relation: lives_in
+ingestion_model:
+    resources:
+    -   name: r
+        pipeline:
+        -   transform:
+                rename: {raw_sel: select, raw_rank: rank}
+        -   vertex: person
+            from: {select: raw_sel2}
+            keep_fields: [select, rank]
+        -   vertex: city
+        -   edge:
+                from: person
+                to: city
+                relation: lives_in
+                vertex_weights:
+                -   name: city
+                    fields: [level]
+"""
+# `select` is reserved AND its _attr escape is reserved too -> numeric
+# suffix; `rank` and `level` sanitize plainly; `order_col` is NOT the
+# reserved word `order` (whole-name match only)
+case("san_fields", SAN, [
+    {"op": "sanitize", "db_flavor": "neo4j",
+     "reserved_words": ["SELECT", "SELECT_ATTR", "RANK", "LEVEL", "ORDER"]}])
+case("san_noop", SAN, [
+    {"op": "sanitize", "db_flavor": "neo4j", "reserved_words": ["FROBNICATE"]}])
+case("san_identity_field", SAN, [
+    {"op": "sanitize", "db_flavor": "neo4j", "reserved_words": ["PID"]}])
+
+
 def proj_resource(r):
     return {
         "name": r.name,
