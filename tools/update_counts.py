@@ -53,11 +53,13 @@ def main() -> int:
         (r"\d+ specs green across \d+ suites",
          f"{n_tests} specs green across {n_suites} suites"),
     ]
+    # only the FIRST occurrence: the README keeps HISTORICAL round-status
+    # blocks below the current one, and those record what was true then
     for pat, rep in subs:
         if not re.search(pat, readme):
             print(f"README pattern not found: {pat}")
             return 1
-        readme = re.sub(pat, rep, readme)
+        readme = re.sub(pat, rep, readme, count=1)
     open("README.md", "w").write(readme)
     print(f"README counts: battery={n_battery} tests={n_tests} "
           f"suites={n_suites}")
