@@ -7,11 +7,10 @@ import Rewrite._
 
 /** EdgeActor-aware inverse-edge appends for the evolution cascade — the
   * reference's `graflo/architecture/evolution/inverse_edges.py` over the
-  * document plane. The non-links payload path is dict-pure in the
-  * reference too (`_swap_edge_endpoints` operates on the normalized step
-  * dict); the links path round-trips `EdgeLinkConfig.model_dump`, whose
-  * default-materialization graft does not replicate — links-bearing edge
-  * steps are treated as non-invertible here (DIVERGENCES.md).
+  * document plane. Both payload paths are dict-pure: the flat path swaps
+  * the normalized step dict directly, and the links path's
+  * `EdgeLinkConfig.model_dump(by_alias, exclude_none)` is MINIMAL (every
+  * default is None — probed), so the raw link dicts are the dump.
   */
 object InverseEdges {
 
@@ -98,12 +97,31 @@ object InverseEdges {
     else payload
   }
 
-  /** inverse_edges.py:202-242 `_is_invertible_edge_config` (links treated
-    * as non-invertible — the model-dump path graft does not replicate).
+  /** inverse_edges.py:180-199 `_is_invertible_link`: swappable endpoints
+    * AND (a mapped relation, or ANY relation_field — the reference's
+    * relation_field branch returns True unconditionally).
     */
+  private def isInvertibleLink(link: Obj, opRelations: Map[String, String]): Boolean =
+    hasSwappableEndpoints(link) &&
+      (strAt(link, "relation").exists(opRelations.contains) ||
+        strAt(link, "relation_field").isDefined)
+
+  /** inverse_edges.py:152-163 `_invert_link_payload`. */
+  private def invertLinkPayload(link: Obj, opRelations: Map[String, String]): Option[Obj] = {
+    val swapped = swapEdgeEndpoints(link)
+    strAt(swapped, "relation").filter(opRelations.contains) match {
+      case Some(r) => Some(swapped.updated("relation", opRelations(r)))
+      case None =>
+        if (strAt(swapped, "relation_field").isDefined) Some(swapped) else None
+    }
+  }
+
+  /** inverse_edges.py:202-242 `_is_invertible_edge_config`. */
   private def isInvertible(p: Obj, opRelations: Map[String, String],
       schemaEdges: Seq[EdgeDef]): Boolean = {
-    if (asArr(p.getOrElse("links", null)).exists(_.nonEmpty)) return false
+    asArr(p.getOrElse("links", null)).filter(_.nonEmpty).foreach { links =>
+      return links.exists(l => asObj(l).exists(isInvertibleLink(_, opRelations)))
+    }
     if (!hasSwappableEndpoints(p)) return false
     if (strAt(p, "relation").exists(opRelations.contains)) return true
     val hasRelField = strAt(p, "relation_field").isDefined
@@ -144,6 +162,14 @@ object InverseEdges {
     val normalized = asObj(normalizeActorStep(ensureEdgeStepDict(payload))).get
     if (!strAt(normalized, "type").contains("edge")) return None
     if (!isInvertible(normalized, opRelations, schemaEdges)) return None
+    // links path (inverse_edges.py:282-292): invert each invertible link;
+    // the output step is exactly {type: edge, links: [...]}
+    asArr(normalized.getOrElse("links", null)).filter(_.nonEmpty).foreach { links =>
+      val inverted = links.flatMap(l => asObj(l).flatMap(invertLinkPayload(_, opRelations)))
+      return if (inverted.isEmpty) None
+      else Some(scala.collection.immutable.VectorMap[String, Any](
+        "type" -> "edge", "links" -> inverted.asInstanceOf[Vector[Any]]))
+    }
     var out = swapEdgeEndpoints(normalized)
     strAt(normalized, "relation").filter(opRelations.contains).foreach(r =>
       out = out.updated("relation", opRelations(r)))

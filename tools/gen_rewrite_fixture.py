@@ -569,6 +569,40 @@ case("chain_prop_then_merge", BASE, [
     {"op": "merge_vertices", "sources": ["company"], "into": "org"}])
 
 
+LINKS = """
+schema:
+    metadata: {name: t}
+    graph:
+        vertex_config:
+            vertices:
+            -   name: a
+                properties: [aid]
+                identity: [aid]
+            -   name: b
+                properties: [bid]
+                identity: [bid]
+        edge_config:
+            edges:
+            -   {source: a, target: b, relation: r1}
+            -   {source: a, target: b, relation: r2}
+ingestion_model:
+    resources:
+    -   name: r
+        pipeline:
+        -   vertex: a
+        -   vertex: b
+        -   edge:
+                links:
+                -   {from: a, to: b, relation: r1}
+                -   {from: a, to: b, relation: r2}
+"""
+# links path: only the mapped link inverts; the inverse step is the bare
+# {type: edge, links: [...]} shape
+case("inv_links", LINKS, [
+    {"op": "add_inverse_edges", "relations": {"r1": "r1_inv"}}])
+case("inv_links_both", LINKS, [
+    {"op": "add_inverse_edges", "relations": {"r1": "r1_inv", "r2": "r2_inv"}}])
+
 # -------------------------------------------------------------- sanitize
 
 SAN = """
