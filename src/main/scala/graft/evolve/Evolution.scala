@@ -81,23 +81,40 @@ object EvolutionOp {
       if (idFields.contains(field)) throw new IllegalArgumentException(
         s"remove_property: cannot remove identity field '$field' of " +
           s"'$vertex' (use ReplaceIdentity first)")
-      v.copy(properties = v.properties.filterNot(_.name == field))
+      v.copy(properties = v.properties.filterNot(_.name == field),
+        // authored index references prune; an emptied index drops
+        // (reference apply_remove_vertex_properties, apply.py:673-682)
+        indexes = v.indexes
+          .map(ix => ix.copy(fields = ix.fields.filterNot(_ == field)))
+          .filter(_.fields.nonEmpty))
     }
   }
   final case class RenameProperty(vertex: String, from: String, to: String) extends EvolutionOp {
     private def ren(f: String) = if (f == from) to else f
-    def apply(s: GraphSchema) = mapVertex(s, vertex)(v => v.copy(
-      properties = v.properties.map(p => if (p.name == from) p.copy(name = to) else p),
-      identity = v.identity match {
-        case Identity.Natural(fs) => Identity.Natural(fs.map(ren))
-        case Identity.Hash(fs)    => Identity.Hash(fs.map(ren))
-        case Identity.Funnel(bs, mk) => Identity.Funnel(bs.map(b =>
-          b.copy(whenAllPresent = b.whenAllPresent.map(ren),
-            digestFields = b.digestFields.map(ren))), mk)
-        case Identity.Assigned(f) => Identity.Assigned(ren(f))
-        case other                => other
-      },
-      secondary = v.secondary.map(sec => sec.copy(fields = sec.fields.map(ren)))))
+    def apply(s: GraphSchema) = {
+      val renamed = mapVertex(s, vertex)(v => v.copy(
+        properties = v.properties.map(p => if (p.name == from) p.copy(name = to) else p),
+        identity = v.identity match {
+          case Identity.Natural(fs) => Identity.Natural(fs.map(ren))
+          case Identity.Hash(fs)    => Identity.Hash(fs.map(ren))
+          case Identity.Funnel(bs, mk) => Identity.Funnel(bs.map(b =>
+            b.copy(whenAllPresent = b.whenAllPresent.map(ren),
+              digestFields = b.digestFields.map(ren))), mk)
+          case Identity.Assigned(f) => Identity.Assigned(ren(f))
+          case other                => other
+        },
+        secondary = v.secondary.map(sec => sec.copy(fields = sec.fields.map(ren))),
+        // authored indexes follow the rename (reference
+        // apply_field_rename_to_db_profile, db_profile.py:337-363)
+        indexes = v.indexes.map(ix => ix.copy(fields = ix.fields.map(ren)))))
+      // edge spec indexes referencing the renamed ENDPOINT field follow
+      // too (db_profile.py:349-351 — both source and target vertex maps)
+      renamed.copy(edges = renamed.edges.map { ed =>
+        if (ed.source != vertex && ed.target != vertex) ed
+        else ed.copy(specIndexes = ed.specIndexes.map(_.map(ix =>
+          ix.copy(fields = ix.fields.map(ren)))))
+      })
+    }
   }
   final case class SetFieldType(vertex: String, field: String, ftype: FieldType) extends EvolutionOp {
     def apply(s: GraphSchema) = mapVertex(s, vertex)(v => v.copy(
@@ -307,13 +324,21 @@ object EvolutionOp {
     def apply(s: GraphSchema) = s.copy(edges = s.edges.map(e =>
       if (e.key == key) e.copy(
         properties = e.properties.map(p => if (p.name == from) p.copy(name = to) else p),
-        identities = e.identities.map(t => if (t == from) to else t))
+        identities = e.identities.map(t => if (t == from) to else t),
+        // spec indexes follow (apply_edge_property_rename_to_db_profile)
+        specIndexes = e.specIndexes.map(_.map(ix => ix.copy(
+          fields = ix.fields.map(f => if (f == from) to else f)))))
       else e))
   }
   final case class RemoveEdgeProperty(key: EdgeKey, field: String) extends EvolutionOp {
     def apply(s: GraphSchema) = s.copy(edges = s.edges.map(e =>
       if (e.key == key) e.copy(properties = e.properties.filterNot(_.name == field),
-        identities = e.identities.filterNot(_ == field))
+        identities = e.identities.filterNot(_ == field),
+        // spec index references prune; an emptied index drops
+        // (apply_edge_property_removal_to_db_profile)
+        specIndexes = e.specIndexes.map(_
+          .map(ix => ix.copy(fields = ix.fields.filterNot(_ == field)))
+          .filter(_.fields.nonEmpty)))
       else e))
   }
   /** Physical-profile index ops (reference evolution/physical.py:132-278):
@@ -840,8 +865,10 @@ object Evolution {
       case AddSecondaryIdentity(vx, s)  => Some(RemoveSecondaryIdentity(vx, s.name))
       case AddEdgeProperty(k, f)        => Some(RemoveEdgeProperty(k, f.name))
       case RenameEdgeProperty(k, a, b)  => Some(RenameEdgeProperty(k, b, a))
-      case AddVertexIndexes(v, ixs)     => Some(RemoveVertexIndexes(v, ixs.map(_.fields)))
-      case AddEdgeIndexes(k, ixs)       => Some(RemoveEdgeIndexes(k, ixs.map(_.fields)))
+      // index ADDS are idempotent-skip on already-present field tuples
+      // (physical.py add_vertex_index), so a blind Remove inverse would
+      // delete indexes the op never added — or hit the derived-refusal.
+      // Like SetEdgeDirected, they don't record prior state: not invertible.
       // SetEdgeDirected does not record the PRIOR value, so a blind flip is
       // wrong when the op was a no-op — not invertible
       case _                            => None

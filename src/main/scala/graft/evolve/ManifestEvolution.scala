@@ -165,8 +165,20 @@ object ManifestEvolution {
       "schema" -> VectorMap[String, Any](
         "metadata" -> VectorMap[String, Any]("name" -> loaded.name)),
       "ingestion_model" -> st.ingestion))
+    // the typed bindings follow the cascade: resource renames compose in
+    // op order, then rows prune to the surviving resources — a renamed
+    // resource keeps its connector, a dropped one loses its row
+    val finalName: String => String = orig =>
+      ops.collect { case RenameResources(rs) => rs.toMap }
+        .foldLeft(orig)((n, m) => m.getOrElse(n, n))
+    val survivors = asArr(st.ingestion.getOrElse("resources", Vector()))
+      .getOrElse(Vector()).flatMap(r =>
+        asObj(r).flatMap(rd => asStr(rd.getOrElse("name", null)))).toSet
+    val bindings = loaded.bindings
+      .map(b => b.copy(resource = finalName(b.resource)))
+      .filter(b => survivors(b.resource))
     graft.manifest.ManifestLoader.fromJsonString(json)
-      .copy(name = loaded.name, schema = st.schema, bindings = loaded.bindings)
+      .copy(name = loaded.name, schema = st.schema, bindings = bindings)
   }
 
   // -------------------------------------------------------------- helpers
@@ -210,6 +222,8 @@ object ManifestEvolution {
       asStr(n.getOrElse("type", null)) match {
         case Some("transform") =>
           val rename = asObj(n.getOrElse("rename", null))
+          // "foo" is the reference Transform model's FUNCTION-NAME field
+          // (named-transform declarations), not a placeholder
           val hasOther = Seq("name", "fields", "map", "input", "output", "call",
             "use", "foo", "module").exists(n.contains)
           if (rename.exists(_.isEmpty) && !hasOther)

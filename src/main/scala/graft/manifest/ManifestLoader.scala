@@ -413,6 +413,11 @@ object ManifestLoader {
     }
     else if (s.has("links")) MultiEdgeStep(
       s.path("links").elements().asScala.map(l => parseEdgeStep(l)).toSeq)
+    // normalized role-bound edge (the cascade flattens `edge:` wrappers):
+    // dynamic endpoints only — source_role/target_role/…_type_field
+    else if ((s.has("type") && s.path("type").asText() == "edge") ||
+        s.has("source_role") || s.has("target_role") ||
+        s.has("source_type_field") || s.has("target_type_field")) parseEdgeStep(s)
     else if (s.has("cast")) CastStep(
       s.path("cast").properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
     else if (s.has("vertex_router") || s.has("type_field")) {

@@ -460,9 +460,10 @@ final class GraphReader(
     */
   private def localize(df: DataFrame): DataFrame = {
     if (localizeCap <= 0) return df // forced-distributed (tests / huge walks)
+    val cap = math.min(localizeCap, Int.MaxValue - 1) // limit(cap+1) must not wrap
     val spark = df.sparkSession
-    val rows = df.limit(localizeCap + 1).collect()
-    if (rows.length > localizeCap) df
+    val rows = df.limit(cap + 1).collect()
+    if (rows.length > cap) df
     else spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 

@@ -141,6 +141,20 @@ case("chain_roundtrip", [
          "fields": [["w"], ["since"]]}]}])
 
 
+# renames/removals must carry the index surface with them
+# (apply_field_rename_to_db_profile / apply.py:673-696)
+case("idx_follows_vertex_rename", [
+    {"op": "rename_vertex_properties", "renames": {"person": {"age": "years"}}}])
+case("idx_prunes_vertex_removal", [
+    {"op": "add_vertex_indexes",
+     "indexes": {"person": [{"fields": ["age", "email"], "unique": False}]}},
+    {"op": "remove_vertex_properties", "removals": {"person": ["age"]}}])
+case("idx_follows_edge_prop_rename", [
+    {"op": "rename_edge_properties", "renames": {"lives_in": {"since": "start"}}}])
+case("idx_prunes_edge_prop_removal", [
+    {"op": "remove_edge_properties", "removals": {"lives_in": ["since"]}}])
+
+
 def proj(m):
     p = m.graph_schema.db_profile
     return {
