@@ -247,6 +247,63 @@ object Mp3Encoder {
       sampleRate: Int = 44100, bitrateIdx: Int = 14): Array[Byte] =
     encodeChannels(Array(l, r), sampleRate, bitrateIdx, escTables = false)
 
+
+  /** MPEG-2 LSF mono encode (ISO 13818-3): ONE 576-sample granule per
+    * frame, 8-bit main_data_begin, 9-bit scalefac_compress (emitted 0 —
+    * all slens zero), no scfsi/preflag, frame = 72·bitrate/rate bytes.
+    * The shared analysis/quantization/Huffman plane is [[encodeGranule]];
+    * with the default `escTables = false` every LSF frame uses only
+    * ISO-normative codebooks and decodes without any opt-in.
+    */
+  def encodeLsf(x: Array[Double], sampleRate: Int = 22050,
+      bitrateIdx: Int = 14, escTables: Boolean = false): Array[Byte] = {
+    val srIdx = Array(22050, 24000, 16000).indexOf(sampleRate)
+    require(srIdx >= 0, s"unsupported LSF rate $sampleRate")
+    val spectra = forwardSpectra(x) // [granule][576]
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    // MPEG-2 Layer III bitrate table (BrMpeg2L23)
+    val bitrate = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+      128, 144, 160)(bitrateIdx)
+    val frameBytes = 72 * bitrate * 1000 / sampleRate // no padding
+    val sideBytes = 9 // mono LSF
+    var fr = 0
+    while (fr < spectra.length) {
+      val g = encodeGranule(spectra(fr), escTables)
+      val bw = new BitWriter
+      // header: sync(11) version(2)=10 layer(2)=01 noCrc(1)=1
+      bw.write(0x7ff, 11); bw.write(2, 2); bw.write(1, 2); bw.write(1, 1)
+      bw.write(bitrateIdx, 4); bw.write(srIdx, 2); bw.write(0, 1) // padding
+      bw.write(0, 1) // private
+      bw.write(3, 2) // mode: mono
+      bw.write(0, 2); bw.write(0, 1); bw.write(0, 1); bw.write(0, 2)
+      bw.write(0, 8) // main_data_begin
+      bw.write(0, 1) // private bits (mono LSF: 1)
+      require(g.part23 <= 4095, s"LSF granule needs ${g.part23} bits")
+      bw.write(g.part23, 12)
+      bw.write(g.bigValues, 9)
+      bw.write(g.globalGain, 8)
+      bw.write(0, 9) // scalefac_compress (9 bits, all slens zero)
+      bw.write(0, 1) // window switching off
+      bw.write(g.tableSelect, 5); bw.write(g.tableSelect, 5)
+      bw.write(g.tableSelect, 5)
+      bw.write(7, 4); bw.write(7, 3) // region counts
+      bw.write(0, 1) // scalefac_scale (no preflag field in LSF)
+      bw.write(0, 1) // count1 table A
+      val mainBudgetBits = (frameBytes - 4 - sideBytes) * 8
+      require(g.part23 <= mainBudgetBits,
+        s"granule data ${g.part23} exceeds $mainBudgetBits bits")
+      val bytes = g.bits.toBytes(0)
+      var bit = 0
+      while (bit < g.part23) {
+        bw.write((bytes(bit >>> 3) >>> (7 - (bit & 7))) & 1, 1)
+        bit += 1
+      }
+      out ++= bw.toBytes(frameBytes)
+      fr += 1
+    }
+    out.toArray
+  }
+
   private def encodeChannels(chans: Array[Array[Double]], sampleRate: Int,
       bitrateIdx: Int, escTables: Boolean = false): Array[Byte] = {
     val srIdx = Array(44100, 48000, 32000).indexOf(sampleRate)

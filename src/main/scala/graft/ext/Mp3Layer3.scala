@@ -69,16 +69,22 @@ object Mp3Layer3 {
       scfsi: Array[Array[Int]], // [ch][4]
       granules: Array[Array[GranuleInfo]]) // [gr][ch]
 
-  private def readSideInfo(br: BitReader, channels: Int): SideInfo = {
-    val mainDataBegin = br.read(9)
-    br.read(if (channels == 1) 5 else 3): Unit // private bits
-    val scfsi = Array.fill(channels)(Array.fill(4)(br.read1()))
-    val granules = Array.fill(2) {
+  private def readSideInfo(br: BitReader, channels: Int,
+      lsf: Boolean = false): SideInfo = {
+    // MPEG-2 LSF (ISO 13818-3 2.4.1.7): 8-bit main_data_begin, 1/2 private
+    // bits, NO scfsi, ONE granule, 9-bit scalefac_compress, NO preflag
+    val mainDataBegin = br.read(if (lsf) 8 else 9)
+    br.read(if (lsf) (if (channels == 1) 1 else 2)
+      else (if (channels == 1) 5 else 3)): Unit // private bits
+    val scfsi =
+      if (lsf) Array.fill(channels)(Array.fill(4)(0))
+      else Array.fill(channels)(Array.fill(4)(br.read1()))
+    val granules = Array.fill(if (lsf) 1 else 2) {
       Array.fill(channels) {
         val p23 = br.read(12)
         val bv = br.read(9)
         val gg = br.read(8)
-        val sc = br.read(4)
+        val sc = br.read(if (lsf) 9 else 4)
         val ws = br.read1() == 1
         if (ws) {
           val bt = br.read(2)
@@ -89,16 +95,16 @@ object Mp3Layer3 {
           GranuleInfo(p23, bv, gg, sc, ws, bt, mixed, ts, sbg,
             region0Count = if (bt == 2 && !mixed) 8 else 7,
             region1Count = 20, preflag = 0, 0, 0)
-            .copy(preflag = br.read1(), scalefacScale = br.read1(),
-              count1Table = br.read1())
+            .copy(preflag = if (lsf) 0 else br.read1(),
+              scalefacScale = br.read1(), count1Table = br.read1())
         } else {
           val ts = Array(br.read(5), br.read(5), br.read(5))
           val r0 = br.read(4)
           val r1 = br.read(3)
           GranuleInfo(p23, bv, gg, sc, ws, blockType = 0,
             mixedBlock = false, ts, Array(0, 0, 0), r0, r1,
-            preflag = br.read1(), scalefacScale = br.read1(),
-            count1Table = br.read1())
+            preflag = if (lsf) 0 else br.read1(),
+            scalefacScale = br.read1(), count1Table = br.read1())
         }
       }
     }
@@ -172,14 +178,43 @@ object Mp3Layer3 {
     -1
   }
 
+  /** MPEG-2 LSF long-block scalefactors, sfc < 400 face (ISO 13818-3
+    * 2.4.3.2): slens ((sfc>>4)/5, (sfc>>4)%5, (sfc&15)>>2, sfc&3) over the
+    * (6, 5, 5, 5) band partitions. graft's own LSF encoder emits sfc = 0
+    * (all slens zero); nonzero-sfc streams below 400 read per this scheme,
+    * >= 400 (the intensity/preflag partitions) are refused upstream.
+    */
+  private def readScalefactorsLsf(br: BitReader, g: GranuleInfo): Scalefactors = {
+    val out = new Scalefactors
+    val sfc = g.scalefacCompress
+    val slens = Array((sfc >> 4) / 5, (sfc >> 4) % 5, (sfc & 15) >> 2, sfc & 3)
+    val partitions = Array(6, 5, 5, 5)
+    var b = 0
+    var part = 0
+    while (part < 4) {
+      var i = 0
+      while (i < partitions(part)) {
+        if (b < 22) out.long(b) = if (slens(part) > 0) br.read(slens(part)) else 0
+        b += 1; i += 1
+      }
+      part += 1
+    }
+    out
+  }
+
+  private def sfbLongTab(lsf: Boolean, srIdx: Int): Array[Int] =
+    if (lsf) Mp3Tables.sfbLongM2(srIdx) else Mp3Tables.sfbLongM1(srIdx)
+  private def sfbShortTab(lsf: Boolean, srIdx: Int): Array[Int] =
+    if (lsf) Mp3Tables.sfbShortM2(srIdx) else Mp3Tables.sfbShortM1(srIdx)
+
   /** Huffman-decode the granule spectrum into is[576]; false on any
     * malformed/unsupported condition.
     */
   private def readSpectrum(br: BitReader, g: GranuleInfo, srIdx: Int,
       granuleEnd: Int, is: Array[Int],
-      allowNonNormative: Boolean = false): Boolean = {
+      allowNonNormative: Boolean = false, lsf: Boolean = false): Boolean = {
     java.util.Arrays.fill(is, 0)
-    val sfbLong = Mp3Tables.sfbLongM1(srIdx)
+    val sfbLong = sfbLongTab(lsf, srIdx)
     // region boundaries in line indices
     val bigLines = math.min(g.bigValues * 2, 576)
     val (r1Start, r2Start) =
@@ -240,12 +275,12 @@ object Mp3Layer3 {
   // ------------------------------------------------------- requantize
 
   private def requantize(g: GranuleInfo, sf: Scalefactors, srIdx: Int,
-      is: Array[Int], xr: Array[Double]): Unit = {
+      is: Array[Int], xr: Array[Double], lsf: Boolean = false): Unit = {
     val gain = math.pow(2.0, (g.globalGain - 210).toDouble / 4.0)
     val sfMult = if (g.scalefacScale == 1) 1.0 else 0.5
     if (g.windowSwitching && g.blockType == 2) {
-      val bands = Mp3Tables.sfbShortM1(srIdx)
-      val longBands = Mp3Tables.sfbLongM1(srIdx)
+      val bands = sfbShortTab(lsf, srIdx)
+      val longBands = sfbLongTab(lsf, srIdx)
       var i = 0
       if (g.mixedBlock) {
         // first 36 lines: long bands 0..7
@@ -281,7 +316,7 @@ object Mp3Layer3 {
       }
       while (pos < 576) { xr(pos) = 0.0; pos += 1 }
     } else {
-      val bands = Mp3Tables.sfbLongM1(srIdx)
+      val bands = sfbLongTab(lsf, srIdx)
       var b = 0
       while (b < 22) {
         val pre = if (g.preflag == 1) Mp3Tables.pretab(b) else 0
@@ -600,9 +635,15 @@ object Mp3Layer3 {
       if (first.isEmpty) off += 1
     }
     val f0 = first.getOrElse(return None)
-    if (f0.versionId != 3 || f0.layer != 3) return None
+    if ((f0.versionId != 3 && f0.versionId != 2) || f0.layer != 3) return None
+    val lsf = f0.versionId == 2
     val channels = f0.channels
-    val srIdx = Array(44100, 48000, 32000).indexOf(f0.sampleRate)
+    // LSF face: MONO long-block streams (graft's own LSF encoder's shape);
+    // LSF stereo/short-block dialects stay honestly refused (DIVERGENCES)
+    if (lsf && channels != 1) return None
+    val srIdx =
+      if (lsf) Array(22050, 24000, 16000).indexOf(f0.sampleRate)
+      else Array(44100, 48000, 32000).indexOf(f0.sampleRate)
     if (srIdx < 0) return None
 
     val reservoir = new java.util.ArrayList[Byte]()
@@ -620,7 +661,7 @@ object Mp3Layer3 {
       parseMp3Frame(bytes, pos) match {
         case None => pos = bytes.length // done (trailing tag)
         case Some(f) =>
-          if (f.versionId != 3 || f.layer != 3 ||
+          if (f.versionId != f0.versionId || f.layer != 3 ||
             f.sampleRate != f0.sampleRate || f.channels != channels) {
             ok = false
           } else if (pos + f.frameBytes > bytes.length) {
@@ -628,11 +669,13 @@ object Mp3Layer3 {
           } else {
             val crc = (bytes(pos + 1) & 1) == 0
             val headerLen = 4 + (if (crc) 2 else 0)
-            val sideLen = if (channels == 1) 17 else 32
+            val sideLen =
+              if (lsf) (if (channels == 1) 9 else 17)
+              else if (channels == 1) 17 else 32
             val sideBr = new BitReader(
               java.util.Arrays.copyOfRange(bytes, pos + headerLen,
                 pos + headerLen + sideLen))
-            val side = readSideInfo(sideBr, channels)
+            val side = readSideInfo(sideBr, channels, lsf)
             val modeExt = (bytes(pos + 3) >> 4) & 3
 
             val mainStart = pos + headerLen + sideLen
@@ -652,9 +695,9 @@ object Mp3Layer3 {
                   resBytes(j) = reservoir.get(begin + j); j += 1
                 }
                 val br = new BitReader(resBytes)
-                val frameOk = decodeFrameGranules(br, side, channels, srIdx, allowNonNormative,
-                  modeExt, prevSf, overlap, synth, pcm)
-                if (frameOk) nGranules += 2 else ok = false
+                val frameOk = decodeFrameGranules(br, side, channels, srIdx,
+                  allowNonNormative, lsf, modeExt, prevSf, overlap, synth, pcm)
+                if (frameOk) nGranules += (if (lsf) 1 else 2) else ok = false
               }
               // else: reservoir underrun (stream started mid-reservoir) — skip
               // bound the reservoir (spec max 511 bytes of lookback + frame)
@@ -671,13 +714,15 @@ object Mp3Layer3 {
 
   /** decode both granules of one frame from the reservoir reader */
   private def decodeFrameGranules(br: BitReader, side: SideInfo,
-      channels: Int, srIdx: Int, allowNonNormative: Boolean, modeExt: Int,
+      channels: Int, srIdx: Int, allowNonNormative: Boolean, lsf: Boolean,
+      modeExt: Int,
       prevSf: Array[Scalefactors],
       overlap: Array[Array[Array[Double]]],
       synth: Array[SynthState],
       pcm: scala.collection.mutable.ArrayBuffer[Double]): Boolean = {
     var gr = 0
-    while (gr < 2) {
+    val nGr = if (lsf) 1 else 2
+    while (gr < nGr) {
       val xr = Array.fill(channels)(new Array[Double](576))
       val gs = side.granules(gr)
       val sfs = new Array[Scalefactors](channels)
@@ -687,15 +732,21 @@ object Mp3Layer3 {
         val granuleStart = br.pos
         val granuleEnd = granuleStart + g.part23Length
         if (granuleEnd > br.bytes.length * 8) return false
-        val sf = readScalefactors(br, g, ch, gr, side.scfsi(ch), prevSf(ch))
+        // LSF scope gate: sfc >= 400 selects the 13818-3 intensity/preflag
+        // partitions graft does not implement; short blocks likewise
+        if (lsf && (g.scalefacCompress >= 400 || g.windowSwitching))
+          return false
+        val sf =
+          if (lsf) readScalefactorsLsf(br, g)
+          else readScalefactors(br, g, ch, gr, side.scfsi(ch), prevSf(ch))
         sfs(ch) = sf
         if (gr == 0 || !(g.windowSwitching && g.blockType == 2))
           prevSf(ch) = sf
         val is = new Array[Int](576)
-        if (!readSpectrum(br, g, srIdx, granuleEnd, is, allowNonNormative))
+        if (!readSpectrum(br, g, srIdx, granuleEnd, is, allowNonNormative, lsf))
           return false
         br.pos = granuleEnd // discard stuffing
-        requantize(g, sf, srIdx, is, xr(ch))
+        requantize(g, sf, srIdx, is, xr(ch), lsf)
         reorderShort(g, srIdx, xr(ch))
         ch += 1
       }

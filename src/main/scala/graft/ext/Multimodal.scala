@@ -1060,16 +1060,20 @@ object Multimodal {
     * deterministic per-id tone. `nGranules` must be even (2 per frame).
     */
   def synthesizeMp3Audio(df: DataFrame, idCol: String,
-      nGranules: Int = 6): DataFrame = {
-    require(nGranules % 2 == 0, "nGranules must be even (2 per frame)")
+      nGranules: Int = 6, lsf: Boolean = false): DataFrame = {
+    require(lsf || nGranules % 2 == 0, "nGranules must be even (2 per frame)")
     val schema = StructType(Seq(
       StructField(idCol, LongType), StructField("media", BinaryType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.select(col(idCol).cast("long")).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
-        Row(id, Mp3Encoder.encode(mp3TestTone(id, nGranules),
-          escTables = mp3UsesEsc(id)))
+        // the LSF leg stays on normative codebooks (one granule per frame,
+        // 22.05 kHz); the MPEG-1 leg drives the ESC tables every third id
+        Row(id,
+          if (lsf) Mp3Encoder.encodeLsf(mp3TestTone(id, nGranules))
+          else Mp3Encoder.encode(mp3TestTone(id, nGranules),
+            escTables = mp3UsesEsc(id)))
       }
     }(enc)
   }

@@ -170,12 +170,42 @@ class Mp3Layer3Spec extends graft.SparkSpec {
     assert(Mp3Layer3.decode(bad).isEmpty)
   }
 
-  test("MPEG-2 LSF and non-Layer-III inputs return None (metadata still parses)") {
+  test("container-synthesized LSF frames decode as silence, never as fake signal") {
     // the container-synthesized MPEG-2 frames (MediaContainers.synthesizeMp3
-    // id%3==0 shape) carry no valid Layer III payload for this decoder
+    // id%3==0 shape) carry an all-zero side-info/payload: since the LSF
+    // face landed that IS a valid silent stream (part2_3_length 0 per
+    // granule) — it must decode to exact silence, never to garbage
     val lsf = MediaContainers.mp3Pack(2, 3, 0, mono = true,
       frames = Seq.fill(4)((5, 0)))
-    assert(Mp3Layer3.decode(lsf).isEmpty)
+    val d = Mp3Layer3.decode(lsf)
+    assert(d.forall(_.samples.forall(_ == 0.0)))
     assert(MediaContainers.parseMp3(lsf).isDefined)
+  }
+
+  test("MPEG-2 LSF round trip: one granule per frame at 22050, >= 24 dB") {
+    val sr = 22050
+    val n = 576 * 8
+    val x = Array.tabulate(n)(i => 0.5 * math.sin(2 * math.Pi * 441.0 * i / sr))
+    val enc = Mp3Encoder.encodeLsf(x, sampleRate = sr)
+    // normative codebooks only: NO opt-in needed
+    val d = Mp3Layer3.decode(enc)
+    assert(d.isDefined)
+    assert(d.get.sampleRate == sr && d.get.channels == 1)
+    assert(d.get.nGranules >= 6) // one granule per frame
+    val (_, _, psnr) = Mp3Layer3.fitPsnr(x, d.get.samples, 1500)
+    assert(psnr >= 24.0, s"lsf psnr $psnr")
+  }
+
+  test("MPEG-2 LSF + ESC escape tables compose (opt-in decode)") {
+    val sr = 24000
+    val x = Array.tabulate(576 * 6)(i =>
+      0.95 * math.sin(2 * math.Pi * 441.0 * i / sr) +
+        0.002 * math.sin(2 * math.Pi * 1632.0 * i / sr))
+    val enc = Mp3Encoder.encodeLsf(x, sampleRate = sr, escTables = true)
+    assert(Mp3Layer3.decode(enc).isEmpty) // non-normative refusal holds
+    val d = Mp3Layer3.decode(enc, allowNonNormative = true)
+    assert(d.isDefined)
+    val (_, _, psnr) = Mp3Layer3.fitPsnr(x, d.get.samples, 1500)
+    assert(psnr >= 24.0, s"lsf esc psnr $psnr")
   }
 }
