@@ -116,10 +116,54 @@ object EvolutionOp {
       })
     }
   }
+  /** Set a vertex property's logical type (reference ChangeFieldTypesOp,
+    * physical.py:43-81): unknown vertices/fields are errors, and an
+    * identity-participating field cannot become a LIST (lists cannot key
+    * an upsert). Executed-parity pinned (`cft_*`).
+    */
   final case class SetFieldType(vertex: String, field: String, ftype: FieldType) extends EvolutionOp {
-    def apply(s: GraphSchema) = mapVertex(s, vertex)(v => v.copy(
-      properties = v.properties.map(p =>
-        if (p.name == field) p.copy(ftype = Some(ftype)) else p)))
+    def apply(s: GraphSchema) = {
+      if (!s.vertexByName.contains(vertex)) throw new IllegalArgumentException(
+        s"change_field_types: unknown vertices: [$vertex]")
+      mapVertex(s, vertex) { v =>
+        val declared = (v.properties.map(_.name) ++ (v.identity match {
+          case Identity.Natural(fs) => fs; case _ => Nil
+        })).toSet
+        if (!declared(field)) throw new IllegalArgumentException(
+          s"change_field_types: vertex '$vertex' does not declare [$field]")
+        val identityFields = (v.identity match {
+          case Identity.Natural(fs) => fs
+          case Identity.Hash(fs)    => fs
+          case _                    => Nil
+        }).toSet
+        if (ftype.isInstanceOf[FieldType.ListT] && identityFields(field))
+          throw new IllegalArgumentException(
+            s"change_field_types: vertex '$vertex' field '$field' participates " +
+              "in the identity and cannot become a LIST")
+        v.copy(properties = v.properties.map(p =>
+          if (p.name == field) p.copy(ftype = Some(ftype)) else p))
+      }
+    }
+  }
+
+  /** Set an EDGE property's logical type across every edge carrying the
+    * relation (reference ChangeFieldTypesOp's `edges` face,
+    * physical.py:83-115): unknown relations/fields are errors.
+    */
+  final case class SetEdgeFieldType(relation: String, field: String,
+      ftype: FieldType) extends EvolutionOp {
+    def apply(s: GraphSchema) = {
+      val carrying = s.edges.filter(_.relation == relation)
+      if (carrying.isEmpty) throw new IllegalArgumentException(
+        s"change_field_types: unknown relations: [$relation]")
+      if (!carrying.exists(_.properties.exists(_.name == field)))
+        throw new IllegalArgumentException(
+          s"change_field_types: edge '$relation' does not declare [$field]")
+      s.copy(edges = s.edges.map(e =>
+        if (e.relation == relation) e.copy(properties = e.properties.map(p =>
+          if (p.name == field) p.copy(ftype = Some(ftype)) else p))
+        else e))
+    }
   }
   /** Identity replacement natural↔hash↔funnel↔assigned↔blank with the
     * reference's RETIRE policy for the OLD identity field-set
@@ -568,7 +612,8 @@ object Risk {
        // reference migrate/risk.py MEDIUM_RISK_OPS: REMOVE_*_INDEX
        | _: RemoveVertexIndexes | _: RemoveEdgeIndexes => Medium
     case _: RemoveProperty | _: RemoveVertex | _: RemoveEdge
-       | _: SetFieldType | _: RetargetEdge | _: RemoveEdgeProperty
+       | _: SetFieldType | _: SetEdgeFieldType
+       | _: RetargetEdge | _: RemoveEdgeProperty
        | _: MergeEdges => High
     case _: ReplaceIdentity | _: ReplaceEdgeIdentities | _: MergeVertices => Critical
   }
@@ -600,6 +645,7 @@ object Risk {
        | _: InverseEdge => true
     case _: AddVertex | _: AddProperty | _: AddEdge | _: AddEdgeProperty
        | _: RemoveEdgeProperty | _: RenameEdgeProperty | _: SetFieldType
+       | _: SetEdgeFieldType
        | _: SetEdgeDirected | _: RetargetEdge | _: ReplaceEdgeIdentities
        | _: AddSecondaryIdentity | _: RemoveSecondaryIdentity
        | _: AddVertexIndexes | _: RemoveVertexIndexes

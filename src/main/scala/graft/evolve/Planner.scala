@@ -24,7 +24,7 @@ object Planner {
     case _: AddEdge | _: InverseEdge                     => 20
     case _: AddProperty                                  => 30
     case _: AddEdgeProperty                              => 40
-    case _: SetFieldType                                 => 70
+    case _: SetFieldType | _: SetEdgeFieldType           => 70
     case _: AddSecondaryIdentity | _: RemoveSecondaryIdentity => 105
     case _: RemoveEdgeProperty | _: RenameEdgeProperty   => 110
     case _: RemoveProperty | _: RenameProperty           => 120
@@ -58,6 +58,7 @@ object Planner {
     case MergeEdges(srcs, into)        => s"edge:${srcs.mkString("+")}>$into"
     case RetargetEdge(k, _, _)         => s"edge:${k.storeName}"
     case InverseEdge(k, _)             => s"edge:${k.storeName}"
+    case SetEdgeFieldType(rel, f, _)   => s"edge:$rel:$f"
     case AddVertexIndexes(v, _)        => s"vertex:$v:indexes"
     case RemoveVertexIndexes(v, _)     => s"vertex:$v:indexes"
     case AddEdgeIndexes(k, _)          => s"edge:${k.storeName}:indexes"

@@ -95,8 +95,7 @@ object RevisionStore {
     case FieldType.StringT   => "string"
     case FieldType.DatetimeT => "datetime"
     case FieldType.UuidT     => "uuid"
-    case FieldType.ListT(_)  =>
-      throw new IllegalArgumentException("list-typed fields do not appear in DDL ops")
+    case FieldType.ListT(item) => s"list<${typeName(item)}>"
   }
 
   private def fieldToJson(f: FieldDef): ObjectNode = {
@@ -217,6 +216,9 @@ object RevisionStore {
       case ReplaceEdgeIdentities(k, ids) =>
         o.put("op", "replace_edge_identities"); keyToJson(o, k)
         strArr(o, "identities", ids)
+      case SetEdgeFieldType(rel, f, t) =>
+        o.put("op", "set_edge_field_type"); o.put("relation", rel)
+        o.set[JsonNode]("field", fieldToJson(FieldDef(f, Some(t))))
       case AddVertexIndexes(vx, ixs) =>
         o.put("op", "add_vertex_indexes"); o.put("vertex", vx)
         val arr = o.putArray("indexes")
@@ -293,6 +295,9 @@ object RevisionStore {
     case "merge_edges" => MergeEdges(strs(n, "sources"), n.path("into").asText())
     case "replace_edge_identities" =>
       ReplaceEdgeIdentities(keyFromJson(n), strs(n, "identities"))
+    case "set_edge_field_type" =>
+      val fd = fieldFromJson(n.path("field"))
+      SetEdgeFieldType(n.path("relation").asText(), fd.name, fd.ftype.get)
     case "add_vertex_indexes" =>
       AddVertexIndexes(n.path("vertex").asText(), indexesFromJson(n))
     case "remove_vertex_indexes" =>

@@ -32,6 +32,8 @@ object FieldType {
     case "str" | "string"   => StringT
     case "datetime"         => DatetimeT
     case "uuid"             => UuidT
+    case l if l.startsWith("list<") && l.endsWith(">") =>
+      ListT(fromName(l.substring(5, l.length - 1)))
     case other              => throw new IllegalArgumentException(s"unknown field type: $other")
   }
 }

@@ -56,6 +56,19 @@ class ReferencePhysicalParitySpec extends SparkSpec {
           e.path("fields").elements().asScala
             .map(_.elements().asScala.map(_.asText()).toSeq).toSeq)
       }
+      case "change_field_types" =>
+        def ftOf(n: JsonNode): FieldType =
+          if (n.path("type").asText() == "LIST")
+            FieldType.ListT(FieldType.fromName(n.path("item_type").asText().toLowerCase))
+          else FieldType.fromName(n.path("type").asText().toLowerCase)
+        entries(op.path("vertices")).flatMap { v =>
+          entries(v.getValue).map(f =>
+            SetFieldType(v.getKey, f.getKey, ftOf(f.getValue)))
+        } ++ Option(op.get("edges")).filterNot(_.isNull).toSeq.flatMap(e =>
+          entries(e).flatMap { r =>
+            entries(r.getValue).map(f =>
+              SetEdgeFieldType(r.getKey, f.getKey, ftOf(f.getValue)))
+          })
       // the rename/removal interplay cases ride the property ops
       case "rename_vertex_properties" => entries(op.path("renames")).flatMap { v =>
         entries(v.getValue).map(p =>
@@ -76,10 +89,32 @@ class ReferencePhysicalParitySpec extends SparkSpec {
     }
   }
 
+  private def ftName(t: FieldType): String = t match {
+    case FieldType.IntT      => "INT"
+    case FieldType.UIntT     => "UINT"
+    case FieldType.FloatT    => "FLOAT"
+    case FieldType.DoubleT   => "DOUBLE"
+    case FieldType.BoolT     => "BOOL"
+    case FieldType.StringT   => "STRING"
+    case FieldType.DatetimeT => "DATETIME"
+    case FieldType.UuidT     => "UUID"
+    case FieldType.ListT(i)  => s"LIST<${ftName(i)}>"
+  }
+
   /** Mirror of the generator's projection of the profile index surface. */
   private def render(s: GraphSchema): String = {
     def ix(i: IndexDef): Any =
       VectorMap[String, Any]("fields" -> i.fields.toVector, "unique" -> i.unique)
+    val fieldTypes = VectorMap.from(s.vertices.flatMap { v =>
+      val typed = VectorMap.from(v.properties.flatMap(p =>
+        p.ftype.map(t => p.name -> (ftName(t): Any))))
+      if (typed.isEmpty) None else Some(v.name -> (typed: Any))
+    })
+    val edgeFieldTypes = VectorMap.from(s.edges.flatMap { e =>
+      val typed = VectorMap.from(e.properties.flatMap(p =>
+        p.ftype.map(t => p.name -> (ftName(t): Any))))
+      if (typed.isEmpty) None else Some(e.relation -> (typed: Any))
+    })
     // the loader already materializes derived indexes into v.indexes in
     // registration order; NO dedup here — the reference keeps a
     // pruned-authored duplicate of a derived index (idx_prunes_vertex_removal)
@@ -91,6 +126,7 @@ class ReferencePhysicalParitySpec extends SparkSpec {
       VectorMap[String, Any]("source" -> e.source, "target" -> e.target,
         "relation" -> e.relation, "indexes" -> spec.map(ix).toVector))).toVector
     SchemaContext.serializeCompact(VectorMap[String, Any](
+      "field_types" -> fieldTypes, "edge_field_types" -> edgeFieldTypes,
       "vertex_indexes" -> vertexIndexes, "edge_indexes" -> edgeIndexes))
   }
 

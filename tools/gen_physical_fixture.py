@@ -155,9 +155,48 @@ case("idx_prunes_edge_prop_removal", [
     {"op": "remove_edge_properties", "removals": {"lives_in": ["since"]}}])
 
 
+case("cft_vertex_ok", [
+    {"op": "change_field_types", "vertices": {
+        "person": {"age": {"type": "INT"}},
+        "city": {"pop": {"type": "LIST", "item_type": "INT"}}}}])
+case("cft_edge_ok", [
+    {"op": "change_field_types", "vertices": {},
+     "edges": {"lives_in": {"w": {"type": "DOUBLE"}}}}])
+case("cft_unknown_vertex", [
+    {"op": "change_field_types", "vertices": {"ghost": {"x": {"type": "INT"}}}}])
+case("cft_undeclared_field", [
+    {"op": "change_field_types", "vertices": {"city": {"altitude": {"type": "INT"}}}}])
+case("cft_list_identity_rejected", [
+    {"op": "change_field_types", "vertices": {
+        "person": {"pid": {"type": "LIST", "item_type": "STRING"}}}}])
+case("cft_unknown_relation", [
+    {"op": "change_field_types", "vertices": {},
+     "edges": {"ghost_rel": {"w": {"type": "INT"}}}}])
+case("cft_undeclared_edge_field", [
+    {"op": "change_field_types", "vertices": {},
+     "edges": {"lives_in": {"nope": {"type": "INT"}}}}])
+
+
+def _ft(field):
+    t = getattr(field, "type", None)
+    it = getattr(field, "item_type", None)
+    if t is None:
+        return None
+    return str(t) + (f"<{it}>" if it is not None else "")
+
+
 def proj(m):
     p = m.graph_schema.db_profile
+    core = m.graph_schema.core_schema
+    field_types = {
+        v.name: {f.name: _ft(f) for f in v.properties if _ft(f) is not None}
+        for v in core.vertex_config.vertices}
+    edge_field_types = {
+        str(e.relation): {f.name: _ft(f) for f in e.properties if _ft(f) is not None}
+        for e in core.edge_config.edges if e.properties}
     return {
+        "field_types": {k: v for k, v in field_types.items() if v},
+        "edge_field_types": {k: v for k, v in edge_field_types.items() if v},
         "vertex_indexes": {
             k: [{"fields": list(i.fields), "unique": bool(i.unique)} for i in v]
             for k, v in p.vertex_indexes.items() if v},
