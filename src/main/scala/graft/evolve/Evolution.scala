@@ -3,6 +3,7 @@ package graft.evolve
 import graft.model._
 import graft.store.GraphStore
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Schema evolution — the reference's declarative manifest-DDL ops
   * (graflo/architecture/evolution/ops.py:50-620, apply.py, rewrite.py,
@@ -88,6 +89,15 @@ object EvolutionOp {
           .map(ix => ix.copy(fields = ix.fields.filterNot(_ == field)))
           .filter(_.fields.nonEmpty))
     }
+    // edge PHYSICAL-spec indexes referencing the removed endpoint field
+    // prune too, on edges whose source OR target is the vertex; an
+    // emptied index drops (apply.py:684-696 — edge_spec loop)
+    .pipe(sch => sch.copy(edges = sch.edges.map { ed =>
+      if (ed.source != vertex && ed.target != vertex) ed
+      else ed.copy(specIndexes = ed.specIndexes.map(_
+        .map(ix => ix.copy(fields = ix.fields.filterNot(_ == field)))
+        .filter(_.fields.nonEmpty)))
+    }))
   }
   final case class RenameProperty(vertex: String, from: String, to: String) extends EvolutionOp {
     private def ren(f: String) = if (f == from) to else f
@@ -210,8 +220,17 @@ object EvolutionOp {
     def apply(s: GraphSchema) = mapVertex(s, vertex)(v => v.copy(secondary = v.secondary :+ sec))
   }
   final case class RemoveSecondaryIdentity(vertex: String, name: String) extends EvolutionOp {
-    def apply(s: GraphSchema) = mapVertex(s, vertex)(v =>
-      v.copy(secondary = v.secondary.filterNot(_.name == name)))
+    def apply(s: GraphSchema) = mapVertex(s, vertex) { v =>
+      // the derived lookup index goes WITH the identity: the reference's
+      // apply_remove_secondary_identities prunes db_profile.vertex_indexes
+      // entries whose field SET matches the removed secondary
+      // (evolution/identity.py:533-540) — without this, the loader-
+      // materialized derived copy strands as a phantom authored index
+      val doomed = v.secondary.filter(_.name == name).map(_.fields.toSet).toSet
+      v.copy(
+        secondary = v.secondary.filterNot(_.name == name),
+        indexes = v.indexes.filterNot(ix => doomed(ix.fields.toSet)))
+    }
   }
   final case class AddEdge(e: EdgeDef) extends EvolutionOp {
     def apply(s: GraphSchema) = s.copy(edges = s.edges :+ e)
@@ -388,9 +407,11 @@ object EvolutionOp {
   /** Physical-profile index ops (reference evolution/physical.py:132-278):
     * backend-portable index metadata with the reference's validation
     * lattice, executed-parity pinned by `ReferencePhysicalParitySpec`.
-    * The effective vertex index set is `derivedIndexes ++ indexes`
-    * deduped on the ordered field tuple (db_profile.add_vertex_index is
-    * idempotent on the field-set, database_features.py:383-392).
+    * The loader materializes authored-then-derived entries into
+    * `indexes` in reference registration order; presence checks below
+    * consult `derivedIndexes ++ indexes` as an order-free SET
+    * (db_profile.add_vertex_index is idempotent on the field-set,
+    * database_features.py:383-392).
     */
   final case class AddVertexIndexes(vertex: String, indexes: Seq[IndexDef]) extends EvolutionOp {
     def apply(s: GraphSchema) = {

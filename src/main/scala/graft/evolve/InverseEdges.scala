@@ -322,6 +322,111 @@ object InverseEdges {
     out
   }
 
+  // ------------------------------------------------ payload validation
+  //
+  // The reference's apply_add_inverse_edges ends with
+  // `Resource.model_validate(payload)` (apply.py:1360), which re-runs the
+  // pydantic step adapter over every pipeline step — so an EdgeActorConfig-
+  // INVALID payload (extra key, wrong field type, bad literal; pydantic
+  // extra=forbid) fails the WHOLE op with "Invalid actor step
+  // configuration", it is never silently skipped. Executed-parity pinned
+  // by the `inv_invalid_*` fixture cases. This is the structural mirror
+  // of EdgeActorConfig/EdgeLinkConfig (steps/models.py field surface).
+
+  private val LinkKeys: Set[String] = Set(
+    "source_match", "target_match", "on_ambiguous", "from", "source", "to",
+    "target", "source_type_field", "target_type_field", "source_role",
+    "target_role", "relation", "relation_field", "match_source", "match_target")
+
+  private val ConfigKeys: Set[String] = LinkKeys ++ Set(
+    "type", "links", "relation_map", "strict_edge_types", "relation_from_key",
+    "description", "exclude_source", "exclude_target", "match", "properties",
+    "vertex_weights")
+
+  private val StrKeys: Set[String] = Set(
+    "from", "source", "to", "target", "source_type_field", "target_type_field",
+    "source_role", "target_role", "relation", "relation_field", "description",
+    "match_source", "match_target", "exclude_source", "exclude_target", "match")
+
+  private val BoolKeys: Set[String] = Set("strict_edge_types", "relation_from_key")
+
+  // pydantic v2 lax-mode bool coercions (str/int faces)
+  private def laxBool(v: Any): Boolean = v match {
+    case _: Boolean => true
+    case i: Int     => i == 0 || i == 1
+    case l: Long    => l == 0L || l == 1L
+    case s: String  => Set("true", "false", "t", "f", "yes", "no", "on",
+      "off", "1", "0", "y", "n")(s.toLowerCase)
+    case _ => false
+  }
+
+  private def fieldError(payload: Obj, allowed: Set[String]): Option[String] = {
+    payload.keys.find(!allowed(_)).foreach(k =>
+      return Some(s"unknown field '$k' (extra=forbid)"))
+    payload.foreach { case (k, v) =>
+      if (v != null) {
+        if (StrKeys(k) && allowed(k) && !v.isInstanceOf[String])
+          return Some(s"field '$k' must be a string")
+        if (BoolKeys(k) && !laxBool(v))
+          return Some(s"field '$k' must be a bool")
+        k match {
+          case "on_ambiguous" => v match {
+            case s: String if Set("all", "first", "skip", "error")(s) => ()
+            case _ => return Some("on_ambiguous must be all|first|skip|error")
+          }
+          case "source_match" | "target_match" => v match {
+            case _: String => ()
+            case xs: Seq[_] if xs.forall(_.isInstanceOf[String]) => ()
+            case _ => return Some(s"field '$k' must be a string or string list")
+          }
+          case "type" => if (v != "edge") return Some("type must be 'edge'")
+          case "relation_map" => asObj(v) match {
+            case Some(rm) if rm.values.forall(_.isInstanceOf[String]) => ()
+            case _ => return Some("relation_map must be a string map")
+          }
+          case "properties" | "vertex_weights" =>
+            if (!v.isInstanceOf[Seq[_]]) return Some(s"field '$k' must be a list")
+          case "links" => v match {
+            case xs: Seq[_] =>
+              xs.foreach { l =>
+                asObj(l) match {
+                  case Some(lo) => fieldError(lo, LinkKeys).foreach(e =>
+                    return Some(s"link: $e"))
+                  case None => return Some("links entries must be objects")
+                }
+              }
+            case _ => return Some("links must be a list")
+          }
+          case _ => ()
+        }
+      }
+    }
+    None
+  }
+
+  /** Walk a pipeline (recursing into descends) and throw on any edge
+    * payload EdgeActorConfig would reject — the reference's end-of-op
+    * Resource.model_validate face.
+    */
+  def requireValidEdgePayloads(steps: Vector[Any]): Unit = steps.foreach { s =>
+    asObj(s).foreach { sd =>
+      val normalized = asObj(normalizeActorStep(sd)).get
+      if (strAt(normalized, "type").contains("descend")) {
+        asArr(sd.getOrElse("pipeline", sd.getOrElse("apply", null)))
+          .foreach(requireValidEdgePayloads)
+      } else {
+        val edgeish: Option[Obj] = asObj(sd.getOrElse("edge", null))
+          .map(ep => asObj(normalizeActorStep(ensureEdgeStepDict(ep))).get)
+          .orElse(if (strAt(normalized, "type").contains("edge")) Some(normalized) else None)
+        edgeish.foreach { ep =>
+          fieldError(ep, ConfigKeys).foreach(err => throw new IllegalArgumentException(
+            "Invalid actor step configuration. Supported step forms include " +
+              s"`vertex`, `transform`, `edge`, `descend`, and `vertex_router`. ($err)"))
+        }
+      }
+    }
+  }
+
   /** inverse_edges.py:509-557 `_schema_edges_with_inverses` on the typed
     * schema (graft relations are always named, so the relation-less
     * template loop has no counterpart).

@@ -94,18 +94,30 @@ object CascadeOp {
     val opToken = "replace_identity" }
   final case class RetargetEdges(edges: Seq[(EdgeKey, String, String)]) extends CascadeOp {
     val opToken = "retarget_edges" }
-  /** reference SanitizeOp with an EXPLICIT reserved-words list on a
-    * generic (non-TigerGraph) flavor: reserved vertex fields rename to
-    * `<name>_attr` (then `_attr_N` while still reserved,
-    * db/util.py:309-374 sanitize_attribute_name, whole-name
+  /** reference SanitizeOp (apply.py:1368-1407 apply_sanitize): reserved
+    * vertex fields rename to `<name>_attr` (then `_attr_N` while still
+    * reserved, db/util.py:309-374 sanitize_attribute_name, whole-name
     * case-insensitive match) and the rename rides the
-    * [[RenameVertexProperties]] cascade — the same pinned from:-map path
-    * (apply.py:1368-1407 apply_sanitize). TigerGraph's identifier rules
-    * and flavor-default reserved-word sets are out of scope
-    * (DIVERGENCES.md).
+    * [[RenameVertexProperties]] cascade — the same pinned from:-map path.
+    *
+    * `reservedWords = None` loads the FLAVOR DEFAULT set
+    * ([[SanitizeRules.defaultReserved]] — non-empty only for tigergraph);
+    * an explicit list replaces the defaults, but an explicit EMPTY list
+    * on tigergraph falls back to them (db_profile.py `effective_reserved
+    * = reserved or defaults`). On tigergraph the identifier rules also
+    * run regardless of the word list: invalid chars → `__`, forbidden
+    * `gsql_sys_` prefix → `tg_` prepend, THEN the reserved check
+    * (sanitize_tigergraph_identifier). Executed-parity: `san_*` and
+    * `san_default_*` fixture cases.
     */
-  final case class SanitizeFields(reservedWords: Seq[String]) extends CascadeOp {
+  final case class SanitizeFields(reservedWords: Option[Seq[String]],
+      dbFlavor: String = "") extends CascadeOp {
     val opToken = "sanitize" }
+  object SanitizeFields {
+    /** legacy explicit-list face */
+    def apply(reservedWords: Seq[String]): SanitizeFields =
+      SanitizeFields(Some(reservedWords), "")
+  }
   final case class ProjectManifest(keepVertices: Option[Seq[String]] = None,
       keepEdges: Option[Seq[EdgeKey]] = None, prune: Boolean = true,
       keepResources: Option[Seq[String]] = None) extends CascadeOp {
@@ -727,8 +739,13 @@ object ManifestEvolution {
       val schemaAfter = InverseEdges.schemaEdgesWithInverses(state.schema, relationMap)
       val im = withResources(state.ingestion, resources(state.ingestion).map { r0 =>
         var r = r0
-        r = r.updated(pipelineKey(r), InverseEdges.appendInversesToPipeline(
-          pipelineOf(r), relationMap, schemaAfter.edges))
+        val appended = InverseEdges.appendInversesToPipeline(
+          pipelineOf(r), relationMap, schemaAfter.edges)
+        // the reference re-validates every resource through the pydantic
+        // step adapter at the END of the op (apply.py:1360) — an invalid
+        // edge payload anywhere fails the whole op (inv_invalid_* parity)
+        InverseEdges.requireValidEdgePayloads(appended)
+        r = r.updated(pipelineKey(r), appended)
         Seq("infer_edge_only", "infer_edge_except").foreach { key =>
           asArr(r.getOrElse(key, null)).foreach { specs =>
             if (specs.nonEmpty)
@@ -807,9 +824,18 @@ object ManifestEvolution {
         pl => rewriteEdgeEndpointsInPipeline(pl, mapping))
       ManifestState(schema, im, state.bindings)
 
-    case SanitizeFields(reserved) =>
-      val reservedUpper = reserved.map(_.toUpperCase).toSet
-      def sanitizeName(name: String): String = {
+    case SanitizeFields(explicit, dbFlavor) =>
+      val isTg = dbFlavor == "tigergraph"
+      val explicitUpper = explicit.map(_.map(_.toUpperCase).toSet)
+      // apply.py:1385-1390: explicit words (upper) else flavor defaults;
+      // name sanitization runs iff words are non-empty OR flavor is tg
+      val loaded = explicitUpper.getOrElse(SanitizeRules.defaultReserved(dbFlavor))
+      val runNameSanitization = loaded.nonEmpty || isTg
+      // db_profile.py effective_reserved = reserved or rules defaults:
+      // an explicit EMPTY list on tigergraph falls back to the defaults
+      val reservedUpper =
+        if (isTg && loaded.isEmpty) SanitizeRules.TigerGraphReserved else loaded
+      def escapeReserved(name: String): String = {
         if (name.isEmpty || reservedUpper.isEmpty) return name
         if (!reservedUpper(name.toUpperCase)) return name
         val candidate = name + "_attr"
@@ -817,6 +843,21 @@ object ManifestEvolution {
         var k = 1
         while (reservedUpper(s"${name}_attr_$k".toUpperCase) && k <= 1000) k += 1
         s"${name}_attr_$k"
+      }
+      // sanitize_tigergraph_identifier order: invalid chars, forbidden
+      // prefix, THEN the reserved escape (db/util.py:289-307)
+      def sanitizeName(name: String): String = {
+        if (!runNameSanitization || name.isEmpty) return name
+        if (!isTg) return escapeReserved(name)
+        val replaced = name.flatMap(c =>
+          if (SanitizeRules.TigerGraphInvalidChars(c))
+            SanitizeRules.InvalidCharReplacement
+          else c.toString)
+        val prefixed = SanitizeRules.TigerGraphForbiddenPrefixes
+          .find(replaced.startsWith)
+          .map(_ => SanitizeRules.ForbiddenPrefixReplacement + replaced)
+          .getOrElse(replaced)
+        escapeReserved(prefixed)
       }
       val renames = state.schema.vertices.flatMap { v =>
         val fields = (v.properties.map(_.name) ++ naturalFields(v.identity)).distinct

@@ -396,6 +396,12 @@ object ManifestLoader {
   private def parseStep(s: JsonNode): Step = {
     if (s.has("vertex")) parseVertexStep(s)
     else if (s.has("transform")) parseTransform(s.path("transform"))
+    // normalized edge actor (`type: edge`) — the cascade flattens `edge:`
+    // wrappers into this form, so it must keep the wrapper's semantics
+    // (relation_map APPLIES); it must win over the source/target shorthand
+    // below or a wrapped edge step with a relation_map silently stops
+    // applying it after an evolution round-trip
+    else if (s.has("type") && s.path("type").asText() == "edge") parseEdgeStep(s)
     // the source/target SHORTHAND binds a schema edge directly; its
     // relation_field values pass through RAW — relation_map renames only
     // apply on the explicit `edge:` actor form (executed actor-parity:
@@ -413,10 +419,9 @@ object ManifestLoader {
     }
     else if (s.has("links")) MultiEdgeStep(
       s.path("links").elements().asScala.map(l => parseEdgeStep(l)).toSeq)
-    // normalized role-bound edge (the cascade flattens `edge:` wrappers):
-    // dynamic endpoints only — source_role/target_role/…_type_field
-    else if ((s.has("type") && s.path("type").asText() == "edge") ||
-        s.has("source_role") || s.has("target_role") ||
+    // role-bound edge without a type tag: dynamic endpoints only —
+    // source_role/target_role/…_type_field (`type: edge` handled above)
+    else if (s.has("source_role") || s.has("target_role") ||
         s.has("source_type_field") || s.has("target_type_field")) parseEdgeStep(s)
     else if (s.has("cast")) CastStep(
       s.path("cast").properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)

@@ -85,6 +85,10 @@ class ReferencePhysicalParitySpec extends SparkSpec {
         r.getValue.elements().asScala.toSeq.map(f =>
           RemoveEdgeProperty(EdgeKey("person", "city", r.getKey), f.asText()))
       }
+      case "remove_secondary_identities" => entries(op.path("removals")).flatMap { v =>
+        v.getValue.elements().asScala.toSeq.map(n =>
+          RemoveSecondaryIdentity(v.getKey, n.asText()))
+      }
       case other => throw new IllegalArgumentException(s"untranslated op: $other")
     }
   }

@@ -92,11 +92,9 @@ class ReferenceRewriteParitySpec extends SparkSpec {
             Option(e.get("new_target")).filterNot(_.isNull).map(_.asText()).getOrElse(key.target))
         })
       case "sanitize" =>
-        // only the explicit-reserved-words generic-flavor face is
-        // implemented; a tigergraph case must fail loudly, not diverge
-        require(op.path("db_flavor").asText() != "tigergraph",
-          "sanitize: tigergraph identifier rules untranslated")
-        SanitizeFields(strs(op.path("reserved_words")))
+        SanitizeFields(
+          Option(op.get("reserved_words")).filterNot(_.isNull).map(strs),
+          op.path("db_flavor").asText(""))
       case "project_manifest" => ProjectManifest(
         keepVertices = Option(op.get("keep_vertices")).filterNot(_.isNull).map(strs),
         keepEdges = Option(op.get("keep_edges")).filterNot(_.isNull).map(

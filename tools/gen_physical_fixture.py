@@ -154,6 +154,36 @@ case("idx_follows_edge_prop_rename", [
 case("idx_prunes_edge_prop_removal", [
     {"op": "remove_edge_properties", "removals": {"lives_in": ["since"]}}])
 
+# an edge-spec index referencing an ENDPOINT vertex field prunes when
+# that vertex property is removed (apply.py:684-696 edge_spec loop —
+# source AND target vertex removal sets)
+EDGE_ENDPOINT_IX = BASE.replace("""            indexes:
+            -   fields: [since]
+""", """            indexes:
+            -   fields: [since, age]
+            -   fields: [age]
+""")
+case("idx_prunes_edge_spec_on_endpoint_removal",
+     [{"op": "remove_vertex_properties", "removals": {"person": ["age"]}}],
+     manifest_yaml=EDGE_ENDPOINT_IX)
+
+# removing a secondary identity drops its DERIVED lookup index from the
+# profile (identity.py:533-540 — any index whose field SET matches)
+case("rsi_prunes_derived_index", [
+    {"op": "remove_secondary_identities", "removals": {"person": ["by_email"]}}])
+# ...including an authored index that happens to share the field set
+AUTHORED_DUP = BASE.replace("""        vertex_indexes:
+            person:
+            -   {fields: [age], unique: false}
+""", """        vertex_indexes:
+            person:
+            -   {fields: [age], unique: false}
+            -   {fields: [email], unique: false}
+""")
+case("rsi_prunes_authored_duplicate", [
+    {"op": "remove_secondary_identities", "removals": {"person": ["by_email"]}}],
+    manifest_yaml=AUTHORED_DUP)
+
 
 case("cft_vertex_ok", [
     {"op": "change_field_types", "vertices": {

@@ -39,8 +39,17 @@ from graflo.architecture.evolution.ops import ManifestOp, ops_reaching_ingestion
 CASES = []
 
 
-def case(name, manifest_yaml, ops):
-    CASES.append({"name": name, "manifest": manifest_yaml, "ops": ops})
+def case(name, manifest_yaml, ops, inject=None):
+    """`inject`: raw step dicts appended to resource "r"'s pipeline AFTER
+    load (GraphManifest.from_config validates every YAML step through the
+    same pydantic adapter, so an EdgeActorConfig-INVALID payload can never
+    arrive via YAML — but Resource.pipeline is a raw list[dict], so
+    programmatically-built manifests and post-rewrite states can hold
+    them; add_inverse_edges must classify those too). Injected steps are
+    part of the recorded `before` projection, so graft replays them.
+    """
+    CASES.append({"name": name, "manifest": manifest_yaml, "ops": ops,
+                  "inject": inject})
 
 
 BASE = """
@@ -603,6 +612,68 @@ case("inv_links", LINKS, [
 case("inv_links_both", LINKS, [
     {"op": "add_inverse_edges", "relations": {"r1": "r1_inv", "r2": "r2_inv"}}])
 
+# ------------------------------------- inverse edges: INVALID payloads
+#
+# The reference runs EdgeActorConfig.model_validate on each normalized
+# edge payload and SKIPS (returns None for) payloads that fail —
+# inverse_edges.py:274-277 (pydantic extra=forbid + field types). These
+# cases pin the skip-vs-invert classification on validation FAILURES,
+# which a purely structural classifier would get wrong. Payloads arrive
+# via `inject` (see `case`): YAML load would reject them.
+
+INV_BASE = yaml.safe_dump({
+    "schema": {"metadata": {"name": "t"}, "graph": {
+        "vertex_config": {"vertices": [
+            {"name": "a", "properties": ["aid"], "identity": ["aid"]},
+            {"name": "b", "properties": ["bid"], "identity": ["bid"]}]},
+        "edge_config": {"edges": [
+            {"source": "a", "target": "b", "relation": "r1",
+             "properties": ["w1"]}]}}},
+    "ingestion_model": {"resources": [{"name": "r", "pipeline":
+        [{"vertex": "a"}, {"vertex": "b"}]}]}}, sort_keys=False)
+
+INV_OP = [{"op": "add_inverse_edges", "relations": {"r1": "r1_inv"}}]
+case("inv_invalid_extra_key", INV_BASE, INV_OP, inject=[
+    {"edge": {"from": "a", "to": "b", "relation": "r1", "frobnicate": 1}}])
+case("inv_invalid_props_scalar", INV_BASE, INV_OP, inject=[
+    {"edge": {"from": "a", "to": "b", "relation": "r1", "properties": 13}}])
+case("inv_invalid_relmap_list", INV_BASE, INV_OP, inject=[
+    {"edge": {"from": "a", "to": "b", "relation_field": "rf",
+              "relation_map": ["x", "y"]}}])
+case("inv_invalid_on_ambiguous", INV_BASE, INV_OP, inject=[
+    {"edge": {"from": "a", "to": "b", "relation": "r1",
+              "on_ambiguous": "sometimes"}}])
+case("inv_invalid_source_int", INV_BASE, INV_OP, inject=[
+    {"edge": {"from": 7, "to": "b", "relation": "r1"}}])
+case("inv_invalid_strict_scalar", INV_BASE, INV_OP, inject=[
+    {"edge": {"from": "a", "to": "b", "relation": "r1",
+              "strict_edge_types": "maybe"}}])
+# one invalid link entry fails the WHOLE config validate -> even the
+# valid sibling link is skipped
+case("inv_invalid_link_entry", INV_BASE, INV_OP, inject=[
+    {"edge": {"links": [
+        {"from": "a", "to": "b", "relation": "r1"},
+        {"from": "a", "to": "b", "relation": "r1", "bogus": 2}]}}])
+# a link may not carry config-only keys (relation_map is EdgeActorConfig-
+# level, not EdgeLinkConfig-level)
+case("inv_invalid_link_relmap", INV_BASE, INV_OP, inject=[
+    {"edge": {"links": [
+        {"from": "a", "to": "b", "relation": "r1",
+         "relation_map": {"x": "r1"}}]}}])
+# valid + invalid side by side: the valid payload still inverts
+case("inv_invalid_mixed", INV_BASE, INV_OP, inject=[
+    {"edge": {"from": "a", "to": "b", "relation": "r1"}},
+    {"edge": {"from": "a", "to": "b", "relation": "r1", "frobnicate": 1}}])
+# VALID control exercising config-surface fields the validator must
+# ACCEPT (description, on_ambiguous literal, bool strict_edge_types,
+# properties/vertex_weights lists) — EdgeActorConfig-valid, so the
+# inverse appends and the op succeeds
+case("inv_valid_full_surface", INV_BASE, INV_OP, inject=[
+    {"edge": {"from": "a", "to": "b", "relation": "r1",
+              "description": "hi", "on_ambiguous": "first",
+              "strict_edge_types": True,
+              "properties": ["w1"], "vertex_weights": []}}])
+
 # -------------------------------------------------------------- sanitize
 
 SAN = """
@@ -651,6 +722,59 @@ case("san_noop", SAN, [
 case("san_identity_field", SAN, [
     {"op": "sanitize", "db_flavor": "neo4j", "reserved_words": ["PID"]}])
 
+# ------------------------------------ sanitize: per-flavor DEFAULTS
+#
+# With reserved_words ABSENT the reference loads the flavor's default
+# set (db/util.py load_reserved_words: only TIGERGRAPH is non-empty —
+# gsql + cpp keywords, upper) and, for TigerGraph, ALSO applies the
+# identifier rules: invalid chars -> '__', forbidden prefix gsql_sys_
+# -> 'tg_' prepend (sanitize_tigergraph_identifier).
+
+SAN_TG = """
+schema:
+    metadata: {name: t}
+    graph:
+        vertex_config:
+            vertices:
+            -   name: person
+                properties: [pid, avg, auto, 'first name', gsql_sys_tag, vertex, plain]
+                identity: [pid]
+            -   name: city
+                properties: [cid]
+                identity: [cid]
+        edge_config:
+            edges:
+            -   source: person
+                target: city
+                relation: lives_in
+ingestion_model:
+    resources:
+    -   name: r
+        pipeline:
+        -   vertex: person
+            from: {avg: raw_avg}
+        -   vertex: city
+        -   edge:
+                from: person
+                to: city
+                relation: lives_in
+"""
+# avg (gsql) + auto (cpp) + vertex (gsql) rename; 'first name' gets the
+# invalid-char replacement; gsql_sys_tag the forbidden-prefix prepend
+case("san_default_tigergraph", SAN_TG, [
+    {"op": "sanitize", "db_flavor": "tigergraph"}])
+# explicit list on tigergraph: the list REPLACES the default reserved
+# words (auto/vertex stay) but identifier rules still run
+case("san_default_tg_explicit", SAN_TG, [
+    {"op": "sanitize", "db_flavor": "tigergraph", "reserved_words": ["AVG"]}])
+# explicit EMPTY list on tigergraph: falsy -> effective set falls back
+# to the rules' defaults (db_profile.py effective_reserved = a or b)
+case("san_default_tg_explicit_empty", SAN_TG, [
+    {"op": "sanitize", "db_flavor": "tigergraph", "reserved_words": []}])
+# non-tigergraph flavor with no explicit list: empty default -> no-op
+case("san_default_generic", SAN_TG, [
+    {"op": "sanitize", "db_flavor": "neo4j"}])
+
 
 def proj_resource(r):
     return {
@@ -695,6 +819,10 @@ def dumps(x):
 def run_case(c):
     m = GraphManifest.from_config(yaml.safe_load(c["manifest"]))
     m.finish_init()
+    for step in (c.get("inject") or []):
+        for r in m.ingestion_model.resources:
+            if r.name == "r":
+                r.pipeline.append(step)
     before = dumps(proj_manifest(m))
     error = None
     after = None
