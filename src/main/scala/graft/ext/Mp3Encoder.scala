@@ -1,11 +1,15 @@
 package graft.ext
 
-/** Minimal MPEG-1 Layer III encoder — enough to produce VALID, decodable
-  * frames for the decode oracle and the multimodal pipeline fixtures.
-  * Deliberately simple where the spec allows: mono, long blocks only,
-  * all-zero scalefactors (scalefac_compress 0), one global_gain per
-  * granule chosen to fit the validated table-15 codebook (|value| <= 15),
-  * no bit reservoir (main_data_begin 0), no padding, scfsi 0.
+/** Minimal MPEG-1/MPEG-2 Layer III encoder — enough to produce VALID,
+  * decodable frames for the decode oracle and the multimodal pipeline
+  * fixtures. Deliberately simple where the spec allows: mono or plain
+  * stereo, all-long or ALL-short-block streams (no transition windows),
+  * one global_gain per granule chosen to fit the selected codebook, no
+  * bit reservoir (main_data_begin 0), no padding, scfsi 0. MPEG-1
+  * frames carry all-zero scalefactors (scalefac_compress 0); LSF frames
+  * can additionally emit nonzero scalefactors on any non-intensity
+  * scalefac_compress row (the quantizer pre-scales per band so the
+  * decoder's requantization lands back on the original spectrum).
   *
   * The analysis side is the textbook pseudo-QMF adjoint of the decoder's
   * synthesis ([[Mp3Layer3]]): 32-band analysis with h(n)cos((2k+1)(n-16)
@@ -71,6 +75,84 @@ object Mp3Encoder {
     out
   }
 
+  /** forward 3x12-point short MDCT of one subband's 36-sample frame,
+    * producing 18 coefficients in the decoder's IMDCT input order
+    * (window-interleaved: index w + 3k) — the adjoint of
+    * [[Mp3Layer3]]'s blockType-2 IMDCT. The three 12-sample sine windows
+    * sit at frame offsets 6/12/18, so an ALL-short granule chain
+    * overlap-adds perfectly at the 18-sample granule hop.
+    */
+  private def forwardMdctShort(time36: Array[Double]): Array[Double] = {
+    val win = Mp3Tables.imdctWin(2)
+    val out = new Array[Double](18)
+    var w = 0
+    while (w < 3) {
+      var k = 0
+      while (k < 6) {
+        var sum = 0.0
+        var i = 0
+        while (i < 12) {
+          sum += time36(6 + w * 6 + i) * win(i) *
+            math.cos(math.Pi / 24.0 * (2 * i + 1 + 6) * (2 * k + 1))
+          i += 1
+        }
+        out(w + 3 * k) = sum * (4.0 / 12.0)
+        k += 1
+      }
+      w += 1
+    }
+    out
+  }
+
+  /** one granule's per-subband 36-sample MDCT input frames (18 carried
+    * from the previous granule + 18 new, with the decoder's odd-subband
+    * frequency inversion undone); advances `prev` in place.
+    */
+  private def granuleFrames(slices: Array[Array[Double]], g: Int,
+      prev: Array[Array[Double]]): Array[Array[Double]] = {
+    val t = Array.ofDim[Double](32, 36)
+    var sb = 0
+    while (sb < 32) {
+      var i = 0
+      while (i < 18) {
+        t(sb)(i) = prev(sb)(i)
+        var v = slices(g * 18 + i)(sb)
+        if (sb % 2 == 1 && i % 2 == 1) v = -v
+        t(sb)(18 + i) = v
+        prev(sb)(i) = v
+        i += 1
+      }
+      sb += 1
+    }
+    t
+  }
+
+  /** inverse of the decoder's short-block reorder: IMDCT-order lines
+    * (sb*18 + w + 3k) -> the Huffman/bitstream order (sfb-major,
+    * window-minor within each band).
+    */
+  private def unreorderShort(imdctOrder: Array[Double],
+      bands: Array[Int]): Array[Double] = {
+    val out = new Array[Double](576)
+    var src = 0
+    var sb = 0
+    while (sb < 13) {
+      val lo = bands(sb); val width = bands(sb + 1) - lo
+      var w = 0
+      while (w < 3) {
+        var k = 0
+        while (k < width) {
+          val line = lo * 3 + w + 3 * k
+          if (line < 576 && src < 576) out(src) = imdctOrder(line)
+          src += 1; k += 1
+        }
+        w += 1
+      }
+      sb += 1
+    }
+    out
+  }
+
   /** Full forward transform: mono PCM -> per-granule spectra xr[576]
     * (subband-major, 18 lines each), plus the antialias forward
     * butterflies (inverse of the decoder's).
@@ -82,26 +164,10 @@ object Mp3Encoder {
     val spectra = Array.ofDim[Double](nGran, 576)
     var g = 0
     while (g < nGran) {
+      val frames = granuleFrames(slices, g, prev)
       var sb = 0
       while (sb < 32) {
-        val t36 = new Array[Double](36)
-        var i = 0
-        while (i < 18) {
-          t36(i) = prev(sb)(i)
-          var v = slices(g * 18 + i)(sb)
-          // undo the decoder's frequency inversion for odd subbands
-          if (sb % 2 == 1 && i % 2 == 1) v = -v
-          t36(18 + i) = v
-          i += 1
-        }
-        i = 0
-        while (i < 18) {
-          var v = slices(g * 18 + i)(sb)
-          if (sb % 2 == 1 && i % 2 == 1) v = -v
-          prev(sb)(i) = v
-          i += 1
-        }
-        val md = forwardMdct(t36)
+        val md = forwardMdct(frames(sb))
         System.arraycopy(md, 0, spectra(g), sb * 18, 18)
         sb += 1
       }
@@ -120,6 +186,32 @@ object Mp3Encoder {
         }
         sbb += 1
       }
+      g += 1
+    }
+    spectra
+  }
+
+  /** ALL-short-block forward transform: every granule is a blockType-2
+    * granule (window_switching on). No antialias (the decoder applies
+    * none for non-mixed short blocks); output lines are already in the
+    * Huffman/bitstream order the decoder's reorder inverts.
+    */
+  def forwardSpectraShort(x: Array[Double], shortBands: Array[Int]): Array[Array[Double]] = {
+    val slices = analyze(x)
+    val nGran = slices.length / 18
+    val prev = Array.ofDim[Double](32, 18)
+    val spectra = Array.ofDim[Double](nGran, 576)
+    var g = 0
+    while (g < nGran) {
+      val frames = granuleFrames(slices, g, prev)
+      val imdctOrder = new Array[Double](576)
+      var sb = 0
+      while (sb < 32) {
+        val md = forwardMdctShort(frames(sb))
+        System.arraycopy(md, 0, imdctOrder, sb * 18, 18)
+        sb += 1
+      }
+      spectra(g) = unreorderShort(imdctOrder, shortBands)
       g += 1
     }
     spectra
@@ -237,15 +329,18 @@ object Mp3Encoder {
     * 1152 samples each).
     */
   def encode(x: Array[Double], sampleRate: Int = 44100,
-      bitrateIdx: Int = 14, escTables: Boolean = false): Array[Byte] =
-    encodeChannels(Array(x), sampleRate, bitrateIdx, escTables)
+      bitrateIdx: Int = 14, escTables: Boolean = false,
+      shortBlocks: Boolean = false): Array[Byte] =
+    encodeChannels(Array(x), sampleRate, bitrateIdx, escTables, shortBlocks)
 
   /** Stereo variant: independent left/right (mode "stereo", no MS) —
     * exercises the decoder's two-channel side-info and synthesis paths.
     */
   def encodeStereo(l: Array[Double], r: Array[Double],
-      sampleRate: Int = 44100, bitrateIdx: Int = 14): Array[Byte] =
-    encodeChannels(Array(l, r), sampleRate, bitrateIdx, escTables = false)
+      sampleRate: Int = 44100, bitrateIdx: Int = 14,
+      shortBlocks: Boolean = false): Array[Byte] =
+    encodeChannels(Array(l, r), sampleRate, bitrateIdx, escTables = false,
+      shortBlocks)
 
 
   /** MPEG-2 LSF mono encode (ISO 13818-3): ONE 576-sample granule per
@@ -256,47 +351,135 @@ object Mp3Encoder {
     * ISO-normative codebooks and decodes without any opt-in.
     */
   def encodeLsf(x: Array[Double], sampleRate: Int = 22050,
-      bitrateIdx: Int = 14, escTables: Boolean = false): Array[Byte] = {
+      bitrateIdx: Int = 14, escTables: Boolean = false,
+      shortBlocks: Boolean = false, scalefacCompress: Int = 0): Array[Byte] =
+    encodeLsfChannels(Array(x), sampleRate, bitrateIdx, escTables,
+      shortBlocks, scalefacCompress)
+
+  /** LSF stereo: independent left/right (mode "stereo", no MS/intensity). */
+  def encodeLsfStereo(l: Array[Double], r: Array[Double],
+      sampleRate: Int = 22050, bitrateIdx: Int = 14,
+      shortBlocks: Boolean = false): Array[Byte] =
+    encodeLsfChannels(Array(l, r), sampleRate, bitrateIdx,
+      escTables = false, shortBlocks, sfc = 0)
+
+  /** The LONG-block LSF scalefactor plan for a scalefac_compress value:
+    * per-band values (deterministic b&1 pattern where the partition's
+    * slen allows), driven by the SAME pinned scheme the decoder reads
+    * ([[Mp3Tables.lsfSlens]] / [[Mp3Tables.lsfSfbPartitions]] column 0).
+    * Returns (values[21], slens, partitions, preflag, sfBits).
+    */
+  private def lsfScalefactorPlan(sfc: Int)
+      : (Array[Int], Array[Int], Array[Int], Int, Int) = {
+    val (slens, blocknumber, preflag) = Mp3Tables.lsfSlens(sfc)
+    val partitions = Mp3Tables.lsfSfbPartitions(blocknumber)(0)
+    val vals = new Array[Int](21)
+    var b = 0; var part = 0; var bits = 0
+    while (part < 4) {
+      var i = 0
+      while (i < partitions(part)) {
+        if (slens(part) > 0) { vals(b) = b & 1; bits += slens(part) }
+        b += 1; i += 1
+      }
+      part += 1
+    }
+    (vals, slens, partitions, preflag, bits)
+  }
+
+  private def encodeLsfChannels(chans: Array[Array[Double]], sampleRate: Int,
+      bitrateIdx: Int, escTables: Boolean, shortBlocks: Boolean,
+      sfc: Int): Array[Byte] = {
     val srIdx = Array(22050, 24000, 16000).indexOf(sampleRate)
     require(srIdx >= 0, s"unsupported LSF rate $sampleRate")
-    val spectra = forwardSpectra(x) // [granule][576]
+    require(!(shortBlocks && sfc != 0),
+      "nonzero scalefac_compress is exercised on long-block streams")
+    val nCh = chans.length
+    require(nCh == 1 || nCh == 2)
+    val spectra = // [ch][granule][576], bitstream order
+      if (shortBlocks) chans.map(forwardSpectraShort(_, Mp3Tables.sfbShortM2(srIdx)))
+      else chans.map(forwardSpectra)
+    // nonzero sfc: pre-scale each band so the decoder's 2^(-sfMult*(sf+pre))
+    // requantization lands back on the original spectrum (sfMult = 0.5)
+    val (sfVals, slens, partitions, preflag, sfBits) = lsfScalefactorPlan(sfc)
+    if (sfc != 0) {
+      val bands = Mp3Tables.sfbLongM2(srIdx)
+      spectra.foreach(_.foreach { xr =>
+        var b = 0
+        while (b < 21) {
+          val pre = if (preflag == 1) Mp3Tables.pretab(b) else 0
+          val scale = math.pow(2.0, 0.5 * (sfVals(b) + pre))
+          var i = bands(b)
+          while (i < bands(b + 1)) { xr(i) *= scale; i += 1 }
+          b += 1
+        }
+      })
+    }
     val out = new scala.collection.mutable.ArrayBuffer[Byte]()
     // MPEG-2 Layer III bitrate table (BrMpeg2L23)
     val bitrate = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
       128, 144, 160)(bitrateIdx)
     val frameBytes = 72 * bitrate * 1000 / sampleRate // no padding
-    val sideBytes = 9 // mono LSF
+    val sideBytes = if (nCh == 1) 9 else 17
+    val nFrames = spectra.map(_.length).min
     var fr = 0
-    while (fr < spectra.length) {
-      val g = encodeGranule(spectra(fr), escTables)
+    while (fr < nFrames) {
+      val gs = Array.tabulate(nCh)(ch => encodeGranule(spectra(ch)(fr), escTables))
       val bw = new BitWriter
       // header: sync(11) version(2)=10 layer(2)=01 noCrc(1)=1
       bw.write(0x7ff, 11); bw.write(2, 2); bw.write(1, 2); bw.write(1, 1)
       bw.write(bitrateIdx, 4); bw.write(srIdx, 2); bw.write(0, 1) // padding
       bw.write(0, 1) // private
-      bw.write(3, 2) // mode: mono
+      bw.write(if (nCh == 1) 3 else 0, 2) // mode: mono / stereo
       bw.write(0, 2); bw.write(0, 1); bw.write(0, 1); bw.write(0, 2)
       bw.write(0, 8) // main_data_begin
-      bw.write(0, 1) // private bits (mono LSF: 1)
-      require(g.part23 <= 4095, s"LSF granule needs ${g.part23} bits")
-      bw.write(g.part23, 12)
-      bw.write(g.bigValues, 9)
-      bw.write(g.globalGain, 8)
-      bw.write(0, 9) // scalefac_compress (9 bits, all slens zero)
-      bw.write(0, 1) // window switching off
-      bw.write(g.tableSelect, 5); bw.write(g.tableSelect, 5)
-      bw.write(g.tableSelect, 5)
-      bw.write(7, 4); bw.write(7, 3) // region counts
-      bw.write(0, 1) // scalefac_scale (no preflag field in LSF)
-      bw.write(0, 1) // count1 table A
+      bw.write(0, if (nCh == 1) 1 else 2) // private bits
+      var c = 0
+      while (c < nCh) {
+        val g = gs(c)
+        val part23 = g.part23 + sfBits
+        require(part23 <= 4095, s"LSF granule needs $part23 bits")
+        bw.write(part23, 12)
+        bw.write(g.bigValues, 9)
+        bw.write(g.globalGain, 8)
+        bw.write(sfc, 9)
+        if (shortBlocks) {
+          bw.write(1, 1) // window switching
+          bw.write(2, 2) // block_type: short
+          bw.write(0, 1) // not mixed
+          bw.write(g.tableSelect, 5); bw.write(g.tableSelect, 5)
+          bw.write(0, 3); bw.write(0, 3); bw.write(0, 3) // subblock gains
+        } else {
+          bw.write(0, 1) // window switching off
+          bw.write(g.tableSelect, 5); bw.write(g.tableSelect, 5)
+          bw.write(g.tableSelect, 5)
+          bw.write(7, 4); bw.write(7, 3) // region counts
+        }
+        bw.write(0, 1) // scalefac_scale (no preflag field in LSF)
+        bw.write(0, 1) // count1 table A
+        c += 1
+      }
       val mainBudgetBits = (frameBytes - 4 - sideBytes) * 8
-      require(g.part23 <= mainBudgetBits,
-        s"granule data ${g.part23} exceeds $mainBudgetBits bits")
-      val bytes = g.bits.toBytes(0)
-      var bit = 0
-      while (bit < g.part23) {
-        bw.write((bytes(bit >>> 3) >>> (7 - (bit & 7))) & 1, 1)
-        bit += 1
+      require(gs.map(_.part23 + sfBits).sum <= mainBudgetBits,
+        s"granule data exceeds $mainBudgetBits bits; raise the bitrate index")
+      // main data per channel: scalefactor bits then huffman bits
+      gs.foreach { g =>
+        if (sfBits > 0) {
+          var b = 0; var part = 0
+          while (part < 4) {
+            var i = 0
+            while (i < partitions(part)) {
+              if (slens(part) > 0) bw.write(sfVals(b), slens(part))
+              b += 1; i += 1
+            }
+            part += 1
+          }
+        }
+        val bytes = g.bits.toBytes(0)
+        var bit = 0
+        while (bit < g.part23) {
+          bw.write((bytes(bit >>> 3) >>> (7 - (bit & 7))) & 1, 1)
+          bit += 1
+        }
       }
       out ++= bw.toBytes(frameBytes)
       fr += 1
@@ -305,12 +488,15 @@ object Mp3Encoder {
   }
 
   private def encodeChannels(chans: Array[Array[Double]], sampleRate: Int,
-      bitrateIdx: Int, escTables: Boolean = false): Array[Byte] = {
+      bitrateIdx: Int, escTables: Boolean = false,
+      shortBlocks: Boolean = false): Array[Byte] = {
     val srIdx = Array(44100, 48000, 32000).indexOf(sampleRate)
     require(srIdx >= 0, s"unsupported rate $sampleRate")
     val nCh = chans.length
     require(nCh == 1 || nCh == 2)
-    val spectra = chans.map(forwardSpectra) // [ch][granule][576]
+    val spectra = // [ch][granule][576], bitstream order
+      if (shortBlocks) chans.map(forwardSpectraShort(_, Mp3Tables.sfbShortM1(srIdx)))
+      else chans.map(forwardSpectra)
     val nFrames = spectra.map(_.length).min / 2
     val out = new scala.collection.mutable.ArrayBuffer[Byte]()
     val bitrate = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
@@ -347,11 +533,19 @@ object Mp3Encoder {
           bw.write(g.bigValues, 9)
           bw.write(g.globalGain, 8)
           bw.write(0, 4) // scalefac_compress
-          bw.write(0, 1) // window switching off
-          bw.write(g.tableSelect, 5); bw.write(g.tableSelect, 5)
-          bw.write(g.tableSelect, 5) // table_select (all three regions)
-          bw.write(7, 4) // region0_count
-          bw.write(7, 3) // region1_count
+          if (shortBlocks) {
+            bw.write(1, 1) // window switching
+            bw.write(2, 2) // block_type: short
+            bw.write(0, 1) // not mixed
+            bw.write(g.tableSelect, 5); bw.write(g.tableSelect, 5)
+            bw.write(0, 3); bw.write(0, 3); bw.write(0, 3) // subblock gains
+          } else {
+            bw.write(0, 1) // window switching off
+            bw.write(g.tableSelect, 5); bw.write(g.tableSelect, 5)
+            bw.write(g.tableSelect, 5) // table_select (all three regions)
+            bw.write(7, 4) // region0_count
+            bw.write(7, 3) // region1_count
+          }
           bw.write(0, 1) // preflag
           bw.write(0, 1) // scalefac_scale
           bw.write(0, 1) // count1 table A

@@ -18,9 +18,11 @@ import graft.ext.MediaContainers.{Mp3Frame, parseMp3Frame, id3v2Size}
   *    opts in (graft's own encoder's ESC frames round-trip exactly).
   *  - The synthesis prototype window is computed (near-PR pseudo-QMF
   *    design), not the spec's 512 tabulated constants.
-  *  - MPEG-2 LSF (576-sample frames) is not decoded — its scalefactor
-  *    plane is only reachable through ESC-coded streams in practice;
-  *    [[MediaContainers.parseMp3]] still reads LSF metadata.
+  *  - MPEG-2 LSF (576-sample frames) decodes in full for mono and
+  *    plain/MS stereo, long AND short/mixed blocks, with the complete
+  *    non-intensity scalefactor scheme (blocknumbers 0-2, incl. the
+  *    sfc >= 500 preflag row). LSF INTENSITY stereo (blocknumbers 3-5,
+  *    io^pos ratios) and the start/stop transition windows are refused.
   *
   * Intensity stereo positions are applied for long blocks
   * (ISO 2.4.3.4.9.3); short-block intensity falls back to leaving the
@@ -178,28 +180,63 @@ object Mp3Layer3 {
     -1
   }
 
-  /** MPEG-2 LSF long-block scalefactors, sfc < 400 face (ISO 13818-3
-    * 2.4.3.2): slens ((sfc>>4)/5, (sfc>>4)%5, (sfc&15)>>2, sfc&3) over the
-    * (6, 5, 5, 5) band partitions. graft's own LSF encoder emits sfc = 0
-    * (all slens zero); nonzero-sfc streams below 400 read per this scheme,
-    * >= 400 (the intensity/preflag partitions) are refused upstream.
+  /** MPEG-2 LSF scalefactors, the full non-intensity face: slens +
+    * blocknumber from scalefac_compress ([[Mp3Tables.lsfSlens]]),
+    * partitions per block shape ([[Mp3Tables.lsfSfbPartitions]] — the
+    * same pinned table the encoder emits against). Returns the
+    * scalefactors AND the scheme-implied preflag (LSF has no side-info
+    * preflag bit; sfc >= 500 selects the preemphasis row). Third-party
+    * intensity-stereo LSF streams are refused before this call.
     */
-  private def readScalefactorsLsf(br: BitReader, g: GranuleInfo): Scalefactors = {
+  private def readScalefactorsLsf(br: BitReader, g: GranuleInfo): (Scalefactors, Int) = {
     val out = new Scalefactors
     val sfc = g.scalefacCompress
-    val slens = Array((sfc >> 4) / 5, (sfc >> 4) % 5, (sfc & 15) >> 2, sfc & 3)
-    val partitions = Array(6, 5, 5, 5)
-    var b = 0
-    var part = 0
-    while (part < 4) {
-      var i = 0
-      while (i < partitions(part)) {
-        if (b < 22) out.long(b) = if (slens(part) > 0) br.read(slens(part)) else 0
-        b += 1; i += 1
-      }
-      part += 1
+    val (slens, blocknumber, preflag) = Mp3Tables.lsfSlens(sfc)
+    val shape =
+      if (!(g.windowSwitching && g.blockType == 2)) 0
+      else if (g.mixedBlock) 2 else 1
+    val partitions = Mp3Tables.lsfSfbPartitions(blocknumber)(shape)
+    def readOne(sl: Int): Int = if (sl > 0) br.read(sl) else 0
+    shape match {
+      case 0 => // long: sequential bands 0..20 (21 total in every row)
+        var b = 0
+        var part = 0
+        while (part < 4) {
+          var i = 0
+          while (i < partitions(part)) {
+            if (b < 22) out.long(b) = readOne(slens(part))
+            b += 1; i += 1
+          }
+          part += 1
+        }
+      case 1 => // short: (sfb, window) pairs sfb-major, 12 bands x 3
+        var n = 0
+        var part = 0
+        while (part < 4) {
+          var i = 0
+          while (i < partitions(part)) {
+            if (n < 36) out.short(n / 3)(n % 3) = readOne(slens(part))
+            n += 1; i += 1
+          }
+          part += 1
+        }
+      case _ => // mixed: 6 long bands then short bands 3..11 x 3 windows
+        var n = 0
+        var part = 0
+        while (part < 4) {
+          var i = 0
+          while (i < partitions(part)) {
+            if (n < 6) out.long(n) = readOne(slens(part))
+            else if (n < 33) {
+              val k = n - 6
+              out.short(3 + k / 3)(k % 3) = readOne(slens(part))
+            }
+            n += 1; i += 1
+          }
+          part += 1
+        }
     }
-    out
+    (out, preflag)
   }
 
   private def sfbLongTab(lsf: Boolean, srIdx: Int): Array[Int] =
@@ -336,9 +373,9 @@ object Mp3Layer3 {
     * subband triplet.
     */
   private def reorderShort(g: GranuleInfo, srIdx: Int,
-      xr: Array[Double]): Unit = {
+      xr: Array[Double], lsf: Boolean = false): Unit = {
     if (!(g.windowSwitching && g.blockType == 2)) return
-    val bands = Mp3Tables.sfbShortM1(srIdx)
+    val bands = sfbShortTab(lsf, srIdx)
     val out = new Array[Double](576)
     val start = if (g.mixedBlock) 36 else 0
     System.arraycopy(xr, 0, out, 0, start)
@@ -638,9 +675,6 @@ object Mp3Layer3 {
     if ((f0.versionId != 3 && f0.versionId != 2) || f0.layer != 3) return None
     val lsf = f0.versionId == 2
     val channels = f0.channels
-    // LSF face: MONO long-block streams (graft's own LSF encoder's shape);
-    // LSF stereo/short-block dialects stay honestly refused (DIVERGENCES)
-    if (lsf && channels != 1) return None
     val srIdx =
       if (lsf) Array(22050, 24000, 16000).indexOf(f0.sampleRate)
       else Array(44100, 48000, 32000).indexOf(f0.sampleRate)
@@ -728,17 +762,20 @@ object Mp3Layer3 {
       val sfs = new Array[Scalefactors](channels)
       var ch = 0
       while (ch < channels) {
-        val g = gs(ch)
+        var g = gs(ch)
         val granuleStart = br.pos
         val granuleEnd = granuleStart + g.part23Length
         if (granuleEnd > br.bytes.length * 8) return false
-        // LSF scope gate: sfc >= 400 selects the 13818-3 intensity/preflag
-        // partitions graft does not implement; short blocks likewise
-        if (lsf && (g.scalefacCompress >= 400 || g.windowSwitching))
-          return false
+        // LSF scope gate: start/stop transition windows (block types 1/3)
+        // pair with long<->short switching graft's all-short/all-long LSF
+        // streams never emit; refused rather than decoded approximately
+        if (lsf && g.windowSwitching && g.blockType != 2) return false
         val sf =
-          if (lsf) readScalefactorsLsf(br, g)
-          else readScalefactors(br, g, ch, gr, side.scfsi(ch), prevSf(ch))
+          if (lsf) {
+            val (s0, pf) = readScalefactorsLsf(br, g)
+            g = g.copy(preflag = pf) // scheme-implied (no side-info bit)
+            s0
+          } else readScalefactors(br, g, ch, gr, side.scfsi(ch), prevSf(ch))
         sfs(ch) = sf
         if (gr == 0 || !(g.windowSwitching && g.blockType == 2))
           prevSf(ch) = sf
@@ -747,9 +784,14 @@ object Mp3Layer3 {
           return false
         br.pos = granuleEnd // discard stuffing
         requantize(g, sf, srIdx, is, xr(ch), lsf)
-        reorderShort(g, srIdx, xr(ch))
+        reorderShort(g, srIdx, xr(ch), lsf)
         ch += 1
       }
+      // LSF intensity stereo uses the 13818-3 scheme (blocknumbers 3-5,
+      // io^pos ratios) — a different algebra than the MPEG-1 tan() path;
+      // refused rather than decoded with MPEG-1 semantics (DIVERGENCES).
+      // Plain and MS LSF stereo decode in full.
+      if (lsf && channels == 2 && (modeExt & 1) != 0) return false
       if (channels == 2) applyStereo(modeExt, gs, sfs, srIdx, xr)
 
       ch = 0

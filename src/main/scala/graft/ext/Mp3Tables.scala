@@ -64,6 +64,32 @@ object Mp3Tables {
     (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
     (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3))
 
+  /** MPEG-2 LSF scalefactor band-count partitions for the NON-INTENSITY
+    * channel (ISO 13818-3 2.4.3.2 decode_scalefac_MPEG2): rows by
+    * blocknumber (sfc range), columns by block shape long/short/mixed.
+    * ONE pinned table drives both [[Mp3Layer3]]'s read and
+    * [[Mp3Encoder]]'s emission. Intensity rows (blocknumbers 3-5) are
+    * out of scope — LSF intensity streams are refused.
+    */
+  val lsfSfbPartitions: Array[Array[Array[Int]]] = Array(
+    Array(Array(6, 5, 5, 5), Array(9, 9, 9, 9), Array(6, 9, 9, 9)),      // sfc < 400
+    Array(Array(6, 5, 7, 3), Array(9, 9, 12, 6), Array(6, 9, 12, 6)),    // 400 <= sfc < 500
+    Array(Array(11, 10, 0, 0), Array(18, 18, 0, 0), Array(15, 18, 0, 0)))// 500 <= sfc (preflag)
+
+  /** LSF scalefac_compress -> (slen[4], blocknumber, preflag) — the
+    * non-intensity branch of decode_scalefac_MPEG2.
+    */
+  def lsfSlens(sfc: Int): (Array[Int], Int, Int) =
+    if (sfc < 400)
+      (Array((sfc >> 4) / 5, (sfc >> 4) % 5, (sfc & 15) >> 2, sfc & 3), 0, 0)
+    else if (sfc < 500) {
+      val t = sfc - 400
+      (Array((t >> 2) / 5, (t >> 2) % 5, t & 3, 0), 1, 0)
+    } else {
+      val t = sfc - 500
+      (Array(t / 3, t % 3, 0, 0), 2, 1)
+    }
+
   // ----------------------------------------------------------- huffman
 
   /** One big-values Huffman table: dimension `xy` (max x+1), `linbits`,
@@ -306,7 +332,11 @@ object Mp3Tables {
     // to None rather than to garbage. See DIVERGENCES.md.
     val linbits16 = Array(1, 2, 3, 4, 6, 8, 10, 13)
     val linbits24 = Array(4, 5, 6, 7, 8, 9, 11, 13)
-    val t11 = canonical(16, 0, (x, y) => 1L << (20 - math.min(17, x + y + ((x + 1) >> 2))))
+    // table 11 codes max value 7 (spec tables 10-12 are 8x8) — the
+    // stand-in keeps the normative DIMENSION even though its bit
+    // patterns are in-repo canonical (round-10 transcription retry
+    // failed the prefix-free/Kraft gate again; see DIVERGENCES.md)
+    val t11 = canonical(8, 0, (x, y) => 1L << (20 - math.min(17, x + y + ((x + 1) >> 2))))
     val t13 = canonical(16, 0, (x, y) => 1L << (20 - math.min(17, x + y)))
     val esc16Base = canonical(16, 0, (x, y) => 1L << (20 - math.min(17, 2 * math.min(x + y, 8))))
     val esc24Base = canonical(16, 0, (x, y) => 1L << (20 - math.min(17, (x + y + 1) / 2 + math.min(x + y, 9))))

@@ -1055,6 +1055,22 @@ object Multimodal {
   /** ids on the ESC leg of the MP3 battery row (every third doc) */
   private def mp3UsesEsc(id: Long): Boolean = id % 3 == 0
 
+  /** LSF leg shape per id: 0 mono long, 1 STEREO long, 2 mono SHORT
+    * blocks, 3 mono long on the sfc>=500 PREFLAG scalefactor row — the
+    * full decodable LSF face, one battery row.
+    */
+  private def lsfShape(id: Long): Int = (id % 4).toInt
+
+  /** right-channel tone for the stereo LSF leg (distinct frequency so
+    * channel bleed would fail the per-channel PSNR)
+    */
+  private def mp3TestToneRight(id: Long, nGranules: Int): Array[Double] = {
+    val sr = 44100
+    val freq = (300.0 + (id % 10).toDouble * 250.0) * 1.5
+    Array.tabulate(nGranules * 576)(i =>
+      0.4 * math.sin(2 * math.Pi * freq * i / sr))
+  }
+
   /** Synthesize one REAL MPEG-1 Layer III stream per row ([[Mp3Encoder]]:
     * valid headers, side info, table-15 Huffman spectrum) over a
     * deterministic per-id tone. `nGranules` must be even (2 per frame).
@@ -1069,9 +1085,18 @@ object Multimodal {
       it.map { r =>
         val id = r.getLong(0)
         // the LSF leg stays on normative codebooks (one granule per frame,
-        // 22.05 kHz); the MPEG-1 leg drives the ESC tables every third id
+        // 22.05 kHz) and cycles mono/stereo/short/preflag shapes; the
+        // MPEG-1 leg drives the ESC tables every third id
         Row(id,
-          if (lsf) Mp3Encoder.encodeLsf(mp3TestTone(id, nGranules))
+          if (lsf) lsfShape(id) match {
+            case 1 => Mp3Encoder.encodeLsfStereo(
+              mp3TestTone(id, nGranules), mp3TestToneRight(id, nGranules))
+            case 2 => Mp3Encoder.encodeLsf(mp3TestTone(id, nGranules),
+              shortBlocks = true)
+            case 3 => Mp3Encoder.encodeLsf(mp3TestTone(id, nGranules),
+              scalefacCompress = 504)
+            case _ => Mp3Encoder.encodeLsf(mp3TestTone(id, nGranules))
+          }
           else Mp3Encoder.encode(mp3TestTone(id, nGranules),
             escTables = mp3UsesEsc(id)))
       }
@@ -1105,9 +1130,21 @@ object Multimodal {
         val normativeOnly = Mp3Layer3.decode(bytes)
         Mp3Layer3.decode(bytes, allowNonNormative = true).map { d =>
           val ref = mp3TestTone(id, nGranules)
-          val (_, _, psnr) = Mp3Layer3.fitPsnr(ref, d.samples, 1500)
+          val ok = if (d.channels == 2) {
+            // stereo: both channels must fit their OWN tone
+            val half = d.samples.length / 2
+            val dl = Array.tabulate(half)(i => d.samples(2 * i))
+            val dr = Array.tabulate(half)(i => d.samples(2 * i + 1))
+            val (_, _, pl) = Mp3Layer3.fitPsnr(ref, dl, 1500)
+            val (_, _, pr) = Mp3Layer3.fitPsnr(
+              mp3TestToneRight(id, nGranules), dr, 1500)
+            pl >= minPsnrDb && pr >= minPsnrDb
+          } else {
+            val (_, _, psnr) = Mp3Layer3.fitPsnr(ref, d.samples, 1500)
+            psnr >= minPsnrDb
+          }
           Row(id, d.sampleRate.toLong, d.channels.toLong,
-            d.nGranules.toLong, d.samples.length.toLong, psnr >= minPsnrDb,
+            d.nGranules.toLong, d.samples.length.toLong, ok,
             normativeOnly.isEmpty)
         }
       }

@@ -208,4 +208,84 @@ class Mp3Layer3Spec extends graft.SparkSpec {
     val (_, _, psnr) = Mp3Layer3.fitPsnr(x, d.get.samples, 1500)
     assert(psnr >= 24.0, s"lsf esc psnr $psnr")
   }
+
+  test("MPEG-2 LSF stereo: channels decode independently, each >= 20 dB") {
+    val sr = 22050
+    val n = 576 * 8
+    val l = Array.tabulate(n)(i => 0.5 * math.sin(2 * math.Pi * 441.0 * i / sr))
+    val r = Array.tabulate(n)(i => 0.4 * math.sin(2 * math.Pi * 1336.0 * i / sr))
+    val d = Mp3Layer3.decode(Mp3Encoder.encodeLsfStereo(l, r, sampleRate = sr)).get
+    assert(d.sampleRate == sr && d.channels == 2)
+    val half = d.samples.length / 2
+    val dl = Array.tabulate(half)(i => d.samples(2 * i))
+    val dr = Array.tabulate(half)(i => d.samples(2 * i + 1))
+    val (_, _, pl) = Mp3Layer3.fitPsnr(l, dl, 1500)
+    val (_, _, pr) = Mp3Layer3.fitPsnr(r, dr, 1500)
+    assert(pl >= 20.0, s"lsf left psnr $pl")
+    assert(pr >= 20.0, s"lsf right psnr $pr")
+    val (_, _, cross) = Mp3Layer3.fitPsnr(l, dr, 1500)
+    assert(cross < 10.0, s"lsf channel bleed: cross psnr $cross")
+  }
+
+  test("MPEG-2 LSF short blocks: all-blockType-2 stream round-trips >= 20 dB") {
+    val sr = 22050
+    val n = 576 * 8
+    val x = Array.tabulate(n)(i => 0.5 * math.sin(2 * math.Pi * 441.0 * i / sr))
+    val enc = Mp3Encoder.encodeLsf(x, sampleRate = sr, shortBlocks = true)
+    val d = Mp3Layer3.decode(enc) // normative codebooks only
+    assert(d.isDefined, "LSF short-block stream must decode")
+    val (_, _, psnr) = Mp3Layer3.fitPsnr(x, d.get.samples, 1500)
+    assert(psnr >= 20.0, s"lsf short psnr $psnr")
+  }
+
+  test("MPEG-2 LSF short-block STEREO round-trips") {
+    val sr = 24000
+    val n = 576 * 6
+    val l = Array.tabulate(n)(i => 0.5 * math.sin(2 * math.Pi * 441.0 * i / sr))
+    val r = Array.tabulate(n)(i => 0.4 * math.sin(2 * math.Pi * 1336.0 * i / sr))
+    val d = Mp3Layer3.decode(
+      Mp3Encoder.encodeLsfStereo(l, r, sampleRate = sr, shortBlocks = true)).get
+    assert(d.channels == 2)
+    val half = d.samples.length / 2
+    val dl = Array.tabulate(half)(i => d.samples(2 * i))
+    val (_, _, pl) = Mp3Layer3.fitPsnr(l, dl, 1500)
+    assert(pl >= 20.0, s"lsf short stereo psnr $pl")
+  }
+
+  test("MPEG-1 short blocks: mono and stereo all-blockType-2 streams round-trip") {
+    val x = tone((441.0, 0.5))(1152 * 4)
+    val d = Mp3Layer3.decode(Mp3Encoder.encode(x, shortBlocks = true))
+    assert(d.isDefined, "MPEG-1 short-block stream must decode")
+    val (_, _, psnr) = Mp3Layer3.fitPsnr(x, d.get.samples, 1500)
+    assert(psnr >= 20.0, s"m1 short psnr $psnr")
+    val r = tone((1336.0, 0.4))(1152 * 4)
+    val ds = Mp3Layer3.decode(Mp3Encoder.encodeStereo(x, r, shortBlocks = true)).get
+    assert(ds.channels == 2)
+    val half = ds.samples.length / 2
+    val dr = Array.tabulate(half)(i => ds.samples(2 * i + 1))
+    val (_, _, pr) = Mp3Layer3.fitPsnr(r, dr, 1500)
+    assert(pr >= 20.0, s"m1 short stereo right psnr $pr")
+  }
+
+  test("LSF nonzero scalefac_compress rows: sfc<400, 400<=sfc<500, preflag row") {
+    val sr = 22050
+    val n = 576 * 6
+    val x = Array.tabulate(n)(i => 0.5 * math.sin(2 * math.Pi * 441.0 * i / sr))
+    // slens (1,1,1,1) / (1,1,1,0) / (1,1,0,0)+preflag — real scalefactor
+    // bits flow through the stream and the decoder's partition reads +
+    // scheme-implied preflag must land back on the original spectrum
+    for (sfc <- Seq(101, 425, 504)) {
+      val enc = Mp3Encoder.encodeLsf(x, sampleRate = sr, scalefacCompress = sfc)
+      val d = Mp3Layer3.decode(enc)
+      assert(d.isDefined, s"sfc=$sfc stream must decode")
+      val (_, _, psnr) = Mp3Layer3.fitPsnr(x, d.get.samples, 1500)
+      assert(psnr >= 20.0, s"sfc=$sfc psnr $psnr")
+    }
+    // the three rows genuinely produce different scalefactor bit counts:
+    // decoding a sfc=101 stream as if sfc were 0 would mis-frame — pin
+    // by checking the streams differ in length-bearing content
+    val e0 = Mp3Encoder.encodeLsf(x, sampleRate = sr)
+    val e1 = Mp3Encoder.encodeLsf(x, sampleRate = sr, scalefacCompress = 101)
+    assert(!java.util.Arrays.equals(e0, e1))
+  }
 }
