@@ -31,6 +31,18 @@ object GraftQueriesR10 {
 
   val all: Map[String, Q] = Map(
 
+    // FLAC decode: real streams per row ([[graft.ext.FlacCodec]] —
+    // STREAMINFO walk, framed FIXED/LPC/VERBATIM subframes, Rice
+    // residuals, mid/side stereo, CRC-8/16), EXACT-match oracled
+    // (lossless codec: sample equality, stronger than PSNR). Legs cycle
+    // per id: mono best-FIXED, stereo MID/SIDE, mono LPC, mono VERBATIM.
+    "q_flac_decode" -> { (s, d) =>
+      val ids = t(s, d)("documents").select(col("doc_id")).where(col("doc_id") < 40)
+      graft.ext.Multimodal.flacDecodeFrame(
+        graft.ext.Multimodal.synthesizeFlacAudio(ids, "doc_id"), "doc_id")
+        .orderBy("doc_id")
+    },
+
     "q_evolution_relmap" -> { (s, d) =>
       import graft.evolve._
       import graft.evolve.CascadeOp._
@@ -191,6 +203,16 @@ object GraftQueriesR10 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_flac_decode" ->
+      """SELECT doc_id, CAST(44100 AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 1 END AS BIGINT) AS channels,
+        |  CAST(16 AS BIGINT) AS bits_per_sample,
+        |  CAST(5096 AS BIGINT) AS n_samples,
+        |  true AS exact_match,
+        |  CASE doc_id % 4 WHEN 1 THEN 'fixed' WHEN 2 THEN 'lpc'
+        |    WHEN 3 THEN 'verbatim' ELSE 'fixed' END AS subframes
+        |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin,
+
     "q_evolution_relmap" ->
       """SELECT 'amount_nonnull' AS item, count(value) AS cnt FROM events
         |UNION ALL SELECT 'clicked', count(*) FROM events WHERE event_type = 'click'

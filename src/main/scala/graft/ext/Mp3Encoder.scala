@@ -55,9 +55,12 @@ object Mp3Encoder {
     out
   }
 
-  /** forward 36-point MDCT (18 coefficients) with the long sine window */
-  private def forwardMdct(time36: Array[Double]): Array[Double] = {
-    val win = Mp3Tables.imdctWin(0)
+  /** forward 36-point MDCT (18 coefficients) with the block type's
+    * window (0 long, 1 start, 3 stop — the adjoint of the decoder's
+    * long-shape IMDCT with the same window)
+    */
+  private def forwardMdct(time36: Array[Double], blockType: Int = 0): Array[Double] = {
+    val win = Mp3Tables.imdctWin(blockType)
     val out = new Array[Double](18)
     var k = 0
     while (k < 18) {
@@ -153,69 +156,85 @@ object Mp3Encoder {
     out
   }
 
-  /** Full forward transform: mono PCM -> per-granule spectra xr[576]
-    * (subband-major, 18 lines each), plus the antialias forward
-    * butterflies (inverse of the decoder's).
+  /** forward antialias = inverse butterfly (rotation transpose) */
+  private def antialiasForward(xr: Array[Double]): Unit = {
+    var sbb = 0
+    while (sbb < 31) {
+      val off = (sbb + 1) * 18
+      var bi = 0
+      while (bi < 8) {
+        val lo = off - 1 - bi
+        val hi = off + bi
+        val a = xr(lo); val b = xr(hi)
+        xr(lo) = a * Mp3Tables.csTab(bi) + b * Mp3Tables.caTab(bi)
+        xr(hi) = b * Mp3Tables.csTab(bi) - a * Mp3Tables.caTab(bi)
+        bi += 1
+      }
+      sbb += 1
+    }
+  }
+
+  /** Forward transform with a PER-GRANULE block-type pattern (0 long,
+    * 1 start, 2 short, 3 stop): long/start/stop granules use the
+    * 36-point MDCT with the matching window plus the forward antialias;
+    * short granules use the 3x12 adjoint with NO antialias, emitted in
+    * Huffman/bitstream order. A spec-legal sequence keeps perfect
+    * reconstruction because adjacent windows are Princen-Bradley
+    * complements at the 18-sample hop (long<->start leading halves,
+    * start tail <-> first short window, last short <-> stop head).
     */
-  def forwardSpectra(x: Array[Double]): Array[Array[Double]] = {
+  def forwardSpectraPattern(x: Array[Double], blockTypes: Int => Int,
+      shortBands: Array[Int]): Array[Array[Double]] = {
     val slices = analyze(x)
     val nGran = slices.length / 18
     val prev = Array.ofDim[Double](32, 18)
     val spectra = Array.ofDim[Double](nGran, 576)
     var g = 0
     while (g < nGran) {
+      val bt = blockTypes(g)
       val frames = granuleFrames(slices, g, prev)
-      var sb = 0
-      while (sb < 32) {
-        val md = forwardMdct(frames(sb))
-        System.arraycopy(md, 0, spectra(g), sb * 18, 18)
-        sb += 1
-      }
-      // forward antialias = inverse butterfly (rotation transpose)
-      var sbb = 0
-      while (sbb < 31) {
-        val off = (sbb + 1) * 18
-        var bi = 0
-        while (bi < 8) {
-          val lo = off - 1 - bi
-          val hi = off + bi
-          val a = spectra(g)(lo); val b = spectra(g)(hi)
-          spectra(g)(lo) = a * Mp3Tables.csTab(bi) + b * Mp3Tables.caTab(bi)
-          spectra(g)(hi) = b * Mp3Tables.csTab(bi) - a * Mp3Tables.caTab(bi)
-          bi += 1
+      if (bt == 2) {
+        val imdctOrder = new Array[Double](576)
+        var sb = 0
+        while (sb < 32) {
+          System.arraycopy(forwardMdctShort(frames(sb)), 0,
+            imdctOrder, sb * 18, 18)
+          sb += 1
         }
-        sbb += 1
+        spectra(g) = unreorderShort(imdctOrder, shortBands)
+      } else {
+        var sb = 0
+        while (sb < 32) {
+          System.arraycopy(forwardMdct(frames(sb), bt), 0,
+            spectra(g), sb * 18, 18)
+          sb += 1
+        }
+        antialiasForward(spectra(g))
       }
       g += 1
     }
     spectra
   }
 
-  /** ALL-short-block forward transform: every granule is a blockType-2
-    * granule (window_switching on). No antialias (the decoder applies
-    * none for non-mixed short blocks); output lines are already in the
-    * Huffman/bitstream order the decoder's reorder inverts.
+  /** Full forward transform: mono PCM -> per-granule spectra xr[576]
+    * (subband-major, 18 lines each), plus the antialias forward
+    * butterflies (inverse of the decoder's).
     */
-  def forwardSpectraShort(x: Array[Double], shortBands: Array[Int]): Array[Array[Double]] = {
-    val slices = analyze(x)
-    val nGran = slices.length / 18
-    val prev = Array.ofDim[Double](32, 18)
-    val spectra = Array.ofDim[Double](nGran, 576)
-    var g = 0
-    while (g < nGran) {
-      val frames = granuleFrames(slices, g, prev)
-      val imdctOrder = new Array[Double](576)
-      var sb = 0
-      while (sb < 32) {
-        val md = forwardMdctShort(frames(sb))
-        System.arraycopy(md, 0, imdctOrder, sb * 18, 18)
-        sb += 1
-      }
-      spectra(g) = unreorderShort(imdctOrder, shortBands)
-      g += 1
-    }
-    spectra
-  }
+  def forwardSpectra(x: Array[Double]): Array[Array[Double]] =
+    forwardSpectraPattern(x, _ => 0, null)
+
+  /** ALL-short-block forward transform: every granule is a blockType-2
+    * granule (window_switching on).
+    */
+  def forwardSpectraShort(x: Array[Double], shortBands: Array[Int]): Array[Array[Double]] =
+    forwardSpectraPattern(x, _ => 2, shortBands)
+
+  /** The canonical spec-legal TRANSITION cycle: long, start, short,
+    * short, stop, long — every short run is fenced by the start/stop
+    * windows exactly as ISO 2.4.3.4.10.3 sequences them.
+    */
+  val TransitionCycle: Int => Int =
+    g => Array(0, 1, 2, 2, 3, 0)(g % 6)
 
   // ------------------------------------------------------------ bits
 
@@ -330,8 +349,10 @@ object Mp3Encoder {
     */
   def encode(x: Array[Double], sampleRate: Int = 44100,
       bitrateIdx: Int = 14, escTables: Boolean = false,
-      shortBlocks: Boolean = false): Array[Byte] =
-    encodeChannels(Array(x), sampleRate, bitrateIdx, escTables, shortBlocks)
+      shortBlocks: Boolean = false,
+      transitionBlocks: Boolean = false): Array[Byte] =
+    encodeChannels(Array(x), sampleRate, bitrateIdx, escTables,
+      pattern(shortBlocks, transitionBlocks))
 
   /** Stereo variant: independent left/right (mode "stereo", no MS) —
     * exercises the decoder's two-channel side-info and synthesis paths.
@@ -340,7 +361,14 @@ object Mp3Encoder {
       sampleRate: Int = 44100, bitrateIdx: Int = 14,
       shortBlocks: Boolean = false): Array[Byte] =
     encodeChannels(Array(l, r), sampleRate, bitrateIdx, escTables = false,
-      shortBlocks)
+      pattern(shortBlocks, transitions = false))
+
+  private def pattern(shortBlocks: Boolean, transitions: Boolean): Int => Int = {
+    require(!(shortBlocks && transitions), "pick one block pattern")
+    if (transitions) TransitionCycle
+    else if (shortBlocks) (_: Int) => 2
+    else (_: Int) => 0
+  }
 
 
   /** MPEG-2 LSF mono encode (ISO 13818-3): ONE 576-sample granule per
@@ -352,16 +380,17 @@ object Mp3Encoder {
     */
   def encodeLsf(x: Array[Double], sampleRate: Int = 22050,
       bitrateIdx: Int = 14, escTables: Boolean = false,
-      shortBlocks: Boolean = false, scalefacCompress: Int = 0): Array[Byte] =
+      shortBlocks: Boolean = false, scalefacCompress: Int = 0,
+      transitionBlocks: Boolean = false): Array[Byte] =
     encodeLsfChannels(Array(x), sampleRate, bitrateIdx, escTables,
-      shortBlocks, scalefacCompress)
+      pattern(shortBlocks, transitionBlocks), scalefacCompress)
 
   /** LSF stereo: independent left/right (mode "stereo", no MS/intensity). */
   def encodeLsfStereo(l: Array[Double], r: Array[Double],
       sampleRate: Int = 22050, bitrateIdx: Int = 14,
       shortBlocks: Boolean = false): Array[Byte] =
     encodeLsfChannels(Array(l, r), sampleRate, bitrateIdx,
-      escTables = false, shortBlocks, sfc = 0)
+      escTables = false, pattern(shortBlocks, transitions = false), sfc = 0)
 
   /** The LONG-block LSF scalefactor plan for a scalefac_compress value:
     * per-band values (deterministic b&1 pattern where the partition's
@@ -387,17 +416,16 @@ object Mp3Encoder {
   }
 
   private def encodeLsfChannels(chans: Array[Array[Double]], sampleRate: Int,
-      bitrateIdx: Int, escTables: Boolean, shortBlocks: Boolean,
+      bitrateIdx: Int, escTables: Boolean, blockTypes: Int => Int,
       sfc: Int): Array[Byte] = {
     val srIdx = Array(22050, 24000, 16000).indexOf(sampleRate)
     require(srIdx >= 0, s"unsupported LSF rate $sampleRate")
-    require(!(shortBlocks && sfc != 0),
-      "nonzero scalefac_compress is exercised on long-block streams")
+    require(sfc == 0 || (0 until 64).forall(blockTypes(_) == 0),
+      "nonzero scalefac_compress is exercised on all-long-block streams")
     val nCh = chans.length
     require(nCh == 1 || nCh == 2)
     val spectra = // [ch][granule][576], bitstream order
-      if (shortBlocks) chans.map(forwardSpectraShort(_, Mp3Tables.sfbShortM2(srIdx)))
-      else chans.map(forwardSpectra)
+      chans.map(forwardSpectraPattern(_, blockTypes, Mp3Tables.sfbShortM2(srIdx)))
     // nonzero sfc: pre-scale each band so the decoder's 2^(-sfMult*(sf+pre))
     // requantization lands back on the original spectrum (sfMult = 0.5)
     val (sfVals, slens, partitions, preflag, sfBits) = lsfScalefactorPlan(sfc)
@@ -442,9 +470,10 @@ object Mp3Encoder {
         bw.write(g.bigValues, 9)
         bw.write(g.globalGain, 8)
         bw.write(sfc, 9)
-        if (shortBlocks) {
+        val bt = blockTypes(fr)
+        if (bt != 0) {
           bw.write(1, 1) // window switching
-          bw.write(2, 2) // block_type: short
+          bw.write(bt, 2) // block_type: 1 start / 2 short / 3 stop
           bw.write(0, 1) // not mixed
           bw.write(g.tableSelect, 5); bw.write(g.tableSelect, 5)
           bw.write(0, 3); bw.write(0, 3); bw.write(0, 3) // subblock gains
@@ -488,15 +517,14 @@ object Mp3Encoder {
   }
 
   private def encodeChannels(chans: Array[Array[Double]], sampleRate: Int,
-      bitrateIdx: Int, escTables: Boolean = false,
-      shortBlocks: Boolean = false): Array[Byte] = {
+      bitrateIdx: Int, escTables: Boolean,
+      blockTypes: Int => Int): Array[Byte] = {
     val srIdx = Array(44100, 48000, 32000).indexOf(sampleRate)
     require(srIdx >= 0, s"unsupported rate $sampleRate")
     val nCh = chans.length
     require(nCh == 1 || nCh == 2)
     val spectra = // [ch][granule][576], bitstream order
-      if (shortBlocks) chans.map(forwardSpectraShort(_, Mp3Tables.sfbShortM1(srIdx)))
-      else chans.map(forwardSpectra)
+      chans.map(forwardSpectraPattern(_, blockTypes, Mp3Tables.sfbShortM1(srIdx)))
     val nFrames = spectra.map(_.length).min / 2
     val out = new scala.collection.mutable.ArrayBuffer[Byte]()
     val bitrate = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
@@ -533,9 +561,10 @@ object Mp3Encoder {
           bw.write(g.bigValues, 9)
           bw.write(g.globalGain, 8)
           bw.write(0, 4) // scalefac_compress
-          if (shortBlocks) {
+          val bt = blockTypes(fr * 2 + gr)
+          if (bt != 0) {
             bw.write(1, 1) // window switching
-            bw.write(2, 2) // block_type: short
+            bw.write(bt, 2) // block_type: 1 start / 2 short / 3 stop
             bw.write(0, 1) // not mixed
             bw.write(g.tableSelect, 5); bw.write(g.tableSelect, 5)
             bw.write(0, 3); bw.write(0, 3); bw.write(0, 3) // subblock gains

@@ -19,10 +19,11 @@ import graft.ext.MediaContainers.{Mp3Frame, parseMp3Frame, id3v2Size}
   *  - The synthesis prototype window is computed (near-PR pseudo-QMF
   *    design), not the spec's 512 tabulated constants.
   *  - MPEG-2 LSF (576-sample frames) decodes in full for mono and
-  *    plain/MS stereo, long AND short/mixed blocks, with the complete
-  *    non-intensity scalefactor scheme (blocknumbers 0-2, incl. the
-  *    sfc >= 500 preflag row). LSF INTENSITY stereo (blocknumbers 3-5,
-  *    io^pos ratios) and the start/stop transition windows are refused.
+  *    plain/MS stereo, every window shape (long, short/mixed, and the
+  *    start/stop transition windows), with the complete non-intensity
+  *    scalefactor scheme (blocknumbers 0-2, incl. the sfc >= 500
+  *    preflag row). LSF INTENSITY stereo (blocknumbers 3-5, io^pos
+  *    ratios) is the one refused LSF dialect.
   *
   * Intensity stereo positions are applied for long blocks
   * (ISO 2.4.3.4.9.3); short-block intensity falls back to leaving the
@@ -766,10 +767,6 @@ object Mp3Layer3 {
         val granuleStart = br.pos
         val granuleEnd = granuleStart + g.part23Length
         if (granuleEnd > br.bytes.length * 8) return false
-        // LSF scope gate: start/stop transition windows (block types 1/3)
-        // pair with long<->short switching graft's all-short/all-long LSF
-        // streams never emit; refused rather than decoded approximately
-        if (lsf && g.windowSwitching && g.blockType != 2) return false
         val sf =
           if (lsf) {
             val (s0, pf) = readScalefactorsLsf(br, g)

@@ -610,6 +610,29 @@ object Multimodal {
   final case class PcmAudio(sampleRate: Int, channels: Int, bitsPerSample: Int,
       samples: Array[Int])
 
+  /** Format sniff + decode for the supported audio containers: RIFF/WAVE
+    * ([[decodeWav]]: PCM + G.711 + IMA-ADPCM) and FLAC ([[FlacCodec]],
+    * channels interleaved into the shared [[PcmAudio]] shape) — the one
+    * entry point a mixed-corpus feature pipeline calls per row.
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[PcmAudio] =
+    if (bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L' &&
+        bytes(2) == 'a' && bytes(3) == 'C')
+      FlacCodec.decode(bytes).map { d =>
+        val n = d.samples(0).length
+        val inter = new Array[Int](n * d.channels)
+        var i = 0
+        while (i < n) {
+          var c = 0
+          while (c < d.channels) {
+            inter(i * d.channels + c) = d.samples(c)(i); c += 1
+          }
+          i += 1
+        }
+        PcmAudio(d.sampleRate, d.channels, d.bitsPerSample, inter)
+      }
+    else decodeWav(bytes)
+
   /** Pack 16-bit mono PCM samples as a RIFF/WAVE byte array (the standard
     * 44-byte header + little-endian data) — pure byte assembly.
     */
@@ -1019,7 +1042,7 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col("media"))
       .mapPartitions { it =>
         it.flatMap { r =>
-          decodeWav(r.getAs[Array[Byte]](1)).map { a =>
+          decodeAudio(r.getAs[Array[Byte]](1)).map { a =>
             // samples are channel-INTERLEAVED: frames (and duration) divide
             // by the channel count; RMS stays over all interleaved values
             val n = a.samples.length
@@ -1146,6 +1169,81 @@ object Multimodal {
           Row(id, d.sampleRate.toLong, d.channels.toLong,
             d.nGranules.toLong, d.samples.length.toLong, ok,
             normativeOnly.isEmpty)
+        }
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------- FLAC
+
+  /** per-id deterministic 16-bit PCM for the FLAC battery row */
+  private def flacTone(id: Long, n: Int, right: Boolean = false): Array[Int] = {
+    val sr = 44100
+    val freq = (300.0 + (id % 10).toDouble * 250.0) * (if (right) 1.5 else 1.0)
+    if (id % 4 == 3) { // verbatim leg: deterministic noise
+      val rnd = new scala.util.Random(id)
+      Array.tabulate(n)(_ => rnd.nextInt(60000) - 30000)
+    } else Array.tabulate(n)(i =>
+      math.rint(24000.0 * math.sin(2 * math.Pi * freq * i / sr)).toInt)
+  }
+
+  /** FLAC leg shape per id: 0 mono best-FIXED, 1 STEREO mid/side,
+    * 2 mono LPC subframes, 3 mono VERBATIM (noise).
+    */
+  private def flacShape(id: Long): Int = (id % 4).toInt
+
+  /** Synthesize one REAL FLAC stream per row ([[FlacCodec]]: STREAMINFO,
+    * framed subframes, CRC-8/16) over deterministic per-id PCM.
+    */
+  def synthesizeFlacAudio(df: DataFrame, idCol: String,
+      nSamples: Int = 5096): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType), StructField("media", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = flacShape(id) match {
+          case 1 => FlacCodec.encode(
+            Array(flacTone(id, nSamples), flacTone(id, nSamples, right = true)),
+            44100, midSide = true)
+          case 2 => FlacCodec.encode(Array(flacTone(id, nSamples)), 44100,
+            strategy = FlacCodec.Lpc2)
+          case 3 => FlacCodec.encode(Array(flacTone(id, nSamples)), 44100,
+            strategy = FlacCodec.Verbatim)
+          case _ => FlacCodec.encode(Array(flacTone(id, nSamples)), 44100)
+        }
+        Row(id, bytes)
+      }
+    }(enc)
+  }
+
+  /** Full FLAC decode + EXACT-match check (lossless: equality, not PSNR).
+    * Output: (id, sample_rate, channels, bits_per_sample, n_samples,
+    * exact_match, subframes).
+    */
+  def flacDecodeFrame(df: DataFrame, idCol: String,
+      nSamples: Int = 5096): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("sample_rate", LongType),
+      StructField("channels", LongType),
+      StructField("bits_per_sample", LongType),
+      StructField("n_samples", LongType),
+      StructField("exact_match", BooleanType),
+      StructField("subframes", StringType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col("media")).mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        FlacCodec.decode(r.getAs[Array[Byte]](1)).map { d =>
+          val want = Array(flacTone(id, nSamples)) ++
+            (if (d.channels == 2) Array(flacTone(id, nSamples, right = true)) else Array.empty[Array[Int]])
+          val exact = d.samples.length == want.length &&
+            d.samples.zip(want).forall { case (a, b) => a.sameElements(b) }
+          Row(id, d.sampleRate.toLong, d.channels.toLong,
+            d.bitsPerSample.toLong, d.samples(0).length.toLong, exact,
+            d.subframeTypes.toSeq.sorted.mkString(","))
         }
       }
     }(enc)

@@ -267,6 +267,22 @@ class Mp3Layer3Spec extends graft.SparkSpec {
     assert(pr >= 20.0, s"m1 short stereo right psnr $pr")
   }
 
+  test("transition windows: long/start/short/short/stop cycle round-trips (MPEG-1 + LSF)") {
+    val x = tone((441.0, 0.5))(1152 * 6)
+    val d1 = Mp3Layer3.decode(Mp3Encoder.encode(x, transitionBlocks = true))
+    assert(d1.isDefined, "MPEG-1 transition stream must decode")
+    val (_, _, p1) = Mp3Layer3.fitPsnr(x, d1.get.samples, 1500)
+    assert(p1 >= 20.0, s"m1 transition psnr $p1")
+    val sr2 = 22050
+    val y = Array.tabulate(576 * 12)(i =>
+      0.5 * math.sin(2 * math.Pi * 441.0 * i / sr2))
+    val d2 = Mp3Layer3.decode(
+      Mp3Encoder.encodeLsf(y, sampleRate = sr2, transitionBlocks = true))
+    assert(d2.isDefined, "LSF transition stream must decode")
+    val (_, _, p2) = Mp3Layer3.fitPsnr(y, d2.get.samples, 1500)
+    assert(p2 >= 20.0, s"lsf transition psnr $p2")
+  }
+
   test("LSF nonzero scalefac_compress rows: sfc<400, 400<=sfc<500, preflag row") {
     val sr = 22050
     val n = 576 * 6
