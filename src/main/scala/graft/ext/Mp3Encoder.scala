@@ -132,13 +132,19 @@ object Mp3Encoder {
 
   /** inverse of the decoder's short-block reorder: IMDCT-order lines
     * (sb*18 + w + 3k) -> the Huffman/bitstream order (sfb-major,
-    * window-minor within each band).
+    * window-minor within each band). For MIXED blocks the first 36
+    * lines (two LONG subbands) copy verbatim and the short mapping
+    * starts at band 3 — the exact inverse of the decoder's mixed path.
     */
   private def unreorderShort(imdctOrder: Array[Double],
-      bands: Array[Int]): Array[Double] = {
+      bands: Array[Int], mixed: Boolean = false): Array[Double] = {
     val out = new Array[Double](576)
     var src = 0
     var sb = 0
+    if (mixed) {
+      System.arraycopy(imdctOrder, 0, out, 0, 36)
+      src = 36; sb = 3
+    }
     while (sb < 13) {
       val lo = bands(sb); val width = bands(sb + 1) - lo
       var w = 0
@@ -156,23 +162,32 @@ object Mp3Encoder {
     out
   }
 
+  /** forward antialias butterfly at ONE subband boundary (the inverse
+    * rotation of the decoder's)
+    */
+  private def antialiasForwardOne(xr: Array[Double], sbb: Int): Unit = {
+    val off = (sbb + 1) * 18
+    var bi = 0
+    while (bi < 8) {
+      val lo = off - 1 - bi
+      val hi = off + bi
+      val a = xr(lo); val b = xr(hi)
+      xr(lo) = a * Mp3Tables.csTab(bi) + b * Mp3Tables.caTab(bi)
+      xr(hi) = b * Mp3Tables.csTab(bi) - a * Mp3Tables.caTab(bi)
+      bi += 1
+    }
+  }
+
   /** forward antialias = inverse butterfly (rotation transpose) */
   private def antialiasForward(xr: Array[Double]): Unit = {
     var sbb = 0
-    while (sbb < 31) {
-      val off = (sbb + 1) * 18
-      var bi = 0
-      while (bi < 8) {
-        val lo = off - 1 - bi
-        val hi = off + bi
-        val a = xr(lo); val b = xr(hi)
-        xr(lo) = a * Mp3Tables.csTab(bi) + b * Mp3Tables.caTab(bi)
-        xr(hi) = b * Mp3Tables.csTab(bi) - a * Mp3Tables.caTab(bi)
-        bi += 1
-      }
-      sbb += 1
-    }
+    while (sbb < 31) { antialiasForwardOne(xr, sbb); sbb += 1 }
   }
+
+  /** pattern code for a MIXED granule (block_type 2 + mixed flag):
+    * two long subbands below, short windows above
+    */
+  val MixedBlock = 5
 
   /** Forward transform with a PER-GRANULE block-type pattern (0 long,
     * 1 start, 2 short, 3 stop): long/start/stop granules use the
@@ -193,7 +208,24 @@ object Mp3Encoder {
     while (g < nGran) {
       val bt = blockTypes(g)
       val frames = granuleFrames(slices, g, prev)
-      if (bt == 2) {
+      if (bt == MixedBlock) {
+        // mixed: two LONG subbands (decoder IMDCTs sb<2 with the long
+        // window) + short above, antialias on the one long boundary
+        val imdctOrder = new Array[Double](576)
+        var sb = 0
+        while (sb < 2) {
+          System.arraycopy(forwardMdct(frames(sb), 0), 0,
+            imdctOrder, sb * 18, 18)
+          sb += 1
+        }
+        while (sb < 32) {
+          System.arraycopy(forwardMdctShort(frames(sb)), 0,
+            imdctOrder, sb * 18, 18)
+          sb += 1
+        }
+        antialiasForwardOne(imdctOrder, 0)
+        spectra(g) = unreorderShort(imdctOrder, shortBands, mixed = true)
+      } else if (bt == 2) {
         val imdctOrder = new Array[Double](576)
         var sb = 0
         while (sb < 32) {
@@ -370,6 +402,100 @@ object Mp3Encoder {
     else (_: Int) => 0
   }
 
+  /** All-MIXED-block mono encode (blockType 2 + mixed flag every
+    * granule): the fourth window shape, end-to-end.
+    */
+  def encodeMixed(x: Array[Double], sampleRate: Int = 44100,
+      bitrateIdx: Int = 14): Array[Byte] =
+    encodeChannels(Array(x), sampleRate, bitrateIdx, escTables = false,
+      (_: Int) => MixedBlock)
+
+  /** All-MIXED-block mono LSF encode. */
+  def encodeLsfMixed(x: Array[Double], sampleRate: Int = 22050,
+      bitrateIdx: Int = 14): Array[Byte] =
+    encodeLsfChannels(Array(x), sampleRate, bitrateIdx, escTables = false,
+      (_: Int) => MixedBlock, sfc = 0)
+
+  /** LSF INTENSITY-stereo encode (ISO 13818-3): joint-stereo mode with
+    * the intensity mode-extension bit; the LEFT channel carries the full
+    * spectrum and the RIGHT (intensity) channel carries NO spectrum —
+    * only intensity POSITIONS in its scalefactors, read under the
+    * blocknumber-3-5 scheme (int_scalefac_comp = sfc >> 1, the low bit
+    * is the intensity scale selecting io = 2^(-(scale+1)/4)). The
+    * decoder renders left = io-attenuated / right = full for odd
+    * positions and the converse for even ones.
+    */
+  def encodeLsfIntensity(x: Array[Double], sampleRate: Int = 22050,
+      bitrateIdx: Int = 14, intensityScale: Int = 0,
+      positions: Int => Int = b => b % 3): Array[Byte] = {
+    val srIdx = Array(22050, 24000, 16000).indexOf(sampleRate)
+    require(srIdx >= 0, s"unsupported LSF rate $sampleRate")
+    val spectra = forwardSpectra(x)
+    val bitrate = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+      128, 144, 160)(bitrateIdx)
+    val frameBytes = 72 * bitrate * 1000 / sampleRate
+    val sideBytes = 17
+    // int_scalefac_comp 86 -> slens (2,2,2,0) over partitions {7,7,7,0}
+    // (blocknumber 3): 21 position bands, max legal code 3
+    val ch1Sfc = (86 << 1) | (intensityScale & 1)
+    val (slens, bn) = Mp3Tables.lsfIntensitySlens(ch1Sfc)
+    val partitions = Mp3Tables.lsfIntensityPartitions(bn)(0)
+    val sfBits1 = (0 until 4).map(p => slens(p) * partitions(p)).sum
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    var fr = 0
+    while (fr < spectra.length) {
+      val g0 = encodeGranule(spectra(fr), escTables = false)
+      val bw = new BitWriter
+      bw.write(0x7ff, 11); bw.write(2, 2); bw.write(1, 2); bw.write(1, 1)
+      bw.write(bitrateIdx, 4); bw.write(srIdx, 2); bw.write(0, 1)
+      bw.write(0, 1) // private
+      bw.write(1, 2) // mode: joint stereo
+      bw.write(1, 2) // mode extension: intensity on, MS off
+      bw.write(0, 1); bw.write(0, 1); bw.write(0, 2)
+      bw.write(0, 8) // main_data_begin
+      bw.write(0, 2) // private bits (stereo LSF)
+      // ch0: the full-spectrum channel
+      require(g0.part23 <= 4095)
+      bw.write(g0.part23, 12); bw.write(g0.bigValues, 9)
+      bw.write(g0.globalGain, 8); bw.write(0, 9) // sfc 0
+      bw.write(0, 1) // ws off
+      bw.write(g0.tableSelect, 5); bw.write(g0.tableSelect, 5)
+      bw.write(g0.tableSelect, 5)
+      bw.write(7, 4); bw.write(7, 3)
+      bw.write(0, 1); bw.write(0, 1)
+      // ch1: positions only — part2_3_length covers just the sf bits
+      bw.write(sfBits1, 12); bw.write(0, 9) // bigValues 0
+      bw.write(210, 8); bw.write(ch1Sfc, 9)
+      bw.write(0, 1) // ws off
+      bw.write(0, 5); bw.write(0, 5); bw.write(0, 5) // table 0: codes nothing
+      bw.write(7, 4); bw.write(7, 3)
+      bw.write(0, 1); bw.write(0, 1)
+      val mainBudgetBits = (frameBytes - 4 - sideBytes) * 8
+      require(g0.part23 + sfBits1 <= mainBudgetBits,
+        "intensity frame exceeds the main-data budget; raise the bitrate")
+      // main data: ch0 huffman bits, then ch1 position scalefactors
+      val bytes = g0.bits.toBytes(0)
+      var bit = 0
+      while (bit < g0.part23) {
+        bw.write((bytes(bit >>> 3) >>> (7 - (bit & 7))) & 1, 1)
+        bit += 1
+      }
+      var b = 0; var part = 0
+      while (part < 4) {
+        var i = 0
+        while (i < partitions(part)) {
+          if (slens(part) > 0)
+            bw.write(positions(b) & ((1 << slens(part)) - 1), slens(part))
+          b += 1; i += 1
+        }
+        part += 1
+      }
+      out ++= bw.toBytes(frameBytes)
+      fr += 1
+    }
+    out.toArray
+  }
+
 
   /** MPEG-2 LSF mono encode (ISO 13818-3): ONE 576-sample granule per
     * frame, 8-bit main_data_begin, 9-bit scalefac_compress (emitted 0 —
@@ -473,8 +599,8 @@ object Mp3Encoder {
         val bt = blockTypes(fr)
         if (bt != 0) {
           bw.write(1, 1) // window switching
-          bw.write(bt, 2) // block_type: 1 start / 2 short / 3 stop
-          bw.write(0, 1) // not mixed
+          bw.write(if (bt == MixedBlock) 2 else bt, 2) // block_type
+          bw.write(if (bt == MixedBlock) 1 else 0, 1) // mixed flag
           bw.write(g.tableSelect, 5); bw.write(g.tableSelect, 5)
           bw.write(0, 3); bw.write(0, 3); bw.write(0, 3) // subblock gains
         } else {
@@ -564,8 +690,8 @@ object Mp3Encoder {
           val bt = blockTypes(fr * 2 + gr)
           if (bt != 0) {
             bw.write(1, 1) // window switching
-            bw.write(bt, 2) // block_type: 1 start / 2 short / 3 stop
-            bw.write(0, 1) // not mixed
+            bw.write(if (bt == MixedBlock) 2 else bt, 2) // block_type
+            bw.write(if (bt == MixedBlock) 1 else 0, 1) // mixed flag
             bw.write(g.tableSelect, 5); bw.write(g.tableSelect, 5)
             bw.write(0, 3); bw.write(0, 3); bw.write(0, 3) // subblock gains
           } else {

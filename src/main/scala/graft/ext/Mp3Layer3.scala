@@ -18,12 +18,12 @@ import graft.ext.MediaContainers.{Mp3Frame, parseMp3Frame, id3v2Size}
   *    opts in (graft's own encoder's ESC frames round-trip exactly).
   *  - The synthesis prototype window is computed (near-PR pseudo-QMF
   *    design), not the spec's 512 tabulated constants.
-  *  - MPEG-2 LSF (576-sample frames) decodes in full for mono and
-  *    plain/MS stereo, every window shape (long, short/mixed, and the
-  *    start/stop transition windows), with the complete non-intensity
-  *    scalefactor scheme (blocknumbers 0-2, incl. the sfc >= 500
-  *    preflag row). LSF INTENSITY stereo (blocknumbers 3-5, io^pos
-  *    ratios) is the one refused LSF dialect.
+  *  - MPEG-2 LSF (576-sample frames) decodes in full: mono, plain/MS
+  *    stereo AND intensity stereo (the blocknumber 3-5 position scheme
+  *    with io = 2^(-(scale+1)/4) ratios and per-band illegal codes),
+  *    every window shape (long, short/mixed, start/stop transitions),
+  *    and the complete non-intensity scalefactor scheme (blocknumbers
+  *    0-2, incl. the sfc >= 500 preflag row).
   *
   * Intensity stereo positions are applied for long blocks
   * (ISO 2.4.3.4.9.3); short-block intensity falls back to leaving the
@@ -189,14 +189,36 @@ object Mp3Layer3 {
     * preflag bit; sfc >= 500 selects the preemphasis row). Third-party
     * intensity-stereo LSF streams are refused before this call.
     */
-  private def readScalefactorsLsf(br: BitReader, g: GranuleInfo): (Scalefactors, Int) = {
+  private def readScalefactorsLsf(br: BitReader, g: GranuleInfo,
+      intensity: Boolean = false): (Scalefactors, Int, Array[Int]) = {
     val out = new Scalefactors
     val sfc = g.scalefacCompress
-    val (slens, blocknumber, preflag) = Mp3Tables.lsfSlens(sfc)
+    val (slens, blocknumber, preflag) =
+      if (intensity) {
+        val (sl, bn) = Mp3Tables.lsfIntensitySlens(sfc)
+        (sl, bn, 0)
+      } else Mp3Tables.lsfSlens(sfc)
     val shape =
       if (!(g.windowSwitching && g.blockType == 2)) 0
       else if (g.mixedBlock) 2 else 1
-    val partitions = Mp3Tables.lsfSfbPartitions(blocknumber)(shape)
+    val partitions =
+      if (intensity) Mp3Tables.lsfIntensityPartitions(blocknumber)(shape)
+      else Mp3Tables.lsfSfbPartitions(blocknumber)(shape)
+    // per-long-band MAX code (the "illegal" intensity position that
+    // disables intensity for the band); needed only on the i-channel
+    val maxPos = if (!intensity || shape != 0) null else {
+      val mp = new Array[Int](23)
+      var b = 0; var part = 0
+      while (part < 4) {
+        var i = 0
+        while (i < partitions(part)) {
+          if (b < 23) mp(b) = (1 << slens(part)) - 1
+          b += 1; i += 1
+        }
+        part += 1
+      }
+      mp
+    }
     def readOne(sl: Int): Int = if (sl > 0) br.read(sl) else 0
     shape match {
       case 0 => // long: sequential bands 0..20 (21 total in every row)
@@ -237,7 +259,7 @@ object Mp3Layer3 {
           part += 1
         }
     }
-    (out, preflag)
+    (out, preflag, maxPos)
   }
 
   private def sfbLongTab(lsf: Boolean, srIdx: Int): Array[Int] =
@@ -404,7 +426,9 @@ object Mp3Layer3 {
 
   private def applyStereo(modeExt: Int, g: Array[GranuleInfo],
       sf: Array[Scalefactors], srIdx: Int,
-      xr: Array[Array[Double]]): Unit = {
+      xr: Array[Array[Double]],
+      lsfIntensity: Option[(Double, Array[Int])] = None,
+      lsf: Boolean = false): Unit = {
     val ms = (modeExt & 2) != 0
     val intensity = (modeExt & 1) != 0
     if (ms) {
@@ -418,19 +442,35 @@ object Mp3Layer3 {
       }
     }
     if (intensity && !(g(1).windowSwitching && g(1).blockType == 2)) {
-      // long-block intensity: bands at/above the right channel's rzero
-      // use position ratios tan(pos * pi/12) (ISO 2.4.3.4.9.3)
-      val bands = Mp3Tables.sfbLongM1(srIdx)
+      // long-block intensity: bands at/above the right channel's rzero.
+      // MPEG-1 uses tan(pos*pi/12) position ratios (ISO 2.4.3.4.9.3);
+      // MPEG-2 LSF uses io^pos with io = 2^(-(scale+1)/4) where scale is
+      // the i-channel's low scalefac_compress bit (ISO 13818-3): odd pos
+      // attenuates LEFT by io^((pos+1)/2), even pos attenuates RIGHT by
+      // io^(pos/2); the band's MAX code is the illegal "no intensity"
+      // position (7 in MPEG-1's fixed 3-bit table).
+      val bands = sfbLongTab(lsf, srIdx)
       var rzero = 576
       while (rzero > 0 && xr(1)(rzero - 1) == 0.0) rzero -= 1
       var b = 0
       while (b < 22) {
         if (bands(b) >= rzero) {
           val pos = sf(1).long(b)
-          if (pos != 7) {
-            val ratio = math.tan(pos * math.Pi / 12.0)
-            val kl = ratio / (1.0 + ratio)
-            val kr = 1.0 / (1.0 + ratio)
+          val (kl, kr, legal) = lsfIntensity match {
+            case Some((io, maxPos)) =>
+              val illegal = maxPos != null && pos == maxPos(b)
+              if (illegal || pos == 0) (1.0, 1.0, !illegal)
+              else if ((pos & 1) == 1)
+                (math.pow(io, (pos + 1) / 2), 1.0, true)
+              else (1.0, math.pow(io, pos / 2), true)
+            case None =>
+              if (pos == 7) (0.0, 0.0, false)
+              else {
+                val ratio = math.tan(pos * math.Pi / 12.0)
+                (ratio / (1.0 + ratio), 1.0 / (1.0 + ratio), true)
+              }
+          }
+          if (legal) {
             var i = bands(b)
             while (i < bands(b + 1)) {
               val v = xr(0)(i)
@@ -761,6 +801,7 @@ object Mp3Layer3 {
       val xr = Array.fill(channels)(new Array[Double](576))
       val gs = side.granules(gr)
       val sfs = new Array[Scalefactors](channels)
+      var lsfMaxPos: Array[Int] = null // i-channel per-band illegal codes
       var ch = 0
       while (ch < channels) {
         var g = gs(ch)
@@ -769,8 +810,12 @@ object Mp3Layer3 {
         if (granuleEnd > br.bytes.length * 8) return false
         val sf =
           if (lsf) {
-            val (s0, pf) = readScalefactorsLsf(br, g)
+            // the RIGHT channel of an intensity LSF frame reads the
+            // intensity scheme (blocknumbers 3-5) and yields positions
+            val isIChannel = channels == 2 && (modeExt & 1) != 0 && ch == 1
+            val (s0, pf, mp) = readScalefactorsLsf(br, g, isIChannel)
             g = g.copy(preflag = pf) // scheme-implied (no side-info bit)
+            if (isIChannel) lsfMaxPos = mp
             s0
           } else readScalefactors(br, g, ch, gr, side.scfsi(ch), prevSf(ch))
         sfs(ch) = sf
@@ -784,12 +829,13 @@ object Mp3Layer3 {
         reorderShort(g, srIdx, xr(ch), lsf)
         ch += 1
       }
-      // LSF intensity stereo uses the 13818-3 scheme (blocknumbers 3-5,
-      // io^pos ratios) — a different algebra than the MPEG-1 tan() path;
-      // refused rather than decoded with MPEG-1 semantics (DIVERGENCES).
-      // Plain and MS LSF stereo decode in full.
-      if (lsf && channels == 2 && (modeExt & 1) != 0) return false
-      if (channels == 2) applyStereo(modeExt, gs, sfs, srIdx, xr)
+      if (channels == 2)
+        applyStereo(modeExt, gs, sfs, srIdx, xr,
+          lsfIntensity = if (lsf && (modeExt & 1) != 0)
+            Some((math.pow(2.0, -((gs(1).scalefacCompress & 1) + 1) / 4.0),
+              lsfMaxPos))
+          else None,
+          lsf = lsf)
 
       ch = 0
       val granulePcm = Array.ofDim[Double](channels, 576)

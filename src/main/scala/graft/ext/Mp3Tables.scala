@@ -76,6 +76,14 @@ object Mp3Tables {
     Array(Array(6, 5, 7, 3), Array(9, 9, 12, 6), Array(6, 9, 12, 6)),    // 400 <= sfc < 500
     Array(Array(11, 10, 0, 0), Array(18, 18, 0, 0), Array(15, 18, 0, 0)))// 500 <= sfc (preflag)
 
+  /** LSF INTENSITY-channel partitions (blocknumbers 3-5 of the same
+    * scheme — the right channel of an intensity-stereo LSF stream).
+    */
+  val lsfIntensityPartitions: Array[Array[Array[Int]]] = Array(
+    Array(Array(7, 7, 7, 0), Array(12, 12, 12, 0), Array(6, 15, 12, 0)),   // int_sfc < 180
+    Array(Array(6, 6, 6, 3), Array(12, 9, 9, 6), Array(6, 12, 9, 6)),      // 180 <= int_sfc < 244
+    Array(Array(8, 8, 5, 0), Array(15, 12, 9, 0), Array(6, 18, 9, 0)))     // 244 <= int_sfc
+
   /** LSF scalefac_compress -> (slen[4], blocknumber, preflag) — the
     * non-intensity branch of decode_scalefac_MPEG2.
     */
@@ -89,6 +97,19 @@ object Mp3Tables {
       val t = sfc - 500
       (Array(t / 3, t % 3, 0, 0), 2, 1)
     }
+
+  /** INTENSITY-channel branch: int_scalefac_comp = sfc >> 1 selects
+    * blocknumbers 3-5 (index 0-2 into [[lsfIntensityPartitions]]); the
+    * low sfc bit is the intensity SCALE (io = 2^(-(scale+1)/4)).
+    */
+  def lsfIntensitySlens(sfc: Int): (Array[Int], Int) = {
+    val t = sfc >> 1
+    if (t < 180) (Array(t / 36, (t % 36) / 6, t % 6, 0), 0)
+    else if (t < 244) {
+      val u = t - 180
+      (Array((u & 63) >> 4, (u & 15) >> 2, u & 3, 0), 1)
+    } else (Array((t - 244) / 3, (t - 244) % 3, 0, 0), 2)
+  }
 
   // ----------------------------------------------------------- huffman
 

@@ -283,6 +283,71 @@ class Mp3Layer3Spec extends graft.SparkSpec {
     assert(p2 >= 20.0, s"lsf transition psnr $p2")
   }
 
+  test("MIXED blocks: two long subbands + short above round-trip (MPEG-1 + LSF)") {
+    // energy in BOTH regions: a low tone living in the long subbands and
+    // a high tone in the short region — a mixed-path bug in either half
+    // fails the fit
+    val x = Array.tabulate(1152 * 4)(i =>
+      0.4 * math.sin(2 * math.Pi * 300.0 * i / sr) +
+        0.3 * math.sin(2 * math.Pi * 6500.0 * i / sr))
+    val d1 = Mp3Layer3.decode(Mp3Encoder.encodeMixed(x))
+    assert(d1.isDefined, "MPEG-1 mixed-block stream must decode")
+    val (_, _, p1) = Mp3Layer3.fitPsnr(x, d1.get.samples, 1500)
+    assert(p1 >= 20.0, s"m1 mixed psnr $p1")
+    val sr2 = 22050
+    val y = Array.tabulate(576 * 10)(i =>
+      0.4 * math.sin(2 * math.Pi * 300.0 * i / sr2) +
+        0.3 * math.sin(2 * math.Pi * 3250.0 * i / sr2))
+    val d2 = Mp3Layer3.decode(Mp3Encoder.encodeLsfMixed(y, sampleRate = sr2))
+    assert(d2.isDefined, "LSF mixed-block stream must decode")
+    val (_, _, p2) = Mp3Layer3.fitPsnr(y, d2.get.samples, 1500)
+    assert(p2 >= 20.0, s"lsf mixed psnr $p2")
+  }
+
+  test("LSF intensity stereo: positions render io^pos ratios, illegal/0 positions copy") {
+    val sr2 = 22050
+    val n = 576 * 8
+    val x = Array.tabulate(n)(i => 0.5 * math.sin(2 * math.Pi * 441.0 * i / sr2))
+    def chans(d: Mp3Layer3.Decoded): (Array[Double], Array[Double]) = {
+      val half = d.samples.length / 2
+      (Array.tabulate(half)(i => d.samples(2 * i)),
+        Array.tabulate(half)(i => d.samples(2 * i + 1)))
+    }
+    // all positions 0: both channels carry the full signal identically
+    val d0 = Mp3Layer3.decode(Mp3Encoder.encodeLsfIntensity(x, sampleRate = sr2,
+      positions = _ => 0)).get
+    assert(d0.channels == 2)
+    val (l0, r0) = chans(d0)
+    assert(l0.sameElements(r0), "pos=0 must render identical channels")
+    val (_, g0, p0) = Mp3Layer3.fitPsnr(x, l0, 1500)
+    assert(p0 >= 24.0, s"pos0 psnr $p0")
+    // all positions 1 (odd): LEFT attenuated by io, RIGHT full — the gain
+    // ratio measures io directly, for both intensity scales
+    for ((scale, io) <- Seq(0 -> math.pow(2.0, -0.25), 1 -> math.pow(2.0, -0.5))) {
+      val d1 = Mp3Layer3.decode(Mp3Encoder.encodeLsfIntensity(x, sampleRate = sr2,
+        intensityScale = scale, positions = _ => 1)).get
+      val (l1, r1) = chans(d1)
+      val (_, gl, pl) = Mp3Layer3.fitPsnr(x, l1, 1500)
+      val (_, gr2, pr) = Mp3Layer3.fitPsnr(x, r1, 1500)
+      assert(pl >= 24.0 && pr >= 24.0, s"scale=$scale psnr $pl/$pr")
+      // fitPsnr's gain multiplies the DECODED signal to match the
+      // reference, so an io-attenuated left means |gl| = |gr|/io:
+      // the ratio gr/gl measures io directly
+      val ratio = gr2 / gl
+      assert(math.abs(ratio - io) < 0.03,
+        s"scale=$scale right/left gain ratio $ratio should be io=$io")
+    }
+    // illegal position (max code 3 under slen 2) leaves channels as
+    // decoded: the empty i-channel stays SILENT, left keeps the signal
+    val di = Mp3Layer3.decode(Mp3Encoder.encodeLsfIntensity(x, sampleRate = sr2,
+      positions = _ => 3)).get
+    val (li, ri) = chans(di)
+    val (_, _, pli) = Mp3Layer3.fitPsnr(x, li, 1500)
+    assert(pli >= 24.0, s"illegal-pos left psnr $pli")
+    assert(ri.forall(_ == 0.0), "illegal position must not synthesize a right channel")
+    g0: Unit
+  }
+
   test("LSF nonzero scalefac_compress rows: sfc<400, 400<=sfc<500, preflag row") {
     val sr = 22050
     val n = 576 * 6
