@@ -43,6 +43,18 @@ object GraftQueriesR10 {
         .orderBy("doc_id")
     },
 
+    // OGG container walk ([[graft.ext.MediaContainers.parseOgg]]): CRC-32
+    // verified pages, lacing reassembly across page boundaries (small
+    // pages force continued packets; a multiple-of-255 packet exercises
+    // the zero-lacing terminator), BOS codec identification for
+    // Vorbis / Opus / FLAC-in-Ogg mapping headers.
+    "q_ogg_meta" -> { (s, d) =>
+      val ids = t(s, d)("documents").select(col("doc_id")).where(col("doc_id") < 60)
+      graft.ext.MediaContainers.oggMetaFrame(
+        graft.ext.MediaContainers.synthesizeOgg(ids, "doc_id"), "doc_id")
+        .orderBy("doc_id")
+    },
+
     "q_evolution_relmap" -> { (s, d) =>
       import graft.evolve._
       import graft.evolve.CascadeOp._
@@ -212,6 +224,24 @@ object GraftQueriesR10 {
         |  CASE doc_id % 4 WHEN 1 THEN 'fixed' WHEN 2 THEN 'lpc'
         |    WHEN 3 THEN 'verbatim' ELSE 'fixed' END AS subframes
         |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin,
+
+    "q_ogg_meta" ->
+      """SELECT doc_id,
+        |  -- 6 lacing segments (7 when the comment packet is 510 bytes),
+        |  -- 2 per page: head(1) + comment(2|3) + three data packets(1)
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 3 END AS BIGINT) AS n_pages,
+        |  CAST(5 AS BIGINT) AS n_packets,
+        |  CAST(4096 + doc_id AS BIGINT) AS serial,
+        |  CAST(2880 AS BIGINT) AS last_granule,
+        |  CASE doc_id % 3 WHEN 0 THEN 'vorbis' WHEN 1 THEN 'opus'
+        |    ELSE 'flac' END AS codec,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 2 WHEN 1 THEN 2
+        |    ELSE 1 END AS BIGINT) AS channels,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 48000 ELSE 44100 END AS BIGINT)
+        |    AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 312 ELSE 0 END AS BIGINT)
+        |    AS pre_skip
+        |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
 
     "q_evolution_relmap" ->
       """SELECT 'amount_nonnull' AS item, count(value) AS cnt FROM events

@@ -715,4 +715,276 @@ object MediaContainers {
       }
     }(enc)
   }
+
+  // ------------------------------------------------------------ § OGG
+
+  /** Stream-level OGG metadata: page/packet counts from a full lacing
+    * walk (CRC-verified pages), the final granule position, and the
+    * codec identified from the BOS packet — Vorbis identification
+    * header, OpusHead, or the FLAC-in-Ogg mapping header.
+    */
+  final case class OggMeta(nPages: Int, nPackets: Int, serial: Long,
+      lastGranule: Long, codec: String, channels: Int, sampleRate: Int,
+      preSkip: Int)
+
+  /** OGG page CRC-32: poly 0x04C11DB7, init 0, NO bit reflection, no
+    * final xor — computed with the page's own CRC field zeroed (RFC 3533).
+    */
+  def oggCrc(bytes: Array[Byte], from: Int, until: Int, crcFieldAt: Int): Long = {
+    var crc = 0L
+    var i = from
+    while (i < until) {
+      val b = if (i >= crcFieldAt && i < crcFieldAt + 4) 0 else bytes(i) & 0xff
+      crc ^= b.toLong << 24
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80000000L) != 0) ((crc << 1) ^ 0x04C11DB7L) & 0xffffffffL
+          else (crc << 1) & 0xffffffffL
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) | ((b(o + 2) & 0xffL) << 16) |
+      ((b(o + 3) & 0xffL) << 24)
+  private def le64(b: Array[Byte], o: Int): Long =
+    le32(b, o) | (le32(b, o + 4) << 32)
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  /** Walk every page of (the first logical stream of) an OGG container:
+    * sync, version 0, CRC verification, lacing reassembly across pages
+    * (continued-packet flag), BOS/EOS flags. None on malformed input.
+    */
+  def parseOgg(bytes: Array[Byte]): Option[OggMeta] =
+    try parseOggImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def parseOggImpl(bytes: Array[Byte]): Option[OggMeta] = {
+    var off = 0
+    var nPages = 0
+    var nPackets = 0
+    var serial = -1L
+    var lastGranule = 0L
+    var firstPacket: Option[Array[Byte]] = None
+    val pending = new scala.collection.mutable.ArrayBuffer[Byte]()
+    var sawEos = false
+    while (off + 27 <= bytes.length && !sawEos) {
+      if (!(bytes(off) == 'O' && bytes(off + 1) == 'g' && bytes(off + 2) == 'g' &&
+          bytes(off + 3) == 'S')) return if (nPages > 0) finishOgg(
+        nPages, nPackets, serial, lastGranule, firstPacket) else None
+      if (bytes(off + 4) != 0) return None // version
+      val headerType = bytes(off + 5) & 0xff
+      val granule = le64(bytes, off + 6)
+      val pageSerial = le32(bytes, off + 14)
+      val crc = le32(bytes, off + 22)
+      val nSegs = bytes(off + 26) & 0xff
+      if (off + 27 + nSegs > bytes.length) return None
+      var payloadLen = 0
+      var s = 0
+      while (s < nSegs) { payloadLen += bytes(off + 27 + s) & 0xff; s += 1 }
+      val pageEnd = off + 27 + nSegs + payloadLen
+      if (pageEnd > bytes.length) return None
+      if (crc != oggCrc(bytes, off, pageEnd, off + 22)) return None
+      if (serial < 0) serial = pageSerial
+      if (pageSerial == serial) {
+        if ((headerType & 1) == 0 && pending.nonEmpty) return None // lost continuation
+        var p = off + 27 + nSegs
+        s = 0
+        while (s < nSegs) {
+          val lace = bytes(off + 27 + s) & 0xff
+          var i = 0
+          while (i < lace) { pending += bytes(p); p += 1; i += 1 }
+          if (lace < 255) { // packet complete
+            nPackets += 1
+            if (firstPacket.isEmpty) firstPacket = Some(pending.toArray)
+            pending.clear()
+          }
+          s += 1
+        }
+        if (granule != -1L) lastGranule = granule
+        if ((headerType & 4) != 0) sawEos = true
+        nPages += 1
+      }
+      off = pageEnd
+    }
+    if (nPages == 0) None
+    else finishOgg(nPages, nPackets, serial, lastGranule, firstPacket)
+  }
+
+  private def finishOgg(nPages: Int, nPackets: Int, serial: Long,
+      lastGranule: Long, firstPacket: Option[Array[Byte]]): Option[OggMeta] = {
+    val (codec, ch, rate, preSkip) = firstPacket match {
+      case Some(p) if p.length >= 30 && p(0) == 1 &&
+          new String(p, 1, 6, "US-ASCII") == "vorbis" =>
+        // Vorbis identification header: ver(4) ch(1) rate(4) ...
+        ("vorbis", p(11) & 0xff, le32(p, 12).toInt, 0)
+      case Some(p) if p.length >= 19 &&
+          new String(p, 0, 8, "US-ASCII") == "OpusHead" =>
+        // OpusHead: ver(1)@8 ch(1)@9 preskip(2 LE)@10 inputRate(4 LE)@12
+        ("opus", p(9) & 0xff, le32(p, 12).toInt, le16(p, 10))
+      case Some(p) if p.length >= 51 && (p(0) & 0xff) == 0x7f &&
+          new String(p, 1, 4, "US-ASCII") == "FLAC" =>
+        // FLAC-in-Ogg mapping: 0x7f FLAC maj min nHeaders(2 BE) fLaC STREAMINFO
+        val si = 9 + 4 + 4 // mapping header + "fLaC" + block header
+        val rate = ((p(si + 10) & 0xff) << 12) | ((p(si + 11) & 0xff) << 4) |
+          ((p(si + 12) & 0xff) >> 4)
+        val ch = ((p(si + 12) >> 1) & 0x7) + 1
+        ("flac", ch, rate, 0)
+      case _ => ("unknown", 0, 0, 0)
+    }
+    Some(OggMeta(nPages, nPackets, serial, lastGranule, codec, ch, rate, preSkip))
+  }
+
+  /** Pack packets into a valid OGG stream: correct lacing (255-splits,
+    * incl. the zero-lacing terminator for multiple-of-255 packets),
+    * packet continuation across pages when a packet exceeds
+    * `maxSegsPerPage` segments, BOS/EOS flags, CRC-filled pages.
+    */
+  def oggPack(packets: Seq[Array[Byte]], serial: Long,
+      granules: Seq[Long], maxSegsPerPage: Int = 255): Array[Byte] = {
+    require(packets.nonEmpty && granules.length == packets.length)
+    // lacing values per packet
+    val laced: Seq[(Array[Byte], Seq[Int])] = packets.map { p =>
+      val full = p.length / 255
+      val segs = Seq.fill(full)(255) :+ (p.length % 255)
+      (p, segs)
+    }
+    // page break list: (segments, payload, granule, continuedIn)
+    final case class Page(segs: scala.collection.mutable.ArrayBuffer[Int],
+        payload: scala.collection.mutable.ArrayBuffer[Byte],
+        var granule: Long, var continued: Boolean)
+    val pages = new scala.collection.mutable.ArrayBuffer[Page]()
+    def newPage(cont: Boolean): Page = {
+      val pg = Page(new scala.collection.mutable.ArrayBuffer[Int](),
+        new scala.collection.mutable.ArrayBuffer[Byte](), -1L, cont)
+      pages += pg; pg
+    }
+    var cur = newPage(cont = false)
+    laced.zip(granules).foreach { case ((p, segs), g) =>
+      var taken = 0
+      segs.foreach { lace =>
+        if (cur.segs.length >= maxSegsPerPage)
+          cur = newPage(cont = taken > 0)
+        cur.segs += lace
+        cur.payload ++= p.slice(taken, taken + lace)
+        taken += lace
+      }
+      cur.granule = g // page granule = last COMPLETED packet's position
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    pages.zipWithIndex.foreach { case (pg, i) =>
+      val header = new Array[Byte](27 + pg.segs.length)
+      header(0) = 'O'; header(1) = 'g'; header(2) = 'g'; header(3) = 'S'
+      header(4) = 0
+      header(5) = ((if (pg.continued) 1 else 0) |
+        (if (i == 0) 2 else 0) |
+        (if (i == pages.length - 1) 4 else 0)).toByte
+      val gran = if (pg.granule == -1L && i != pages.length - 1) -1L else pg.granule
+      var k = 0
+      while (k < 8) { header(6 + k) = ((gran >>> (8 * k)) & 0xff).toByte; k += 1 }
+      k = 0
+      while (k < 4) { header(14 + k) = ((serial >>> (8 * k)) & 0xff).toByte; k += 1 }
+      k = 0
+      while (k < 4) { header(18 + k) = ((i.toLong >>> (8 * k)) & 0xff).toByte; k += 1 }
+      header(26) = pg.segs.length.toByte
+      k = 0
+      while (k < pg.segs.length) { header(27 + k) = pg.segs(k).toByte; k += 1 }
+      val page = header ++ pg.payload
+      val crc = oggCrc(page, 0, page.length, 22)
+      k = 0
+      while (k < 4) { page(22 + k) = ((crc >>> (8 * k)) & 0xff).toByte; k += 1 }
+      out ++= page
+    }
+    out.toArray
+  }
+
+  /** A synthetic Vorbis identification packet. */
+  def vorbisIdPacket(channels: Int, rate: Int): Array[Byte] = {
+    val p = new Array[Byte](30)
+    p(0) = 1
+    "vorbis".getBytes("US-ASCII").copyToArray(p, 1)
+    // version 0
+    p(11) = channels.toByte
+    var k = 0
+    while (k < 4) { p(12 + k) = ((rate >>> (8 * k)) & 0xff).toByte; k += 1 }
+    p(28) = ((4) | (8 << 4)).toByte // blocksizes 2^4 / 2^8
+    p(29) = 1 // framing bit
+    p
+  }
+
+  /** A synthetic OpusHead packet. */
+  def opusHeadPacket(channels: Int, preSkip: Int, inputRate: Int): Array[Byte] = {
+    val p = new Array[Byte](19)
+    "OpusHead".getBytes("US-ASCII").copyToArray(p, 0)
+    p(8) = 1 // version
+    p(9) = channels.toByte
+    p(10) = (preSkip & 0xff).toByte; p(11) = ((preSkip >> 8) & 0xff).toByte
+    var k = 0
+    while (k < 4) { p(12 + k) = ((inputRate >>> (8 * k)) & 0xff).toByte; k += 1 }
+    p
+  }
+
+  /** Synthesize one REAL OGG stream per row: per-id codec cycle
+    * (vorbis / opus / FLAC-in-Ogg mapping around a real [[FlacCodec]]
+    * stream), a comment packet, and deterministic data packets — one of
+    * them multiple-of-255-sized to exercise the zero-lacing terminator,
+    * with small pages so packets span page boundaries.
+    */
+  def synthesizeOgg(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType), StructField("media", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val head: Array[Byte] = (id % 3) match {
+          case 0 => vorbisIdPacket(channels = 1 + (id % 2).toInt, rate = 44100)
+          case 1 => opusHeadPacket(channels = 2, preSkip = 312, inputRate = 48000)
+          case _ =>
+            // the FLAC-in-Ogg FIRST packet carries only fLaC + STREAMINFO
+            // (audio frames ride later packets) — take exactly that
+            // prefix (4 marker + 4 block header + 34 STREAMINFO bytes)
+            val flac = FlacCodec.encode(
+              Array(Array.tabulate(256)(i => (math.sin(i * 0.1) * 1000).toInt)),
+              44100, blockSize = 256)
+            Array[Byte](0x7f, 0x46, 0x4c, 0x41, 0x43, 1, 0, 0, 1) ++ flac.take(42)
+        }
+        val comment = Array.fill[Byte](255 * (1 + (id % 2).toInt))((id % 7).toByte)
+        val data = (0 until 3).map(k =>
+          Array.fill[Byte](100 + 31 * k)(((id + k) % 11).toByte))
+        val packets = Seq(head, comment) ++ data
+        val granules = Seq(0L, 0L, 960L, 1920L, 2880L)
+        Row(id, oggPack(packets, serial = 0x1000 + id, granules,
+          maxSegsPerPage = 2))
+      }
+    }(enc)
+  }
+
+  /** parse + project [[OggMeta]] per row. */
+  def oggMetaFrame(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("n_pages", LongType),
+      StructField("n_packets", LongType),
+      StructField("serial", LongType),
+      StructField("last_granule", LongType),
+      StructField("codec", StringType),
+      StructField("channels", LongType),
+      StructField("sample_rate", LongType),
+      StructField("pre_skip", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col("media")).mapPartitions { it =>
+      it.flatMap { r =>
+        parseOgg(r.getAs[Array[Byte]](1)).map { m =>
+          Row(r.getLong(0), m.nPages.toLong, m.nPackets.toLong, m.serial,
+            m.lastGranule, m.codec, m.channels.toLong, m.sampleRate.toLong,
+            m.preSkip.toLong)
+        }
+      }
+    }(enc)
+  }
 }
