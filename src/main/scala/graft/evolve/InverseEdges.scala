@@ -341,20 +341,28 @@ object InverseEdges {
   private val ConfigKeys: Set[String] = LinkKeys ++ Set(
     "type", "links", "relation_map", "strict_edge_types", "relation_from_key",
     "description", "exclude_source", "exclude_target", "match", "properties",
-    "vertex_weights")
+    "vertex_weights",
+    // graft's loader accepts these dialect extensions on edge steps
+    // (ManifestLoader.parseEdgeStep: casting + the `weights` properties
+    // alias); the end-of-op validation must not reject a manifest the
+    // loader itself accepts
+    "casting", "weights")
 
   private val StrKeys: Set[String] = Set(
     "from", "source", "to", "target", "source_type_field", "target_type_field",
     "source_role", "target_role", "relation", "relation_field", "description",
-    "match_source", "match_target", "exclude_source", "exclude_target", "match")
+    "match_source", "match_target", "exclude_source", "exclude_target", "match",
+    "casting")
 
   private val BoolKeys: Set[String] = Set("strict_edge_types", "relation_from_key")
 
-  // pydantic v2 lax-mode bool coercions (str/int faces)
+  // pydantic v2 lax-mode bool coercions (str/int/float faces)
   private def laxBool(v: Any): Boolean = v match {
     case _: Boolean => true
     case i: Int     => i == 0 || i == 1
     case l: Long    => l == 0L || l == 1L
+    case d: Double  => d == 0.0 || d == 1.0
+    case f: Float   => f == 0.0f || f == 1.0f
     case s: String  => Set("true", "false", "t", "f", "yes", "no", "on",
       "off", "1", "0", "y", "n")(s.toLowerCase)
     case _ => false
@@ -384,7 +392,7 @@ object InverseEdges {
             case Some(rm) if rm.values.forall(_.isInstanceOf[String]) => ()
             case _ => return Some("relation_map must be a string map")
           }
-          case "properties" | "vertex_weights" =>
+          case "properties" | "vertex_weights" | "weights" =>
             if (!v.isInstanceOf[Seq[_]]) return Some(s"field '$k' must be a list")
           case "links" => v match {
             case xs: Seq[_] =>

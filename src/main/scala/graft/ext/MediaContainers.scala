@@ -883,7 +883,8 @@ object MediaContainers {
       header(5) = ((if (pg.continued) 1 else 0) |
         (if (i == 0) 2 else 0) |
         (if (i == pages.length - 1) 4 else 0)).toByte
-      val gran = if (pg.granule == -1L && i != pages.length - 1) -1L else pg.granule
+      // a page with no completed packet keeps granule -1 (RFC 3533)
+      val gran = pg.granule
       var k = 0
       while (k < 8) { header(6 + k) = ((gran >>> (8 * k)) & 0xff).toByte; k += 1 }
       k = 0

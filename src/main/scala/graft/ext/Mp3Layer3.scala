@@ -186,8 +186,10 @@ object Mp3Layer3 {
     * partitions per block shape ([[Mp3Tables.lsfSfbPartitions]] — the
     * same pinned table the encoder emits against). Returns the
     * scalefactors AND the scheme-implied preflag (LSF has no side-info
-    * preflag bit; sfc >= 500 selects the preemphasis row). Third-party
-    * intensity-stereo LSF streams are refused before this call.
+    * preflag bit; sfc >= 500 selects the preemphasis row). With
+    * `intensity = true` (the right channel of an intensity frame) the
+    * values are POSITIONS read under the blocknumber 3-5 scheme, and
+    * the per-band illegal codes come back as the third element.
     */
   private def readScalefactorsLsf(br: BitReader, g: GranuleInfo,
       intensity: Boolean = false): (Scalefactors, Int, Array[Int]) = {

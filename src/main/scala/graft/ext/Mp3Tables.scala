@@ -68,8 +68,8 @@ object Mp3Tables {
     * channel (ISO 13818-3 2.4.3.2 decode_scalefac_MPEG2): rows by
     * blocknumber (sfc range), columns by block shape long/short/mixed.
     * ONE pinned table drives both [[Mp3Layer3]]'s read and
-    * [[Mp3Encoder]]'s emission. Intensity rows (blocknumbers 3-5) are
-    * out of scope — LSF intensity streams are refused.
+    * [[Mp3Encoder]]'s emission. The intensity-channel rows
+    * (blocknumbers 3-5) live in [[lsfIntensityPartitions]].
     */
   val lsfSfbPartitions: Array[Array[Array[Int]]] = Array(
     Array(Array(6, 5, 5, 5), Array(9, 9, 9, 9), Array(6, 9, 9, 9)),      // sfc < 400
@@ -77,7 +77,8 @@ object Mp3Tables {
     Array(Array(11, 10, 0, 0), Array(18, 18, 0, 0), Array(15, 18, 0, 0)))// 500 <= sfc (preflag)
 
   /** LSF INTENSITY-channel partitions (blocknumbers 3-5 of the same
-    * scheme — the right channel of an intensity-stereo LSF stream).
+    * scheme — the right channel of an intensity-stereo LSF stream
+    * carries positions read under these band counts).
     */
   val lsfIntensityPartitions: Array[Array[Array[Int]]] = Array(
     Array(Array(7, 7, 7, 0), Array(12, 12, 12, 0), Array(6, 15, 12, 0)),   // int_sfc < 180

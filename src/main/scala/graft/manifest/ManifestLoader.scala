@@ -396,6 +396,12 @@ object ManifestLoader {
   private def parseStep(s: JsonNode): Step = {
     if (s.has("vertex")) parseVertexStep(s)
     else if (s.has("transform")) parseTransform(s.path("transform"))
+    // flat multi-link edge step — the cascade/inverse machinery emits the
+    // normalized `{type: edge, links: [...]}` shape; it must win over the
+    // type-tag dispatch below or every link silently drops (the re-loaded
+    // step would parse as ONE empty EdgeStep)
+    else if (s.has("links")) MultiEdgeStep(
+      s.path("links").elements().asScala.map(l => parseEdgeStep(l)).toSeq)
     // normalized edge actor (`type: edge`) — the cascade flattens `edge:`
     // wrappers into this form, so it must keep the wrapper's semantics
     // (relation_map APPLIES); it must win over the source/target shorthand
@@ -417,8 +423,6 @@ object ManifestLoader {
         e.path("links").elements().asScala.map(l => parseEdgeStep(l)).toSeq)
       else parseEdgeStep(e)
     }
-    else if (s.has("links")) MultiEdgeStep(
-      s.path("links").elements().asScala.map(l => parseEdgeStep(l)).toSeq)
     // role-bound edge without a type tag: dynamic endpoints only —
     // source_role/target_role/…_type_field (`type: edge` handled above)
     else if (s.has("source_role") || s.has("target_role") ||

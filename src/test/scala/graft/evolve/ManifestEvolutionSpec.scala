@@ -103,4 +103,48 @@ class ManifestEvolutionSpec extends SparkSpec {
     val out = reader.neighbors(NeighborQuery("u", FilterExpr.eq("id", "u1")))
     assert(out.vertices("u").count() == 1)
   }
+
+  test("multi-link edge steps survive the evolve round trip (flat {type: edge, links})") {
+    // the cascade normalizes `edge: {links: [...]}` into the FLAT
+    // `{type: edge, links: [...]}` shape; the loader's type-tag dispatch
+    // must not swallow it into one empty EdgeStep (round-10 self-review
+    // finding: every link silently dropped)
+    val linked =
+      """schema:
+        |    metadata: {name: t}
+        |    graph:
+        |        vertex_config:
+        |            vertices:
+        |            -   name: a
+        |                properties: [aid, x]
+        |                identity: [aid]
+        |            -   name: b
+        |                properties: [bid]
+        |                identity: [bid]
+        |        edge_config:
+        |            edges:
+        |            -   {source: a, target: b, relation: r1}
+        |            -   {source: a, target: b, relation: r2}
+        |ingestion_model:
+        |    resources:
+        |    -   name: r
+        |        pipeline:
+        |        -   vertex: a
+        |        -   vertex: b
+        |        -   edge:
+        |                links:
+        |                -   {from: a, to: b, relation: r1}
+        |                -   {from: a, to: b, relation: r2}
+        |""".stripMargin
+    val evolved = ManifestEvolution.evolveManifest(linked, Seq(
+      RenameVertexProperties(Seq("a" -> Seq("x" -> "y")))))
+    val steps = evolved.resources.head.steps
+    val multi = steps.collect { case m: graft.pipeline.MultiEdgeStep => m }
+    assert(multi.nonEmpty, s"links step vanished: $steps")
+    assert(multi.head.links.map(_.relation).sorted == Seq("r1", "r2"))
+    // and the renamed property still feeds the vertex step
+    val va = steps.collect {
+      case v: graft.pipeline.VertexStep if v.vertex == "a" => v }.head
+    assert(va.from.get("y").contains("x"))
+  }
 }
