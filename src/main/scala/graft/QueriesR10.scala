@@ -218,7 +218,8 @@ object GraftQueriesR10 {
     "q_flac_decode" ->
       """SELECT doc_id, CAST(44100 AS BIGINT) AS sample_rate,
         |  CAST(CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 1 END AS BIGINT) AS channels,
-        |  CAST(16 AS BIGINT) AS bits_per_sample,
+        |  CAST(CASE WHEN doc_id % 8 >= 4 THEN 32 ELSE 16 END AS BIGINT)
+        |    AS bits_per_sample,
         |  CAST(5096 AS BIGINT) AS n_samples,
         |  true AS exact_match,
         |  CASE doc_id % 4 WHEN 1 THEN 'fixed' WHEN 2 THEN 'lpc'

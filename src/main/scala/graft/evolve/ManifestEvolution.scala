@@ -195,6 +195,46 @@ object ManifestEvolution {
 
   // -------------------------------------------------------------- helpers
 
+  /** apply_storage_name_sanitization_to_db_profile (evolution/
+    * db_profile.py:257-321): vertex storage names sanitize with the
+    * `_vertex` suffix; edge relation names sanitize with `_relation` and
+    * then dedupe against the POST-vertex-pass storage-name set — an
+    * UNCHANGED relation name colliding with a vertex storage name still
+    * gains the `_relation` suffix (and `_relation_1`, ... while taken).
+    * Relation-less edges are skipped (`if not edge.relation: continue`).
+    */
+  private def sanitizeStorageNames(schema: GraphSchema,
+      sanitize: (String, String) => String): GraphSchema = {
+    val s = schema.copy(vertices = schema.vertices.map { v =>
+      val dbname = v.effectiveStorageName
+      val sanitized = sanitize(dbname, "_vertex")
+      if (sanitized != dbname) v.copy(storageName = Some(sanitized)) else v
+    })
+    val vertexStorageNames = s.vertices.map(_.effectiveStorageName).toSet
+    s.copy(edges = s.edges.map { e =>
+      if (!e.relationDeclared || e.relation.isEmpty) e
+      else {
+        val original = e.effectiveRelationName
+        var sanitized = sanitize(original, "_relation")
+        if (vertexStorageNames(sanitized)) {
+          val base = sanitized + "_relation"
+          var candidate = base
+          var counter = 1
+          while (vertexStorageNames(candidate)) {
+            candidate = s"${base}_$counter"; counter += 1
+          }
+          sanitized = candidate
+        }
+        if (sanitized != original)
+          // set_edge_name_spec creates the physical spec when absent
+          // (database_features.py:440-460)
+          e.copy(relationName = Some(sanitized),
+            specIndexes = Some(e.specIndexes.getOrElse(Nil)))
+        else e
+      }
+    })
+  }
+
   private def resources(im: Obj): Vector[Obj] =
     asArr(im.getOrElse("resources", Vector())).getOrElse(Vector())
       .flatMap(asObj(_))
@@ -835,20 +875,20 @@ object ManifestEvolution {
       // an explicit EMPTY list on tigergraph falls back to the defaults
       val reservedUpper =
         if (isTg && loaded.isEmpty) SanitizeRules.TigerGraphReserved else loaded
-      def escapeReserved(name: String): String = {
+      def escapeReserved(name: String, suffix: String): String = {
         if (name.isEmpty || reservedUpper.isEmpty) return name
         if (!reservedUpper(name.toUpperCase)) return name
-        val candidate = name + "_attr"
+        val candidate = name + suffix
         if (!reservedUpper(candidate.toUpperCase)) return candidate
         var k = 1
-        while (reservedUpper(s"${name}_attr_$k".toUpperCase) && k <= 1000) k += 1
-        s"${name}_attr_$k"
+        while (reservedUpper(s"$name${suffix}_$k".toUpperCase) && k <= 1000) k += 1
+        s"$name${suffix}_$k"
       }
       // sanitize_tigergraph_identifier order: invalid chars, forbidden
       // prefix, THEN the reserved escape (db/util.py:289-307)
-      def sanitizeName(name: String): String = {
+      def sanitizeName(name: String, suffix: String): String = {
         if (!runNameSanitization || name.isEmpty) return name
-        if (!isTg) return escapeReserved(name)
+        if (!isTg) return escapeReserved(name, suffix)
         val replaced = name.flatMap(c =>
           if (SanitizeRules.TigerGraphInvalidChars(c))
             SanitizeRules.InvalidCharReplacement
@@ -857,18 +897,71 @@ object ManifestEvolution {
           .find(replaced.startsWith)
           .map(_ => SanitizeRules.ForbiddenPrefixReplacement + replaced)
           .getOrElse(replaced)
-        escapeReserved(prefixed)
+        escapeReserved(prefixed, suffix)
       }
-      val renames = state.schema.vertices.flatMap { v =>
-        val fields = (v.properties.map(_.name) ++ naturalFields(v.identity)).distinct
-        val per = fields.flatMap { f =>
-          val nn = sanitizeName(f)
-          if (nn != f) Some(f -> nn) else None
+      var st = state
+      if (runNameSanitization) {
+        // 1. db_profile storage-name sanitization (apply.py:1392-1398,
+        // db_profile.py:257-321 apply_storage_name_sanitization_to_db_
+        // profile): vertex storage names escape with "_vertex", THEN edge
+        // relation names escape with "_relation" and dedupe against the
+        // post-pass vertex storage-name set
+        st = st.copy(schema = sanitizeStorageNames(st.schema, sanitizeName))
+        // 2. vertex FIELD renames (compute_vertex_field_renames walks the
+        // reference's MATERIALIZED property list, sanitize.py:64-95)
+        val renames = st.schema.vertices.flatMap { v =>
+          val per = v.referenceProperties.map(_.name).flatMap { f =>
+            val nn = sanitizeName(f, "_attr")
+            if (nn != f) Some(f -> nn) else None
+          }
+          if (per.nonEmpty) Some(v.name -> per) else None
         }
-        if (per.nonEmpty) Some(v.name -> per) else None
+        if (renames.nonEmpty) st = applyOne(st, RenameVertexProperties(renames))
       }
-      if (renames.isEmpty) state
-      else applyOne(state, RenameVertexProperties(renames))
+      // 3. TigerGraph consistent-identity-per-relation normalization
+      // (apply.py:1409-1419; sanitize.py:191-257) — runs OUTSIDE the
+      // name-sanitization gate, no-op for non-tigergraph flavors
+      if (isTg) {
+        val (schema2, idRenames) = NormalizeIdentity(st.schema)
+        if (idRenames.nonEmpty) {
+          val renMap = idRenames.toMap
+          // apply_field_rename_to_db_profile (db_profile.py:337-401):
+          // vertex indexes rewrite per-vertex; edge spec indexes rewrite
+          // with the MERGED source+target maps (target wins key clashes);
+          // then finish_init re-registers the secondary-derived lookup
+          // indexes (idempotent on the field tuple)
+          val schema3 = schema2.copy(
+            vertices = schema2.vertices.map { v =>
+              renMap.get(v.name).filter(_.nonEmpty) match {
+                case None => v
+                case Some(per) =>
+                  val m = per.toMap
+                  val renamed = v.indexes.map(ix =>
+                    ix.copy(fields = ix.fields.map(f => m.getOrElse(f, f))))
+                  val seen = scala.collection.mutable.LinkedHashMap.empty[Seq[String], IndexDef]
+                  (renamed ++ v.derivedIndexes).foreach(ix =>
+                    if (!seen.contains(ix.fields)) seen(ix.fields) = ix)
+                  v.copy(indexes = seen.values.toSeq)
+              }
+            },
+            edges = schema2.edges.map { e =>
+              e.specIndexes match {
+                case None => e
+                case Some(spec) =>
+                  val merged = renMap.getOrElse(e.source, Nil).toMap ++
+                    renMap.getOrElse(e.target, Nil).toMap
+                  if (merged.isEmpty) e
+                  else e.copy(specIndexes = Some(spec.map(ix =>
+                    ix.copy(fields = ix.fields.map(f => merged.getOrElse(f, f))))))
+              }
+            })
+          val im = rebuildWithPipelineRewrite(st.ingestion,
+            pl => rewriteVertexFieldNamesInPipeline(pl, renMap),
+            vertexFieldRenames = renMap)
+          st = ManifestState(schema3, im, st.bindings)
+        } else st = st.copy(schema = schema2)
+      }
+      st
 
     case ProjectManifest(keepV, keepE, prune, keepResources) =>
       val sel = Project.selectInduced(state.schema, keepV, keepE, prune)

@@ -11,7 +11,9 @@ package graft.ext
   * CONSTANT / VERBATIM / FIXED(0-4) / LPC subframes, wasted bits, Rice
   * residual (4- and 5-bit parameter methods, partition orders, raw-bits
   * escape), and the left/side, right/side and mid/side channel
-  * decorrelations. 8/16/24-bit sample sizes.
+  * decorrelations. 8-32-bit sample sizes (RFC 9639 allows up to 32; the
+  * sample path runs in Long because a 32-bit stream's side channel
+  * carries 33 bits).
   *
   * Encoder surface (the oracle's witness): per-block best-of FIXED
   * predictor orders 0-4 with Rice residuals, optional VERBATIM and
@@ -50,6 +52,13 @@ object FlacCodec {
     def readSigned(n: Int): Int = {
       val v = read(n)
       if (n > 0 && (v & (1 << (n - 1))) != 0) v - (1 << n) else v
+    }
+    /** signed n-bit two's complement, n up to 63 (32-bit PCM and its
+      * 33-bit side channel need more than Int)
+      */
+    def readSignedLong(n: Int): Long = {
+      val v = readLong(n)
+      if (n > 0 && (v & (1L << (n - 1))) != 0) v - (1L << n) else v
     }
     /** FLAC unary: n 0-bits then a 1-bit -> n */
     def readUnary(): Int = {
@@ -191,16 +200,16 @@ object FlacCodec {
         case _  => ()
       }
       val frameBps = if (ssCode == 0) bps else SampleSizes(ssCode)
-      // 8..24-bit PCM (the FLAC mainstream); 32-bit would overflow the
-      // Int sign-extension path and is not exercised by the encoder
-      if (frameBps == 0 || frameBps > 24) return None
+      // 8..32-bit PCM (RFC 9639 §5: up to 32; the sample path runs in
+      // Long because a 32-bit stream's side channel carries 33 bits)
+      if (frameBps == 0 || frameBps > 32) return None
       // header CRC-8
       val headerEnd = br.bytePos
       if (br.read(8) != crc8(bytes, off, headerEnd)) return None
 
       val nCh = if (chAssign < 8) chAssign + 1 else 2
       if (nCh != channels) return None
-      val chans = Array.ofDim[Int](nCh, blockSize)
+      val chans = Array.ofDim[Long](nCh, blockSize)
       var c = 0
       while (c < nCh) {
         // side channels carry one extra bit
@@ -239,7 +248,12 @@ object FlacCodec {
         case _ => ()
       }
       c = 0
-      while (c < nCh) { out(c) ++= chans(c); c += 1 }
+      while (c < nCh) {
+        // post-decorrelation values fit the stream's bps (<= 32 bits)
+        var i = 0
+        while (i < blockSize) { out(c) += chans(c)(i).toInt; i += 1 }
+        c += 1
+      }
       off = frameEnd + 2
       frames += 1
     }
@@ -270,7 +284,7 @@ object FlacCodec {
   }
 
   private def decodeSubframe(br: BitReader, n: Int, bps: Int,
-      out: Array[Int], types: scala.collection.mutable.Set[String]): Option[Unit] = {
+      out: Array[Long], types: scala.collection.mutable.Set[String]): Option[Unit] = {
     if (br.read1() != 0) return None // padding bit
     val t = br.read(6)
     val wastedFlag = br.read1()
@@ -279,18 +293,18 @@ object FlacCodec {
     val ok: Option[Unit] =
       if (t == 0) { // CONSTANT
         types += "constant"
-        val v = br.readSigned(effBps)
+        val v = br.readSignedLong(effBps)
         java.util.Arrays.fill(out, v); Some(())
       } else if (t == 1) { // VERBATIM
         types += "verbatim"
         var i = 0
-        while (i < n) { out(i) = br.readSigned(effBps); i += 1 }
+        while (i < n) { out(i) = br.readSignedLong(effBps); i += 1 }
         Some(())
       } else if (t >= 8 && t <= 12) { // FIXED order 0-4
         types += "fixed"
         val order = t - 8
         var i = 0
-        while (i < order) { out(i) = br.readSigned(effBps); i += 1 }
+        while (i < order) { out(i) = br.readSignedLong(effBps); i += 1 }
         decodeResidual(br, n, order, out).map { _ =>
           restoreFixed(out, n, order)
         }
@@ -298,7 +312,7 @@ object FlacCodec {
         types += "lpc"
         val order = (t & 31) + 1
         var i = 0
-        while (i < order) { out(i) = br.readSigned(effBps); i += 1 }
+        while (i < order) { out(i) = br.readSignedLong(effBps); i += 1 }
         val precision = br.read(4) + 1
         if (precision == 16) return None // 1111 is invalid
         val shift = br.readSigned(5)
@@ -310,7 +324,7 @@ object FlacCodec {
             var acc = 0L
             var j = 0
             while (j < order) { acc += coef(j).toLong * out(k - 1 - j); j += 1 }
-            out(k) = out(k) + (acc >> shift).toInt
+            out(k) = out(k) + (acc >> shift)
             k += 1
           }
         }
@@ -323,7 +337,7 @@ object FlacCodec {
     }
   }
 
-  private def restoreFixed(x: Array[Int], n: Int, order: Int): Unit = {
+  private def restoreFixed(x: Array[Long], n: Int, order: Int): Unit = {
     var i = order
     while (i < n) {
       order match {
@@ -339,7 +353,7 @@ object FlacCodec {
 
   /** Rice residual into out[order..n) (FLAC residual coding methods 0/1). */
   private def decodeResidual(br: BitReader, n: Int, order: Int,
-      out: Array[Int]): Option[Unit] = {
+      out: Array[Long]): Option[Unit] = {
     val method = br.read(2)
     if (method > 1) return None
     val paramBits = if (method == 0) 4 else 5
@@ -356,14 +370,14 @@ object FlacCodec {
       if (param == escape) {
         val raw = br.read(5)
         var i = 0
-        while (i < count) { out(idx) = if (raw == 0) 0 else br.readSigned(raw); idx += 1; i += 1 }
+        while (i < count) { out(idx) = if (raw == 0) 0L else br.readSignedLong(raw); idx += 1; i += 1 }
       } else {
         var i = 0
         while (i < count) {
           if (br.remainingBits <= 0) return None
           val q = br.readUnary()
-          val u = (q.toLong << param) | br.read(param).toLong
-          out(idx) = ((u >>> 1) ^ -(u & 1L)).toInt // un-zigzag
+          val u = (q.toLong << param) | br.readLong(param)
+          out(idx) = (u >>> 1) ^ -(u & 1L) // un-zigzag
           idx += 1; i += 1
         }
       }
@@ -442,7 +456,7 @@ object FlacCodec {
     bw.write(7, 4) // blocksize: 16-bit value-1 follows
     bw.write(0, 4) // samplerate: from STREAMINFO
     bw.write(if (midSide) 10L else (chans.length - 1).toLong, 4)
-    bw.write(bps match { case 8 => 1; case 12 => 2; case 16 => 4; case 20 => 5; case 24 => 6; case _ => 4 }, 3)
+    bw.write(bps match { case 8 => 1; case 12 => 2; case 16 => 4; case 20 => 5; case 24 => 6; case 32 => 7; case _ => 4 }, 3)
     bw.write(0, 1) // reserved
     writeUtf8Number(bw, frameNo.toLong)
     bw.write((bs - 1).toLong, 16)
@@ -451,10 +465,11 @@ object FlacCodec {
 
     val body = new BitWriter
     if (midSide) {
-      val mid = new Array[Int](bs); val side = new Array[Int](bs)
+      // mid fits bps bits; side needs bps+1 (33 for 32-bit PCM) -> Long
+      val mid = new Array[Long](bs); val side = new Array[Long](bs)
       var i = 0
       while (i < bs) {
-        val l = chans(0)(pos + i); val r = chans(1)(pos + i)
+        val l = chans(0)(pos + i).toLong; val r = chans(1)(pos + i).toLong
         mid(i) = (l + r) >> 1
         side(i) = l - r
         i += 1
@@ -463,7 +478,9 @@ object FlacCodec {
       encodeSubframe(body, side, bps + 1, strategy)
     } else {
       chans.foreach { ch =>
-        val seg = java.util.Arrays.copyOfRange(ch, pos, pos + bs)
+        val seg = new Array[Long](bs)
+        var i = 0
+        while (i < bs) { seg(i) = ch(pos + i).toLong; i += 1 }
         encodeSubframe(body, seg, bps, strategy)
       }
     }
@@ -473,28 +490,28 @@ object FlacCodec {
     frame ++ Array(((crc >> 8) & 0xff).toByte, (crc & 0xff).toByte)
   }
 
-  private def encodeSubframe(bw: BitWriter, x: Array[Int], bps: Int,
+  private def encodeSubframe(bw: BitWriter, x: Array[Long], bps: Int,
       strategy: Strategy): Unit = {
     val n = x.length
     if (x.forall(_ == x(0))) { // CONSTANT wins always
       bw.write(0, 1); bw.write(0, 6); bw.write(0, 1)
-      bw.write(x(0).toLong & ((1L << bps) - 1), bps)
+      bw.write(x(0) & ((1L << bps) - 1), bps)
       return
     }
     strategy match {
       case Verbatim =>
         bw.write(0, 1); bw.write(1, 6); bw.write(0, 1)
         var i = 0
-        while (i < n) { bw.write(x(i).toLong & ((1L << bps) - 1), bps); i += 1 }
+        while (i < n) { bw.write(x(i) & ((1L << bps) - 1), bps); i += 1 }
       case Lpc2 if n > 2 =>
         // subframe type 1xxxxx with order-1 = 1 -> t = 33; coefs [2,-1]
         bw.write(0, 1); bw.write(32 + 1, 6); bw.write(0, 1)
-        bw.write(x(0).toLong & ((1L << bps) - 1), bps)
-        bw.write(x(1).toLong & ((1L << bps) - 1), bps)
+        bw.write(x(0) & ((1L << bps) - 1), bps)
+        bw.write(x(1) & ((1L << bps) - 1), bps)
         bw.write(3, 4) // precision-1 = 3 -> 4 bits
         bw.write(0, 5) // shift 0
         bw.write(2L & 0xf, 4); bw.write((-1L) & 0xf, 4)
-        val res = new Array[Int](n)
+        val res = new Array[Long](n)
         var i = 2
         while (i < n) { res(i) = x(i) - (2 * x(i - 1) - x(i - 2)); i += 1 }
         writeResidual(bw, res, n, order = 2)
@@ -506,21 +523,21 @@ object FlacCodec {
         while (o <= maxOrder) {
           var cost = 0L
           var i = o
-          while (i < n) { cost += math.abs(fixedResidual(x, i, o).toLong); i += 1 }
+          while (i < n) { cost += math.abs(fixedResidual(x, i, o)); i += 1 }
           if (cost < bestCost) { bestCost = cost; best = o }
           o += 1
         }
         bw.write(0, 1); bw.write(8 + best, 6); bw.write(0, 1)
         var i = 0
-        while (i < best) { bw.write(x(i).toLong & ((1L << bps) - 1), bps); i += 1 }
-        val res = new Array[Int](n)
+        while (i < best) { bw.write(x(i) & ((1L << bps) - 1), bps); i += 1 }
+        val res = new Array[Long](n)
         i = best
         while (i < n) { res(i) = fixedResidual(x, i, best); i += 1 }
         writeResidual(bw, res, n, best)
     }
   }
 
-  private def fixedResidual(x: Array[Int], i: Int, order: Int): Int = order match {
+  private def fixedResidual(x: Array[Long], i: Int, order: Int): Long = order match {
     case 0 => x(i)
     case 1 => x(i) - x(i - 1)
     case 2 => x(i) - (2 * x(i - 1) - x(i - 2))
@@ -528,21 +545,26 @@ object FlacCodec {
     case _ => x(i) - (4 * x(i - 1) - 6 * x(i - 2) + 4 * x(i - 3) - x(i - 4))
   }
 
-  /** method-0 Rice, one partition, parameter fit to the mean magnitude */
-  private def writeResidual(bw: BitWriter, res: Array[Int], n: Int, order: Int): Unit = {
-    bw.write(0, 2) // method 0 (4-bit params)
-    bw.write(0, 4) // partition order 0
+  /** one-partition Rice, parameter fit to the mean magnitude; residuals
+    * from 32-bit PCM need parameters past method 0's 14 cap, so the
+    * writer escalates to method 1 (5-bit parameters, cap 30) when the
+    * fit demands it — both methods were always in the decoder
+    */
+  private def writeResidual(bw: BitWriter, res: Array[Long], n: Int, order: Int): Unit = {
     var sum = 0L
     var i = order
-    while (i < n) { sum += math.abs(res(i).toLong); i += 1 }
+    while (i < n) { sum += math.abs(res(i)); i += 1 }
     val mean = if (n > order) sum / (n - order) else 0L
     var param = 0
-    while (param < 14 && (1L << param) < mean) param += 1
-    bw.write(param.toLong, 4)
+    while (param < 30 && (1L << param) < mean) param += 1
+    val method1 = param > 14
+    bw.write(if (method1) 1 else 0, 2)
+    bw.write(0, 4) // partition order 0
+    bw.write(param.toLong, if (method1) 5 else 4)
     i = order
     while (i < n) {
       val v = res(i)
-      val u = if (v >= 0) v.toLong << 1 else ((-v).toLong << 1) - 1
+      val u = if (v >= 0) v << 1 else ((-v) << 1) - 1
       bw.writeUnary((u >>> param).toInt)
       if (param > 0) bw.write(u & ((1L << param) - 1), param)
       i += 1

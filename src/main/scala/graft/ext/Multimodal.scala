@@ -1180,12 +1180,23 @@ object Multimodal {
   private def flacTone(id: Long, n: Int, right: Boolean = false): Array[Int] = {
     val sr = 44100
     val freq = (300.0 + (id % 10).toDouble * 250.0) * (if (right) 1.5 else 1.0)
+    val wide = flacBps(id) == 32
     if (id % 4 == 3) { // verbatim leg: deterministic noise
       val rnd = new scala.util.Random(id)
-      Array.tabulate(n)(_ => rnd.nextInt(60000) - 30000)
-    } else Array.tabulate(n)(i =>
-      math.rint(24000.0 * math.sin(2 * math.Pi * freq * i / sr)).toInt)
+      if (wide) Array.tabulate(n)(_ => rnd.nextInt()) // full 32-bit range
+      else Array.tabulate(n)(_ => rnd.nextInt(60000) - 30000)
+    } else {
+      val amp = if (wide) 24000.0 * 65536.0 else 24000.0
+      Array.tabulate(n)(i =>
+        math.rint(amp * math.sin(2 * math.Pi * freq * i / sr)).toInt)
+    }
   }
+
+  /** Sample size per id: the 8-cycle's upper half runs the RFC 9639
+    * 32-bit path (Long sample plane, 33-bit mid/side side channel,
+    * method-1 Rice parameters) — the lower half stays 16-bit.
+    */
+  private def flacBps(id: Long): Int = if (id % 8 >= 4) 32 else 16
 
   /** FLAC leg shape per id: 0 mono best-FIXED, 1 STEREO mid/side,
     * 2 mono LPC subframes, 3 mono VERBATIM (noise).
@@ -1203,15 +1214,17 @@ object Multimodal {
     df.select(col(idCol).cast("long")).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
+        val bps = flacBps(id)
         val bytes = flacShape(id) match {
           case 1 => FlacCodec.encode(
             Array(flacTone(id, nSamples), flacTone(id, nSamples, right = true)),
-            44100, midSide = true)
+            44100, bps = bps, midSide = true)
           case 2 => FlacCodec.encode(Array(flacTone(id, nSamples)), 44100,
-            strategy = FlacCodec.Lpc2)
+            bps = bps, strategy = FlacCodec.Lpc2)
           case 3 => FlacCodec.encode(Array(flacTone(id, nSamples)), 44100,
-            strategy = FlacCodec.Verbatim)
-          case _ => FlacCodec.encode(Array(flacTone(id, nSamples)), 44100)
+            bps = bps, strategy = FlacCodec.Verbatim)
+          case _ => FlacCodec.encode(Array(flacTone(id, nSamples)), 44100,
+            bps = bps)
         }
         Row(id, bytes)
       }

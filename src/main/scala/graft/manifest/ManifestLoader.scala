@@ -162,18 +162,27 @@ object ManifestLoader {
         e.getKey -> parseIndexes(e.getValue)).toMap
       case _ => Map.empty
     }
-    val eSpecs: Map[EdgeKey, Seq[IndexDef]] = profile.path("edge_specs") match {
+    val eSpecs: Map[EdgeKey, (Seq[IndexDef], Option[String])] = profile.path("edge_specs") match {
       case n if n.isArray => n.elements().asScala.map { sp =>
         EdgeKey(sp.path("source").asText(), sp.path("target").asText(),
-          sp.path("relation").asText()) -> parseIndexes(sp.path("indexes"))
+          sp.path("relation").asText()) ->
+          ((parseIndexes(sp.path("indexes")),
+            Option(sp.get("relation_name")).filterNot(_.isNull).map(_.asText())))
       }.toMap
+      case _ => Map.empty
+    }
+    // physical storage-name overrides (db_profile.vertex_storage_names)
+    val vStorage: Map[String, String] = profile.path("vertex_storage_names") match {
+      case n if n.isObject => n.properties().asScala.map(e =>
+        e.getKey -> e.getValue.asText()).toMap
       case _ => Map.empty
     }
     // registration order matches the reference profile: YAML-authored
     // entries first, then the secondary-identity-DERIVED lookup indexes
     // finish_init appends (idempotent on the field tuple); op additions
     // land after both (executed-parity fixture `avi_basic` ordering)
-    def withDerived(v: VertexDef): VertexDef = {
+    def withDerived(v0: VertexDef): VertexDef = {
+      val v = vStorage.get(v0.name).map(sn => v0.copy(storageName = Some(sn))).getOrElse(v0)
       val authored = vIndexes.getOrElse(v.name, Nil)
       val seen = scala.collection.mutable.LinkedHashMap.empty[Seq[String], IndexDef]
       (authored ++ v.derivedIndexes).foreach(ix =>
@@ -182,7 +191,9 @@ object ManifestLoader {
     }
     GraphSchema(
       vertices.map(withDerived),
-      edges.map(e => eSpecs.get(e.key).map(ix => e.copy(specIndexes = Some(ix))).getOrElse(e)))
+      edges.map(e => eSpecs.get(e.key).map { case (ix, rn) =>
+        e.copy(specIndexes = Some(ix), relationName = rn)
+      }.getOrElse(e)))
   }
 
   private def parseIndexes(n: JsonNode): Seq[IndexDef] = n match {

@@ -134,8 +134,26 @@ final case class VertexDef(
     /** AUTHORED secondary indexes (db_profile.vertex_indexes). Derived
       * lookup indexes come from [[secondary]] — see [[derivedIndexes]].
       */
-    indexes: Seq[IndexDef] = Nil
+    indexes: Seq[IndexDef] = Nil,
+    /** Physical storage-name override (db_profile.vertex_storage_names,
+      * reference database_features.py:320-321: effective name defaults to
+      * the logical vertex name). The sanitize cascade rewrites this
+      * against a flavor's reserved words (evolution/db_profile.py:257).
+      */
+    storageName: Option[String] = None
 ) {
+  /** Effective physical storage name (reference `vertex_storage_name`). */
+  def effectiveStorageName: String = storageName.getOrElse(name)
+
+  /** The reference's flat `vertex.identity` list as the normalization
+    * plane sees it (vertex.py:884-902 `_normalize_vertex_identities`:
+    * hash/funnel/blank vertices get the synthetic `id` field).
+    */
+  def identityList: Seq[String] = identity match {
+    case Identity.Natural(fs)  => fs
+    case Identity.Assigned(f)  => Seq(f)
+    case _                     => Seq("id")
+  }
   /** Every secondary identity derives a non-unique lookup index that
     * finish_init re-registers (reference database_features.py — probe:
     * secondary [email] yields a persistent unique=false index on [email]).
@@ -159,6 +177,31 @@ final case class VertexDef(
       }
     }
     seen.values.toSeq
+  }
+
+  /** The reference's MATERIALIZED property list (vertex.py:884-931
+    * `_normalize_vertex_identities`): merged declared properties plus
+    * missing identity / hash / digest-source fields appended untyped in
+    * that order — including the synthetic `id` a hash/funnel/blank
+    * vertex gains. The sanitize/normalize parity plane walks this list
+    * (sanitize.py walks `vertex.properties`, which the reference
+    * materializes at validation).
+    */
+  lazy val referenceProperties: Seq[FieldDef] = {
+    val merged = mergedDeclared
+    val declared = merged.map(_.name).toSet
+    val hashFields = identity match {
+      case Identity.Hash(fs) => fs
+      case _                 => Nil
+    }
+    val digestFields = identity match {
+      case Identity.Hash(fs)      => fs
+      case Identity.Funnel(bs, _) => bs.flatMap(b => b.whenAllPresent ++ b.digestFields)
+      case _                      => Nil
+    }
+    val missing = (identityList ++ hashFields ++ digestFields)
+      .distinct.filterNot(declared)
+    merged ++ missing.map(FieldDef(_))
   }
 
   /** Identity fields are auto-appended to properties (vertex.py:657-678);
@@ -235,8 +278,20 @@ final case class EdgeDef(
       * `add_edge_indexes: no physical spec for ...` refusal), Some(...) =
       * spec present with its authored index list.
       */
-    specIndexes: Option[Seq[IndexDef]] = None
+    specIndexes: Option[Seq[IndexDef]] = None,
+    /** Physical relation-name override (db_profile.edge_specs[]
+      * .relation_name, reference database_features.py:44-47): the
+      * DB-specific name the sanitize cascade rewrites and the TigerGraph
+      * identity normalization groups on (sanitize.py:281-290
+      * `edge_relation_name(...) or edge.relation`).
+      */
+    relationName: Option[String] = None
 ) {
+  /** Effective physical relation name (reference `edge_relation_name`
+    * with `default_relation=edge.relation`, falling back through `or`).
+    */
+  def effectiveRelationName: String =
+    relationName.filter(_.nonEmpty).getOrElse(relation)
   def key: EdgeKey = EdgeKey(source, target, relation)
 }
 

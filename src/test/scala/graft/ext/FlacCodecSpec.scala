@@ -130,4 +130,35 @@ class FlacCodecSpec extends graft.SparkSpec {
       blockSize = 512)).get
     assert(d24.bitsPerSample == 24 && d24.samples(0).sameElements(x24))
   }
+
+  test("32-bit PCM round trips (RFC 9639 full range, incl. mid/side)") {
+    // full-scale 32-bit values, including both extremes
+    val rnd = new scala.util.Random(23)
+    val x = Array.tabulate(3000)(i =>
+      if (i == 0) Int.MinValue else if (i == 1) Int.MaxValue
+      else (math.sin(i * 0.01) * Int.MaxValue * 0.9).toInt + rnd.nextInt(1024))
+    val d = FlacCodec.decode(FlacCodec.encode(Array(x), 96000, bps = 32,
+      blockSize = 1024)).get
+    assert(d.bitsPerSample == 32 && d.samples(0).sameElements(x))
+    // verbatim leg: 32-bit noise (mean magnitude drives the Rice writer
+    // past method 0's parameter cap on the fixed path, so also exercise
+    // the method-1 escalation)
+    val noise = Array.tabulate(2000)(_ => rnd.nextInt())
+    val dv = FlacCodec.decode(FlacCodec.encode(Array(noise), 44100, bps = 32,
+      strategy = FlacCodec.Verbatim)).get
+    assert(dv.samples(0).sameElements(noise))
+    val dn = FlacCodec.decode(FlacCodec.encode(Array(noise), 44100, bps = 32)).get
+    assert(dn.samples(0).sameElements(noise))
+    // mid/side at 32 bits: the side channel carries 33 bits
+    val l = Array.tabulate(2048)(i => (math.sin(i * 0.03) * Int.MaxValue * 0.8).toInt)
+    val r = Array.tabulate(2048)(i => -(math.cos(i * 0.05) * Int.MaxValue * 0.8).toInt)
+    val dm = FlacCodec.decode(FlacCodec.encode(Array(l, r), 44100, bps = 32,
+      midSide = true)).get
+    assert(dm.samples(0).sameElements(l) && dm.samples(1).sameElements(r))
+    // extreme side amplitude: l = MaxValue, r = MinValue -> side = 2^32 - 1
+    val le = Array.fill(512)(Int.MaxValue); val re = Array.fill(512)(Int.MinValue)
+    val dme = FlacCodec.decode(FlacCodec.encode(Array(le, re), 44100, bps = 32,
+      midSide = true)).get
+    assert(dme.samples(0).sameElements(le) && dme.samples(1).sameElements(re))
+  }
 }
