@@ -124,9 +124,12 @@ object GraftQueriesR8 {
   val oracles: Map[String, String] = Map(
     "q_mp3_decode" ->
       """SELECT doc_id, CAST(44100 AS BIGINT) AS sample_rate,
-        |  CAST(1 AS BIGINT) AS channels, CAST(6 AS BIGINT) AS n_granules,
-        |  CAST(3456 AS BIGINT) AS n_samples, true AS psnr_ok,
-        |  (doc_id % 3 = 0) AS esc_table
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN 2 ELSE 1 END AS BIGINT) AS channels,
+        |  CAST(6 AS BIGINT) AS n_granules,
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN 6912 ELSE 3456 END AS BIGINT)
+        |    AS n_samples,
+        |  true AS psnr_ok,
+        |  (doc_id % 3 = 0 AND doc_id % 5 <> 4) AS esc_table
         |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
 
     "q_neighbor_out" ->

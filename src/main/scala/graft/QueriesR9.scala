@@ -101,9 +101,10 @@ object GraftQueriesR9 {
 
     // MPEG-2 LSF leg: one 576-sample granule per frame at 22.05 kHz,
     // normative codebooks only (no opt-in), PSNR-oracled like
-    // q_mp3_decode. Shapes cycle per id (doc_id % 4): mono long, STEREO
+    // q_mp3_decode. Shapes cycle per id (doc_id % 5): mono long, STEREO
     // long, mono SHORT blocks, mono long on the sfc>=500 PREFLAG
-    // scalefactor row — the full decodable LSF face in one row.
+    // scalefactor row, SHORT-BLOCK INTENSITY stereo — the full decodable
+    // LSF face in one row.
     "q_mp3_lsf_decode" -> { (s, d) =>
       val ids = t(s, d)("documents").select(col("doc_id")).where(col("doc_id") < 40)
       graft.ext.Multimodal.mp3DecodeFrame(
@@ -178,9 +179,10 @@ object GraftQueriesR9 {
   val oracles: Map[String, String] = Map(
     "q_mp3_lsf_decode" ->
       """SELECT doc_id, CAST(22050 AS BIGINT) AS sample_rate,
-        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 1 END AS BIGINT) AS channels,
+        |  CAST(CASE WHEN doc_id % 5 IN (1, 4) THEN 2 ELSE 1 END AS BIGINT)
+        |    AS channels,
         |  CAST(6 AS BIGINT) AS n_granules,
-        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 6912 ELSE 3456 END AS BIGINT)
+        |  CAST(CASE WHEN doc_id % 5 IN (1, 4) THEN 6912 ELSE 3456 END AS BIGINT)
         |    AS n_samples,
         |  true AS psnr_ok, false AS esc_table
         |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin,

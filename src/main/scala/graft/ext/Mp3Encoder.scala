@@ -416,6 +416,133 @@ object Mp3Encoder {
     encodeLsfChannels(Array(x), sampleRate, bitrateIdx, escTables = false,
       (_: Int) => MixedBlock, sfc = 0)
 
+  /** MPEG-1 INTENSITY-stereo encode (ISO 11172-3 2.4.3.4.9.3):
+    * joint-stereo mode with the intensity mode-extension bit. The LEFT
+    * channel carries the full spectrum (long or ALL-short blocks); the
+    * RIGHT channel carries intensity POSITIONS in its scalefactors
+    * (scalefac_compress 13 -> slen 3/3, so every position code 0-7 is
+    * emittable incl. the illegal 7) and, via `rightSpectrum`, optionally
+    * its OWN spectrum in selected lines — the decoder must then exclude
+    * the carrying bands from intensity processing in exactly the windows
+    * that carry them (the per-window bound of 2.4.3.4.9.3), which is
+    * what the round-trip spec discriminates on.
+    *
+    * `positions(sfb, w)` supplies the position code per scalefactor band
+    * and window (`w` = 0 for long blocks). `rightSpectrum(granule,
+    * leftXr)` returns the right channel's 576-line spectrum in bitstream
+    * (band-major) order, or null/absent for the empty i-channel.
+    */
+  def encodeIntensity(l: Array[Double], sampleRate: Int = 44100,
+      bitrateIdx: Int = 14,
+      positions: (Int, Int) => Int = (_, _) => 3,
+      shortBlocks: Boolean = false,
+      rightSpectrum: (Int, Array[Double]) => Array[Double] = null): Array[Byte] = {
+    val srIdx = Array(44100, 48000, 32000).indexOf(sampleRate)
+    require(srIdx >= 0, s"unsupported rate $sampleRate")
+    val bt: Int => Int = if (shortBlocks) _ => 2 else _ => 0
+    val spectra = forwardSpectraPattern(l, bt, Mp3Tables.sfbShortM1(srIdx))
+    val nFrames = spectra.length / 2
+    val bitrate = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+      224, 256, 320)(bitrateIdx)
+    val frameBytes = 144 * bitrate * 1000 / sampleRate
+    val sideBytes = 32
+    // ch1 sfc 13 -> slen1 = slen2 = 3 (Mp3Tables.slenM1)
+    val sfBits1 = if (shortBlocks) 12 * 3 * 3 else 21 * 3
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    var fr = 0
+    while (fr < nFrames) {
+      val g0s = Array.tabulate(2)(gr => encodeGranule(spectra(fr * 2 + gr), escTables = false))
+      val g1s = Array.tabulate(2) { gr =>
+        val xr1 = if (rightSpectrum == null) null
+          else rightSpectrum(fr * 2 + gr, spectra(fr * 2 + gr))
+        if (xr1 == null) null else encodeGranule(xr1, escTables = false)
+      }
+      val bw = new BitWriter
+      bw.write(0x7ff, 11); bw.write(3, 2); bw.write(1, 2); bw.write(1, 1)
+      bw.write(bitrateIdx, 4); bw.write(srIdx, 2); bw.write(0, 1)
+      bw.write(0, 1) // private
+      bw.write(1, 2) // mode: joint stereo
+      bw.write(1, 2) // mode extension: intensity on, MS off
+      bw.write(0, 1); bw.write(0, 1); bw.write(0, 2)
+      bw.write(0, 9) // main_data_begin
+      bw.write(0, 3) // private bits
+      bw.write(0, 4); bw.write(0, 4) // scfsi
+      var gr = 0
+      while (gr < 2) {
+        // ch0: the full-spectrum channel, sfc 0 (no scalefactor bits)
+        val g0 = g0s(gr)
+        require(g0.part23 <= 4095)
+        bw.write(g0.part23, 12); bw.write(g0.bigValues, 9)
+        bw.write(g0.globalGain, 8); bw.write(0, 4)
+        if (shortBlocks) {
+          bw.write(1, 1); bw.write(2, 2); bw.write(0, 1)
+          bw.write(g0.tableSelect, 5); bw.write(g0.tableSelect, 5)
+          bw.write(0, 3); bw.write(0, 3); bw.write(0, 3)
+        } else {
+          bw.write(0, 1)
+          bw.write(g0.tableSelect, 5); bw.write(g0.tableSelect, 5)
+          bw.write(g0.tableSelect, 5)
+          bw.write(7, 4); bw.write(7, 3)
+        }
+        bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+        // ch1: positions in the scalefactors (+ optional own spectrum)
+        val g1 = g1s(gr)
+        val part23 = sfBits1 + (if (g1 == null) 0 else g1.part23)
+        require(part23 <= 4095)
+        bw.write(part23, 12)
+        bw.write(if (g1 == null) 0 else g1.bigValues, 9)
+        bw.write(if (g1 == null) 210 else g1.globalGain, 8)
+        bw.write(13, 4) // scalefac_compress -> slen 3/3
+        if (shortBlocks) {
+          bw.write(1, 1); bw.write(2, 2); bw.write(0, 1)
+          val ts = if (g1 == null) 0 else g1.tableSelect
+          bw.write(ts, 5); bw.write(ts, 5)
+          bw.write(0, 3); bw.write(0, 3); bw.write(0, 3)
+        } else {
+          bw.write(0, 1)
+          val ts = if (g1 == null) 0 else g1.tableSelect
+          bw.write(ts, 5); bw.write(ts, 5); bw.write(ts, 5)
+          bw.write(7, 4); bw.write(7, 3)
+        }
+        bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+        gr += 1
+      }
+      val mainBits = (0 until 2).map(gr => g0s(gr).part23 + sfBits1 +
+        (if (g1s(gr) == null) 0 else g1s(gr).part23)).sum
+      require(mainBits <= (frameBytes - 4 - sideBytes) * 8,
+        "intensity frame exceeds the main-data budget; raise the bitrate")
+      def copyBits(g: EncGranule): Unit = if (g != null) {
+        val bytes = g.bits.toBytes(0)
+        var bit = 0
+        while (bit < g.part23) {
+          bw.write((bytes(bit >>> 3) >>> (7 - (bit & 7))) & 1, 1)
+          bit += 1
+        }
+      }
+      gr = 0
+      while (gr < 2) {
+        copyBits(g0s(gr))
+        // ch1 scalefactors ARE the intensity positions (3 bits each)
+        if (shortBlocks) {
+          var sb = 0
+          while (sb < 12) {
+            var w = 0
+            while (w < 3) { bw.write(positions(sb, w) & 7, 3); w += 1 }
+            sb += 1
+          }
+        } else {
+          var b = 0
+          while (b < 21) { bw.write(positions(b, 0) & 7, 3); b += 1 }
+        }
+        copyBits(g1s(gr))
+        gr += 1
+      }
+      out ++= bw.toBytes(frameBytes)
+      fr += 1
+    }
+    out.toArray
+  }
+
   /** LSF INTENSITY-stereo encode (ISO 13818-3): joint-stereo mode with
     * the intensity mode-extension bit; the LEFT channel carries the full
     * spectrum and the RIGHT (intensity) channel carries NO spectrum —
@@ -427,10 +554,14 @@ object Mp3Encoder {
     */
   def encodeLsfIntensity(x: Array[Double], sampleRate: Int = 22050,
       bitrateIdx: Int = 14, intensityScale: Int = 0,
-      positions: Int => Int = b => b % 3): Array[Byte] = {
+      positions: Int => Int = b => b % 3,
+      shortBlocks: Boolean = false): Array[Byte] = {
     val srIdx = Array(22050, 24000, 16000).indexOf(sampleRate)
     require(srIdx >= 0, s"unsupported LSF rate $sampleRate")
-    val spectra = forwardSpectra(x)
+    val spectra =
+      if (shortBlocks)
+        forwardSpectraPattern(x, _ => 2, Mp3Tables.sfbShortM2(srIdx))
+      else forwardSpectra(x)
     val bitrate = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
       128, 144, 160)(bitrateIdx)
     val frameBytes = 72 * bitrate * 1000 / sampleRate
@@ -439,7 +570,8 @@ object Mp3Encoder {
     // (blocknumber 3): 21 position bands, max legal code 3
     val ch1Sfc = (86 << 1) | (intensityScale & 1)
     val (slens, bn) = Mp3Tables.lsfIntensitySlens(ch1Sfc)
-    val partitions = Mp3Tables.lsfIntensityPartitions(bn)(0)
+    // shape 0 (long) or 1 (short): 21 long slots / 36 (sfb, window) slots
+    val partitions = Mp3Tables.lsfIntensityPartitions(bn)(if (shortBlocks) 1 else 0)
     val sfBits1 = (0 until 4).map(p => slens(p) * partitions(p)).sum
     val out = new scala.collection.mutable.ArrayBuffer[Byte]()
     var fr = 0
@@ -458,17 +590,29 @@ object Mp3Encoder {
       require(g0.part23 <= 4095)
       bw.write(g0.part23, 12); bw.write(g0.bigValues, 9)
       bw.write(g0.globalGain, 8); bw.write(0, 9) // sfc 0
-      bw.write(0, 1) // ws off
-      bw.write(g0.tableSelect, 5); bw.write(g0.tableSelect, 5)
-      bw.write(g0.tableSelect, 5)
-      bw.write(7, 4); bw.write(7, 3)
+      if (shortBlocks) {
+        bw.write(1, 1); bw.write(2, 2); bw.write(0, 1) // ws, bt 2, not mixed
+        bw.write(g0.tableSelect, 5); bw.write(g0.tableSelect, 5)
+        bw.write(0, 3); bw.write(0, 3); bw.write(0, 3) // subblock gains
+      } else {
+        bw.write(0, 1) // ws off
+        bw.write(g0.tableSelect, 5); bw.write(g0.tableSelect, 5)
+        bw.write(g0.tableSelect, 5)
+        bw.write(7, 4); bw.write(7, 3)
+      }
       bw.write(0, 1); bw.write(0, 1)
       // ch1: positions only — part2_3_length covers just the sf bits
       bw.write(sfBits1, 12); bw.write(0, 9) // bigValues 0
       bw.write(210, 8); bw.write(ch1Sfc, 9)
-      bw.write(0, 1) // ws off
-      bw.write(0, 5); bw.write(0, 5); bw.write(0, 5) // table 0: codes nothing
-      bw.write(7, 4); bw.write(7, 3)
+      if (shortBlocks) {
+        bw.write(1, 1); bw.write(2, 2); bw.write(0, 1) // ws, bt 2, not mixed
+        bw.write(0, 5); bw.write(0, 5) // table 0: codes nothing
+        bw.write(0, 3); bw.write(0, 3); bw.write(0, 3)
+      } else {
+        bw.write(0, 1) // ws off
+        bw.write(0, 5); bw.write(0, 5); bw.write(0, 5) // table 0: codes nothing
+        bw.write(7, 4); bw.write(7, 3)
+      }
       bw.write(0, 1); bw.write(0, 1)
       val mainBudgetBits = (frameBytes - 4 - sideBytes) * 8
       require(g0.part23 + sfBits1 <= mainBudgetBits,

@@ -206,15 +206,18 @@ object Mp3Layer3 {
     val partitions =
       if (intensity) Mp3Tables.lsfIntensityPartitions(blocknumber)(shape)
       else Mp3Tables.lsfSfbPartitions(blocknumber)(shape)
-    // per-long-band MAX code (the "illegal" intensity position that
-    // disables intensity for the band); needed only on the i-channel
-    val maxPos = if (!intensity || shape != 0) null else {
-      val mp = new Array[Int](23)
+    // per-slot MAX code (the "illegal" intensity position that disables
+    // intensity for the band); needed only on the i-channel. Slot layout
+    // follows the read order below: shape 0 -> long band b; shape 1 ->
+    // n = sfb*3 + w; shape 2 -> n<6 long band n, then 6 + (sfb-3)*3 + w.
+    val maxPos = if (!intensity) null else {
+      val slots = shape match { case 0 => 23; case 1 => 36; case _ => 33 }
+      val mp = new Array[Int](slots)
       var b = 0; var part = 0
       while (part < 4) {
         var i = 0
         while (i < partitions(part)) {
-          if (b < 23) mp(b) = (1 << slens(part)) - 1
+          if (b < slots) mp(b) = (1 << slens(part)) - 1
           b += 1; i += 1
         }
         part += 1
@@ -443,46 +446,129 @@ object Mp3Layer3 {
         i += 1
       }
     }
-    if (intensity && !(g(1).windowSwitching && g(1).blockType == 2)) {
-      // long-block intensity: bands at/above the right channel's rzero.
-      // MPEG-1 uses tan(pos*pi/12) position ratios (ISO 2.4.3.4.9.3);
+    if (intensity) {
+      // Intensity rendering (ISO 11172-3 2.4.3.4.9.3 / 13818-3): MPEG-1
+      // uses tan(pos*pi/12) position ratios with 7 the illegal code;
       // MPEG-2 LSF uses io^pos with io = 2^(-(scale+1)/4) where scale is
-      // the i-channel's low scalefac_compress bit (ISO 13818-3): odd pos
-      // attenuates LEFT by io^((pos+1)/2), even pos attenuates RIGHT by
-      // io^(pos/2); the band's MAX code is the illegal "no intensity"
-      // position (7 in MPEG-1's fixed 3-bit table).
-      val bands = sfbLongTab(lsf, srIdx)
-      var rzero = 576
-      while (rzero > 0 && xr(1)(rzero - 1) == 0.0) rzero -= 1
-      var b = 0
-      while (b < 22) {
-        if (bands(b) >= rzero) {
-          val pos = sf(1).long(b)
-          val (kl, kr, legal) = lsfIntensity match {
-            case Some((io, maxPos)) =>
-              val illegal = maxPos != null && pos == maxPos(b)
-              if (illegal || pos == 0) (1.0, 1.0, !illegal)
-              else if ((pos & 1) == 1)
-                (math.pow(io, (pos + 1) / 2), 1.0, true)
-              else (1.0, math.pow(io, pos / 2), true)
-            case None =>
-              if (pos == 7) (0.0, 0.0, false)
-              else {
-                val ratio = math.tan(pos * math.Pi / 12.0)
-                (ratio / (1.0 + ratio), 1.0 / (1.0 + ratio), true)
-              }
-          }
-          if (legal) {
-            var i = bands(b)
-            while (i < bands(b + 1)) {
-              val v = xr(0)(i)
-              xr(0)(i) = v * kl
-              xr(1)(i) = v * kr
-              i += 1
+      // the i-channel's low scalefac_compress bit: odd pos attenuates
+      // LEFT by io^((pos+1)/2), even pos attenuates RIGHT by io^(pos/2);
+      // each band's per-slot MAX code is the illegal "no intensity"
+      // position. Runs BEFORE the short-block reorder, so short spectra
+      // are still band-major (sfb-major, three windows per band).
+      val maxPos = lsfIntensity.map(_._2).orNull
+      def render(pos: Int, illegalCode: Int, from: Int, until: Int): Unit = {
+        val (kl, kr, legal) = lsfIntensity match {
+          case Some((io, _)) =>
+            val illegal = pos == illegalCode
+            if (illegal || pos == 0) (1.0, 1.0, !illegal)
+            else if ((pos & 1) == 1)
+              (math.pow(io, (pos + 1) / 2), 1.0, true)
+            else (1.0, math.pow(io, pos / 2), true)
+          case None =>
+            if (pos == illegalCode) (0.0, 0.0, false)
+            else {
+              val ratio = math.tan(pos * math.Pi / 12.0)
+              (ratio / (1.0 + ratio), 1.0 / (1.0 + ratio), true)
             }
+        }
+        if (legal) {
+          var i = from
+          while (i < until) {
+            val v = xr(0)(i)
+            xr(0)(i) = v * kl
+            xr(1)(i) = v * kr
+            i += 1
           }
         }
-        b += 1
+      }
+      val isShort = g(1).windowSwitching && g(1).blockType == 2
+      if (!isShort) {
+        // long-block intensity: bands at/above the right channel's rzero.
+        // Band 21 carries no scalefactor: the spec reuses band 20's
+        // position (and its illegal code).
+        val bands = sfbLongTab(lsf, srIdx)
+        var rzero = 576
+        while (rzero > 0 && xr(1)(rzero - 1) == 0.0) rzero -= 1
+        var b = 0
+        while (b < 22) {
+          if (bands(b) >= rzero) {
+            val src = if (b == 21) 20 else b
+            val pos = sf(1).long(src)
+            val illegalCode =
+              if (lsfIntensity.isEmpty) 7
+              else if (maxPos == null || src >= maxPos.length) Int.MinValue
+              else maxPos(src)
+            render(pos, illegalCode, bands(b), math.min(bands(b + 1), 576))
+          }
+          b += 1
+        }
+      } else {
+        // short/mixed-block intensity: the bound is determined for each
+        // of the three windows separately (ISO 2.4.3.4.9.3) — a band is
+        // intensity in window w iff it lies ABOVE the last band whose
+        // window-w lines carry right-channel spectrum. Band 12 carries
+        // no scalefactor: band 11's per-window position is reused.
+        val sBands = sfbShortTab(lsf, srIdx)
+        val mixed = g(1).mixedBlock
+        val startBand = if (mixed) 3 else 0
+        val lastNz = Array(-1, -1, -1)
+        var sb = startBand
+        while (sb < 13) {
+          val lo = sBands(sb); val width = sBands(sb + 1) - lo
+          var w = 0
+          while (w < 3) {
+            val base = lo * 3 + w * width
+            var k = 0
+            while (k < width) {
+              if (base + k < 576 && xr(1)(base + k) != 0.0) { lastNz(w) = sb; k = width }
+              else k += 1
+            }
+            w += 1
+          }
+          sb += 1
+        }
+        sb = startBand
+        while (sb < 13) {
+          val lo = sBands(sb); val width = sBands(sb + 1) - lo
+          var w = 0
+          while (w < 3) {
+            if (sb > lastNz(w)) {
+              val src = if (sb == 12) 11 else sb
+              val pos = sf(1).short(src)(w)
+              val illegalCode =
+                if (lsfIntensity.isEmpty) 7
+                else if (maxPos == null) Int.MinValue
+                else {
+                  val slot = if (!mixed) src * 3 + w else 6 + (src - 3) * 3 + w
+                  if (slot < maxPos.length) maxPos(slot) else Int.MinValue
+                }
+              val base = lo * 3 + w * width
+              render(pos, illegalCode, base, math.min(base + width, 576))
+            }
+            w += 1
+          }
+          sb += 1
+        }
+        if (mixed && lastNz(0) < 0 && lastNz(1) < 0 && lastNz(2) < 0) {
+          // the whole short region is empty in every window, so the
+          // spectrum's last nonzero part sits in the long region below:
+          // ordinary long-band intensity against the long-region rzero
+          val lBands = sfbLongTab(lsf, srIdx)
+          var rzero = 36
+          while (rzero > 0 && xr(1)(rzero - 1) == 0.0) rzero -= 1
+          var b = 0
+          while (b < 8 && lBands(b) < 36) {
+            if (lBands(b) >= rzero) {
+              val pos = sf(1).long(b)
+              val illegalCode =
+                if (lsfIntensity.isEmpty) 7
+                else if (maxPos == null || b >= 6) Int.MinValue
+                else maxPos(b)
+              render(pos, illegalCode, lBands(b), math.min(lBands(b + 1), 36))
+            }
+            b += 1
+          }
+        }
       }
     }
   }
@@ -828,9 +914,12 @@ object Mp3Layer3 {
           return false
         br.pos = granuleEnd // discard stuffing
         requantize(g, sf, srIdx, is, xr(ch), lsf)
-        reorderShort(g, srIdx, xr(ch), lsf)
         ch += 1
       }
+      // stereo processing runs in the band-major (pre-reorder) domain so
+      // short-block intensity can resolve per-window bounds; MS is
+      // per-line and long-block reorder is the identity, so ordering is
+      // immaterial for every other mode
       if (channels == 2)
         applyStereo(modeExt, gs, sfs, srIdx, xr,
           lsfIntensity = if (lsf && (modeExt & 1) != 0)
@@ -838,6 +927,11 @@ object Mp3Layer3 {
               lsfMaxPos))
           else None,
           lsf = lsf)
+      ch = 0
+      while (ch < channels) {
+        reorderShort(gs(ch), srIdx, xr(ch), lsf)
+        ch += 1
+      }
 
       ch = 0
       val granulePcm = Array.ofDim[Double](channels, 576)

@@ -1075,14 +1075,22 @@ object Multimodal {
         0.5 * math.sin(2 * math.Pi * freq * i / sr))
   }
 
-  /** ids on the ESC leg of the MP3 battery row (every third doc) */
-  private def mp3UsesEsc(id: Long): Boolean = id % 3 == 0
+  /** ids on the ESC leg of the MP3 battery row (every third doc, except
+    * the short-intensity ids, whose encoder leg is normative-only)
+    */
+  private def mp3UsesEsc(id: Long): Boolean = id % 3 == 0 && id % 5 != 4
+
+  /** ids on the SHORT-BLOCK INTENSITY leg (both MPEG-1 and LSF cycles):
+    * joint stereo, all-short blocks, per-window position rendering
+    */
+  def mp3IntensityShape(id: Long): Boolean = id % 5 == 4
 
   /** LSF leg shape per id: 0 mono long, 1 STEREO long, 2 mono SHORT
-    * blocks, 3 mono long on the sfc>=500 PREFLAG scalefactor row — the
-    * full decodable LSF face, one battery row.
+    * blocks, 3 mono long on the sfc>=500 PREFLAG scalefactor row,
+    * 4 SHORT-BLOCK INTENSITY stereo — the full decodable LSF face, one
+    * battery row.
     */
-  private def lsfShape(id: Long): Int = (id % 4).toInt
+  private def lsfShape(id: Long): Int = (id % 5).toInt
 
   /** right-channel tone for the stereo LSF leg (distinct frequency so
     * channel bleed would fail the per-channel PSNR)
@@ -1118,8 +1126,14 @@ object Multimodal {
               shortBlocks = true)
             case 3 => Mp3Encoder.encodeLsf(mp3TestTone(id, nGranules),
               scalefacCompress = 504)
+            case 4 => Mp3Encoder.encodeLsfIntensity(
+              mp3TestTone(id, nGranules), positions = _ => 1,
+              shortBlocks = true)
             case _ => Mp3Encoder.encodeLsf(mp3TestTone(id, nGranules))
           }
+          else if (mp3IntensityShape(id))
+            Mp3Encoder.encodeIntensity(mp3TestTone(id, nGranules),
+              positions = (_, _) => 3, shortBlocks = true)
           else Mp3Encoder.encode(mp3TestTone(id, nGranules),
             escTables = mp3UsesEsc(id)))
       }
@@ -1154,13 +1168,17 @@ object Multimodal {
         Mp3Layer3.decode(bytes, allowNonNormative = true).map { d =>
           val ref = mp3TestTone(id, nGranules)
           val ok = if (d.channels == 2) {
-            // stereo: both channels must fit their OWN tone
+            // stereo: both channels must fit their OWN tone — except on
+            // the intensity leg, where BOTH decoded channels are
+            // position-scaled renditions of the left tone (the gain fit
+            // absorbs the kl/kr coefficients)
             val half = d.samples.length / 2
             val dl = Array.tabulate(half)(i => d.samples(2 * i))
             val dr = Array.tabulate(half)(i => d.samples(2 * i + 1))
             val (_, _, pl) = Mp3Layer3.fitPsnr(ref, dl, 1500)
             val (_, _, pr) = Mp3Layer3.fitPsnr(
-              mp3TestToneRight(id, nGranules), dr, 1500)
+              if (mp3IntensityShape(id)) ref
+              else mp3TestToneRight(id, nGranules), dr, 1500)
             pl >= minPsnrDb && pr >= minPsnrDb
           } else {
             val (_, _, psnr) = Mp3Layer3.fitPsnr(ref, d.samples, 1500)

@@ -369,4 +369,125 @@ class Mp3Layer3Spec extends graft.SparkSpec {
     val e1 = Mp3Encoder.encodeLsf(x, sampleRate = sr, scalefacCompress = 101)
     assert(!java.util.Arrays.equals(e0, e1))
   }
+
+  private def splitChans(d: Mp3Layer3.Decoded): (Array[Double], Array[Double]) = {
+    val half = d.samples.length / 2
+    (Array.tabulate(half)(i => d.samples(2 * i)),
+      Array.tabulate(half)(i => d.samples(2 * i + 1)))
+  }
+
+  private def rms(a: Array[Double]): Double =
+    math.sqrt(a.map(v => v * v).sum / a.length)
+
+  test("MPEG-1 intensity stereo: tan-ratio rendering on long AND short blocks") {
+    val sr = 44100
+    val n = 576 * 8
+    val x = Array.tabulate(n)(i => 0.5 * math.sin(2 * math.Pi * 441.0 * i / sr))
+    for (short <- Seq(false, true)) {
+      // pos 3: tan(pi/4) = 1 -> kl = kr = 1/2, identical channels
+      val d3 = Mp3Layer3.decode(Mp3Encoder.encodeIntensity(x,
+        positions = (_, _) => 3, shortBlocks = short)).get
+      assert(d3.channels == 2, s"short=$short")
+      val (l3, r3) = splitChans(d3)
+      // kl/kr differ only by tan(pi/4)'s last ulp
+      val maxDiff = l3.zip(r3).map { case (a, b) => math.abs(a - b) }.max
+      assert(maxDiff < 1e-12, s"short=$short pos=3 must render kl ~= kr ($maxDiff)")
+      val (_, _, p3) = Mp3Layer3.fitPsnr(x, l3, 1500)
+      assert(p3 >= 20.0, s"short=$short pos3 psnr $p3")
+      // pos 0: tan(0) = 0 -> everything moves to the RIGHT channel
+      val d0 = Mp3Layer3.decode(Mp3Encoder.encodeIntensity(x,
+        positions = (_, _) => 0, shortBlocks = short)).get
+      val (l0, r0) = splitChans(d0)
+      assert(rms(l0) < 1e-9 * math.max(rms(r0), 1e-300),
+        s"short=$short pos=0 must zero the left channel")
+      val (_, _, p0) = Mp3Layer3.fitPsnr(x, r0, 1500)
+      assert(p0 >= 20.0, s"short=$short pos0 right psnr $p0")
+      // pos 7 is the ILLEGAL code: channels stay as decoded — the empty
+      // i-channel is silent, the left keeps the full signal
+      val d7 = Mp3Layer3.decode(Mp3Encoder.encodeIntensity(x,
+        positions = (_, _) => 7, shortBlocks = short)).get
+      val (l7, r7) = splitChans(d7)
+      assert(r7.forall(_ == 0.0), s"short=$short illegal pos right not silent")
+      val (_, _, p7) = Mp3Layer3.fitPsnr(x, l7, 1500)
+      assert(p7 >= 20.0, s"short=$short illegal-pos left psnr $p7")
+    }
+  }
+
+  test("MPEG-1 short-block intensity resolves positions and bounds PER WINDOW") {
+    val sr = 44100
+    val n = 576 * 8
+    // low tone: its short-window energy sits entirely in bands 0-5
+    val x = Array.tabulate(n)(i => 0.5 * math.sin(2 * math.Pi * 441.0 * i / sr))
+    // per-window POSITIONS: window 0 pos 0 (all right), window 1 pos 3
+    // (split), window 2 pos 6 (tan ~inf, all left). An implementation
+    // reading one position per band would zero the left everywhere.
+    val dw = Mp3Layer3.decode(Mp3Encoder.encodeIntensity(x,
+      positions = (_, w) => w * 3, shortBlocks = true)).get
+    val (lw, rw) = splitChans(dw)
+    // reference full-amplitude render: the illegal-everywhere frame
+    val df = Mp3Layer3.decode(Mp3Encoder.encodeIntensity(x,
+      positions = (_, _) => 7, shortBlocks = true)).get
+    val full = rms(splitChans(df)._1)
+    // expected energy: left (0 + 1/4 + 1)/3, right (1 + 1/4 + ~0)/3
+    val expect = math.sqrt((0.0 + 0.25 + 1.0) / 3.0)
+    assert(math.abs(rms(lw) / full - expect) < 0.08,
+      s"per-window positions: left rms ratio ${rms(lw) / full}, want ~$expect")
+    assert(math.abs(rms(rw) / full - expect) < 0.08,
+      s"per-window positions: right rms ratio ${rms(rw) / full}, want ~$expect")
+
+    // per-window BOUNDS: the right channel carries its OWN spectrum in
+    // window 1's bands 0-5 only; positions are 0 everywhere. Bands at or
+    // below the carrying bands are excluded from intensity processing in
+    // window 1 ONLY — the left channel keeps just its window-1 low-band
+    // content (~1/3 of the energy). A band-global bound would keep bands
+    // 0-5 in ALL windows (~full energy for this tone); no bound handling
+    // at all would keep everything.
+    val bands = Mp3Tables.sfbShortM1(0)
+    val rightSpec: (Int, Array[Double]) => Array[Double] = (_, left) => {
+      val out = new Array[Double](576)
+      var sfb = 0
+      while (sfb < 6) {
+        val lo = bands(sfb); val width = bands(sfb + 1) - lo
+        val base = lo * 3 + 1 * width // window 1 lines of this band
+        System.arraycopy(left, base, out, base, width)
+        sfb += 1
+      }
+      out
+    }
+    val db = Mp3Layer3.decode(Mp3Encoder.encodeIntensity(x,
+      positions = (_, _) => 0, shortBlocks = true,
+      rightSpectrum = rightSpec)).get
+    val (lb, rb) = splitChans(db)
+    val leftRatio = rms(lb) / full
+    assert(leftRatio > 0.40 && leftRatio < 0.70,
+      s"per-window bound: left rms ratio $leftRatio, want ~sqrt(1/3)=0.577 " +
+        "(a band-global bound would leave ~1.0, no bound ~0.0)")
+    assert(rms(rb) > rms(lb),
+      "right channel must carry the intensity-moved windows plus its own spectrum")
+  }
+
+  test("LSF SHORT-BLOCK intensity stereo: io ratios per window, illegal code refuses") {
+    val sr2 = 22050
+    val n = 576 * 8
+    val x = Array.tabulate(n)(i => 0.5 * math.sin(2 * math.Pi * 441.0 * i / sr2))
+    for ((scale, io) <- Seq(0 -> math.pow(2.0, -0.25), 1 -> math.pow(2.0, -0.5))) {
+      val d1 = Mp3Layer3.decode(Mp3Encoder.encodeLsfIntensity(x, sampleRate = sr2,
+        intensityScale = scale, positions = _ => 1, shortBlocks = true)).get
+      assert(d1.channels == 2, s"scale=$scale")
+      val (l1, r1) = splitChans(d1)
+      val (_, gl, pl) = Mp3Layer3.fitPsnr(x, l1, 1500)
+      val (_, gr2, pr) = Mp3Layer3.fitPsnr(x, r1, 1500)
+      assert(pl >= 20.0 && pr >= 20.0, s"scale=$scale psnr $pl/$pr")
+      val ratio = gr2 / gl
+      assert(math.abs(ratio - io) < 0.03,
+        s"scale=$scale short-block right/left gain ratio $ratio should be io=$io")
+    }
+    // illegal position (max code 3 under slen 2, per (band, window) slot)
+    val di = Mp3Layer3.decode(Mp3Encoder.encodeLsfIntensity(x, sampleRate = sr2,
+      positions = _ => 3, shortBlocks = true)).get
+    val (li, ri) = splitChans(di)
+    val (_, _, pli) = Mp3Layer3.fitPsnr(x, li, 1500)
+    assert(pli >= 20.0, s"short illegal-pos left psnr $pli")
+    assert(ri.forall(_ == 0.0), "short illegal position must not synthesize a right channel")
+  }
 }
