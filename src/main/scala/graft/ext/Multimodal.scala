@@ -1280,6 +1280,101 @@ object Multimodal {
     }(enc)
   }
 
+  // ------------------------------------------------------------ VORBIS
+
+  /** Vorbis battery shapes per id: 0 mono all-long; 1 mono mixed
+    * long/short with ramp floor + type-2 third pass + residue format 0;
+    * 2 stereo long residue-2 interleave (uncoupled); 3 stereo COUPLED
+    * mixed plan with masterbook/subclass floor + third pass.
+    */
+  private def vorbisShape(id: Long): Int = (id % 4).toInt
+
+  private def vorbisPlan(shape: Int): Seq[Boolean] = shape match {
+    case 1 => Seq(true, true, false, false, false, true, true)
+    case 2 => Seq.fill(5)(true)
+    case 3 => Seq(true, true, false, false, true)
+    case _ => Seq.fill(6)(true)
+  }
+
+  private def vorbisTone(id: Long, n: Int, right: Boolean): Array[Double] = {
+    val sr = 44100
+    val freq = (300.0 + (id % 10).toDouble * 250.0) * (if (right) 1.5 else 1.0)
+    val amp = if (right) 0.3 else 0.45
+    Array.tabulate(n)(i => amp * math.sin(2 * math.Pi * freq * i / sr))
+  }
+
+  /** Synthesize one REAL Ogg Vorbis stream per row ([[VorbisEncoder]]:
+    * in-stream codebooks, floor1, residue 0/1/2, coupling, mixed block
+    * plans, Ogg paging).
+    */
+  def synthesizeVorbisAudio(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType), StructField("media", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val shape = vorbisShape(id)
+        val plan = vorbisPlan(shape)
+        val need = VorbisEncoder.leadOffset(plan) +
+          VorbisEncoder.decodedLength(plan) + 2048
+        val left = vorbisTone(id, need, right = false)
+        val bytes = shape match {
+          case 1 => VorbisEncoder.encode(Array(left), 44100, plan,
+            rampFloor = true, thirdPass = true, residueType = 0)
+          case 2 => VorbisEncoder.encode(
+            Array(left, vorbisTone(id, need, right = true)), 44100, plan)
+          case 3 => VorbisEncoder.encode(
+            Array(left, vorbisTone(id, need, right = true)), 44100, plan,
+            coupled = true, subclassFloor = true, thirdPass = true)
+          case _ => VorbisEncoder.encode(Array(left), 44100, plan)
+        }
+        Row(id, bytes)
+      }
+    }(enc)
+  }
+
+  /** Full Vorbis decode ([[VorbisCodec]]) + per-channel delay+gain
+    * fitted PSNR against the regenerated tones. Output: (id,
+    * sample_rate, channels, n_blocks, n_short_blocks, n_samples,
+    * coupled, psnr_ok).
+    */
+  def vorbisDecodeFrame(df: DataFrame, idCol: String,
+      minPsnrDb: Double = 20.0): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("sample_rate", LongType),
+      StructField("channels", LongType),
+      StructField("n_blocks", LongType),
+      StructField("n_short_blocks", LongType),
+      StructField("n_samples", LongType),
+      StructField("coupled", BooleanType),
+      StructField("psnr_ok", BooleanType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col("media")).mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val shape = vorbisShape(id)
+        val plan = vorbisPlan(shape)
+        val offset = VorbisEncoder.leadOffset(plan)
+        VorbisCodec.decode(r.getAs[Array[Byte]](1)).map { d =>
+          val nCh = d.channels
+          val need = offset + VorbisEncoder.decodedLength(plan) + 2048
+          val ok = (0 until nCh).forall { ch =>
+            val ref = vorbisTone(id, need, right = ch == 1).drop(offset)
+            val dec = Array.tabulate(d.samples.length / nCh)(i =>
+              d.samples(i * nCh + ch))
+            val (_, _, p) = Mp3Layer3.fitPsnr(ref, dec, 4)
+            p >= minPsnrDb
+          }
+          Row(id, d.sampleRate.toLong, nCh.toLong, d.nBlocks.toLong,
+            d.nShortBlocks.toLong, (d.samples.length / nCh).toLong,
+            d.usedCoupling, ok)
+        }
+      }
+    }(enc)
+  }
+
   val MetaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),
     StructField("n_bytes", LongType),
