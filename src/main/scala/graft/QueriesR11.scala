@@ -135,6 +135,23 @@ object GraftQueriesR11 {
       graft.ext.Multimodal.vorbisDecodeFrame(
         graft.ext.Multimodal.synthesizeVorbisAudio(ids, "doc_id"), "doc_id")
         .orderBy("doc_id")
+    },
+
+    // AAC-LC decode (ext/AacLc + ext/AacEncoder): the 13818-7 LC path
+    // end to end — ADTS walk, SCE/CPE, all four window sequences with
+    // EIGHT_SHORT grouping, section/DPCM-scalefactor/spectral decode
+    // across all 11 books incl. book-11 escapes, M/S, TNS all-pole,
+    // sine+KBD windows, IMDCT overlap-add. The normative Huffman bit
+    // patterns are offline-unobtainable (AacTables honesty note), so
+    // the DEFAULT decode refuses (`refused` column pins it) and the
+    // fidelity leg rides the in-repo canonical books via the explicit
+    // opt-in, exactly like q_mp3_decode's ESC face. Shapes cycle per id
+    // (doc_id % 4): mono long, mono transitions, stereo M/S, KBD+TNS.
+    "q_aac_decode" -> { (s, d) =>
+      val ids = t(s, d)("documents").select(col("doc_id")).where(col("doc_id") < 48)
+      graft.ext.Multimodal.aacDecodeFrame(
+        graft.ext.Multimodal.synthesizeAacAudio(ids, "doc_id"), "doc_id")
+        .orderBy("doc_id")
     }
   )
 
@@ -173,6 +190,24 @@ object GraftQueriesR11 {
         |  CAST(CASE doc_id % 4 WHEN 0 THEN 5120 WHEN 1 THEN 3456
         |    WHEN 2 THEN 4096 ELSE 2304 END AS BIGINT) AS n_samples,
         |  (doc_id % 4 = 3) AS coupled,
+        |  true AS psnr_ok
+        |FROM documents WHERE doc_id < 48 ORDER BY doc_id""".stripMargin,
+
+    // structural replay of the fixed per-shape frame plans; `refused`
+    // pins the honest default-refusal of the non-normative codebooks
+    "q_aac_decode" ->
+      """SELECT doc_id, CAST(44100 AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS channels,
+        |  CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 6 ELSE 5 END AS BIGINT)
+        |    AS n_frames,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 0 END AS BIGINT)
+        |    AS n_short_frames,
+        |  CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 6144 ELSE 5120 END
+        |    AS BIGINT) AS n_samples,
+        |  (doc_id % 4 = 2) AS ms_used,
+        |  (doc_id % 4 = 3) AS tns_used,
+        |  true AS refused,
         |  true AS psnr_ok
         |FROM documents WHERE doc_id < 48 ORDER BY doc_id""".stripMargin
   )

@@ -169,9 +169,19 @@ object ScaleProbe {
         .withColumn("n_chars", length(col("text")).cast("long"))
     }, "documents")
     write(replicated(embeddings, Map("vec_id" -> vecOff)) { (d, r) =>
+      // isometry per replica: rotate by r mod dim; past one full wrap
+      // (r >= 64) negate as well, so replicas stay pairwise distinct up
+      // to 128x while all within-replica distances are preserved
+      val rot = r % 64
       if (r == 0) d
-      else d.withColumn("embedding", concat(
-        slice(col("embedding"), r + 1, 64 - r), slice(col("embedding"), 1, r)))
+      else {
+        val rotated =
+          if (rot == 0) col("embedding")
+          else concat(slice(col("embedding"), rot + 1, 64 - rot),
+            slice(col("embedding"), 1, rot))
+        d.withColumn("embedding",
+          if ((r / 64) % 2 == 1) transform(rotated, v => -v) else rotated)
+      }
     }, "embeddings")
     // dimension tables with fixed cardinality (as in TPC-H) copy verbatim
     Seq("nation", "region").foreach(t => write(readT(t), t))

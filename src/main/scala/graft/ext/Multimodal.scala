@@ -25,9 +25,12 @@ import org.apache.spark.sql.types._
   *    ISO-BMFF box tree), which is the metadata pass a 100 TB pipeline
   *    runs Spark-side. MPEG-1 Layer III decodes for REAL since round 8
   *    ([[Mp3Layer3]]: full subband synthesis, validated-codebook subset —
-  *    see its doc). Only the remaining codec KERNELS (H.264/AAC, and MP3
-  *    frames using the offline-unavailable ESC codebooks) need libraries
-  *    this container lacks, so their PCM/pixel kernel is `decodeStub` ???
+  *    see its doc). FLAC, Ogg Vorbis ([[VorbisCodec]] — codebooks ride
+  *    in the stream, fully offline-verifiable) and AAC-LC ([[AacLc]] —
+  *    in-repo canonical codebooks behind an honest default-refusal)
+  *    decode for real too. Only the remaining pixel kernel (H.264, plus
+  *    MP3 frames using the offline-unavailable ESC codebooks) needs
+  *    libraries this container lacks, so its kernel is `decodeStub` ???
   *    — a deterministic fake signal from the bytes. Swapping it for a
   *    real JNI/codec call changes no plan shape.
   * The Spark-side plumbing is real and tested: schema (binary + metadata
@@ -1375,6 +1378,94 @@ object Multimodal {
     }(enc)
   }
 
+  // --------------------------------------------------------- AAC-LC
+
+  /** AAC battery shapes per id: 0 mono all-long; 1 mono transition plan
+    * (LONG_START → EIGHT_SHORT ×2 → LONG_STOP); 2 stereo CPE with M/S;
+    * 3 mono KBD windows + TNS.
+    */
+  private def aacShape(id: Long): Int = (id % 4).toInt
+
+  private def aacPlan(shape: Int): Seq[Int] = shape match {
+    case 1 => Seq(0, 1, 2, 2, 3, 0)
+    case 2 => Seq.fill(5)(0)
+    case 3 => Seq.fill(5)(0)
+    case _ => Seq.fill(6)(0)
+  }
+
+  /** Synthesize one REAL ADTS AAC-LC stream per row ([[AacEncoder]] —
+    * in-repo canonical codebooks, see [[AacTables]]'s honesty note).
+    */
+  def synthesizeAacAudio(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType), StructField("media", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val shape = aacShape(id)
+        val plan = aacPlan(shape)
+        val n = plan.length * 1024 + 1024
+        val left = vorbisTone(id, n, right = false)
+        val bytes = shape match {
+          case 2 => AacEncoder.encode(
+            Array(left, vorbisTone(id, n, right = true)), 44100, plan,
+            msStereo = true)
+          case 3 => AacEncoder.encode(Array(left), 44100, plan,
+            kbdShape = true, tnsLength = 12)
+          case _ => AacEncoder.encode(Array(left), 44100, plan)
+        }
+        Row(id, bytes)
+      }
+    }(enc)
+  }
+
+  /** Full AAC-LC decode + per-channel fitted PSNR. The default decode
+    * path must REFUSE (normative codebooks are offline-unobtainable —
+    * the `refused` column pins that, like q_mp3_decode's esc_table);
+    * the opted-in decode carries the fidelity leg. Output: (id,
+    * sample_rate, channels, n_frames, n_short_frames, n_samples,
+    * ms_used, tns_used, refused, psnr_ok).
+    */
+  def aacDecodeFrame(df: DataFrame, idCol: String,
+      minPsnrDb: Double = 20.0): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("sample_rate", LongType),
+      StructField("channels", LongType),
+      StructField("n_frames", LongType),
+      StructField("n_short_frames", LongType),
+      StructField("n_samples", LongType),
+      StructField("ms_used", BooleanType),
+      StructField("tns_used", BooleanType),
+      StructField("refused", BooleanType),
+      StructField("psnr_ok", BooleanType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col("media")).mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val refused = AacLc.decode(bytes).isEmpty
+        AacLc.decode(bytes, allowNonNormative = true).map { d =>
+          val shape = aacShape(id)
+          val plan = aacPlan(shape)
+          val n = plan.length * 1024 + 1024
+          val nCh = d.channels
+          val ok = (0 until nCh).forall { ch =>
+            val ref = vorbisTone(id, n, right = ch == 1)
+            val dec = Array.tabulate(d.samples.length / nCh)(i =>
+              d.samples(i * nCh + ch)).drop(1024)
+            val (_, _, p) = Mp3Layer3.fitPsnr(ref, dec, 4)
+            p >= minPsnrDb
+          }
+          Row(id, d.sampleRate.toLong, nCh.toLong, d.nFrames.toLong,
+            d.nShortFrames.toLong, (d.samples.length / nCh).toLong,
+            d.msUsed, d.tnsUsed, refused, ok)
+        }
+      }
+    }(enc)
+  }
+
   val MetaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),
     StructField("n_bytes", LongType),
@@ -1393,7 +1484,7 @@ object Multimodal {
         md5(col(payloadCol)).as("checksum")).as("meta"))
 
   /** STUB ??? — reached only for the pixel/PCM KERNELS still outside the
-    * pure-JVM boundary: H.264/AAC, and MP3 frames whose Huffman codebook
+    * pure-JVM boundary: H.264, and MP3 frames whose Huffman codebook
     * is in the offline-unavailable set (tables 11, 13, 16-31 — see
     * [[Mp3Tables.big]]); a real implementation calls ffmpeg via JNI here.
     * Everything else decodes for REAL: images via [[decode]] (PPM/BMP/QOI
