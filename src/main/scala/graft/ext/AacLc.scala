@@ -398,10 +398,20 @@ object AacLc {
     out
   }
 
+  // window halves are pure functions of (shape, length) — compute each
+  // ONCE per JVM. longSeqWindow/shortSeqWindow are called per SAMPLE, and
+  // rebuilding the 1024-point sine (1024 sin calls) or KBD half (~50k
+  // Bessel flops) per lookup made windowing one frame cost ~2M window
+  // reconstructions (profiled: 2.2 s/stream, 103 s for the 48-stream
+  // battery row; cached: ~linear in samples).
+  private lazy val longSine = sineWindow(1024)
+  private lazy val longKbd = kbdWindow(1024)
+  private lazy val shortSine = sineWindow(128)
+  private lazy val shortKbd = kbdWindow(128)
   private def longWin(shape: Int): Array[Double] =
-    if (shape == 1) kbdWindow(1024) else sineWindow(1024)
+    if (shape == 1) longKbd else longSine
   private def shortWin(shape: Int): Array[Double] =
-    if (shape == 1) kbdWindow(128) else sineWindow(128)
+    if (shape == 1) shortKbd else shortSine
 
   /** window value at position n of a 2048 LONG-variant frame (sequences
     * 0/1/3) — shared by decoder synthesis and encoder analysis so the

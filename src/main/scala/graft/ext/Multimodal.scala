@@ -332,6 +332,20 @@ object Multimodal {
     Raster(w, h, rgb, 255)
   }
 
+  /** Spread a narrow id frame across the session's parallelism before a
+    * CPU-heavy per-row codec kernel. A small filtered scan arrives as ONE
+    * input partition, so an expensive encode/decode (tens of ms per row)
+    * serializes on a single core while the rest of the machine idles
+    * (guide §2.6 — idle capacity; measured: the 48-stream AAC row ran as
+    * one 1.2 s task on local[32]). The shuffled column set is just the
+    * long id (8 bytes/row), negligible next to the kernel at any scale;
+    * skipped when the scan already carries enough partitions.
+    */
+  private def spreadIds(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+  }
+
   private def synthesize(df: DataFrame, idCol: String, w: Int, h: Int,
       pack: Raster => Array[Byte]): DataFrame = {
     val schema = StructType(Seq(
@@ -1115,7 +1129,7 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField(idCol, LongType), StructField("media", BinaryType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    df.select(col(idCol).cast("long")).mapPartitions { it =>
+    spreadIds(df.select(col(idCol).cast("long"))).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         // the LSF leg stays on normative codebooks (one granule per frame,
@@ -1314,7 +1328,7 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField(idCol, LongType), StructField("media", BinaryType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    df.select(col(idCol).cast("long")).mapPartitions { it =>
+    spreadIds(df.select(col(idCol).cast("long"))).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val shape = vorbisShape(id)
@@ -1400,7 +1414,7 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField(idCol, LongType), StructField("media", BinaryType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    df.select(col(idCol).cast("long")).mapPartitions { it =>
+    spreadIds(df.select(col(idCol).cast("long"))).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val shape = aacShape(id)
