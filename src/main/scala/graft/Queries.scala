@@ -26,7 +26,7 @@ object GraftQueries {
   import FilterExpr._
 
   private def t(s: SparkSession, dir: String)(name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.fixtures.TpchGraph.table(s, dir, name)
 
   /** Per-process scratch root for store/file fixtures. Keyed on the sf-dir
     * digits AND the Spark applicationId: two concurrent verify/bench
@@ -1397,7 +1397,7 @@ object GraftQueries {
       val inDir = java.nio.file.Paths.get(s"$root/in")
       java.nio.file.Files.createDirectories(inDir)
       GraftQueriesR7.copyParquetInto(s"$d/events.parquet", inDir, "events")
-      val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+      val batchSchema = TpchGraph.table(s, d, "events").schema
       val src = TpchGraph.normalizeEventTs(
         s.readStream.schema(batchSchema).parquet(inDir.toString))
       val store = new GraphStore(s"$root/store", TpchGraph.schema, s)
@@ -1462,7 +1462,7 @@ object GraftQueries {
       // event-time span so no duplicate is ever outside the dedup state
       GraftQueriesR7.copyParquetInto(s"$d/events.parquet", inDir, "events_a")
       GraftQueriesR7.copyParquetInto(s"$d/events.parquet", inDir, "events_b")
-      val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+      val batchSchema = TpchGraph.table(s, d, "events").schema
       val src = TpchGraph.normalizeEventTs(
         s.readStream.schema(batchSchema).parquet(inDir.toString))
       val deduped = StreamIngest.dedupStream(src, Seq("event_id"), "ts", "365 days")

@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
 object GraftQueriesR10 {
 
   private def t(s: SparkSession, dir: String)(name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.fixtures.TpchGraph.table(s, dir, name)
 
   type Q = (SparkSession, String) => DataFrame
 

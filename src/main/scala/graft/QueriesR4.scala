@@ -15,7 +15,7 @@ import graft.graph.GraphAlgos
 object GraftQueriesR4 {
 
   private def t(s: SparkSession, dir: String)(name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.fixtures.TpchGraph.table(s, dir, name)
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))

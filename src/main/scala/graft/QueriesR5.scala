@@ -14,7 +14,7 @@ import graft.graph.GraphAlgos
 object GraftQueriesR5 {
 
   private def t(s: SparkSession, dir: String)(name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.fixtures.TpchGraph.table(s, dir, name)
 
   type Q = (SparkSession, String) => DataFrame
 

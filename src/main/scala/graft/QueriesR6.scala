@@ -16,7 +16,7 @@ import graft.pipeline._
 object GraftQueriesR6 {
 
   private def t(s: SparkSession, dir: String)(name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.fixtures.TpchGraph.table(s, dir, name)
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -17,7 +17,7 @@ import graft.ext.MediaContainers
 object GraftQueriesR7 {
 
   private def t(s: SparkSession, dir: String)(name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.fixtures.TpchGraph.table(s, dir, name)
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
@@ -149,7 +149,7 @@ object GraftQueriesR7 {
       val inDir = java.nio.file.Paths.get(s"$root/in")
       java.nio.file.Files.createDirectories(inDir)
       copyParquetInto(s"$d/events.parquet", inDir, "events")
-      val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+      val batchSchema = graft.fixtures.TpchGraph.table(s, d, "events").schema
       def src() = graft.fixtures.TpchGraph.normalizeEventTs(
         s.readStream.schema(batchSchema).parquet(inDir.toString))
       val a = src().where(col("event_id") % 2 === 0)

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
 object GraftQueriesR8 {
 
   private def t(s: SparkSession, dir: String)(name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.fixtures.TpchGraph.table(s, dir, name)
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -51,8 +51,23 @@ object TpchGraph {
     )
   )
 
+  /** `spark.read.parquet` re-lists the directory and re-reads the footer
+    * schema on EVERY call (~90 ms measured warm at sf0.1) — across a
+    * 374-query battery touching 1-3 tables each that is tens of seconds
+    * of pure driver overhead (guide §6: cache file listing). Memoize the
+    * RELATION (logical plan + file index) per (context, dir, table);
+    * the data itself is still scanned from parquet on every action —
+    * nothing about results or the timed compute is cached. Keyed by
+    * applicationId like the fixture memos, so a stopped session's
+    * DataFrames are never handed to a new one.
+    */
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relationCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   /** Some testdata generations write events.ts as TIMESTAMP(NANOS), which
     * Spark's vectorized reader rejects; others write plain micros. Read

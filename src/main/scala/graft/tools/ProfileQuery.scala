@@ -19,12 +19,16 @@ object ProfileQuery {
     val qname = args(1)
     val repeats = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    // SPARK_EXTRA_CONF="k=v;k=v" for conf experiments
+    sys.env.get("SPARK_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); b.config(k, v)
+    })
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     case class Job(id: Int, t0: Long, var t1: Long = 0L,
       var nTasks: Int = 0, var taskTimeMs: Long = 0L, var nStages: Int = 0)
