@@ -37,12 +37,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    // SPARK_EXTRA_CONF="k=v;k=v" — conf experiments (scale-dependent
+    // settings stay parameterised; defaults keep the bench comparable)
+    sys.env.get("SPARK_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up codegen/session state so the first measured query isn't
     // charged for JVM/session initialization

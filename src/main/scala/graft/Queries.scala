@@ -41,6 +41,27 @@ object GraftQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Run a STREAMING query body with a shuffle-partition count derived
+    * from its input size instead of the session's batch default. Every
+    * stateful-stream partition is a state-store instance whose provider
+    * load + per-batch commit is pure fixed cost (profiled on
+    * q_stream_join at sf0.1: 32 partitions → tasks serialized on
+    * StateStore.get provider loading + tiny shuffle-file opens, 7.9 s;
+    * 4 partitions → 2.5 s, identical results). ~1 MB of input per state
+    * partition with a small floor; CAPPED at the session's own setting,
+    * so at production scale (input ≫ cores·MB) this is a no-op and the
+    * cluster default governs. The session conf is restored afterwards —
+    * the choice is per-operator, not global.
+    */
+  private[graft] def withStreamShufflePartitions[T](s: SparkSession,
+      inputBytes: Long)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    val derived = inputBytes / (1L << 20) + 2
+    s.conf.set(key, math.max(1L, math.min(prev.toLong, derived)).toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   // Fellegi–Sunter comparison fields shared by q_fellegi_sunter and its
   // oracle — ONE definition so the micro-nat weight constants cannot drift
   private lazy val fsFields = Seq(
@@ -1466,11 +1487,15 @@ object GraftQueries {
       val src = TpchGraph.normalizeEventTs(
         s.readStream.schema(batchSchema).parquet(inDir.toString))
       val deduped = StreamIngest.dedupStream(src, Seq("event_id"), "ts", "365 days")
-      val q = deduped.writeStream.format("parquet")
-        .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // state partitions sized from the (doubled) input — see helper doc
+      GraftQueries.withStreamShufflePartitions(s,
+        2L * new java.io.File(s"$d/events.parquet").length()) {
+        val q = deduped.writeStream.format("parquet")
+          .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.read.parquet(s"$root/out").agg(
         count(lit(1)).as("n_rows"),
         count_distinct(col("event_id")).as("n_ids"))

@@ -162,11 +162,16 @@ object GraftQueriesR7 {
         col("user_id") === col("user_id_b") &&
           col("b_ts") >= col("a_ts") &&
           col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTES"))
-      val q = joined.writeStream.format("parquet")
-        .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // state-partition count from input size (4 state stores per
+      // partition for an interval join — see withStreamShufflePartitions)
+      GraftQueries.withStreamShufflePartitions(s,
+        new java.io.File(s"$d/events.parquet").length()) {
+        val q = joined.writeStream.format("parquet")
+          .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.read.parquet(s"$root/out")
         .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")
