@@ -34,6 +34,18 @@ import java.nio.file.{Files, Paths}
   * shared ingest cost and the per-query numbers are unusable.
   */
 object Bench {
+  /** Apply SPARK_EXTRA_CONF="k=v;k=v" to a session builder — shared with
+    * ProfileQuery. Segments without '=' fail with a clear message instead
+    * of an opaque MatchError; empty segments (trailing ';') are ignored.
+    */
+  private[graft] def applyExtraConf(builder: SparkSession.Builder): Unit =
+    sys.env.get("SPARK_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      if (kv.trim.nonEmpty) kv.split("=", 2) match {
+        case Array(k, v) => builder.config(k, v): Unit
+        case _ => sys.error(s"SPARK_EXTRA_CONF segment without '=': '$kv'")
+      }
+    })
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -44,9 +56,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
     // SPARK_EXTRA_CONF="k=v;k=v" — conf experiments (scale-dependent
     // settings stay parameterised; defaults keep the bench comparable)
-    sys.env.get("SPARK_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
-    })
+    applyExtraConf(builder)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up codegen/session state so the first measured query isn't

@@ -58,8 +58,29 @@ object GraftQueries {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     val derived = inputBytes / (1L << 20) + 2
-    s.conf.set(key, math.max(1L, math.min(prev.toLong, derived)).toString)
+    // prev may be non-numeric (e.g. "auto" injected via SPARK_EXTRA_CONF);
+    // fall back to the derived value rather than throwing mid-helper. The
+    // session setting is mutated for the duration of the stream — callers
+    // run streams sequentially (the bench/verify contract); a concurrent
+    // batch query on the same session would observe the temporary value.
+    val cap = prev.toLongOption.getOrElse(derived)
+    s.conf.set(key, math.max(1L, math.min(cap, derived)).toString)
     try body finally s.conf.set(key, prev)
+  }
+
+  /** Bytes of parquet INPUT at `path`, which may be a single file (driver
+    * testdata) or a directory of part files (synthesized tables) — the
+    * same two shapes [[GraftQueriesR7.copyParquetInto]] accepts.
+    * `File.length()` on a directory returns the directory-entry size
+    * (~4 KB), which would silently derive ~2 state partitions regardless
+    * of actual input and crush streaming-state parallelism at scale.
+    */
+  private[graft] def parquetInputBytes(path: String): Long = {
+    val f = new java.io.File(path)
+    if (f.isFile) f.length()
+    else Option(f.listFiles).getOrElse(Array.empty)
+      .filter(p => p.isFile && p.getName.endsWith(".parquet"))
+      .map(_.length()).sum
   }
 
   // Fellegi–Sunter comparison fields shared by q_fellegi_sunter and its
@@ -1489,7 +1510,7 @@ object GraftQueries {
       val deduped = StreamIngest.dedupStream(src, Seq("event_id"), "ts", "365 days")
       // state partitions sized from the (doubled) input — see helper doc
       GraftQueries.withStreamShufflePartitions(s,
-        2L * new java.io.File(s"$d/events.parquet").length()) {
+        2L * GraftQueries.parquetInputBytes(s"$d/events.parquet")) {
         val q = deduped.writeStream.format("parquet")
           .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -165,7 +165,7 @@ object GraftQueriesR7 {
       // state-partition count from input size (4 state stores per
       // partition for an interval join — see withStreamShufflePartitions)
       GraftQueries.withStreamShufflePartitions(s,
-        new java.io.File(s"$d/events.parquet").length()) {
+        GraftQueries.parquetInputBytes(s"$d/events.parquet")) {
         val q = joined.writeStream.format("parquet")
           .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

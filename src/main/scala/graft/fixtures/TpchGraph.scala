@@ -62,12 +62,19 @@ object TpchGraph {
     * DataFrames are never handed to a new one.
     */
   private val relationCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), (SparkSession, DataFrame)]()
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // evict entries of stopped sessions — a long-lived JVM cycling
+    // SparkSessions would otherwise pin every dead session's logical
+    // plans forever. Cached dirs must be immutable for the session
+    // lifetime (holds: the sf testdata is read-only).
+    if (!relationCache.isEmpty)
+      relationCache.entrySet.removeIf(e => e.getValue._1.sparkContext.isStopped)
     relationCache.computeIfAbsent(
       (spark.sparkContext.applicationId, dir, name),
-      _ => spark.read.parquet(s"$dir/$name.parquet"))
+      _ => (spark, spark.read.parquet(s"$dir/$name.parquet")))._2
+  }
 
   /** Some testdata generations write events.ts as TIMESTAMP(NANOS), which
     * Spark's vectorized reader rejects; others write plain micros. Read

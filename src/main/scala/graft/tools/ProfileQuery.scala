@@ -24,10 +24,8 @@ object ProfileQuery {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-    // SPARK_EXTRA_CONF="k=v;k=v" for conf experiments
-    sys.env.get("SPARK_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); b.config(k, v)
-    })
+    // SPARK_EXTRA_CONF="k=v;k=v" for conf experiments (shared parser)
+    graft.Bench.applyExtraConf(b)
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     case class Job(id: Int, t0: Long, var t1: Long = 0L,
