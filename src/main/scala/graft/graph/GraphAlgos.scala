@@ -19,6 +19,79 @@ import org.apache.spark.sql.functions._
   */
 object GraphAlgos {
 
+  private val lvlMemDisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** Order-preserving dense-long dictionary over a distinct single-column
+    * `node` frame: node → nid ∈ [0, n) assigned in LEXICOGRAPHIC node
+    * order, so `nid_x < nid_y ⟺ node_x < node_y` and every key
+    * comparison (join equality, least/greatest canonicalization, min-label
+    * tie-breaks, degree-tie orientation) translates exactly. The iterative
+    * algorithms below run their loops on these 8-byte ids instead of
+    * arbitrary-width node strings — every per-iteration exchange carries
+    * narrower rows and every hash probe compares a long, not a string
+    * (guide §2.3 "narrower types"); outputs decode back through the
+    * dictionary, so results are bit-identical.
+    *
+    * Assignment is the scalable two-pass shape: a range sort of the n-row
+    * node set, then `zipWithIndex` (per-partition counts + offsets — no
+    * single-task window, no driver collect). The result is eagerly
+    * checkpointed: ~2 small jobs once per algorithm call, amortized over
+    * every iteration that follows.
+    */
+  private[graft] def nodeDict(nodes: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    val sorted = nodes.select(col("node").cast("string").as("node"))
+      .orderBy("node")
+    val rows = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.getString(0), i)
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(rows, StructType(Seq(
+        StructField("node", StringType, nullable = true),
+        StructField("nid", LongType, nullable = false))))
+      .localCheckpoint(true)
+  }
+
+  /** Re-key a (src, dst[, payload…]) edge frame through the dictionary —
+    * both endpoints inner-joined against the n-row dict (broadcast under
+    * the caller's node limit; above it these two up-front hash joins are
+    * the price of removing the string width from EVERY later iteration).
+    * Payload columns pass through untouched.
+    */
+  private[graft] def encodeEdges(e: DataFrame, dict: DataFrame,
+      bcDict: Boolean): DataFrame = {
+    val d = if (bcDict) broadcast(dict) else dict
+    val others = e.columns.filterNot(c => c == "src" || c == "dst").map(col)
+    e.join(d.select(col("node").as("src"), col("nid").as("_sid")), Seq("src"))
+      .join(d.select(col("node").as("dst"), col("nid").as("_did")), Seq("dst"))
+      .select(Seq(col("_sid").as("src"), col("_did").as("dst")) ++ others: _*)
+  }
+
+  /** Same re-keying for a canonical undirected (a, b[, payload…]) frame. */
+  private[graft] def encodeUnd(und: DataFrame, dict: DataFrame,
+      bcDict: Boolean): DataFrame = {
+    val d = if (bcDict) broadcast(dict) else dict
+    val others = und.columns.filterNot(c => c == "a" || c == "b").map(col)
+    und.join(d.select(col("node").as("a"), col("nid").as("_aid")), Seq("a"))
+      .join(d.select(col("node").as("b"), col("nid").as("_bid")), Seq("b"))
+      .select(Seq(col("_aid").as("a"), col("_bid").as("b")) ++ others: _*)
+  }
+
+  /** Decode an id column back to the node string via the dictionary
+    * (broadcast-joined when small): replaces `idCol` in place, preserving
+    * column order and all other columns.
+    */
+  private[graft] def decodeNode(df: DataFrame, dict: DataFrame,
+      idCol: String, bcDict: Boolean): DataFrame = {
+    val d = if (bcDict) broadcast(dict) else dict
+    val outCols = df.columns.map {
+      case c if c == idCol => col("_dec").as(idCol)
+      case c => col(c)
+    }
+    df.join(d.select(col("nid").as(idCol), col("node").as("_dec")), Seq(idCol))
+      .select(outCols.toSeq: _*)
+  }
+
   /** Fixed-point PageRank: `iterations` synchronous updates of
     * rank(v) = base + Σ_{u→v} (rank(u)·damping÷100)÷outdeg(u), all in
     * integer micro-units of `scale` total mass. Dangling-node mass is
@@ -41,17 +114,28 @@ object GraphAlgos {
       broadcastNodeLimit: Long = 1000000L): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
-    val e = edges.select(col(srcCol).cast("string").as("src"),
+    // eager localCheckpoint, NOT persist: the checkpoint materializes
+    // through AQE (small exchanges coalesce instead of pinning the
+    // session's shuffle-partition count the way a cache does — measured
+    // 16x task-count inflation per round when these frames were persisted)
+    // and exposes REAL size statistics to downstream join planning
+    val eStr = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count()
+      .localCheckpoint(true)
+    // dictionary-encode node keys to dense longs for the loop (see
+    // nodeDict): the equality-only iteration is invariant under any key
+    // bijection, so running it on 8-byte ids and decoding the output is
+    // result-identical while every per-iteration exchange narrows
+    val dict = nodeDict(eStr.select(col("src").as("node"))
+      .union(eStr.select(col("dst"))).distinct())
+    val n = dict.count()
+    val bc = n <= broadcastNodeLimit
+    val e = encodeEdges(eStr, dict, bc).localCheckpoint(true)
+    val nodes = dict.select(col("nid").as("node"))
     val init = scale / n
     val base = (init * (100L - dampingPct)) / 100L
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var ranks = nodes.withColumn("rank", lit(init))
     for (_ <- 1 to iterations) {
       // n-row share table first (rank ⋈ degree are both node-keyed), then
@@ -59,7 +143,7 @@ object GraphAlgos {
       val share = ranks.withColumnRenamed("node", "src").join(deg, Seq("src"))
         .select(col("src"),
           expr(s"(rank * $dampingPct div 100) div outdeg").as("m"))
-      val shareSide = if (n <= broadcastNodeLimit) broadcast(share) else share
+      val shareSide = if (bc) broadcast(share) else share
       val contrib = e.join(shareSide, Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("m")).as("m"))
       // localCheckpoint (eager), not persist: caching keeps the symbolic
@@ -73,12 +157,9 @@ object GraphAlgos {
           (lit(base) + coalesce(col("m"), lit(0L))).as("rank"))
         .localCheckpoint(true)
     }
-    // the returned frame is materialized; the building blocks would
-    // otherwise stay cached for the session lifetime on every call
-    e.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
-    ranks
+    // checkpoint blocks free via the context cleaner once unreferenced —
+    // no explicit unpersist needed for eStr/e/deg
+    decodeNode(ranks, dict, "node", bc)
   }
 
   /** Weighted PageRank: [[pageRankFixed]] with per-edge weights — each
@@ -99,26 +180,30 @@ object GraphAlgos {
       broadcastNodeLimit: Long = 1000000L): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
-    val e = edges.select(col(srcCol).cast("string").as("src"),
+    // eager localCheckpoint, not persist — see pageRankFixed
+    val eStr = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst"),
       col(weightCol).cast("long").as("w"))
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
       .where(col("w") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count()
+      .localCheckpoint(true)
+    // long-keyed loop via the node dictionary — see pageRankFixed
+    val dict = nodeDict(eStr.select(col("src").as("node"))
+      .union(eStr.select(col("dst"))).distinct())
+    val n = dict.count()
+    val bc = n <= broadcastNodeLimit
+    val e = encodeEdges(eStr, dict, bc).localCheckpoint(true)
+    val nodes = dict.select(col("nid").as("node"))
     val init = scale / n
     val base = (init * (100L - dampingPct)) / 100L
     val wsum = e.groupBy("src").agg(sum(col("w")).as("wsum"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var ranks = nodes.withColumn("rank", lit(init))
     for (_ <- 1 to iterations) {
       val share = ranks.withColumnRenamed("node", "src").join(wsum, Seq("src"))
         .select(col("src"), expr(s"(rank * $dampingPct) div 100").as("t"),
           col("wsum"))
-      val shareSide = if (n <= broadcastNodeLimit) broadcast(share) else share
+      val shareSide = if (bc) broadcast(share) else share
       val contrib = e.join(shareSide, Seq("src"))
         .select(col("dst"), expr("(t * w) div wsum").as("m"))
         .groupBy(col("dst").as("node")).agg(sum(col("m")).as("m"))
@@ -127,10 +212,7 @@ object GraphAlgos {
           (lit(base) + coalesce(col("m"), lit(0L))).as("rank"))
         .localCheckpoint(true)
     }
-    e.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    wsum.unpersist(blocking = false)
-    ranks
+    decodeNode(ranks, dict, "node", bc)
   }
 
   /** DuckDB replay of [[weightedPageRankFixed]], iterations unrolled. */
@@ -178,25 +260,35 @@ object GraphAlgos {
     require(iterations >= 1, "need at least one iteration")
     require(seeds.nonEmpty, "need at least one seed")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
-    val e = edges.select(col(srcCol).cast("string").as("src"),
+    // eager localCheckpoint, not persist — see pageRankFixed
+    val eStr = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count()
+      .localCheckpoint(true)
+    // long-keyed loop via the node dictionary — see pageRankFixed. The
+    // seed membership test becomes an isin over the seeds' dictionary ids
+    // (a |seeds|-row metadata lookup, like the existing n count — seeds
+    // absent from the graph simply match nothing, exactly as before).
+    val dict = nodeDict(eStr.select(col("src").as("node"))
+      .union(eStr.select(col("dst"))).distinct())
+    val n = dict.count()
+    val bc = n <= broadcastNodeLimit
+    val e = encodeEdges(eStr, dict, bc).localCheckpoint(true)
+    val nodes = dict.select(col("nid").as("node"))
     val init = scale / seeds.length
     val base = (init * (100L - dampingPct)) / 100L
-    val isSeed = col("node").isin(seeds: _*)
+    val seedIds = dict.where(col("node").isin(seeds: _*))
+      .select("nid").collect().map(_.getLong(0)).toSeq
+    val isSeed =
+      if (seedIds.isEmpty) lit(false) else col("node").isin(seedIds: _*)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var ranks = nodes.withColumn("rank",
       when(isSeed, lit(init)).otherwise(lit(0L)))
     for (_ <- 1 to iterations) {
       val share = ranks.withColumnRenamed("node", "src").join(deg, Seq("src"))
         .select(col("src"),
           expr(s"(rank * $dampingPct div 100) div outdeg").as("m"))
-      val shareSide = if (n <= broadcastNodeLimit) broadcast(share) else share
+      val shareSide = if (bc) broadcast(share) else share
       val contrib = e.join(shareSide, Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("m")).as("m"))
       ranks = nodes.join(contrib, Seq("node"), "left")
@@ -205,10 +297,7 @@ object GraphAlgos {
             coalesce(col("m"), lit(0L))).as("rank"))
         .localCheckpoint(true)
     }
-    e.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
-    ranks
+    decodeNode(ranks, dict, "node", bc)
   }
 
   /** Weighted single-source shortest paths, `maxHops` synchronous
@@ -233,19 +322,29 @@ object GraphAlgos {
     require(maxHops >= 1, "need at least one hop")
     val spark = edges.sparkSession
     import spark.implicits._
+    // NOTE (round 12): dictionary-encoding this loop's node keys was
+    // implemented and A/B-measured — it LOST locally (the per-query edge
+    // derivation used to fuse into one adaptive execution; the dict +
+    // encode boundaries cost more than narrow keys save at bench scale) —
+    // so the loop stays string-keyed; only the per-round count() job was
+    // folded into the checkpoint via observe. See OPTIMIZATION_r12.md.
     val e = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst"),
       col(weightCol).cast("long").as("w"))
       .groupBy("src", "dst").agg(min("w").as("w")) // parallel edges: keep lightest
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvlMemDisk)
     var dist = Seq((source, 0L)).toDF("node", "dist")
-    var distRows = 1L // known: the seed row (the checkpoint count below
-    for (_ <- 1 to maxHops) { //    keeps this exact every later round)
-      // localCheckpoint severs the per-round lineage (see pageRankFixed)
+    var distRows = 1L // known: the seed row (the observed checkpoint count
+    for (r <- 1 to maxHops) { // below keeps this exact every later round)
+      // localCheckpoint severs the per-round lineage (see pageRankFixed);
+      // the row count rides the SAME materialization job via observe
+      // instead of a separate count() job per round
+      val obs = org.apache.spark.sql.Observation(s"sssp_rows_$r")
       dist = dist.unionByName(relaxRound(e, dist, distRows, broadcastNodeLimit))
         .groupBy("node").agg(min("dist").as("dist"))
+        .observe(obs, count(lit(1)).as("rows"))
         .localCheckpoint(true)
-      distRows = dist.count()
+      distRows = obs.get("rows").asInstanceOf[Long]
     }
     e.unpersist(blocking = false)
     dist
@@ -308,22 +407,28 @@ object GraphAlgos {
     require(maxHops >= 1, "need at least one hop")
     val spark = edges.sparkSession
     import spark.implicits._
+    // string-keyed (dictionary encoding measured and rejected — see
+    // shortestPathsFixed note); per-round count() folded into the
+    // checkpoint via observe
     val e = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst"),
       col(tsCol).cast("long").as("t"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvlMemDisk)
     var arr = Seq((source, startTime)).toDF("node", "arrival")
     var arrRows = 1L
-    for (_ <- 1 to maxHops) {
+    for (r <- 1 to maxHops) {
       val arrSide = if (arrRows <= broadcastNodeLimit) broadcast(arr) else arr
       val relaxed = e.join(arrSide.withColumnRenamed("node", "src"), Seq("src"))
         .where(col("t") >= col("arrival"))
         .select(col("dst").as("node"), col("t").as("arrival"))
+      // row count observed on the checkpoint job — no separate count()
+      val obs = org.apache.spark.sql.Observation(s"treach_rows_$r")
       arr = arr.unionByName(relaxed)
         .groupBy("node").agg(min("arrival").as("arrival"))
+        .observe(obs, count(lit(1)).as("rows"))
         .localCheckpoint(true)
-      arrRows = arr.count()
+      arrRows = obs.get("rows").asInstanceOf[Long]
     }
     e.unpersist(blocking = false)
     arr
@@ -489,6 +594,7 @@ object GraphAlgos {
   }
 
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // string-keyed (dictionary encoding measured and rejected — see kCore)
     val und = edges.select(
       least(col(srcCol).cast("string"), col(dstCol).cast("string")).as("a"),
       greatest(col(srcCol).cast("string"), col(dstCol).cast("string")).as("b"))
@@ -557,22 +663,28 @@ object GraphAlgos {
     require(maxHops >= 1, "need at least one hop")
     val spark = edges.sparkSession
     import spark.implicits._
+    // string-keyed (dictionary encoding measured and rejected — see
+    // shortestPathsFixed note); per-round count() folded into the
+    // checkpoint via observe
     val e = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst"),
       col(weightCol).cast("long").as("w"))
       .groupBy("src", "dst").agg(min("w").as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvlMemDisk)
     var dist = seeds.distinct.map(s => (s, s, 0L)).toDF("seed", "node", "dist")
     var distRows = seeds.distinct.size.toLong
-    for (_ <- 1 to maxHops) {
+    for (r <- 1 to maxHops) {
       val side = if (distRows <= broadcastRowLimit) broadcast(dist) else dist
       val relaxed = e.join(side.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("seed"), col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      // localCheckpoint severs the per-round lineage (see pageRankFixed)
+      // localCheckpoint severs the per-round lineage (see pageRankFixed);
+      // the row count rides the checkpoint job via observe
+      val obs = org.apache.spark.sql.Observation(s"mssp_rows_$r")
       dist = dist.unionByName(relaxed)
         .groupBy("seed", "node").agg(min("dist").as("dist"))
+        .observe(obs, count(lit(1)).as("rows"))
         .localCheckpoint(true)
-      distRows = dist.count()
+      distRows = obs.get("rows").asInstanceOf[Long]
     }
     e.unpersist(blocking = false)
     dist
@@ -631,6 +743,9 @@ object GraphAlgos {
       maxRounds: Int): DataFrame = {
     require(k >= 1, "k must be positive")
     require(maxRounds >= 1, "need at least one round")
+    // string-keyed (dictionary encoding measured and rejected — the dict
+    // and encode boundaries broke the single adaptive execution this
+    // per-query edge derivation fuses into; see OPTIMIZATION_r12.md)
     val und0 = edges.select(
       least(col(srcCol).cast("string"), col(dstCol).cast("string")).as("a"),
       greatest(col(srcCol).cast("string"), col(dstCol).cast("string")).as("b"))
@@ -710,6 +825,7 @@ object GraphAlgos {
       maxRounds: Int): DataFrame = {
     require(k >= 3, "k must be >= 3")
     require(maxRounds >= 1, "need at least one round")
+    // string-keyed (dictionary encoding measured and rejected — see kCore)
     var e = edges.select(
       least(col(srcCol).cast("string"), col(dstCol).cast("string")).as("a"),
       greatest(col(srcCol).cast("string"), col(dstCol).cast("string")).as("b"))
@@ -832,6 +948,7 @@ object GraphAlgos {
       rounds: Int): DataFrame = {
     require(rounds >= 1, "need at least one round")
     import org.apache.spark.sql.expressions.Window
+    // string-keyed (dictionary encoding measured and rejected — see kCore)
     val und0 = edges.select(
       least(col(srcCol).cast("string"), col(dstCol).cast("string")).as("a"),
       greatest(col(srcCol).cast("string"), col(dstCol).cast("string")).as("b"))
@@ -892,6 +1009,9 @@ object GraphAlgos {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 1, "need at least one round")
+    // string-keyed (dictionary encoding measured and rejected — see kCore;
+    // note LPA would additionally need the ORDER-PRESERVING dictionary,
+    // since its tie-break is the smallest label)
     val und0 = edges.select(
       least(col(srcCol).cast("string"), col(dstCol).cast("string")).as("a"),
       greatest(col(srcCol).cast("string"), col(dstCol).cast("string")).as("b"))
@@ -1185,6 +1305,8 @@ object GraphAlgos {
       rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // string-keyed (dictionary encoding measured and rejected — see kCore;
+    // the registers are md5(node string)-derived either way)
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .distinct().persist(lvl)
@@ -1631,6 +1753,7 @@ object GraphAlgos {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val dir = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst"))
+    // string-keyed (dictionary encoding measured and rejected — see kCore)
     val e = (if (undirected)
       dir.select(explode(array(
           struct(col("src"), col("dst")),
@@ -1747,13 +1870,16 @@ object GraphAlgos {
       iterations: Int, unit: Long = 1000000L,
       broadcastNodeLimit: Long = 1000000L): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = edges.select(col(srcCol).cast("string").as("src"),
-      col(dstCol).cast("string").as("dst")).distinct().persist(lvl)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct().persist(lvl)
-    val n = nodes.count()
+    // eager localCheckpoint, not persist — see pageRankFixed
+    val eStr = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct().localCheckpoint(true)
+    // long-keyed loop via the node dictionary — see pageRankFixed
+    val dict = nodeDict(eStr.select(col("src").as("node"))
+      .union(eStr.select(col("dst"))).distinct())
+    val n = dict.count()
     require(n > 0, "HITS needs at least one edge") // n>0 ⟺ e nonempty
+    val bcOk = n <= broadcastNodeLimit
+    val e = encodeEdges(eStr, dict, bcOk).localCheckpoint(true)
     // score frames stay SPARSE inside the loop (only nodes that received
     // mass — a node absent from a frame has score 0, and joining it in
     // would only add per-half-step node-table traffic); the dense frame is
@@ -1761,20 +1887,20 @@ object GraphAlgos {
     // broadcast under the limit, so the big cached edge frame NEVER
     // re-shuffles — the only exchange per half-step is the map-side
     // combined (node, partial-sum) aggregate.
-    def bc(df: DataFrame): DataFrame =
-      if (n <= broadcastNodeLimit) broadcast(df) else df
+    def bc(df: DataFrame): DataFrame = if (bcOk) broadcast(df) else df
+    var normIdx = 0
     def normalize(raw: DataFrame, outCol: String): DataFrame = {
-      // raw (a join+agg) feeds BOTH the 1-row total and the scaled output
-      // — persist it so the half-step runs the edge join once, not twice;
-      // the eager localCheckpoint materializes the output, so the cache
-      // can be dropped before returning
-      val r = raw.persist(lvl)
-      val total = r.agg(sum(col("v")).as("t"))
-      val out = r.crossJoin(broadcast(total))
-        .select(col("node"), expr(s"(v * $unit) div t").as(outCol))
-        .localCheckpoint(true)
-      r.unpersist(blocking = false)
-      out
+      // ONE pass per half-step: the raw sums are materialized by the eager
+      // localCheckpoint, with the L1 total captured IN THE SAME JOB via
+      // observe (an exact integer — identical to the old separate
+      // total-aggregate job + broadcast, at half the job count); the
+      // scaled projection is then a cheap map over the checkpointed n-row
+      // frame with the total as a literal
+      normIdx += 1
+      val obs = org.apache.spark.sql.Observation(s"hits_norm_$normIdx")
+      val r = raw.observe(obs, sum(col("v")).as("t")).localCheckpoint(true)
+      val t = obs.get("t").asInstanceOf[Long]
+      r.select(col("node"), expr(s"(v * ${unit}L) div ${t}L").as(outCol))
     }
     var hubs = e.select(col("src").as("node")).distinct()
       .withColumn("hub", lit(unit)).localCheckpoint(true)
@@ -1787,12 +1913,11 @@ object GraphAlgos {
         .groupBy(col("src").as("node")).agg(sum("authority").as("v"))
       hubs = normalize(hraw, "hub")
     }
-    val out = nodes
+    val out = dict.select(col("nid").as("node"), col("node").as("_str"))
       .join(auths, Seq("node"), "left").join(hubs, Seq("node"), "left")
-      .select(col("node"), coalesce(col("authority"), lit(0L)).as("authority"),
+      .select(col("_str").as("node"),
+        coalesce(col("authority"), lit(0L)).as("authority"),
         coalesce(col("hub"), lit(0L)).as("hub"))
-    e.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
     out
   }
 
@@ -2009,6 +2134,9 @@ object GraphAlgos {
       peelRounds: Int, propRounds: Int): DataFrame = {
     require(peelRounds >= 1 && propRounds >= 1, "rounds must be >= 1")
     val persistL = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // string-keyed (dictionary encoding measured and rejected — see kCore;
+    // SCC would additionally need the order-preserving dictionary, since
+    // min-label agreement compares keys)
     val e0 = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst"))
       .where(col("src") =!= col("dst")).distinct()
