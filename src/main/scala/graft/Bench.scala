@@ -54,6 +54,17 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // Never take the bypass-merge shuffle write path: it opens one file
+      // per reduce partition per map task and merges them with per-file
+      // mmap+NIO copies, which costs ~ms per file on this filesystem —
+      // jstack-profiled as the dominant taskTime of every small exchange
+      // (q_bradley_terry round: 20 s taskTime for a 1 M-row cached scan;
+      // battery A/B: −11% on per-query minimums). The serialized sort
+      // writer emits ONE file per map task. Scale-neutral: bypass only
+      // engages when reduce partitions ≤ threshold (default 200), which a
+      // production shuffle exceeds anyway — still overridable per run via
+      // SPARK_EXTRA_CONF.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
     // SPARK_EXTRA_CONF="k=v;k=v" — conf experiments (scale-dependent
     // settings stay parameterised; defaults keep the bench comparable)
     applyExtraConf(builder)

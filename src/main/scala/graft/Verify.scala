@@ -14,6 +14,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // match Bench: single-file serialized sort shuffle writes (see
+      // Bench.scala for the measured rationale)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

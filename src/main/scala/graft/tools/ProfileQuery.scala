@@ -24,6 +24,8 @@ object ProfileQuery {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // match Bench: single-file serialized sort shuffle writes
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
     // SPARK_EXTRA_CONF="k=v;k=v" for conf experiments (shared parser)
     graft.Bench.applyExtraConf(b)
     val spark = b.getOrCreate()
